@@ -1,0 +1,90 @@
+package graft
+
+import graft.functions._
+import graft.sig._
+import graft.types.GraftType
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, Expression}
+import org.apache.spark.sql.types.Metadata
+
+/**
+ * Engine installer — the analogue of the reference's host-engine embedding
+ * (DuckDB glue, SURVEY §2.1 #29): every registry entry becomes a SQL-callable
+ * function in the SparkSession, resolvable from `spark.sql(...)`,
+ * `selectExpr`, and `functions.call_function`.
+ */
+object Graft {
+
+  /** Extension metadata travels on attributes; anything else has none. */
+  private def metadataOf(e: Expression): Metadata = e match {
+    case a: Attribute => a.metadata
+    case a: Alias => a.metadata
+    case _ => Metadata.empty
+  }
+
+  /** Analysis-time builder: resolves the overload by concrete child types +
+    * extension metadata, then instantiates the right expression tier. */
+  private def builder(name: String)(children: Seq[Expression]): Expression = {
+    val actual = children.map(c => (c.dataType, metadataOf(c)))
+    Registry.global.resolve(name, actual) match {
+      case Some(fd) => instantiate(fd, children)
+      case None =>
+        val overloads = Registry.global.lookup(name).map(_.signature.toString)
+        throw new IllegalArgumentException(
+          s"graft function '$name' has no overload for argument types " +
+            actual.map(_._1.sql).mkString("(", ", ", ")") +
+            s"; known: ${overloads.mkString("; ")}")
+    }
+  }
+
+  private def instantiate(fd: FunctionDef, children: Seq[Expression]): Expression = {
+    val name = fd.signature.name
+    val retT = fd.signature.returns
+    fd.impl match {
+      case ExprImpl(build) => build(children)
+      case ScalarImpl(f) if fd.fallible =>
+        FallibleScalarInvoke(name, f, retT.dataType, children, fd.callMode)
+      case ScalarImpl(f) =>
+        ScalarInvoke(name, f, retT.dataType, children, fd.callMode, fd.deterministic)
+      case TableImpl(f) =>
+        TableFnInvoke(name, f, retT.dataType, children, fd.callMode, fd.fallible)
+      case other =>
+        throw new IllegalStateException(s"unexpected impl for $name: $other")
+    }
+  }
+
+  /** Install every registered function into the session. Aggregates go through
+    * the UDAF path; everything else through the expression builder. */
+  def install(spark: SparkSession): Unit = {
+    Builtins.ensureRegistered()
+    val reg = Registry.global
+    reg.names.foreach { name =>
+      val defs = reg.lookup(name)
+      defs.head.impl match {
+        case AggImpl(udf) => spark.udf.register(name, udf)
+        case _ =>
+          spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+            name, builder(name), "scala_udf")
+      }
+    }
+  }
+
+  /** Opinionated local session for a 32-core single node; on a real cluster
+    * the same settings scale by executor count (AQE re-plans at runtime). */
+  def session(master: String = "local[32]", appName: String = "graft"): SparkSession = {
+    val spark = SparkSession.builder()
+      .master(master)
+      .appName(appName)
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.parquet.filterPushdown", "true")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    install(spark)
+    spark
+  }
+}

@@ -1,0 +1,129 @@
+package graft.functions
+
+import graft.sig.CallMode
+
+/**
+ * The built-in conformance function set — mirrors the reference's example /
+ * test corpus (SURVEY §2.2: gcd, div, length, substring, split, key_value,
+ * range, array_sum, to_json, datetime, ...) re-expressed as graft
+ * registrations. Idempotent: `ensureRegistered()` is called by
+ * [[graft.Graft.install]].
+ */
+object Builtins {
+
+  @volatile private var registered = false
+
+  def ensureRegistered(): Unit = synchronized {
+    if (registered) return
+    registered = true
+
+    // gcd: native codegen'd tier for int32/int64 (flagship benchmark fn).
+    Udf.native("gcd(int, int) -> int") { children => GcdExpr(children(0), children(1)) }
+    Udf.native("gcd(bigint, bigint) -> bigint") { children => GcdExpr(children(0), children(1)) }
+
+    // graft_div: fallible integer division → struct<value, error> (error
+    // column). Named graft_div: `div` would shadow Spark's built-in.
+    Udf.fallible2[Int, Int, Int]("graft_div(int, int) -> int") { (a, b) =>
+      if (b == 0) throw new ArithmeticException("division by zero") else a / b
+    }
+
+    // neg / add / option-add (CalledOnNullInput demo: null counts as 0).
+    Udf.scalar1[Int, Int]("neg(int) -> int")(a => -a)
+    Udf.scalar2[Int, Int, Int]("add(int, int) -> int")(_ + _)
+    Udf.scalarN[Int]("option_add(int, int) -> int", mode = CallMode.CalledOnNullInput) { args =>
+      args.map(a => if (a == null) 0 else a.asInstanceOf[Int]).sum
+    }
+
+    // length overloads (string vs binary) — overload-resolution conformance.
+    Udf.scalar1[String, Int]("graft_length(string) -> int")(_.length)
+    Udf.scalar1[Array[Byte], Int]("graft_length(binary) -> int")(_.length)
+
+    // substring(string, start) 0-based, reference semantics.
+    Udf.scalar2[String, Int, String]("graft_substring(string, int) -> string") { (s, i) =>
+      s.substring(math.min(math.max(i, 0), s.length))
+    }
+
+    // split → string[]
+    Udf.scalar2[String, String, Seq[String]]("graft_split(string, string) -> string[]") {
+      (s, sep) => scala.collection.immutable.ArraySeq.unsafeWrapArray(s.split(java.util.regex.Pattern.quote(sep), -1))
+    }
+
+    // array_sum(int[]) — null elements ignored (reference primitive-slice path).
+    Udf.scalar1[Seq[Integer], Int]("array_sum(int[]) -> int") { xs =>
+      var s = 0
+      xs.foreach(x => if (x != null) s += x.intValue())
+      s
+    }
+
+    // key_value("a=b") → struct<key,value>; malformed input → null struct.
+    Udf.scalar1[String, org.apache.spark.sql.Row](
+      "key_value(string) -> struct<key: string, value: string>") { s =>
+      val i = s.indexOf('=')
+      if (i <= 0) null
+      else org.apache.spark.sql.Row(s.substring(0, i), s.substring(i + 1))
+    }
+
+    // many_args: 16 ints summed (wide-signature conformance, tests.rs:344-367).
+    Udf.scalarN[Int]("many_args(" + Seq.fill(16)("int").mkString(",") + ") -> int") { args =>
+      args.map(a => if (a == null) 0 else a.asInstanceOf[Int]).sum
+    }
+
+    // Variadic concat with separator (variadic conformance, sig.rs:106-110).
+    Udf.scalarN[String]("concat_sep(string, string, ...) -> string") { args =>
+      val sep = args.head.asInstanceOf[String]
+      args.tail.filter(_ != null).map(_.toString).mkString(sep)
+    }
+
+    // ---- table functions ---------------------------------------------------
+    // range_setof(n) ->> int : 0..n-1 (reference `range` table fn).
+    Udf.table1[Int, Int]("range_setof(int) ->> int")(n => Iterator.range(0, n))
+
+    // json_array_elements: setof + error column (tests.rs:663-683).
+    Udf.table1[String, String]("json_array_elements(string) ->> string", fallible = true) { s =>
+      val t = s.trim
+      if (!t.startsWith("[") || !t.endsWith("]"))
+        throw new IllegalArgumentException("not a json array")
+      val body = t.substring(1, t.length - 1).trim
+      if (body.isEmpty) Iterator.empty
+      else splitTopJson(body).iterator.map(_.trim)
+    }
+
+    // ---- stable hashes (shared by dedup/fingerprint operators) -------------
+    Udf.native("fnv64(string) -> bigint") { children =>
+      ScalarInvoke("fnv64",
+        a => Kernels.fnv1a64(a(0).asInstanceOf[String].getBytes("UTF-8")),
+        org.apache.spark.sql.types.LongType, children)
+    }
+    Udf.native("poly_hash(string) -> bigint") { children =>
+      ScalarInvoke("poly_hash",
+        a => { val s = a(0).asInstanceOf[String]
+          var h = 0L; var i = 0
+          while (i < s.length) { h = (h * 31 + s.charAt(i)) % 1000000007L; i += 1 }
+          h },
+        org.apache.spark.sql.types.LongType, children)
+    }
+  }
+
+  /** Split a JSON array body on top-level commas (no dependency JSON parser —
+    * enough for the conformance fixture). */
+  private def splitTopJson(s: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    var depth = 0; var inStr = false; var esc = false; var start = 0
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (esc) esc = false
+      else if (inStr) { if (c == '\\') esc = true else if (c == '"') inStr = false }
+      else c match {
+        case '"' => inStr = true
+        case '[' | '{' => depth += 1
+        case ']' | '}' => depth -= 1
+        case ',' if depth == 0 => out += s.substring(start, i); start = i + 1
+        case _ =>
+      }
+      i += 1
+    }
+    out += s.substring(start)
+    out.result()
+  }
+}

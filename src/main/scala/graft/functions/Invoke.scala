@@ -1,0 +1,209 @@
+package graft.functions
+
+import graft.sig.CallMode
+import org.apache.spark.sql.catalyst.CatalystTypeConverters
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Implementation payloads stored in the registry (kind-tagged to survive erasure). */
+final case class ScalarImpl(f: Seq[Any] => Any)
+final case class TableImpl(f: Seq[Any] => Iterator[Any])
+/** A native Catalyst expression factory — the "generated kernel" tier. */
+final case class ExprImpl(build: Seq[Expression] => Expression)
+/** A pre-built UDAF (lowered from [[GraftAggregate]]). */
+final case class AggImpl(udf: org.apache.spark.sql.expressions.UserDefinedFunction)
+
+/**
+ * Generic scalar invocation: calls a Scala closure row-at-a-time with
+ * JVM-friendly argument values (String, Int, Seq, Row, ...), honoring the
+ * declared [[CallMode]] (reference null semantics, `codegen_utils.rs:415-444`).
+ *
+ * CodegenFallback keeps the call inside a WholeStageCodegen span; the hot
+ * per-type fast path is the [[ExprImpl]] tier (e.g. [[GcdExpr]]).
+ */
+case class ScalarInvoke(
+    funcName: String,
+    function: Seq[Any] => Any,
+    override val dataType: DataType,
+    children: Seq[Expression],
+    callMode: CallMode = CallMode.ReturnNullOnNullInput,
+    isDeterministic: Boolean = true)
+  extends Expression with CodegenFallback {
+
+  override def nullable: Boolean = true
+  override lazy val deterministic: Boolean =
+    isDeterministic && children.forall(_.deterministic)
+
+  @transient private lazy val argConverters =
+    children.map(c => CatalystTypeConverters.createToScalaConverter(c.dataType)).toArray
+  @transient private lazy val resultConverter =
+    CatalystTypeConverters.createToCatalystConverter(dataType)
+
+  override def eval(input: InternalRow): Any = {
+    val n = children.length
+    val args = new Array[Any](n)
+    var i = 0
+    var anyNull = false
+    while (i < n) {
+      val v = children(i).eval(input)
+      if (v == null) { anyNull = true; args(i) = null }
+      else args(i) = argConverters(i)(v)
+      i += 1
+    }
+    if (anyNull && callMode == CallMode.ReturnNullOnNullInput) null
+    else {
+      val r = function(scala.collection.immutable.ArraySeq.unsafeWrapArray(args))
+      if (r == null) null else resultConverter(r)
+    }
+  }
+
+  override def prettyName: String = funcName
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression = copy(children = newChildren)
+}
+
+/**
+ * Fallible scalar invocation — the reference's error-column semantics
+ * (`codegen_utils.rs:586-603`): a function that can fail yields
+ * `struct<value: T, error: string>` per row; a failing row carries a NULL
+ * value and the exception message, instead of failing the query.
+ */
+case class FallibleScalarInvoke(
+    funcName: String,
+    function: Seq[Any] => Any,
+    valueType: DataType,
+    children: Seq[Expression],
+    callMode: CallMode = CallMode.ReturnNullOnNullInput)
+  extends Expression with CodegenFallback {
+
+  override val dataType: StructType = StructType(Seq(
+    StructField("value", valueType, nullable = true),
+    StructField("error", StringType, nullable = true)))
+
+  override def nullable: Boolean = false
+
+  @transient private lazy val argConverters =
+    children.map(c => CatalystTypeConverters.createToScalaConverter(c.dataType)).toArray
+  @transient private lazy val resultConverter =
+    CatalystTypeConverters.createToCatalystConverter(valueType)
+
+  override def eval(input: InternalRow): Any = {
+    val n = children.length
+    val args = new Array[Any](n)
+    var i = 0
+    var anyNull = false
+    while (i < n) {
+      val v = children(i).eval(input)
+      if (v == null) { anyNull = true; args(i) = null }
+      else args(i) = argConverters(i)(v)
+      i += 1
+    }
+    if (anyNull && callMode == CallMode.ReturnNullOnNullInput)
+      new GenericInternalRow(Array[Any](null, null))
+    else {
+      try {
+        val r = function(scala.collection.immutable.ArraySeq.unsafeWrapArray(args))
+        new GenericInternalRow(Array[Any](if (r == null) null else resultConverter(r), null))
+      } catch {
+        case e: Exception =>
+          val msg = if (e.getMessage == null) e.getClass.getSimpleName else e.getMessage
+          new GenericInternalRow(Array[Any](null, UTF8String.fromString(msg)))
+      }
+    }
+  }
+
+  override def prettyName: String = funcName
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression = copy(children = newChildren)
+}
+
+/**
+ * Set-returning (table) function as a Catalyst [[Generator]] — the Spark-native
+ * form of the reference's `->> T` functions (`codegen_utils.rs:446-503`).
+ * Output rows are `(value)` or `(value, error)` for fallible generators; input
+ * row correlation comes from LATERAL VIEW / generator semantics instead of the
+ * reference's materialized `row: Int32` index column, and is zero-cost.
+ * Laziness: the returned iterator is consumed incrementally by GenerateExec
+ * (the analogue of the reference's 1024-row chunked generator).
+ */
+case class TableFnInvoke(
+    funcName: String,
+    function: Seq[Any] => Iterator[Any],
+    valueType: DataType,
+    children: Seq[Expression],
+    callMode: CallMode = CallMode.ReturnNullOnNullInput,
+    fallible: Boolean = false)
+  extends Generator with CodegenFallback {
+
+  override def elementSchema: StructType =
+    if (fallible) StructType(Seq(
+      StructField("value", valueType, nullable = true),
+      StructField("error", StringType, nullable = true)))
+    else StructType(Seq(StructField("value", valueType, nullable = true)))
+
+  @transient private lazy val argConverters =
+    children.map(c => CatalystTypeConverters.createToScalaConverter(c.dataType)).toArray
+  @transient private lazy val resultConverter =
+    CatalystTypeConverters.createToCatalystConverter(valueType)
+
+  override def eval(input: InternalRow): IterableOnce[InternalRow] = {
+    val n = children.length
+    val args = new Array[Any](n)
+    var i = 0
+    var anyNull = false
+    while (i < n) {
+      val v = children(i).eval(input)
+      if (v == null) { anyNull = true; args(i) = null }
+      else args(i) = argConverters(i)(v)
+      i += 1
+    }
+    if (anyNull && callMode == CallMode.ReturnNullOnNullInput) Iterator.empty
+    else if (fallible) {
+      try {
+        function(scala.collection.immutable.ArraySeq.unsafeWrapArray(args)).map { v =>
+          new GenericInternalRow(Array[Any](if (v == null) null else resultConverter(v), null))
+        }
+      } catch {
+        case e: Exception =>
+          val msg = if (e.getMessage == null) e.getClass.getSimpleName else e.getMessage
+          Iterator.single(new GenericInternalRow(Array[Any](null, UTF8String.fromString(msg))))
+      }
+    } else {
+      function(scala.collection.immutable.ArraySeq.unsafeWrapArray(args)).map { v =>
+        new GenericInternalRow(Array[Any](if (v == null) null else resultConverter(v)))
+      }
+    }
+  }
+
+  override def prettyName: String = funcName
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression = copy(children = newChildren)
+}
+
+/** Native codegen'd gcd — the reference's flagship benchmark function
+  * (`README.md:88-93`). Int and Long overloads. */
+case class GcdExpr(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  override def dataType: DataType = left.dataType
+  override def prettyName: String = "gcd"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = dataType match {
+    case LongType => Kernels.gcd(a.asInstanceOf[Long], b.asInstanceOf[Long])
+    case _ => Kernels.gcd(a.asInstanceOf[Int], b.asInstanceOf[Int])
+  }
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.Kernels.gcd($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}

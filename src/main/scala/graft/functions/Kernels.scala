@@ -1,0 +1,54 @@
+package graft.functions
+
+/**
+ * Static, primitive-typed kernels referenced from generated code
+ * (`Expression.doGenCode`). Keeping these as static JVM methods lets
+ * WholeStageCodegen inline the call — our analogue of the reference's SIMD
+ * fast path (`codegen_utils.rs:517-540`): the JIT vectorizes the tight loop
+ * the same way `arrow_arith::arity::binary` does.
+ */
+object Kernels {
+
+  def gcd(a: Int, b: Int): Int = {
+    var x = if (a < 0) -a else a
+    var y = if (b < 0) -b else b
+    while (y != 0) { val t = x % y; x = y; y = t }
+    x
+  }
+
+  def gcd(a: Long, b: Long): Long = {
+    var x = if (a < 0) -a else a
+    var y = if (b < 0) -b else b
+    while (y != 0) { val t = x % y; x = y; y = t }
+    x
+  }
+
+  /** 64-bit FNV-1a over a string's UTF-8 bytes — stable across JVMs, used by
+    * dedup/fingerprint operators (cheap, deterministic, SQL-reproducible). */
+  def fnv1a64(s: org.apache.spark.unsafe.types.UTF8String): Long = fnv1a64(s.getBytes)
+
+  def fnv1a64(bytes: Array[Byte]): Long = {
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < bytes.length) {
+      h ^= (bytes(i) & 0xffL)
+      h *= 0x100000001b3L
+      i += 1
+    }
+    h
+  }
+
+  /** Polynomial rolling hash mod a prime — chosen because it is exactly
+    * reproducible in the DuckDB oracle with `list_reduce` over `ascii()`
+    * codes, giving the correctness gate a bit-exact target. */
+  def polyHash(s: org.apache.spark.unsafe.types.UTF8String): Long = {
+    val str = s.toString
+    var h = 0L
+    var i = 0
+    while (i < str.length) {
+      h = (h * 31 + str.charAt(i)) % 1000000007L
+      i += 1
+    }
+    h
+  }
+}

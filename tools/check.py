@@ -1,0 +1,69 @@
+#!/usr/bin/env python3
+"""Local approximation of the driver's correctness gate:
+run Verify output (parquet per query) against DuckDB oracle SQL and compare.
+
+Usage: python3 tools/check.py /tmp/verify_out /root/testdata/sf0.001
+"""
+import sys, os, json, math
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def norm(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return round(v, 6)
+    if isinstance(v, list):
+        return tuple(norm(x) for x in v)
+    if isinstance(v, dict):
+        return tuple(sorted((k, norm(x)) for k, x in v.items()))
+    return v
+
+
+def main(outdir, sfdir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
+    oracle = json.load(open(os.path.join(outdir, "oracle_sql.json")))
+    n_ok = n_bad = 0
+    for name, sql in sorted(oracle.items()):
+        pq = os.path.join(outdir, name)
+        if not os.path.isdir(pq):
+            print(f"FAIL {name}: no spark output dir")
+            n_bad += 1
+            continue
+        try:
+            spark_df = con.sql(f"SELECT * FROM '{pq}/*.parquet'").df()
+            duck_df = con.sql(sql).df()
+        except Exception as e:
+            print(f"FAIL {name}: {e}")
+            n_bad += 1
+            continue
+        sc = sorted(spark_df.columns)
+        dc = sorted(duck_df.columns)
+        if sc != dc:
+            print(f"FAIL {name}: columns differ spark={sc} duck={dc}")
+            n_bad += 1
+            continue
+        s_rows = sorted(tuple(norm(v) for v in r) for r in spark_df[sc].itertuples(index=False, name=None))
+        d_rows = sorted(tuple(norm(v) for v in r) for r in duck_df[dc].itertuples(index=False, name=None))
+        if len(s_rows) != len(d_rows):
+            print(f"FAIL {name}: row count spark={len(s_rows)} duck={len(d_rows)}")
+            n_bad += 1
+            continue
+        if s_rows != d_rows:
+            diffs = [(a, b) for a, b in zip(s_rows, d_rows) if a != b][:3]
+            print(f"FAIL {name}: values differ; first diffs: {diffs}")
+            n_bad += 1
+            continue
+        print(f"OK   {name}: {len(s_rows)} rows")
+        n_ok += 1
+    print(f"== {n_ok} ok, {n_bad} bad ==")
+    return 1 if n_bad else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
