@@ -1,0 +1,117 @@
+package graft.functions
+
+import org.apache.spark.sql.{Encoder, Encoders, Row}
+import org.apache.spark.sql.expressions.{Aggregator, UserDefinedFunction}
+import org.apache.spark.sql.types.StructType
+
+/**
+ * Aggregate function contract — mirrors the reference's five-phase lifecycle
+ * (`create_state / accumulate / retract / merge / finish`, SURVEY §2.1 #15-16;
+ * reference `arrow-udf-runtime/src/python/mod.rs:229-309,456-656`).
+ *
+ * Spark's planner drives exactly the partial-aggregation split the reference
+ * documents: per-partition `accumulate` (partial), shuffle states, `merge`
+ * (final), `finish`. `retract` has no batch analogue — it is exercised by the
+ * streaming path ([[graft.streaming]]) where late/updated rows are retracted
+ * from running state.
+ */
+abstract class GraftAggregate[S, O] extends Serializable {
+  def createState(): S
+  def accumulate(state: S, input: Row): S
+  /** Inverse of accumulate; optional (reference: retractable aggregates). */
+  def retract(state: S, input: Row): S =
+    throw new UnsupportedOperationException(s"$getClass is append-only")
+  def merge(a: S, b: S): S
+  def finish(state: S): O
+}
+
+object GraftAggregates {
+
+  /** Lower a [[GraftAggregate]] onto a Spark UDAF. `stateEncoder` chooses the
+    * state representation: a product encoder for transparent struct state, or
+    * `Encoders.javaSerialization` for opaque binary state — the analogue of
+    * the reference's `arrowudf.pickle` extension state (SURVEY §2.1 #17). */
+  def lower[S, O](g: GraftAggregate[S, O], inputSchema: StructType,
+                  stateEnc: Encoder[S], outputEnc: Encoder[O]): UserDefinedFunction = {
+    val agg = new Aggregator[Row, S, O] {
+      override def zero: S = g.createState()
+      override def reduce(b: S, a: Row): S = g.accumulate(b, a)
+      override def merge(b1: S, b2: S): S = g.merge(b1, b2)
+      override def finish(reduction: S): O = g.finish(reduction)
+      override def bufferEncoder: Encoder[S] = stateEnc
+      override def outputEncoder: Encoder[O] = outputEnc
+    }
+    org.apache.spark.sql.functions.udaf(agg, Encoders.row(inputSchema))
+  }
+}
+
+// ---- conformance aggregates (reference tests/python.rs:670-913) ------------
+
+/** `sum` — the reference's simplest aggregate; Long state. */
+class SumAgg extends GraftAggregate[Long, Long] {
+  override def createState(): Long = 0L
+  override def accumulate(state: Long, input: Row): Long =
+    if (input.isNullAt(0)) state else state + input.getInt(0)
+  override def retract(state: Long, input: Row): Long =
+    if (input.isNullAt(0)) state else state - input.getInt(0)
+  override def merge(a: Long, b: Long): Long = a + b
+  override def finish(state: Long): Long = state
+}
+
+/** weighted_avg — struct state `{sum, weight}`, float output, with merge +
+  * finish (reference `tests/python.rs:746-913`). */
+case class WAvgState(sum: Long, weight: Long)
+class WeightedAvgAgg extends GraftAggregate[WAvgState, Double] {
+  override def createState(): WAvgState = WAvgState(0L, 0L)
+  override def accumulate(s: WAvgState, in: Row): WAvgState =
+    if (in.isNullAt(0) || in.isNullAt(1)) s
+    else WAvgState(s.sum + in.getInt(0).toLong * in.getInt(1), s.weight + in.getInt(1))
+  override def retract(s: WAvgState, in: Row): WAvgState =
+    if (in.isNullAt(0) || in.isNullAt(1)) s
+    else WAvgState(s.sum - in.getInt(0).toLong * in.getInt(1), s.weight - in.getInt(1))
+  override def merge(a: WAvgState, b: WAvgState): WAvgState =
+    WAvgState(a.sum + b.sum, a.weight + b.weight)
+  override def finish(s: WAvgState): Double =
+    if (s.weight == 0) Double.NaN else s.sum.toDouble / s.weight.toDouble
+}
+
+/** Exact median with opaque (java-serialized) state — the `arrowudf.pickle`
+  * analogue: arbitrary JVM state rides as binary through the shuffle. */
+class MedianAgg extends GraftAggregate[java.util.ArrayList[Double], Double] {
+  override def createState(): java.util.ArrayList[Double] = new java.util.ArrayList[Double]()
+  override def accumulate(s: java.util.ArrayList[Double], in: Row): java.util.ArrayList[Double] = {
+    if (!in.isNullAt(0)) s.add(in.getDouble(0))
+    s
+  }
+  override def merge(a: java.util.ArrayList[Double], b: java.util.ArrayList[Double]): java.util.ArrayList[Double] = {
+    a.addAll(b); a
+  }
+  override def finish(s: java.util.ArrayList[Double]): Double = {
+    if (s.isEmpty) return Double.NaN
+    val arr = new Array[Double](s.size)
+    var i = 0
+    while (i < arr.length) { arr(i) = s.get(i); i += 1 }
+    java.util.Arrays.sort(arr)
+    val n = arr.length
+    if (n % 2 == 1) arr(n / 2) else (arr(n / 2 - 1) + arr(n / 2)) / 2.0
+  }
+}
+
+object ConformanceAggregates {
+  import org.apache.spark.sql.types._
+
+  def registerAll(): Unit = {
+    Udf.aggregate("sum_udaf(int) -> bigint", GraftAggregates.lower(
+      new SumAgg, StructType(Seq(StructField("v", IntegerType))),
+      Encoders.scalaLong, Encoders.scalaLong))
+
+    Udf.aggregate("weighted_avg(int, int) -> double", GraftAggregates.lower(
+      new WeightedAvgAgg,
+      StructType(Seq(StructField("v", IntegerType), StructField("w", IntegerType))),
+      Encoders.product[WAvgState], Encoders.scalaDouble))
+
+    Udf.aggregate("median_udaf(double) -> double", GraftAggregates.lower(
+      new MedianAgg, StructType(Seq(StructField("v", DoubleType))),
+      Encoders.javaSerialization[java.util.ArrayList[Double]], Encoders.scalaDouble))
+  }
+}

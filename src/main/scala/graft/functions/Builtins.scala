@@ -17,6 +17,12 @@ object Builtins {
     if (registered) return
     registered = true
 
+    ConformanceAggregates.registerAll()
+    graft.ops.TextAnalysis.registerAll()
+    graft.ops.Dedup.registerAll()
+    graft.ops.Similarity.registerAll()
+    graft.ops.Multimodal.registerAll()
+
     // gcd: native codegen'd tier for int32/int64 (flagship benchmark fn).
     Udf.native("gcd(int, int) -> int") { children => GcdExpr(children(0), children(1)) }
     Udf.native("gcd(bigint, bigint) -> bigint") { children => GcdExpr(children(0), children(1)) }

@@ -1,0 +1,145 @@
+package graft.ops
+
+import graft.functions.Udf
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Deduplication operators for training-data pipelines — exact, MinHash+LSH,
+ * SimHash, and n-gram Jaccard.
+ *
+ * == Scale design (100 TB) ==
+ *
+ *  - '''Exact''': one hash-shuffle on a 60-bit content fingerprint (NOT the
+ *    raw text — the shuffle moves 8 bytes/doc plus the kept key). At 1000
+ *    executors this is a standard aggregate; AQE coalesces the post-shuffle
+ *    partitions.
+ *  - '''MinHash+LSH''': the O(n²) pair space is never materialized. Each doc
+ *    emits `bands` rows (band-id, band-hash) — a fixed small blowup — and
+ *    candidate pairs appear only within identical (band-id, band-hash)
+ *    buckets, via a self-equi-join ON the bucket key. That join shuffles on
+ *    the bucket hash, so co-candidates co-locate; true-Jaccard verification
+ *    runs inside each bucket only. Skewed buckets (boilerplate docs) are
+ *    handled by AQE skew-join splitting.
+ *  - '''SimHash''': per-doc 60-bit signature; near-dup = small Hamming
+ *    distance. We block on k rotations/prefixes so comparisons stay local.
+ *  - All signatures are computed per-row (no shuffle) from md5, which the
+ *    DuckDB oracle reproduces bit-for-bit.
+ */
+object Dedup {
+
+  /** Register scalar signature functions (per-row tier). */
+  def registerAll(): Unit = {
+    // MinHash signature: k seeded 60-bit md5 hashes, min over word-3-gram
+    // shingles. Returns bigint[k].
+    Udf.scalar2[String, Int, Seq[Long]]("minhash_sig(string, int) -> bigint[]") { (s, k) =>
+      val shingles = shingleSet(s, 3)
+      (0 until k).map { seed =>
+        var mn = Long.MaxValue
+        shingles.foreach { sh =>
+          val h = Hashing.md5_60(seed, sh)
+          if (h < mn) mn = h
+        }
+        if (mn == Long.MaxValue) 0L else mn
+      }
+    }
+
+    // SimHash: 60-bit signature over whitespace tokens (md5-hashed).
+    Udf.scalar1[String, Long]("simhash(string) -> bigint") { s =>
+      val counts = new java.util.HashMap[String, Integer]()
+      s.split("\\s+").foreach { t =>
+        if (t.nonEmpty) counts.merge(t, 1, (a, b) => a + b)
+      }
+      val acc = new Array[Int](60)
+      counts.forEach { (tok, w) =>
+        val h = Hashing.md5_60(tok)
+        var i = 0
+        while (i < 60) {
+          if (((h >> i) & 1L) == 1L) acc(i) += w else acc(i) -= w
+          i += 1
+        }
+      }
+      var sig = 0L
+      var i = 0
+      while (i < 60) { if (acc(i) > 0) sig |= (1L << i); i += 1 }
+      sig
+    }
+
+    // Hamming distance between two signatures.
+    Udf.scalar2[Long, Long, Int]("hamming64(bigint, bigint) -> int") { (a, b) =>
+      java.lang.Long.bitCount(a ^ b)
+    }
+
+    // Jaccard similarity of two docs' word-n-gram sets.
+    Udf.scalar3[String, String, Int, Double]("ngram_jaccard(string, string, int) -> double") {
+      (a, b, n) =>
+        val sa = shingleSet(a, n)
+        val sb = shingleSet(b, n)
+        if (sa.isEmpty && sb.isEmpty) 1.0
+        else {
+          val inter = sa.count(sb.contains)
+          inter.toDouble / (sa.size + sb.size - inter).toDouble
+        }
+    }
+  }
+
+  def shingleSet(s: String, n: Int): Set[String] = {
+    val ws = s.split("\\s+").filter(_.nonEmpty)
+    if (ws.length < n) Set(ws.mkString(" "))
+    else ws.sliding(n).map(_.mkString(" ")).toSet
+  }
+
+  // ---- DataFrame-level operators ------------------------------------------
+
+  /** Exact dedup: keep the lowest-id row per identical content fingerprint.
+    * Shuffles only (fingerprint, id) pairs, then semi-joins the winners back —
+    * at scale prefer this over `Window.partitionBy(fp)` which would shuffle
+    * whole rows. */
+  def exactDedup(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val withFp = df.withColumn("fp", expr(s"doc_fingerprint($textCol)"))
+    val keep = withFp.groupBy("fp").agg(min(col(idCol)).as(idCol)).drop("fp")
+    df.join(keep, Seq(idCol), "left_semi")
+  }
+
+  /** MinHash-LSH candidate pairs: signature → bands → bucket join.
+    * `k` hashes split into `bands` bands of `k/bands` rows each; docs sharing
+    * any band bucket become a candidate pair, then true Jaccard filters. */
+  def minhashPairs(df: DataFrame, textCol: String, idCol: String,
+                   k: Int = 16, bands: Int = 4, threshold: Double = 0.5): DataFrame = {
+    val rows = k / bands
+    val sig = df.select(col(idCol).as("id"), col(textCol).as("text"))
+      .withColumn("sig", expr(s"minhash_sig(text, $k)"))
+    // band-hash: fingerprint of the band's slice of the signature.
+    val banded = sig.select(col("id"), col("text"), posexplode(
+      expr((0 until bands).map(b =>
+        s"doc_fingerprint(concat_ws(',', slice(sig, ${b * rows + 1}, $rows)))")
+        .mkString("array(", ", ", ")"))).as(Seq("band", "bh")))
+    val l = banded.select(col("band"), col("bh"), col("id").as("id_a"), col("text").as("text_a"))
+    val r = banded.select(col("band"), col("bh"), col("id").as("id_b"), col("text").as("text_b"))
+    l.join(r, Seq("band", "bh"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("text_a"), col("text_b")).distinct()
+      .withColumn("jaccard", expr("ngram_jaccard(text_a, text_b, 3)"))
+      .where(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** SimHash near-dup pairs: block on the 4 15-bit quarters of the signature
+    * (a pair within Hamming distance 3 shares at least one identical quarter
+    * — pigeonhole), then verify the true Hamming distance. */
+  def simhashPairs(df: DataFrame, textCol: String, idCol: String,
+                   maxDist: Int = 3): DataFrame = {
+    val sig = df.select(col(idCol).as("id"), expr(s"simhash($textCol)").as("sig"))
+    val blocked = sig.select(col("id"), col("sig"), posexplode(expr(
+      "array(sig & 32767, (sig >> 15) & 32767, (sig >> 30) & 32767, (sig >> 45) & 32767)"))
+      .as(Seq("blk", "key")))
+    val l = blocked.select(col("blk"), col("key"), col("id").as("id_a"), col("sig").as("sig_a"))
+    val r = blocked.select(col("blk"), col("key"), col("id").as("id_b"), col("sig").as("sig_b"))
+    l.join(r, Seq("blk", "key"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("sig_a"), col("sig_b")).distinct()
+      .withColumn("dist", expr("hamming64(sig_a, sig_b)"))
+      .where(col("dist") <= maxDist)
+      .select(col("id_a"), col("id_b"), col("dist"))
+  }
+}

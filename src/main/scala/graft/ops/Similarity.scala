@@ -1,0 +1,100 @@
+package graft.ops
+
+import graft.functions.Udf
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Approximate-nearest-neighbor search over an embedding column
+ * (`array<float>`).
+ *
+ * == Scale design (100 TB / billions of vectors) ==
+ *
+ *  - '''Brute force''' (baseline, exact): broadcast the (small) query set and
+ *    stream the corpus once — no shuffle of the corpus, one local top-k
+ *    per partition, then a tiny global top-k merge. Cost O(corpus × queries).
+ *  - '''LSH-bucketed''' (scale path): random-hyperplane signatures bucket
+ *    vectors so each query only scans its own buckets — candidate sets are
+ *    ~(corpus / 2^bits) × probes, shuffled by bucket key; recall is tunable
+ *    with the number of tables/probes. Hyperplanes derive deterministically
+ *    from md5 so results are reproducible (and oracle-checkable).
+ *  - '''IVF sketch''': same topology — k-means centroids instead of random
+ *    planes; omitted here because the hyperplane variant covers the plumbing
+ *    (assignment column + bucket equi-join + per-bucket rerank).
+ *
+ * Cosine kernels are registered as scalar functions computing in Double with
+ * a fixed left-to-right summation order (bit-reproducible in the oracle).
+ */
+object Similarity {
+
+  def registerAll(): Unit = {
+    // Deterministic double-precision cosine; inputs are float[] columns.
+    Udf.scalar2[Seq[Float], Seq[Float], Double]("cosine_sim(float[], float[]) -> double") {
+      (a, b) =>
+        var dot = 0.0; var na = 0.0; var nb = 0.0
+        var i = 0
+        val n = math.min(a.length, b.length)
+        while (i < n) {
+          val x = a(i).toDouble; val y = b(i).toDouble
+          dot += x * y; na += x * x; nb += y * y
+          i += 1
+        }
+        if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+
+    Udf.scalar2[Seq[Float], Seq[Float], Double]("dot_product(float[], float[]) -> double") {
+      (a, b) =>
+        var dot = 0.0
+        var i = 0
+        val n = math.min(a.length, b.length)
+        while (i < n) { dot += a(i).toDouble * b(i).toDouble; i += 1 }
+        dot
+    }
+
+    // Random-hyperplane LSH bucket id: `bits` sign bits of dot products with
+    // hyperplanes whose components derive from md5(seed, plane, dim) mapped to
+    // [-1, 1]. Deterministic — reproducible across engines and runs.
+    Udf.scalar2[Seq[Float], Int, Long]("hyperplane_bucket(float[], int) -> bigint") {
+      (v, bits) =>
+        var bucket = 0L
+        var p = 0
+        while (p < bits) {
+          var dot = 0.0
+          var i = 0
+          while (i < v.length) {
+            // component in [-1,1): (md5_60(p:i) / 2^59) - 1
+            val h = Hashing.md5_60(p * 10007 + i, "hp")
+            dot += v(i).toDouble * (h.toDouble / 5.764607523034235e17 - 1.0)
+            i += 1
+          }
+          if (dot >= 0) bucket |= (1L << p)
+          p += 1
+        }
+        bucket
+    }
+  }
+
+  /** Exact top-k neighbors for each query vector, via broadcast + window.
+    * `queries` must be small (driver-broadcastable); corpus side never
+    * shuffles full vectors — only (qid, id, sim) triples. */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val scored = corpus.crossJoin(broadcast(queries))
+      .withColumn("sim", expr("cosine_sim(embedding, q_embedding)"))
+      .select(col("q_id"), col("vec_id"), col("sim"))
+    val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+  }
+
+  /** LSH-bucketed ANN: both sides bucketed by hyperplane signature; candidates
+    * only within matching buckets, then exact rerank + top-k. */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int, bits: Int = 8): DataFrame = {
+    val c = corpus.withColumn("bucket", expr(s"hyperplane_bucket(embedding, $bits)"))
+    val q = queries.withColumn("bucket", expr(s"hyperplane_bucket(q_embedding, $bits)"))
+    val scored = c.join(broadcast(q), Seq("bucket"))
+      .withColumn("sim", expr("cosine_sim(embedding, q_embedding)"))
+      .select(col("q_id"), col("vec_id"), col("sim"))
+    val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+  }
+}

@@ -1,0 +1,116 @@
+package graft.ops
+
+import graft.functions.Udf
+
+/**
+ * Text-analysis operators for large-scale training-data pipelines: language
+ * ID, quality scoring, token counting, document fingerprinting.
+ *
+ * Every function here is a pure, per-row scalar — embarrassingly parallel, no
+ * shuffle, stays inside one WholeStageCodegen span per partition. At 100 TB the
+ * cost model is a single pass over the corpus with full predicate/column
+ * pushdown: `SELECT doc_id, quality_score(text) FROM corpus WHERE ...` reads
+ * only the `text` column and never exchanges data.
+ *
+ * All functions are deterministic and intentionally expressible in portable
+ * SQL, so the DuckDB oracle can replay them bit-for-bit (correctness gate).
+ */
+object TextAnalysis {
+
+  /** Tiny per-language marker-word sets (frequent function words). The lists
+    * are deliberately small and fixed: language ID at corpus scale is a
+    * hash-set probe per token, ~O(doc length), no model weights needed. */
+  val markers: Map[String, Set[String]] = Map(
+    "en" -> Set("the", "and", "of", "to", "a", "in", "is", "it", "that", "for"),
+    "de" -> Set("der", "die", "das", "und", "ist", "nicht", "ein", "zu", "mit", "von"),
+    "es" -> Set("el", "la", "de", "que", "y", "en", "un", "es", "por", "los"),
+    "fr" -> Set("le", "la", "de", "et", "un", "est", "que", "pour", "dans", "les"),
+    "zh" -> Set("的", "是", "不", "了", "在", "有", "我", "他", "这", "中"),
+  )
+
+  /** English stopwords used by the quality score. */
+  val stopwords: Set[String] = markers("en")
+
+  private def tokens(s: String): Array[String] =
+    s.split("\\s+").filter(_.nonEmpty)
+
+  def registerAll(): Unit = {
+
+    // token_count: whitespace tokenization (the BPE-ish regex variant is
+    // token_count_bpe below — splits on word/number/punct boundaries).
+    Udf.scalar1[String, Int]("token_count(string) -> int")(s => tokens(s).length)
+
+    Udf.scalar1[String, Int]("token_count_bpe(string) -> int") { s =>
+      // letters runs, digit runs, and single punctuation marks — a cheap
+      // BPE-style pre-tokenizer (no merges).
+      java.util.regex.Pattern.compile("[\\p{L}]+|[\\p{N}]+|[^\\p{L}\\p{N}\\s]")
+        .matcher(s).results().count().toInt
+    }
+
+    // lang_id: argmax of marker-word hits; ties broken lexicographically;
+    // no hits at all -> 'und'.
+    Udf.scalar1[String, String]("lang_id(string) -> string") { s =>
+      val toks = tokens(s.toLowerCase)
+      val scores = markers.view.mapValues(set => toks.count(set.contains)).toMap
+      val maxN = scores.values.max
+      if (maxN == 0) "und"
+      else scores.filter(_._2 == maxN).keys.min
+    }
+
+    // quality_score in [0,1]:
+    //   0.4 * stopword_ratio  (fluency proxy)
+    // + 0.3 * min(tokens/100, 1)  (length saturation)
+    // + 0.3 * (1 - punct_ratio)  (noise proxy)
+    // Exact arithmetic order is fixed so the SQL oracle reproduces it.
+    Udf.scalar1[String, Double]("quality_score(string) -> double") { s =>
+      val toks = tokens(s.toLowerCase)
+      val nTok = toks.length
+      if (nTok == 0) 0.0
+      else {
+        val nStop = toks.count(stopwords.contains)
+        val nPunct = s.count(c => !Character.isLetterOrDigit(c) && !Character.isWhitespace(c))
+        val stopRatio = nStop.toDouble / nTok.toDouble
+        val lenScore = math.min(nTok.toDouble / 100.0, 1.0)
+        val punctRatio = nPunct.toDouble / s.length.toDouble
+        0.4 * stopRatio + 0.3 * lenScore + 0.3 * (1.0 - punctRatio)
+      }
+    }
+
+    // doc_fingerprint: 60-bit content hash = first 15 hex digits of md5.
+    // Identical in DuckDB: CAST('0x'||substr(md5(text),1,15) AS BIGINT).
+    Udf.scalar1[String, Long]("doc_fingerprint(string) -> bigint")(Hashing.md5_60)
+
+    // word n-grams (shingles), joined by single space.
+    Udf.scalar2[String, Int, Seq[String]]("word_ngrams(string, int) -> string[]") { (s, n) =>
+      val ws = tokens(s)
+      if (ws.length < n) Seq(ws.mkString(" "))
+      else ws.sliding(n).map(_.mkString(" ")).toSeq
+    }
+  }
+}
+
+/** md5-based hashing shared by text analysis, dedup, and similarity ops —
+  * chosen over murmur/xxhash because both Spark and DuckDB expose md5, giving
+  * the oracle a bit-exact replica (`CAST('0x'||substr(md5(x),1,15) AS BIGINT)`). */
+object Hashing {
+  private val tl = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  def md5Hex(bytes: Array[Byte]): String = {
+    val d = tl.get()
+    d.reset()
+    val out = d.digest(bytes)
+    val sb = new java.lang.StringBuilder(32)
+    out.foreach(b => sb.append(f"${b & 0xff}%02x"))
+    sb.toString
+  }
+
+  /** First 60 bits (15 hex chars) of md5 as a non-negative Long. */
+  def md5_60(s: String): Long =
+    java.lang.Long.parseLong(md5Hex(s.getBytes("UTF-8")).substring(0, 15), 16)
+
+  /** Seeded variant: hash of (seed || s) — the minhash family h_i. */
+  def md5_60(seed: Int, s: String): Long = md5_60(seed.toString + s)
+}

@@ -16,7 +16,7 @@ def norm(v):
         if math.isnan(v):
             return "NaN"
         return round(v, 6)
-    if isinstance(v, list):
+    if isinstance(v, list) or type(v).__name__ == "ndarray":
         return tuple(norm(x) for x in v)
     if isinstance(v, dict):
         return tuple(sorted((k, norm(x)) for k, x in v.items()))
@@ -48,8 +48,8 @@ def main(outdir, sfdir):
             print(f"FAIL {name}: columns differ spark={sc} duck={dc}")
             n_bad += 1
             continue
-        s_rows = sorted(tuple(norm(v) for v in r) for r in spark_df[sc].itertuples(index=False, name=None))
-        d_rows = sorted(tuple(norm(v) for v in r) for r in duck_df[dc].itertuples(index=False, name=None))
+        s_rows = sorted((tuple(norm(v) for v in r) for r in spark_df[sc].itertuples(index=False, name=None)), key=repr)
+        d_rows = sorted((tuple(norm(v) for v in r) for r in duck_df[dc].itertuples(index=False, name=None)), key=repr)
         if len(s_rows) != len(d_rows):
             print(f"FAIL {name}: row count spark={len(s_rows)} duck={len(d_rows)}")
             n_bad += 1
