@@ -23,18 +23,53 @@ object Graft {
   }
 
   /** Analysis-time builder: resolves the overload by concrete child types +
-    * extension metadata, then instantiates the right expression tier. */
+    * extension metadata (exact match first, then unique safe-upcast match —
+    * e.g. an INT literal flowing into a BIGINT parameter), then instantiates
+    * the right expression tier. */
   private def builder(name: String)(children: Seq[Expression]): Expression = {
     val actual = children.map(c => (c.dataType, metadataOf(c)))
     Registry.global.resolve(name, actual) match {
       case Some(fd) => instantiate(fd, children)
       case None =>
-        val overloads = Registry.global.lookup(name).map(_.signature.toString)
-        throw new IllegalArgumentException(
-          s"graft function '$name' has no overload for argument types " +
-            actual.map(_._1.sql).mkString("(", ", ", ")") +
-            s"; known: ${overloads.mkString("; ")}")
+        upcastResolve(name, children, actual) match {
+          case Some((fd, casted)) => instantiate(fd, casted)
+          case None =>
+            val overloads = Registry.global.lookup(name).map(_.signature.toString)
+            throw new IllegalArgumentException(
+              s"graft function '$name' has no overload for argument types " +
+                actual.map(_._1.sql).mkString("(", ", ", ")") +
+                s"; known: ${overloads.mkString("; ")}")
+        }
     }
+  }
+
+  /** Implicit-cast resolution: first overload whose parameters all accept the
+    * actual types via Spark's loss-free upcast rules (extension-tagged
+    * parameters still require an exact metadata match — never cast into
+    * e.g. `json`). */
+  private def upcastResolve(name: String, children: Seq[Expression],
+      actual: Seq[(org.apache.spark.sql.types.DataType, Metadata)])
+      : Option[(FunctionDef, Seq[Expression])] = {
+    import org.apache.spark.sql.catalyst.expressions.Cast
+    Registry.global.lookup(name).iterator.map { fd =>
+      val sig = fd.signature
+      val params: Option[Seq[GraftType.GType]] =
+        if (sig.variadic && actual.length >= sig.args.length)
+          Some(sig.args.dropRight(1) ++
+            Seq.fill(actual.length - (sig.args.length - 1))(sig.args.last))
+        else if (!sig.variadic && actual.length == sig.args.length) Some(sig.args)
+        else None
+      params.flatMap { ps =>
+        val ok = ps.zip(actual).forall { case (p, (dt, md)) =>
+          p.accepts(dt, md) ||
+            (GraftType.extensionOf(p.metadata).isEmpty &&
+              GraftType.extensionOf(md).isEmpty && Cast.canUpCast(dt, p.dataType))
+        }
+        if (ok) Some((fd, ps.zip(children).map { case (p, c) =>
+          if (c.dataType == p.dataType) c else Cast(c, p.dataType)
+        })) else None
+      }
+    }.collectFirst { case Some(hit) => hit }
   }
 
   private def instantiate(fd: FunctionDef, children: Seq[Expression]): Expression = {

@@ -1,12 +1,15 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
   * Every entry in [[queries]] is one operator/capability from SURVEY §2 (or a
   * north-star LLM-pipeline operator); [[oracleSql]] holds the DuckDB-equivalent
-  * SQL the driver hash-compares against at sf0.01.
+  * SQL the driver hash-compares against at sf0.01. Float-valued results are
+  * either bit-reproducible by construction (identical double operation order
+  * on both engines) or scaled+rounded to integers.
   */
 object SparkEntry {
 
@@ -16,17 +19,20 @@ object SparkEntry {
     Graft.install(spark); spark
   }
 
-  private def t(s: SparkSession, dir: String, name: String): Unit = {
-    val df = s.read.parquet(s"$dir/$name.parquet")
-    df.createOrReplaceTempView(name)
+  private val tables = Seq("region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  private def registerTables(s: SparkSession, dir: String): Unit =
+    tables.foreach(n => s.read.parquet(s"$dir/$n.parquet").createOrReplaceTempView(n))
+
+  /** Register the testdata tables + graft functions, run `sql`. */
+  private def q(sql: String)(s: SparkSession, dir: String): DataFrame = {
+    withGraft(s); registerTables(s, dir); s.sql(sql)
   }
 
-  /** Register the TPC-H-ish testdata tables + graft functions, run `sql`. */
-  private def q(sql: String)(s: SparkSession, dir: String): DataFrame = {
-    withGraft(s)
-    Seq("region", "nation", "customer", "supplier", "part", "orders", "lineitem",
-      "events", "documents", "embeddings").foreach(t(s, dir, _))
-    s.sql(sql)
+  /** DataFrame-API operator entry. */
+  private def dfq(f: SparkSession => DataFrame)(s: SparkSession, dir: String): DataFrame = {
+    withGraft(s); registerTables(s, dir); f(s)
   }
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
@@ -35,59 +41,206 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // §2.1 #1/#2: scalar eval, native codegen tier
+    // ---- §2.1 UDF-framework conformance ------------------------------------
     "q_gcd" -> q(
       """SELECT l_orderkey, l_linenumber,
         |       gcd(CAST(l_partkey AS INT), CAST(l_suppkey AS INT)) AS g
         |FROM lineitem
         |ORDER BY l_orderkey, l_linenumber""".stripMargin) _,
-    // §2.1 #6: error column — fallible fn yields struct<value,error> per row
     "q_div_error" -> q(
       """SELECT l_orderkey, l_linenumber, d.value AS div_value, d.error AS div_error
         |FROM (SELECT l_orderkey, l_linenumber,
         |             graft_div(CAST(l_partkey AS INT), CAST(l_suppkey % 7 AS INT)) AS d
         |      FROM lineitem)
         |ORDER BY l_orderkey, l_linenumber""".stripMargin) _,
-    // §2.1 #9: overload resolution (string vs binary length under one name)
     "q_length" -> q(
       """SELECT doc_id, graft_length(text) AS len_s, graft_length(CAST(text AS BINARY)) AS len_b
         |FROM documents ORDER BY doc_id""".stripMargin) _,
-    // list return type
     "q_split" -> q(
       """SELECT doc_id, graft_split(text, ' ') AS words
         |FROM documents ORDER BY doc_id""".stripMargin) _,
-    // list argument + higher-order composition with graft fns inside lambdas
     "q_array_sum" -> q(
       """SELECT doc_id, array_sum(transform(graft_split(text, ' '), x -> graft_length(x))) AS s
         |FROM documents ORDER BY doc_id""".stripMargin) _,
-    // §2.1 #11: struct return (+ null struct on malformed input)
     "q_key_value" -> q(
       """SELECT l_orderkey, l_linenumber,
         |       key_value(concat(l_returnflag, '=', l_linestatus)) AS kv,
         |       key_value(l_returnflag) AS kv_null
         |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin) _,
-    // §2.1 #7: table function (setof) via LATERAL VIEW, lazy generator
     "q_range_setof" -> q(
       """SELECT l_orderkey, l_linenumber, t.value
         |FROM lineitem LATERAL VIEW range_setof(l_linenumber) t AS value
         |ORDER BY l_orderkey, l_linenumber, t.value""".stripMargin) _,
-    // §2.1 #10: variadic function
     "q_variadic" -> q(
       """SELECT l_orderkey, l_linenumber,
         |       concat_sep('|', l_returnflag, l_linestatus, CAST(l_linenumber AS STRING)) AS c
         |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin) _,
-    // §2.1 #15: aggregate lifecycle (partial accumulate → merge → finish)
     "q_sum_udaf" -> q(
       """SELECT l_returnflag, sum_udaf(CAST(l_quantity AS INT)) AS s
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) _,
     "q_weighted_avg" -> q(
       """SELECT l_returnflag, weighted_avg(CAST(l_quantity AS INT), l_linenumber) AS wa
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) _,
-    // §2.1 #17: opaque (pickle-analogue) aggregate state
     "q_median_udaf" -> q(
       """SELECT c_nationkey, median_udaf(c_acctbal) AS m
         |FROM customer GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin) _,
+
+    // §2.1 #13/#19: embedded language runtime (graftscript SPI tier)
+    "q_script" -> q(
+      """SELECT doc_id, script_score(doc_id) AS s
+        |FROM documents ORDER BY doc_id""".stripMargin) _,
+
+    // ---- text analysis -----------------------------------------------------
+    "q_token_count" -> q(
+      """SELECT doc_id, token_count(text) AS n_tok, token_count_bpe(text) AS n_bpe
+        |FROM documents ORDER BY doc_id""".stripMargin) _,
+    "q_lang_id" -> q(
+      """SELECT doc_id, lang, lang_id(text) AS pred
+        |FROM documents ORDER BY doc_id""".stripMargin) _,
+    "q_quality" -> q(
+      """SELECT doc_id, quality_score(text) AS score
+        |FROM documents ORDER BY doc_id""".stripMargin) _,
+    "q_fingerprint" -> q(
+      """SELECT doc_id, doc_fingerprint(text) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin) _,
+    "q_word_ngrams" -> q(
+      """SELECT doc_id, word_ngrams(text, 2) AS ngrams
+        |FROM documents ORDER BY doc_id""".stripMargin) _,
+
+    // ---- dedup -------------------------------------------------------------
+    "q_dedup_exact" -> dfq { s =>
+      graft.ops.Dedup.exactDedup(s.table("documents"), "text", "doc_id")
+        .select("doc_id", "n_chars").orderBy("doc_id")
+    } _,
+    "q_minhash_sig" -> q(
+      """SELECT doc_id, minhash_sig(text, 8) AS sig
+        |FROM documents ORDER BY doc_id""".stripMargin) _,
+    "q_minhash_pairs" -> dfq { s =>
+      graft.ops.Dedup.minhashPairs(s.table("documents"), "text", "doc_id",
+          k = 16, bands = 4, threshold = 0.3)
+        .selectExpr("id_a", "id_b", "CAST(ROUND(jaccard * 10000) AS BIGINT) AS j4")
+        .orderBy("id_a", "id_b")
+    } _,
+    "q_simhash" -> q(
+      """SELECT doc_id, simhash(text) AS sig
+        |FROM documents ORDER BY doc_id""".stripMargin) _,
+    "q_hamming" -> q(
+      """SELECT a.doc_id AS id_a, hamming64(simhash(a.text), simhash(b.text)) AS d
+        |FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+        |ORDER BY id_a""".stripMargin) _,
+    "q_ngram_jaccard" -> q(
+      """SELECT a.doc_id AS id_a, CAST(ROUND(ngram_jaccard(a.text, b.text, 2) * 10000) AS BIGINT) AS j4
+        |FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+        |ORDER BY id_a""".stripMargin) _,
+
+    // ---- similarity search -------------------------------------------------
+    "q_cosine" -> q(
+      """SELECT a.vec_id AS id_a, CAST(ROUND(cosine_sim(a.embedding, b.embedding) * 10000) AS BIGINT) AS c4
+        |FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
+        |ORDER BY id_a""".stripMargin) _,
+    "q_ann_topk" -> dfq { s =>
+      val queries = s.table("embeddings").where("vec_id < 5")
+        .selectExpr("vec_id AS q_id", "embedding AS q_embedding")
+      graft.ops.Similarity.bruteForceTopK(s.table("embeddings"), queries, 10)
+        .selectExpr("q_id", "vec_id", "rank", "CAST(ROUND(sim * 10000) AS BIGINT) AS c4")
+        .orderBy("q_id", "rank")
+    } _,
+    "q_lsh_bucket" -> q(
+      """SELECT vec_id, hyperplane_bucket(embedding, 6) AS bucket
+        |FROM embeddings ORDER BY vec_id""".stripMargin) _,
+
+    // ---- multimodal (decode stubbed, plumbing real) ------------------------
+    "q_image_meta" -> q(
+      """SELECT doc_id, m.width, m.height, m.format
+        |FROM (SELECT doc_id, image_meta(CAST(text AS BINARY)) AS m FROM documents)
+        |ORDER BY doc_id""".stripMargin) _,
+    "q_resize" -> q(
+      """SELECT doc_id, r.width AS rw, r.height AS rh
+        |FROM (SELECT doc_id, resize_dims(m.width, m.height, 256) AS r
+        |      FROM (SELECT doc_id, image_meta(CAST(text AS BINARY)) AS m FROM documents))
+        |ORDER BY doc_id""".stripMargin) _,
+    "q_frame_sample" -> q(
+      """SELECT doc_id, t.value AS frame_ms
+        |FROM (SELECT doc_id, media_duration_ms(CAST(text AS BINARY)) AS dur FROM documents)
+        |LATERAL VIEW frame_sample(dur, 7000) t AS value
+        |ORDER BY doc_id, frame_ms""".stripMargin) _,
+
+    // ---- relational layer (Spark-provided operators, SURVEY §2.3) ----------
+    "q1_pricing" -> q(
+      """SELECT l_returnflag, l_linestatus,
+        |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
+        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_base,
+        |       sum(CAST(ROUND(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)) AS rev_cents,
+        |       count(*) AS cnt
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin) _,
+    "q3_join" -> q(
+      """SELECT o.o_orderkey, c.c_mktsegment,
+        |       sum(CAST(ROUND(l.l_extendedprice * (1.0 - l.l_discount) * 100) AS BIGINT)) AS rev_cents
+        |FROM customer c
+        |JOIN orders o ON c.c_custkey = o.o_custkey
+        |JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        |WHERE c.c_mktsegment = 'BUILDING'
+        |GROUP BY o.o_orderkey, c.c_mktsegment
+        |ORDER BY o.o_orderkey""".stripMargin) _,
+    "q_window_running" -> q(
+      """SELECT o_custkey, o_orderkey,
+        |       row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rn,
+        |       sum(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+        |         OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_cents
+        |FROM orders ORDER BY o_custkey, rn""".stripMargin) _,
+    "q_topk" -> q(
+      """SELECT o_orderkey, CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+        |FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin) _,
+    "q_setops" -> q(
+      """SELECT 'both' AS tag, k FROM
+        |  (SELECT c_custkey AS k FROM customer INTERSECT SELECT o_custkey AS k FROM orders)
+        |UNION ALL
+        |SELECT 'cust_only' AS tag, k FROM
+        |  (SELECT c_custkey AS k FROM customer EXCEPT SELECT o_custkey AS k FROM orders)
+        |ORDER BY tag, k""".stripMargin) _,
+    "q_json_extract" -> q(
+      """SELECT event_id, event_type, CAST(NULLIF(regexp_extract(props, '"k": *([0-9]+)', 1), '') AS INT) AS k
+        |FROM events ORDER BY event_id""".stripMargin) _,
+    "q_tumbling_window" -> q(
+      """SELECT unix_millis(w.start) AS ws, event_type, count(*) AS cnt,
+        |       sum(CAST(ROUND(value * 100) AS BIGINT)) AS val_cents
+        |FROM (SELECT window(timestamp_micros(ts DIV 1000), '1 hour') AS w, event_type, value
+        |      FROM events)
+        |GROUP BY w, event_type ORDER BY ws, event_type""".stripMargin) _,
+    "q_asof_join" -> dfq { s =>
+      val e = s.table("events").selectExpr("event_id", "user_id", "ts DIV 1000000 AS t_ms")
+      val o = s.table("orders").selectExpr("o_custkey",
+        "unix_millis(CAST(o_orderdate AS TIMESTAMP)) AS t_ms", "o_orderkey")
+      graft.plans.AsofJoin.asof(e, o, "user_id", "o_custkey", "t_ms", "t_ms",
+          "o_orderkey", Seq("o_orderkey"))
+        .select("event_id", "user_id", "o_orderkey").orderBy("event_id")
+    } _,
   )
+
+  // DuckDB SQL fragments shared by several oracles.
+  private val duckWords = "list_filter(str_split_regex(text, '\\s+'), x -> x <> '')"
+  private def duckShingles(n: Int): String = {
+    val win = n - 1
+    s"""CASE WHEN len(ws) < $n THEN [array_to_string(ws, ' ')]
+       |     ELSE [array_to_string(ws[i:i+$win], ' ') for i in range(1, len(ws) - ${win - 1})] END""".stripMargin
+  }
+  private def duckMd5_60(e: String): String = s"CAST('0x' || substr(md5($e), 1, 15) AS BIGINT)"
+  private def duckCos(a: String, b: String): String =
+    s"""(list_reduce([CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE) for i in range(1, 65)], (x, y) -> x + y)
+       | / (sqrt(list_reduce([CAST($a[i] AS DOUBLE) * CAST($a[i] AS DOUBLE) for i in range(1, 65)], (x, y) -> x + y))
+       |  * sqrt(list_reduce([CAST($b[i] AS DOUBLE) * CAST($b[i] AS DOUBLE) for i in range(1, 65)], (x, y) -> x + y))))""".stripMargin
+  private val duckSimhash =
+    s"""SELECT doc_id, CAST(list_sum([CASE WHEN CAST(list_sum([
+       |    len(list_filter(ts, x -> x = t)) *
+       |    (CASE WHEN (${duckMd5_60("t")} >> i) & 1 = 1 THEN 1 ELSE -1 END)
+       |  for t in dts]) AS BIGINT) > 0 THEN (CAST(1 AS BIGINT) << i) ELSE CAST(0 AS BIGINT) END
+       |  for i in range(60)]) AS BIGINT) AS sig
+       |FROM (SELECT doc_id, list_distinct(ts) AS dts, ts
+       |      FROM (SELECT doc_id, $duckWords AS ts FROM documents))""".stripMargin
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -137,5 +290,189 @@ object SparkEntry {
     "q_median_udaf" ->
       """SELECT c_nationkey, CAST(median(c_acctbal) AS DOUBLE) AS m
         |FROM customer GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+
+    "q_script" ->
+      """SELECT doc_id, doc_id * 3 + 1 AS s
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_token_count" ->
+      s"""SELECT doc_id, CAST(len($duckWords) AS INT) AS n_tok,
+         |       CAST(len(regexp_extract_all(text, '\\p{L}+|\\p{N}+|[^\\p{L}\\p{N}\\s]')) AS INT) AS n_bpe
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_lang_id" ->
+      """WITH tok AS (
+        |  SELECT doc_id, lang, list_filter(str_split_regex(lower(text), '\s+'), x -> x <> '') AS ts
+        |  FROM documents),
+        |sc AS (
+        |  SELECT doc_id, lang, list_sort([
+        |    {'s': -len(list_filter(ts, x -> x IN ('the','and','of','to','a','in','is','it','that','for'))), 'l': 'en'},
+        |    {'s': -len(list_filter(ts, x -> x IN ('der','die','das','und','ist','nicht','ein','zu','mit','von'))), 'l': 'de'},
+        |    {'s': -len(list_filter(ts, x -> x IN ('el','la','de','que','y','en','un','es','por','los'))), 'l': 'es'},
+        |    {'s': -len(list_filter(ts, x -> x IN ('le','la','de','et','un','est','que','pour','dans','les'))), 'l': 'fr'},
+        |    {'s': -len(list_filter(ts, x -> x IN ('的','是','不','了','在','有','我','他','这','中'))), 'l': 'zh'}
+        |  ]) AS sorted FROM tok)
+        |SELECT doc_id, lang,
+        |       CASE WHEN struct_extract(sorted[1], 's') = 0 THEN 'und'
+        |            ELSE struct_extract(sorted[1], 'l') END AS pred
+        |FROM sc ORDER BY doc_id""".stripMargin,
+    "q_quality" ->
+      """SELECT doc_id, CASE WHEN n_tok = 0 THEN 0.0 ELSE
+        |  0.4 * (n_stop / CAST(n_tok AS DOUBLE))
+        |  + 0.3 * least(n_tok / 100.0, 1.0)
+        |  + 0.3 * (1.0 - n_punct / CAST(len_s AS DOUBLE)) END AS score
+        |FROM (
+        |  SELECT doc_id,
+        |    len(list_filter(str_split_regex(lower(text), '\s+'), x -> x <> '')) AS n_tok,
+        |    len(list_filter(str_split_regex(lower(text), '\s+'),
+        |        x -> x IN ('the','and','of','to','a','in','is','it','that','for'))) AS n_stop,
+        |    len(regexp_extract_all(text, '[^\p{L}\p{N}\s]')) AS n_punct,
+        |    length(text) AS len_s
+        |  FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+    "q_fingerprint" ->
+      s"""SELECT doc_id, ${duckMd5_60("text")} AS fp
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_word_ngrams" ->
+      s"""SELECT doc_id, ${duckShingles(2)} AS ngrams
+         |FROM (SELECT doc_id, $duckWords AS ws FROM documents)
+         |ORDER BY doc_id""".stripMargin,
+
+    "q_dedup_exact" ->
+      """SELECT doc_id, n_chars FROM documents
+        |WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY md5(text))
+        |ORDER BY doc_id""".stripMargin,
+    "q_minhash_sig" ->
+      s"""WITH w AS (SELECT doc_id, $duckWords AS ws FROM documents),
+         |sh AS (SELECT doc_id, ${duckShingles(3)} AS shingles FROM w)
+         |SELECT doc_id, [coalesce(list_min([${duckMd5_60("CAST(seed AS VARCHAR) || s2")} for s2 in shingles]), 0)
+         |                for seed in range(8)] AS sig
+         |FROM sh ORDER BY doc_id""".stripMargin,
+    "q_minhash_pairs" ->
+      s"""WITH w AS (SELECT doc_id, $duckWords AS ws FROM documents),
+         |sh AS (SELECT doc_id, ${duckShingles(3)} AS shingles FROM w),
+         |sig AS (SELECT doc_id, [coalesce(list_min([${duckMd5_60("CAST(seed AS VARCHAR) || s2")} for s2 in shingles]), 0)
+         |                       for seed in range(16)] AS sig FROM sh),
+         |band AS (SELECT doc_id, t.b, ${duckMd5_60("array_to_string(sig[t.b*4+1:t.b*4+4], ',')")} AS bh
+         |         FROM sig, (SELECT unnest(range(4)) AS b) t),
+         |cand AS (SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b
+         |         FROM band a JOIN band b2 USING (b, bh) WHERE a.doc_id < b2.doc_id),
+         |jac AS (SELECT id_a, id_b,
+         |          len(list_intersect(list_distinct(sa.shingles), list_distinct(sb.shingles))) AS i,
+         |          len(list_distinct(sa.shingles)) AS la, len(list_distinct(sb.shingles)) AS lb
+         |        FROM cand JOIN sh sa ON sa.doc_id = id_a JOIN sh sb ON sb.doc_id = id_b)
+         |SELECT id_a, id_b, CAST(ROUND(CAST(i AS DOUBLE) / CAST(la + lb - i AS DOUBLE) * 10000) AS BIGINT) AS j4
+         |FROM jac WHERE CAST(i AS DOUBLE) / CAST(la + lb - i AS DOUBLE) >= 0.3
+         |ORDER BY id_a, id_b""".stripMargin,
+    "q_simhash" -> (duckSimhash + "\nORDER BY doc_id"),
+    "q_hamming" ->
+      s"""WITH s AS ($duckSimhash)
+         |SELECT a.doc_id AS id_a, CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS d
+         |FROM s a JOIN s b ON b.doc_id = a.doc_id + 1
+         |ORDER BY id_a""".stripMargin,
+    "q_ngram_jaccard" ->
+      s"""WITH w AS (SELECT doc_id, $duckWords AS ws FROM documents),
+         |sh AS (SELECT doc_id, list_distinct(${duckShingles(2)}) AS s FROM w)
+         |SELECT a.doc_id AS id_a,
+         |       CAST(ROUND(CASE WHEN len(a.s) = 0 AND len(b.s) = 0 THEN 1.0
+         |         ELSE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+         |            / CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS DOUBLE) END * 10000) AS BIGINT) AS j4
+         |FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
+         |ORDER BY id_a""".stripMargin,
+
+    "q_cosine" ->
+      s"""SELECT a.vec_id AS id_a,
+         |       CAST(ROUND(${duckCos("a.embedding", "b.embedding")} * 10000) AS BIGINT) AS c4
+         |FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
+         |ORDER BY id_a""".stripMargin,
+    "q_ann_topk" ->
+      s"""WITH q AS (SELECT vec_id AS q_id, embedding AS qe FROM embeddings WHERE vec_id < 5),
+         |s AS (SELECT q.q_id, e.vec_id, ${duckCos("q.qe", "e.embedding")} AS sim
+         |      FROM q, embeddings e),
+         |r AS (SELECT q_id, vec_id, sim,
+         |             CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS INT) AS rank
+         |      FROM s)
+         |SELECT q_id, vec_id, rank, CAST(ROUND(sim * 10000) AS BIGINT) AS c4
+         |FROM r WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin,
+    "q_lsh_bucket" ->
+      s"""SELECT vec_id, CAST(list_sum([CASE WHEN
+         |  list_reduce([CAST(embedding[i] AS DOUBLE) *
+         |    (${duckMd5_60("CAST(p * 10007 + (i - 1) AS VARCHAR) || 'hp'")} / 5.764607523034235e17 - 1.0)
+         |    for i in range(1, 65)], (x, y) -> x + y) >= 0
+         |  THEN (CAST(1 AS BIGINT) << p) ELSE CAST(0 AS BIGINT) END for p in range(6)]) AS BIGINT) AS bucket
+         |FROM embeddings ORDER BY vec_id""".stripMargin,
+
+    "q_image_meta" ->
+      s"""SELECT doc_id, CAST(64 + h % 1024 AS INT) AS width, CAST(64 + (h >> 10) % 1024 AS INT) AS height,
+         |       CASE WHEN h & 1 = 0 THEN 'jpeg' ELSE 'png' END AS format
+         |FROM (SELECT doc_id, ${duckMd5_60("text")} AS h FROM documents)
+         |ORDER BY doc_id""".stripMargin,
+    "q_resize" ->
+      s"""SELECT doc_id,
+         |  CAST(CASE WHEN w <= 256 AND h <= 256 THEN w WHEN w >= h THEN 256 ELSE greatest(1, (w * 256) // h) END AS INT) AS rw,
+         |  CAST(CASE WHEN w <= 256 AND h <= 256 THEN h WHEN w >= h THEN greatest(1, (h * 256) // w) ELSE 256 END AS INT) AS rh
+         |FROM (SELECT doc_id, 64 + hh % 1024 AS w, 64 + (hh >> 10) % 1024 AS h
+         |      FROM (SELECT doc_id, ${duckMd5_60("text")} AS hh FROM documents))
+         |ORDER BY doc_id""".stripMargin,
+    "q_frame_sample" ->
+      s"""SELECT doc_id, CAST(t.u AS BIGINT) AS frame_ms
+         |FROM (SELECT doc_id, 1000 + (${duckMd5_60("text")} % 60000) AS dur FROM documents),
+         |     UNNEST(range(0, dur, 7000)) AS t(u)
+         |ORDER BY doc_id, frame_ms""".stripMargin,
+
+    "q1_pricing" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
+        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_base,
+        |       CAST(sum(CAST(ROUND(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS rev_cents,
+        |       count(*) AS cnt
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q3_join" ->
+      """SELECT o.o_orderkey, c.c_mktsegment,
+        |       CAST(sum(CAST(ROUND(l.l_extendedprice * (1.0 - l.l_discount) * 100) AS BIGINT)) AS BIGINT) AS rev_cents
+        |FROM customer c
+        |JOIN orders o ON c.c_custkey = o.o_custkey
+        |JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        |WHERE c.c_mktsegment = 'BUILDING'
+        |GROUP BY o.o_orderkey, c.c_mktsegment
+        |ORDER BY o.o_orderkey""".stripMargin,
+    "q_window_running" ->
+      """SELECT o_custkey, o_orderkey,
+        |       CAST(row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS INT) AS rn,
+        |       CAST(sum(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+        |         OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS run_cents
+        |FROM orders ORDER BY o_custkey, rn""".stripMargin,
+    "q_topk" ->
+      """SELECT o_orderkey, CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+        |FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
+    "q_setops" ->
+      """SELECT 'both' AS tag, k FROM
+        |  (SELECT c_custkey AS k FROM customer INTERSECT SELECT o_custkey AS k FROM orders)
+        |UNION ALL
+        |SELECT 'cust_only' AS tag, k FROM
+        |  (SELECT c_custkey AS k FROM customer EXCEPT SELECT o_custkey AS k FROM orders)
+        |ORDER BY tag, k""".stripMargin,
+    "q_json_extract" ->
+      """SELECT event_id, event_type, CAST(NULLIF(regexp_extract(props, '"k": *([0-9]+)', 1), '') AS INT) AS k
+        |FROM events ORDER BY event_id""".stripMargin,
+    "q_tumbling_window" ->
+      """SELECT epoch_ms(date_trunc('hour', ts)) AS ws, event_type, count(*) AS cnt,
+        |       CAST(sum(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS val_cents
+        |FROM events GROUP BY 1, 2 ORDER BY ws, event_type""".stripMargin,
+    "q_asof_join" ->
+      """SELECT event_id, user_id, o_orderkey FROM (
+        |  SELECT e.event_id, e.user_id, o.o_orderkey,
+        |         row_number() OVER (PARTITION BY e.event_id
+        |                            ORDER BY epoch_ms(o.o_orderdate) DESC, o.o_orderkey DESC) AS rn
+        |  FROM events e JOIN orders o
+        |    ON o.o_custkey = e.user_id AND epoch_ms(o.o_orderdate) <= epoch_ns(e.ts) // 1000000
+        |) WHERE rn = 1
+        |UNION ALL
+        |SELECT e.event_id, e.user_id, NULL AS o_orderkey FROM events e
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |  WHERE o.o_custkey = e.user_id AND epoch_ms(o.o_orderdate) <= epoch_ns(e.ts) // 1000000)
+        |ORDER BY event_id""".stripMargin,
   )
 }

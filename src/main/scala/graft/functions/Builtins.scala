@@ -23,6 +23,10 @@ object Builtins {
     graft.ops.Similarity.registerAll()
     graft.ops.Multimodal.registerAll()
 
+    // Embedded-runtime (graftscript) demo function — SURVEY §2.1 #13/#19 SPI.
+    graft.runtime.ScriptUdf.register(
+      "script_score(bigint) -> bigint", "(fn (x) (+ (* x 3) 1))")
+
     // gcd: native codegen'd tier for int32/int64 (flagship benchmark fn).
     Udf.native("gcd(int, int) -> int") { children => GcdExpr(children(0), children(1)) }
     Udf.native("gcd(bigint, bigint) -> bigint") { children => GcdExpr(children(0), children(1)) }

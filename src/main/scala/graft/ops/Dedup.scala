@@ -112,7 +112,7 @@ object Dedup {
     // band-hash: fingerprint of the band's slice of the signature.
     val banded = sig.select(col("id"), col("text"), posexplode(
       expr((0 until bands).map(b =>
-        s"doc_fingerprint(concat_ws(',', slice(sig, ${b * rows + 1}, $rows)))")
+        s"doc_fingerprint(concat_ws(',', transform(slice(sig, ${b * rows + 1}, $rows), x -> CAST(x AS STRING))))")
         .mkString("array(", ", ", ")"))).as(Seq("band", "bh")))
     val l = banded.select(col("band"), col("bh"), col("id").as("id_a"), col("text").as("text_a"))
     val r = banded.select(col("band"), col("bh"), col("id").as("id_b"), col("text").as("text_b"))
@@ -131,7 +131,7 @@ object Dedup {
                    maxDist: Int = 3): DataFrame = {
     val sig = df.select(col(idCol).as("id"), expr(s"simhash($textCol)").as("sig"))
     val blocked = sig.select(col("id"), col("sig"), posexplode(expr(
-      "array(sig & 32767, (sig >> 15) & 32767, (sig >> 30) & 32767, (sig >> 45) & 32767)"))
+      "array(sig & 32767, shiftright(sig, 15) & 32767, shiftright(sig, 30) & 32767, shiftright(sig, 45) & 32767)"))
       .as(Seq("blk", "key")))
     val l = blocked.select(col("blk"), col("key"), col("id").as("id_a"), col("sig").as("sig_a"))
     val r = blocked.select(col("blk"), col("key"), col("id").as("id_b"), col("sig").as("sig_b"))

@@ -30,14 +30,14 @@ object Multimodal {
     * stable across runs/engines (and oracle-checkable in SQL). */
   object FakeCodec {
     def imageMeta(payload: Array[Byte]): (Int, Int, String) = {
-      val h = Hashing.md5_60(new String(payload, "ISO-8859-1"))
+      val h = Hashing.md5_60b(payload)
       val w = 64 + (h % 1024L).toInt
       val ht = 64 + ((h >> 10) % 1024L).toInt
       val fmt = if ((h & 1L) == 0L) "jpeg" else "png"
       (w, ht, fmt)
     }
     def durationMs(payload: Array[Byte]): Long =
-      1000L + Hashing.md5_60(new String(payload, "ISO-8859-1")) % 60000L
+      1000L + Hashing.md5_60b(payload) % 60000L
   }
 
   val imageMetaType: StructType = StructType(Seq(

@@ -111,6 +111,11 @@ object Hashing {
   def md5_60(s: String): Long =
     java.lang.Long.parseLong(md5Hex(s.getBytes("UTF-8")).substring(0, 15), 16)
 
+  /** Same, over raw bytes (binary payloads; equals md5 of the equivalent
+    * UTF-8 string when the bytes came from text). */
+  def md5_60b(bytes: Array[Byte]): Long =
+    java.lang.Long.parseLong(md5Hex(bytes).substring(0, 15), 16)
+
   /** Seeded variant: hash of (seed || s) — the minhash family h_i. */
   def md5_60(seed: Int, s: String): Long = md5_60(seed.toString + s)
 }

@@ -44,7 +44,8 @@ final case class Signature(
     * on Arrow `Field` equality incl. metadata — `sig.rs:92-111`). */
   def matches(actual: Seq[(DataType, Metadata)]): Boolean = {
     if (variadic) {
-      actual.length >= args.length - 1 &&
+      // `...` allows MORE than the declared args, never fewer (sig.rs:106-110).
+      actual.length >= args.length &&
       args.dropRight(1).zip(actual).forall { case (g, (dt, md)) => g.accepts(dt, md) } &&
       actual.drop(args.length - 1).forall { case (dt, md) => args.last.accepts(dt, md) }
     } else {

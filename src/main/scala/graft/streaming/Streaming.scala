@@ -1,0 +1,65 @@
+package graft.streaming
+
+import graft.functions.GraftAggregate
+import org.apache.spark.sql.{DataFrame, Dataset, Encoder, Encoders, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/**
+ * Streaming execution of graft operators on Structured Streaming.
+ *
+ * The reference's streaming story is the *retract* hook on aggregates
+ * (`accumulate_or_retract`, `python/mod.rs:519-582`) — the host engine
+ * (RisingWave) drives retractions when late/updated rows revise a running
+ * result. In Spark, the idiomatic equivalents are:
+ *
+ *  - event-time windowed aggregation with watermarks (append/update modes)
+ *    for the common case — Spark manages state and late-data discard;
+ *  - `flatMapGroupsWithState` for custom running state, where our
+ *    [[RetractingAggState]] applies `accumulate` for inserts and `retract`
+ *    for deletions (CDC-style `op` column), emitting revised results — the
+ *    direct analogue of the reference's retractable aggregates.
+ *
+ * == Scale design ==
+ * State is per-key and incremental: each micro-batch shuffles only that
+ * batch's rows to their key partitions (same hash partitioning as a batch
+ * groupBy); state store size is O(distinct keys), not O(rows seen).
+ */
+object Streaming {
+
+  /** Watermarked tumbling-window aggregate over an event stream with an
+    * event-time column. Late rows beyond `watermark` are dropped — the
+    * batch/stream-unified analogue of q_tumbling_window. */
+  def windowedCount(events: DataFrame, tsCol: String, watermark: String,
+                    window: String): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(org.apache.spark.sql.functions.window(col(tsCol), window), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), sum("value").as("total"))
+
+  /** One input row for the retracting runner: `op=false` accumulates,
+    * `op=true` retracts (the reference's per-row ops flag). */
+  case class OpRow(key: String, op: Boolean, value: Int)
+  case class KeyResult(key: String, result: Long)
+
+  /** Apply a retractable [[GraftAggregate]] over a keyed CDC stream with
+    * `flatMapGroupsWithState`, emitting the revised aggregate per key per
+    * micro-batch. */
+  def retractingSum(input: Dataset[OpRow], agg: GraftAggregate[Long, Long]): Dataset[KeyResult] = {
+    implicit val stateEnc: Encoder[Long] = Encoders.scalaLong
+    implicit val outEnc: Encoder[KeyResult] = Encoders.product[KeyResult]
+    implicit val keyEnc: Encoder[String] = Encoders.STRING
+    input.groupByKey(_.key)
+      .flatMapGroupsWithState[Long, KeyResult](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (key: String, rows: Iterator[OpRow], state: GroupState[Long]) =>
+          var s = state.getOption.getOrElse(agg.createState())
+          rows.foreach { r =>
+            val row = Row(r.value)
+            s = if (r.op) agg.retract(s, row) else agg.accumulate(s, row)
+          }
+          state.update(s)
+          Iterator.single(KeyResult(key, agg.finish(s)))
+      }
+  }
+}

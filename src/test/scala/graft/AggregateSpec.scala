@@ -1,0 +1,56 @@
+package graft
+
+import graft.functions._
+import org.apache.spark.sql.Row
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Aggregate lifecycle tests mirroring the reference's sum / weighted_avg
+  * fixtures (FIXTURES.md: `tests/python.rs:669-913`), incl. retract. */
+class AggregateSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("sum lifecycle: accumulate 1,null,3,5 -> 9; retract flips sign") {
+    val g = new SumAgg
+    var s = g.createState()
+    Seq[Integer](1, null, 3, 5).foreach { v =>
+      s = g.accumulate(s, Row(v))
+    }
+    assert(s == 9L)
+    // accumulate-or-retract with ops = F,F,T,F over the same input -> 1+3-3+5?
+    // (reference semantics: per-row flag true = retract)
+    var s2 = g.createState()
+    val ops = Seq(false, false, true, false)
+    Seq[Integer](1, null, 3, 5).zip(ops).foreach { case (v, retract) =>
+      s2 = if (retract) g.retract(s2, Row(v)) else g.accumulate(s2, Row(v))
+    }
+    assert(s2 == 3L) // 1 + 0 - 3 + 5
+  }
+
+  test("weighted_avg: accumulate, merge, finish") {
+    val g = new WeightedAvgAgg
+    var a = g.createState()
+    a = g.accumulate(a, Row(2, 4))   // sum=8  w=4
+    a = g.accumulate(a, Row(3, 8))   // sum=32 w=12
+    assert(a == WAvgState(32, 12))
+    val merged = g.merge(a, a)
+    assert(merged == WAvgState(64, 24))
+    assert(math.abs(g.finish(merged) - 64.0 / 24.0) < 1e-12)
+  }
+
+  test("sum_udaf through SQL with group by (partial + final agg)") {
+    val r = spark.sql(
+      """SELECT k, sum_udaf(v) AS s FROM VALUES ('a', 1), ('a', 2), ('b', 5) t(k, v)
+        |GROUP BY k ORDER BY k""".stripMargin).collect()
+    assert(r.map(x => (x.getString(0), x.getLong(1))).toSeq == Seq(("a", 3L), ("b", 5L)))
+  }
+
+  test("median_udaf: opaque java-serialized state merges across partitions") {
+    val r = spark.sql(
+      """SELECT median_udaf(CAST(v AS DOUBLE)) FROM (SELECT explode(sequence(1, 101)) AS v DISTRIBUTE BY v % 4)""")
+      .collect().head.getDouble(0)
+    assert(r == 51.0)
+    val even = spark.sql("SELECT median_udaf(CAST(v AS DOUBLE)) FROM VALUES (1), (2), (3), (4) t(v)")
+      .collect().head.getDouble(0)
+    assert(even == 2.5)
+  }
+}

@@ -1,0 +1,117 @@
+package graft
+
+import graft.ops.{Dedup, Multimodal, Similarity}
+import org.scalatest.funsuite.AnyFunSuite
+
+class OpsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import scala.jdk.CollectionConverters._
+
+  private def docsDf = {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("text", StringType, nullable = false)))
+    val data = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog"),
+      (1L, "the quick brown fox jumps over the lazy cat"), // near-dup of 0
+      (2L, "completely different content about spark engines"),
+      (3L, "the quick brown fox jumps over the lazy dog"),  // exact dup of 0
+      (4L, "unrelated short text"),
+    ).map { case (i, t) => org.apache.spark.sql.Row(i, t) }
+    spark.createDataFrame(data.asJava, schema)
+  }
+
+  test("exactDedup keeps lowest id per duplicate group") {
+    val kept = Dedup.exactDedup(docsDf, "text", "doc_id")
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(kept == Seq(0L, 1L, 2L, 4L)) // 3 deduped against 0
+  }
+
+  test("minhashPairs finds near-dup and exact-dup pairs, not unrelated ones") {
+    val pairs = Dedup.minhashPairs(docsDf, "text", "doc_id", k = 16, bands = 8, threshold = 0.3)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 3L))) // exact dup always collides
+    assert(pairs.contains((0L, 1L)) || pairs.contains((1L, 3L))) // near dup
+    assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L))
+  }
+
+  test("simhashPairs: exact dup at distance 0; hamming sane") {
+    val pairs = Dedup.simhashPairs(docsDf, "text", "doc_id", maxDist = 6)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
+    assert(pairs(( 0L, 3L)) == 0)
+    assert(pairs.get((0L, 1L)).forall(_ > 0))
+  }
+
+  test("ngram_jaccard: identical -> 1, disjoint -> 0") {
+    val r = spark.sql(
+      "SELECT ngram_jaccard('a b c d', 'a b c d', 2), ngram_jaccard('a b c', 'x y z', 2)")
+      .collect().head
+    assert(r.getDouble(0) == 1.0 && r.getDouble(1) == 0.0)
+  }
+
+  test("cosine_sim: identity 1, orthogonal 0") {
+    val r = spark.sql(
+      """SELECT cosine_sim(array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT)), array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT))),
+        |       cosine_sim(array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT)), array(CAST(0.0 AS FLOAT), CAST(1.0 AS FLOAT)))""".stripMargin)
+      .collect().head
+    assert(math.abs(r.getDouble(0) - 1.0) < 1e-12 && r.getDouble(1) == 0.0)
+  }
+
+  test("lshTopK recall vs brute force on real embeddings") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = emb.where("vec_id < 3").selectExpr("vec_id AS q_id", "embedding AS q_embedding")
+    val exact = Similarity.bruteForceTopK(emb, queries, 5)
+      .select("q_id", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Similarity.lshTopK(emb, queries, 5, bits = 4)
+      .select("q_id", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // every query must at least find itself (cos=1, same bucket by definition)
+    assert((0 until 3).forall(q => approx.contains((q.toLong, q.toLong))))
+    // recall is approximate; require non-trivial overlap
+    assert((exact intersect approx).size >= 5)
+  }
+
+  test("multimodal: mapPartitions feature extraction + frame sampling") {
+    val df = docsDf.selectExpr("doc_id", "CAST(text AS BINARY) AS payload")
+    val feats = Multimodal.extractImageFeatures(df, "payload")
+    assert(feats.columns.toSeq == Seq("doc_id", "payload", "width", "height", "format"))
+    val r = feats.where("doc_id = 0").select("width", "height", "format").collect().head
+    assert(r.getInt(0) >= 64 && r.getInt(1) >= 64 && Set("jpeg", "png").contains(r.getString(2)))
+    // exact dup doc 3 has identical metadata to doc 0 (deterministic stub)
+    val r3 = feats.where("doc_id = 3").select("width", "height", "format").collect().head
+    assert(r == r3)
+    val frames = spark.sql(
+      "SELECT t.value FROM (SELECT media_duration_ms(CAST('x' AS BINARY)) AS d) LATERAL VIEW frame_sample(d, 1000) t AS value")
+      .collect().map(_.getLong(0)).toSeq
+    assert(frames.nonEmpty && frames == frames.indices.map(_ * 1000L))
+  }
+
+  test("asof join: ties, matches, and no-match nulls") {
+    import org.apache.spark.sql.types._
+    import scala.jdk.CollectionConverters._
+    val lSchema = StructType(Seq(StructField("k", IntegerType), StructField("t", LongType),
+      StructField("lid", IntegerType)))
+    val rSchema = StructType(Seq(StructField("k", IntegerType), StructField("t", LongType),
+      StructField("rid", IntegerType), StructField("v", StringType)))
+    val left = spark.createDataFrame(Seq(
+      org.apache.spark.sql.Row(1, 10L, 100), // after r1, before r2
+      org.apache.spark.sql.Row(1, 20L, 101), // exactly at r2 -> matches r2
+      org.apache.spark.sql.Row(1, 5L, 102),  // before everything -> null
+      org.apache.spark.sql.Row(2, 50L, 103), // key with two same-time rows -> max rid wins
+      org.apache.spark.sql.Row(3, 50L, 104), // key with no right rows -> null
+    ).asJava, lSchema)
+    val right = spark.createDataFrame(Seq(
+      org.apache.spark.sql.Row(1, 8L, 1, "r1"),
+      org.apache.spark.sql.Row(1, 20L, 2, "r2"),
+      org.apache.spark.sql.Row(2, 40L, 3, "r3a"),
+      org.apache.spark.sql.Row(2, 40L, 4, "r3b"),
+    ).asJava, rSchema)
+    val out = graft.plans.AsofJoin.asof(left, right, "k", "k", "t", "t", "rid", Seq("rid", "v"))
+      .collect().map(r => (r.getInt(2), if (r.isNullAt(3)) null else r.get(3))).toMap
+    assert(out(100) == 1)
+    assert(out(101) == 2)  // <= semantics: equal time matches
+    assert(out(102) == null)
+    assert(out(103) == 4)  // tie on time -> greatest tiebreak
+    assert(out(104) == null)
+  }
+}

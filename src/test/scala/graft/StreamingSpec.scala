@@ -1,0 +1,58 @@
+package graft
+
+import graft.functions.SumAgg
+import graft.streaming.Streaming
+import graft.streaming.Streaming.{KeyResult, OpRow}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+
+class StreamingSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("windowed count with watermark drops late rows") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val df = mem.toDF().toDF("ts", "event_type", "value")
+    val q = Streaming.windowedCount(df, "ts", "10 minutes", "5 minutes")
+      .writeStream.format("memory").queryName("win_counts")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      def t(min: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$min%02d:00")
+      mem.addData((t(1), "click", 1.0), (t(2), "click", 2.0), (t(7), "view", 3.0))
+      q.processAllAvailable()
+      // advance watermark far ahead, then send a very late row -> dropped
+      mem.addData((t(59), "click", 4.0))
+      q.processAllAvailable()
+      mem.addData((t(1), "click", 100.0)) // late beyond watermark
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT event_type, cnt, total FROM win_counts").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(rows.contains(("click", 2L, 3.0)))  // first window kept both on-time rows
+      assert(!rows.contains(("click", 3L, 103.0))) // late row never applied
+    } finally q.stop()
+  }
+
+  test("retracting aggregate over CDC stream revises results") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[OpRow]
+    val q = Streaming.retractingSum(mem.toDS(), new SumAgg)
+      .writeStream.format("memory").queryName("retract_sum")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      mem.addData(OpRow("a", op = false, 5), OpRow("a", op = false, 7), OpRow("b", op = false, 1))
+      q.processAllAvailable()
+      var res = spark.sql("SELECT key, result FROM retract_sum").collect()
+        .map(r => (r.getString(0), r.getLong(1))).toMap
+      assert(res("a") == 12L && res("b") == 1L)
+      // retraction arrives: remove the 5
+      mem.addData(OpRow("a", op = true, 5))
+      q.processAllAvailable()
+      res = spark.sql("SELECT key, result FROM retract_sum").collect()
+        .groupBy(_.getString(0)).map { case (k, rs) => k -> rs.last.getLong(1) }
+      assert(res("a") == 7L)
+    } finally q.stop()
+  }
+}
