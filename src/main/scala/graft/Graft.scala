@@ -104,6 +104,13 @@ object Graft {
     }
   }
 
+  /** Tag a column with a graft extension type (e.g. `graft.decimal`,
+    * `graft.json`) so metadata-sensitive overloads resolve — the DataFrame-API
+    * route to extension-typed arguments (SQL literals carry no metadata). */
+  def tagged(c: org.apache.spark.sql.Column, name: String, extension: String): org.apache.spark.sql.Column =
+    c.as(name, new org.apache.spark.sql.types.MetadataBuilder()
+      .putString(graft.types.GraftType.ExtensionKey, extension).build())
+
   /** Opinionated local session for a 32-core single node; on a real cluster
     * the same settings scale by executor count (AQE re-plans at runtime). */
   def session(master: String = "local[32]", appName: String = "graft"): SparkSession = {

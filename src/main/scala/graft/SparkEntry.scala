@@ -85,6 +85,21 @@ object SparkEntry {
       """SELECT c_nationkey, median_udaf(c_acctbal) AS m
         |FROM customer GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin) _,
 
+    // extension types: text-backed unconstrained decimal (metadata-resolved)
+    "q_decimal_add" -> dfq { s =>
+      val df = s.table("lineitem").select(
+        col("l_orderkey"), col("l_linenumber"),
+        Graft.tagged(expr("CAST(CAST(l_quantity AS DECIMAL(18,2)) AS STRING)"), "a",
+          graft.types.GraftType.DecimalExt),
+        Graft.tagged(expr("CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS STRING)"), "b",
+          graft.types.GraftType.DecimalExt))
+      df.selectExpr("l_orderkey", "l_linenumber", "decimal_add(a, b) AS d")
+        .orderBy("l_orderkey", "l_linenumber")
+    } _,
+    "q_to_json" -> q(
+      """SELECT doc_id, graft_to_json(source) AS js, graft_to_json(n_chars) AS jn
+        |FROM documents ORDER BY doc_id""".stripMargin) _,
+
     // §2.1 #13/#19: embedded language runtime (graftscript SPI tier)
     "q_script" -> q(
       """SELECT doc_id, script_score(doc_id) AS s
@@ -291,6 +306,13 @@ object SparkEntry {
       """SELECT c_nationkey, CAST(median(c_acctbal) AS DOUBLE) AS m
         |FROM customer GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
 
+    "q_decimal_add" ->
+      """SELECT l_orderkey, l_linenumber,
+        |       CAST(CAST(l_quantity AS DECIMAL(18,2)) + CAST(l_extendedprice AS DECIMAL(18,2)) AS VARCHAR) AS d
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q_to_json" ->
+      """SELECT doc_id, '"' || source || '"' AS js, CAST(n_chars AS VARCHAR) AS jn
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "q_script" ->
       """SELECT doc_id, doc_id * 3 + 1 AS s
         |FROM documents ORDER BY doc_id""".stripMargin,
@@ -342,15 +364,21 @@ object SparkEntry {
         |ORDER BY doc_id""".stripMargin,
     "q_minhash_sig" ->
       s"""WITH w AS (SELECT doc_id, $duckWords AS ws FROM documents),
-         |sh AS (SELECT doc_id, ${duckShingles(3)} AS shingles FROM w)
-         |SELECT doc_id, [coalesce(list_min([${duckMd5_60("CAST(seed AS VARCHAR) || s2")} for s2 in shingles]), 0)
-         |                for seed in range(8)] AS sig
-         |FROM sh ORDER BY doc_id""".stripMargin,
+         |sh AS (SELECT doc_id, ${duckShingles(3)} AS shingles FROM w),
+         |hs AS (SELECT doc_id, [${duckMd5_60("s2")} % 1073741789 for s2 in shingles] AS bases FROM sh)
+         |SELECT doc_id, [coalesce(list_min([
+         |    ((${duckMd5_60("CAST(seed AS VARCHAR) || 'a'")} % 1073741789) * h
+         |     + (${duckMd5_60("CAST(seed AS VARCHAR) || 'b'")} % 1073741789)) % 1073741789
+         |  for h in bases]), 0) for seed in range(8)] AS sig
+         |FROM hs ORDER BY doc_id""".stripMargin,
     "q_minhash_pairs" ->
       s"""WITH w AS (SELECT doc_id, $duckWords AS ws FROM documents),
          |sh AS (SELECT doc_id, ${duckShingles(3)} AS shingles FROM w),
-         |sig AS (SELECT doc_id, [coalesce(list_min([${duckMd5_60("CAST(seed AS VARCHAR) || s2")} for s2 in shingles]), 0)
-         |                       for seed in range(16)] AS sig FROM sh),
+         |hs AS (SELECT doc_id, [${duckMd5_60("s2")} % 1073741789 for s2 in shingles] AS bases FROM sh),
+         |sig AS (SELECT doc_id, [coalesce(list_min([
+         |    ((${duckMd5_60("CAST(seed AS VARCHAR) || 'a'")} % 1073741789) * h
+         |     + (${duckMd5_60("CAST(seed AS VARCHAR) || 'b'")} % 1073741789)) % 1073741789
+         |  for h in bases]), 0) for seed in range(16)] AS sig FROM hs),
          |band AS (SELECT doc_id, t.b, ${duckMd5_60("array_to_string(sig[t.b*4+1:t.b*4+4], ',')")} AS bh
          |         FROM sig, (SELECT unnest(range(4)) AS b) t),
          |cand AS (SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b

@@ -98,6 +98,36 @@ object Builtins {
       else splitTopJson(body).iterator.map(_.trim)
     }
 
+    // ---- extension types ---------------------------------------------------
+    // Unconstrained (text-backed) decimal arithmetic — reference's
+    // `arrowudf.decimal` extension (README.md:66-79; tests.rs:574-592).
+    Udf.scalar2[String, String, String]("decimal_add(decimal, decimal) -> decimal") {
+      (a, b) => new java.math.BigDecimal(a).add(new java.math.BigDecimal(b)).toPlainString
+    }
+    Udf.scalar2[String, String, String]("decimal_mul(decimal, decimal) -> decimal") {
+      (a, b) => new java.math.BigDecimal(a).multiply(new java.math.BigDecimal(b)).toPlainString
+    }
+
+    // to_json over the wildcard matrix (tests.rs:104-114): JVM value → JSON text.
+    Udf.scalarN[String]("graft_to_json(*) -> json")(args => Json.render(args.head))
+
+    // identity over every type (tests.rs:68-92) — exercises the full
+    // conversion matrix through the generic invoke tier.
+    Udf.scalarN[Any]("graft_identity(*) -> *", mode = CallMode.CalledOnNullInput)(_.head)
+    Udf.scalarN[Any]("graft_identity(string[]) -> string[]",
+      mode = CallMode.CalledOnNullInput)(_.head)
+    Udf.scalarN[Any]("graft_identity(struct<key: string, value: string>) -> struct<key: string, value: string>",
+      mode = CallMode.CalledOnNullInput)(_.head)
+    Udf.scalarN[Any]("graft_identity(map<string, string>) -> map<string, string>",
+      mode = CallMode.CalledOnNullInput)(_.head)
+
+    // datetime(date, time64) -> timestamp (tests.rs:546-571): compose a date
+    // and a µs-of-day (extension-tagged bigint) into a naive timestamp.
+    Udf.scalar2[java.sql.Date, Long, java.time.LocalDateTime]("datetime(date32, time64) -> timestamp") {
+      (d, micros) =>
+        d.toLocalDate.atStartOfDay.plusNanos(micros * 1000L)
+    }
+
     // ---- stable hashes (shared by dedup/fingerprint operators) -------------
     Udf.native("fnv64(string) -> bigint") { children =>
       ScalarInvoke("fnv64",
@@ -111,6 +141,40 @@ object Builtins {
           while (i < s.length) { h = (h * 31 + s.charAt(i)) % 1000000007L; i += 1 }
           h },
         org.apache.spark.sql.types.LongType, children)
+    }
+  }
+
+  /** Minimal JSON renderer for `graft_to_json` — JVM external values → JSON
+    * text (matches DuckDB's rendering for scalars: bare numbers, quoted
+    * strings, lowercase booleans). */
+  object Json {
+    def render(v: Any): String = v match {
+      case null => "null"
+      case s: String => quote(s)
+      case b: Boolean => if (b) "true" else "false"
+      case d: Double => if (d == d.floor && !d.isInfinite && math.abs(d) < 1e15) d.toLong.toString else d.toString
+      case f: Float => render(f.toDouble)
+      case n: java.lang.Number => n.toString
+      case seq: scala.collection.Seq[_] => seq.map(render).mkString("[", ",", "]")
+      case r: org.apache.spark.sql.Row =>
+        r.schema.fieldNames.zip(r.toSeq).map { case (k, x) => quote(k) + ":" + render(x) }
+          .mkString("{", ",", "}")
+      case m: scala.collection.Map[_, _] =>
+        m.map { case (k, x) => quote(k.toString) + ":" + render(x) }.mkString("{", ",", "}")
+      case other => quote(other.toString)
+    }
+    private def quote(s: String): String = {
+      val sb = new java.lang.StringBuilder("\"")
+      s.foreach {
+        case '"' => sb.append("\\\"")
+        case '\\' => sb.append("\\\\")
+        case '\n' => sb.append("\\n")
+        case '\r' => sb.append("\\r")
+        case '\t' => sb.append("\\t")
+        case c if c < ' ' => sb.append(f"\\u${c.toInt}%04x")
+        case c => sb.append(c)
+      }
+      sb.append("\"").toString
     }
   }
 

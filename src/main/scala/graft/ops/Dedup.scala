@@ -30,15 +30,22 @@ object Dedup {
 
   /** Register scalar signature functions (per-row tier). */
   def registerAll(): Unit = {
-    // MinHash signature: k seeded 60-bit md5 hashes, min over word-3-gram
-    // shingles. Returns bigint[k].
+    // MinHash signature over word-3-gram shingles: ONE md5 per shingle, then
+    // k universal-hash transforms h_i(x) = (a_i·x + b_i) mod P — k× cheaper
+    // than k independent hashes and still pairwise-independent enough for
+    // banding. P is a 30-bit prime so a_i·x stays inside Int64 (and inside
+    // DuckDB's BIGINT for the oracle replica). Returns bigint[k].
     Udf.scalar2[String, Int, Seq[Long]]("minhash_sig(string, int) -> bigint[]") { (s, k) =>
       val shingles = shingleSet(s, 3)
+      val bases = shingles.iterator.map(sh => Hashing.md5_60(sh) % MinhashP).toArray
       (0 until k).map { seed =>
+        val a = minhashA(seed); val b = minhashB(seed)
         var mn = Long.MaxValue
-        shingles.foreach { sh =>
-          val h = Hashing.md5_60(seed, sh)
+        var i = 0
+        while (i < bases.length) {
+          val h = (a * bases(i) + b) % MinhashP
           if (h < mn) mn = h
+          i += 1
         }
         if (mn == Long.MaxValue) 0L else mn
       }
@@ -52,7 +59,7 @@ object Dedup {
       }
       val acc = new Array[Int](60)
       counts.forEach { (tok, w) =>
-        val h = Hashing.md5_60(tok)
+        val h = Hashing.md5_60Cached(tok)
         var i = 0
         while (i < 60) {
           if (((h >> i) & 1L) == 1L) acc(i) += w else acc(i) -= w
@@ -82,6 +89,12 @@ object Dedup {
         }
     }
   }
+
+  /** 30-bit prime modulus for the minhash universal-hash family. */
+  val MinhashP = 1073741789L
+  /** Deterministic per-seed coefficients, md5-derived (oracle-replicable). */
+  def minhashA(seed: Int): Long = Hashing.md5_60(seed + "a") % MinhashP
+  def minhashB(seed: Int): Long = Hashing.md5_60(seed + "b") % MinhashP
 
   def shingleSet(s: String, n: Int): Set[String] = {
     val ws = s.split("\\s+").filter(_.nonEmpty)

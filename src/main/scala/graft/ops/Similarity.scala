@@ -54,18 +54,20 @@ object Similarity {
 
     // Random-hyperplane LSH bucket id: `bits` sign bits of dot products with
     // hyperplanes whose components derive from md5(seed, plane, dim) mapped to
-    // [-1, 1]. Deterministic — reproducible across engines and runs.
+    // [-1, 1]. Deterministic — reproducible across engines and runs. The
+    // plane matrix is row-independent, so it is materialized once per
+    // executor (not re-derived per row).
     Udf.scalar2[Seq[Float], Int, Long]("hyperplane_bucket(float[], int) -> bigint") {
       (v, bits) =>
+        val planes = hyperplanes(bits, v.length)
         var bucket = 0L
         var p = 0
         while (p < bits) {
+          val plane = planes(p)
           var dot = 0.0
           var i = 0
           while (i < v.length) {
-            // component in [-1,1): (md5_60(p:i) / 2^59) - 1
-            val h = Hashing.md5_60(p * 10007 + i, "hp")
-            dot += v(i).toDouble * (h.toDouble / 5.764607523034235e17 - 1.0)
+            dot += v(i).toDouble * plane(i)
             i += 1
           }
           if (dot >= 0) bucket |= (1L << p)
@@ -74,6 +76,18 @@ object Similarity {
         bucket
     }
   }
+
+  private val planeCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int), Array[Array[Double]]]()
+
+  /** Per-executor hyperplane matrix: component (p, i) = md5_60(p·10007+i || "hp")
+    * scaled into [-1, 1). Deterministic, derived once per (bits, dims). */
+  private[ops] def hyperplanes(bits: Int, dims: Int): Array[Array[Double]] =
+    planeCache.computeIfAbsent((bits, dims), { case (b, d) =>
+      Array.tabulate(b, d) { (p, i) =>
+        Hashing.md5_60(p * 10007 + i, "hp").toDouble / 5.764607523034235e17 - 1.0
+      }
+    })
 
   /** Exact top-k neighbors for each query vector, via broadcast + window.
     * `queries` must be small (driver-broadcastable); corpus side never

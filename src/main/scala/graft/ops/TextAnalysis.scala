@@ -111,6 +111,21 @@ object Hashing {
   def md5_60(s: String): Long =
     java.lang.Long.parseLong(md5Hex(s.getBytes("UTF-8")).substring(0, 15), 16)
 
+  private val cacheCap = 200000
+  private val memo = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
+  /** Memoized md5_60 for bounded-vocabulary inputs (tokens): corpora repeat
+    * words heavily, so per-executor caching removes most digest work. */
+  def md5_60Cached(s: String): Long = {
+    val hit = memo.get(s)
+    if (hit != null) hit.longValue()
+    else {
+      val h = md5_60(s)
+      if (memo.size < cacheCap) memo.put(s, h)
+      h
+    }
+  }
+
   /** Same, over raw bytes (binary payloads; equals md5 of the equivalent
     * UTF-8 string when the bytes came from text). */
   def md5_60b(bytes: Array[Byte]): Long =

@@ -80,6 +80,66 @@ class FunctionsSpec extends AnyFunSuite {
       (('a'.toLong * 31 + 'b') * 31 + 'c') % 1000000007L)
   }
 
+  test("identity over the type matrix (reference identity_all_types fixture)") {
+    val r = spark.sql(
+      """SELECT graft_identity(true), graft_identity(CAST(7 AS TINYINT)),
+        |       graft_identity(CAST(7 AS SMALLINT)), graft_identity(7),
+        |       graft_identity(CAST(7 AS BIGINT)), graft_identity(CAST(1.5 AS FLOAT)),
+        |       graft_identity(CAST(1.5 AS DOUBLE)), graft_identity('s'),
+        |       graft_identity(CAST('b' AS BINARY)), graft_identity(DATE '2022-04-08'),
+        |       graft_identity(TIMESTAMP_NTZ '2022-04-08 12:34:56'),
+        |       graft_identity(array('a', 'b')),
+        |       graft_identity(named_struct('key', 'k', 'value', 'v')),
+        |       graft_identity(map('a', '1')),
+        |       graft_identity(make_interval(0, 0, 0, 2, 1, 0, 0)),
+        |       graft_identity(CAST(NULL AS INT))""".stripMargin).collect().head
+    assert(r.getBoolean(0))
+    assert(r.getByte(1) == 7 && r.getShort(2) == 7 && r.getInt(3) == 7 && r.getLong(4) == 7L)
+    assert(r.getFloat(5) == 1.5f && r.getDouble(6) == 1.5)
+    assert(r.getString(7) == "s" && new String(r.getAs[Array[Byte]](8)) == "b")
+    assert(r.getDate(9).toString == "2022-04-08")
+    assert(r.getAs[java.time.LocalDateTime](10).toString == "2022-04-08T12:34:56")
+    assert(r.getSeq[String](11) == Seq("a", "b"))
+    assert(r.getStruct(12) == org.apache.spark.sql.Row("k", "v"))
+    assert(r.getMap[String, String](13) == Map("a" -> "1"))
+    assert(r.get(14).toString.contains("2 days"))
+    assert(r.isNullAt(15)) // CalledOnNullInput passes null through
+  }
+
+  test("decimal extension type: arbitrary-precision text arithmetic") {
+    import org.apache.spark.sql.functions._
+    val df = spark.range(1).select(
+      Graft.tagged(lit("0.0001"), "a", graft.types.GraftType.DecimalExt),
+      Graft.tagged(lit("0.0002"), "b", graft.types.GraftType.DecimalExt))
+    assert(df.selectExpr("decimal_add(a, b)").collect().head.getString(0) == "0.0003")
+    // untagged strings must NOT resolve to the decimal overload
+    val e = intercept[Exception](
+      spark.sql("SELECT decimal_add('1', '2')").collect())
+    assert(e.getMessage.contains("no overload"))
+  }
+
+  test("graft_to_json across types") {
+    val r = spark.sql(
+      """SELECT graft_to_json('a"b'), graft_to_json(7), graft_to_json(true),
+        |       graft_to_json(array(1, 2)),
+        |       graft_to_json(named_struct('key', 'k', 'value', 'v'))""".stripMargin)
+      .collect().head
+    assert(r.getString(0) == "\"a\\\"b\"")
+    assert(r.getString(1) == "7")
+    assert(r.getString(2) == "true")
+    assert(r.getString(3) == "[1,2]")
+    assert(r.getString(4) == "{\"key\":\"k\",\"value\":\"v\"}")
+  }
+
+  test("datetime(date, time64) -> timestamp composition") {
+    import org.apache.spark.sql.functions._
+    val df = spark.range(1).select(
+      expr("DATE '2022-04-08'").as("d"),
+      Graft.tagged(lit(45296789012L), "t", graft.types.GraftType.TimeExt)) // 12:34:56.789012
+    val r = df.selectExpr("datetime(d, t)").collect().head
+    assert(r.getAs[java.time.LocalDateTime](0).toString == "2022-04-08T12:34:56.789012")
+  }
+
   test("deterministic=false survives: volatile function not constant-folded") {
     graft.functions.Udf.scalar1[Int, Int]("graft_rand_like(int) -> int",
       deterministic = false)(n => n)
