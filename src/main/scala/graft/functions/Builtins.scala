@@ -110,6 +110,10 @@ object Builtins {
 
     // to_json over the wildcard matrix (tests.rs:104-114): JVM value → JSON text.
     Udf.scalarN[String]("graft_to_json(*) -> json")(args => Json.render(args.head))
+    Seq("int[]", "bigint[]", "string[]", "float[]", "double[]",
+      "struct<key: string, value: string>", "map<string, string>").foreach { t =>
+      Udf.scalarN[String](s"graft_to_json($t) -> json")(args => Json.render(args.head))
+    }
 
     // identity over every type (tests.rs:68-92) — exercises the full
     // conversion matrix through the generic invoke tier.
