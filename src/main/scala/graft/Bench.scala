@@ -28,7 +28,33 @@ object Bench {
       .mode("overwrite").save()
     catch { case _: Throwable => }
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Pure-engine throughput probes (no table I/O): comparable to the
+    // reference's per-batch kernel numbers (BASELINE.md). 100M rows of the
+    // codegen'd gcd tier and the generic-invoke tier.
+    val throughput: Seq[(String, SparkSession => Unit)] = Seq(
+      "x_gcd_codegen_100m" -> { s: SparkSession =>
+        Graft.install(s)
+        s.range(100000000L)
+          .selectExpr("gcd(CAST(id % 1000003 AS INT), CAST(id % 999983 AS INT)) AS g")
+          .write.format("noop").mode("overwrite").save()
+      },
+      "x_invoke_boxed_10m" -> { s: SparkSession =>
+        Graft.install(s)
+        s.range(10000000L)
+          .selectExpr("add(CAST(id % 1000 AS INT), CAST(id % 97 AS INT)) AS a")
+          .write.format("noop").mode("overwrite").save()
+      },
+    )
+    val tputResults = throughput.map { case (name, fn) =>
+      val t0 = System.nanoTime()
+      try { fn(spark); name -> (System.nanoTime() - t0) / 1e9 }
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        name -> -1.0
+      }
+    }
+
+    val results = tputResults ++ SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try {
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()

@@ -71,6 +71,14 @@ object SparkEntry {
       """SELECT l_orderkey, l_linenumber, t.value
         |FROM lineitem LATERAL VIEW range_setof(l_linenumber) t AS value
         |ORDER BY l_orderkey, l_linenumber, t.value""".stripMargin) _,
+    // §2.1 #7 variant: setof-struct generator
+    "q_key_values" -> q(
+      """SELECT l_orderkey, l_linenumber, t.value.key AS k, t.value.value AS v
+        |FROM (SELECT l_orderkey, l_linenumber,
+        |             concat(l_returnflag, '=', l_linestatus, ',q=', CAST(l_linenumber AS STRING)) AS s
+        |      FROM lineitem)
+        |LATERAL VIEW key_values(s) t AS value
+        |ORDER BY l_orderkey, l_linenumber, k, v""".stripMargin) _,
     "q_variadic" -> q(
       """SELECT l_orderkey, l_linenumber,
         |       concat_sep('|', l_returnflag, l_linestatus, CAST(l_linenumber AS STRING)) AS c
@@ -290,6 +298,12 @@ object SparkEntry {
       """SELECT l_orderkey, l_linenumber, CAST(t.x AS INT) AS value
         |FROM lineitem, UNNEST(range(l_linenumber)) AS t(x)
         |ORDER BY l_orderkey, l_linenumber, value""".stripMargin,
+    "q_key_values" ->
+      """SELECT l_orderkey, l_linenumber, u.k AS k, u.v AS v
+        |FROM lineitem,
+        |     UNNEST([{'k': l_returnflag, 'v': l_linestatus},
+        |             {'k': 'q', 'v': CAST(l_linenumber AS VARCHAR)}]) AS t(u)
+        |ORDER BY l_orderkey, l_linenumber, k, v""".stripMargin,
     "q_variadic" ->
       """SELECT l_orderkey, l_linenumber,
         |       concat_ws('|', l_returnflag, l_linestatus, CAST(l_linenumber AS VARCHAR)) AS c

@@ -88,6 +88,17 @@ object Builtins {
     // range_setof(n) ->> int : 0..n-1 (reference `range` table fn).
     Udf.table1[Int, Int]("range_setof(int) ->> int")(n => Iterator.range(0, n))
 
+    // key_values("a=b,c=d") ->> struct — setof-struct conformance
+    // (reference key_values, tests.rs:256-262).
+    Udf.table1[String, org.apache.spark.sql.Row](
+      "key_values(string) ->> struct<key: string, value: string>") { s =>
+      s.split(",").iterator.flatMap { kv =>
+        val i = kv.indexOf('=')
+        if (i <= 0) None
+        else Some(org.apache.spark.sql.Row(kv.substring(0, i), kv.substring(i + 1)))
+      }
+    }
+
     // json_array_elements: setof + error column (tests.rs:663-683).
     Udf.table1[String, String]("json_array_elements(string) ->> string", fallible = true) { s =>
       val t = s.trim
