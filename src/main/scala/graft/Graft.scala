@@ -22,6 +22,8 @@ object Graft {
     case _ => Metadata.empty
   }
 
+  private[graft] def builderFor(name: String): Seq[Expression] => Expression = builder(name)
+
   /** Analysis-time builder: resolves the overload by concrete child types +
     * extension metadata (exact match first, then unique safe-upcast match —
     * e.g. an INT literal flowing into a BIGINT parameter), then instantiates

@@ -172,6 +172,19 @@ object SparkEntry {
       """SELECT vec_id, hyperplane_bucket(embedding, 6) AS bucket
         |FROM embeddings ORDER BY vec_id""".stripMargin) _,
 
+    // embedding-cosine near-dup: LSH bucket join + exact threshold verify
+    "q_embed_neardup" -> dfq { s =>
+      val e = s.table("embeddings")
+        .selectExpr("vec_id", "embedding", "hyperplane_bucket(embedding, 8) AS bucket")
+      val l = e.selectExpr("bucket", "vec_id AS id_a", "embedding AS ea")
+      val r = e.selectExpr("bucket", "vec_id AS id_b", "embedding AS eb")
+      l.join(r, "bucket").where("id_a < id_b")
+        .selectExpr("id_a", "id_b", "cosine_sim(ea, eb) AS sim")
+        .where("sim >= 0.9")
+        .selectExpr("id_a", "id_b", "CAST(ROUND(sim * 10000) AS BIGINT) AS c4")
+        .orderBy("id_a", "id_b")
+    } _,
+
     // ---- multimodal (decode stubbed, plumbing real) ------------------------
     "q_image_meta" -> q(
       """SELECT doc_id, m.width, m.height, m.format
@@ -234,6 +247,17 @@ object SparkEntry {
         |FROM (SELECT window(timestamp_micros(ts DIV 1000), '1 hour') AS w, event_type, value
         |      FROM events)
         |GROUP BY w, event_type ORDER BY ws, event_type""".stripMargin) _,
+    // sessionization: 30-minute-gap sessions per user (lag + running sum)
+    "q_sessionize" -> q(
+      """SELECT user_id, event_id,
+        |       sum(new_sess) OVER (PARTITION BY user_id ORDER BY t_ms, event_id) AS session_id
+        |FROM (
+        |  SELECT user_id, event_id, t_ms,
+        |         CASE WHEN lag(t_ms, 1) OVER (PARTITION BY user_id ORDER BY t_ms, event_id) IS NULL
+        |                   OR t_ms - lag(t_ms, 1) OVER (PARTITION BY user_id ORDER BY t_ms, event_id) > 1800000
+        |              THEN 1 ELSE 0 END AS new_sess
+        |  FROM (SELECT user_id, event_id, ts DIV 1000000 AS t_ms FROM events))
+        |ORDER BY user_id, event_id""".stripMargin) _,
     "q_asof_join" -> dfq { s =>
       val e = s.table("events").selectExpr("event_id", "user_id", "ts DIV 1000000 AS t_ms")
       val o = s.table("orders").selectExpr("o_custkey",
@@ -442,6 +466,29 @@ object SparkEntry {
          |  THEN (CAST(1 AS BIGINT) << p) ELSE CAST(0 AS BIGINT) END for p in range(6)]) AS BIGINT) AS bucket
          |FROM embeddings ORDER BY vec_id""".stripMargin,
 
+    "q_embed_neardup" ->
+      s"""WITH b AS (SELECT vec_id, embedding,
+         |  CAST(list_sum([CASE WHEN
+         |    list_reduce([CAST(embedding[i] AS DOUBLE) *
+         |      (${duckMd5_60("CAST(p * 10007 + (i - 1) AS VARCHAR) || 'hp'")} / 5.764607523034235e17 - 1.0)
+         |      for i in range(1, 65)], (x, y) -> x + y) >= 0
+         |    THEN (CAST(1 AS BIGINT) << p) ELSE CAST(0 AS BIGINT) END for p in range(8)]) AS BIGINT) AS bucket
+         |  FROM embeddings),
+         |p AS (SELECT a.vec_id AS id_a, b2.vec_id AS id_b,
+         |        ${duckCos("a.embedding", "b2.embedding")} AS sim
+         |      FROM b a JOIN b b2 USING (bucket) WHERE a.vec_id < b2.vec_id)
+         |SELECT id_a, id_b, CAST(ROUND(sim * 10000) AS BIGINT) AS c4
+         |FROM p WHERE sim >= 0.9 ORDER BY id_a, id_b""".stripMargin,
+    "q_sessionize" ->
+      """SELECT user_id, event_id,
+        |       CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY t_ms, event_id) AS BIGINT) AS session_id
+        |FROM (
+        |  SELECT user_id, event_id, t_ms,
+        |         CASE WHEN lag(t_ms, 1) OVER (PARTITION BY user_id ORDER BY t_ms, event_id) IS NULL
+        |                   OR t_ms - lag(t_ms, 1) OVER (PARTITION BY user_id ORDER BY t_ms, event_id) > 1800000
+        |              THEN 1 ELSE 0 END AS new_sess
+        |  FROM (SELECT user_id, event_id, epoch_ns(ts) // 1000000 AS t_ms FROM events))
+        |ORDER BY user_id, event_id""".stripMargin,
     "q_image_meta" ->
       s"""SELECT doc_id, CAST(64 + h % 1024 AS INT) AS width, CAST(64 + (h >> 10) % 1024 AS INT) AS height,
          |       CASE WHEN h & 1 = 0 THEN 'jpeg' ELSE 'png' END AS format
