@@ -247,6 +247,14 @@ object SparkEntry {
         |FROM (SELECT window(timestamp_micros(ts DIV 1000), '1 hour') AS w, event_type, value
         |      FROM events)
         |GROUP BY w, event_type ORDER BY ws, event_type""".stripMargin) _,
+    // custom operator tier (c): TopKPerKey logical node + strategy + 2-phase exec
+    "q_topk_per_key" -> dfq { s =>
+      val o = s.table("orders").selectExpr("o_custkey", "o_orderkey",
+        "CAST(ROUND(o_totalprice * 100) AS BIGINT) * 1000000 + o_orderkey AS ord")
+      graft.plans.TopKPerKey.topK(o, Seq("o_custkey"), "ord", 3)
+        .orderBy("o_custkey", "ord")
+    } _,
+
     // sessionization: 30-minute-gap sessions per user (lag + running sum)
     "q_sessionize" -> q(
       """SELECT user_id, event_id,
@@ -479,6 +487,14 @@ object SparkEntry {
          |      FROM b a JOIN b b2 USING (bucket) WHERE a.vec_id < b2.vec_id)
          |SELECT id_a, id_b, CAST(ROUND(sim * 10000) AS BIGINT) AS c4
          |FROM p WHERE sim >= 0.9 ORDER BY id_a, id_b""".stripMargin,
+    "q_topk_per_key" ->
+      """SELECT o_custkey, o_orderkey, ord FROM (
+        |  SELECT o_custkey, o_orderkey,
+        |         CAST(ROUND(o_totalprice * 100) AS BIGINT) * 1000000 + o_orderkey AS ord,
+        |         row_number() OVER (PARTITION BY o_custkey
+        |                            ORDER BY CAST(ROUND(o_totalprice * 100) AS BIGINT) * 1000000 + o_orderkey DESC) AS rn
+        |  FROM orders) WHERE rn <= 3
+        |ORDER BY o_custkey, ord""".stripMargin,
     "q_sessionize" ->
       """SELECT user_id, event_id,
         |       CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY t_ms, event_id) AS BIGINT) AS session_id

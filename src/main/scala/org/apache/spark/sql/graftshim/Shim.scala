@@ -1,0 +1,20 @@
+package org.apache.spark.sql.graftshim
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+
+/** Narrow bridge to `private[sql]` constructors needed when building
+  * DataFrames from custom logical plans (standard technique for Spark
+  * extension libraries; no behavior is modified). */
+object Shim {
+  def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
+  def logicalPlan(df: DataFrame): LogicalPlan =
+    df.asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
+      .logicalPlan
+
+  def experimental(spark: SparkSession): org.apache.spark.sql.ExperimentalMethods =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession].experimental
+}

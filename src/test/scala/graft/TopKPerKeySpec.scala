@@ -1,0 +1,54 @@
+package graft
+
+import graft.plans.TopKPerKey
+import org.scalatest.funsuite.AnyFunSuite
+
+class TopKPerKeySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("matches the window row_number formulation exactly") {
+    val df = spark.range(100000).selectExpr(
+      "CAST(id % 37 AS INT) AS key", "id AS ord", "concat('p', id) AS payload")
+    val custom = TopKPerKey.topK(df, Seq("key"), "ord", 5)
+      .selectExpr("key", "ord", "payload")
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getString(2))).toSet
+    df.createOrReplaceTempView("tk_in")
+    val reference = spark.sql(
+      """SELECT key, ord, payload FROM (
+        |  SELECT key, ord, payload,
+        |         row_number() OVER (PARTITION BY key ORDER BY ord DESC) AS rn
+        |  FROM tk_in) WHERE rn <= 5""".stripMargin)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getString(2))).toSet
+    assert(custom == reference)
+    assert(custom.size == 37 * 5)
+  }
+
+  test("ascending mode and k larger than group size") {
+    val df = spark.range(10).selectExpr("CAST(id % 3 AS INT) AS key", "id AS ord")
+    val res = TopKPerKey.topK(df, Seq("key"), "ord", 100, asc = true)
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toSet
+    assert(res.size == 10) // every row survives when k >= group size
+  }
+
+  test("plan shape: partial exec below the exchange, final above") {
+    val df = spark.range(1000).selectExpr("CAST(id % 5 AS INT) AS key", "id AS ord")
+    val plan = TopKPerKey.topK(df, Seq("key"), "ord", 3)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartialTopKPerKey"), plan)
+    assert(plan.contains("FinalTopKPerKey"), plan)
+    val iPartial = plan.indexOf("PartialTopKPerKey")
+    val iExchange = plan.indexOf("Exchange")
+    val iFinal = plan.indexOf("FinalTopKPerKey")
+    assert(iFinal < iExchange && iExchange < iPartial,
+      s"expected Final above Exchange above Partial:\n$plan")
+  }
+
+  test("string ordering with UTF8String sort keys") {
+    val df = spark.range(1000).selectExpr(
+      "CAST(id % 4 AS INT) AS key", "concat('s', lpad(CAST(id AS STRING), 4, '0')) AS name")
+    val res = TopKPerKey.topK(df, Seq("key"), "name", 2)
+      .collect().map(r => (r.getInt(0), r.getString(1))).toSet
+    assert(res == Set((0, "s0996"), (0, "s0992"), (1, "s0997"), (1, "s0993"),
+      (2, "s0998"), (2, "s0994"), (3, "s0999"), (3, "s0995")))
+  }
+}
