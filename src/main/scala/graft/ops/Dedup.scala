@@ -123,10 +123,14 @@ object Dedup {
     val sig = df.select(col(idCol).as("id"), col(textCol).as("text"))
       .withColumn("sig", expr(s"minhash_sig(text, $k)"))
     // band-hash: fingerprint of the band's slice of the signature.
+    // persist: the banded signatures feed BOTH sides of the self-join below —
+    // without it the signature computation runs twice (at 100 TB, write the
+    // signature table out once and join from that instead)
     val banded = sig.select(col("id"), col("text"), posexplode(
       expr((0 until bands).map(b =>
         s"doc_fingerprint(concat_ws(',', transform(slice(sig, ${b * rows + 1}, $rows), x -> CAST(x AS STRING))))")
         .mkString("array(", ", ", ")"))).as(Seq("band", "bh")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val l = banded.select(col("band"), col("bh"), col("id").as("id_a"), col("text").as("text_a"))
     val r = banded.select(col("band"), col("bh"), col("id").as("id_b"), col("text").as("text_b"))
     l.join(r, Seq("band", "bh"))
@@ -146,6 +150,7 @@ object Dedup {
     val blocked = sig.select(col("id"), col("sig"), posexplode(expr(
       "array(sig & 32767, shiftright(sig, 15) & 32767, shiftright(sig, 30) & 32767, shiftright(sig, 45) & 32767)"))
       .as(Seq("blk", "key")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val l = blocked.select(col("blk"), col("key"), col("id").as("id_a"), col("sig").as("sig_a"))
     val r = blocked.select(col("blk"), col("key"), col("id").as("id_b"), col("sig").as("sig_b"))
     l.join(r, Seq("blk", "key"))
