@@ -221,6 +221,18 @@ object SparkEntry {
         |WHERE c.c_mktsegment = 'BUILDING'
         |GROUP BY o.o_orderkey, c.c_mktsegment
         |ORDER BY o.o_orderkey""".stripMargin) _,
+    // TPC-H Q5-style: five-way join through the dimension chain
+    "q5_local_supplier" -> q(
+      """SELECT n.n_name,
+        |       sum(CAST(ROUND(l.l_extendedprice * (1.0 - l.l_discount) * 100) AS BIGINT)) AS rev_cents
+        |FROM region r
+        |JOIN nation n ON n.n_regionkey = r.r_regionkey
+        |JOIN supplier s ON s.s_nationkey = n.n_nationkey
+        |JOIN lineitem l ON l.l_suppkey = s.s_suppkey
+        |JOIN orders o ON o.o_orderkey = l.l_orderkey
+        |JOIN customer c ON c.c_custkey = o.o_custkey AND c.c_nationkey = s.s_nationkey
+        |WHERE r.r_name = 'ASIA'
+        |GROUP BY n.n_name ORDER BY n.n_name""".stripMargin) _,
     "q_window_running" -> q(
       """SELECT o_custkey, o_orderkey,
         |       row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rn,
@@ -266,6 +278,14 @@ object SparkEntry {
         |              THEN 1 ELSE 0 END AS new_sess
         |  FROM (SELECT user_id, event_id, ts DIV 1000000 AS t_ms FROM events))
         |ORDER BY user_id, event_id""".stripMargin) _,
+    // sliding (overlapping) event-time windows
+    "q_sliding_window" -> q(
+      """SELECT unix_millis(w.start) AS ws, event_type, count(*) AS cnt,
+        |       sum(CAST(ROUND(value * 100) AS BIGINT)) AS val_cents
+        |FROM (SELECT window(timestamp_micros(ts DIV 1000), '1 hour', '30 minutes') AS w,
+        |             event_type, value
+        |      FROM events)
+        |GROUP BY w, event_type ORDER BY ws, event_type""".stripMargin) _,
     "q_asof_join" -> dfq { s =>
       val e = s.table("events").selectExpr("event_id", "user_id", "ts DIV 1000000 AS t_ms")
       val o = s.table("orders").selectExpr("o_custkey",
@@ -542,6 +562,17 @@ object SparkEntry {
         |WHERE c.c_mktsegment = 'BUILDING'
         |GROUP BY o.o_orderkey, c.c_mktsegment
         |ORDER BY o.o_orderkey""".stripMargin,
+    "q5_local_supplier" ->
+      """SELECT n.n_name,
+        |       CAST(sum(CAST(ROUND(l.l_extendedprice * (1.0 - l.l_discount) * 100) AS BIGINT)) AS BIGINT) AS rev_cents
+        |FROM region r
+        |JOIN nation n ON n.n_regionkey = r.r_regionkey
+        |JOIN supplier s ON s.s_nationkey = n.n_nationkey
+        |JOIN lineitem l ON l.l_suppkey = s.s_suppkey
+        |JOIN orders o ON o.o_orderkey = l.l_orderkey
+        |JOIN customer c ON c.c_custkey = o.o_custkey AND c.c_nationkey = s.s_nationkey
+        |WHERE r.r_name = 'ASIA'
+        |GROUP BY n.n_name ORDER BY n.n_name""".stripMargin,
     "q_window_running" ->
       """SELECT o_custkey, o_orderkey,
         |       CAST(row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS INT) AS rn,
@@ -566,6 +597,12 @@ object SparkEntry {
       """SELECT epoch_ms(date_trunc('hour', ts)) AS ws, event_type, count(*) AS cnt,
         |       CAST(sum(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS val_cents
         |FROM events GROUP BY 1, 2 ORDER BY ws, event_type""".stripMargin,
+    "q_sliding_window" ->
+      """SELECT t.ws AS ws, event_type, count(*) AS cnt,
+        |       CAST(sum(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS val_cents
+        |FROM (SELECT epoch_ns(ts) // 1000000 AS ms, event_type, value FROM events),
+        |     UNNEST([ms - (ms % 1800000), ms - (ms % 1800000) - 1800000]) AS t(ws)
+        |GROUP BY 1, 2 ORDER BY ws, event_type""".stripMargin,
     "q_asof_join" ->
       """SELECT event_id, user_id, o_orderkey FROM (
         |  SELECT e.event_id, e.user_id, o.o_orderkey,

@@ -86,6 +86,20 @@ class OpsSpec extends AnyFunSuite {
     assert(frames.nonEmpty && frames == frames.indices.map(_ * 1000L))
   }
 
+  test("batched kernel: column-at-a-time evaluation with chunk boundaries") {
+    import org.apache.spark.sql.types.LongType
+    val df = spark.range(2500).selectExpr("id", "id % 7 AS b") // not a multiple of 1024
+    val out = graft.functions.BatchUdf.withBatchColumn(df, "s", Seq("id", "b"), LongType,
+      batchSize = 1024) { cols =>
+      val ids = cols(0); val bs = cols(1)
+      Array.tabulate[Any](ids.length)(i =>
+        ids(i).asInstanceOf[Long] * 2 + bs(i).asInstanceOf[Long])
+    }
+    assert(out.count() == 2500)
+    val bad = out.where("s != id * 2 + b").count()
+    assert(bad == 0)
+  }
+
   test("asof join: ties, matches, and no-match nulls") {
     import org.apache.spark.sql.types._
     import scala.jdk.CollectionConverters._

@@ -34,6 +34,27 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming dedup with watermark drops duplicate doc ids") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, Long, String)]
+    val df = mem.toDF().toDF("ts", "doc_id", "text")
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("doc_id")
+    val q = df.writeStream.format("memory").queryName("dedup_stream")
+      .outputMode("append").start()
+    try {
+      def t(min: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$min%02d:00")
+      mem.addData((t(1), 1L, "a"), (t(2), 1L, "a-dup"), (t(3), 2L, "b"))
+      q.processAllAvailable()
+      mem.addData((t(4), 2L, "b-dup"), (t(5), 3L, "c"))
+      q.processAllAvailable()
+      val ids = spark.sql("SELECT doc_id, count(*) AS c FROM dedup_stream GROUP BY doc_id")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(ids == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+    } finally q.stop()
+  }
+
   test("retracting aggregate over CDC stream revises results") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
