@@ -44,6 +44,21 @@ object Bench {
           .selectExpr("add(CAST(id % 1000 AS INT), CAST(id % 97 AS INT)) AS a")
           .write.format("noop").mode("overwrite").save()
       },
+      "x_udaf_10m" -> { s: SparkSession =>
+        Graft.install(s)
+        s.range(10000000L)
+          .selectExpr("id % 64 AS k", "CAST(id % 1000 AS INT) AS v")
+          .groupBy("k").agg(org.apache.spark.sql.functions.call_function("sum_udaf",
+            org.apache.spark.sql.functions.col("v")))
+          .write.format("noop").mode("overwrite").save()
+      },
+      "x_tablefn_16k_x_1k" -> { s: SparkSession =>
+        Graft.install(s)
+        // reference's range-table-fn benchmark shape (16K invocations),
+        // scaled to 1000 output rows each = 16.4M generated rows
+        s.sql("SELECT count(*) FROM range(16384) LATERAL VIEW range_setof(1000) t AS v")
+          .write.format("noop").mode("overwrite").save()
+      },
     )
     val tputResults = throughput.map { case (name, fn) =>
       val t0 = System.nanoTime()

@@ -36,8 +36,23 @@ object Dedup {
     // banding. P is a 30-bit prime so a_i·x stays inside Int64 (and inside
     // DuckDB's BIGINT for the oracle replica). Returns bigint[k].
     Udf.scalar2[String, Int, Seq[Long]]("minhash_sig(string, int) -> bigint[]") { (s, k) =>
-      val shingles = shingleSet(s, 3)
-      val bases = shingles.iterator.map(sh => Hashing.md5_60(sh) % MinhashP).toArray
+      // duplicates don't affect a min, so shingles stream straight into the
+      // hash (no Set materialization, no per-call regex compile)
+      val ws = Tokens.split(s)
+      val bases: Array[Long] =
+        if (ws.length < 3) Array(Hashing.md5_60(ws.mkString(" ")) % MinhashP)
+        else {
+          val out = new Array[Long](ws.length - 2)
+          val sb = new java.lang.StringBuilder()
+          var i = 0
+          while (i < ws.length - 2) {
+            sb.setLength(0)
+            sb.append(ws(i)).append(' ').append(ws(i + 1)).append(' ').append(ws(i + 2))
+            out(i) = Hashing.md5_60(sb.toString) % MinhashP
+            i += 1
+          }
+          out
+        }
       (0 until k).map { seed =>
         val a = minhashA(seed); val b = minhashB(seed)
         var mn = Long.MaxValue
@@ -88,6 +103,12 @@ object Dedup {
           inter.toDouble / (sa.size + sb.size - inter).toDouble
         }
     }
+  }
+
+  /** Shared whitespace tokenizer with a precompiled pattern. */
+  object Tokens {
+    private val ws = java.util.regex.Pattern.compile("\\s+")
+    def split(s: String): Array[String] = ws.split(s).filter(_.nonEmpty)
   }
 
   /** 30-bit prime modulus for the minhash universal-hash family. */
