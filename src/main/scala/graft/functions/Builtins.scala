@@ -143,12 +143,20 @@ object Builtins {
         d.toLocalDate.atStartOfDay.plusNanos(micros * 1000L)
     }
 
-    // ---- stable hashes (shared by dedup/fingerprint operators) -------------
-    Udf.native("fnv64(string) -> bigint") { children =>
-      ScalarInvoke("fnv64",
-        a => Kernels.fnv1a64(a(0).asInstanceOf[String].getBytes("UTF-8")),
-        org.apache.spark.sql.types.LongType, children)
+    // json_get(json, i) -> json : array element access on the json extension
+    // type (reference jsonb_access, `arrow-udf-example`); resolves only for
+    // metadata-tagged json arguments.
+    Udf.scalar2[String, Int, String]("json_get(json, int) -> json") { (s, i) =>
+      val t = s.trim
+      if (!t.startsWith("[") || !t.endsWith("]")) null
+      else {
+        val parts = splitTopJson(t.substring(1, t.length - 1).trim).map(_.trim)
+        if (i < 0 || i >= parts.length || parts(i).isEmpty) null else parts(i)
+      }
     }
+
+    // ---- stable hashes (shared by dedup/fingerprint operators) -------------
+    Udf.native("fnv64(string) -> bigint") { children => Fnv64Expr(children(0)) }
     Udf.native("poly_hash(string) -> bigint") { children =>
       ScalarInvoke("poly_hash",
         a => { val s = a(0).asInstanceOf[String]

@@ -184,6 +184,39 @@ case class TableFnInvoke(
       newChildren: IndexedSeq[Expression]): Expression = copy(children = newChildren)
 }
 
+/** Native codegen'd FNV-1a 64 over a string's UTF-8 bytes. */
+case class Fnv64Expr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "fnv64"
+  override protected def nullSafeEval(input: Any): Any =
+    Kernels.fnv1a64(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.fnv1a64($c)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Native codegen'd double-precision cosine over float[] columns — primitive
+  * `ArrayData` access, no boxing (hot path of the similarity operators). */
+case class CosineSimExpr(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "cosine_sim"
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    Kernels.cosineSim(a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.Kernels.cosineSim($a, $b)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Native codegen'd gcd — the reference's flagship benchmark function
   * (`README.md:88-93`). Int and Long overloads. */
 case class GcdExpr(left: Expression, right: Expression)

@@ -38,6 +38,23 @@ object Kernels {
     h
   }
 
+  /** Double-precision cosine over two float arrays (Catalyst `ArrayData`),
+    * fixed left-to-right order — primitive access, no per-element boxing.
+    * Referenced from [[graft.functions.CosineSimExpr]] generated code. */
+  def cosineSim(a: org.apache.spark.sql.catalyst.util.ArrayData,
+                b: org.apache.spark.sql.catalyst.util.ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a.getFloat(i).toDouble
+      val y = b.getFloat(i).toDouble
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
   /** Polynomial rolling hash mod a prime — chosen because it is exactly
     * reproducible in the DuckDB oracle with `list_reduce` over `ascii()`
     * codes, giving the correctness gate a bit-exact target. */

@@ -29,18 +29,10 @@ import org.apache.spark.sql.functions._
 object Similarity {
 
   def registerAll(): Unit = {
-    // Deterministic double-precision cosine; inputs are float[] columns.
-    Udf.scalar2[Seq[Float], Seq[Float], Double]("cosine_sim(float[], float[]) -> double") {
-      (a, b) =>
-        var dot = 0.0; var na = 0.0; var nb = 0.0
-        var i = 0
-        val n = math.min(a.length, b.length)
-        while (i < n) {
-          val x = a(i).toDouble; val y = b(i).toDouble
-          dot += x * y; na += x * x; nb += y * y
-          i += 1
-        }
-        if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+    // Deterministic double-precision cosine; native codegen'd expression
+    // reading primitive ArrayData (no boxing on the hot path).
+    graft.functions.Udf.native("cosine_sim(float[], float[]) -> double") { children =>
+      graft.functions.CosineSimExpr(children(0), children(1))
     }
 
     Udf.scalar2[Seq[Float], Seq[Float], Double]("dot_product(float[], float[]) -> double") {

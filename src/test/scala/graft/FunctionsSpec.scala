@@ -131,6 +131,21 @@ class FunctionsSpec extends AnyFunSuite {
     assert(r.getString(4) == "{\"key\":\"k\",\"value\":\"v\"}")
   }
 
+  test("json_get: extension-typed array access (jsonb_access fixture)") {
+    import org.apache.spark.sql.functions._
+    val df = spark.range(1).select(
+      Graft.tagged(lit("""[1, null, ""]"""), "j", graft.types.GraftType.JsonExt))
+    val r = df.selectExpr("json_get(j, 0)", "json_get(j, 1)", "json_get(j, 2)",
+      "json_get(j, 9)").collect().head
+    assert(r.getString(0) == "1")
+    assert(r.getString(1) == "null") // JSON null literal, not SQL NULL
+    assert(r.getString(2) == "\"\"")
+    assert(r.isNullAt(3)) // out of bounds -> SQL NULL
+    // untagged strings must not resolve
+    val e = intercept[Exception](spark.sql("SELECT json_get('[1]', 0)").collect())
+    assert(e.getMessage.contains("no overload"))
+  }
+
   test("datetime(date, time64) -> timestamp composition") {
     import org.apache.spark.sql.functions._
     val df = spark.range(1).select(
