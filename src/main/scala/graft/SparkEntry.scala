@@ -290,7 +290,7 @@ object SparkEntry {
       val e = s.table("events").selectExpr("event_id", "user_id", "ts DIV 1000000 AS t_ms")
       val o = s.table("orders").selectExpr("o_custkey",
         "unix_millis(CAST(o_orderdate AS TIMESTAMP)) AS t_ms", "o_orderkey")
-      graft.plans.AsofJoin.asof(e, o, "user_id", "o_custkey", "t_ms", "t_ms",
+      graft.plans.AsofJoinNative.asof(e, o, "user_id", "o_custkey", "t_ms", "t_ms",
           "o_orderkey", Seq("o_orderkey"))
         .select("event_id", "user_id", "o_orderkey").orderBy("event_id")
     } _,
