@@ -240,6 +240,17 @@ object SparkEntry {
         |         OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
         |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_cents
         |FROM orders ORDER BY o_custkey, rn""".stripMargin) _,
+    // Q17-style correlated scalar subquery, integer-exact threshold:
+    // qty < 0.2 * avg(qty per part)  ⟺  qty_cents * cnt * 5 < sum_cents
+    "q17_small_quantity" -> q(
+      """SELECT l.l_orderkey, l.l_linenumber, l.l_partkey
+        |FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        |WHERE p.p_brand = 'Brand#13'
+        |  AND CAST(ROUND(l.l_quantity * 100) AS BIGINT)
+        |      * (SELECT count(*) FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey) * 5
+        |    < (SELECT sum(CAST(ROUND(l3.l_quantity * 100) AS BIGINT))
+        |       FROM lineitem l3 WHERE l3.l_partkey = l.l_partkey)
+        |ORDER BY l.l_orderkey, l.l_linenumber""".stripMargin) _,
     "q_topk" -> q(
       """SELECT o_orderkey, CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
         |FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin) _,
@@ -580,6 +591,15 @@ object SparkEntry {
         |         OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
         |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS run_cents
         |FROM orders ORDER BY o_custkey, rn""".stripMargin,
+    "q17_small_quantity" ->
+      """SELECT l.l_orderkey, l.l_linenumber, l.l_partkey
+        |FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        |WHERE p.p_brand = 'Brand#13'
+        |  AND CAST(ROUND(l.l_quantity * 100) AS BIGINT)
+        |      * (SELECT count(*) FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey) * 5
+        |    < (SELECT CAST(sum(CAST(ROUND(l3.l_quantity * 100) AS BIGINT)) AS BIGINT)
+        |       FROM lineitem l3 WHERE l3.l_partkey = l.l_partkey)
+        |ORDER BY l.l_orderkey, l.l_linenumber""".stripMargin,
     "q_topk" ->
       """SELECT o_orderkey, CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
         |FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,

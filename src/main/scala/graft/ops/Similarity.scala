@@ -69,6 +69,20 @@ object Similarity {
     }
   }
 
+  /** Serializable helpers used inside IVF UDF closures. */
+  object Ivf extends Serializable {
+    def dist2(c: Array[Double], v: Seq[Float]): Double = {
+      var d = 0.0; var i = 0
+      val n = math.min(c.length, v.length)
+      while (i < n) { val t = c(i) - v(i); d += t * t; i += 1 }
+      d
+    }
+    def nearest(cs: Array[(Int, Array[Double])], v: Seq[Float]): Int =
+      cs.minBy { case (id, c) => (dist2(c, v), id) }._1
+    def nearestK(cs: Array[(Int, Array[Double])], v: Seq[Float], k: Int): Seq[Int] =
+      cs.sortBy { case (id, c) => (dist2(c, v), id) }.take(k).map(_._1).toSeq
+  }
+
   private val planeCache =
     new java.util.concurrent.ConcurrentHashMap[(Int, Int), Array[Array[Double]]]()
 
@@ -86,6 +100,65 @@ object Similarity {
     * shuffles full vectors — only (qid, id, sim) triples. */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
     val scored = corpus.crossJoin(broadcast(queries))
+      .withColumn("sim", expr("cosine_sim(embedding, q_embedding)"))
+      .select(col("q_id"), col("vec_id"), col("sim"))
+    val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+  }
+
+  /**
+   * IVF (inverted-file) ANN: deterministic distributed k-means centroids,
+   * corpus assigned to its nearest centroid, queries probe `nprobe` nearest
+   * cells and rerank exactly. The other bucketing family next to hyperplane
+   * LSH — same topology (assignment column + bucket equi-join + per-bucket
+   * rerank), but data-adaptive cells.
+   *
+   * Scale: each Lloyd iteration is one map (assign via broadcast centroids)
+   * + one tiny shuffle (groupBy centroid, k rows out). Assignment is a pure
+   * projection; the search join shuffles candidates only.
+   */
+  def ivfCentroids(corpus: DataFrame, k: Int, iters: Int = 5): Array[(Int, Array[Double])] = {
+    val spark = corpus.sparkSession
+    import org.apache.spark.sql.Row
+    // deterministic init: evenly-strided vectors by vec_id
+    val n = corpus.count()
+    val stride = math.max(1L, n / k)
+    var centroids: Array[(Int, Array[Double])] = corpus
+      .where(col("vec_id") % stride === 0).orderBy("vec_id").limit(k)
+      .select("embedding").collect().zipWithIndex
+      .map { case (r, i) => (i, r.getSeq[Float](0).map(_.toDouble).toArray) }
+    for (_ <- 0 until iters) {
+      val bc = spark.sparkContext.broadcast(centroids)
+      val assignCell = udf { (v: Seq[Float]) => Ivf.nearest(bc.value, v) }
+      val sums = corpus.select(assignCell(col("embedding")).as("cell"), col("embedding"))
+        .groupBy("cell")
+        .agg(count(lit(1)).as("n"), collect_list("embedding").as("vs"))
+        .collect()
+      centroids = sums.map { r =>
+        val cell = r.getInt(0)
+        val vs = r.getSeq[Seq[Float]](2)
+        val dim = vs.head.length
+        val mean = new Array[Double](dim)
+        vs.foreach { v => var i = 0; while (i < dim) { mean(i) += v(i); i += 1 } }
+        var i = 0
+        while (i < dim) { mean(i) /= vs.length; i += 1 }
+        (cell, mean)
+      }.sortBy(_._1)
+    }
+    centroids
+  }
+
+  /** Assign + probe + exact rerank. `queries` columns: q_id, q_embedding. */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+              nCells: Int = 16, nprobe: Int = 3): DataFrame = {
+    val spark = corpus.sparkSession
+    val centroids = ivfCentroids(corpus, nCells)
+    val bc = spark.sparkContext.broadcast(centroids)
+    val assignCell = udf { (v: Seq[Float]) => Ivf.nearest(bc.value, v) }
+    val probeCells = udf { (v: Seq[Float]) => Ivf.nearestK(bc.value, v, nprobe) }
+    val c = corpus.withColumn("cell", assignCell(col("embedding")))
+    val q = queries.withColumn("cell", explode(probeCells(col("q_embedding"))))
+    val scored = c.join(broadcast(q), Seq("cell"))
       .withColumn("sim", expr("cosine_sim(embedding, q_embedding)"))
       .select(col("q_id"), col("vec_id"), col("sim"))
     val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("vec_id").asc)

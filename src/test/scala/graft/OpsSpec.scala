@@ -71,6 +71,17 @@ class OpsSpec extends AnyFunSuite {
     assert((exact intersect approx).size >= 5)
   }
 
+  test("ivfTopK: self-retrieval and overlap with exact top-k") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = emb.where("vec_id < 3").selectExpr("vec_id AS q_id", "embedding AS q_embedding")
+    val exact = Similarity.bruteForceTopK(emb, queries, 5)
+      .select("q_id", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.ivfTopK(emb, queries, 5, nCells = 8, nprobe = 3)
+      .select("q_id", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert((0 until 3).forall(q => ivf.contains((q.toLong, q.toLong)))) // finds itself
+    assert((exact intersect ivf).size >= 5) // non-trivial recall
+  }
+
   test("multimodal: mapPartitions feature extraction + frame sampling") {
     val df = docsDf.selectExpr("doc_id", "CAST(text AS BINARY) AS payload")
     val feats = Multimodal.extractImageFeatures(df, "payload")

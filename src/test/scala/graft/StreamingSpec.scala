@@ -34,6 +34,35 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("batch ≡ stream: tumbling-window aggregate over the events file source") {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val dir = "/root/testdata/sf0.001"
+    val batchDf = spark.read.parquet(s"$dir/events.parquet")
+    val schema = batchDf.schema
+    def windowed(df: org.apache.spark.sql.DataFrame) = df
+      .selectExpr("window(timestamp_micros(ts DIV 1000), '1 hour') AS w", "event_type", "value")
+      .groupBy("w", "event_type")
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("cnt"))
+      .selectExpr("unix_millis(w.start) AS ws", "event_type", "cnt")
+    val expected = windowed(batchDf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    // the file stream source requires a directory
+    val streamDir = java.nio.file.Files.createTempDirectory("graft_stream")
+    java.nio.file.Files.copy(java.nio.file.Paths.get(s"$dir/events.parquet"),
+      streamDir.resolve("events.parquet"))
+    val stream = spark.readStream.schema(schema).parquet(streamDir.toString)
+    val q = windowed(stream).writeStream.format("memory").queryName("stream_parity")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.sql("SELECT ws, event_type, cnt FROM stream_parity").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+      assert(got == expected)
+      assert(got.nonEmpty)
+    } finally q.stop()
+  }
+
   test("streaming dedup with watermark drops duplicate doc ids") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
