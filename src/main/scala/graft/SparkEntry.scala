@@ -168,6 +168,14 @@ object SparkEntry {
         .selectExpr("q_id", "vec_id", "rank", "CAST(ROUND(sim * 10000) AS BIGINT) AS c4")
         .orderBy("q_id", "rank")
     } _,
+    // IVF ANN (no SQL oracle — k-means cells; driver rows-only check)
+    "q_ivf_topk" -> dfq { s =>
+      val queries = s.table("embeddings").where("vec_id < 5")
+        .selectExpr("vec_id AS q_id", "embedding AS q_embedding")
+      graft.ops.Similarity.ivfTopK(s.table("embeddings"), queries, 10, nCells = 16, nprobe = 4)
+        .selectExpr("q_id", "vec_id", "rank", "CAST(ROUND(sim * 10000) AS BIGINT) AS c4")
+        .orderBy("q_id", "rank")
+    } _,
     "q_lsh_bucket" -> q(
       """SELECT vec_id, hyperplane_bucket(embedding, 6) AS bucket
         |FROM embeddings ORDER BY vec_id""".stripMargin) _,

@@ -136,7 +136,7 @@ object Similarity {
         .collect()
       centroids = sums.map { r =>
         val cell = r.getInt(0)
-        val vs = r.getSeq[Seq[Float]](2)
+        val vs = r.getSeq[scala.collection.Seq[Float]](2)
         val dim = vs.head.length
         val mean = new Array[Double](dim)
         vs.foreach { v => var i = 0; while (i < dim) { mean(i) += v(i); i += 1 } }
