@@ -144,6 +144,12 @@ object SparkEntry {
         .selectExpr("id_a", "id_b", "CAST(ROUND(jaccard * 10000) AS BIGINT) AS j4")
         .orderBy("id_a", "id_b")
     } _,
+    // full fuzzy-dedup pipeline: LSH pairs -> connected components -> keep min
+    "q_near_dedup" -> dfq { s =>
+      graft.ops.Dedup.nearDedupCorpus(s.table("documents"), "text", "doc_id",
+          k = 16, bands = 4, threshold = 0.3)
+        .select("doc_id", "n_chars").orderBy("doc_id")
+    } _,
     "q_simhash" -> q(
       """SELECT doc_id, simhash(text) AS sig
         |FROM documents ORDER BY doc_id""".stripMargin) _,
@@ -327,6 +333,25 @@ object SparkEntry {
     s"""(list_reduce([CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE) for i in range(1, 65)], (x, y) -> x + y)
        | / (sqrt(list_reduce([CAST($a[i] AS DOUBLE) * CAST($a[i] AS DOUBLE) for i in range(1, 65)], (x, y) -> x + y))
        |  * sqrt(list_reduce([CAST($b[i] AS DOUBLE) * CAST($b[i] AS DOUBLE) for i in range(1, 65)], (x, y) -> x + y))))""".stripMargin
+  /** Shared minhash CTE chain (k=16, 4 bands × 4 rows) ending in `jac`
+    * (candidate pairs + intersection/set sizes). */
+  private lazy val duckMinhashCtes: String =
+    s"""w AS (SELECT doc_id, $duckWords AS ws FROM documents),
+       |sh AS (SELECT doc_id, ${duckShingles(3)} AS shingles FROM w),
+       |hs AS (SELECT doc_id, [${duckMd5_60("s2")} % 1073741789 for s2 in shingles] AS bases FROM sh),
+       |sig AS (SELECT doc_id, [coalesce(list_min([
+       |    ((${duckMd5_60("CAST(seed AS VARCHAR) || 'a'")} % 1073741789) * h
+       |     + (${duckMd5_60("CAST(seed AS VARCHAR) || 'b'")} % 1073741789)) % 1073741789
+       |  for h in bases]), 0) for seed in range(16)] AS sig FROM hs),
+       |band AS (SELECT doc_id, t.b, ${duckMd5_60("array_to_string(sig[t.b*4+1:t.b*4+4], ',')")} AS bh
+       |         FROM sig, (SELECT unnest(range(4)) AS b) t),
+       |cand AS (SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b
+       |         FROM band a JOIN band b2 USING (b, bh) WHERE a.doc_id < b2.doc_id),
+       |jac AS (SELECT id_a, id_b,
+       |          len(list_intersect(list_distinct(sa.shingles), list_distinct(sb.shingles))) AS i,
+       |          len(list_distinct(sa.shingles)) AS la, len(list_distinct(sb.shingles)) AS lb
+       |        FROM cand JOIN sh sa ON sa.doc_id = id_a JOIN sh sb ON sb.doc_id = id_b)""".stripMargin
+
   private val duckSimhash =
     s"""SELECT doc_id, CAST(list_sum([CASE WHEN CAST(list_sum([
        |    len(list_filter(ts, x -> x = t)) *
@@ -457,24 +482,23 @@ object SparkEntry {
          |  for h in bases]), 0) for seed in range(8)] AS sig
          |FROM hs ORDER BY doc_id""".stripMargin,
     "q_minhash_pairs" ->
-      s"""WITH w AS (SELECT doc_id, $duckWords AS ws FROM documents),
-         |sh AS (SELECT doc_id, ${duckShingles(3)} AS shingles FROM w),
-         |hs AS (SELECT doc_id, [${duckMd5_60("s2")} % 1073741789 for s2 in shingles] AS bases FROM sh),
-         |sig AS (SELECT doc_id, [coalesce(list_min([
-         |    ((${duckMd5_60("CAST(seed AS VARCHAR) || 'a'")} % 1073741789) * h
-         |     + (${duckMd5_60("CAST(seed AS VARCHAR) || 'b'")} % 1073741789)) % 1073741789
-         |  for h in bases]), 0) for seed in range(16)] AS sig FROM hs),
-         |band AS (SELECT doc_id, t.b, ${duckMd5_60("array_to_string(sig[t.b*4+1:t.b*4+4], ',')")} AS bh
-         |         FROM sig, (SELECT unnest(range(4)) AS b) t),
-         |cand AS (SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b
-         |         FROM band a JOIN band b2 USING (b, bh) WHERE a.doc_id < b2.doc_id),
-         |jac AS (SELECT id_a, id_b,
-         |          len(list_intersect(list_distinct(sa.shingles), list_distinct(sb.shingles))) AS i,
-         |          len(list_distinct(sa.shingles)) AS la, len(list_distinct(sb.shingles)) AS lb
-         |        FROM cand JOIN sh sa ON sa.doc_id = id_a JOIN sh sb ON sb.doc_id = id_b)
+      s"""WITH $duckMinhashCtes
          |SELECT id_a, id_b, CAST(ROUND(CAST(i AS DOUBLE) / CAST(la + lb - i AS DOUBLE) * 10000) AS BIGINT) AS j4
          |FROM jac WHERE CAST(i AS DOUBLE) / CAST(la + lb - i AS DOUBLE) >= 0.3
          |ORDER BY id_a, id_b""".stripMargin,
+    "q_near_dedup" ->
+      s"""WITH RECURSIVE $duckMinhashCtes,
+         |p AS (SELECT id_a, id_b FROM jac
+         |      WHERE CAST(i AS DOUBLE) / CAST(la + lb - i AS DOUBLE) >= 0.3),
+         |edges AS (SELECT id_a AS s, id_b AS d FROM p
+         |          UNION ALL SELECT id_b AS s, id_a AS d FROM p),
+         |reach(id, r) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.d, reach.r FROM reach JOIN edges e ON e.s = reach.id),
+         |comp AS (SELECT id, min(r) AS comp FROM reach GROUP BY id)
+         |SELECT d.doc_id, d.n_chars FROM documents d JOIN comp c ON c.id = d.doc_id
+         |WHERE c.comp = d.doc_id ORDER BY d.doc_id""".stripMargin,
     "q_simhash" -> (duckSimhash + "\nORDER BY doc_id"),
     "q_hamming" ->
       s"""WITH s AS ($duckSimhash)

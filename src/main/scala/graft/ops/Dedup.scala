@@ -162,6 +162,41 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /**
+   * Full fuzzy-dedup pipeline: minhash-LSH candidate pairs → connected
+   * components (small-label propagation) → keep the lowest-id document per
+   * component. The canonical corpus-dedup shape at 100 TB: pair generation
+   * never materializes O(n²); label propagation converges in
+   * O(component diameter) iterations, each one self-join on ids (near-dup
+   * components are tiny in practice, so few iterations).
+   */
+  def nearDedupCorpus(df: DataFrame, textCol: String, idCol: String,
+                      k: Int = 16, bands: Int = 4, threshold: Double = 0.5): DataFrame = {
+    val pairs = minhashPairs(df, textCol, idCol, k, bands, threshold)
+      .select(col("id_a"), col("id_b"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val edges = pairs.union(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
+    var labels = df.select(col(idCol).cast("long").as("id"))
+      .withColumn("comp", col("id"))
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < 20) {
+      // candidate label for dst = min over neighbors' current labels
+      val proposals = edges.join(labels, edges("id_a") === labels("id"))
+        .groupBy(col("id_b").as("id")).agg(min(col("comp")).as("ncomp"))
+      val updated = labels.join(proposals, Seq("id"), "left")
+        .select(col("id"),
+          least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp"),
+          col("comp").as("old"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      changed = updated.where(col("comp") =!= col("old")).count()
+      labels = updated.select(col("id"), col("comp"))
+      iter += 1
+    }
+    val keep = labels.where(col("comp") === col("id")).select(col("id").as(idCol))
+    df.join(keep, Seq(idCol), "left_semi")
+  }
+
   /** SimHash near-dup pairs: block on the 4 15-bit quarters of the signature
     * (a pair within Hamming distance 3 shares at least one identical quarter
     * — pigeonhole), then verify the true Hamming distance. */

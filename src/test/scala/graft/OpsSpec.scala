@@ -36,6 +36,12 @@ class OpsSpec extends AnyFunSuite {
     assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L))
   }
 
+  test("nearDedupCorpus collapses near-dup components to the lowest id") {
+    val kept = Dedup.nearDedupCorpus(docsDf, "text", "doc_id", k = 16, bands = 8,
+      threshold = 0.5).select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(kept == Seq(0L, 2L, 4L)) // {0,1,3} collapse to 0; 2 and 4 survive
+  }
+
   test("simhashPairs: exact dup at distance 0; hamming sane") {
     val pairs = Dedup.simhashPairs(docsDf, "text", "doc_id", maxDist = 6)
       .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
