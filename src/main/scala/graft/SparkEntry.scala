@@ -130,6 +130,18 @@ object SparkEntry {
       """SELECT doc_id, word_ngrams(text, 2) AS ngrams
         |FROM documents ORDER BY doc_id""".stripMargin) _,
 
+    // capstone: corpus curation — language/quality/length gates + exact dedup
+    // in ONE declarative pass (single scan + one aggregate for the dedup keys)
+    "q_curate_corpus" -> q(
+      """SELECT doc_id, lang_id(text) AS lang_pred, quality_score(text) AS score,
+        |       token_count(text) AS n_tok
+        |FROM documents
+        |WHERE quality_score(text) >= 0.3
+        |  AND token_count(text) >= 20
+        |  AND lang_id(text) <> 'und'
+        |  AND doc_id IN (SELECT min(doc_id) FROM documents GROUP BY doc_fingerprint(text))
+        |ORDER BY doc_id""".stripMargin) _,
+
     // ---- dedup -------------------------------------------------------------
     "q_dedup_exact" -> dfq { s =>
       graft.ops.Dedup.exactDedup(s.table("documents"), "text", "doc_id")
@@ -468,6 +480,40 @@ object SparkEntry {
          |FROM (SELECT doc_id, $duckWords AS ws FROM documents)
          |ORDER BY doc_id""".stripMargin,
 
+    "q_curate_corpus" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, list_filter(str_split_regex(lower(text), '\\s+'), x -> x <> '') AS ts,
+         |         $duckWords AS rawts,
+         |         len(regexp_extract_all(text, '[^\\p{L}\\p{N}\\s]')) AS n_punct,
+         |         length(text) AS len_s
+         |  FROM documents),
+         |m AS (
+         |  SELECT doc_id, len(rawts) AS n_tok,
+         |    len(list_filter(ts, x -> x IN ('the','and','of','to','a','in','is','it','that','for'))) AS n_stop,
+         |    n_punct, len_s,
+         |    list_sort([
+         |      {'s': -len(list_filter(ts, x -> x IN ('the','and','of','to','a','in','is','it','that','for'))), 'l': 'en'},
+         |      {'s': -len(list_filter(ts, x -> x IN ('der','die','das','und','ist','nicht','ein','zu','mit','von'))), 'l': 'de'},
+         |      {'s': -len(list_filter(ts, x -> x IN ('el','la','de','que','y','en','un','es','por','los'))), 'l': 'es'},
+         |      {'s': -len(list_filter(ts, x -> x IN ('le','la','de','et','un','est','que','pour','dans','les'))), 'l': 'fr'},
+         |      {'s': -len(list_filter(ts, x -> x IN ('的','是','不','了','在','有','我','他','这','中'))), 'l': 'zh'}
+         |    ]) AS sorted
+         |  FROM tok),
+         |scored AS (
+         |  SELECT doc_id,
+         |    CASE WHEN struct_extract(sorted[1], 's') = 0 THEN 'und'
+         |         ELSE struct_extract(sorted[1], 'l') END AS lang_pred,
+         |    CASE WHEN n_tok = 0 THEN 0.0 ELSE
+         |      0.4 * (n_stop / CAST(n_tok AS DOUBLE))
+         |      + 0.3 * least(n_tok / 100.0, 1.0)
+         |      + 0.3 * (1.0 - n_punct / CAST(len_s AS DOUBLE)) END AS score,
+         |    CAST(n_tok AS INT) AS n_tok
+         |  FROM m)
+         |SELECT s.doc_id, s.lang_pred, s.score, s.n_tok
+         |FROM scored s
+         |WHERE s.score >= 0.3 AND s.n_tok >= 20 AND s.lang_pred <> 'und'
+         |  AND s.doc_id IN (SELECT min(doc_id) FROM documents GROUP BY md5(text))
+         |ORDER BY s.doc_id""".stripMargin,
     "q_dedup_exact" ->
       """SELECT doc_id, n_chars FROM documents
         |WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY md5(text))
