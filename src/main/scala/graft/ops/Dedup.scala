@@ -141,22 +141,29 @@ object Dedup {
   def minhashPairs(df: DataFrame, textCol: String, idCol: String,
                    k: Int = 16, bands: Int = 4, threshold: Double = 0.5): DataFrame = {
     val rows = k / bands
-    val sig = df.select(col(idCol).as("id"), col(textCol).as("text"))
+    val docs = df.select(col(idCol).as("id"), col(textCol).as("text"))
+    // band-hash: fingerprint of the band's slice of the signature. Text is
+    // dropped BEFORE the exchange — the band self-join and the distinct
+    // shuffle only (band, bh, id) triples (~24 bytes/row), never document
+    // bodies. persist: the banded rows feed both sides of the self-join (at
+    // 100 TB, write the signature table out once and join from that instead).
+    val banded = docs
       .withColumn("sig", expr(s"minhash_sig(text, $k)"))
-    // band-hash: fingerprint of the band's slice of the signature.
-    // persist: the banded signatures feed BOTH sides of the self-join below —
-    // without it the signature computation runs twice (at 100 TB, write the
-    // signature table out once and join from that instead)
-    val banded = sig.select(col("id"), col("text"), posexplode(
-      expr((0 until bands).map(b =>
-        s"doc_fingerprint(concat_ws(',', transform(slice(sig, ${b * rows + 1}, $rows), x -> CAST(x AS STRING))))")
-        .mkString("array(", ", ", ")"))).as(Seq("band", "bh")))
+      .select(col("id"), posexplode(
+        expr((0 until bands).map(b =>
+          s"doc_fingerprint(concat_ws(',', transform(slice(sig, ${b * rows + 1}, $rows), x -> CAST(x AS STRING))))")
+          .mkString("array(", ", ", ")"))).as(Seq("band", "bh")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val l = banded.select(col("band"), col("bh"), col("id").as("id_a"), col("text").as("text_a"))
-    val r = banded.select(col("band"), col("bh"), col("id").as("id_b"), col("text").as("text_b"))
-    l.join(r, Seq("band", "bh"))
+    val l = banded.select(col("band"), col("bh"), col("id").as("id_a"))
+    val r = banded.select(col("band"), col("bh"), col("id").as("id_b"))
+    val cand = l.join(r, Seq("band", "bh"))
       .where(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("text_a"), col("text_b")).distinct()
+      .select(col("id_a"), col("id_b")).distinct()
+    // texts rejoin exactly once, only for surviving candidate pairs (a tiny
+    // fraction of the corpus), for the true-Jaccard verification
+    cand
+      .join(docs.select(col("id").as("id_a"), col("text").as("text_a")), Seq("id_a"))
+      .join(docs.select(col("id").as("id_b"), col("text").as("text_b")), Seq("id_b"))
       .withColumn("jaccard", expr("ngram_jaccard(text_a, text_b, 3)"))
       .where(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
@@ -164,35 +171,56 @@ object Dedup {
 
   /**
    * Full fuzzy-dedup pipeline: minhash-LSH candidate pairs → connected
-   * components (small-label propagation) → keep the lowest-id document per
-   * component. The canonical corpus-dedup shape at 100 TB: pair generation
-   * never materializes O(n²); label propagation converges in
-   * O(component diameter) iterations, each one self-join on ids (near-dup
-   * components are tiny in practice, so few iterations).
+   * components (min-label propagation + pointer jumping) → keep the lowest-id
+   * document per component. The canonical corpus-dedup shape at 100 TB: pair
+   * generation never materializes O(n²); each iteration combines one
+   * propagation step (labels flow across edges) with one pointer-jump step
+   * (`comp := label(comp)`, halving chain lengths), so convergence is
+   * O(log diameter) — a 1M-doc boilerplate chain needs ~20 iterations, not 1M.
+   * Lineage is truncated with `localCheckpoint` every few iterations and the
+   * previous iteration's cache is dropped, so plan depth and block usage stay
+   * bounded. Throws if the component structure has not converged after
+   * `maxIter` iterations (silent under-deduplication is worse than failing).
    */
   def nearDedupCorpus(df: DataFrame, textCol: String, idCol: String,
-                      k: Int = 16, bands: Int = 4, threshold: Double = 0.5): DataFrame = {
+                      k: Int = 16, bands: Int = 4, threshold: Double = 0.5,
+                      maxIter: Int = 50): DataFrame = {
     val pairs = minhashPairs(df, textCol, idCol, k, bands, threshold)
       .select(col("id_a"), col("id_b"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val edges = pairs.union(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
     var labels = df.select(col(idCol).cast("long").as("id"))
       .withColumn("comp", col("id"))
+    var prev: Option[DataFrame] = None
     var changed = 1L
     var iter = 0
-    while (changed > 0 && iter < 20) {
+    while (changed > 0 && iter < maxIter) {
       // candidate label for dst = min over neighbors' current labels
       val proposals = edges.join(labels, edges("id_a") === labels("id"))
         .groupBy(col("id_b").as("id")).agg(min(col("comp")).as("ncomp"))
-      val updated = labels.join(proposals, Seq("id"), "left")
+      val prop = labels.join(proposals, Seq("id"), "left")
         .select(col("id"),
           least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp"),
           col("comp").as("old"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // pointer jump: comp := label(comp). Labels are always document ids, so
+      // the self-join always hits; chains halve every iteration.
+      val m = prop.select(col("id").as("jid"), col("comp").as("jcomp"))
+      val jumped = prop.join(m, prop("comp") === m("jid"), "left")
+        .select(prop("id"), coalesce(col("jcomp"), prop("comp")).as("comp"), col("old"))
+      // localCheckpoint every 4th iteration truncates lineage (plan depth
+      // would otherwise grow linearly in iterations); persist otherwise.
+      val updated =
+        if (iter % 4 == 3) jumped.localCheckpoint()
+        else jumped.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       changed = updated.where(col("comp") =!= col("old")).count()
+      prev.foreach(_.unpersist(false))
+      prev = Some(updated)
       labels = updated.select(col("id"), col("comp"))
       iter += 1
     }
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"nearDedupCorpus: connected components did not converge after $maxIter iterations")
     val keep = labels.where(col("comp") === col("id")).select(col("id").as(idCol))
     df.join(keep, Seq(idCol), "left_semi")
   }

@@ -19,9 +19,9 @@ import org.apache.spark.sql.functions._
  *    ~(corpus / 2^bits) × probes, shuffled by bucket key; recall is tunable
  *    with the number of tables/probes. Hyperplanes derive deterministically
  *    from md5 so results are reproducible (and oracle-checkable).
- *  - '''IVF sketch''': same topology — k-means centroids instead of random
- *    planes; omitted here because the hyperplane variant covers the plumbing
- *    (assignment column + bucket equi-join + per-bucket rerank).
+ *  - '''IVF''': same topology — data-adaptive k-means centroids instead of
+ *    random planes. Lloyd iterations aggregate fixed-point per-(cell, dim)
+ *    sums distributively; only k × dim scalars ever reach the driver.
  *
  * Cosine kernels are registered as scalar functions computing in Double with
  * a fixed left-to-right summation order (bit-reproducible in the oracle).
@@ -117,10 +117,16 @@ object Similarity {
    * + one tiny shuffle (groupBy centroid, k rows out). Assignment is a pure
    * projection; the search join shuffles candidates only.
    */
+  /** Fixed-point scale for order-independent centroid accumulation: float
+    * components are scaled to integers before the distributed sum, so the
+    * result is bit-identical regardless of partial-aggregation order (a
+    * double sum would drift with partitioning). 2^24 leaves ~2^39 rows of
+    * headroom per cell in an Int64 for unit-normalized embeddings. */
+  private val IvfScale = 1 << 24
+
   def ivfCentroids(corpus: DataFrame, k: Int, iters: Int = 5): Array[(Int, Array[Double])] = {
     val spark = corpus.sparkSession
-    import org.apache.spark.sql.Row
-    // deterministic init: evenly-strided vectors by vec_id
+    // deterministic init: evenly-strided vectors by vec_id (collects k rows)
     val n = corpus.count()
     val stride = math.max(1L, n / k)
     var centroids: Array[(Int, Array[Double])] = corpus
@@ -130,18 +136,21 @@ object Similarity {
     for (_ <- 0 until iters) {
       val bc = spark.sparkContext.broadcast(centroids)
       val assignCell = udf { (v: Seq[Float]) => Ivf.nearest(bc.value, v) }
-      val sums = corpus.select(assignCell(col("embedding")).as("cell"), col("embedding"))
-        .groupBy("cell")
-        .agg(count(lit(1)).as("n"), collect_list("embedding").as("vs"))
+      // Per-(cell, dim) fixed-point sums computed distributively: assignment
+      // is a pure projection, the shuffle carries only k × dim partial sums
+      // (map-side combine), and exactly k × dim tiny rows reach the driver —
+      // never the corpus itself.
+      val sums = corpus.select(assignCell(col("embedding")).as("cell"),
+          posexplode(col("embedding")).as(Seq("dim", "x")))
+        .groupBy("cell", "dim")
+        .agg(sum(round(col("x").cast("double") * IvfScale).cast("long")).as("sx"),
+             count(lit(1)).as("cnt"))
         .collect()
-      centroids = sums.map { r =>
-        val cell = r.getInt(0)
-        val vs = r.getSeq[scala.collection.Seq[Float]](2)
-        val dim = vs.head.length
-        val mean = new Array[Double](dim)
-        vs.foreach { v => var i = 0; while (i < dim) { mean(i) += v(i); i += 1 } }
-        var i = 0
-        while (i < dim) { mean(i) /= vs.length; i += 1 }
+      centroids = sums.groupBy(_.getInt(0)).toArray.map { case (cell, rows) =>
+        val mean = new Array[Double](rows.length)
+        rows.foreach { r =>
+          mean(r.getInt(1)) = r.getLong(2).toDouble / IvfScale / r.getLong(3)
+        }
         (cell, mean)
       }.sortBy(_._1)
     }

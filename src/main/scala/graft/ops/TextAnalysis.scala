@@ -76,6 +76,34 @@ object TextAnalysis {
       }
     }
 
+    // text_stats: language ID + quality score + token count in ONE pass over
+    // ONE tokenization (lang_id/quality_score/token_count each re-tokenize).
+    // Registered as a one-row table function deliberately: Catalyst cannot
+    // push predicates below a Generate node, so when a curation query uses
+    // the stats in both WHERE and SELECT they are computed exactly once per
+    // document — scalar projections would be re-substituted into pushed-down
+    // filter conjuncts and re-evaluated. Arithmetic order matches
+    // quality_score/lang_id exactly (oracle parity).
+    Udf.table1[String, org.apache.spark.sql.Row](
+      "text_stats(string) ->> struct<lang: string, score: double, n_tok: int>") { s =>
+      val toks = tokens(s.toLowerCase)
+      val nTok = toks.length
+      val scores = markers.view.mapValues(set => toks.count(set.contains)).toMap
+      val maxN = scores.values.max
+      val lang = if (maxN == 0) "und" else scores.filter(_._2 == maxN).keys.min
+      val quality =
+        if (nTok == 0) 0.0
+        else {
+          val nStop = toks.count(stopwords.contains)
+          val nPunct = s.count(c => !Character.isLetterOrDigit(c) && !Character.isWhitespace(c))
+          val stopRatio = nStop.toDouble / nTok.toDouble
+          val lenScore = math.min(nTok.toDouble / 100.0, 1.0)
+          val punctRatio = nPunct.toDouble / s.length.toDouble
+          0.4 * stopRatio + 0.3 * lenScore + 0.3 * (1.0 - punctRatio)
+        }
+      Iterator.single(org.apache.spark.sql.Row(lang, quality, nTok))
+    }
+
     // doc_fingerprint: 60-bit content hash = first 15 hex digits of md5.
     // Identical in DuckDB: CAST('0x'||substr(md5(text),1,15) AS BIGINT).
     Udf.scalar1[String, Long]("doc_fingerprint(string) -> bigint")(Hashing.md5_60)

@@ -23,8 +23,10 @@ import org.apache.spark.unsafe.types.UTF8String
  * to top-k). At 100 TB with bounded key cardinality this replaces a
  * full-data shuffle+sort with a survivors-only shuffle.
  *
- * Rows within a key rank by `order`; pass a totally-ordering column (e.g.
- * add a unique tiebreak) for deterministic output.
+ * Rows within a key rank by `order` with NULL order keys ranked last in both
+ * directions (`NULLS LAST` semantics — they fill top-k slots only when a key
+ * group has fewer than k non-null-ordered rows); pass a totally-ordering
+ * column (e.g. add a unique tiebreak) for deterministic output.
  */
 object TopKPerKey {
 
@@ -82,10 +84,19 @@ private[plans] object TopKHeaps {
     val natural = org.apache.spark.sql.catalyst.util.TypeUtils
       .getInterpretedOrdering(order.child.dataType)
     // strength: greater = survives; heap head (max of reversed) = weakest.
+    // NULL order keys are the weakest in BOTH directions (ORDER BY ...
+    // NULLS LAST): they fill remaining top-k slots only when a key group has
+    // fewer than k non-null-ordered rows, matching
+    // `row_number() OVER (... ORDER BY ord [DESC] NULLS LAST) <= k`.
     val strength: Ordering[(Any, UnsafeRow)] = new Ordering[(Any, UnsafeRow)] {
       override def compare(a: (Any, UnsafeRow), b: (Any, UnsafeRow)): Int = {
-        val c = natural.compare(a._1, b._1)
-        if (order.direction == Descending) c else -c
+        if (a._1 == null && b._1 == null) 0
+        else if (a._1 == null) -1
+        else if (b._1 == null) 1
+        else {
+          val c = natural.compare(a._1, b._1)
+          if (order.direction == Descending) c else -c
+        }
       }
     }
     val heaps = new java.util.HashMap[UnsafeRow, scala.collection.mutable.PriorityQueue[(Any, UnsafeRow)]]()
@@ -96,18 +107,16 @@ private[plans] object TopKHeaps {
         case s: UTF8String => s.clone() // may point into a reused row buffer
         case x => x
       }
-      if (v != null) { // null sort keys never rank
-        val key = keyProj(row)
-        var heap = heaps.get(key)
-        if (heap == null) {
-          heap = scala.collection.mutable.PriorityQueue.empty(strength.reverse)
-          heaps.put(key.copy(), heap)
-        }
-        if (heap.size < k) heap.enqueue((v, rowProj(row).copy()))
-        else if (strength.compare((v, null), heap.head) > 0) {
-          heap.dequeue()
-          heap.enqueue((v, rowProj(row).copy()))
-        }
+      val key = keyProj(row)
+      var heap = heaps.get(key)
+      if (heap == null) {
+        heap = scala.collection.mutable.PriorityQueue.empty(strength.reverse)
+        heaps.put(key.copy(), heap)
+      }
+      if (heap.size < k) heap.enqueue((v, rowProj(row).copy()))
+      else if (strength.compare((v, null), heap.head) > 0) {
+        heap.dequeue()
+        heap.enqueue((v, rowProj(row).copy()))
       }
     }
     val out = scala.collection.mutable.ArrayBuffer.empty[InternalRow]

@@ -42,6 +42,14 @@ def main(outdir, sfdir):
             print(f"FAIL {name}: {e}")
             n_bad += 1
             continue
+        # The DRIVER's checker sort_values-crashes on list/dict cells — warn
+        # locally so the gap is caught before the round gate runs.
+        for df_, side in ((spark_df, "spark"), (duck_df, "duck")):
+            for c in df_.columns:
+                if len(df_) and any(isinstance(v, (list, dict)) or type(v).__name__ == "ndarray"
+                                    for v in df_[c].head(5)):
+                    print(f"WARN {name}: column '{c}' ({side}) holds list/dict cells — "
+                          f"the driver's checker would crash on this query")
         sc = sorted(spark_df.columns)
         dc = sorted(duck_df.columns)
         if sc != dc:
