@@ -118,6 +118,59 @@ object SparkEntry {
     "q_script" -> q(
       """SELECT doc_id, script_score(doc_id) AS s
         |FROM documents ORDER BY doc_id""".stripMargin) _,
+    // §2.1 #15 via the runtime SPI: every aggregate phase runs guest code
+    "q_script_agg" -> q(
+      """SELECT l_returnflag, script_sumsq(CAST(l_quantity AS BIGINT)) AS ss
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) _,
+    // §2.1 #14: table function through the runtime SPI (multi-value yield)
+    "q_script_table" -> q(
+      """SELECT l_orderkey, l_linenumber, t.value AS v
+        |FROM (SELECT l_orderkey, l_linenumber, CAST(l_linenumber AS BIGINT) AS n FROM lineitem)
+        |LATERAL VIEW script_echoes(n) t AS value
+        |ORDER BY l_orderkey, l_linenumber, v""".stripMargin) _,
+
+    // §2.1 #26/#27: the SAME gcd computed through the remote Arrow-IPC path
+    // (per-partition pooled client → in-process server → registry dispatch)
+    "q_remote_gcd" -> dfq { s =>
+      val port = graft.remote.RemoteFixture.port
+      val df = s.table("lineitem").selectExpr("l_orderkey", "l_linenumber",
+        "CAST(l_partkey AS INT) AS a", "CAST(l_suppkey AS INT) AS b")
+      graft.remote.RemoteUdf.withRemoteColumn(df, "127.0.0.1", port, "gcd",
+          Seq("a", "b"), org.apache.spark.sql.types.IntegerType)
+        .selectExpr("l_orderkey", "l_linenumber", "value AS g")
+        .orderBy("l_orderkey", "l_linenumber")
+    } _,
+
+    // ---- type matrix: date/time/timestamp/interval/map end-to-end ----------
+    // datetime(date32, time64) -> timestamp: compose a date and a µs-of-day
+    // (extension-tagged bigint) into a naive timestamp (reference datetime).
+    "q_datetime" -> dfq { s =>
+      val df = s.table("orders").select(
+        col("o_orderkey"),
+        expr("CAST(o_orderdate AS DATE)").as("d"),
+        Graft.tagged(expr("CAST((o_orderkey % 86400) * 1000000 AS BIGINT)"), "t",
+          graft.types.GraftType.TimeExt))
+      df.selectExpr("o_orderkey", "datetime(d, t) AS ts").orderBy("o_orderkey")
+    } _,
+    // timestamptz through the identity conversion matrix; compared as epoch
+    // millis (Spark writes instant-adjusted parquet, DuckDB naive — integers
+    // compare exactly).
+    "q_timestamptz" -> q(
+      """SELECT o_orderkey, unix_millis(graft_identity(CAST(o_orderdate AS TIMESTAMP))) AS ms
+        |FROM orders ORDER BY o_orderkey""".stripMargin) _,
+    // interval identity + integer decomposition
+    "q_interval" -> q(
+      """SELECT o_orderkey, p.months, p.days, p.micros
+        |FROM (SELECT o_orderkey, interval_parts(graft_identity(
+        |        make_interval(0, CAST(o_orderkey % 11 AS INT), 0, CAST(o_orderkey % 27 AS INT),
+        |                      CAST(o_orderkey % 23 AS INT), 0, 0))) AS p
+        |      FROM orders)
+        |ORDER BY o_orderkey""".stripMargin) _,
+    // map identity, rendered as JSON for the checker
+    "q_map_identity" -> q(
+      """SELECT l_orderkey, l_linenumber,
+        |       graft_to_json(graft_identity(map('rf', l_returnflag, 'ls', l_linestatus))) AS mj
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin) _,
 
     // ---- text analysis -----------------------------------------------------
     "q_token_count" -> q(
@@ -449,6 +502,40 @@ object SparkEntry {
     "q_script" ->
       """SELECT doc_id, doc_id * 3 + 1 AS s
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_script_agg" ->
+      """SELECT l_returnflag,
+        |       CAST(sum(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS BIGINT) AS ss
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_script_table" ->
+      """SELECT l_orderkey, l_linenumber, CAST(t.u AS BIGINT) AS v
+        |FROM lineitem,
+        |     UNNEST(CASE WHEN l_linenumber <= 1 THEN [l_linenumber]
+        |                 WHEN l_linenumber = 2 THEN [l_linenumber, l_linenumber + 1]
+        |                 ELSE [l_linenumber, l_linenumber + 1, l_linenumber + 2] END) AS t(u)
+        |ORDER BY l_orderkey, l_linenumber, v""".stripMargin,
+    "q_remote_gcd" ->
+      """SELECT l_orderkey, l_linenumber,
+        |       CAST(gcd(CAST(l_partkey AS INT), CAST(l_suppkey AS INT)) AS INT) AS g
+        |FROM lineitem
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q_datetime" ->
+      """SELECT o_orderkey,
+        |       CAST(CAST(o_orderdate AS DATE) AS TIMESTAMP)
+        |         + to_microseconds((o_orderkey % 86400) * 1000000) AS ts
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "q_timestamptz" ->
+      """SELECT o_orderkey, epoch_ms(o_orderdate) AS ms
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "q_interval" ->
+      """SELECT o_orderkey,
+        |       CAST(o_orderkey % 11 AS INT) AS months,
+        |       CAST(o_orderkey % 27 AS INT) AS days,
+        |       CAST((o_orderkey % 23) * 3600000000 AS BIGINT) AS micros
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "q_map_identity" ->
+      """SELECT l_orderkey, l_linenumber,
+        |       '{"rf":"' || l_returnflag || '","ls":"' || l_linestatus || '"}' AS mj
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
     "q_token_count" ->
       s"""SELECT doc_id, CAST(len($duckWords) AS INT) AS n_tok,
          |       CAST(len(regexp_extract_all(text, '\\p{L}+|\\p{N}+|[^\\p{L}\\p{N}\\s]')) AS INT) AS n_bpe

@@ -27,6 +27,23 @@ object Builtins {
     graft.runtime.ScriptUdf.register(
       "script_score(bigint) -> bigint", "(fn (x) (+ (* x 3) 1))")
 
+    // Embedded-runtime AGGREGATE through the SPI — all five phases run guest
+    // code (SURVEY §2.1 #15 via #13; reference python/mod.rs:229-309).
+    graft.runtime.ScriptUdf.registerAggregate(
+      "script_sumsq(bigint) -> bigint",
+      graft.runtime.AggregateCode(
+        init = "(fn () 0)",
+        accumulate = "(fn (s x) (+ s (* x x)))",
+        retract = Some("(fn (s x) (- s (* x x)))"),
+        merge = "(fn (a b) (+ a b))",
+        finish = "(fn (s) s)"))
+
+    // Embedded-runtime TABLE function through the SPI: yields each of 0..x-1
+    // capped at 3 (multi-value `list` yield; SURVEY §2.1 #14).
+    graft.runtime.ScriptUdf.register(
+      "script_echoes(bigint) ->> bigint",
+      "(fn (x) (if (<= x 1) (list x) (if (= x 2) (list x (+ x 1)) (list x (+ x 1) (+ x 2)))))")
+
     // gcd: native codegen'd tier for int32/int64 (flagship benchmark fn).
     Udf.native("gcd(int, int) -> int") { children => GcdExpr(children(0), children(1)) }
     Udf.native("gcd(bigint, bigint) -> bigint") { children => GcdExpr(children(0), children(1)) }
@@ -135,12 +152,25 @@ object Builtins {
       mode = CallMode.CalledOnNullInput)(_.head)
     Udf.scalarN[Any]("graft_identity(map<string, string>) -> map<string, string>",
       mode = CallMode.CalledOnNullInput)(_.head)
+    // timestamptz is not in the `*` wildcard set (it expands `timestamp` to
+    // the naive NTZ type) — register the instant-typed identity explicitly.
+    Udf.scalarN[Any]("graft_identity(timestamptz) -> timestamptz",
+      mode = CallMode.CalledOnNullInput)(_.head)
 
     // datetime(date, time64) -> timestamp (tests.rs:546-571): compose a date
     // and a µs-of-day (extension-tagged bigint) into a naive timestamp.
     Udf.scalar2[java.sql.Date, Long, java.time.LocalDateTime]("datetime(date32, time64) -> timestamp") {
       (d, micros) =>
         d.toLocalDate.atStartOfDay.plusNanos(micros * 1000L)
+    }
+
+    // interval_parts: decompose a calendar interval into integer components.
+    // Pairs with graft_identity(interval) for oracle-checkable interval
+    // coverage — Spark and DuckDB render interval STRINGS differently
+    // ("1 days" vs "1 day"), integers compare exactly.
+    Udf.scalar1[org.apache.spark.unsafe.types.CalendarInterval, org.apache.spark.sql.Row](
+      "interval_parts(interval) -> struct<months: int, days: int, micros: bigint>") { iv =>
+      org.apache.spark.sql.Row(iv.months, iv.days, iv.microseconds)
     }
 
     // json_get(json, i) -> json : array element access on the json extension

@@ -1,12 +1,15 @@
 package graft.remote
 
 import graft.sig.{FunctionDef, Registry}
-import graft.functions.ScalarImpl
+import graft.functions.{ScalarImpl, TableImpl}
 import org.apache.arrow.memory.RootAllocator
 import org.apache.arrow.vector._
+import org.apache.arrow.vector.complex.ListVector
+import org.apache.arrow.vector.complex.StructVector
 import org.apache.arrow.vector.ipc.{ArrowStreamReader, ArrowStreamWriter}
-import org.apache.arrow.vector.types.FloatingPointPrecision
+import org.apache.arrow.vector.types.{DateUnit, FloatingPointPrecision, TimeUnit}
 import org.apache.arrow.vector.types.pojo.{ArrowType, Field, FieldType, Schema => ASchema}
+import org.apache.spark.sql.types.{Metadata => SMetadata, _}
 import java.io.{BufferedInputStream, BufferedOutputStream, DataInputStream, DataOutputStream}
 import java.net.{InetSocketAddress, ServerSocket, Socket}
 import java.nio.charset.StandardCharsets
@@ -14,65 +17,164 @@ import scala.jdk.CollectionConverters._
 
 /**
  * Remote UDF execution over Arrow IPC streams on a plain TCP socket — the
- * engine's analogue of the reference's Arrow-Flight `do_exchange` protocol
+ * engine's analogue of the reference's Arrow-Flight protocol
  * (`arrow-udf-remote`: client `remote/mod.rs:36-156`, Java server
  * `UdfProducer.java:30-140`). gRPC/Flight jars are not part of the Spark
- * distribution, so the transport is a minimal length-free framing: each
- * request is a UTF-8 function-name line followed by one complete Arrow IPC
- * stream (the stream's own EOS marker delimits it); the response is a status
- * line (`OK` / `ERR <msg>`) followed by an IPC stream of results.
+ * distribution, so the transport is a minimal framing: each request is a
+ * UTF-8 command line (`LIST` / `GET f` / `CALL f` / `CALLTABLE f`), for the
+ * CALL forms followed by one complete Arrow IPC stream (the stream's own EOS
+ * marker delimits it); the response is a status line (`OK` / `ERR msg`)
+ * followed by — for LIST/GET — signature text lines ending in a blank line,
+ * or — for CALL forms — an IPC stream of results.
  *
- * Supported value types (demo scope, like the reference's Java server type
- * hints): BIGINT, DOUBLE, STRING. The executor side opens one connection per
- * partition and streams batches of `batchSize` rows (reference
- * `BATCH_SIZE=1024`).
+ * Discovery mirrors the reference's `get/list` FlightInfo surface
+ * (`remote/mod.rs:36-133`): signatures describe arg/return types in graft's
+ * own grammar, so a remote client can resolve overloads before calling.
+ *
+ * The server streams one result batch per input batch as it evaluates
+ * (reference `UdfProducer.java:103-139`) — nothing is buffered server-side.
+ * Each CALL exchanges one bounded chunk (≤ [[RemoteProtocol.BatchSize]]
+ * rows), so request and response never exceed socket buffering and the
+ * half-duplex socket cannot deadlock; the Spark integration reuses one
+ * pooled connection per partition across chunks and closes it at task end.
+ *
+ * Type matrix: bool, int32/64, float32/64, string, binary, date32,
+ * timestamp (µs, naive), decimal(p,s), one-level lists of numeric types, and
+ * structs of scalars. Extension types (`json`, text-backed `decimal`) carry
+ * their `ARROW:extension:name` metadata on the Field, like the reference's
+ * pyarrow bridge (`python/pyarrow.rs:136-459`).
  */
 object RemoteProtocol {
   val BatchSize = 1024
+  val ExtKey = graft.types.GraftType.ExtensionKey
 
-  def toArrowField(name: String, dt: org.apache.spark.sql.types.DataType): Field = dt match {
-    case org.apache.spark.sql.types.IntegerType =>
-      new Field(name, FieldType.nullable(new ArrowType.Int(32, true)), null)
-    case org.apache.spark.sql.types.LongType =>
-      new Field(name, FieldType.nullable(new ArrowType.Int(64, true)), null)
-    case org.apache.spark.sql.types.DoubleType =>
-      new Field(name, FieldType.nullable(
-        new ArrowType.FloatingPoint(FloatingPointPrecision.DOUBLE)), null)
-    case org.apache.spark.sql.types.StringType =>
-      new Field(name, FieldType.nullable(ArrowType.Utf8.INSTANCE), null)
-    case other => throw new IllegalArgumentException(s"remote udf: unsupported type $other")
+  private def fieldType(t: ArrowType, md: SMetadata): FieldType = {
+    val ext = graft.types.GraftType.extensionOf(md)
+    val m = ext.map(e => Map(ExtKey -> e).asJava).orNull
+    new FieldType(true, t, null, m)
   }
 
-  def fromArrowField(f: Field): org.apache.spark.sql.types.DataType = f.getType match {
-    case i: ArrowType.Int if i.getBitWidth == 32 => org.apache.spark.sql.types.IntegerType
-    case i: ArrowType.Int if i.getBitWidth == 64 => org.apache.spark.sql.types.LongType
-    case _: ArrowType.FloatingPoint => org.apache.spark.sql.types.DoubleType
-    case _: ArrowType.Utf8 => org.apache.spark.sql.types.StringType
-    case other => throw new IllegalArgumentException(s"remote udf: unsupported arrow type $other")
+  def toArrowField(name: String, dt: DataType, md: SMetadata = SMetadata.empty): Field =
+    dt match {
+      case BooleanType => new Field(name, fieldType(ArrowType.Bool.INSTANCE, md), null)
+      case IntegerType => new Field(name, fieldType(new ArrowType.Int(32, true), md), null)
+      case LongType    => new Field(name, fieldType(new ArrowType.Int(64, true), md), null)
+      case FloatType   => new Field(name,
+        fieldType(new ArrowType.FloatingPoint(FloatingPointPrecision.SINGLE), md), null)
+      case DoubleType  => new Field(name,
+        fieldType(new ArrowType.FloatingPoint(FloatingPointPrecision.DOUBLE), md), null)
+      case StringType  => new Field(name, fieldType(ArrowType.Utf8.INSTANCE, md), null)
+      case BinaryType  => new Field(name, fieldType(ArrowType.Binary.INSTANCE, md), null)
+      case DateType    => new Field(name, fieldType(new ArrowType.Date(DateUnit.DAY), md), null)
+      case TimestampNTZType => new Field(name,
+        fieldType(new ArrowType.Timestamp(TimeUnit.MICROSECOND, null), md), null)
+      case d: DecimalType => new Field(name,
+        fieldType(new ArrowType.Decimal(d.precision, d.scale, 128), md), null)
+      case ArrayType(et, _) =>
+        new Field(name, fieldType(ArrowType.List.INSTANCE, md),
+          Seq(toArrowField("item", et)).asJava)
+      case StructType(fields) =>
+        new Field(name, fieldType(ArrowType.Struct.INSTANCE, md),
+          fields.map(f => toArrowField(f.name, f.dataType, f.metadata)).toSeq.asJava)
+      case other => throw new IllegalArgumentException(s"remote udf: unsupported type $other")
+    }
+
+  def fromArrowField(f: Field): (DataType, SMetadata) = {
+    val dt: DataType = f.getType match {
+      case _: ArrowType.Bool => BooleanType
+      case i: ArrowType.Int if i.getBitWidth == 32 => IntegerType
+      case i: ArrowType.Int if i.getBitWidth == 64 => LongType
+      case fp: ArrowType.FloatingPoint if fp.getPrecision == FloatingPointPrecision.SINGLE => FloatType
+      case _: ArrowType.FloatingPoint => DoubleType
+      case _: ArrowType.Utf8 => StringType
+      case _: ArrowType.Binary => BinaryType
+      case _: ArrowType.Date => DateType
+      case _: ArrowType.Timestamp => TimestampNTZType
+      case d: ArrowType.Decimal => DecimalType(d.getPrecision, d.getScale)
+      case _: ArrowType.List =>
+        ArrayType(fromArrowField(f.getChildren.get(0))._1, containsNull = true)
+      case _: ArrowType.Struct =>
+        StructType(f.getChildren.asScala.map { c =>
+          val (cdt, cmd) = fromArrowField(c)
+          StructField(c.getName, cdt, nullable = true, cmd)
+        }.toSeq)
+      case other => throw new IllegalArgumentException(s"remote udf: unsupported arrow type $other")
+    }
+    val md = Option(f.getMetadata).map(_.asScala.get(ExtKey)).flatten match {
+      case Some(ext) => new MetadataBuilder().putString(ExtKey, ext).build()
+      case None => SMetadata.empty
+    }
+    (dt, md)
   }
 
+  /** Write one external (JVM) value into vector cell `i`. Rows must be
+    * written in ascending `i` order (list offsets are sequential). */
   def setCell(v: FieldVector, i: Int, value: Any): Unit = (v, value) match {
+    case (lv: ListVector, null) => lv.setNull(i)
+    case (sv: StructVector, null) => sv.setNull(i)
     case (_, null) => v.setNull(i)
+    case (bv: BitVector, x: Boolean) => bv.setSafe(i, if (x) 1 else 0)
     case (iv: IntVector, x: Int) => iv.setSafe(i, x)
     case (bv: BigIntVector, x: Long) => bv.setSafe(i, x)
     case (bv: BigIntVector, x: Int) => bv.setSafe(i, x.toLong)
+    case (fv: Float4Vector, x: Float) => fv.setSafe(i, x)
     case (dv: Float8Vector, x: Double) => dv.setSafe(i, x)
     case (sv: VarCharVector, x: String) => sv.setSafe(i, x.getBytes(StandardCharsets.UTF_8))
+    case (bv: VarBinaryVector, x: Array[Byte]) => bv.setSafe(i, x)
+    case (dv: DateDayVector, x: java.sql.Date) => dv.setSafe(i, x.toLocalDate.toEpochDay.toInt)
+    case (tv: TimeStampMicroVector, x: java.time.LocalDateTime) =>
+      tv.setSafe(i, x.toInstant(java.time.ZoneOffset.UTC).getEpochSecond * 1000000L
+        + x.getNano / 1000L)
+    case (dv: DecimalVector, x: java.math.BigDecimal) =>
+      dv.setSafe(i, x.setScale(dv.getScale))
+    case (lv: ListVector, xs: scala.collection.Seq[_]) =>
+      val start = lv.startNewValue(i)
+      val data = lv.getDataVector.asInstanceOf[FieldVector]
+      var j = 0
+      xs.foreach { e => setCell(data, start + j, e); j += 1 }
+      lv.endValue(i, xs.size)
+    case (sv: StructVector, r: org.apache.spark.sql.Row) =>
+      sv.setIndexDefined(i)
+      val children = sv.getChildrenFromFields.asScala
+      var j = 0
+      while (j < children.size) { setCell(children(j), i, r.get(j)); j += 1 }
     case (vec, x) => throw new IllegalArgumentException(s"cell $x into ${vec.getClass}")
   }
 
+  /** Read vector cell `i` back to the external (JVM) value. */
   def getCell(v: FieldVector, i: Int): Any =
     if (v.isNull(i)) null
     else v match {
+      case bv: BitVector => bv.get(i) == 1
       case iv: IntVector => iv.get(i)
       case bv: BigIntVector => bv.get(i)
+      case fv: Float4Vector => fv.get(i)
       case dv: Float8Vector => dv.get(i)
       case sv: VarCharVector => new String(sv.get(i), StandardCharsets.UTF_8)
+      case bv: VarBinaryVector => bv.get(i)
+      case dv: DateDayVector => java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(dv.get(i)))
+      case tv: TimeStampMicroVector =>
+        val micros = tv.get(i)
+        java.time.LocalDateTime.ofEpochSecond(
+          Math.floorDiv(micros, 1000000L), (Math.floorMod(micros, 1000000L) * 1000L).toInt,
+          java.time.ZoneOffset.UTC)
+      case dv: DecimalVector => dv.getObject(i)
+      case lv: ListVector =>
+        val data = lv.getDataVector.asInstanceOf[FieldVector]
+        val start = lv.getElementStartIndex(i)
+        val end = lv.getElementEndIndex(i)
+        (start until end).map(j => getCell(data, j))
+      case sv: StructVector =>
+        org.apache.spark.sql.Row.fromSeq(
+          sv.getChildrenFromFields.asScala.map(c => getCell(c, i)).toSeq)
       case other => throw new IllegalArgumentException(s"read from ${other.getClass}")
     }
+
+  def renderSignature(fd: FunctionDef): String = fd.signature.toString
 }
 
-/** Server: exposes registered graft scalar functions to remote callers. */
+/** Server: exposes registered graft scalar + table functions to remote
+  * callers, with LIST/GET discovery. */
 class UdfServer(port: Int = 0) extends AutoCloseable {
   import RemoteProtocol._
 
@@ -101,47 +203,33 @@ class UdfServer(port: Int = 0) extends AutoCloseable {
     try {
       var line = readLine(in)
       while (line != null && line.nonEmpty) {
-        val fname = line.stripPrefix("CALL ").trim
-        val reader = new ArrowStreamReader(in, allocator)
-        val root = reader.getVectorSchemaRoot
-        val argTypes = root.getSchema.getFields.asScala.map(f =>
-          (fromArrowField(f), org.apache.spark.sql.types.Metadata.empty)).toSeq
-        Registry.global.resolve(fname, argTypes) match {
-          case Some(FunctionDef(sigDef, ScalarImpl(f), _, _, _)) =>
-            // evaluate every incoming batch, then answer with one result stream
-            val results = scala.collection.mutable.ArrayBuffer.empty[Any]
-            while (reader.loadNextBatch()) {
-              val n = root.getRowCount
-              val vecs = root.getFieldVectors.asScala.toSeq
-              var i = 0
-              while (i < n) {
-                val args = vecs.map(v => getCell(v, i))
-                results += (if (args.contains(null)) null else f(args))
-                i += 1
-              }
-            }
+        if (line.startsWith("LIST")) {
+          // discovery: every registered signature (reference list_udfs)
+          out.write("OK\n".getBytes(StandardCharsets.UTF_8))
+          Registry.global.all.sortBy(_.signature.name).foreach { fd =>
+            out.write((renderSignature(fd) + "\n").getBytes(StandardCharsets.UTF_8))
+          }
+          out.write("\n".getBytes(StandardCharsets.UTF_8))
+        } else if (line.startsWith("GET ")) {
+          // discovery: signatures for one name (reference get_udf FlightInfo)
+          val fname = line.stripPrefix("GET ").trim
+          val defs = Registry.global.lookup(fname)
+          if (defs.isEmpty)
+            out.write(s"ERR no function $fname\n".getBytes(StandardCharsets.UTF_8))
+          else {
             out.write("OK\n".getBytes(StandardCharsets.UTF_8))
-            val outField = toArrowField("value", sigDef.returns.dataType)
-            val outSchema = new ASchema(Seq(outField).asJava)
-            val outRoot = VectorSchemaRoot.create(outSchema, allocator)
-            val writer = new ArrowStreamWriter(outRoot, null, out)
-            writer.start()
-            results.grouped(BatchSize).foreach { chunk =>
-              outRoot.allocateNew()
-              val vec = outRoot.getVector(0)
-              chunk.zipWithIndex.foreach { case (v, i) => setCell(vec, i, v) }
-              outRoot.setRowCount(chunk.size)
-              writer.writeBatch()
-            }
-            writer.end()
-            outRoot.close()
-          case _ =>
-            // drain the request stream, then report
-            while (reader.loadNextBatch()) {}
-            out.write(s"ERR no scalar function $fname\n".getBytes(StandardCharsets.UTF_8))
+            defs.foreach(fd =>
+              out.write((renderSignature(fd) + "\n").getBytes(StandardCharsets.UTF_8)))
+            out.write("\n".getBytes(StandardCharsets.UTF_8))
+          }
+        } else if (line.startsWith("CALL ") || line.startsWith("CALLTABLE ")) {
+          val isTable = line.startsWith("CALLTABLE ")
+          val fname = line.substring(if (isTable) 10 else 5).trim
+          serveCall(fname, isTable, in, out, allocator)
+        } else {
+          out.write(s"ERR bad command $line\n".getBytes(StandardCharsets.UTF_8))
         }
         out.flush()
-        reader.close(false)
         line = readLine(in)
       }
     } catch {
@@ -151,6 +239,103 @@ class UdfServer(port: Int = 0) extends AutoCloseable {
       allocator.close()
       sock.close()
     }
+  }
+
+  /** Evaluate one CALL/CALLTABLE exchange, streaming one result batch per
+    * input batch as it is evaluated (reference `UdfProducer.java:103-139`) —
+    * no server-side buffering of the result set. */
+  private def serveCall(fname: String, isTable: Boolean, in: DataInputStream,
+                        out: DataOutputStream, allocator: RootAllocator): Unit = {
+    val reader = new ArrowStreamReader(in, allocator)
+    val root = reader.getVectorSchemaRoot
+    val argTypes = root.getSchema.getFields.asScala.map { f =>
+      val (dt, md) = fromArrowField(f); (dt, md)
+    }.toSeq
+    // Native-expression functions (the codegen tier) are served too: bind the
+    // expression to positional references once, evaluate per row through the
+    // catalyst converters — the server-side analogue of the reference's Java
+    // server evaluating compiled kernels.
+    def scalarFn(fd: FunctionDef): Option[Seq[Any] => Any] = fd.impl match {
+      case ScalarImpl(f) => Some(f)
+      case graft.functions.ExprImpl(build) =>
+        import org.apache.spark.sql.catalyst.CatalystTypeConverters
+        import org.apache.spark.sql.catalyst.InternalRow
+        import org.apache.spark.sql.catalyst.expressions.BoundReference
+        val argDts = argTypes.map(_._1)
+        val expr = build(argDts.zipWithIndex.map { case (dt, i) =>
+          BoundReference(i, dt, nullable = true) })
+        val toCat = argDts.map(CatalystTypeConverters.createToCatalystConverter).toArray
+        val fromCat = CatalystTypeConverters.createToScalaConverter(fd.signature.returns.dataType)
+        Some((args: Seq[Any]) => fromCat(expr.eval(InternalRow.fromSeq(
+          args.zipWithIndex.map { case (a, i) => if (a == null) null else toCat(i)(a) }))))
+      case _ => None
+    }
+    Registry.global.resolve(fname, argTypes) match {
+      case Some(fd @ FunctionDef(sigDef, _, _, _, _)) if !isTable && scalarFn(fd).isDefined =>
+        val f = scalarFn(fd).get
+        out.write("OK\n".getBytes(StandardCharsets.UTF_8))
+        val outSchema = new ASchema(Seq(
+          toArrowField("value", sigDef.returns.dataType, sigDef.returns.metadata)).asJava)
+        val outRoot = VectorSchemaRoot.create(outSchema, allocator)
+        val writer = new ArrowStreamWriter(outRoot, null, out)
+        writer.start()
+        while (reader.loadNextBatch()) {
+          val n = root.getRowCount
+          val vecs = root.getFieldVectors.asScala.toSeq
+          outRoot.allocateNew()
+          val vec = outRoot.getVector(0)
+          var i = 0
+          while (i < n) {
+            val args = vecs.map(v => getCell(v, i))
+            setCell(vec, i, if (args.contains(null)) null else f(args))
+            i += 1
+          }
+          outRoot.setRowCount(n)
+          writer.writeBatch() // streamed per input batch
+        }
+        writer.end()
+        outRoot.close()
+      case Some(FunctionDef(sigDef, TableImpl(f), _, _, _)) if isTable =>
+        // table function: result rows are (row, value) — the input-row index
+        // column materialized exactly like the reference's `row: Int32`.
+        out.write("OK\n".getBytes(StandardCharsets.UTF_8))
+        val outSchema = new ASchema(Seq(
+          toArrowField("row", IntegerType),
+          toArrowField("value", sigDef.returns.dataType, sigDef.returns.metadata)).asJava)
+        val outRoot = VectorSchemaRoot.create(outSchema, allocator)
+        val writer = new ArrowStreamWriter(outRoot, null, out)
+        writer.start()
+        var rowBase = 0
+        while (reader.loadNextBatch()) {
+          val n = root.getRowCount
+          val vecs = root.getFieldVectors.asScala.toSeq
+          val rowVec = outRoot.getVector(0)
+          val valVec = outRoot.getVector(1)
+          outRoot.allocateNew()
+          var outIdx = 0
+          var i = 0
+          while (i < n) {
+            val args = vecs.map(v => getCell(v, i))
+            val it = if (args.contains(null)) Iterator.empty else f(args)
+            it.foreach { v =>
+              setCell(rowVec, outIdx, rowBase + i)
+              setCell(valVec, outIdx, v)
+              outIdx += 1
+            }
+            i += 1
+          }
+          outRoot.setRowCount(outIdx)
+          writer.writeBatch() // streamed per input batch
+          rowBase += n
+        }
+        writer.end()
+        outRoot.close()
+      case _ =>
+        while (reader.loadNextBatch()) {} // drain, then report
+        val kind = if (isTable) "table function" else "scalar function"
+        out.write(s"ERR no $kind $fname\n".getBytes(StandardCharsets.UTF_8))
+    }
+    reader.close(false)
   }
 
   private def readLine(in: DataInputStream): String = {
@@ -167,7 +352,8 @@ class UdfServer(port: Int = 0) extends AutoCloseable {
   }
 }
 
-/** Client: one connection, sequential calls (`Client::call`, `remote/mod.rs:134-156`). */
+/** Client: one connection, sequential exchanges (`Client::call`,
+  * `remote/mod.rs:134-156`) plus `list`/`get` discovery. */
 class UdfClient(host: String, port: Int) extends AutoCloseable {
   import RemoteProtocol._
 
@@ -176,12 +362,41 @@ class UdfClient(host: String, port: Int) extends AutoCloseable {
   private val in = new DataInputStream(new BufferedInputStream(sock.getInputStream))
   private val allocator = new RootAllocator()
 
+  /** Discovery: all remote signatures (reference `Client::list`). */
+  def list(): Seq[String] = textExchange("LIST\n")
+
+  /** Discovery: signatures registered under `fname` (reference `Client::get`). */
+  def get(fname: String): Seq[String] = textExchange(s"GET $fname\n")
+
+  private def textExchange(cmd: String): Seq[String] = {
+    out.write(cmd.getBytes(StandardCharsets.UTF_8))
+    out.flush()
+    val status = readLine(in)
+    if (status == null || !status.startsWith("OK"))
+      throw new RuntimeException(s"remote request failed: $status")
+    val lines = Seq.newBuilder[String]
+    var l = readLine(in)
+    while (l != null && l.nonEmpty) { lines += l; l = readLine(in) }
+    lines.result()
+  }
+
   /** Call a remote scalar function over rows of (typed) argument tuples. */
-  def call(fname: String, argTypes: Seq[org.apache.spark.sql.types.DataType],
-           rows: Seq[Seq[Any]]): Seq[Any] = {
-    out.write(s"CALL $fname\n".getBytes(StandardCharsets.UTF_8))
-    val schema = new ASchema(argTypes.zipWithIndex.map { case (t, i) =>
-      toArrowField(s"a$i", t) }.asJava)
+  def call(fname: String, argTypes: Seq[DataType], rows: Seq[Seq[Any]],
+           argMeta: Seq[SMetadata] = Nil): Seq[Any] =
+    exchange(s"CALL $fname\n", argTypes, rows, argMeta).map(_.head)
+
+  /** Call a remote table function: returns (input-row index, value) pairs. */
+  def callTable(fname: String, argTypes: Seq[DataType], rows: Seq[Seq[Any]],
+                argMeta: Seq[SMetadata] = Nil): Seq[(Int, Any)] =
+    exchange(s"CALLTABLE $fname\n", argTypes, rows, argMeta)
+      .map(r => (r(0).asInstanceOf[Int], r(1)))
+
+  private def exchange(cmd: String, argTypes: Seq[DataType], rows: Seq[Seq[Any]],
+                       argMeta: Seq[SMetadata]): Seq[Seq[Any]] = {
+    out.write(cmd.getBytes(StandardCharsets.UTF_8))
+    val meta = if (argMeta.nonEmpty) argMeta else argTypes.map(_ => SMetadata.empty)
+    val schema = new ASchema(argTypes.zip(meta).zipWithIndex.map { case ((t, m), i) =>
+      toArrowField(s"a$i", t, m) }.asJava)
     val root = VectorSchemaRoot.create(schema, allocator)
     val writer = new ArrowStreamWriter(root, null, out)
     writer.start()
@@ -201,10 +416,10 @@ class UdfClient(host: String, port: Int) extends AutoCloseable {
       throw new RuntimeException(s"remote call failed: $status")
     val reader = new ArrowStreamReader(in, allocator)
     val rroot = reader.getVectorSchemaRoot
-    val results = scala.collection.mutable.ArrayBuffer.empty[Any]
+    val results = scala.collection.mutable.ArrayBuffer.empty[Seq[Any]]
     while (reader.loadNextBatch()) {
-      val vec = rroot.getVector(0)
-      (0 until rroot.getRowCount).foreach(i => results += getCell(vec, i))
+      val vecs = rroot.getFieldVectors.asScala.toSeq
+      (0 until rroot.getRowCount).foreach(i => results += vecs.map(v => getCell(v, i)))
     }
     reader.close(false)
     results.toSeq
@@ -224,30 +439,66 @@ class UdfClient(host: String, port: Int) extends AutoCloseable {
   }
 }
 
+/** Lazily-started in-process server fixture for queries that exercise the
+  * remote path on a single node (local-mode executors reach it on loopback;
+  * a real deployment points [[RemoteUdf]] at an external UDF service). */
+object RemoteFixture {
+  lazy val shared: UdfServer = new UdfServer()
+  def port: Int = shared.boundPort
+}
+
 /** Spark-side integration: evaluate a remote function per partition. */
 object RemoteUdf {
-  /** Append `value` computed remotely from `argCols` — one connection per
-    * partition, batched Arrow transfer (the reference client embedded in a
-    * `mapPartitions`, SURVEY §2.1 #26). */
+  /** Append `value` computed remotely from `argCols` — ONE pooled connection
+    * per partition, batched Arrow transfer, closed at task completion (the
+    * reference client embedded in a `mapPartitions`, SURVEY §2.1 #26). */
   def withRemoteColumn(df: org.apache.spark.sql.DataFrame, host: String, port: Int,
                        fname: String, argCols: Seq[String],
-                       retType: org.apache.spark.sql.types.DataType): org.apache.spark.sql.DataFrame = {
+                       retType: DataType): org.apache.spark.sql.DataFrame = {
     val argTypes = argCols.map(c => df.schema(c).dataType)
     val argIdx = argCols.map(df.schema.fieldIndex)
-    val outSchema = org.apache.spark.sql.types.StructType(
-      df.schema.fields :+ org.apache.spark.sql.types.StructField("value", retType))
+    val outSchema = StructType(df.schema.fields :+ StructField("value", retType))
     val enc = org.apache.spark.sql.Encoders.row(outSchema)
     df.mapPartitions { it =>
       if (it.isEmpty) Iterator.empty
       else {
         val client = new UdfClient(host, port)
+        // close the connection when the task finishes (success or failure)
+        Option(org.apache.spark.TaskContext.get()).foreach(
+          _.addTaskCompletionListener[Unit](_ => client.close()))
         it.grouped(RemoteProtocol.BatchSize).flatMap { chunk =>
           val rows = chunk.map(r => argIdx.map(r.get))
           val vals = client.call(fname, argTypes, rows)
           chunk.zip(vals).map { case (r, v) =>
             org.apache.spark.sql.Row.fromSeq(r.toSeq :+ v)
           }
-        } // NB: connection closed with the JVM; demo scope
+        }
+      }
+    }(enc)
+  }
+
+  /** Explode each input row into the remote table function's output rows —
+    * result columns are the input columns plus `value` (generator semantics
+    * over the wire, reference `call_table_function`). */
+  def withRemoteTableColumn(df: org.apache.spark.sql.DataFrame, host: String, port: Int,
+                            fname: String, argCols: Seq[String],
+                            retType: DataType): org.apache.spark.sql.DataFrame = {
+    val argTypes = argCols.map(c => df.schema(c).dataType)
+    val argIdx = argCols.map(df.schema.fieldIndex)
+    val outSchema = StructType(df.schema.fields :+ StructField("value", retType))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    df.mapPartitions { it =>
+      if (it.isEmpty) Iterator.empty
+      else {
+        val client = new UdfClient(host, port)
+        Option(org.apache.spark.TaskContext.get()).foreach(
+          _.addTaskCompletionListener[Unit](_ => client.close()))
+        it.grouped(RemoteProtocol.BatchSize).flatMap { chunk =>
+          val rows = chunk.map(r => argIdx.map(r.get))
+          client.callTable(fname, argTypes, rows).map { case (rowIdx, v) =>
+            org.apache.spark.sql.Row.fromSeq(chunk(rowIdx).toSeq :+ v)
+          }
+        }
       }
     }(enc)
   }

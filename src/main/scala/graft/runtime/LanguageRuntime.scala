@@ -3,6 +3,18 @@ package graft.runtime
 import graft.sig.CallMode
 import org.apache.spark.sql.types.DataType
 
+/** Source bundle for a five-phase aggregate registered through the runtime SPI
+  * (reference shape: `arrow-udf-runtime/src/python/mod.rs:229-309` — a guest
+  * class with create_state/accumulate/retract/merge/finish methods; here each
+  * phase is its own guest function). `retract` is optional: append-only
+  * aggregates omit it and fail fast if the streaming path needs retraction. */
+final case class AggregateCode(
+    init: String,
+    accumulate: String,
+    retract: Option[String],
+    merge: String,
+    finish: String)
+
 /**
  * Pluggable embedded-runtime SPI — the JVM-side analogue of the reference's
  * per-language runtimes (`arrow-udf-runtime`: Python `python/mod.rs:187-309`,
@@ -34,4 +46,45 @@ trait LanguageRuntime {
       case s: Seq[_] => s.iterator.asInstanceOf[Iterator[Any]]
       case one => Iterator.single(one)
     }
+
+  // ---- aggregates through the SPI (reference python/mod.rs:229-309,456-656)
+  // Aggregate state is an opaque guest value: the host only threads it
+  // between phase calls (and serializes it across the shuffle — the
+  // `arrowudf.pickle` analogue).
+  private def unsupportedAgg: Nothing =
+    throw new UnsupportedOperationException(s"$name: aggregates unsupported")
+  /** Compile + register a five-phase aggregate under `fname`. */
+  def addAggregate(fname: String, returnType: DataType, code: AggregateCode): Unit =
+    unsupportedAgg
+  def aggCreateState(fname: String): Any = unsupportedAgg
+  def aggAccumulate(fname: String, state: Any, args: Seq[Any]): Any = unsupportedAgg
+  /** Inverse of accumulate; throws for append-only aggregates. */
+  def aggRetract(fname: String, state: Any, args: Seq[Any]): Any = unsupportedAgg
+  def aggMerge(fname: String, a: Any, b: Any): Any = unsupportedAgg
+  def aggFinish(fname: String, state: Any): Any = unsupportedAgg
+
+  /** Batched column-at-a-time call (reference JS batched mode,
+    * `javascript/mod.rs:536-625`): the host hands whole argument columns for a
+    * chunk of rows; the default loops over [[call]], implementations with a
+    * vectorized guest path override it. Null inputs yield null outputs
+    * (ReturnNullOnNullInput batch semantics). */
+  def callBatch(fname: String, cols: Seq[Array[Any]], rows: Int): Array[Any] = {
+    val out = new Array[Any](rows)
+    val args = new Array[Any](cols.length)
+    var r = 0
+    while (r < rows) {
+      var i = 0
+      var anyNull = false
+      while (i < cols.length) {
+        args(i) = cols(i)(r)
+        if (args(i) == null) anyNull = true
+        i += 1
+      }
+      out(r) =
+        if (anyNull) null
+        else call(fname, scala.collection.immutable.ArraySeq.unsafeWrapArray(args.clone()))
+      r += 1
+    }
+    out
+  }
 }

@@ -32,26 +32,59 @@ class ScriptRuntime(stepBudget: Int = 100000) extends LanguageRuntime with Seria
   case class SList(items: List[Sx]) extends Sx
 
   private case class Compiled(params: List[String], body: Sx)
+  private case class CompiledAgg(init: Compiled, accumulate: Compiled,
+                                 retract: Option[Compiled], merge: Compiled,
+                                 finish: Compiled)
   private val fns = scala.collection.concurrent.TrieMap.empty[String, Compiled]
+  private val aggs = scala.collection.concurrent.TrieMap.empty[String, CompiledAgg]
 
-  override def addFunction(fname: String, returnType: DataType, mode: CallMode,
-                           code: String): Unit = {
+  private def compile(code: String): Compiled =
     parse(tokenize(code)) match {
       case (SList(SAtom("fn") :: SList(params) :: body :: Nil), rest) if rest.isEmpty =>
-        fns(fname) = Compiled(params.map { case SAtom(p) => p
+        Compiled(params.map { case SAtom(p) => p
           case other => throw new IllegalArgumentException(s"bad param $other") }, body)
       case _ => throw new IllegalArgumentException(
         s"graftscript function must be (fn (params...) body): $code")
     }
-  }
+
+  override def addFunction(fname: String, returnType: DataType, mode: CallMode,
+                           code: String): Unit =
+    fns(fname) = compile(code)
 
   override def call(fname: String, args: Seq[Any]): Any = {
     val c = fns.getOrElse(fname, throw new NoSuchElementException(s"no function $fname"))
+    invoke(fname, c, args)
+  }
+
+  private def invoke(fname: String, c: Compiled, args: Seq[Any]): Any = {
     require(c.params.length == args.length, s"$fname expects ${c.params.length} args")
     val env = c.params.zip(args).toMap
     val budget = new Budget(stepBudget)
     eval(c.body, env, budget)
   }
+
+  // ---- aggregates through the SPI -----------------------------------------
+  // Each phase is its own guest function; state is whatever guest value the
+  // phases produce (the host never inspects it).
+  override def addAggregate(fname: String, returnType: DataType,
+                            code: AggregateCode): Unit =
+    aggs(fname) = CompiledAgg(compile(code.init), compile(code.accumulate),
+      code.retract.map(compile), compile(code.merge), compile(code.finish))
+
+  private def agg(fname: String): CompiledAgg =
+    aggs.getOrElse(fname, throw new NoSuchElementException(s"no aggregate $fname"))
+
+  override def aggCreateState(fname: String): Any =
+    invoke(fname, agg(fname).init, Nil)
+  override def aggAccumulate(fname: String, state: Any, args: Seq[Any]): Any =
+    invoke(fname, agg(fname).accumulate, state +: args)
+  override def aggRetract(fname: String, state: Any, args: Seq[Any]): Any =
+    invoke(fname, agg(fname).retract.getOrElse(
+      throw new UnsupportedOperationException(s"$fname is append-only")), state +: args)
+  override def aggMerge(fname: String, a: Any, b: Any): Any =
+    invoke(fname, agg(fname).merge, Seq(a, b))
+  override def aggFinish(fname: String, state: Any): Any =
+    invoke(fname, agg(fname).finish, Seq(state))
 
   private final class Budget(var left: Int) {
     def tick(): Unit = {
@@ -173,6 +206,8 @@ class ScriptRuntime(stepBudget: Int = 100000) extends LanguageRuntime with Seria
     case "upper" => args(0).asInstanceOf[String].toUpperCase
     case "lower" => args(0).asInstanceOf[String].toLowerCase
     case "concat" => args.map(a => if (a == null) "" else a.toString).mkString
+    // list: multi-value result — the table-function (setof) yield form.
+    case "list" => args
     case other => throw new NoSuchElementException(s"unknown builtin $other")
   }
 
@@ -222,4 +257,71 @@ object ScriptUdf {
       rt.addFunction(fname, ret, mode, code)
       rt
     })
+  private[runtime] def aggPool(fname: String, ret: DataType, code: AggregateCode,
+                               stepBudget: Int): ScriptRuntime =
+    pools.getOrElseUpdate(fname + " agg " + code.hashCode, {
+      val rt = new ScriptRuntime(stepBudget)
+      rt.addAggregate(fname, ret, code)
+      rt
+    })
+
+  /** Five-phase aggregate whose every phase runs in the embedded runtime —
+    * the SPI analogue of the reference's guest-class aggregates
+    * (`python/mod.rs:229-309,456-656`). State is an opaque guest value
+    * serialized java-side across the shuffle (pickle-state analogue). Rows
+    * with any NULL input are skipped (SQL aggregate null semantics). */
+  final class ScriptAggregate(fname: String, ret: DataType, code: AggregateCode,
+                              stepBudget: Int)
+    extends graft.functions.GraftAggregate[AnyRef, Any] {
+    @transient private lazy val rt = ScriptUdf.aggPool(fname, ret, code, stepBudget)
+    override def createState(): AnyRef =
+      rt.aggCreateState(fname).asInstanceOf[AnyRef]
+    override def accumulate(s: AnyRef, in: org.apache.spark.sql.Row): AnyRef =
+      if (in.anyNull) s
+      else rt.aggAccumulate(fname, s, in.toSeq).asInstanceOf[AnyRef]
+    override def retract(s: AnyRef, in: org.apache.spark.sql.Row): AnyRef =
+      if (in.anyNull) s
+      else rt.aggRetract(fname, s, in.toSeq).asInstanceOf[AnyRef]
+    override def merge(a: AnyRef, b: AnyRef): AnyRef =
+      rt.aggMerge(fname, a, b).asInstanceOf[AnyRef]
+    override def finish(s: AnyRef): Any = rt.aggFinish(fname, s)
+  }
+
+  /** Register a five-phase script aggregate under a SQL-callable signature.
+    * Validates (compiles) all phases on the driver, ships only sources. */
+  def registerAggregate(sig: String, code: AggregateCode,
+                        stepBudget: Int = 100000): Unit = {
+    import org.apache.spark.sql.{Encoder, Encoders}
+    val parsed = graft.sig.Signature.parse(sig)
+    // fail fast on driver: compile every phase now
+    new ScriptRuntime(stepBudget).addAggregate(parsed.name, parsed.returns.dataType, code)
+    val inputSchema = StructType(parsed.args.zipWithIndex.map {
+      case (g, i) => g.field(s"a$i")
+    })
+    val outEnc: Encoder[Any] = (parsed.returns.dataType match {
+      case LongType    => Encoders.scalaLong
+      case IntegerType => Encoders.scalaInt
+      case DoubleType  => Encoders.scalaDouble
+      case StringType  => Encoders.STRING
+      case other => throw new IllegalArgumentException(
+        s"script aggregate return type $other unsupported")
+    }).asInstanceOf[Encoder[Any]]
+    val lowered = graft.functions.GraftAggregates.lower(
+      new ScriptAggregate(parsed.name, parsed.returns.dataType, code, stepBudget),
+      inputSchema, Encoders.javaSerialization[AnyRef], outEnc)
+    graft.functions.Udf.aggregate(sig, lowered)
+  }
+
+  /** Batched column-at-a-time evaluation through the runtime SPI — plugs the
+    * [[LanguageRuntime.callBatch]] surface into the BatchUdf chunked tier. */
+  def withBatchColumn(df: org.apache.spark.sql.DataFrame, outName: String,
+                      inputCols: Seq[String], retType: DataType,
+                      fname: String, code: String,
+                      stepBudget: Int = 100000,
+                      batchSize: Int = 1024): org.apache.spark.sql.DataFrame =
+    graft.functions.BatchUdf.withBatchColumn(df, outName, inputCols, retType, batchSize) {
+      cols =>
+        val rt = pool(fname, retType, CallMode.ReturnNullOnNullInput, code, stepBudget)
+        rt.callBatch(fname, cols, if (cols.isEmpty) 0 else cols.head.length)
+    }
 }

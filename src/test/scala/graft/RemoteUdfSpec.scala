@@ -1,7 +1,7 @@
 package graft
 
 import graft.remote.{RemoteUdf, UdfClient, UdfServer}
-import org.apache.spark.sql.types.IntegerType
+import org.apache.spark.sql.types._
 import org.scalatest.funsuite.AnyFunSuite
 
 class RemoteUdfSpec extends AnyFunSuite {
@@ -32,6 +32,109 @@ class RemoteUdfSpec extends AnyFunSuite {
           client.call("nope", Seq(IntegerType), Seq(Seq(1))))
         assert(e.getMessage.contains("no scalar function"))
       } finally client.close()
+    } finally server.close()
+  }
+
+  test("LIST and GET discovery return signatures") {
+    graft.functions.Builtins.ensureRegistered()
+    val server = new UdfServer()
+    try {
+      val client = new UdfClient("127.0.0.1", server.boundPort)
+      try {
+        val all = client.list()
+        assert(all.exists(_.startsWith("gcd(")))
+        assert(all.exists(_.startsWith("range_setof(")))
+        val gcds = client.get("gcd")
+        assert(gcds.nonEmpty && gcds.forall(_.startsWith("gcd(")))
+        assert(gcds.exists(_.contains("int32")) && gcds.exists(_.contains("int64")))
+        val e = intercept[RuntimeException](client.get("definitely_not_there"))
+        assert(e.getMessage.contains("no function"))
+      } finally client.close()
+    } finally server.close()
+  }
+
+  test("remote table function streams (row, value) pairs") {
+    graft.functions.Builtins.ensureRegistered()
+    val server = new UdfServer()
+    try {
+      val client = new UdfClient("127.0.0.1", server.boundPort)
+      try {
+        val res = client.callTable("range_setof", Seq(IntegerType),
+          Seq(Seq(2), Seq(0), Seq(3), Seq(null)))
+        // row 0 yields 0,1; row 1 yields nothing; row 2 yields 0,1,2; null row skipped
+        assert(res == Seq((0, 0), (0, 1), (2, 0), (2, 1), (2, 2)))
+      } finally client.close()
+    } finally server.close()
+  }
+
+  test("wide type matrix round-trips: bool/float/binary/date/timestamp/decimal/list/struct") {
+    import graft.functions.Udf
+    Udf.scalarN[Any]("remote_echo(float[]) -> float[]",
+      mode = graft.sig.CallMode.CalledOnNullInput)(_.head)
+    Udf.scalarN[Any]("remote_echo(struct<key: string, value: string>) -> struct<key: string, value: string>",
+      mode = graft.sig.CallMode.CalledOnNullInput)(_.head)
+    graft.functions.Builtins.ensureRegistered()
+    val server = new UdfServer()
+    try {
+      val client = new UdfClient("127.0.0.1", server.boundPort)
+      try {
+        // list<float> through the identity function
+        val vec = Seq(Seq(1.5f, -2.25f), Seq(0.0f), null)
+        val out = client.call("remote_echo", Seq(ArrayType(FloatType)), vec.map(Seq(_)))
+        assert(out(0) == Seq(1.5f, -2.25f) && out(1) == Seq(0.0f) && out(2) == null)
+        // struct<key,value> through the identity function
+        val row = org.apache.spark.sql.Row("k1", "v1")
+        val sOut = client.call("remote_echo",
+          Seq(StructType(Seq(StructField("key", StringType), StructField("value", StringType)))),
+          Seq(Seq(row)))
+        assert(sOut.head == row)
+        // graft_identity is registered over the full scalar matrix
+        val dt = java.time.LocalDateTime.of(2024, 2, 29, 12, 30, 15, 123456000)
+        val scalars: Seq[(DataType, Any)] = Seq(
+          (BooleanType, true),
+          (FloatType, 3.5f),
+          (BinaryType, Array[Byte](1, 2, 3)),
+          (DateType, java.sql.Date.valueOf("2024-02-29")),
+          (TimestampNTZType, dt))
+        scalars.foreach { case (t, v) =>
+          val r = client.call("graft_identity", Seq(t), Seq(Seq(v)))
+          v match {
+            case b: Array[Byte] => assert(r.head.asInstanceOf[Array[Byte]].toSeq == b.toSeq)
+            case other => assert(r.head == other, s"type $t")
+          }
+        }
+      } finally client.close()
+    } finally server.close()
+  }
+
+  test("extension metadata (json) travels on the wire and resolves the overload") {
+    graft.functions.Builtins.ensureRegistered()
+    val server = new UdfServer()
+    try {
+      val client = new UdfClient("127.0.0.1", server.boundPort)
+      try {
+        val jsonMd = new MetadataBuilder()
+          .putString(graft.types.GraftType.ExtensionKey, graft.types.GraftType.JsonExt).build()
+        // json_get resolves ONLY for metadata-tagged json arguments
+        val res = client.call("json_get", Seq(StringType, IntegerType),
+          Seq(Seq("[1, 2, 3]", 1)), argMeta = Seq(jsonMd, Metadata.empty))
+        assert(res == Seq("2"))
+        val e = intercept[RuntimeException](
+          client.call("json_get", Seq(StringType, IntegerType), Seq(Seq("[1]", 0))))
+        assert(e.getMessage.contains("no scalar function"))
+      } finally client.close()
+    } finally server.close()
+  }
+
+  test("remote table function explodes rows in mapPartitions integration") {
+    Graft.install(spark)
+    val server = new UdfServer()
+    try {
+      val df = spark.range(4).selectExpr("CAST(id AS INT) AS n")
+      val out = RemoteUdf.withRemoteTableColumn(df, "127.0.0.1", server.boundPort,
+        "range_setof", Seq("n"), IntegerType)
+      val rows = out.collect().map(r => (r.getInt(0), r.getInt(1))).sorted.toSeq
+      assert(rows == Seq((1, 0), (2, 0), (2, 1), (3, 0), (3, 1), (3, 2)))
     } finally server.close()
   }
 

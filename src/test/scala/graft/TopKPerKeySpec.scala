@@ -43,6 +43,27 @@ class TopKPerKeySpec extends AnyFunSuite {
       s"expected Final above Exchange above Partial:\n$plan")
   }
 
+  test("NULL order keys rank last, matching row_number NULLS LAST") {
+    // key 0: 2 non-null rows + nulls (nulls must fill the k=3 slots);
+    // key 1: >=3 non-null rows (nulls must be excluded entirely)
+    val df = spark.range(20).selectExpr(
+      "CAST(id % 2 AS INT) AS key",
+      "CASE WHEN id % 2 = 0 AND id > 3 THEN NULL ELSE id END AS ord")
+    val custom = TopKPerKey.topK(df, Seq("key"), "ord", 3)
+      .selectExpr("key", "ord")
+      .collect().map(r => (r.getInt(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toSet
+    df.createOrReplaceTempView("tk_null_in")
+    val reference = spark.sql(
+      """SELECT key, ord FROM (
+        |  SELECT key, ord,
+        |         row_number() OVER (PARTITION BY key ORDER BY ord DESC NULLS LAST) AS rn
+        |  FROM tk_null_in) WHERE rn <= 3""".stripMargin)
+      .collect().map(r => (r.getInt(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toSet
+    // non-null survivors must agree exactly; null-filled slots agree by count
+    assert(custom.filter(_._2 >= 0) == reference.filter(_._2 >= 0))
+    assert(custom.count(_._2 < 0) == reference.count(_._2 < 0))
+  }
+
   test("string ordering with UTF8String sort keys") {
     val df = spark.range(1000).selectExpr(
       "CAST(id % 4 AS INT) AS key", "concat('s', lpad(CAST(id AS STRING), 4, '0')) AS name")
