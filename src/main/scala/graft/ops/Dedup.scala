@@ -185,12 +185,23 @@ object Dedup {
   def nearDedupCorpus(df: DataFrame, textCol: String, idCol: String,
                       k: Int = 16, bands: Int = 4, threshold: Double = 0.5,
                       maxIter: Int = 50): DataFrame = {
+    // Materialize the candidate subgraph ONCE. localCheckpoint (not persist):
+    // it truncates the whole signature/band/Jaccard subtree out of every
+    // iteration's logical plan — otherwise each iteration's Catalyst
+    // analysis/optimization pass re-walks the full LSH pipeline and planning
+    // time dwarfs the (tiny) joins. Candidates are a small fraction of the
+    // corpus; on a multi-node cluster prefer a reliable checkpoint dir.
     val pairs = minhashPairs(df, textCol, idCol, k, bands, threshold)
       .select(col("id_a"), col("id_b"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint()
     val edges = pairs.union(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
-    var labels = df.select(col(idCol).cast("long").as("id"))
+    // Only candidate-pair ENDPOINTS participate in label propagation —
+    // documents with no near-dup candidate trivially keep themselves. The
+    // iteration working set is the candidate subgraph (a tiny fraction of the
+    // corpus at 100 TB), never the corpus.
+    var labels = edges.select(col("id_a").cast("long").as("id")).distinct()
       .withColumn("comp", col("id"))
+      .localCheckpoint()
     var prev: Option[DataFrame] = None
     var changed = 1L
     var iter = 0
@@ -198,10 +209,12 @@ object Dedup {
       // candidate label for dst = min over neighbors' current labels
       val proposals = edges.join(labels, edges("id_a") === labels("id"))
         .groupBy(col("id_b").as("id")).agg(min(col("comp")).as("ncomp"))
+      // persisted: prop feeds BOTH sides of the pointer-jump self-join below
       val prop = labels.join(proposals, Seq("id"), "left")
         .select(col("id"),
           least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp"),
           col("comp").as("old"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       // pointer jump: comp := label(comp). Labels are always document ids, so
       // the self-join always hits; chains halve every iteration.
       val m = prop.select(col("id").as("jid"), col("comp").as("jcomp"))
@@ -213,6 +226,7 @@ object Dedup {
         if (iter % 4 == 3) jumped.localCheckpoint()
         else jumped.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       changed = updated.where(col("comp") =!= col("old")).count()
+      prop.unpersist(false)
       prev.foreach(_.unpersist(false))
       prev = Some(updated)
       labels = updated.select(col("id"), col("comp"))
@@ -221,8 +235,10 @@ object Dedup {
     if (changed > 0)
       throw new IllegalStateException(
         s"nearDedupCorpus: connected components did not converge after $maxIter iterations")
-    val keep = labels.where(col("comp") === col("id")).select(col("id").as(idCol))
-    df.join(keep, Seq(idCol), "left_semi")
+    // Drop non-root endpoints; every other document (including the untouched
+    // majority) survives — an anti join against the small loser set.
+    val losers = labels.where(col("comp") =!= col("id")).select(col("id"))
+    df.join(losers, df(idCol).cast("long") === losers("id"), "left_anti")
   }
 
   /** SimHash near-dup pairs: block on the 4 15-bit quarters of the signature

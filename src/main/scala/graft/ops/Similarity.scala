@@ -133,18 +133,43 @@ object Similarity {
       .where(col("vec_id") % stride === 0).orderBy("vec_id").limit(k)
       .select("embedding").collect().zipWithIndex
       .map { case (r, i) => (i, r.getSeq[Float](0).map(_.toDouble).toArray) }
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types._
+    val partialSchema = StructType(Seq(
+      StructField("cell", IntegerType), StructField("sx", ArrayType(LongType)),
+      StructField("cnt", LongType)))
+    val partialEnc = Encoders.row(partialSchema)
     for (_ <- 0 until iters) {
       val bc = spark.sparkContext.broadcast(centroids)
-      val assignCell = udf { (v: Seq[Float]) => Ivf.nearest(bc.value, v) }
-      // Per-(cell, dim) fixed-point sums computed distributively: assignment
-      // is a pure projection, the shuffle carries only k × dim partial sums
-      // (map-side combine), and exactly k × dim tiny rows reach the driver —
-      // never the corpus itself.
-      val sums = corpus.select(assignCell(col("embedding")).as("cell"),
-          posexplode(col("embedding")).as(Seq("dim", "x")))
+      // One corpus scan per Lloyd iteration: each partition folds its vectors
+      // into ≤ k fixed-point sum rows (assignment + accumulation fused, no
+      // per-dimension row blowup on the corpus). The tiny partials
+      // (partitions × k rows) then merge distributively per (cell, dim) —
+      // integer sums are order-independent, so centroids are bit-reproducible
+      // at any parallelism — and exactly k × dim scalars reach the driver.
+      val partials = corpus.select("embedding").mapPartitions { it =>
+        val cs = bc.value
+        val acc = new java.util.HashMap[Int, Array[Long]]()
+        var dim = 0
+        while (it.hasNext) {
+          val v = it.next().getSeq[Float](0)
+          dim = v.length
+          val cell = Ivf.nearest(cs, v)
+          var a = acc.get(cell)
+          if (a == null) { a = new Array[Long](dim + 1); acc.put(cell, a) }
+          var i = 0
+          while (i < dim) { a(i) += math.round(v(i).toDouble * IvfScale); i += 1 }
+          a(dim) += 1
+        }
+        import scala.jdk.CollectionConverters._
+        acc.asScala.iterator.map { case (cell, a) =>
+          Row(cell, a.take(dim).toSeq, a(dim))
+        }
+      }(partialEnc)
+      val sums = partials
+        .select(col("cell"), col("cnt"), posexplode(col("sx")).as(Seq("dim", "x")))
         .groupBy("cell", "dim")
-        .agg(sum(round(col("x").cast("double") * IvfScale).cast("long")).as("sx"),
-             count(lit(1)).as("cnt"))
+        .agg(sum(col("x")).as("sx"), sum(col("cnt")).as("n"))
         .collect()
       centroids = sums.groupBy(_.getInt(0)).toArray.map { case (cell, rows) =>
         val mean = new Array[Double](rows.length)

@@ -126,18 +126,36 @@ object Hashing {
       java.security.MessageDigest.getInstance("MD5")
   }
 
+  private val hexChars = "0123456789abcdef".toCharArray
+
   def md5Hex(bytes: Array[Byte]): String = {
     val d = tl.get()
     d.reset()
     val out = d.digest(bytes)
     val sb = new java.lang.StringBuilder(32)
-    out.foreach(b => sb.append(f"${b & 0xff}%02x"))
+    out.foreach { b =>
+      sb.append(hexChars((b >> 4) & 0xf)); sb.append(hexChars(b & 0xf))
+    }
     sb.toString
   }
 
+  /** First 60 bits of the digest, straight from the bytes — bit-identical to
+    * `parseLong(md5Hex.substring(0, 15), 16)` (the first 15 hex chars are
+    * bytes 0..6 plus the high nibble of byte 7) without the hex-string
+    * round-trip; this is the hot path of every signature operator. */
+  private def md5_60FromDigest(out: Array[Byte]): Long = {
+    var h = 0L
+    var i = 0
+    while (i < 7) { h = (h << 8) | (out(i) & 0xffL); i += 1 }
+    (h << 4) | ((out(7) & 0xffL) >>> 4)
+  }
+
   /** First 60 bits (15 hex chars) of md5 as a non-negative Long. */
-  def md5_60(s: String): Long =
-    java.lang.Long.parseLong(md5Hex(s.getBytes("UTF-8")).substring(0, 15), 16)
+  def md5_60(s: String): Long = {
+    val d = tl.get()
+    d.reset()
+    md5_60FromDigest(d.digest(s.getBytes("UTF-8")))
+  }
 
   private val cacheCap = 200000
   private val memo = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
@@ -156,8 +174,11 @@ object Hashing {
 
   /** Same, over raw bytes (binary payloads; equals md5 of the equivalent
     * UTF-8 string when the bytes came from text). */
-  def md5_60b(bytes: Array[Byte]): Long =
-    java.lang.Long.parseLong(md5Hex(bytes).substring(0, 15), 16)
+  def md5_60b(bytes: Array[Byte]): Long = {
+    val d = tl.get()
+    d.reset()
+    md5_60FromDigest(d.digest(bytes))
+  }
 
   /** Seeded variant: hash of (seed || s) — the minhash family h_i. */
   def md5_60(seed: Int, s: String): Long = md5_60(seed.toString + s)
