@@ -324,6 +324,40 @@ object SparkEntry {
         |JOIN customer c ON c.c_custkey = o.o_custkey AND c.c_nationkey = s.s_nationkey
         |WHERE r.r_name = 'ASIA'
         |GROUP BY n.n_name ORDER BY n.n_name""".stripMargin) _,
+    // TPC-H Q2-style: min-price source per part within a region — correlated
+    // scalar subquery repeating the dimension chain (optimizer coverage:
+    // Catalyst decorrelates to an aggregate + join)
+    "q2_min_cost" -> q(
+      """SELECT p.p_partkey, l.l_suppkey,
+        |       CAST(ROUND(l.l_extendedprice * 100) AS BIGINT) AS price_cents
+        |FROM part p
+        |JOIN lineitem l ON l.l_partkey = p.p_partkey
+        |JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        |JOIN nation n ON n.n_nationkey = s.s_nationkey
+        |JOIN region r ON r.r_regionkey = n.n_regionkey
+        |WHERE r.r_name = 'EUROPE' AND p.p_partkey % 10 = 0
+        |  AND l.l_extendedprice = (
+        |    SELECT min(l2.l_extendedprice) FROM lineitem l2
+        |    JOIN supplier s2 ON s2.s_suppkey = l2.l_suppkey
+        |    JOIN nation n2 ON n2.n_nationkey = s2.s_nationkey
+        |    JOIN region r2 ON r2.r_regionkey = n2.n_regionkey
+        |    WHERE l2.l_partkey = p.p_partkey AND r2.r_name = 'EUROPE')
+        |ORDER BY p.p_partkey, l.l_suppkey""".stripMargin) _,
+    // TPC-H Q7-style: bilateral volume between two nation sets by ship year
+    "q7_volume" -> q(
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |       year(l.l_shipdate) AS l_year,
+        |       sum(CAST(ROUND(l.l_extendedprice * (1.0 - l.l_discount) * 100) AS BIGINT)) AS rev_cents
+        |FROM lineitem l
+        |JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        |JOIN orders o ON o.o_orderkey = l.l_orderkey
+        |JOIN customer c ON c.c_custkey = o.o_custkey
+        |JOIN nation n1 ON n1.n_nationkey = s.s_nationkey
+        |JOIN nation n2 ON n2.n_nationkey = c.c_nationkey
+        |WHERE n1.n_name IN ('NATION_3', 'NATION_7') AND n2.n_name IN ('NATION_3', 'NATION_7')
+        |  AND n1.n_name <> n2.n_name
+        |GROUP BY n1.n_name, n2.n_name, year(l.l_shipdate)
+        |ORDER BY supp_nation, cust_nation, l_year""".stripMargin) _,
     "q_window_running" -> q(
       """SELECT o_custkey, o_orderkey,
         |       row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rn,
@@ -770,6 +804,36 @@ object SparkEntry {
         |JOIN customer c ON c.c_custkey = o.o_custkey AND c.c_nationkey = s.s_nationkey
         |WHERE r.r_name = 'ASIA'
         |GROUP BY n.n_name ORDER BY n.n_name""".stripMargin,
+    "q2_min_cost" ->
+      """SELECT p.p_partkey, l.l_suppkey,
+        |       CAST(ROUND(l.l_extendedprice * 100) AS BIGINT) AS price_cents
+        |FROM part p
+        |JOIN lineitem l ON l.l_partkey = p.p_partkey
+        |JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        |JOIN nation n ON n.n_nationkey = s.s_nationkey
+        |JOIN region r ON r.r_regionkey = n.n_regionkey
+        |WHERE r.r_name = 'EUROPE' AND p.p_partkey % 10 = 0
+        |  AND l.l_extendedprice = (
+        |    SELECT min(l2.l_extendedprice) FROM lineitem l2
+        |    JOIN supplier s2 ON s2.s_suppkey = l2.l_suppkey
+        |    JOIN nation n2 ON n2.n_nationkey = s2.s_nationkey
+        |    JOIN region r2 ON r2.r_regionkey = n2.n_regionkey
+        |    WHERE l2.l_partkey = p.p_partkey AND r2.r_name = 'EUROPE')
+        |ORDER BY p.p_partkey, l.l_suppkey""".stripMargin,
+    "q7_volume" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |       CAST(year(l.l_shipdate) AS INT) AS l_year,
+        |       CAST(sum(CAST(ROUND(l.l_extendedprice * (1.0 - l.l_discount) * 100) AS BIGINT)) AS BIGINT) AS rev_cents
+        |FROM lineitem l
+        |JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        |JOIN orders o ON o.o_orderkey = l.l_orderkey
+        |JOIN customer c ON c.c_custkey = o.o_custkey
+        |JOIN nation n1 ON n1.n_nationkey = s.s_nationkey
+        |JOIN nation n2 ON n2.n_nationkey = c.c_nationkey
+        |WHERE n1.n_name IN ('NATION_3', 'NATION_7') AND n2.n_name IN ('NATION_3', 'NATION_7')
+        |  AND n1.n_name <> n2.n_name
+        |GROUP BY n1.n_name, n2.n_name, year(l.l_shipdate)
+        |ORDER BY supp_nation, cust_nation, l_year""".stripMargin,
     "q_window_running" ->
       """SELECT o_custkey, o_orderkey,
         |       CAST(row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS INT) AS rn,

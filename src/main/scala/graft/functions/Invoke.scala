@@ -184,6 +184,38 @@ case class TableFnInvoke(
       newChildren: IndexedSeq[Expression]): Expression = copy(children = newChildren)
 }
 
+/** Native codegen'd whitespace token count (no split allocation) — promotes
+  * the corpus-curation gate function to the fastest tier. */
+case class TokenCountExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "token_count"
+  override protected def nullSafeEval(input: Any): Any =
+    Kernels.tokenCount(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.tokenCount($c)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Native codegen'd 60-bit md5 content fingerprint (UTF8String bytes direct,
+  * no String conversion). */
+case class DocFingerprintExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "doc_fingerprint"
+  override protected def nullSafeEval(input: Any): Any =
+    Kernels.md5_60(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.md5_60($c)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Native codegen'd FNV-1a 64 over a string's UTF-8 bytes. */
 case class Fnv64Expr(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType

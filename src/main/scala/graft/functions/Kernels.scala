@@ -55,6 +55,32 @@ object Kernels {
     if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
+  /** Whitespace token count straight off the UTF-8 bytes — exact match for
+    * `split("\\s+").filter(_.nonEmpty).length` semantics (Java regex `\s` is
+    * ASCII-only, and ASCII bytes never collide with UTF-8 continuation
+    * bytes), with no split allocation. Referenced from
+    * [[TokenCountExpr]] generated code. */
+  def tokenCount(s: org.apache.spark.unsafe.types.UTF8String): Int = {
+    val bytes = s.getBytes
+    var n = 0
+    var inTok = false
+    var i = 0
+    while (i < bytes.length) {
+      val b = bytes(i)
+      val ws = b == ' ' || b == '\t' || b == '\n' || b == 0x0b || b == '\f' || b == '\r'
+      if (!ws && !inTok) { n += 1; inTok = true }
+      else if (ws) inTok = false
+      i += 1
+    }
+    n
+  }
+
+  /** 60-bit md5 content fingerprint over the string's UTF-8 bytes — same
+    * value as `Hashing.md5_60(s.toString)` without the String round-trip.
+    * Referenced from [[DocFingerprintExpr]] generated code. */
+  def md5_60(s: org.apache.spark.unsafe.types.UTF8String): Long =
+    graft.ops.Hashing.md5_60b(s.getBytes)
+
   /** Polynomial rolling hash mod a prime — chosen because it is exactly
     * reproducible in the DuckDB oracle with `list_reduce` over `ascii()`
     * codes, giving the correctness gate a bit-exact target. */

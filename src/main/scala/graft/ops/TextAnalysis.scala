@@ -38,7 +38,10 @@ object TextAnalysis {
 
     // token_count: whitespace tokenization (the BPE-ish regex variant is
     // token_count_bpe below — splits on word/number/punct boundaries).
-    Udf.scalar1[String, Int]("token_count(string) -> int")(s => tokens(s).length)
+    // Native codegen tier: byte-level count, no split allocation.
+    Udf.native("token_count(string) -> int") { children =>
+      graft.functions.TokenCountExpr(children(0))
+    }
 
     Udf.scalar1[String, Int]("token_count_bpe(string) -> int") { s =>
       // letters runs, digit runs, and single punctuation marks — a cheap
@@ -106,7 +109,10 @@ object TextAnalysis {
 
     // doc_fingerprint: 60-bit content hash = first 15 hex digits of md5.
     // Identical in DuckDB: CAST('0x'||substr(md5(text),1,15) AS BIGINT).
-    Udf.scalar1[String, Long]("doc_fingerprint(string) -> bigint")(Hashing.md5_60)
+    // Native codegen tier: digest over UTF8String bytes directly.
+    Udf.native("doc_fingerprint(string) -> bigint") { children =>
+      graft.functions.DocFingerprintExpr(children(0))
+    }
 
     // word n-grams (shingles), joined by single space.
     Udf.scalar2[String, Int, Seq[String]]("word_ngrams(string, int) -> string[]") { (s, n) =>

@@ -42,6 +42,49 @@ object Streaming {
   case class OpRow(key: String, op: Boolean, value: Int)
   case class KeyResult(key: String, result: Long)
 
+  /** One event for the streaming sessionizer. */
+  case class SessEvent(user_id: Long, event_id: Long, t_ms: Long)
+  /** A closed session: user, ordinal session number, span and event count. */
+  case class Session(user_id: Long, session_id: Long, start_ms: Long,
+                     end_ms: Long, n_events: Long)
+  /** Open-session state for [[sessionize]] (public: the state encoder's
+    * generated code must reach the accessors). */
+  case class SessState(sessionSeq: Long, start: Long, last: Long, nEvents: Long)
+
+  /**
+   * Streaming sessionization with custom state: events within `gapMs` of the
+   * previous event for the same user belong to one session; a longer gap
+   * closes the session and emits it. The `flatMapGroupsWithState` form of the
+   * batch `q_sessionize` window query — state per user is O(1) (current
+   * session bounds only), shuffles are one hash exchange per micro-batch on
+   * user_id. Sessions close when a gap-exceeding event arrives; a production
+   * deployment would additionally arm `GroupStateTimeout` to flush idle
+   * users without waiting for their next event.
+   */
+  def sessionize(input: Dataset[SessEvent], gapMs: Long): Dataset[Session] = {
+    implicit val stateEnc: Encoder[SessState] = Encoders.product[SessState]
+    implicit val outEnc: Encoder[Session] = Encoders.product[Session]
+    implicit val keyEnc: Encoder[Long] = Encoders.scalaLong
+    input.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessState, Session](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (user: Long, rows: Iterator[SessEvent], state: GroupState[SessState]) =>
+          val closed = Seq.newBuilder[Session]
+          var s = state.getOption.orNull
+          rows.toSeq.sortBy(e => (e.t_ms, e.event_id)).foreach { e =>
+            s match {
+              case null => s = SessState(1L, e.t_ms, e.t_ms, 1L)
+              case st if e.t_ms - st.last > gapMs =>
+                closed += Session(user, st.sessionSeq, st.start, st.last, st.nEvents)
+                s = SessState(st.sessionSeq + 1, e.t_ms, e.t_ms, 1L)
+              case st => s = st.copy(last = e.t_ms, nEvents = st.nEvents + 1)
+            }
+          }
+          if (s != null) state.update(s)
+          closed.result().iterator
+      }
+  }
+
   /** Apply a retractable [[GraftAggregate]] over a keyed CDC stream with
     * `flatMapGroupsWithState`, emitting the revised aggregate per key per
     * micro-batch. */

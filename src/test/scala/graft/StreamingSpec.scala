@@ -84,6 +84,38 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming sessionization closes sessions on gap, matches batch semantics") {
+    import spark.implicits._
+    import graft.streaming.Streaming.SessEvent
+    implicit val sqlCtx = spark.sqlContext
+    val gap = 1800000L // 30 min, same as q_sessionize
+    val mem = MemoryStream[SessEvent]
+    val q = Streaming.sessionize(mem.toDS(), gap)
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // user 1: two sessions (gap between t=2000 and t=2000+gap+1);
+      // user 2: one session of one event
+      mem.addData(
+        SessEvent(1L, 1L, 1000L), SessEvent(1L, 2L, 2000L),
+        SessEvent(2L, 3L, 500L))
+      q.processAllAvailable()
+      mem.addData(SessEvent(1L, 4L, 2000L + gap + 1))
+      q.processAllAvailable()
+      // a far-future event per user forces the previous sessions closed
+      mem.addData(SessEvent(1L, 5L, 10L * gap), SessEvent(2L, 6L, 10L * gap))
+      q.processAllAvailable()
+      val closed = spark.sql(
+        "SELECT user_id, session_id, start_ms, end_ms, n_events FROM sessions")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+        .toSet
+      assert(closed == Set(
+        (1L, 1L, 1000L, 2000L, 2L),              // user 1 first session (2 events)
+        (1L, 2L, 2000L + gap + 1, 2000L + gap + 1, 1L), // user 1 second session
+        (2L, 1L, 500L, 500L, 1L)))               // user 2 single-event session
+    } finally q.stop()
+  }
+
   test("retracting aggregate over CDC stream revises results") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
