@@ -59,6 +59,25 @@ object Bench {
         s.sql("SELECT count(*) FROM range(16384) LATERAL VIEW range_setof(1000) t AS v")
           .write.format("noop").mode("overwrite").save()
       },
+      // Hot-key join, AQE skew-split path: 20M rows where key 0 holds 25% of
+      // the data. AQE splits the oversized partition at runtime.
+      "x_skew_join_aqe_20m" -> { s: SparkSession =>
+        val fact = s.range(20000000L)
+          .selectExpr("CASE WHEN id % 4 = 0 THEN 0 ELSE id % 1024 END AS k", "id AS v")
+        val dim = s.range(1024L).selectExpr("id AS k", "id * 7 AS d")
+        fact.join(dim, "k").selectExpr("k", "v + d AS x")
+          .write.format("noop").mode("overwrite").save()
+      },
+      // Same shape through the explicit salted-join operator (the tool for
+      // hot keys so heavy that even split partitions overwhelm a task).
+      "x_skew_join_salted_20m" -> { s: SparkSession =>
+        val fact = s.range(20000000L)
+          .selectExpr("CASE WHEN id % 4 = 0 THEN 0 ELSE id % 1024 END AS k", "id AS v")
+        val dim = s.range(1024L).selectExpr("id AS k", "id * 7 AS d")
+        graft.plans.Skew.saltedJoin(fact, dim, "k", salts = 16)
+          .selectExpr("k", "v + d AS x")
+          .write.format("noop").mode("overwrite").save()
+      },
     )
     val tputResults = throughput.map { case (name, fn) =>
       val t0 = System.nanoTime()

@@ -188,6 +188,16 @@ object SparkEntry {
     "q_word_ngrams" -> q(
       """SELECT doc_id, array_join(word_ngrams(text, 2), '|') AS ngrams
         |FROM documents ORDER BY doc_id""".stripMargin) _,
+    "q_redact" -> q(
+      """SELECT doc_id, redact_pii(text) AS red
+        |FROM documents ORDER BY doc_id""".stripMargin) _,
+    "q_sentences" -> q(
+      """SELECT doc_id, t.value AS sentence
+        |FROM documents LATERAL VIEW split_sentences(text) t AS value
+        |ORDER BY doc_id, sentence""".stripMargin) _,
+    "q_repetition" -> q(
+      """SELECT doc_id, CAST(ROUND(repetition_ratio(text, 3) * 10000) AS BIGINT) AS r4
+        |FROM documents ORDER BY doc_id""".stripMargin) _,
 
     // capstone: corpus curation — language/quality/length gates + exact dedup
     // in ONE declarative pass. text_stats is a one-row generator, so the
@@ -612,6 +622,28 @@ object SparkEntry {
          |FROM (SELECT doc_id, $duckWords AS ws FROM documents)
          |ORDER BY doc_id""".stripMargin,
 
+    "q_redact" ->
+      """SELECT doc_id,
+        |  regexp_replace(regexp_replace(regexp_replace(text,
+        |    'https?://\S+', '<URL>', 'g'),
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '[+]?[0-9][0-9()\- ]{7,}[0-9]', '<PHONE>', 'g') AS red
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_sentences" ->
+      """SELECT doc_id, t.u AS sentence
+        |FROM (SELECT doc_id,
+        |        list_filter(list_transform(regexp_split_to_array(text, '[.!?]+'),
+        |          x -> trim(x, ' ' || chr(9) || chr(10) || chr(13))), x -> x <> '') AS ss
+        |      FROM documents),
+        |     UNNEST(ss) AS t(u)
+        |ORDER BY doc_id, sentence""".stripMargin,
+    "q_repetition" ->
+      s"""SELECT doc_id,
+         |  CAST(ROUND((CASE WHEN len(sh) = 0 THEN 0.0
+         |    ELSE 1.0 - CAST(len(list_distinct(sh)) AS DOUBLE) / CAST(len(sh) AS DOUBLE) END) * 10000) AS BIGINT) AS r4
+         |FROM (SELECT doc_id, ${duckShingles(3)} AS sh
+         |      FROM (SELECT doc_id, $duckWords AS ws FROM documents))
+         |ORDER BY doc_id""".stripMargin,
     "q_curate_corpus" ->
       s"""WITH tok AS (
          |  SELECT doc_id, list_filter(str_split_regex(lower(text), '\\s+'), x -> x <> '') AS ts,

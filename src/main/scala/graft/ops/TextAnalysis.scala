@@ -120,6 +120,35 @@ object TextAnalysis {
       if (ws.length < n) Seq(ws.mkString(" "))
       else ws.sliding(n).map(_.mkString(" ")).toSeq
     }
+
+    // PII / URL redaction — standard pre-training scrub. Replacement order is
+    // fixed (URL, then email, then phone) and each pattern is RE2-compatible
+    // so the DuckDB oracle replays it exactly.
+    val urlP = java.util.regex.Pattern.compile("https?://\\S+")
+    val emailP = java.util.regex.Pattern.compile(
+      "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}")
+    val phoneP = java.util.regex.Pattern.compile("[+]?[0-9][0-9()\\- ]{7,}[0-9]")
+    Udf.scalar1[String, String]("redact_pii(string) -> string") { s =>
+      phoneP.matcher(
+        emailP.matcher(
+          urlP.matcher(s).replaceAll("<URL>")).replaceAll("<EMAIL>")).replaceAll("<PHONE>")
+    }
+
+    // Sentence segmentation as a set-returning function: split on terminal
+    // punctuation runs, trim, drop empties.
+    Udf.table1[String, String]("split_sentences(string) ->> string") { s =>
+      s.split("[.!?]+").iterator.map(_.trim).filter(_.nonEmpty)
+    }
+
+    // Repetition ratio: 1 - distinct/total word n-grams — high values flag
+    // boilerplate/spam (a standard corpus-quality gate).
+    Udf.scalar2[String, Int, Double]("repetition_ratio(string, int) -> double") { (s, n) =>
+      val ws = tokens(s)
+      val sh = if (ws.length < n) Seq(ws.mkString(" "))
+               else ws.sliding(n).map(_.mkString(" ")).toSeq
+      if (sh.isEmpty) 0.0
+      else 1.0 - sh.distinct.length.toDouble / sh.length.toDouble
+    }
   }
 }
 
