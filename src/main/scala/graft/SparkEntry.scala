@@ -129,6 +129,18 @@ object SparkEntry {
         |LATERAL VIEW script_echoes(n) t AS value
         |ORDER BY l_orderkey, l_linenumber, v""".stripMargin) _,
 
+    // Columnar batch tier: gcd evaluated directly on the vectorized parquet
+    // reader's ColumnarBatch (custom supportsColumnar SparkPlan, zero row
+    // materialization between scan and kernel)
+    "q_columnar_gcd" -> dfq { s =>
+      val df = s.table("lineitem")
+        .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
+      graft.plans.ColumnarMap.withBatchColumn(df, "g", Seq("l_partkey", "l_suppkey"),
+          org.apache.spark.sql.types.LongType, graft.plans.ColumnarMap.GcdLongKernel)
+        .selectExpr("l_orderkey", "l_linenumber", "CAST(g AS INT) AS g")
+        .orderBy("l_orderkey", "l_linenumber")
+    } _,
+
     // §2.1 #26/#27: the SAME gcd computed through the remote Arrow-IPC path
     // (per-partition pooled client → in-process server → registry dispatch)
     "q_remote_gcd" -> dfq { s =>
@@ -557,6 +569,11 @@ object SparkEntry {
         |                 WHEN l_linenumber = 2 THEN [l_linenumber, l_linenumber + 1]
         |                 ELSE [l_linenumber, l_linenumber + 1, l_linenumber + 2] END) AS t(u)
         |ORDER BY l_orderkey, l_linenumber, v""".stripMargin,
+    "q_columnar_gcd" ->
+      """SELECT l_orderkey, l_linenumber,
+        |       CAST(gcd(CAST(l_partkey AS INT), CAST(l_suppkey AS INT)) AS INT) AS g
+        |FROM lineitem
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
     "q_remote_gcd" ->
       """SELECT l_orderkey, l_linenumber,
         |       CAST(gcd(CAST(l_partkey AS INT), CAST(l_suppkey AS INT)) AS INT) AS g

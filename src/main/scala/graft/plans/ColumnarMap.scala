@@ -1,0 +1,142 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference}
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
+import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
+import org.apache.spark.sql.execution.vectorized.OnHeapColumnVector
+import org.apache.spark.sql.graftshim.Shim
+import org.apache.spark.sql.types.DataType
+import org.apache.spark.sql.vectorized.{ColumnVector, ColumnarBatch}
+
+/**
+ * Columnar (batch-at-a-time) kernel tier — the engine's Arrow-native path:
+ * a physical operator with `supportsColumnar = true` that appends a computed
+ * column by reading the scan's `ColumnarBatch` vectors DIRECTLY (the
+ * vectorized parquet reader's output), with zero row materialization between
+ * the scan and the kernel. The analogue of the reference's column-level
+ * `eval(&RecordBatch) -> RecordBatch` surface (`codegen_utils.rs:314-678`)
+ * expressed as a Spark physical operator instead of a framework call.
+ *
+ * Spark's `ApplyColumnarRulesAndInsertTransitions` handles placement: above a
+ * columnar scan the kernel consumes batches as-is; a row-producing child gets
+ * a `RowToColumnar` transition inserted automatically, and a row-consuming
+ * parent gets `ColumnarToRow` above the kernel — so the operator composes
+ * with any plan while keeping the scan → kernel hot path row-free.
+ *
+ * == Scale design ==
+ * Pure map-side: no shuffle, no state; partition parallelism and batch size
+ * come from the scan (`spark.sql.parquet.columnarReaderBatchSize`). The
+ * kernel loop is a tight per-vector pass — the same cost model as the
+ * reference's `arrow_arith` kernels.
+ */
+object ColumnarMap {
+
+  /** A column-level kernel: read `rows` values from `in` vectors, write the
+    * result column into `out` (nulls included). Must be pure. */
+  trait BatchKernel extends Serializable {
+    def apply(in: Seq[ColumnVector], rows: Int, out: OnHeapColumnVector): Unit
+  }
+
+  /** Append `outName` computed by `kernel` over `inCols`, as a first-class
+    * columnar operator. */
+  def withBatchColumn(df: DataFrame, outName: String, inCols: Seq[String],
+                      dt: DataType, kernel: BatchKernel): DataFrame = {
+    val spark = df.sparkSession
+    installStrategy(spark)
+    val child = Shim.logicalPlan(df)
+    val attr = AttributeReference(outName, dt, nullable = true)()
+    Shim.ofRows(spark, ColumnarMapNode(attr, inCols, kernel, child))
+  }
+
+  def installStrategy(spark: SparkSession): Unit = {
+    val exp = Shim.experimental(spark)
+    if (!exp.extraStrategies.exists(_.isInstanceOf[ColumnarMapStrategy.type]))
+      exp.extraStrategies = exp.extraStrategies :+ ColumnarMapStrategy
+  }
+
+  /** Columnar gcd over two INT columns — the flagship kernel on this tier. */
+  object GcdKernel extends BatchKernel {
+    override def apply(in: Seq[ColumnVector], rows: Int, out: OnHeapColumnVector): Unit = {
+      val a = in(0); val b = in(1)
+      var i = 0
+      while (i < rows) {
+        if (a.isNullAt(i) || b.isNullAt(i)) out.putNull(i)
+        else out.putInt(i, graft.functions.Kernels.gcd(a.getInt(i), b.getInt(i)))
+        i += 1
+      }
+    }
+  }
+
+  /** BIGINT variant — applies directly to parquet int64 scan columns with no
+    * cast projection in between (keeps the scan → kernel path columnar). */
+  object GcdLongKernel extends BatchKernel {
+    override def apply(in: Seq[ColumnVector], rows: Int, out: OnHeapColumnVector): Unit = {
+      val a = in(0); val b = in(1)
+      var i = 0
+      while (i < rows) {
+        if (a.isNullAt(i) || b.isNullAt(i)) out.putNull(i)
+        else out.putLong(i, graft.functions.Kernels.gcd(a.getLong(i), b.getLong(i)))
+        i += 1
+      }
+    }
+  }
+}
+
+case class ColumnarMapNode(outAttr: AttributeReference, inCols: Seq[String],
+                           kernel: ColumnarMap.BatchKernel, child: LogicalPlan)
+  extends UnaryNode {
+  override def output: Seq[Attribute] = child.output :+ outAttr
+  override def producedAttributes: org.apache.spark.sql.catalyst.expressions.AttributeSet =
+    org.apache.spark.sql.catalyst.expressions.AttributeSet(outAttr)
+  // the operator passes through every child column (and the kernel reads by
+  // name), so nothing below it may be pruned away
+  override def references: org.apache.spark.sql.catalyst.expressions.AttributeSet =
+    child.outputSet
+  override def maxRows: Option[Long] = child.maxRows
+  override protected def withNewChildInternal(newChild: LogicalPlan): LogicalPlan =
+    copy(child = newChild)
+}
+
+object ColumnarMapStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case ColumnarMapNode(outAttr, inCols, kernel, child) =>
+      ColumnarMapExec(outAttr, inCols, kernel, planLater(child)) :: Nil
+    case _ => Nil
+  }
+}
+
+case class ColumnarMapExec(outAttr: AttributeReference, inCols: Seq[String],
+                           kernel: ColumnarMap.BatchKernel, child: SparkPlan)
+  extends UnaryExecNode {
+
+  override def output: Seq[Attribute] = child.output :+ outAttr
+  override def producedAttributes: org.apache.spark.sql.catalyst.expressions.AttributeSet =
+    org.apache.spark.sql.catalyst.expressions.AttributeSet(outAttr)
+  override def supportsColumnar: Boolean = true
+
+  override protected def doExecuteColumnar(): RDD[ColumnarBatch] = {
+    val idx = inCols.map(c => child.output.indexWhere(_.name == c))
+    require(idx.forall(_ >= 0), s"columns $inCols not all present in ${child.output}")
+    val dt = outAttr.dataType
+    val k = kernel
+    child.executeColumnar().map { batch =>
+      val n = batch.numRows()
+      val out = new OnHeapColumnVector(n, dt)
+      k(idx.map(batch.column), n, out)
+      val cols = Array.tabulate[ColumnVector](batch.numCols() + 1) { i =>
+        if (i < batch.numCols()) batch.column(i) else out
+      }
+      new ColumnarBatch(cols, n)
+    }
+  }
+
+  override protected def doExecute(): RDD[InternalRow] =
+    throw new IllegalStateException(
+      "ColumnarMapExec is columnar-only; Spark inserts ColumnarToRow above it")
+
+  override protected def withNewChildInternal(newChild: SparkPlan): SparkPlan =
+    copy(child = newChild)
+}
