@@ -282,6 +282,15 @@ object SparkEntry {
     "q_lsh_bucket" -> q(
       """SELECT vec_id, hyperplane_bucket(embedding, 6) AS bucket
         |FROM embeddings ORDER BY vec_id""".stripMargin) _,
+    // LSH-bucketed ANN end-to-end: queries probe only their own hyperplane
+    // bucket, exact cosine rerank inside it
+    "q_lsh_topk" -> dfq { s =>
+      val queries = s.table("embeddings").where("vec_id < 5")
+        .selectExpr("vec_id AS q_id", "embedding AS q_embedding")
+      graft.ops.Similarity.lshTopK(s.table("embeddings"), queries, 5, bits = 6)
+        .selectExpr("q_id", "vec_id", "rank", "CAST(ROUND(sim * 10000) AS BIGINT) AS c4")
+        .orderBy("q_id", "rank")
+    } _,
 
     // embedding-cosine near-dup: LSH bucket join + exact threshold verify
     "q_embed_neardup" -> dfq { s =>
@@ -774,6 +783,22 @@ object SparkEntry {
          |  THEN (CAST(1 AS BIGINT) << p) ELSE CAST(0 AS BIGINT) END for p in range(6)]) AS BIGINT) AS bucket
          |FROM embeddings ORDER BY vec_id""".stripMargin,
 
+    "q_lsh_topk" ->
+      s"""WITH b AS (SELECT vec_id, embedding,
+         |  CAST(list_sum([CASE WHEN
+         |    list_reduce([CAST(embedding[i] AS DOUBLE) *
+         |      (${duckMd5_60("CAST(p * 10007 + (i - 1) AS VARCHAR) || 'hp'")} / 5.764607523034235e17 - 1.0)
+         |      for i in range(1, 65)], (x, y) -> x + y) >= 0
+         |    THEN (CAST(1 AS BIGINT) << p) ELSE CAST(0 AS BIGINT) END for p in range(6)]) AS BIGINT) AS bucket
+         |  FROM embeddings),
+         |q AS (SELECT vec_id AS q_id, embedding AS qe, bucket FROM b WHERE vec_id < 5),
+         |s AS (SELECT q.q_id, b.vec_id, ${duckCos("q.qe", "b.embedding")} AS sim
+         |      FROM q JOIN b USING (bucket)),
+         |r AS (SELECT q_id, vec_id, sim,
+         |             CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS INT) AS rank
+         |      FROM s)
+         |SELECT q_id, vec_id, rank, CAST(ROUND(sim * 10000) AS BIGINT) AS c4
+         |FROM r WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
     "q_embed_neardup" ->
       s"""WITH b AS (SELECT vec_id, embedding,
          |  CAST(list_sum([CASE WHEN

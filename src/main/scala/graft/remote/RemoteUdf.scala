@@ -47,6 +47,8 @@ import scala.jdk.CollectionConverters._
 object RemoteProtocol {
   val BatchSize = 1024
   val ExtKey = graft.types.GraftType.ExtensionKey
+  /** Wire protocol version (reference: `do_action(protocol_version) = 2`). */
+  val Version = 2
 
   private def fieldType(t: ArrowType, md: SMetadata): FieldType = {
     val ext = graft.types.GraftType.extensionOf(md)
@@ -203,7 +205,10 @@ class UdfServer(port: Int = 0) extends AutoCloseable {
     try {
       var line = readLine(in)
       while (line != null && line.nonEmpty) {
-        if (line.startsWith("LIST")) {
+        if (line.startsWith("VERSION")) {
+          // handshake: client verifies compatibility before calling
+          out.write(s"OK\n${RemoteProtocol.Version}\n\n".getBytes(StandardCharsets.UTF_8))
+        } else if (line.startsWith("LIST")) {
           // discovery: every registered signature (reference list_udfs)
           out.write("OK\n".getBytes(StandardCharsets.UTF_8))
           Registry.global.all.sortBy(_.signature.name).foreach { fd =>
@@ -361,6 +366,9 @@ class UdfClient(host: String, port: Int) extends AutoCloseable {
   private val out = new DataOutputStream(new BufferedOutputStream(sock.getOutputStream))
   private val in = new DataInputStream(new BufferedInputStream(sock.getInputStream))
   private val allocator = new RootAllocator()
+
+  /** Handshake: the server's wire protocol version. */
+  def version(): Int = textExchange("VERSION\n").head.toInt
 
   /** Discovery: all remote signatures (reference `Client::list`). */
   def list(): Seq[String] = textExchange("LIST\n")

@@ -41,6 +41,7 @@ class RemoteUdfSpec extends AnyFunSuite {
     try {
       val client = new UdfClient("127.0.0.1", server.boundPort)
       try {
+        assert(client.version() == graft.remote.RemoteProtocol.Version)
         val all = client.list()
         assert(all.exists(_.startsWith("gcd(")))
         assert(all.exists(_.startsWith("range_setof(")))
