@@ -199,6 +199,43 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
   }
 
+  /**
+   * Persist an IVF index: centroids (k tiny rows) plus the corpus assigned to
+   * cells and written `partitionBy(cell)`. Searches against the saved index
+   * then read ONLY the probed cells — the cell equi-join against a broadcast
+   * query side triggers dynamic partition pruning, so a 100 TB corpus scan
+   * becomes an nprobe/nCells fraction of the files.
+   */
+  def ivfSave(corpus: DataFrame, path: String, nCells: Int, iters: Int = 5): Unit = {
+    val spark = corpus.sparkSession
+    val centroids = ivfCentroids(corpus, nCells, iters)
+    import spark.implicits._
+    centroids.toSeq.map { case (c, arr) => (c, arr.toSeq) }
+      .toDF("cell", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+    val bc = spark.sparkContext.broadcast(centroids)
+    val assignCell = udf { (v: Seq[Float]) => Ivf.nearest(bc.value, v) }
+    corpus.withColumn("cell", assignCell(col("embedding")))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/assigned")
+  }
+
+  /** Search a saved IVF index: probe `nprobe` nearest cells per query, exact
+    * rerank. Reads only the probed cell partitions. */
+  def ivfSearchSaved(spark: org.apache.spark.sql.SparkSession, path: String,
+                     queries: DataFrame, k: Int, nprobe: Int): DataFrame = {
+    val centroids = spark.read.parquet(s"$path/centroids").collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1).toArray)).sortBy(_._1)
+    val bc = spark.sparkContext.broadcast(centroids)
+    val probeCells = udf { (v: Seq[Float]) => Ivf.nearestK(bc.value, v, nprobe) }
+    val q = queries.withColumn("cell", explode(probeCells(col("q_embedding"))))
+    val c = spark.read.parquet(s"$path/assigned")
+    val scored = c.join(broadcast(q), Seq("cell"))
+      .withColumn("sim", expr("cosine_sim(embedding, q_embedding)"))
+      .select(col("q_id"), col("vec_id"), col("sim"))
+    val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+  }
+
   /** LSH-bucketed ANN: both sides bucketed by hyperplane signature; candidates
     * only within matching buckets, then exact rerank + top-k. */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int, bits: Int = 8): DataFrame = {

@@ -70,6 +70,33 @@ object ColumnarMap {
     }
   }
 
+  /** Cosine similarity of a `float[]` column against one fixed query vector,
+    * read through `ColumnarArray` (the nested-column vectorized reader path)
+    * — the batch-scoring shape of a brute-force ANN pass. Arithmetic order
+    * matches [[graft.functions.Kernels.cosineSim]] exactly. */
+  final case class CosineQueryKernel(q: Array[Double]) extends BatchKernel {
+    override def apply(in: Seq[ColumnVector], rows: Int, out: OnHeapColumnVector): Unit = {
+      val col = in(0)
+      var i = 0
+      while (i < rows) {
+        if (col.isNullAt(i)) out.putNull(i)
+        else {
+          val arr = col.getArray(i)
+          val n = math.min(arr.numElements(), q.length)
+          var dot = 0.0; var na = 0.0; var nb = 0.0
+          var j = 0
+          while (j < n) {
+            val x = arr.getFloat(j).toDouble; val y = q(j)
+            dot += x * y; na += x * x; nb += y * y
+            j += 1
+          }
+          out.putDouble(i, if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb)))
+        }
+        i += 1
+      }
+    }
+  }
+
   /** BIGINT variant — applies directly to parquet int64 scan columns with no
     * cast projection in between (keeps the scan → kernel path columnar). */
   object GcdLongKernel extends BatchKernel {

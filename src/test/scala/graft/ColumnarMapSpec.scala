@@ -1,7 +1,7 @@
 package graft
 
 import graft.plans.ColumnarMap
-import org.apache.spark.sql.types.{IntegerType, LongType}
+import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType}
 import org.scalatest.funsuite.AnyFunSuite
 
 class ColumnarMapSpec extends AnyFunSuite {
@@ -37,6 +37,22 @@ class ColumnarMapSpec extends AnyFunSuite {
     val iKernel = plan.indexOf("ColumnarMap")
     val iToRow = plan.indexOf("ColumnarToRow")
     assert(iToRow >= 0 && iToRow < iKernel, plan)
+  }
+
+  test("columnar cosine over float-array column matches the expression tier") {
+    Graft.install(spark)
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = emb.where("vec_id = 0").select("embedding")
+      .collect().head.getSeq[Float](0).map(_.toDouble).toArray
+    val columnar = ColumnarMap.withBatchColumn(emb.select("vec_id", "embedding"),
+        "sim", Seq("embedding"), DoubleType, ColumnarMap.CosineQueryKernel(q))
+      .selectExpr("vec_id", "CAST(ROUND(sim * 10000) AS BIGINT) AS s4")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val expected = emb.selectExpr("vec_id",
+        s"CAST(ROUND(cosine_sim(embedding, CAST(array(${q.mkString(",")}) AS ARRAY<FLOAT>)) * 10000) AS BIGINT) AS s4")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(columnar == expected)
+    assert(columnar(0L) == 10000L) // self-similarity
   }
 
   test("row-producing child gets an automatic RowToColumnar transition") {

@@ -88,6 +88,24 @@ class OpsSpec extends AnyFunSuite {
     assert((exact intersect ivf).size >= 5) // non-trivial recall
   }
 
+  test("saved IVF index: full-probe search equals fresh search; partitions pruned") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = emb.where("vec_id < 3").selectExpr("vec_id AS q_id", "embedding AS q_embedding")
+    val path = java.nio.file.Files.createTempDirectory("ivf_idx").toString
+    Similarity.ivfSave(emb, path, nCells = 8)
+    // full probe over the saved index must equal a fresh full-probe search
+    val saved = Similarity.ivfSearchSaved(spark, path, queries, 5, nprobe = 8)
+      .select("q_id", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val fresh = Similarity.ivfTopK(emb, queries, 5, nCells = 8, nprobe = 8)
+      .select("q_id", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(saved == fresh)
+    // the assigned corpus is laid out one directory per cell (the unit of
+    // pruning for narrow probes)
+    val cellDirs = new java.io.File(s"$path/assigned").listFiles()
+      .filter(_.getName.startsWith("cell=")).length
+    assert(cellDirs > 1)
+  }
+
   test("multimodal: mapPartitions feature extraction + frame sampling") {
     val df = docsDf.selectExpr("doc_id", "CAST(text AS BINARY) AS payload")
     val feats = Multimodal.extractImageFeatures(df, "payload")
