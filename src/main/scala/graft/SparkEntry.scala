@@ -247,6 +247,11 @@ object SparkEntry {
     "q_simhash" -> q(
       """SELECT doc_id, simhash(text) AS sig
         |FROM documents ORDER BY doc_id""".stripMargin) _,
+    // blocked simhash near-dup pairs (pigeonhole quarters + Hamming verify)
+    "q_simhash_pairs" -> dfq { s =>
+      graft.ops.Dedup.simhashPairs(s.table("documents"), "text", "doc_id", maxDist = 3)
+        .orderBy("id_a", "id_b")
+    } _,
     "q_hamming" -> q(
       """SELECT a.doc_id AS id_a, hamming64(simhash(a.text), simhash(b.text)) AS d
         |FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
@@ -736,6 +741,19 @@ object SparkEntry {
          |SELECT d.doc_id, d.n_chars FROM documents d JOIN comp c ON c.id = d.doc_id
          |WHERE c.comp = d.doc_id ORDER BY d.doc_id""".stripMargin,
     "q_simhash" -> (duckSimhash + "\nORDER BY doc_id"),
+    "q_simhash_pairs" ->
+      s"""WITH s AS ($duckSimhash),
+         |b AS (SELECT doc_id, sig, t.u['b'] AS blk, t.u['k'] AS key
+         |      FROM s, UNNEST([
+         |        {'b': 0, 'k': sig & 32767},
+         |        {'b': 1, 'k': (sig >> 15) & 32767},
+         |        {'b': 2, 'k': (sig >> 30) & 32767},
+         |        {'b': 3, 'k': (sig >> 45) & 32767}]) AS t(u)),
+         |cand AS (SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b, a.sig AS sa, c.sig AS sb
+         |         FROM b a JOIN b c ON a.blk = c.blk AND a.key = c.key AND a.doc_id < c.doc_id)
+         |SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS INT) AS dist
+         |FROM cand WHERE bit_count(xor(sa, sb)) <= 3
+         |ORDER BY id_a, id_b""".stripMargin,
     "q_hamming" ->
       s"""WITH s AS ($duckSimhash)
          |SELECT a.doc_id AS id_a, CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS d
