@@ -664,7 +664,7 @@ object SparkEntry {
       """SELECT doc_id, t.u AS sentence
         |FROM (SELECT doc_id,
         |        list_filter(list_transform(regexp_split_to_array(text, '[.!?]+'),
-        |          x -> trim(x, ' ' || chr(9) || chr(10) || chr(13))), x -> x <> '') AS ss
+        |          x -> trim(x, ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12))), x -> x <> '') AS ss
         |      FROM documents),
         |     UNNEST(ss) AS t(u)
         |ORDER BY doc_id, sentence""".stripMargin,

@@ -34,6 +34,30 @@ object TextAnalysis {
   private def tokens(s: String): Array[String] =
     s.split("\\s+").filter(_.nonEmpty)
 
+  /** Language ID over pre-lowercased tokens — the single implementation
+    * shared by `lang_id` and `text_stats` (bit-parity by construction). */
+  private def langOf(toks: Array[String]): String = {
+    val scores = markers.view.mapValues(set => toks.count(set.contains)).toMap
+    val maxN = scores.values.max
+    if (maxN == 0) "und" else scores.filter(_._2 == maxN).keys.min
+  }
+
+  /** Quality score over the raw text + its pre-lowercased tokens — shared by
+    * `quality_score` and `text_stats`; arithmetic order is fixed for the
+    * oracle. */
+  private def qualityOf(s: String, toks: Array[String]): Double = {
+    val nTok = toks.length
+    if (nTok == 0) 0.0
+    else {
+      val nStop = toks.count(stopwords.contains)
+      val nPunct = s.count(c => !Character.isLetterOrDigit(c) && !Character.isWhitespace(c))
+      val stopRatio = nStop.toDouble / nTok.toDouble
+      val lenScore = math.min(nTok.toDouble / 100.0, 1.0)
+      val punctRatio = nPunct.toDouble / s.length.toDouble
+      0.4 * stopRatio + 0.3 * lenScore + 0.3 * (1.0 - punctRatio)
+    }
+  }
+
   def registerAll(): Unit = {
 
     // token_count: whitespace tokenization (the BPE-ish regex variant is
@@ -53,11 +77,7 @@ object TextAnalysis {
     // lang_id: argmax of marker-word hits; ties broken lexicographically;
     // no hits at all -> 'und'.
     Udf.scalar1[String, String]("lang_id(string) -> string") { s =>
-      val toks = tokens(s.toLowerCase)
-      val scores = markers.view.mapValues(set => toks.count(set.contains)).toMap
-      val maxN = scores.values.max
-      if (maxN == 0) "und"
-      else scores.filter(_._2 == maxN).keys.min
+      langOf(tokens(s.toLowerCase))
     }
 
     // quality_score in [0,1]:
@@ -66,17 +86,7 @@ object TextAnalysis {
     // + 0.3 * (1 - punct_ratio)  (noise proxy)
     // Exact arithmetic order is fixed so the SQL oracle reproduces it.
     Udf.scalar1[String, Double]("quality_score(string) -> double") { s =>
-      val toks = tokens(s.toLowerCase)
-      val nTok = toks.length
-      if (nTok == 0) 0.0
-      else {
-        val nStop = toks.count(stopwords.contains)
-        val nPunct = s.count(c => !Character.isLetterOrDigit(c) && !Character.isWhitespace(c))
-        val stopRatio = nStop.toDouble / nTok.toDouble
-        val lenScore = math.min(nTok.toDouble / 100.0, 1.0)
-        val punctRatio = nPunct.toDouble / s.length.toDouble
-        0.4 * stopRatio + 0.3 * lenScore + 0.3 * (1.0 - punctRatio)
-      }
+      qualityOf(s, tokens(s.toLowerCase))
     }
 
     // text_stats: language ID + quality score + token count in ONE pass over
@@ -90,21 +100,7 @@ object TextAnalysis {
     Udf.table1[String, org.apache.spark.sql.Row](
       "text_stats(string) ->> struct<lang: string, score: double, n_tok: int>") { s =>
       val toks = tokens(s.toLowerCase)
-      val nTok = toks.length
-      val scores = markers.view.mapValues(set => toks.count(set.contains)).toMap
-      val maxN = scores.values.max
-      val lang = if (maxN == 0) "und" else scores.filter(_._2 == maxN).keys.min
-      val quality =
-        if (nTok == 0) 0.0
-        else {
-          val nStop = toks.count(stopwords.contains)
-          val nPunct = s.count(c => !Character.isLetterOrDigit(c) && !Character.isWhitespace(c))
-          val stopRatio = nStop.toDouble / nTok.toDouble
-          val lenScore = math.min(nTok.toDouble / 100.0, 1.0)
-          val punctRatio = nPunct.toDouble / s.length.toDouble
-          0.4 * stopRatio + 0.3 * lenScore + 0.3 * (1.0 - punctRatio)
-        }
-      Iterator.single(org.apache.spark.sql.Row(lang, quality, nTok))
+      Iterator.single(org.apache.spark.sql.Row(langOf(toks), qualityOf(s, toks), toks.length))
     }
 
     // doc_fingerprint: 60-bit content hash = first 15 hex digits of md5.
@@ -135,9 +131,18 @@ object TextAnalysis {
     }
 
     // Sentence segmentation as a set-returning function: split on terminal
-    // punctuation runs, trim, drop empties.
+    // punctuation runs, trim, drop empties. Trim char set is EXACTLY the
+    // oracle's (space/tab/LF/CR/VT/FF) — String.trim would also strip other
+    // control chars and break bit-parity.
+    val trimChars = " \t\n\r\f"
+    def trimWs(s: String): String = {
+      var a = 0; var b = s.length
+      while (a < b && trimChars.indexOf(s.charAt(a)) >= 0) a += 1
+      while (b > a && trimChars.indexOf(s.charAt(b - 1)) >= 0) b -= 1
+      s.substring(a, b)
+    }
     Udf.table1[String, String]("split_sentences(string) ->> string") { s =>
-      s.split("[.!?]+").iterator.map(_.trim).filter(_.nonEmpty)
+      s.split("[.!?]+").iterator.map(trimWs).filter(_.nonEmpty)
     }
 
     // Repetition ratio: 1 - distinct/total word n-grams — high values flag

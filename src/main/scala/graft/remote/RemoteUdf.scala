@@ -128,7 +128,7 @@ object RemoteProtocol {
       tv.setSafe(i, x.toInstant(java.time.ZoneOffset.UTC).getEpochSecond * 1000000L
         + x.getNano / 1000L)
     case (dv: DecimalVector, x: java.math.BigDecimal) =>
-      dv.setSafe(i, x.setScale(dv.getScale))
+      dv.setSafe(i, x.setScale(dv.getScale, java.math.RoundingMode.HALF_UP))
     case (lv: ListVector, xs: scala.collection.Seq[_]) =>
       val start = lv.startNewValue(i)
       val data = lv.getDataVector.asInstanceOf[FieldVector]
@@ -275,9 +275,10 @@ class UdfServer(port: Int = 0) extends AutoCloseable {
           args.zipWithIndex.map { case (a, i) => if (a == null) null else toCat(i)(a) }))))
       case _ => None
     }
-    Registry.global.resolve(fname, argTypes) match {
-      case Some(fd @ FunctionDef(sigDef, _, _, _, _)) if !isTable && scalarFn(fd).isDefined =>
-        val f = scalarFn(fd).get
+    val resolved = Registry.global.resolve(fname, argTypes)
+    val resolvedScalar = resolved.flatMap(fd => scalarFn(fd).map(f => (fd, f)))
+    (resolved, resolvedScalar) match {
+      case (_, Some((FunctionDef(sigDef, _, _, _, _), f))) if !isTable =>
         out.write("OK\n".getBytes(StandardCharsets.UTF_8))
         val outSchema = new ASchema(Seq(
           toArrowField("value", sigDef.returns.dataType, sigDef.returns.metadata)).asJava)
@@ -300,7 +301,7 @@ class UdfServer(port: Int = 0) extends AutoCloseable {
         }
         writer.end()
         outRoot.close()
-      case Some(FunctionDef(sigDef, TableImpl(f), _, _, _)) if isTable =>
+      case (Some(FunctionDef(sigDef, TableImpl(f), _, _, _)), _) if isTable =>
         // table function: result rows are (row, value) — the input-row index
         // column materialized exactly like the reference's `row: Int32`.
         out.write("OK\n".getBytes(StandardCharsets.UTF_8))
@@ -474,6 +475,10 @@ object RemoteUdf {
         // close the connection when the task finishes (success or failure)
         Option(org.apache.spark.TaskContext.get()).foreach(
           _.addTaskCompletionListener[Unit](_ => client.close()))
+        // ONE wire batch per exchange — the no-deadlock invariant: the client
+        // writes the whole request before reading, so multi-batch exchanges
+        // with large rows could fill both socket directions and hang. Keep
+        // request+response bounded by a single batch.
         it.grouped(RemoteProtocol.BatchSize).flatMap { chunk =>
           val rows = chunk.map(r => argIdx.map(r.get))
           val vals = client.call(fname, argTypes, rows)

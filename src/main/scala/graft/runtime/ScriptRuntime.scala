@@ -259,7 +259,10 @@ object ScriptUdf {
     })
   private[runtime] def aggPool(fname: String, ret: DataType, code: AggregateCode,
                                stepBudget: Int): ScriptRuntime =
-    pools.getOrElseUpdate(fname + " agg " + code.hashCode, {
+    // key on the full phase sources (hashCode alone could collide and reuse
+    // a different aggregate's compiled phases)
+    pools.getOrElseUpdate(Seq(fname, "agg", code.init, code.accumulate,
+      code.retract.getOrElse(""), code.merge, code.finish).mkString(""), {
       val rt = new ScriptRuntime(stepBudget)
       rt.addAggregate(fname, ret, code)
       rt

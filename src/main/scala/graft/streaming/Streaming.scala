@@ -77,7 +77,8 @@ object Streaming {
               case st if e.t_ms - st.last > gapMs =>
                 closed += Session(user, st.sessionSeq, st.start, st.last, st.nEvents)
                 s = SessState(st.sessionSeq + 1, e.t_ms, e.t_ms, 1L)
-              case st => s = st.copy(last = e.t_ms, nEvents = st.nEvents + 1)
+              case st => s = st.copy(start = math.min(st.start, e.t_ms),
+                last = math.max(st.last, e.t_ms), nEvents = st.nEvents + 1)
             }
           }
           if (s != null) state.update(s)

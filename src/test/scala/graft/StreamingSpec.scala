@@ -98,12 +98,16 @@ class StreamingSpec extends AnyFunSuite {
       // user 2: one session of one event
       mem.addData(
         SessEvent(1L, 1L, 1000L), SessEvent(1L, 2L, 2000L),
-        SessEvent(2L, 3L, 500L))
+        SessEvent(2L, 3L, 500L), SessEvent(3L, 7L, 5000L))
       q.processAllAvailable()
-      mem.addData(SessEvent(1L, 4L, 2000L + gap + 1))
+      // user 1 starts a second session; user 3 gets a LATE cross-batch event
+      // (t=1000 < open session's last=5000) that must extend start backward
+      // without regressing end
+      mem.addData(SessEvent(1L, 4L, 2000L + gap + 1), SessEvent(3L, 8L, 1000L))
       q.processAllAvailable()
       // a far-future event per user forces the previous sessions closed
-      mem.addData(SessEvent(1L, 5L, 10L * gap), SessEvent(2L, 6L, 10L * gap))
+      mem.addData(SessEvent(1L, 5L, 10L * gap), SessEvent(2L, 6L, 10L * gap),
+        SessEvent(3L, 9L, 10L * gap))
       q.processAllAvailable()
       val closed = spark.sql(
         "SELECT user_id, session_id, start_ms, end_ms, n_events FROM sessions")
@@ -112,7 +116,8 @@ class StreamingSpec extends AnyFunSuite {
       assert(closed == Set(
         (1L, 1L, 1000L, 2000L, 2L),              // user 1 first session (2 events)
         (1L, 2L, 2000L + gap + 1, 2000L + gap + 1, 1L), // user 1 second session
-        (2L, 1L, 500L, 500L, 1L)))               // user 2 single-event session
+        (2L, 1L, 500L, 500L, 1L),                // user 2 single-event session
+        (3L, 1L, 1000L, 5000L, 2L)))             // late event widened the span
     } finally q.stop()
   }
 
