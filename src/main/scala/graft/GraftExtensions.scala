@@ -23,6 +23,8 @@ import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     Builtins.ensureRegistered()
+    // auto-lower eligible native expressions onto the columnar kernel tier
+    ext.injectColumnar(graft.plans.GraftColumnarRule(_))
     val reg = Registry.global
     reg.names.foreach { name =>
       val defs = reg.lookup(name)

@@ -112,6 +112,60 @@ object ColumnarMap {
   }
 }
 
+/**
+ * Auto-lowering rule (`SparkSessionExtensions.injectColumnar`): a plain SQL
+ * `gcd(a, b)` in a projection directly above a columnar scan is rewritten to
+ * run on [[ColumnarMapExec]] — the kernel consumes the scan's batches, and
+ * the surviving row-side projection only selects attributes. Scope is
+ * deliberately conservative: direct attribute arguments, unique column
+ * names, child already columnar; anything else keeps the codegen'd
+ * expression tier (which is already fast).
+ */
+case class GraftColumnarRule(session: SparkSession)
+  extends org.apache.spark.sql.execution.ColumnarRule {
+  import org.apache.spark.sql.catalyst.expressions.{Alias, NamedExpression}
+  import org.apache.spark.sql.execution.ProjectExec
+  import org.apache.spark.sql.types.{IntegerType, LongType}
+
+  override def preColumnarTransitions: org.apache.spark.sql.catalyst.rules.Rule[SparkPlan] =
+    new org.apache.spark.sql.catalyst.rules.Rule[SparkPlan] {
+      override def apply(plan: SparkPlan): SparkPlan = plan.transformUp {
+        case p @ ProjectExec(list, child)
+            if child.supportsColumnar &&
+               child.output.map(_.name).distinct.size == child.output.size &&
+               list.exists(isLowerableGcd(_, child)) =>
+          var cur: SparkPlan = child
+          val replaced: Seq[NamedExpression] = list.map {
+            case al @ Alias(g: graft.functions.GcdExpr, name)
+                if isLowerableGcd(al, child) =>
+              val (a, b) = (g.left.asInstanceOf[Attribute], g.right.asInstanceOf[Attribute])
+              val kernel = g.dataType match {
+                case LongType => ColumnarMap.GcdLongKernel
+                case _        => ColumnarMap.GcdKernel
+              }
+              // keep the alias's exprId so downstream references still bind
+              val attr = AttributeReference(name, g.dataType, nullable = true)(
+                exprId = al.exprId)
+              cur = ColumnarMapExec(attr, Seq(a.name, b.name), kernel, cur)
+              attr
+            case other => other
+          }
+          ProjectExec(replaced, cur)
+      }
+
+      private def isLowerableGcd(e: org.apache.spark.sql.catalyst.expressions.Expression,
+                                 child: SparkPlan): Boolean = e match {
+        case Alias(g: graft.functions.GcdExpr, _) =>
+          (g.dataType == IntegerType || g.dataType == LongType) &&
+          Seq(g.left, g.right).forall {
+            case a: Attribute => child.outputSet.contains(a)
+            case _ => false
+          }
+        case _ => false
+      }
+    }
+}
+
 case class ColumnarMapNode(outAttr: AttributeReference, inCols: Seq[String],
                            kernel: ColumnarMap.BatchKernel, child: LogicalPlan)
   extends UnaryNode {

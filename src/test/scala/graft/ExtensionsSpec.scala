@@ -22,4 +22,33 @@ class ExtensionsSpec extends AnyFunSuite {
     Graft.install(s)
     assert(s.sql("SELECT gcd(21, 14)").collect().head.getInt(0) == 7)
   }
+
+  test("columnar rule auto-lowers SQL gcd over a parquet scan") {
+    val old = TestSpark.spark
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val s = SparkSession.builder()
+      .master("local[2]")
+      .withExtensions(new GraftExtensions()(_)) // programmatic: static conf
+      // spark.sql.extensions cannot reach a pre-existing SparkContext
+      .config("spark.sql.adaptive.enabled", "false")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    try {
+      Graft.install(s)
+      val df = s.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+        .selectExpr("l_orderkey", "gcd(l_partkey, l_suppkey) AS g")
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("ColumnarMap"), plan)
+      val lowered = df.selectExpr("sum(g)").collect().head.getLong(0)
+      // parity against the codegen'd expression tier on the shared session
+      Graft.install(old)
+      val expected = old.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+        .selectExpr("sum(gcd(l_partkey, l_suppkey))").collect().head.getLong(0)
+      assert(lowered == expected && lowered > 0)
+    } finally {
+      SparkSession.setDefaultSession(old)
+      SparkSession.setActiveSession(old)
+    }
+  }
 }
