@@ -153,6 +153,17 @@ object SparkEntry {
         .orderBy("l_orderkey", "l_linenumber")
     } _,
 
+    // struct_of_all: every scalar type through ONE struct value, flattened
+    // for the checker; zero-arg fns + repeat_value table fn alongside
+    "q_struct_of_all" -> q(
+      """SELECT o_orderkey, st.b, st.i32, st.i64,
+        |       CAST(ROUND(st.f64 * 10000) AS BIGINT) AS f4, st.s, st.d, st.ts,
+        |       zero() AS z, graft_null() AS nl, t.value AS rep
+        |FROM (SELECT o_orderkey, struct_of_all(CAST(o_orderkey % 1000 AS INT)) AS st
+        |      FROM orders)
+        |LATERAL VIEW repeat_value(CAST(o_orderkey % 3 AS INT), 2) t AS value
+        |ORDER BY o_orderkey""".stripMargin) _,
+
     // ---- type matrix: date/time/timestamp/interval/map end-to-end ----------
     // datetime(date32, time64) -> timestamp: compose a date and a µs-of-day
     // (extension-tagged bigint) into a naive timestamp (reference datetime).
@@ -593,6 +604,18 @@ object SparkEntry {
         |       CAST(gcd(CAST(l_partkey AS INT), CAST(l_suppkey AS INT)) AS INT) AS g
         |FROM lineitem
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q_struct_of_all" ->
+      """SELECT o_orderkey, (o_orderkey % 1000) % 2 = 0 AS b,
+        |       CAST(o_orderkey % 1000 AS INT) AS i32,
+        |       CAST((o_orderkey % 1000) * 1000 AS BIGINT) AS i64,
+        |       CAST(ROUND((o_orderkey % 1000) / 7.0 * 10000) AS BIGINT) AS f4,
+        |       'v' || CAST(o_orderkey % 1000 AS VARCHAR) AS s,
+        |       DATE '1970-01-01' + CAST(o_orderkey % 1000 AS INT) AS d,
+        |       TIMESTAMP '1970-01-01 00:00:00' + to_hours(CAST(o_orderkey % 1000 AS BIGINT)) AS ts,
+        |       CAST(0 AS INT) AS z, CAST(NULL AS INT) AS nl,
+        |       CAST(o_orderkey % 3 AS INT) AS rep
+        |FROM orders, UNNEST([1, 2]) AS t(u)
+        |ORDER BY o_orderkey""".stripMargin,
     "q_datetime" ->
       """SELECT o_orderkey,
         |       CAST(CAST(o_orderdate AS DATE) AS TIMESTAMP)

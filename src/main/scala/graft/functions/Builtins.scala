@@ -90,6 +90,20 @@ object Builtins {
       else org.apache.spark.sql.Row(s.substring(0, i), s.substring(i + 1))
     }
 
+    // zero-arg conformance functions (reference `zero()`, `null()`).
+    Udf.scalar0[Int]("zero() -> int")(() => 0)
+    Udf.scalarN[Any]("graft_null() -> int", mode = CallMode.CalledOnNullInput)(_ => null)
+
+    // struct_of_all: one struct covering the scalar matrix in a single value
+    // (reference tests.rs:264-327), seeded per row for a data-bearing check.
+    Udf.scalar1[Int, org.apache.spark.sql.Row](
+      "struct_of_all(int) -> struct<b: boolean, i32: int, i64: bigint, f64: double, s: string, d: date32, ts: timestamp>") { i =>
+      org.apache.spark.sql.Row(
+        i % 2 == 0, i, i.toLong * 1000L, i / 7.0, s"v$i",
+        java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(i.toLong)),
+        java.time.LocalDateTime.ofEpochSecond(i.toLong * 3600L, 0, java.time.ZoneOffset.UTC))
+    }
+
     // many_args: 16 ints summed (wide-signature conformance, tests.rs:344-367).
     Udf.scalarN[Int]("many_args(" + Seq.fill(16)("int").mkString(",") + ") -> int") { args =>
       args.map(a => if (a == null) 0 else a.asInstanceOf[Int]).sum
@@ -104,6 +118,11 @@ object Builtins {
     // ---- table functions ---------------------------------------------------
     // range_setof(n) ->> int : 0..n-1 (reference `range` table fn).
     Udf.table1[Int, Int]("range_setof(int) ->> int")(n => Iterator.range(0, n))
+
+    // repeat_value(v, n) ->> int (reference repeat_value, tests.rs).
+    Udf.table2[Int, Int, Int]("repeat_value(int, int) ->> int") { (v, n) =>
+      Iterator.fill(math.max(n, 0))(v)
+    }
 
     // key_values("a=b,c=d") ->> struct — setof-struct conformance
     // (reference key_values, tests.rs:256-262).
