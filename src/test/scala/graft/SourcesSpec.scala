@@ -67,4 +67,35 @@ class SourcesSpec extends AnyFunSuite {
     val plain = hot.join(dim, Seq("k")).agg(sum("v")).collect().head.getLong(0)
     assert(out.agg(sum("v")).collect().head.getLong(0) == plain)
   }
+
+  test("arrow IPC round trip: scalars, embeddings (float lists), metadata") {
+    val spark = TestSpark.spark
+    val dir = java.nio.file.Files.createTempDirectory("arrow_io").toString
+    val src = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .selectExpr("vec_id", "embedding")
+    graft.sources.ArrowIO.write(src, dir)
+    val back = graft.sources.ArrowIO.read(spark, dir)
+    assert(back.schema.map(_.name) == Seq("vec_id", "embedding"))
+    assert(back.count() == src.count())
+    // value parity on a checksum of ids and the first component of each vector
+    def sig(df: org.apache.spark.sql.DataFrame): (Long, Long) = {
+      val r = df.selectExpr("sum(vec_id)",
+        "sum(CAST(ROUND(embedding[0] * 10000) AS BIGINT))").collect().head
+      (r.getLong(0), r.getLong(1))
+    }
+    assert(sig(back) == sig(src))
+  }
+
+  test("arrow IPC round trip preserves dates and timestamps") {
+    val spark = TestSpark.spark
+    val dir = java.nio.file.Files.createTempDirectory("arrow_io_ts").toString
+    val src = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+      .selectExpr("o_orderkey", "CAST(o_orderdate AS DATE) AS d", "o_orderdate AS ts")
+      .where("o_orderkey < 100")
+    graft.sources.ArrowIO.write(src, dir)
+    val back = graft.sources.ArrowIO.read(spark, dir)
+    val a = src.orderBy("o_orderkey").collect().map(_.toSeq).toSeq
+    val b = back.orderBy("o_orderkey").collect().map(_.toSeq).toSeq
+    assert(a == b)
+  }
 }
