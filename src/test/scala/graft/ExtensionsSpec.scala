@@ -51,4 +51,27 @@ class ExtensionsSpec extends AnyFunSuite {
       SparkSession.setActiveSession(old)
     }
   }
+
+  test("columnar rule leaves non-attribute gcd arguments on the expression tier") {
+    val old = TestSpark.spark
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val s = SparkSession.builder()
+      .master("local[2]")
+      .withExtensions(new GraftExtensions()(_))
+      .config("spark.sql.adaptive.enabled", "false")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    try {
+      Graft.install(s)
+      // computed (cast) arguments -> not lowerable; must still run correctly
+      val df = s.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+        .selectExpr("gcd(CAST(l_partkey AS INT), CAST(l_suppkey AS INT)) AS g")
+      assert(!df.queryExecution.executedPlan.toString.contains("ColumnarMap"))
+      assert(df.selectExpr("sum(g)").collect().head.getLong(0) > 0)
+    } finally {
+      SparkSession.setDefaultSession(old)
+      SparkSession.setActiveSession(old)
+    }
+  }
 }
