@@ -469,6 +469,19 @@ object SparkEntry {
         |             event_type, value
         |      FROM events)
         |GROUP BY w, event_type ORDER BY ws, event_type""".stripMargin) _,
+    // bucketed range join: events within 7 days after an order by the same
+    // user — interval bucketing turns the range predicate into an equi-join
+    "q_range_join" -> dfq { s =>
+      val points = s.table("events")
+        .selectExpr("event_id", "user_id", "ts DIV 1000000 AS t_ms")
+      val intervals = s.table("orders").selectExpr("o_orderkey", "o_custkey",
+        "unix_millis(CAST(o_orderdate AS TIMESTAMP)) AS lo",
+        "unix_millis(CAST(o_orderdate AS TIMESTAMP)) + 604800000 AS hi")
+      graft.plans.RangeJoin.bucketedRangeJoin(points, intervals,
+          "user_id", "o_custkey", "t_ms", "lo", "hi", bucketWidth = 604800000L)
+        .select("event_id", "o_orderkey")
+        .orderBy("event_id", "o_orderkey")
+    } _,
     "q_asof_join" -> dfq { s =>
       val e = s.table("events").selectExpr("event_id", "user_id", "ts DIV 1000000 AS t_ms")
       val o = s.table("orders").selectExpr("o_custkey",
@@ -988,6 +1001,13 @@ object SparkEntry {
         |FROM (SELECT epoch_ns(ts) // 1000000 AS ms, event_type, value FROM events),
         |     UNNEST([ms - (ms % 1800000), ms - (ms % 1800000) - 1800000]) AS t(ws)
         |GROUP BY 1, 2 ORDER BY ws, event_type""".stripMargin,
+    "q_range_join" ->
+      """SELECT e.event_id, o.o_orderkey
+        |FROM (SELECT event_id, user_id, epoch_ns(ts) // 1000000 AS t_ms FROM events) e
+        |JOIN (SELECT o_orderkey, o_custkey, epoch_ms(o_orderdate) AS lo,
+        |             epoch_ms(o_orderdate) + 604800000 AS hi FROM orders) o
+        |  ON o.o_custkey = e.user_id AND e.t_ms >= o.lo AND e.t_ms <= o.hi
+        |ORDER BY event_id, o_orderkey""".stripMargin,
     "q_asof_join" ->
       """SELECT event_id, user_id, o_orderkey FROM (
         |  SELECT e.event_id, e.user_id, o.o_orderkey,
