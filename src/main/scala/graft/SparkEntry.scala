@@ -235,6 +235,23 @@ object SparkEntry {
         |  AND doc_id IN (SELECT min(doc_id) FROM documents GROUP BY doc_fingerprint(text))
         |ORDER BY doc_id""".stripMargin) _,
 
+    // capstone v2 — the COMPLETE curation pipeline in one declarative query:
+    // language/quality/length gates, repetition (boilerplate) gate, exact
+    // dedup, and PII-scrubbed output text. One text_stats eval per doc.
+    "q_curate_v2" -> q(
+      """SELECT doc_id, t.st.lang AS lang_pred,
+        |       CAST(ROUND(t.st.score * 10000) AS BIGINT) AS score4,
+        |       t.st.n_tok AS n_tok,
+        |       CAST(ROUND(t.st.rep3 * 10000) AS BIGINT) AS rep4,
+        |       redact_pii(text) AS clean_text
+        |FROM documents LATERAL VIEW text_stats(text) t AS st
+        |WHERE t.st.score >= 0.3
+        |  AND t.st.n_tok >= 20
+        |  AND t.st.lang <> 'und'
+        |  AND t.st.rep3 <= 0.5
+        |  AND doc_id IN (SELECT min(doc_id) FROM documents GROUP BY doc_fingerprint(text))
+        |ORDER BY doc_id""".stripMargin) _,
+
     // ---- dedup -------------------------------------------------------------
     "q_dedup_exact" -> dfq { s =>
       graft.ops.Dedup.exactDedup(s.table("documents"), "text", "doc_id")
@@ -743,6 +760,53 @@ object SparkEntry {
          |SELECT s.doc_id, s.lang_pred, s.score, s.n_tok
          |FROM scored s
          |WHERE s.score >= 0.3 AND s.n_tok >= 20 AND s.lang_pred <> 'und'
+         |  AND s.doc_id IN (SELECT min(doc_id) FROM documents GROUP BY md5(text))
+         |ORDER BY s.doc_id""".stripMargin,
+    "q_curate_v2" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, list_filter(str_split_regex(lower(text), '\\s+'), x -> x <> '') AS ts,
+         |         $duckWords AS rawts,
+         |         len(regexp_extract_all(text, '[^\\p{L}\\p{N}\\s]')) AS n_punct,
+         |         length(text) AS len_s
+         |  FROM documents),
+         |m AS (
+         |  SELECT doc_id, len(ts) AS n_tok,
+         |    len(list_filter(ts, x -> x IN ('the','and','of','to','a','in','is','it','that','for'))) AS n_stop,
+         |    n_punct, len_s,
+         |    list_sort([
+         |      {'s': -len(list_filter(ts, x -> x IN ('the','and','of','to','a','in','is','it','that','for'))), 'l': 'en'},
+         |      {'s': -len(list_filter(ts, x -> x IN ('der','die','das','und','ist','nicht','ein','zu','mit','von'))), 'l': 'de'},
+         |      {'s': -len(list_filter(ts, x -> x IN ('el','la','de','que','y','en','un','es','por','los'))), 'l': 'es'},
+         |      {'s': -len(list_filter(ts, x -> x IN ('le','la','de','et','un','est','que','pour','dans','les'))), 'l': 'fr'},
+         |      {'s': -len(list_filter(ts, x -> x IN ('的','是','不','了','在','有','我','他','这','中'))), 'l': 'zh'}
+         |    ]) AS sorted
+         |  FROM tok),
+         |scored AS (
+         |  SELECT doc_id,
+         |    CASE WHEN struct_extract(sorted[1], 's') = 0 THEN 'und'
+         |         ELSE struct_extract(sorted[1], 'l') END AS lang_pred,
+         |    CASE WHEN n_tok = 0 THEN 0.0 ELSE
+         |      0.4 * (n_stop / CAST(n_tok AS DOUBLE))
+         |      + 0.3 * least(n_tok / 100.0, 1.0)
+         |      + 0.3 * (1.0 - n_punct / CAST(len_s AS DOUBLE)) END AS score,
+         |    CAST(n_tok AS INT) AS n_tok
+         |  FROM m),
+         |rep AS (
+         |  SELECT doc_id, CASE WHEN len(sh) = 0 THEN 0.0
+         |    ELSE 1.0 - CAST(len(list_distinct(sh)) AS DOUBLE) / CAST(len(sh) AS DOUBLE) END AS rr
+         |  FROM (SELECT doc_id, ${duckShingles(3)} AS sh
+         |        FROM (SELECT doc_id, $duckWords AS ws FROM documents)))
+         |SELECT s.doc_id, s.lang_pred,
+         |       CAST(ROUND(s.score * 10000) AS BIGINT) AS score4, s.n_tok,
+         |       CAST(ROUND(r.rr * 10000) AS BIGINT) AS rep4,
+         |       regexp_replace(regexp_replace(regexp_replace(d.text,
+         |         'https?://\\S+', '<URL>', 'g'),
+         |         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}', '<EMAIL>', 'g'),
+         |         '[+]?[0-9][0-9()\\- ]{7,}[0-9]', '<PHONE>', 'g') AS clean_text
+         |FROM scored s
+         |JOIN rep r ON r.doc_id = s.doc_id
+         |JOIN documents d ON d.doc_id = s.doc_id
+         |WHERE s.score >= 0.3 AND s.n_tok >= 20 AND s.lang_pred <> 'und' AND r.rr <= 0.5
          |  AND s.doc_id IN (SELECT min(doc_id) FROM documents GROUP BY md5(text))
          |ORDER BY s.doc_id""".stripMargin,
     "q_dedup_exact" ->

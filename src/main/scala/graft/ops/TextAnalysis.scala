@@ -98,9 +98,15 @@ object TextAnalysis {
     // filter conjuncts and re-evaluated. Arithmetic order matches
     // quality_score/lang_id exactly (oracle parity).
     Udf.table1[String, org.apache.spark.sql.Row](
-      "text_stats(string) ->> struct<lang: string, score: double, n_tok: int>") { s =>
+      "text_stats(string) ->> struct<lang: string, score: double, n_tok: int, rep3: double>") { s =>
       val toks = tokens(s.toLowerCase)
-      Iterator.single(org.apache.spark.sql.Row(langOf(toks), qualityOf(s, toks), toks.length))
+      // rep3 over RAW tokens — must match repetition_ratio(text, 3) exactly
+      val raw = tokens(s)
+      val sh = if (raw.length < 3) Seq(raw.mkString(" "))
+               else raw.sliding(3).map(_.mkString(" ")).toSeq
+      val rep = if (sh.isEmpty) 0.0
+                else 1.0 - sh.distinct.length.toDouble / sh.length.toDouble
+      Iterator.single(org.apache.spark.sql.Row(langOf(toks), qualityOf(s, toks), toks.length, rep))
     }
 
     // doc_fingerprint: 60-bit content hash = first 15 hex digits of md5.

@@ -97,6 +97,20 @@ object ColumnarMap {
     }
   }
 
+  /** Whitespace token count over a string column, read as UTF8String straight
+    * from the scan vectors — the curation gate function on the columnar tier. */
+  object TokenCountKernel extends BatchKernel {
+    override def apply(in: Seq[ColumnVector], rows: Int, out: OnHeapColumnVector): Unit = {
+      val col = in(0)
+      var i = 0
+      while (i < rows) {
+        if (col.isNullAt(i)) out.putNull(i)
+        else out.putInt(i, graft.functions.Kernels.tokenCount(col.getUTF8String(i)))
+        i += 1
+      }
+    }
+  }
+
   /** BIGINT variant — applies directly to parquet int64 scan columns with no
     * cast projection in between (keeps the scan → kernel path columnar). */
   object GcdLongKernel extends BatchKernel {

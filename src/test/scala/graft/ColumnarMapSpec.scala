@@ -55,6 +55,19 @@ class ColumnarMapSpec extends AnyFunSuite {
     assert(columnar(0L) == 10000L) // self-similarity
   }
 
+  test("columnar token_count over a string scan column matches the expression tier") {
+    Graft.install(spark)
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+    val columnar = ColumnarMap.withBatchColumn(docs, "n", Seq("text"),
+        IntegerType, ColumnarMap.TokenCountKernel)
+      .selectExpr("doc_id", "n")
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+    val expected = docs.selectExpr("doc_id", "token_count(text) AS n")
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+    assert(columnar == expected && columnar.nonEmpty)
+  }
+
   test("row-producing child gets an automatic RowToColumnar transition") {
     val df = spark.range(1000)
       .selectExpr("CAST(id % 97 AS INT) AS a", "CAST(id % 89 AS INT) AS b")
