@@ -121,6 +121,34 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream join: watermarked, time-bounded attribution") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    val impressions = MemoryStream[(Long, java.sql.Timestamp)]
+    val clicks = MemoryStream[(Long, java.sql.Timestamp)]
+    val i = impressions.toDF().toDF("ad_id", "imp_time")
+      .withWatermark("imp_time", "10 seconds")
+    val c = clicks.toDF().toDF("c_ad_id", "click_time")
+      .withWatermark("click_time", "10 seconds")
+    // attribute a click to an impression within 5 seconds after it
+    val joined = i.join(c, org.apache.spark.sql.functions.expr(
+      "ad_id = c_ad_id AND click_time >= imp_time AND click_time <= imp_time + interval 5 seconds"))
+    val q = joined.selectExpr("ad_id", "unix_millis(imp_time) AS it", "unix_millis(click_time) AS ct")
+      .writeStream.format("memory").queryName("attrib")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // NB: timestamps near epoch 0 interact badly with the initial
+      // watermark; use a realistic base
+      impressions.addData((1L, ts(1000)), (2L, ts(1000)))
+      clicks.addData((1L, ts(1003)), (2L, ts(1020))) // 2's click outside the window
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT ad_id, it, ct FROM attrib").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(rows == Set((1L, 1000000L, 1003000L)))
+    } finally q.stop()
+  }
+
   test("retracting aggregate over CDC stream revises results") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
