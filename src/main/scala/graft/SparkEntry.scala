@@ -221,6 +221,13 @@ object SparkEntry {
     "q_repetition" -> q(
       """SELECT doc_id, CAST(ROUND(repetition_ratio(text, 3) * 10000) AS BIGINT) AS r4
         |FROM documents ORDER BY doc_id""".stripMargin) _,
+    // deterministic train/val/test split: 8/1/1 by hash bucket
+    "q_split_bucket" -> q(
+      """SELECT doc_id, split_bucket(doc_id, 'v1', 10) AS bucket,
+        |       CASE WHEN split_bucket(doc_id, 'v1', 10) < 8 THEN 'train'
+        |            WHEN split_bucket(doc_id, 'v1', 10) = 8 THEN 'val'
+        |            ELSE 'test' END AS split
+        |FROM documents ORDER BY doc_id""".stripMargin) _,
 
     // capstone: corpus curation — language/quality/length gates + exact dedup
     // in ONE declarative pass. text_stats is a one-row generator, so the
@@ -762,6 +769,12 @@ object SparkEntry {
          |WHERE s.score >= 0.3 AND s.n_tok >= 20 AND s.lang_pred <> 'und'
          |  AND s.doc_id IN (SELECT min(doc_id) FROM documents GROUP BY md5(text))
          |ORDER BY s.doc_id""".stripMargin,
+    "q_split_bucket" ->
+      s"""SELECT doc_id, CAST(b AS INT) AS bucket,
+         |       CASE WHEN b < 8 THEN 'train' WHEN b = 8 THEN 'val' ELSE 'test' END AS split
+         |FROM (SELECT doc_id, ${duckMd5_60("'v1:' || CAST(doc_id AS VARCHAR)")} % 10 AS b
+         |      FROM documents)
+         |ORDER BY doc_id""".stripMargin,
     "q_curate_v2" ->
       s"""WITH tok AS (
          |  SELECT doc_id, list_filter(str_split_regex(lower(text), '\\s+'), x -> x <> '') AS ts,

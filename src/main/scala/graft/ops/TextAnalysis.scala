@@ -151,6 +151,13 @@ object TextAnalysis {
       s.split("[.!?]+").iterator.map(trimWs).filter(_.nonEmpty)
     }
 
+    // Deterministic split assignment: hash-bucket a key into [0, buckets) —
+    // the standard reproducible train/val/test partitioner (no RNG state,
+    // stable across runs/engines, md5-based for oracle parity).
+    Udf.scalar3[Long, String, Int, Int]("split_bucket(bigint, string, int) -> int") {
+      (key, salt, buckets) => (Hashing.md5_60(salt + ":" + key) % buckets).toInt
+    }
+
     // Repetition ratio: 1 - distinct/total word n-grams — high values flag
     // boilerplate/spam (a standard corpus-quality gate).
     Udf.scalar2[String, Int, Double]("repetition_ratio(string, int) -> double") { (s, n) =>
