@@ -147,35 +147,44 @@ case class GraftColumnarRule(session: SparkSession)
         case p @ ProjectExec(list, child)
             if child.supportsColumnar &&
                child.output.map(_.name).distinct.size == child.output.size &&
-               list.exists(isLowerableGcd(_, child)) =>
+               list.exists(lowerable(_, child).isDefined) =>
           var cur: SparkPlan = child
-          val replaced: Seq[NamedExpression] = list.map {
-            case al @ Alias(g: graft.functions.GcdExpr, name)
-                if isLowerableGcd(al, child) =>
-              val (a, b) = (g.left.asInstanceOf[Attribute], g.right.asInstanceOf[Attribute])
-              val kernel = g.dataType match {
-                case LongType => ColumnarMap.GcdLongKernel
-                case _        => ColumnarMap.GcdKernel
-              }
-              // keep the alias's exprId so downstream references still bind
-              val attr = AttributeReference(name, g.dataType, nullable = true)(
-                exprId = al.exprId)
-              cur = ColumnarMapExec(attr, Seq(a.name, b.name), kernel, cur)
-              attr
-            case other => other
+          val replaced: Seq[NamedExpression] = list.map { ne =>
+            lowerable(ne, child) match {
+              case Some((name, exprId, dt, inCols, kernel)) =>
+                // keep the alias's exprId so downstream references still bind
+                val attr = AttributeReference(name, dt, nullable = true)(exprId = exprId)
+                cur = ColumnarMapExec(attr, inCols, kernel, cur)
+                attr
+              case None => ne
+            }
           }
           ProjectExec(replaced, cur)
       }
 
-      private def isLowerableGcd(e: org.apache.spark.sql.catalyst.expressions.Expression,
-                                 child: SparkPlan): Boolean = e match {
-        case Alias(g: graft.functions.GcdExpr, _) =>
-          (g.dataType == IntegerType || g.dataType == LongType) &&
-          Seq(g.left, g.right).forall {
-            case a: Attribute => child.outputSet.contains(a)
-            case _ => false
-          }
-        case _ => false
+      /** (name, exprId, type, input columns, kernel) when this projection
+        * entry is a native expression with a columnar kernel over direct
+        * attribute arguments. */
+      private def lowerable(e: org.apache.spark.sql.catalyst.expressions.Expression,
+                            child: SparkPlan)
+          : Option[(String, org.apache.spark.sql.catalyst.expressions.ExprId,
+                    org.apache.spark.sql.types.DataType, Seq[String],
+                    ColumnarMap.BatchKernel)] = e match {
+        case al @ Alias(g: graft.functions.GcdExpr, name)
+            if (g.dataType == IntegerType || g.dataType == LongType) &&
+               Seq(g.left, g.right).forall(a => a.isInstanceOf[Attribute] &&
+                 child.outputSet.contains(a.asInstanceOf[Attribute])) =>
+          val kernel = if (g.dataType == LongType) ColumnarMap.GcdLongKernel
+                       else ColumnarMap.GcdKernel
+          Some((name, al.exprId, g.dataType,
+            Seq(g.left.asInstanceOf[Attribute].name, g.right.asInstanceOf[Attribute].name),
+            kernel))
+        case al @ Alias(t: graft.functions.TokenCountExpr, name)
+            if t.child.isInstanceOf[Attribute] &&
+               child.outputSet.contains(t.child.asInstanceOf[Attribute]) =>
+          Some((name, al.exprId, IntegerType,
+            Seq(t.child.asInstanceOf[Attribute].name), ColumnarMap.TokenCountKernel))
+        case _ => None
       }
     }
 }

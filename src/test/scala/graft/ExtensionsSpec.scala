@@ -52,6 +52,31 @@ class ExtensionsSpec extends AnyFunSuite {
     }
   }
 
+  test("columnar rule auto-lowers SQL token_count over a string scan column") {
+    val old = TestSpark.spark
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val s = SparkSession.builder()
+      .master("local[2]")
+      .withExtensions(new GraftExtensions()(_))
+      .config("spark.sql.adaptive.enabled", "false")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    try {
+      Graft.install(s)
+      val df = s.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .selectExpr("doc_id", "token_count(text) AS n")
+      assert(df.queryExecution.executedPlan.toString.contains("ColumnarMap"))
+      Graft.install(old)
+      val expected = old.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .selectExpr("sum(token_count(text))").collect().head.getLong(0)
+      assert(df.selectExpr("sum(n)").collect().head.getLong(0) == expected)
+    } finally {
+      SparkSession.setDefaultSession(old)
+      SparkSession.setActiveSession(old)
+    }
+  }
+
   test("columnar rule leaves non-attribute gcd arguments on the expression tier") {
     val old = TestSpark.spark
     SparkSession.clearActiveSession()
