@@ -355,6 +355,14 @@ object SparkEntry {
         |FROM (SELECT doc_id, resize_dims(m.width, m.height, 256) AS r
         |      FROM (SELECT doc_id, image_meta(CAST(text AS BINARY)) AS m FROM documents))
         |ORDER BY doc_id""".stripMargin) _,
+    // batch feature extraction: the mapPartitions shape a vectorized media
+    // UDF plugs into, driven end-to-end against the metadata oracle
+    "q_extract_features" -> dfq { s =>
+      val df = s.table("documents").selectExpr("doc_id", "CAST(text AS BINARY) AS payload")
+      graft.ops.Multimodal.extractImageFeatures(df, "payload")
+        .select("doc_id", "width", "height", "format")
+        .orderBy("doc_id")
+    } _,
     "q_frame_sample" -> q(
       """SELECT doc_id, t.value AS frame_ms
         |FROM (SELECT doc_id, media_duration_ms(CAST(text AS BINARY)) AS dur FROM documents)
@@ -962,6 +970,11 @@ object SparkEntry {
         |  FROM (SELECT user_id, event_id, epoch_ns(ts) // 1000000 AS t_ms FROM events))
         |ORDER BY user_id, event_id""".stripMargin,
     "q_image_meta" ->
+      s"""SELECT doc_id, CAST(64 + h % 1024 AS INT) AS width, CAST(64 + (h >> 10) % 1024 AS INT) AS height,
+         |       CASE WHEN h & 1 = 0 THEN 'jpeg' ELSE 'png' END AS format
+         |FROM (SELECT doc_id, ${duckMd5_60("text")} AS h FROM documents)
+         |ORDER BY doc_id""".stripMargin,
+    "q_extract_features" ->
       s"""SELECT doc_id, CAST(64 + h % 1024 AS INT) AS width, CAST(64 + (h >> 10) % 1024 AS INT) AS height,
          |       CASE WHEN h & 1 = 0 THEN 'jpeg' ELSE 'png' END AS format
          |FROM (SELECT doc_id, ${duckMd5_60("text")} AS h FROM documents)
