@@ -786,7 +786,6 @@ object SparkEntry {
     "q_curate_v2" ->
       s"""WITH tok AS (
          |  SELECT doc_id, list_filter(str_split_regex(lower(text), '\\s+'), x -> x <> '') AS ts,
-         |         $duckWords AS rawts,
          |         len(regexp_extract_all(text, '[^\\p{L}\\p{N}\\s]')) AS n_punct,
          |         length(text) AS len_s
          |  FROM documents),

@@ -42,6 +42,20 @@ object TextAnalysis {
     if (maxN == 0) "und" else scores.filter(_._2 == maxN).keys.min
   }
 
+  /** Word n-grams over raw tokens (duplicates preserved) — shared by
+    * `word_ngrams`, `repetition_ratio`, and `text_stats`. */
+  private def shinglesOf(ws: Array[String], n: Int): Seq[String] =
+    if (ws.length < n) Seq(ws.mkString(" "))
+    else ws.sliding(n).map(_.mkString(" ")).toSeq
+
+  /** Repetition ratio (1 - distinct/total n-grams) — ONE implementation so
+    * `repetition_ratio` and `text_stats.rep3` stay bit-parity by construction. */
+  private def repetitionOf(s: String, n: Int): Double = {
+    val sh = shinglesOf(tokens(s), n)
+    if (sh.isEmpty) 0.0
+    else 1.0 - sh.distinct.length.toDouble / sh.length.toDouble
+  }
+
   /** Quality score over the raw text + its pre-lowercased tokens — shared by
     * `quality_score` and `text_stats`; arithmetic order is fixed for the
     * oracle. */
@@ -100,13 +114,8 @@ object TextAnalysis {
     Udf.table1[String, org.apache.spark.sql.Row](
       "text_stats(string) ->> struct<lang: string, score: double, n_tok: int, rep3: double>") { s =>
       val toks = tokens(s.toLowerCase)
-      // rep3 over RAW tokens — must match repetition_ratio(text, 3) exactly
-      val raw = tokens(s)
-      val sh = if (raw.length < 3) Seq(raw.mkString(" "))
-               else raw.sliding(3).map(_.mkString(" ")).toSeq
-      val rep = if (sh.isEmpty) 0.0
-                else 1.0 - sh.distinct.length.toDouble / sh.length.toDouble
-      Iterator.single(org.apache.spark.sql.Row(langOf(toks), qualityOf(s, toks), toks.length, rep))
+      Iterator.single(org.apache.spark.sql.Row(
+        langOf(toks), qualityOf(s, toks), toks.length, repetitionOf(s, 3)))
     }
 
     // doc_fingerprint: 60-bit content hash = first 15 hex digits of md5.
@@ -118,9 +127,7 @@ object TextAnalysis {
 
     // word n-grams (shingles), joined by single space.
     Udf.scalar2[String, Int, Seq[String]]("word_ngrams(string, int) -> string[]") { (s, n) =>
-      val ws = tokens(s)
-      if (ws.length < n) Seq(ws.mkString(" "))
-      else ws.sliding(n).map(_.mkString(" ")).toSeq
+      shinglesOf(tokens(s), n)
     }
 
     // PII / URL redaction — standard pre-training scrub. Replacement order is
@@ -160,12 +167,8 @@ object TextAnalysis {
 
     // Repetition ratio: 1 - distinct/total word n-grams — high values flag
     // boilerplate/spam (a standard corpus-quality gate).
-    Udf.scalar2[String, Int, Double]("repetition_ratio(string, int) -> double") { (s, n) =>
-      val ws = tokens(s)
-      val sh = if (ws.length < n) Seq(ws.mkString(" "))
-               else ws.sliding(n).map(_.mkString(" ")).toSeq
-      if (sh.isEmpty) 0.0
-      else 1.0 - sh.distinct.length.toDouble / sh.length.toDouble
+    Udf.scalar2[String, Int, Double]("repetition_ratio(string, int) -> double") {
+      (s, n) => repetitionOf(s, n)
     }
   }
 }

@@ -23,16 +23,22 @@ object RangeJoin {
    * `lo <= pointVal <= hi` (all numeric/long columns). Output: all point
    * columns + all interval columns.
    */
+  /** Exact integer floor-division bucket index — `floor(x / w)` via double
+    * division would mis-bucket values above 2^53 (nanosecond epochs). pmod
+    * keeps the floor semantics for negative values too. */
+  private def floorBucket(c: String, w: Long) =
+    expr(s"(CAST(`$c` AS BIGINT) - pmod(CAST(`$c` AS BIGINT), ${w}L)) DIV ${w}L")
+
   def bucketedRangeJoin(points: DataFrame, intervals: DataFrame,
                         pointKey: String, intervalKey: String,
                         pointVal: String, lo: String, hi: String,
                         bucketWidth: Long): DataFrame = {
     require(bucketWidth > 0, "bucketWidth must be positive")
+    require(!(points.columns ++ intervals.columns).contains("__bucket"),
+      "__bucket is reserved by bucketedRangeJoin")
     val ib = intervals.withColumn("__bucket",
-      explode(sequence(floor(col(lo) / bucketWidth).cast("long"),
-                       floor(col(hi) / bucketWidth).cast("long"))))
-    val pb = points.withColumn("__bucket",
-      floor(col(pointVal) / bucketWidth).cast("long"))
+      explode(sequence(floorBucket(lo, bucketWidth), floorBucket(hi, bucketWidth))))
+    val pb = points.withColumn("__bucket", floorBucket(pointVal, bucketWidth))
     pb.join(ib, pb(pointKey) === ib(intervalKey) && pb("__bucket") === ib("__bucket"))
       .where(col(pointVal) >= col(lo) && col(pointVal) <= col(hi))
       .drop("__bucket")

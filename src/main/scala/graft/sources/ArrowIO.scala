@@ -28,10 +28,28 @@ import scala.jdk.CollectionConverters._
  */
 object ArrowIO {
 
-  /** Write `df` as `dir/part-<partition>.arrow` IPC stream files. */
+  /** Write `df` as `dir/part-<partition>.arrow` IPC stream files. Clears any
+    * previous `.arrow` files first (a re-write with fewer partitions must not
+    * leave stale parts behind) and always writes a schema-only `part-empty`
+    * file so an empty DataFrame round-trips. */
   def write(df: DataFrame, dir: String, batchSize: Int = RemoteProtocol.BatchSize): Unit = {
-    new java.io.File(dir).mkdirs()
+    val d = new java.io.File(dir)
+    d.mkdirs()
+    Option(d.listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.endsWith(".arrow")).foreach(_.delete())
     val schema = df.schema
+    // schema-only file: fixes the empty-DataFrame round trip and pins the
+    // schema even when every partition happens to be empty
+    locally {
+      val allocator = new RootAllocator()
+      val aschema = new ASchema(schema.fields.map(f =>
+        RemoteProtocol.toArrowField(f.name, f.dataType, f.metadata)).toSeq.asJava)
+      val root = VectorSchemaRoot.create(aschema, allocator)
+      val out = new BufferedOutputStream(new FileOutputStream(s"$dir/part-empty.arrow"))
+      val writer = new ArrowStreamWriter(root, null, out)
+      try { writer.start(); writer.end() }
+      finally { root.close(); out.close(); allocator.close() }
+    }
     df.foreachPartition { (it: Iterator[Row]) =>
       if (it.nonEmpty) {
         val pid = org.apache.spark.TaskContext.getPartitionId()
@@ -65,9 +83,11 @@ object ArrowIO {
   }
 
   /** Read a directory of `.arrow` IPC stream files back as a DataFrame —
-    * schema from the first file, one task per file. */
+    * schema from the first file, one task per file, rows streamed per batch
+    * (peak memory is one Arrow batch, not one file). */
   def read(spark: SparkSession, dir: String): DataFrame = {
-    val files = new java.io.File(dir).listFiles()
+    val files = Option(new java.io.File(dir).listFiles())
+      .getOrElse(Array.empty[java.io.File])
       .filter(_.getName.endsWith(".arrow")).map(_.getAbsolutePath).sorted
     require(files.nonEmpty, s"no .arrow files under $dir")
     val schema: StructType = {
@@ -86,18 +106,29 @@ object ArrowIO {
       val in = new BufferedInputStream(new FileInputStream(path))
       val reader = new ArrowStreamReader(in, allocator)
       val root = reader.getVectorSchemaRoot
-      val rows = scala.collection.mutable.ArrayBuffer.empty[Row]
-      try {
-        while (reader.loadNextBatch()) {
-          val vecs = root.getFieldVectors.asScala.toSeq
-          var i = 0
-          while (i < root.getRowCount) {
-            rows += Row.fromSeq(vecs.map(v => RemoteProtocol.getCell(v, i)))
-            i += 1
+      var closed = false
+      def closeAll(): Unit = if (!closed) {
+        closed = true; reader.close(); in.close(); allocator.close()
+      }
+      // close on task end even if the iterator is not fully consumed
+      Option(org.apache.spark.TaskContext.get())
+        .foreach(_.addTaskCompletionListener[Unit](_ => closeAll()))
+      // stream one batch at a time — peak memory is a single Arrow batch
+      new Iterator[Row] {
+        private var batch: Iterator[Row] = Iterator.empty
+        private def advance(): Unit = {
+          while (!batch.hasNext && !closed) {
+            if (reader.loadNextBatch()) {
+              val vecs = root.getFieldVectors.asScala.toSeq
+              val n = root.getRowCount
+              batch = (0 until n).iterator.map(i =>
+                Row.fromSeq(vecs.map(v => RemoteProtocol.getCell(v, i))))
+            } else closeAll()
           }
         }
-      } finally { reader.close(); in.close(); allocator.close() }
-      rows
+        override def hasNext: Boolean = { advance(); batch.hasNext }
+        override def next(): Row = { advance(); batch.next() }
+      }
     }
     spark.createDataFrame(rdd, schema)
   }

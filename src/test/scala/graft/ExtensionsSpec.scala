@@ -5,6 +5,27 @@ import org.scalatest.funsuite.AnyFunSuite
 
 class ExtensionsSpec extends AnyFunSuite {
 
+  /** Run `f` against a fresh SparkSession with GraftExtensions applied
+    * programmatically (spark.sql.extensions is a static conf and cannot
+    * reach the pre-existing SparkContext), restoring the shared session
+    * afterwards. */
+  private def withExtensionsSession(f: SparkSession => Unit): Unit = {
+    val old = TestSpark.spark
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val s = SparkSession.builder()
+      .master("local[2]")
+      .withExtensions(new GraftExtensions()(_))
+      .config("spark.sql.adaptive.enabled", "false")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    try f(s)
+    finally {
+      SparkSession.setDefaultSession(old)
+      SparkSession.setActiveSession(old)
+    }
+  }
+
   test("GraftExtensions makes functions session-native via withExtensions") {
     // force the shared test session up first so newSession config is inherited
     TestSpark.spark
@@ -23,18 +44,10 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(s.sql("SELECT gcd(21, 14)").collect().head.getInt(0) == 7)
   }
 
+
+
   test("columnar rule auto-lowers SQL gcd over a parquet scan") {
-    val old = TestSpark.spark
-    SparkSession.clearActiveSession()
-    SparkSession.clearDefaultSession()
-    val s = SparkSession.builder()
-      .master("local[2]")
-      .withExtensions(new GraftExtensions()(_)) // programmatic: static conf
-      // spark.sql.extensions cannot reach a pre-existing SparkContext
-      .config("spark.sql.adaptive.enabled", "false")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    try {
+    withExtensionsSession { s =>
       Graft.install(s)
       val df = s.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
         .selectExpr("l_orderkey", "gcd(l_partkey, l_suppkey) AS g")
@@ -42,61 +55,36 @@ class ExtensionsSpec extends AnyFunSuite {
       assert(plan.contains("ColumnarMap"), plan)
       val lowered = df.selectExpr("sum(g)").collect().head.getLong(0)
       // parity against the codegen'd expression tier on the shared session
+      val old = TestSpark.spark
       Graft.install(old)
       val expected = old.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
         .selectExpr("sum(gcd(l_partkey, l_suppkey))").collect().head.getLong(0)
       assert(lowered == expected && lowered > 0)
-    } finally {
-      SparkSession.setDefaultSession(old)
-      SparkSession.setActiveSession(old)
     }
   }
 
   test("columnar rule auto-lowers SQL token_count over a string scan column") {
-    val old = TestSpark.spark
-    SparkSession.clearActiveSession()
-    SparkSession.clearDefaultSession()
-    val s = SparkSession.builder()
-      .master("local[2]")
-      .withExtensions(new GraftExtensions()(_))
-      .config("spark.sql.adaptive.enabled", "false")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    try {
+    withExtensionsSession { s =>
       Graft.install(s)
       val df = s.read.parquet("/root/testdata/sf0.001/documents.parquet")
         .selectExpr("doc_id", "token_count(text) AS n")
       assert(df.queryExecution.executedPlan.toString.contains("ColumnarMap"))
+      val old = TestSpark.spark
       Graft.install(old)
       val expected = old.read.parquet("/root/testdata/sf0.001/documents.parquet")
         .selectExpr("sum(token_count(text))").collect().head.getLong(0)
       assert(df.selectExpr("sum(n)").collect().head.getLong(0) == expected)
-    } finally {
-      SparkSession.setDefaultSession(old)
-      SparkSession.setActiveSession(old)
     }
   }
 
   test("columnar rule leaves non-attribute gcd arguments on the expression tier") {
-    val old = TestSpark.spark
-    SparkSession.clearActiveSession()
-    SparkSession.clearDefaultSession()
-    val s = SparkSession.builder()
-      .master("local[2]")
-      .withExtensions(new GraftExtensions()(_))
-      .config("spark.sql.adaptive.enabled", "false")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    try {
+    withExtensionsSession { s =>
       Graft.install(s)
       // computed (cast) arguments -> not lowerable; must still run correctly
       val df = s.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
         .selectExpr("gcd(CAST(l_partkey AS INT), CAST(l_suppkey AS INT)) AS g")
       assert(!df.queryExecution.executedPlan.toString.contains("ColumnarMap"))
       assert(df.selectExpr("sum(g)").collect().head.getLong(0) > 0)
-    } finally {
-      SparkSession.setDefaultSession(old)
-      SparkSession.setActiveSession(old)
     }
   }
 }
