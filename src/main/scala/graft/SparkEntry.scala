@@ -345,6 +345,16 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     } _,
 
+    // Arrow IPC source/sink round trip driven through the gate: write the
+    // embeddings as .arrow stream files, read them back, verify values
+    "q_arrow_roundtrip" -> dfq { s =>
+      val dir = java.nio.file.Files.createTempDirectory("graft_arrow_rt").toString
+      graft.sources.ArrowIO.write(s.table("embeddings").selectExpr("vec_id", "embedding"), dir)
+      graft.sources.ArrowIO.read(s, dir)
+        .selectExpr("vec_id", "CAST(ROUND(embedding[0] * 10000) AS BIGINT) AS e0")
+        .orderBy("vec_id")
+    } _,
+
     // ---- multimodal (decode stubbed, plumbing real) ------------------------
     "q_image_meta" -> q(
       """SELECT doc_id, m.width, m.height, m.format
@@ -968,6 +978,9 @@ object SparkEntry {
         |              THEN 1 ELSE 0 END AS new_sess
         |  FROM (SELECT user_id, event_id, epoch_ns(ts) // 1000000 AS t_ms FROM events))
         |ORDER BY user_id, event_id""".stripMargin,
+    "q_arrow_roundtrip" ->
+      """SELECT vec_id, CAST(ROUND(embedding[1] * 10000) AS BIGINT) AS e0
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
     "q_image_meta" ->
       s"""SELECT doc_id, CAST(64 + h % 1024 AS INT) AS width, CAST(64 + (h >> 10) % 1024 AS INT) AS height,
          |       CASE WHEN h & 1 = 0 THEN 'jpeg' ELSE 'png' END AS format
