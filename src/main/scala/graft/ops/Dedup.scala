@@ -139,7 +139,14 @@ object Dedup {
     * `k` hashes split into `bands` bands of `k/bands` rows each; docs sharing
     * any band bucket become a candidate pair, then true Jaccard filters. */
   def minhashPairs(df: DataFrame, textCol: String, idCol: String,
-                   k: Int = 16, bands: Int = 4, threshold: Double = 0.5): DataFrame = {
+                   k: Int = 16, bands: Int = 4, threshold: Double = 0.5): DataFrame =
+    minhashPairsImpl(df, textCol, idCol, k, bands, threshold)._1
+
+  /** Like [[minhashPairs]] but also returns the persisted banded-signature
+    * intermediate so callers that materialize the result can unpersist it
+    * (the public API keeps the cache alive because its result is lazy). */
+  private def minhashPairsImpl(df: DataFrame, textCol: String, idCol: String,
+                               k: Int, bands: Int, threshold: Double): (DataFrame, DataFrame) = {
     val rows = k / bands
     val docs = df.select(col(idCol).as("id"), col(textCol).as("text"))
     // band-hash: fingerprint of the band's slice of the signature. Text is
@@ -161,12 +168,13 @@ object Dedup {
       .select(col("id_a"), col("id_b")).distinct()
     // texts rejoin exactly once, only for surviving candidate pairs (a tiny
     // fraction of the corpus), for the true-Jaccard verification
-    cand
+    val verified = cand
       .join(docs.select(col("id").as("id_a"), col("text").as("text_a")), Seq("id_a"))
       .join(docs.select(col("id").as("id_b"), col("text").as("text_b")), Seq("id_b"))
       .withColumn("jaccard", expr("ngram_jaccard(text_a, text_b, 3)"))
       .where(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
+    (verified, banded)
   }
 
   /**
@@ -191,9 +199,18 @@ object Dedup {
     // analysis/optimization pass re-walks the full LSH pipeline and planning
     // time dwarfs the (tiny) joins. Candidates are a small fraction of the
     // corpus; on a multi-node cluster prefer a reliable checkpoint dir.
-    val pairs = minhashPairs(df, textCol, idCol, k, bands, threshold)
+    // Labels propagate as longs; a non-integral id column would cast to null
+    // in the final anti-join and silently return the corpus un-deduplicated.
+    val idDt = df.schema(idCol).dataType
+    require(Seq("byte", "short", "integer", "long").contains(idDt.typeName),
+      s"nearDedupCorpus: id column '$idCol' must be integral, got $idDt")
+    val (rawPairs, banded) = minhashPairsImpl(df, textCol, idCol, k, bands, threshold)
+    val pairs = rawPairs
       .select(col("id_a"), col("id_b"))
       .localCheckpoint()
+    // the checkpoint above materialized the pairs — the banded-signature cache
+    // is dead weight from here on
+    banded.unpersist(false)
     val edges = pairs.union(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
     // Only candidate-pair ENDPOINTS participate in label propagation —
     // documents with no near-dup candidate trivially keep themselves. The
@@ -209,24 +226,32 @@ object Dedup {
       // candidate label for dst = min over neighbors' current labels
       val proposals = edges.join(labels, edges("id_a") === labels("id"))
         .groupBy(col("id_b").as("id")).agg(min(col("comp")).as("ncomp"))
-      // persisted: prop feeds BOTH sides of the pointer-jump self-join below
-      val prop = labels.join(proposals, Seq("id"), "left")
+      val propBase = labels.join(proposals, Seq("id"), "left")
         .select(col("id"),
           least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp"),
           col("comp").as("old"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      // pointer jump: comp := label(comp). Labels are always document ids, so
-      // the self-join always hits; chains halve every iteration.
-      val m = prop.select(col("id").as("jid"), col("comp").as("jcomp"))
-      val jumped = prop.join(m, prop("comp") === m("jid"), "left")
-        .select(prop("id"), coalesce(col("jcomp"), prop("comp")).as("comp"), col("old"))
+      // Pointer jump (comp := label(comp)) halves chain lengths but costs an
+      // extra self-join; min-label propagation alone already converges, so
+      // alternating propagate-only / propagate+jump iterations keeps the
+      // O(log diameter) bound at roughly half the per-iteration join count.
+      // prop is persisted only on jump iterations (it feeds both join sides).
+      var propCache: Option[DataFrame] = None
+      val jumped =
+        if (iter % 2 == 0) propBase
+        else {
+          val prop = propBase.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          propCache = Some(prop)
+          val m = prop.select(col("id").as("jid"), col("comp").as("jcomp"))
+          prop.join(m, prop("comp") === m("jid"), "left")
+            .select(prop("id"), coalesce(col("jcomp"), prop("comp")).as("comp"), col("old"))
+        }
       // localCheckpoint every 4th iteration truncates lineage (plan depth
       // would otherwise grow linearly in iterations); persist otherwise.
       val updated =
         if (iter % 4 == 3) jumped.localCheckpoint()
         else jumped.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       changed = updated.where(col("comp") =!= col("old")).count()
-      prop.unpersist(false)
+      propCache.foreach(_.unpersist(false))
       prev.foreach(_.unpersist(false))
       prev = Some(updated)
       labels = updated.select(col("id"), col("comp"))
@@ -236,8 +261,11 @@ object Dedup {
       throw new IllegalStateException(
         s"nearDedupCorpus: connected components did not converge after $maxIter iterations")
     // Drop non-root endpoints; every other document (including the untouched
-    // majority) survives — an anti join against the small loser set.
-    val losers = labels.where(col("comp") =!= col("id")).select(col("id"))
+    // majority) survives — an anti join against the small loser set. The loser
+    // set is tiny (candidate endpoints only), so materializing it here lets us
+    // release the last iteration's cached blocks before returning.
+    val losers = labels.where(col("comp") =!= col("id")).select(col("id")).localCheckpoint()
+    prev.foreach(_.unpersist(false))
     df.join(losers, df(idCol).cast("long") === losers("id"), "left_anti")
   }
 

@@ -147,7 +147,7 @@ object TextAnalysis {
     // punctuation runs, trim, drop empties. Trim char set is EXACTLY the
     // oracle's (space/tab/LF/CR/VT/FF) — String.trim would also strip other
     // control chars and break bit-parity.
-    val trimChars = " \t\n\r\f"
+    val trimChars = " \t\n\u000B\f\r"
     def trimWs(s: String): String = {
       var a = 0; var b = s.length
       while (a < b && trimChars.indexOf(s.charAt(a)) >= 0) a += 1

@@ -36,7 +36,10 @@ object RangeJoin {
     require(bucketWidth > 0, "bucketWidth must be positive")
     require(!(points.columns ++ intervals.columns).contains("__bucket"),
       "__bucket is reserved by bucketedRangeJoin")
-    val ib = intervals.withColumn("__bucket",
+    // Inverted intervals (hi < lo) match nothing, but sequence() would step
+    // DOWNWARD through them and explode a garbage interval into arbitrarily
+    // many bucket rows — drop them before the explode so they cost nothing.
+    val ib = intervals.where(col(lo) <= col(hi)).withColumn("__bucket",
       explode(sequence(floorBucket(lo, bucketWidth), floorBucket(hi, bucketWidth))))
     val pb = points.withColumn("__bucket", floorBucket(pointVal, bucketWidth))
     pb.join(ib, pb(pointKey) === ib(intervalKey) && pb("__bucket") === ib("__bucket"))
