@@ -153,6 +153,31 @@ object SparkEntry {
         .orderBy("l_orderkey", "l_linenumber")
     } _,
 
+    // §2.1 #13/#28: the SAME gcd through a REAL CPython guest — the pyarrow
+    // worker subprocess (tools/pyudf_server.py) speaks the identical
+    // LIST/GET/CALL framing, so the Spark integration is byte-for-byte the
+    // remote path; only the process on the far end changes.
+    "q_python_gcd" -> dfq { s =>
+      val port = graft.remote.PythonWorker.port
+      val df = s.table("lineitem").selectExpr("l_orderkey", "l_linenumber",
+        "CAST(l_partkey AS INT) AS a", "CAST(l_suppkey AS INT) AS b")
+      graft.remote.RemoteUdf.withRemoteColumn(df, "127.0.0.1", port, "gcd",
+          Seq("a", "b"), org.apache.spark.sql.types.IntegerType)
+        .selectExpr("l_orderkey", "l_linenumber", "value AS g")
+        .orderBy("l_orderkey", "l_linenumber")
+    } _,
+
+    // §2.1 #14/#28: CPython table function (generator) over the wire —
+    // each document explodes into its whitespace tokens inside the guest.
+    "q_python_split" -> dfq { s =>
+      val port = graft.remote.PythonWorker.port
+      val df = s.table("documents").selectExpr("doc_id", "text")
+      graft.remote.RemoteUdf.withRemoteTableColumn(df, "127.0.0.1", port, "py_split",
+          Seq("text"), org.apache.spark.sql.types.StringType)
+        .selectExpr("doc_id", "value AS tok")
+        .orderBy("doc_id", "tok")
+    } _,
+
     // struct_of_all: every scalar type through ONE struct value, flattened
     // for the checker; zero-arg fns + repeat_value table fn alongside
     "q_struct_of_all" -> q(
@@ -659,6 +684,16 @@ object SparkEntry {
         |       CAST(gcd(CAST(l_partkey AS INT), CAST(l_suppkey AS INT)) AS INT) AS g
         |FROM lineitem
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q_python_gcd" ->
+      """SELECT l_orderkey, l_linenumber,
+        |       CAST(gcd(CAST(l_partkey AS INT), CAST(l_suppkey AS INT)) AS INT) AS g
+        |FROM lineitem
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q_python_split" ->
+      """SELECT doc_id, t.tok
+        |FROM documents, UNNEST(string_split_regex(text, '[ \t\n\r\f\v]+')) AS t(tok)
+        |WHERE t.tok <> ''
+        |ORDER BY doc_id, tok""".stripMargin,
     "q_struct_of_all" ->
       """SELECT o_orderkey, (o_orderkey % 1000) % 2 = 0 AS b,
         |       CAST(o_orderkey % 1000 AS INT) AS i32,

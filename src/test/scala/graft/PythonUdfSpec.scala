@@ -1,0 +1,75 @@
+package graft
+
+import graft.remote.{PythonWorker, RemoteUdf, UdfClient}
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Drives the REAL CPython guest worker (tools/pyudf_server.py, pyarrow):
+  * the same UdfClient / RemoteUdf integration as the JVM server, with an
+  * actual Python interpreter evaluating the functions on the far end. */
+class PythonUdfSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private lazy val port = PythonWorker.port
+
+  test("discovery: VERSION, LIST and GET against the CPython worker") {
+    val client = new UdfClient("127.0.0.1", port)
+    try {
+      assert(client.version() == graft.remote.RemoteProtocol.Version)
+      val all = client.list()
+      assert(all.exists(_.startsWith("gcd(")))
+      assert(all.exists(_.contains("->> int32"))) // table fn advertised
+      assert(client.get("py_upper").nonEmpty)
+      val e = intercept[RuntimeException](client.get("definitely_not_there"))
+      assert(e.getMessage.contains("no function"))
+    } finally client.close()
+  }
+
+  test("scalar call: python math.gcd with null propagation, connection reuse") {
+    val client = new UdfClient("127.0.0.1", port)
+    try {
+      val res = client.call("gcd", Seq(IntegerType, IntegerType),
+        Seq(Seq(12, 18), Seq(25, 15), Seq(null, 7)))
+      assert(res == Seq(6, 5, null))
+      assert(client.call("py_upper", Seq(StringType), Seq(Seq("ab"), Seq("Cd"))) ==
+        Seq("AB", "CD"))
+      // list-typed argument crosses the wire into a python list
+      assert(client.call("py_weight", Seq(ArrayType(DoubleType)),
+        Seq(Seq(Seq(1.5, 2.0, 3.25)))) == Seq(6.75))
+    } finally client.close()
+  }
+
+  test("table function call: python generator yields (row, value) pairs") {
+    val client = new UdfClient("127.0.0.1", port)
+    try {
+      val res = client.callTable("py_series", Seq(IntegerType),
+        Seq(Seq(3), Seq(0), Seq(null), Seq(2)))
+      assert(res == Seq((0, 0), (0, 1), (0, 2), (3, 0), (3, 1)))
+      val toks = client.callTable("py_split", Seq(StringType),
+        Seq(Seq("the  quick fox"), Seq("   "), Seq("one")))
+      assert(toks == Seq((0, "the"), (0, "quick"), (0, "fox"), (2, "one")))
+    } finally client.close()
+  }
+
+  test("unknown function on the python side reports ERR") {
+    val client = new UdfClient("127.0.0.1", port)
+    try {
+      val e = intercept[RuntimeException](client.call("nope", Seq(IntegerType), Seq(Seq(1))))
+      assert(e.getMessage.contains("no scalar function"))
+    } finally client.close()
+  }
+
+  test("Spark integration: per-partition pooled clients against CPython") {
+    import spark.implicits._
+    val df = (1 to 500).map(i => (i, i * 6, i * 4)).toDF("id", "a", "b")
+      .repartition(4)
+    val out = RemoteUdf.withRemoteColumn(df, "127.0.0.1", port, "gcd",
+      Seq("a", "b"), IntegerType)
+    val rows = out.select("id", "value").as[(Int, Int)].collect().toMap
+    assert(rows.size == 500)
+    assert((1 to 500).forall(i => rows(i) == 2 * i))
+    val small = Seq(3, 1, 4).toDF("id")
+    val tbl = RemoteUdf.withRemoteTableColumn(small, "127.0.0.1", port,
+      "py_series", Seq("id"), IntegerType)
+    assert(tbl.count() == 8) // 3 + 1 + 4 generated rows
+  }
+}
