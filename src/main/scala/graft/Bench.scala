@@ -52,6 +52,24 @@ object Bench {
             org.apache.spark.sql.functions.col("v")))
           .write.format("noop").mode("overwrite").save()
       },
+      // Same aggregate through the compatibility UDAF tier (ScalaAggregator,
+      // per-row Row deserialization) — documents what the native tier saves.
+      "x_udaf_boxed_10m" -> { s: SparkSession =>
+        Graft.install(s)
+        s.range(10000000L)
+          .selectExpr("id % 64 AS k", "CAST(id % 1000 AS INT) AS v")
+          .groupBy("k").agg(org.apache.spark.sql.functions.call_function("sum_udaf_boxed",
+            org.apache.spark.sql.functions.col("v")))
+          .write.format("noop").mode("overwrite").save()
+      },
+      // Spark's builtin sum on the same shape — the codegen'd floor the
+      // user-defined tiers are measured against.
+      "x_sum_builtin_10m" -> { s: SparkSession =>
+        s.range(10000000L)
+          .selectExpr("id % 64 AS k", "CAST(id % 1000 AS INT) AS v")
+          .groupBy("k").agg(org.apache.spark.sql.functions.sum("v"))
+          .write.format("noop").mode("overwrite").save()
+      },
       "x_tablefn_16k_x_1k" -> { s: SparkSession =>
         Graft.install(s)
         // reference's range-table-fn benchmark shape (16K invocations),
@@ -79,26 +97,32 @@ object Bench {
           .write.format("noop").mode("overwrite").save()
       },
     )
-    val tputResults = throughput.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark); name -> (System.nanoTime() - t0) / 1e9 }
-      catch { case e: Throwable =>
+    // Optional substring filter (args) for local iteration on one probe;
+    // the driver passes no args and measures everything.
+    val keep: String => Boolean =
+      if (args.isEmpty) _ => true else n => args.exists(n.contains)
+    // SPARK_GRAFT_REPS=N: take the min of N in-JVM runs per query — the right
+    // statistic on a contended host (driver default: 1).
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "1").toInt.max(1)
+
+    def timed(name: String)(run: => Unit): (String, Double) =
+      try {
+        name -> (1 to reps).map { _ =>
+          val t0 = System.nanoTime(); run; (System.nanoTime() - t0) / 1e9
+        }.min
+      } catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
         name -> -1.0
       }
+
+    val tputResults = throughput.filter(p => keep(p._1)).map { case (name, fn) =>
+      timed(name)(fn(spark))
     }
 
-    val results = tputResults ++ SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try {
-        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        name -> (System.nanoTime() - t0) / 1e9
-      } catch {
-        case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}")
-          name -> -1.0
+    val results = tputResults ++
+      SparkEntry.queries.toSeq.sortBy(_._1).filter(p => keep(p._1)).map { case (name, fn) =>
+        timed(name)(fn(spark, sfDir).write.format("noop").mode("overwrite").save())
       }
-    }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum

@@ -85,6 +85,10 @@ object Graft {
         ScalarInvoke(name, f, retT.dataType, children, fd.callMode, fd.deterministic)
       case TableImpl(f) =>
         TableFnInvoke(name, f, retT.dataType, children, fd.callMode, fd.fallible)
+      case NativeAggImpl(g) =>
+        // Bare AggregateFunction: the analyzer wraps it in AggregateExpression
+        // exactly as it does for builtin registry aggregates (sum, avg, ...).
+        GraftTypedAgg(name, g.asInstanceOf[GraftAggregate[Any, Any]], retT.dataType, children)
       case other =>
         throw new IllegalStateException(s"unexpected impl for $name: $other")
     }

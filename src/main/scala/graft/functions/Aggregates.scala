@@ -1,8 +1,11 @@
 package graft.functions
 
 import org.apache.spark.sql.{Encoder, Encoders, Row}
+import org.apache.spark.sql.catalyst.{CatalystTypeConverters, InternalRow}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnsafeProjection}
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.expressions.{Aggregator, UserDefinedFunction}
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{DataType, StructType}
 
 /**
  * Aggregate function contract — mirrors the reference's five-phase lifecycle
@@ -30,7 +33,12 @@ object GraftAggregates {
   /** Lower a [[GraftAggregate]] onto a Spark UDAF. `stateEncoder` chooses the
     * state representation: a product encoder for transparent struct state, or
     * `Encoders.javaSerialization` for opaque binary state — the analogue of
-    * the reference's `arrowudf.pickle` extension state (SURVEY §2.1 #17). */
+    * the reference's `arrowudf.pickle` extension state (SURVEY §2.1 #17).
+    *
+    * Compatibility tier: `ScalaAggregator` deserializes every input row into
+    * an external `Row` (RowEncoder), which costs an object array +
+    * `GenericRowWithSchema` per row. The hot path for registered aggregates is
+    * [[GraftTypedAgg]], which skips that entirely. */
   def lower[S, O](g: GraftAggregate[S, O], inputSchema: StructType,
                   stateEnc: Encoder[S], outputEnc: Encoder[O]): UserDefinedFunction = {
     val agg = new Aggregator[Row, S, O] {
@@ -43,6 +51,91 @@ object GraftAggregates {
     }
     org.apache.spark.sql.functions.udaf(agg, Encoders.row(inputSchema))
   }
+}
+
+/**
+ * Reusable external-`Row` facade over a projected `InternalRow` — lets a
+ * [[GraftAggregate]] read typed fields with zero per-row materialization (the
+ * deserialization `ScalaAggregator` pays on every input row). Primitive
+ * accessors read the underlying unsafe row directly; generic `get` converts
+ * lazily on access. The instance is only valid for the duration of one
+ * `accumulate` call — implementations must not retain it.
+ */
+final class AggInputRow(types: Array[DataType]) extends Row {
+  private var cur: InternalRow = _
+  def target(r: InternalRow): Unit = cur = r
+
+  override def length: Int = types.length
+  override def isNullAt(i: Int): Boolean = cur.isNullAt(i)
+  override def getBoolean(i: Int): Boolean = cur.getBoolean(i)
+  override def getByte(i: Int): Byte = cur.getByte(i)
+  override def getShort(i: Int): Short = cur.getShort(i)
+  override def getInt(i: Int): Int = cur.getInt(i)
+  override def getLong(i: Int): Long = cur.getLong(i)
+  override def getFloat(i: Int): Float = cur.getFloat(i)
+  override def getDouble(i: Int): Double = cur.getDouble(i)
+  override def getString(i: Int): String =
+    if (cur.isNullAt(i)) null else cur.getUTF8String(i).toString
+
+  @transient private lazy val toScala: Array[Any => Any] =
+    types.map(CatalystTypeConverters.createToScalaConverter)
+  override def get(i: Int): Any =
+    if (cur.isNullAt(i)) null else toScala(i)(cur.get(i, types(i)))
+  override def copy(): Row = Row.fromSeq(Seq.tabulate(length)(get))
+}
+
+/**
+ * Native lowering of a [[GraftAggregate]]: a Catalyst
+ * `TypedImperativeAggregate` whose `update` hands the user function a reusable
+ * [[AggInputRow]] over the projected input — no per-row encoder work, no
+ * boxing beyond what the state type itself requires. State rides the shuffle
+ * as java-serialized bytes (the `arrowudf.pickle` analogue; only one state per
+ * group per partition is ever serialized, so this is off the hot path).
+ */
+case class GraftTypedAgg[S](
+    name: String,
+    agg: GraftAggregate[S, _],
+    resultType: DataType,
+    children: Seq[Expression],
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[S] {
+
+  override def createAggregationBuffer(): S = agg.createState()
+
+  @transient private lazy val proj = UnsafeProjection.create(children)
+  @transient private lazy val facade = new AggInputRow(children.map(_.dataType).toArray)
+  @transient private lazy val toCatalyst =
+    CatalystTypeConverters.createToCatalystConverter(resultType)
+
+  override def update(buffer: S, row: InternalRow): S = {
+    facade.target(proj(row))
+    agg.accumulate(buffer, facade)
+  }
+  override def merge(buffer: S, other: S): S = agg.merge(buffer, other)
+  override def eval(buffer: S): Any = toCatalyst(agg.finish(buffer))
+
+  override def serialize(buffer: S): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val oos = new java.io.ObjectOutputStream(bos)
+    oos.writeObject(buffer.asInstanceOf[AnyRef]); oos.close()
+    bos.toByteArray
+  }
+  override def deserialize(bytes: Array[Byte]): S = {
+    val ois = new java.io.ObjectInputStream(new java.io.ByteArrayInputStream(bytes))
+    try ois.readObject().asInstanceOf[S] finally ois.close()
+  }
+
+  override def nullable: Boolean = true
+  override def dataType: DataType = resultType
+  override def prettyName: String = name
+  override def withNewMutableAggBufferOffset(newOffset: Int): GraftTypedAgg[S] =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): GraftTypedAgg[S] =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): GraftTypedAgg[S] =
+    copy(children = newChildren)
 }
 
 // ---- conformance aggregates (reference tests/python.rs:670-913) ------------
@@ -101,17 +194,14 @@ object ConformanceAggregates {
   import org.apache.spark.sql.types._
 
   def registerAll(): Unit = {
-    Udf.aggregate("sum_udaf(int) -> bigint", GraftAggregates.lower(
+    Udf.aggregateNative("sum_udaf(int) -> bigint")(new SumAgg)
+    Udf.aggregateNative("weighted_avg(int, int) -> double")(new WeightedAvgAgg)
+    Udf.aggregateNative("median_udaf(double) -> double")(new MedianAgg)
+
+    // Compatibility tier kept registered (and spec-covered) under a distinct
+    // name: the UDAF/Aggregator lowering with an explicit state encoder.
+    Udf.aggregate("sum_udaf_boxed(int) -> bigint", GraftAggregates.lower(
       new SumAgg, StructType(Seq(StructField("v", IntegerType))),
       Encoders.scalaLong, Encoders.scalaLong))
-
-    Udf.aggregate("weighted_avg(int, int) -> double", GraftAggregates.lower(
-      new WeightedAvgAgg,
-      StructType(Seq(StructField("v", IntegerType), StructField("w", IntegerType))),
-      Encoders.product[WAvgState], Encoders.scalaDouble))
-
-    Udf.aggregate("median_udaf(double) -> double", GraftAggregates.lower(
-      new MedianAgg, StructType(Seq(StructField("v", DoubleType))),
-      Encoders.javaSerialization[java.util.ArrayList[Double]], Encoders.scalaDouble))
   }
 }

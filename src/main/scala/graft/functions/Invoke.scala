@@ -16,6 +16,8 @@ final case class TableImpl(f: Seq[Any] => Iterator[Any])
 final case class ExprImpl(build: Seq[Expression] => Expression)
 /** A pre-built UDAF (lowered from [[GraftAggregate]]). */
 final case class AggImpl(udf: org.apache.spark.sql.expressions.UserDefinedFunction)
+/** A [[GraftAggregate]] lowered natively onto [[GraftTypedAgg]] (hot tier). */
+final case class NativeAggImpl(agg: GraftAggregate[_, _])
 
 /**
  * Generic scalar invocation: calls a Scala closure row-at-a-time with

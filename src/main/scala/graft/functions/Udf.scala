@@ -90,4 +90,14 @@ object Udf {
         deterministic = true, fallible = false))
     }
   }
+
+  /** Register a [[GraftAggregate]] on the native tier ([[GraftTypedAgg]]):
+    * zero per-row deserialization, java-serialized state through the shuffle. */
+  def aggregateNative(sig: String)(g: GraftAggregate[_, _]): Unit = {
+    Signature.expand(sig).foreach { s0 =>
+      val s = s0.copy(kind = FunctionKind.Aggregate)
+      Registry.global.register(FunctionDef(s, NativeAggImpl(g), CallMode.ReturnNullOnNullInput,
+        deterministic = true, fallible = false))
+    }
+  }
 }

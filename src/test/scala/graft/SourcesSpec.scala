@@ -98,4 +98,27 @@ class SourcesSpec extends AnyFunSuite {
     val b = back.orderBy("o_orderkey").collect().map(_.toSeq).toSeq
     assert(a == b)
   }
+
+  test("arrow IPC goes through Hadoop FileSystem: file: URI, multi-part, tmp invisible") {
+    val spark = TestSpark.spark
+    val local = java.nio.file.Files.createTempDirectory("arrow_io_fs")
+    val dir = "file://" + local.toString // explicit scheme — resolved via Path.getFileSystem
+    val src = spark.range(1000).selectExpr("id", "CAST(id * 2 AS INT) AS v")
+      .repartition(7)
+    graft.sources.ArrowIO.write(src, dir)
+    val parts = local.toFile.listFiles().map(_.getName).filter(_.endsWith(".arrow"))
+    assert(parts.length >= 2, s"expected multiple part files, got ${parts.toSeq}")
+    assert(parts.forall(n => !n.contains(".tmp")), "no tmp residue after success")
+    // a stale tmp from a hypothetical failed attempt must be invisible to read
+    java.nio.file.Files.write(local.resolve("part-3.arrow.tmp-99"),
+      Array[Byte](1, 2, 3))
+    val back = graft.sources.ArrowIO.read(spark, dir)
+    assert(back.count() == 1000)
+    assert(back.agg(sum("id")).collect().head.getLong(0) == 499500L)
+    // a re-write with fewer partitions clears stale parts and tmp orphans
+    graft.sources.ArrowIO.write(spark.range(10).toDF("id").repartition(1), dir)
+    val names = local.toFile.listFiles().map(_.getName)
+    assert(!names.exists(_.contains(".tmp")), s"stale tmp not cleared: ${names.toSeq}")
+    assert(graft.sources.ArrowIO.read(spark, dir).count() == 10)
+  }
 }
