@@ -153,6 +153,21 @@ object SparkEntry {
         .orderBy("l_orderkey", "l_linenumber")
     } _,
 
+    // §2.1 #26 wire-type breadth: a MAP column rides the remote Arrow-IPC
+    // path (canonical Arrow Map layout) through graft_identity and is
+    // rendered back to JSON engine-side for the oracle.
+    "q_remote_map" -> dfq { s =>
+      val port = graft.remote.RemoteFixture.port
+      val df = s.table("lineitem")
+        .selectExpr("l_orderkey", "l_linenumber",
+          "map('rf', l_returnflag, 'ls', l_linestatus) AS m")
+      graft.remote.RemoteUdf.withRemoteColumn(df, "127.0.0.1", port, "graft_identity",
+          Seq("m"), org.apache.spark.sql.types.MapType(
+            org.apache.spark.sql.types.StringType, org.apache.spark.sql.types.StringType))
+        .selectExpr("l_orderkey", "l_linenumber", "graft_to_json(value) AS mj")
+        .orderBy("l_orderkey", "l_linenumber")
+    } _,
+
     // §2.1 #13/#28: the SAME gcd through a REAL CPython guest — the pyarrow
     // worker subprocess (tools/pyudf_server.py) speaks the identical
     // LIST/GET/CALL framing, so the Spark integration is byte-for-byte the
@@ -689,6 +704,10 @@ object SparkEntry {
         |       CAST(gcd(CAST(l_partkey AS INT), CAST(l_suppkey AS INT)) AS INT) AS g
         |FROM lineitem
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q_remote_map" ->
+      """SELECT l_orderkey, l_linenumber,
+        |       '{"rf":"' || l_returnflag || '","ls":"' || l_linestatus || '"}' AS mj
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
     "q_python_split" ->
       """SELECT doc_id, t.tok
         |FROM documents, UNNEST(string_split_regex(text, '[ \t\n\r\f\v]+')) AS t(tok)

@@ -39,10 +39,14 @@ import scala.jdk.CollectionConverters._
  * pooled connection per partition across chunks and closes it at task end.
  *
  * Type matrix: bool, int32/64, float32/64, string, binary, date32,
- * timestamp (µs, naive), decimal(p,s), one-level lists of numeric types, and
- * structs of scalars. Extension types (`json`, text-backed `decimal`) carry
- * their `ARROW:extension:name` metadata on the Field, like the reference's
- * pyarrow bridge (`python/pyarrow.rs:136-459`).
+ * timestamp (µs, naive), time64 (µs — a real Arrow `Time64`, engine-side a
+ * tagged int64), decimal(p,s), calendar interval (Arrow `MonthDayNano`),
+ * one-level lists of numeric types, maps, and structs of scalars. Extension
+ * types (`json`, text-backed `decimal`, `time64`) carry their
+ * `ARROW:extension:name` metadata on the Field, like the reference's
+ * pyarrow bridge (`python/pyarrow.rs:136-459`). The server honors each
+ * function's registered [[graft.sig.CallMode]]: CalledOnNullInput functions
+ * receive NULL arguments over the wire instead of being short-circuited.
  */
 object RemoteProtocol {
   val BatchSize = 1024
@@ -60,6 +64,12 @@ object RemoteProtocol {
     dt match {
       case BooleanType => new Field(name, fieldType(ArrowType.Bool.INSTANCE, md), null)
       case IntegerType => new Field(name, fieldType(new ArrowType.Int(32, true), md), null)
+      // time64: µs-of-day rides as a REAL Arrow Time64 (not a bare int64), so
+      // pyarrow peers see `time64[us]` exactly like the reference's bridge
+      // (`python/pyarrow.rs:188-197`); engine-side it stays a LongType tagged
+      // with the graft.time64 extension.
+      case LongType if graft.types.GraftType.extensionOf(md).contains(graft.types.GraftType.TimeExt) =>
+        new Field(name, fieldType(new ArrowType.Time(TimeUnit.MICROSECOND, 64), md), null)
       case LongType    => new Field(name, fieldType(new ArrowType.Int(64, true), md), null)
       case FloatType   => new Field(name,
         fieldType(new ArrowType.FloatingPoint(FloatingPointPrecision.SINGLE), md), null)
@@ -72,9 +82,22 @@ object RemoteProtocol {
         fieldType(new ArrowType.Timestamp(TimeUnit.MICROSECOND, null), md), null)
       case d: DecimalType => new Field(name,
         fieldType(new ArrowType.Decimal(d.precision, d.scale, 128), md), null)
+      case CalendarIntervalType =>
+        new Field(name,
+          fieldType(new ArrowType.Interval(org.apache.arrow.vector.types.IntervalUnit.MONTH_DAY_NANO), md), null)
       case ArrayType(et, _) =>
         new Field(name, fieldType(ArrowType.List.INSTANCE, md),
           Seq(toArrowField("item", et)).asJava)
+      case MapType(kt, vt, _) =>
+        // canonical Arrow map layout: map<entries: struct<key (non-null), value>>
+        val key = new Field("key",
+          new FieldType(false, toArrowField("key", kt).getType, null, null),
+          toArrowField("key", kt).getChildren)
+        val value = toArrowField("value", vt)
+        val entries = new Field("entries",
+          new FieldType(false, ArrowType.Struct.INSTANCE, null, null),
+          Seq(key, value).asJava)
+        new Field(name, fieldType(new ArrowType.Map(false), md), Seq(entries).asJava)
       case StructType(fields) =>
         new Field(name, fieldType(ArrowType.Struct.INSTANCE, md),
           fields.map(f => toArrowField(f.name, f.dataType, f.metadata)).toSeq.asJava)
@@ -92,7 +115,13 @@ object RemoteProtocol {
       case _: ArrowType.Binary => BinaryType
       case _: ArrowType.Date => DateType
       case _: ArrowType.Timestamp => TimestampNTZType
+      case _: ArrowType.Time => LongType // µs-of-day; TimeExt re-attached below
+      case _: ArrowType.Interval => CalendarIntervalType
       case d: ArrowType.Decimal => DecimalType(d.getPrecision, d.getScale)
+      case _: ArrowType.Map =>
+        val entries = f.getChildren.get(0)
+        MapType(fromArrowField(entries.getChildren.get(0))._1,
+          fromArrowField(entries.getChildren.get(1))._1, valueContainsNull = true)
       case _: ArrowType.List =>
         ArrayType(fromArrowField(f.getChildren.get(0))._1, containsNull = true)
       case _: ArrowType.Struct =>
@@ -104,7 +133,12 @@ object RemoteProtocol {
     }
     val md = Option(f.getMetadata).map(_.asScala.get(ExtKey)).flatten match {
       case Some(ext) => new MetadataBuilder().putString(ExtKey, ext).build()
-      case None => SMetadata.empty
+      case None => f.getType match {
+        // a bare time64[us] from a non-graft peer still resolves time64 overloads
+        case _: ArrowType.Time => new MetadataBuilder()
+          .putString(ExtKey, graft.types.GraftType.TimeExt).build()
+        case _ => SMetadata.empty
+      }
     }
     (dt, md)
   }
@@ -112,9 +146,25 @@ object RemoteProtocol {
   /** Write one external (JVM) value into vector cell `i`. Rows must be
     * written in ascending `i` order (list offsets are sequential). */
   def setCell(v: FieldVector, i: Int, value: Any): Unit = (v, value) match {
-    case (lv: ListVector, null) => lv.setNull(i)
+    case (lv: ListVector, null) => lv.setNull(i) // also MapVector (a ListVector)
     case (sv: StructVector, null) => sv.setNull(i)
     case (_, null) => v.setNull(i)
+    case (tv: TimeMicroVector, x: Long) => tv.setSafe(i, x)
+    case (iv: IntervalMonthDayNanoVector, x: org.apache.spark.unsafe.types.CalendarInterval) =>
+      iv.setSafe(i, x.months, x.days, x.microseconds * 1000L)
+    case (mv: org.apache.arrow.vector.complex.MapVector, m: scala.collection.Map[_, _]) =>
+      val start = mv.startNewValue(i)
+      val entries = mv.getDataVector.asInstanceOf[StructVector]
+      val kVec = entries.getChildrenFromFields.get(0)
+      val vVec = entries.getChildrenFromFields.get(1)
+      var j = 0
+      m.foreach { case (k, value) =>
+        entries.setIndexDefined(start + j)
+        setCell(kVec, start + j, k)
+        setCell(vVec, start + j, value)
+        j += 1
+      }
+      mv.endValue(i, m.size)
     case (bv: BitVector, x: Boolean) => bv.setSafe(i, if (x) 1 else 0)
     case (iv: IntVector, x: Int) => iv.setSafe(i, x)
     case (bv: BigIntVector, x: Long) => bv.setSafe(i, x)
@@ -161,6 +211,20 @@ object RemoteProtocol {
           Math.floorDiv(micros, 1000000L), (Math.floorMod(micros, 1000000L) * 1000L).toInt,
           java.time.ZoneOffset.UTC)
       case dv: DecimalVector => dv.getObject(i)
+      case tv: TimeMicroVector => tv.get(i)
+      case iv: IntervalMonthDayNanoVector =>
+        val h = iv.getObject(i) // PeriodDuration
+        val period = h.getPeriod
+        new org.apache.spark.unsafe.types.CalendarInterval(
+          period.getYears * 12 + period.getMonths, period.getDays,
+          h.getDuration.toNanos / 1000L)
+      case mv: org.apache.arrow.vector.complex.MapVector => // before ListVector: a MapVector IS a ListVector
+        val entries = mv.getDataVector.asInstanceOf[StructVector]
+        val kVec = entries.getChildrenFromFields.get(0)
+        val vVec = entries.getChildrenFromFields.get(1)
+        val start = mv.getElementStartIndex(i)
+        val end = mv.getElementEndIndex(i)
+        (start until end).map(j => getCell(kVec, j) -> getCell(vVec, j)).toMap
       case lv: ListVector =>
         val data = lv.getDataVector.asInstanceOf[FieldVector]
         val start = lv.getElementStartIndex(i)
@@ -278,7 +342,10 @@ class UdfServer(port: Int = 0) extends AutoCloseable {
     val resolved = Registry.global.resolve(fname, argTypes)
     val resolvedScalar = resolved.flatMap(fd => scalarFn(fd).map(f => (fd, f)))
     (resolved, resolvedScalar) match {
-      case (_, Some((FunctionDef(sigDef, _, _, _, _), f))) if !isTable =>
+      case (_, Some((fd @ FunctionDef(sigDef, _, _, _, _), f))) if !isTable =>
+        // honor the registered CallMode over the wire: CalledOnNullInput
+        // functions (e.g. option_add) see their NULL arguments
+        val callOnNull = fd.callMode == graft.sig.CallMode.CalledOnNullInput
         out.write("OK\n".getBytes(StandardCharsets.UTF_8))
         val outSchema = new ASchema(Seq(
           toArrowField("value", sigDef.returns.dataType, sigDef.returns.metadata)).asJava)
@@ -293,7 +360,8 @@ class UdfServer(port: Int = 0) extends AutoCloseable {
           var i = 0
           while (i < n) {
             val args = vecs.map(v => getCell(v, i))
-            setCell(vec, i, if (args.contains(null)) null else f(args))
+            setCell(vec, i,
+              if (!callOnNull && args.contains(null)) null else f(args))
             i += 1
           }
           outRoot.setRowCount(n)
@@ -301,9 +369,10 @@ class UdfServer(port: Int = 0) extends AutoCloseable {
         }
         writer.end()
         outRoot.close()
-      case (Some(FunctionDef(sigDef, TableImpl(f), _, _, _)), _) if isTable =>
+      case (Some(fd @ FunctionDef(sigDef, TableImpl(f), _, _, _)), _) if isTable =>
         // table function: result rows are (row, value) — the input-row index
         // column materialized exactly like the reference's `row: Int32`.
+        val callOnNull = fd.callMode == graft.sig.CallMode.CalledOnNullInput
         out.write("OK\n".getBytes(StandardCharsets.UTF_8))
         val outSchema = new ASchema(Seq(
           toArrowField("row", IntegerType),
@@ -322,7 +391,7 @@ class UdfServer(port: Int = 0) extends AutoCloseable {
           var i = 0
           while (i < n) {
             val args = vecs.map(v => getCell(v, i))
-            val it = if (args.contains(null)) Iterator.empty else f(args)
+            val it = if (!callOnNull && args.contains(null)) Iterator.empty else f(args)
             it.foreach { v =>
               setCell(rowVec, outIdx, rowBase + i)
               setCell(valVec, outIdx, v)

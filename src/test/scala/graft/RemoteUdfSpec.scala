@@ -108,6 +108,40 @@ class RemoteUdfSpec extends AnyFunSuite {
     } finally server.close()
   }
 
+  test("map, interval and time64 ride the wire; CallMode is honored server-side") {
+    graft.functions.Builtins.ensureRegistered()
+    val server = new UdfServer()
+    try {
+      val client = new UdfClient("127.0.0.1", server.boundPort)
+      try {
+        // map<string,string> through graft_identity — canonical Arrow Map layout
+        val m = Map("rf" -> "A", "ls" -> "F")
+        val mOut = client.call("graft_identity",
+          Seq(MapType(StringType, StringType)), Seq(Seq(m), Seq(null)))
+        assert(mOut(0) == m && mOut(1) == null)
+        // calendar interval as Arrow MonthDayNano
+        val iv = new org.apache.spark.unsafe.types.CalendarInterval(14, 3, 5500000L)
+        val ivOut = client.call("graft_identity", Seq(CalendarIntervalType), Seq(Seq(iv)))
+        assert(ivOut.head == iv)
+        // time64: µs-of-day tagged LongType becomes a REAL Arrow Time64 field
+        val timeMd = new MetadataBuilder()
+          .putString(graft.types.GraftType.ExtensionKey, graft.types.GraftType.TimeExt).build()
+        val micros = 12L * 3600 + 34 * 60 + 56
+        val tOut = client.call("graft_identity", Seq(LongType), Seq(Seq(micros * 1000000L)),
+          argMeta = Seq(timeMd))
+        assert(tOut.head == micros * 1000000L)
+        // CalledOnNullInput honored over the wire: option_add treats NULL as 0
+        // (engine-side semantics) instead of being short-circuited to NULL
+        val oa = client.call("option_add", Seq(IntegerType, IntegerType),
+          Seq(Seq(3, 4), Seq(null, 4), Seq(3, null), Seq(null, null)))
+        assert(oa == Seq(7, 4, 3, 0), s"option_add through remote returned $oa")
+        // default mode still short-circuits: gcd(null, x) = null
+        assert(client.call("gcd", Seq(IntegerType, IntegerType),
+          Seq(Seq(null, 9))) == Seq(null))
+      } finally client.close()
+    } finally server.close()
+  }
+
   test("extension metadata (json) travels on the wire and resolves the overload") {
     graft.functions.Builtins.ensureRegistered()
     val server = new UdfServer()
