@@ -359,6 +359,19 @@ object SparkEntry {
         .selectExpr("q_id", "vec_id", "rank", "CAST(ROUND(sim * 10000) AS BIGINT) AS c4")
         .orderBy("q_id", "rank")
     } _,
+    // Persisted IVF index: save (centroids + corpus partitionBy(cell)), then
+    // search the SAVED index at full probe — exercises the on-disk layout and
+    // the literal-partition-filter pruned read; full probe ≡ brute force, so
+    // the same exact SQL oracle gates it.
+    "q_ivf_saved" -> dfq { s =>
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_saved_q"
+      graft.ops.Similarity.ivfSave(s.table("embeddings"), path, nCells = 16)
+      val queries = s.table("embeddings").where("vec_id < 5")
+        .selectExpr("vec_id AS q_id", "embedding AS q_embedding")
+      graft.ops.Similarity.ivfSearchSaved(s, path, queries, 10, nprobe = 16)
+        .selectExpr("q_id", "vec_id", "rank", "CAST(ROUND(sim * 10000) AS BIGINT) AS c4")
+        .orderBy("q_id", "rank")
+    } _,
     "q_lsh_bucket" -> q(
       """SELECT vec_id, hyperplane_bucket(embedding, 6) AS bucket
         |FROM embeddings ORDER BY vec_id""".stripMargin) _,
@@ -969,6 +982,16 @@ object SparkEntry {
          |FROM r WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin,
     // identical to the q_ann_topk oracle: full-probe IVF is exact by design
     "q_ivf_topk" ->
+      s"""WITH q AS (SELECT vec_id AS q_id, embedding AS qe FROM embeddings WHERE vec_id < 5),
+         |s AS (SELECT q.q_id, e.vec_id, ${duckCos("q.qe", "e.embedding")} AS sim
+         |      FROM q, embeddings e),
+         |r AS (SELECT q_id, vec_id, sim,
+         |             CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS INT) AS rank
+         |      FROM s)
+         |SELECT q_id, vec_id, rank, CAST(ROUND(sim * 10000) AS BIGINT) AS c4
+         |FROM r WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin,
+    // identical oracle again: the saved-index search at full probe is exact
+    "q_ivf_saved" ->
       s"""WITH q AS (SELECT vec_id AS q_id, embedding AS qe FROM embeddings WHERE vec_id < 5),
          |s AS (SELECT q.q_id, e.vec_id, ${duckCos("q.qe", "e.embedding")} AS sim
          |      FROM q, embeddings e),

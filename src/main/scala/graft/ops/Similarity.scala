@@ -126,11 +126,18 @@ object Similarity {
 
   def ivfCentroids(corpus: DataFrame, k: Int, iters: Int = 5): Array[(Int, Array[Double])] = {
     val spark = corpus.sparkSession
-    // deterministic init: evenly-strided vectors by vec_id (collects k rows)
-    val n = corpus.count()
-    val stride = math.max(1L, n / k)
-    var centroids: Array[(Int, Array[Double])] = corpus
-      .where(col("vec_id") % stride === 0).orderBy("vec_id").limit(k)
+    // ONE materialization of the (vec_id, embedding) projection for the whole
+    // Lloyd loop: at 100 TB the full-width corpus is never re-read per
+    // iteration — the projection persists (memory, spilling to disk) and both
+    // the init sample and every iteration read the cached columns.
+    val emb = corpus.select(col("vec_id"), col("embedding"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // deterministic sample init, no count(): order by a hash of vec_id and
+    // take k — TakeOrderedAndProject keeps a k-row heap per partition and
+    // merges k rows on the driver (a sample scan, not a global sort).
+    var centroids: Array[(Int, Array[Double])] = emb
+      .orderBy(xxhash64(col("vec_id")), col("vec_id"))
+      .limit(k)
       .select("embedding").collect().zipWithIndex
       .map { case (r, i) => (i, r.getSeq[Float](0).map(_.toDouble).toArray) }
     import org.apache.spark.sql.{Encoders, Row}
@@ -147,7 +154,7 @@ object Similarity {
       // (partitions × k rows) then merge distributively per (cell, dim) —
       // integer sums are order-independent, so centroids are bit-reproducible
       // at any parallelism — and exactly k × dim scalars reach the driver.
-      val partials = corpus.select("embedding").mapPartitions { it =>
+      val partials = emb.select("embedding").mapPartitions { it =>
         val cs = bc.value
         val acc = new java.util.HashMap[Int, Array[Long]]()
         var dim = 0
@@ -179,6 +186,7 @@ object Similarity {
         (cell, mean)
       }.sortBy(_._1)
     }
+    emb.unpersist(blocking = false)
     centroids
   }
 
@@ -220,7 +228,11 @@ object Similarity {
   }
 
   /** Search a saved IVF index: probe `nprobe` nearest cells per query, exact
-    * rerank. Reads only the probed cell partitions. */
+    * rerank. The union of probed cells is computed driver-side from the
+    * (small, broadcastable) query set and applied as a LITERAL partition
+    * filter on the `partitionBy(cell)` layout — static partition pruning the
+    * planner can see (`PartitionFilters: cell IN (...)`), no reliance on
+    * runtime DPP: a 100 TB index reads at most nprobe/nCells of its files. */
   def ivfSearchSaved(spark: org.apache.spark.sql.SparkSession, path: String,
                      queries: DataFrame, k: Int, nprobe: Int): DataFrame = {
     val centroids = spark.read.parquet(s"$path/centroids").collect()
@@ -228,7 +240,10 @@ object Similarity {
     val bc = spark.sparkContext.broadcast(centroids)
     val probeCells = udf { (v: Seq[Float]) => Ivf.nearestK(bc.value, v, nprobe) }
     val q = queries.withColumn("cell", explode(probeCells(col("q_embedding"))))
+    // ≤ nCells distinct values, from the already-small query side
+    val probed = q.select("cell").distinct().collect().map(_.getInt(0)).sorted
     val c = spark.read.parquet(s"$path/assigned")
+      .where(col("cell").isin(probed.map(Integer.valueOf).toSeq: _*))
     val scored = c.join(broadcast(q), Seq("cell"))
       .withColumn("sim", expr("cosine_sim(embedding, q_embedding)"))
       .select(col("q_id"), col("vec_id"), col("sim"))

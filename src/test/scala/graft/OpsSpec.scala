@@ -104,6 +104,20 @@ class OpsSpec extends AnyFunSuite {
     val cellDirs = new java.io.File(s"$path/assigned").listFiles()
       .filter(_.getName.startsWith("cell=")).length
     assert(cellDirs > 1)
+    // a narrow probe must PRUNE: the scan's literal partition filter admits
+    // only the probed cells, and the planner reports fewer partitions read
+    val narrow = Similarity.ivfSearchSaved(spark, path, queries.limit(1), 5, nprobe = 2)
+    val scans = narrow.queryExecution.sparkPlan.collectLeaves().collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+          if f.metadata.getOrElse("Location", "").contains("assigned") => f
+    }
+    assert(scans.nonEmpty, "expected a file scan over the assigned index")
+    val scan = scans.head
+    assert(scan.partitionFilters.exists(_.references.map(_.name).toSeq.contains("cell")),
+      s"no partition filter on cell: ${scan.partitionFilters}")
+    assert(scan.relation.location.inputFiles.length > 0)
+    val selected = scan.selectedPartitions.partitionCount
+    assert(selected <= 2, s"probe of 2 cells read $selected partitions")
   }
 
   test("multimodal: mapPartitions feature extraction + frame sampling") {
