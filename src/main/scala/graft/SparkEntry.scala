@@ -229,11 +229,14 @@ object SparkEntry {
         |                      CAST(o_orderkey % 23 AS INT), 0, 0))) AS p
         |      FROM orders)
         |ORDER BY o_orderkey""".stripMargin) _,
-    // map identity, rendered as JSON for the checker
+    // map identity, rendered as JSON for the checker. The render projects
+    // AFTER the sort: range partitioning samples (= re-executes) its child to
+    // pick bounds, so keeping the expensive projection above the Sort halves
+    // the per-row work and shuffles narrow columns instead of rendered JSON.
     "q_map_identity" -> q(
       """SELECT l_orderkey, l_linenumber,
         |       graft_to_json(graft_identity(map('rf', l_returnflag, 'ls', l_linestatus))) AS mj
-        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin) _,
+        |FROM (SELECT * FROM lineitem ORDER BY l_orderkey, l_linenumber)""".stripMargin) _,
 
     // ---- text analysis -----------------------------------------------------
     "q_token_count" -> q(

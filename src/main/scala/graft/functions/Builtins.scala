@@ -155,11 +155,14 @@ object Builtins {
       (a, b) => new java.math.BigDecimal(a).multiply(new java.math.BigDecimal(b)).toPlainString
     }
 
-    // to_json over the wildcard matrix (tests.rs:104-114): JVM value → JSON text.
+    // to_json over the wildcard matrix (tests.rs:104-114): JVM value → JSON
+    // text. Scalars resolve through the boxed renderer; container types go to
+    // the NATIVE writer-style kernel (JsonRenderExpr) — same bytes, no
+    // per-row external Map/Seq/Row materialization.
     Udf.scalarN[String]("graft_to_json(*) -> json")(args => Json.render(args.head))
     Seq("int[]", "bigint[]", "string[]", "float[]", "double[]",
       "struct<key: string, value: string>", "map<string, string>").foreach { t =>
-      Udf.scalarN[String](s"graft_to_json($t) -> json")(args => Json.render(args.head))
+      Udf.native(s"graft_to_json($t) -> json") { children => JsonRenderExpr(children(0)) }
     }
 
     // identity over every type (tests.rs:68-92) — exercises the full

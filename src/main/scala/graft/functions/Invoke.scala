@@ -24,8 +24,12 @@ final case class NativeAggImpl(agg: GraftAggregate[_, _])
  * JVM-friendly argument values (String, Int, Seq, Row, ...), honoring the
  * declared [[CallMode]] (reference null semantics, `codegen_utils.rs:415-444`).
  *
- * CodegenFallback keeps the call inside a WholeStageCodegen span; the hot
- * per-type fast path is the [[ExprImpl]] tier (e.g. [[GcdExpr]]).
+ * Real `doGenCode` (ScalaUDF-style: the expression rides `references`, the
+ * generated code fills an args array and calls [[invokeExternal]]) — NOT
+ * CodegenFallback, which would exclude the enclosing Project from
+ * WholeStageCodegen entirely and force the whole stage interpreted. With
+ * this, a plan mixing boxed invokes with native kernels keeps one fused
+ * codegen'd pipeline from the columnar scan onward.
  */
 case class ScalarInvoke(
     funcName: String,
@@ -34,7 +38,7 @@ case class ScalarInvoke(
     children: Seq[Expression],
     callMode: CallMode = CallMode.ReturnNullOnNullInput,
     isDeterministic: Boolean = true)
-  extends Expression with CodegenFallback {
+  extends Expression {
 
   override def nullable: Boolean = true
   override lazy val deterministic: Boolean =
@@ -45,22 +49,60 @@ case class ScalarInvoke(
   @transient private lazy val resultConverter =
     CatalystTypeConverters.createToCatalystConverter(dataType)
 
+  /** Generated-code entry: catalyst child value → external argument. */
+  def convertArg(i: Int, v: Any): Any = argConverters(i)(v)
+
+  /** Generated-code entry: external args (nulls preserved) → catalyst result,
+    * honoring the CallMode null semantics. */
+  def invokeExternal(args: Array[Any]): Any = {
+    if (callMode == CallMode.ReturnNullOnNullInput) {
+      var i = 0
+      while (i < args.length) { if (args(i) == null) return null; i += 1 }
+    }
+    val r = function(scala.collection.immutable.ArraySeq.unsafeWrapArray(args))
+    if (r == null) null else resultConverter(r)
+  }
+
   override def eval(input: InternalRow): Any = {
     val n = children.length
     val args = new Array[Any](n)
     var i = 0
-    var anyNull = false
     while (i < n) {
       val v = children(i).eval(input)
-      if (v == null) { anyNull = true; args(i) = null }
-      else args(i) = argConverters(i)(v)
+      args(i) = if (v == null) null else argConverters(i)(v)
       i += 1
     }
-    if (anyNull && callMode == CallMode.ReturnNullOnNullInput) null
-    else {
-      val r = function(scala.collection.immutable.ArraySeq.unsafeWrapArray(args))
-      if (r == null) null else resultConverter(r)
-    }
+    invokeExternal(args)
+  }
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen._
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    val self = ctx.addReferenceObj("scalarInvoke", this, classOf[ScalarInvoke].getName)
+    val argsTerm = ctx.freshName("invokeArgs")
+    val resTerm = ctx.freshName("invokeRes")
+    val childGens = children.map(_.genCode(ctx))
+    val setArgs = childGens.zipWithIndex.map { case (g, i) =>
+      code"""${g.code}
+            |$argsTerm[$i] = ${g.isNull} ? null : $self.convertArg($i, ${g.value});
+            |""".stripMargin
+    }.foldLeft(code"")(_ + _)
+    val javaT = CodeGenerator.javaType(dataType)
+    val unbox =
+      if (CodeGenerator.isPrimitiveType(dataType))
+        s"((${CodeGenerator.boxedType(dataType)}) $resTerm).${javaT}Value()"
+      else s"($javaT) $resTerm"
+    ev.copy(code =
+      code"""Object[] $argsTerm = new Object[${children.length}];
+            |$setArgs
+            |Object $resTerm = $self.invokeExternal($argsTerm);
+            |boolean ${ev.isNull} = ($resTerm == null);
+            |$javaT ${ev.value} = ${CodeGenerator.defaultValue(dataType)};
+            |if (!${ev.isNull}) { ${ev.value} = $unbox; }
+            |""".stripMargin)
   }
 
   override def prettyName: String = funcName
@@ -80,7 +122,7 @@ case class FallibleScalarInvoke(
     valueType: DataType,
     children: Seq[Expression],
     callMode: CallMode = CallMode.ReturnNullOnNullInput)
-  extends Expression with CodegenFallback {
+  extends Expression {
 
   override val dataType: StructType = StructType(Seq(
     StructField("value", valueType, nullable = true),
@@ -93,29 +135,60 @@ case class FallibleScalarInvoke(
   @transient private lazy val resultConverter =
     CatalystTypeConverters.createToCatalystConverter(valueType)
 
+  /** Generated-code entry: catalyst child value → external argument. */
+  def convertArg(i: Int, v: Any): Any = argConverters(i)(v)
+
+  /** Generated-code entry: the (value, error) row — never null. */
+  def invokeExternal(args: Array[Any]): InternalRow = {
+    if (callMode == CallMode.ReturnNullOnNullInput) {
+      var i = 0
+      while (i < args.length) {
+        if (args(i) == null) return new GenericInternalRow(Array[Any](null, null))
+        i += 1
+      }
+    }
+    try {
+      val r = function(scala.collection.immutable.ArraySeq.unsafeWrapArray(args))
+      new GenericInternalRow(Array[Any](if (r == null) null else resultConverter(r), null))
+    } catch {
+      case e: Exception =>
+        val msg = if (e.getMessage == null) e.getClass.getSimpleName else e.getMessage
+        new GenericInternalRow(Array[Any](null, UTF8String.fromString(msg)))
+    }
+  }
+
   override def eval(input: InternalRow): Any = {
     val n = children.length
     val args = new Array[Any](n)
     var i = 0
-    var anyNull = false
     while (i < n) {
       val v = children(i).eval(input)
-      if (v == null) { anyNull = true; args(i) = null }
-      else args(i) = argConverters(i)(v)
+      args(i) = if (v == null) null else argConverters(i)(v)
       i += 1
     }
-    if (anyNull && callMode == CallMode.ReturnNullOnNullInput)
-      new GenericInternalRow(Array[Any](null, null))
-    else {
-      try {
-        val r = function(scala.collection.immutable.ArraySeq.unsafeWrapArray(args))
-        new GenericInternalRow(Array[Any](if (r == null) null else resultConverter(r), null))
-      } catch {
-        case e: Exception =>
-          val msg = if (e.getMessage == null) e.getClass.getSimpleName else e.getMessage
-          new GenericInternalRow(Array[Any](null, UTF8String.fromString(msg)))
-      }
-    }
+    invokeExternal(args)
+  }
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen._
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    val self = ctx.addReferenceObj("fallibleInvoke", this, classOf[FallibleScalarInvoke].getName)
+    val argsTerm = ctx.freshName("invokeArgs")
+    val childGens = children.map(_.genCode(ctx))
+    val setArgs = childGens.zipWithIndex.map { case (g, i) =>
+      code"""${g.code}
+            |$argsTerm[$i] = ${g.isNull} ? null : $self.convertArg($i, ${g.value});
+            |""".stripMargin
+    }.foldLeft(code"")(_ + _)
+    ev.copy(code =
+      code"""Object[] $argsTerm = new Object[${children.length}];
+            |$setArgs
+            |InternalRow ${ev.value} = $self.invokeExternal($argsTerm);
+            |""".stripMargin,
+      isNull = org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral)
   }
 
   override def prettyName: String = funcName
@@ -214,6 +287,26 @@ case class DocFingerprintExpr(child: Expression) extends UnaryExpression {
       ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
       : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.md5_60($c)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Native writer-style JSON render (see [[JsonKernel]]): renders catalyst
+  * internal values straight into a UTF8String builder — no external
+  * conversion, no intermediate Map/Row/String per row. */
+case class JsonRenderExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def prettyName: String = "graft_to_json"
+  override protected def nullSafeEval(input: Any): Any =
+    JsonKernel.render(input, child.dataType)
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    val dtRef = ctx.addReferenceObj("jsonDt", child.dataType,
+      "org.apache.spark.sql.types.DataType")
+    defineCodeGen(ctx, ev, c => s"graft.functions.JsonKernel.render($c, $dtRef)")
+  }
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }

@@ -17,7 +17,15 @@ object Probe {
     }
     val df = spark.sql(sql)
     if (args.length > 2 && args(2) == "explain") df.explain("formatted")
-    df.show(20, truncate = false)
+    if (args.length > 2 && args(2) == "time") {
+      // min-of-3 wall clock through the noop sink (full execution, no collect)
+      val times = (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        df.write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      println(f"[probe] min=${times.min}%.3f s all=${times.map(t => f"$t%.3f").mkString(",")}")
+    } else df.show(20, truncate = false)
     spark.stop()
   }
 }
