@@ -521,6 +521,33 @@ object SparkEntry {
         |    < (SELECT sum(CAST(ROUND(l3.l_quantity * 100) AS BIGINT))
         |       FROM lineitem l3 WHERE l3.l_partkey = l.l_partkey)
         |ORDER BY l.l_orderkey, l.l_linenumber""".stripMargin) _,
+    // Q13-style: LEFT OUTER join with an extra join-side predicate, grouped
+    // twice (per-customer counts → distribution). Exercises outer-join
+    // reordering, partial aggregation below and above the shuffle, and the
+    // null-preserving count(o_orderkey) vs count(*) distinction.
+    "q13_custdist" -> q(
+      """SELECT c_count, count(*) AS custdist
+        |FROM (SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+        |      FROM customer c LEFT OUTER JOIN orders o
+        |        ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+        |      GROUP BY c.c_custkey) t
+        |GROUP BY c_count
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin) _,
+    // Q20-style: nested correlated subqueries — an EXISTS whose inner query
+    // itself contains a correlated scalar aggregate, plus a semi-join IN.
+    // Stresses subquery decorrelation into aggregate + semi joins.
+    "q20_nested_exists" -> q(
+      """SELECT s.s_suppkey, s.s_name
+        |FROM supplier s
+        |WHERE s.s_nationkey IN (SELECT n_nationkey FROM nation WHERE n_name LIKE 'NATION_1%')
+        |  AND EXISTS (
+        |    SELECT 1 FROM lineitem l
+        |    WHERE l.l_suppkey = s.s_suppkey
+        |      AND CAST(ROUND(l.l_quantity * 100) AS BIGINT)
+        |          * (SELECT count(*) FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey) * 5
+        |        > (SELECT sum(CAST(ROUND(l3.l_quantity * 100) AS BIGINT)) * 4
+        |           FROM lineitem l3 WHERE l3.l_partkey = l.l_partkey))
+        |ORDER BY s.s_suppkey""".stripMargin) _,
     "q_topk" -> q(
       """SELECT o_orderkey, CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
         |FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin) _,
@@ -1160,6 +1187,26 @@ object SparkEntry {
         |    < (SELECT CAST(sum(CAST(ROUND(l3.l_quantity * 100) AS BIGINT)) AS BIGINT)
         |       FROM lineitem l3 WHERE l3.l_partkey = l.l_partkey)
         |ORDER BY l.l_orderkey, l.l_linenumber""".stripMargin,
+    "q13_custdist" ->
+      """SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+        |FROM (SELECT c.c_custkey, CAST(count(o.o_orderkey) AS BIGINT) AS c_count
+        |      FROM customer c LEFT OUTER JOIN orders o
+        |        ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+        |      GROUP BY c.c_custkey) t
+        |GROUP BY c_count
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin,
+    "q20_nested_exists" ->
+      """SELECT s.s_suppkey, s.s_name
+        |FROM supplier s
+        |WHERE s.s_nationkey IN (SELECT n_nationkey FROM nation WHERE n_name LIKE 'NATION_1%')
+        |  AND EXISTS (
+        |    SELECT 1 FROM lineitem l
+        |    WHERE l.l_suppkey = s.s_suppkey
+        |      AND CAST(ROUND(l.l_quantity * 100) AS BIGINT)
+        |          * (SELECT count(*) FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey) * 5
+        |        > (SELECT CAST(sum(CAST(ROUND(l3.l_quantity * 100) AS BIGINT)) AS BIGINT) * 4
+        |           FROM lineitem l3 WHERE l3.l_partkey = l.l_partkey))
+        |ORDER BY s.s_suppkey""".stripMargin,
     "q_topk" ->
       """SELECT o_orderkey, CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
         |FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
