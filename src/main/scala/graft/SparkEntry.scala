@@ -147,9 +147,13 @@ object SparkEntry {
       val port = graft.remote.RemoteFixture.port
       val df = s.table("lineitem").selectExpr("l_orderkey", "l_linenumber",
         "CAST(l_partkey AS INT) AS a", "CAST(l_suppkey AS INT) AS b")
+      // localCheckpoint: the orderBy's range-partitioner SAMPLES its child,
+      // which would re-run the whole remote exchange a second time; pin the
+      // augmented frame first so the wire work happens exactly once.
       graft.remote.RemoteUdf.withRemoteColumn(df, "127.0.0.1", port, "gcd",
           Seq("a", "b"), org.apache.spark.sql.types.IntegerType)
         .selectExpr("l_orderkey", "l_linenumber", "value AS g")
+        .localCheckpoint()
         .orderBy("l_orderkey", "l_linenumber")
     } _,
 
@@ -165,6 +169,7 @@ object SparkEntry {
           Seq("m"), org.apache.spark.sql.types.MapType(
             org.apache.spark.sql.types.StringType, org.apache.spark.sql.types.StringType))
         .selectExpr("l_orderkey", "l_linenumber", "graft_to_json(value) AS mj")
+        .localCheckpoint() // exchange runs once; sort sampling reads the checkpoint
         .orderBy("l_orderkey", "l_linenumber")
     } _,
 
@@ -173,23 +178,25 @@ object SparkEntry {
     // LIST/GET/CALL framing, so the Spark integration is byte-for-byte the
     // remote path; only the process on the far end changes.
     "q_python_gcd" -> dfq { s =>
-      val port = graft.remote.PythonWorker.port
       val df = s.table("lineitem").selectExpr("l_orderkey", "l_linenumber",
         "CAST(l_partkey AS INT) AS a", "CAST(l_suppkey AS INT) AS b")
-      graft.remote.RemoteUdf.withRemoteColumn(df, "127.0.0.1", port, "gcd",
+      // partitions round-robin across the CPython interpreter POOL (one GIL
+      // per process — parallelism comes from many processes, §2.1 #18 note)
+      graft.remote.RemoteUdf.withRemoteColumn(df, graft.remote.PythonWorker.endpoints, "gcd",
           Seq("a", "b"), org.apache.spark.sql.types.IntegerType)
         .selectExpr("l_orderkey", "l_linenumber", "value AS g")
+        .localCheckpoint() // exchange runs once; sort sampling reads the checkpoint
         .orderBy("l_orderkey", "l_linenumber")
     } _,
 
     // §2.1 #14/#28: CPython table function (generator) over the wire —
     // each document explodes into its whitespace tokens inside the guest.
     "q_python_split" -> dfq { s =>
-      val port = graft.remote.PythonWorker.port
       val df = s.table("documents").selectExpr("doc_id", "text")
-      graft.remote.RemoteUdf.withRemoteTableColumn(df, "127.0.0.1", port, "py_split",
-          Seq("text"), org.apache.spark.sql.types.StringType)
+      graft.remote.RemoteUdf.withRemoteTableColumn(df, graft.remote.PythonWorker.endpoints,
+          "py_split", Seq("text"), org.apache.spark.sql.types.StringType)
         .selectExpr("doc_id", "value AS tok")
+        .localCheckpoint() // exchange runs once; sort sampling reads the checkpoint
         .orderBy("doc_id", "tok")
     } _,
 

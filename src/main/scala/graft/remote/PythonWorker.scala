@@ -27,8 +27,10 @@ final class PythonWorker extends AutoCloseable {
     .redirectError(ProcessBuilder.Redirect.INHERIT)
     .start()
 
-  /** Ephemeral port the worker bound; read from its `PORT <n>` startup line. */
-  val boundPort: Int = {
+  /** Ephemeral port the worker bound; read from its `PORT <n>` startup line.
+    * Lazy so a pool can launch every process before blocking on any port —
+    * interpreter startup overlaps instead of serializing. */
+  lazy val boundPort: Int = {
     val br = new java.io.BufferedReader(new java.io.InputStreamReader(proc.getInputStream))
     val line = br.readLine()
     if (line == null || !line.startsWith("PORT "))
@@ -39,13 +41,29 @@ final class PythonWorker extends AutoCloseable {
   override def close(): Unit = proc.destroy()
 }
 
-/** Shared lazily-started worker for queries exercising the CPython guest on a
-  * single node (mirrors [[RemoteFixture]] for the in-process JVM server). */
+/** Shared lazily-started worker POOL for queries exercising the CPython guest
+  * on a single node (mirrors [[RemoteFixture]] for the in-process JVM server).
+  *
+  * One CPython process is GIL-bound: all 32 local executor threads would
+  * serialize their CPU-bound guest calls through a single interpreter. The
+  * pool spawns several interpreter processes and publishes every bound port;
+  * [[RemoteUdf]] round-robins partitions across them — the local-mode
+  * analogue of one worker sidecar per executor host on a real cluster. */
 object PythonWorker {
-  lazy val shared: PythonWorker = {
-    val w = new PythonWorker()
-    sys.addShutdownHook(w.close())
-    w
+  /** Pool size: enough interpreters to keep CPU-bound guests parallel
+    * without paying 32 process startups; override with GRAFT_PYUDF_WORKERS. */
+  private val poolSize: Int =
+    sys.env.get("GRAFT_PYUDF_WORKERS").map(_.toInt).getOrElse(
+      math.min(8, Runtime.getRuntime.availableProcessors()))
+
+  lazy val shared: Seq[PythonWorker] = {
+    val ws = (1 to poolSize).map(_ => new PythonWorker()) // all processes launch...
+    sys.addShutdownHook(ws.foreach(_.close()))
+    ws.foreach(_.boundPort)                               // ...then block on ports
+    ws
   }
-  def port: Int = shared.boundPort
+  /** All pool endpoints, for round-robin assignment across partitions. */
+  def endpoints: Seq[(String, Int)] = shared.map(w => ("127.0.0.1", w.boundPort))
+  /** A single pool port (legacy callers / discovery checks). */
+  def port: Int = shared.head.boundPort
 }

@@ -49,7 +49,11 @@ import scala.jdk.CollectionConverters._
  * receive NULL arguments over the wire instead of being short-circuited.
  */
 object RemoteProtocol {
-  val BatchSize = 1024
+  /** Rows per exchange. Each CALL is one synchronous round-trip, so the fixed
+    * exchange cost (command line, IPC schema, EOS, ack) amortizes over this
+    * many rows; one bounded batch per exchange keeps the strictly-sequential
+    * write-then-read ordering deadlock-free at any size. */
+  val BatchSize = 8192
   val ExtKey = graft.types.GraftType.ExtensionKey
   /** Wire protocol version (reference: `do_action(protocol_version) = 2`). */
   val Version = 2
@@ -236,6 +240,44 @@ object RemoteProtocol {
       case other => throw new IllegalArgumentException(s"read from ${other.getClass}")
     }
 
+  /** Bind a reader closure to one vector: the type dispatch happens ONCE per
+    * column per batch instead of once per cell — the hot loop then runs
+    * monomorphic accessors (column-at-a-time binding, the batch-kernel
+    * contract of the reference's Java server `UdfProducer.java:103-139`).
+    * Nested/rare types fall back to the generic [[getCell]]. */
+  def cellReader(v: FieldVector): Int => Any = v match {
+    case bv: BitVector        => i => if (bv.isNull(i)) null else bv.get(i) == 1
+    case iv: IntVector        => i => if (iv.isNull(i)) null else iv.get(i)
+    case bv: BigIntVector     => i => if (bv.isNull(i)) null else bv.get(i)
+    case fv: Float4Vector     => i => if (fv.isNull(i)) null else fv.get(i)
+    case dv: Float8Vector     => i => if (dv.isNull(i)) null else dv.get(i)
+    case sv: VarCharVector    => i => if (sv.isNull(i)) null
+                                      else new String(sv.get(i), StandardCharsets.UTF_8)
+    case bv: VarBinaryVector  => i => if (bv.isNull(i)) null else bv.get(i)
+    case _                    => i => getCell(v, i)
+  }
+
+  /** Writer analogue of [[cellReader]]: one dispatch per column per batch. */
+  def cellWriter(v: FieldVector): (Int, Any) => Unit = v match {
+    case bv: BitVector       => (i, x) => if (x == null) bv.setNull(i)
+                                          else bv.setSafe(i, if (x.asInstanceOf[Boolean]) 1 else 0)
+    case iv: IntVector       => (i, x) => if (x == null) iv.setNull(i)
+                                          else iv.setSafe(i, x.asInstanceOf[Int])
+    case bv: BigIntVector    => (i, x) => if (x == null) bv.setNull(i) else (x: @unchecked) match {
+                                            case l: Long => bv.setSafe(i, l)
+                                            case n: Int  => bv.setSafe(i, n.toLong)
+                                          }
+    case fv: Float4Vector    => (i, x) => if (x == null) fv.setNull(i)
+                                          else fv.setSafe(i, x.asInstanceOf[Float])
+    case dv: Float8Vector    => (i, x) => if (x == null) dv.setNull(i)
+                                          else dv.setSafe(i, x.asInstanceOf[Double])
+    case sv: VarCharVector   => (i, x) => if (x == null) sv.setNull(i)
+                                          else sv.setSafe(i, x.asInstanceOf[String].getBytes(StandardCharsets.UTF_8))
+    case bv: VarBinaryVector => (i, x) => if (x == null) bv.setNull(i)
+                                          else bv.setSafe(i, x.asInstanceOf[Array[Byte]])
+    case _                   => (i, x) => setCell(v, i, x)
+  }
+
   def renderSignature(fd: FunctionDef): String = fd.signature.toString
 }
 
@@ -253,6 +295,10 @@ class UdfServer(port: Int = 0) extends AutoCloseable {
     while (running) {
       try {
         val sock = server.accept()
+        // The exchange is write-write-read (command line, then Arrow stream,
+        // then response): Nagle x delayed-ACK turns every chunk into a ~40 ms
+        // stall. Latency-bound protocol => disable coalescing on both ends.
+        sock.setTcpNoDelay(true)
         val t = new Thread(() => serve(sock))
         t.setDaemon(true)
         t.start()
@@ -328,15 +374,24 @@ class UdfServer(port: Int = 0) extends AutoCloseable {
       case ScalarImpl(f) => Some(f)
       case graft.functions.ExprImpl(build) =>
         import org.apache.spark.sql.catalyst.CatalystTypeConverters
-        import org.apache.spark.sql.catalyst.InternalRow
-        import org.apache.spark.sql.catalyst.expressions.BoundReference
+        import org.apache.spark.sql.catalyst.expressions.{BoundReference, GenericInternalRow}
         val argDts = argTypes.map(_._1)
         val expr = build(argDts.zipWithIndex.map { case (dt, i) =>
           BoundReference(i, dt, nullable = true) })
         val toCat = argDts.map(CatalystTypeConverters.createToCatalystConverter).toArray
         val fromCat = CatalystTypeConverters.createToScalaConverter(fd.signature.returns.dataType)
-        Some((args: Seq[Any]) => fromCat(expr.eval(InternalRow.fromSeq(
-          args.zipWithIndex.map { case (a, i) => if (a == null) null else toCat(i)(a) }))))
+        // one reusable catalyst row per connection — serve loops are
+        // single-threaded per socket, so no per-row InternalRow allocation
+        val rowBuf = new GenericInternalRow(argDts.length)
+        Some { (args: Seq[Any]) =>
+          var i = 0
+          while (i < argDts.length) {
+            val a = args(i)
+            rowBuf.update(i, if (a == null) null else toCat(i)(a))
+            i += 1
+          }
+          fromCat(expr.eval(rowBuf))
+        }
       case _ => None
     }
     val resolved = Registry.global.resolve(fname, argTypes)
@@ -354,14 +409,25 @@ class UdfServer(port: Int = 0) extends AutoCloseable {
         writer.start()
         while (reader.loadNextBatch()) {
           val n = root.getRowCount
-          val vecs = root.getFieldVectors.asScala.toSeq
+          // column-at-a-time binding: dispatch per COLUMN, not per cell
+          val readers = root.getFieldVectors.asScala.map(cellReader).toArray
+          val nArgs = readers.length
           outRoot.allocateNew()
-          val vec = outRoot.getVector(0)
+          val write = cellWriter(outRoot.getVector(0))
           var i = 0
           while (i < n) {
-            val args = vecs.map(v => getCell(v, i))
-            setCell(vec, i,
-              if (!callOnNull && args.contains(null)) null else f(args))
+            val argsArr = new Array[Any](nArgs)
+            var j = 0
+            var hasNull = false
+            while (j < nArgs) {
+              val a = readers(j)(i)
+              if (a == null) hasNull = true
+              argsArr(j) = a
+              j += 1
+            }
+            write(i,
+              if (!callOnNull && hasNull) null
+              else f(scala.collection.immutable.ArraySeq.unsafeWrapArray(argsArr)))
             i += 1
           }
           outRoot.setRowCount(n)
@@ -383,18 +449,29 @@ class UdfServer(port: Int = 0) extends AutoCloseable {
         var rowBase = 0
         while (reader.loadNextBatch()) {
           val n = root.getRowCount
-          val vecs = root.getFieldVectors.asScala.toSeq
-          val rowVec = outRoot.getVector(0)
+          val readers = root.getFieldVectors.asScala.map(cellReader).toArray
+          val nArgs = readers.length
+          val rowVec = outRoot.getVector(0).asInstanceOf[IntVector]
           val valVec = outRoot.getVector(1)
           outRoot.allocateNew()
+          val writeVal = cellWriter(valVec)
           var outIdx = 0
           var i = 0
           while (i < n) {
-            val args = vecs.map(v => getCell(v, i))
-            val it = if (!callOnNull && args.contains(null)) Iterator.empty else f(args)
+            val argsArr = new Array[Any](nArgs)
+            var j = 0
+            var hasNull = false
+            while (j < nArgs) {
+              val a = readers(j)(i)
+              if (a == null) hasNull = true
+              argsArr(j) = a
+              j += 1
+            }
+            val it = if (!callOnNull && hasNull) Iterator.empty
+                     else f(scala.collection.immutable.ArraySeq.unsafeWrapArray(argsArr))
             it.foreach { v =>
-              setCell(rowVec, outIdx, rowBase + i)
-              setCell(valVec, outIdx, v)
+              rowVec.setSafe(outIdx, rowBase + i)
+              writeVal(outIdx, v)
               outIdx += 1
             }
             i += 1
@@ -428,11 +505,19 @@ class UdfServer(port: Int = 0) extends AutoCloseable {
 }
 
 /** Client: one connection, sequential exchanges (`Client::call`,
-  * `remote/mod.rs:134-156`) plus `list`/`get` discovery. */
-class UdfClient(host: String, port: Int) extends AutoCloseable {
+  * `remote/mod.rs:134-156`) plus `list`/`get` discovery.
+  *
+  * Containment: every read carries an SO_TIMEOUT deadline (`timeoutMs`,
+  * default 120 s) — a hung or wedged server aborts the calling task with a
+  * clean `SocketTimeoutException` instead of hanging it forever, mirroring
+  * the reference JS runtime's per-call timeout semantics
+  * (`arrow-udf-runtime/src/javascript/mod.rs:229-260`). */
+class UdfClient(host: String, port: Int, timeoutMs: Int = 120000) extends AutoCloseable {
   import RemoteProtocol._
 
   private val sock = new Socket(host, port)
+  sock.setTcpNoDelay(true) // latency-bound write-write-read exchange; see UdfServer
+  sock.setSoTimeout(timeoutMs)
   private val out = new DataOutputStream(new BufferedOutputStream(sock.getOutputStream))
   private val in = new DataInputStream(new BufferedInputStream(sock.getInputStream))
   private val allocator = new RootAllocator()
@@ -480,8 +565,10 @@ class UdfClient(host: String, port: Int) extends AutoCloseable {
     writer.start()
     rows.grouped(BatchSize).foreach { chunk =>
       root.allocateNew()
+      val writers = (0 until argTypes.length).map(j => cellWriter(root.getVector(j)))
       chunk.zipWithIndex.foreach { case (row, i) =>
-        row.zipWithIndex.foreach { case (v, j) => setCell(root.getVector(j), i, v) }
+        var j = 0
+        while (j < writers.length) { writers(j)(i, row(j)); j += 1 }
       }
       root.setRowCount(chunk.size)
       writer.writeBatch()
@@ -496,8 +583,10 @@ class UdfClient(host: String, port: Int) extends AutoCloseable {
     val rroot = reader.getVectorSchemaRoot
     val results = scala.collection.mutable.ArrayBuffer.empty[Seq[Any]]
     while (reader.loadNextBatch()) {
-      val vecs = rroot.getFieldVectors.asScala.toSeq
-      (0 until rroot.getRowCount).foreach(i => results += vecs.map(v => getCell(v, i)))
+      val readers = rroot.getFieldVectors.asScala.map(cellReader).toArray
+      (0 until rroot.getRowCount).foreach { i =>
+        results += scala.collection.immutable.ArraySeq.unsafeWrapArray(readers.map(_(i)))
+      }
     }
     reader.close(false)
     results.toSeq
@@ -527,19 +616,34 @@ object RemoteFixture {
 
 /** Spark-side integration: evaluate a remote function per partition. */
 object RemoteUdf {
+  /** The exchange is latency-bound (one synchronous round-trip per
+    * [[RemoteProtocol.BatchSize]] chunk), so parallelism across partitions is
+    * the throughput lever: a single-file parquet scan arrives as ONE
+    * partition and would serialize every chunk. Fan narrow inputs out to the
+    * scheduler's default parallelism before the exchange. */
+  private def fanOut(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= target) df else df.repartition(target)
+  }
+
   /** Append `value` computed remotely from `argCols` — ONE pooled connection
     * per partition, batched Arrow transfer, closed at task completion (the
-    * reference client embedded in a `mapPartitions`, SURVEY §2.1 #26). */
-  def withRemoteColumn(df: org.apache.spark.sql.DataFrame, host: String, port: Int,
+    * reference client embedded in a `mapPartitions`, SURVEY §2.1 #26).
+    * `endpoints` may list several equivalent servers (e.g. a pool of CPython
+    * workers); partitions round-robin across them by partition id. */
+  def withRemoteColumn(df: org.apache.spark.sql.DataFrame, endpoints: Seq[(String, Int)],
                        fname: String, argCols: Seq[String],
                        retType: DataType): org.apache.spark.sql.DataFrame = {
     val argTypes = argCols.map(c => df.schema(c).dataType)
     val argIdx = argCols.map(df.schema.fieldIndex)
     val outSchema = StructType(df.schema.fields :+ StructField("value", retType))
     val enc = org.apache.spark.sql.Encoders.row(outSchema)
-    df.mapPartitions { it =>
+    val eps = endpoints.toIndexedSeq
+    fanOut(df).mapPartitions { it =>
       if (it.isEmpty) Iterator.empty
       else {
+        val pid = Option(org.apache.spark.TaskContext.get()).map(_.partitionId()).getOrElse(0)
+        val (host, port) = eps(pid % eps.size)
         val client = new UdfClient(host, port)
         // close the connection when the task finishes (success or failure)
         Option(org.apache.spark.TaskContext.get()).foreach(
@@ -559,19 +663,27 @@ object RemoteUdf {
     }(enc)
   }
 
+  def withRemoteColumn(df: org.apache.spark.sql.DataFrame, host: String, port: Int,
+                       fname: String, argCols: Seq[String],
+                       retType: DataType): org.apache.spark.sql.DataFrame =
+    withRemoteColumn(df, Seq((host, port)), fname, argCols, retType)
+
   /** Explode each input row into the remote table function's output rows —
     * result columns are the input columns plus `value` (generator semantics
     * over the wire, reference `call_table_function`). */
-  def withRemoteTableColumn(df: org.apache.spark.sql.DataFrame, host: String, port: Int,
+  def withRemoteTableColumn(df: org.apache.spark.sql.DataFrame, endpoints: Seq[(String, Int)],
                             fname: String, argCols: Seq[String],
                             retType: DataType): org.apache.spark.sql.DataFrame = {
     val argTypes = argCols.map(c => df.schema(c).dataType)
     val argIdx = argCols.map(df.schema.fieldIndex)
     val outSchema = StructType(df.schema.fields :+ StructField("value", retType))
     val enc = org.apache.spark.sql.Encoders.row(outSchema)
-    df.mapPartitions { it =>
+    val eps = endpoints.toIndexedSeq
+    fanOut(df).mapPartitions { it =>
       if (it.isEmpty) Iterator.empty
       else {
+        val pid = Option(org.apache.spark.TaskContext.get()).map(_.partitionId()).getOrElse(0)
+        val (host, port) = eps(pid % eps.size)
         val client = new UdfClient(host, port)
         Option(org.apache.spark.TaskContext.get()).foreach(
           _.addTaskCompletionListener[Unit](_ => client.close()))
@@ -584,4 +696,9 @@ object RemoteUdf {
       }
     }(enc)
   }
+
+  def withRemoteTableColumn(df: org.apache.spark.sql.DataFrame, host: String, port: Int,
+                            fname: String, argCols: Seq[String],
+                            retType: DataType): org.apache.spark.sql.DataFrame =
+    withRemoteTableColumn(df, Seq((host, port)), fname, argCols, retType)
 }

@@ -325,6 +325,9 @@ def main():
     print("PORT %d" % srv.getsockname()[1], flush=True)
     while True:
         conn, _ = srv.accept()
+        # write-write-read exchange: Nagle x delayed-ACK would add ~40ms per
+        # chunk; the protocol is latency-bound, so disable coalescing.
+        conn.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
         t = threading.Thread(target=_serve_conn, args=(conn,), daemon=True)
         t.start()
 
