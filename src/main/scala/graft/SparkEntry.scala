@@ -200,6 +200,22 @@ object SparkEntry {
         .orderBy("doc_id", "tok")
     } _,
 
+    // §2.1 #15: the full aggregate lifecycle evaluated in the CPython guest —
+    // Spark hash aggregation drives create_state/accumulate over the wire
+    // per partition (partial), ships opaque pickled states through the
+    // shuffle, then merge + finish guest-side. int64 sum ⇒ exact fold, so
+    // the DuckDB oracle hash-matches regardless of row order.
+    "q_python_sum_udaf" -> dfq { s =>
+      graft.remote.RemoteAgg.register(s, "py_sum_i64",
+        graft.remote.PythonWorker.endpoints, "sum_i64",
+        org.apache.spark.sql.types.LongType)
+      s.table("lineitem")
+        .selectExpr("l_returnflag", "CAST(l_quantity AS BIGINT) AS q")
+        .groupBy("l_returnflag")
+        .agg(org.apache.spark.sql.functions.call_function("py_sum_i64", col("q")).as("sum_qty"))
+        .orderBy("l_returnflag")
+    } _,
+
     // struct_of_all: every scalar type through ONE struct value, flattened
     // for the checker; zero-arg fns + repeat_value table fn alongside
     "q_struct_of_all" -> q(
@@ -758,6 +774,9 @@ object SparkEntry {
       """SELECT l_orderkey, l_linenumber,
         |       '{"rf":"' || l_returnflag || '","ls":"' || l_linestatus || '"}' AS mj
         |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q_python_sum_udaf" ->
+      """SELECT l_returnflag, sum(CAST(l_quantity AS BIGINT)) AS sum_qty
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q_python_split" ->
       """SELECT doc_id, t.tok
         |FROM documents, UNNEST(string_split_regex(text, '[ \t\n\r\f\v]+')) AS t(tok)

@@ -279,6 +279,30 @@ object RemoteProtocol {
   }
 
   def renderSignature(fd: FunctionDef): String = fd.signature.toString
+
+  /** Length-prefixed opaque state blob (the wire form of the reference's
+    * single-row pickled-state array, `python/mod.rs:482-517`). */
+  def writeBlob(out: DataOutputStream, bytes: Array[Byte]): Unit = {
+    out.writeInt(bytes.length)
+    out.write(bytes)
+  }
+  def readBlob(in: DataInputStream): Array[Byte] = {
+    val n = in.readInt()
+    val buf = new Array[Byte](n)
+    in.readFully(buf)
+    buf
+  }
+
+  def javaSerialize(o: Any): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val oos = new java.io.ObjectOutputStream(bos)
+    oos.writeObject(o.asInstanceOf[AnyRef]); oos.close()
+    bos.toByteArray
+  }
+  def javaDeserialize(bytes: Array[Byte]): Any = {
+    val ois = new java.io.ObjectInputStream(new java.io.ByteArrayInputStream(bytes))
+    try ois.readObject() finally ois.close()
+  }
 }
 
 /** Server: exposes registered graft scalar + table functions to remote
@@ -341,6 +365,13 @@ class UdfServer(port: Int = 0) extends AutoCloseable {
           val isTable = line.startsWith("CALLTABLE ")
           val fname = line.substring(if (isTable) 10 else 5).trim
           serveCall(fname, isTable, in, out, allocator)
+        } else if (line.startsWith("ACC")) {
+          // aggregate lifecycle verbs (reference create_state/accumulate/
+          // retract/merge/finish, `python/mod.rs:229-309,456-656`)
+          val sp = line.indexOf(' ')
+          val verb = if (sp < 0) line else line.substring(0, sp)
+          val fname = if (sp < 0) "" else line.substring(sp + 1).trim
+          serveAgg(verb, fname, in, out, allocator)
         } else {
           out.write(s"ERR bad command $line\n".getBytes(StandardCharsets.UTF_8))
         }
@@ -490,6 +521,91 @@ class UdfServer(port: Int = 0) extends AutoCloseable {
     reader.close(false)
   }
 
+  /** Aggregate lifecycle over the wire — the five verbs of the reference's
+    * Python runtime aggregate protocol (`python/mod.rs:229-309,456-656`):
+    * `ACCCREATE f` → state; `ACC f` / `ACCRETRACT f` (state + Arrow arg
+    * stream → new state); `ACCMERGE f` (state + state → state);
+    * `ACCFINISH f` (state → single-row Arrow `value` stream). State is an
+    * opaque java-serialized blob — the `arrowudf.pickle` analogue; the
+    * server never interprets a guest's bytes, only its own. */
+  private def serveAgg(verb: String, fname: String, in: DataInputStream,
+                       out: DataOutputStream, allocator: RootAllocator): Unit = {
+    import graft.functions.{GraftAggregate, NativeAggImpl}
+    val aggDef = Registry.global.lookup(fname).find(_.impl.isInstanceOf[NativeAggImpl])
+    val agg = aggDef.map(_.impl.asInstanceOf[NativeAggImpl].agg
+      .asInstanceOf[GraftAggregate[Any, Any]])
+
+    def fail(msg: String): Unit =
+      out.write(s"ERR $msg\n".getBytes(StandardCharsets.UTF_8))
+
+    verb match {
+      case "ACCCREATE" => agg match {
+        case None => fail(s"no aggregate $fname")
+        case Some(a) =>
+          out.write("OK\n".getBytes(StandardCharsets.UTF_8))
+          writeBlob(out, javaSerialize(a.createState()))
+      }
+      case "ACC" | "ACCRETRACT" =>
+        val state = readBlob(in)
+        val reader = new ArrowStreamReader(in, allocator)
+        val root = reader.getVectorSchemaRoot
+        agg match {
+          case None =>
+            while (reader.loadNextBatch()) {} // drain, then report
+            reader.close(false)
+            fail(s"no aggregate $fname")
+          case Some(a) =>
+            var s = javaDeserialize(state)
+            val retract = verb == "ACCRETRACT"
+            while (reader.loadNextBatch()) {
+              val n = root.getRowCount
+              val readers = root.getFieldVectors.asScala.map(cellReader).toArray
+              var i = 0
+              while (i < n) {
+                val row = org.apache.spark.sql.Row.fromSeq(
+                  scala.collection.immutable.ArraySeq.unsafeWrapArray(readers.map(_(i))))
+                s = if (retract) a.retract(s, row) else a.accumulate(s, row)
+                i += 1
+              }
+            }
+            reader.close(false)
+            out.write("OK\n".getBytes(StandardCharsets.UTF_8))
+            writeBlob(out, javaSerialize(s))
+        }
+      case "ACCMERGE" =>
+        val sa = readBlob(in)
+        val sb = readBlob(in)
+        agg match {
+          case None => fail(s"no aggregate $fname")
+          case Some(a) =>
+            val merged = a.merge(javaDeserialize(sa), javaDeserialize(sb))
+            out.write("OK\n".getBytes(StandardCharsets.UTF_8))
+            writeBlob(out, javaSerialize(merged))
+        }
+      case "ACCFINISH" =>
+        val state = readBlob(in)
+        (agg, aggDef) match {
+          case (Some(a), Some(fd)) =>
+            val result = a.finish(javaDeserialize(state))
+            out.write("OK\n".getBytes(StandardCharsets.UTF_8))
+            val ret = fd.signature.returns
+            val outSchema = new ASchema(Seq(
+              toArrowField("value", ret.dataType, ret.metadata)).asJava)
+            val outRoot = VectorSchemaRoot.create(outSchema, allocator)
+            val writer = new ArrowStreamWriter(outRoot, null, out)
+            writer.start()
+            outRoot.allocateNew()
+            setCell(outRoot.getVector(0), 0, result)
+            outRoot.setRowCount(1)
+            writer.writeBatch()
+            writer.end()
+            outRoot.close()
+          case _ => fail(s"no aggregate $fname")
+        }
+      case other => fail(s"bad agg verb $other")
+    }
+  }
+
   private def readLine(in: DataInputStream): String = {
     val sb = new java.lang.StringBuilder()
     var b = in.read()
@@ -553,6 +669,79 @@ class UdfClient(host: String, port: Int, timeoutMs: Int = 120000) extends AutoCl
                 argMeta: Seq[SMetadata] = Nil): Seq[(Int, Any)] =
     exchange(s"CALLTABLE $fname\n", argTypes, rows, argMeta)
       .map(r => (r(0).asInstanceOf[Int], r(1)))
+
+  // ---- aggregate lifecycle (reference create_state/accumulate/retract/
+  // merge/finish over the wire, `python/mod.rs:229-309,456-656`) -------------
+
+  /** `create_state`: a fresh opaque state blob from the guest. */
+  def accCreate(fname: String): Array[Byte] = {
+    out.write(s"ACCCREATE $fname\n".getBytes(StandardCharsets.UTF_8))
+    out.flush()
+    expectOk()
+    readBlob(in)
+  }
+
+  /** `accumulate` (or `retract`): fold `rows` into `state` guest-side. */
+  def accumulate(fname: String, state: Array[Byte], argTypes: Seq[DataType],
+                 rows: Seq[Seq[Any]], retract: Boolean = false,
+                 argMeta: Seq[SMetadata] = Nil): Array[Byte] = {
+    val verb = if (retract) "ACCRETRACT" else "ACC"
+    out.write(s"$verb $fname\n".getBytes(StandardCharsets.UTF_8))
+    writeBlob(out, state)
+    val meta = if (argMeta.nonEmpty) argMeta else argTypes.map(_ => SMetadata.empty)
+    val schema = new ASchema(argTypes.zip(meta).zipWithIndex.map { case ((t, m), i) =>
+      toArrowField(s"a$i", t, m) }.asJava)
+    val root = VectorSchemaRoot.create(schema, allocator)
+    val writer = new ArrowStreamWriter(root, null, out)
+    writer.start()
+    rows.grouped(BatchSize).foreach { chunk =>
+      root.allocateNew()
+      val writers = (0 until argTypes.length).map(j => cellWriter(root.getVector(j)))
+      chunk.zipWithIndex.foreach { case (row, i) =>
+        var j = 0
+        while (j < writers.length) { writers(j)(i, row(j)); j += 1 }
+      }
+      root.setRowCount(chunk.size)
+      writer.writeBatch()
+    }
+    writer.end()
+    root.close()
+    out.flush()
+    expectOk()
+    readBlob(in)
+  }
+
+  /** `merge`: combine two partial states guest-side. */
+  def accMerge(fname: String, a: Array[Byte], b: Array[Byte]): Array[Byte] = {
+    out.write(s"ACCMERGE $fname\n".getBytes(StandardCharsets.UTF_8))
+    writeBlob(out, a)
+    writeBlob(out, b)
+    out.flush()
+    expectOk()
+    readBlob(in)
+  }
+
+  /** `finish`: final typed value out of a state blob. */
+  def accFinish(fname: String, state: Array[Byte]): Any = {
+    out.write(s"ACCFINISH $fname\n".getBytes(StandardCharsets.UTF_8))
+    writeBlob(out, state)
+    out.flush()
+    expectOk()
+    val reader = new ArrowStreamReader(in, allocator)
+    val rroot = reader.getVectorSchemaRoot
+    var result: Any = null
+    while (reader.loadNextBatch()) {
+      if (rroot.getRowCount > 0) result = getCell(rroot.getVector(0), 0)
+    }
+    reader.close(false)
+    result
+  }
+
+  private def expectOk(): Unit = {
+    val status = readLine(in)
+    if (status == null || !status.startsWith("OK"))
+      throw new RuntimeException(s"remote call failed: $status")
+  }
 
   private def exchange(cmd: String, argTypes: Seq[DataType], rows: Seq[Seq[Any]],
                        argMeta: Seq[SMetadata]): Seq[Seq[Any]] = {

@@ -72,4 +72,41 @@ class PythonUdfSpec extends AnyFunSuite {
       "py_series", Seq("id"), IntegerType)
     assert(tbl.count() == 8) // 3 + 1 + 4 generated rows
   }
+
+  test("aggregate lifecycle verbs: create/accumulate/retract/merge/finish in CPython") {
+    val client = new UdfClient("127.0.0.1", port)
+    try {
+      val s0 = client.accCreate("sum_i64")
+      val s1 = client.accumulate("sum_i64", s0, Seq(LongType),
+        Seq(Seq(10L), Seq(20L), Seq(null), Seq(5L)))
+      val s2 = client.accumulate("sum_i64", client.accCreate("sum_i64"),
+        Seq(LongType), Seq(Seq(100L)))
+      val merged = client.accMerge("sum_i64", s1, s2)
+      assert(client.accFinish("sum_i64", merged) == 135L)
+      // retract is the exact inverse of accumulate
+      val s3 = client.accumulate("sum_i64", merged, Seq(LongType),
+        Seq(Seq(100L)), retract = true)
+      assert(client.accFinish("sum_i64", s3) == 35L)
+      // two-argument aggregate with tuple state
+      val w1 = client.accumulate("py_weighted_avg", client.accCreate("py_weighted_avg"),
+        Seq(IntegerType, IntegerType), Seq(Seq(10, 1), Seq(20, 3)))
+      assert(client.accFinish("py_weighted_avg", w1) == 17.5)
+      val e = intercept[RuntimeException](client.accCreate("no_such_agg"))
+      assert(e.getMessage.contains("no aggregate"))
+    } finally client.close()
+  }
+
+  test("Spark hash aggregation drives the guest aggregate end-to-end") {
+    import spark.implicits._
+    graft.remote.RemoteAgg.register(spark, "py_sum_i64",
+      PythonWorker.endpoints, "sum_i64", LongType)
+    val df = (1 to 10000).map(i => (i % 7, i.toLong)).toDF("k", "v")
+      .repartition(4)
+    val got = df.groupBy("k")
+      .agg(org.apache.spark.sql.functions.call_function("py_sum_i64",
+        org.apache.spark.sql.functions.col("v")).as("s"))
+      .as[(Int, Long)].collect().toMap
+    val want = (1 to 10000).groupBy(_ % 7).view.mapValues(_.map(_.toLong).sum).toMap
+    assert(got == want)
+  }
 }

@@ -22,6 +22,28 @@ class RemoteUdfSpec extends AnyFunSuite {
     } finally server.close()
   }
 
+  test("aggregate lifecycle verbs against the JVM server") {
+    graft.functions.Builtins.ensureRegistered()
+    val server = new UdfServer()
+    try {
+      val client = new UdfClient("127.0.0.1", server.boundPort)
+      try {
+        val s0 = client.accCreate("sum_udaf")
+        val s1 = client.accumulate("sum_udaf", s0, Seq(IntegerType),
+          Seq(Seq(10), Seq(20), Seq(null), Seq(5)))
+        val s2 = client.accumulate("sum_udaf", client.accCreate("sum_udaf"),
+          Seq(IntegerType), Seq(Seq(100)))
+        val merged = client.accMerge("sum_udaf", s1, s2)
+        assert(client.accFinish("sum_udaf", merged) == 135L)
+        val s3 = client.accumulate("sum_udaf", merged, Seq(IntegerType),
+          Seq(Seq(100)), retract = true)
+        assert(client.accFinish("sum_udaf", s3) == 35L)
+        val e = intercept[RuntimeException](client.accCreate("gcd")) // scalar, not agg
+        assert(e.getMessage.contains("no aggregate"))
+      } finally client.close()
+    } finally server.close()
+  }
+
   test("unknown function reports ERR") {
     graft.functions.Builtins.ensureRegistered()
     val server = new UdfServer()

@@ -33,7 +33,9 @@ Prints `PORT <bound-port>` on stdout once listening.
 
 import argparse
 import math
+import pickle
 import socket
+import struct
 import sys
 import threading
 
@@ -148,6 +150,7 @@ class Sig:
 # ---------------------------------------------------------------------------
 
 REGISTRY = {}  # name -> [(Sig, fn)]
+AGG_REGISTRY = {}  # name -> (Sig, instance with create_state/accumulate/..)
 
 
 def udf(signature):
@@ -156,6 +159,20 @@ def udf(signature):
     def deco(fn):
         REGISTRY.setdefault(sig.name, []).append((sig, fn))
         return fn
+
+    return deco
+
+
+def udaf(signature):
+    """Aggregate UDF: decorate a class with create_state / accumulate /
+    retract (optional) / merge / finish methods — the reference's five-phase
+    Python aggregate surface (arrow-udf-runtime/src/python/mod.rs:229-309).
+    State is pickled between exchanges (the arrowudf.pickle contract)."""
+    sig = Sig(signature)
+
+    def deco(cls):
+        AGG_REGISTRY[sig.name] = (sig, cls())
+        return cls
 
     return deco
 
@@ -200,6 +217,51 @@ def py_split(s):
     for tok in s.split():
         if tok:
             yield tok
+
+
+@udaf("sum_i64(int64) -> int64")
+class SumI64:
+    """Reference python.rs sum aggregate, int64 so the fold is exact."""
+
+    def create_state(self):
+        return 0
+
+    def accumulate(self, state, x):
+        return state if x is None else state + x
+
+    def retract(self, state, x):
+        return state if x is None else state - x
+
+    def merge(self, a, b):
+        return a + b
+
+    def finish(self, state):
+        return state
+
+
+@udaf("py_weighted_avg(int32, int32) -> float64")
+class PyWeightedAvg:
+    """Two-argument aggregate with struct-like tuple state (reference
+    tests/python.rs:746-913 weighted_avg)."""
+
+    def create_state(self):
+        return (0, 0)  # (sum, weight)
+
+    def accumulate(self, state, v, w):
+        if v is None or w is None:
+            return state
+        return (state[0] + v * w, state[1] + w)
+
+    def retract(self, state, v, w):
+        if v is None or w is None:
+            return state
+        return (state[0] - v * w, state[1] - w)
+
+    def merge(self, a, b):
+        return (a[0] + b[0], a[1] + b[1])
+
+    def finish(self, state):
+        return float("nan") if state[1] == 0 else state[0] / state[1]
 
 
 # ---------------------------------------------------------------------------
@@ -264,6 +326,69 @@ def _serve_call(fname, is_table, rf, wf):
     writer.close()  # end-of-stream marker; leaves the socket open
 
 
+def _write_blob(wf, b):
+    wf.write(struct.pack(">i", len(b)))
+    wf.write(b)
+
+
+def _read_blob(rf):
+    (n,) = struct.unpack(">i", rf.read(4))
+    return rf.read(n)
+
+
+def _serve_agg(verb, fname, rf, wf):
+    """Aggregate lifecycle verbs: ACCCREATE / ACC / ACCRETRACT / ACCMERGE /
+    ACCFINISH — state travels as a length-prefixed pickle blob, args as one
+    Arrow IPC stream (mirrors python/mod.rs create_state..finish)."""
+    entry = AGG_REGISTRY.get(fname.lower())
+
+    def err():
+        wf.write(b"ERR no aggregate %s\n" % fname.encode())
+
+    if verb == "ACCCREATE":
+        if entry is None:
+            return err()
+        _, impl = entry
+        wf.write(b"OK\n")
+        _write_blob(wf, pickle.dumps(impl.create_state()))
+    elif verb in ("ACC", "ACCRETRACT"):
+        state_b = _read_blob(rf)
+        reader = pa.ipc.open_stream(rf)
+        if entry is None:
+            for _ in reader:  # drain, then report
+                pass
+            return err()
+        _, impl = entry
+        state = pickle.loads(state_b)
+        fn = impl.retract if verb == "ACCRETRACT" else impl.accumulate
+        for batch in reader:
+            for row in _rows_of(batch):
+                state = fn(state, *row)
+        wf.write(b"OK\n")
+        _write_blob(wf, pickle.dumps(state))
+    elif verb == "ACCMERGE":
+        a, b = _read_blob(rf), _read_blob(rf)
+        if entry is None:
+            return err()
+        _, impl = entry
+        wf.write(b"OK\n")
+        _write_blob(wf, pickle.dumps(impl.merge(pickle.loads(a), pickle.loads(b))))
+    elif verb == "ACCFINISH":
+        state_b = _read_blob(rf)
+        if entry is None:
+            return err()
+        sig, impl = entry
+        result = impl.finish(pickle.loads(state_b))
+        wf.write(b"OK\n")
+        out_schema = pa.schema([_field("value", sig.ret_type, sig.ret_ext)])
+        writer = pa.ipc.new_stream(wf, out_schema)
+        writer.write_batch(pa.record_batch(
+            [pa.array([result], type=sig.ret_type)], schema=out_schema))
+        writer.close()
+    else:
+        wf.write(b"ERR bad agg verb %s\n" % verb.encode())
+
+
 def _serve_conn(sock):
     rf = sock.makefile("rb")
     wf = sock.makefile("wb")
@@ -282,6 +407,8 @@ def _serve_conn(sock):
                 for name in sorted(REGISTRY):
                     for sig, _ in REGISTRY[name]:
                         wf.write(sig.render().encode() + b"\n")
+                for name in sorted(AGG_REGISTRY):
+                    wf.write(AGG_REGISTRY[name][0].render().encode() + b"\n")
                 wf.write(b"\n")
             elif line.startswith("GET "):
                 name = line[4:].strip().lower()
@@ -297,6 +424,9 @@ def _serve_conn(sock):
                 is_table = line.startswith("CALLTABLE ")
                 fname = line[10 if is_table else 5:].strip()
                 _serve_call(fname, is_table, rf, wf)
+            elif line.startswith("ACC"):
+                verb, _, fname = line.partition(" ")
+                _serve_agg(verb, fname.strip(), rf, wf)
             else:
                 wf.write(b"ERR bad command %s\n" % line.encode())
             wf.flush()
