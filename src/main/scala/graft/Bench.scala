@@ -70,6 +70,18 @@ object Bench {
           .groupBy("k").agg(org.apache.spark.sql.functions.sum("v"))
           .write.format("noop").mode("overwrite").save()
       },
+      // Remote-tier throughput: 5M rows of gcd through the full wire path
+      // (per-partition pooled clients -> in-process Arrow-IPC server with the
+      // column-bound eval loop). Rows/s = 5e6 / seconds.
+      "x_remote_throughput_5m" -> { s: SparkSession =>
+        Graft.install(s)
+        val port = graft.remote.RemoteFixture.port
+        val df = s.range(5000000L)
+          .selectExpr("CAST(id % 1000003 AS INT) AS a", "CAST(id % 999983 AS INT) AS b")
+        graft.remote.RemoteUdf.withRemoteColumn(df, "127.0.0.1", port, "gcd",
+            Seq("a", "b"), org.apache.spark.sql.types.IntegerType)
+          .write.format("noop").mode("overwrite").save()
+      },
       "x_tablefn_16k_x_1k" -> { s: SparkSession =>
         Graft.install(s)
         // reference's range-table-fn benchmark shape (16K invocations),
@@ -102,8 +114,9 @@ object Bench {
     val keep: String => Boolean =
       if (args.isEmpty) _ => true else n => args.exists(n.contains)
     // SPARK_GRAFT_REPS=N: take the min of N in-JVM runs per query — the right
-    // statistic on a contended host (driver default: 1).
-    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "1").toInt.max(1)
+    // statistic on a contended host. Default 2: round-4 showed single-rep
+    // numbers swing up to 5x with host contention.
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "2").toInt.max(1)
 
     def timed(name: String)(run: => Unit): (String, Double) =
       try {
