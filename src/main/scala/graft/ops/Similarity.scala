@@ -95,15 +95,29 @@ object Similarity {
       }
     })
 
-  /** Exact top-k neighbors for each query vector, via broadcast + window.
-    * `queries` must be small (driver-broadcastable); corpus side never
-    * shuffles full vectors — only (qid, id, sim) triples. */
+  /** Final rerank shared by every ANN family: bounded partial heaps cut the
+    * scored candidates to ≤ k per query BEFORE the exchange
+    * ([[graft.plans.TopKPerKey]]), so the shuffle carries survivors only —
+    * never all candidates into ≤ #queries reducer partitions (the skew
+    * funnel a `row_number()` window would create at scale). The rank column
+    * is then derived by a window over the tiny survivor set (≤ k × #queries
+    * rows), keeping the output identical to the windowed formulation. */
+  private def topKRank(scored: DataFrame, k: Int): DataFrame = {
+    val survivors = graft.plans.TopKPerKey.topKBy(
+      scored, Seq("q_id"), Seq(("sim", false), ("vec_id", true)), k)
+    val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("vec_id").asc)
+    survivors.withColumn("rank", row_number().over(w))
+  }
+
+  /** Exact top-k neighbors for each query vector, via broadcast + bounded
+    * partial heaps. `queries` must be small (driver-broadcastable); corpus
+    * side never shuffles full vectors — only surviving (qid, id, sim)
+    * triples. */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
     val scored = corpus.crossJoin(broadcast(queries))
       .withColumn("sim", expr("cosine_sim(embedding, q_embedding)"))
       .select(col("q_id"), col("vec_id"), col("sim"))
-    val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("vec_id").asc)
-    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+    topKRank(scored, k)
   }
 
   /**
@@ -203,8 +217,7 @@ object Similarity {
     val scored = c.join(broadcast(q), Seq("cell"))
       .withColumn("sim", expr("cosine_sim(embedding, q_embedding)"))
       .select(col("q_id"), col("vec_id"), col("sim"))
-    val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("vec_id").asc)
-    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+    topKRank(scored, k)
   }
 
   /**
@@ -247,8 +260,7 @@ object Similarity {
     val scored = c.join(broadcast(q), Seq("cell"))
       .withColumn("sim", expr("cosine_sim(embedding, q_embedding)"))
       .select(col("q_id"), col("vec_id"), col("sim"))
-    val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("vec_id").asc)
-    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+    topKRank(scored, k)
   }
 
   /** LSH-bucketed ANN: both sides bucketed by hyperplane signature; candidates
@@ -259,7 +271,6 @@ object Similarity {
     val scored = c.join(broadcast(q), Seq("bucket"))
       .withColumn("sim", expr("cosine_sim(embedding, q_embedding)"))
       .select(col("q_id"), col("vec_id"), col("sim"))
-    val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("vec_id").asc)
-    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+    topKRank(scored, k)
   }
 }

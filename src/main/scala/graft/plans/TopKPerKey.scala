@@ -23,24 +23,33 @@ import org.apache.spark.unsafe.types.UTF8String
  * to top-k). At 100 TB with bounded key cardinality this replaces a
  * full-data shuffle+sort with a survivors-only shuffle.
  *
- * Rows within a key rank by `order` with NULL order keys ranked last in both
- * directions (`NULLS LAST` semantics — they fill top-k slots only when a key
- * group has fewer than k non-null-ordered rows); pass a totally-ordering
- * column (e.g. add a unique tiebreak) for deterministic output.
+ * Rows within a key rank lexicographically by the `order` columns with NULL
+ * order keys ranked last in both directions (`NULLS LAST` semantics — they
+ * fill top-k slots only when a key group has fewer than k non-null-ordered
+ * rows); include a unique tiebreak column for deterministic output.
  */
 object TopKPerKey {
 
   /** DataFrame API: top `k` rows per distinct value of `keyCols`, ranked by
     * `orderCol` descending (set `asc=true` for ascending). */
   def topK(df: DataFrame, keyCols: Seq[String], orderCol: String, k: Int,
-           asc: Boolean = false): DataFrame = {
+           asc: Boolean = false): DataFrame =
+    topKBy(df, keyCols, Seq((orderCol, asc)), k)
+
+  /** Lexicographic multi-column ranking: `orders` is (column, ascending)
+    * pairs, e.g. `Seq(("sim", false), ("vec_id", true))` ≡
+    * `ORDER BY sim DESC, vec_id ASC`. */
+  def topKBy(df: DataFrame, keyCols: Seq[String], orders: Seq[(String, Boolean)],
+             k: Int): DataFrame = {
+    require(orders.nonEmpty, "topKBy needs at least one order column")
     val spark = df.sparkSession
     installStrategy(spark)
     val child = Shim.logicalPlan(df)
     val keyAttrs = keyCols.map(c => resolveAttr(child, c))
-    val direction = if (asc) Ascending else Descending
-    val order = SortOrder(resolveAttr(child, orderCol), direction)
-    Shim.ofRows(spark, TopKPerKeyNode(k, keyAttrs, order, child))
+    val sortOrders = orders.map { case (c, asc) =>
+      SortOrder(resolveAttr(child, c), if (asc) Ascending else Descending)
+    }
+    Shim.ofRows(spark, TopKPerKeyNode(k, keyAttrs, sortOrders, child))
   }
 
   private def resolveAttr(plan: LogicalPlan, name: String): Attribute =
@@ -55,7 +64,7 @@ object TopKPerKey {
   }
 }
 
-case class TopKPerKeyNode(k: Int, keys: Seq[Attribute], order: SortOrder,
+case class TopKPerKeyNode(k: Int, keys: Seq[Attribute], order: Seq[SortOrder],
                           child: LogicalPlan) extends UnaryNode {
   override def output: Seq[Attribute] = child.output
   override def maxRows: Option[Long] = child.maxRows
@@ -77,35 +86,52 @@ object TopKPerKeyStrategy extends SparkStrategy {
 /** Shared per-partition bounded-heap pass: emits the local top-k per key. */
 private[plans] object TopKHeaps {
   def localTopK(iter: Iterator[InternalRow], output: Seq[Attribute],
-                keys: Seq[Attribute], order: SortOrder, k: Int): Iterator[InternalRow] = {
+                keys: Seq[Attribute], order: Seq[SortOrder], k: Int): Iterator[InternalRow] = {
     val keyProj = UnsafeProjection.create(keys, output)
     val rowProj = UnsafeProjection.create(output, output)
-    val sortExpr = BindReferences.bindReference(order.child, AttributeSeq(output))
-    val natural = org.apache.spark.sql.catalyst.util.TypeUtils
-      .getInterpretedOrdering(order.child.dataType)
+    val sortExprs = order.map(o =>
+      BindReferences.bindReference(o.child, AttributeSeq(output))).toArray
+    val naturals = order.map(o => org.apache.spark.sql.catalyst.util.TypeUtils
+      .getInterpretedOrdering(o.child.dataType)).toArray
+    val descending = order.map(_.direction == Descending).toArray
+    val nOrd = sortExprs.length
     // strength: greater = survives; heap head (max of reversed) = weakest.
-    // NULL order keys are the weakest in BOTH directions (ORDER BY ...
-    // NULLS LAST): they fill remaining top-k slots only when a key group has
-    // fewer than k non-null-ordered rows, matching
-    // `row_number() OVER (... ORDER BY ord [DESC] NULLS LAST) <= k`.
-    val strength: Ordering[(Any, UnsafeRow)] = new Ordering[(Any, UnsafeRow)] {
-      override def compare(a: (Any, UnsafeRow), b: (Any, UnsafeRow)): Int = {
-        if (a._1 == null && b._1 == null) 0
-        else if (a._1 == null) -1
-        else if (b._1 == null) 1
-        else {
-          val c = natural.compare(a._1, b._1)
-          if (order.direction == Descending) c else -c
+    // Lexicographic over the order columns; a NULL order key is the weakest
+    // in BOTH directions (ORDER BY ... NULLS LAST): it fills remaining top-k
+    // slots only when a key group has fewer than k non-null-ordered rows,
+    // matching `row_number() OVER (... ORDER BY o1 [DESC], o2 ... NULLS
+    // LAST) <= k`.
+    val strength: Ordering[(Array[Any], UnsafeRow)] = new Ordering[(Array[Any], UnsafeRow)] {
+      override def compare(a: (Array[Any], UnsafeRow), b: (Array[Any], UnsafeRow)): Int = {
+        var i = 0
+        while (i < nOrd) {
+          val x = a._1(i)
+          val y = b._1(i)
+          val c =
+            if (x == null && y == null) 0
+            else if (x == null) -1
+            else if (y == null) 1
+            else {
+              val n = naturals(i).compare(x, y)
+              if (descending(i)) n else -n
+            }
+          if (c != 0) return c
+          i += 1
         }
+        0
       }
     }
-    val heaps = new java.util.HashMap[UnsafeRow, scala.collection.mutable.PriorityQueue[(Any, UnsafeRow)]]()
+    val heaps = new java.util.HashMap[UnsafeRow, scala.collection.mutable.PriorityQueue[(Array[Any], UnsafeRow)]]()
     while (iter.hasNext) {
       val row = iter.next()
-      val raw = sortExpr.eval(row)
-      val v: Any = raw match {
-        case s: UTF8String => s.clone() // may point into a reused row buffer
-        case x => x
+      val vs = new Array[Any](nOrd)
+      var i = 0
+      while (i < nOrd) {
+        vs(i) = sortExprs(i).eval(row) match {
+          case s: UTF8String => s.clone() // may point into a reused row buffer
+          case x => x
+        }
+        i += 1
       }
       val key = keyProj(row)
       var heap = heaps.get(key)
@@ -113,23 +139,23 @@ private[plans] object TopKHeaps {
         heap = scala.collection.mutable.PriorityQueue.empty(strength.reverse)
         heaps.put(key.copy(), heap)
       }
-      if (heap.size < k) heap.enqueue((v, rowProj(row).copy()))
-      else if (strength.compare((v, null), heap.head) > 0) {
+      if (heap.size < k) heap.enqueue((vs, rowProj(row).copy()))
+      else if (strength.compare((vs, null), heap.head) > 0) {
         heap.dequeue()
-        heap.enqueue((v, rowProj(row).copy()))
+        heap.enqueue((vs, rowProj(row).copy()))
       }
     }
     val out = scala.collection.mutable.ArrayBuffer.empty[InternalRow]
     heaps.values().forEach { h =>
       // dequeueAll yields weakest-first; reverse for strongest-first per key
-      val drained: Seq[(Any, UnsafeRow)] = h.dequeueAll
+      val drained: Seq[(Array[Any], UnsafeRow)] = h.dequeueAll
       drained.reverseIterator.foreach(p => out += p._2)
     }
     out.iterator
   }
 }
 
-case class PartialTopKPerKeyExec(k: Int, keys: Seq[Attribute], order: SortOrder,
+case class PartialTopKPerKeyExec(k: Int, keys: Seq[Attribute], order: Seq[SortOrder],
                                  child: SparkPlan) extends UnaryExecNode {
   override def output: Seq[Attribute] = child.output
   override protected def doExecute(): RDD[InternalRow] =
@@ -138,7 +164,7 @@ case class PartialTopKPerKeyExec(k: Int, keys: Seq[Attribute], order: SortOrder,
     copy(child = newChild)
 }
 
-case class FinalTopKPerKeyExec(k: Int, keys: Seq[Attribute], order: SortOrder,
+case class FinalTopKPerKeyExec(k: Int, keys: Seq[Attribute], order: Seq[SortOrder],
                                child: SparkPlan) extends UnaryExecNode {
   override def output: Seq[Attribute] = child.output
   override def requiredChildDistribution: Seq[Distribution] =

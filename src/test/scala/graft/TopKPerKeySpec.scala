@@ -64,6 +64,23 @@ class TopKPerKeySpec extends AnyFunSuite {
     assert(custom.count(_._2 < 0) == reference.count(_._2 < 0))
   }
 
+  test("lexicographic multi-column ordering with mixed directions") {
+    // many ties on the primary column => the ascending tiebreak decides
+    val df = spark.range(50000).selectExpr(
+      "CAST(id % 11 AS INT) AS key", "CAST(id % 13 AS DOUBLE) AS sim", "id AS vid")
+    val custom = TopKPerKey.topKBy(df, Seq("key"), Seq(("sim", false), ("vid", true)), 7)
+      .collect().map(r => (r.getInt(0), r.getDouble(1), r.getLong(2))).toSet
+    df.createOrReplaceTempView("tk_multi_in")
+    val reference = spark.sql(
+      """SELECT key, sim, vid FROM (
+        |  SELECT key, sim, vid,
+        |         row_number() OVER (PARTITION BY key ORDER BY sim DESC, vid ASC) AS rn
+        |  FROM tk_multi_in) WHERE rn <= 7""".stripMargin)
+      .collect().map(r => (r.getInt(0), r.getDouble(1), r.getLong(2))).toSet
+    assert(custom == reference)
+    assert(custom.size == 11 * 7)
+  }
+
   test("string ordering with UTF8String sort keys") {
     val df = spark.range(1000).selectExpr(
       "CAST(id % 4 AS INT) AS key", "concat('s', lpad(CAST(id AS STRING), 4, '0')) AS name")
