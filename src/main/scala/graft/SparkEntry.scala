@@ -216,6 +216,37 @@ object SparkEntry {
         .orderBy("l_returnflag")
     } _,
 
+    // §2.1 #26 wire-type breadth: a DECIMAL(18,2) column round-trips the
+    // remote Arrow path (Decimal128 vectors) through graft_identity.
+    "q_remote_decimal" -> dfq { s =>
+      val port = graft.remote.RemoteFixture.port
+      val df = s.table("lineitem").selectExpr("l_orderkey", "l_linenumber",
+        "CAST(l_extendedprice AS DECIMAL(18,2)) AS d")
+      graft.remote.RemoteUdf.withRemoteColumn(df, "127.0.0.1", port, "graft_identity",
+          Seq("d"), org.apache.spark.sql.types.DecimalType(18, 2))
+        .selectExpr("l_orderkey", "l_linenumber", "CAST(value AS STRING) AS dstr")
+        .localCheckpoint() // exchange runs once; sort sampling reads the checkpoint
+        .orderBy("l_orderkey", "l_linenumber")
+    } _,
+
+    // §2.1 #16: retractable aggregation as a BATCH CDC replay — every row
+    // inserts, 'R'-flagged rows also retract (the reference's per-row ops
+    // flag, python/mod.rs:519-582); the fold drives accumulate AND retract
+    // through the same GraftAggregate the streaming runner uses, and the
+    // surviving state hash-matches a plain re-aggregation oracle.
+    "q_retract_sum" -> dfq { s =>
+      import s.implicits._
+      val li = s.table("lineitem").selectExpr("l_linestatus AS key",
+        "CAST(l_quantity AS INT) AS value", "l_returnflag = 'R' AS is_r")
+      val inserts = li.selectExpr("key", "false AS op", "value")
+      val retracts = li.where("is_r").selectExpr("key", "true AS op", "value")
+      val cdc = inserts.unionAll(retracts)
+        .as[graft.streaming.Streaming.OpRow]
+      graft.streaming.Streaming.retractingSum(cdc, new graft.functions.SumAgg)
+        .toDF("key", "result")
+        .orderBy("key")
+    } _,
+
     // struct_of_all: every scalar type through ONE struct value, flattened
     // for the checker; zero-arg fns + repeat_value table fn alongside
     "q_struct_of_all" -> q(
@@ -777,6 +808,15 @@ object SparkEntry {
     "q_python_sum_udaf" ->
       """SELECT l_returnflag, sum(CAST(l_quantity AS BIGINT)) AS sum_qty
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_remote_decimal" ->
+      """SELECT l_orderkey, l_linenumber,
+        |       CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS VARCHAR) AS dstr
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q_retract_sum" ->
+      """SELECT l_linestatus AS key,
+        |       CAST(sum(CASE WHEN l_returnflag = 'R' THEN 0
+        |                     ELSE CAST(l_quantity AS INT) END) AS BIGINT) AS result
+        |FROM lineitem GROUP BY l_linestatus ORDER BY key""".stripMargin,
     "q_python_split" ->
       """SELECT doc_id, t.tok
         |FROM documents, UNNEST(string_split_regex(text, '[ \t\n\r\f\v]+')) AS t(tok)

@@ -169,7 +169,16 @@ class WeightedAvgAgg extends GraftAggregate[WAvgState, Double] {
 }
 
 /** Exact median with opaque (java-serialized) state — the `arrowudf.pickle`
-  * analogue: arbitrary JVM state rides as binary through the shuffle. */
+  * analogue: arbitrary JVM state rides as binary through the shuffle.
+  *
+  * '''Memory contract''': exact median is not computable in sublinear state,
+  * so this aggregate holds O(group size) values per group — it exists to
+  * demonstrate the opaque-state lifecycle, sized for group cardinalities
+  * that fit an executor (≲ tens of millions of doubles per group). At
+  * 100 TB-scale group sizes, use Spark's mergeable bounded-memory sketch
+  * instead: `percentile_approx(col, 0.5, accuracy)` (QuantileSummaries /
+  * Greenwald–Khanna, O(accuracy) state per group) — see AggregateSpec for
+  * the accuracy cross-check against this exact aggregate. */
 class MedianAgg extends GraftAggregate[java.util.ArrayList[Double], Double] {
   override def createState(): java.util.ArrayList[Double] = new java.util.ArrayList[Double]()
   override def accumulate(s: java.util.ArrayList[Double], in: Row): java.util.ArrayList[Double] = {

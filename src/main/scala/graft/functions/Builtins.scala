@@ -174,6 +174,10 @@ object Builtins {
       mode = CallMode.CalledOnNullInput)(_.head)
     Udf.scalarN[Any]("graft_identity(map<string, string>) -> map<string, string>",
       mode = CallMode.CalledOnNullInput)(_.head)
+    // bounded decimals are spelled per (p,s) and not in the `*` wildcard set —
+    // register the money-shaped identity explicitly (remote Decimal128 path).
+    Udf.scalarN[Any]("graft_identity(decimal(18,2)) -> decimal(18,2)",
+      mode = CallMode.CalledOnNullInput)(_.head)
     // timestamptz is not in the `*` wildcard set (it expands `timestamp` to
     // the naive NTZ type) — register the instant-typed identity explicitly.
     Udf.scalarN[Any]("graft_identity(timestamptz) -> timestamptz",

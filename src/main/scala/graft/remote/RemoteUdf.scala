@@ -117,10 +117,19 @@ object RemoteProtocol {
       case _: ArrowType.FloatingPoint => DoubleType
       case _: ArrowType.Utf8 => StringType
       case _: ArrowType.Binary => BinaryType
+      // view layouts from foreign peers (reference `pyarrow.rs:188-197`):
+      // same logical value space, so they land on the same Spark types —
+      // inbound only (Spark types always serialize as the non-view layout)
+      case _: ArrowType.Utf8View => StringType
+      case _: ArrowType.BinaryView => BinaryType
       case _: ArrowType.Date => DateType
       case _: ArrowType.Timestamp => TimestampNTZType
       case _: ArrowType.Time => LongType // µs-of-day; TimeExt re-attached below
       case _: ArrowType.Interval => CalendarIntervalType
+      // Decimal256 beyond Spark's 38-digit ceiling degrades to the engine's
+      // text-backed unconstrained decimal (the reference's BigDecimal shim,
+      // `jsarrow.rs:267-278`); within 38 digits both widths map to DecimalType
+      case d: ArrowType.Decimal if d.getBitWidth == 256 && d.getPrecision > 38 => StringType
       case d: ArrowType.Decimal => DecimalType(d.getPrecision, d.getScale)
       case _: ArrowType.Map =>
         val entries = f.getChildren.get(0)
@@ -141,6 +150,10 @@ object RemoteProtocol {
         // a bare time64[us] from a non-graft peer still resolves time64 overloads
         case _: ArrowType.Time => new MetadataBuilder()
           .putString(ExtKey, graft.types.GraftType.TimeExt).build()
+        // over-38-digit Decimal256 → text-backed decimal extension, so
+        // decimal-sensitive overloads still resolve on the string carrier
+        case d: ArrowType.Decimal if d.getBitWidth == 256 && d.getPrecision > 38 =>
+          new MetadataBuilder().putString(ExtKey, graft.types.GraftType.DecimalExt).build()
         case _ => SMetadata.empty
       }
     }
@@ -183,6 +196,10 @@ object RemoteProtocol {
         + x.getNano / 1000L)
     case (dv: DecimalVector, x: java.math.BigDecimal) =>
       dv.setSafe(i, x.setScale(dv.getScale, java.math.RoundingMode.HALF_UP))
+    case (dv: Decimal256Vector, x: java.math.BigDecimal) =>
+      dv.setSafe(i, x.setScale(dv.getScale, java.math.RoundingMode.HALF_UP))
+    case (vv: ViewVarCharVector, x: String) => vv.setSafe(i, x.getBytes(StandardCharsets.UTF_8))
+    case (vv: ViewVarBinaryVector, x: Array[Byte]) => vv.setSafe(i, x)
     case (lv: ListVector, xs: scala.collection.Seq[_]) =>
       val start = lv.startNewValue(i)
       val data = lv.getDataVector.asInstanceOf[FieldVector]
@@ -215,6 +232,12 @@ object RemoteProtocol {
           Math.floorDiv(micros, 1000000L), (Math.floorMod(micros, 1000000L) * 1000L).toInt,
           java.time.ZoneOffset.UTC)
       case dv: DecimalVector => dv.getObject(i)
+      case dv: Decimal256Vector =>
+        // >38 digits maps to the text-backed decimal (Spark can't hold it);
+        // within 38 the BigDecimal feeds DecimalType like the 128-bit path
+        if (dv.getPrecision > 38) dv.getObject(i).toPlainString else dv.getObject(i)
+      case vv: ViewVarCharVector => new String(vv.get(i), StandardCharsets.UTF_8)
+      case vv: ViewVarBinaryVector => vv.get(i)
       case tv: TimeMicroVector => tv.get(i)
       case iv: IntervalMonthDayNanoVector =>
         val h = iv.getObject(i) // PeriodDuration

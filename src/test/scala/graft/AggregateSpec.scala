@@ -53,4 +53,18 @@ class AggregateSpec extends AnyFunSuite {
       .collect().head.getDouble(0)
     assert(even == 2.5)
   }
+
+  test("bounded-memory scale path: percentile_approx tracks the exact median") {
+    // MedianAgg holds O(group) state by necessity (exact median); the
+    // documented 100TB path is Spark's mergeable GK sketch. Cross-check the
+    // two on the same skewed data: at accuracy 10000 the sketch must land
+    // within 1% of exact on 100k values.
+    val r = spark.sql(
+      """SELECT median_udaf(v) AS exact, percentile_approx(v, 0.5, 10000) AS approx
+        |FROM (SELECT CAST(pow(id % 1000, 1.7) AS DOUBLE) AS v FROM range(100000)
+        |      DISTRIBUTE BY id % 8)""".stripMargin).collect().head
+    val (exact, approx) = (r.getDouble(0), r.getDouble(1))
+    assert(math.abs(exact - approx) <= 0.01 * math.max(1.0, exact),
+      s"exact=$exact approx=$approx")
+  }
 }

@@ -44,6 +44,62 @@ class RemoteUdfSpec extends AnyFunSuite {
     } finally server.close()
   }
 
+  test("containment: a hung server aborts the call with a clean timeout") {
+    // a server that accepts and then never responds — the exchange must not
+    // hang the calling task (reference JS per-call timeout semantics,
+    // javascript/mod.rs:229-260)
+    val silent = new java.net.ServerSocket(0)
+    val sink = new Thread(() => {
+      try { val s = silent.accept(); while (s.getInputStream.read() >= 0) () }
+      catch { case _: Exception => }
+    })
+    sink.setDaemon(true)
+    sink.start()
+    try {
+      val client = new UdfClient("127.0.0.1", silent.getLocalPort, timeoutMs = 500)
+      try {
+        val e = intercept[Exception](client.call("gcd",
+          Seq(IntegerType, IntegerType), Seq(Seq(12, 18))))
+        def isTimeout(t: Throwable): Boolean = t != null &&
+          (t.isInstanceOf[java.net.SocketTimeoutException] || isTimeout(t.getCause))
+        assert(isTimeout(e), s"expected SocketTimeoutException, got $e")
+      } finally client.close()
+    } finally silent.close()
+  }
+
+  test("wire-type breadth: Utf8View/BinaryView/Decimal256 land on engine types") {
+    import graft.remote.RemoteProtocol._
+    import org.apache.arrow.vector.types.pojo.{ArrowType, Field, FieldType}
+    import org.apache.arrow.memory.RootAllocator
+    val alloc = new RootAllocator()
+    try {
+      // inbound mapping (foreign peers may send view layouts / 256-bit decimals)
+      assert(fromArrowField(new Field("s",
+        FieldType.nullable(ArrowType.Utf8View.INSTANCE), null))._1 == StringType)
+      assert(fromArrowField(new Field("b",
+        FieldType.nullable(ArrowType.BinaryView.INSTANCE), null))._1 == BinaryType)
+      assert(fromArrowField(new Field("d",
+        FieldType.nullable(new ArrowType.Decimal(30, 4, 256)), null))._1 == DecimalType(30, 4))
+      // >38 digits degrades to the text-backed decimal extension
+      val (wide, md) = fromArrowField(new Field("w",
+        FieldType.nullable(new ArrowType.Decimal(50, 10, 256)), null))
+      assert(wide == StringType)
+      assert(graft.types.GraftType.extensionOf(md).contains(graft.types.GraftType.DecimalExt))
+      // cell round trips through the view / 256-bit vectors
+      val sv = new org.apache.arrow.vector.ViewVarCharVector("s", alloc)
+      sv.allocateNew(); setCell(sv, 0, "héllo view"); sv.setValueCount(1)
+      assert(getCell(sv, 0) == "héllo view")
+      sv.close()
+      val dv = new org.apache.arrow.vector.Decimal256Vector("d",
+        FieldType.nullable(new ArrowType.Decimal(50, 10, 256)), alloc)
+      dv.allocateNew()
+      setCell(dv, 0, new java.math.BigDecimal("123456789012345678901234567890.25"))
+      dv.setValueCount(1)
+      assert(getCell(dv, 0) == "123456789012345678901234567890.2500000000")
+      dv.close()
+    } finally alloc.close()
+  }
+
   test("unknown function reports ERR") {
     graft.functions.Builtins.ensureRegistered()
     val server = new UdfServer()
