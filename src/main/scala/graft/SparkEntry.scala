@@ -216,6 +216,45 @@ object SparkEntry {
         .orderBy("l_returnflag")
     } _,
 
+    // §2.1 #19: the SAME gcd through a REAL JavaScript engine — the Node/V8
+    // sidecar pool (tools/jsudf_server.js) speaks the identical command
+    // topology over a JSON-framed body; real JS arrow functions evaluate
+    // per batch with per-partition pooled connections.
+    "q_js_gcd" -> dfq { s =>
+      val df = s.table("lineitem").selectExpr("l_orderkey", "l_linenumber",
+        "CAST(l_partkey AS INT) AS a", "CAST(l_suppkey AS INT) AS b")
+      graft.remote.JsUdf.withJsColumn(df, graft.remote.JsWorker.endpoints, "gcd",
+          Seq("a", "b"), org.apache.spark.sql.types.IntegerType)
+        .selectExpr("l_orderkey", "l_linenumber", "value AS g")
+        .localCheckpoint() // exchange runs once; sort sampling reads the checkpoint
+        .orderBy("l_orderkey", "l_linenumber")
+    } _,
+
+    // §2.1 #19 table fn: a JS GENERATOR function explodes each document into
+    // its whitespace tokens inside V8.
+    "q_js_split" -> dfq { s =>
+      val df = s.table("documents").selectExpr("doc_id", "text")
+      graft.remote.JsUdf.withJsTableColumn(df, graft.remote.JsWorker.endpoints,
+          "js_split", Seq("text"), org.apache.spark.sql.types.StringType)
+        .selectExpr("doc_id", "value AS tok")
+        .localCheckpoint()
+        .orderBy("doc_id", "tok")
+    } _,
+
+    // §2.1 #19 aggregate: the five-phase lifecycle with the state held as a
+    // JS value — Spark hash aggregation drives create/accumulate/merge/finish
+    // in V8 through the shared AggTransport.
+    "q_js_sum_udaf" -> dfq { s =>
+      graft.remote.JsUdf.registerAggregate(s, "js_sum",
+        graft.remote.JsWorker.endpoints, "js_sum",
+        org.apache.spark.sql.types.LongType)
+      s.table("lineitem")
+        .selectExpr("l_returnflag", "CAST(l_quantity AS INT) AS q")
+        .groupBy("l_returnflag")
+        .agg(org.apache.spark.sql.functions.call_function("js_sum", col("q")).as("sum_qty"))
+        .orderBy("l_returnflag")
+    } _,
+
     // §2.1 #26 wire-type breadth: a DECIMAL(18,2) column round-trips the
     // remote Arrow path (Decimal128 vectors) through graft_identity.
     "q_remote_decimal" -> dfq { s =>
@@ -812,6 +851,18 @@ object SparkEntry {
       """SELECT l_orderkey, l_linenumber,
         |       CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS VARCHAR) AS dstr
         |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q_js_gcd" ->
+      """SELECT l_orderkey, l_linenumber,
+        |       CAST(gcd(CAST(l_partkey AS INT), CAST(l_suppkey AS INT)) AS INT) AS g
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q_js_split" ->
+      """SELECT doc_id, t.tok
+        |FROM documents, UNNEST(string_split_regex(text, '[ \t\n\r\f\v]+')) AS t(tok)
+        |WHERE t.tok <> ''
+        |ORDER BY doc_id, tok""".stripMargin,
+    "q_js_sum_udaf" ->
+      """SELECT l_returnflag, sum(CAST(l_quantity AS INT)) AS sum_qty
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q_retract_sum" ->
       """SELECT l_linestatus AS key,
         |       CAST(sum(CASE WHEN l_returnflag = 'R' THEN 0

@@ -38,6 +38,34 @@ private[remote] final class RemoteAggBuf(
     var state: Array[Byte],
     val pending: scala.collection.mutable.ArrayBuffer[Seq[Any]])
 
+/** Transport for the five-phase aggregate exchange — the Arrow-IPC servers
+  * and the JSON-framed Node worker carry the same verbs over different body
+  * encodings; [[RemoteAggExpr]] only threads opaque state blobs through. */
+trait AggTransport extends Serializable {
+  def create(pid: Int, fname: String): Array[Byte]
+  def accumulate(pid: Int, fname: String, state: Array[Byte],
+                 dts: Seq[DataType], rows: Seq[Seq[Any]]): Array[Byte]
+  def merge(pid: Int, fname: String, a: Array[Byte], b: Array[Byte]): Array[Byte]
+  def finish(pid: Int, fname: String, state: Array[Byte]): Any
+}
+
+/** Arrow-IPC transport: the JVM server or the CPython worker pool. */
+case class ArrowAggTransport(endpoints: Seq[(String, Int)]) extends AggTransport {
+  private def withClient[A](pid: Int)(f: UdfClient => A): A = {
+    val (h, p) = endpoints(pid % endpoints.size)
+    ClientCache.withClient(h, p)(f)
+  }
+  override def create(pid: Int, fname: String): Array[Byte] =
+    withClient(pid)(_.accCreate(fname))
+  override def accumulate(pid: Int, fname: String, state: Array[Byte],
+                          dts: Seq[DataType], rows: Seq[Seq[Any]]): Array[Byte] =
+    withClient(pid)(_.accumulate(fname, state, dts, rows))
+  override def merge(pid: Int, fname: String, a: Array[Byte], b: Array[Byte]): Array[Byte] =
+    withClient(pid)(_.accMerge(fname, a, b))
+  override def finish(pid: Int, fname: String, state: Array[Byte]): Any =
+    withClient(pid)(_.accFinish(fname, state))
+}
+
 /**
  * A guest-evaluated aggregate: Spark's hash aggregation drives the
  * reference's five-phase lifecycle over the wire
@@ -54,7 +82,7 @@ private[remote] final class RemoteAggBuf(
  */
 case class RemoteAggExpr(
     name: String,
-    endpoints: Seq[(String, Int)],
+    transport: AggTransport,
     fname: String,
     resultType: DataType,
     children: Seq[Expression],
@@ -68,16 +96,13 @@ case class RemoteAggExpr(
   @transient private lazy val toCatalyst =
     CatalystTypeConverters.createToCatalystConverter(resultType)
 
-  private def withClient[A](f: UdfClient => A): A = {
-    val pid = Option(TaskContext.get()).map(_.partitionId()).getOrElse(0)
-    val (h, p) = endpoints(pid % endpoints.size)
-    ClientCache.withClient(h, p)(f)
-  }
+  private def pid: Int =
+    Option(TaskContext.get()).map(_.partitionId()).getOrElse(0)
 
   private def flush(buf: RemoteAggBuf): Unit = {
-    if (buf.state == null) buf.state = withClient(_.accCreate(fname))
+    if (buf.state == null) buf.state = transport.create(pid, fname)
     if (buf.pending.nonEmpty) {
-      buf.state = withClient(_.accumulate(fname, buf.state, dts.toSeq, buf.pending.toSeq))
+      buf.state = transport.accumulate(pid, fname, buf.state, dts.toSeq, buf.pending.toSeq)
       buf.pending.clear()
     }
   }
@@ -100,13 +125,13 @@ case class RemoteAggExpr(
 
   override def merge(buf: RemoteAggBuf, other: RemoteAggBuf): RemoteAggBuf = {
     flush(buf); flush(other)
-    buf.state = withClient(_.accMerge(fname, buf.state, other.state))
+    buf.state = transport.merge(pid, fname, buf.state, other.state)
     buf
   }
 
   override def eval(buf: RemoteAggBuf): Any = {
     flush(buf)
-    toCatalyst(withClient(_.accFinish(fname, buf.state)))
+    toCatalyst(transport.finish(pid, fname, buf.state))
   }
 
   override def serialize(buf: RemoteAggBuf): Array[Byte] = {
@@ -130,13 +155,19 @@ case class RemoteAggExpr(
 
 object RemoteAgg {
   /** Register `name` as a session temp function evaluating aggregate `fname`
-    * on the given remote endpoints (the analyzer wraps the bare
-    * AggregateFunction exactly as it does builtin registry aggregates). */
+    * on the given transport (the analyzer wraps the bare AggregateFunction
+    * exactly as it does builtin registry aggregates). */
   def register(spark: org.apache.spark.sql.SparkSession, name: String,
-               endpoints: Seq[(String, Int)], fname: String,
+               transport: AggTransport, fname: String,
                resultType: DataType): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       name,
-      children => RemoteAggExpr(name, endpoints, fname, resultType, children),
+      children => RemoteAggExpr(name, transport, fname, resultType, children),
       "scala_udf")
+
+  /** Arrow-IPC endpoints convenience (JVM server / CPython worker pool). */
+  def register(spark: org.apache.spark.sql.SparkSession, name: String,
+               endpoints: Seq[(String, Int)], fname: String,
+               resultType: DataType): Unit =
+    register(spark, name, ArrowAggTransport(endpoints), fname, resultType)
 }

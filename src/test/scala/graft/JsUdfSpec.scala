@@ -1,0 +1,97 @@
+package graft
+
+import graft.remote.{JsUdf, JsUdfClient, JsWorker}
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Drives the REAL JavaScript guest worker (tools/jsudf_server.js, Node/V8):
+  * same command topology as the Arrow-IPC workers over a JSON-framed body,
+  * with actual JS — arrow fns, generators, five-phase aggregates — on the
+  * far end. */
+class JsUdfSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private lazy val port = JsWorker.port
+
+  test("discovery: VERSION, LIST and GET against the Node worker") {
+    val client = new JsUdfClient("127.0.0.1", port)
+    try {
+      assert(client.version() == graft.remote.RemoteProtocol.Version)
+      val all = client.list()
+      assert(all.exists(_.startsWith("gcd(")))
+      assert(all.exists(_.startsWith("js_split(")))
+      assert(all.exists(_.startsWith("js_sum(")))
+      assert(client.get("js_upper").nonEmpty)
+      val e = intercept[RuntimeException](client.get("definitely_not_there"))
+      assert(e.getMessage.contains("no function"))
+    } finally client.close()
+  }
+
+  test("scalar call: real JS with null propagation and per-row error -> null") {
+    val client = new JsUdfClient("127.0.0.1", port)
+    try {
+      assert(client.call("gcd", IntegerType,
+        Seq(Seq(12, 18), Seq(25, 15), Seq(null, 7))) == Seq(6, 5, null))
+      assert(client.call("js_upper", StringType, Seq(Seq("ab"), Seq("Cd"))) ==
+        Seq("AB", "CD"))
+      // float64 result decodes to Double
+      val q = client.call("js_quality", DoubleType, Seq(Seq("hello world"))).head
+      assert(q.asInstanceOf[Double] > 0.0)
+    } finally client.close()
+  }
+
+  test("table function: JS generator yields (row, value) pairs") {
+    val client = new JsUdfClient("127.0.0.1", port)
+    try {
+      val res = client.callTable("js_series", IntegerType,
+        Seq(Seq(3), Seq(0), Seq(null), Seq(2)))
+      assert(res == Seq((0, 0), (0, 1), (0, 2), (3, 0), (3, 1)))
+      val toks = client.callTable("js_split", StringType,
+        Seq(Seq("the  quick fox"), Seq("   "), Seq("one")))
+      assert(toks == Seq((0, "the"), (0, "quick"), (0, "fox"), (2, "one")))
+    } finally client.close()
+  }
+
+  test("aggregate lifecycle: create/accumulate/retract/merge/finish in V8") {
+    val client = new JsUdfClient("127.0.0.1", port)
+    try {
+      val s0 = client.accCreate("js_sum")
+      val s1 = client.accumulate("js_sum", s0, Seq(Seq(10), Seq(20), Seq(null), Seq(5)))
+      val s2 = client.accumulate("js_sum", client.accCreate("js_sum"), Seq(Seq(100)))
+      val merged = client.accMerge("js_sum", s1, s2)
+      assert(client.accFinish("js_sum", merged, LongType) == 135L)
+      val s3 = client.accumulate("js_sum", merged, Seq(Seq(100)), retract = true)
+      assert(client.accFinish("js_sum", s3, LongType) == 35L)
+      val e = intercept[RuntimeException](client.accCreate("gcd"))
+      assert(e.getMessage.contains("no aggregate"))
+    } finally client.close()
+  }
+
+  test("Spark integration: scalar + generator table fn through mapPartitions") {
+    import spark.implicits._
+    val df = (1 to 500).map(i => (i, i * 6, i * 4)).toDF("id", "a", "b")
+      .repartition(4)
+    val out = JsUdf.withJsColumn(df, JsWorker.endpoints, "gcd",
+      Seq("a", "b"), IntegerType)
+    val rows = out.select("id", "value").as[(Int, Int)].collect().toMap
+    assert(rows.size == 500)
+    assert((1 to 500).forall(i => rows(i) == 2 * i))
+    val small = Seq(3, 1, 4).toDF("id")
+    val tbl = JsUdf.withJsTableColumn(small, JsWorker.endpoints,
+      "js_series", Seq("id"), IntegerType)
+    assert(tbl.count() == 8)
+  }
+
+  test("Spark hash aggregation drives the JS guest aggregate end-to-end") {
+    import spark.implicits._
+    JsUdf.registerAggregate(spark, "js_sum_t", JsWorker.endpoints, "js_sum", LongType)
+    val df = (1 to 10000).map(i => (i % 7, i % 1000)).toDF("k", "v")
+      .repartition(4)
+    val got = df.groupBy("k")
+      .agg(org.apache.spark.sql.functions.call_function("js_sum_t",
+        org.apache.spark.sql.functions.col("v")).as("s"))
+      .as[(Int, Long)].collect().toMap
+    val want = (1 to 10000).groupBy(_ % 7).view
+      .mapValues(_.map(i => (i % 1000).toLong).sum).toMap
+    assert(got == want)
+  }
+}

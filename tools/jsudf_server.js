@@ -1,0 +1,291 @@
+#!/usr/bin/env node
+/**
+ * JavaScript (Node/V8) guest UDF worker for the graft engine — the engine's
+ * analogue of the reference's QuickJS runtime surface
+ * (arrow-udf-runtime/src/javascript/mod.rs:328-456 scalar/table,
+ * :693-935 aggregates): real JavaScript functions — including generator
+ * table functions and five-phase aggregates — evaluated in a V8 sidecar
+ * process, one per pool slot (the JS analogue of tools/pyudf_server.py).
+ *
+ * Wire protocol: the same command topology as the Arrow-IPC servers
+ * (VERSION / LIST / GET f / CALL f / CALLTABLE f / ACCCREATE f / ACC f /
+ * ACCRETRACT f / ACCMERGE f / ACCFINISH f), but CALL bodies are one JSON
+ * line instead of an Arrow stream — dependency-free Node has no Arrow
+ * reader, and the JSON value space covers the demo type matrix
+ * (bool/int32/float64/string plus arrays; int64 is exact to 2^53):
+ *
+ *   CALL gcd\n{"cols":[[12,25],[18,15]],"n":2}\n
+ *     -> OK\n{"vals":[6,5]}\n
+ *   CALLTABLE js_split\n{"cols":[["a b"]],"n":1}\n
+ *     -> OK\n{"rows":[0,0],"vals":["a","b"]}\n
+ *   ACCCREATE js_sum\n            -> OK\n{"state":0}\n
+ *   ACC js_sum\n{"state":0,"cols":[[1,2]],"n":2}\n -> OK\n{"state":3}\n
+ *   ACCMERGE js_sum\n{"a":3,"b":4}\n               -> OK\n{"state":7}\n
+ *   ACCFINISH js_sum\n{"state":7}\n                -> OK\n{"value":7}\n
+ *
+ * Null handling is ReturnNullOnNullInput (a null argument row yields null /
+ * no table rows); a per-row exception yields null for that row — the guest
+ * never kills the exchange. Errors resolve to `ERR msg\n` status lines.
+ *
+ * Usage: node tools/jsudf_server.js --port 0 [--load extra_funcs.js]
+ * Prints `PORT <bound-port>` on stdout once listening.
+ */
+"use strict";
+
+const net = require("net");
+
+const PROTOCOL_VERSION = 2;
+
+// ---------------------------------------------------------------------------
+// Registry (signature grammar mirrors graft.sig.Signature)
+// ---------------------------------------------------------------------------
+
+const SCALARS = new Map(); // name -> {sig, fn}
+const TABLES = new Map(); // name -> {sig, fn}  (fn is a generator/iterable fn)
+const AGGS = new Map(); // name -> {sig, impl}
+
+function parseSig(text) {
+  let head, ret, isTable;
+  if (text.includes("->>")) {
+    [head, ret] = text.split("->>");
+    isTable = true;
+  } else {
+    [head, ret] = text.split("->");
+    ret = ret.trim();
+    isTable = ret.toLowerCase().startsWith("setof ");
+    if (isTable) ret = ret.slice("setof ".length);
+  }
+  const open = head.indexOf("(");
+  const close = head.lastIndexOf(")");
+  return {
+    name: head.slice(0, open).trim().toLowerCase(),
+    args: head.slice(open + 1, close).split(",").map((s) => s.trim()).filter(Boolean),
+    ret: ret.trim(),
+    isTable,
+    render() {
+      return `${this.name}(${this.args.join(",")}) ${this.isTable ? "->>" : "->"} ${this.ret}`;
+    },
+  };
+}
+
+const registry = {
+  scalar(sig, fn) {
+    const s = parseSig(sig);
+    SCALARS.set(s.name, { sig: s, fn });
+  },
+  table(sig, fn) {
+    const s = parseSig(sig);
+    TABLES.set(s.name, { sig: s, fn });
+  },
+  /** impl: {createState, accumulate, retract?, merge, finish} — the
+   * reference's five-phase aggregate surface on a plain JS object. */
+  aggregate(sig, impl) {
+    const s = parseSig(sig);
+    AGGS.set(s.name, { sig: s, impl });
+  },
+};
+
+// ---------------------------------------------------------------------------
+// Built-in demo functions (the worker's conformance set — REAL JavaScript:
+// arrow fns, destructuring, generators, closures)
+// ---------------------------------------------------------------------------
+
+registry.scalar("gcd(int, int) -> int", (a, b) => {
+  a = Math.abs(a);
+  b = Math.abs(b);
+  while (b) [a, b] = [b, a % b];
+  return a;
+});
+
+registry.scalar("js_upper(string) -> string", (s) => s.toUpperCase());
+
+registry.scalar("js_quality(string) -> float64", (s) => {
+  // toy quality heuristic: alpha ratio x log-length saturation
+  const alpha = (s.match(/[A-Za-z]/g) || []).length;
+  return s.length === 0 ? 0 : (alpha / s.length) * Math.min(1, Math.log10(1 + s.length) / 3);
+});
+
+registry.table("js_split(string) ->> string", function* (s) {
+  // ASCII whitespace class (not \s: JS \s also matches unicode spaces,
+  // which would diverge from the python worker and the engine tokenizer)
+  for (const tok of s.split(/[ \t\n\r\f\v]+/)) if (tok) yield tok;
+});
+
+registry.table("js_series(int) ->> int", function* (n) {
+  for (let i = 0; i < n; i++) yield i;
+});
+
+registry.aggregate("js_sum(int) -> bigint", {
+  createState: () => 0,
+  accumulate: (s, x) => (x == null ? s : s + x),
+  retract: (s, x) => (x == null ? s : s - x),
+  merge: (a, b) => a + b,
+  finish: (s) => s,
+});
+
+// ---------------------------------------------------------------------------
+// Row helpers
+// ---------------------------------------------------------------------------
+
+function* rowsOf(body) {
+  const { cols, n } = body;
+  for (let i = 0; i < (n || 0); i++) yield cols.map((c) => c[i]);
+}
+
+function handleCall(fname, isTable, body) {
+  if (isTable) {
+    const fd = TABLES.get(fname.toLowerCase());
+    if (!fd) return { err: `no table function ${fname}` };
+    const rows = [];
+    const vals = [];
+    let i = 0;
+    for (const row of rowsOf(body)) {
+      if (!row.some((v) => v == null)) {
+        try {
+          for (const v of fd.fn(...row)) {
+            rows.push(i);
+            vals.push(v === undefined ? null : v);
+          }
+        } catch (e) {
+          /* per-row failure yields no rows */
+        }
+      }
+      i++;
+    }
+    return { rows, vals };
+  }
+  const fd = SCALARS.get(fname.toLowerCase());
+  if (!fd) return { err: `no scalar function ${fname}` };
+  const vals = [];
+  for (const row of rowsOf(body)) {
+    if (row.some((v) => v == null)) {
+      vals.push(null);
+      continue;
+    }
+    try {
+      const v = fd.fn(...row);
+      vals.push(v === undefined ? null : v);
+    } catch (e) {
+      vals.push(null); // per-row failure yields null
+    }
+  }
+  return { vals };
+}
+
+function handleAgg(verb, fname, body) {
+  const fd = AGGS.get(fname.toLowerCase());
+  if (!fd) return { err: `no aggregate ${fname}` };
+  const impl = fd.impl;
+  switch (verb) {
+    case "ACCCREATE":
+      return { state: impl.createState() };
+    case "ACC":
+    case "ACCRETRACT": {
+      const fn = verb === "ACCRETRACT" ? impl.retract : impl.accumulate;
+      if (!fn) return { err: `${fname} is append-only` };
+      let s = body.state;
+      for (const row of rowsOf(body)) s = fn(s, ...row);
+      return { state: s };
+    }
+    case "ACCMERGE":
+      return { state: impl.merge(body.a, body.b) };
+    case "ACCFINISH":
+      return { value: impl.finish(body.state) };
+    default:
+      return { err: `bad agg verb ${verb}` };
+  }
+}
+
+// ---------------------------------------------------------------------------
+// Wire protocol: newline-framed commands; CALL/ACC bodies are one JSON line
+// ---------------------------------------------------------------------------
+
+const BODY_VERBS = new Set(["CALL", "CALLTABLE", "ACC", "ACCRETRACT", "ACCMERGE", "ACCFINISH"]);
+
+function serve(sock) {
+  sock.setNoDelay(true); // latency-bound write-write-read exchange
+  let buf = "";
+  let pendingCmd = null; // waiting for this command's JSON body line
+
+  function respond(fname, verbLine, body) {
+    const sp = verbLine.indexOf(" ");
+    const verb = sp < 0 ? verbLine : verbLine.slice(0, sp);
+    const out =
+      verb === "CALL" || verb === "CALLTABLE"
+        ? handleCall(fname, verb === "CALLTABLE", body)
+        : handleAgg(verb, fname, body);
+    if (out.err) sock.write(`ERR ${out.err}\n`);
+    else sock.write("OK\n" + JSON.stringify(out) + "\n");
+  }
+
+  sock.on("data", (chunk) => {
+    buf += chunk.toString("utf8");
+    let nl;
+    while ((nl = buf.indexOf("\n")) >= 0) {
+      const line = buf.slice(0, nl);
+      buf = buf.slice(nl + 1);
+      if (pendingCmd) {
+        const [verbLine, fname] = pendingCmd;
+        pendingCmd = null;
+        let body;
+        try {
+          body = JSON.parse(line);
+        } catch (e) {
+          sock.write(`ERR bad json body: ${e.message}\n`);
+          continue;
+        }
+        respond(fname, verbLine, body);
+        continue;
+      }
+      if (!line) return sock.end();
+      const sp = line.indexOf(" ");
+      const verb = sp < 0 ? line : line.slice(0, sp);
+      const arg = sp < 0 ? "" : line.slice(sp + 1).trim();
+      if (verb === "VERSION") {
+        sock.write(`OK\n${PROTOCOL_VERSION}\n\n`);
+      } else if (verb === "LIST") {
+        sock.write("OK\n");
+        const sigs = [];
+        for (const m of [SCALARS, TABLES, AGGS])
+          for (const { sig } of m.values()) sigs.push(sig.render());
+        sigs.sort();
+        for (const s of sigs) sock.write(s + "\n");
+        sock.write("\n");
+      } else if (verb === "GET") {
+        const hits = [];
+        for (const m of [SCALARS, TABLES, AGGS]) {
+          const fd = m.get(arg.toLowerCase());
+          if (fd) hits.push(fd.sig.render());
+        }
+        if (!hits.length) sock.write(`ERR no function ${arg}\n`);
+        else sock.write("OK\n" + hits.join("\n") + "\n\n");
+      } else if (verb === "ACCCREATE") {
+        const out = handleAgg("ACCCREATE", arg, {});
+        if (out.err) sock.write(`ERR ${out.err}\n`);
+        else sock.write("OK\n" + JSON.stringify(out) + "\n");
+      } else if (BODY_VERBS.has(verb)) {
+        pendingCmd = [line, arg]; // body arrives as the next JSON line
+      } else {
+        sock.write(`ERR bad command ${line}\n`);
+      }
+    }
+  });
+  sock.on("error", () => {});
+}
+
+function main() {
+  const args = process.argv.slice(2);
+  let port = 0;
+  for (let i = 0; i < args.length; i++) {
+    if (args[i] === "--port") port = parseInt(args[++i], 10);
+    else if (args[i] === "--load")
+      // extra user functions: a JS file calling registry.scalar/table/aggregate
+      require("path").resolve(args[++i]) && new Function("registry", require("fs").readFileSync(args[i], "utf8"))(registry);
+  }
+  const srv = net.createServer(serve);
+  srv.listen(port, "127.0.0.1", () => {
+    process.stdout.write(`PORT ${srv.address().port}\n`);
+  });
+}
+
+main();
