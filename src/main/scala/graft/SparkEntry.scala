@@ -255,6 +255,46 @@ object SparkEntry {
         .orderBy("l_returnflag")
     } _,
 
+    // §2.1 #6 over the wire: the ERROR COLUMN rides the remote protocol —
+    // a guest row that throws yields (NULL value, message) instead of
+    // aborting the exchange (reference python/mod.rs:382-390
+    // append_error_to_schema). Same message convention as the in-process
+    // fallible tier, so q_div_error and q_remote_div_error oracles align.
+    "q_remote_div_error" -> dfq { s =>
+      val port = graft.remote.RemoteFixture.port
+      val df = s.table("lineitem").selectExpr("l_orderkey", "l_linenumber",
+        "CAST(l_partkey AS INT) AS a", "CAST(l_suppkey % 7 AS INT) AS b")
+      graft.remote.RemoteUdf.withRemoteFallibleColumn(df, Seq(("127.0.0.1", port)),
+          "graft_div", Seq("a", "b"), org.apache.spark.sql.types.IntegerType)
+        .selectExpr("l_orderkey", "l_linenumber", "value AS div_value", "error AS div_error")
+        .localCheckpoint() // exchange runs once; sort sampling reads the checkpoint
+        .orderBy("l_orderkey", "l_linenumber")
+    } _,
+
+    // §2.1 #13 error column in the CPython guest: ZeroDivisionError messages
+    // captured per row, "ExcType: msg" like the reference's PyErr rendering.
+    "q_python_div_error" -> dfq { s =>
+      val df = s.table("lineitem").selectExpr("l_orderkey", "l_linenumber",
+        "CAST(l_partkey AS INT) AS a", "CAST(l_suppkey % 7 AS INT) AS b")
+      graft.remote.RemoteUdf.withRemoteFallibleColumn(df,
+          graft.remote.PythonWorker.endpoints, "py_div", Seq("a", "b"),
+          org.apache.spark.sql.types.IntegerType)
+        .selectExpr("l_orderkey", "l_linenumber", "value AS div_value", "error AS div_error")
+        .localCheckpoint()
+        .orderBy("l_orderkey", "l_linenumber")
+    } _,
+
+    // §2.1 #19 error column in V8: a throwing JS row carries its message.
+    "q_js_div_error" -> dfq { s =>
+      val df = s.table("lineitem").selectExpr("l_orderkey", "l_linenumber",
+        "CAST(l_partkey AS INT) AS a", "CAST(l_suppkey % 7 AS INT) AS b")
+      graft.remote.JsUdf.withJsFallibleColumn(df, graft.remote.JsWorker.endpoints,
+          "js_div", Seq("a", "b"), org.apache.spark.sql.types.IntegerType)
+        .selectExpr("l_orderkey", "l_linenumber", "value AS div_value", "error AS div_error")
+        .localCheckpoint()
+        .orderBy("l_orderkey", "l_linenumber")
+    } _,
+
     // §2.1 #26 wire-type breadth: a DECIMAL(18,2) column round-trips the
     // remote Arrow path (Decimal128 vectors) through graft_identity.
     "q_remote_decimal" -> dfq { s =>
@@ -838,6 +878,28 @@ object SparkEntry {
     "q_python_gcd" ->
       """SELECT l_orderkey, l_linenumber,
         |       CAST(gcd(CAST(l_partkey AS INT), CAST(l_suppkey AS INT)) AS INT) AS g
+        |FROM lineitem
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q_remote_div_error" ->
+      """SELECT l_orderkey, l_linenumber,
+        |       CASE WHEN l_suppkey % 7 = 0 THEN NULL
+        |            ELSE CAST(CAST(l_partkey AS INT) // CAST(l_suppkey % 7 AS INT) AS INT) END AS div_value,
+        |       CASE WHEN l_suppkey % 7 = 0 THEN 'division by zero' END AS div_error
+        |FROM lineitem
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q_python_div_error" ->
+      """SELECT l_orderkey, l_linenumber,
+        |       CASE WHEN l_suppkey % 7 = 0 THEN NULL
+        |            ELSE CAST(CAST(l_partkey AS INT) // CAST(l_suppkey % 7 AS INT) AS INT) END AS div_value,
+        |       CASE WHEN l_suppkey % 7 = 0
+        |            THEN 'ZeroDivisionError: integer division or modulo by zero' END AS div_error
+        |FROM lineitem
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q_js_div_error" ->
+      """SELECT l_orderkey, l_linenumber,
+        |       CASE WHEN l_suppkey % 7 = 0 THEN NULL
+        |            ELSE CAST(CAST(l_partkey AS INT) // CAST(l_suppkey % 7 AS INT) AS INT) END AS div_value,
+        |       CASE WHEN l_suppkey % 7 = 0 THEN 'RangeError: division by zero' END AS div_error
         |FROM lineitem
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
     "q_remote_map" ->

@@ -149,6 +149,19 @@ class JsUdfClient(host: String, port: Int, timeoutMs: Int = 120000) extends Auto
     (0 until vals.size()).map(i => fromJson(vals.get(i), retType))
   }
 
+  /** Fallible scalar call: (value, error) per row — a throwing row carries
+    * (null, "ErrType: message") instead of a silent null. */
+  def callWithErrors(fname: String, retType: DataType,
+                     rows: Seq[Seq[Any]]): Seq[(Any, String)] = {
+    val res = exchange(s"CALLERR $fname", Some(colsBody(rows)))
+    val vals = res.get("vals")
+    val errs = res.get("errs")
+    (0 until vals.size()).map { i =>
+      val e = errs.get(i)
+      (fromJson(vals.get(i), retType), if (e == null || e.isNull) null else e.asText())
+    }
+  }
+
   /** Table call: (input-row index, value) pairs from the JS generator. */
   def callTable(fname: String, retType: DataType, rows: Seq[Seq[Any]]): Seq[(Int, Any)] = {
     val res = exchange(s"CALLTABLE $fname", Some(colsBody(rows)))
@@ -252,6 +265,35 @@ object JsUdf {
           val vals = client.call(fname, retType, rows)
           chunk.zip(vals).map { case (r, v) =>
             org.apache.spark.sql.Row.fromSeq(r.toSeq :+ v)
+          }
+        }
+      }
+    }(enc)
+  }
+
+  /** Append `value` AND `error` columns from the JS guest — the fallible
+    * call surface ([[RemoteUdf.withRemoteFallibleColumn]] over JSON framing). */
+  def withJsFallibleColumn(df: org.apache.spark.sql.DataFrame, endpoints: Seq[(String, Int)],
+                           fname: String, argCols: Seq[String],
+                           retType: DataType): org.apache.spark.sql.DataFrame = {
+    val argIdx = argCols.map(df.schema.fieldIndex)
+    val outSchema = StructType(df.schema.fields :+
+      StructField("value", retType) :+ StructField("error", StringType))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    val eps = endpoints.toIndexedSeq
+    fanOut(df).mapPartitions { it =>
+      if (it.isEmpty) Iterator.empty
+      else {
+        val pid = Option(org.apache.spark.TaskContext.get()).map(_.partitionId()).getOrElse(0)
+        val (host, port) = eps(pid % eps.size)
+        val client = new JsUdfClient(host, port)
+        Option(org.apache.spark.TaskContext.get()).foreach(
+          _.addTaskCompletionListener[Unit](_ => client.close()))
+        it.grouped(RemoteProtocol.BatchSize).flatMap { chunk =>
+          val rows = chunk.map(r => argIdx.map(r.get))
+          val vals = client.callWithErrors(fname, retType, rows)
+          chunk.zip(vals).map { case (r, (v, e)) =>
+            org.apache.spark.sql.Row.fromSeq(r.toSeq :+ v :+ e)
           }
         }
       }

@@ -384,6 +384,12 @@ class UdfServer(port: Int = 0) extends AutoCloseable {
               out.write((renderSignature(fd) + "\n").getBytes(StandardCharsets.UTF_8)))
             out.write("\n".getBytes(StandardCharsets.UTF_8))
           }
+        } else if (line.startsWith("CALLERR ")) {
+          // fallible scalar call: per-row failures surface as an `error`
+          // column instead of nulls (reference `python/mod.rs:382-390`
+          // build_error_array / append_error_to_schema)
+          serveCall(line.substring(8).trim, isTable = false, in, out, allocator,
+            withErrors = true)
         } else if (line.startsWith("CALL ") || line.startsWith("CALLTABLE ")) {
           val isTable = line.startsWith("CALLTABLE ")
           val fname = line.substring(if (isTable) 10 else 5).trim
@@ -414,7 +420,8 @@ class UdfServer(port: Int = 0) extends AutoCloseable {
     * input batch as it is evaluated (reference `UdfProducer.java:103-139`) —
     * no server-side buffering of the result set. */
   private def serveCall(fname: String, isTable: Boolean, in: DataInputStream,
-                        out: DataOutputStream, allocator: RootAllocator): Unit = {
+                        out: DataOutputStream, allocator: RootAllocator,
+                        withErrors: Boolean = false): Unit = {
     val reader = new ArrowStreamReader(in, allocator)
     val root = reader.getVectorSchemaRoot
     val argTypes = root.getSchema.getFields.asScala.map { f =>
@@ -456,8 +463,10 @@ class UdfServer(port: Int = 0) extends AutoCloseable {
         // functions (e.g. option_add) see their NULL arguments
         val callOnNull = fd.callMode == graft.sig.CallMode.CalledOnNullInput
         out.write("OK\n".getBytes(StandardCharsets.UTF_8))
-        val outSchema = new ASchema(Seq(
-          toArrowField("value", sigDef.returns.dataType, sigDef.returns.metadata)).asJava)
+        val valueField = toArrowField("value", sigDef.returns.dataType, sigDef.returns.metadata)
+        val outSchema = new ASchema(
+          (if (withErrors) Seq(valueField, toArrowField("error", StringType))
+           else Seq(valueField)).asJava)
         val outRoot = VectorSchemaRoot.create(outSchema, allocator)
         val writer = new ArrowStreamWriter(outRoot, null, out)
         writer.start()
@@ -468,6 +477,7 @@ class UdfServer(port: Int = 0) extends AutoCloseable {
           val nArgs = readers.length
           outRoot.allocateNew()
           val write = cellWriter(outRoot.getVector(0))
+          val writeErr = if (withErrors) cellWriter(outRoot.getVector(1)) else null
           var i = 0
           while (i < n) {
             val argsArr = new Array[Any](nArgs)
@@ -479,9 +489,22 @@ class UdfServer(port: Int = 0) extends AutoCloseable {
               argsArr(j) = a
               j += 1
             }
-            write(i,
-              if (!callOnNull && hasNull) null
-              else f(scala.collection.immutable.ArraySeq.unsafeWrapArray(argsArr)))
+            if (!callOnNull && hasNull) {
+              write(i, null)
+              if (withErrors) writeErr(i, null)
+            } else if (withErrors) {
+              // per-row containment: a throwing row yields (null, message) —
+              // the SAME message convention as the in-process fallible tier
+              // (FallibleScalarInvoke), so local and remote error columns agree
+              try { write(i, f(scala.collection.immutable.ArraySeq.unsafeWrapArray(argsArr)))
+                    writeErr(i, null) }
+              catch { case e: Exception =>
+                write(i, null)
+                writeErr(i, if (e.getMessage == null) e.getClass.getSimpleName else e.getMessage)
+              }
+            } else {
+              write(i, f(scala.collection.immutable.ArraySeq.unsafeWrapArray(argsArr)))
+            }
             i += 1
           }
           outRoot.setRowCount(n)
@@ -687,6 +710,15 @@ class UdfClient(host: String, port: Int, timeoutMs: Int = 120000) extends AutoCl
            argMeta: Seq[SMetadata] = Nil): Seq[Any] =
     exchange(s"CALL $fname\n", argTypes, rows, argMeta).map(_.head)
 
+  /** Fallible scalar call: (value, error) per row — a failing row carries a
+    * NULL value and the exception message instead of aborting the exchange
+    * (the wire analogue of the in-process error column, reference
+    * `python/mod.rs:382-390`). */
+  def callWithErrors(fname: String, argTypes: Seq[DataType], rows: Seq[Seq[Any]],
+                     argMeta: Seq[SMetadata] = Nil): Seq[(Any, String)] =
+    exchange(s"CALLERR $fname\n", argTypes, rows, argMeta)
+      .map(r => (r(0), r(1).asInstanceOf[String]))
+
   /** Call a remote table function: returns (input-row index, value) pairs. */
   def callTable(fname: String, argTypes: Seq[DataType], rows: Seq[Seq[Any]],
                 argMeta: Seq[SMetadata] = Nil): Seq[(Int, Any)] =
@@ -879,6 +911,39 @@ object RemoteUdf {
                        fname: String, argCols: Seq[String],
                        retType: DataType): org.apache.spark.sql.DataFrame =
     withRemoteColumn(df, Seq((host, port)), fname, argCols, retType)
+
+  /** Append `value` AND `error` columns computed remotely — the fallible
+    * call: a row whose guest evaluation throws carries (NULL, message)
+    * instead of failing the partition, mirroring the in-process
+    * `FallibleScalarInvoke` error-column surface over the wire. */
+  def withRemoteFallibleColumn(df: org.apache.spark.sql.DataFrame,
+                               endpoints: Seq[(String, Int)], fname: String,
+                               argCols: Seq[String],
+                               retType: DataType): org.apache.spark.sql.DataFrame = {
+    val argTypes = argCols.map(c => df.schema(c).dataType)
+    val argIdx = argCols.map(df.schema.fieldIndex)
+    val outSchema = StructType(df.schema.fields :+
+      StructField("value", retType) :+ StructField("error", StringType))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    val eps = endpoints.toIndexedSeq
+    fanOut(df).mapPartitions { it =>
+      if (it.isEmpty) Iterator.empty
+      else {
+        val pid = Option(org.apache.spark.TaskContext.get()).map(_.partitionId()).getOrElse(0)
+        val (host, port) = eps(pid % eps.size)
+        val client = new UdfClient(host, port)
+        Option(org.apache.spark.TaskContext.get()).foreach(
+          _.addTaskCompletionListener[Unit](_ => client.close()))
+        it.grouped(RemoteProtocol.BatchSize).flatMap { chunk =>
+          val rows = chunk.map(r => argIdx.map(r.get))
+          val vals = client.callWithErrors(fname, argTypes, rows)
+          chunk.zip(vals).map { case (r, (v, e)) =>
+            org.apache.spark.sql.Row.fromSeq(r.toSeq :+ v :+ e)
+          }
+        }
+      }
+    }(enc)
+  }
 
   /** Explode each input row into the remote table function's output rows —
     * result columns are the input columns plus `value` (generator semantics

@@ -26,6 +26,20 @@ class JsUdfSpec extends AnyFunSuite {
     } finally client.close()
   }
 
+  test("fallible call: JS exception message rides the errs column") {
+    val client = new JsUdfClient("127.0.0.1", port)
+    try {
+      val res = client.callWithErrors("js_div", IntegerType,
+        Seq(Seq(10, 3), Seq(7, 0), Seq(null, 5)))
+      assert(res == Seq(
+        (3, null),
+        (null, "RangeError: division by zero"),
+        (null, null)))
+      // connection survives the failing row
+      assert(client.call("gcd", IntegerType, Seq(Seq(8, 6))) == Seq(2))
+    } finally client.close()
+  }
+
   test("scalar call: real JS with null propagation and per-row error -> null") {
     val client = new JsUdfClient("127.0.0.1", port)
     try {

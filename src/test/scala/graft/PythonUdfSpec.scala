@@ -24,6 +24,20 @@ class PythonUdfSpec extends AnyFunSuite {
     } finally client.close()
   }
 
+  test("fallible call: ZeroDivisionError message rides the error column") {
+    val client = new UdfClient("127.0.0.1", port)
+    try {
+      val res = client.callWithErrors("py_div", Seq(IntegerType, IntegerType),
+        Seq(Seq(10, 3), Seq(7, 0), Seq(null, 5)))
+      assert(res == Seq(
+        (3, null),
+        (null, "ZeroDivisionError: integer division or modulo by zero"),
+        (null, null)))
+      // connection survives the failing row
+      assert(client.call("gcd", Seq(IntegerType, IntegerType), Seq(Seq(8, 6))) == Seq(2))
+    } finally client.close()
+  }
+
   test("scalar call: python math.gcd with null propagation, connection reuse") {
     val client = new UdfClient("127.0.0.1", port)
     try {

@@ -22,6 +22,21 @@ class RemoteUdfSpec extends AnyFunSuite {
     } finally server.close()
   }
 
+  test("fallible call: per-row errors ride the wire as an error column") {
+    graft.functions.Builtins.ensureRegistered()
+    val server = new UdfServer()
+    try {
+      val client = new UdfClient("127.0.0.1", server.boundPort)
+      try {
+        val res = client.callWithErrors("graft_div", Seq(IntegerType, IntegerType),
+          Seq(Seq(10, 3), Seq(7, 0), Seq(null, 5)))
+        assert(res == Seq((3, null), (null, "division by zero"), (null, null)))
+        // the connection survives the failing row: next exchange still works
+        assert(client.call("add", Seq(IntegerType, IntegerType), Seq(Seq(1, 2))) == Seq(3))
+      } finally client.close()
+    } finally server.close()
+  }
+
   test("aggregate lifecycle verbs against the JVM server") {
     graft.functions.Builtins.ensureRegistered()
     val server = new UdfServer()

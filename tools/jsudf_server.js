@@ -105,6 +105,12 @@ registry.scalar("js_quality(string) -> float64", (s) => {
   return s.length === 0 ? 0 : (alpha / s.length) * Math.min(1, Math.log10(1 + s.length) / 3);
 });
 
+registry.scalar("js_div(int, int) -> int", (a, b) => {
+  // integer division; the error message rides the CALLERR error column
+  if (b === 0) throw new RangeError("division by zero");
+  return Math.trunc(a / b);
+});
+
 registry.table("js_split(string) ->> string", function* (s) {
   // ASCII whitespace class (not \s: JS \s also matches unicode spaces,
   // which would diverge from the python worker and the engine tokenizer)
@@ -172,6 +178,32 @@ function handleCall(fname, isTable, body) {
   return { vals };
 }
 
+// Fallible scalar call: per-row failures surface as an `errs` column
+// ("ErrType: message", like the reference JS runtime's error strings)
+// instead of silent nulls.
+function handleCallErr(fname, body) {
+  const fd = SCALARS.get(fname.toLowerCase());
+  if (!fd) return { err: `no scalar function ${fname}` };
+  const vals = [];
+  const errs = [];
+  for (const row of rowsOf(body)) {
+    if (row.some((v) => v == null)) {
+      vals.push(null);
+      errs.push(null);
+      continue;
+    }
+    try {
+      const v = fd.fn(...row);
+      vals.push(v === undefined ? null : v);
+      errs.push(null);
+    } catch (e) {
+      vals.push(null);
+      errs.push(`${e.constructor ? e.constructor.name : "Error"}: ${e.message || e}`);
+    }
+  }
+  return { vals, errs };
+}
+
 function handleAgg(verb, fname, body) {
   const fd = AGGS.get(fname.toLowerCase());
   if (!fd) return { err: `no aggregate ${fname}` };
@@ -200,7 +232,7 @@ function handleAgg(verb, fname, body) {
 // Wire protocol: newline-framed commands; CALL/ACC bodies are one JSON line
 // ---------------------------------------------------------------------------
 
-const BODY_VERBS = new Set(["CALL", "CALLTABLE", "ACC", "ACCRETRACT", "ACCMERGE", "ACCFINISH"]);
+const BODY_VERBS = new Set(["CALL", "CALLERR", "CALLTABLE", "ACC", "ACCRETRACT", "ACCMERGE", "ACCFINISH"]);
 
 function serve(sock) {
   sock.setNoDelay(true); // latency-bound write-write-read exchange
@@ -211,9 +243,11 @@ function serve(sock) {
     const sp = verbLine.indexOf(" ");
     const verb = sp < 0 ? verbLine : verbLine.slice(0, sp);
     const out =
-      verb === "CALL" || verb === "CALLTABLE"
-        ? handleCall(fname, verb === "CALLTABLE", body)
-        : handleAgg(verb, fname, body);
+      verb === "CALLERR"
+        ? handleCallErr(fname, body)
+        : verb === "CALL" || verb === "CALLTABLE"
+          ? handleCall(fname, verb === "CALLTABLE", body)
+          : handleAgg(verb, fname, body);
     if (out.err) sock.write(`ERR ${out.err}\n`);
     else sock.write("OK\n" + JSON.stringify(out) + "\n");
   }

@@ -198,6 +198,12 @@ def py_upper(s):
     return s.upper()
 
 
+@udf("py_div(int, int) -> int")
+def py_div(a, b):
+    # integer division: b == 0 raises ZeroDivisionError -> error column
+    return a // b
+
+
 @udf("py_weight(float8[]) -> float8")
 def py_weight(xs):
     # left-fold sum — matches DuckDB list_reduce evaluation order bit-exactly
@@ -275,7 +281,7 @@ def _rows_of(batch):
     return list(zip(*cols))
 
 
-def _serve_call(fname, is_table, rf, wf):
+def _serve_call(fname, is_table, rf, wf, with_errors=False):
     reader = pa.ipc.open_stream(rf)
     fd = resolve(fname, len(reader.schema), is_table)
     if fd is None:
@@ -309,20 +315,31 @@ def _serve_call(fname, is_table, rf, wf):
                 schema=out_schema))
             row_base += batch.num_rows
     else:
-        out_schema = pa.schema([_field("value", sig.ret_type, sig.ret_ext)])
+        # fallible (CALLERR): value + error columns, matching the reference
+        # runtime's append_error_to_schema (python/mod.rs:382-390); messages
+        # are "ExcType: msg" like PyErr Display.
+        fields = [_field("value", sig.ret_type, sig.ret_ext)]
+        if with_errors:
+            fields.append(pa.field("error", pa.string(), nullable=True))
+        out_schema = pa.schema(fields)
         writer = pa.ipc.new_stream(wf, out_schema)
         for batch in reader:
-            vals = []
+            vals, errs = [], []
             for row in _rows_of(batch):
                 if any(v is None for v in row):
                     vals.append(None)
+                    errs.append(None)
                     continue
                 try:
                     vals.append(fn(*row))
-                except Exception:
+                    errs.append(None)
+                except Exception as e:
                     vals.append(None)
-            writer.write_batch(pa.record_batch(
-                [pa.array(vals, type=sig.ret_type)], schema=out_schema))
+                    errs.append("%s: %s" % (type(e).__name__, e))
+            cols = [pa.array(vals, type=sig.ret_type)]
+            if with_errors:
+                cols.append(pa.array(errs, type=pa.string()))
+            writer.write_batch(pa.record_batch(cols, schema=out_schema))
     writer.close()  # end-of-stream marker; leaves the socket open
 
 
@@ -420,6 +437,8 @@ def _serve_conn(sock):
                     for sig, _ in defs:
                         wf.write(sig.render().encode() + b"\n")
                     wf.write(b"\n")
+            elif line.startswith("CALLERR "):
+                _serve_call(line[8:].strip(), False, rf, wf, with_errors=True)
             elif line.startswith("CALL ") or line.startswith("CALLTABLE "):
                 is_table = line.startswith("CALLTABLE ")
                 fname = line[10 if is_table else 5:].strip()
