@@ -149,6 +149,19 @@ class JsUdfClient(host: String, port: Int, timeoutMs: Int = 120000) extends Auto
     (0 until vals.size()).map(i => fromJson(vals.get(i), retType))
   }
 
+  /** Dynamic registration: ship JS SOURCE to the V8 guest — the reference's
+    * `Runtime::add_function` surface (`javascript/mod.rs`). `code` is a JS
+    * expression: an arrow/function expression (`kind = "scalar"`), a
+    * generator-function expression (`"table"`), or an object with the
+    * five-phase aggregate methods (`"aggregate"`). */
+  def define(kind: String, sig: String, code: String): Unit = {
+    val body = mapper.createObjectNode()
+    body.put("kind", kind)
+    body.put("sig", sig)
+    body.put("code", code)
+    exchange("DEFINE", Some(body))
+  }
+
   /** Fallible scalar call: (value, error) per row — a throwing row carries
     * (null, "ErrType: message") instead of a silent null. */
   def callWithErrors(fname: String, retType: DataType,
@@ -270,6 +283,16 @@ object JsUdf {
       }
     }(enc)
   }
+
+  /** Define a JS guest function from source on EVERY endpoint of the pool
+    * (each V8 process owns its own registry) — driver-side, once, before
+    * the mapPartitions exchange runs. */
+  def defineJs(endpoints: Seq[(String, Int)], kind: String, sig: String,
+               code: String): Unit =
+    endpoints.foreach { case (h, p) =>
+      val c = new JsUdfClient(h, p)
+      try c.define(kind, sig, code) finally c.close()
+    }
 
   /** Append `value` AND `error` columns from the JS guest — the fallible
     * call surface ([[RemoteUdf.withRemoteFallibleColumn]] over JSON framing). */

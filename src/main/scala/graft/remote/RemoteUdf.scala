@@ -384,6 +384,13 @@ class UdfServer(port: Int = 0) extends AutoCloseable {
               out.write((renderSignature(fd) + "\n").getBytes(StandardCharsets.UTF_8)))
             out.write("\n".getBytes(StandardCharsets.UTF_8))
           }
+        } else if (line.startsWith("DEFINE")) {
+          // guest-runtime verb (source-code registration): the JVM tier's
+          // registration surface is in-process (graft.functions.Udf) — drain
+          // the three source blobs so the connection stays framed, then ERR.
+          readBlob(in); readBlob(in); readBlob(in)
+          out.write(("ERR define not supported on the JVM tier " +
+            "(register in-process via graft.functions.Udf)\n").getBytes(StandardCharsets.UTF_8))
         } else if (line.startsWith("CALLERR ")) {
           // fallible scalar call: per-row failures surface as an `error`
           // column instead of nulls (reference `python/mod.rs:382-390`
@@ -710,6 +717,23 @@ class UdfClient(host: String, port: Int, timeoutMs: Int = 120000) extends AutoCl
            argMeta: Seq[SMetadata] = Nil): Seq[Any] =
     exchange(s"CALL $fname\n", argTypes, rows, argMeta).map(_.head)
 
+  /** Dynamic registration: ship SOURCE CODE to the guest runtime — the
+    * reference's core `Runtime::add_function(name, return_type, mode, code)`
+    * surface (`python/mod.rs` add_function_with_handler). `code` is a guest
+    * module defining `handler` (defaults to the signature's function name);
+    * for `aggregate = true` the handler is a class with the five-phase
+    * methods (DEFINEAGG). */
+  def define(sig: String, code: String, handler: String = "",
+             aggregate: Boolean = false): Unit = {
+    val verb = if (aggregate) "DEFINEAGG" else "DEFINE"
+    out.write(s"$verb\n".getBytes(StandardCharsets.UTF_8))
+    writeBlob(out, sig.getBytes(StandardCharsets.UTF_8))
+    writeBlob(out, code.getBytes(StandardCharsets.UTF_8))
+    writeBlob(out, handler.getBytes(StandardCharsets.UTF_8))
+    out.flush()
+    expectOk()
+  }
+
   /** Fallible scalar call: (value, error) per row — a failing row carries a
     * NULL value and the exception message instead of aborting the exchange
     * (the wire analogue of the in-process error column, reference
@@ -911,6 +935,16 @@ object RemoteUdf {
                        fname: String, argCols: Seq[String],
                        retType: DataType): org.apache.spark.sql.DataFrame =
     withRemoteColumn(df, Seq((host, port)), fname, argCols, retType)
+
+  /** Define a guest function from source on EVERY endpoint of a worker pool
+    * (each process owns its own registry, so registration must fan out) —
+    * driver-side, once, before the mapPartitions exchange runs. */
+  def defineRemote(endpoints: Seq[(String, Int)], sig: String, code: String,
+                   handler: String = "", aggregate: Boolean = false): Unit =
+    endpoints.foreach { case (h, p) =>
+      val c = new UdfClient(h, p)
+      try c.define(sig, code, handler, aggregate) finally c.close()
+    }
 
   /** Append `value` AND `error` columns computed remotely — the fallible
     * call: a row whose guest evaluation throws carries (NULL, message)

@@ -26,6 +26,35 @@ class JsUdfSpec extends AnyFunSuite {
     } finally client.close()
   }
 
+  test("define: JS source registration over the wire (reference add_function)") {
+    val client = new JsUdfClient("127.0.0.1", port)
+    try {
+      client.define("scalar", "js_vowels(string) -> int",
+        "(s) => (s.match(/[aeiou]/g) || []).length")
+      assert(client.call("js_vowels", IntegerType, Seq(Seq("banana"), Seq("xyz"))) ==
+        Seq(3, 0))
+      client.define("table", "js_chars(string) ->> string",
+        "function* (s) { yield* s; }")
+      assert(client.callTable("js_chars", StringType, Seq(Seq("ab"))) ==
+        Seq((0, "a"), (0, "b")))
+      client.define("aggregate", "js_max(int) -> int",
+        """({
+          |  createState: () => null,
+          |  accumulate: (s, x) => (x == null ? s : s == null ? x : Math.max(s, x)),
+          |  merge: (a, b) => (a == null ? b : b == null ? a : Math.max(a, b)),
+          |  finish: (s) => s,
+          |})""".stripMargin)
+      val s = client.accumulate("js_max", client.accCreate("js_max"),
+        Seq(Seq(3), Seq(9), Seq(1)))
+      assert(client.accFinish("js_max", s, IntegerType) == 9)
+      // broken source reports ERR without killing the connection
+      val e = intercept[RuntimeException](
+        client.define("scalar", "bad(int) -> int", "((("))
+      assert(e.getMessage.contains("define failed"))
+      assert(client.call("js_vowels", IntegerType, Seq(Seq("io"))) == Seq(2))
+    } finally client.close()
+  }
+
   test("fallible call: JS exception message rides the errs column") {
     val client = new JsUdfClient("127.0.0.1", port)
     try {

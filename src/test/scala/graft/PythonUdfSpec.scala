@@ -24,6 +24,44 @@ class PythonUdfSpec extends AnyFunSuite {
     } finally client.close()
   }
 
+  test("define: source-code registration over the wire (reference add_function)") {
+    val client = new UdfClient("127.0.0.1", port)
+    try {
+      // scalar from source, handler defaults to the signature name
+      client.define("py_digits(string) -> int",
+        "def py_digits(s):\n    return sum('0' <= c <= '9' for c in s)\n")
+      assert(client.call("py_digits", Seq(StringType), Seq(Seq("a1b22"), Seq("xyz"))) ==
+        Seq(3, 0))
+      // table function from source (generator), explicit handler name
+      client.define("py_chars(string) ->> string",
+        "def chars(s):\n    yield from s\n", handler = "chars")
+      assert(client.callTable("py_chars", Seq(StringType), Seq(Seq("ab"))) ==
+        Seq((0, "a"), (0, "b")))
+      // aggregate from source: five-phase class
+      client.define("py_max(int) -> int",
+        """class PyMax:
+          |    def create_state(self):
+          |        return None
+          |    def accumulate(self, state, x):
+          |        if x is None: return state
+          |        return x if state is None else max(state, x)
+          |    def merge(self, a, b):
+          |        if a is None: return b
+          |        return a if b is None else max(a, b)
+          |    def finish(self, state):
+          |        return state
+          |""".stripMargin, handler = "PyMax", aggregate = true)
+      val s = client.accumulate("py_max", client.accCreate("py_max"),
+        Seq(IntegerType), Seq(Seq(3), Seq(9), Seq(1)))
+      assert(client.accFinish("py_max", s) == 9)
+      // a broken module reports ERR without killing the connection
+      val e = intercept[RuntimeException](client.define("bad(int) -> int", "def bad(")
+        )
+      assert(e.getMessage.contains("SyntaxError"))
+      assert(client.call("py_digits", Seq(StringType), Seq(Seq("7"))) == Seq(1))
+    } finally client.close()
+  }
+
   test("fallible call: ZeroDivisionError message rides the error column") {
     val client = new UdfClient("127.0.0.1", port)
     try {

@@ -232,7 +232,31 @@ function handleAgg(verb, fname, body) {
 // Wire protocol: newline-framed commands; CALL/ACC bodies are one JSON line
 // ---------------------------------------------------------------------------
 
-const BODY_VERBS = new Set(["CALL", "CALLERR", "CALLTABLE", "ACC", "ACCRETRACT", "ACCMERGE", "ACCFINISH"]);
+const BODY_VERBS = new Set(["CALL", "CALLERR", "CALLTABLE", "ACC", "ACCRETRACT", "ACCMERGE", "ACCFINISH", "DEFINE"]);
+
+// Dynamic registration from source — the reference's Runtime.add_function
+// surface (javascript/mod.rs add_function: name + type + JS code shipped at
+// runtime). body: {kind: "scalar"|"table"|"aggregate", sig, code} where
+// `code` is a JS expression (arrow fn, function/generator expression, or an
+// object with the five aggregate methods).
+function handleDefine(body) {
+  const { kind, sig, code } = body;
+  let value;
+  try {
+    value = new Function(`"use strict"; return (${code});`)();
+  } catch (e) {
+    return { err: `define failed: ${e.constructor ? e.constructor.name : "Error"}: ${e.message}` };
+  }
+  try {
+    if (kind === "scalar") registry.scalar(sig, value);
+    else if (kind === "table") registry.table(sig, value);
+    else if (kind === "aggregate") registry.aggregate(sig, value);
+    else return { err: `define failed: bad kind ${kind}` };
+  } catch (e) {
+    return { err: `define failed: ${e.message}` };
+  }
+  return { ok: true };
+}
 
 function serve(sock) {
   sock.setNoDelay(true); // latency-bound write-write-read exchange
@@ -243,11 +267,13 @@ function serve(sock) {
     const sp = verbLine.indexOf(" ");
     const verb = sp < 0 ? verbLine : verbLine.slice(0, sp);
     const out =
-      verb === "CALLERR"
-        ? handleCallErr(fname, body)
-        : verb === "CALL" || verb === "CALLTABLE"
-          ? handleCall(fname, verb === "CALLTABLE", body)
-          : handleAgg(verb, fname, body);
+      verb === "DEFINE"
+        ? handleDefine(body)
+        : verb === "CALLERR"
+          ? handleCallErr(fname, body)
+          : verb === "CALL" || verb === "CALLTABLE"
+            ? handleCall(fname, verb === "CALLTABLE", body)
+            : handleAgg(verb, fname, body);
     if (out.err) sock.write(`ERR ${out.err}\n`);
     else sock.write("OK\n" + JSON.stringify(out) + "\n");
   }

@@ -437,6 +437,26 @@ def _serve_conn(sock):
                     for sig, _ in defs:
                         wf.write(sig.render().encode() + b"\n")
                     wf.write(b"\n")
+            elif line.startswith("DEFINE"):
+                # dynamic registration from source — the reference's core
+                # Runtime.add_function(name, type, mode, code) surface
+                # (python/mod.rs add_function_with_handler): signature,
+                # module source and handler name arrive as three blobs.
+                is_agg = line.startswith("DEFINEAGG")
+                sig_b, code_b, handler_b = _read_blob(rf), _read_blob(rf), _read_blob(rf)
+                try:
+                    sig = Sig(sig_b.decode("utf-8"))
+                    ns = {"udf": udf, "udaf": udaf, "pa": pa}
+                    exec(compile(code_b.decode("utf-8"), "<define:%s>" % sig.name, "exec"), ns)
+                    handler = handler_b.decode("utf-8") or sig.name
+                    target = ns[handler]
+                    if is_agg:
+                        AGG_REGISTRY[sig.name] = (sig, target())
+                    else:
+                        REGISTRY.setdefault(sig.name, []).insert(0, (sig, target))
+                    wf.write(b"OK\n")
+                except Exception as e:
+                    wf.write(("ERR %s: %s\n" % (type(e).__name__, e)).encode("utf-8"))
             elif line.startswith("CALLERR "):
                 _serve_call(line[8:].strip(), False, rf, wf, with_errors=True)
             elif line.startswith("CALL ") or line.startswith("CALLTABLE "):
