@@ -129,6 +129,26 @@ object SparkEntry {
         |LATERAL VIEW script_echoes(n) t AS value
         |ORDER BY l_orderkey, l_linenumber, v""".stripMargin) _,
 
+    // §2.1 #24 WASM guest tier: real wasm bytecode (module built by the
+    // graft emitter, functions discovered via the reference's
+    // arrowudf_<base64(sig)> export convention) interpreted in a sandbox
+    // with fuel + memory limits — see graft.wasm
+    "q_wasm_gcd" -> q(
+      """SELECT l_orderkey, l_linenumber,
+        |       wasm_gcd(CAST(l_partkey AS BIGINT), CAST(l_suppkey AS BIGINT)) AS g
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin) _,
+    "q_wasm_popcnt" -> q(
+      """SELECT l_orderkey, l_linenumber,
+        |       wasm_popcnt(CAST(l_orderkey AS BIGINT)) AS pc
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin) _,
+    // wasm div-by-zero traps surface on the error column, never fail the task
+    "q_wasm_div_error" -> q(
+      """SELECT l_orderkey, l_linenumber, d.value AS div_value, d.error AS div_error
+        |FROM (SELECT l_orderkey, l_linenumber,
+        |             wasm_div(CAST(l_partkey AS BIGINT), CAST(l_suppkey % 7 AS BIGINT)) AS d
+        |      FROM lineitem)
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin) _,
+
     // Columnar batch tier: gcd evaluated directly on the vectorized parquet
     // reader's ColumnarBatch (custom supportsColumnar SparkPlan, zero row
     // materialization between scan and kernel)
@@ -900,6 +920,21 @@ object SparkEntry {
         |       CASE WHEN l_suppkey % 7 = 0 THEN NULL
         |            ELSE CAST(CAST(l_partkey AS INT) // CAST(l_suppkey % 7 AS INT) AS INT) END AS div_value,
         |       CASE WHEN l_suppkey % 7 = 0 THEN 'RangeError: division by zero' END AS div_error
+        |FROM lineitem
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q_wasm_gcd" ->
+      """SELECT l_orderkey, l_linenumber,
+        |       CAST(gcd(CAST(l_partkey AS BIGINT), CAST(l_suppkey AS BIGINT)) AS BIGINT) AS g
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q_wasm_popcnt" ->
+      """SELECT l_orderkey, l_linenumber,
+        |       CAST(bit_count(CAST(l_orderkey AS BIGINT)) AS BIGINT) AS pc
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q_wasm_div_error" ->
+      """SELECT l_orderkey, l_linenumber,
+        |       CASE WHEN l_suppkey % 7 = 0 THEN NULL
+        |            ELSE CAST(CAST(l_partkey AS BIGINT) // CAST(l_suppkey % 7 AS BIGINT) AS BIGINT) END AS div_value,
+        |       CASE WHEN l_suppkey % 7 = 0 THEN 'integer divide by zero' END AS div_error
         |FROM lineitem
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
     "q_remote_map" ->

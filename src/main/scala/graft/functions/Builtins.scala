@@ -22,6 +22,7 @@ object Builtins {
     graft.ops.Dedup.registerAll()
     graft.ops.Similarity.registerAll()
     graft.ops.Multimodal.registerAll()
+    graft.wasm.WasmKernels.registerAll()
 
     // Embedded-runtime (graftscript) demo function — SURVEY §2.1 #13/#19 SPI.
     graft.runtime.ScriptUdf.register(

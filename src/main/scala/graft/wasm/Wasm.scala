@@ -1,0 +1,321 @@
+package graft.wasm
+
+import scala.collection.mutable.ArrayBuffer
+
+/**
+ * WebAssembly guest tier — the sandboxed untrusted-UDF story (SURVEY §2.1
+ * #24; reference `arrow-udf-runtime/src/wasm/mod.rs:87-613`).
+ *
+ * The reference embeds wasmtime and calls compiled `.wasm` cdylibs through an
+ * Arrow-IPC-in-guest-memory ABI. A JVM engine has no wasmtime; rather than
+ * declare the whole surface out of scope, graft ships a small spec-compliant
+ * *interpreter* for the WASM 1.0 numeric core (all i32/i64/f32/f64 ops,
+ * structured control flow, linear memory, globals, calls) with the exact
+ * containment properties that make the reference's tier valuable:
+ *
+ *  - **fuel budget** per call (the JS tier's timeout analogue,
+ *    `javascript/mod.rs:229-260`): a runaway loop traps deterministically
+ *    instead of hanging an executor core;
+ *  - **memory limit** (`wasm/mod.rs:54-58` `Config::memory_size_limit`):
+ *    `memory.grow` beyond the cap fails, an OOM-bomb guest cannot take the
+ *    JVM down (reference containment test `tests/wasm.rs:33-69`);
+ *  - **trap containment**: div-by-zero, OOB access, `unreachable`, stack
+ *    overflow surface as a catchable [[WasmTrap]] — per the error-column
+ *    convention, never a JVM crash;
+ *  - **instance isolation**: each instance owns its memory + globals; a
+ *    trapped instance is discarded, never returned to the pool
+ *    (`wasm/mod.rs:257-319` pool semantics).
+ *
+ * Deliberate subset (documented, validated at load): no imports, no
+ * tables/element segments (so no `call_indirect`), no SIMD/reference types,
+ * single-value block types. That covers every numeric kernel the reference's
+ * own wasm examples exercise (gcd/fib/arithmetic — `wasm/build.rs` snippets)
+ * while keeping the interpreter auditable.
+ */
+final class WasmTrap(msg: String) extends RuntimeException(msg)
+
+// ---------------------------------------------------------------------------
+// Instruction AST (decoded form; branch depths are relative label indices)
+// ---------------------------------------------------------------------------
+sealed trait Insn
+object Insn {
+  case object Unreachable extends Insn
+  case object Nop extends Insn
+  final case class Block(arity: Int, body: Array[Insn]) extends Insn
+  final case class Loop(body: Array[Insn]) extends Insn
+  final case class If(arity: Int, thn: Array[Insn], els: Array[Insn]) extends Insn
+  final case class Br(depth: Int) extends Insn
+  final case class BrIf(depth: Int) extends Insn
+  final case class BrTable(targets: Array[Int], default: Int) extends Insn
+  case object Return extends Insn
+  final case class Call(func: Int) extends Insn
+  case object Drop extends Insn
+  case object Select extends Insn
+  final case class LocalGet(i: Int) extends Insn
+  final case class LocalSet(i: Int) extends Insn
+  final case class LocalTee(i: Int) extends Insn
+  final case class GlobalGet(i: Int) extends Insn
+  final case class GlobalSet(i: Int) extends Insn
+  /** op = the original opcode byte (0x28-0x35 loads, 0x36-0x3E stores). */
+  final case class Load(op: Int, offset: Long) extends Insn
+  final case class Store(op: Int, offset: Long) extends Insn
+  case object MemorySize extends Insn
+  case object MemoryGrow extends Insn
+  final case class I32Const(v: Int) extends Insn
+  final case class I64Const(v: Long) extends Insn
+  final case class F32Const(v: Float) extends Insn
+  final case class F64Const(v: Double) extends Insn
+  /** Every pure numeric op 0x45-0xC4, dispatched by opcode in the interpreter. */
+  final case class Num(op: Int) extends Insn
+}
+
+final case class FuncType(params: Array[Byte], results: Array[Byte])
+final case class FuncDef(typeIdx: Int, locals: Array[Byte], body: Array[Insn])
+final case class GlobalDef(valType: Byte, mutable: Boolean, init: Array[Insn])
+final case class Export(name: String, kind: Int, idx: Int)
+final case class DataSeg(offset: Int, bytes: Array[Byte])
+
+/** A decoded, immutable module — shared across instances (the reference
+  * compiles the `Module` once and pools `Instance`s, `wasm/mod.rs:101-134`). */
+final class WasmModule(
+    val types: Array[FuncType],
+    val funcs: Array[FuncDef],
+    val memMin: Int,            // pages; -1 = no memory section
+    val memMax: Int,            // pages; Int.MaxValue if unbounded
+    val globals: Array[GlobalDef],
+    val exports: Array[Export],
+    val data: Array[DataSeg]) extends Serializable {
+
+  def exportedFunc(name: String): Option[Int] =
+    exports.find(e => e.name == name && e.kind == 0).map(_.idx)
+
+  def funcType(fidx: Int): FuncType = types(funcs(fidx).typeIdx)
+}
+
+object WasmModule {
+  final val PageSize = 65536
+
+  // valtype bytes
+  final val I32: Byte = 0x7F
+  final val I64: Byte = 0x7E
+  final val F32: Byte = 0x7D
+  final val F64: Byte = 0x7C
+
+  /** Decode a binary module. Rejects (with a clear message) the features the
+    * interpreter deliberately does not implement. */
+  def decode(binary: Array[Byte]): WasmModule = {
+    val r = new ByteReader(binary)
+    if (r.u32() != 0x6D736100) throw new WasmTrap("not a wasm binary (bad magic)")
+    if (r.u32() != 1) throw new WasmTrap("unsupported wasm version (want 1)")
+
+    var types = Array.empty[FuncType]
+    var funcTypeIdx = Array.empty[Int]
+    var memMin = -1
+    var memMax = Int.MaxValue
+    val globals = ArrayBuffer.empty[GlobalDef]
+    val exports = ArrayBuffer.empty[Export]
+    var bodies = Array.empty[(Array[Byte], Array[Insn])]
+    val data = ArrayBuffer.empty[DataSeg]
+
+    while (r.hasMore) {
+      val secId = r.byte()
+      val size = r.lebU32()
+      val end = r.pos + size
+      secId match {
+        case 0 => r.skipTo(end) // custom
+        case 1 => // types
+          types = Array.fill(r.lebU32()) {
+            if (r.byte() != 0x60) throw new WasmTrap("malformed functype")
+            val params = Array.fill(r.lebU32())(valType(r.byte()))
+            val results = Array.fill(r.lebU32())(valType(r.byte()))
+            if (results.length > 1) throw new WasmTrap("multi-value results unsupported")
+            FuncType(params, results)
+          }
+        case 2 =>
+          if (r.lebU32() > 0)
+            throw new WasmTrap("imports unsupported: graft wasm modules must be self-contained")
+        case 3 => funcTypeIdx = Array.fill(r.lebU32())(r.lebU32())
+        case 4 =>
+          if (r.lebU32() > 0) throw new WasmTrap("tables/call_indirect unsupported")
+        case 5 => // memory
+          val n = r.lebU32()
+          if (n > 1) throw new WasmTrap("multiple memories unsupported")
+          if (n == 1) {
+            val flags = r.byte()
+            memMin = r.lebU32()
+            memMax = if ((flags & 1) != 0) r.lebU32() else Int.MaxValue
+          }
+        case 6 => // globals
+          for (_ <- 0 until r.lebU32()) {
+            val vt = valType(r.byte())
+            val mut = r.byte() == 1
+            globals += GlobalDef(vt, mut, decodeExpr(r, stopOnElse = false)._1)
+          }
+        case 7 => // exports
+          for (_ <- 0 until r.lebU32()) {
+            val name = r.name()
+            val kind = r.byte().toInt
+            exports += Export(name, kind, r.lebU32())
+          }
+        case 8 => throw new WasmTrap("start section unsupported")
+        case 9 => throw new WasmTrap("element segments unsupported")
+        case 10 => // code
+          bodies = Array.fill(r.lebU32()) {
+            val bodySize = r.lebU32()
+            val bodyEnd = r.pos + bodySize
+            val locals = ArrayBuffer.empty[Byte]
+            for (_ <- 0 until r.lebU32()) {
+              val count = r.lebU32()
+              if (count > 65536) throw new WasmTrap("too many locals")
+              val vt = valType(r.byte())
+              for (_ <- 0 until count) locals += vt
+            }
+            val insns = decodeExpr(r, stopOnElse = false)._1
+            if (r.pos != bodyEnd) throw new WasmTrap("code body size mismatch")
+            (locals.toArray, insns)
+          }
+        case 11 => // data
+          for (_ <- 0 until r.lebU32()) {
+            val flags = r.lebU32()
+            if (flags != 0) throw new WasmTrap("only active data segments on memory 0 supported")
+            val off = decodeExpr(r, stopOnElse = false)._1 match {
+              case Array(Insn.I32Const(v)) => v
+              case _ => throw new WasmTrap("data offset must be a single i32.const")
+            }
+            data += DataSeg(off, r.bytes(r.lebU32()))
+          }
+        case 12 => r.skipTo(end) // datacount
+        case other => throw new WasmTrap(s"unsupported section $other")
+      }
+      if (r.pos != end) throw new WasmTrap(s"section $secId size mismatch")
+    }
+
+    if (funcTypeIdx.length != bodies.length)
+      throw new WasmTrap("function/code section count mismatch")
+    val funcs = funcTypeIdx.zip(bodies).map { case (ti, (locals, body)) =>
+      if (ti < 0 || ti >= types.length) throw new WasmTrap("bad type index")
+      FuncDef(ti, locals, body)
+    }
+    new WasmModule(types, funcs, memMin, memMax, globals.toArray, exports.toArray, data.toArray)
+  }
+
+  private def valType(b: Byte): Byte = b match {
+    case I32 | I64 | F32 | F64 => b
+    case 0x7B => throw new WasmTrap("v128/SIMD unsupported")
+    case 0x70 | 0x6F => throw new WasmTrap("reference types unsupported")
+    case other => throw new WasmTrap(f"unknown value type 0x$other%02x")
+  }
+
+  private def blockArity(r: ByteReader): Int = r.byte() match {
+    case 0x40 => 0
+    case I32 | I64 | F32 | F64 => 1
+    case _ => throw new WasmTrap("type-index block types unsupported")
+  }
+
+  /** Decode an instruction sequence up to `end` (0x0B) — or, inside an `if`,
+    * up to `else` (0x05). Returns (instructions, endedWithElse). */
+  private def decodeExpr(r: ByteReader, stopOnElse: Boolean): (Array[Insn], Boolean) = {
+    import Insn._
+    val out = ArrayBuffer.empty[Insn]
+    while (true) {
+      val op = r.byte() & 0xFF
+      op match {
+        case 0x0B => return (out.toArray, false)
+        case 0x05 =>
+          if (!stopOnElse) throw new WasmTrap("unexpected else")
+          return (out.toArray, true)
+        case 0x00 => out += Unreachable
+        case 0x01 => out += Nop
+        case 0x02 =>
+          val a = blockArity(r)
+          out += Block(a, decodeExpr(r, stopOnElse = false)._1)
+        case 0x03 =>
+          blockArity(r) // loop label arity (params) is 0 in MVP; result arity unused for br
+          out += Loop(decodeExpr(r, stopOnElse = false)._1)
+        case 0x04 =>
+          val a = blockArity(r)
+          val (thn, hasElse) = decodeExpr(r, stopOnElse = true)
+          val els = if (hasElse) decodeExpr(r, stopOnElse = false)._1 else Array.empty[Insn]
+          out += If(a, thn, els)
+        case 0x0C => out += Br(r.lebU32())
+        case 0x0D => out += BrIf(r.lebU32())
+        case 0x0E =>
+          val targets = Array.fill(r.lebU32())(r.lebU32())
+          out += BrTable(targets, r.lebU32())
+        case 0x0F => out += Return
+        case 0x10 => out += Call(r.lebU32())
+        case 0x11 => throw new WasmTrap("call_indirect unsupported (no tables)")
+        case 0x1A => out += Drop
+        case 0x1B => out += Select
+        case 0x20 => out += LocalGet(r.lebU32())
+        case 0x21 => out += LocalSet(r.lebU32())
+        case 0x22 => out += LocalTee(r.lebU32())
+        case 0x23 => out += GlobalGet(r.lebU32())
+        case 0x24 => out += GlobalSet(r.lebU32())
+        case ld if ld >= 0x28 && ld <= 0x35 =>
+          r.lebU32() // align hint — ignored (interpreter is alignment-tolerant)
+          out += Load(ld, r.lebU32().toLong & 0xFFFFFFFFL)
+        case st if st >= 0x36 && st <= 0x3E =>
+          r.lebU32()
+          out += Store(st, r.lebU32().toLong & 0xFFFFFFFFL)
+        case 0x3F => r.byte(); out += MemorySize
+        case 0x40 => r.byte(); out += MemoryGrow
+        case 0x41 => out += I32Const(r.lebI32())
+        case 0x42 => out += I64Const(r.lebI64())
+        case 0x43 => out += F32Const(java.lang.Float.intBitsToFloat(r.u32()))
+        case 0x44 => out += F64Const(java.lang.Double.longBitsToDouble(r.u64()))
+        case num if num >= 0x45 && num <= 0xC4 => out += Num(num)
+        case other => throw new WasmTrap(f"unsupported opcode 0x$other%02x")
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+}
+
+/** Little-endian primitive reader over the module bytes. */
+private[wasm] final class ByteReader(buf: Array[Byte]) {
+  var pos = 0
+  def hasMore: Boolean = pos < buf.length
+  def byte(): Byte = {
+    if (pos >= buf.length) throw new WasmTrap("unexpected end of module")
+    val b = buf(pos); pos += 1; b
+  }
+  def bytes(n: Int): Array[Byte] = {
+    if (n < 0 || pos + n > buf.length) throw new WasmTrap("unexpected end of module")
+    val out = java.util.Arrays.copyOfRange(buf, pos, pos + n); pos += n; out
+  }
+  def skipTo(p: Int): Unit = { if (p > buf.length) throw new WasmTrap("bad section size"); pos = p }
+  def u32(): Int = { val b = bytes(4)
+    (b(0) & 0xFF) | ((b(1) & 0xFF) << 8) | ((b(2) & 0xFF) << 16) | ((b(3) & 0xFF) << 24) }
+  def u64(): Long = (u32().toLong & 0xFFFFFFFFL) | (u32().toLong << 32)
+  def lebU32(): Int = {
+    var result = 0L; var shift = 0
+    while (true) {
+      val b = byte() & 0xFF
+      result |= (b & 0x7FL) << shift
+      if ((b & 0x80) == 0) {
+        if (result > 0xFFFFFFFFL) throw new WasmTrap("leb u32 overflow")
+        return result.toInt
+      }
+      shift += 7
+      if (shift > 35) throw new WasmTrap("leb u32 too long")
+    }
+    0
+  }
+  def lebI64(): Long = {
+    var result = 0L; var shift = 0
+    while (true) {
+      val b = byte() & 0xFF
+      result |= (b & 0x7FL) << shift
+      shift += 7
+      if ((b & 0x80) == 0) {
+        if (shift < 64 && (b & 0x40) != 0) result |= -1L << shift
+        return result
+      }
+      if (shift > 70) throw new WasmTrap("leb i64 too long")
+    }
+    0
+  }
+  def lebI32(): Int = lebI64().toInt
+  def name(): String = new String(bytes(lebU32()), java.nio.charset.StandardCharsets.UTF_8)
+}

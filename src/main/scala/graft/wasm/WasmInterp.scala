@@ -1,0 +1,433 @@
+package graft.wasm
+
+/** Per-call resource limits (reference `wasm/mod.rs:54-58` `Config`; fuel is
+  * the JS timeout analogue, `javascript/mod.rs:229-260`). */
+final case class WasmConfig(
+    fuel: Long = 10_000_000L,        // interpreter steps per exported call
+    memoryLimitBytes: Long = 64L << 20, // hard cap regardless of module max
+    maxCallDepth: Int = 1000) extends Serializable
+
+/**
+ * One instantiated module: its own linear memory + mutable globals.
+ * NOT thread-safe — callers pool instances and borrow one per call
+ * (reference pool semantics `wasm/mod.rs:263-278`: pop-or-create, return
+ * only on success; a trapped instance is discarded).
+ *
+ * Value representation: a uniform `Long` slot stack; f32/f64 travel as raw
+ * IEEE bits (`floatToRawIntBits`/`doubleToRawLongBits`), i32 is kept
+ * sign-extended. This is the standard untyped-interpreter design — types are
+ * a property of the instruction, not the slot.
+ */
+final class WasmInstance(val module: WasmModule, val config: WasmConfig) {
+  import Insn._
+  import WasmModule.PageSize
+
+  private val hardMaxPages: Int =
+    math.min(module.memMax.toLong, config.memoryLimitBytes / PageSize).toInt
+
+  private var memPages: Int = if (module.memMin < 0) 0 else module.memMin
+  private var mem: Array[Byte] =
+    if (module.memMin <= 0) new Array[Byte](math.max(0, memPages) * PageSize)
+    else {
+      if (module.memMin > hardMaxPages)
+        throw new WasmTrap(s"module min memory ${module.memMin} pages exceeds limit $hardMaxPages")
+      new Array[Byte](module.memMin * PageSize)
+    }
+
+  private val globals: Array[Long] = module.globals.map { g =>
+    g.init match {
+      case Array(I32Const(v)) => v.toLong
+      case Array(I64Const(v)) => v
+      case Array(F32Const(v)) => java.lang.Float.floatToRawIntBits(v).toLong & 0xFFFFFFFFL
+      case Array(F64Const(v)) => java.lang.Double.doubleToRawLongBits(v)
+      case _ => throw new WasmTrap("global init must be a single const")
+    }
+  }
+
+  // active data segments are copied in at instantiation
+  module.data.foreach { seg =>
+    if (seg.offset < 0 || seg.offset.toLong + seg.bytes.length > mem.length)
+      throw new WasmTrap("data segment out of bounds")
+    System.arraycopy(seg.bytes, 0, mem, seg.offset, seg.bytes.length)
+  }
+
+  // ---- per-call state ------------------------------------------------------
+  private var fuel: Long = 0L
+  private var depth: Int = 0
+  private var stack = new Array[Long](256)
+  private var sp = 0
+
+  private def push(v: Long): Unit = {
+    if (sp == stack.length) stack = java.util.Arrays.copyOf(stack, stack.length * 2)
+    stack(sp) = v; sp += 1
+  }
+  private def pop(): Long = { sp -= 1; stack(sp) }
+
+  /** Invoke an exported function. `args`/result use the slot encoding. */
+  def invoke(exportName: String, args: Array[Long]): Long = {
+    val fidx = module.exportedFunc(exportName)
+      .getOrElse(throw new WasmTrap(s"function not found: $exportName"))
+    fuel = config.fuel
+    depth = 0
+    sp = 0
+    val ft = module.funcType(fidx)
+    if (ft.params.length != args.length)
+      throw new WasmTrap(s"$exportName expects ${ft.params.length} args, got ${args.length}")
+    args.foreach(push)
+    callFunc(fidx)
+    if (ft.results.length == 1) pop() else 0L
+  }
+
+  /** Pops args from the operand stack, runs the body, leaves results on it. */
+  private def callFunc(fidx: Int): Unit = {
+    if (fidx < 0 || fidx >= module.funcs.length) throw new WasmTrap("bad function index")
+    depth += 1
+    if (depth > config.maxCallDepth) throw new WasmTrap("call depth exceeded")
+    val fd = module.funcs(fidx)
+    val ft = module.types(fd.typeIdx)
+    val nParams = ft.params.length
+    val locals = new Array[Long](nParams + fd.locals.length)
+    var i = nParams - 1
+    while (i >= 0) { locals(i) = pop(); i -= 1 }
+    val base = sp
+    val r = exec(fd.body, locals)
+    // normalize the frame: keep the declared results, discard the rest
+    val nRes = ft.results.length
+    if (r != FALL || sp != base + nRes) {
+      var j = nRes - 1
+      val res = new Array[Long](nRes)
+      while (j >= 0) { res(j) = pop(); j -= 1 }
+      sp = base
+      res.foreach(push)
+    }
+    depth -= 1
+  }
+
+  private final val FALL = -1 // fallthrough marker for exec()
+
+  /** Execute a sequence; returns FALL or a branch depth relative to the
+    * *enclosing* label after this sequence's own labels are consumed. */
+  private def exec(body: Array[Insn], locals: Array[Long]): Int = {
+    var pc = 0
+    while (pc < body.length) {
+      fuel -= 1
+      if (fuel <= 0) throw new WasmTrap("fuel exhausted (runaway guest)")
+      body(pc) match {
+        case Nop =>
+        case Unreachable => throw new WasmTrap("unreachable executed")
+        case Block(arity, inner) =>
+          val base = sp
+          val r = exec(inner, locals)
+          if (r == 0 || r == FALL) truncate(base, arity)
+          else if (r == Int.MaxValue) return Int.MaxValue
+          else return r - 1
+        case Loop(inner) =>
+          val base = sp
+          var continue = true
+          while (continue) {
+            val r = exec(inner, locals)
+            if (r == 0) { sp = base } // br to loop head: restart
+            else if (r == FALL) continue = false
+            else if (r == Int.MaxValue) return Int.MaxValue
+            else return r - 1
+          }
+        case If(arity, thn, els) =>
+          val cond = pop()
+          val base = sp
+          val r = exec(if (cond != 0) thn else els, locals)
+          if (r == 0 || r == FALL) truncate(base, arity)
+          else if (r == Int.MaxValue) return Int.MaxValue
+          else return r - 1
+        case Br(d) => return d
+        case BrIf(d) => if (pop() != 0) return d
+        case BrTable(targets, default) =>
+          val idx = pop().toInt
+          return if (idx >= 0 && idx < targets.length) targets(idx) else default
+        case Return => return Int.MaxValue
+        case Call(f) => callFunc(f)
+        case Drop => sp -= 1
+        case Select =>
+          val c = pop(); val b = pop(); val a = pop()
+          push(if (c != 0) a else b)
+        case LocalGet(i) => push(locals(i))
+        case LocalSet(i) => locals(i) = pop()
+        case LocalTee(i) => locals(i) = stack(sp - 1)
+        case GlobalGet(i) => push(globals(i))
+        case GlobalSet(i) =>
+          if (!module.globals(i).mutable) throw new WasmTrap("set of immutable global")
+          globals(i) = pop()
+        case Load(op, off) => load(op, off)
+        case Store(op, off) => store(op, off)
+        case MemorySize => push(memPages.toLong)
+        case MemoryGrow =>
+          val delta = pop().toInt
+          val newPages = memPages.toLong + delta
+          if (delta < 0 || newPages > hardMaxPages) push(-1L)
+          else {
+            mem = java.util.Arrays.copyOf(mem, (newPages * PageSize).toInt)
+            push(memPages.toLong)
+            memPages = newPages.toInt
+          }
+        case I32Const(v) => push(v.toLong)
+        case I64Const(v) => push(v)
+        case F32Const(v) => pushF32(v)
+        case F64Const(v) => pushF64(v)
+        case Num(op) => numeric(op)
+      }
+      pc += 1
+    }
+    FALL
+  }
+
+  /** Keep the top `arity` slots, reset to `base`, push them back — the
+    * label-exit stack discipline for both branch and fallthrough. */
+  private def truncate(base: Int, arity: Int): Unit = {
+    if (sp != base + arity) {
+      if (arity == 1) { val v = pop(); sp = base; push(v) }
+      else sp = base
+    }
+  }
+
+  // ---- memory --------------------------------------------------------------
+  private def addr(offset: Long, width: Int): Int = {
+    val a = (pop() & 0xFFFFFFFFL) + offset
+    if (a < 0 || a + width > mem.length) throw new WasmTrap("out of bounds memory access")
+    a.toInt
+  }
+  private def rd(a: Int, w: Int): Long = {
+    var v = 0L; var i = w - 1
+    while (i >= 0) { v = (v << 8) | (mem(a + i) & 0xFFL); i -= 1 }
+    v
+  }
+  private def wr(a: Int, w: Int, v: Long): Unit = {
+    var i = 0
+    while (i < w) { mem(a + i) = ((v >>> (8 * i)) & 0xFF).toByte; i += 1 }
+  }
+  private def signExtend(v: Long, bits: Int): Long = (v << (64 - bits)) >> (64 - bits)
+
+  private def load(op: Int, off: Long): Unit = op match {
+    case 0x28 => push(signExtend(rd(addr(off, 4), 4), 32))        // i32.load
+    case 0x29 => push(rd(addr(off, 8), 8))                        // i64.load
+    case 0x2A => push(rd(addr(off, 4), 4))                        // f32.load (raw bits)
+    case 0x2B => push(rd(addr(off, 8), 8))                        // f64.load
+    case 0x2C => push(signExtend(rd(addr(off, 1), 1), 8))         // i32.load8_s
+    case 0x2D => push(rd(addr(off, 1), 1))                        // i32.load8_u
+    case 0x2E => push(signExtend(rd(addr(off, 2), 2), 16))        // i32.load16_s
+    case 0x2F => push(rd(addr(off, 2), 2))                        // i32.load16_u
+    case 0x30 => push(signExtend(rd(addr(off, 1), 1), 8))         // i64.load8_s
+    case 0x31 => push(rd(addr(off, 1), 1))                        // i64.load8_u
+    case 0x32 => push(signExtend(rd(addr(off, 2), 2), 16))        // i64.load16_s
+    case 0x33 => push(rd(addr(off, 2), 2))                        // i64.load16_u
+    case 0x34 => push(signExtend(rd(addr(off, 4), 4), 32))        // i64.load32_s
+    case 0x35 => push(rd(addr(off, 4), 4))                        // i64.load32_u
+    case _ => throw new WasmTrap(f"bad load 0x$op%02x")
+  }
+
+  private def store(op: Int, off: Long): Unit = {
+    val v = pop()
+    op match {
+      case 0x36 => wr(addr(off, 4), 4, v)  // i32.store
+      case 0x37 => wr(addr(off, 8), 8, v)  // i64.store
+      case 0x38 => wr(addr(off, 4), 4, v)  // f32.store (raw bits already)
+      case 0x39 => wr(addr(off, 8), 8, v)  // f64.store
+      case 0x3A => wr(addr(off, 1), 1, v)
+      case 0x3B => wr(addr(off, 2), 2, v)
+      case 0x3C => wr(addr(off, 1), 1, v)
+      case 0x3D => wr(addr(off, 2), 2, v)
+      case 0x3E => wr(addr(off, 4), 4, v)
+      case _ => throw new WasmTrap(f"bad store 0x$op%02x")
+    }
+  }
+
+  // ---- numeric core --------------------------------------------------------
+  private def popF32(): Float = java.lang.Float.intBitsToFloat(pop().toInt)
+  private def popF64(): Double = java.lang.Double.longBitsToDouble(pop())
+  private def pushF32(v: Float): Unit =
+    push(java.lang.Float.floatToRawIntBits(v).toLong & 0xFFFFFFFFL)
+  private def pushF64(v: Double): Unit = push(java.lang.Double.doubleToRawLongBits(v))
+  private def pushB(b: Boolean): Unit = push(if (b) 1L else 0L)
+  private def popI32(): Int = pop().toInt
+
+  private def truncChecked(d: Double, lo: Double, hi: Double): Long = {
+    if (d.isNaN) throw new WasmTrap("invalid conversion to integer (NaN)")
+    val t = if (d < 0) math.ceil(d) else math.floor(d)
+    if (t < lo || t > hi) throw new WasmTrap("integer overflow in trunc")
+    t.toLong
+  }
+
+  private def numeric(op: Int): Unit = (op: @annotation.switch) match {
+    // i32 compare
+    case 0x45 => pushB(popI32() == 0)
+    case 0x46 => { val b = popI32(); val a = popI32(); pushB(a == b) }
+    case 0x47 => { val b = popI32(); val a = popI32(); pushB(a != b) }
+    case 0x48 => { val b = popI32(); val a = popI32(); pushB(a < b) }
+    case 0x49 => { val b = popI32(); val a = popI32(); pushB(java.lang.Integer.compareUnsigned(a, b) < 0) }
+    case 0x4A => { val b = popI32(); val a = popI32(); pushB(a > b) }
+    case 0x4B => { val b = popI32(); val a = popI32(); pushB(java.lang.Integer.compareUnsigned(a, b) > 0) }
+    case 0x4C => { val b = popI32(); val a = popI32(); pushB(a <= b) }
+    case 0x4D => { val b = popI32(); val a = popI32(); pushB(java.lang.Integer.compareUnsigned(a, b) <= 0) }
+    case 0x4E => { val b = popI32(); val a = popI32(); pushB(a >= b) }
+    case 0x4F => { val b = popI32(); val a = popI32(); pushB(java.lang.Integer.compareUnsigned(a, b) >= 0) }
+    // i64 compare
+    case 0x50 => pushB(pop() == 0L)
+    case 0x51 => { val b = pop(); val a = pop(); pushB(a == b) }
+    case 0x52 => { val b = pop(); val a = pop(); pushB(a != b) }
+    case 0x53 => { val b = pop(); val a = pop(); pushB(a < b) }
+    case 0x54 => { val b = pop(); val a = pop(); pushB(java.lang.Long.compareUnsigned(a, b) < 0) }
+    case 0x55 => { val b = pop(); val a = pop(); pushB(a > b) }
+    case 0x56 => { val b = pop(); val a = pop(); pushB(java.lang.Long.compareUnsigned(a, b) > 0) }
+    case 0x57 => { val b = pop(); val a = pop(); pushB(a <= b) }
+    case 0x58 => { val b = pop(); val a = pop(); pushB(java.lang.Long.compareUnsigned(a, b) <= 0) }
+    case 0x59 => { val b = pop(); val a = pop(); pushB(a >= b) }
+    case 0x5A => { val b = pop(); val a = pop(); pushB(java.lang.Long.compareUnsigned(a, b) >= 0) }
+    // f32 compare
+    case 0x5B => { val b = popF32(); val a = popF32(); pushB(a == b) }
+    case 0x5C => { val b = popF32(); val a = popF32(); pushB(a != b) }
+    case 0x5D => { val b = popF32(); val a = popF32(); pushB(a < b) }
+    case 0x5E => { val b = popF32(); val a = popF32(); pushB(a > b) }
+    case 0x5F => { val b = popF32(); val a = popF32(); pushB(a <= b) }
+    case 0x60 => { val b = popF32(); val a = popF32(); pushB(a >= b) }
+    // f64 compare
+    case 0x61 => { val b = popF64(); val a = popF64(); pushB(a == b) }
+    case 0x62 => { val b = popF64(); val a = popF64(); pushB(a != b) }
+    case 0x63 => { val b = popF64(); val a = popF64(); pushB(a < b) }
+    case 0x64 => { val b = popF64(); val a = popF64(); pushB(a > b) }
+    case 0x65 => { val b = popF64(); val a = popF64(); pushB(a <= b) }
+    case 0x66 => { val b = popF64(); val a = popF64(); pushB(a >= b) }
+    // i32 arithmetic
+    case 0x67 => push(java.lang.Integer.numberOfLeadingZeros(popI32()).toLong)
+    case 0x68 => push(java.lang.Integer.numberOfTrailingZeros(popI32()).toLong)
+    case 0x69 => push(java.lang.Integer.bitCount(popI32()).toLong)
+    case 0x6A => { val b = popI32(); val a = popI32(); push((a + b).toLong) }
+    case 0x6B => { val b = popI32(); val a = popI32(); push((a - b).toLong) }
+    case 0x6C => { val b = popI32(); val a = popI32(); push((a * b).toLong) }
+    case 0x6D =>
+      val b = popI32(); val a = popI32()
+      if (b == 0) throw new WasmTrap("integer divide by zero")
+      if (a == Int.MinValue && b == -1) throw new WasmTrap("integer overflow")
+      push((a / b).toLong)
+    case 0x6E =>
+      val b = popI32(); val a = popI32()
+      if (b == 0) throw new WasmTrap("integer divide by zero")
+      push(java.lang.Integer.divideUnsigned(a, b).toLong)
+    case 0x6F =>
+      val b = popI32(); val a = popI32()
+      if (b == 0) throw new WasmTrap("integer divide by zero")
+      push((if (a == Int.MinValue && b == -1) 0 else a % b).toLong)
+    case 0x70 =>
+      val b = popI32(); val a = popI32()
+      if (b == 0) throw new WasmTrap("integer divide by zero")
+      push(java.lang.Integer.remainderUnsigned(a, b).toLong)
+    case 0x71 => { val b = popI32(); val a = popI32(); push((a & b).toLong) }
+    case 0x72 => { val b = popI32(); val a = popI32(); push((a | b).toLong) }
+    case 0x73 => { val b = popI32(); val a = popI32(); push((a ^ b).toLong) }
+    case 0x74 => { val b = popI32(); val a = popI32(); push((a << (b & 31)).toLong) }
+    case 0x75 => { val b = popI32(); val a = popI32(); push((a >> (b & 31)).toLong) }
+    case 0x76 => { val b = popI32(); val a = popI32(); push((a >>> (b & 31)).toLong) }
+    case 0x77 => { val b = popI32(); val a = popI32(); push(java.lang.Integer.rotateLeft(a, b).toLong) }
+    case 0x78 => { val b = popI32(); val a = popI32(); push(java.lang.Integer.rotateRight(a, b).toLong) }
+    // i64 arithmetic
+    case 0x79 => push(java.lang.Long.numberOfLeadingZeros(pop()).toLong)
+    case 0x7A => push(java.lang.Long.numberOfTrailingZeros(pop()).toLong)
+    case 0x7B => push(java.lang.Long.bitCount(pop()).toLong)
+    case 0x7C => { val b = pop(); val a = pop(); push(a + b) }
+    case 0x7D => { val b = pop(); val a = pop(); push(a - b) }
+    case 0x7E => { val b = pop(); val a = pop(); push(a * b) }
+    case 0x7F =>
+      val b = pop(); val a = pop()
+      if (b == 0) throw new WasmTrap("integer divide by zero")
+      if (a == Long.MinValue && b == -1) throw new WasmTrap("integer overflow")
+      push(a / b)
+    case 0x80 =>
+      val b = pop(); val a = pop()
+      if (b == 0) throw new WasmTrap("integer divide by zero")
+      push(java.lang.Long.divideUnsigned(a, b))
+    case 0x81 =>
+      val b = pop(); val a = pop()
+      if (b == 0) throw new WasmTrap("integer divide by zero")
+      push(if (a == Long.MinValue && b == -1) 0L else a % b)
+    case 0x82 =>
+      val b = pop(); val a = pop()
+      if (b == 0) throw new WasmTrap("integer divide by zero")
+      push(java.lang.Long.remainderUnsigned(a, b))
+    case 0x83 => { val b = pop(); val a = pop(); push(a & b) }
+    case 0x84 => { val b = pop(); val a = pop(); push(a | b) }
+    case 0x85 => { val b = pop(); val a = pop(); push(a ^ b) }
+    case 0x86 => { val b = pop(); val a = pop(); push(a << (b & 63)) }
+    case 0x87 => { val b = pop(); val a = pop(); push(a >> (b & 63)) }
+    case 0x88 => { val b = pop(); val a = pop(); push(a >>> (b & 63)) }
+    case 0x89 => { val b = pop(); val a = pop(); push(java.lang.Long.rotateLeft(a, b.toInt)) }
+    case 0x8A => { val b = pop(); val a = pop(); push(java.lang.Long.rotateRight(a, b.toInt)) }
+    // f32
+    case 0x8B => pushF32(math.abs(popF32()))
+    case 0x8C => pushF32(-popF32())
+    case 0x8D => pushF32(math.ceil(popF32().toDouble).toFloat)
+    case 0x8E => pushF32(math.floor(popF32().toDouble).toFloat)
+    case 0x8F => { val v = popF32(); pushF32(if (v < 0) math.ceil(v.toDouble).toFloat else math.floor(v.toDouble).toFloat) }
+    case 0x90 => pushF32(math.rint(popF32().toDouble).toFloat)
+    case 0x91 => pushF32(math.sqrt(popF32().toDouble).toFloat)
+    case 0x92 => { val b = popF32(); val a = popF32(); pushF32(a + b) }
+    case 0x93 => { val b = popF32(); val a = popF32(); pushF32(a - b) }
+    case 0x94 => { val b = popF32(); val a = popF32(); pushF32(a * b) }
+    case 0x95 => { val b = popF32(); val a = popF32(); pushF32(a / b) }
+    case 0x96 => { val b = popF32(); val a = popF32(); pushF32(java.lang.Math.min(a, b)) }
+    case 0x97 => { val b = popF32(); val a = popF32(); pushF32(java.lang.Math.max(a, b)) }
+    case 0x98 => { val b = popF32(); val a = popF32(); pushF32(java.lang.Math.copySign(a, b)) }
+    // f64
+    case 0x99 => pushF64(math.abs(popF64()))
+    case 0x9A => pushF64(-popF64())
+    case 0x9B => pushF64(math.ceil(popF64()))
+    case 0x9C => pushF64(math.floor(popF64()))
+    case 0x9D => { val v = popF64(); pushF64(if (v < 0) math.ceil(v) else math.floor(v)) }
+    case 0x9E => pushF64(math.rint(popF64()))
+    case 0x9F => pushF64(math.sqrt(popF64()))
+    case 0xA0 => { val b = popF64(); val a = popF64(); pushF64(a + b) }
+    case 0xA1 => { val b = popF64(); val a = popF64(); pushF64(a - b) }
+    case 0xA2 => { val b = popF64(); val a = popF64(); pushF64(a * b) }
+    case 0xA3 => { val b = popF64(); val a = popF64(); pushF64(a / b) }
+    case 0xA4 => { val b = popF64(); val a = popF64(); pushF64(java.lang.Math.min(a, b)) }
+    case 0xA5 => { val b = popF64(); val a = popF64(); pushF64(java.lang.Math.max(a, b)) }
+    case 0xA6 => { val b = popF64(); val a = popF64(); pushF64(java.lang.Math.copySign(a, b)) }
+    // conversions
+    case 0xA7 => push(signExtend(pop(), 32))                               // i32.wrap_i64
+    case 0xA8 => push(signExtend(truncChecked(popF32().toDouble, Int.MinValue.toDouble, Int.MaxValue.toDouble), 32))
+    case 0xA9 => push(signExtend(truncChecked(popF32().toDouble, 0, 4294967295.0), 32))
+    case 0xAA => push(signExtend(truncChecked(popF64(), Int.MinValue.toDouble, Int.MaxValue.toDouble), 32))
+    case 0xAB => push(signExtend(truncChecked(popF64(), 0, 4294967295.0), 32))
+    case 0xAC => push(popI32().toLong)                                     // i64.extend_i32_s
+    case 0xAD => push(pop() & 0xFFFFFFFFL)                                 // i64.extend_i32_u
+    case 0xAE => push(truncChecked(popF32().toDouble, Long.MinValue.toDouble, 9.223372036854775E18))
+    case 0xAF => pushTruncU64(popF32().toDouble)
+    case 0xB0 => push(truncChecked(popF64(), Long.MinValue.toDouble, 9.223372036854775E18))
+    case 0xB1 => pushTruncU64(popF64())
+    case 0xB2 => pushF32(popI32().toFloat)
+    case 0xB3 => pushF32((pop() & 0xFFFFFFFFL).toFloat)
+    case 0xB4 => pushF32(pop().toFloat)
+    case 0xB5 => { val v = pop(); pushF32(if (v >= 0) v.toFloat else ((v >>> 1) | (v & 1)).toFloat * 2.0f) }
+    case 0xB6 => pushF32(popF64().toFloat)                                 // f32.demote_f64
+    case 0xB7 => pushF64(popI32().toDouble)
+    case 0xB8 => pushF64((pop() & 0xFFFFFFFFL).toDouble)
+    case 0xB9 => pushF64(pop().toDouble)
+    case 0xBA => { val v = pop(); pushF64(if (v >= 0) v.toDouble else ((v >>> 1) | (v & 1)).toDouble * 2.0) }
+    case 0xBB => pushF64(popF32().toDouble)                                // f64.promote_f32
+    case 0xBC => push(pop() & 0xFFFFFFFFL)                                 // i32.reinterpret_f32
+    case 0xBD =>                                                           // i64.reinterpret_f64
+    case 0xBE =>                                                           // f32.reinterpret_i32
+    case 0xBF =>                                                           // f64.reinterpret_i64
+    // sign extension
+    case 0xC0 => push(signExtend(pop(), 8))
+    case 0xC1 => push(signExtend(pop(), 16))
+    case 0xC2 => push(signExtend(pop(), 8))
+    case 0xC3 => push(signExtend(pop(), 16))
+    case 0xC4 => push(signExtend(pop(), 32))
+    case other => throw new WasmTrap(f"unsupported numeric opcode 0x$other%02x")
+  }
+
+  private def pushTruncU64(d: Double): Unit = {
+    if (d.isNaN) throw new WasmTrap("invalid conversion to integer (NaN)")
+    val t = if (d < 0) math.ceil(d) else math.floor(d)
+    if (t < 0 || t >= 1.8446744073709552E19) throw new WasmTrap("integer overflow in trunc")
+    push(if (t < 9.223372036854776E18) t.toLong
+         else (t - 9.223372036854776E18).toLong + Long.MinValue)
+  }
+}

@@ -1,0 +1,100 @@
+package graft.wasm
+
+import Asm._
+
+/**
+ * The built-in WASM guest module — graft's analogue of the reference's
+ * example wasm crate (`arrow-udf-example`, compiled by `wasm/build.rs` and
+ * exercised in `tests/wasm.rs`): gcd, fallible div, fib, popcount and a
+ * float kernel, authored with the [[Asm]] DSL, exported under the
+ * reference's `arrowudf_<base64(sig)>` convention and discovered by
+ * [[WasmUdf.load]].
+ *
+ * Also carries the two sandbox probes the reference tests containment with
+ * (`tests/wasm.rs:33-69`): an infinite loop (fuel trap) and a memory bomb
+ * (grow-to-limit, then fail).
+ */
+object WasmKernels {
+
+  /** Build the module bytes. Deterministic — same bytes on driver and executors. */
+  lazy val moduleBytes: Array[Byte] = {
+    val b = new WasmBuilder
+    b.memory(1, Some(256)) // one page is plenty; max 16 MiB
+
+    // wasm_gcd(a: i64, b: i64) -> i64 — Euclid, a loop with locals.
+    val gcd = b.func(Seq(i64, i64), Seq(i64), Seq.empty, concat(
+      block(concat(
+        loop(concat(
+          localGet(1), i64Eqz, brIf(1),        // while b != 0
+          localGet(0), localGet(1), i64RemU,   // t = a % b  (unsigned: inputs are non-neg keys)
+          localGet(1), localSet(0),            // a = b
+          localSet(1),                         // b = t
+          br(0)))
+      )),
+      localGet(0)),
+      exportAs = Some(WasmUdf.exportName("wasm_gcd(bigint,bigint) -> bigint")))
+
+    // wasm_div(a: i64, b: i64) -> i64 — traps on b == 0 (error-column demo,
+    // the reference's `div` example).
+    b.func(Seq(i64, i64), Seq(i64), Seq.empty, concat(
+      localGet(0), localGet(1), i64DivS),
+      exportAs = Some(WasmUdf.exportName("wasm_div(bigint,bigint) -> bigint")))
+
+    // wasm_popcnt(x: i64) -> i64
+    b.func(Seq(i64), Seq(i64), Seq.empty, concat(
+      localGet(0), i64Popcnt),
+      exportAs = Some(WasmUdf.exportName("wasm_popcnt(bigint) -> bigint")))
+
+    // wasm_fib(n: i64) -> i64 — recursion through `call` (self-index = 3).
+    val fibIdx = b.func(Seq(i64), Seq(i64), Seq.empty, concat(
+      localGet(0), i64Const(2), i64LtS,
+      ifElse(i64,
+        concat(localGet(0)),
+        concat(
+          localGet(0), i64Const(1), i64Sub, call(3),
+          localGet(0), i64Const(2), i64Sub, call(3),
+          i64Add))),
+      exportAs = Some(WasmUdf.exportName("wasm_fib(bigint) -> bigint")))
+    require(fibIdx == 3, s"fib self-call index drifted: $fibIdx")
+
+    // wasm_hyp(x: f64, y: f64) -> f64 = sqrt(x*x + y*y) — float kernel.
+    b.func(Seq(f64, f64), Seq(f64), Seq.empty, concat(
+      localGet(0), localGet(0), f64Mul,
+      localGet(1), localGet(1), f64Mul,
+      f64Add, f64Sqrt),
+      exportAs = Some(WasmUdf.exportName("wasm_hyp(double,double) -> double")))
+
+    // Sandbox probes (reference `arrow-udf-example/src/lib.rs:33-52`:
+    // segfault/oom/sleep): not registered as Spark functions — the spec
+    // drives them directly.
+    b.func(Seq.empty, Seq(i64), Seq.empty, concat(
+      loop(br(0)), i64Const(0)),
+      exportAs = Some("probe_spin")) // infinite loop → fuel trap
+    b.func(Seq.empty, Seq(i64), Seq.empty, concat(
+      block(concat(
+        loop(concat(
+          i32Const(1), memoryGrow,             // grow one 64 KiB page at a time
+          i32Const(0), i32LtS,
+          brIf(1),                             // grow returned -1: cap reached → exit
+          br(0)))
+      )),
+      memorySize, i64ExtendI32U),
+      exportAs = Some("probe_oom")) // grows until the configured cap, then stops
+
+    // a module-level constant through a global, exercised by the spec
+    b.global(i64, mutable = false, i64Const(42L), exportAs = Some("answer"))
+
+    // ABI version marker (reference `wasm/mod.rs:107-114`)
+    b.func(Seq.empty, Seq(i64), Seq.empty, i64Const(3L), exportAs = Some(WasmUdf.VersionExport))
+
+    b.build()
+  }
+
+  /** Register every exported wasm function into the global registry.
+    * `wasm_div` is fallible: a divide-by-zero trap becomes an error-column
+    * entry, not a task failure. */
+  def registerAll(): Unit = {
+    WasmUdf.load(moduleBytes, fallible = Set("wasm_div"))
+    ()
+  }
+}

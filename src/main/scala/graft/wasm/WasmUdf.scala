@@ -1,0 +1,181 @@
+package graft.wasm
+
+import graft.sig.{CallMode, FunctionDef, FunctionKind, Registry, Signature}
+import org.apache.spark.sql.types._
+
+/**
+ * Spark registration for WASM guest functions — the reference's runtime
+ * surface (`arrow-udf-runtime/src/wasm/mod.rs:87-613`) re-expressed on the
+ * graft registry:
+ *
+ *  - **discovery by export name**: functions are found via
+ *    `arrowudf_<base64(signature)>` exports and the module must carry an
+ *    `ARROWUDF_VERSION_` export (≤ major 3), exactly the reference's
+ *    convention (`wasm/mod.rs:107-125`) including its `$_`-tailed base64
+ *    alphabet (`wasm/mod.rs:619-631`);
+ *  - **instance pool per executor JVM**: pop-or-create, returned to the pool
+ *    only after a successful call; a trapped instance is discarded with its
+ *    (possibly corrupt) memory (`wasm/mod.rs:263-278`);
+ *  - **typed-slot ABI instead of Arrow-IPC-in-guest-memory**: the reference
+ *    copies whole RecordBatches through guest linear memory because its
+ *    guests are compiled against the arrow crate; an interpreted guest can be
+ *    handed typed scalars directly — same observable semantics, one less copy.
+ *
+ * Failures follow the error-column convention: a [[WasmTrap]] from a function
+ * registered fallible lands in the `struct<value, error>` result, never fails
+ * the task.
+ */
+object WasmUdf {
+
+  /** Reference symbol alphabet: standard base64 with `+/` → `$_`, no padding. */
+  def symbolEncode(s: String): String =
+    java.util.Base64.getEncoder.withoutPadding
+      .encodeToString(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .replace('+', '$').replace('/', '_')
+
+  def symbolDecode(s: String): String =
+    new String(java.util.Base64.getDecoder.decode(s.replace('$', '+').replace('_', '/')),
+      java.nio.charset.StandardCharsets.UTF_8)
+
+  /** Export name for a function signature, e.g.
+    * `wasm_gcd(bigint,bigint) -> bigint` → `arrowudf_<b64>`. */
+  def exportName(sig: String): String = "arrowudf_" + symbolEncode(sig)
+
+  final val VersionExport = "ARROWUDF_VERSION_3_0"
+
+  /**
+   * Load a module's bytes, discover every `arrowudf_`-exported function and
+   * register each into [[Registry.global]]. Returns the registered names.
+   *
+   * `fallible` names get the error-column treatment; everything else fails
+   * null-safe per `CallMode.ReturnNullOnNullInput`.
+   */
+  def load(binary: Array[Byte],
+           fallible: Set[String] = Set.empty,
+           config: WasmConfig = WasmConfig()): Seq[String] = {
+    val module = WasmModule.decode(binary) // driver-side validation: fail fast
+    val version = module.exports.collectFirst {
+      case e if e.name.startsWith("ARROWUDF_VERSION_") => e.name.stripPrefix("ARROWUDF_VERSION_")
+    }.getOrElse(throw new WasmTrap("version export not found (want ARROWUDF_VERSION_x_y)"))
+    val major = version.takeWhile(_ != '_')
+    if (major.toIntOption.forall(_ > 3)) throw new WasmTrap(s"unsupported abi version: $version")
+
+    module.exports.toSeq.collect {
+      case e if e.name.startsWith("arrowudf_") && e.kind == 0 =>
+        val sigStr = symbolDecode(e.name.stripPrefix("arrowudf_"))
+        val parsed = Signature.parse(sigStr)
+        require(parsed.kind == FunctionKind.Scalar,
+          s"wasm tier supports scalar functions only, got: $sigStr")
+        val ft = module.funcType(e.idx)
+        require(ft.params.length == parsed.args.length,
+          s"$sigStr: wasm functype has ${ft.params.length} params, signature ${parsed.args.length}")
+        // driver-side smoke instantiation (validates globals/data/memory limits)
+        new WasmInstance(module, config)
+
+        val fname = parsed.name
+        val exportNm = e.name
+        val paramTypes = ft.params
+        val retSlot = ft.results.headOption.getOrElse(WasmModule.I64)
+        val retDt = parsed.returns.dataType
+        val impl = graft.functions.ScalarImpl { args =>
+          val inst = WasmPool.acquire(binary, config)
+          var ok = false
+          try {
+            val slots = new Array[Long](args.length)
+            var i = 0
+            while (i < args.length) {
+              slots(i) = toSlot(args(i), paramTypes(i)); i += 1
+            }
+            val r = inst.invoke(exportNm, slots)
+            ok = true
+            fromSlot(r, retSlot, retDt)
+          } finally {
+            if (ok) WasmPool.release(binary, inst) // trapped instances are dropped
+          }
+        }
+        Registry.global.register(FunctionDef(parsed, impl,
+          CallMode.ReturnNullOnNullInput, deterministic = true,
+          fallible = fallible.contains(fname)))
+        fname
+    }
+  }
+
+  private def toSlot(v: Any, vt: Byte): Long = vt match {
+    case WasmModule.I32 => v match {
+      case i: Int => i.toLong
+      case l: java.lang.Number => l.intValue.toLong
+      case b: Boolean => if (b) 1L else 0L
+      case other => throw new WasmTrap(s"cannot pass $other as i32")
+    }
+    case WasmModule.I64 => v match {
+      case l: Long => l
+      case n: java.lang.Number => n.longValue
+      case other => throw new WasmTrap(s"cannot pass $other as i64")
+    }
+    case WasmModule.F32 => v match {
+      case f: Float => java.lang.Float.floatToRawIntBits(f).toLong & 0xFFFFFFFFL
+      case n: java.lang.Number => java.lang.Float.floatToRawIntBits(n.floatValue).toLong & 0xFFFFFFFFL
+      case other => throw new WasmTrap(s"cannot pass $other as f32")
+    }
+    case WasmModule.F64 => v match {
+      case d: Double => java.lang.Double.doubleToRawLongBits(d)
+      case n: java.lang.Number => java.lang.Double.doubleToRawLongBits(n.doubleValue)
+      case other => throw new WasmTrap(s"cannot pass $other as f64")
+    }
+    case other => throw new WasmTrap(f"unsupported param type 0x$other%02x")
+  }
+
+  private def fromSlot(slot: Long, vt: Byte, dt: DataType): Any = {
+    val raw: Any = vt match {
+      case WasmModule.I32 => slot.toInt
+      case WasmModule.I64 => slot
+      case WasmModule.F32 => java.lang.Float.intBitsToFloat(slot.toInt)
+      case WasmModule.F64 => java.lang.Double.longBitsToDouble(slot)
+      case _ => slot
+    }
+    (dt, raw) match {
+      case (IntegerType, l: Long) => l.toInt
+      case (IntegerType, i: Int) => i
+      case (LongType, i: Int) => i.toLong
+      case (LongType, l: Long) => l
+      case (ShortType, l: Long) => l.toShort
+      case (ShortType, i: Int) => i.toShort
+      case (BooleanType, i: Int) => i != 0
+      case (BooleanType, l: Long) => l != 0
+      case (FloatType, f: Float) => f
+      case (DoubleType, d: Double) => d
+      case (DoubleType, f: Float) => f.toDouble
+      case (FloatType, d: Double) => d.toFloat
+      case _ => raw
+    }
+  }
+}
+
+/** Per-JVM instance pool keyed by module identity (hash of the bytes) —
+  * one decoded module per executor, N pooled instances
+  * (reference `wasm/mod.rs:257-319`). */
+object WasmPool {
+  private val modules = scala.collection.concurrent.TrieMap.empty[String, WasmModule]
+  private val pools =
+    scala.collection.concurrent.TrieMap.empty[String, java.util.concurrent.ConcurrentLinkedQueue[WasmInstance]]
+
+  private def key(binary: Array[Byte]): String = {
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    java.util.Base64.getEncoder.encodeToString(md.digest(binary))
+  }
+
+  def acquire(binary: Array[Byte], config: WasmConfig): WasmInstance = {
+    val k = key(binary)
+    val pool = pools.getOrElseUpdate(k, new java.util.concurrent.ConcurrentLinkedQueue[WasmInstance]())
+    val pooled = pool.poll()
+    if (pooled != null) pooled
+    else {
+      val module = modules.getOrElseUpdate(k, WasmModule.decode(binary))
+      new WasmInstance(module, config)
+    }
+  }
+
+  def release(binary: Array[Byte], inst: WasmInstance): Unit = {
+    pools.get(key(binary)).foreach(_.offer(inst))
+  }
+}

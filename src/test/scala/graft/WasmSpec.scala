@@ -1,0 +1,198 @@
+package graft
+
+import graft.wasm._
+import graft.wasm.Asm._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** WASM guest tier: builder → decoder → interpreter round trips, the
+  * reference's export-discovery convention, sandbox containment (fuel, memory
+  * cap, trap isolation — reference `tests/wasm.rs:33-69`), and the Spark
+  * integration through the registry. */
+class WasmSpec extends AnyFunSuite {
+
+  private def instance(config: WasmConfig = WasmConfig()) =
+    new WasmInstance(WasmModule.decode(WasmKernels.moduleBytes), config)
+
+  private val gcdExport = WasmUdf.exportName("wasm_gcd(bigint,bigint) -> bigint")
+  private val divExport = WasmUdf.exportName("wasm_div(bigint,bigint) -> bigint")
+  private val fibExport = WasmUdf.exportName("wasm_fib(bigint) -> bigint")
+  private val hypExport = WasmUdf.exportName("wasm_hyp(double,double) -> double")
+
+  test("gcd: loop + locals + unsigned rem") {
+    val inst = instance()
+    assert(inst.invoke(gcdExport, Array(48L, 18L)) == 6L)
+    assert(inst.invoke(gcdExport, Array(17L, 13L)) == 1L)
+    assert(inst.invoke(gcdExport, Array(0L, 5L)) == 5L)
+    assert(inst.invoke(gcdExport, Array(1071L, 462L)) == 21L)
+  }
+
+  test("fib: recursion through call") {
+    val inst = instance()
+    assert(inst.invoke(fibExport, Array(10L)) == 55L)
+    assert(inst.invoke(fibExport, Array(1L)) == 1L)
+    assert(inst.invoke(fibExport, Array(0L)) == 0L)
+  }
+
+  test("hyp: f64 arithmetic matches IEEE") {
+    val inst = instance()
+    val bits = inst.invoke(hypExport, Array(
+      java.lang.Double.doubleToRawLongBits(3.0), java.lang.Double.doubleToRawLongBits(4.0)))
+    assert(java.lang.Double.longBitsToDouble(bits) == 5.0)
+  }
+
+  test("div traps on zero; the instance is isolated, a fresh one still works") {
+    val inst = instance()
+    assert(inst.invoke(divExport, Array(10L, 3L)) == 3L)
+    val t = intercept[WasmTrap] { inst.invoke(divExport, Array(1L, 0L)) }
+    assert(t.getMessage.contains("divide by zero"))
+    assert(instance().invoke(divExport, Array(9L, 3L)) == 3L)
+  }
+
+  test("fuel budget contains an infinite loop") {
+    val inst = instance(WasmConfig(fuel = 100000))
+    val t = intercept[WasmTrap] { inst.invoke("probe_spin", Array.empty) }
+    assert(t.getMessage.contains("fuel"))
+  }
+
+  test("memory bomb stops at the configured cap, not at JVM OOM") {
+    // cap at 2 MiB = 32 pages; module min is 1 page
+    val inst = instance(WasmConfig(memoryLimitBytes = 2L << 20))
+    val pages = inst.invoke("probe_oom", Array.empty)
+    assert(pages == 32L, s"grew to $pages pages")
+  }
+
+  test("memory load/store + data segment round trip") {
+    val b = new WasmBuilder
+    b.memory(1)
+    b.dataSegment(16, Array[Byte](7, 0, 0, 0, 0, 0, 0, 0))
+    // f(x) = { mem[8] = x; mem[8] + mem[16] }
+    b.func(Seq(i64), Seq(i64), Seq.empty, concat(
+      i32Const(8), localGet(0), i64Store(),
+      i32Const(8), i64Load(), i32Const(16), i64Load(), i64Add),
+      exportAs = Some("f"))
+    val inst = new WasmInstance(WasmModule.decode(b.build()), WasmConfig())
+    assert(inst.invoke("f", Array(35L)) == 42L)
+  }
+
+  test("globals: immutable init, mutable accumulate across calls in one instance") {
+    val b = new WasmBuilder
+    val gAnswer = b.global(i64, mutable = false, i64Const(40L))
+    val gAcc = b.global(i64, mutable = true, i64Const(0L))
+    b.func(Seq(i64), Seq(i64), Seq.empty, concat(
+      globalGet(gAcc), localGet(0), i64Add, globalSet(gAcc),
+      globalGet(gAcc), globalGet(gAnswer), i64Add),
+      exportAs = Some("acc"))
+    val inst = new WasmInstance(WasmModule.decode(b.build()), WasmConfig())
+    assert(inst.invoke("acc", Array(1L)) == 41L)
+    assert(inst.invoke("acc", Array(1L)) == 42L) // mutable global persisted
+  }
+
+  test("out-of-bounds access and unreachable trap cleanly") {
+    val b = new WasmBuilder
+    b.memory(1)
+    b.func(Seq.empty, Seq(i64), Seq.empty, concat(
+      i32Const(WasmModule.PageSize), i64Load()), exportAs = Some("oob"))
+    b.func(Seq.empty, Seq(i64), Seq.empty, concat(unreachable, i64Const(0)),
+      exportAs = Some("boom"))
+    val inst = new WasmInstance(WasmModule.decode(b.build()), WasmConfig())
+    assert(intercept[WasmTrap] { inst.invoke("oob", Array.empty) }
+      .getMessage.contains("out of bounds"))
+    assert(intercept[WasmTrap] { inst.invoke("boom", Array.empty) }
+      .getMessage.contains("unreachable"))
+  }
+
+  test("call depth limit contains unbounded recursion") {
+    val b = new WasmBuilder
+    b.func(Seq(i64), Seq(i64), Seq.empty, concat(localGet(0), call(0)),
+      exportAs = Some("r"))
+    val inst = new WasmInstance(WasmModule.decode(b.build()), WasmConfig())
+    assert(intercept[WasmTrap] { inst.invoke("r", Array(0L)) }
+      .getMessage.contains("call depth"))
+  }
+
+  test("br_table and select execute") {
+    val b = new WasmBuilder
+    // f(i) = [10, 20, 30][i] via br_table; out of range -> 99
+    b.func(Seq(i32), Seq(i32), Seq.empty, concat(
+      block(i32, concat(
+        block(concat(
+          block(concat(
+            block(concat(
+              localGet(0),
+              Array[Byte](0x0E, 0x03, 0x00, 0x01, 0x02, 0x03) // br_table 0 1 2 default 3
+            )),
+            i32Const(10), br(2))),
+          i32Const(20), br(1))),
+        i32Const(30)))),
+      exportAs = Some("pick"))
+    // select(a, b, cond)
+    b.func(Seq(i32, i32, i32), Seq(i32), Seq.empty, concat(
+      localGet(0), localGet(1), localGet(2), select), exportAs = Some("sel"))
+    val inst = new WasmInstance(WasmModule.decode(b.build()), WasmConfig())
+    assert(inst.invoke("pick", Array(0L)) == 10L)
+    assert(inst.invoke("pick", Array(1L)) == 20L)
+    assert(inst.invoke("pick", Array(2L)) == 30L)
+    assert(inst.invoke("sel", Array(7L, 8L, 1L)) == 7L)
+    assert(inst.invoke("sel", Array(7L, 8L, 0L)) == 8L)
+  }
+
+  test("symbol encode/decode matches the reference alphabet shape") {
+    val sig = "wasm_gcd(bigint,bigint) -> bigint"
+    val enc = WasmUdf.symbolEncode(sig)
+    assert(!enc.contains('+') && !enc.contains('/') && !enc.contains('='))
+    assert(WasmUdf.symbolDecode(enc) == sig)
+  }
+
+  test("load() rejects a module without the ABI version export") {
+    val b = new WasmBuilder
+    b.func(Seq(i64), Seq(i64), Seq.empty, localGet(0),
+      exportAs = Some(WasmUdf.exportName("ident(bigint) -> bigint")))
+    val t = intercept[WasmTrap] { WasmUdf.load(b.build()) }
+    assert(t.getMessage.contains("version"))
+  }
+
+  test("decoder rejects imports with a clear message") {
+    // hand-craft a module with an import section: magic + version + section 2
+    val bytes = Array[Byte](0x00, 0x61, 0x73, 0x6D, 0x01, 0x00, 0x00, 0x00,
+      0x02, 0x07, 0x01, 0x01, 0x65, 0x01, 0x66, 0x00, 0x00)
+    val t = intercept[WasmTrap] { WasmModule.decode(bytes) }
+    assert(t.getMessage.contains("imports unsupported"))
+  }
+
+  // ---- Spark integration ---------------------------------------------------
+
+  test("wasm_gcd over SQL matches the native gcd tier") {
+    val spark = TestSpark.spark
+    Graft.install(spark)
+    val rows = spark.sql(
+      """SELECT wasm_gcd(CAST(id + 24 AS BIGINT), CAST(id + 36 AS BIGINT)) AS w,
+        |       gcd(CAST(id + 24 AS INT), CAST(id + 36 AS INT)) AS n
+        |FROM range(0, 100)""".stripMargin).collect()
+    rows.foreach(r => assert(r.getLong(0) == r.getInt(1).toLong, r.toString))
+  }
+
+  test("wasm_div error column: trap becomes error, not task failure") {
+    val spark = TestSpark.spark
+    Graft.install(spark)
+    val rows = spark.sql(
+      """SELECT id, wasm_div(CAST(10 AS BIGINT), CAST(id % 2 AS BIGINT)) AS d
+        |FROM range(0, 4) ORDER BY id""".stripMargin)
+      .selectExpr("id", "d.value AS v", "d.error AS e").collect()
+    rows.foreach { r =>
+      if (r.getLong(0) % 2 == 1) { assert(r.getLong(1) == 10L); assert(r.isNullAt(2)) }
+      else { assert(r.isNullAt(1)); assert(r.getString(2).contains("divide by zero")) }
+    }
+  }
+
+  test("pool reuses instances across calls but drops trapped ones") {
+    val spark = TestSpark.spark
+    Graft.install(spark)
+    // mixed ok/trap rows in one partition exercise acquire/release/drop
+    val n = spark.sql(
+      """SELECT count(*) AS n FROM (
+        |  SELECT wasm_div(CAST(100 AS BIGINT), CAST(id % 3 AS BIGINT)) AS d
+        |  FROM range(0, 300)) WHERE d.error IS NULL""".stripMargin)
+      .collect()(0).getLong(0)
+    assert(n == 200L)
+  }
+}
