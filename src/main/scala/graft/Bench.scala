@@ -44,6 +44,13 @@ object Bench {
           .selectExpr("add(CAST(id % 1000 AS INT), CAST(id % 97 AS INT)) AS a")
           .write.format("noop").mode("overwrite").save()
       },
+      // Interpreted wasm guest throughput (pooled instances, typed-slot ABI)
+      "x_wasm_gcd_10m" -> { s: SparkSession =>
+        Graft.install(s)
+        s.range(10000000L)
+          .selectExpr("wasm_gcd(id % 1000003, id % 999983) AS g")
+          .write.format("noop").mode("overwrite").save()
+      },
       "x_udaf_10m" -> { s: SparkSession =>
         Graft.install(s)
         s.range(10000000L)

@@ -57,6 +57,85 @@ object ColumnarMap {
       exp.extraStrategies = exp.extraStrategies :+ ColumnarMapStrategy
   }
 
+  /** Generic lowering kernel for boxed [[graft.functions.ScalarImpl]]
+    * functions: reads argument values straight off the scan's
+    * `ColumnVector`s (no `ColumnarToRow`, no `InternalRow` materialization,
+    * no per-row `UnsafeProjection`), calls the closure, writes the result
+    * vector. This is what makes EVERY registered boxed function — including
+    * wasm guest kernels — a batch-at-a-time operator over parquet scan
+    * batches, the reference's `eval(&RecordBatch)` contract
+    * (`codegen_utils.rs:314-678`) for functions without a native kernel.
+    * Null semantics: ReturnNullOnNullInput short-circuits before the call;
+    * CalledOnNullInput passes nulls through (`codegen_utils.rs:415-444`). */
+  final case class RowClosureKernel(
+      f: Seq[Any] => Any,
+      callOnNull: Boolean,
+      argTypes: Seq[DataType],
+      retType: DataType) extends BatchKernel {
+    import org.apache.spark.sql.types._
+
+    override def apply(in: Seq[ColumnVector], rows: Int, out: OnHeapColumnVector): Unit = {
+      val nArgs = in.length
+      val args = new Array[Any](nArgs)
+      var i = 0
+      while (i < rows) {
+        var anyNull = false
+        var j = 0
+        while (j < nArgs) {
+          args(j) = if (in(j).isNullAt(i)) { anyNull = true; null }
+                    else read(in(j), i, argTypes(j))
+          j += 1
+        }
+        if (anyNull && !callOnNull) out.putNull(i)
+        else write(out, i, f(scala.collection.immutable.ArraySeq.unsafeWrapArray(args.clone())))
+        i += 1
+      }
+    }
+
+    private def read(v: ColumnVector, i: Int, dt: DataType): Any = dt match {
+      case IntegerType => v.getInt(i)
+      case LongType => v.getLong(i)
+      case DoubleType => v.getDouble(i)
+      case FloatType => v.getFloat(i)
+      case BooleanType => v.getBoolean(i)
+      case ShortType => v.getShort(i)
+      case ByteType => v.getByte(i)
+      case StringType => v.getUTF8String(i).toString
+      case BinaryType => v.getBinary(i)
+      case _ => throw new IllegalStateException(s"unsupported lowered arg type $dt")
+    }
+
+    private def write(out: OnHeapColumnVector, i: Int, r: Any): Unit =
+      if (r == null) out.putNull(i)
+      else retType match {
+        case IntegerType => out.putInt(i, r.asInstanceOf[Number].intValue)
+        case LongType => out.putLong(i, r.asInstanceOf[Number].longValue)
+        case DoubleType => out.putDouble(i, r.asInstanceOf[Number].doubleValue)
+        case FloatType => out.putFloat(i, r.asInstanceOf[Number].floatValue)
+        case BooleanType => out.putBoolean(i, r.asInstanceOf[Boolean])
+        case ShortType => out.putShort(i, r.asInstanceOf[Number].shortValue)
+        case ByteType => out.putByte(i, r.asInstanceOf[Number].byteValue)
+        case StringType =>
+          val b = r match {
+            case u: org.apache.spark.unsafe.types.UTF8String => u.getBytes
+            case s: String => s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+            case other => other.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          }
+          out.putByteArray(i, b, 0, b.length)
+        case BinaryType =>
+          val b = r.asInstanceOf[Array[Byte]]
+          out.putByteArray(i, b, 0, b.length)
+        case dt => throw new IllegalStateException(s"unsupported lowered return type $dt")
+      }
+  }
+
+  /** Types [[RowClosureKernel]] can read/write vector-directly. */
+  private[plans] val closureLowerable: Set[DataType] = {
+    import org.apache.spark.sql.types._
+    Set[DataType](IntegerType, LongType, DoubleType, FloatType, BooleanType,
+      ShortType, ByteType, StringType, BinaryType)
+  }
+
   /** Columnar gcd over two INT columns — the flagship kernel on this tier. */
   object GcdKernel extends BatchKernel {
     override def apply(in: Seq[ColumnVector], rows: Int, out: OnHeapColumnVector): Unit = {
@@ -184,6 +263,21 @@ case class GraftColumnarRule(session: SparkSession)
                child.outputSet.contains(t.child.asInstanceOf[Attribute]) =>
           Some((name, al.exprId, IntegerType,
             Seq(t.child.asInstanceOf[Attribute].name), ColumnarMap.TokenCountKernel))
+        // Generic tier: ANY registered boxed function (incl. wasm guests)
+        // over direct attribute args of vector-readable types consumes the
+        // scan's batches through RowClosureKernel — no ColumnarToRow, no
+        // row materialization between scan and call.
+        case al @ Alias(si: graft.functions.ScalarInvoke, name)
+            if si.deterministic &&
+               ColumnarMap.closureLowerable.contains(si.dataType) &&
+               si.children.forall(c => c.isInstanceOf[Attribute] &&
+                 child.outputSet.contains(c.asInstanceOf[Attribute]) &&
+                 ColumnarMap.closureLowerable.contains(c.dataType)) =>
+          Some((name, al.exprId, si.dataType,
+            si.children.map(_.asInstanceOf[Attribute].name),
+            ColumnarMap.RowClosureKernel(si.function,
+              si.callMode == graft.sig.CallMode.CalledOnNullInput,
+              si.children.map(_.dataType), si.dataType)))
         case _ => None
       }
     }

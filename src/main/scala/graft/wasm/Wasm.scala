@@ -32,7 +32,11 @@ import scala.collection.mutable.ArrayBuffer
  * own wasm examples exercise (gcd/fib/arithmetic — `wasm/build.rs` snippets)
  * while keeping the interpreter auditable.
  */
-final class WasmTrap(msg: String) extends RuntimeException(msg)
+final class WasmTrap(msg: String) extends RuntimeException(msg) {
+  // traps are expected control flow (error column); a JVM stack trace per
+  // trapped row would cost more than the call
+  override def fillInStackTrace(): Throwable = this
+}
 
 // ---------------------------------------------------------------------------
 // Instruction AST (decoded form; branch depths are relative label indices)

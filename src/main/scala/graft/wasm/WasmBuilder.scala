@@ -51,6 +51,37 @@ final class WasmBuilder {
 
   def dataSegment(offset: Int, bytes: Array[Byte]): Unit = data += ((offset, bytes))
 
+  /** Emit the reference FFI allocator surface (`arrow-udf/src/ffi.rs:32-234`
+    * exports `alloc`/`dealloc` so the host can place argument buffers in
+    * guest memory): a bump allocator over a mutable heap-pointer global,
+    * 8-byte aligned, growing memory on demand (trapping if the configured
+    * cap refuses the grow), plus `reset_heap` — the dealloc analogue the
+    * host calls between pooled-instance calls. Returns the heap global idx. */
+  def addBumpAllocator(heapBase: Int): Int = {
+    import Asm._
+    val gHeap = global(i32, mutable = true, i32Const(heapBase))
+    // alloc(size: i32) -> i32
+    func(Seq(i32), Seq(i32), Seq(i32), concat(
+      globalGet(gHeap), localSet(1),                       // r = heap
+      localGet(1),
+      localGet(0), i32Const(7), i32Add, i32Const(-8), i32And,
+      i32Add, globalSet(gHeap),                            // heap = r + align8(size)
+      block(
+        loop(concat(
+          globalGet(gHeap), memorySize, i32Const(65536), i32Mul, i32LeS,
+          brIf(1),                                         // fits → done
+          i32Const(1), memoryGrow, i32Const(0), i32LtS,
+          ifVoid(unreachable),                             // cap refused the grow
+          br(0)))),
+      localGet(1)),
+      exportAs = Some("alloc"))
+    // reset_heap() — frees everything the host placed since instantiation
+    func(Seq.empty, Seq.empty, Seq.empty, concat(
+      i32Const(heapBase), globalSet(gHeap)),
+      exportAs = Some("reset_heap"))
+    gHeap
+  }
+
   def exportFunc(name: String, idx: Int): Unit = exports += ((name, 0, idx))
 
   def build(): Array[Byte] = {
@@ -215,6 +246,9 @@ object Asm {
   }
   // comparisons / arithmetic — raw mnemonic helpers
   def i32Eqz: Code = b(0x45)
+  def i32Eq: Code = b(0x46)
+  def i32LeS: Code = b(0x4C)
+  def i32GeS: Code = b(0x4E)
   def i64Eqz: Code = b(0x50)
   def i64Eq: Code = b(0x51)
   def i64Ne: Code = b(0x52)

@@ -63,6 +63,17 @@ final class WasmInstance(val module: WasmModule, val config: WasmConfig) {
   }
   private def pop(): Long = { sp -= 1; stack(sp) }
 
+  /** Host-side write into guest linear memory — the copy-in half of the
+    * reference's FFI ABI (`ffi.rs:114-130`: host writes argument buffers into
+    * guest-allocated regions). Bounds-checked like any guest store. */
+  def writeBytes(ptr: Int, bytes: Array[Byte]): Unit = {
+    if (ptr < 0 || ptr.toLong + bytes.length > mem.length)
+      throw new WasmTrap("host write out of bounds guest memory")
+    System.arraycopy(bytes, 0, mem, ptr, bytes.length)
+  }
+
+  def hasExport(name: String): Boolean = module.exportedFunc(name).isDefined
+
   /** Invoke an exported function. `args`/result use the slot encoding. */
   def invoke(exportName: String, args: Array[Long]): Long = {
     val fidx = module.exportedFunc(exportName)

@@ -64,6 +64,26 @@ object WasmKernels {
       f64Add, f64Sqrt),
       exportAs = Some(WasmUdf.exportName("wasm_hyp(double,double) -> double")))
 
+    // wasm_count_byte(s: string, b: i32) -> i64 — string param via the FFI
+    // alloc ABI: the host calls the exported bump `alloc`, copies UTF-8
+    // bytes into guest memory, and passes (ptr, len). The kernel scans
+    // linear memory counting occurrences of byte b.
+    b.func(Seq(i32, i32, i32), Seq(i64), Seq(i32, i64), concat(
+      block(
+        loop(concat(
+          localGet(3), localGet(1), i32GeS, brIf(1),      // while i < len
+          localGet(0), localGet(3), i32Add, i32Load8U(),  // mem[ptr+i]
+          localGet(2), i32Eq, i64ExtendI32U,
+          localGet(4), i64Add, localSet(4),               // acc += (== b)
+          localGet(3), i32Const(1), i32Add, localSet(3),  // i += 1
+          br(0)))),
+      localGet(4)),
+      exportAs = Some(WasmUdf.exportName("wasm_count_byte(string,int) -> bigint")))
+
+    // FFI allocator surface for string/binary arguments (after the fixed
+    //-index functions so wasm_fib's self-call index stays stable)
+    b.addBumpAllocator(heapBase = 1024)
+
     // Sandbox probes (reference `arrow-udf-example/src/lib.rs:33-52`:
     // segfault/oom/sleep): not registered as Spark functions — the spec
     // drives them directly.

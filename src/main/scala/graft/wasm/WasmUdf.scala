@@ -67,8 +67,18 @@ object WasmUdf {
         require(parsed.kind == FunctionKind.Scalar,
           s"wasm tier supports scalar functions only, got: $sigStr")
         val ft = module.funcType(e.idx)
-        require(ft.params.length == parsed.args.length,
-          s"$sigStr: wasm functype has ${ft.params.length} params, signature ${parsed.args.length}")
+        // string/binary args ride the reference FFI ABI (`ffi.rs:32-234`):
+        // the host calls the guest's exported `alloc`, copies the bytes into
+        // linear memory, and passes (ptr: i32, len: i32) — two wasm params
+        // per buffer argument.
+        val sparkArgs = parsed.args.map(_.dataType)
+        val isBuffer = sparkArgs.map(t => t == StringType || t == BinaryType)
+        val expanded = sparkArgs.zip(isBuffer).map { case (_, b) => if (b) 2 else 1 }.sum
+        require(ft.params.length == expanded,
+          s"$sigStr: wasm functype has ${ft.params.length} params, expected $expanded")
+        if (isBuffer.contains(true))
+          require(module.exportedFunc("alloc").isDefined,
+            s"$sigStr: string/binary args require an exported alloc (FFI ABI)")
         // driver-side smoke instantiation (validates globals/data/memory limits)
         new WasmInstance(module, config)
 
@@ -77,20 +87,41 @@ object WasmUdf {
         val paramTypes = ft.params
         val retSlot = ft.results.headOption.getOrElse(WasmModule.I64)
         val retDt = parsed.returns.dataType
+        val bufferArg = isBuffer.toArray
+        // pool key hashed ONCE here — per-call hashing would dominate the
+        // whole invoke (MessageDigest.getInstance is not cheap)
+        val poolKey = WasmPool.keyOf(binary)
         val impl = graft.functions.ScalarImpl { args =>
-          val inst = WasmPool.acquire(binary, config)
+          val inst = WasmPool.acquire(poolKey, binary, config)
           var ok = false
           try {
-            val slots = new Array[Long](args.length)
+            // free the previous call's buffers before placing this call's
+            if (bufferArg.exists(identity) && inst.hasExport("reset_heap"))
+              inst.invoke("reset_heap", Array.empty)
+            val slots = new Array[Long](paramTypes.length)
             var i = 0
+            var s = 0
             while (i < args.length) {
-              slots(i) = toSlot(args(i), paramTypes(i)); i += 1
+              if (bufferArg(i)) {
+                val bytes = args(i) match {
+                  case b: Array[Byte] => b
+                  case v => v.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+                }
+                val ptr = inst.invoke("alloc", Array(bytes.length.toLong)).toInt
+                inst.writeBytes(ptr, bytes)
+                slots(s) = ptr.toLong; slots(s + 1) = bytes.length.toLong
+                s += 2
+              } else {
+                slots(s) = toSlot(args(i), paramTypes(s))
+                s += 1
+              }
+              i += 1
             }
             val r = inst.invoke(exportNm, slots)
             ok = true
             fromSlot(r, retSlot, retDt)
           } finally {
-            if (ok) WasmPool.release(binary, inst) // trapped instances are dropped
+            if (ok) WasmPool.release(poolKey, inst) // trapped instances are dropped
           }
         }
         Registry.global.register(FunctionDef(parsed, impl,
@@ -152,30 +183,35 @@ object WasmUdf {
 }
 
 /** Per-JVM instance pool keyed by module identity (hash of the bytes) —
-  * one decoded module per executor, N pooled instances
-  * (reference `wasm/mod.rs:257-319`). */
+  * one decoded module per executor, one instance per (task thread, module)
+  * held in a ThreadLocal (reference pool semantics `wasm/mod.rs:257-319`,
+  * contention-free: a shared queue's CAS traffic at millions of calls/s
+  * costs more than the calls). `acquire` REMOVES the instance from the
+  * thread's cache and `release` puts it back, so a trapped call — which
+  * never releases — leaves the (possibly corrupt) instance unreachable,
+  * exactly the reference's discard-on-error behavior. */
 object WasmPool {
   private val modules = scala.collection.concurrent.TrieMap.empty[String, WasmModule]
-  private val pools =
-    scala.collection.concurrent.TrieMap.empty[String, java.util.concurrent.ConcurrentLinkedQueue[WasmInstance]]
+  private val local =
+    ThreadLocal.withInitial[scala.collection.mutable.HashMap[String, WasmInstance]](
+      () => scala.collection.mutable.HashMap.empty)
 
-  private def key(binary: Array[Byte]): String = {
+  /** Module identity. Callers compute this ONCE per registered function and
+    * pass the string to acquire/release — hashing per call would cost more
+    * than the wasm call itself. */
+  def keyOf(binary: Array[Byte]): String = {
     val md = java.security.MessageDigest.getInstance("SHA-256")
     java.util.Base64.getEncoder.encodeToString(md.digest(binary))
   }
 
-  def acquire(binary: Array[Byte], config: WasmConfig): WasmInstance = {
-    val k = key(binary)
-    val pool = pools.getOrElseUpdate(k, new java.util.concurrent.ConcurrentLinkedQueue[WasmInstance]())
-    val pooled = pool.poll()
-    if (pooled != null) pooled
-    else {
-      val module = modules.getOrElseUpdate(k, WasmModule.decode(binary))
-      new WasmInstance(module, config)
+  def acquire(key: String, binary: Array[Byte], config: WasmConfig): WasmInstance =
+    local.get().remove(key) match {
+      case Some(inst) => inst
+      case None =>
+        val module = modules.getOrElseUpdate(key, WasmModule.decode(binary))
+        new WasmInstance(module, config)
     }
-  }
 
-  def release(binary: Array[Byte], inst: WasmInstance): Unit = {
-    pools.get(key(binary)).foreach(_.offer(inst))
-  }
+  def release(key: String, inst: WasmInstance): Unit =
+    local.get().update(key, inst)
 }

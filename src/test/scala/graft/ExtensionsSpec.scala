@@ -77,6 +77,39 @@ class ExtensionsSpec extends AnyFunSuite {
     }
   }
 
+  test("columnar rule auto-lowers boxed functions — wasm guest over a parquet scan") {
+    withExtensionsSession { s =>
+      Graft.install(s)
+      // wasm_gcd takes bigint args: raw parquet int64 columns lower directly
+      val df = s.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+        .selectExpr("wasm_gcd(l_partkey, l_suppkey) AS g")
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("ColumnarMap"), plan)
+      val lowered = df.selectExpr("sum(g)").collect().head.getLong(0)
+      val old = TestSpark.spark
+      Graft.install(old)
+      val expected = old.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+        .selectExpr("sum(wasm_gcd(l_partkey, l_suppkey))").collect().head.getLong(0)
+      assert(lowered == expected && lowered > 0)
+    }
+  }
+
+  test("columnar rule auto-lowers boxed string->string functions") {
+    withExtensionsSession { s =>
+      Graft.install(s)
+      val df = s.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .selectExpr("doc_id", "lang_id(text) AS lang")
+      assert(df.queryExecution.executedPlan.toString.contains("ColumnarMap"))
+      val old = TestSpark.spark
+      Graft.install(old)
+      val expected = old.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .selectExpr("doc_id", "lang_id(text) AS lang")
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      val got = df.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(got == expected && got.nonEmpty)
+    }
+  }
+
   test("columnar rule leaves non-attribute gcd arguments on the expression tier") {
     withExtensionsSession { s =>
       Graft.install(s)

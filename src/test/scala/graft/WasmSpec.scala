@@ -136,6 +136,32 @@ class WasmSpec extends AnyFunSuite {
     assert(inst.invoke("sel", Array(7L, 8L, 0L)) == 8L)
   }
 
+  test("bump allocator: 8-aligned, grows memory on demand, reset_heap frees") {
+    val inst = instance()
+    val p1 = inst.invoke("alloc", Array(10L)).toInt
+    val p2 = inst.invoke("alloc", Array(3L)).toInt
+    assert(p2 == p1 + 16) // align8(10) = 16
+    // large enough to force memory.grow past the 1-page minimum
+    val big = inst.invoke("alloc", Array(300000L)).toInt
+    inst.writeBytes(big + 299999, Array[Byte](1)) // end of region is addressable
+    inst.invoke("reset_heap", Array.empty)
+    assert(inst.invoke("alloc", Array(1L)).toInt == p1)
+  }
+
+  test("string args ride the FFI alloc ABI: count_byte over guest memory") {
+    val spark = TestSpark.spark
+    Graft.install(spark)
+    val rows = spark.sql(
+      """SELECT doc_id, text, wasm_count_byte(text, 101) AS ne
+        |FROM parquet.`/root/testdata/sf0.001/documents.parquet`
+        |ORDER BY doc_id LIMIT 50""".stripMargin).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val expected = r.getString(1).getBytes("UTF-8").count(_ == 'e'.toByte).toLong
+      assert(r.getLong(2) == expected, s"doc ${r.getLong(0)}")
+    }
+  }
+
   test("symbol encode/decode matches the reference alphabet shape") {
     val sig = "wasm_gcd(bigint,bigint) -> bigint"
     val enc = WasmUdf.symbolEncode(sig)
