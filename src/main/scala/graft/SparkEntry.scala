@@ -149,6 +149,14 @@ object SparkEntry {
     "q_wasm_count_byte" -> q(
       """SELECT doc_id, wasm_count_byte(text, 101) AS ne
         |FROM documents ORDER BY doc_id""".stripMargin) _,
+    // table function through the out-buffer ABI (reference wasm table fns,
+    // `wasm/mod.rs:283-319`): guest writes 8-byte slots, host re-calls on
+    // overflow; surfaces as an ordinary LATERAL VIEW generator
+    "q_wasm_table" -> q(
+      """SELECT l_orderkey, l_linenumber, t.d AS d
+        |FROM (SELECT l_orderkey, l_linenumber, CAST(l_linenumber AS BIGINT) AS n FROM lineitem)
+        |LATERAL VIEW wasm_divisors(n) t AS d
+        |ORDER BY l_orderkey, l_linenumber, d""".stripMargin) _,
     // wasm div-by-zero traps surface on the error column, never fail the task
     "q_wasm_div_error" -> q(
       """SELECT l_orderkey, l_linenumber, d.value AS div_value, d.error AS div_error
@@ -942,6 +950,12 @@ object SparkEntry {
       """SELECT doc_id,
         |       CAST(length(text) - length(replace(text, 'e', '')) AS BIGINT) AS ne
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_wasm_table" ->
+      """SELECT l_orderkey, l_linenumber, CAST(u.d AS BIGINT) AS d
+        |FROM lineitem,
+        |     UNNEST(list_filter(range(1, CAST(l_linenumber AS BIGINT) + 1),
+        |                        x -> l_linenumber % x = 0)) AS u(d)
+        |ORDER BY l_orderkey, l_linenumber, d""".stripMargin,
     "q_wasm_div_error" ->
       """SELECT l_orderkey, l_linenumber,
         |       CASE WHEN l_suppkey % 7 = 0 THEN NULL

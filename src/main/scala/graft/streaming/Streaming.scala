@@ -44,6 +44,10 @@ object Streaming {
 
   /** One event for the streaming sessionizer. */
   case class SessEvent(user_id: Long, event_id: Long, t_ms: Long)
+  /** [[SessEvent]] plus the TimestampType column the watermark rides on
+    * (EventTimeTimeout requires a real event-time column). */
+  case class SessEventTs(user_id: Long, event_id: Long, t_ms: Long,
+                         ts: java.sql.Timestamp)
   /** A closed session: user, ordinal session number, span and event count. */
   case class Session(user_id: Long, session_id: Long, start_ms: Long,
                      end_ms: Long, n_events: Long)
@@ -83,6 +87,64 @@ object Streaming {
           }
           if (s != null) state.update(s)
           closed.result().iterator
+      }
+  }
+
+  /**
+   * Event-time variant of [[sessionize]]: the production shape. Idle users'
+   * open sessions are flushed by `EventTimeTimeout` when the WATERMARK
+   * passes `last + gapMs` — no need to wait for that user's next event (the
+   * limitation documented on [[sessionize]]). Timeout firing is driven by
+   * event time, so tests and replays are deterministic (processing-time
+   * timeouts are wall-clock-dependent and hang `processAllAvailable`).
+   *
+   * State per user stays O(1); the watermark bounds state lifetime: every
+   * open session is guaranteed flushed once the watermark passes its gap
+   * deadline, so state size tracks ACTIVE users only — the property that
+   * keeps a 100 TB/day stream's state store bounded.
+   */
+  def sessionizeEventTime(input: Dataset[SessEvent], gapMs: Long,
+                          watermarkDelay: String = "0 seconds"): Dataset[Session] = {
+    implicit val stateEnc: Encoder[SessState] = Encoders.product[SessState]
+    implicit val outEnc: Encoder[Session] = Encoders.product[Session]
+    implicit val keyEnc: Encoder[Long] = Encoders.scalaLong
+    implicit val evtEnc: Encoder[SessEventTs] = Encoders.product[SessEventTs]
+    import org.apache.spark.sql.functions.col
+    input
+      .withColumn("ts", (col("t_ms") / 1000.0).cast(org.apache.spark.sql.types.TimestampType))
+      .withWatermark("ts", watermarkDelay)
+      .as[SessEventTs]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessState, Session](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (user: Long, rows: Iterator[SessEventTs], state: GroupState[SessState]) =>
+          if (state.hasTimedOut) {
+            // watermark passed last + gap with no new events: flush
+            val st = state.get
+            state.remove()
+            Iterator.single(Session(user, st.sessionSeq, st.start, st.last, st.nEvents))
+          } else {
+            val closed = Seq.newBuilder[Session]
+            var s = state.getOption.orNull
+            rows.toSeq.sortBy(e => (e.t_ms, e.event_id)).foreach { e =>
+              s match {
+                case null => s = SessState(1L, e.t_ms, e.t_ms, 1L)
+                case st if e.t_ms - st.last > gapMs =>
+                  closed += Session(user, st.sessionSeq, st.start, st.last, st.nEvents)
+                  s = SessState(st.sessionSeq + 1, e.t_ms, e.t_ms, 1L)
+                case st => s = st.copy(start = math.min(st.start, e.t_ms),
+                  last = math.max(st.last, e.t_ms), nEvents = st.nEvents + 1)
+              }
+            }
+            if (s != null) {
+              state.update(s)
+              // deadline must sit beyond the current watermark or Spark
+              // rejects it; max() keeps a late-arriving group flushable
+              state.setTimeoutTimestamp(
+                math.max(s.last + gapMs, state.getCurrentWatermarkMs() + 1))
+            }
+            closed.result().iterator
+          }
       }
   }
 

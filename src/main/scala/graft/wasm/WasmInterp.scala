@@ -74,6 +74,17 @@ final class WasmInstance(val module: WasmModule, val config: WasmConfig) {
 
   def hasExport(name: String): Boolean = module.exportedFunc(name).isDefined
 
+  /** Host-side read of an 8-byte slot from guest memory (the copy-out half
+    * of the FFI ABI: table-function results are written by the guest into a
+    * host-allocated out-buffer). */
+  def readSlot(ptr: Int): Long = {
+    if (ptr < 0 || ptr.toLong + 8 > mem.length)
+      throw new WasmTrap("host read out of bounds guest memory")
+    var v = 0L; var i = 7
+    while (i >= 0) { v = (v << 8) | (mem(ptr + i) & 0xFFL); i -= 1 }
+    v
+  }
+
   /** Invoke an exported function. `args`/result use the slot encoding. */
   def invoke(exportName: String, args: Array[Long]): Long = {
     val fidx = module.exportedFunc(exportName)

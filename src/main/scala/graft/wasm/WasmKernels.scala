@@ -80,8 +80,30 @@ object WasmKernels {
       localGet(4)),
       exportAs = Some(WasmUdf.exportName("wasm_count_byte(string,int) -> bigint")))
 
-    // FFI allocator surface for string/binary arguments (after the fixed
-    //-index functions so wasm_fib's self-call index stays stable)
+    // wasm_divisors(n) ->> bigint — table function: writes the divisors of n
+    // (ascending) into the host-allocated out-buffer, returns the total
+    // count (host re-calls with a larger buffer on overflow). Params:
+    // (n: i64, outPtr: i32, outCap: i32 entries) -> i64.
+    b.func(Seq(i64, i32, i32), Seq(i64), Seq(i64, i32), concat(
+      i64Const(1), localSet(3),                          // i = 1
+      block(
+        loop(concat(
+          localGet(3), localGet(0), i64GtS, brIf(1),     // while i <= n
+          localGet(0), localGet(3), i64RemS, i64Eqz,
+          ifVoid(concat(                                 // n % i == 0:
+            localGet(4), localGet(2), i32LtS,
+            ifVoid(concat(                               //   cnt < cap → store
+              localGet(1), localGet(4), i32Const(8), i32Mul, i32Add,
+              localGet(3), i64Store())),
+            localGet(4), i32Const(1), i32Add, localSet(4))), // cnt += 1
+          localGet(3), i64Const(1), i64Add, localSet(3), // i += 1
+          br(0)))),
+      localGet(4), i64ExtendI32S),
+      exportAs = Some(WasmUdf.exportName("wasm_divisors(bigint) ->> bigint")))
+
+    // FFI allocator surface for string/binary arguments and table-function
+    // out-buffers (after the fixed-index functions so wasm_fib's self-call
+    // index stays stable)
     b.addBumpAllocator(heapBase = 1024)
 
     // Sandbox probes (reference `arrow-udf-example/src/lib.rs:33-52`:

@@ -64,21 +64,27 @@ object WasmUdf {
       case e if e.name.startsWith("arrowudf_") && e.kind == 0 =>
         val sigStr = symbolDecode(e.name.stripPrefix("arrowudf_"))
         val parsed = Signature.parse(sigStr)
-        require(parsed.kind == FunctionKind.Scalar,
-          s"wasm tier supports scalar functions only, got: $sigStr")
+        val isTable = parsed.kind == FunctionKind.Table
+        require(isTable || parsed.kind == FunctionKind.Scalar,
+          s"wasm tier supports scalar and table functions, got: $sigStr")
         val ft = module.funcType(e.idx)
         // string/binary args ride the reference FFI ABI (`ffi.rs:32-234`):
         // the host calls the guest's exported `alloc`, copies the bytes into
         // linear memory, and passes (ptr: i32, len: i32) — two wasm params
-        // per buffer argument.
+        // per buffer argument. Table functions (reference
+        // `wasm/mod.rs:283-319`) take two extra trailing params
+        // (outPtr: i32, outCap: i32 entries), write ≤ outCap 8-byte slots
+        // and return the TOTAL count — the host re-calls with a larger
+        // buffer when the yield overflows.
         val sparkArgs = parsed.args.map(_.dataType)
         val isBuffer = sparkArgs.map(t => t == StringType || t == BinaryType)
-        val expanded = sparkArgs.zip(isBuffer).map { case (_, b) => if (b) 2 else 1 }.sum
+        val expanded = sparkArgs.zip(isBuffer).map { case (_, b) => if (b) 2 else 1 }.sum +
+          (if (isTable) 2 else 0)
         require(ft.params.length == expanded,
           s"$sigStr: wasm functype has ${ft.params.length} params, expected $expanded")
-        if (isBuffer.contains(true))
+        if (isBuffer.contains(true) || isTable)
           require(module.exportedFunc("alloc").isDefined,
-            s"$sigStr: string/binary args require an exported alloc (FFI ABI)")
+            s"$sigStr: string/binary args and table functions require an exported alloc (FFI ABI)")
         // driver-side smoke instantiation (validates globals/data/memory limits)
         new WasmInstance(module, config)
 
@@ -91,39 +97,85 @@ object WasmUdf {
         // pool key hashed ONCE here — per-call hashing would dominate the
         // whole invoke (MessageDigest.getInstance is not cheap)
         val poolKey = WasmPool.keyOf(binary)
-        val impl = graft.functions.ScalarImpl { args =>
-          val inst = WasmPool.acquire(poolKey, binary, config)
-          var ok = false
-          try {
-            // free the previous call's buffers before placing this call's
-            if (bufferArg.exists(identity) && inst.hasExport("reset_heap"))
-              inst.invoke("reset_heap", Array.empty)
-            val slots = new Array[Long](paramTypes.length)
-            var i = 0
-            var s = 0
-            while (i < args.length) {
-              if (bufferArg(i)) {
-                val bytes = args(i) match {
-                  case b: Array[Byte] => b
-                  case v => v.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-                }
-                val ptr = inst.invoke("alloc", Array(bytes.length.toLong)).toInt
-                inst.writeBytes(ptr, bytes)
-                slots(s) = ptr.toLong; slots(s + 1) = bytes.length.toLong
-                s += 2
-              } else {
-                slots(s) = toSlot(args(i), paramTypes(s))
-                s += 1
+        val needsHeap = bufferArg.exists(identity) || isTable
+
+        // marshal Spark args into the leading slots; returns slots used
+        def marshal(inst: WasmInstance, args: Seq[Any], slots: Array[Long]): Int = {
+          var i = 0
+          var s = 0
+          while (i < args.length) {
+            if (bufferArg(i)) {
+              val bytes = args(i) match {
+                case b: Array[Byte] => b
+                case v => v.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8)
               }
-              i += 1
+              val ptr = inst.invoke("alloc", Array(bytes.length.toLong)).toInt
+              inst.writeBytes(ptr, bytes)
+              slots(s) = ptr.toLong; slots(s + 1) = bytes.length.toLong
+              s += 2
+            } else {
+              slots(s) = toSlot(args(i), paramTypes(s))
+              s += 1
             }
-            val r = inst.invoke(exportNm, slots)
-            ok = true
-            fromSlot(r, retSlot, retDt)
-          } finally {
-            if (ok) WasmPool.release(poolKey, inst) // trapped instances are dropped
+            i += 1
           }
+          s
         }
+
+        // table-function result entries: 8-byte slots in the element's repr
+        val elemSlot: Byte = retDt match {
+          case FloatType | DoubleType => WasmModule.F64
+          case _ => WasmModule.I64
+        }
+
+        val impl: AnyRef =
+          if (isTable) graft.functions.TableImpl { args =>
+            val inst = WasmPool.acquire(poolKey, binary, config)
+            var ok = false
+            try {
+              if (inst.hasExport("reset_heap")) inst.invoke("reset_heap", Array.empty)
+              val slots = new Array[Long](paramTypes.length)
+              val used = marshal(inst, args, slots)
+              var cap = 64
+              var outPtr = 0
+              var total = 0L
+              var done = false
+              while (!done) {
+                outPtr = inst.invoke("alloc", Array(cap.toLong * 8)).toInt
+                slots(used) = outPtr.toLong
+                slots(used + 1) = cap.toLong
+                total = inst.invoke(exportNm, slots)
+                if (total <= cap) done = true
+                else cap = total.toInt // overflow: retry with the exact size
+              }
+              val out = new Array[Any](total.toInt)
+              var j = 0
+              while (j < out.length) {
+                out(j) = fromSlot(inst.readSlot(outPtr + j * 8), elemSlot, retDt)
+                j += 1
+              }
+              ok = true
+              out.iterator
+            } finally {
+              if (ok) WasmPool.release(poolKey, inst)
+            }
+          }
+          else graft.functions.ScalarImpl { args =>
+            val inst = WasmPool.acquire(poolKey, binary, config)
+            var ok = false
+            try {
+              // free the previous call's buffers before placing this call's
+              if (needsHeap && inst.hasExport("reset_heap"))
+                inst.invoke("reset_heap", Array.empty)
+              val slots = new Array[Long](paramTypes.length)
+              marshal(inst, args, slots)
+              val r = inst.invoke(exportNm, slots)
+              ok = true
+              fromSlot(r, retSlot, retDt)
+            } finally {
+              if (ok) WasmPool.release(poolKey, inst) // trapped instances are dropped
+            }
+          }
         Registry.global.register(FunctionDef(parsed, impl,
           CallMode.ReturnNullOnNullInput, deterministic = true,
           fallible = fallible.contains(fname)))

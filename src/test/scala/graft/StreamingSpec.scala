@@ -121,6 +121,39 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("event-time sessionize: watermark flushes idle users via timeout") {
+    import spark.implicits._
+    import graft.streaming.Streaming.SessEvent
+    implicit val sqlCtx = spark.sqlContext
+    val gap = 1000L
+    val mem = MemoryStream[SessEvent]
+    val q = Streaming.sessionizeEventTime(mem.toDS(), gap)
+      .writeStream.format("memory").queryName("et_sessions")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // user 1 goes idle after t=2000; user 99 keeps the stream (and the
+      // watermark) moving
+      mem.addData(SessEvent(1L, 1L, 1000L), SessEvent(1L, 2L, 2000L),
+        SessEvent(99L, 3L, 500L))
+      q.processAllAvailable()
+      // watermark jumps to 100s — far past user 1's gap deadline (3s)
+      mem.addData(SessEvent(99L, 4L, 100000L))
+      q.processAllAvailable()
+      // one more batch so the timeout fires with the advanced watermark
+      // (batch N uses the watermark computed after batch N-1)
+      mem.addData(SessEvent(99L, 5L, 100001L))
+      q.processAllAvailable()
+      val closed = spark.sql(
+        "SELECT user_id, session_id, start_ms, end_ms, n_events FROM et_sessions")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+        .toSet
+      // user 1 was flushed by TIMEOUT (no further user-1 events ever arrived);
+      // user 99's first session closed by the inline gap rule
+      assert(closed.contains((1L, 1L, 1000L, 2000L, 2L)), closed.toString)
+      assert(closed.contains((99L, 1L, 500L, 500L, 1L)), closed.toString)
+    } finally q.stop()
+  }
+
   test("stream-stream join: watermarked, time-bounded attribution") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

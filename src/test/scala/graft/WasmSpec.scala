@@ -162,6 +162,45 @@ class WasmSpec extends AnyFunSuite {
     }
   }
 
+  test("table function: divisors through the out-buffer ABI over LATERAL VIEW") {
+    val spark = TestSpark.spark
+    Graft.install(spark)
+    val rows = spark.sql(
+      """SELECT n, t.d AS d
+        |FROM (SELECT CAST(id + 1 AS BIGINT) AS n FROM range(0, 12))
+        |LATERAL VIEW wasm_divisors(n) t AS d
+        |ORDER BY n, d""".stripMargin).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val expected = (1L to 12L).flatMap(n => (1L to n).filter(n % _ == 0).map(n -> _))
+    assert(rows.toSeq == expected.sortBy(identity))
+  }
+
+  test("table function overflow: total above out-buffer cap triggers exact-size retry") {
+    // seq(n) yields 0..n-1; n=200 overflows the host's initial 64-entry buffer
+    val b = new WasmBuilder
+    b.memory(1, Some(256))
+    b.func(Seq(i64, i32, i32), Seq(i64), Seq(i64), concat(
+      block(
+        loop(concat(
+          localGet(3), localGet(0), i64GeS, brIf(1),
+          localGet(3), i32WrapI64, localGet(2), i32LtS,
+          ifVoid(concat(
+            localGet(1), localGet(3), i32WrapI64, i32Const(8), i32Mul, i32Add,
+            localGet(3), i64Store())),
+          localGet(3), i64Const(1), i64Add, localSet(3),
+          br(0)))),
+      localGet(0)),
+      exportAs = Some(WasmUdf.exportName("wasm_seq_test(bigint) ->> bigint")))
+    b.addBumpAllocator(heapBase = 64)
+    b.func(Seq.empty, Seq(i64), Seq.empty, i64Const(3L),
+      exportAs = Some(WasmUdf.VersionExport))
+    assert(WasmUdf.load(b.build()) == Seq("wasm_seq_test"))
+    val impl = graft.sig.Registry.global.lookup("wasm_seq_test").head
+      .impl.asInstanceOf[graft.functions.TableImpl]
+    val out = impl.f(Seq(200L)).map(_.asInstanceOf[Long]).toSeq
+    assert(out == (0L until 200L))
+  }
+
   test("symbol encode/decode matches the reference alphabet shape") {
     val sig = "wasm_gcd(bigint,bigint) -> bigint"
     val enc = WasmUdf.symbolEncode(sig)
