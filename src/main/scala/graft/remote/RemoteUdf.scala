@@ -330,12 +330,17 @@ object RemoteProtocol {
 
 /** Server: exposes registered graft scalar + table functions to remote
   * callers, with LIST/GET discovery. */
-class UdfServer(port: Int = 0) extends AutoCloseable {
+/** @param authToken when set, every connection must open with
+  *   `AUTH <token>` before any other verb — the flag-gated shared-secret
+  *   analogue of the reference Java server's Flight auth middleware hook
+  *   (off by default: loopback worker processes are spawned-trusted). */
+class UdfServer(port: Int = 0, authToken: Option[String] = None) extends AutoCloseable {
   import RemoteProtocol._
 
   private val server = new ServerSocket()
   server.bind(new InetSocketAddress("127.0.0.1", port))
   @volatile private var running = true
+  private val active = java.util.concurrent.ConcurrentHashMap.newKeySet[Socket]()
   def boundPort: Int = server.getLocalPort
 
   private val acceptor = new Thread(() => {
@@ -346,7 +351,8 @@ class UdfServer(port: Int = 0) extends AutoCloseable {
         // then response): Nagle x delayed-ACK turns every chunk into a ~40 ms
         // stall. Latency-bound protocol => disable coalescing on both ends.
         sock.setTcpNoDelay(true)
-        val t = new Thread(() => serve(sock))
+        active.add(sock)
+        val t = new Thread(() => try serve(sock) finally active.remove(sock))
         t.setDaemon(true)
         t.start()
       } catch { case _: Exception if !running => }
@@ -360,9 +366,26 @@ class UdfServer(port: Int = 0) extends AutoCloseable {
     val out = new DataOutputStream(new BufferedOutputStream(sock.getOutputStream))
     val allocator = new RootAllocator()
     try {
+      var authed = authToken.isEmpty
       var line = readLine(in)
       while (line != null && line.nonEmpty) {
-        if (line.startsWith("VERSION")) {
+        if (line.startsWith("AUTH")) {
+          // constant-time compare; a wrong token closes the connection
+          val presented = line.stripPrefix("AUTH").trim.getBytes(StandardCharsets.UTF_8)
+          val expected = authToken.getOrElse("").getBytes(StandardCharsets.UTF_8)
+          if (authToken.nonEmpty && java.security.MessageDigest.isEqual(presented, expected)) {
+            authed = true
+            out.write("OK\n".getBytes(StandardCharsets.UTF_8))
+          } else {
+            out.write("ERR unauthorized\n".getBytes(StandardCharsets.UTF_8))
+            out.flush()
+            return
+          }
+        } else if (!authed) {
+          out.write("ERR unauthorized (AUTH required)\n".getBytes(StandardCharsets.UTF_8))
+          out.flush()
+          return
+        } else if (line.startsWith("VERSION")) {
           // handshake: client verifies compatibility before calling
           out.write(s"OK\n${RemoteProtocol.Version}\n\n".getBytes(StandardCharsets.UTF_8))
         } else if (line.startsWith("LIST")) {
@@ -670,6 +693,10 @@ class UdfServer(port: Int = 0) extends AutoCloseable {
   override def close(): Unit = {
     running = false
     server.close()
+    // shutdown severs live connections too — clients see EOF/reset and
+    // their retry policy takes over
+    active.forEach(s => try s.close() catch { case _: Exception => })
+    active.clear()
   }
 }
 
@@ -680,31 +707,77 @@ class UdfServer(port: Int = 0) extends AutoCloseable {
   * default 120 s) — a hung or wedged server aborts the calling task with a
   * clean `SocketTimeoutException` instead of hanging it forever, mirroring
   * the reference JS runtime's per-call timeout semantics
-  * (`arrow-udf-runtime/src/javascript/mod.rs:229-260`). */
-class UdfClient(host: String, port: Int, timeoutMs: Int = 120000) extends AutoCloseable {
+  * (`arrow-udf-runtime/src/javascript/mod.rs:229-260`).
+  *
+  * Resilience: a TRANSIENT connection failure (reset, broken pipe, server
+  * restart) reconnects and replays the exchange up to `maxRetries` times —
+  * exchanges are stateless request/response, so a replay is idempotent.
+  * Deliberately NOT retried: SO_TIMEOUT deadlines (a hung server stays
+  * aborted — retrying would defeat containment) and ERR responses (semantic
+  * failures). At 1000-executor scale transient resets are routine; without
+  * in-protocol retry every blip costs a whole Spark task re-run.
+  *
+  * Auth: `authToken` (off by default) sends an AUTH handshake after connect;
+  * the server refuses every other verb until it succeeds. */
+class UdfClient(host: String, port: Int, timeoutMs: Int = 120000,
+                authToken: Option[String] = None,
+                maxRetries: Int = 1) extends AutoCloseable {
   import RemoteProtocol._
 
-  private val sock = new Socket(host, port)
-  sock.setTcpNoDelay(true) // latency-bound write-write-read exchange; see UdfServer
-  sock.setSoTimeout(timeoutMs)
-  private val out = new DataOutputStream(new BufferedOutputStream(sock.getOutputStream))
-  private val in = new DataInputStream(new BufferedInputStream(sock.getInputStream))
+  private var sock: Socket = _
+  private var out: DataOutputStream = _
+  private var in: DataInputStream = _
   private val allocator = new RootAllocator()
+  connect()
+
+  private def connect(): Unit = {
+    sock = new Socket(host, port)
+    sock.setTcpNoDelay(true) // latency-bound write-write-read exchange; see UdfServer
+    sock.setSoTimeout(timeoutMs)
+    out = new DataOutputStream(new BufferedOutputStream(sock.getOutputStream))
+    in = new DataInputStream(new BufferedInputStream(sock.getInputStream))
+    authToken.foreach { tok =>
+      out.write(s"AUTH $tok\n".getBytes(StandardCharsets.UTF_8))
+      out.flush()
+      val status = readLine(in)
+      if (status == null || !status.startsWith("OK"))
+        throw new SecurityException(s"remote auth failed: $status")
+    }
+  }
+
+  private def reconnect(): Unit = {
+    try sock.close() catch { case _: Exception => }
+    connect()
+  }
+
+  /** Replay `f` on a fresh connection after a transient I/O failure. */
+  private def withRetry[T](f: => T): T = {
+    var attempt = 0
+    while (attempt < maxRetries) {
+      try return f
+      catch {
+        case e: java.net.SocketTimeoutException => throw e // deadline: no retry
+        case _: java.io.IOException => attempt += 1; reconnect()
+      }
+    }
+    f
+  }
 
   /** Handshake: the server's wire protocol version. */
-  def version(): Int = textExchange("VERSION\n").head.toInt
+  def version(): Int = withRetry(textExchange("VERSION\n")).head.toInt
 
   /** Discovery: all remote signatures (reference `Client::list`). */
-  def list(): Seq[String] = textExchange("LIST\n")
+  def list(): Seq[String] = withRetry(textExchange("LIST\n"))
 
   /** Discovery: signatures registered under `fname` (reference `Client::get`). */
-  def get(fname: String): Seq[String] = textExchange(s"GET $fname\n")
+  def get(fname: String): Seq[String] = withRetry(textExchange(s"GET $fname\n"))
 
   private def textExchange(cmd: String): Seq[String] = {
     out.write(cmd.getBytes(StandardCharsets.UTF_8))
     out.flush()
     val status = readLine(in)
-    if (status == null || !status.startsWith("OK"))
+    if (status == null) throw new java.io.EOFException("connection closed by server")
+    if (!status.startsWith("OK"))
       throw new RuntimeException(s"remote request failed: $status")
     val lines = Seq.newBuilder[String]
     var l = readLine(in)
@@ -818,46 +891,54 @@ class UdfClient(host: String, port: Int, timeoutMs: Int = 120000) extends AutoCl
 
   private def expectOk(): Unit = {
     val status = readLine(in)
-    if (status == null || !status.startsWith("OK"))
+    if (status == null) throw new java.io.EOFException("connection closed by server")
+    if (!status.startsWith("OK"))
       throw new RuntimeException(s"remote call failed: $status")
   }
 
   private def exchange(cmd: String, argTypes: Seq[DataType], rows: Seq[Seq[Any]],
-                       argMeta: Seq[SMetadata]): Seq[Seq[Any]] = {
+                       argMeta: Seq[SMetadata]): Seq[Seq[Any]] =
+    withRetry(exchangeOnce(cmd, argTypes, rows, argMeta))
+
+  private def exchangeOnce(cmd: String, argTypes: Seq[DataType], rows: Seq[Seq[Any]],
+                           argMeta: Seq[SMetadata]): Seq[Seq[Any]] = {
     out.write(cmd.getBytes(StandardCharsets.UTF_8))
     val meta = if (argMeta.nonEmpty) argMeta else argTypes.map(_ => SMetadata.empty)
     val schema = new ASchema(argTypes.zip(meta).zipWithIndex.map { case ((t, m), i) =>
       toArrowField(s"a$i", t, m) }.asJava)
     val root = VectorSchemaRoot.create(schema, allocator)
-    val writer = new ArrowStreamWriter(root, null, out)
-    writer.start()
-    rows.grouped(BatchSize).foreach { chunk =>
-      root.allocateNew()
-      val writers = (0 until argTypes.length).map(j => cellWriter(root.getVector(j)))
-      chunk.zipWithIndex.foreach { case (row, i) =>
-        var j = 0
-        while (j < writers.length) { writers(j)(i, row(j)); j += 1 }
+    try {
+      val writer = new ArrowStreamWriter(root, null, out)
+      writer.start()
+      rows.grouped(BatchSize).foreach { chunk =>
+        root.allocateNew()
+        val writers = (0 until argTypes.length).map(j => cellWriter(root.getVector(j)))
+        chunk.zipWithIndex.foreach { case (row, i) =>
+          var j = 0
+          while (j < writers.length) { writers(j)(i, row(j)); j += 1 }
+        }
+        root.setRowCount(chunk.size)
+        writer.writeBatch()
       }
-      root.setRowCount(chunk.size)
-      writer.writeBatch()
-    }
-    writer.end()
-    root.close()
+      writer.end()
+    } finally root.close() // buffers must not outlive a failed (retried) attempt
     out.flush()
     val status = readLine(in)
-    if (status == null || !status.startsWith("OK"))
+    if (status == null) throw new java.io.EOFException("connection closed by server")
+    if (!status.startsWith("OK"))
       throw new RuntimeException(s"remote call failed: $status")
     val reader = new ArrowStreamReader(in, allocator)
-    val rroot = reader.getVectorSchemaRoot
-    val results = scala.collection.mutable.ArrayBuffer.empty[Seq[Any]]
-    while (reader.loadNextBatch()) {
-      val readers = rroot.getFieldVectors.asScala.map(cellReader).toArray
-      (0 until rroot.getRowCount).foreach { i =>
-        results += scala.collection.immutable.ArraySeq.unsafeWrapArray(readers.map(_(i)))
+    try {
+      val rroot = reader.getVectorSchemaRoot
+      val results = scala.collection.mutable.ArrayBuffer.empty[Seq[Any]]
+      while (reader.loadNextBatch()) {
+        val readers = rroot.getFieldVectors.asScala.map(cellReader).toArray
+        (0 until rroot.getRowCount).foreach { i =>
+          results += scala.collection.immutable.ArraySeq.unsafeWrapArray(readers.map(_(i)))
+        }
       }
-    }
-    reader.close(false)
-    results.toSeq
+      results.toSeq
+    } finally reader.close(false)
   }
 
   private def readLine(in: DataInputStream): String = {

@@ -22,6 +22,45 @@ class RemoteUdfSpec extends AnyFunSuite {
     } finally server.close()
   }
 
+  test("auth: token-gated server refuses unauthenticated verbs, admits the right token") {
+    graft.functions.Builtins.ensureRegistered()
+    val server = new UdfServer(authToken = Some("s3cret"))
+    try {
+      // no token: connection opens but every verb is refused
+      val anon = new UdfClient("127.0.0.1", server.boundPort, maxRetries = 0)
+      try {
+        val e = intercept[RuntimeException] { anon.list() }
+        assert(e.getMessage.contains("unauthorized"), e.getMessage)
+      } finally anon.close()
+      // wrong token: refused at handshake
+      intercept[SecurityException] {
+        new UdfClient("127.0.0.1", server.boundPort, authToken = Some("wrong"))
+      }
+      // right token: full protocol available
+      val client = new UdfClient("127.0.0.1", server.boundPort, authToken = Some("s3cret"))
+      try {
+        assert(client.call("add", Seq(IntegerType, IntegerType), Seq(Seq(2, 3))) == Seq(5))
+      } finally client.close()
+    } finally server.close()
+  }
+
+  test("transient connection loss: client reconnects and replays the exchange") {
+    graft.functions.Builtins.ensureRegistered()
+    val serverA = new UdfServer()
+    val port = serverA.boundPort
+    val client = new UdfClient("127.0.0.1", port)
+    try {
+      assert(client.call("add", Seq(IntegerType, IntegerType), Seq(Seq(1, 2))) == Seq(3))
+      // server restarts on the same port: the client's socket is dead
+      serverA.close()
+      val serverB = new UdfServer(port)
+      try {
+        // the broken-pipe/EOF is absorbed by withRetry: reconnect + replay
+        assert(client.call("add", Seq(IntegerType, IntegerType), Seq(Seq(20, 22))) == Seq(42))
+      } finally serverB.close()
+    } finally client.close()
+  }
+
   test("fallible call: per-row errors ride the wire as an error column") {
     graft.functions.Builtins.ensureRegistered()
     val server = new UdfServer()

@@ -89,4 +89,23 @@ class TopKPerKeySpec extends AnyFunSuite {
     assert(res == Set((0, "s0996"), (0, "s0992"), (1, "s0997"), (1, "s0993"),
       (2, "s0998"), (2, "s0994"), (3, "s0999"), (3, "s0995")))
   }
+
+  // Regression guard for the round-4 finding: ANN rerank must use the
+  // bounded partial-heap operator, never a full-candidate row_number window
+  // (which funnels all scored candidates into <= #queries partitions).
+  test("plan guard: ANN top-k queries run on TopKPerKey, not a window") {
+    val sf = "/root/testdata/sf0.001"
+    for (q <- Seq("q_ann_topk", "q_lsh_topk", "q_ivf_topk")) {
+      val plan = graft.SparkEntry.queries(q)(spark, sf)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("PartialTopKPerKey") && plan.contains("FinalTopKPerKey"),
+        s"$q lost the partial-heap operator:\n$plan")
+      // a rank window over the <= k-per-query SURVIVORS is fine; a window
+      // BELOW the heap operator would mean it ranks the full candidate set
+      // again (parents print before children, so above == smaller index)
+      val iWin = plan.indexOf("Window")
+      assert(iWin < 0 || iWin < plan.indexOf("FinalTopKPerKey"),
+        s"$q ranks the full candidate set in a window:\n$plan")
+    }
+  }
 }
