@@ -227,18 +227,19 @@ case class GraftColumnarRule(session: SparkSession)
             if child.supportsColumnar &&
                child.output.map(_.name).distinct.size == child.output.size &&
                list.exists(lowerable(_, child).isDefined) =>
-          var cur: SparkPlan = child
+          // all lowered entries fuse into ONE multi-kernel pass per batch
+          val fused = Seq.newBuilder[(AttributeReference, Seq[String], ColumnarMap.BatchKernel)]
           val replaced: Seq[NamedExpression] = list.map { ne =>
             lowerable(ne, child) match {
               case Some((name, exprId, dt, inCols, kernel)) =>
                 // keep the alias's exprId so downstream references still bind
                 val attr = AttributeReference(name, dt, nullable = true)(exprId = exprId)
-                cur = ColumnarMapExec(attr, inCols, kernel, cur)
+                fused += ((attr, inCols, kernel))
                 attr
               case None => ne
             }
           }
-          ProjectExec(replaced, cur)
+          ProjectExec(replaced, ColumnarMultiMapExec(fused.result(), child))
       }
 
       /** (name, exprId, type, input columns, kernel) when this projection
@@ -304,6 +305,48 @@ object ColumnarMapStrategy extends SparkStrategy {
       ColumnarMapExec(outAttr, inCols, kernel, planLater(child)) :: Nil
     case _ => Nil
   }
+}
+
+/** Fused form: N kernels evaluated in ONE pass over each scan batch — a
+  * projection with several lowerable functions costs one operator, one
+  * batch re-wrap, and shares the loaded input vectors (the multi-kernel
+  * fusion the reference gets from chaining `eval(&RecordBatch)` calls
+  * without leaving the batch). */
+case class ColumnarMultiMapExec(
+    outs: Seq[(AttributeReference, Seq[String], ColumnarMap.BatchKernel)],
+    child: SparkPlan) extends UnaryExecNode {
+
+  override def output: Seq[Attribute] = child.output ++ outs.map(_._1)
+  override def producedAttributes: org.apache.spark.sql.catalyst.expressions.AttributeSet =
+    org.apache.spark.sql.catalyst.expressions.AttributeSet(outs.map(_._1))
+  override def supportsColumnar: Boolean = true
+
+  override protected def doExecuteColumnar(): RDD[ColumnarBatch] = {
+    val resolved = outs.map { case (attr, inCols, kernel) =>
+      val idx = inCols.map(c => child.output.indexWhere(_.name == c))
+      require(idx.forall(_ >= 0), s"columns $inCols not all present in ${child.output}")
+      (attr.dataType, idx, kernel)
+    }
+    child.executeColumnar().map { batch =>
+      val n = batch.numRows()
+      val newCols = resolved.map { case (dt, idx, k) =>
+        val out = new OnHeapColumnVector(n, dt)
+        k(idx.map(batch.column), n, out)
+        out
+      }
+      val cols = Array.tabulate[ColumnVector](batch.numCols() + newCols.length) { i =>
+        if (i < batch.numCols()) batch.column(i) else newCols(i - batch.numCols())
+      }
+      new ColumnarBatch(cols, n)
+    }
+  }
+
+  override protected def doExecute(): RDD[InternalRow] =
+    throw new IllegalStateException(
+      "ColumnarMultiMapExec is columnar-only; Spark inserts ColumnarToRow above it")
+
+  override protected def withNewChildInternal(newChild: SparkPlan): SparkPlan =
+    copy(child = newChild)
 }
 
 case class ColumnarMapExec(outAttr: AttributeReference, inCols: Seq[String],

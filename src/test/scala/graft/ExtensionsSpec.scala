@@ -84,7 +84,7 @@ class ExtensionsSpec extends AnyFunSuite {
       val df = s.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
         .selectExpr("wasm_gcd(l_partkey, l_suppkey) AS g")
       val plan = df.queryExecution.executedPlan.toString
-      assert(plan.contains("ColumnarMap"), plan)
+      assert(plan.contains("ColumnarMultiMap"), plan)
       val lowered = df.selectExpr("sum(g)").collect().head.getLong(0)
       val old = TestSpark.spark
       Graft.install(old)
@@ -99,13 +99,32 @@ class ExtensionsSpec extends AnyFunSuite {
       Graft.install(s)
       val df = s.read.parquet("/root/testdata/sf0.001/documents.parquet")
         .selectExpr("doc_id", "lang_id(text) AS lang")
-      assert(df.queryExecution.executedPlan.toString.contains("ColumnarMap"))
+      assert(df.queryExecution.executedPlan.toString.contains("ColumnarMultiMap"))
       val old = TestSpark.spark
       Graft.install(old)
       val expected = old.read.parquet("/root/testdata/sf0.001/documents.parquet")
         .selectExpr("doc_id", "lang_id(text) AS lang")
         .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
       val got = df.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(got == expected && got.nonEmpty)
+    }
+  }
+
+  test("several lowerable projections fuse into ONE multi-kernel pass") {
+    withExtensionsSession { s =>
+      Graft.install(s)
+      val df = s.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .selectExpr("doc_id", "token_count(text) AS n", "lang_id(text) AS lang")
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("ColumnarMultiMap"), plan)
+      // one fused node, not a chain of single-kernel operators
+      assert("ColumnarMultiMap".r.findAllIn(plan).size == 1, plan)
+      val old = TestSpark.spark
+      Graft.install(old)
+      val expected = old.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .selectExpr("doc_id", "token_count(text) AS n", "lang_id(text) AS lang")
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+      val got = df.collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
       assert(got == expected && got.nonEmpty)
     }
   }
