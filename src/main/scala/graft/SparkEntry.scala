@@ -149,6 +149,11 @@ object SparkEntry {
     "q_wasm_count_byte" -> q(
       """SELECT doc_id, wasm_count_byte(text, 101) AS ne
         |FROM documents ORDER BY doc_id""".stripMargin) _,
+    // five-phase aggregate with every phase a wasm export (i64 state rides
+    // Spark's partial aggregation + shuffle)
+    "q_wasm_sum_udaf" -> q(
+      """SELECT l_returnflag, wasm_sum(CAST(l_quantity AS BIGINT)) AS s
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) _,
     // table function through the out-buffer ABI (reference wasm table fns,
     // `wasm/mod.rs:283-319`): guest writes 8-byte slots, host re-calls on
     // overflow; surfaces as an ordinary LATERAL VIEW generator
@@ -950,6 +955,9 @@ object SparkEntry {
       """SELECT doc_id,
         |       CAST(length(text) - length(replace(text, 'e', '')) AS BIGINT) AS ne
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_wasm_sum_udaf" ->
+      """SELECT l_returnflag, CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS s
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q_wasm_table" ->
       """SELECT l_orderkey, l_linenumber, CAST(u.d AS BIGINT) AS d
         |FROM lineitem,

@@ -338,6 +338,7 @@ class UdfServer(port: Int = 0, authToken: Option[String] = None) extends AutoClo
   import RemoteProtocol._
 
   private val server = new ServerSocket()
+  server.setReuseAddress(true) // restart on the same port despite TIME_WAIT
   server.bind(new InetSocketAddress("127.0.0.1", port))
   @volatile private var running = true
   private val active = java.util.concurrent.ConcurrentHashMap.newKeySet[Socket]()
@@ -690,13 +691,18 @@ class UdfServer(port: Int = 0, authToken: Option[String] = None) extends AutoClo
     sb.toString
   }
 
+  /** Sever every live connection (clients see EOF/reset and their retry
+    * policy takes over) without stopping the listener — the shape of a
+    * transient network blip, also used at shutdown. */
+  def dropConnections(): Unit = {
+    active.forEach(s => try s.close() catch { case _: Exception => })
+    active.clear()
+  }
+
   override def close(): Unit = {
     running = false
     server.close()
-    // shutdown severs live connections too — clients see EOF/reset and
-    // their retry policy takes over
-    active.forEach(s => try s.close() catch { case _: Exception => })
-    active.clear()
+    dropConnections()
   }
 }
 

@@ -106,6 +106,19 @@ object WasmKernels {
     // index stays stable)
     b.addBumpAllocator(heapBase = 1024)
 
+    // Five-phase aggregate, every phase a guest function (plain-named
+    // exports, bound by WasmUdf.loadAggregate): retractable i64 sum.
+    b.func(Seq.empty, Seq(i64), Seq.empty, i64Const(0L),
+      exportAs = Some("sumagg_create"))
+    b.func(Seq(i64, i64), Seq(i64), Seq.empty,
+      concat(localGet(0), localGet(1), i64Add), exportAs = Some("sumagg_acc"))
+    b.func(Seq(i64, i64), Seq(i64), Seq.empty,
+      concat(localGet(0), localGet(1), i64Sub), exportAs = Some("sumagg_retract"))
+    b.func(Seq(i64, i64), Seq(i64), Seq.empty,
+      concat(localGet(0), localGet(1), i64Add), exportAs = Some("sumagg_merge"))
+    b.func(Seq(i64), Seq(i64), Seq.empty, localGet(0),
+      exportAs = Some("sumagg_finish"))
+
     // Sandbox probes (reference `arrow-udf-example/src/lib.rs:33-52`:
     // segfault/oom/sleep): not registered as Spark functions — the spec
     // drives them directly.
@@ -137,6 +150,11 @@ object WasmKernels {
     * entry, not a task failure. */
   def registerAll(): Unit = {
     WasmUdf.load(moduleBytes, fallible = Set("wasm_div"))
+    // retractable sum with all five phases in the guest
+    WasmUdf.loadAggregate(moduleBytes, "wasm_sum(bigint) -> bigint",
+      createFn = "sumagg_create", accFn = "sumagg_acc",
+      retractFn = Some("sumagg_retract"), mergeFn = "sumagg_merge",
+      finishFn = "sumagg_finish")
     ()
   }
 }

@@ -183,6 +183,67 @@ object WasmUdf {
     }
   }
 
+  /**
+   * Register a five-phase AGGREGATE whose every phase runs in the wasm
+   * guest — the SPI lifecycle (`create_state/accumulate/retract/merge/
+   * finish`, reference `python/mod.rs:229-309`) with each phase bound to a
+   * plain-named export. State is one i64 slot (numeric-state aggregates:
+   * sums, counts, min/max, bit-packed pairs); it rides Spark's partial
+   * aggregation and the shuffle like any other graft aggregate state.
+   * `retract` is optional — append-only when absent.
+   */
+  def loadAggregate(binary: Array[Byte], sig: String,
+                    createFn: String, accFn: String,
+                    retractFn: Option[String], mergeFn: String, finishFn: String,
+                    config: WasmConfig = WasmConfig()): Unit = {
+    val module = WasmModule.decode(binary)
+    (Seq(createFn, accFn, mergeFn, finishFn) ++ retractFn).foreach { n =>
+      require(module.exportedFunc(n).isDefined, s"aggregate phase export missing: $n")
+    }
+    val parsed = Signature.parse(sig)
+    val accFt = module.funcType(module.exportedFunc(accFn).get)
+    require(accFt.params.length == parsed.args.length + 1,
+      s"$accFn must take (state, ${parsed.args.length} args)")
+    val argSlots = accFt.params.drop(1)
+    val retSlot = module.funcType(module.exportedFunc(finishFn).get)
+      .results.headOption.getOrElse(WasmModule.I64)
+    val retDt = parsed.returns.dataType
+    val poolKey = WasmPool.keyOf(binary)
+
+    def withInst[T](f: WasmInstance => T): T = {
+      val inst = WasmPool.acquire(poolKey, binary, config)
+      var ok = false
+      try { val r = f(inst); ok = true; r }
+      finally { if (ok) WasmPool.release(poolKey, inst) }
+    }
+
+    val nArgs = parsed.args.length
+    def phase(name: String, state: Long, in: org.apache.spark.sql.Row): Long = {
+      var i = 0
+      while (i < nArgs) { if (in.isNullAt(i)) return state; i += 1 } // null-safe
+      val slots = new Array[Long](nArgs + 1)
+      slots(0) = state
+      i = 0
+      while (i < nArgs) { slots(i + 1) = toSlot(in.get(i), argSlots(i)); i += 1 }
+      withInst(_.invoke(name, slots))
+    }
+
+    val agg = new graft.functions.GraftAggregate[Long, Any] {
+      override def createState(): Long = withInst(_.invoke(createFn, Array.empty))
+      override def accumulate(state: Long, in: org.apache.spark.sql.Row): Long =
+        phase(accFn, state, in)
+      override def retract(state: Long, in: org.apache.spark.sql.Row): Long =
+        retractFn match {
+          case None => throw new UnsupportedOperationException(s"${parsed.name} is append-only")
+          case Some(r) => phase(r, state, in)
+        }
+      override def merge(a: Long, b: Long): Long = withInst(_.invoke(mergeFn, Array(a, b)))
+      override def finish(state: Long): Any =
+        fromSlot(withInst(_.invoke(finishFn, Array(state))), retSlot, retDt)
+    }
+    graft.functions.Udf.aggregateNative(sig)(agg)
+  }
+
   private def toSlot(v: Any, vt: Byte): Long = vt match {
     case WasmModule.I32 => v match {
       case i: Int => i.toLong

@@ -46,19 +46,18 @@ class RemoteUdfSpec extends AnyFunSuite {
 
   test("transient connection loss: client reconnects and replays the exchange") {
     graft.functions.Builtins.ensureRegistered()
-    val serverA = new UdfServer()
-    val port = serverA.boundPort
-    val client = new UdfClient("127.0.0.1", port)
+    val server = new UdfServer()
+    val client = new UdfClient("127.0.0.1", server.boundPort)
     try {
       assert(client.call("add", Seq(IntegerType, IntegerType), Seq(Seq(1, 2))) == Seq(3))
-      // server restarts on the same port: the client's socket is dead
-      serverA.close()
-      val serverB = new UdfServer(port)
-      try {
-        // the broken-pipe/EOF is absorbed by withRetry: reconnect + replay
-        assert(client.call("add", Seq(IntegerType, IntegerType), Seq(Seq(20, 22))) == Seq(42))
-      } finally serverB.close()
-    } finally client.close()
+      // a transient blip kills the established connection under the client
+      server.dropConnections()
+      // the broken-pipe/EOF is absorbed by withRetry: reconnect + replay
+      assert(client.call("add", Seq(IntegerType, IntegerType), Seq(Seq(20, 22))) == Seq(42))
+    } finally {
+      client.close()
+      server.close()
+    }
   }
 
   test("fallible call: per-row errors ride the wire as an error column") {

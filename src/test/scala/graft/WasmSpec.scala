@@ -201,6 +201,23 @@ class WasmSpec extends AnyFunSuite {
     assert(out == (0L until 200L))
   }
 
+  test("wasm aggregate: five guest phases drive a retractable sum") {
+    val spark = TestSpark.spark
+    Graft.install(spark)
+    val s = spark.sql("SELECT wasm_sum(CAST(id AS BIGINT)) AS s FROM range(0, 1000)")
+      .collect()(0).getLong(0)
+    assert(s == 499500L)
+    // phase calls directly, including retract (the streaming hook)
+    val agg = graft.sig.Registry.global.lookup("wasm_sum").head
+      .impl.asInstanceOf[graft.functions.NativeAggImpl].agg
+      .asInstanceOf[graft.functions.GraftAggregate[Long, Any]]
+    var st = agg.createState()
+    st = agg.accumulate(st, org.apache.spark.sql.Row(5L))
+    st = agg.accumulate(st, org.apache.spark.sql.Row(7L))
+    st = agg.retract(st, org.apache.spark.sql.Row(5L))
+    assert(agg.finish(agg.merge(st, 10L)) == 17L)
+  }
+
   test("symbol encode/decode matches the reference alphabet shape") {
     val sig = "wasm_gcd(bigint,bigint) -> bigint"
     val enc = WasmUdf.symbolEncode(sig)
