@@ -90,8 +90,13 @@ final class WasmModule(
     val exports: Array[Export],
     val data: Array[DataSeg]) extends Serializable {
 
-  def exportedFunc(name: String): Option[Int] =
-    exports.find(e => e.name == name && e.kind == 0).map(_.idx)
+  /** Export-name → function index, computed once — `invoke` hits this per
+    * call, and a linear scan over long `arrowudf_<b64>` names would cost a
+    * measurable slice of a sub-microsecond call. */
+  @transient private lazy val funcExports: Map[String, Int] =
+    exports.iterator.filter(_.kind == 0).map(e => e.name -> e.idx).toMap
+
+  def exportedFunc(name: String): Option[Int] = funcExports.get(name)
 
   def funcType(fidx: Int): FuncType = types(funcs(fidx).typeIdx)
 }
