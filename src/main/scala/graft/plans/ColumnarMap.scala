@@ -136,6 +136,14 @@ object ColumnarMap {
       ShortType, ByteType, StringType, BinaryType)
   }
 
+  /** Function-name → hand-registered batch kernel. Consulted FIRST by the
+    * auto-lowering rule: a tier that can amortize per-call setup across a
+    * whole batch (e.g. wasm guests borrowing one instance per batch instead
+    * of per row) registers here; everything else falls back to
+    * [[RowClosureKernel]]'s per-row closure call. */
+  val kernelOverrides =
+    scala.collection.concurrent.TrieMap.empty[String, (Seq[DataType], DataType) => Option[BatchKernel]]
+
   /** Columnar gcd over two INT columns — the flagship kernel on this tier. */
   object GcdKernel extends BatchKernel {
     override def apply(in: Seq[ColumnVector], rows: Int, out: OnHeapColumnVector): Unit = {
@@ -267,18 +275,22 @@ case class GraftColumnarRule(session: SparkSession)
         // Generic tier: ANY registered boxed function (incl. wasm guests)
         // over direct attribute args of vector-readable types consumes the
         // scan's batches through RowClosureKernel — no ColumnarToRow, no
-        // row materialization between scan and call.
+        // row materialization between scan and call. A tier that registered
+        // a dedicated batch kernel (kernelOverrides) gets that instead.
         case al @ Alias(si: graft.functions.ScalarInvoke, name)
             if si.deterministic &&
                ColumnarMap.closureLowerable.contains(si.dataType) &&
                si.children.forall(c => c.isInstanceOf[Attribute] &&
                  child.outputSet.contains(c.asInstanceOf[Attribute]) &&
                  ColumnarMap.closureLowerable.contains(c.dataType)) =>
-          Some((name, al.exprId, si.dataType,
-            si.children.map(_.asInstanceOf[Attribute].name),
-            ColumnarMap.RowClosureKernel(si.function,
+          val argTypes = si.children.map(_.dataType)
+          val kernel = ColumnarMap.kernelOverrides.get(si.funcName)
+            .flatMap(mk => mk(argTypes, si.dataType))
+            .getOrElse(ColumnarMap.RowClosureKernel(si.function,
               si.callMode == graft.sig.CallMode.CalledOnNullInput,
-              si.children.map(_.dataType), si.dataType)))
+              argTypes, si.dataType))
+          Some((name, al.exprId, si.dataType,
+            si.children.map(_.asInstanceOf[Attribute].name), kernel))
         case _ => None
       }
     }

@@ -179,6 +179,16 @@ object WasmUdf {
         Registry.global.register(FunctionDef(parsed, impl,
           CallMode.ReturnNullOnNullInput, deterministic = true,
           fallible = fallible.contains(fname)))
+        // all-numeric non-fallible scalars get the batched columnar kernel:
+        // one instance borrow per scan batch instead of per row
+        val numericRet = Set[DataType](IntegerType, LongType, DoubleType,
+          FloatType, BooleanType, ShortType, ByteType)
+        if (!isTable && !fallible.contains(fname) && !isBuffer.contains(true) &&
+            numericRet.contains(retDt)) {
+          val kernel = WasmBatchKernel(binary, poolKey, config, exportNm,
+            paramTypes.toSeq, retSlot, retDt)
+          graft.plans.ColumnarMap.kernelOverrides(fname) = (_, _) => Some(kernel)
+        }
         fname
     }
   }
@@ -292,6 +302,100 @@ object WasmUdf {
       case (FloatType, d: Double) => d.toFloat
       case _ => raw
     }
+  }
+}
+
+/**
+ * Columnar batch kernel for a wasm scalar: ONE pooled instance borrowed per
+ * scan batch (the reference's batched contract — `call(&RecordBatch)` enters
+ * the guest once per batch, `wasm/mod.rs:256-279`), argument slots read
+ * box-free off the scan's `ColumnVector`s. Registered in
+ * [[graft.plans.ColumnarMap.kernelOverrides]] for all-numeric signatures;
+ * string args keep the per-row FFI alloc path.
+ */
+final case class WasmBatchKernel(
+    binary: Array[Byte], poolKey: String, config: WasmConfig,
+    exportNm: String, paramSlots: Seq[Byte], retSlot: Byte, retDt: DataType)
+  extends graft.plans.ColumnarMap.BatchKernel {
+  import org.apache.spark.sql.vectorized.ColumnVector
+  import org.apache.spark.sql.execution.vectorized.OnHeapColumnVector
+  import WasmModule.{I32, I64, F32, F64}
+
+  override def apply(in: Seq[ColumnVector], rows: Int, out: OnHeapColumnVector): Unit = {
+    val inst = WasmPool.acquire(poolKey, binary, config)
+    var ok = false
+    try {
+      val nArgs = in.length
+      val cols = in.toArray
+      val slots = new Array[Long](nArgs)
+      var i = 0
+      while (i < rows) {
+        var anyNull = false
+        var j = 0
+        while (j < nArgs) { if (cols(j).isNullAt(i)) anyNull = true; j += 1 }
+        if (anyNull) out.putNull(i) // ReturnNullOnNullInput batch semantics
+        else {
+          j = 0
+          while (j < nArgs) { slots(j) = slotOf(cols(j), i, paramSlots(j)); j += 1 }
+          write(out, i, inst.invoke(exportNm, slots))
+        }
+        i += 1
+      }
+      ok = true
+    } finally {
+      if (ok) WasmPool.release(poolKey, inst) // a trapped batch drops the instance
+    }
+  }
+
+  private def slotOf(v: ColumnVector, i: Int, vt: Byte): Long = vt match {
+    case I32 | I64 => v.dataType() match {
+      case IntegerType => v.getInt(i).toLong
+      case LongType    => v.getLong(i)
+      case ShortType   => v.getShort(i).toLong
+      case ByteType    => v.getByte(i).toLong
+      case BooleanType => if (v.getBoolean(i)) 1L else 0L
+      case DoubleType  => v.getDouble(i).toLong
+      case FloatType   => v.getFloat(i).toLong
+      case dt => throw new WasmTrap(s"cannot pass $dt as integer slot")
+    }
+    case F64 =>
+      val d = v.dataType() match {
+        case DoubleType  => v.getDouble(i)
+        case FloatType   => v.getFloat(i).toDouble
+        case IntegerType => v.getInt(i).toDouble
+        case LongType    => v.getLong(i).toDouble
+        case dt => throw new WasmTrap(s"cannot pass $dt as f64")
+      }
+      java.lang.Double.doubleToRawLongBits(d)
+    case F32 =>
+      val f = v.dataType() match {
+        case FloatType   => v.getFloat(i)
+        case DoubleType  => v.getDouble(i).toFloat
+        case IntegerType => v.getInt(i).toFloat
+        case LongType    => v.getLong(i).toFloat
+        case dt => throw new WasmTrap(s"cannot pass $dt as f32")
+      }
+      java.lang.Float.floatToRawIntBits(f).toLong & 0xFFFFFFFFL
+    case other => throw new WasmTrap(f"unsupported param slot 0x$other%02x")
+  }
+
+  private def write(out: OnHeapColumnVector, i: Int, slot: Long): Unit = retDt match {
+    case LongType    => out.putLong(i, if (retSlot == I32) slot.toInt.toLong else slot)
+    case IntegerType => out.putInt(i, slot.toInt)
+    case DoubleType  => out.putDouble(i, retSlot match {
+      case F64 => java.lang.Double.longBitsToDouble(slot)
+      case F32 => java.lang.Float.intBitsToFloat(slot.toInt).toDouble
+      case _   => slot.toDouble
+    })
+    case FloatType   => out.putFloat(i, retSlot match {
+      case F32 => java.lang.Float.intBitsToFloat(slot.toInt)
+      case F64 => java.lang.Double.longBitsToDouble(slot).toFloat
+      case _   => slot.toFloat
+    })
+    case BooleanType => out.putBoolean(i, slot != 0)
+    case ShortType   => out.putShort(i, slot.toShort)
+    case ByteType    => out.putByte(i, slot.toByte)
+    case dt => throw new WasmTrap(s"unsupported batch return type $dt")
   }
 }
 

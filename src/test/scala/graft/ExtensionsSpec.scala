@@ -85,6 +85,9 @@ class ExtensionsSpec extends AnyFunSuite {
         .selectExpr("wasm_gcd(l_partkey, l_suppkey) AS g")
       val plan = df.queryExecution.executedPlan.toString
       assert(plan.contains("ColumnarMultiMap"), plan)
+      // wasm scalars lower through the BATCHED kernel (one instance borrow
+      // per scan batch), not the per-row closure fallback
+      assert(plan.contains("WasmBatchKernel"), plan)
       val lowered = df.selectExpr("sum(g)").collect().head.getLong(0)
       val old = TestSpark.spark
       Graft.install(old)
