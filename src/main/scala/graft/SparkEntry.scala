@@ -562,9 +562,19 @@ object SparkEntry {
         .orderBy("q_id", "rank")
     } _,
 
-    // embedding-cosine near-dup: LSH bucket join + exact threshold verify
+    // embedding-cosine near-dup: LSH bucket join + exact threshold verify.
+    // The synthetic embeddings are near-random (max raw pairwise sim ~0.51),
+    // so the fixture plants near-duplicates: vec_id < 50 gets a copy at
+    // vec_id+100000 with one coordinate nudged (+0.25 on dim 0, float-exact
+    // on both engines) — sim ≈ 0.999, discoverable only by the LSH+verify
+    // pipeline, and the 0.9 threshold separates planted pairs from noise.
     "q_embed_neardup" -> dfq { s =>
-      val e = s.table("embeddings")
+      val base = s.table("embeddings")
+      val planted = base.where("vec_id < 50")
+        .selectExpr("vec_id + 100000 AS vec_id",
+          "transform(embedding, (x, i) -> IF(i = 0, CAST(x + CAST(0.25 AS DOUBLE) AS FLOAT), x)) AS embedding")
+      val corpus = base.select("vec_id", "embedding").unionByName(planted)
+      val e = corpus
         .selectExpr("vec_id", "embedding", "hyperplane_bucket(embedding, 8) AS bucket")
       val l = e.selectExpr("bucket", "vec_id AS id_a", "embedding AS ea")
       val r = e.selectExpr("bucket", "vec_id AS id_b", "embedding AS eb")
@@ -768,18 +778,20 @@ object SparkEntry {
         |             event_type, value
         |      FROM events)
         |GROUP BY w, event_type ORDER BY ws, event_type""".stripMargin) _,
-    // bucketed range join: events within 7 days after an order by the same
-    // user — interval bucketing turns the range predicate into an equi-join
+    // bucketed range join: events within 1 hour after a purchase by the same
+    // user — interval bucketing turns the range predicate into an equi-join.
+    // (Orders are 1995-2001 and events are 2024, so an orders-anchored window
+    // can never match; purchase-anchored windows yield real matches at every SF.)
     "q_range_join" -> dfq { s =>
       val points = s.table("events")
         .selectExpr("event_id", "user_id", "ts DIV 1000000 AS t_ms")
-      val intervals = s.table("orders").selectExpr("o_orderkey", "o_custkey",
-        "unix_millis(CAST(o_orderdate AS TIMESTAMP)) AS lo",
-        "unix_millis(CAST(o_orderdate AS TIMESTAMP)) + 604800000 AS hi")
+      val intervals = s.table("events").where("event_type = 'purchase'")
+        .selectExpr("event_id AS purchase_id", "user_id AS p_user",
+          "ts DIV 1000000 AS lo", "ts DIV 1000000 + 3600000 AS hi")
       graft.plans.RangeJoin.bucketedRangeJoin(points, intervals,
-          "user_id", "o_custkey", "t_ms", "lo", "hi", bucketWidth = 604800000L)
-        .select("event_id", "o_orderkey")
-        .orderBy("event_id", "o_orderkey")
+          "user_id", "p_user", "t_ms", "lo", "hi", bucketWidth = 3600000L)
+        .select("event_id", "purchase_id")
+        .orderBy("event_id", "purchase_id")
     } _,
     "q_asof_join" -> dfq { s =>
       val e = s.table("events").selectExpr("event_id", "user_id", "ts DIV 1000000 AS t_ms")
@@ -976,7 +988,7 @@ object SparkEntry {
         |       '{"rf":"' || l_returnflag || '","ls":"' || l_linestatus || '"}' AS mj
         |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
     "q_python_sum_udaf" ->
-      """SELECT l_returnflag, sum(CAST(l_quantity AS BIGINT)) AS sum_qty
+      """SELECT l_returnflag, CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q_remote_decimal" ->
       """SELECT l_orderkey, l_linenumber,
@@ -992,7 +1004,7 @@ object SparkEntry {
         |WHERE t.tok <> ''
         |ORDER BY doc_id, tok""".stripMargin,
     "q_js_sum_udaf" ->
-      """SELECT l_returnflag, sum(CAST(l_quantity AS INT)) AS sum_qty
+      """SELECT l_returnflag, CAST(sum(CAST(l_quantity AS INT)) AS BIGINT) AS sum_qty
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q_retract_sum" ->
       """SELECT l_linestatus AS key,
@@ -1303,13 +1315,20 @@ object SparkEntry {
          |SELECT q_id, vec_id, rank, CAST(ROUND(sim * 10000) AS BIGINT) AS c4
          |FROM r WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
     "q_embed_neardup" ->
-      s"""WITH b AS (SELECT vec_id, embedding,
+      s"""WITH corpus AS (
+         |  SELECT vec_id, embedding FROM embeddings
+         |  UNION ALL
+         |  SELECT vec_id + 100000 AS vec_id,
+         |         [CASE WHEN i = 1 THEN CAST(embedding[i] + CAST(0.25 AS DOUBLE) AS FLOAT)
+         |               ELSE embedding[i] END for i in range(1, 65)] AS embedding
+         |  FROM embeddings WHERE vec_id < 50),
+         |b AS (SELECT vec_id, embedding,
          |  CAST(list_sum([CASE WHEN
          |    list_reduce([CAST(embedding[i] AS DOUBLE) *
          |      (${duckMd5_60("CAST(p * 10007 + (i - 1) AS VARCHAR) || 'hp'")} / 5.764607523034235e17 - 1.0)
          |      for i in range(1, 65)], (x, y) -> x + y) >= 0
          |    THEN (CAST(1 AS BIGINT) << p) ELSE CAST(0 AS BIGINT) END for p in range(8)]) AS BIGINT) AS bucket
-         |  FROM embeddings),
+         |  FROM corpus),
          |p AS (SELECT a.vec_id AS id_a, b2.vec_id AS id_b,
          |        ${duckCos("a.embedding", "b2.embedding")} AS sim
          |      FROM b a JOIN b b2 USING (bucket) WHERE a.vec_id < b2.vec_id)
@@ -1479,12 +1498,13 @@ object SparkEntry {
         |     UNNEST([ms - (ms % 1800000), ms - (ms % 1800000) - 1800000]) AS t(ws)
         |GROUP BY 1, 2 ORDER BY ws, event_type""".stripMargin,
     "q_range_join" ->
-      """SELECT e.event_id, o.o_orderkey
+      """SELECT e.event_id, p.purchase_id
         |FROM (SELECT event_id, user_id, epoch_ns(ts) // 1000000 AS t_ms FROM events) e
-        |JOIN (SELECT o_orderkey, o_custkey, epoch_ms(o_orderdate) AS lo,
-        |             epoch_ms(o_orderdate) + 604800000 AS hi FROM orders) o
-        |  ON o.o_custkey = e.user_id AND e.t_ms >= o.lo AND e.t_ms <= o.hi
-        |ORDER BY event_id, o_orderkey""".stripMargin,
+        |JOIN (SELECT event_id AS purchase_id, user_id, epoch_ns(ts) // 1000000 AS lo,
+        |             epoch_ns(ts) // 1000000 + 3600000 AS hi
+        |      FROM events WHERE event_type = 'purchase') p
+        |  ON p.user_id = e.user_id AND e.t_ms >= p.lo AND e.t_ms <= p.hi
+        |ORDER BY event_id, purchase_id""".stripMargin,
     "q_asof_join" ->
       """SELECT event_id, user_id, o_orderkey FROM (
         |  SELECT e.event_id, e.user_id, o.o_orderkey,
