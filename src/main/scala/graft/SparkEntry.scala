@@ -149,10 +149,22 @@ object SparkEntry {
     "q_wasm_count_byte" -> q(
       """SELECT doc_id, wasm_count_byte(text, 101) AS ne
         |FROM documents ORDER BY doc_id""".stripMargin) _,
+    // STRING RETURN through the FFI alloc ABI's other direction: the guest
+    // returns a packed (ptr << 32 | len) i64 and the host copies the bytes
+    // out of linear memory (documents.text is ASCII, so the byte-indexed
+    // guest kernel matches DuckDB's char-indexed substr)
+    "q_wasm_substring" -> q(
+      """SELECT doc_id, wasm_substring(text, 8, 24) AS sub
+        |FROM documents ORDER BY doc_id""".stripMargin) _,
     // five-phase aggregate with every phase a wasm export (i64 state rides
     // Spark's partial aggregation + shuffle)
     "q_wasm_sum_udaf" -> q(
       """SELECT l_returnflag, wasm_sum(CAST(l_quantity AS BIGINT)) AS s
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) _,
+    // blob-state aggregate: TWO i64 accumulators ride the shuffle as a
+    // 16-byte guest blob (integer-exact, divided only at finish)
+    "q_wasm_weighted_avg" -> q(
+      """SELECT l_returnflag, wasm_wavg(CAST(l_quantity AS INT), l_linenumber) AS wa
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) _,
     // table function through the out-buffer ABI (reference wasm table fns,
     // `wasm/mod.rs:283-319`): guest writes 8-byte slots, host re-calls on
@@ -969,6 +981,14 @@ object SparkEntry {
         |FROM documents ORDER BY doc_id""".stripMargin,
     "q_wasm_sum_udaf" ->
       """SELECT l_returnflag, CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS s
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_wasm_substring" ->
+      """SELECT doc_id, substr(text, 9, 24) AS sub
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_wasm_weighted_avg" ->
+      """SELECT l_returnflag,
+        |       CAST(sum(CAST(l_quantity AS INT) * l_linenumber) AS DOUBLE)
+        |         / CAST(sum(l_linenumber) AS DOUBLE) AS wa
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q_wasm_table" ->
       """SELECT l_orderkey, l_linenumber, CAST(u.d AS BIGINT) AS d

@@ -221,10 +221,17 @@ object WasmModule {
     case _ => throw new WasmTrap("type-index block types unsupported")
   }
 
+  /** Nesting cap for decode-time recursion: a hostile module is 2 bytes per
+    * `block` level, so without a cap ~100 KiB of input overflows the JVM
+    * stack (an Error, which escapes error-column containment). Far above any
+    * real module's nesting. */
+  private final val MaxDecodeDepth = 1000
+
   /** Decode an instruction sequence up to `end` (0x0B) — or, inside an `if`,
     * up to `else` (0x05). Returns (instructions, endedWithElse). */
-  private def decodeExpr(r: ByteReader, stopOnElse: Boolean): (Array[Insn], Boolean) = {
+  private def decodeExpr(r: ByteReader, stopOnElse: Boolean, depth: Int = 0): (Array[Insn], Boolean) = {
     import Insn._
+    if (depth > MaxDecodeDepth) throw new WasmTrap("block nesting too deep (module rejected)")
     val out = ArrayBuffer.empty[Insn]
     while (true) {
       val op = r.byte() & 0xFF
@@ -237,14 +244,14 @@ object WasmModule {
         case 0x01 => out += Nop
         case 0x02 =>
           val a = blockArity(r)
-          out += Block(a, decodeExpr(r, stopOnElse = false)._1)
+          out += Block(a, decodeExpr(r, stopOnElse = false, depth + 1)._1)
         case 0x03 =>
           blockArity(r) // loop label arity (params) is 0 in MVP; result arity unused for br
-          out += Loop(decodeExpr(r, stopOnElse = false)._1)
+          out += Loop(decodeExpr(r, stopOnElse = false, depth + 1)._1)
         case 0x04 =>
           val a = blockArity(r)
-          val (thn, hasElse) = decodeExpr(r, stopOnElse = true)
-          val els = if (hasElse) decodeExpr(r, stopOnElse = false)._1 else Array.empty[Insn]
+          val (thn, hasElse) = decodeExpr(r, stopOnElse = true, depth + 1)
+          val els = if (hasElse) decodeExpr(r, stopOnElse = false, depth + 1)._1 else Array.empty[Insn]
           out += If(a, thn, els)
         case 0x0C => out += Br(r.lebU32())
         case 0x0D => out += BrIf(r.lebU32())

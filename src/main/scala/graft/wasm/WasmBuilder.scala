@@ -56,12 +56,14 @@ final class WasmBuilder {
     * guest memory): a bump allocator over a mutable heap-pointer global,
     * 8-byte aligned, growing memory on demand (trapping if the configured
     * cap refuses the grow), plus `reset_heap` — the dealloc analogue the
-    * host calls between pooled-instance calls. Returns the heap global idx. */
+    * host calls between pooled-instance calls. Returns the `alloc` function
+    * index so later-built kernels can allocate guest-side (e.g. blob
+    * aggregate states and string results). */
   def addBumpAllocator(heapBase: Int): Int = {
     import Asm._
     val gHeap = global(i32, mutable = true, i32Const(heapBase))
     // alloc(size: i32) -> i32
-    func(Seq(i32), Seq(i32), Seq(i32), concat(
+    val allocIdx = func(Seq(i32), Seq(i32), Seq(i32), concat(
       globalGet(gHeap), localSet(1),                       // r = heap
       localGet(1),
       localGet(0), i32Const(7), i32Add, i32Const(-8), i32And,
@@ -79,7 +81,7 @@ final class WasmBuilder {
     func(Seq.empty, Seq.empty, Seq.empty, concat(
       i32Const(heapBase), globalSet(gHeap)),
       exportAs = Some("reset_heap"))
-    gHeap
+    allocIdx
   }
 
   def exportFunc(name: String, idx: Int): Unit = exports += ((name, 0, idx))
@@ -258,6 +260,7 @@ object Asm {
   def i64LeS: Code = b(0x57)
   def i64GeS: Code = b(0x59)
   def i32LtS: Code = b(0x48)
+  def i32GtS: Code = b(0x4A)
   def i32Add: Code = b(0x6A)
   def i32Sub: Code = b(0x6B)
   def i32Mul: Code = b(0x6C)

@@ -61,7 +61,12 @@ final class WasmInstance(val module: WasmModule, val config: WasmConfig) {
     if (sp == stack.length) stack = java.util.Arrays.copyOf(stack, stack.length * 2)
     stack(sp) = v; sp += 1
   }
-  private def pop(): Long = { sp -= 1; stack(sp) }
+  private def pop(): Long = {
+    // malformed (unvalidated) modules can underflow the operand stack; trap
+    // instead of surfacing an ArrayIndexOutOfBoundsException
+    if (sp == 0) throw new WasmTrap("operand stack underflow (malformed module)")
+    sp -= 1; stack(sp)
+  }
 
   /** Host-side write into guest linear memory — the copy-in half of the
     * reference's FFI ABI (`ffi.rs:114-130`: host writes argument buffers into
@@ -85,6 +90,16 @@ final class WasmInstance(val module: WasmModule, val config: WasmConfig) {
     v
   }
 
+  /** Host-side copy-out of a guest buffer — how string/binary RESULTS leave
+    * guest memory: the guest returns a packed (ptr << 32 | len) i64 and the
+    * host copies the bytes before the instance is released (reference:
+    * results read back out of guest linear memory, `wasm/mod.rs:409-460`). */
+  def readBytes(ptr: Int, len: Int): Array[Byte] = {
+    if (len < 0 || ptr < 0 || ptr.toLong + len > mem.length)
+      throw new WasmTrap("host read out of bounds guest memory")
+    java.util.Arrays.copyOfRange(mem, ptr, ptr + len)
+  }
+
   /** Invoke an exported function. `args`/result use the slot encoding. */
   def invoke(exportName: String, args: Array[Long]): Long = {
     val fidx = module.exportedFunc(exportName)
@@ -96,7 +111,15 @@ final class WasmInstance(val module: WasmModule, val config: WasmConfig) {
     if (ft.params.length != args.length)
       throw new WasmTrap(s"$exportName expects ${ft.params.length} args, got ${args.length}")
     args.foreach(push)
-    callFunc(fidx)
+    // unvalidated modules can index locals/globals out of range — surface
+    // every malformed-module failure as a trap, never a JVM error
+    try callFunc(fidx)
+    catch {
+      case e: ArrayIndexOutOfBoundsException =>
+        throw new WasmTrap(s"malformed module: index out of range (${e.getMessage})")
+      case _: NegativeArraySizeException =>
+        throw new WasmTrap("malformed module: negative allocation")
+    }
     if (ft.results.length == 1) pop() else 0L
   }
 
@@ -128,8 +151,20 @@ final class WasmInstance(val module: WasmModule, val config: WasmConfig) {
   private final val FALL = -1 // fallthrough marker for exec()
 
   /** Execute a sequence; returns FALL or a branch depth relative to the
-    * *enclosing* label after this sequence's own labels are consumed. */
+    * *enclosing* label after this sequence's own labels are consumed.
+    * Each activation counts against `config.maxCallDepth` alongside calls,
+    * so a hostile module of tens of thousands of nested `block`s traps
+    * (WasmTrap) instead of overflowing the JVM stack — a StackOverflowError
+    * would escape the error-column containment, which only catches
+    * Exception. */
   private def exec(body: Array[Insn], locals: Array[Long]): Int = {
+    depth += 1
+    if (depth > config.maxCallDepth) throw new WasmTrap("block nesting depth exceeded")
+    try execBody(body, locals)
+    finally depth -= 1
+  }
+
+  private def execBody(body: Array[Insn], locals: Array[Long]): Int = {
     var pc = 0
     while (pc < body.length) {
       fuel -= 1

@@ -104,7 +104,72 @@ object WasmKernels {
     // FFI allocator surface for string/binary arguments and table-function
     // out-buffers (after the fixed-index functions so wasm_fib's self-call
     // index stays stable)
-    b.addBumpAllocator(heapBase = 1024)
+    val allocIdx = b.addBumpAllocator(heapBase = 1024)
+
+    // wasm_substring(s, start, len) -> string — a STRING-RETURNING kernel
+    // (the reference's substring shape, `arrow-udf/tests/tests.rs:121-140`):
+    // the result leaves the guest as a packed (ptr << 32 | len) i64 pointing
+    // into linear memory — here zero-copy into the argument buffer itself,
+    // valid until the host's next reset_heap. Byte-indexed with clamping.
+    // Params: (ptr: i32, slen: i32, start: i32, len: i32) -> i64 packed.
+    b.func(Seq(i32, i32, i32, i32), Seq(i64), Seq(i32, i32), concat(
+      // cs = min(max(start, 0), slen)
+      localGet(2), i32Const(0),
+      localGet(2), i32Const(0), i32GtS, select,
+      localSet(4),
+      localGet(4), localGet(1),
+      localGet(4), localGet(1), i32LtS, select,
+      localSet(4),
+      // cl = min(max(len, 0), slen - cs)
+      localGet(3), i32Const(0),
+      localGet(3), i32Const(0), i32GtS, select,
+      localSet(5),
+      localGet(5), localGet(1), localGet(4), i32Sub,
+      localGet(5), localGet(1), localGet(4), i32Sub, i32LtS, select,
+      localSet(5),
+      // packed = ((ptr + cs) zext << 32) | (cl zext)
+      localGet(0), localGet(4), i32Add, i64ExtendI32U, i64Const(32), i64Shl,
+      localGet(5), i64ExtendI32U, i64Or),
+      exportAs = Some(WasmUdf.exportName("wasm_substring(string,int,int) -> string")))
+
+    // Weighted-average aggregate with BLOB state (two i64 accumulators:
+    // sum(v*w) at offset 0, sum(w) at offset 8 — 16 bytes, integer-exact;
+    // bound by WasmUdf.loadAggregateBlob). Phases take/return the state as
+    // (ptr, len) / packed i64 through the alloc ABI.
+    def packed16(ptrLocal: Int) = concat(
+      localGet(ptrLocal), i64ExtendI32U, i64Const(32), i64Shl, i64Const(16L), i64Or)
+    // wavg_create() -> packed: alloc(16), zero both slots
+    b.func(Seq.empty, Seq(i64), Seq(i32), concat(
+      i32Const(16), call(allocIdx), localSet(0),
+      localGet(0), i64Const(0L), i64Store(),
+      localGet(0), i64Const(0L), i64Store(8),
+      packed16(0)), exportAs = Some("wavg_create"))
+    // wavg_acc(sp, slen, v, w) -> packed: state += (v*w, w), in place
+    b.func(Seq(i32, i32, i64, i64), Seq(i64), Seq.empty, concat(
+      localGet(0), localGet(0), i64Load(),
+      localGet(2), localGet(3), i64Mul, i64Add, i64Store(),
+      localGet(0), localGet(0), i64Load(8),
+      localGet(3), i64Add, i64Store(8),
+      packed16(0)), exportAs = Some("wavg_acc"))
+    // wavg_retract(sp, slen, v, w) -> packed: the inverse
+    b.func(Seq(i32, i32, i64, i64), Seq(i64), Seq.empty, concat(
+      localGet(0), localGet(0), i64Load(),
+      localGet(2), localGet(3), i64Mul, i64Sub, i64Store(),
+      localGet(0), localGet(0), i64Load(8),
+      localGet(3), i64Sub, i64Store(8),
+      packed16(0)), exportAs = Some("wavg_retract"))
+    // wavg_merge(ap, alen, bp, blen) -> packed: a += b, return a
+    b.func(Seq(i32, i32, i32, i32), Seq(i64), Seq.empty, concat(
+      localGet(0), localGet(0), i64Load(),
+      localGet(2), i64Load(), i64Add, i64Store(),
+      localGet(0), localGet(0), i64Load(8),
+      localGet(2), i64Load(8), i64Add, i64Store(8),
+      packed16(0)), exportAs = Some("wavg_merge"))
+    // wavg_finish(sp, slen) -> f64 = sum_vw / sum_w
+    b.func(Seq(i32, i32), Seq(f64), Seq.empty, concat(
+      localGet(0), i64Load(), f64ConvertI64S,
+      localGet(0), i64Load(8), f64ConvertI64S,
+      f64Div), exportAs = Some("wavg_finish"))
 
     // Five-phase aggregate, every phase a guest function (plain-named
     // exports, bound by WasmUdf.loadAggregate): retractable i64 sum.
@@ -155,6 +220,11 @@ object WasmKernels {
       createFn = "sumagg_create", accFn = "sumagg_acc",
       retractFn = Some("sumagg_retract"), mergeFn = "sumagg_merge",
       finishFn = "sumagg_finish")
+    // blob-state weighted average: two accumulators through the alloc ABI
+    WasmUdf.loadAggregateBlob(moduleBytes, "wasm_wavg(int,bigint) -> double",
+      createFn = "wavg_create", accFn = "wavg_acc",
+      retractFn = Some("wavg_retract"), mergeFn = "wavg_merge",
+      finishFn = "wavg_finish")
     ()
   }
 }

@@ -43,6 +43,11 @@ object WasmUdf {
 
   final val VersionExport = "ARROWUDF_VERSION_3_0"
 
+  /** Upper bound on a table function's guest-reported row total (16M rows
+    * per input row is far past any sane yield; the alloc itself would trap on
+    * the memory cap first for wide rows). */
+  final val MaxTableRows = 1L << 24
+
   /**
    * Load a module's bytes, discover every `arrowudf_`-exported function and
    * register each into [[Registry.global]]. Returns the registered names.
@@ -82,9 +87,24 @@ object WasmUdf {
           (if (isTable) 2 else 0)
         require(ft.params.length == expanded,
           s"$sigStr: wasm functype has ${ft.params.length} params, expected $expanded")
-        if (isBuffer.contains(true) || isTable)
+        // fail fast at load on a return type fromSlot can't produce —
+        // otherwise a `-> tinyint` module would surface per-row as an opaque
+        // ClassCastException in the Catalyst converter
+        val retDt0 = parsed.returns.dataType
+        val retIsBuffer = retDt0 == StringType || retDt0 == BinaryType
+        require(retIsBuffer || Set[DataType](IntegerType, LongType, ShortType,
+            ByteType, BooleanType, FloatType, DoubleType).contains(retDt0),
+          s"$sigStr: unsupported wasm return type $retDt0")
+        // string/binary RESULTS come back as one packed i64 = (ptr << 32 | len)
+        // pointing at guest-allocated bytes (the return direction of the FFI
+        // alloc ABI; reference results are read back out of guest linear
+        // memory, `wasm/mod.rs:409-460`)
+        if (retIsBuffer)
+          require(ft.results.headOption.contains(WasmModule.I64),
+            s"$sigStr: string/binary returns must be a packed (ptr<<32|len) i64")
+        if (isBuffer.contains(true) || isTable || retIsBuffer)
           require(module.exportedFunc("alloc").isDefined,
-            s"$sigStr: string/binary args and table functions require an exported alloc (FFI ABI)")
+            s"$sigStr: string/binary args/results and table functions require an exported alloc (FFI ABI)")
         // driver-side smoke instantiation (validates globals/data/memory limits)
         new WasmInstance(module, config)
 
@@ -92,12 +112,12 @@ object WasmUdf {
         val exportNm = e.name
         val paramTypes = ft.params
         val retSlot = ft.results.headOption.getOrElse(WasmModule.I64)
-        val retDt = parsed.returns.dataType
+        val retDt = retDt0
         val bufferArg = isBuffer.toArray
         // pool key hashed ONCE here — per-call hashing would dominate the
         // whole invoke (MessageDigest.getInstance is not cheap)
-        val poolKey = WasmPool.keyOf(binary)
-        val needsHeap = bufferArg.exists(identity) || isTable
+        val poolKey = WasmPool.keyOf(binary, config)
+        val needsHeap = bufferArg.exists(identity) || isTable || retIsBuffer
 
         // marshal Spark args into the leading slots; returns slots used
         def marshal(inst: WasmInstance, args: Seq[Any], slots: Array[Long]): Int = {
@@ -140,13 +160,22 @@ object WasmUdf {
               var outPtr = 0
               var total = 0L
               var done = false
+              var retried = false
               while (!done) {
                 outPtr = inst.invoke("alloc", Array(cap.toLong * 8)).toInt
                 slots(used) = outPtr.toLong
                 slots(used + 1) = cap.toLong
                 total = inst.invoke(exportNm, slots)
+                // the guest-reported total is untrusted: reject negatives and
+                // absurd sizes, and allow exactly ONE exact-size retry — a
+                // guest whose total keeps growing would otherwise loop the
+                // host forever (fuel only bounds each individual call)
+                if (total < 0 || total > MaxTableRows)
+                  throw new WasmTrap(s"table function returned invalid total $total")
                 if (total <= cap) done = true
-                else cap = total.toInt // overflow: retry with the exact size
+                else if (retried)
+                  throw new WasmTrap("table function result grew past its reported total")
+                else { retried = true; cap = total.toInt }
               }
               val out = new Array[Any](total.toInt)
               var j = 0
@@ -164,14 +193,23 @@ object WasmUdf {
             val inst = WasmPool.acquire(poolKey, binary, config)
             var ok = false
             try {
-              // free the previous call's buffers before placing this call's
+              // free the previous call's buffers before placing this call's —
+              // which also means a buffer RESULT stays readable until the
+              // next call on this instance, so the copy-out below is safe
               if (needsHeap && inst.hasExport("reset_heap"))
                 inst.invoke("reset_heap", Array.empty)
               val slots = new Array[Long](paramTypes.length)
               marshal(inst, args, slots)
               val r = inst.invoke(exportNm, slots)
+              val out =
+                if (retIsBuffer) {
+                  val bytes = inst.readBytes((r >>> 32).toInt, r.toInt)
+                  if (retDt == StringType)
+                    new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
+                  else bytes
+                } else fromSlot(r, retSlot, retDt)
               ok = true
-              fromSlot(r, retSlot, retDt)
+              out
             } finally {
               if (ok) WasmPool.release(poolKey, inst) // trapped instances are dropped
             }
@@ -218,7 +256,7 @@ object WasmUdf {
     val retSlot = module.funcType(module.exportedFunc(finishFn).get)
       .results.headOption.getOrElse(WasmModule.I64)
     val retDt = parsed.returns.dataType
-    val poolKey = WasmPool.keyOf(binary)
+    val poolKey = WasmPool.keyOf(binary, config)
 
     def withInst[T](f: WasmInstance => T): T = {
       val inst = WasmPool.acquire(poolKey, binary, config)
@@ -250,6 +288,114 @@ object WasmUdf {
       override def merge(a: Long, b: Long): Long = withInst(_.invoke(mergeFn, Array(a, b)))
       override def finish(state: Long): Any =
         fromSlot(withInst(_.invoke(finishFn, Array(state))), retSlot, retDt)
+    }
+    graft.functions.Udf.aggregateNative(sig)(agg)
+  }
+
+  /**
+   * Like [[loadAggregate]] but with ARBITRARY byte-blob state — the
+   * reference's aggregate-state contract, where state is any Arrow array
+   * including pickled blobs (`arrow-udf-runtime/src/python/mod.rs:482-517`),
+   * so multi-accumulator aggregates (weighted average, variance, sketches)
+   * are expressible without bit-packing into one i64.
+   *
+   * Blob phase ABI (the FFI alloc ABI in both directions):
+   *  - host → guest: the host calls the exported `alloc`, copies the state
+   *    blob into linear memory, and passes (ptr: i32, len: i32);
+   *  - guest → host: a phase returns its (possibly re-allocated) state as one
+   *    packed i64 = (ptr << 32) | len, which the host copies out before the
+   *    instance is released.
+   *
+   * Export shapes: `createFn() -> packed`,
+   * `accFn/retractFn(statePtr, stateLen, args...) -> packed`,
+   * `mergeFn(aPtr, aLen, bPtr, bLen) -> packed`,
+   * `finishFn(statePtr, stateLen) -> scalar` (or packed for string results).
+   * State rides Spark's partial aggregation and the shuffle as plain bytes —
+   * only one blob per (group, partition) is ever serialized.
+   */
+  def loadAggregateBlob(binary: Array[Byte], sig: String,
+                        createFn: String, accFn: String,
+                        retractFn: Option[String], mergeFn: String, finishFn: String,
+                        config: WasmConfig = WasmConfig()): Unit = {
+    val module = WasmModule.decode(binary)
+    (Seq(createFn, accFn, mergeFn, finishFn) ++ retractFn).foreach { n =>
+      require(module.exportedFunc(n).isDefined, s"aggregate phase export missing: $n")
+    }
+    require(module.exportedFunc("alloc").isDefined,
+      "blob-state aggregates require an exported alloc (FFI ABI)")
+    val parsed = Signature.parse(sig)
+    val accFt = module.funcType(module.exportedFunc(accFn).get)
+    require(accFt.params.length == parsed.args.length + 2,
+      s"$accFn must take (statePtr, stateLen, ${parsed.args.length} args)")
+    val argSlots = accFt.params.drop(2)
+    val retSlot = module.funcType(module.exportedFunc(finishFn).get)
+      .results.headOption.getOrElse(WasmModule.I64)
+    val retDt = parsed.returns.dataType
+    val retIsBuffer = retDt == StringType || retDt == BinaryType
+    val poolKey = WasmPool.keyOf(binary, config)
+
+    def withInst[T](f: WasmInstance => T): T = {
+      val inst = WasmPool.acquire(poolKey, binary, config)
+      var ok = false
+      try { val r = f(inst); ok = true; r }
+      finally { if (ok) WasmPool.release(poolKey, inst) }
+    }
+    def resetHeap(inst: WasmInstance): Unit =
+      if (inst.hasExport("reset_heap")) inst.invoke("reset_heap", Array.empty)
+    def readPacked(inst: WasmInstance, packed: Long): Array[Byte] =
+      inst.readBytes((packed >>> 32).toInt, packed.toInt)
+    def putBlob(inst: WasmInstance, blob: Array[Byte]): Long = {
+      val ptr = inst.invoke("alloc", Array(blob.length.toLong)).toInt
+      inst.writeBytes(ptr, blob)
+      ptr.toLong
+    }
+
+    val nArgs = parsed.args.length
+    def phase(name: String, state: Array[Byte],
+              in: org.apache.spark.sql.Row): Array[Byte] = {
+      var i = 0
+      while (i < nArgs) { if (in.isNullAt(i)) return state; i += 1 } // null-safe
+      withInst { inst =>
+        resetHeap(inst)
+        val slots = new Array[Long](nArgs + 2)
+        slots(0) = putBlob(inst, state)
+        slots(1) = state.length.toLong
+        i = 0
+        while (i < nArgs) { slots(i + 2) = toSlot(in.get(i), argSlots(i)); i += 1 }
+        readPacked(inst, inst.invoke(name, slots))
+      }
+    }
+
+    val agg = new graft.functions.GraftAggregate[Array[Byte], Any] {
+      override def createState(): Array[Byte] = withInst { inst =>
+        resetHeap(inst)
+        readPacked(inst, inst.invoke(createFn, Array.empty))
+      }
+      override def accumulate(state: Array[Byte], in: org.apache.spark.sql.Row): Array[Byte] =
+        phase(accFn, state, in)
+      override def retract(state: Array[Byte], in: org.apache.spark.sql.Row): Array[Byte] =
+        retractFn match {
+          case None => throw new UnsupportedOperationException(s"${parsed.name} is append-only")
+          case Some(r) => phase(r, state, in)
+        }
+      override def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] = withInst { inst =>
+        resetHeap(inst)
+        val pa = putBlob(inst, a)
+        val pb = putBlob(inst, b)
+        readPacked(inst, inst.invoke(mergeFn,
+          Array(pa, a.length.toLong, pb, b.length.toLong)))
+      }
+      override def finish(state: Array[Byte]): Any = withInst { inst =>
+        resetHeap(inst)
+        val ptr = putBlob(inst, state)
+        val r = inst.invoke(finishFn, Array(ptr, state.length.toLong))
+        if (retIsBuffer) {
+          val bytes = readPacked(inst, r)
+          if (retDt == StringType)
+            new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
+          else bytes
+        } else fromSlot(r, retSlot, retDt)
+      }
     }
     graft.functions.Udf.aggregateNative(sig)(agg)
   }
@@ -294,6 +440,8 @@ object WasmUdf {
       case (LongType, l: Long) => l
       case (ShortType, l: Long) => l.toShort
       case (ShortType, i: Int) => i.toShort
+      case (ByteType, l: Long) => l.toByte
+      case (ByteType, i: Int) => i.toByte
       case (BooleanType, i: Int) => i != 0
       case (BooleanType, l: Long) => l != 0
       case (FloatType, f: Float) => f
@@ -413,12 +561,16 @@ object WasmPool {
     ThreadLocal.withInitial[scala.collection.mutable.HashMap[String, WasmInstance]](
       () => scala.collection.mutable.HashMap.empty)
 
-  /** Module identity. Callers compute this ONCE per registered function and
-    * pass the string to acquire/release — hashing per call would cost more
-    * than the wasm call itself. */
-  def keyOf(binary: Array[Byte]): String = {
+  /** Pool identity: module bytes AND config. Two registrations of the same
+    * binary under different fuel/memory limits must never share pooled
+    * instances — the instance bakes its config in at construction. Callers
+    * compute this ONCE per registered function and pass the string to
+    * acquire/release — hashing per call would cost more than the wasm call
+    * itself. */
+  def keyOf(binary: Array[Byte], config: WasmConfig): String = {
     val md = java.security.MessageDigest.getInstance("SHA-256")
-    java.util.Base64.getEncoder.encodeToString(md.digest(binary))
+    java.util.Base64.getEncoder.encodeToString(md.digest(binary)) +
+      s"|${config.fuel}|${config.memoryLimitBytes}|${config.maxCallDepth}"
   }
 
   def acquire(key: String, binary: Array[Byte], config: WasmConfig): WasmInstance =

@@ -277,4 +277,135 @@ class WasmSpec extends AnyFunSuite {
       .collect()(0).getLong(0)
     assert(n == 200L)
   }
+
+  // ---- string returns + blob aggregate state -------------------------------
+
+  test("string RETURN rides the alloc ABI back out: substring over SQL") {
+    val spark = TestSpark.spark
+    Graft.install(spark)
+    val r = spark.sql(
+      "SELECT wasm_substring('hello world', 6, 5) AS a, " +
+      "       wasm_substring('hello', 0, 99) AS b").collect()(0)
+    assert(r.getString(0) == "world")
+    assert(r.getString(1) == "hello") // len clamps to the buffer
+  }
+
+  test("substring clamps hostile start/len instead of reading out of bounds") {
+    val impl = graft.sig.Registry.global.lookup("wasm_substring").head
+      .impl.asInstanceOf[graft.functions.ScalarImpl]
+    assert(impl.f(Seq("hello", 99, 5)) == "")   // start past end
+    assert(impl.f(Seq("hello", -3, 2)) == "he") // negative start → 0
+    assert(impl.f(Seq("hello", 2, -1)) == "")   // negative len → 0
+  }
+
+  test("blob-state aggregate: two-accumulator weighted avg, all phases in the guest") {
+    val spark = TestSpark.spark
+    Graft.install(spark)
+    // sum(v*w)/sum(w) with v = id, w = id % 3 + 1 over 0..99
+    val got = spark.sql(
+      """SELECT wasm_wavg(CAST(id AS INT), CAST(id % 3 + 1 AS BIGINT)) AS wa
+        |FROM range(0, 100)""".stripMargin).collect()(0).getDouble(0)
+    val (vw, w) = (0 until 100).foldLeft((0L, 0L)) { case ((a, b), i) =>
+      (a + i.toLong * (i % 3 + 1), b + (i % 3 + 1)) }
+    assert(math.abs(got - vw.toDouble / w.toDouble) < 1e-12)
+    // direct phase drive, including retract and a 16-byte state round trip
+    val agg = graft.sig.Registry.global.lookup("wasm_wavg").head
+      .impl.asInstanceOf[graft.functions.NativeAggImpl].agg
+      .asInstanceOf[graft.functions.GraftAggregate[Array[Byte], Any]]
+    var st = agg.createState()
+    assert(st.length == 16)
+    st = agg.accumulate(st, org.apache.spark.sql.Row(10, 2L)) // +20, w 2
+    st = agg.accumulate(st, org.apache.spark.sql.Row(4, 1L))  // +4, w 1
+    st = agg.retract(st, org.apache.spark.sql.Row(4, 1L))     // back out
+    var other = agg.createState()
+    other = agg.accumulate(other, org.apache.spark.sql.Row(6, 2L)) // +12, w 2
+    assert(agg.finish(agg.merge(st, other)) == 8.0) // 32 / 4
+  }
+
+  // ---- hostile-module containment ------------------------------------------
+
+  test("deeply nested blocks are rejected at decode, not a StackOverflowError") {
+    val nested = 50000
+    val body = Array.fill(nested)(Array[Byte](0x02, 0x40)).flatten ++
+      Array.fill(nested)(0x0B.toByte)
+    val b = new WasmBuilder
+    b.func(Seq.empty, Seq.empty, Seq.empty, body)
+    val t = intercept[WasmTrap] { WasmModule.decode(b.build()) }
+    assert(t.getMessage.contains("nesting"))
+  }
+
+  test("runtime block nesting counts against maxCallDepth") {
+    val depth = 200
+    val body = Array.fill(depth)(Array[Byte](0x02, 0x40)).flatten ++
+      Array.fill(depth)(0x0B.toByte)
+    val b = new WasmBuilder
+    b.func(Seq.empty, Seq.empty, Seq.empty, body, exportAs = Some("deep"))
+    val inst = new WasmInstance(WasmModule.decode(b.build()),
+      WasmConfig(maxCallDepth = 100))
+    val t = intercept[WasmTrap] { inst.invoke("deep", Array.empty) }
+    assert(t.getMessage.contains("nesting"))
+  }
+
+  test("operand stack underflow and bad local index trap, never a JVM error") {
+    val b = new WasmBuilder
+    b.func(Seq.empty, Seq(i64), Seq.empty, i64Add, exportAs = Some("underflow"))
+    b.func(Seq.empty, Seq(i64), Seq.empty, localGet(7), exportAs = Some("badlocal"))
+    val m = WasmModule.decode(b.build())
+    val t1 = intercept[WasmTrap] {
+      new WasmInstance(m, WasmConfig()).invoke("underflow", Array.empty) }
+    assert(t1.getMessage.contains("underflow"))
+    val t2 = intercept[WasmTrap] {
+      new WasmInstance(m, WasmConfig()).invoke("badlocal", Array.empty) }
+    assert(t2.getMessage.contains("malformed module"))
+  }
+
+  test("hostile table-function totals: absurd size and ever-growing both trap") {
+    val b = new WasmBuilder
+    b.memory(1, Some(256))
+    // claims 2^30 rows without writing any
+    b.func(Seq(i64, i32, i32), Seq(i64), Seq.empty, i64Const(1L << 30),
+      exportAs = Some(WasmUdf.exportName("wasm_huge_test(bigint) ->> bigint")))
+    // always reports cap * 2: a host that trusts it would loop forever
+    b.func(Seq(i64, i32, i32), Seq(i64), Seq.empty, concat(
+      localGet(2), i32Const(2), i32Mul, i64ExtendI32S),
+      exportAs = Some(WasmUdf.exportName("wasm_grow_test(bigint) ->> bigint")))
+    b.addBumpAllocator(heapBase = 64)
+    b.func(Seq.empty, Seq(i64), Seq.empty, i64Const(3L),
+      exportAs = Some(WasmUdf.VersionExport))
+    WasmUdf.load(b.build())
+    val huge = graft.sig.Registry.global.lookup("wasm_huge_test").head
+      .impl.asInstanceOf[graft.functions.TableImpl]
+    assert(intercept[WasmTrap] { huge.f(Seq(1L)).toSeq }
+      .getMessage.contains("invalid total"))
+    val grow = graft.sig.Registry.global.lookup("wasm_grow_test").head
+      .impl.asInstanceOf[graft.functions.TableImpl]
+    assert(intercept[WasmTrap] { grow.f(Seq(1L)).toSeq }
+      .getMessage.contains("grew past"))
+  }
+
+  test("pool key separates configs: same binary, different limits never share") {
+    val a = WasmPool.keyOf(WasmKernels.moduleBytes, WasmConfig())
+    val b = WasmPool.keyOf(WasmKernels.moduleBytes, WasmConfig(fuel = 42))
+    assert(a != b)
+    assert(WasmPool.keyOf(WasmKernels.moduleBytes, WasmConfig()) == a)
+  }
+
+  test("tinyint return maps through fromSlot; unsupported returns fail at load") {
+    val b = new WasmBuilder
+    b.func(Seq(i64), Seq(i64), Seq.empty, localGet(0),
+      exportAs = Some(WasmUdf.exportName("wasm_byte_test(bigint) -> tinyint")))
+    b.func(Seq.empty, Seq(i64), Seq.empty, i64Const(3L),
+      exportAs = Some(WasmUdf.VersionExport))
+    WasmUdf.load(b.build())
+    val impl = graft.sig.Registry.global.lookup("wasm_byte_test").head
+      .impl.asInstanceOf[graft.functions.ScalarImpl]
+    assert(impl.f(Seq(7L)) == 7.toByte)
+    val bad = new WasmBuilder
+    bad.func(Seq(i64), Seq(i64), Seq.empty, localGet(0),
+      exportAs = Some(WasmUdf.exportName("wasm_bad_ret(bigint) -> date")))
+    bad.func(Seq.empty, Seq(i64), Seq.empty, i64Const(3L),
+      exportAs = Some(WasmUdf.VersionExport))
+    assert(intercept[IllegalArgumentException] { WasmUdf.load(bad.build()) }
+      .getMessage.contains("unsupported wasm return type"))
+  }
 }
