@@ -283,6 +283,18 @@ object SparkEntry {
         .orderBy("l_orderkey", "l_linenumber")
     } _,
 
+    // §2.1 #19 int64 exactness: BIGINT args/results cross the JSON wire as
+    // decimal strings and run as real JS BigInt — the multiply pushes
+    // intermediates past 2^53, so a Number-based wire would silently round.
+    "q_js_hash64" -> dfq { s =>
+      val df = s.table("lineitem").selectExpr("l_orderkey", "l_linenumber")
+      graft.remote.JsUdf.withJsColumn(df, graft.remote.JsWorker.endpoints,
+          "js_hash64", Seq("l_orderkey"), org.apache.spark.sql.types.LongType)
+        .selectExpr("l_orderkey", "l_linenumber", "value AS h")
+        .localCheckpoint()
+        .orderBy("l_orderkey", "l_linenumber")
+    } _,
+
     // §2.1 #19 table fn: a JS GENERATOR function explodes each document into
     // its whitespace tokens inside V8.
     "q_js_split" -> dfq { s =>
@@ -1023,6 +1035,11 @@ object SparkEntry {
         |FROM documents, UNNEST(string_split_regex(text, '[ \t\n\r\f\v]+')) AS t(tok)
         |WHERE t.tok <> ''
         |ORDER BY doc_id, tok""".stripMargin,
+    "q_js_hash64" ->
+      """SELECT l_orderkey, l_linenumber,
+        |       CAST((CAST(l_orderkey AS HUGEINT) * 1099511627776 + 987654321)
+        |            % 2305843009213693951 AS BIGINT) AS h
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
     "q_js_sum_udaf" ->
       """SELECT l_returnflag, CAST(sum(CAST(l_quantity AS INT)) AS BIGINT) AS sum_qty
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,

@@ -82,7 +82,11 @@ class JsUdfClient(host: String, port: Int, timeoutMs: Int = 120000) extends Auto
     case null => target.addNull()
     case b: Boolean => target.add(b)
     case i: Int => target.add(i)
-    case l: Long => target.add(l)
+    // int64 rides the wire as a decimal STRING: a JSON number goes through
+    // the guest's double parse and silently rounds above 2^53. The worker
+    // coerces string args declared `bigint` to real JS BigInt, so i64
+    // round-trips exactly (the reference's JS runtime does the same).
+    case l: Long => target.add(l.toString)
     case f: Float => target.add(f.toDouble)
     case d: Double => target.add(d)
     case s: String => target.add(s)
@@ -98,7 +102,8 @@ class JsUdfClient(host: String, port: Int, timeoutMs: Int = 120000) extends Auto
     else dt match {
       case BooleanType => n.asBoolean()
       case IntegerType => n.asInt()
-      case LongType => n.asLong()
+      // BigInt results arrive as strings; Number results as numbers
+      case LongType => if (n.isTextual) n.asText().toLong else n.asLong()
       case FloatType => n.floatValue()
       case DoubleType => n.asDouble()
       case StringType => n.asText()

@@ -124,6 +124,52 @@ class JsUdfSpec extends AnyFunSuite {
     assert(tbl.count() == 8)
   }
 
+  test("async functions: the worker awaits Promises before framing the response") {
+    val client = new JsUdfClient("127.0.0.1", port)
+    try {
+      // built-in async scalar
+      assert(client.call("js_async_add", IntegerType,
+        Seq(Seq(2, 3), Seq(null, 1), Seq(10, 20))) == Seq(5, null, 30))
+      // DEFINE'd async scalar and async GENERATOR table function
+      client.define("scalar", "js_async_sq(int) -> int",
+        "async (x) => { await new Promise((r) => setImmediate(r)); return x * x; }")
+      assert(client.call("js_async_sq", IntegerType, Seq(Seq(7))) == Seq(49))
+      client.define("table", "js_async_seq(int) ->> int",
+        """async function* (n) {
+          |  for (let i = 0; i < n; i++) {
+          |    await new Promise((r) => setImmediate(r));
+          |    yield i;
+          |  }
+          |}""".stripMargin)
+      assert(client.callTable("js_async_seq", IntegerType, Seq(Seq(3), Seq(1))) ==
+        Seq((0, 0), (0, 1), (0, 2), (1, 0)))
+      // a rejected Promise is a per-row failure (null), not a dead connection
+      client.define("scalar", "js_async_boom(int) -> int",
+        "async (x) => { throw new Error('nope'); }")
+      assert(client.call("js_async_boom", IntegerType, Seq(Seq(1))) == Seq(null))
+      assert(client.call("gcd", IntegerType, Seq(Seq(8, 6))) == Seq(2))
+    } finally client.close()
+  }
+
+  test("int64 is exact on the wire: BigInt past 2^53 round-trips") {
+    val client = new JsUdfClient("127.0.0.1", port)
+    try {
+      // identity through the guest: a Number-based wire would round these
+      client.define("scalar", "js_id64(bigint) -> bigint", "(k) => k")
+      val big = (1L << 60) + 3L
+      assert(client.call("js_id64", LongType, Seq(Seq(big), Seq(-big))) ==
+        Seq(big, -big))
+      // arithmetic whose intermediates exceed 2^53 (the conformance probe)
+      val ks = Seq(1L, 60000L, 599999L)
+      val got = client.call("js_hash64", LongType, ks.map(Seq(_)))
+      val want = ks.map { k =>
+        ((BigInt(k) * BigInt(1099511627776L) + BigInt(987654321L)) %
+          BigInt(2305843009213693951L)).toLong
+      }
+      assert(got == want)
+    } finally client.close()
+  }
+
   test("Spark hash aggregation drives the JS guest aggregate end-to-end") {
     import spark.implicits._
     JsUdf.registerAggregate(spark, "js_sum_t", JsWorker.endpoints, "js_sum", LongType)

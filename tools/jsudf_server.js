@@ -12,7 +12,14 @@
  * ACCRETRACT f / ACCMERGE f / ACCFINISH f), but CALL bodies are one JSON
  * line instead of an Arrow stream — dependency-free Node has no Arrow
  * reader, and the JSON value space covers the demo type matrix
- * (bool/int32/float64/string plus arrays; int64 is exact to 2^53):
+ * (bool/int32/float64/string plus arrays). int64 is EXACT: the client
+ * encodes bigint-typed values as decimal strings on the wire, arguments
+ * declared `bigint` reach the function as JS BigInt, and BigInt results
+ * are stringified back — no 2^53 rounding (the reference's JS runtime
+ * round-trips real i64, `javascript/mod.rs`). Functions may be async /
+ * return Promises (reference `javascript/mod.rs:328-456` async support):
+ * the worker awaits them — including async generators for table
+ * functions — before framing the response:
  *
  *   CALL gcd\n{"cols":[[12,25],[18,15]],"n":2}\n
  *     -> OK\n{"vals":[6,5]}\n
@@ -129,6 +136,20 @@ registry.aggregate("js_sum(int) -> bigint", {
   finish: (s) => s,
 });
 
+// BigInt kernel: the multiply pushes intermediates past 2^53, so a
+// Number-based wire would silently round — this function is the wire's
+// int64-exactness conformance probe.
+registry.scalar(
+  "js_hash64(bigint) -> bigint",
+  (k) => (k * 1099511627776n + 987654321n) % 2305843009213693951n
+);
+
+// async scalar: the worker awaits the Promise before framing the response
+registry.scalar("js_async_add(int, int) -> int", async (a, b) => {
+  await new Promise((r) => setImmediate(r));
+  return a + b;
+});
+
 // ---------------------------------------------------------------------------
 // Row helpers
 // ---------------------------------------------------------------------------
@@ -138,7 +159,25 @@ function* rowsOf(body) {
   for (let i = 0; i < (n || 0); i++) yield cols.map((c) => c[i]);
 }
 
-function handleCall(fname, isTable, body) {
+/** Wire → JS argument coercion by declared type: `bigint` args become real
+ * BigInt (the client sends them as decimal strings for exactness); any other
+ * numeric arg that arrived as a string becomes a Number. */
+function coerceArgs(sig, row) {
+  return row.map((v, i) => {
+    const t = (sig.args[i] || "").toLowerCase();
+    if (t === "bigint" || t === "int64") return typeof v === "bigint" ? v : BigInt(v);
+    if (typeof v === "string" && t && t !== "string" && t !== "varchar" && t !== "json")
+      return Number(v);
+    return v;
+  });
+}
+
+/** Await a function result if it is a Promise (async scalar support). */
+async function resolved(v) {
+  return v && typeof v.then === "function" ? await v : v;
+}
+
+async function handleCall(fname, isTable, body) {
   if (isTable) {
     const fd = TABLES.get(fname.toLowerCase());
     if (!fd) return { err: `no table function ${fname}` };
@@ -148,7 +187,12 @@ function handleCall(fname, isTable, body) {
     for (const row of rowsOf(body)) {
       if (!row.some((v) => v == null)) {
         try {
-          for (const v of fd.fn(...row)) {
+          // a table fn may be a sync generator, an async generator, or an
+          // async fn resolving to an iterable — await the call, then
+          // `for await` drives either iteration protocol
+          let it = fd.fn(...coerceArgs(fd.sig, row));
+          if (it && typeof it.then === "function") it = await it;
+          for await (const v of it) {
             rows.push(i);
             vals.push(v === undefined ? null : v);
           }
@@ -169,7 +213,7 @@ function handleCall(fname, isTable, body) {
       continue;
     }
     try {
-      const v = fd.fn(...row);
+      const v = await resolved(fd.fn(...coerceArgs(fd.sig, row)));
       vals.push(v === undefined ? null : v);
     } catch (e) {
       vals.push(null); // per-row failure yields null
@@ -181,7 +225,7 @@ function handleCall(fname, isTable, body) {
 // Fallible scalar call: per-row failures surface as an `errs` column
 // ("ErrType: message", like the reference JS runtime's error strings)
 // instead of silent nulls.
-function handleCallErr(fname, body) {
+async function handleCallErr(fname, body) {
   const fd = SCALARS.get(fname.toLowerCase());
   if (!fd) return { err: `no scalar function ${fname}` };
   const vals = [];
@@ -193,7 +237,7 @@ function handleCallErr(fname, body) {
       continue;
     }
     try {
-      const v = fd.fn(...row);
+      const v = await resolved(fd.fn(...coerceArgs(fd.sig, row)));
       vals.push(v === undefined ? null : v);
       errs.push(null);
     } catch (e) {
@@ -204,25 +248,25 @@ function handleCallErr(fname, body) {
   return { vals, errs };
 }
 
-function handleAgg(verb, fname, body) {
+async function handleAgg(verb, fname, body) {
   const fd = AGGS.get(fname.toLowerCase());
   if (!fd) return { err: `no aggregate ${fname}` };
   const impl = fd.impl;
   switch (verb) {
     case "ACCCREATE":
-      return { state: impl.createState() };
+      return { state: await resolved(impl.createState()) };
     case "ACC":
     case "ACCRETRACT": {
       const fn = verb === "ACCRETRACT" ? impl.retract : impl.accumulate;
       if (!fn) return { err: `${fname} is append-only` };
       let s = body.state;
-      for (const row of rowsOf(body)) s = fn(s, ...row);
+      for (const row of rowsOf(body)) s = await resolved(fn(s, ...coerceArgs(fd.sig, row)));
       return { state: s };
     }
     case "ACCMERGE":
-      return { state: impl.merge(body.a, body.b) };
+      return { state: await resolved(impl.merge(body.a, body.b)) };
     case "ACCFINISH":
-      return { value: impl.finish(body.state) };
+      return { value: await resolved(impl.finish(body.state)) };
     default:
       return { err: `bad agg verb ${verb}` };
   }
@@ -258,24 +302,38 @@ function handleDefine(body) {
   return { ok: true };
 }
 
+// BigInt results (and BigInt aggregate state) serialize as decimal strings —
+// the exact-int64 half of the wire contract; the client re-parses by the
+// declared return type.
+function stringifyBody(out) {
+  return JSON.stringify(out, (k, v) => (typeof v === "bigint" ? v.toString() : v));
+}
+
 function serve(sock) {
   sock.setNoDelay(true); // latency-bound write-write-read exchange
   let buf = "";
   let pendingCmd = null; // waiting for this command's JSON body line
+  // Handlers are async (functions may return Promises); the protocol is
+  // request-response lockstep per connection, and this chain keeps response
+  // order even if a client pipelines.
+  let chain = Promise.resolve();
+  const enqueue = (fn) => {
+    chain = chain.then(fn).catch((e) => sock.write(`ERR internal: ${e.message || e}\n`));
+  };
 
-  function respond(fname, verbLine, body) {
+  async function respond(fname, verbLine, body) {
     const sp = verbLine.indexOf(" ");
     const verb = sp < 0 ? verbLine : verbLine.slice(0, sp);
     const out =
       verb === "DEFINE"
         ? handleDefine(body)
         : verb === "CALLERR"
-          ? handleCallErr(fname, body)
+          ? await handleCallErr(fname, body)
           : verb === "CALL" || verb === "CALLTABLE"
-            ? handleCall(fname, verb === "CALLTABLE", body)
-            : handleAgg(verb, fname, body);
+            ? await handleCall(fname, verb === "CALLTABLE", body)
+            : await handleAgg(verb, fname, body);
     if (out.err) sock.write(`ERR ${out.err}\n`);
-    else sock.write("OK\n" + JSON.stringify(out) + "\n");
+    else sock.write("OK\n" + stringifyBody(out) + "\n");
   }
 
   sock.on("data", (chunk) => {
@@ -294,7 +352,7 @@ function serve(sock) {
           sock.write(`ERR bad json body: ${e.message}\n`);
           continue;
         }
-        respond(fname, verbLine, body);
+        enqueue(() => respond(fname, verbLine, body));
         continue;
       }
       if (!line) return sock.end();
@@ -320,9 +378,11 @@ function serve(sock) {
         if (!hits.length) sock.write(`ERR no function ${arg}\n`);
         else sock.write("OK\n" + hits.join("\n") + "\n\n");
       } else if (verb === "ACCCREATE") {
-        const out = handleAgg("ACCCREATE", arg, {});
-        if (out.err) sock.write(`ERR ${out.err}\n`);
-        else sock.write("OK\n" + JSON.stringify(out) + "\n");
+        enqueue(async () => {
+          const out = await handleAgg("ACCCREATE", arg, {});
+          if (out.err) sock.write(`ERR ${out.err}\n`);
+          else sock.write("OK\n" + stringifyBody(out) + "\n");
+        });
       } else if (BODY_VERBS.has(verb)) {
         pendingCmd = [line, arg]; // body arrives as the next JSON line
       } else {
