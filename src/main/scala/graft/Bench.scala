@@ -8,6 +8,32 @@ import org.apache.spark.sql.SparkSession
   * being measured), and prints ONE JSON line.
   */
 object Bench {
+  /** 10M-row two-int64-column parquet for the wasm scan probes (the batched
+    * kernel only lowers over columnar scans, not range()). Written once,
+    * reused across reps and rounds. */
+  private def wasmBenchParquet(s: SparkSession): String = {
+    val dir = "/tmp/graft_bench_wasm10m"
+    if (!new java.io.File(dir, "_SUCCESS").isFile)
+      s.range(10000000L).selectExpr("id % 1000003 AS a", "id % 999983 AS b")
+        .write.mode("overwrite").parquet(dir)
+    dir
+  }
+
+  /** Session with GraftExtensions applied (GraftColumnarRule runs only in
+    * extensions sessions); shares the SparkContext with the main session.
+    * Lazy so plain runs never pay for it; restores the default session. */
+  private lazy val extensionsSession: SparkSession = {
+    val old = SparkSession.active
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val s = SparkSession.builder()
+      .withExtensions(new GraftExtensions()(_))
+      .getOrCreate()
+    SparkSession.setDefaultSession(old)
+    SparkSession.setActiveSession(old)
+    s
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -50,6 +76,28 @@ object Bench {
         s.range(10000000L)
           .selectExpr("wasm_gcd(id % 1000003, id % 999983) AS g")
           .write.format("noop").mode("overwrite").save()
+      },
+      // Same 10M wasm_gcd rows over a parquet scan, per-row invoke tier —
+      // the baseline x_wasm_batched_10m is measured against.
+      "x_wasm_perrow_10m" -> { s: SparkSession =>
+        Graft.install(s)
+        s.read.parquet(wasmBenchParquet(s))
+          .selectExpr("wasm_gcd(a, b) AS g")
+          .write.format("noop").mode("overwrite").save()
+      },
+      // The BATCHED wasm kernel (one pooled-instance borrow per scan batch,
+      // slots read box-free off the scan's ColumnVectors) — only activates
+      // under GraftColumnarRule, so it runs in the extensions session.
+      "x_wasm_batched_10m" -> { _: SparkSession =>
+        val s = extensionsSession
+        Graft.install(s)
+        val df = s.read.parquet(wasmBenchParquet(s))
+          .selectExpr("wasm_gcd(a, b) AS g")
+        // guard: if the rule stopped lowering this, the probe would silently
+        // re-measure the per-row tier
+        require(df.queryExecution.executedPlan.toString.contains("WasmBatchKernel"),
+          "x_wasm_batched_10m is not on the batched kernel")
+        df.write.format("noop").mode("overwrite").save()
       },
       "x_udaf_10m" -> { s: SparkSession =>
         Graft.install(s)
@@ -120,34 +168,45 @@ object Bench {
     // the driver passes no args and measures everything.
     val keep: String => Boolean =
       if (args.isEmpty) _ => true else n => args.exists(n.contains)
-    // SPARK_GRAFT_REPS=N: take the min of N in-JVM runs per query — the right
-    // statistic on a contended host. Default 2: round-4 showed single-rep
-    // numbers swing up to 5x with host contention.
+    // SPARK_GRAFT_REPS=N: N full INTERLEAVED passes over the query list,
+    // min per query. Back-to-back reps of one query share any contention
+    // window, so a contended host poisons both samples of a few queries;
+    // interleaving spreads a window thinly across the whole list instead,
+    // and the per-rep values (printed + in the JSON) make one visible
+    // post-hoc. Default 2: single-rep numbers swing up to 5x contended.
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "2").toInt.max(1)
 
-    def timed(name: String)(run: => Unit): (String, Double) =
-      try {
-        name -> (1 to reps).map { _ =>
-          val t0 = System.nanoTime(); run; (System.nanoTime() - t0) / 1e9
-        }.min
-      } catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}")
-        name -> -1.0
+    val benchables: Seq[(String, () => Unit)] =
+      throughput.filter(p => keep(p._1)).map { case (name, fn) =>
+        name -> (() => fn(spark)) } ++
+      SparkEntry.queries.toSeq.sortBy(_._1).filter(p => keep(p._1)).map { case (name, fn) =>
+        name -> (() => fn(spark, sfDir).write.format("noop").mode("overwrite").save())
       }
 
-    val tputResults = throughput.filter(p => keep(p._1)).map { case (name, fn) =>
-      timed(name)(fn(spark))
+    val samples = Array.fill(benchables.size)(List.empty[Double])
+    val failed = Array.fill(benchables.size)(false)
+    for (rep <- 1 to reps; ((name, run), i) <- benchables.zipWithIndex if !failed(i)) {
+      try {
+        val t0 = System.nanoTime(); run(); val t = (System.nanoTime() - t0) / 1e9
+        samples(i) :+= t
+        System.err.println(f"[bench] $name rep$rep $t%.3f s")
+      } catch { case e: Throwable =>
+        failed(i) = true
+        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+      }
     }
 
-    val results = tputResults ++
-      SparkEntry.queries.toSeq.sortBy(_._1).filter(p => keep(p._1)).map { case (name, fn) =>
-        timed(name)(fn(spark, sfDir).write.format("noop").mode("overwrite").save())
-      }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+    val results = benchables.zipWithIndex.map { case ((name, _), i) =>
+      (name, if (failed(i) || samples(i).isEmpty) -1.0 else samples(i).min, samples(i))
+    }
+    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
+    val repsJson = results.map { case (k, _, ss) =>
+      "\"" + k + "\":[" + ss.map(t => f"$t%.3f").mkString(",") + "]"
+    }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val totalStr = f"$total%.3f"
-    println(s"""{"metric":"total","value":$totalStr,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$totalStr,"unit":"sec","queries":$qs,"reps":$repsJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

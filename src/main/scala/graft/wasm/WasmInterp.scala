@@ -100,6 +100,36 @@ final class WasmInstance(val module: WasmModule, val config: WasmConfig) {
     java.util.Arrays.copyOfRange(mem, ptr, ptr + len)
   }
 
+  /** Precomputed call handle for hot batch loops: the export-name hash
+    * lookup and arity check happen ONCE per borrow instead of per row. */
+  final class Bound private[WasmInstance] (val fidx: Int, val nParams: Int,
+                                           val hasResult: Boolean)
+
+  def bind(exportName: String): Bound = {
+    val fidx = module.exportedFunc(exportName)
+      .getOrElse(throw new WasmTrap(s"function not found: $exportName"))
+    val ft = module.funcType(fidx)
+    new Bound(fidx, ft.params.length, ft.results.length == 1)
+  }
+
+  /** Invoke through a pre-bound handle — the per-row path of the batched
+    * columnar kernel. Callers guarantee `args.length == b.nParams`. */
+  def invokeBound(b: Bound, args: Array[Long]): Long = {
+    fuel = config.fuel
+    depth = 0
+    sp = 0
+    var i = 0
+    while (i < args.length) { push(args(i)); i += 1 }
+    try callFunc(b.fidx)
+    catch {
+      case e: ArrayIndexOutOfBoundsException =>
+        throw new WasmTrap(s"malformed module: index out of range (${e.getMessage})")
+      case _: NegativeArraySizeException =>
+        throw new WasmTrap("malformed module: negative allocation")
+    }
+    if (b.hasResult) pop() else 0L
+  }
+
   /** Invoke an exported function. `args`/result use the slot encoding. */
   def invoke(exportName: String, args: Array[Long]): Long = {
     val fidx = module.exportedFunc(exportName)

@@ -473,6 +473,7 @@ final case class WasmBatchKernel(
     val inst = WasmPool.acquire(poolKey, binary, config)
     var ok = false
     try {
+      val bound = inst.bind(exportNm) // export hash lookup once per batch
       val nArgs = in.length
       val cols = in.toArray
       val slots = new Array[Long](nArgs)
@@ -485,7 +486,7 @@ final case class WasmBatchKernel(
         else {
           j = 0
           while (j < nArgs) { slots(j) = slotOf(cols(j), i, paramSlots(j)); j += 1 }
-          write(out, i, inst.invoke(exportNm, slots))
+          write(out, i, inst.invokeBound(bound, slots))
         }
         i += 1
       }
