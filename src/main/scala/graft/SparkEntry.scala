@@ -98,6 +98,13 @@ object SparkEntry {
     "q_median_udaf" -> q(
       """SELECT c_nationkey, median_udaf(c_acctbal) AS m
         |FROM customer GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin) _,
+    // bounded-memory variant: O(cap) state per group regardless of group
+    // size (exact below the cap — which covers verify scale — so it
+    // hash-matches the exact oracle; a 100 TB hot key degrades to a ≤1%
+    // centroid sketch instead of an executor OOM)
+    "q_median_bounded" -> q(
+      """SELECT c_nationkey, median_bounded(c_acctbal) AS m
+        |FROM customer GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin) _,
 
     // extension types: text-backed unconstrained decimal (metadata-resolved)
     "q_decimal_add" -> dfq { s =>
@@ -918,6 +925,9 @@ object SparkEntry {
         |         / CAST(sum(l_linenumber) AS DOUBLE) AS wa
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q_median_udaf" ->
+      """SELECT c_nationkey, CAST(median(c_acctbal) AS DOUBLE) AS m
+        |FROM customer GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+    "q_median_bounded" ->
       """SELECT c_nationkey, CAST(median(c_acctbal) AS DOUBLE) AS m
         |FROM customer GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
 

@@ -199,6 +199,124 @@ class MedianAgg extends GraftAggregate[java.util.ArrayList[Double], Double] {
   }
 }
 
+/** Bounded-memory median — the scale-safe companion to [[MedianAgg]].
+  *
+  * State is EXACT (every value kept, result identical to [[MedianAgg]] and to
+  * SQL `median`) while a group holds ≤ `cap` values; past that it collapses
+  * into a weighted-centroid histogram of ≤ `cap / 4` (value, weight) pairs
+  * (streaming-histogram compression: repeatedly merge the two closest
+  * centroids — Ben-Haim & Yom-Tov's decision-tree histogram), so per-group
+  * state is O(cap) REGARDLESS of group size: a hot key at 100 TB costs
+  * ~64 KiB, not an executor OOM. The sketch median is approximate (error
+  * tracks local centroid density, cross-checked ≤1% vs exact in
+  * AggregateSpec); groups under the cap lose nothing.
+  *
+  * Append-only: retraction from a collapsed histogram is not meaningful.
+  */
+class BoundedMedianAgg(cap: Int = 4096)
+  extends GraftAggregate[BoundedMedianAgg.State, Double] {
+  import BoundedMedianAgg.State
+  private val sketchCap = math.max(64, cap / 4)
+
+  override def createState(): State = new State
+
+  override def accumulate(s: State, in: Row): State = {
+    if (!in.isNullAt(0)) {
+      if (s.exact != null) {
+        s.exact.add(in.getDouble(0))
+        if (s.exact.size > cap) spill(s)
+      } else {
+        s.buf.add(Array(in.getDouble(0), 1.0))
+        if (s.buf.size > 2 * sketchCap) compress(s)
+      }
+    }
+    s
+  }
+
+  override def merge(a: State, b: State): State = {
+    if (a.exact != null && b.exact != null) {
+      a.exact.addAll(b.exact)
+      if (a.exact.size > cap) spill(a)
+      return a
+    }
+    if (a.exact != null) spill(a)
+    if (b.exact != null) spill(b)
+    a.buf.addAll(b.buf)
+    if (a.buf.size > 2 * sketchCap) compress(a)
+    a
+  }
+
+  override def finish(s: State): Double = {
+    if (s.exact != null) {
+      if (s.exact.isEmpty) return Double.NaN
+      val arr = new Array[Double](s.exact.size)
+      var i = 0
+      while (i < arr.length) { arr(i) = s.exact.get(i); i += 1 }
+      java.util.Arrays.sort(arr)
+      val n = arr.length
+      return if (n % 2 == 1) arr(n / 2) else (arr(n / 2 - 1) + arr(n / 2)) / 2.0
+    }
+    compress(s)
+    // weighted median over the sorted centroids
+    var total = 0.0
+    s.buf.forEach(c => total += c(1))
+    var cum = 0.0
+    var i = 0
+    while (i < s.buf.size) {
+      cum += s.buf.get(i)(1)
+      if (cum >= total / 2) return s.buf.get(i)(0)
+      i += 1
+    }
+    Double.NaN
+  }
+
+  /** Exact → sketch: every value becomes a weight-1 centroid, then compress. */
+  private def spill(s: State): Unit = {
+    s.buf = new java.util.ArrayList[Array[Double]](s.exact.size)
+    var i = 0
+    while (i < s.exact.size) { s.buf.add(Array(s.exact.get(i), 1.0)); i += 1 }
+    s.exact = null
+    compress(s)
+  }
+
+  /** Sort by value and repeatedly merge the two closest centroids (weighted
+    * mean) until ≤ sketchCap remain. */
+  private def compress(s: State): Unit = {
+    if (s.buf.size <= sketchCap) return
+    val arr = new Array[Array[Double]](s.buf.size)
+    s.buf.toArray(arr)
+    java.util.Arrays.sort(arr, java.util.Comparator.comparingDouble((c: Array[Double]) => c(0)))
+    var n = arr.length
+    while (n > sketchCap) {
+      var best = 0
+      var bestGap = Double.MaxValue
+      var i = 0
+      while (i < n - 1) {
+        val gap = arr(i + 1)(0) - arr(i)(0)
+        if (gap < bestGap) { bestGap = gap; best = i }
+        i += 1
+      }
+      val (a, b) = (arr(best), arr(best + 1))
+      val w = a(1) + b(1)
+      arr(best) = Array((a(0) * a(1) + b(0) * b(1)) / w, w)
+      System.arraycopy(arr, best + 2, arr, best + 1, n - best - 2)
+      n -= 1
+    }
+    s.buf = new java.util.ArrayList[Array[Double]](n)
+    var i = 0
+    while (i < n) { s.buf.add(arr(i)); i += 1 }
+  }
+}
+
+object BoundedMedianAgg {
+  /** Exactly one of `exact` (values) / `buf` (centroids) is live; both are
+    * java-serialized opaque state like [[MedianAgg]]'s. */
+  final class State extends Serializable {
+    var exact: java.util.ArrayList[Double] = new java.util.ArrayList[Double]()
+    var buf: java.util.ArrayList[Array[Double]] = _
+  }
+}
+
 object ConformanceAggregates {
   import org.apache.spark.sql.types._
 
@@ -206,6 +324,7 @@ object ConformanceAggregates {
     Udf.aggregateNative("sum_udaf(int) -> bigint")(new SumAgg)
     Udf.aggregateNative("weighted_avg(int, int) -> double")(new WeightedAvgAgg)
     Udf.aggregateNative("median_udaf(double) -> double")(new MedianAgg)
+    Udf.aggregateNative("median_bounded(double) -> double")(new BoundedMedianAgg())
 
     // Compatibility tier kept registered (and spec-covered) under a distinct
     // name: the UDAF/Aggregator lowering with an explicit state encoder.

@@ -54,6 +54,39 @@ class AggregateSpec extends AnyFunSuite {
     assert(even == 2.5)
   }
 
+  test("median_bounded: exact below the cap, identical to median_udaf") {
+    val r = spark.sql(
+      """SELECT median_bounded(CAST(v AS DOUBLE)) AS b, median_udaf(CAST(v AS DOUBLE)) AS e
+        |FROM (SELECT explode(sequence(1, 101)) AS v DISTRIBUTE BY v % 4)""".stripMargin)
+      .collect().head
+    assert(r.getDouble(0) == r.getDouble(1) && r.getDouble(0) == 51.0)
+    val even = spark.sql(
+      "SELECT median_bounded(CAST(v AS DOUBLE)) FROM VALUES (1), (2), (3), (4) t(v)")
+      .collect().head.getDouble(0)
+    assert(even == 2.5)
+  }
+
+  test("median_bounded: a 100k-value hot group stays O(cap) and lands within 1%") {
+    // 25x the 4096 cap: the state must collapse to the centroid sketch
+    // instead of carrying 100k doubles through the shuffle
+    val r = spark.sql(
+      """SELECT median_bounded(v) AS approx, median_udaf(v) AS exact
+        |FROM (SELECT CAST(pow(id % 1000, 1.7) AS DOUBLE) AS v FROM range(100000)
+        |      DISTRIBUTE BY id % 8)""".stripMargin).collect().head
+    val (approx, exact) = (r.getDouble(0), r.getDouble(1))
+    assert(math.abs(approx - exact) <= 0.01 * math.max(1.0, exact),
+      s"approx=$approx exact=$exact")
+    // the memory contract itself: accumulate 100k values directly and check
+    // the collapsed state size
+    val agg = new graft.functions.BoundedMedianAgg(4096)
+    var st = agg.createState()
+    (0 until 100000).foreach { i =>
+      st = agg.accumulate(st, org.apache.spark.sql.Row(math.pow(i % 1000, 1.7)))
+    }
+    assert(st.exact == null && st.buf.size <= 2 * 4096 / 4 + 1,
+      s"state not bounded: ${if (st.exact != null) st.exact.size else st.buf.size}")
+  }
+
   test("bounded-memory scale path: percentile_approx tracks the exact median") {
     // MedianAgg holds O(group) state by necessity (exact median); the
     // documented 100TB path is Spark's mergeable GK sketch. Cross-check the
