@@ -137,6 +137,17 @@ object Bench {
             Seq("a", "b"), org.apache.spark.sql.types.IntegerType)
           .write.format("noop").mode("overwrite").save()
       },
+      // Guest-SPI function over the wire: served through BatchEval /
+      // LanguageRuntime.callBatch — pool + compiled-handle lookups amortize
+      // per batch server-side instead of repeating per row.
+      "x_remote_script_2m" -> { s: SparkSession =>
+        Graft.install(s)
+        val port = graft.remote.RemoteFixture.port
+        val df = s.range(2000000L).selectExpr("id % 100000 AS x")
+        graft.remote.RemoteUdf.withRemoteColumn(df, "127.0.0.1", port, "script_score",
+            Seq("x"), org.apache.spark.sql.types.LongType)
+          .write.format("noop").mode("overwrite").save()
+      },
       "x_tablefn_16k_x_1k" -> { s: SparkSession =>
         Graft.install(s)
         // reference's range-table-fn benchmark shape (16K invocations),

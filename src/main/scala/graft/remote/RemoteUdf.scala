@@ -493,6 +493,16 @@ class UdfServer(port: Int = 0, authToken: Option[String] = None) extends AutoClo
         // honor the registered CallMode over the wire: CalledOnNullInput
         // functions (e.g. option_add) see their NULL arguments
         val callOnNull = fd.callMode == graft.sig.CallMode.CalledOnNullInput
+        // guest-SPI functions expose a column-at-a-time evaluator: pool and
+        // compiled-handle lookups amortize per BATCH (LanguageRuntime
+        // .callBatch) instead of repeating per row. Signature must match —
+        // the per-name override doesn't cover overloads — and the row loop
+        // keeps per-row error capture and CalledOnNullInput semantics.
+        val batchFn: Option[(Seq[Array[Any]], Int) => Array[Any]] =
+          if (withErrors || callOnNull) None
+          else graft.functions.BatchEval.overrides.get(fname.toLowerCase).collect {
+            case (sig, bf) if sig == sigDef.toString => bf
+          }
         out.write("OK\n".getBytes(StandardCharsets.UTF_8))
         val valueField = toArrowField("value", sigDef.returns.dataType, sigDef.returns.metadata)
         val outSchema = new ASchema(
@@ -509,6 +519,21 @@ class UdfServer(port: Int = 0, authToken: Option[String] = None) extends AutoClo
           outRoot.allocateNew()
           val write = cellWriter(outRoot.getVector(0))
           val writeErr = if (withErrors) cellWriter(outRoot.getVector(1)) else null
+          if (batchFn.isDefined) {
+            val cols = Array.tabulate(nArgs) { j =>
+              val col = new Array[Any](n)
+              val rd = readers(j)
+              var i = 0
+              while (i < n) { col(i) = rd(i); i += 1 }
+              col
+            }
+            val vals = batchFn.get(scala.collection.immutable.ArraySeq
+              .unsafeWrapArray(cols), n)
+            var i = 0
+            while (i < n) { write(i, vals(i)); i += 1 }
+            outRoot.setRowCount(n)
+            writer.writeBatch()
+          } else {
           var i = 0
           while (i < n) {
             val argsArr = new Array[Any](nArgs)
@@ -540,6 +565,7 @@ class UdfServer(port: Int = 0, authToken: Option[String] = None) extends AutoClo
           }
           outRoot.setRowCount(n)
           writer.writeBatch() // streamed per input batch
+          }
         }
         writer.end()
         outRoot.close()

@@ -56,6 +56,32 @@ class ScriptRuntime(stepBudget: Int = 100000) extends LanguageRuntime with Seria
     invoke(fname, c, args)
   }
 
+  /** Batched form: the compiled-handle lookup happens once per batch, the
+    * row loop runs on the resolved handle (null-in → null-out). */
+  override def callBatch(fname: String, cols: Seq[Array[Any]], rows: Int): Array[Any] = {
+    val c = fns.getOrElse(fname, throw new NoSuchElementException(s"no function $fname"))
+    val colsArr = cols.toArray
+    val nArgs = colsArr.length
+    val out = new Array[Any](rows)
+    val args = new Array[Any](nArgs)
+    var r = 0
+    while (r < rows) {
+      var anyNull = false
+      var i = 0
+      while (i < nArgs) {
+        args(i) = colsArr(i)(r)
+        if (args(i) == null) anyNull = true
+        i += 1
+      }
+      // safe to alias `args`: invoke materializes the env map before returning
+      if (!anyNull)
+        out(r) = invoke(fname, c,
+          scala.collection.immutable.ArraySeq.unsafeWrapArray(args))
+      r += 1
+    }
+    out
+  }
+
   private def invoke(fname: String, c: Compiled, args: Seq[Any]): Any = {
     require(c.params.length == args.length, s"$fname expects ${c.params.length} args")
     val env = c.params.zip(args).toMap
@@ -245,6 +271,15 @@ object ScriptUdf {
           ScriptUdf.pool(fname, retType, mode, code, stepBudget).call(fname, args))
     Registry.global.register(FunctionDef(parsed, impl, mode,
       deterministic = true, fallible = fallible))
+    // batched dispatch for hosts holding whole batches (the remote server):
+    // the pool's TrieMap lookup — keyed on the full source string — and the
+    // compiled-handle resolution happen once per batch instead of per row
+    if (parsed.kind == FunctionKind.Scalar && !fallible &&
+        mode == CallMode.ReturnNullOnNullInput)
+      graft.functions.BatchEval.overrides(fname) = (parsed.toString,
+        (cols, rows) =>
+          ScriptUdf.pool(fname, retType, mode, code, stepBudget)
+            .callBatch(fname, cols, rows))
   }
 
   /** Per-JVM runtime pool keyed by function identity — one compiled instance

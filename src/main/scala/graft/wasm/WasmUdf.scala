@@ -217,6 +217,51 @@ object WasmUdf {
         Registry.global.register(FunctionDef(parsed, impl,
           CallMode.ReturnNullOnNullInput, deterministic = true,
           fallible = fallible.contains(fname)))
+        // batched dispatch for whole-batch hosts (the remote server): one
+        // pool borrow + one export bind per batch instead of per row
+        if (!isTable && !fallible.contains(fname))
+          graft.functions.BatchEval.overrides(fname) = (parsed.toString,
+            (cols, rows) => {
+              val inst = WasmPool.acquire(poolKey, binary, config)
+              var okB = false
+              try {
+                val bound = inst.bind(exportNm)
+                val colsArr = cols.toArray
+                val nArgs = colsArr.length
+                val out = new Array[Any](rows)
+                val args = new Array[Any](nArgs)
+                val slots = new Array[Long](paramTypes.length)
+                var r = 0
+                while (r < rows) {
+                  var anyNull = false
+                  var i = 0
+                  while (i < nArgs) {
+                    args(i) = colsArr(i)(r)
+                    if (args(i) == null) anyNull = true
+                    i += 1
+                  }
+                  if (!anyNull) {
+                    if (needsHeap && inst.hasExport("reset_heap"))
+                      inst.invoke("reset_heap", Array.empty)
+                    marshal(inst,
+                      scala.collection.immutable.ArraySeq.unsafeWrapArray(args), slots)
+                    val v = inst.invokeBound(bound, slots)
+                    out(r) =
+                      if (retIsBuffer) {
+                        val bytes = inst.readBytes((v >>> 32).toInt, v.toInt)
+                        if (retDt == StringType)
+                          new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
+                        else bytes
+                      } else fromSlot(v, retSlot, retDt)
+                  }
+                  r += 1
+                }
+                okB = true
+                out
+              } finally {
+                if (okB) WasmPool.release(poolKey, inst) // trapped batch drops
+              }
+            })
         // all-numeric non-fallible scalars get the batched columnar kernel:
         // one instance borrow per scan batch instead of per row
         val numericRet = Set[DataType](IntegerType, LongType, DoubleType,

@@ -22,6 +22,31 @@ class RemoteUdfSpec extends AnyFunSuite {
     } finally server.close()
   }
 
+  test("guest-SPI functions served over the wire run the BATCHED dispatch") {
+    graft.functions.Builtins.ensureRegistered()
+    // both are in the BatchEval registry — the server's per-batch path
+    assert(graft.functions.BatchEval.overrides.contains("script_score"))
+    assert(graft.functions.BatchEval.overrides.contains("wasm_gcd"))
+    val server = new UdfServer()
+    try {
+      val client = new UdfClient("127.0.0.1", server.boundPort)
+      try {
+        // graftscript over the wire: batch dispatch, null-in → null-out
+        val res = client.call("script_score", Seq(LongType),
+          Seq(Seq(1L), Seq(null), Seq(1000L)))
+        assert(res == Seq(4L, null, 3001L))
+        // wasm guest over the wire, same exchange
+        val g = client.call("wasm_gcd", Seq(LongType, LongType),
+          Seq(Seq(48L, 18L), Seq(null, 5L), Seq(1071L, 462L)))
+        assert(g == Seq(6L, null, 21L))
+        // string-returning wasm kernel: buffer results cross the batch path
+        val sub = client.call("wasm_substring", Seq(StringType, IntegerType, IntegerType),
+          Seq(Seq("hello world", 6, 5), Seq("abc", 0, 2)))
+        assert(sub == Seq("world", "ab"))
+      } finally client.close()
+    } finally server.close()
+  }
+
   test("auth: token-gated server refuses unauthenticated verbs, admits the right token") {
     graft.functions.Builtins.ensureRegistered()
     val server = new UdfServer(authToken = Some("s3cret"))
