@@ -26,11 +26,14 @@ import scala.collection.mutable.ArrayBuffer
  *    trapped instance is discarded, never returned to the pool
  *    (`wasm/mod.rs:257-319` pool semantics).
  *
- * Deliberate subset (documented, validated at load): no imports, no
- * tables/element segments (so no `call_indirect`), no SIMD/reference types,
- * single-value block types. That covers every numeric kernel the reference's
- * own wasm examples exercise (gcd/fib/arithmetic — `wasm/build.rs` snippets)
- * while keeping the interpreter auditable.
+ * Coverage beyond the 1.0 numeric core, chosen by what LLVM actually emits
+ * for compiled cdylibs: funcref tables + `call_indirect` (function-pointer /
+ * trait-object dispatch), bulk memory (`memory.copy`/`memory.fill` — memcpy
+ * and memset), saturating truncations, typed `select`, and FUNCTION imports
+ * as trapping stubs (a wasip1 module's fd_write etc. load fine and only trap
+ * if a kernel actually reaches them). Deliberate subset (documented,
+ * validated at load): no memory/table/global imports, no SIMD/reference
+ * types, single-value block types, no table mutation.
  */
 final class WasmTrap(msg: String) extends RuntimeException(msg) {
   // traps are expected control flow (error column); a JVM stack trace per
@@ -53,8 +56,23 @@ object Insn {
   final case class BrTable(targets: Array[Int], default: Int) extends Insn
   case object Return extends Insn
   final case class Call(func: Int) extends Insn
+  /** Indirect call through the funcref table: runtime type check against
+    * `typeIdx` (reference modules compiled from Rust use tables for trait
+    * objects / function pointers). */
+  final case class CallIndirect(typeIdx: Int) extends Insn
+  /** Stub body of an IMPORTED function: modules with (e.g. WASI) imports
+    * load and run as long as no import is actually reached; calling one
+    * traps with the import's name. */
+  final case class ImportedCall(module: String, name: String) extends Insn
   case object Drop extends Insn
   case object Select extends Insn
+  /** memory.copy / memory.fill (bulk-memory ops — LLVM emits these for
+    * memcpy/memset in compiled cdylibs). */
+  case object MemCopy extends Insn
+  case object MemFill extends Insn
+  /** Saturating float→int truncations (0xFC 0..7): NaN → 0, out-of-range
+    * clamps instead of trapping. */
+  final case class NumSat(op: Int) extends Insn
   final case class LocalGet(i: Int) extends Insn
   final case class LocalSet(i: Int) extends Insn
   final case class LocalTee(i: Int) extends Insn
@@ -73,11 +91,16 @@ object Insn {
   final case class Num(op: Int) extends Insn
 }
 
-final case class FuncType(params: Array[Byte], results: Array[Byte])
+final case class FuncType(params: Array[Byte], results: Array[Byte]) {
+  def sameAs(o: FuncType): Boolean =
+    java.util.Arrays.equals(params, o.params) &&
+      java.util.Arrays.equals(results, o.results)
+}
 final case class FuncDef(typeIdx: Int, locals: Array[Byte], body: Array[Insn])
 final case class GlobalDef(valType: Byte, mutable: Boolean, init: Array[Insn])
 final case class Export(name: String, kind: Int, idx: Int)
 final case class DataSeg(offset: Int, bytes: Array[Byte])
+final case class ElemSeg(offset: Int, funcIdxs: Array[Int])
 
 /** A decoded, immutable module — shared across instances (the reference
   * compiles the `Module` once and pools `Instance`s, `wasm/mod.rs:101-134`). */
@@ -88,7 +111,22 @@ final class WasmModule(
     val memMax: Int,            // pages; Int.MaxValue if unbounded
     val globals: Array[GlobalDef],
     val exports: Array[Export],
-    val data: Array[DataSeg]) extends Serializable {
+    val data: Array[DataSeg],
+    val tableSize: Int = 0,               // funcref table entries; 0 = no table
+    val elems: Array[ElemSeg] = Array.empty) extends Serializable {
+
+  /** funcref table resolved once per module: -1 = uninitialized element.
+    * MVP tables are immutable after element-segment init, so instances
+    * share this array. */
+  @transient lazy val table: Array[Int] = {
+    val t = Array.fill(tableSize)(-1)
+    elems.foreach { seg =>
+      if (seg.offset < 0 || seg.offset.toLong + seg.funcIdxs.length > t.length)
+        throw new WasmTrap("element segment out of table bounds")
+      System.arraycopy(seg.funcIdxs, 0, t, seg.offset, seg.funcIdxs.length)
+    }
+    t
+  }
 
   /** Export-name → function index, computed once — `invoke` hits this per
     * call, and a linear scan over long `arrowudf_<b64>` names would cost a
@@ -125,6 +163,9 @@ object WasmModule {
     val exports = ArrayBuffer.empty[Export]
     var bodies = Array.empty[(Array[Byte], Array[Insn])]
     val data = ArrayBuffer.empty[DataSeg]
+    val importStubs = ArrayBuffer.empty[FuncDef] // imported funcs → trapping stubs
+    var tableSize = 0
+    val elems = ArrayBuffer.empty[ElemSeg]
 
     while (r.hasMore) {
       val secId = r.byte()
@@ -140,12 +181,32 @@ object WasmModule {
             if (results.length > 1) throw new WasmTrap("multi-value results unsupported")
             FuncType(params, results)
           }
-        case 2 =>
-          if (r.lebU32() > 0)
-            throw new WasmTrap("imports unsupported: graft wasm modules must be self-contained")
+        case 2 => // imports: FUNCTION imports load as trapping stubs (a real
+          // wasip1 cdylib declares fd_write etc. that numeric kernels never
+          // reach); memory/table/global imports would shift index spaces the
+          // interpreter resolves internally, so those stay rejected.
+          for (_ <- 0 until r.lebU32()) {
+            val mod = r.name()
+            val nm = r.name()
+            r.byte() match {
+              case 0 =>
+                val ti = r.lebU32()
+                importStubs += FuncDef(ti, Array.empty,
+                  Array(Insn.ImportedCall(mod, nm)))
+              case other => throw new WasmTrap(
+                s"only function imports supported (got import kind $other for $mod.$nm)")
+            }
+          }
         case 3 => funcTypeIdx = Array.fill(r.lebU32())(r.lebU32())
-        case 4 =>
-          if (r.lebU32() > 0) throw new WasmTrap("tables/call_indirect unsupported")
+        case 4 => // tables: one funcref table (function-pointer dispatch)
+          val n = r.lebU32()
+          if (n > 1) throw new WasmTrap("multiple tables unsupported")
+          if (n == 1) {
+            if (r.byte() != 0x70) throw new WasmTrap("only funcref tables supported")
+            val flags = r.byte()
+            tableSize = r.lebU32()
+            if ((flags & 1) != 0) r.lebU32() // max — tables never grow here
+          }
         case 5 => // memory
           val n = r.lebU32()
           if (n > 1) throw new WasmTrap("multiple memories unsupported")
@@ -167,7 +228,17 @@ object WasmModule {
             exports += Export(name, kind, r.lebU32())
           }
         case 8 => throw new WasmTrap("start section unsupported")
-        case 9 => throw new WasmTrap("element segments unsupported")
+        case 9 => // element segments: active, table 0, func-index vectors
+          for (_ <- 0 until r.lebU32()) {
+            val flags = r.lebU32()
+            if (flags != 0) throw new WasmTrap(
+              "only active element segments on table 0 supported")
+            val off = decodeExpr(r, stopOnElse = false)._1 match {
+              case Array(Insn.I32Const(v)) => v
+              case _ => throw new WasmTrap("element offset must be a single i32.const")
+            }
+            elems += ElemSeg(off, Array.fill(r.lebU32())(r.lebU32()))
+          }
         case 10 => // code
           bodies = Array.fill(r.lebU32()) {
             val bodySize = r.lebU32()
@@ -201,11 +272,17 @@ object WasmModule {
 
     if (funcTypeIdx.length != bodies.length)
       throw new WasmTrap("function/code section count mismatch")
-    val funcs = funcTypeIdx.zip(bodies).map { case (ti, (locals, body)) =>
+    // the function INDEX SPACE starts with imports (wasm spec): exports,
+    // call targets and element segments all count from the stubs
+    val funcs = importStubs.toArray ++ funcTypeIdx.zip(bodies).map { case (ti, (locals, body)) =>
       if (ti < 0 || ti >= types.length) throw new WasmTrap("bad type index")
       FuncDef(ti, locals, body)
     }
-    new WasmModule(types, funcs, memMin, memMax, globals.toArray, exports.toArray, data.toArray)
+    funcs.foreach { f =>
+      if (f.typeIdx < 0 || f.typeIdx >= types.length) throw new WasmTrap("bad type index")
+    }
+    new WasmModule(types, funcs, memMin, memMax, globals.toArray, exports.toArray,
+      data.toArray, tableSize, elems.toArray)
   }
 
   private def valType(b: Byte): Byte = b match {
@@ -260,9 +337,17 @@ object WasmModule {
           out += BrTable(targets, r.lebU32())
         case 0x0F => out += Return
         case 0x10 => out += Call(r.lebU32())
-        case 0x11 => throw new WasmTrap("call_indirect unsupported (no tables)")
+        case 0x11 =>
+          val ti = r.lebU32()
+          if (r.lebU32() != 0) throw new WasmTrap("call_indirect: only table 0")
+          out += CallIndirect(ti)
         case 0x1A => out += Drop
         case 0x1B => out += Select
+        case 0x1C => // typed select: same semantics, explicit valtype vector
+          val n = r.lebU32()
+          var k = 0
+          while (k < n) { valType(r.byte()); k += 1 }
+          out += Select
         case 0x20 => out += LocalGet(r.lebU32())
         case 0x21 => out += LocalSet(r.lebU32())
         case 0x22 => out += LocalTee(r.lebU32())
@@ -281,6 +366,15 @@ object WasmModule {
         case 0x43 => out += F32Const(java.lang.Float.intBitsToFloat(r.u32()))
         case 0x44 => out += F64Const(java.lang.Double.longBitsToDouble(r.u64()))
         case num if num >= 0x45 && num <= 0xC4 => out += Num(num)
+        case 0xFC => r.lebU32() match { // bulk-memory / saturating-trunc prefix
+          case sat if sat <= 7 => out += NumSat(sat)
+          case 10 => // memory.copy dst.mem src.mem (both 0)
+            r.byte(); r.byte(); out += MemCopy
+          case 11 => // memory.fill mem (0)
+            r.byte(); out += MemFill
+          case sub => throw new WasmTrap(f"unsupported 0xFC subopcode $sub")
+        }
+        case 0xFD => throw new WasmTrap("SIMD (v128) unsupported")
         case other => throw new WasmTrap(f"unsupported opcode 0x$other%02x")
       }
     }

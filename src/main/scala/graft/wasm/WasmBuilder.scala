@@ -21,22 +21,41 @@ final class WasmBuilder {
   private val exports = ArrayBuffer.empty[(String, Int, Int)]          // (name, kind, idx)
   private val globals = ArrayBuffer.empty[(Byte, Boolean, Array[Byte])]
   private val data = ArrayBuffer.empty[(Int, Array[Byte])]
+  private val imports = ArrayBuffer.empty[(String, String, Int)]       // (module, name, type)
+  private val elems = ArrayBuffer.empty[(Int, Seq[Int])]               // (offset, func idxs)
+  private var tableMin: Option[Int] = None
   private var memLimits: Option[(Int, Option[Int])] = None
 
-  private def typeIdx(params: Seq[Byte], results: Seq[Byte]): Int = {
+  /** Intern a function type; exposed so `call_indirect` bodies can name the
+    * expected signature's type index. */
+  def typeIdx(params: Seq[Byte], results: Seq[Byte]): Int = {
     val i = types.indexOf((params, results))
     if (i >= 0) i else { types += ((params, results)); types.length - 1 }
+  }
+
+  /** Declare an imported function (must precede every `func` call — imports
+    * occupy the front of the function index space). Returns its index. */
+  def importFunc(module: String, name: String, params: Seq[Byte], results: Seq[Byte]): Int = {
+    require(funcs.isEmpty, "declare imports before local functions")
+    imports += ((module, name, typeIdx(params, results)))
+    imports.length - 1
   }
 
   /** Add a function; returns its index (for `call`). `body` must NOT include
     * the trailing `end` — it is appended here. */
   def func(params: Seq[Byte], results: Seq[Byte], locals: Seq[Byte], body: Array[Byte],
            exportAs: Option[String] = None): Int = {
-    val idx = funcs.length
+    val idx = imports.length + funcs.length
     funcs += ((typeIdx(params, results), locals, body))
     exportAs.foreach(n => exports += ((n, 0, idx)))
     idx
   }
+
+  /** Declare the funcref table (for `call_indirect`). */
+  def table(min: Int): Unit = tableMin = Some(min)
+
+  /** Active element segment: seed `table[offset..]` with function indices. */
+  def elem(offset: Int, funcIdxs: Seq[Int]): Unit = elems += ((offset, funcIdxs))
 
   def memory(minPages: Int, maxPages: Option[Int] = None, exportAs: Option[String] = None): Unit = {
     memLimits = Some((minPages, maxPages))
@@ -105,10 +124,26 @@ final class WasmBuilder {
       }
       section(1, b)
     }
+    if (imports.nonEmpty) {
+      val b = ArrayBuffer.empty[Byte] ++= lebU(imports.length)
+      imports.foreach { case (m, n, ti) =>
+        val mb = m.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        val nb = n.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        b ++= lebU(mb.length); b ++= mb
+        b ++= lebU(nb.length); b ++= nb
+        b += 0x00; b ++= lebU(ti)
+      }
+      section(2, b)
+    }
     if (funcs.nonEmpty) {
       val b = ArrayBuffer.empty[Byte] ++= lebU(funcs.length)
       funcs.foreach { case (t, _, _) => b ++= lebU(t) }
       section(3, b)
+    }
+    tableMin.foreach { min =>
+      val b = ArrayBuffer.empty[Byte] ++= lebU(1)
+      b += 0x70; b += 0x00; b ++= lebU(min)
+      section(4, b)
     }
     memLimits.foreach { case (min, max) =>
       val b = ArrayBuffer.empty[Byte] ++= lebU(1)
@@ -134,6 +169,16 @@ final class WasmBuilder {
         b += kind.toByte; b ++= lebU(idx)
       }
       section(7, b)
+    }
+    if (elems.nonEmpty) {
+      val b = ArrayBuffer.empty[Byte] ++= lebU(elems.length)
+      elems.foreach { case (off, idxs) =>
+        b ++= lebU(0)
+        b += 0x41; b ++= lebS(off.toLong); b += 0x0B
+        b ++= lebU(idxs.length)
+        idxs.foreach(i => b ++= lebU(i))
+      }
+      section(9, b)
     }
     if (funcs.nonEmpty) {
       val b = ArrayBuffer.empty[Byte] ++= lebU(funcs.length)
@@ -220,6 +265,11 @@ object Asm {
   def brIf(d: Int): Code = b(0x0D) ++ lebU(d)
   def ret: Code = b(0x0F)
   def call(f: Int): Code = b(0x10) ++ lebU(f)
+  def callIndirect(typeIdx: Int): Code = b(0x11) ++ lebU(typeIdx) ++ lebU(0)
+  def memoryCopy: Code = b(0xFC) ++ lebU(10) ++ b(0x00, 0x00)
+  def memoryFill: Code = b(0xFC) ++ lebU(11) ++ b(0x00)
+  def i32TruncSatF64S: Code = b(0xFC) ++ lebU(2)
+  def i64TruncSatF64S: Code = b(0xFC) ++ lebU(6)
   def drop: Code = b(0x1A)
   def select: Code = b(0x1B)
   def localGet(i: Int): Code = b(0x20) ++ lebU(i)

@@ -225,6 +225,32 @@ final class WasmInstance(val module: WasmModule, val config: WasmConfig) {
           if (r == 0 || r == FALL) truncate(base, arity)
           else if (r == Int.MaxValue) return Int.MaxValue
           else return r - 1
+        case CallIndirect(ti) =>
+          val idx = pop().toInt
+          val table = module.table
+          if (idx < 0 || idx >= table.length)
+            throw new WasmTrap("undefined element (call_indirect out of table bounds)")
+          val target = table(idx)
+          if (target < 0) throw new WasmTrap("uninitialized element")
+          if (ti < 0 || ti >= module.types.length ||
+              !module.types(ti).sameAs(module.funcType(target)))
+            throw new WasmTrap("indirect call type mismatch")
+          callFunc(target)
+        case ImportedCall(m, n) =>
+          throw new WasmTrap(s"unresolved import called: $m.$n " +
+            "(imports load as stubs; kernels must not reach them)")
+        case MemCopy =>
+          val len = popI32(); val src = popI32(); val dst = popI32()
+          if (len < 0 || src < 0 || dst < 0 ||
+              src.toLong + len > mem.length || dst.toLong + len > mem.length)
+            throw new WasmTrap("out of bounds memory.copy")
+          System.arraycopy(mem, src, mem, dst, len) // overlap-safe
+        case MemFill =>
+          val len = popI32(); val v = popI32(); val dst = popI32()
+          if (len < 0 || dst < 0 || dst.toLong + len > mem.length)
+            throw new WasmTrap("out of bounds memory.fill")
+          java.util.Arrays.fill(mem, dst, dst + len, v.toByte)
+        case NumSat(op) => satTrunc(op)
         case Br(d) => return d
         case BrIf(d) => if (pop() != 0) return d
         case BrTable(targets, default) =>
@@ -508,6 +534,34 @@ final class WasmInstance(val module: WasmModule, val config: WasmConfig) {
     case 0xC3 => push(signExtend(pop(), 16))
     case 0xC4 => push(signExtend(pop(), 32))
     case other => throw new WasmTrap(f"unsupported numeric opcode 0x$other%02x")
+  }
+
+  /** 0xFC 0..7 — saturating float→int: NaN → 0, out-of-range clamps. */
+  private def satTrunc(op: Int): Unit = {
+    def sat(d: Double, lo: Long, hi: Long): Long =
+      if (d.isNaN) 0L
+      else if (d <= lo.toDouble) lo
+      else if (d >= hi.toDouble) hi
+      else (if (d < 0) math.ceil(d) else math.floor(d)).toLong
+    def satU(d: Double, hiAll: Boolean): Long = { // unsigned: clamp to [0, 2^w)
+      if (d.isNaN || d <= 0) 0L
+      else if (!hiAll && d >= 4294967295.0) 4294967295L
+      else if (hiAll && d >= 1.8446744073709552E19) -1L // u64 max bit pattern
+      else if (hiAll && d >= 9.223372036854776E18)
+        (d - 9.223372036854776E18).toLong + Long.MinValue
+      else math.floor(d).toLong
+    }
+    (op: @annotation.switch) match {
+      case 0 => push(signExtend(sat(popF32().toDouble, Int.MinValue, Int.MaxValue), 32))
+      case 1 => push(signExtend(satU(popF32().toDouble, hiAll = false), 32))
+      case 2 => push(signExtend(sat(popF64(), Int.MinValue, Int.MaxValue), 32))
+      case 3 => push(signExtend(satU(popF64(), hiAll = false), 32))
+      case 4 => push(sat(popF32().toDouble, Long.MinValue, Long.MaxValue))
+      case 5 => push(satU(popF32().toDouble, hiAll = true))
+      case 6 => push(sat(popF64(), Long.MinValue, Long.MaxValue))
+      case 7 => push(satU(popF64(), hiAll = true))
+      case other => throw new WasmTrap(s"bad saturating trunc $other")
+    }
   }
 
   private def pushTruncU64(d: Double): Unit = {

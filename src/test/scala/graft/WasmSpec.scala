@@ -233,12 +233,14 @@ class WasmSpec extends AnyFunSuite {
     assert(t.getMessage.contains("version"))
   }
 
-  test("decoder rejects imports with a clear message") {
-    // hand-craft a module with an import section: magic + version + section 2
+  test("decoder rejects non-function imports with a clear message") {
+    // hand-craft a module importing a GLOBAL (kind 3): magic + version +
+    // section 2 — function imports load as stubs, other kinds shift index
+    // spaces the interpreter resolves internally and stay rejected
     val bytes = Array[Byte](0x00, 0x61, 0x73, 0x6D, 0x01, 0x00, 0x00, 0x00,
-      0x02, 0x07, 0x01, 0x01, 0x65, 0x01, 0x66, 0x00, 0x00)
+      0x02, 0x08, 0x01, 0x01, 0x65, 0x01, 0x66, 0x03, 0x7F, 0x00)
     val t = intercept[WasmTrap] { WasmModule.decode(bytes) }
-    assert(t.getMessage.contains("imports unsupported"))
+    assert(t.getMessage.contains("only function imports"))
   }
 
   // ---- Spark integration ---------------------------------------------------
@@ -388,6 +390,91 @@ class WasmSpec extends AnyFunSuite {
     val b = WasmPool.keyOf(WasmKernels.moduleBytes, WasmConfig(fuel = 42))
     assert(a != b)
     assert(WasmPool.keyOf(WasmKernels.moduleBytes, WasmConfig()) == a)
+  }
+
+  test("call_indirect dispatches through the funcref table with type checks") {
+    val b = new WasmBuilder
+    // two (i64,i64)->i64 kernels selected by table index, plus one with a
+    // DIFFERENT type to prove the runtime signature check
+    val addI = b.func(Seq(i64, i64), Seq(i64), Seq.empty,
+      concat(localGet(0), localGet(1), i64Add))
+    val mulI = b.func(Seq(i64, i64), Seq(i64), Seq.empty,
+      concat(localGet(0), localGet(1), i64Mul))
+    val wrongType = b.func(Seq(i64), Seq(i64), Seq.empty, localGet(0))
+    val binTi = b.typeIdx(Seq(i64, i64), Seq(i64))
+    // dispatch(sel, a, b) = table[sel](a, b)
+    b.func(Seq(i32, i64, i64), Seq(i64), Seq.empty, concat(
+      localGet(1), localGet(2), localGet(0), callIndirect(binTi)),
+      exportAs = Some("dispatch"))
+    b.table(4)
+    b.elem(0, Seq(addI, mulI, wrongType)) // table[3] stays uninitialized
+    val inst = new WasmInstance(WasmModule.decode(b.build()), WasmConfig())
+    assert(inst.invoke("dispatch", Array(0L, 6L, 7L)) == 13L)
+    assert(inst.invoke("dispatch", Array(1L, 6L, 7L)) == 42L)
+    assert(intercept[WasmTrap] { inst.invoke("dispatch", Array(2L, 1L, 1L)) }
+      .getMessage.contains("type mismatch"))
+    assert(intercept[WasmTrap] { inst.invoke("dispatch", Array(3L, 1L, 1L)) }
+      .getMessage.contains("uninitialized"))
+    assert(intercept[WasmTrap] { inst.invoke("dispatch", Array(99L, 1L, 1L)) }
+      .getMessage.contains("undefined element"))
+  }
+
+  test("bulk memory: memory.copy (overlapping) and memory.fill") {
+    val b = new WasmBuilder
+    b.memory(1, Some(4))
+    b.dataSegment(0, "abcdefgh".getBytes("UTF-8"))
+    // copy(dst, src, n) then read byte at i
+    b.func(Seq(i32, i32, i32), Seq.empty, Seq.empty, concat(
+      localGet(0), localGet(1), localGet(2), memoryCopy),
+      exportAs = Some("copy"))
+    b.func(Seq(i32, i32, i32), Seq.empty, Seq.empty, concat(
+      localGet(0), localGet(1), localGet(2), memoryFill),
+      exportAs = Some("fill"))
+    b.func(Seq(i32), Seq(i64), Seq.empty, concat(
+      localGet(0), i32Load8U(), i64ExtendI32U),
+      exportAs = Some("peek"))
+    val inst = new WasmInstance(WasmModule.decode(b.build()), WasmConfig())
+    inst.invoke("copy", Array(2L, 0L, 4L)) // overlapping: ab|abcd|gh
+    assert((0 to 7).map(i => inst.invoke("peek", Array(i.toLong)).toChar).mkString ==
+      "ababcdgh")
+    inst.invoke("fill", Array(0L, 'z'.toLong, 3L))
+    assert((0 to 7).map(i => inst.invoke("peek", Array(i.toLong)).toChar).mkString ==
+      "zzzbcdgh")
+    assert(intercept[WasmTrap] { inst.invoke("copy", Array(65530L, 0L, 100L)) }
+      .getMessage.contains("out of bounds"))
+  }
+
+  test("saturating truncation clamps instead of trapping; NaN goes to 0") {
+    val b = new WasmBuilder
+    b.func(Seq(f64), Seq(i64), Seq.empty, concat(localGet(0), i32TruncSatF64S, i64ExtendI32S),
+      exportAs = Some("sat32"))
+    b.func(Seq(f64), Seq(i64), Seq.empty, concat(localGet(0), i64TruncSatF64S),
+      exportAs = Some("sat64"))
+    val inst = new WasmInstance(WasmModule.decode(b.build()), WasmConfig())
+    def f(d: Double) = java.lang.Double.doubleToRawLongBits(d)
+    assert(inst.invoke("sat32", Array(f(1e12))) == Int.MaxValue.toLong)
+    assert(inst.invoke("sat32", Array(f(-1e12))) == Int.MinValue.toLong)
+    assert(inst.invoke("sat32", Array(f(Double.NaN))) == 0L)
+    assert(inst.invoke("sat32", Array(f(-7.9))) == -7L)
+    assert(inst.invoke("sat64", Array(f(1e300))) == Long.MaxValue)
+    assert(inst.invoke("sat64", Array(f(Double.NegativeInfinity))) == Long.MinValue)
+  }
+
+  test("function imports load as stubs: module runs until an import is reached") {
+    val b = new WasmBuilder
+    // the wasip1 shape: an fd_write import the numeric kernel never calls
+    val fdWrite = b.importFunc("wasi_snapshot_preview1", "fd_write",
+      Seq(i32, i32, i32, i32), Seq(i32))
+    b.func(Seq(i64), Seq(i64), Seq.empty, concat(localGet(0), i64Const(1L), i64Add),
+      exportAs = Some("inc"))
+    b.func(Seq.empty, Seq(i64), Seq.empty, concat(
+      i32Const(0), i32Const(0), i32Const(0), i32Const(0), call(fdWrite),
+      i64ExtendI32S),
+      exportAs = Some("logs"))
+    val inst = new WasmInstance(WasmModule.decode(b.build()), WasmConfig())
+    assert(inst.invoke("inc", Array(41L)) == 42L) // import never reached
+    assert(intercept[WasmTrap] { inst.invoke("logs", Array.empty) }
+      .getMessage.contains("fd_write"))
   }
 
   test("tinyint return maps through fromSlot; unsupported returns fail at load") {
