@@ -170,6 +170,63 @@ class JsUdfSpec extends AnyFunSuite {
     } finally client.close()
   }
 
+  test("batched column mode: one guest call per request, column in/column out") {
+    val client = new JsUdfClient("127.0.0.1", port)
+    try {
+      // builtin z-score needs the WHOLE column (mean/stddev) — impossible
+      // row-at-a-time; nulls pass through in place
+      val res = client.call("js_zscore", DoubleType,
+        Seq(Seq(1.0), Seq(2.0), Seq(null), Seq(3.0)))
+      assert(res(2) == null)
+      val vals = Seq(res(0), res(1), res(3)).map(_.asInstanceOf[Double])
+      assert(math.abs(vals(1)) < 1e-12)                       // mean → 0
+      assert(math.abs(vals(0) + vals(2)) < 1e-12)             // symmetric
+      // DEFINE'd batch function (kind = "batch"), async allowed
+      client.define("batch", "js_colsum_frac(float64) -> float64",
+        "async (xs) => { const t = xs.reduce((a, b) => a + (b || 0), 0); return xs.map((v) => v == null ? null : v / t); }")
+      val fr = client.call("js_colsum_frac", DoubleType,
+        Seq(Seq(1.0), Seq(3.0))).map(_.asInstanceOf[Double])
+      assert(math.abs(fr(0) - 0.25) < 1e-12 && math.abs(fr(1) - 0.75) < 1e-12)
+      // a batch fn returning the wrong cardinality is an ERR, not a hang
+      client.define("batch", "js_badbatch(int) -> int", "(xs) => [1]")
+      val e = intercept[RuntimeException](
+        client.call("js_badbatch", IntegerType, Seq(Seq(1), Seq(2))))
+      assert(e.getMessage.contains("returned"))
+    } finally client.close()
+  }
+
+  test("fetch in the guest: an async function calls a live HTTP endpoint") {
+    // local HTTP server (zero-egress container: loopback only)
+    val http = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    http.createContext("/len", { (ex: com.sun.net.httpserver.HttpExchange) =>
+      val q = Option(ex.getRequestURI.getQuery).getOrElse("")
+      val body = s"""{"len":${q.length}}""".getBytes("UTF-8")
+      ex.getResponseHeaders.add("Content-Type", "application/json")
+      ex.sendResponseHeaders(200, body.length)
+      ex.getResponseBody.write(body)
+      ex.close()
+    })
+    http.start()
+    val port0 = http.getAddress.getPort
+    val client = new JsUdfClient("127.0.0.1", port)
+    try {
+      // Node's global fetch + the worker's async support = the reference's
+      // fetch-in-guest surface (javascript/fetch/mod.rs) without extra deps
+      client.define("scalar", "js_fetch_len(string) -> int",
+        s"""async (s) => {
+           |  const r = await fetch("http://127.0.0.1:$port0/len?" + encodeURIComponent(s));
+           |  return (await r.json()).len;
+           |}""".stripMargin)
+      val res = client.call("js_fetch_len", IntegerType, Seq(Seq("abc"), Seq("hello")))
+      // encodeURIComponent("abc").length == 3, "hello" == 5
+      assert(res == Seq(3, 5))
+    } finally {
+      client.close()
+      http.stop(0)
+    }
+  }
+
   test("Spark hash aggregation drives the JS guest aggregate end-to-end") {
     import spark.implicits._
     JsUdf.registerAggregate(spark, "js_sum_t", JsWorker.endpoints, "js_sum", LongType)

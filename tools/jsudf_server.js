@@ -47,7 +47,7 @@ const PROTOCOL_VERSION = 2;
 // Registry (signature grammar mirrors graft.sig.Signature)
 // ---------------------------------------------------------------------------
 
-const SCALARS = new Map(); // name -> {sig, fn}
+const SCALARS = new Map(); // name -> {sig, fn, batch?}
 const TABLES = new Map(); // name -> {sig, fn}  (fn is a generator/iterable fn)
 const AGGS = new Map(); // name -> {sig, impl}
 
@@ -79,6 +79,15 @@ const registry = {
   scalar(sig, fn) {
     const s = parseSig(sig);
     SCALARS.set(s.name, { sig: s, fn });
+  },
+  /** Batched (column-at-a-time) scalar — the reference's JS batched mode
+   * (javascript/mod.rs:536-625): fn receives one Array per argument column
+   * (nulls in place) and returns the result column. One guest call per
+   * request instead of per row; the wire is already columnar, so this is
+   * free of re-framing. */
+  scalarBatch(sig, fn) {
+    const s = parseSig(sig);
+    SCALARS.set(s.name, { sig: s, fn, batch: true });
   },
   table(sig, fn) {
     const s = parseSig(sig);
@@ -150,6 +159,18 @@ registry.scalar("js_async_add(int, int) -> int", async (a, b) => {
   return a + b;
 });
 
+// batched (column-at-a-time) demo: z-score over the request's column — a
+// kernel that NEEDS the whole column (mean/stddev) and shows the one-call-
+// per-batch shape; nulls pass through
+registry.scalarBatch("js_zscore(float64) -> float64", (xs) => {
+  const live = xs.filter((v) => v != null);
+  const n = live.length;
+  if (n === 0) return xs.map(() => null);
+  const mean = live.reduce((a, b) => a + b, 0) / n;
+  const sd = Math.sqrt(live.reduce((a, b) => a + (b - mean) * (b - mean), 0) / n) || 1;
+  return xs.map((v) => (v == null ? null : (v - mean) / sd));
+});
+
 // ---------------------------------------------------------------------------
 // Row helpers
 // ---------------------------------------------------------------------------
@@ -206,6 +227,29 @@ async function handleCall(fname, isTable, body) {
   }
   const fd = SCALARS.get(fname.toLowerCase());
   if (!fd) return { err: `no scalar function ${fname}` };
+  if (fd.batch) {
+    // column-at-a-time: ONE guest call for the whole request; bigint-typed
+    // columns are coerced element-wise before the call
+    const n = body.n || 0;
+    const cols = body.cols.map((c, i) =>
+      c.map((v) => {
+        if (v == null) return null;
+        const t = (fd.sig.args[i] || "").toLowerCase();
+        if (t === "bigint" || t === "int64") return typeof v === "bigint" ? v : BigInt(v);
+        if (typeof v === "string" && t && t !== "string" && t !== "varchar" && t !== "json")
+          return Number(v);
+        return v;
+      })
+    );
+    try {
+      const out = await resolved(fd.fn(...cols));
+      if (!Array.isArray(out) || out.length !== n)
+        return { err: `batch function ${fname} returned ${out && out.length} values for ${n} rows` };
+      return { vals: out.map((v) => (v === undefined ? null : v)) };
+    } catch (e) {
+      return { err: `batch function ${fname} failed: ${e.message || e}` };
+    }
+  }
   const vals = [];
   for (const row of rowsOf(body)) {
     if (row.some((v) => v == null)) {
@@ -228,6 +272,7 @@ async function handleCall(fname, isTable, body) {
 async function handleCallErr(fname, body) {
   const fd = SCALARS.get(fname.toLowerCase());
   if (!fd) return { err: `no scalar function ${fname}` };
+  if (fd.batch) return { err: `${fname} is batched: no per-row error capture` };
   const vals = [];
   const errs = [];
   for (const row of rowsOf(body)) {
@@ -293,6 +338,7 @@ function handleDefine(body) {
   }
   try {
     if (kind === "scalar") registry.scalar(sig, value);
+    else if (kind === "batch") registry.scalarBatch(sig, value);
     else if (kind === "table") registry.table(sig, value);
     else if (kind === "aggregate") registry.aggregate(sig, value);
     else return { err: `define failed: bad kind ${kind}` };
