@@ -148,6 +148,98 @@ object Streaming {
       }
   }
 
+  // ---- stream-stream AS-OF join --------------------------------------------
+
+  /** Tagged union envelope for [[asofJoin]]: both input streams ride one
+    * grouped stream (`ts` carries the event-time watermark). */
+  case class AsofEnv(key: Long, t_ms: Long, left: Boolean, v: Double, q: Long,
+                     ts: java.sql.Timestamp)
+  /** One as-of match: right row (t_ms, q) joined to the latest left row at
+    * or before it; `left_t = -1`, `v = NaN` when no left preceded it. */
+  case class AsofJoined(key: Long, t_ms: Long, q: Long, left_t: Long, v: Double)
+  /** Per-key buffers: lefts = (t, v) candidates, rights = (t, q) pending
+    * emission until the watermark passes their timestamp. */
+  case class AsofJState(lefts: Vector[(Long, Double)], rights: Vector[(Long, Long)])
+
+  /**
+   * Stream-stream AS-OF join: each right row is matched to the LATEST left
+   * row with `left.t_ms <= right.t_ms` for the same key — the streaming form
+   * of [[graft.plans.AsofJoinNative]] (quotes-to-trades attribution).
+   *
+   * Spark's stream-stream equi+range join cannot express "latest before"
+   * (it emits EVERY left in the window, not the max), so this rides
+   * `flatMapGroupsWithState`:
+   *
+   *  - a right row is emitted only once the watermark passes its timestamp —
+   *    any left that could still arrive for it (`left.ts <= right.ts <= wm`)
+   *    would be beyond the watermark and dropped anyway, so each right is
+   *    emitted EXACTLY once with its final match (deterministic under
+   *    arbitrary arrival interleaving);
+   *  - left-buffer eviction keeps every left newer than the watermark plus
+   *    the single newest left at-or-before it: no older left can ever be
+   *    "latest before" any pending or future right, so state stays bounded
+   *    by the arrival rate within the watermark delay — O(delay x rate) per
+   *    key, NOT O(stream);
+   *  - an event-time timeout flushes pending rights for keys that stop
+   *    receiving data.
+   *
+   * Inputs are DataFrames with columns (key, t_ms, v|q) and a `ts` timestamp
+   * column; apply `withWatermark` on BOTH before calling (the union's
+   * watermark is the min of the two).
+   */
+  def asofJoin(lefts: DataFrame, rights: DataFrame): Dataset[AsofJoined] = {
+    implicit val envEnc: Encoder[AsofEnv] = Encoders.product[AsofEnv]
+    implicit val outEnc: Encoder[AsofJoined] = Encoders.product[AsofJoined]
+    implicit val stEnc: Encoder[AsofJState] = Encoders.product[AsofJState]
+    implicit val keyEnc: Encoder[Long] = Encoders.scalaLong
+    val l = lefts.selectExpr("key", "t_ms", "true AS `left`", "v",
+      "CAST(0 AS BIGINT) AS q", "ts").as[AsofEnv]
+    val r = rights.selectExpr("key", "t_ms", "false AS `left`",
+      "CAST('NaN' AS DOUBLE) AS v", "q", "ts").as[AsofEnv]
+    l.unionByName(r)
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[AsofJState, AsofJoined](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (key: Long, rows: Iterator[AsofEnv], state: GroupState[AsofJState]) =>
+          var s = state.getOption.getOrElse(AsofJState(Vector.empty, Vector.empty))
+          rows.foreach { e =>
+            s = if (e.left) s.copy(lefts = s.lefts :+ (e.t_ms, e.v))
+                else s.copy(rights = s.rights :+ (e.t_ms, e.q))
+          }
+          val wm = state.getCurrentWatermarkMs()
+          val lefts = s.lefts.sortBy(_._1)
+          val (ready, pending) = s.rights.partition(_._1 <= wm)
+          val out = ready.sortBy(_._1).map { case (rt, q) =>
+            // latest left at or before rt (binary search over the sorted buffer)
+            var lo = 0; var hi = lefts.length - 1; var best = -1
+            while (lo <= hi) {
+              val mid = (lo + hi) >>> 1
+              if (lefts(mid)._1 <= rt) { best = mid; lo = mid + 1 } else hi = mid - 1
+            }
+            if (best < 0) AsofJoined(key, rt, q, -1L, Double.NaN)
+            else AsofJoined(key, rt, q, lefts(best)._1, lefts(best)._2)
+          }
+          // evict: keep lefts newer than the watermark + the newest one <= it
+          val cutIdx = {
+            var lo = 0; var hi = lefts.length - 1; var best = -1
+            while (lo <= hi) {
+              val mid = (lo + hi) >>> 1
+              if (lefts(mid)._1 <= wm) { best = mid; lo = mid + 1 } else hi = mid - 1
+            }
+            math.max(best, 0)
+          }
+          s = AsofJState(lefts.drop(cutIdx), pending)
+          if (s.lefts.isEmpty && s.rights.isEmpty) state.remove()
+          else {
+            state.update(s)
+            if (pending.nonEmpty)
+              state.setTimeoutTimestamp(
+                math.max(pending.map(_._1).min + 1, wm + 1))
+          }
+          out.iterator
+      }
+  }
+
   /** Apply a retractable [[GraftAggregate]] over a keyed CDC stream with
     * `flatMapGroupsWithState`, emitting the revised aggregate per key per
     * micro-batch. */

@@ -182,6 +182,46 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream AS-OF join: latest-quote-before-trade, watermark-exact") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    val quotes = MemoryStream[(Long, Long, Double)]  // (key, t_sec, value)
+    val trades = MemoryStream[(Long, Long, Long)]    // (key, t_sec, qty)
+    val q = quotes.toDF().toDF("key", "t_sec", "v")
+      .selectExpr("key", "t_sec * 1000 AS t_ms", "v", "timestamp_seconds(t_sec) AS ts")
+      .withWatermark("ts", "5 seconds")
+    val t = trades.toDF().toDF("key", "t_sec", "q")
+      .selectExpr("key", "t_sec * 1000 AS t_ms", "q", "timestamp_seconds(t_sec) AS ts")
+      .withWatermark("ts", "5 seconds")
+    val out = graft.streaming.Streaming.asofJoin(q, t)
+    val query = out.writeStream.format("memory").queryName("asof_stream")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // batch 1: quotes at 1000 and 1004 for key 1; a quote for key 2 at 1001
+      quotes.addData((1L, 1000L, 10.0), (1L, 1004L, 11.0), (2L, 1001L, 20.0))
+      // trades: key1@1002 (matches quote@1000), key1@1005 (quote@1004),
+      // key2@1000 (NO quote before it)
+      trades.addData((1L, 1002L, 5L), (1L, 1005L, 7L), (2L, 1000L, 3L))
+      query.processAllAvailable()
+      // advance the watermark past every trade (wm = max_ts - 5s)
+      quotes.addData((9L, 1100L, 0.0))
+      trades.addData((9L, 1100L, 0L))
+      query.processAllAvailable()
+      quotes.addData((9L, 1200L, 0.0)) // second advance flushes key-9 rights
+      trades.addData((9L, 1200L, 0L))
+      query.processAllAvailable()
+      val rows = spark.sql(
+        "SELECT key, t_ms, q, left_t, v FROM asof_stream WHERE key < 9").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          if (r.getDouble(4).isNaN) None else Some(r.getDouble(4)))).toSet
+      assert(rows == Set(
+        (1L, 1002000L, 5L, 1000000L, Some(10.0)),
+        (1L, 1005000L, 7L, 1004000L, Some(11.0)),
+        (2L, 1000000L, 3L, -1L, None)))
+    } finally query.stop()
+  }
+
   test("retracting aggregate over CDC stream revises results") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
