@@ -556,6 +556,18 @@ object SparkEntry {
         .selectExpr("q_id", "vec_id", "rank", "CAST(ROUND(sim * 10000) AS BIGINT) AS c4")
         .orderBy("q_id", "rank")
     } _,
+    // int8-quantized ANN: the corpus is scalar-quantized (1 byte/dim + one
+    // float scale — a quarter of the scan bytes at 100 TB) and scored by
+    // dequantized cosine; the oracle mirrors the quantization bit-exactly.
+    "q_quantized_topk" -> dfq { s =>
+      val queries = s.table("embeddings").where("vec_id < 5")
+        .selectExpr("vec_id AS q_id", "embedding AS q_embedding")
+      val qz = graft.ops.Similarity.quantizeInt8(s.table("embeddings"))
+        .select("vec_id", "codes", "q_scale")
+      graft.ops.Similarity.quantizedTopK(qz, queries, 10)
+        .selectExpr("q_id", "vec_id", "rank", "CAST(ROUND(sim * 10000) AS BIGINT) AS c4")
+        .orderBy("q_id", "rank")
+    } _,
     // IVF ANN. Full probe (nprobe = nCells) makes the output exactly the
     // brute-force top-k, so the driver gate verifies the whole IVF pipeline
     // (distributed centroids, assignment, probe join, rerank) against a SQL
@@ -1312,6 +1324,25 @@ object SparkEntry {
       s"""WITH q AS (SELECT vec_id AS q_id, embedding AS qe FROM embeddings WHERE vec_id < 5),
          |s AS (SELECT q.q_id, e.vec_id, ${duckCos("q.qe", "e.embedding")} AS sim
          |      FROM q, embeddings e),
+         |r AS (SELECT q_id, vec_id, sim,
+         |             CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS INT) AS rank
+         |      FROM s)
+         |SELECT q_id, vec_id, rank, CAST(ROUND(sim * 10000) AS BIGINT) AS c4
+         |FROM r WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin,
+    "q_quantized_topk" ->
+      s"""WITH q AS (SELECT vec_id AS q_id, embedding AS qe FROM embeddings WHERE vec_id < 5),
+         |z AS (SELECT vec_id,
+         |        CAST(CAST(list_max([abs(embedding[i]) for i in range(1, 65)]) AS DOUBLE)
+         |             / 127.0 AS FLOAT) AS q_scale,
+         |        embedding
+         |      FROM embeddings),
+         |d AS (SELECT vec_id,
+         |        [CAST(CAST(GREATEST(-127, LEAST(127,
+         |           ROUND(CAST(embedding[i] AS DOUBLE) / CAST(q_scale AS DOUBLE)))) AS INT)
+         |           AS FLOAT) * q_scale for i in range(1, 65)] AS de
+         |      FROM z),
+         |s AS (SELECT q.q_id, d.vec_id, ${duckCos("d.de", "q.qe")} AS sim
+         |      FROM q, d),
          |r AS (SELECT q_id, vec_id, sim,
          |             CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS INT) AS rank
          |      FROM s)

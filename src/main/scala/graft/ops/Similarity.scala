@@ -121,6 +121,35 @@ object Similarity {
   }
 
   /**
+   * Per-vector int8 scalar quantization: `codes[i] = round(e[i] / scale)`
+   * with `scale = max(|e|) / 127` — 4 bytes/dim → 1 byte/dim, the compressed
+   * corpus representation for 100 TB-scale ANN (a quantized corpus scan
+   * reads a quarter of the bytes; the scale rides along for asymmetric
+   * dequantized scoring). Deterministic: fixed operation order, float-exact
+   * on any engine that mirrors it.
+   */
+  def quantizeInt8(corpus: DataFrame, embCol: String = "embedding"): DataFrame =
+    corpus
+      .withColumn("q_scale", expr(
+        s"CAST(CAST(array_max(transform($embCol, x -> abs(x))) AS DOUBLE) / 127.0 AS FLOAT)"))
+      .withColumn("codes", expr(
+        s"""transform($embCol, x ->
+           |  CAST(GREATEST(-127, LEAST(127,
+           |    ROUND(CAST(x AS DOUBLE) / CAST(q_scale AS DOUBLE)))) AS INT))""".stripMargin))
+
+  /** Top-k over the QUANTIZED corpus: cosine on dequantized vectors
+    * (`codes[i] * scale`, float) against float queries — the asymmetric-
+    * distance search shape. Same broadcast + bounded-heap topology as
+    * [[bruteForceTopK]]; the corpus side scans codes+scale only. */
+  def quantizedTopK(quantized: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val scored = quantized.crossJoin(broadcast(queries))
+      .withColumn("sim", expr(
+        "cosine_sim(transform(codes, c -> CAST(c AS FLOAT) * q_scale), q_embedding)"))
+      .select(col("q_id"), col("vec_id"), col("sim"))
+    topKRank(scored, k)
+  }
+
+  /**
    * IVF (inverted-file) ANN: deterministic distributed k-means centroids,
    * corpus assigned to its nearest centroid, queries probe `nprobe` nearest
    * cells and rerank exactly. The other bucketing family next to hyperplane

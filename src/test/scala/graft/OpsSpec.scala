@@ -77,6 +77,23 @@ class OpsSpec extends AnyFunSuite {
     assert((exact intersect approx).size >= 5)
   }
 
+  test("int8 quantization: 4x smaller codes, near-exact recall, self-retrieval") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = emb.where("vec_id < 3").selectExpr("vec_id AS q_id", "embedding AS q_embedding")
+    val qz = Similarity.quantizeInt8(emb).select("vec_id", "codes", "q_scale")
+    // codes stay within int8 range
+    val bad = qz.selectExpr("explode(codes) AS c").where("c < -127 OR c > 127").count()
+    assert(bad == 0L)
+    val exact = Similarity.bruteForceTopK(emb, queries, 5)
+      .select("q_id", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Similarity.quantizedTopK(qz, queries, 5)
+      .select("q_id", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // int8 dequantized cosine is a tight approximation: every query finds
+    // itself and overlap with the exact top-5 is near-total
+    assert((0 until 3).forall(q => approx.contains((q.toLong, q.toLong))))
+    assert((exact intersect approx).size >= 12, s"overlap ${(exact intersect approx).size}/15")
+  }
+
   test("ivfTopK: self-retrieval and overlap with exact top-k") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val queries = emb.where("vec_id < 3").selectExpr("vec_id AS q_id", "embedding AS q_embedding")
