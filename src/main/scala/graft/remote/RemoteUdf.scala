@@ -56,7 +56,10 @@ object RemoteProtocol {
   val BatchSize = 8192
   val ExtKey = graft.types.GraftType.ExtensionKey
   /** Wire protocol version (reference: `do_action(protocol_version) = 2`). */
-  val Version = 2
+  // v3: JS framing carries int64 as decimal strings (BigInt-exact) — a v2
+  // worker would silently string-concat where v3 expects arithmetic, so the
+  // handshake must reject mixed pairs rather than corrupt data
+  val Version = 3
 
   private def fieldType(t: ArrowType, md: SMetadata): FieldType = {
     val ext = graft.types.GraftType.extensionOf(md)

@@ -273,13 +273,17 @@ object ScriptUdf {
       deterministic = true, fallible = fallible))
     // batched dispatch for hosts holding whole batches (the remote server):
     // the pool's TrieMap lookup — keyed on the full source string — and the
-    // compiled-handle resolution happen once per batch instead of per row
+    // compiled-handle resolution happen once per batch instead of per row.
+    // A re-registration that no longer qualifies must DROP any stale entry,
+    // or the server would keep serving the old implementation.
     if (parsed.kind == FunctionKind.Scalar && !fallible &&
         mode == CallMode.ReturnNullOnNullInput)
       graft.functions.BatchEval.overrides(fname) = (parsed.toString,
         (cols, rows) =>
           ScriptUdf.pool(fname, retType, mode, code, stepBudget)
             .callBatch(fname, cols, rows))
+    else
+      graft.functions.BatchEval.overrides.remove(fname)
   }
 
   /** Per-JVM runtime pool keyed by function identity — one compiled instance

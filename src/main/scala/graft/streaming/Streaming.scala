@@ -186,8 +186,15 @@ object Streaming {
    * Inputs are DataFrames with columns (key, t_ms, v|q) and a `ts` timestamp
    * column; apply `withWatermark` on BOTH before calling (the union's
    * watermark is the min of the two).
+   *
+   * `idleRetentionMs` bounds state for keys that go quiet holding only
+   * lefts: a key with no pending rights is garbage-collected once no event
+   * arrives for that long (event time) — a right arriving later than the
+   * retention horizon joins as unmatched. Without this, every key ever seen
+   * would pin its newest left forever.
    */
-  def asofJoin(lefts: DataFrame, rights: DataFrame): Dataset[AsofJoined] = {
+  def asofJoin(lefts: DataFrame, rights: DataFrame,
+               idleRetentionMs: Long = 86400000L): Dataset[AsofJoined] = {
     implicit val envEnc: Encoder[AsofEnv] = Encoders.product[AsofEnv]
     implicit val outEnc: Encoder[AsofJoined] = Encoders.product[AsofJoined]
     implicit val stEnc: Encoder[AsofJState] = Encoders.product[AsofJState]
@@ -229,12 +236,17 @@ object Streaming {
             math.max(best, 0)
           }
           s = AsofJState(lefts.drop(cutIdx), pending)
-          if (s.lefts.isEmpty && s.rights.isEmpty) state.remove()
+          // a timeout with nothing pending and no new data is the idle-GC
+          // signal: drop the key's state entirely
+          val idleGc = state.hasTimedOut && pending.isEmpty
+          if (idleGc || (s.lefts.isEmpty && s.rights.isEmpty)) state.remove()
           else {
             state.update(s)
-            if (pending.nonEmpty)
-              state.setTimeoutTimestamp(
-                math.max(pending.map(_._1).min + 1, wm + 1))
+            // ALWAYS arm a deadline: pending rights flush as soon as the
+            // watermark allows; lefts-only keys get the idle-GC horizon
+            state.setTimeoutTimestamp(
+              if (pending.nonEmpty) math.max(pending.map(_._1).min + 1, wm + 1)
+              else math.max(s.lefts.map(_._1).max + idleRetentionMs, wm + 1))
           }
           out.iterator
       }

@@ -5,7 +5,7 @@ package graft.wasm
 final case class WasmConfig(
     fuel: Long = 10_000_000L,        // interpreter steps per exported call
     memoryLimitBytes: Long = 64L << 20, // hard cap regardless of module max
-    maxCallDepth: Int = 1000) extends Serializable
+    maxCallDepth: Int = 512) extends Serializable
 
 /**
  * One instantiated module: its own linear memory + mutable globals.
@@ -54,6 +54,7 @@ final class WasmInstance(val module: WasmModule, val config: WasmConfig) {
   // ---- per-call state ------------------------------------------------------
   private var fuel: Long = 0L
   private var depth: Int = 0
+  private var nesting: Int = 0 // block-structure activations (separate budget)
   private var stack = new Array[Long](256)
   private var sp = 0
 
@@ -117,6 +118,7 @@ final class WasmInstance(val module: WasmModule, val config: WasmConfig) {
   def invokeBound(b: Bound, args: Array[Long]): Long = {
     fuel = config.fuel
     depth = 0
+    nesting = 0
     sp = 0
     var i = 0
     while (i < args.length) { push(args(i)); i += 1 }
@@ -126,6 +128,12 @@ final class WasmInstance(val module: WasmModule, val config: WasmConfig) {
         throw new WasmTrap(s"malformed module: index out of range (${e.getMessage})")
       case _: NegativeArraySizeException =>
         throw new WasmTrap("malformed module: negative allocation")
+      // backstop when a configured maxCallDepth outruns the JVM thread
+      // stack: the recursion is all interpreter frames and per-call state
+      // is reset on the next invoke, so converting to a trap is safe (the
+      // instance is discarded, never released back to the pool)
+      case _: StackOverflowError =>
+        throw new WasmTrap("call depth exceeded (JVM stack)")
     }
     if (b.hasResult) pop() else 0L
   }
@@ -136,6 +144,7 @@ final class WasmInstance(val module: WasmModule, val config: WasmConfig) {
       .getOrElse(throw new WasmTrap(s"function not found: $exportName"))
     fuel = config.fuel
     depth = 0
+    nesting = 0
     sp = 0
     val ft = module.funcType(fidx)
     if (ft.params.length != args.length)
@@ -149,6 +158,12 @@ final class WasmInstance(val module: WasmModule, val config: WasmConfig) {
         throw new WasmTrap(s"malformed module: index out of range (${e.getMessage})")
       case _: NegativeArraySizeException =>
         throw new WasmTrap("malformed module: negative allocation")
+      // backstop when a configured maxCallDepth outruns the JVM thread
+      // stack: the recursion is all interpreter frames and per-call state
+      // is reset on the next invoke, so converting to a trap is safe (the
+      // instance is discarded, never released back to the pool)
+      case _: StackOverflowError =>
+        throw new WasmTrap("call depth exceeded (JVM stack)")
     }
     if (ft.results.length == 1) pop() else 0L
   }
@@ -182,19 +197,20 @@ final class WasmInstance(val module: WasmModule, val config: WasmConfig) {
 
   /** Execute a sequence; returns FALL or a branch depth relative to the
     * *enclosing* label after this sequence's own labels are consumed.
-    * Each activation counts against `config.maxCallDepth` alongside calls,
-    * so a hostile module of tens of thousands of nested `block`s traps
-    * (WasmTrap) instead of overflowing the JVM stack — a StackOverflowError
-    * would escape the error-column containment, which only catches
-    * Exception. */
+    * Activations count against their OWN budget (4 x maxCallDepth — blocks
+    * nest deeper than calls, and sharing the call counter would silently
+    * halve the legal recursion depth), so a hostile module of tens of
+    * thousands of nested `block`s traps (WasmTrap) instead of overflowing
+    * the JVM stack — a StackOverflowError would escape the error-column
+    * containment, which only catches Exception. */
   private def exec(body: Array[Insn], locals: Array[Long]): Int = {
-    depth += 1
-    if (depth > config.maxCallDepth) throw new WasmTrap("block nesting depth exceeded")
-    try execBody(body, locals)
-    finally depth -= 1
-  }
-
-  private def execBody(body: Array[Insn], locals: Array[Long]): Int = {
+    // counter check inlined in THIS frame — a wrapper method would add one
+    // JVM frame per activation, which at a legal 1000-deep call recursion
+    // is the difference between fitting the thread stack and SOE
+    nesting += 1
+    if (nesting > config.maxCallDepth * 4)
+      throw new WasmTrap("block nesting depth exceeded")
+    try {
     var pc = 0
     while (pc < body.length) {
       fuel -= 1
@@ -290,6 +306,7 @@ final class WasmInstance(val module: WasmModule, val config: WasmConfig) {
       pc += 1
     }
     FALL
+    } finally nesting -= 1
   }
 
   /** Keep the top `arity` slots, reset to `base`, push them back — the

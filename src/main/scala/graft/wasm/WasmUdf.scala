@@ -218,14 +218,19 @@ object WasmUdf {
           CallMode.ReturnNullOnNullInput, deterministic = true,
           fallible = fallible.contains(fname)))
         // batched dispatch for whole-batch hosts (the remote server): one
-        // pool borrow + one export bind per batch instead of per row
-        if (!isTable && !fallible.contains(fname))
+        // pool borrow + one export bind per batch instead of per row. A
+        // re-registration that stops qualifying drops its stale entry.
+        if (isTable || fallible.contains(fname))
+          graft.functions.BatchEval.overrides.remove(fname)
+        else
           graft.functions.BatchEval.overrides(fname) = (parsed.toString,
             (cols, rows) => {
               val inst = WasmPool.acquire(poolKey, binary, config)
               var okB = false
               try {
                 val bound = inst.bind(exportNm)
+                val hasReset = needsHeap && inst.hasExport("reset_heap")
+                val resetB = if (hasReset) inst.bind("reset_heap") else null
                 val colsArr = cols.toArray
                 val nArgs = colsArr.length
                 val out = new Array[Any](rows)
@@ -241,8 +246,7 @@ object WasmUdf {
                     i += 1
                   }
                   if (!anyNull) {
-                    if (needsHeap && inst.hasExport("reset_heap"))
-                      inst.invoke("reset_heap", Array.empty)
+                    if (hasReset) inst.invokeBound(resetB, Array.empty)
                     marshal(inst,
                       scala.collection.immutable.ArraySeq.unsafeWrapArray(args), slots)
                     val v = inst.invokeBound(bound, slots)

@@ -342,8 +342,10 @@ class WasmSpec extends AnyFunSuite {
       Array.fill(depth)(0x0B.toByte)
     val b = new WasmBuilder
     b.func(Seq.empty, Seq.empty, Seq.empty, body, exportAs = Some("deep"))
+    // block budget = 4 x maxCallDepth (separate from the call counter, so
+    // deep-but-legal recursion keeps its full depth allowance)
     val inst = new WasmInstance(WasmModule.decode(b.build()),
-      WasmConfig(maxCallDepth = 100))
+      WasmConfig(maxCallDepth = 40))
     val t = intercept[WasmTrap] { inst.invoke("deep", Array.empty) }
     assert(t.getMessage.contains("nesting"))
   }

@@ -41,7 +41,8 @@
 
 const net = require("net");
 
-const PROTOCOL_VERSION = 2;
+// v3: int64 rides the JSON frame as decimal strings (BigInt-exact)
+const PROTOCOL_VERSION = 3;
 
 // ---------------------------------------------------------------------------
 // Registry (signature grammar mirrors graft.sig.Signature)
@@ -180,17 +181,20 @@ function* rowsOf(body) {
   for (let i = 0; i < (n || 0); i++) yield cols.map((c) => c[i]);
 }
 
-/** Wire → JS argument coercion by declared type: `bigint` args become real
+/** Wire → JS value coercion by declared type: `bigint` args become real
  * BigInt (the client sends them as decimal strings for exactness); any other
  * numeric arg that arrived as a string becomes a Number. */
+function coerceVal(declared, v) {
+  if (v == null) return v;
+  const t = (declared || "").toLowerCase();
+  if (t === "bigint" || t === "int64") return typeof v === "bigint" ? v : BigInt(v);
+  if (typeof v === "string" && t && t !== "string" && t !== "varchar" && t !== "json")
+    return Number(v);
+  return v;
+}
+
 function coerceArgs(sig, row) {
-  return row.map((v, i) => {
-    const t = (sig.args[i] || "").toLowerCase();
-    if (t === "bigint" || t === "int64") return typeof v === "bigint" ? v : BigInt(v);
-    if (typeof v === "string" && t && t !== "string" && t !== "varchar" && t !== "json")
-      return Number(v);
-    return v;
-  });
+  return row.map((v, i) => coerceVal(sig.args[i], v));
 }
 
 /** Await a function result if it is a Promise (async scalar support). */
@@ -231,16 +235,7 @@ async function handleCall(fname, isTable, body) {
     // column-at-a-time: ONE guest call for the whole request; bigint-typed
     // columns are coerced element-wise before the call
     const n = body.n || 0;
-    const cols = body.cols.map((c, i) =>
-      c.map((v) => {
-        if (v == null) return null;
-        const t = (fd.sig.args[i] || "").toLowerCase();
-        if (t === "bigint" || t === "int64") return typeof v === "bigint" ? v : BigInt(v);
-        if (typeof v === "string" && t && t !== "string" && t !== "varchar" && t !== "json")
-          return Number(v);
-        return v;
-      })
-    );
+    const cols = body.cols.map((c, i) => c.map((v) => coerceVal(fd.sig.args[i], v)));
     try {
       const out = await resolved(fd.fn(...cols));
       if (!Array.isArray(out) || out.length !== n)
@@ -395,7 +390,9 @@ function serve(sock) {
         try {
           body = JSON.parse(line);
         } catch (e) {
-          sock.write(`ERR bad json body: ${e.message}\n`);
+          // through the chain too — a synchronous ERR would overtake an
+          // in-flight async response and desync the lockstep framing
+          enqueue(() => sock.write(`ERR bad json body: ${e.message}\n`));
           continue;
         }
         enqueue(() => respond(fname, verbLine, body));
@@ -406,23 +403,27 @@ function serve(sock) {
       const verb = sp < 0 ? line : line.slice(0, sp);
       const arg = sp < 0 ? "" : line.slice(sp + 1).trim();
       if (verb === "VERSION") {
-        sock.write(`OK\n${PROTOCOL_VERSION}\n\n`);
+        enqueue(() => sock.write(`OK\n${PROTOCOL_VERSION}\n\n`));
       } else if (verb === "LIST") {
-        sock.write("OK\n");
-        const sigs = [];
-        for (const m of [SCALARS, TABLES, AGGS])
-          for (const { sig } of m.values()) sigs.push(sig.render());
-        sigs.sort();
-        for (const s of sigs) sock.write(s + "\n");
-        sock.write("\n");
+        enqueue(() => {
+          sock.write("OK\n");
+          const sigs = [];
+          for (const m of [SCALARS, TABLES, AGGS])
+            for (const { sig } of m.values()) sigs.push(sig.render());
+          sigs.sort();
+          for (const s of sigs) sock.write(s + "\n");
+          sock.write("\n");
+        });
       } else if (verb === "GET") {
-        const hits = [];
-        for (const m of [SCALARS, TABLES, AGGS]) {
-          const fd = m.get(arg.toLowerCase());
-          if (fd) hits.push(fd.sig.render());
-        }
-        if (!hits.length) sock.write(`ERR no function ${arg}\n`);
-        else sock.write("OK\n" + hits.join("\n") + "\n\n");
+        enqueue(() => {
+          const hits = [];
+          for (const m of [SCALARS, TABLES, AGGS]) {
+            const fd = m.get(arg.toLowerCase());
+            if (fd) hits.push(fd.sig.render());
+          }
+          if (!hits.length) sock.write(`ERR no function ${arg}\n`);
+          else sock.write("OK\n" + hits.join("\n") + "\n\n");
+        });
       } else if (verb === "ACCCREATE") {
         enqueue(async () => {
           const out = await handleAgg("ACCCREATE", arg, {});
@@ -432,7 +433,7 @@ function serve(sock) {
       } else if (BODY_VERBS.has(verb)) {
         pendingCmd = [line, arg]; // body arrives as the next JSON line
       } else {
-        sock.write(`ERR bad command ${line}\n`);
+        enqueue(() => sock.write(`ERR bad command ${line}\n`));
       }
     }
   });

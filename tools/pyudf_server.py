@@ -41,7 +41,7 @@ import threading
 
 import pyarrow as pa
 
-PROTOCOL_VERSION = 2
+PROTOCOL_VERSION = 3  # lockstep with RemoteProtocol.Version (one deployable unit)
 EXT_KEY = b"ARROW:extension:name"
 
 # ---------------------------------------------------------------------------
