@@ -158,8 +158,10 @@ object Streaming {
     * or before it; `left_t = -1`, `v = NaN` when no left preceded it. */
   case class AsofJoined(key: Long, t_ms: Long, q: Long, left_t: Long, v: Double)
   /** Per-key buffers: lefts = (t, v) candidates, rights = (t, q) pending
-    * emission until the watermark passes their timestamp. */
-  case class AsofJState(lefts: Vector[(Long, Double)], rights: Vector[(Long, Long)])
+    * emission until the watermark passes their timestamp; `lastSeen` = max
+    * event time received, the idle-GC clock. */
+  case class AsofJState(lefts: Vector[(Long, Double)], rights: Vector[(Long, Long)],
+                        lastSeen: Long = Long.MinValue)
 
   /**
    * Stream-stream AS-OF join: each right row is matched to the LATEST left
@@ -210,8 +212,10 @@ object Streaming {
         (key: Long, rows: Iterator[AsofEnv], state: GroupState[AsofJState]) =>
           var s = state.getOption.getOrElse(AsofJState(Vector.empty, Vector.empty))
           rows.foreach { e =>
-            s = if (e.left) s.copy(lefts = s.lefts :+ (e.t_ms, e.v))
-                else s.copy(rights = s.rights :+ (e.t_ms, e.q))
+            s = if (e.left) s.copy(lefts = s.lefts :+ (e.t_ms, e.v),
+                                   lastSeen = math.max(s.lastSeen, e.t_ms))
+                else s.copy(rights = s.rights :+ (e.t_ms, e.q),
+                            lastSeen = math.max(s.lastSeen, e.t_ms))
           }
           val wm = state.getCurrentWatermarkMs()
           val lefts = s.lefts.sortBy(_._1)
@@ -235,10 +239,13 @@ object Streaming {
             }
             math.max(best, 0)
           }
-          s = AsofJState(lefts.drop(cutIdx), pending)
-          // a timeout with nothing pending and no new data is the idle-GC
-          // signal: drop the key's state entirely
-          val idleGc = state.hasTimedOut && pending.isEmpty
+          s = AsofJState(lefts.drop(cutIdx), pending, s.lastSeen)
+          // idle GC: a timeout that did NOT just flush rights, for a key
+          // whose last event is beyond the retention horizon — NOT any
+          // timeout that merely drained pending (the lefts buffer must
+          // survive those for later rights)
+          val idleGc = state.hasTimedOut && pending.isEmpty && ready.isEmpty &&
+            wm >= s.lastSeen + idleRetentionMs
           if (idleGc || (s.lefts.isEmpty && s.rights.isEmpty)) state.remove()
           else {
             state.update(s)
@@ -246,7 +253,7 @@ object Streaming {
             // watermark allows; lefts-only keys get the idle-GC horizon
             state.setTimeoutTimestamp(
               if (pending.nonEmpty) math.max(pending.map(_._1).min + 1, wm + 1)
-              else math.max(s.lefts.map(_._1).max + idleRetentionMs, wm + 1))
+              else math.max(s.lastSeen + idleRetentionMs, wm + 1))
           }
           out.iterator
       }

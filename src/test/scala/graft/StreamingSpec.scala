@@ -222,6 +222,56 @@ class StreamingSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("batch ≡ stream: asofJoin agrees with the native batch as-of exec") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // deterministic quotes/trades; strictly distinct times sidestep
+    // tiebreak-order differences between the two implementations
+    val quotes = (0 until 300).map(i => (i % 5L, 1000000L + i * 997L, i * 1.0))
+    val trades = (0 until 200).map(i => (i % 5L, 1000500L + i * 1009L, i.toLong))
+    // batch expectation: AsofJoinNative enriches each trade with the latest
+    // quote at or before it (same key)
+    val qdf = quotes.toDF("key", "t_ms", "v").selectExpr(
+      "key AS qkey", "t_ms AS qt", "v")
+    val tdf = trades.toDF("key", "t_ms", "q")
+    val batch = graft.plans.AsofJoinNative.asof(tdf, qdf,
+        "key", "qkey", "t_ms", "qt", "qt", Seq("qt", "v"))
+      .selectExpr("key", "t_ms", "q", "qt", "v").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)) ->
+        (if (r.isNullAt(3)) -1L else r.getLong(3),
+         if (r.isNullAt(4)) Double.NaN else r.getDouble(4))).toMap
+    // stream: same rows through MemoryStreams in interleaved chunks
+    val qs = MemoryStream[(Long, Long, Double)]
+    val ts = MemoryStream[(Long, Long, Long)]
+    def env(df: org.apache.spark.sql.DataFrame, vcol: String) = df
+      .selectExpr("_1 AS key", "_2 AS t_ms", s"_3 AS $vcol",
+        "timestamp_millis(_2) AS ts")
+      .withWatermark("ts", "1 second")
+    val out = graft.streaming.Streaming.asofJoin(env(qs.toDF(), "v"), env(ts.toDF(), "q"))
+    val query = out.writeStream.format("memory").queryName("asof_parity")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      (quotes.grouped(120).toSeq zip trades.grouped(80).toSeq).foreach { case (qc, tc) =>
+        qs.addData(qc); ts.addData(tc); query.processAllAvailable()
+      }
+      // push the watermark far past every trade, twice (wm advances a batch late)
+      qs.addData((99L, 9000000L, 0.0)); ts.addData((99L, 9000000L, 0L))
+      query.processAllAvailable()
+      qs.addData((99L, 9900000L, 0.0)); ts.addData((99L, 9900000L, 0L))
+      query.processAllAvailable()
+      val stream = spark.sql("SELECT key, t_ms, q, left_t, v FROM asof_parity WHERE key < 90")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)) ->
+          (r.getLong(3), r.getDouble(4))).toMap
+      assert(stream.size == trades.size, s"stream emitted ${stream.size}/${trades.size}")
+      stream.foreach { case (k, (lt, v)) =>
+        val (blt, bv) = batch(k)
+        assert(lt == blt && (v == bv || (v.isNaN && bv.isNaN)),
+          s"$k: stream ($lt,$v) vs batch ($blt,$bv)")
+      }
+    } finally query.stop()
+  }
+
   test("retracting aggregate over CDC stream revises results") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
