@@ -113,7 +113,8 @@ final class WasmModule(
     val exports: Array[Export],
     val data: Array[DataSeg],
     val tableSize: Int = 0,               // funcref table entries; 0 = no table
-    val elems: Array[ElemSeg] = Array.empty) extends Serializable {
+    val elems: Array[ElemSeg] = Array.empty,
+    val startIdx: Option[Int] = None) extends Serializable {
 
   /** funcref table resolved once per module: -1 = uninitialized element.
     * MVP tables are immutable after element-segment init, so instances
@@ -166,6 +167,7 @@ object WasmModule {
     val importStubs = ArrayBuffer.empty[FuncDef] // imported funcs → trapping stubs
     var tableSize = 0
     val elems = ArrayBuffer.empty[ElemSeg]
+    var startIdx: Option[Int] = None
 
     while (r.hasMore) {
       val secId = r.byte()
@@ -227,7 +229,7 @@ object WasmModule {
             val kind = r.byte().toInt
             exports += Export(name, kind, r.lebU32())
           }
-        case 8 => throw new WasmTrap("start section unsupported")
+        case 8 => startIdx = Some(r.lebU32()) // run at instantiation
         case 9 => // element segments: active, table 0, func-index vectors
           for (_ <- 0 until r.lebU32()) {
             val flags = r.lebU32()
@@ -281,8 +283,14 @@ object WasmModule {
     funcs.foreach { f =>
       if (f.typeIdx < 0 || f.typeIdx >= types.length) throw new WasmTrap("bad type index")
     }
+    startIdx.foreach { si =>
+      if (si < 0 || si >= funcs.length) throw new WasmTrap("bad start function index")
+      val ft = types(funcs(si).typeIdx)
+      if (ft.params.nonEmpty || ft.results.nonEmpty)
+        throw new WasmTrap("start function must be [] -> []")
+    }
     new WasmModule(types, funcs, memMin, memMax, globals.toArray, exports.toArray,
-      data.toArray, tableSize, elems.toArray)
+      data.toArray, tableSize, elems.toArray, startIdx)
   }
 
   private def valType(b: Byte): Byte = b match {

@@ -24,6 +24,7 @@ final class WasmBuilder {
   private val imports = ArrayBuffer.empty[(String, String, Int)]       // (module, name, type)
   private val elems = ArrayBuffer.empty[(Int, Seq[Int])]               // (offset, func idxs)
   private var tableMin: Option[Int] = None
+  private var startIdx: Option[Int] = None
   private var memLimits: Option[(Int, Option[Int])] = None
 
   /** Intern a function type; exposed so `call_indirect` bodies can name the
@@ -53,6 +54,9 @@ final class WasmBuilder {
 
   /** Declare the funcref table (for `call_indirect`). */
   def table(min: Int): Unit = tableMin = Some(min)
+
+  /** Declare the start function (runs once at instantiation). */
+  def start(funcIdx: Int): Unit = startIdx = Some(funcIdx)
 
   /** Active element segment: seed `table[offset..]` with function indices. */
   def elem(offset: Int, funcIdxs: Seq[Int]): Unit = elems += ((offset, funcIdxs))
@@ -169,6 +173,10 @@ final class WasmBuilder {
         b += kind.toByte; b ++= lebU(idx)
       }
       section(7, b)
+    }
+    startIdx.foreach { si =>
+      val b = ArrayBuffer.empty[Byte] ++= lebU(si)
+      section(8, b)
     }
     if (elems.nonEmpty) {
       val b = ArrayBuffer.empty[Byte] ++= lebU(elems.length)

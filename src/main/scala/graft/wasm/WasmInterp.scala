@@ -58,6 +58,11 @@ final class WasmInstance(val module: WasmModule, val config: WasmConfig) {
   private var stack = new Array[Long](256)
   private var sp = 0
 
+  // the start function (LLVM ctor shape) runs once at instantiation — after
+  // every field above initializes — under the SAME fuel/depth containment as
+  // any call: a hostile ctor traps here and the instance is never handed out
+  module.startIdx.foreach(si => invokeBound(new Bound(si, 0, false), Array.empty))
+
   private def push(v: Long): Unit = {
     if (sp == stack.length) stack = java.util.Arrays.copyOf(stack, stack.length * 2)
     stack(sp) = v; sp += 1

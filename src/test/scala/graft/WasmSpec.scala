@@ -462,6 +462,27 @@ class WasmSpec extends AnyFunSuite {
     assert(inst.invoke("sat64", Array(f(Double.NegativeInfinity))) == Long.MinValue)
   }
 
+  test("start function runs at instantiation under full containment") {
+    val b = new WasmBuilder
+    b.memory(1, Some(4))
+    // ctor writes a magic value; peek reads it back
+    val ctor = b.func(Seq.empty, Seq.empty, Seq.empty, concat(
+      i32Const(8), i64Const(0xC0FFEEL), i64Store()))
+    b.func(Seq.empty, Seq(i64), Seq.empty, concat(i32Const(8), i64Load()),
+      exportAs = Some("peek"))
+    b.start(ctor)
+    val inst = new WasmInstance(WasmModule.decode(b.build()), WasmConfig())
+    assert(inst.invoke("peek", Array.empty) == 0xC0FFEEL)
+    // hostile ctor: infinite loop traps at INSTANTIATION under the fuel cap
+    val evil = new WasmBuilder
+    evil.memory(1, Some(4))
+    val spin = evil.func(Seq.empty, Seq.empty, Seq.empty, loop(br(0)))
+    evil.start(spin)
+    val m = WasmModule.decode(evil.build())
+    assert(intercept[WasmTrap] {
+      new WasmInstance(m, WasmConfig(fuel = 100000)) }.getMessage.contains("fuel"))
+  }
+
   test("function imports load as stubs: module runs until an import is reached") {
     val b = new WasmBuilder
     // the wasip1 shape: an fd_write import the numeric kernel never calls
