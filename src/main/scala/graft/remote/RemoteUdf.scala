@@ -336,11 +336,24 @@ object RemoteProtocol {
 /** @param authToken when set, every connection must open with
   *   `AUTH <token>` before any other verb — the flag-gated shared-secret
   *   analogue of the reference Java server's Flight auth middleware hook
-  *   (off by default: loopback worker processes are spawned-trusted). */
-class UdfServer(port: Int = 0, authToken: Option[String] = None) extends AutoCloseable {
+  *   (off by default: loopback worker processes are spawned-trusted).
+  * @param tls when set, the listener speaks MUTUAL TLS: the server presents
+  *   its certificate AND requires a client certificate signed into its trust
+  *   store (the reference's Flight-over-gRPC channel-security analogue,
+  *   JDK-native). Build contexts with [[Tls.context]]. Composable with
+  *   `authToken` (TLS authenticates the channel, the token the caller). */
+class UdfServer(port: Int = 0, authToken: Option[String] = None,
+                tls: Option[javax.net.ssl.SSLContext] = None) extends AutoCloseable {
   import RemoteProtocol._
 
-  private val server = new ServerSocket()
+  private val server = tls match {
+    case Some(ctx) =>
+      val s = ctx.getServerSocketFactory.createServerSocket()
+        .asInstanceOf[javax.net.ssl.SSLServerSocket]
+      s.setNeedClientAuth(true) // mutual: no client cert → handshake refused
+      s
+    case None => new ServerSocket()
+  }
   server.setReuseAddress(true) // restart on the same port despite TIME_WAIT
   server.bind(new InetSocketAddress("127.0.0.1", port))
   @volatile private var running = true
@@ -756,7 +769,8 @@ class UdfServer(port: Int = 0, authToken: Option[String] = None) extends AutoClo
   * the server refuses every other verb until it succeeds. */
 class UdfClient(host: String, port: Int, timeoutMs: Int = 120000,
                 authToken: Option[String] = None,
-                maxRetries: Int = 1) extends AutoCloseable {
+                maxRetries: Int = 1,
+                tls: Option[javax.net.ssl.SSLContext] = None) extends AutoCloseable {
   import RemoteProtocol._
 
   private var sock: Socket = _
@@ -766,7 +780,10 @@ class UdfClient(host: String, port: Int, timeoutMs: Int = 120000,
   connect()
 
   private def connect(): Unit = {
-    sock = new Socket(host, port)
+    sock = tls match {
+      case Some(ctx) => ctx.getSocketFactory.createSocket(host, port)
+      case None => new Socket(host, port)
+    }
     sock.setTcpNoDelay(true) // latency-bound write-write-read exchange; see UdfServer
     sock.setSoTimeout(timeoutMs)
     out = new DataOutputStream(new BufferedOutputStream(sock.getOutputStream))

@@ -1,0 +1,50 @@
+package graft.remote
+
+import java.io.FileInputStream
+import java.security.KeyStore
+import javax.net.ssl.{KeyManagerFactory, SSLContext, TrustManagerFactory}
+
+/**
+ * Mutual-TLS plumbing for the remote UDF wire — the JDK-native analogue of
+ * the reference's Flight-over-gRPC channel security. A side builds its
+ * [[SSLContext]] from two PKCS12 stores: its OWN key pair (identity) and the
+ * peer certificates it trusts. [[UdfServer]] additionally requires a client
+ * certificate (`setNeedClientAuth`), so both directions are authenticated
+ * before the first protocol byte; the AUTH token verb composes on top for
+ * caller-level identity.
+ *
+ * Certificates are ordinary PKCS12 keystores (e.g. from `keytool
+ * -genkeypair` + `-exportcert`/`-importcert`); nothing here is
+ * deployment-specific.
+ */
+object Tls {
+
+  def loadKeyStore(path: String, password: Array[Char]): KeyStore = {
+    val ks = KeyStore.getInstance("PKCS12")
+    val in = new FileInputStream(path)
+    try ks.load(in, password) finally in.close()
+    ks
+  }
+
+  /** Context presenting `identity` and trusting exactly `trusted`. */
+  def context(identity: KeyStore, identityPassword: Array[Char],
+              trusted: KeyStore): SSLContext = {
+    val kmf = KeyManagerFactory.getInstance(KeyManagerFactory.getDefaultAlgorithm)
+    kmf.init(identity, identityPassword)
+    val tmf = TrustManagerFactory.getInstance(TrustManagerFactory.getDefaultAlgorithm)
+    tmf.init(trusted)
+    val ctx = SSLContext.getInstance("TLSv1.3")
+    ctx.init(kmf.getKeyManagers, tmf.getTrustManagers, null)
+    ctx
+  }
+
+  /** Trust-only context (no client certificate) — useful to PROVE the
+    * server's mutual requirement rejects certificate-less clients. */
+  def trustOnlyContext(trusted: KeyStore): SSLContext = {
+    val tmf = TrustManagerFactory.getInstance(TrustManagerFactory.getDefaultAlgorithm)
+    tmf.init(trusted)
+    val ctx = SSLContext.getInstance("TLSv1.3")
+    ctx.init(null, tmf.getTrustManagers, null)
+    ctx
+  }
+}

@@ -22,6 +22,65 @@ class RemoteUdfSpec extends AnyFunSuite {
     } finally server.close()
   }
 
+  test("mutual TLS: both sides authenticate; certificate-less clients are refused") {
+    graft.functions.Builtins.ensureRegistered()
+    val dir = java.nio.file.Files.createTempDirectory("graft_tls").toString
+    val pw = "changeit"
+    def keytool(args: String*): Unit = {
+      val cmd = Seq("keytool") ++ args
+      val p = new ProcessBuilder(cmd: _*).redirectErrorStream(true).start()
+      val out = new String(p.getInputStream.readAllBytes())
+      assert(p.waitFor() == 0, s"keytool failed: $out")
+    }
+    for (side <- Seq("server", "client")) {
+      keytool("-genkeypair", "-alias", side, "-keyalg", "RSA", "-keysize", "2048",
+        "-validity", "2", "-storepass", pw, "-keystore", s"$dir/$side.p12",
+        "-storetype", "PKCS12", "-dname", "CN=127.0.0.1")
+      keytool("-exportcert", "-alias", side, "-keystore", s"$dir/$side.p12",
+        "-storepass", pw, "-file", s"$dir/$side.crt")
+      keytool("-importcert", "-noprompt", "-alias", side, "-file", s"$dir/$side.crt",
+        "-keystore", s"$dir/trust-$side.p12", "-storepass", pw, "-storetype", "PKCS12")
+    }
+    import graft.remote.Tls
+    val pwc = pw.toCharArray
+    val serverCtx = Tls.context(Tls.loadKeyStore(s"$dir/server.p12", pwc), pwc,
+      Tls.loadKeyStore(s"$dir/trust-client.p12", pwc))
+    val clientCtx = Tls.context(Tls.loadKeyStore(s"$dir/client.p12", pwc), pwc,
+      Tls.loadKeyStore(s"$dir/trust-server.p12", pwc))
+    val server = new UdfServer(tls = Some(serverCtx))
+    try {
+      // full mTLS round trip over the same protocol
+      val client = new UdfClient("127.0.0.1", server.boundPort, tls = Some(clientCtx))
+      try assert(client.call("add", Seq(IntegerType, IntegerType),
+        Seq(Seq(20, 22))) == Seq(42))
+      finally client.close()
+      // a client WITHOUT a certificate fails the mutual handshake
+      val anonCtx = Tls.trustOnlyContext(Tls.loadKeyStore(s"$dir/trust-server.p12", pwc))
+      intercept[Exception] {
+        val c = new UdfClient("127.0.0.1", server.boundPort, maxRetries = 0,
+          tls = Some(anonCtx))
+        try c.call("add", Seq(IntegerType, IntegerType), Seq(Seq(1, 2)))
+        finally c.close()
+      }
+      // a client trusting the WRONG certificate refuses the server
+      val wrongTrust = Tls.context(Tls.loadKeyStore(s"$dir/client.p12", pwc), pwc,
+        Tls.loadKeyStore(s"$dir/trust-client.p12", pwc))
+      intercept[Exception] {
+        val c = new UdfClient("127.0.0.1", server.boundPort, maxRetries = 0,
+          tls = Some(wrongTrust))
+        try c.call("add", Seq(IntegerType, IntegerType), Seq(Seq(1, 2)))
+        finally c.close()
+      }
+      // the plain-TCP path is untouched by the TLS option existing
+      val plain = new UdfServer()
+      try {
+        val c = new UdfClient("127.0.0.1", plain.boundPort)
+        try assert(c.call("add", Seq(IntegerType, IntegerType), Seq(Seq(1, 2))) == Seq(3))
+        finally c.close()
+      } finally plain.close()
+    } finally server.close()
+  }
+
   test("guest-SPI functions served over the wire run the BATCHED dispatch") {
     graft.functions.Builtins.ensureRegistered()
     // both are in the BatchEval registry — the server's per-batch path
