@@ -19,6 +19,18 @@ object Bench {
     dir
   }
 
+  /** 1M-row 64-dim float corpus for the ANN scale probes; written once. */
+  private def annBenchParquet(s: SparkSession): String = {
+    val dir = "/tmp/graft_bench_ann1m"
+    if (!new java.io.File(dir, "_SUCCESS").isFile)
+      s.range(1000000L).selectExpr("id AS vec_id",
+        // deterministic pseudo-random floats in [-1, 1)
+        """transform(sequence(0, 63), i ->
+          |  CAST((hash(id * 64 + i) % 10007) / 10007.0 AS FLOAT)) AS embedding""".stripMargin)
+        .write.mode("overwrite").parquet(dir)
+    dir
+  }
+
   /** Session with GraftExtensions applied (GraftColumnarRule runs only in
     * extensions sessions); shares the SparkContext with the main session.
     * Lazy so plain runs never pay for it; restores the default session. */
@@ -135,6 +147,32 @@ object Bench {
           .selectExpr("CAST(id % 1000003 AS INT) AS a", "CAST(id % 999983 AS INT) AS b")
         graft.remote.RemoteUdf.withRemoteColumn(df, "127.0.0.1", port, "gcd",
             Seq("a", "b"), org.apache.spark.sql.types.IntegerType)
+          .write.format("noop").mode("overwrite").save()
+      },
+      // ANN at 1M vectors: exact brute-force vs the int8-quantized corpus
+      // (a quarter of the scan bytes — the 100 TB lever q_quantized_topk
+      // verifies for correctness at small SF).
+      "x_ann_brute_1m" -> { s: SparkSession =>
+        Graft.install(s)
+        val corpus = s.read.parquet(annBenchParquet(s))
+        val queries = corpus.where("vec_id < 5")
+          .selectExpr("vec_id AS q_id", "embedding AS q_embedding")
+        graft.ops.Similarity.bruteForceTopK(corpus, queries, 10)
+          .write.format("noop").mode("overwrite").save()
+      },
+      "x_ann_quantized_1m" -> { s: SparkSession =>
+        Graft.install(s)
+        // codes are quantized ONCE at ingest and stored (that is the point
+        // of the compressed corpus); the probe measures SEARCH over the
+        // stored codes, not per-query re-quantization
+        val qdir = "/tmp/graft_bench_ann1m_q"
+        if (!new java.io.File(qdir, "_SUCCESS").isFile)
+          graft.ops.Similarity.quantizeInt8(s.read.parquet(annBenchParquet(s)))
+            .select("vec_id", "codes", "q_scale")
+            .write.mode("overwrite").parquet(qdir)
+        val queries = s.read.parquet(annBenchParquet(s)).where("vec_id < 5")
+          .selectExpr("vec_id AS q_id", "embedding AS q_embedding")
+        graft.ops.Similarity.quantizedTopK(s.read.parquet(qdir), queries, 10)
           .write.format("noop").mode("overwrite").save()
       },
       // Guest-SPI function over the wire: served through BatchEval /

@@ -1337,9 +1337,9 @@ object SparkEntry {
          |        embedding
          |      FROM embeddings),
          |d AS (SELECT vec_id,
-         |        [CAST(CAST(GREATEST(-127, LEAST(127,
+         |        [CAST(GREATEST(-127, LEAST(127,
          |           ROUND(CAST(embedding[i] AS DOUBLE) / CAST(q_scale AS DOUBLE)))) AS INT)
-         |           AS FLOAT) * q_scale for i in range(1, 65)] AS de
+         |         for i in range(1, 65)] AS de
          |      FROM z),
          |s AS (SELECT q.q_id, d.vec_id, ${duckCos("d.de", "q.qe")} AS sim
          |      FROM q, d),

@@ -327,18 +327,29 @@ case class Fnv64Expr(child: Expression) extends UnaryExpression {
 }
 
 /** Native codegen'd double-precision cosine over float[] columns — primitive
-  * `ArrayData` access, no boxing (hot path of the similarity operators). */
+  * `ArrayData` access, no boxing (hot path of the similarity operators).
+  * An `array<int>` left side (quantized codes) dispatches to the int/float
+  * kernel: the quantization scale cancels in cosine, so int8 codes score
+  * against float queries directly. */
 case class CosineSimExpr(left: Expression, right: Expression) extends BinaryExpression {
   override def dataType: DataType = DoubleType
   override def prettyName: String = "cosine_sim"
-  override protected def nullSafeEval(a: Any, b: Any): Any =
-    Kernels.cosineSim(a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
-      b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+  private def intLeft: Boolean = left.dataType match {
+    case org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.IntegerType, _) => true
+    case _ => false
+  }
+  private def kernelName: String = if (intLeft) "cosineSimIF" else "cosineSim"
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val aa = a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val bb = b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    if (intLeft) Kernels.cosineSimIF(aa, bb) else Kernels.cosineSim(aa, bb)
+  }
   override protected def doGenCode(
       ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
       ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
       : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
-    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.Kernels.cosineSim($a, $b)")
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.Kernels.$kernelName($a, $b)")
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)

@@ -55,6 +55,23 @@ object Kernels {
     if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
+  /** Cosine with an int32 left side — the quantized-ANN hot path: int8
+    * codes score directly against float queries (the per-vector scale
+    * cancels in cosine), no dequantized array ever materializes. */
+  def cosineSimIF(a: org.apache.spark.sql.catalyst.util.ArrayData,
+                  b: org.apache.spark.sql.catalyst.util.ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a.getInt(i).toDouble
+      val y = b.getFloat(i).toDouble
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
   /** Whitespace token count straight off the UTF-8 bytes — exact match for
     * `split("\\s+").filter(_.nonEmpty).length` semantics (Java regex `\s` is
     * ASCII-only, and ASCII bytes never collide with UTF-8 continuation

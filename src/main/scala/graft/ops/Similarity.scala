@@ -34,6 +34,10 @@ object Similarity {
     graft.functions.Udf.native("cosine_sim(float[], float[]) -> double") { children =>
       graft.functions.CosineSimExpr(children(0), children(1))
     }
+    // quantized overload: int8 codes against float queries (scale cancels)
+    graft.functions.Udf.native("cosine_sim(int[], float[]) -> double") { children =>
+      graft.functions.CosineSimExpr(children(0), children(1))
+    }
 
     Udf.scalar2[Seq[Float], Seq[Float], Double]("dot_product(float[], float[]) -> double") {
       (a, b) =>
@@ -137,14 +141,18 @@ object Similarity {
            |  CAST(GREATEST(-127, LEAST(127,
            |    ROUND(CAST(x AS DOUBLE) / CAST(q_scale AS DOUBLE)))) AS INT))""".stripMargin))
 
-  /** Top-k over the QUANTIZED corpus: cosine on dequantized vectors
-    * (`codes[i] * scale`, float) against float queries — the asymmetric-
-    * distance search shape. Same broadcast + bounded-heap topology as
-    * [[bruteForceTopK]]; the corpus side scans codes+scale only. */
+  /** Top-k over the QUANTIZED corpus — the asymmetric-distance search
+    * shape. The per-vector scale CANCELS in cosine (`cos(s·c, q) =
+    * cos(c, q)` for s > 0), so the int8 codes score DIRECTLY against float
+    * queries through the `cosine_sim(int[], float[])` overload — no
+    * dequantized array ever materializes (a dequantizing transform was
+    * re-evaluated per (row, query) pair and cost more than the byte
+    * savings). Same broadcast + bounded-heap topology as
+    * [[bruteForceTopK]]; the corpus side scans codes only; the scale column
+    * exists for metrics where it does not cancel (L2, dot). */
   def quantizedTopK(quantized: DataFrame, queries: DataFrame, k: Int): DataFrame = {
     val scored = quantized.crossJoin(broadcast(queries))
-      .withColumn("sim", expr(
-        "cosine_sim(transform(codes, c -> CAST(c AS FLOAT) * q_scale), q_embedding)"))
+      .withColumn("sim", expr("cosine_sim(codes, q_embedding)"))
       .select(col("q_id"), col("vec_id"), col("sim"))
     topKRank(scored, k)
   }
