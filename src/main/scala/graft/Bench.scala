@@ -166,7 +166,12 @@ object Bench {
         // of the compressed corpus); the probe measures SEARCH over the
         // stored codes, not per-query re-quantization
         val qdir = "/tmp/graft_bench_ann1m_q"
-        if (!new java.io.File(qdir, "_SUCCESS").isFile)
+        // regenerate when missing OR older than the base corpus — stale
+        // codes against a regenerated corpus would silently compare
+        // different datasets across the two probes
+        val baseMarker = new java.io.File(annBenchParquet(s), "_SUCCESS")
+        val qMarker = new java.io.File(qdir, "_SUCCESS")
+        if (!qMarker.isFile || qMarker.lastModified < baseMarker.lastModified)
           graft.ops.Similarity.quantizeInt8(s.read.parquet(annBenchParquet(s)))
             .select("vec_id", "codes", "q_scale")
             .write.mode("overwrite").parquet(qdir)

@@ -1337,8 +1337,9 @@ object SparkEntry {
          |        embedding
          |      FROM embeddings),
          |d AS (SELECT vec_id,
-         |        [CAST(GREATEST(-127, LEAST(127,
-         |           ROUND(CAST(embedding[i] AS DOUBLE) / CAST(q_scale AS DOUBLE)))) AS INT)
+         |        [CASE WHEN q_scale = CAST(0 AS FLOAT) THEN 0
+         |              ELSE CAST(GREATEST(-127, LEAST(127,
+         |                ROUND(CAST(embedding[i] AS DOUBLE) / CAST(q_scale AS DOUBLE)))) AS INT) END
          |         for i in range(1, 65)] AS de
          |      FROM z),
          |s AS (SELECT q.q_id, d.vec_id, ${duckCos("d.de", "q.qe")} AS sim

@@ -334,7 +334,9 @@ case class Fnv64Expr(child: Expression) extends UnaryExpression {
 case class CosineSimExpr(left: Expression, right: Expression) extends BinaryExpression {
   override def dataType: DataType = DoubleType
   override def prettyName: String = "cosine_sim"
-  private def intLeft: Boolean = left.dataType match {
+  // computed once per expression instance — nullSafeEval is the per-row
+  // interpreted path, no dataType match belongs there
+  @transient private lazy val intLeft: Boolean = left.dataType match {
     case org.apache.spark.sql.types.ArrayType(
       org.apache.spark.sql.types.IntegerType, _) => true
     case _ => false

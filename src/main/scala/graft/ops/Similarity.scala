@@ -136,10 +136,14 @@ object Similarity {
     corpus
       .withColumn("q_scale", expr(
         s"CAST(CAST(array_max(transform($embCol, x -> abs(x))) AS DOUBLE) / 127.0 AS FLOAT)"))
+      // scale 0 (all-zero vector) quantizes to all-zero codes — 0/0 would be
+      // NaN, which LEAST/GREATEST would clamp to 127 and the scale-cancelled
+      // cosine would then score as a real direction instead of sim = 0
       .withColumn("codes", expr(
         s"""transform($embCol, x ->
-           |  CAST(GREATEST(-127, LEAST(127,
-           |    ROUND(CAST(x AS DOUBLE) / CAST(q_scale AS DOUBLE)))) AS INT))""".stripMargin))
+           |  IF(q_scale = CAST(0 AS FLOAT), 0,
+           |     CAST(GREATEST(-127, LEAST(127,
+           |       ROUND(CAST(x AS DOUBLE) / CAST(q_scale AS DOUBLE)))) AS INT)))""".stripMargin))
 
   /** Top-k over the QUANTIZED corpus — the asymmetric-distance search
     * shape. The per-vector scale CANCELS in cosine (`cos(s·c, q) =

@@ -457,6 +457,9 @@ class UdfServer(port: Int = 0, authToken: Option[String] = None,
     } catch {
       case _: java.io.EOFException =>
       case _: java.net.SocketException =>
+      // refused/failed TLS handshakes (certificate-less probe, wrong trust)
+      // are ordinary disconnects, not handler-thread crashes
+      case _: javax.net.ssl.SSLException =>
     } finally {
       allocator.close()
       sock.close()
@@ -781,7 +784,17 @@ class UdfClient(host: String, port: Int, timeoutMs: Int = 120000,
 
   private def connect(): Unit = {
     sock = tls match {
-      case Some(ctx) => ctx.getSocketFactory.createSocket(host, port)
+      case Some(ctx) =>
+        val s = ctx.getSocketFactory.createSocket(host, port)
+          .asInstanceOf[javax.net.ssl.SSLSocket]
+        // endpoint identification: the server cert must actually name this
+        // host (SAN) — without it, ANY cert the trust store chains to would
+        // be accepted for any endpoint, silently weaker than the leaf-pinned
+        // contract Tls.context documents
+        val params = s.getSSLParameters
+        params.setEndpointIdentificationAlgorithm("HTTPS")
+        s.setSSLParameters(params)
+        s
       case None => new Socket(host, port)
     }
     sock.setTcpNoDelay(true) // latency-bound write-write-read exchange; see UdfServer

@@ -38,13 +38,4 @@ object Tls {
     ctx
   }
 
-  /** Trust-only context (no client certificate) — useful to PROVE the
-    * server's mutual requirement rejects certificate-less clients. */
-  def trustOnlyContext(trusted: KeyStore): SSLContext = {
-    val tmf = TrustManagerFactory.getInstance(TrustManagerFactory.getDefaultAlgorithm)
-    tmf.init(trusted)
-    val ctx = SSLContext.getInstance("TLSv1.3")
-    ctx.init(null, tmf.getTrustManagers, null)
-    ctx
-  }
 }

@@ -35,7 +35,10 @@ class RemoteUdfSpec extends AnyFunSuite {
     for (side <- Seq("server", "client")) {
       keytool("-genkeypair", "-alias", side, "-keyalg", "RSA", "-keysize", "2048",
         "-validity", "2", "-storepass", pw, "-keystore", s"$dir/$side.p12",
-        "-storetype", "PKCS12", "-dname", "CN=127.0.0.1")
+        "-storetype", "PKCS12", "-dname", "CN=127.0.0.1",
+        // the client enforces endpoint identification: the server cert must
+        // carry the IP it is dialed on as a SAN
+        "-ext", "SAN=IP:127.0.0.1")
       keytool("-exportcert", "-alias", side, "-keystore", s"$dir/$side.p12",
         "-storepass", pw, "-file", s"$dir/$side.crt")
       keytool("-importcert", "-noprompt", "-alias", side, "-file", s"$dir/$side.crt",
@@ -54,8 +57,16 @@ class RemoteUdfSpec extends AnyFunSuite {
       try assert(client.call("add", Seq(IntegerType, IntegerType),
         Seq(Seq(20, 22))) == Seq(42))
       finally client.close()
-      // a client WITHOUT a certificate fails the mutual handshake
-      val anonCtx = Tls.trustOnlyContext(Tls.loadKeyStore(s"$dir/trust-server.p12", pwc))
+      // a client WITHOUT a certificate (trust-only context) fails the
+      // mutual handshake
+      val anonCtx = {
+        val tmf = javax.net.ssl.TrustManagerFactory.getInstance(
+          javax.net.ssl.TrustManagerFactory.getDefaultAlgorithm)
+        tmf.init(Tls.loadKeyStore(s"$dir/trust-server.p12", pwc))
+        val ctx = javax.net.ssl.SSLContext.getInstance("TLSv1.3")
+        ctx.init(null, tmf.getTrustManagers, null)
+        ctx
+      }
       intercept[Exception] {
         val c = new UdfClient("127.0.0.1", server.boundPort, maxRetries = 0,
           tls = Some(anonCtx))
