@@ -48,9 +48,12 @@ sealed trait Insn
 object Insn {
   case object Unreachable extends Insn
   case object Nop extends Insn
-  final case class Block(arity: Int, body: Array[Insn]) extends Insn
-  final case class Loop(body: Array[Insn]) extends Insn
-  final case class If(arity: Int, thn: Array[Insn], els: Array[Insn]) extends Insn
+  /** Blocks carry (params, results) — type-index block types (the multi-value
+    * proposal, merged into WASM 2.0) let LLVM emit blocks that consume stack
+    * operands and leave several; `params` slots below sp belong to the frame. */
+  final case class Block(params: Int, results: Int, body: Array[Insn]) extends Insn
+  final case class Loop(params: Int, body: Array[Insn]) extends Insn
+  final case class If(params: Int, results: Int, thn: Array[Insn], els: Array[Insn]) extends Insn
   final case class Br(depth: Int) extends Insn
   final case class BrIf(depth: Int) extends Insn
   final case class BrTable(targets: Array[Int], default: Int) extends Insn
@@ -70,6 +73,26 @@ object Insn {
     * memcpy/memset in compiled cdylibs). */
   case object MemCopy extends Insn
   case object MemFill extends Insn
+  /** memory.init / data.drop over PASSIVE data segments — LLVM emits these
+    * under `--passive-segments`; dropping releases the segment. */
+  final case class MemInit(dataIdx: Int) extends Insn
+  final case class DataDrop(dataIdx: Int) extends Insn
+  /** Table mutation family (reference-types + bulk-memory proposals): tables
+    * are per-instance state once any of these appears. Funcref slots are the
+    * function index, -1 = null. */
+  case object TableGet extends Insn
+  case object TableSet extends Insn
+  final case class TableInit(elemIdx: Int) extends Insn
+  final case class ElemDrop(elemIdx: Int) extends Insn
+  case object TableCopy extends Insn
+  case object TableGrow extends Insn
+  case object TableSize extends Insn
+  case object TableFill extends Insn
+  /** ref.null/ref.func/ref.is_null — funcref values on the operand stack
+    * (function-pointer constants; LLVM uses these to seed tables). */
+  case object RefNull extends Insn
+  final case class RefFunc(funcIdx: Int) extends Insn
+  case object RefIsNull extends Insn
   /** Saturating float→int truncations (0xFC 0..7): NaN → 0, out-of-range
     * clamps instead of trapping. */
   final case class NumSat(op: Int) extends Insn
@@ -99,8 +122,13 @@ final case class FuncType(params: Array[Byte], results: Array[Byte]) {
 final case class FuncDef(typeIdx: Int, locals: Array[Byte], body: Array[Insn])
 final case class GlobalDef(valType: Byte, mutable: Boolean, init: Array[Insn])
 final case class Export(name: String, kind: Int, idx: Int)
-final case class DataSeg(offset: Int, bytes: Array[Byte])
-final case class ElemSeg(offset: Int, funcIdxs: Array[Int])
+/** `passive` segments are not copied at instantiation; `memory.init` reads
+  * them until `data.drop`. Active segments have `offset >= 0`. */
+final case class DataSeg(offset: Int, bytes: Array[Byte], passive: Boolean = false)
+/** kind: 0 = active (applied to the table at instantiation), 1 = passive
+  * (`table.init` source), 2 = declared (exists only so `ref.func` validates —
+  * never readable). Null entries are -1. */
+final case class ElemSeg(kind: Int, offset: Int, funcIdxs: Array[Int])
 
 /** A decoded, immutable module — shared across instances (the reference
   * compiles the `Module` once and pools `Instance`s, `wasm/mod.rs:101-134`). */
@@ -112,16 +140,17 @@ final class WasmModule(
     val globals: Array[GlobalDef],
     val exports: Array[Export],
     val data: Array[DataSeg],
-    val tableSize: Int = 0,               // funcref table entries; 0 = no table
+    val tableSize: Int = 0,               // funcref table min entries; 0 = no table
     val elems: Array[ElemSeg] = Array.empty,
-    val startIdx: Option[Int] = None) extends Serializable {
+    val startIdx: Option[Int] = None,
+    val tableMax: Int = Int.MaxValue) extends Serializable {
 
-  /** funcref table resolved once per module: -1 = uninitialized element.
-    * MVP tables are immutable after element-segment init, so instances
-    * share this array. */
+  /** Initial funcref table: -1 = uninitialized element. Instances CLONE this
+    * (tables are mutable via table.set/grow/init since reference-types), so
+    * the resolved active-segment layout is computed once per module. */
   @transient lazy val table: Array[Int] = {
     val t = Array.fill(tableSize)(-1)
-    elems.foreach { seg =>
+    elems.iterator.filter(_.kind == 0).foreach { seg =>
       if (seg.offset < 0 || seg.offset.toLong + seg.funcIdxs.length > t.length)
         throw new WasmTrap("element segment out of table bounds")
       System.arraycopy(seg.funcIdxs, 0, t, seg.offset, seg.funcIdxs.length)
@@ -166,6 +195,7 @@ object WasmModule {
     val data = ArrayBuffer.empty[DataSeg]
     val importStubs = ArrayBuffer.empty[FuncDef] // imported funcs → trapping stubs
     var tableSize = 0
+    var tableMax = Int.MaxValue
     val elems = ArrayBuffer.empty[ElemSeg]
     var startIdx: Option[Int] = None
 
@@ -180,7 +210,6 @@ object WasmModule {
             if (r.byte() != 0x60) throw new WasmTrap("malformed functype")
             val params = Array.fill(r.lebU32())(valType(r.byte()))
             val results = Array.fill(r.lebU32())(valType(r.byte()))
-            if (results.length > 1) throw new WasmTrap("multi-value results unsupported")
             FuncType(params, results)
           }
         case 2 => // imports: FUNCTION imports load as trapping stubs (a real
@@ -207,7 +236,7 @@ object WasmModule {
             if (r.byte() != 0x70) throw new WasmTrap("only funcref tables supported")
             val flags = r.byte()
             tableSize = r.lebU32()
-            if ((flags & 1) != 0) r.lebU32() // max — tables never grow here
+            if ((flags & 1) != 0) tableMax = r.lebU32() // table.grow honors this
           }
         case 5 => // memory
           val n = r.lebU32()
@@ -221,7 +250,7 @@ object WasmModule {
           for (_ <- 0 until r.lebU32()) {
             val vt = valType(r.byte())
             val mut = r.byte() == 1
-            globals += GlobalDef(vt, mut, decodeExpr(r, stopOnElse = false)._1)
+            globals += GlobalDef(vt, mut, decodeExpr(r, stopOnElse = false, types)._1)
           }
         case 7 => // exports
           for (_ <- 0 until r.lebU32()) {
@@ -230,16 +259,53 @@ object WasmModule {
             exports += Export(name, kind, r.lebU32())
           }
         case 8 => startIdx = Some(r.lebU32()) // run at instantiation
-        case 9 => // element segments: active, table 0, func-index vectors
+        case 9 => // element segments: all seven binary flavors (funcref only)
+          def constOffset(): Int = decodeExpr(r, stopOnElse = false, types)._1 match {
+            case Array(Insn.I32Const(v)) => v
+            case _ => throw new WasmTrap("element offset must be a single i32.const")
+          }
+          // expr-style item: a single ref.func / ref.null const expression
+          def exprItem(): Int = decodeExpr(r, stopOnElse = false, types)._1 match {
+            case Array(Insn.RefFunc(i)) => i
+            case Array(Insn.RefNull)    => -1
+            case _ => throw new WasmTrap("unsupported element init expr")
+          }
+          def elemKind(): Unit =
+            if (r.byte() != 0x00) throw new WasmTrap("only funcref element segments supported")
+          def refType(): Unit =
+            if (r.byte() != 0x70) throw new WasmTrap("only funcref element segments supported")
           for (_ <- 0 until r.lebU32()) {
-            val flags = r.lebU32()
-            if (flags != 0) throw new WasmTrap(
-              "only active element segments on table 0 supported")
-            val off = decodeExpr(r, stopOnElse = false)._1 match {
-              case Array(Insn.I32Const(v)) => v
-              case _ => throw new WasmTrap("element offset must be a single i32.const")
+            r.lebU32() match {
+              case 0 => // active, table 0, func indices
+                val off = constOffset()
+                elems += ElemSeg(0, off, Array.fill(r.lebU32())(r.lebU32()))
+              case 1 => // passive, func indices
+                elemKind()
+                elems += ElemSeg(1, -1, Array.fill(r.lebU32())(r.lebU32()))
+              case 2 => // active with explicit table index
+                if (r.lebU32() != 0) throw new WasmTrap("only table 0 supported")
+                val off = constOffset()
+                elemKind()
+                elems += ElemSeg(0, off, Array.fill(r.lebU32())(r.lebU32()))
+              case 3 => // declared (ref.func validation only)
+                elemKind()
+                elems += ElemSeg(2, -1, Array.fill(r.lebU32())(r.lebU32()))
+              case 4 => // active, table 0, init exprs
+                val off = constOffset()
+                elems += ElemSeg(0, off, Array.fill(r.lebU32())(exprItem()))
+              case 5 => // passive, init exprs
+                refType()
+                elems += ElemSeg(1, -1, Array.fill(r.lebU32())(exprItem()))
+              case 6 => // active with table index, init exprs
+                if (r.lebU32() != 0) throw new WasmTrap("only table 0 supported")
+                val off = constOffset()
+                refType()
+                elems += ElemSeg(0, off, Array.fill(r.lebU32())(exprItem()))
+              case 7 => // declared, init exprs
+                refType()
+                elems += ElemSeg(2, -1, Array.fill(r.lebU32())(exprItem()))
+              case other => throw new WasmTrap(s"unsupported element segment flavor $other")
             }
-            elems += ElemSeg(off, Array.fill(r.lebU32())(r.lebU32()))
           }
         case 10 => // code
           bodies = Array.fill(r.lebU32()) {
@@ -252,19 +318,28 @@ object WasmModule {
               val vt = valType(r.byte())
               for (_ <- 0 until count) locals += vt
             }
-            val insns = decodeExpr(r, stopOnElse = false)._1
+            val insns = decodeExpr(r, stopOnElse = false, types)._1
             if (r.pos != bodyEnd) throw new WasmTrap("code body size mismatch")
             (locals.toArray, insns)
           }
-        case 11 => // data
+        case 11 => // data: active (0), passive (1), active + memidx (2)
           for (_ <- 0 until r.lebU32()) {
-            val flags = r.lebU32()
-            if (flags != 0) throw new WasmTrap("only active data segments on memory 0 supported")
-            val off = decodeExpr(r, stopOnElse = false)._1 match {
+            def activeOffset(): Int = decodeExpr(r, stopOnElse = false, types)._1 match {
               case Array(Insn.I32Const(v)) => v
               case _ => throw new WasmTrap("data offset must be a single i32.const")
             }
-            data += DataSeg(off, r.bytes(r.lebU32()))
+            r.lebU32() match {
+              case 0 =>
+                val off = activeOffset()
+                data += DataSeg(off, r.bytes(r.lebU32()))
+              case 1 =>
+                data += DataSeg(-1, r.bytes(r.lebU32()), passive = true)
+              case 2 =>
+                if (r.lebU32() != 0) throw new WasmTrap("only memory 0 supported")
+                val off = activeOffset()
+                data += DataSeg(off, r.bytes(r.lebU32()))
+              case other => throw new WasmTrap(s"unsupported data segment flavor $other")
+            }
           }
         case 12 => r.skipTo(end) // datacount
         case other => throw new WasmTrap(s"unsupported section $other")
@@ -290,20 +365,35 @@ object WasmModule {
         throw new WasmTrap("start function must be [] -> []")
     }
     new WasmModule(types, funcs, memMin, memMax, globals.toArray, exports.toArray,
-      data.toArray, tableSize, elems.toArray, startIdx)
+      data.toArray, tableSize, elems.toArray, startIdx, tableMax)
   }
+
+  final val FuncRef: Byte = 0x70
+  final val ExternRef: Byte = 0x6F
 
   private def valType(b: Byte): Byte = b match {
     case I32 | I64 | F32 | F64 => b
+    case FuncRef | ExternRef => b // reference values ride the Long slot (-1 = null)
     case 0x7B => throw new WasmTrap("v128/SIMD unsupported")
-    case 0x70 | 0x6F => throw new WasmTrap("reference types unsupported")
     case other => throw new WasmTrap(f"unknown value type 0x$other%02x")
   }
 
-  private def blockArity(r: ByteReader): Int = r.byte() match {
-    case 0x40 => 0
-    case I32 | I64 | F32 | F64 => 1
-    case _ => throw new WasmTrap("type-index block types unsupported")
+  /** Block type: the s33 encoding — negative values are shorthand valtypes
+    * (0x40 = empty), non-negative values index the type section (multi-value
+    * blocks with params, which LLVM emits freely since WASM 2.0). */
+  private def blockType(r: ByteReader, types: Array[FuncType]): (Int, Int) = {
+    val v = r.lebS33()
+    if (v >= 0) {
+      if (v >= types.length) throw new WasmTrap("block type index out of range")
+      val ft = types(v.toInt)
+      (ft.params.length, ft.results.length)
+    } else v match {
+      case -64 => (0, 0)                      // 0x40 empty
+      case -1 | -2 | -3 | -4 => (0, 1)        // i32 | i64 | f32 | f64
+      case -16 | -17 => (0, 1)                // funcref | externref
+      case -5 => throw new WasmTrap("v128/SIMD unsupported")
+      case _ => throw new WasmTrap("unknown block type")
+    }
   }
 
   /** Nesting cap for decode-time recursion: a hostile module is 2 bytes per
@@ -314,7 +404,8 @@ object WasmModule {
 
   /** Decode an instruction sequence up to `end` (0x0B) — or, inside an `if`,
     * up to `else` (0x05). Returns (instructions, endedWithElse). */
-  private def decodeExpr(r: ByteReader, stopOnElse: Boolean, depth: Int = 0): (Array[Insn], Boolean) = {
+  private def decodeExpr(r: ByteReader, stopOnElse: Boolean, types: Array[FuncType],
+                         depth: Int = 0): (Array[Insn], Boolean) = {
     import Insn._
     if (depth > MaxDecodeDepth) throw new WasmTrap("block nesting too deep (module rejected)")
     val out = ArrayBuffer.empty[Insn]
@@ -328,16 +419,16 @@ object WasmModule {
         case 0x00 => out += Unreachable
         case 0x01 => out += Nop
         case 0x02 =>
-          val a = blockArity(r)
-          out += Block(a, decodeExpr(r, stopOnElse = false, depth + 1)._1)
+          val (p, res) = blockType(r, types)
+          out += Block(p, res, decodeExpr(r, stopOnElse = false, types, depth + 1)._1)
         case 0x03 =>
-          blockArity(r) // loop label arity (params) is 0 in MVP; result arity unused for br
-          out += Loop(decodeExpr(r, stopOnElse = false, depth + 1)._1)
+          val (p, _) = blockType(r, types) // br to a loop re-supplies the PARAMS
+          out += Loop(p, decodeExpr(r, stopOnElse = false, types, depth + 1)._1)
         case 0x04 =>
-          val a = blockArity(r)
-          val (thn, hasElse) = decodeExpr(r, stopOnElse = true, depth + 1)
-          val els = if (hasElse) decodeExpr(r, stopOnElse = false, depth + 1)._1 else Array.empty[Insn]
-          out += If(a, thn, els)
+          val (p, res) = blockType(r, types)
+          val (thn, hasElse) = decodeExpr(r, stopOnElse = true, types, depth + 1)
+          val els = if (hasElse) decodeExpr(r, stopOnElse = false, types, depth + 1)._1 else Array.empty[Insn]
+          out += If(p, res, thn, els)
         case 0x0C => out += Br(r.lebU32())
         case 0x0D => out += BrIf(r.lebU32())
         case 0x0E =>
@@ -356,6 +447,12 @@ object WasmModule {
           var k = 0
           while (k < n) { valType(r.byte()); k += 1 }
           out += Select
+        case 0x25 => // table.get
+          if (r.lebU32() != 0) throw new WasmTrap("only table 0 supported")
+          out += TableGet
+        case 0x26 => // table.set
+          if (r.lebU32() != 0) throw new WasmTrap("only table 0 supported")
+          out += TableSet
         case 0x20 => out += LocalGet(r.lebU32())
         case 0x21 => out += LocalSet(r.lebU32())
         case 0x22 => out += LocalTee(r.lebU32())
@@ -374,12 +471,39 @@ object WasmModule {
         case 0x43 => out += F32Const(java.lang.Float.intBitsToFloat(r.u32()))
         case 0x44 => out += F64Const(java.lang.Double.longBitsToDouble(r.u64()))
         case num if num >= 0x45 && num <= 0xC4 => out += Num(num)
-        case 0xFC => r.lebU32() match { // bulk-memory / saturating-trunc prefix
+        case 0xD0 => // ref.null <heaptype>
+          r.byte() match {
+            case 0x70 | 0x6F => out += RefNull
+            case other => throw new WasmTrap(f"unknown heap type 0x$other%02x")
+          }
+        case 0xD1 => out += RefIsNull
+        case 0xD2 => out += RefFunc(r.lebU32())
+        case 0xFC => r.lebU32() match { // bulk-memory / table / saturating-trunc prefix
           case sat if sat <= 7 => out += NumSat(sat)
+          case 8 => // memory.init dataidx mem(0)
+            val di = r.lebU32(); r.byte(); out += MemInit(di)
+          case 9 => out += DataDrop(r.lebU32())
           case 10 => // memory.copy dst.mem src.mem (both 0)
             r.byte(); r.byte(); out += MemCopy
           case 11 => // memory.fill mem (0)
             r.byte(); out += MemFill
+          case 12 => // table.init elemidx table(0)
+            val ei = r.lebU32()
+            if (r.lebU32() != 0) throw new WasmTrap("only table 0 supported")
+            out += TableInit(ei)
+          case 13 => out += ElemDrop(r.lebU32())
+          case 14 => // table.copy dst src (both 0)
+            if (r.lebU32() != 0 || r.lebU32() != 0) throw new WasmTrap("only table 0 supported")
+            out += TableCopy
+          case 15 =>
+            if (r.lebU32() != 0) throw new WasmTrap("only table 0 supported")
+            out += TableGrow
+          case 16 =>
+            if (r.lebU32() != 0) throw new WasmTrap("only table 0 supported")
+            out += TableSize
+          case 17 =>
+            if (r.lebU32() != 0) throw new WasmTrap("only table 0 supported")
+            out += TableFill
           case sub => throw new WasmTrap(f"unsupported 0xFC subopcode $sub")
         }
         case 0xFD => throw new WasmTrap("SIMD (v128) unsupported")
@@ -435,5 +559,21 @@ private[wasm] final class ByteReader(buf: Array[Byte]) {
     0
   }
   def lebI32(): Int = lebI64().toInt
+  /** Signed 33-bit LEB — the block-type encoding (valtype shorthands decode
+    * negative, type indices non-negative). */
+  def lebS33(): Long = {
+    var result = 0L; var shift = 0
+    while (true) {
+      val b = byte() & 0xFF
+      result |= (b & 0x7FL) << shift
+      shift += 7
+      if ((b & 0x80) == 0) {
+        if (shift < 64 && (b & 0x40) != 0) result |= -1L << shift
+        return result
+      }
+      if (shift > 35) throw new WasmTrap("leb s33 too long")
+    }
+    0
+  }
   def name(): String = new String(bytes(lebU32()), java.nio.charset.StandardCharsets.UTF_8)
 }

@@ -20,10 +20,11 @@ final class WasmBuilder {
   private val funcs = ArrayBuffer.empty[(Int, Seq[Byte], Array[Byte])] // (type, locals, body)
   private val exports = ArrayBuffer.empty[(String, Int, Int)]          // (name, kind, idx)
   private val globals = ArrayBuffer.empty[(Byte, Boolean, Array[Byte])]
-  private val data = ArrayBuffer.empty[(Int, Array[Byte])]
+  private val data = ArrayBuffer.empty[(Int, Array[Byte])]            // offset -1 = passive
   private val imports = ArrayBuffer.empty[(String, String, Int)]       // (module, name, type)
-  private val elems = ArrayBuffer.empty[(Int, Seq[Int])]               // (offset, func idxs)
+  private val elems = ArrayBuffer.empty[(Int, Seq[Int])]               // (offset, func idxs; -1 = passive)
   private var tableMin: Option[Int] = None
+  private var tableMaxOpt: Option[Int] = None
   private var startIdx: Option[Int] = None
   private var memLimits: Option[(Int, Option[Int])] = None
 
@@ -52,14 +53,33 @@ final class WasmBuilder {
     idx
   }
 
-  /** Declare the funcref table (for `call_indirect`). */
-  def table(min: Int): Unit = tableMin = Some(min)
+  /** Declare the funcref table (for `call_indirect`); `max` bounds
+    * `table.grow`. */
+  def table(min: Int, max: Option[Int] = None): Unit = {
+    tableMin = Some(min); tableMaxOpt = max
+  }
 
   /** Declare the start function (runs once at instantiation). */
   def start(funcIdx: Int): Unit = startIdx = Some(funcIdx)
 
   /** Active element segment: seed `table[offset..]` with function indices. */
   def elem(offset: Int, funcIdxs: Seq[Int]): Unit = elems += ((offset, funcIdxs))
+
+  /** Passive element segment (a `table.init` source). Returns the segment
+    * index for `Asm.tableInit`/`Asm.elemDrop` — NOTE element indices count
+    * active and passive segments together, in declaration order. */
+  def elemPassive(funcIdxs: Seq[Int]): Int = {
+    elems += ((-1, funcIdxs))
+    elems.length - 1
+  }
+
+  /** Passive data segment (a `memory.init` source). Returns the segment
+    * index for `Asm.memoryInit`/`Asm.dataDrop` — data indices count active
+    * and passive segments together, in declaration order. */
+  def dataPassive(bytes: Array[Byte]): Int = {
+    data += ((-1, bytes))
+    data.length - 1
+  }
 
   def memory(minPages: Int, maxPages: Option[Int] = None, exportAs: Option[String] = None): Unit = {
     memLimits = Some((minPages, maxPages))
@@ -146,7 +166,11 @@ final class WasmBuilder {
     }
     tableMin.foreach { min =>
       val b = ArrayBuffer.empty[Byte] ++= lebU(1)
-      b += 0x70; b += 0x00; b ++= lebU(min)
+      b += 0x70
+      tableMaxOpt match {
+        case Some(mx) => b += 0x01; b ++= lebU(min); b ++= lebU(mx)
+        case None     => b += 0x00; b ++= lebU(min)
+      }
       section(4, b)
     }
     memLimits.foreach { case (min, max) =>
@@ -181,12 +205,20 @@ final class WasmBuilder {
     if (elems.nonEmpty) {
       val b = ArrayBuffer.empty[Byte] ++= lebU(elems.length)
       elems.foreach { case (off, idxs) =>
-        b ++= lebU(0)
-        b += 0x41; b ++= lebS(off.toLong); b += 0x0B
+        if (off < 0) { // passive: flavor 1, elemkind 0x00
+          b ++= lebU(1); b += 0x00
+        } else {       // active on table 0: flavor 0, i32.const offset
+          b ++= lebU(0)
+          b += 0x41; b ++= lebS(off.toLong); b += 0x0B
+        }
         b ++= lebU(idxs.length)
         idxs.foreach(i => b ++= lebU(i))
       }
       section(9, b)
+    }
+    if (data.exists(_._1 < 0)) { // datacount — required when memory.init is used
+      val b = ArrayBuffer.empty[Byte] ++= lebU(data.length)
+      section(12, b)
     }
     if (funcs.nonEmpty) {
       val b = ArrayBuffer.empty[Byte] ++= lebU(funcs.length)
@@ -209,8 +241,11 @@ final class WasmBuilder {
     if (data.nonEmpty) {
       val b = ArrayBuffer.empty[Byte] ++= lebU(data.length)
       data.foreach { case (off, bytes) =>
-        b ++= lebU(0)
-        b += 0x41; b ++= lebS(off.toLong); b += 0x0B
+        if (off < 0) b ++= lebU(1) // passive
+        else {
+          b ++= lebU(0)
+          b += 0x41; b ++= lebS(off.toLong); b += 0x0B
+        }
         b ++= lebU(bytes.length); b ++= bytes
       }
       section(11, b)
@@ -256,6 +291,7 @@ object Asm {
   val i64: Byte = 0x7E
   val f32: Byte = 0x7D
   val f64: Byte = 0x7C
+  val funcref: Byte = 0x70
 
   type Code = Array[Byte]
   private def b(xs: Int*): Code = xs.map(_.toByte).toArray
@@ -269,6 +305,12 @@ object Asm {
   def ifElse(resultType: Byte, thn: Code, els: Code): Code =
     b(0x04, resultType) + thn + b(0x05) + els + b(0x0B)
   def ifVoid(thn: Code): Code = b(0x04, 0x40) + thn + b(0x0B)
+  // multi-value (type-index) block types: params come off the stack into the
+  // frame, results may number several — pass a WasmBuilder.typeIdx
+  def blockOfType(typeIdx: Int, body: Code): Code = b(0x02) ++ lebS(typeIdx.toLong) ++ body ++ b(0x0B)
+  def loopOfType(typeIdx: Int, body: Code): Code = b(0x03) ++ lebS(typeIdx.toLong) ++ body ++ b(0x0B)
+  def ifOfType(typeIdx: Int, thn: Code, els: Code): Code =
+    b(0x04) ++ lebS(typeIdx.toLong) ++ thn ++ b(0x05) ++ els ++ b(0x0B)
   def br(d: Int): Code = b(0x0C) ++ lebU(d)
   def brIf(d: Int): Code = b(0x0D) ++ lebU(d)
   def ret: Code = b(0x0F)
@@ -276,6 +318,19 @@ object Asm {
   def callIndirect(typeIdx: Int): Code = b(0x11) ++ lebU(typeIdx) ++ lebU(0)
   def memoryCopy: Code = b(0xFC) ++ lebU(10) ++ b(0x00, 0x00)
   def memoryFill: Code = b(0xFC) ++ lebU(11) ++ b(0x00)
+  def memoryInit(dataIdx: Int): Code = b(0xFC) ++ lebU(8) ++ lebU(dataIdx) ++ b(0x00)
+  def dataDrop(dataIdx: Int): Code = b(0xFC) ++ lebU(9) ++ lebU(dataIdx)
+  def tableGet: Code = b(0x25) ++ lebU(0)
+  def tableSet: Code = b(0x26) ++ lebU(0)
+  def tableInit(elemIdx: Int): Code = b(0xFC) ++ lebU(12) ++ lebU(elemIdx) ++ lebU(0)
+  def elemDrop(elemIdx: Int): Code = b(0xFC) ++ lebU(13) ++ lebU(elemIdx)
+  def tableCopy: Code = b(0xFC) ++ lebU(14) ++ lebU(0) ++ lebU(0)
+  def tableGrow: Code = b(0xFC) ++ lebU(15) ++ lebU(0)
+  def tableSize: Code = b(0xFC) ++ lebU(16) ++ lebU(0)
+  def tableFill: Code = b(0xFC) ++ lebU(17) ++ lebU(0)
+  def refNullFunc: Code = b(0xD0, 0x70)
+  def refIsNull: Code = b(0xD1)
+  def refFunc(funcIdx: Int): Code = b(0xD2) ++ lebU(funcIdx)
   def i32TruncSatF64S: Code = b(0xFC) ++ lebU(2)
   def i64TruncSatF64S: Code = b(0xFC) ++ lebU(6)
   def drop: Code = b(0x1A)

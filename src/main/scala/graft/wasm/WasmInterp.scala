@@ -40,16 +40,32 @@ final class WasmInstance(val module: WasmModule, val config: WasmConfig) {
       case Array(I64Const(v)) => v
       case Array(F32Const(v)) => java.lang.Float.floatToRawIntBits(v).toLong & 0xFFFFFFFFL
       case Array(F64Const(v)) => java.lang.Double.doubleToRawLongBits(v)
+      case Array(RefNull)     => -1L
+      case Array(RefFunc(i))  => i.toLong
       case _ => throw new WasmTrap("global init must be a single const")
     }
   }
 
-  // active data segments are copied in at instantiation
+  // active data segments are copied in at instantiation; passive ones wait
+  // for memory.init
   module.data.foreach { seg =>
-    if (seg.offset < 0 || seg.offset.toLong + seg.bytes.length > mem.length)
-      throw new WasmTrap("data segment out of bounds")
-    System.arraycopy(seg.bytes, 0, mem, seg.offset, seg.bytes.length)
+    if (!seg.passive) {
+      if (seg.offset < 0 || seg.offset.toLong + seg.bytes.length > mem.length)
+        throw new WasmTrap("data segment out of bounds")
+      System.arraycopy(seg.bytes, 0, mem, seg.offset, seg.bytes.length)
+    }
   }
+
+  /** Funcref table is PER-INSTANCE state (table.set/grow/init mutate it);
+    * the module's resolved active-segment layout is the starting point. */
+  private var table: Array[Int] =
+    if (module.tableSize == 0) Array.emptyIntArray else module.table.clone()
+
+  // spec: active (and declared) element/data segments behave as dropped once
+  // instantiation completes; only passive ones are table.init/memory.init
+  // sources
+  private val elemDropped: Array[Boolean] = module.elems.map(_.kind != 1)
+  private val dataDropped: Array[Boolean] = module.data.map(!_.passive)
 
   // ---- per-call state ------------------------------------------------------
   private var fuel: Long = 0L
@@ -115,6 +131,9 @@ final class WasmInstance(val module: WasmModule, val config: WasmConfig) {
     val fidx = module.exportedFunc(exportName)
       .getOrElse(throw new WasmTrap(s"function not found: $exportName"))
     val ft = module.funcType(fidx)
+    if (ft.results.length > 1)
+      throw new WasmTrap(s"$exportName returns ${ft.results.length} values; " +
+        "multi-value is internal-only (host calls take at most one result)")
     new Bound(fidx, ft.params.length, ft.results.length == 1)
   }
 
@@ -154,6 +173,9 @@ final class WasmInstance(val module: WasmModule, val config: WasmConfig) {
     val ft = module.funcType(fidx)
     if (ft.params.length != args.length)
       throw new WasmTrap(s"$exportName expects ${ft.params.length} args, got ${args.length}")
+    if (ft.results.length > 1)
+      throw new WasmTrap(s"$exportName returns ${ft.results.length} values; " +
+        "multi-value is internal-only (host calls take at most one result)")
     args.foreach(push)
     // unvalidated modules can index locals/globals out of range — surface
     // every malformed-module failure as a trap, never a JVM error
@@ -199,6 +221,9 @@ final class WasmInstance(val module: WasmModule, val config: WasmConfig) {
   }
 
   private final val FALL = -1 // fallthrough marker for exec()
+  /** Hard host cap on funcref table entries regardless of the module's
+    * declared max — same role as `memoryLimitBytes` for linear memory. */
+  private final val MaxTableEntries = 1 << 20
 
   /** Execute a sequence; returns FALL or a branch depth relative to the
     * *enclosing* label after this sequence's own labels are consumed.
@@ -223,32 +248,35 @@ final class WasmInstance(val module: WasmModule, val config: WasmConfig) {
       body(pc) match {
         case Nop =>
         case Unreachable => throw new WasmTrap("unreachable executed")
-        case Block(arity, inner) =>
-          val base = sp
+        case Block(params, results, inner) =>
+          // the top `params` slots belong to the block's frame (multi-value)
+          val base = sp - params
+          if (base < 0) throw new WasmTrap("operand stack underflow (malformed module)")
           val r = exec(inner, locals)
-          if (r == 0 || r == FALL) truncate(base, arity)
+          if (r == 0 || r == FALL) truncate(base, results)
           else if (r == Int.MaxValue) return Int.MaxValue
           else return r - 1
-        case Loop(inner) =>
-          val base = sp
+        case Loop(params, inner) =>
+          val base = sp - params
+          if (base < 0) throw new WasmTrap("operand stack underflow (malformed module)")
           var continue = true
           while (continue) {
             val r = exec(inner, locals)
-            if (r == 0) { sp = base } // br to loop head: restart
+            if (r == 0) truncate(base, params) // br to head: re-supply the params, restart
             else if (r == FALL) continue = false
             else if (r == Int.MaxValue) return Int.MaxValue
             else return r - 1
           }
-        case If(arity, thn, els) =>
+        case If(params, results, thn, els) =>
           val cond = pop()
-          val base = sp
+          val base = sp - params
+          if (base < 0) throw new WasmTrap("operand stack underflow (malformed module)")
           val r = exec(if (cond != 0) thn else els, locals)
-          if (r == 0 || r == FALL) truncate(base, arity)
+          if (r == 0 || r == FALL) truncate(base, results)
           else if (r == Int.MaxValue) return Int.MaxValue
           else return r - 1
         case CallIndirect(ti) =>
           val idx = pop().toInt
-          val table = module.table
           if (idx < 0 || idx >= table.length)
             throw new WasmTrap("undefined element (call_indirect out of table bounds)")
           val target = table(idx)
@@ -271,6 +299,66 @@ final class WasmInstance(val module: WasmModule, val config: WasmConfig) {
           if (len < 0 || dst < 0 || dst.toLong + len > mem.length)
             throw new WasmTrap("out of bounds memory.fill")
           java.util.Arrays.fill(mem, dst, dst + len, v.toByte)
+        case MemInit(d) =>
+          val len = popI32(); val src = popI32(); val dst = popI32()
+          if (d < 0 || d >= module.data.length) throw new WasmTrap("bad data segment index")
+          val seg = if (dataDropped(d)) Array.emptyByteArray else module.data(d).bytes
+          if (len < 0 || src < 0 || dst < 0 ||
+              src.toLong + len > seg.length || dst.toLong + len > mem.length)
+            throw new WasmTrap("out of bounds memory.init")
+          System.arraycopy(seg, src, mem, dst, len)
+        case DataDrop(d) =>
+          if (d < 0 || d >= dataDropped.length) throw new WasmTrap("bad data segment index")
+          dataDropped(d) = true
+        case TableGet =>
+          val i = popI32()
+          if (i < 0 || i >= table.length) throw new WasmTrap("out of bounds table access")
+          push(table(i).toLong)
+        case TableSet =>
+          val v = pop(); val i = popI32()
+          if (i < 0 || i >= table.length) throw new WasmTrap("out of bounds table access")
+          table(i) = v.toInt
+        case TableSize => push(table.length.toLong)
+        case TableGrow =>
+          val delta = popI32(); val init = pop()
+          val newSize = table.length.toLong + delta
+          // cap like memory.grow: the module's declared max AND a hard host
+          // limit — a hostile guest growing the table is an allocation bomb
+          if (delta < 0 || newSize > math.min(module.tableMax.toLong, MaxTableEntries))
+            push(-1L)
+          else {
+            val old = table.length
+            table = java.util.Arrays.copyOf(table, newSize.toInt)
+            java.util.Arrays.fill(table, old, newSize.toInt, init.toInt)
+            push(old.toLong)
+          }
+        case TableFill =>
+          val len = popI32(); val v = pop(); val dst = popI32()
+          if (len < 0 || dst < 0 || dst.toLong + len > table.length)
+            throw new WasmTrap("out of bounds table.fill")
+          java.util.Arrays.fill(table, dst, dst + len, v.toInt)
+        case TableCopy =>
+          val len = popI32(); val src = popI32(); val dst = popI32()
+          if (len < 0 || src < 0 || dst < 0 ||
+              src.toLong + len > table.length || dst.toLong + len > table.length)
+            throw new WasmTrap("out of bounds table.copy")
+          System.arraycopy(table, src, table, dst, len) // overlap-safe
+        case TableInit(e) =>
+          val len = popI32(); val src = popI32(); val dst = popI32()
+          if (e < 0 || e >= module.elems.length) throw new WasmTrap("bad element segment index")
+          val seg = if (elemDropped(e)) Array.emptyIntArray else module.elems(e).funcIdxs
+          if (len < 0 || src < 0 || dst < 0 ||
+              src.toLong + len > seg.length || dst.toLong + len > table.length)
+            throw new WasmTrap("out of bounds table.init")
+          System.arraycopy(seg, src, table, dst, len)
+        case ElemDrop(e) =>
+          if (e < 0 || e >= elemDropped.length) throw new WasmTrap("bad element segment index")
+          elemDropped(e) = true
+        case RefNull => push(-1L)
+        case RefFunc(i) =>
+          if (i < 0 || i >= module.funcs.length) throw new WasmTrap("bad function index in ref.func")
+          push(i.toLong)
+        case RefIsNull => pushB(pop() == -1L)
         case NumSat(op) => satTrunc(op)
         case Br(d) => return d
         case BrIf(d) => if (pop() != 0) return d
@@ -315,11 +403,14 @@ final class WasmInstance(val module: WasmModule, val config: WasmConfig) {
   }
 
   /** Keep the top `arity` slots, reset to `base`, push them back — the
-    * label-exit stack discipline for both branch and fallthrough. */
+    * label-exit stack discipline for both branch and fallthrough (arity may
+    * exceed 1 since multi-value). */
   private def truncate(base: Int, arity: Int): Unit = {
     if (sp != base + arity) {
-      if (arity == 1) { val v = pop(); sp = base; push(v) }
-      else sp = base
+      if (sp - arity < base) throw new WasmTrap("operand stack underflow (malformed module)")
+      var j = 0
+      while (j < arity) { stack(base + j) = stack(sp - arity + j); j += 1 }
+      sp = base + arity
     }
   }
 

@@ -518,4 +518,121 @@ class WasmSpec extends AnyFunSuite {
     assert(intercept[IllegalArgumentException] { WasmUdf.load(bad.build()) }
       .getMessage.contains("unsupported wasm return type"))
   }
+
+  // --- WASM 2.0 breadth: multi-value, reference types, table mutation ------
+
+  test("multi-value: loop with params carries state on the operand stack") {
+    val b = new WasmBuilder
+    val ti = b.typeIdx(Seq(i64, i64), Seq(i64))
+    // sum 1..n with (acc, i) as LOOP PARAMS instead of locals — the shape
+    // LLVM emits for reduction loops under the multi-value proposal
+    b.func(Seq(i64), Seq(i64), Seq(i64), concat(
+      i64Const(0), localGet(0),
+      loopOfType(ti, concat(
+        localSet(1), localGet(1), i64Add,           // acc += i
+        localGet(1), i64Const(1), i64Sub, localSet(1), // i -= 1
+        localGet(1), localGet(1), i64Const(0), i64GtS,
+        brIf(0),                                    // br to head re-supplies (acc, i)
+        drop))),
+      exportAs = Some("sumn"))
+    val inst = new WasmInstance(WasmModule.decode(b.build()), WasmConfig())
+    assert(inst.invoke("sumn", Array(10L)) == 55L)
+    assert(inst.invoke("sumn", Array(0L)) == 0L)
+    assert(inst.invoke("sumn", Array(1000L)) == 500500L)
+  }
+
+  test("multi-value: a two-result function round-trips through call") {
+    val b = new WasmBuilder
+    val dm = b.func(Seq(i64, i64), Seq(i64, i64), Seq.empty, concat(
+      localGet(0), localGet(1), i64DivS,
+      localGet(0), localGet(1), i64RemS))
+    b.func(Seq(i64, i64), Seq(i64), Seq(i64), concat(
+      localGet(0), localGet(1), call(dm),           // [q, r]
+      localSet(2), i64Const(1000), i64Mul, localGet(2), i64Add),
+      exportAs = Some("combine"))
+    b.exportFunc("dm", dm)
+    val inst = new WasmInstance(WasmModule.decode(b.build()), WasmConfig())
+    assert(inst.invoke("combine", Array(12345L, 100L)) == 123045L)
+    // multi-value stays internal: the host slot ABI carries one result
+    assert(intercept[WasmTrap] { inst.invoke("dm", Array(7L, 2L)) }
+      .getMessage.contains("multi-value"))
+  }
+
+  test("multi-value: if with block params computes on the inherited stack") {
+    val b = new WasmBuilder
+    val ti = b.typeIdx(Seq(i64, i64), Seq(i64))
+    b.func(Seq(i64, i64), Seq(i64), Seq.empty, concat(
+      localGet(0), localGet(1),
+      localGet(0), localGet(1), i64LtS,
+      ifOfType(ti,
+        concat(drop, drop, localGet(1), localGet(0), i64Sub), // b - a
+        i64Sub)),                                             // a - b
+      exportAs = Some("absdiff"))
+    val inst = new WasmInstance(WasmModule.decode(b.build()), WasmConfig())
+    assert(inst.invoke("absdiff", Array(3L, 10L)) == 7L)
+    assert(inst.invoke("absdiff", Array(10L, 3L)) == 7L)
+    assert(inst.invoke("absdiff", Array(5L, 5L)) == 0L)
+  }
+
+  test("ref types + table ops: passive elem, init/get/set/grow/fill, drop") {
+    val b = new WasmBuilder
+    val t0 = b.typeIdx(Seq.empty, Seq(i64))
+    val f10 = b.func(Seq.empty, Seq(i64), Seq.empty, i64Const(10))
+    val f20 = b.func(Seq.empty, Seq(i64), Seq.empty, i64Const(20))
+    b.table(2, Some(4))
+    val seg = b.elemPassive(Seq(f10, f20))
+    b.func(Seq(i64), Seq(i64), Seq.empty, concat(
+      localGet(0), i32WrapI64, callIndirect(t0)), exportAs = Some("call_i"))
+    b.func(Seq.empty, Seq.empty, Seq.empty, concat(
+      i32Const(0), i32Const(0), i32Const(2), tableInit(seg)), exportAs = Some("setup"))
+    b.func(Seq.empty, Seq(i64), Seq.empty, concat(
+      refNullFunc, i32Const(2), tableGrow, i64ExtendI32S), exportAs = Some("grow2"))
+    b.func(Seq.empty, Seq(i64), Seq.empty, concat(
+      tableSize, i64ExtendI32S), exportAs = Some("size"))
+    b.func(Seq.empty, Seq(i64), Seq.empty, concat(
+      i32Const(3), tableGet, refIsNull, i64ExtendI32S), exportAs = Some("slot3null"))
+    b.func(Seq.empty, Seq.empty, Seq.empty, concat(
+      i32Const(3), refFunc(f10), tableSet), exportAs = Some("set3"))
+    b.func(Seq.empty, Seq.empty, Seq.empty, elemDrop(seg), exportAs = Some("dropseg"))
+    val inst = new WasmInstance(WasmModule.decode(b.build()), WasmConfig())
+    // before table.init every slot is null
+    assert(intercept[WasmTrap] { inst.invoke("call_i", Array(0L)) }
+      .getMessage.contains("uninitialized"))
+    inst.invoke("setup", Array.empty)
+    assert(inst.invoke("call_i", Array(0L)) == 10L)
+    assert(inst.invoke("call_i", Array(1L)) == 20L)
+    // grow by 2 null slots: old size back, new size visible
+    assert(inst.invoke("grow2", Array.empty) == 2L)
+    assert(inst.invoke("size", Array.empty) == 4L)
+    assert(inst.invoke("slot3null", Array.empty) == 1L)
+    // table.set with a ref.func constant makes the slot callable
+    inst.invoke("set3", Array.empty)
+    assert(inst.invoke("slot3null", Array.empty) == 0L)
+    assert(inst.invoke("call_i", Array(3L)) == 10L)
+    // growing past the declared max fails with -1, like memory.grow
+    assert(inst.invoke("grow2", Array.empty) == -1L)
+    // dropped segments are empty: a non-zero-length table.init traps
+    inst.invoke("dropseg", Array.empty)
+    assert(intercept[WasmTrap] { inst.invoke("setup", Array.empty) }
+      .getMessage.contains("table.init"))
+  }
+
+  test("passive data: memory.init copies on demand; data.drop releases") {
+    val b = new WasmBuilder
+    b.memory(1)
+    val seg = b.dataPassive("HELLO".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+    b.func(Seq.empty, Seq.empty, Seq.empty, concat(
+      i32Const(16), i32Const(0), i32Const(5), memoryInit(seg)), exportAs = Some("init"))
+    b.func(Seq(i64), Seq(i64), Seq.empty, concat(
+      localGet(0), i32WrapI64, i32Load8U(16), i64ExtendI32U), exportAs = Some("peek"))
+    b.func(Seq.empty, Seq.empty, Seq.empty, dataDrop(seg), exportAs = Some("rel"))
+    val inst = new WasmInstance(WasmModule.decode(b.build()), WasmConfig())
+    assert(inst.invoke("peek", Array(0L)) == 0L) // passive bytes NOT copied at instantiation
+    inst.invoke("init", Array.empty)
+    assert(inst.invoke("peek", Array(0L)) == 'H'.toLong)
+    assert(inst.invoke("peek", Array(4L)) == 'O'.toLong)
+    inst.invoke("rel", Array.empty)
+    assert(intercept[WasmTrap] { inst.invoke("init", Array.empty) }
+      .getMessage.contains("memory.init"))
+  }
 }
