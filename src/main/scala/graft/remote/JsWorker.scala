@@ -31,9 +31,15 @@ final class JsWorker extends AutoCloseable {
         s"tools/jsudf_server.js not found from ${sys.props("user.dir")} (set GRAFT_JSUDF)"))
   }
 
-  private val proc: Process = new ProcessBuilder("node", script.getAbsolutePath, "--port", "0")
-    .redirectError(ProcessBuilder.Redirect.INHERIT)
-    .start()
+  private val proc: Process = {
+    val cmd = Seq("node", script.getAbsolutePath, "--port", "0") ++
+      // per-call guest deadline (worker-thread terminate-and-respawn on a
+      // stuck sync loop) — the engine's SO_TIMEOUT is the outer layer
+      sys.env.get("GRAFT_JSUDF_TIMEOUT_MS").toSeq.flatMap(v => Seq("--call-timeout-ms", v))
+    new ProcessBuilder(cmd: _*)
+      .redirectError(ProcessBuilder.Redirect.INHERIT)
+      .start()
+  }
 
   /** Ephemeral port the worker bound; lazy so a pool launches every process
     * before blocking on any port (startup overlaps). */
@@ -126,13 +132,25 @@ class JsUdfClient(host: String, port: Int, timeoutMs: Int = 120000) extends Auto
 
   // ---- exchanges -----------------------------------------------------------
 
+  /** v4 ERR lines carry a structured `{"name":...,"message":...}` object —
+    * render it as "Name: message" so a guest TimeoutError is tellable from a
+    * missing function; pre-v4 plain-text ERR lines pass through unchanged. */
+  private def renderErr(status: String): String = {
+    if (status != null && status.startsWith("ERR {")) {
+      try {
+        val o = mapper.readTree(status.stripPrefix("ERR "))
+        s"${o.path("name").asText("Error")}: ${o.path("message").asText(status)}"
+      } catch { case _: Exception => status }
+    } else String.valueOf(status)
+  }
+
   private def exchange(cmd: String, body: Option[ObjectNode]): JsonNode = {
     out.write(cmd); out.write("\n")
     body.foreach { b => out.write(mapper.writeValueAsString(b)); out.write("\n") }
     out.flush()
     val status = in.readLine()
     if (status == null || !status.startsWith("OK"))
-      throw new RuntimeException(s"js call failed: $status")
+      throw new RuntimeException(s"js call failed: ${renderErr(status)}")
     mapper.readTree(in.readLine())
   }
 
@@ -140,7 +158,7 @@ class JsUdfClient(host: String, port: Int, timeoutMs: Int = 120000) extends Auto
     out.write(cmd); out.write("\n"); out.flush()
     val status = in.readLine()
     if (status == null || !status.startsWith("OK"))
-      throw new RuntimeException(s"js request failed: $status")
+      throw new RuntimeException(s"js request failed: ${renderErr(status)}")
     Iterator.continually(in.readLine()).takeWhile(l => l != null && l.nonEmpty).toSeq
   }
 

@@ -59,7 +59,10 @@ object RemoteProtocol {
   // v3: JS framing carries int64 as decimal strings (BigInt-exact) — a v2
   // worker would silently string-concat where v3 expects arithmetic, so the
   // handshake must reject mixed pairs rather than corrupt data
-  val Version = 3
+  // v4: ERR status lines MAY carry a structured {"name","message"} JSON
+  // object (clients render either form), and guest workers enforce a
+  // per-call wall-clock deadline (TimeoutError over the wire)
+  val Version = 4
 
   private def fieldType(t: ArrowType, md: SMetadata): FieldType = {
     val ext = graft.types.GraftType.extensionOf(md)

@@ -240,4 +240,40 @@ class JsUdfSpec extends AnyFunSuite {
       .mapValues(_.map(i => (i % 1000).toLong).sum).toMap
     assert(got == want)
   }
+
+  test("per-call deadline: stuck sync and async calls are terminated; defines survive the respawn") {
+    // dedicated worker with a short deadline — the pool workers keep the
+    // default and must not be restarted under other tests
+    val script = new java.io.File(sys.props("user.dir"), "tools/jsudf_server.js").getAbsolutePath
+    val proc = new ProcessBuilder("node", script, "--port", "0", "--call-timeout-ms", "500")
+      .redirectError(ProcessBuilder.Redirect.INHERIT).start()
+    val br = new java.io.BufferedReader(new java.io.InputStreamReader(proc.getInputStream))
+    val portLine = br.readLine()
+    assert(portLine != null && portLine.startsWith("PORT "), s"worker failed: $portLine")
+    val client = new JsUdfClient("127.0.0.1", portLine.stripPrefix("PORT ").trim.toInt)
+    try {
+      client.define("scalar", "keeper(int) -> int", "(x) => x + 1")
+      // a sync infinite loop can only be preempted by terminating the
+      // worker thread — the structured TimeoutError proves that happened
+      client.define("scalar", "spin(int) -> int", "(x) => { for(;;){} }")
+      val e = intercept[RuntimeException](client.call("spin", IntegerType, Seq(Seq(1))))
+      assert(e.getMessage.contains("TimeoutError"), e.getMessage)
+      // the respawned worker replayed the DEFINE log
+      assert(client.call("keeper", IntegerType, Seq(Seq(41))) == Seq(42))
+      // a never-resolving Promise hits the same wall clock
+      client.define("scalar", "stuck(int) -> int", "async (x) => await new Promise(() => {})")
+      val e2 = intercept[RuntimeException](client.call("stuck", IntegerType, Seq(Seq(1))))
+      assert(e2.getMessage.contains("TimeoutError"), e2.getMessage)
+      assert(client.call("keeper", IntegerType, Seq(Seq(1))) == Seq(2))
+    } finally { client.close(); proc.destroy() }
+  }
+
+  test("structured ERR objects: name + message are rendered client-side") {
+    val client = new JsUdfClient("127.0.0.1", port)
+    try {
+      val e = intercept[RuntimeException](client.call("no_such_fn", IntegerType, Seq(Seq(1))))
+      // v4 wire: ERR {"name":"Error","message":"no scalar function ..."}
+      assert(e.getMessage.contains("Error: no scalar function no_such_fn"), e.getMessage)
+    } finally client.close()
+  }
 }

@@ -32,17 +32,30 @@
  *
  * Null handling is ReturnNullOnNullInput (a null argument row yields null /
  * no table rows); a per-row exception yields null for that row — the guest
- * never kills the exchange. Errors resolve to `ERR msg\n` status lines.
+ * never kills the exchange. Request-level failures resolve to structured
+ * `ERR {"name":...,"message":...}\n` status lines (v4).
+ *
+ * Containment (v4): every function evaluates on a worker_thread, and each
+ * request carries a wall-clock deadline (--call-timeout-ms, default 30000;
+ * 0 disables) — the reference's QuickJS timeout analogue
+ * (javascript/mod.rs:229-260). A runaway SYNC loop cannot be preempted
+ * in-process, so on deadline the worker thread is terminated and respawned
+ * (built-ins re-created, DEFINE'd functions replayed from the main-thread
+ * log); the stuck call resolves to ERR {"name":"TimeoutError",...}. Other
+ * in-flight calls fail with {"name":"WorkerRestart",...} rather than hang.
  *
  * Usage: node tools/jsudf_server.js --port 0 [--load extra_funcs.js]
+ *        [--call-timeout-ms 30000]
  * Prints `PORT <bound-port>` on stdout once listening.
  */
 "use strict";
 
 const net = require("net");
+const { Worker, isMainThread, parentPort, workerData } = require("worker_threads");
 
-// v3: int64 rides the JSON frame as decimal strings (BigInt-exact)
-const PROTOCOL_VERSION = 3;
+// v4: structured ERR objects + per-call guest deadline on a terminable
+// worker thread (v3 added BigInt-exact int64 as decimal strings)
+const PROTOCOL_VERSION = 4;
 
 // ---------------------------------------------------------------------------
 // Registry (signature grammar mirrors graft.sig.Signature)
@@ -350,32 +363,165 @@ function stringifyBody(out) {
   return JSON.stringify(out, (k, v) => (typeof v === "bigint" ? v.toString() : v));
 }
 
-function serve(sock) {
+/** Structured ERR status line: name + message survive the wire so the
+ * engine can distinguish a timeout from a missing function from a guest
+ * bug (reference error strings carry the error type the same way). */
+function errLine(e) {
+  const o =
+    typeof e === "string"
+      ? { name: "Error", message: e }
+      : { name: (e && e.constructor && e.constructor.name) || "Error", message: (e && e.message) || String(e) };
+  return "ERR " + JSON.stringify(o) + "\n";
+}
+
+// ---------------------------------------------------------------------------
+// Worker side: all function evaluation happens here, on a terminable thread
+// ---------------------------------------------------------------------------
+
+function loadFile(path) {
+  // extra user functions: a JS file calling registry.scalar/table/aggregate
+  new Function("registry", require("fs").readFileSync(path, "utf8"))(registry);
+}
+
+/** Full response text for one request — the worker owns formatting so the
+ * main thread only does socket framing and deadlines. */
+async function respondText(verbLine, fname, body) {
+  const sp = verbLine.indexOf(" ");
+  const verb = sp < 0 ? verbLine : verbLine.slice(0, sp);
+  if (verb === "VERSION") return `OK\n${PROTOCOL_VERSION}\n\n`;
+  if (verb === "LIST") {
+    const sigs = [];
+    for (const m of [SCALARS, TABLES, AGGS])
+      for (const { sig } of m.values()) sigs.push(sig.render());
+    sigs.sort();
+    return "OK\n" + sigs.map((s) => s + "\n").join("") + "\n";
+  }
+  if (verb === "GET") {
+    const hits = [];
+    for (const m of [SCALARS, TABLES, AGGS]) {
+      const fd = m.get(fname.toLowerCase());
+      if (fd) hits.push(fd.sig.render());
+    }
+    return hits.length ? "OK\n" + hits.join("\n") + "\n\n" : errLine(`no function ${fname}`);
+  }
+  const out =
+    verb === "DEFINE"
+      ? handleDefine(body)
+      : verb === "CALLERR"
+        ? await handleCallErr(fname, body)
+        : verb === "CALL" || verb === "CALLTABLE"
+          ? await handleCall(fname, verb === "CALLTABLE", body)
+          : await handleAgg(verb, fname, body || {});
+  if (out.err) return errLine(out.err);
+  return "OK\n" + stringifyBody(out) + "\n";
+}
+
+function workerMain() {
+  for (const f of workerData.loadFiles) loadFile(f);
+  for (const d of workerData.defines) handleDefine(d); // replay after a restart
+  parentPort.on("message", async ({ id, verbLine, fname, body }) => {
+    let text;
+    try {
+      text = await respondText(verbLine, fname, body);
+    } catch (e) {
+      text = errLine(e);
+    }
+    parentPort.postMessage({ id, text });
+  });
+}
+
+// ---------------------------------------------------------------------------
+// Main side: socket framing + per-call deadline over the worker thread
+// ---------------------------------------------------------------------------
+
+/** Owns the evaluation worker: request fan-in, the per-call wall-clock
+ * deadline, and terminate-and-respawn on timeout. DEFINE bodies are logged
+ * here so a respawned worker replays them before serving. */
+class GuestHost {
+  constructor(loadFiles, timeoutMs) {
+    this.loadFiles = loadFiles;
+    this.timeoutMs = timeoutMs;
+    this.defines = [];
+    this.pending = new Map(); // id -> {resolve, timer}
+    this.nextId = 1;
+    this.spawn();
+  }
+
+  spawn() {
+    this.worker = new Worker(__filename, {
+      workerData: { loadFiles: this.loadFiles, defines: this.defines },
+    });
+    this.worker.on("message", ({ id, text }) => {
+      const p = this.pending.get(id);
+      if (!p) return; // already timed out
+      if (p.timer) clearTimeout(p.timer);
+      this.pending.delete(id);
+      p.resolve(text);
+    });
+    this.worker.on("error", (e) => {
+      this.failAll({ name: "WorkerError", message: (e && e.message) || String(e) });
+      this.spawn();
+    });
+  }
+
+  request(verbLine, fname, body) {
+    return new Promise((resolve) => {
+      const id = this.nextId++;
+      const timer =
+        this.timeoutMs > 0 ? setTimeout(() => this.onTimeout(id), this.timeoutMs) : null;
+      this.pending.set(id, { resolve, timer });
+      this.worker.postMessage({ id, verbLine, fname, body });
+    });
+  }
+
+  onTimeout(id) {
+    const p = this.pending.get(id);
+    if (!p) return;
+    this.pending.delete(id);
+    p.resolve(
+      "ERR " +
+        JSON.stringify({
+          name: "TimeoutError",
+          message: `guest call exceeded ${this.timeoutMs} ms; worker terminated and respawned`,
+        }) +
+        "\n"
+    );
+    // a stuck sync loop never yields — terminating the thread is the only
+    // preemption; everything else in flight fails fast instead of hanging
+    const stuck = this.worker;
+    this.worker.removeAllListeners("error");
+    this.failAll({ name: "WorkerRestart", message: "a concurrent call timed out; the guest was restarted" });
+    stuck.terminate();
+    this.spawn();
+  }
+
+  failAll(errObj) {
+    for (const p of this.pending.values()) {
+      if (p.timer) clearTimeout(p.timer);
+      p.resolve("ERR " + JSON.stringify(errObj) + "\n");
+    }
+    this.pending.clear();
+  }
+}
+
+function serve(host, sock) {
   sock.setNoDelay(true); // latency-bound write-write-read exchange
   let buf = "";
   let pendingCmd = null; // waiting for this command's JSON body line
-  // Handlers are async (functions may return Promises); the protocol is
-  // request-response lockstep per connection, and this chain keeps response
-  // order even if a client pipelines.
+  // The protocol is request-response lockstep per connection; this chain
+  // keeps response order even if a client pipelines.
   let chain = Promise.resolve();
   const enqueue = (fn) => {
-    chain = chain.then(fn).catch((e) => sock.write(`ERR internal: ${e.message || e}\n`));
+    chain = chain.then(fn).catch((e) => sock.write(errLine(e)));
   };
 
-  async function respond(fname, verbLine, body) {
-    const sp = verbLine.indexOf(" ");
-    const verb = sp < 0 ? verbLine : verbLine.slice(0, sp);
-    const out =
-      verb === "DEFINE"
-        ? handleDefine(body)
-        : verb === "CALLERR"
-          ? await handleCallErr(fname, body)
-          : verb === "CALL" || verb === "CALLTABLE"
-            ? await handleCall(fname, verb === "CALLTABLE", body)
-            : await handleAgg(verb, fname, body);
-    if (out.err) sock.write(`ERR ${out.err}\n`);
-    else sock.write("OK\n" + stringifyBody(out) + "\n");
-  }
+  const dispatch = (verbLine, fname, body) =>
+    enqueue(async () => {
+      const text = await host.request(verbLine, fname, body);
+      const verb = verbLine.split(" ", 1)[0];
+      if (verb === "DEFINE" && text.startsWith("OK")) host.defines.push(body);
+      sock.write(text);
+    });
 
   sock.on("data", (chunk) => {
     buf += chunk.toString("utf8");
@@ -392,48 +538,22 @@ function serve(sock) {
         } catch (e) {
           // through the chain too — a synchronous ERR would overtake an
           // in-flight async response and desync the lockstep framing
-          enqueue(() => sock.write(`ERR bad json body: ${e.message}\n`));
+          enqueue(() => sock.write(errLine({ name: "SyntaxError", message: `bad json body: ${e.message}` })));
           continue;
         }
-        enqueue(() => respond(fname, verbLine, body));
+        dispatch(verbLine, fname, body);
         continue;
       }
       if (!line) return sock.end();
       const sp = line.indexOf(" ");
       const verb = sp < 0 ? line : line.slice(0, sp);
       const arg = sp < 0 ? "" : line.slice(sp + 1).trim();
-      if (verb === "VERSION") {
-        enqueue(() => sock.write(`OK\n${PROTOCOL_VERSION}\n\n`));
-      } else if (verb === "LIST") {
-        enqueue(() => {
-          sock.write("OK\n");
-          const sigs = [];
-          for (const m of [SCALARS, TABLES, AGGS])
-            for (const { sig } of m.values()) sigs.push(sig.render());
-          sigs.sort();
-          for (const s of sigs) sock.write(s + "\n");
-          sock.write("\n");
-        });
-      } else if (verb === "GET") {
-        enqueue(() => {
-          const hits = [];
-          for (const m of [SCALARS, TABLES, AGGS]) {
-            const fd = m.get(arg.toLowerCase());
-            if (fd) hits.push(fd.sig.render());
-          }
-          if (!hits.length) sock.write(`ERR no function ${arg}\n`);
-          else sock.write("OK\n" + hits.join("\n") + "\n\n");
-        });
-      } else if (verb === "ACCCREATE") {
-        enqueue(async () => {
-          const out = await handleAgg("ACCCREATE", arg, {});
-          if (out.err) sock.write(`ERR ${out.err}\n`);
-          else sock.write("OK\n" + stringifyBody(out) + "\n");
-        });
-      } else if (BODY_VERBS.has(verb)) {
+      if (BODY_VERBS.has(verb)) {
         pendingCmd = [line, arg]; // body arrives as the next JSON line
+      } else if (verb === "VERSION" || verb === "LIST" || verb === "GET" || verb === "ACCCREATE") {
+        dispatch(line, arg, null);
       } else {
-        enqueue(() => sock.write(`ERR bad command ${line}\n`));
+        enqueue(() => sock.write(errLine(`bad command ${line}`)));
       }
     }
   });
@@ -443,16 +563,19 @@ function serve(sock) {
 function main() {
   const args = process.argv.slice(2);
   let port = 0;
+  let timeoutMs = 30000;
+  const loadFiles = [];
   for (let i = 0; i < args.length; i++) {
     if (args[i] === "--port") port = parseInt(args[++i], 10);
-    else if (args[i] === "--load")
-      // extra user functions: a JS file calling registry.scalar/table/aggregate
-      require("path").resolve(args[++i]) && new Function("registry", require("fs").readFileSync(args[i], "utf8"))(registry);
+    else if (args[i] === "--load") loadFiles.push(require("path").resolve(args[++i]));
+    else if (args[i] === "--call-timeout-ms") timeoutMs = parseInt(args[++i], 10);
   }
-  const srv = net.createServer(serve);
+  const host = new GuestHost(loadFiles, timeoutMs);
+  const srv = net.createServer((sock) => serve(host, sock));
   srv.listen(port, "127.0.0.1", () => {
     process.stdout.write(`PORT ${srv.address().port}\n`);
   });
 }
 
-main();
+if (isMainThread) main();
+else workerMain();

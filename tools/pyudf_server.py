@@ -41,7 +41,8 @@ import threading
 
 import pyarrow as pa
 
-PROTOCOL_VERSION = 3  # lockstep with RemoteProtocol.Version (one deployable unit)
+PROTOCOL_VERSION = 4  # lockstep with RemoteProtocol.Version (one deployable unit)
+# v4: ERR lines may be structured JSON objects; guest deadlines (JS worker)
 EXT_KEY = b"ARROW:extension:name"
 
 # ---------------------------------------------------------------------------
