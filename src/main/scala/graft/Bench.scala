@@ -217,6 +217,47 @@ object Bench {
           .selectExpr("k", "v + d AS x")
           .write.format("noop").mode("overwrite").save()
       },
+      // CDC retraction replay over lineitem rows: every row inserts, then
+      // the l_linenumber=1 slice retracts; the replayed per-key state must
+      // equal the batch aggregate over surviving rows. Capped at 200k source
+      // rows: the driver-side feed (collect + MemoryStream encode) is bench
+      // harness, not operator design — a deployment replays from
+      // Kafka/files; the measured work is flatMapGroupsWithState state
+      // revision across micro-batches.
+      "x_retract_replay_200k" -> { s: SparkSession =>
+        import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+        import graft.streaming.Streaming
+        import s.implicits._
+        implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+        val rows = s.read.parquet(s"$sfDir/lineitem.parquet")
+          .selectExpr("CAST(l_suppkey % 1000 AS STRING) AS key",
+            "l_linenumber = 1 AS doomed", "CAST(l_quantity AS INT) AS v")
+          .limit(200000)
+          .as[(String, Boolean, Int)].collect()
+        val ops = rows.map { case (k, _, v) => Streaming.OpRow(k, op = false, v) } ++
+          rows.collect { case (k, true, v) => Streaming.OpRow(k, op = true, v) }
+        val mem = MemoryStream[Streaming.OpRow]
+        // state-store commits cost per (partition x micro-batch), and 1000
+        // keys need few partitions: 8 keeps the fixed overhead honest while
+        // still exercising the shuffle
+        val oldParts = s.conf.get("spark.sql.shuffle.partitions")
+        s.conf.set("spark.sql.shuffle.partitions", "8")
+        val q = try Streaming.retractingSum(mem.toDS(), new graft.functions.SumAgg)
+          .writeStream.format("memory").queryName("x_retract_replay_200k")
+          .outputMode("update").start()
+        finally s.conf.set("spark.sql.shuffle.partitions", oldParts)
+        try {
+          ops.grouped(math.max(1, ops.length / 4 + 1)).foreach { c =>
+            mem.addData(c.toSeq: _*); q.processAllAvailable()
+          }
+          val got = s.table("x_retract_replay_200k").as[Streaming.KeyResult].collect()
+            .groupBy(_.key).map { case (k, rs) => k -> rs.last.result }
+          val want = rows.filterNot(_._2).groupBy(_._1)
+            .map { case (k, vs) => k -> vs.map(_._3.toLong).sum }
+          require(got == want, s"retraction replay diverged from batch " +
+            s"(got ${got.size} keys, want ${want.size})")
+        } finally q.stop()
+      },
     )
     // Optional substring filter (args) for local iteration on one probe;
     // the driver passes no args and measures everything.

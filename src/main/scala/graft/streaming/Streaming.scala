@@ -259,6 +259,37 @@ object Streaming {
       }
   }
 
+  /**
+   * Stream-side of the bucketed range join (batch:
+   * [[graft.plans.RangeJoin.bucketedRangeJoin]]): streaming points matched
+   * to streaming intervals `[intervalTs, intervalTs + window]` for the same
+   * key.
+   *
+   * No custom state needed — unlike AS-OF ("latest before", which Spark's
+   * join cannot express), a range predicate with a BOUNDED span is exactly
+   * Spark's stream-stream equi + event-time-range join: equality on the key
+   * plus `pointTs BETWEEN intervalTs AND intervalTs + window`. Spark derives
+   * state retention from watermark + window, so per-key join state holds at
+   * most `watermark + window` of rows — the streaming analogue of the batch
+   * operator's bucket-width bound. The bounded span is a REQUIREMENT here
+   * (arbitrary (lo, hi) intervals would leave the state store unbounded);
+   * batch callers with bounded spans get the same shape from bucketing.
+   *
+   * Both inputs need distinct column names and TimestampType event-time
+   * columns. Inner join; append mode emits matches as they are found.
+   */
+  def streamRangeJoin(points: DataFrame, intervals: DataFrame,
+                      pointKey: String, intervalKey: String,
+                      pointTs: String, intervalTs: String,
+                      window: String, watermark: String): DataFrame = {
+    val p = points.withWatermark(pointTs, watermark)
+    val i = intervals.withWatermark(intervalTs, watermark)
+    p.join(i,
+      col(pointKey) === col(intervalKey) &&
+        col(pointTs) >= col(intervalTs) &&
+        col(pointTs) <= col(intervalTs) + expr(s"INTERVAL $window"))
+  }
+
   /** Apply a retractable [[GraftAggregate]] over a keyed CDC stream with
     * `flatMapGroupsWithState`, emitting the revised aggregate per key per
     * micro-batch. */

@@ -293,4 +293,41 @@ class StreamingSpec extends AnyFunSuite {
       assert(res("a") == 7L)
     } finally q.stop()
   }
+
+  test("batch ≡ stream: streamRangeJoin agrees with the bucketed range join") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val W = 3600000L // 1 hour window, matching the batch bucket width
+    val base = 1700000000000L
+    def ts(ms: Long) = new java.sql.Timestamp(ms)
+    // points: boundary hits (exactly lo, exactly lo+W), misses on both
+    // sides, and a key with no interval at all
+    val pointRows = Seq(
+      (1L, 101L, base + 10000L), (1L, 102L, base + W),      // in-window
+      (1L, 103L, base - 5000L), (1L, 104L, base + W + 1L),  // out both sides
+      (2L, 201L, base), (3L, 301L, base + 1000L))           // key 3: no interval
+    val intervalRows = Seq((1L, 901L, base), (2L, 902L, base))
+    // batch oracle over epoch millis with hi = lo + W
+    val bp = pointRows.toDF("user_id", "event_id", "t_ms")
+    val bi = intervalRows.toDF("p_user", "purchase_id", "lo").selectExpr("*", s"lo + $W AS hi")
+    val want = graft.plans.RangeJoin.bucketedRangeJoin(
+        bp, bi, "user_id", "p_user", "t_ms", "lo", "hi", bucketWidth = W)
+      .select("event_id", "purchase_id").as[(Long, Long)].collect().toSet
+    assert(want == Set((101L, 901L), (102L, 901L), (201L, 902L))) // fixture is non-vacuous
+    val pMem = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val iMem = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val joined = Streaming.streamRangeJoin(
+      pMem.toDF().toDF("user_id", "event_id", "ts"),
+      iMem.toDF().toDF("p_user", "purchase_id", "lo_ts"),
+      "user_id", "p_user", "ts", "lo_ts", window = "1 hour", watermark = "10 minutes")
+    val q = joined.select("event_id", "purchase_id").writeStream.format("memory")
+      .queryName("stream_range_join").outputMode(OutputMode.Append()).start()
+    try {
+      pMem.addData(pointRows.map { case (u, e, t) => (u, e, ts(t)) }: _*)
+      iMem.addData(intervalRows.map { case (u, p, l) => (u, p, ts(l)) }: _*)
+      q.processAllAvailable()
+      val got = spark.table("stream_range_join").as[(Long, Long)].collect().toSet
+      assert(got == want, s"stream $got vs batch $want")
+    } finally q.stop()
+  }
 }
