@@ -49,6 +49,7 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val tInit = System.nanoTime()
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -61,10 +62,13 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // warm the session (JIT, codegen, parquet footers) on the smallest query
+    // warm the session (JIT, codegen, parquet footers) on the smallest query;
+    // timed separately so fixed session overhead never blurs per-query
+    // numbers (per-query times below are all steady-state)
     try SparkEntry.queries("q_gcd")(spark, sfDir).write.format("noop")
       .mode("overwrite").save()
     catch { case _: Throwable => }
+    val overheadSec = (System.nanoTime() - tInit) / 1e9
 
     // Pure-engine throughput probes (no table I/O): comparable to the
     // reference's per-batch kernel numbers (BASELINE.md). 100M rows of the
@@ -301,7 +305,10 @@ object Bench {
     }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val totalStr = f"$total%.3f"
-    println(s"""{"metric":"total","value":$totalStr,"unit":"sec","queries":$qs,"reps":$repsJson,"sf":"$sfDir"}""")
+    // session_overhead = SparkSession build + warmup query (paid once per
+    // JVM, amortized to zero on a long-lived cluster); "queries" are
+    // steady-state only
+    println(s"""{"metric":"total","value":$totalStr,"unit":"sec","queries":$qs,"reps":$repsJson,"session_overhead":${f"$overheadSec%.3f"},"sf":"$sfDir"}""")
     spark.stop()
   }
 }
