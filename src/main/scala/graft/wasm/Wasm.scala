@@ -180,7 +180,15 @@ object WasmModule {
 
   /** Decode a binary module. Rejects (with a clear message) the features the
     * interpreter deliberately does not implement. */
-  def decode(binary: Array[Byte]): WasmModule = {
+  def decode(binary: Array[Byte]): WasmModule =
+    // decode recursion is bounded by MaxDecodeDepth, but the headroom above
+    // a deep caller stack is not ours to assume — decode holds no partial
+    // state, so converting an overflow to the same rejection trap is safe
+    try decodeImpl(binary)
+    catch { case _: StackOverflowError =>
+      throw new WasmTrap("block nesting too deep (module rejected)") }
+
+  private def decodeImpl(binary: Array[Byte]): WasmModule = {
     val r = new ByteReader(binary)
     if (r.u32() != 0x6D736100) throw new WasmTrap("not a wasm binary (bad magic)")
     if (r.u32() != 1) throw new WasmTrap("unsupported wasm version (want 1)")
@@ -398,9 +406,11 @@ object WasmModule {
 
   /** Nesting cap for decode-time recursion: a hostile module is 2 bytes per
     * `block` level, so without a cap ~100 KiB of input overflows the JVM
-    * stack (an Error, which escapes error-column containment). Far above any
-    * real module's nesting. */
-  private final val MaxDecodeDepth = 1000
+    * stack (an Error, which escapes error-column containment). 512 is far
+    * above any real module's nesting while leaving stack headroom even when
+    * decode is entered from a deep caller (the SOE backstop in [[decode]]
+    * covers the rest). */
+  private final val MaxDecodeDepth = 512
 
   /** Decode an instruction sequence up to `end` (0x0B) — or, inside an `if`,
     * up to `else` (0x05). Returns (instructions, endedWithElse). */
