@@ -181,6 +181,15 @@ object SparkEntry {
         |FROM (SELECT l_orderkey, l_linenumber, CAST(l_linenumber AS BIGINT) AS n FROM lineitem)
         |LATERAL VIEW wasm_divisors(n) t AS d
         |ORDER BY l_orderkey, l_linenumber, d""".stripMargin) _,
+    // funcref-table dispatch: a passive element segment seeds the table via
+    // table.init in the module's START function, and the kernel picks
+    // add/sub/mul through call_indirect — the compiled function-pointer
+    // shape real cdylibs use
+    "q_wasm_dispatch" -> q(
+      """SELECT l_orderkey, l_linenumber,
+        |       wasm_sel(CAST(l_orderkey % 3 AS BIGINT), CAST(l_quantity AS BIGINT),
+        |                CAST(l_linenumber AS BIGINT)) AS r
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin) _,
     // wasm div-by-zero traps surface on the error column, never fail the task
     "q_wasm_div_error" -> q(
       """SELECT l_orderkey, l_linenumber, d.value AS div_value, d.error AS div_error
@@ -1037,6 +1046,13 @@ object SparkEntry {
         |       CASE WHEN l_suppkey % 7 = 0 THEN 'integer divide by zero' END AS div_error
         |FROM lineitem
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q_wasm_dispatch" ->
+      """SELECT l_orderkey, l_linenumber,
+        |       CAST(CASE l_orderkey % 3
+        |         WHEN 0 THEN CAST(l_quantity AS BIGINT) + l_linenumber
+        |         WHEN 1 THEN CAST(l_quantity AS BIGINT) - l_linenumber
+        |         ELSE CAST(l_quantity AS BIGINT) * l_linenumber END AS BIGINT) AS r
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
     "q_remote_map" ->
       """SELECT l_orderkey, l_linenumber,
         |       '{"rf":"' || l_returnflag || '","ls":"' || l_linestatus || '"}' AS mj

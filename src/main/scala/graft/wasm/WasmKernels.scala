@@ -201,6 +201,29 @@ object WasmKernels {
       memorySize, i64ExtendI32U),
       exportAs = Some("probe_oom")) // grows until the configured cap, then stops
 
+    // Table-dispatched operator select — the compiled function-pointer /
+    // trait-object shape (kernels compiled from Rust dispatch through the
+    // funcref table the same way): a PASSIVE element segment seeds the table
+    // via table.init in the START function (LLVM's __wasm_call_ctors shape),
+    // and wasm_sel picks add/sub/mul by index through call_indirect.
+    val selTy = b.typeIdx(Seq(i64, i64), Seq(i64))
+    val addF = b.func(Seq(i64, i64), Seq(i64), Seq.empty,
+      concat(localGet(0), localGet(1), i64Add))
+    val subF = b.func(Seq(i64, i64), Seq(i64), Seq.empty,
+      concat(localGet(0), localGet(1), i64Sub))
+    val mulF = b.func(Seq(i64, i64), Seq(i64), Seq.empty,
+      concat(localGet(0), localGet(1), i64Mul))
+    b.table(3, Some(3))
+    val opsSeg = b.elemPassive(Seq(addF, subF, mulF))
+    val ctor = b.func(Seq.empty, Seq.empty, Seq.empty, concat(
+      i32Const(0), i32Const(0), i32Const(3), tableInit(opsSeg)))
+    b.start(ctor)
+    b.func(Seq(i64, i64, i64), Seq(i64), Seq.empty, concat(
+      localGet(1), localGet(2),
+      localGet(0), i64Const(3), i64RemU, i32WrapI64,
+      callIndirect(selTy)),
+      exportAs = Some(WasmUdf.exportName("wasm_sel(bigint,bigint,bigint) -> bigint")))
+
     // a module-level constant through a global, exercised by the spec
     b.global(i64, mutable = false, i64Const(42L), exportAs = Some("answer"))
 
