@@ -784,6 +784,46 @@ object SparkEntry {
         |        > (SELECT sum(CAST(ROUND(l3.l_quantity * 100) AS BIGINT)) * 4
         |           FROM lineitem l3 WHERE l3.l_partkey = l.l_partkey))
         |ORDER BY s.s_suppkey""".stripMargin) _,
+    // Q4-style: EXISTS semi-join with a correlated date predicate (adapted:
+    // this dataset has no commit/receipt dates, so "late" = shipped > 60
+    // days after the order date)
+    "q4_order_priority" -> q(
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders o
+        |WHERE o.o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+        |  AND o.o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        |  AND EXISTS (SELECT 1 FROM lineitem l
+        |              WHERE l.l_orderkey = o.o_orderkey
+        |                AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin) _,
+    // Q6-style: single-scan filter + aggregate; the plan should be a scan
+    // with pushed predicates and a partial/final agg, no shuffle of rows
+    "q6_revenue" -> q(
+      """SELECT CAST(sum(CAST(ROUND(l_extendedprice * l_discount * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_discount BETWEEN 0.02 AND 0.08 AND l_quantity < 24""".stripMargin) _,
+    // Q10-style: returned-item revenue per customer (4-way join + top-k)
+    "q10_returned" -> q(
+      """SELECT c.c_custkey, c.c_name, n.n_name,
+        |       sum(CAST(ROUND(l.l_extendedprice * (1.0 - l.l_discount) * 100) AS BIGINT)) AS rev_cents
+        |FROM customer c
+        |JOIN orders o ON c.c_custkey = o.o_custkey
+        |JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        |JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |WHERE l.l_returnflag = 'R'
+        |GROUP BY c.c_custkey, c.c_name, n.n_name
+        |ORDER BY rev_cents DESC, c_custkey LIMIT 20""".stripMargin) _,
+    // Q14-style: conditional aggregation over a fact-dim join
+    "q14_promo" -> q(
+      """SELECT sum(CASE WHEN p.p_type LIKE 'PROMO%'
+        |                THEN CAST(ROUND(l.l_extendedprice * (1.0 - l.l_discount) * 100) AS BIGINT)
+        |                ELSE 0 END) AS promo_cents,
+        |       sum(CAST(ROUND(l.l_extendedprice * (1.0 - l.l_discount) * 100) AS BIGINT)) AS total_cents
+        |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        |WHERE l.l_shipdate >= TIMESTAMP '1995-06-01 00:00:00'
+        |  AND l.l_shipdate < TIMESTAMP '1996-01-01 00:00:00'""".stripMargin) _,
     "q_topk" -> q(
       """SELECT o_orderkey, CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
         |FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin) _,
@@ -1569,6 +1609,39 @@ object SparkEntry {
         |        > (SELECT CAST(sum(CAST(ROUND(l3.l_quantity * 100) AS BIGINT)) AS BIGINT) * 4
         |           FROM lineitem l3 WHERE l3.l_partkey = l.l_partkey))
         |ORDER BY s.s_suppkey""".stripMargin,
+    "q4_order_priority" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+        |FROM orders o
+        |WHERE o.o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+        |  AND o.o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        |  AND EXISTS (SELECT 1 FROM lineitem l
+        |              WHERE l.l_orderkey = o.o_orderkey
+        |                AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q6_revenue" ->
+      """SELECT CAST(sum(CAST(ROUND(l_extendedprice * l_discount * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_discount BETWEEN 0.02 AND 0.08 AND l_quantity < 24""".stripMargin,
+    "q10_returned" ->
+      """SELECT c.c_custkey, c.c_name, n.n_name,
+        |       CAST(sum(CAST(ROUND(l.l_extendedprice * (1.0 - l.l_discount) * 100) AS BIGINT)) AS BIGINT) AS rev_cents
+        |FROM customer c
+        |JOIN orders o ON c.c_custkey = o.o_custkey
+        |JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        |JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |WHERE l.l_returnflag = 'R'
+        |GROUP BY c.c_custkey, c.c_name, n.n_name
+        |ORDER BY rev_cents DESC, c_custkey LIMIT 20""".stripMargin,
+    "q14_promo" ->
+      """SELECT CAST(sum(CASE WHEN p.p_type LIKE 'PROMO%'
+        |                     THEN CAST(ROUND(l.l_extendedprice * (1.0 - l.l_discount) * 100) AS BIGINT)
+        |                     ELSE 0 END) AS BIGINT) AS promo_cents,
+        |       CAST(sum(CAST(ROUND(l.l_extendedprice * (1.0 - l.l_discount) * 100) AS BIGINT)) AS BIGINT) AS total_cents
+        |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        |WHERE l.l_shipdate >= TIMESTAMP '1995-06-01 00:00:00'
+        |  AND l.l_shipdate < TIMESTAMP '1996-01-01 00:00:00'""".stripMargin,
     "q_topk" ->
       """SELECT o_orderkey, CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
         |FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
