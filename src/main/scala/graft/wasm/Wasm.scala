@@ -119,7 +119,15 @@ final case class FuncType(params: Array[Byte], results: Array[Byte]) {
     java.util.Arrays.equals(params, o.params) &&
       java.util.Arrays.equals(results, o.results)
 }
-final case class FuncDef(typeIdx: Int, locals: Array[Byte], body: Array[Insn])
+final case class FuncDef(typeIdx: Int, locals: Array[Byte], body: Array[Insn]) {
+  /** Indices (into `locals`) of reference-typed locals: their default value
+    * is null (-1), not 0 — a 0 default would silently alias func index 0.
+    * Precomputed so the per-call init loop is free for the usual case. */
+  @transient lazy val refLocals: Array[Int] =
+    locals.zipWithIndex.collect {
+      case (t, i) if t == 0x70 || t == 0x6F => i
+    }
+}
 final case class GlobalDef(valType: Byte, mutable: Boolean, init: Array[Insn])
 final case class Export(name: String, kind: Int, idx: Int)
 /** `passive` segments are not copied at instantiation; `memory.init` reads

@@ -206,6 +206,10 @@ final class WasmInstance(val module: WasmModule, val config: WasmConfig) {
     val locals = new Array[Long](nParams + fd.locals.length)
     var i = nParams - 1
     while (i >= 0) { locals(i) = pop(); i -= 1 }
+    // reference-typed locals default to NULL (-1), not 0
+    val rl = fd.refLocals
+    var k = 0
+    while (k < rl.length) { locals(nParams + rl(k)) = -1L; k += 1 }
     val base = sp
     val r = exec(fd.body, locals)
     // normalize the frame: keep the declared results, discard the rest

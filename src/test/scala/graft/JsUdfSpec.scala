@@ -265,6 +265,12 @@ class JsUdfSpec extends AnyFunSuite {
       val e2 = intercept[RuntimeException](client.call("stuck", IntegerType, Seq(Seq(1))))
       assert(e2.getMessage.contains("TimeoutError"), e2.getMessage)
       assert(client.call("keeper", IntegerType, Seq(Seq(1))) == Seq(2))
+      // a guest killing its own thread (process.exit) is detected by the
+      // exit watcher, not just the deadline, and the host recovers
+      client.define("scalar", "die(int) -> int", "(x) => process.exit(0)")
+      val e3 = intercept[RuntimeException](client.call("die", IntegerType, Seq(Seq(1))))
+      assert(e3.getMessage.contains("WorkerExit") || e3.getMessage.contains("TimeoutError"), e3.getMessage)
+      assert(client.call("keeper", IntegerType, Seq(Seq(2))) == Seq(3))
     } finally { client.close(); proc.destroy() }
   }
 

@@ -617,6 +617,14 @@ class WasmSpec extends AnyFunSuite {
       .getMessage.contains("table.init"))
   }
 
+  test("funcref locals default to null, not func index 0") {
+    val b = new WasmBuilder
+    b.func(Seq.empty, Seq(i64), Seq(funcref), concat(
+      localGet(0), refIsNull, i64ExtendI32U), exportAs = Some("lnull"))
+    val inst = new WasmInstance(WasmModule.decode(b.build()), WasmConfig())
+    assert(inst.invoke("lnull", Array.empty) == 1L)
+  }
+
   test("passive data: memory.init copies on demand; data.drop releases") {
     val b = new WasmBuilder
     b.memory(1)

@@ -462,6 +462,15 @@ class GuestHost {
       this.failAll({ name: "WorkerError", message: (e && e.message) || String(e) });
       this.spawn();
     });
+    // a guest calling process.exit() kills the worker thread without an
+    // 'error' event — without this, pending calls would hang forever when
+    // the deadline is disabled
+    const w = this.worker;
+    w.on("exit", () => {
+      if (this.worker !== w) return; // superseded by a respawn we initiated
+      this.failAll({ name: "WorkerExit", message: "guest worker exited unexpectedly; respawned" });
+      this.spawn();
+    });
   }
 
   request(verbLine, fname, body) {
