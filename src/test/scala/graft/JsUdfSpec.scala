@@ -243,9 +243,15 @@ class JsUdfSpec extends AnyFunSuite {
 
   test("per-call deadline: stuck sync and async calls are terminated; defines survive the respawn") {
     // dedicated worker with a short deadline — the pool workers keep the
-    // default and must not be restarted under other tests
+    // default and must not be restarted under other tests. The --load file
+    // is TRUSTED (full privileges), unlike wire-shipped DEFINEs.
+    val loadFile = java.io.File.createTempFile("graftjs", ".js")
+    loadFile.deleteOnExit()
+    java.nio.file.Files.writeString(loadFile.toPath,
+      """registry.scalar("die_trusted(int) -> int", (x) => process.exit(0));""")
     val script = new java.io.File(sys.props("user.dir"), "tools/jsudf_server.js").getAbsolutePath
-    val proc = new ProcessBuilder("node", script, "--port", "0", "--call-timeout-ms", "500")
+    val proc = new ProcessBuilder("node", script, "--port", "0", "--call-timeout-ms", "500",
+        "--load", loadFile.getAbsolutePath)
       .redirectError(ProcessBuilder.Redirect.INHERIT).start()
     val br = new java.io.BufferedReader(new java.io.InputStreamReader(proc.getInputStream))
     val portLine = br.readLine()
@@ -265,12 +271,18 @@ class JsUdfSpec extends AnyFunSuite {
       val e2 = intercept[RuntimeException](client.call("stuck", IntegerType, Seq(Seq(1))))
       assert(e2.getMessage.contains("TimeoutError"), e2.getMessage)
       assert(client.call("keeper", IntegerType, Seq(Seq(1))) == Seq(2))
-      // a guest killing its own thread (process.exit) is detected by the
-      // exit watcher, not just the deadline, and the host recovers
+      // wire-shipped DEFINEs evaluate in a vm context without process /
+      // require: a hostile define degrades to a per-row error (null), the
+      // worker stays up
       client.define("scalar", "die(int) -> int", "(x) => process.exit(0)")
-      val e3 = intercept[RuntimeException](client.call("die", IntegerType, Seq(Seq(1))))
+      assert(client.call("die", IntegerType, Seq(Seq(1))) == Seq(null))
+      // ...but a TRUSTED --load function CAN kill the worker thread; the
+      // exit watcher fails the call fast and respawns (load file re-applied,
+      // DEFINE log replayed)
+      val e3 = intercept[RuntimeException](client.call("die_trusted", IntegerType, Seq(Seq(1))))
       assert(e3.getMessage.contains("WorkerExit") || e3.getMessage.contains("TimeoutError"), e3.getMessage)
       assert(client.call("keeper", IntegerType, Seq(Seq(2))) == Seq(3))
+      assert(client.call("die", IntegerType, Seq(Seq(1))) == Seq(null)) // define replayed too
     } finally { client.close(); proc.destroy() }
   }
 

@@ -43,6 +43,10 @@
  * (built-ins re-created, DEFINE'd functions replayed from the main-thread
  * log); the stuck call resolves to ERR {"name":"TimeoutError",...}. Other
  * in-flight calls fail with {"name":"WorkerRestart",...} rather than hang.
+ * Wire-shipped DEFINE source additionally evaluates in a vm context with
+ * language built-ins + deliberate capabilities (fetch, timers) but no
+ * process/require — a privilege cut (not a hard boundary; Node vm caveat)
+ * so hostile defines degrade to per-row errors. --load files are trusted.
  *
  * Usage: node tools/jsudf_server.js --port 0 [--load extra_funcs.js]
  *        [--call-timeout-ms 30000]
@@ -331,6 +335,32 @@ async function handleAgg(verb, fname, body) {
 
 const BODY_VERBS = new Set(["CALL", "CALLERR", "CALLTABLE", "ACC", "ACCRETRACT", "ACCMERGE", "ACCFINISH", "DEFINE"]);
 
+// Evaluation context for DEFINE'd (wire-shipped) source: language built-ins
+// plus deliberate capabilities (fetch, timers) — no `process`, no `require`,
+// no worker internals. Node's vm is NOT a hard security boundary (documented
+// caveat); this is a privilege cut so a hostile define degrades to per-row
+// errors instead of reaching the host. Built-ins and --load files are
+// trusted and keep full access.
+let guestCtx = null;
+function guestContext() {
+  if (!guestCtx) {
+    const vm = require("vm");
+    const g = {
+      Math, JSON, BigInt, Number, String, Array, Object, Boolean, Date,
+      parseInt, parseFloat, isNaN, isFinite, RegExp, Error, TypeError,
+      RangeError, SyntaxError, EvalError, URIError, Promise, Symbol, Map,
+      Set, WeakMap, WeakSet, Uint8Array, Int32Array, Float64Array,
+      ArrayBuffer, TextEncoder, TextDecoder, encodeURIComponent,
+      decodeURIComponent, setTimeout, clearTimeout, setImmediate,
+      fetch: typeof fetch === "function" ? fetch : undefined,
+      console: { log: () => {}, error: () => {} },
+    };
+    g.globalThis = g;
+    guestCtx = vm.createContext(g);
+  }
+  return guestCtx;
+}
+
 // Dynamic registration from source — the reference's Runtime.add_function
 // surface (javascript/mod.rs add_function: name + type + JS code shipped at
 // runtime). body: {kind: "scalar"|"table"|"aggregate", sig, code} where
@@ -340,7 +370,9 @@ function handleDefine(body) {
   const { kind, sig, code } = body;
   let value;
   try {
-    value = new Function(`"use strict"; return (${code});`)();
+    // compile deadline only — runtime deadlines come from the worker-thread
+    // terminate path
+    value = require("vm").runInContext(`"use strict"; (${code})`, guestContext(), { timeout: 5000 });
   } catch (e) {
     return { err: `define failed: ${e.constructor ? e.constructor.name : "Error"}: ${e.message}` };
   }
