@@ -824,6 +824,153 @@ object SparkEntry {
         |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
         |WHERE l.l_shipdate >= TIMESTAMP '1995-06-01 00:00:00'
         |  AND l.l_shipdate < TIMESTAMP '1996-01-01 00:00:00'""".stripMargin) _,
+    // Q8-style: a nation's share of regional volume per order year. Share is
+    // reported as exact (numerator, denominator) cents rather than a float
+    // ratio so the oracle compare stays bit-exact.
+    "q8_market_share" -> q(
+      """SELECT CAST(year(o.o_orderdate) AS INT) AS o_year,
+        |       sum(CASE WHEN n1.n_name = 'NATION_5'
+        |                THEN CAST(ROUND(l.l_extendedprice * (1.0 - l.l_discount) * 100) AS BIGINT)
+        |                ELSE 0 END) AS nation_cents,
+        |       sum(CAST(ROUND(l.l_extendedprice * (1.0 - l.l_discount) * 100) AS BIGINT)) AS region_cents
+        |FROM lineitem l
+        |JOIN part p ON p.p_partkey = l.l_partkey
+        |JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        |JOIN nation n1 ON n1.n_nationkey = s.s_nationkey
+        |JOIN orders o ON o.o_orderkey = l.l_orderkey
+        |JOIN customer c ON c.c_custkey = o.o_custkey
+        |JOIN nation n2 ON n2.n_nationkey = c.c_nationkey
+        |JOIN region r ON r.r_regionkey = n2.n_regionkey
+        |WHERE r.r_name = 'ASIA' AND p.p_type = 'STANDARD'
+        |GROUP BY year(o.o_orderdate) ORDER BY o_year""".stripMargin) _,
+    // Q9-style: per-nation per-year profit. No partsupp table in this
+    // dataset, so supply cost is proxied by p_retailprice; all terms are
+    // exact integers in 1e-4 currency units.
+    "q9_profit" -> q(
+      """SELECT n.n_name AS nation, CAST(year(o.o_orderdate) AS INT) AS o_year,
+        |       sum(CAST(ROUND(l.l_extendedprice * (1.0 - l.l_discount) * 10000) AS BIGINT)
+        |           - CAST(ROUND(p.p_retailprice * 100) AS BIGINT)
+        |             * CAST(ROUND(l.l_quantity * 100) AS BIGINT)) AS profit_e4
+        |FROM lineitem l
+        |JOIN part p ON p.p_partkey = l.l_partkey AND p.p_name LIKE '%widget%'
+        |JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        |JOIN nation n ON n.n_nationkey = s.s_nationkey
+        |JOIN orders o ON o.o_orderkey = l.l_orderkey
+        |GROUP BY n.n_name, year(o.o_orderdate)
+        |ORDER BY nation, o_year DESC""".stripMargin) _,
+    // Q11-style: parts whose value (revenue through one nation's suppliers)
+    // exceeds a fixed share of a two-nation supplier set's total — HAVING over an
+    // uncorrelated scalar aggregate subquery, integer-exact (share > 1/800).
+    "q11_important_value" -> q(
+      """SELECT l.l_partkey,
+        |       sum(CAST(ROUND(l.l_extendedprice * (1.0 - l.l_discount) * 100) AS BIGINT)) AS value_cents
+        |FROM lineitem l
+        |JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        |JOIN nation n ON n.n_nationkey = s.s_nationkey
+        |WHERE n.n_name IN ('NATION_15', 'NATION_19')
+        |GROUP BY l.l_partkey
+        |HAVING sum(CAST(ROUND(l.l_extendedprice * (1.0 - l.l_discount) * 100) AS BIGINT)) * 800
+        |     > (SELECT sum(CAST(ROUND(l2.l_extendedprice * (1.0 - l2.l_discount) * 100) AS BIGINT))
+        |        FROM lineitem l2
+        |        JOIN supplier s2 ON s2.s_suppkey = l2.l_suppkey
+        |        JOIN nation n2 ON n2.n_nationkey = s2.s_nationkey
+        |        WHERE n2.n_name IN ('NATION_15', 'NATION_19'))
+        |ORDER BY value_cents DESC, l_partkey""".stripMargin) _,
+    // Q12-style: priority mix by shipping speed. No l_shipmode column, so
+    // the mode bucket is derived from ship latency vs the order date.
+    "q12_ship_priority" -> q(
+      """SELECT CASE WHEN l.l_shipdate >= o.o_orderdate + INTERVAL 60 DAY
+        |            THEN 'SLOW' ELSE 'FAST' END AS ship_bucket,
+        |       sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
+        |       sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS low_line_count
+        |FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        |WHERE l.l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+        |  AND l.l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        |GROUP BY 1 ORDER BY ship_bucket""".stripMargin) _,
+    // Q15-style: top supplier by half-year revenue — CTE reused twice, with
+    // the max taken via an uncorrelated scalar subquery over the same CTE.
+    "q15_top_supplier" -> q(
+      """WITH revenue AS (
+        |  SELECT l_suppkey AS supplier_no,
+        |         sum(CAST(ROUND(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)) AS total_rev_cents
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+        |    AND l_shipdate < TIMESTAMP '1995-07-01 00:00:00'
+        |  GROUP BY l_suppkey)
+        |SELECT s.s_suppkey, s.s_name, r.total_rev_cents
+        |FROM supplier s JOIN revenue r ON s.s_suppkey = r.supplier_no
+        |WHERE r.total_rev_cents = (SELECT max(total_rev_cents) FROM revenue)
+        |ORDER BY s.s_suppkey""".stripMargin) _,
+    // Q16-style: distinct supplier counts per (brand, type, size) with an
+    // anti-membership NOT IN subquery. partsupp is proxied by lineitem.
+    "q16_supplier_cnt" -> q(
+      """SELECT p.p_brand, p.p_type, p.p_size,
+        |       count(DISTINCT l.l_suppkey) AS supplier_cnt
+        |FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        |WHERE p.p_brand <> 'Brand#13' AND p.p_type NOT LIKE 'PROMO%'
+        |  AND p.p_size IN (1, 4, 7, 10, 13, 16, 19, 22)
+        |  AND l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_nationkey IN (0, 1, 2))
+        |GROUP BY p.p_brand, p.p_type, p.p_size
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin) _,
+    // Q18-style: large-quantity orders — IN over a grouped HAVING subquery,
+    // then re-aggregated with the customer attached.
+    "q18_large_orders" -> q(
+      """SELECT c.c_name, c.c_custkey, o.o_orderkey,
+        |       CAST(ROUND(o.o_totalprice * 100) AS BIGINT) AS total_cents,
+        |       sum(CAST(ROUND(l.l_quantity * 100) AS BIGINT)) AS sum_qty_cents
+        |FROM customer c
+        |JOIN orders o ON c.c_custkey = o.o_custkey
+        |JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        |WHERE o.o_orderkey IN (
+        |  SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+        |  HAVING sum(CAST(ROUND(l_quantity * 100) AS BIGINT)) > 25000)
+        |GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_totalprice
+        |ORDER BY total_cents DESC, o_orderkey LIMIT 100""".stripMargin) _,
+    // Q19-style: disjunction of brand/size/quantity bands — exercises OR'd
+    // mixed join+filter predicates that cannot be pushed as one conjunct.
+    "q19_discounted" -> q(
+      """SELECT sum(CAST(ROUND(l.l_extendedprice * (1.0 - l.l_discount) * 100) AS BIGINT)) AS revenue_cents
+        |FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        |WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 15
+        |       AND l.l_quantity >= 1 AND l.l_quantity <= 20)
+        |   OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 25
+        |       AND l.l_quantity >= 10 AND l.l_quantity <= 30)
+        |   OR (p.p_brand = 'Brand#24' AND p.p_size BETWEEN 1 AND 35
+        |       AND l.l_quantity >= 20 AND l.l_quantity <= 40)""".stripMargin) _,
+    // Q21-style: suppliers who were the ONLY late shipper in a
+    // multi-supplier finished order. No commit/receipt dates, so "late" =
+    // shipped >60 days after order date. EXISTS + NOT EXISTS decorrelation
+    // with a non-equi correlated predicate.
+    "q21_waiting" -> q(
+      """SELECT s.s_name, count(*) AS numwait
+        |FROM supplier s
+        |JOIN lineitem l1 ON l1.l_suppkey = s.s_suppkey
+        |JOIN orders o ON o.o_orderkey = l1.l_orderkey
+        |WHERE o.o_orderstatus = 'F'
+        |  AND l1.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+        |  AND EXISTS (SELECT 1 FROM lineitem l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |                  WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+        |                    AND l3.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+        |GROUP BY s.s_name ORDER BY numwait DESC, s_name LIMIT 100""".stripMargin) _,
+    // Q22-style: wealthy customers with no recent orders. Every customer
+    // here has SOME order, so the anti-join is date-bounded; the "above
+    // average balance" cut is integer-exact (bal*count > sum).
+    "q22_idle_wealthy" -> q(
+      """SELECT c.c_nationkey AS cntrycode, count(*) AS numcust,
+        |       sum(CAST(ROUND(c.c_acctbal * 100) AS BIGINT)) AS totacctbal_cents
+        |FROM customer c
+        |WHERE c.c_nationkey IN (1, 3, 5, 7, 9)
+        |  AND CAST(ROUND(c.c_acctbal * 100) AS BIGINT)
+        |      * (SELECT count(*) FROM customer c2
+        |         WHERE c2.c_acctbal > 0 AND c2.c_nationkey IN (1, 3, 5, 7, 9))
+        |    > (SELECT sum(CAST(ROUND(c3.c_acctbal * 100) AS BIGINT)) FROM customer c3
+        |       WHERE c3.c_acctbal > 0 AND c3.c_nationkey IN (1, 3, 5, 7, 9))
+        |  AND NOT EXISTS (SELECT 1 FROM orders o
+        |                  WHERE o.o_custkey = c.c_custkey
+        |                    AND o.o_orderdate >= TIMESTAMP '1999-01-01 00:00:00')
+        |GROUP BY c.c_nationkey ORDER BY cntrycode""".stripMargin) _,
     "q_topk" -> q(
       """SELECT o_orderkey, CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
         |FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin) _,
@@ -1642,6 +1789,127 @@ object SparkEntry {
         |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
         |WHERE l.l_shipdate >= TIMESTAMP '1995-06-01 00:00:00'
         |  AND l.l_shipdate < TIMESTAMP '1996-01-01 00:00:00'""".stripMargin,
+    "q8_market_share" ->
+      """SELECT CAST(year(o.o_orderdate) AS INT) AS o_year,
+        |       CAST(sum(CASE WHEN n1.n_name = 'NATION_5'
+        |                     THEN CAST(ROUND(l.l_extendedprice * (1.0 - l.l_discount) * 100) AS BIGINT)
+        |                     ELSE 0 END) AS BIGINT) AS nation_cents,
+        |       CAST(sum(CAST(ROUND(l.l_extendedprice * (1.0 - l.l_discount) * 100) AS BIGINT)) AS BIGINT) AS region_cents
+        |FROM lineitem l
+        |JOIN part p ON p.p_partkey = l.l_partkey
+        |JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        |JOIN nation n1 ON n1.n_nationkey = s.s_nationkey
+        |JOIN orders o ON o.o_orderkey = l.l_orderkey
+        |JOIN customer c ON c.c_custkey = o.o_custkey
+        |JOIN nation n2 ON n2.n_nationkey = c.c_nationkey
+        |JOIN region r ON r.r_regionkey = n2.n_regionkey
+        |WHERE r.r_name = 'ASIA' AND p.p_type = 'STANDARD'
+        |GROUP BY year(o.o_orderdate) ORDER BY o_year""".stripMargin,
+    "q9_profit" ->
+      """SELECT n.n_name AS nation, CAST(year(o.o_orderdate) AS INT) AS o_year,
+        |       CAST(sum(CAST(ROUND(l.l_extendedprice * (1.0 - l.l_discount) * 10000) AS BIGINT)
+        |                - CAST(ROUND(p.p_retailprice * 100) AS BIGINT)
+        |                  * CAST(ROUND(l.l_quantity * 100) AS BIGINT)) AS BIGINT) AS profit_e4
+        |FROM lineitem l
+        |JOIN part p ON p.p_partkey = l.l_partkey AND p.p_name LIKE '%widget%'
+        |JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        |JOIN nation n ON n.n_nationkey = s.s_nationkey
+        |JOIN orders o ON o.o_orderkey = l.l_orderkey
+        |GROUP BY n.n_name, year(o.o_orderdate)
+        |ORDER BY nation, o_year DESC""".stripMargin,
+    "q11_important_value" ->
+      """SELECT l.l_partkey,
+        |       CAST(sum(CAST(ROUND(l.l_extendedprice * (1.0 - l.l_discount) * 100) AS BIGINT)) AS BIGINT) AS value_cents
+        |FROM lineitem l
+        |JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        |JOIN nation n ON n.n_nationkey = s.s_nationkey
+        |WHERE n.n_name IN ('NATION_15', 'NATION_19')
+        |GROUP BY l.l_partkey
+        |HAVING sum(CAST(ROUND(l.l_extendedprice * (1.0 - l.l_discount) * 100) AS BIGINT)) * 800
+        |     > (SELECT sum(CAST(ROUND(l2.l_extendedprice * (1.0 - l2.l_discount) * 100) AS BIGINT))
+        |        FROM lineitem l2
+        |        JOIN supplier s2 ON s2.s_suppkey = l2.l_suppkey
+        |        JOIN nation n2 ON n2.n_nationkey = s2.s_nationkey
+        |        WHERE n2.n_name IN ('NATION_15', 'NATION_19'))
+        |ORDER BY value_cents DESC, l_partkey""".stripMargin,
+    "q12_ship_priority" ->
+      """SELECT CASE WHEN l.l_shipdate >= o.o_orderdate + INTERVAL 60 DAY
+        |            THEN 'SLOW' ELSE 'FAST' END AS ship_bucket,
+        |       CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |       CAST(sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+        |FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        |WHERE l.l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+        |  AND l.l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        |GROUP BY 1 ORDER BY ship_bucket""".stripMargin,
+    "q15_top_supplier" ->
+      """WITH revenue AS (
+        |  SELECT l_suppkey AS supplier_no,
+        |         CAST(sum(CAST(ROUND(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS total_rev_cents
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+        |    AND l_shipdate < TIMESTAMP '1995-07-01 00:00:00'
+        |  GROUP BY l_suppkey)
+        |SELECT s.s_suppkey, s.s_name, r.total_rev_cents
+        |FROM supplier s JOIN revenue r ON s.s_suppkey = r.supplier_no
+        |WHERE r.total_rev_cents = (SELECT max(total_rev_cents) FROM revenue)
+        |ORDER BY s.s_suppkey""".stripMargin,
+    "q16_supplier_cnt" ->
+      """SELECT p.p_brand, p.p_type, p.p_size,
+        |       CAST(count(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+        |FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        |WHERE p.p_brand <> 'Brand#13' AND p.p_type NOT LIKE 'PROMO%'
+        |  AND p.p_size IN (1, 4, 7, 10, 13, 16, 19, 22)
+        |  AND l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_nationkey IN (0, 1, 2))
+        |GROUP BY p.p_brand, p.p_type, p.p_size
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
+    "q18_large_orders" ->
+      """SELECT c.c_name, c.c_custkey, o.o_orderkey,
+        |       CAST(ROUND(o.o_totalprice * 100) AS BIGINT) AS total_cents,
+        |       CAST(sum(CAST(ROUND(l.l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_qty_cents
+        |FROM customer c
+        |JOIN orders o ON c.c_custkey = o.o_custkey
+        |JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        |WHERE o.o_orderkey IN (
+        |  SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+        |  HAVING sum(CAST(ROUND(l_quantity * 100) AS BIGINT)) > 25000)
+        |GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_totalprice
+        |ORDER BY total_cents DESC, o_orderkey LIMIT 100""".stripMargin,
+    "q19_discounted" ->
+      """SELECT CAST(sum(CAST(ROUND(l.l_extendedprice * (1.0 - l.l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
+        |FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        |WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 15
+        |       AND l.l_quantity >= 1 AND l.l_quantity <= 20)
+        |   OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 25
+        |       AND l.l_quantity >= 10 AND l.l_quantity <= 30)
+        |   OR (p.p_brand = 'Brand#24' AND p.p_size BETWEEN 1 AND 35
+        |       AND l.l_quantity >= 20 AND l.l_quantity <= 40)""".stripMargin,
+    "q21_waiting" ->
+      """SELECT s.s_name, CAST(count(*) AS BIGINT) AS numwait
+        |FROM supplier s
+        |JOIN lineitem l1 ON l1.l_suppkey = s.s_suppkey
+        |JOIN orders o ON o.o_orderkey = l1.l_orderkey
+        |WHERE o.o_orderstatus = 'F'
+        |  AND l1.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+        |  AND EXISTS (SELECT 1 FROM lineitem l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |                  WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+        |                    AND l3.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+        |GROUP BY s.s_name ORDER BY numwait DESC, s_name LIMIT 100""".stripMargin,
+    "q22_idle_wealthy" ->
+      """SELECT c.c_nationkey AS cntrycode, CAST(count(*) AS BIGINT) AS numcust,
+        |       CAST(sum(CAST(ROUND(c.c_acctbal * 100) AS BIGINT)) AS BIGINT) AS totacctbal_cents
+        |FROM customer c
+        |WHERE c.c_nationkey IN (1, 3, 5, 7, 9)
+        |  AND CAST(ROUND(c.c_acctbal * 100) AS BIGINT)
+        |      * (SELECT count(*) FROM customer c2
+        |         WHERE c2.c_acctbal > 0 AND c2.c_nationkey IN (1, 3, 5, 7, 9))
+        |    > (SELECT sum(CAST(ROUND(c3.c_acctbal * 100) AS BIGINT)) FROM customer c3
+        |       WHERE c3.c_acctbal > 0 AND c3.c_nationkey IN (1, 3, 5, 7, 9))
+        |  AND NOT EXISTS (SELECT 1 FROM orders o
+        |                  WHERE o.o_custkey = c.c_custkey
+        |                    AND o.o_orderdate >= TIMESTAMP '1999-01-01 00:00:00')
+        |GROUP BY c.c_nationkey ORDER BY cntrycode""".stripMargin,
     "q_topk" ->
       """SELECT o_orderkey, CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
         |FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
