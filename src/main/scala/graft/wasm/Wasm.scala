@@ -29,11 +29,14 @@ import scala.collection.mutable.ArrayBuffer
  * Coverage beyond the 1.0 numeric core, chosen by what LLVM actually emits
  * for compiled cdylibs: funcref tables + `call_indirect` (function-pointer /
  * trait-object dispatch), bulk memory (`memory.copy`/`memory.fill` — memcpy
- * and memset), saturating truncations, typed `select`, and FUNCTION imports
- * as trapping stubs (a wasip1 module's fd_write etc. load fine and only trap
- * if a kernel actually reaches them). Deliberate subset (documented,
- * validated at load): no memory/table/global imports, no SIMD/reference
- * types, single-value block types, no table mutation.
+ * and memset), saturating truncations, typed `select`, multi-value blocks,
+ * reference types, table mutation, and imports of every kind — FUNCTION
+ * imports as trapping stubs (a wasip1 module's fd_write etc. load fine and
+ * only trap if a kernel actually reaches them), MEMORY/TABLE imports
+ * satisfied with a fresh host-provided instance of the declared limits
+ * (`--import-memory` linking mode), GLOBAL imports as instance-owned
+ * zero-initialized slots. Deliberate subset (documented, validated at
+ * load): no SIMD (v128), single memory/table, no cross-instance sharing.
  */
 final class WasmTrap(msg: String) extends RuntimeException(msg) {
   // traps are expected control flow (error column); a JVM stack trace per
@@ -212,6 +215,7 @@ object WasmModule {
     val importStubs = ArrayBuffer.empty[FuncDef] // imported funcs → trapping stubs
     var tableSize = 0
     var tableMax = Int.MaxValue
+    var hasTable = false
     val elems = ArrayBuffer.empty[ElemSeg]
     var startIdx: Option[Int] = None
 
@@ -228,10 +232,18 @@ object WasmModule {
             val results = Array.fill(r.lebU32())(valType(r.byte()))
             FuncType(params, results)
           }
-        case 2 => // imports: FUNCTION imports load as trapping stubs (a real
+        case 2 => // imports. FUNCTION imports load as trapping stubs (a real
           // wasip1 cdylib declares fd_write etc. that numeric kernels never
-          // reach); memory/table/global imports would shift index spaces the
-          // interpreter resolves internally, so those stay rejected.
+          // reach). MEMORY and TABLE imports are satisfied with a fresh
+          // host-provided instance of the declared limits (the
+          // `--import-memory` linking mode: the embedder supplies memory; no
+          // cross-instance sharing here by design — each pooled instance
+          // stays isolated). GLOBAL imports become instance-owned globals
+          // zero-initialized by the host (documented: a module whose logic
+          // needs a meaningful host value, e.g. an imported stack pointer,
+          // runs until that assumption bites and then traps in bounds
+          // checks rather than crashing the JVM). Index spaces stay correct
+          // because the import section precedes the definition sections.
           for (_ <- 0 until r.lebU32()) {
             val mod = r.name()
             val nm = r.name()
@@ -240,15 +252,40 @@ object WasmModule {
                 val ti = r.lebU32()
                 importStubs += FuncDef(ti, Array.empty,
                   Array(Insn.ImportedCall(mod, nm)))
+              case 1 => // table import → fresh funcref table with its limits
+                if (r.byte() != 0x70)
+                  throw new WasmTrap(s"only funcref table imports supported ($mod.$nm)")
+                if (hasTable) throw new WasmTrap("multiple tables unsupported")
+                hasTable = true
+                val flags = r.byte()
+                tableSize = r.lebU32()
+                if ((flags & 1) != 0) tableMax = r.lebU32()
+              case 2 => // memory import → fresh linear memory with its limits
+                if (memMin >= 0) throw new WasmTrap("multiple memories unsupported")
+                val flags = r.byte()
+                memMin = r.lebU32()
+                memMax = if ((flags & 1) != 0) r.lebU32() else Int.MaxValue
+              case 3 => // global import → instance-owned, zero/null-initialized
+                val vt = valType(r.byte())
+                val mut = r.byte() == 1
+                val zeroInit: Array[Insn] = vt match {
+                  case I32 => Array(Insn.I32Const(0))
+                  case I64 => Array(Insn.I64Const(0L))
+                  case F32 => Array(Insn.F32Const(0f))
+                  case F64 => Array(Insn.F64Const(0d))
+                  case _   => Array(Insn.RefNull)
+                }
+                globals += GlobalDef(vt, mut, zeroInit)
               case other => throw new WasmTrap(
-                s"only function imports supported (got import kind $other for $mod.$nm)")
+                s"unsupported import kind $other for $mod.$nm")
             }
           }
         case 3 => funcTypeIdx = Array.fill(r.lebU32())(r.lebU32())
         case 4 => // tables: one funcref table (function-pointer dispatch)
           val n = r.lebU32()
-          if (n > 1) throw new WasmTrap("multiple tables unsupported")
+          if (n > 1 || (n == 1 && hasTable)) throw new WasmTrap("multiple tables unsupported")
           if (n == 1) {
+            hasTable = true
             if (r.byte() != 0x70) throw new WasmTrap("only funcref tables supported")
             val flags = r.byte()
             tableSize = r.lebU32()
@@ -256,7 +293,7 @@ object WasmModule {
           }
         case 5 => // memory
           val n = r.lebU32()
-          if (n > 1) throw new WasmTrap("multiple memories unsupported")
+          if (n > 1 || (n == 1 && memMin >= 0)) throw new WasmTrap("multiple memories unsupported")
           if (n == 1) {
             val flags = r.byte()
             memMin = r.lebU32()

@@ -21,7 +21,8 @@ final class WasmBuilder {
   private val exports = ArrayBuffer.empty[(String, Int, Int)]          // (name, kind, idx)
   private val globals = ArrayBuffer.empty[(Byte, Boolean, Array[Byte])]
   private val data = ArrayBuffer.empty[(Int, Array[Byte])]            // offset -1 = passive
-  private val imports = ArrayBuffer.empty[(String, String, Int)]       // (module, name, type)
+  private val imports = ArrayBuffer.empty[(String, String, Array[Byte])] // (module, name, descriptor bytes)
+  private var importedGlobalCount = 0
   private val elems = ArrayBuffer.empty[(Int, Seq[Int])]               // (offset, func idxs; -1 = passive)
   private var tableMin: Option[Int] = None
   private var tableMaxOpt: Option[Int] = None
@@ -39,15 +40,42 @@ final class WasmBuilder {
     * occupy the front of the function index space). Returns its index. */
   def importFunc(module: String, name: String, params: Seq[Byte], results: Seq[Byte]): Int = {
     require(funcs.isEmpty, "declare imports before local functions")
-    imports += ((module, name, typeIdx(params, results)))
-    imports.length - 1
+    imports += ((module, name, (Seq(0x00.toByte) ++ lebU(typeIdx(params, results))).toArray))
+    imports.count(_._3(0) == 0x00) - 1
+  }
+
+  /** Import a linear memory (the `--import-memory` linking mode). */
+  def importMemory(module: String, name: String, minPages: Int, maxPages: Option[Int] = None): Unit = {
+    val desc = maxPages match {
+      case Some(mx) => Seq(0x02.toByte, 0x01.toByte) ++ lebU(minPages) ++ lebU(mx)
+      case None     => Seq(0x02.toByte, 0x00.toByte) ++ lebU(minPages)
+    }
+    imports += ((module, name, desc.toArray))
+  }
+
+  /** Import a funcref table. */
+  def importTable(module: String, name: String, min: Int, max: Option[Int] = None): Unit = {
+    val desc = max match {
+      case Some(mx) => Seq(0x01.toByte, 0x70.toByte, 0x01.toByte) ++ lebU(min) ++ lebU(mx)
+      case None     => Seq(0x01.toByte, 0x70.toByte, 0x00.toByte) ++ lebU(min)
+    }
+    imports += ((module, name, desc.toArray))
+  }
+
+  /** Import a global (must precede every local `global`, which shifts the
+    * index space). Returns its global index. */
+  def importGlobal(module: String, name: String, valType: Byte, mutable: Boolean): Int = {
+    require(globals.isEmpty, "declare global imports before local globals")
+    imports += ((module, name, Array(0x03.toByte, valType, (if (mutable) 1 else 0).toByte)))
+    importedGlobalCount += 1
+    importedGlobalCount - 1
   }
 
   /** Add a function; returns its index (for `call`). `body` must NOT include
     * the trailing `end` — it is appended here. */
   def func(params: Seq[Byte], results: Seq[Byte], locals: Seq[Byte], body: Array[Byte],
            exportAs: Option[String] = None): Int = {
-    val idx = imports.length + funcs.length
+    val idx = imports.count(_._3(0) == 0x00) + funcs.length
     funcs += ((typeIdx(params, results), locals, body))
     exportAs.foreach(n => exports += ((n, 0, idx)))
     idx
@@ -88,8 +116,9 @@ final class WasmBuilder {
 
   def global(valType: Byte, mutable: Boolean, initExpr: Array[Byte], exportAs: Option[String] = None): Int = {
     globals += ((valType, mutable, initExpr))
-    exportAs.foreach(n => exports += ((n, 3, globals.length - 1)))
-    globals.length - 1
+    val idx = importedGlobalCount + globals.length - 1
+    exportAs.foreach(n => exports += ((n, 3, idx)))
+    idx
   }
 
   def dataSegment(offset: Int, bytes: Array[Byte]): Unit = data += ((offset, bytes))
@@ -150,12 +179,12 @@ final class WasmBuilder {
     }
     if (imports.nonEmpty) {
       val b = ArrayBuffer.empty[Byte] ++= lebU(imports.length)
-      imports.foreach { case (m, n, ti) =>
+      imports.foreach { case (m, n, desc) =>
         val mb = m.getBytes(java.nio.charset.StandardCharsets.UTF_8)
         val nb = n.getBytes(java.nio.charset.StandardCharsets.UTF_8)
         b ++= lebU(mb.length); b ++= mb
         b ++= lebU(nb.length); b ++= nb
-        b += 0x00; b ++= lebU(ti)
+        b ++= desc
       }
       section(2, b)
     }

@@ -233,14 +233,48 @@ class WasmSpec extends AnyFunSuite {
     assert(t.getMessage.contains("version"))
   }
 
-  test("decoder rejects non-function imports with a clear message") {
-    // hand-craft a module importing a GLOBAL (kind 3): magic + version +
-    // section 2 — function imports load as stubs, other kinds shift index
-    // spaces the interpreter resolves internally and stay rejected
+  test("memory/table/global imports: host provides fresh instances of the declared limits") {
+    // the `--import-memory` linking shape: the module imports its linear
+    // memory, function-pointer table, and a mutable global instead of
+    // defining them — every index space must still resolve (imports occupy
+    // the front), and the host satisfies each with a fresh isolated instance
+    val b = new WasmBuilder
+    val gAcc = b.importGlobal("env", "acc", i64, mutable = true)
+    b.importMemory("env", "memory", 1, Some(4))
+    b.importTable("env", "__indirect_function_table", 2, Some(2))
+    val gLocal = b.global(i64, mutable = false, i64Const(5L)) // index shifted past the import
+    val dbl = b.func(Seq(i64), Seq(i64), Seq.empty, concat(localGet(0), localGet(0), i64Add))
+    val neg = b.func(Seq(i64), Seq(i64), Seq.empty, concat(i64Const(0L), localGet(0), i64Sub))
+    val unTi = b.typeIdx(Seq(i64), Seq(i64))
+    // f(sel, x): mem[8] = x (imported memory); acc += mem[8] (imported
+    // global, zero-initialized by the host); table[sel](acc + gLocal)
+    b.func(Seq(i32, i64), Seq(i64), Seq.empty, concat(
+      i32Const(8), localGet(1), i64Store(),
+      globalGet(gAcc), i32Const(8), i64Load(), i64Add, globalSet(gAcc),
+      globalGet(gAcc), globalGet(gLocal), i64Add,
+      localGet(0), callIndirect(unTi)),
+      exportAs = Some("f"))
+    b.elem(0, Seq(dbl, neg))
+    val inst = new WasmInstance(WasmModule.decode(b.build()), WasmConfig())
+    assert(inst.invoke("f", Array(0L, 10L)) == 30L)  // dbl(10 + 5)
+    assert(inst.invoke("f", Array(1L, 10L)) == -25L) // neg(20 + 5): imported global persisted
+    // a second instance starts from zero again — no cross-instance sharing
+    val inst2 = new WasmInstance(WasmModule.decode(b.build()), WasmConfig())
+    assert(inst2.invoke("f", Array(0L, 10L)) == 30L)
+  }
+
+  test("duplicate memory (imported + defined) is rejected; unknown import kinds trap") {
+    val b = new WasmBuilder
+    b.importMemory("env", "memory", 1)
+    b.memory(1)
+    b.func(Seq(i64), Seq(i64), Seq.empty, localGet(0), exportAs = Some("id"))
+    assert(intercept[WasmTrap] { WasmModule.decode(b.build()) }
+      .getMessage.contains("multiple memories"))
+    // hand-craft an import with bogus kind 9: magic + version + section 2
     val bytes = Array[Byte](0x00, 0x61, 0x73, 0x6D, 0x01, 0x00, 0x00, 0x00,
-      0x02, 0x08, 0x01, 0x01, 0x65, 0x01, 0x66, 0x03, 0x7F, 0x00)
-    val t = intercept[WasmTrap] { WasmModule.decode(bytes) }
-    assert(t.getMessage.contains("only function imports"))
+      0x02, 0x08, 0x01, 0x01, 0x65, 0x01, 0x66, 0x09, 0x7F, 0x00)
+    assert(intercept[WasmTrap] { WasmModule.decode(bytes) }
+      .getMessage.contains("unsupported import kind"))
   }
 
   // ---- Spark integration ---------------------------------------------------
