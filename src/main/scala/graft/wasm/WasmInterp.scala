@@ -290,7 +290,8 @@ final class WasmInstance(val module: WasmModule, val config: WasmConfig) {
             throw new WasmTrap("indirect call type mismatch")
           callFunc(target)
         case ImportedCall(m, n) =>
-          throw new WasmTrap(s"unresolved import called: $m.$n " +
+          if (m == "wasi_snapshot_preview1" || m == "wasi_unstable") wasiShim(n, locals)
+          else throw new WasmTrap(s"unresolved import called: $m.$n " +
             "(imports load as stubs; kernels must not reach them)")
         case MemCopy =>
           val len = popI32(); val src = popI32(); val dst = popI32()
@@ -432,6 +433,65 @@ final class WasmInstance(val module: WasmModule, val config: WasmConfig) {
   private def wr(a: Int, w: Int, v: Long): Unit = {
     var i = 0
     while (i < w) { mem(a + i) = ((v >>> (8 * i)) & 0xFF).toByte; i += 1 }
+  }
+
+  /** Deterministic host shims for the WASI preview1 imports a pure-compute
+    * wasip1 cdylib actually reaches (libc startup and panic plumbing): empty
+    * environment/args, swallowed `fd_write` (panic messages — byte counts
+    * are still honored), fixed-seed `random_get`, epoch `clock_time_get`,
+    * and `proc_exit` as a contained trap. Everything is reproducible by
+    * construction — no wall clock, no OS entropy — so wasm results stay
+    * bit-stable across runs and executors. File/socket descriptors answer
+    * WASI `badf`; any OTHER wasi name still traps like an unresolved import.
+    * Argument values arrive as the stub function's locals (the import's
+    * declared signature); the errno push is frame-normalized by callFunc. */
+  private def wasiShim(name: String, locals: Array[Long]): Unit = {
+    def chk(a: Long, len: Long): Int = {
+      if (a < 0 || len < 0 || a + len > mem.length)
+        throw new WasmTrap(s"wasi $name out of bounds memory access")
+      a.toInt
+    }
+    def wrU32(a: Long, v: Long): Unit = wr(chk(a, 4), 4, v & 0xFFFFFFFFL)
+    def rdU32(a: Long): Long = rd(chk(a, 4), 4) & 0xFFFFFFFFL
+    val ErrnoBadf = 8L // WASI errno: bad file descriptor
+    name match {
+      case "environ_sizes_get" | "args_sizes_get" =>
+        wrU32(locals(0), 0L); wrU32(locals(1), 0L); push(0L)
+      case "environ_get" | "args_get" =>
+        push(0L) // zero entries: nothing to copy
+      case "fd_write" =>
+        // iovec array: {buf_ptr u32, buf_len u32} pairs; content (panic
+        // messages, println) is swallowed, the byte count is truthful
+        val iovs = locals(1); val n = locals(2).toInt
+        if (n < 0 || n > 1024) throw new WasmTrap("wasi fd_write absurd iovec count")
+        var total = 0L; var i = 0
+        while (i < n) {
+          val ptr = rdU32(iovs + i * 8L); val len = rdU32(iovs + i * 8L + 4L)
+          chk(ptr, len); total += len; i += 1
+        }
+        wrU32(locals(3), total); push(0L)
+      case "random_get" =>
+        // deterministic xorshift keyed on length: reproducible across runs
+        val len = locals(1); val base = chk(locals(0), len)
+        var x = 0x9E3779B97F4A7C15L ^ (len * 0x632BE59BD9B4E019L + 1)
+        var i = 0
+        while (i < len) {
+          x ^= x << 13; x ^= x >>> 7; x ^= x << 17
+          mem(base + i) = x.toByte; i += 1
+        }
+        push(0L)
+      case "clock_time_get" =>
+        wr(chk(locals(2), 8), 8, 0L); push(0L) // fixed epoch: deterministic
+      case "sched_yield" => push(0L)
+      case "proc_exit" =>
+        throw new WasmTrap(s"proc_exit(${locals(0).toInt})")
+      case "fd_close" | "fd_seek" | "fd_fdstat_get" | "fd_fdstat_set_flags" |
+           "fd_prestat_get" | "fd_prestat_dir_name" | "fd_read" =>
+        push(ErrnoBadf) // no filesystem: every descriptor is closed
+      case other =>
+        throw new WasmTrap(s"unresolved import called: wasi_snapshot_preview1.$other " +
+          "(imports load as stubs; kernels must not reach them)")
+    }
   }
   private def signExtend(v: Long, bits: Int): Long = (v << (64 - bits)) >> (64 - bits)
 

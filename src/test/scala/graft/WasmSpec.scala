@@ -263,6 +263,53 @@ class WasmSpec extends AnyFunSuite {
     assert(inst2.invoke("f", Array(0L, 10L)) == 30L)
   }
 
+  test("WASI preview1 shims: a pure-compute wasip1 startup sequence runs without trapping") {
+    val b = new WasmBuilder
+    val envSizes = b.importFunc("wasi_snapshot_preview1", "environ_sizes_get", Seq(i32, i32), Seq(i32))
+    val fdWrite = b.importFunc("wasi_snapshot_preview1", "fd_write", Seq(i32, i32, i32, i32), Seq(i32))
+    val procExit = b.importFunc("wasi_snapshot_preview1", "proc_exit", Seq(i32), Seq.empty)
+    val randomGet = b.importFunc("wasi_snapshot_preview1", "random_get", Seq(i32, i32), Seq(i32))
+    val fdSeek = b.importFunc("wasi_snapshot_preview1", "fd_seek", Seq(i32, i64, i32, i32), Seq(i32))
+    b.memory(1)
+    // libc startup shape: environ_sizes_get(count@0, bufsize@4) must answer
+    // errno 0 with both counts zeroed
+    b.func(Seq.empty, Seq(i32), Seq.empty, concat(
+      i32Const(0), i32Const(4), call(envSizes)), exportAs = Some("startup"))
+    // panic plumbing: one iovec {ptr=64, len=5} at 16; fd_write(stderr, ...)
+    // swallows the bytes but reports the true count through nwritten@8
+    b.func(Seq.empty, Seq(i32), Seq.empty, concat(
+      i32Const(16), i32Const(64), i32Store(),
+      i32Const(16), i32Const(5), i32Store(4),
+      i32Const(2), i32Const(16), i32Const(1), i32Const(8), call(fdWrite),
+      drop, i32Const(8), i32Load()), exportAs = Some("panic_write"))
+    // random_get is deterministic: the same call yields the same bytes
+    b.func(Seq.empty, Seq(i64), Seq.empty, concat(
+      i32Const(32), i32Const(8), call(randomGet), drop,
+      i32Const(32), i64Load()), exportAs = Some("rand"))
+    b.func(Seq.empty, Seq(i64), Seq.empty, concat(
+      i32Const(7), call(procExit), i64Const(0)), exportAs = Some("die"))
+    b.func(Seq.empty, Seq(i32), Seq.empty, concat(
+      i32Const(3), i64Const(0L), i32Const(0), i32Const(48), call(fdSeek)),
+      exportAs = Some("seek"))
+    val bytes = b.build()
+    val inst = new WasmInstance(WasmModule.decode(bytes), WasmConfig())
+    assert(inst.invoke("startup", Array.empty) == 0L)      // errno success
+    assert(inst.invoke("panic_write", Array.empty) == 5L)  // nwritten honored
+    val r1 = inst.invoke("rand", Array.empty)
+    val inst2 = new WasmInstance(WasmModule.decode(bytes), WasmConfig())
+    assert(r1 != 0L && inst2.invoke("rand", Array.empty) == r1) // reproducible
+    assert(intercept[WasmTrap] { inst2.invoke("die", Array.empty) }
+      .getMessage.contains("proc_exit(7)"))
+    assert(inst.invoke("seek", Array.empty) == 8L)         // errno badf
+    // a non-WASI import still traps like before
+    val b2 = new WasmBuilder
+    val ext = b2.importFunc("env", "host_thing", Seq.empty, Seq(i32))
+    b2.func(Seq.empty, Seq(i32), Seq.empty, call(ext), exportAs = Some("go"))
+    val i3 = new WasmInstance(WasmModule.decode(b2.build()), WasmConfig())
+    assert(intercept[WasmTrap] { i3.invoke("go", Array.empty) }
+      .getMessage.contains("unresolved import"))
+  }
+
   test("duplicate memory (imported + defined) is rejected; unknown import kinds trap") {
     val b = new WasmBuilder
     b.importMemory("env", "memory", 1)
