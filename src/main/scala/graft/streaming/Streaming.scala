@@ -24,6 +24,54 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
  * State is per-key and incremental: each micro-batch shuffles only that
  * batch's rows to their key partitions (same hash partitioning as a batch
  * groupBy); state store size is O(distinct keys), not O(rows seen).
+ *
+ * == Production state store (100 TB key spaces) ==
+ * The default HDFS-backed state store keeps every key's state on the JVM
+ * heap — fine for the spec-sized streams here, an OOM at a 10^9-key CDC
+ * feed. On a real cluster switch to RocksDB and bound what lives in memory:
+ * {{{
+ * spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+ *   "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+ * // memory is bounded and SHARED across all stateful operators on an
+ * // executor; spill beyond this is RocksDB block-cache eviction, not OOM
+ * spark.conf.set("spark.sql.streaming.stateStore.rocksdb.boundedMemoryUsage", "true")
+ * spark.conf.set("spark.sql.streaming.stateStore.rocksdb.maxMemoryUsageMB", "2048")
+ * // changelog checkpointing ships per-batch deltas, not full SST snapshots:
+ * // commit latency stays flat as keyed state grows into the hundreds of GB
+ * spark.conf.set("spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled", "true")
+ * }}}
+ * Sizing rules that follow from this package's state shapes:
+ *  - [[retractingSum]]/windowed aggregates: state = one accumulator per key
+ *    (bytes) — RocksDB handles 10^9 keys per executor comfortably; size
+ *    `spark.sql.shuffle.partitions` so each partition's key slice fits the
+ *    block cache (keys/partitions × state bytes < maxMemoryUsageMB).
+ *  - [[sessionizeEventTime]]/[[asofJoin]]: state = per-key BUFFERS bounded
+ *    by the watermark horizon; the knob that controls state size is the
+ *    watermark delay, not a store setting — halving the delay halves state.
+ *  - Skewed keys (one user = 1% of events) concentrate state: pre-salt the
+ *    key for commutative aggregates and merge salted partials downstream.
+ *
+ * == Kafka wiring (CDC replay path) ==
+ * The parquet-backed specs drive [[retractingSum]] through MemoryStream; on
+ * a cluster the same pipeline reads a Debezium-style CDC topic (the
+ * spark-sql-kafka connector is not vendored in this repo's offline build,
+ * hence example-only):
+ * {{{
+ * val cdc = spark.readStream.format("kafka")
+ *   .option("kafka.bootstrap.servers", brokers)
+ *   .option("subscribe", "orders-cdc")
+ *   .option("startingOffsets", "earliest")  // replay = rebuild state from 0
+ *   .option("maxOffsetsPerTrigger", 5000000) // bound per-batch shuffle size
+ *   .load()
+ * val ops = cdc.select(from_json($"value".cast("string"), cdcSchema).as("r"))
+ *   .select($"r.key", $"r.amount", ($"r.op" === "d").as("op")) // delete → retract
+ *   .as[Streaming.OpRow]
+ * Streaming.retractingSum(ops, sumAgg).writeStream
+ *   .outputMode("update").option("checkpointLocation", ckptDir).start()
+ * }}}
+ * Exactly-once holds through the checkpoint dir (offsets + state commit
+ * together); `maxOffsetsPerTrigger` is the backpressure valve that keeps a
+ * replay-from-earliest from materializing the whole topic in one batch.
  */
 object Streaming {
 
