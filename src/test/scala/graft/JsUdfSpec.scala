@@ -241,6 +241,42 @@ class JsUdfSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("framing guards: a no-newline flood is rejected; the define log is capped but redefinition replaces") {
+    val script = new java.io.File(sys.props("user.dir"), "tools/jsudf_server.js").getAbsolutePath
+    val proc = new ProcessBuilder("node", script, "--port", "0",
+        "--max-defines", "3", "--max-line-mb", "1")
+      .redirectError(ProcessBuilder.Redirect.INHERIT).start()
+    val br = new java.io.BufferedReader(new java.io.InputStreamReader(proc.getInputStream))
+    val port = br.readLine().stripPrefix("PORT ").trim.toInt
+    try {
+      // 3 MB with no newline: the server must answer FramingError and close,
+      // not buffer forever
+      val s = new java.net.Socket("127.0.0.1", port)
+      val junk = new Array[Byte](1 << 20)
+      java.util.Arrays.fill(junk, 'x'.toByte)
+      try {
+        val out = s.getOutputStream
+        out.write(junk); out.write(junk); out.write(junk); out.flush()
+      } catch { case _: java.io.IOException => () } // reset once destroyed is fine
+      val resp = new java.io.BufferedReader(new java.io.InputStreamReader(s.getInputStream)).readLine()
+      assert(resp == null || resp.contains("FramingError"), resp)
+      s.close()
+      // the worker is untouched: a fresh connection still serves
+      val client = new JsUdfClient("127.0.0.1", port)
+      try {
+        client.define("scalar", "d1(int) -> int", "(x) => x + 1")
+        client.define("scalar", "d2(int) -> int", "(x) => x + 2")
+        client.define("scalar", "d3(int) -> int", "(x) => x + 3")
+        val e = intercept[RuntimeException](
+          client.define("scalar", "d4(int) -> int", "(x) => x + 4"))
+        assert(e.getMessage.contains("DefineLimit"), e.getMessage)
+        // redefining an EXISTING sig at the cap replaces, not grows
+        client.define("scalar", "d2(int) -> int", "(x) => x + 20")
+        assert(client.call("d2", IntegerType, Seq(Seq(1))) == Seq(21))
+      } finally client.close()
+    } finally proc.destroy()
+  }
+
   test("per-call deadline: stuck sync and async calls are terminated; defines survive the respawn") {
     // dedicated worker with a short deadline — the pool workers keep the
     // default and must not be restarted under other tests. The --load file

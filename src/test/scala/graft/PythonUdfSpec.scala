@@ -102,6 +102,25 @@ class PythonUdfSpec extends AnyFunSuite {
     } finally client.close()
   }
 
+  test("framing guards: hostile blob lengths answer ERR, the worker survives") {
+    // DEFINE expects three length-prefixed blobs; a negative length would
+    // read-to-EOF (unbounded allocation) without the [0, MAX_BLOB] check
+    val s = new java.net.Socket("127.0.0.1", port)
+    try {
+      val out = new java.io.DataOutputStream(s.getOutputStream)
+      out.writeBytes("DEFINE x\n")
+      out.writeInt(-1) // hostile length prefix
+      out.flush()
+      val resp = new java.io.BufferedReader(
+        new java.io.InputStreamReader(s.getInputStream)).readLine()
+      assert(resp != null && resp.contains("FramingError"), resp)
+    } finally s.close()
+    // that connection is dead, but the WORKER is fine: a fresh one serves
+    val client = new UdfClient("127.0.0.1", port)
+    try assert(client.version() == graft.remote.RemoteProtocol.Version)
+    finally client.close()
+  }
+
   test("unknown function on the python side reports ERR") {
     val client = new UdfClient("127.0.0.1", port)
     try {

@@ -49,7 +49,7 @@
  * so hostile defines degrade to per-row errors. --load files are trusted.
  *
  * Usage: node tools/jsudf_server.js --port 0 [--load extra_funcs.js]
- *        [--call-timeout-ms 30000]
+ *        [--call-timeout-ms 30000] [--max-defines 4096] [--max-line-mb 64]
  * Prints `PORT <bound-port>` on stdout once listening.
  */
 "use strict";
@@ -402,7 +402,7 @@ function errLine(e) {
   const o =
     typeof e === "string"
       ? { name: "Error", message: e }
-      : { name: (e && e.constructor && e.constructor.name) || "Error", message: (e && e.message) || String(e) };
+      : { name: (e && e.name) || (e && e.constructor && e.constructor.name) || "Error", message: (e && e.message) || String(e) };
   return "ERR " + JSON.stringify(o) + "\n";
 }
 
@@ -470,9 +470,11 @@ function workerMain() {
  * deadline, and terminate-and-respawn on timeout. DEFINE bodies are logged
  * here so a respawned worker replays them before serving. */
 class GuestHost {
-  constructor(loadFiles, timeoutMs) {
+  constructor(loadFiles, timeoutMs, maxDefines = 4096, maxLineBytes = 64 * 1024 * 1024) {
     this.loadFiles = loadFiles;
     this.timeoutMs = timeoutMs;
+    this.maxDefines = maxDefines;       // cap on DISTINCT live definitions
+    this.maxLineBytes = maxLineBytes;   // framing cap per protocol line
     this.defines = [];
     this.pending = new Map(); // id -> {resolve, timer}
     this.nextId = 1;
@@ -558,14 +560,38 @@ function serve(host, sock) {
 
   const dispatch = (verbLine, fname, body) =>
     enqueue(async () => {
-      const text = await host.request(verbLine, fname, body);
       const verb = verbLine.split(" ", 1)[0];
-      if (verb === "DEFINE" && text.startsWith("OK")) host.defines.push(body);
+      if (verb === "DEFINE" && host.defines.length >= host.maxDefines &&
+          !host.defines.some((d) => d.kind === body.kind && d.sig === body.sig)) {
+        // resource cap, checked BEFORE the guest compiles anything: the
+        // replay log (re-applied on every respawn) must stay bounded
+        sock.write(errLine({ name: "DefineLimit",
+          message: `define log at cap ${host.maxDefines}` }));
+        return;
+      }
+      const text = await host.request(verbLine, fname, body);
+      if (verb === "DEFINE" && text.startsWith("OK")) {
+        // redefinition keeps ONE live entry per (kind, sig): replay order is
+        // preserved and the log size tracks distinct functions, not call count
+        host.defines = host.defines.filter(
+          (d) => !(d.kind === body.kind && d.sig === body.sig));
+        host.defines.push(body);
+      }
       sock.write(text);
     });
 
+  const overlong = () => {
+    sock.write(errLine({ name: "FramingError",
+      message: `protocol line exceeds ${host.maxLineBytes} bytes` }));
+    sock.destroy();
+  };
+
   sock.on("data", (chunk) => {
     buf += chunk.toString("utf8");
+    if (buf.length > host.maxLineBytes && buf.indexOf("\n") < 0) {
+      buf = "";
+      return overlong(); // unbounded no-newline stream must not OOM the host
+    }
     let nl;
     while ((nl = buf.indexOf("\n")) >= 0) {
       const line = buf.slice(0, nl);
@@ -605,13 +631,17 @@ function main() {
   const args = process.argv.slice(2);
   let port = 0;
   let timeoutMs = 30000;
+  let maxDefines = 4096;
+  let maxLineBytes = 64 * 1024 * 1024;
   const loadFiles = [];
   for (let i = 0; i < args.length; i++) {
     if (args[i] === "--port") port = parseInt(args[++i], 10);
     else if (args[i] === "--load") loadFiles.push(require("path").resolve(args[++i]));
     else if (args[i] === "--call-timeout-ms") timeoutMs = parseInt(args[++i], 10);
+    else if (args[i] === "--max-defines") maxDefines = parseInt(args[++i], 10);
+    else if (args[i] === "--max-line-mb") maxLineBytes = parseInt(args[++i], 10) * 1024 * 1024;
   }
-  const host = new GuestHost(loadFiles, timeoutMs);
+  const host = new GuestHost(loadFiles, timeoutMs, maxDefines, maxLineBytes);
   const srv = net.createServer((sock) => serve(host, sock));
   srv.listen(port, "127.0.0.1", () => {
     process.stdout.write(`PORT ${srv.address().port}\n`);

@@ -349,9 +349,28 @@ def _write_blob(wf, b):
     wf.write(b)
 
 
+MAX_BLOB = 64 * 1024 * 1024  # framing cap: a corrupt/hostile length prefix
+MAX_LINE = 1 * 1024 * 1024   # command lines are verbs + names, never data
+
+
+class FramingError(Exception):
+    """Malformed wire framing: answered with ERR, then the connection is
+    closed (the stream position is unrecoverable past a bad length)."""
+
+
 def _read_blob(rf):
-    (n,) = struct.unpack(">i", rf.read(4))
-    return rf.read(n)
+    hdr = rf.read(4)
+    if len(hdr) != 4:
+        raise EOFError("short blob header")
+    (n,) = struct.unpack(">i", hdr)
+    if n < 0 or n > MAX_BLOB:
+        # a negative length would turn rf.read(n) into read-to-EOF — an
+        # unbounded allocation driven by 4 attacker-controlled bytes
+        raise FramingError("blob length %d outside [0, %d]" % (n, MAX_BLOB))
+    b = rf.read(n)
+    if len(b) != n:
+        raise EOFError("short blob body")
+    return b
 
 
 def _serve_agg(verb, fname, rf, wf):
@@ -412,9 +431,11 @@ def _serve_conn(sock):
     wf = sock.makefile("wb")
     try:
         while True:
-            line = rf.readline()
+            line = rf.readline(MAX_LINE + 1)
             if not line:
                 return
+            if len(line) > MAX_LINE:
+                raise FramingError("command line exceeds %d bytes" % MAX_LINE)
             line = line.decode("utf-8").strip()
             if not line:
                 return
@@ -454,7 +475,13 @@ def _serve_conn(sock):
                     if is_agg:
                         AGG_REGISTRY[sig.name] = (sig, target())
                     else:
-                        REGISTRY.setdefault(sig.name, []).insert(0, (sig, target))
+                        # redefinition REPLACES the matching signature (one
+                        # live entry per sig) instead of shadow-stacking —
+                        # the list stays bounded by distinct signatures
+                        lst = REGISTRY.setdefault(sig.name, [])
+                        rendered = sig.render()
+                        lst[:] = [e for e in lst if e[0].render() != rendered]
+                        lst.insert(0, (sig, target))
                     wf.write(b"OK\n")
                 except Exception as e:
                     wf.write(("ERR %s: %s\n" % (type(e).__name__, e)).encode("utf-8"))
@@ -470,6 +497,12 @@ def _serve_conn(sock):
             else:
                 wf.write(b"ERR bad command %s\n" % line.encode())
             wf.flush()
+    except FramingError as e:
+        try:
+            wf.write(("ERR FramingError: %s\n" % e).encode("utf-8"))
+            wf.flush()
+        except OSError:
+            pass
     except (ConnectionResetError, BrokenPipeError, EOFError):
         pass
     finally:
