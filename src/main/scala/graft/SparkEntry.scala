@@ -601,6 +601,20 @@ object SparkEntry {
         .selectExpr("q_id", "vec_id", "rank", "CAST(ROUND(sim * 10000) AS BIGINT) AS c4")
         .orderBy("q_id", "rank")
     } _,
+    // Index MAINTENANCE: build on half the corpus, ivfAppend the other half
+    // into the saved layout — searching all cells must see both halves
+    // exactly (same brute-force oracle as q_ivf_saved)
+    "q_ivf_append" -> dfq { s =>
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_append_q"
+      val emb = s.table("embeddings")
+      graft.ops.Similarity.ivfSave(emb.where("vec_id % 2 = 0"), path, nCells = 16)
+      graft.ops.Similarity.ivfAppend(s, path, emb.where("vec_id % 2 = 1"))
+      val queries = emb.where("vec_id < 5")
+        .selectExpr("vec_id AS q_id", "embedding AS q_embedding")
+      graft.ops.Similarity.ivfSearchSaved(s, path, queries, 10, nprobe = 16)
+        .selectExpr("q_id", "vec_id", "rank", "CAST(ROUND(sim * 10000) AS BIGINT) AS c4")
+        .orderBy("q_id", "rank")
+    } _,
     "q_lsh_bucket" -> q(
       """SELECT vec_id, hyperplane_bucket(embedding, 6) AS bucket
         |FROM embeddings ORDER BY vec_id""".stripMargin) _,
@@ -1564,6 +1578,15 @@ object SparkEntry {
          |FROM r WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin,
     // identical oracle again: the saved-index search at full probe is exact
     "q_ivf_saved" ->
+      s"""WITH q AS (SELECT vec_id AS q_id, embedding AS qe FROM embeddings WHERE vec_id < 5),
+         |s AS (SELECT q.q_id, e.vec_id, ${duckCos("q.qe", "e.embedding")} AS sim
+         |      FROM q, embeddings e),
+         |r AS (SELECT q_id, vec_id, sim,
+         |             CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS INT) AS rank
+         |      FROM s)
+         |SELECT q_id, vec_id, rank, CAST(ROUND(sim * 10000) AS BIGINT) AS c4
+         |FROM r WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin,
+    "q_ivf_append" ->
       s"""WITH q AS (SELECT vec_id AS q_id, embedding AS qe FROM embeddings WHERE vec_id < 5),
          |s AS (SELECT q.q_id, e.vec_id, ${duckCos("q.qe", "e.embedding")} AS sim
          |      FROM q, embeddings e),

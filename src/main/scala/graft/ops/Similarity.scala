@@ -281,6 +281,24 @@ object Similarity {
       .write.mode("overwrite").partitionBy("cell").parquet(s"$path/assigned")
   }
 
+  /** Incrementally maintain a saved IVF index: assign NEW vectors to the
+    * EXISTING centroids (k tiny rows, read once and broadcast) and append
+    * them into the `partitionBy(cell)` layout — one pass over the increment,
+    * zero touch of the already-indexed corpus, and the search path is
+    * unchanged (appended files land inside the probed cell directories).
+    * This is the standard IVF maintenance contract: centroids drift from
+    * the true k-means of the grown corpus, so rebuild with [[ivfSave]] when
+    * the increment fraction (or measured recall) crosses your threshold. */
+  def ivfAppend(spark: org.apache.spark.sql.SparkSession, path: String,
+                newVectors: DataFrame): Unit = {
+    val centroids = spark.read.parquet(s"$path/centroids").collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1).toArray)).sortBy(_._1)
+    val bc = spark.sparkContext.broadcast(centroids)
+    val assignCell = udf { (v: Seq[Float]) => Ivf.nearest(bc.value, v) }
+    newVectors.withColumn("cell", assignCell(col("embedding")))
+      .write.mode("append").partitionBy("cell").parquet(s"$path/assigned")
+  }
+
   /** Search a saved IVF index: probe `nprobe` nearest cells per query, exact
     * rerank. The union of probed cells is computed driver-side from the
     * (small, broadcastable) query set and applied as a LITERAL partition

@@ -105,6 +105,37 @@ class OpsSpec extends AnyFunSuite {
     assert((exact intersect ivf).size >= 5) // non-trivial recall
   }
 
+  test("ivfAppend: increment is one pass, existing files untouched, search sees both halves") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val path = java.nio.file.Files.createTempDirectory("ivf_app").toString
+    Similarity.ivfSave(emb.where("vec_id % 2 = 0"), path, nCells = 8)
+    def files() = new java.io.File(s"$path/assigned").listFiles()
+      .filter(_.getName.startsWith("cell=")).flatMap(_.listFiles())
+      .filter(_.getName.endsWith(".parquet")).map(f => f.getPath -> f.lastModified()).toMap
+    val before = files()
+    val centroidsBefore = spark.read.parquet(s"$path/centroids")
+      .collect().map(_.toString).sorted.toSeq
+    Similarity.ivfAppend(spark, path, emb.where("vec_id % 2 = 1"))
+    // incremental: every pre-existing data file survives byte-identical
+    // (same path, same mtime) — append never rewrites the indexed corpus
+    val after = files()
+    assert(before.forall { case (p, m) => after.get(p).contains(m) },
+      "append rewrote existing index files")
+    assert(after.size > before.size, "append added no files")
+    // centroids are NOT re-trained by an append (rebuild is explicit)
+    val centroidsAfter = spark.read.parquet(s"$path/centroids")
+      .collect().map(_.toString).sorted.toSeq
+    assert(centroidsAfter == centroidsBefore)
+    // and the search surface sees the union exactly
+    assert(spark.read.parquet(s"$path/assigned").count() == emb.count())
+    val queries = emb.where("vec_id < 3").selectExpr("vec_id AS q_id", "embedding AS q_embedding")
+    val viaIndex = Similarity.ivfSearchSaved(spark, path, queries, 5, nprobe = 8)
+      .select("q_id", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = Similarity.bruteForceTopK(emb, queries, 5)
+      .select("q_id", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(viaIndex == brute)
+  }
+
   test("saved IVF index: full-probe search equals fresh search; partitions pruned") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val queries = emb.where("vec_id < 3").selectExpr("vec_id AS q_id", "embedding AS q_embedding")
