@@ -475,6 +475,12 @@ object SparkEntry {
       """SELECT doc_id, t.value AS sentence
         |FROM documents LATERAL VIEW split_sentences(text) t AS value
         |ORDER BY doc_id, sentence""".stripMargin) _,
+    // context-window chunking ahead of tokenization: 400-char windows,
+    // stride 300 (25% overlap), position carried for reassembly
+    "q_chunks" -> q(
+      """SELECT doc_id, t.c.pos AS pos, t.c.chunk AS chunk
+        |FROM documents LATERAL VIEW chunk_text(text, 400, 300) t AS c
+        |ORDER BY doc_id, pos""".stripMargin) _,
     "q_repetition" -> q(
       """SELECT doc_id, CAST(ROUND(repetition_ratio(text, 3) * 10000) AS BIGINT) AS r4
         |FROM documents ORDER BY doc_id""".stripMargin) _,
@@ -1379,6 +1385,13 @@ object SparkEntry {
         |      FROM documents),
         |     UNNEST(ss) AS t(u)
         |ORDER BY doc_id, sentence""".stripMargin,
+    "q_chunks" ->
+      """SELECT doc_id, CAST(t.pos AS INT) AS pos,
+        |       substr(text, CAST(t.pos AS INT), 400) AS chunk
+        |FROM (SELECT doc_id, text, generate_series(1, len(text), 300) AS ps
+        |      FROM documents),
+        |     UNNEST(ps) AS t(pos)
+        |ORDER BY doc_id, pos""".stripMargin,
     "q_repetition" ->
       s"""SELECT doc_id,
          |  CAST(ROUND((CASE WHEN len(sh) = 0 THEN 0.0

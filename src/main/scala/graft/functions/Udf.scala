@@ -76,6 +76,10 @@ object Udf {
     reg(sig, TableImpl(a => f(a(0).asInstanceOf[A1], a(1).asInstanceOf[A2])
       .asInstanceOf[Iterator[Any]]), CallMode.ReturnNullOnNullInput, deterministic = true, fallible)
 
+  def table3[A1, A2, A3, R](sig: String, fallible: Boolean = false)(f: (A1, A2, A3) => Iterator[R]): Unit =
+    reg(sig, TableImpl(a => f(a(0).asInstanceOf[A1], a(1).asInstanceOf[A2], a(2).asInstanceOf[A3])
+      .asInstanceOf[Iterator[Any]]), CallMode.ReturnNullOnNullInput, deterministic = true, fallible)
+
   // ---- native expression tier --------------------------------------------
   /** Register a hand-written Catalyst expression (codegen'd kernel tier). */
   def native(sig: String, deterministic: Boolean = true)(build: Seq[Expression] => Expression): Unit =

@@ -158,6 +158,22 @@ object TextAnalysis {
       s.split("[.!?]+").iterator.map(trimWs).filter(_.nonEmpty)
     }
 
+    // Document chunking: fixed-size character windows advancing by `stride`
+    // (overlap = size - stride) — the context-window splitter every training
+    // pipeline runs before tokenization. Emits (pos, chunk) so downstream
+    // joins can reassemble order; the final window may be shorter. Char
+    // windows (not token windows) keep the semantics engine-exact:
+    // substr(text, pos, size) means the same thing in every SQL dialect.
+    // size/stride are clamped to ≥ 1 (a stride of 0 would loop forever).
+    Udf.table3[String, Int, Int, org.apache.spark.sql.Row](
+      "chunk_text(string, int, int) ->> struct<pos: int, chunk: string>") { (s, size0, stride0) =>
+      val size = math.max(1, size0)
+      val stride = math.max(1, stride0)
+      Iterator.range(0, s.length, stride).map { p =>
+        org.apache.spark.sql.Row(p + 1, s.substring(p, math.min(s.length, p + size)))
+      }
+    }
+
     // Deterministic split assignment: hash-bucket a key into [0, buckets) —
     // the standard reproducible train/val/test partitioner (no RNG state,
     // stable across runs/engines, md5-based for oracle parity).
