@@ -492,6 +492,43 @@ object SparkEntry {
         |            ELSE 'test' END AS split
         |FROM documents ORDER BY doc_id""".stripMargin) _,
 
+    // ---- corpus construction (Curation ops) --------------------------------
+    // benchmark decontamination (GPT-3-style n-gram overlap rule): corpus
+    // docs sharing any word-8-gram with the benchmark subset (doc_id % 5 = 0)
+    // are contaminated. Benchmark n-grams broadcast; no corpus-sized shuffle.
+    "q_decontaminate" -> dfq { s =>
+      val docs = s.table("documents")
+      graft.ops.Curation.decontaminate(
+        docs.where("doc_id % 5 <> 0"), docs.where("doc_id % 5 = 0"),
+        "text", "doc_id", n = 8).orderBy("doc_id")
+    } _,
+    // global sentence-level dedup (CCNet shape) over a corpus with planted
+    // echo docs — truncated copies of every 50th doc, derived in-query
+    // (testdata is read-only): echoes lose their duplicated sentences and
+    // keep only the truncation fragment, originals survive intact.
+    "q_sentence_dedup" -> dfq { s =>
+      val docs = s.table("documents")
+      val corpus = docs.select("doc_id", "text").unionAll(
+        docs.where("doc_id % 50 = 0")
+          .selectExpr("doc_id + 1000000 AS doc_id", "substr(text, 1, 200) AS text"))
+      graft.ops.Curation.dedupSentences(corpus, "text", "doc_id").orderBy("doc_id")
+    } _,
+    // deterministic stratified mixture sampling: per-source permille rates,
+    // membership a pure function of the salted doc id (no RNG state)
+    "q_mixture_sample" -> dfq { s =>
+      graft.ops.Curation.stratifiedSample(s.table("documents"), "doc_id", "mix",
+          expr("200 + 37 * (CAST(substring(source, 4) AS INT) % 20)"))
+        .select("doc_id", "source").orderBy("doc_id")
+    } _,
+    // greedy first-fit sequence packing: 512-token bins within each source
+    // stratum, walked in doc_id order (strata are the parallelism unit)
+    "q_pack_sequences" -> dfq { s =>
+      val docs = s.table("documents").selectExpr("source", "doc_id",
+        "token_count(text) AS n_tok")
+      graft.ops.Curation.packSequences(docs, "source", "doc_id", "n_tok", budget = 512)
+        .orderBy("source", "doc_id")
+    } _,
+
     // capstone: corpus curation — language/quality/length gates + exact dedup
     // in ONE declarative pass. text_stats is a one-row generator, so the
     // three metrics are computed once per document (shared tokenization) and
@@ -1399,6 +1436,48 @@ object SparkEntry {
          |FROM (SELECT doc_id, ${duckShingles(3)} AS sh
          |      FROM (SELECT doc_id, $duckWords AS ws FROM documents))
          |ORDER BY doc_id""".stripMargin,
+    "q_decontaminate" ->
+      s"""WITH w AS (SELECT doc_id, $duckWords AS ws FROM documents),
+         |sh AS (SELECT doc_id, ${duckShingles(8)} AS shingles FROM w),
+         |bench AS (SELECT DISTINCT t.s FROM sh, UNNEST(shingles) AS t(s) WHERE doc_id % 5 = 0),
+         |corp AS (SELECT doc_id, t.s AS s FROM sh, UNNEST(shingles) AS t(s) WHERE doc_id % 5 <> 0)
+         |SELECT DISTINCT doc_id FROM corp WHERE s IN (SELECT s FROM bench)
+         |ORDER BY doc_id""".stripMargin,
+    "q_sentence_dedup" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id, substr(text, 1, 200) AS text
+        |  FROM documents WHERE doc_id % 50 = 0),
+        |ss AS (SELECT doc_id,
+        |    list_filter(list_transform(regexp_split_to_array(text, '[.!?]+'),
+        |      x -> trim(x, ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12))), x -> x <> '') AS arr
+        |  FROM corpus),
+        |ex AS (SELECT doc_id, unnest(arr) AS sent, generate_subscripts(arr, 1) AS pos FROM ss),
+        |win AS (SELECT doc_id, sent, pos,
+        |          row_number() OVER (PARTITION BY sent ORDER BY doc_id, pos) AS rn FROM ex)
+        |SELECT doc_id, string_agg(sent, ' ' ORDER BY pos) AS kept_text
+        |FROM win WHERE rn = 1 GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_mixture_sample" ->
+      s"""SELECT doc_id, source FROM documents
+         |WHERE ${duckMd5_60("'mix:' || CAST(doc_id AS VARCHAR)")} % 1000
+         |      < 200 + 37 * (CAST(substr(source, 4) AS INT) % 20)
+         |ORDER BY doc_id""".stripMargin,
+    "q_pack_sequences" ->
+      """WITH RECURSIVE d AS (
+        |  SELECT source, doc_id,
+        |         len(list_filter(str_split_regex(text, '\s+'), x -> x <> '')) AS n_tok,
+        |         row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+        |  FROM documents),
+        |pack AS (
+        |  SELECT source, doc_id, n_tok, rn, 0 AS bin, n_tok AS fill
+        |  FROM d WHERE rn = 1
+        |  UNION ALL
+        |  SELECT r.source, r.doc_id, r.n_tok, r.rn,
+        |         CASE WHEN p.fill + r.n_tok <= 512 THEN p.bin ELSE p.bin + 1 END,
+        |         CASE WHEN p.fill + r.n_tok <= 512 THEN p.fill + r.n_tok ELSE r.n_tok END
+        |  FROM pack p JOIN d r ON r.source = p.source AND r.rn = p.rn + 1)
+        |SELECT source, doc_id, bin, fill FROM pack ORDER BY source, doc_id""".stripMargin,
     "q_curate_corpus" ->
       s"""WITH tok AS (
          |  SELECT doc_id, list_filter(str_split_regex(lower(text), '\\s+'), x -> x <> '') AS ts,

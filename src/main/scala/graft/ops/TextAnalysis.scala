@@ -158,6 +158,14 @@ object TextAnalysis {
       s.split("[.!?]+").iterator.map(trimWs).filter(_.nonEmpty)
     }
 
+    // Array form of the same segmentation — posexplode-able, for operators
+    // that need sentence POSITIONS (global sentence-level dedup reassembles
+    // documents in original order). Shares trimWs so the two splits can
+    // never drift apart.
+    Udf.scalar1[String, Seq[String]]("sentence_array(string) -> string[]") { s =>
+      s.split("[.!?]+").iterator.map(trimWs).filter(_.nonEmpty).toSeq
+    }
+
     // Document chunking: fixed-size character windows advancing by `stride`
     // (overlap = size - stride) — the context-window splitter every training
     // pipeline runs before tokenization. Emits (pos, chunk) so downstream

@@ -1,0 +1,84 @@
+package graft
+
+import graft.ops.Curation
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class CurationSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import scala.jdk.CollectionConverters._
+
+  private def df(rows: Seq[(Long, String, String)]) = {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("text", StringType, nullable = false),
+      StructField("source", StringType, nullable = false)))
+    spark.createDataFrame(
+      rows.map { case (i, t, s) => org.apache.spark.sql.Row(i, t, s) }.asJava, schema)
+  }
+
+  test("decontaminate flags only corpus docs sharing an n-gram with the benchmark") {
+    val bench = df(Seq((100L, "the secret eval answer is forty two exactly", "b")))
+    val corpus = df(Seq(
+      (1L, "a doc quoting the secret eval answer is forty two exactly verbatim", "c"),
+      (2L, "completely unrelated text with no overlap at all whatsoever here", "c")))
+    val hits = Curation.decontaminate(corpus, bench, "text", "doc_id", n = 5)
+      .collect().map(_.getLong(0)).toSeq
+    assert(hits == Seq(1L))
+  }
+
+  test("decontaminate broadcast side: plan broadcasts the benchmark n-grams") {
+    val bench = df(Seq((100L, "alpha beta gamma delta epsilon zeta", "b")))
+    val corpus = df(Seq((1L, "alpha beta gamma delta epsilon zeta eta", "c")))
+    val plan = Curation.decontaminate(corpus, bench, "text", "doc_id", n = 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"))
+  }
+
+  test("dedupSentences keeps first global occurrence and reassembles in order") {
+    val docs = df(Seq(
+      (1L, "Shared sentence one. Unique to one.", "s"),
+      (2L, "Shared sentence one. Unique to two. Another bit.", "s"),
+      (3L, "Shared sentence one.", "s"))) // fully duplicate -> vanishes
+    val out = Curation.dedupSentences(docs, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "Shared sentence one Unique to one")
+    assert(out(2L) == "Unique to two Another bit")
+    assert(!out.contains(3L))
+  }
+
+  test("stratifiedSample is deterministic, salt-sensitive, and rate-monotone") {
+    val docs = df((1L to 400L).map(i => (i, s"text $i", s"src${i % 4}")))
+    def ids(salt: String, rate: Int) =
+      Curation.stratifiedSample(docs, "doc_id", salt, lit(rate))
+        .collect().map(_.getLong(0)).toSet
+    val a = ids("mix", 300)
+    assert(a == ids("mix", 300))            // reproducible
+    assert(a != ids("other", 300))          // salt-independent sample
+    assert(a.subsetOf(ids("mix", 700)))     // higher rate is a superset
+    assert(a.nonEmpty && a.size < 400)
+  }
+
+  test("packSequences greedy first-fit per stratum in id order") {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("src", StringType, nullable = false),
+      StructField("doc_id", LongType, nullable = false),
+      StructField("n_tok", IntegerType, nullable = false)))
+    val rows = Seq(("a", 1L, 300), ("a", 2L, 200), ("a", 3L, 20), ("a", 4L, 700),
+      ("a", 5L, 100), ("b", 6L, 512), ("b", 7L, 1)).map {
+      case (s, i, n) => org.apache.spark.sql.Row(s, i, n) }
+    val docs = spark.createDataFrame(rows.asJava, schema)
+    val out = Curation.packSequences(docs, "src", "doc_id", "n_tok", budget = 512)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> (r.getInt(2), r.getInt(3))).toMap
+    // a: 300+200 fit (500), +20 fits (520 > 512? no: 500+20=520 > 512 -> new bin)
+    assert(out(("a", 1L)) == (0, 300))
+    assert(out(("a", 2L)) == (0, 500))
+    assert(out(("a", 3L)) == (1, 20))   // 500+20 > 512 -> bin 1
+    assert(out(("a", 4L)) == (2, 700))  // oversize doc gets its own bin
+    assert(out(("a", 5L)) == (3, 100))  // 700+100 > 512 -> next bin
+    assert(out(("b", 6L)) == (0, 512))
+    assert(out(("b", 7L)) == (1, 1))    // 512+1 > 512 -> new bin
+  }
+}
