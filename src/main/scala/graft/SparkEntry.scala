@@ -156,6 +156,11 @@ object SparkEntry {
     "q_wasm_count_byte" -> q(
       """SELECT doc_id, wasm_count_byte(text, 101) AS ne
         |FROM documents ORDER BY doc_id""".stripMargin) _,
+    // the same scan through the v128 SIMD tier: 16-lane compare + bitmask +
+    // popcnt per iteration instead of a per-byte loop
+    "q_wasm_simd_count" -> q(
+      """SELECT doc_id, wasm_count_simd(text, 97) AS na
+        |FROM documents ORDER BY doc_id""".stripMargin) _,
     // STRING RETURN through the FFI alloc ABI's other direction: the guest
     // returns a packed (ptr << 32 | len) i64 and the host copies the bytes
     // out of linear memory (documents.text is ASCII, so the byte-indexed
@@ -1265,6 +1270,10 @@ object SparkEntry {
     "q_wasm_count_byte" ->
       """SELECT doc_id,
         |       CAST(length(text) - length(replace(text, 'e', '')) AS BIGINT) AS ne
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_wasm_simd_count" ->
+      """SELECT doc_id,
+        |       CAST(length(text) - length(replace(text, 'a', '')) AS BIGINT) AS na
         |FROM documents ORDER BY doc_id""".stripMargin,
     "q_wasm_sum_udaf" ->
       """SELECT l_returnflag, CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS s

@@ -115,6 +115,24 @@ object Insn {
   final case class F64Const(v: Double) extends Insn
   /** Every pure numeric op 0x45-0xC4, dispatched by opcode in the interpreter. */
   final case class Num(op: Int) extends Insn
+  // ---- SIMD (v128). A v128 value occupies ONE operand-stack slot (its low
+  // 64 bits) plus the matching slot of a parallel SHADOW stack (high bits) —
+  // see WasmInterp's shadow-array design: width-polymorphic instructions
+  // (select, block arities, locals, call frames) stay unchanged.
+  final case class V128Const(lo: Long, hi: Long) extends Insn
+  /** sub 0x00-0x0A (load / loadNxM / load_splat) and 0x5C/0x5D (load_zero). */
+  final case class SimdLoad(sub: Int, offset: Long) extends Insn
+  case class SimdStore(offset: Long) extends Insn
+  /** sub 0x54-0x57: replace one lane of a v128 from memory. */
+  final case class SimdLoadLane(sub: Int, offset: Long, lane: Int) extends Insn
+  /** sub 0x58-0x5B: store one lane of a v128 to memory. */
+  final case class SimdStoreLane(sub: Int, offset: Long, lane: Int) extends Insn
+  /** i8x16.shuffle — 16 immediate lane selectors over the 32-byte concat. */
+  final case class Shuffle(lanes: Array[Byte]) extends Insn
+  /** extract_lane / replace_lane family (sub 0x15-0x22) with immediate lane. */
+  final case class SimdLane(sub: Int, lane: Int) extends Insn
+  /** Every remaining pure SIMD op, dispatched by subopcode in the interpreter. */
+  final case class Simd(sub: Int) extends Insn
 }
 
 final case class FuncType(params: Array[Byte], results: Array[Byte]) {
@@ -154,7 +172,11 @@ final class WasmModule(
     val tableSize: Int = 0,               // funcref table min entries; 0 = no table
     val elems: Array[ElemSeg] = Array.empty,
     val startIdx: Option[Int] = None,
-    val tableMax: Int = Int.MaxValue) extends Serializable {
+    val tableMax: Int = Int.MaxValue,
+    /** Any v128 anywhere (types, locals, globals, instructions): instances
+      * then allocate REAL per-call shadow-local arrays; modules without SIMD
+      * share one scratch array (its contents are never read). */
+    val hasV128: Boolean = false) extends Serializable {
 
   /** Initial funcref table: -1 = uninitialized element. Instances CLONE this
     * (tables are mutable via table.set/grow/init since reference-types), so
@@ -417,17 +439,32 @@ object WasmModule {
       if (ft.params.nonEmpty || ft.results.nonEmpty)
         throw new WasmTrap("start function must be [] -> []")
     }
+    def bodyHasSimd(insns: Array[Insn]): Boolean = insns.exists {
+      case Insn.Block(_, _, b) => bodyHasSimd(b)
+      case Insn.Loop(_, b) => bodyHasSimd(b)
+      case Insn.If(_, _, t, e) => bodyHasSimd(t) || bodyHasSimd(e)
+      case _: Insn.V128Const | _: Insn.SimdLoad | _: Insn.SimdStore |
+           _: Insn.SimdLoadLane | _: Insn.SimdStoreLane | _: Insn.Shuffle |
+           _: Insn.SimdLane | _: Insn.Simd => true
+      case _ => false
+    }
+    val hasV128 =
+      types.exists(t => t.params.contains(V128) || t.results.contains(V128)) ||
+        funcs.exists(f => f.locals.contains(V128)) ||
+        globals.exists(_.valType == V128) ||
+        funcs.exists(f => bodyHasSimd(f.body))
     new WasmModule(types, funcs, memMin, memMax, globals.toArray, exports.toArray,
-      data.toArray, tableSize, elems.toArray, startIdx, tableMax)
+      data.toArray, tableSize, elems.toArray, startIdx, tableMax, hasV128)
   }
 
   final val FuncRef: Byte = 0x70
   final val ExternRef: Byte = 0x6F
+  final val V128: Byte = 0x7B
 
   private def valType(b: Byte): Byte = b match {
     case I32 | I64 | F32 | F64 => b
     case FuncRef | ExternRef => b // reference values ride the Long slot (-1 = null)
-    case 0x7B => throw new WasmTrap("v128/SIMD unsupported")
+    case V128 => b // rides one slot + the shadow stack (WasmInterp)
     case other => throw new WasmTrap(f"unknown value type 0x$other%02x")
   }
 
@@ -444,7 +481,7 @@ object WasmModule {
       case -64 => (0, 0)                      // 0x40 empty
       case -1 | -2 | -3 | -4 => (0, 1)        // i32 | i64 | f32 | f64
       case -16 | -17 => (0, 1)                // funcref | externref
-      case -5 => throw new WasmTrap("v128/SIMD unsupported")
+      case -5 => (0, 1)                       // v128 — one slot + shadow
       case _ => throw new WasmTrap("unknown block type")
     }
   }
@@ -561,7 +598,37 @@ object WasmModule {
             out += TableFill
           case sub => throw new WasmTrap(f"unsupported 0xFC subopcode $sub")
         }
-        case 0xFD => throw new WasmTrap("SIMD (v128) unsupported")
+        case 0xFD => r.lebU32() match { // SIMD prefix
+          case sub if sub <= 0x0A => // v128.load / loadNxM / load_splat: memarg
+            r.lebU32(); out += SimdLoad(sub, r.lebU32().toLong & 0xFFFFFFFFL)
+          case 0x0B => // v128.store: memarg
+            r.lebU32(); out += SimdStore(r.lebU32().toLong & 0xFFFFFFFFL)
+          case 0x0C => // v128.const: 16 raw little-endian bytes
+            val bs = r.bytes(16)
+            def le(o: Int): Long = {
+              var v = 0L; var i = 7
+              while (i >= 0) { v = (v << 8) | (bs(o + i) & 0xFFL); i -= 1 }; v
+            }
+            out += V128Const(le(0), le(8))
+          case 0x0D => // i8x16.shuffle: 16 immediate lane selectors (< 32)
+            val lanes = r.bytes(16)
+            if (lanes.exists(l => (l & 0xFF) >= 32))
+              throw new WasmTrap("shuffle lane selector out of range")
+            out += Shuffle(lanes)
+          case sub if sub >= 0x15 && sub <= 0x22 => // extract/replace lane
+            out += SimdLane(sub, r.byte() & 0xFF)
+          case sub if sub >= 0x54 && sub <= 0x5B => // load/store lane: memarg + lane
+            r.lebU32()
+            val off = r.lebU32().toLong & 0xFFFFFFFFL
+            val lane = r.byte() & 0xFF
+            if (sub <= 0x57) out += SimdLoadLane(sub, off, lane)
+            else out += SimdStoreLane(sub, off, lane)
+          case sub @ (0x5C | 0x5D) => // v128.load32_zero / load64_zero: memarg
+            r.lebU32(); out += SimdLoad(sub, r.lebU32().toLong & 0xFFFFFFFFL)
+          case sub if sub <= 0xFF => out += Simd(sub) // pure ops; unassigned
+            // subopcodes trap in the interpreter's dispatch (contained)
+          case sub => throw new WasmTrap(s"unsupported SIMD subopcode $sub")
+        }
         case other => throw new WasmTrap(f"unsupported opcode 0x$other%02x")
       }
     }

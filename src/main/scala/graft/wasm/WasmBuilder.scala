@@ -441,4 +441,156 @@ object Asm {
   def f64ConvertI64U: Code = b(0xBA)
 
   def concat(parts: Code*): Code = parts.flatten.toArray
+
+  // ---- SIMD (v128) ---------------------------------------------------------
+  val v128: Byte = 0x7B
+  private def simd(sub: Int): Code = b(0xFD) ++ lebU(sub)
+  private def simdMem(sub: Int, align: Int, offset: Int): Code =
+    simd(sub) ++ lebU(align) ++ lebU(offset)
+  def v128Load(offset: Int = 0): Code = simdMem(0x00, 4, offset)
+  def v128Load8x8S(offset: Int = 0): Code = simdMem(0x01, 3, offset)
+  def v128Load8x8U(offset: Int = 0): Code = simdMem(0x02, 3, offset)
+  def v128Load32Splat(offset: Int = 0): Code = simdMem(0x09, 2, offset)
+  def v128Load64Splat(offset: Int = 0): Code = simdMem(0x0A, 3, offset)
+  def v128Load32Zero(offset: Int = 0): Code = simdMem(0x5C, 2, offset)
+  def v128Load64Zero(offset: Int = 0): Code = simdMem(0x5D, 3, offset)
+  def v128Store(offset: Int = 0): Code = simdMem(0x0B, 4, offset)
+  def v128Load32Lane(offset: Int, lane: Int): Code = simdMem(0x56, 2, offset) ++ b(lane)
+  def v128Store64Lane(offset: Int, lane: Int): Code = simdMem(0x5B, 3, offset) ++ b(lane)
+  def v128ConstBytes(bytes: Seq[Int]): Code = {
+    require(bytes.length == 16, "v128.const takes 16 bytes")
+    simd(0x0C) ++ bytes.map(_.toByte).toArray
+  }
+  def i8x16Shuffle(lanes: Seq[Int]): Code = {
+    require(lanes.length == 16, "shuffle takes 16 lane selectors")
+    simd(0x0D) ++ lanes.map(_.toByte).toArray
+  }
+  def i8x16Swizzle: Code = simd(0x0E)
+  def i8x16Splat: Code = simd(0x0F)
+  def i16x8Splat: Code = simd(0x10)
+  def i32x4Splat: Code = simd(0x11)
+  def i64x2Splat: Code = simd(0x12)
+  def f32x4Splat: Code = simd(0x13)
+  def f64x2Splat: Code = simd(0x14)
+  def i8x16ExtractLaneS(l: Int): Code = simd(0x15) ++ b(l)
+  def i8x16ExtractLaneU(l: Int): Code = simd(0x16) ++ b(l)
+  def i8x16ReplaceLane(l: Int): Code = simd(0x17) ++ b(l)
+  def i16x8ExtractLaneS(l: Int): Code = simd(0x18) ++ b(l)
+  def i16x8ExtractLaneU(l: Int): Code = simd(0x19) ++ b(l)
+  def i16x8ReplaceLane(l: Int): Code = simd(0x1A) ++ b(l)
+  def i32x4ExtractLane(l: Int): Code = simd(0x1B) ++ b(l)
+  def i32x4ReplaceLane(l: Int): Code = simd(0x1C) ++ b(l)
+  def i64x2ExtractLane(l: Int): Code = simd(0x1D) ++ b(l)
+  def i64x2ReplaceLane(l: Int): Code = simd(0x1E) ++ b(l)
+  def f32x4ExtractLane(l: Int): Code = simd(0x1F) ++ b(l)
+  def f32x4ReplaceLane(l: Int): Code = simd(0x20) ++ b(l)
+  def f64x2ExtractLane(l: Int): Code = simd(0x21) ++ b(l)
+  def f64x2ReplaceLane(l: Int): Code = simd(0x22) ++ b(l)
+  def i8x16Eq: Code = simd(0x23)
+  def i8x16LtS: Code = simd(0x25)
+  def i8x16LtU: Code = simd(0x26)
+  def i16x8Eq: Code = simd(0x2D)
+  def i32x4Eq: Code = simd(0x37)
+  def i32x4GtS: Code = simd(0x3B)
+  def f32x4Eq: Code = simd(0x41)
+  def f32x4Lt: Code = simd(0x43)
+  def f64x2Lt: Code = simd(0x49)
+  def v128Not: Code = simd(0x4D)
+  def v128And: Code = simd(0x4E)
+  def v128AndNot: Code = simd(0x4F)
+  def v128Or: Code = simd(0x50)
+  def v128Xor: Code = simd(0x51)
+  def v128Bitselect: Code = simd(0x52)
+  def v128AnyTrue: Code = simd(0x53)
+  def f32x4DemoteF64x2Zero: Code = simd(0x5E)
+  def f64x2PromoteLowF32x4: Code = simd(0x5F)
+  def i8x16Abs: Code = simd(0x60)
+  def i8x16Neg: Code = simd(0x61)
+  def i8x16Popcnt: Code = simd(0x62)
+  def i8x16AllTrue: Code = simd(0x63)
+  def i8x16Bitmask: Code = simd(0x64)
+  def i8x16NarrowI16x8S: Code = simd(0x65)
+  def i8x16NarrowI16x8U: Code = simd(0x66)
+  def i8x16Shl: Code = simd(0x6B)
+  def i8x16Add: Code = simd(0x6E)
+  def i8x16AddSatS: Code = simd(0x6F)
+  def i8x16AddSatU: Code = simd(0x70)
+  def i8x16Sub: Code = simd(0x71)
+  def i8x16SubSatS: Code = simd(0x72)
+  def i8x16SubSatU: Code = simd(0x73)
+  def i8x16MinS: Code = simd(0x76)
+  def i8x16MinU: Code = simd(0x77)
+  def i8x16MaxS: Code = simd(0x78)
+  def i8x16MaxU: Code = simd(0x79)
+  def i8x16AvgrU: Code = simd(0x7B)
+  def i16x8ExtAddPairwiseI8x16S: Code = simd(0x7C)
+  def i32x4ExtAddPairwiseI16x8S: Code = simd(0x7E)
+  def i16x8AllTrue: Code = simd(0x83)
+  def i16x8Bitmask: Code = simd(0x84)
+  def i16x8NarrowI32x4S: Code = simd(0x85)
+  def i16x8ExtendLowI8x16S: Code = simd(0x87)
+  def i16x8ExtendHighI8x16S: Code = simd(0x88)
+  def i16x8ExtendLowI8x16U: Code = simd(0x89)
+  def i16x8ExtendHighI8x16U: Code = simd(0x8A)
+  def i16x8Shl: Code = simd(0x8B)
+  def i16x8ShrS: Code = simd(0x8C)
+  def i16x8Add: Code = simd(0x8E)
+  def i16x8AddSatS: Code = simd(0x8F)
+  def i16x8Sub: Code = simd(0x91)
+  def i16x8Mul: Code = simd(0x95)
+  def i16x8MinS: Code = simd(0x96)
+  def i16x8MaxS: Code = simd(0x98)
+  def i16x8ExtMulLowI8x16S: Code = simd(0x9C)
+  def i32x4Abs: Code = simd(0xA0)
+  def i32x4Neg: Code = simd(0xA1)
+  def i32x4AllTrue: Code = simd(0xA3)
+  def i32x4Bitmask: Code = simd(0xA4)
+  def i32x4ExtendLowI16x8S: Code = simd(0xA7)
+  def i32x4Shl: Code = simd(0xAB)
+  def i32x4ShrS: Code = simd(0xAC)
+  def i32x4ShrU: Code = simd(0xAD)
+  def i32x4Add: Code = simd(0xAE)
+  def i32x4Sub: Code = simd(0xB1)
+  def i32x4Mul: Code = simd(0xB5)
+  def i32x4MinS: Code = simd(0xB6)
+  def i32x4MaxS: Code = simd(0xB8)
+  def i32x4DotI16x8S: Code = simd(0xBA)
+  def i32x4ExtMulLowI16x8S: Code = simd(0xBC)
+  def i64x2Abs: Code = simd(0xC0)
+  def i64x2Neg: Code = simd(0xC1)
+  def i64x2AllTrue: Code = simd(0xC3)
+  def i64x2Bitmask: Code = simd(0xC4)
+  def i64x2ExtendLowI32x4S: Code = simd(0xC7)
+  def i64x2Shl: Code = simd(0xCB)
+  def i64x2Add: Code = simd(0xCE)
+  def i64x2Sub: Code = simd(0xD1)
+  def i64x2Mul: Code = simd(0xD5)
+  def i64x2Eq: Code = simd(0xD6)
+  def i64x2ExtMulLowI32x4S: Code = simd(0xDC)
+  def f32x4Abs: Code = simd(0xE0)
+  def f32x4Neg: Code = simd(0xE1)
+  def f32x4Sqrt: Code = simd(0xE3)
+  def f32x4Add: Code = simd(0xE4)
+  def f32x4Sub: Code = simd(0xE5)
+  def f32x4Mul: Code = simd(0xE6)
+  def f32x4Div: Code = simd(0xE7)
+  def f32x4Min: Code = simd(0xE8)
+  def f32x4Max: Code = simd(0xE9)
+  def f32x4PMin: Code = simd(0xEA)
+  def f64x2Abs: Code = simd(0xEC)
+  def f64x2Neg: Code = simd(0xED)
+  def f64x2Sqrt: Code = simd(0xEF)
+  def f64x2Add: Code = simd(0xF0)
+  def f64x2Sub: Code = simd(0xF1)
+  def f64x2Mul: Code = simd(0xF2)
+  def f64x2Div: Code = simd(0xF3)
+  def f64x2Min: Code = simd(0xF4)
+  def f64x2Max: Code = simd(0xF5)
+  def i32x4TruncSatF32x4S: Code = simd(0xF8)
+  def i32x4TruncSatF32x4U: Code = simd(0xF9)
+  def f32x4ConvertI32x4S: Code = simd(0xFA)
+  def f32x4ConvertI32x4U: Code = simd(0xFB)
+  def i32x4TruncSatF64x2SZero: Code = simd(0xFC)
+  def f64x2ConvertLowI32x4S: Code = simd(0xFE)
+  def i32Popcnt: Code = b(0x69)
 }

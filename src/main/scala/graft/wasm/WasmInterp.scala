@@ -42,7 +42,16 @@ final class WasmInstance(val module: WasmModule, val config: WasmConfig) {
       case Array(F64Const(v)) => java.lang.Double.doubleToRawLongBits(v)
       case Array(RefNull)     => -1L
       case Array(RefFunc(i))  => i.toLong
+      case Array(V128Const(lo, _)) => lo // high bits in vglobals
       case _ => throw new WasmTrap("global init must be a single const")
+    }
+  }
+  /** Shadow of `globals` carrying the HIGH 64 bits of v128 globals (the
+    * same blind-copy design as the shadow stack below). */
+  private val vglobals: Array[Long] = module.globals.map { g =>
+    g.init match {
+      case Array(V128Const(_, hi)) => hi
+      case _ => 0L
     }
   }
 
@@ -73,6 +82,19 @@ final class WasmInstance(val module: WasmModule, val config: WasmConfig) {
   private var nesting: Int = 0 // block-structure activations (separate budget)
   private var stack = new Array[Long](256)
   private var sp = 0
+  // v128 SHADOW stack: slot i of a v128 value holds its LOW 64 bits in
+  // stack(i) and its HIGH 64 bits in vstack(i). Scalar slots leave their
+  // shadow as garbage — it is only ever read along well-typed v128 dataflow.
+  // Every slot-MOVING operation (select, truncate, locals, globals, call
+  // frames) copies the shadow blindly (one extra long store), so all
+  // width-polymorphic instructions work for v128 without type tracking.
+  private var vstack = new Array[Long](256)
+  // scratch shadow-locals for modules with no v128 anywhere (never read);
+  // SIMD modules allocate real per-call arrays (recursion safety)
+  private var scratchVLocals = new Array[Long](64)
+  // SIMD pop registers (avoids a tuple allocation per vector operand)
+  private var xLo = 0L
+  private var xHi = 0L
 
   // the start function (LLVM ctor shape) runs once at instantiation — after
   // every field above initializes — under the SAME fuel/depth containment as
@@ -80,7 +102,10 @@ final class WasmInstance(val module: WasmModule, val config: WasmConfig) {
   module.startIdx.foreach(si => invokeBound(new Bound(si, 0, false), Array.empty))
 
   private def push(v: Long): Unit = {
-    if (sp == stack.length) stack = java.util.Arrays.copyOf(stack, stack.length * 2)
+    if (sp == stack.length) {
+      stack = java.util.Arrays.copyOf(stack, stack.length * 2)
+      vstack = java.util.Arrays.copyOf(vstack, vstack.length * 2)
+    }
     stack(sp) = v; sp += 1
   }
   private def pop(): Long = {
@@ -88,6 +113,18 @@ final class WasmInstance(val module: WasmModule, val config: WasmConfig) {
     // instead of surfacing an ArrayIndexOutOfBoundsException
     if (sp == 0) throw new WasmTrap("operand stack underflow (malformed module)")
     sp -= 1; stack(sp)
+  }
+  private def pushV(lo: Long, hi: Long): Unit = {
+    if (sp == stack.length) {
+      stack = java.util.Arrays.copyOf(stack, stack.length * 2)
+      vstack = java.util.Arrays.copyOf(vstack, vstack.length * 2)
+    }
+    stack(sp) = lo; vstack(sp) = hi; sp += 1
+  }
+  /** Pops a v128 into (xLo, xHi). */
+  private def popV(): Unit = {
+    if (sp == 0) throw new WasmTrap("operand stack underflow (malformed module)")
+    sp -= 1; xLo = stack(sp); xHi = vstack(sp)
   }
 
   /** Host-side write into guest linear memory — the copy-in half of the
@@ -134,6 +171,9 @@ final class WasmInstance(val module: WasmModule, val config: WasmConfig) {
     if (ft.results.length > 1)
       throw new WasmTrap(s"$exportName returns ${ft.results.length} values; " +
         "multi-value is internal-only (host calls take at most one result)")
+    if (ft.params.contains(WasmModule.V128) || ft.results.contains(WasmModule.V128))
+      throw new WasmTrap(s"$exportName takes/returns v128; " +
+        "v128 is internal-only (host calls pass scalars or memory pointers)")
     new Bound(fidx, ft.params.length, ft.results.length == 1)
   }
 
@@ -176,6 +216,9 @@ final class WasmInstance(val module: WasmModule, val config: WasmConfig) {
     if (ft.results.length > 1)
       throw new WasmTrap(s"$exportName returns ${ft.results.length} values; " +
         "multi-value is internal-only (host calls take at most one result)")
+    if (ft.params.contains(WasmModule.V128) || ft.results.contains(WasmModule.V128))
+      throw new WasmTrap(s"$exportName takes/returns v128; " +
+        "v128 is internal-only (host calls pass scalars or memory pointers)")
     args.foreach(push)
     // unvalidated modules can index locals/globals out of range — surface
     // every malformed-module failure as a trap, never a JVM error
@@ -203,24 +246,29 @@ final class WasmInstance(val module: WasmModule, val config: WasmConfig) {
     val fd = module.funcs(fidx)
     val ft = module.types(fd.typeIdx)
     val nParams = ft.params.length
-    val locals = new Array[Long](nParams + fd.locals.length)
+    val nLocals = nParams + fd.locals.length
+    val locals = new Array[Long](nLocals)
+    // shadow locals: real per-call array only when the module uses v128
+    // anywhere (recursion-safe); otherwise a shared never-read scratch
+    val vlocals =
+      if (module.hasV128) new Array[Long](nLocals)
+      else {
+        if (scratchVLocals.length < nLocals)
+          scratchVLocals = new Array[Long](Integer.highestOneBit(nLocals) * 2)
+        scratchVLocals
+      }
+    if (sp < nParams) throw new WasmTrap("operand stack underflow (malformed module)")
     var i = nParams - 1
-    while (i >= 0) { locals(i) = pop(); i -= 1 }
+    while (i >= 0) { sp -= 1; locals(i) = stack(sp); vlocals(i) = vstack(sp); i -= 1 }
     // reference-typed locals default to NULL (-1), not 0
     val rl = fd.refLocals
     var k = 0
     while (k < rl.length) { locals(nParams + rl(k)) = -1L; k += 1 }
     val base = sp
-    val r = exec(fd.body, locals)
+    val r = exec(fd.body, locals, vlocals)
     // normalize the frame: keep the declared results, discard the rest
     val nRes = ft.results.length
-    if (r != FALL || sp != base + nRes) {
-      var j = nRes - 1
-      val res = new Array[Long](nRes)
-      while (j >= 0) { res(j) = pop(); j -= 1 }
-      sp = base
-      res.foreach(push)
-    }
+    if (r != FALL || sp != base + nRes) truncate(base, nRes)
     depth -= 1
   }
 
@@ -237,7 +285,7 @@ final class WasmInstance(val module: WasmModule, val config: WasmConfig) {
     * thousands of nested `block`s traps (WasmTrap) instead of overflowing
     * the JVM stack — a StackOverflowError would escape the error-column
     * containment, which only catches Exception. */
-  private def exec(body: Array[Insn], locals: Array[Long]): Int = {
+  private def exec(body: Array[Insn], locals: Array[Long], vlocals: Array[Long]): Int = {
     // counter check inlined in THIS frame — a wrapper method would add one
     // JVM frame per activation, which at a legal 1000-deep call recursion
     // is the difference between fitting the thread stack and SOE
@@ -256,7 +304,7 @@ final class WasmInstance(val module: WasmModule, val config: WasmConfig) {
           // the top `params` slots belong to the block's frame (multi-value)
           val base = sp - params
           if (base < 0) throw new WasmTrap("operand stack underflow (malformed module)")
-          val r = exec(inner, locals)
+          val r = exec(inner, locals, vlocals)
           if (r == 0 || r == FALL) truncate(base, results)
           else if (r == Int.MaxValue) return Int.MaxValue
           else return r - 1
@@ -265,7 +313,7 @@ final class WasmInstance(val module: WasmModule, val config: WasmConfig) {
           if (base < 0) throw new WasmTrap("operand stack underflow (malformed module)")
           var continue = true
           while (continue) {
-            val r = exec(inner, locals)
+            val r = exec(inner, locals, vlocals)
             if (r == 0) truncate(base, params) // br to head: re-supply the params, restart
             else if (r == FALL) continue = false
             else if (r == Int.MaxValue) return Int.MaxValue
@@ -275,7 +323,7 @@ final class WasmInstance(val module: WasmModule, val config: WasmConfig) {
           val cond = pop()
           val base = sp - params
           if (base < 0) throw new WasmTrap("operand stack underflow (malformed module)")
-          val r = exec(if (cond != 0) thn else els, locals)
+          val r = exec(if (cond != 0) thn else els, locals, vlocals)
           if (r == 0 || r == FALL) truncate(base, results)
           else if (r == Int.MaxValue) return Int.MaxValue
           else return r - 1
@@ -374,15 +422,19 @@ final class WasmInstance(val module: WasmModule, val config: WasmConfig) {
         case Call(f) => callFunc(f)
         case Drop => sp -= 1
         case Select =>
-          val c = pop(); val b = pop(); val a = pop()
-          push(if (c != 0) a else b)
-        case LocalGet(i) => push(locals(i))
-        case LocalSet(i) => locals(i) = pop()
-        case LocalTee(i) => locals(i) = stack(sp - 1)
-        case GlobalGet(i) => push(globals(i))
+          // keep operands in place: result lands in a's slot (shadow too, so
+          // v128 select works without knowing the width)
+          val c = pop()
+          if (sp < 2) throw new WasmTrap("operand stack underflow (malformed module)")
+          sp -= 1 // b at sp, a at sp - 1
+          if (c == 0) { stack(sp - 1) = stack(sp); vstack(sp - 1) = vstack(sp) }
+        case LocalGet(i) => push(locals(i)); vstack(sp - 1) = vlocals(i)
+        case LocalSet(i) => locals(i) = pop(); vlocals(i) = vstack(sp)
+        case LocalTee(i) => locals(i) = stack(sp - 1); vlocals(i) = vstack(sp - 1)
+        case GlobalGet(i) => push(globals(i)); vstack(sp - 1) = vglobals(i)
         case GlobalSet(i) =>
           if (!module.globals(i).mutable) throw new WasmTrap("set of immutable global")
-          globals(i) = pop()
+          globals(i) = pop(); vglobals(i) = vstack(sp)
         case Load(op, off) => load(op, off)
         case Store(op, off) => store(op, off)
         case MemorySize => push(memPages.toLong)
@@ -400,6 +452,18 @@ final class WasmInstance(val module: WasmModule, val config: WasmConfig) {
         case F32Const(v) => pushF32(v)
         case F64Const(v) => pushF64(v)
         case Num(op) => numeric(op)
+        case V128Const(lo, hi) => pushV(lo, hi)
+        case SimdLoad(sub, off) => simdLoad(sub, off)
+        case SimdStore(off) =>
+          popV()
+          val lo = xLo; val hi = xHi
+          val a = addr(off, 16)
+          wr(a, 8, lo); wr(a + 8, 8, hi)
+        case SimdLoadLane(sub, off, lane) => simdLoadLane(sub, off, lane)
+        case SimdStoreLane(sub, off, lane) => simdStoreLane(sub, off, lane)
+        case Shuffle(lanes) => shuffle(lanes)
+        case SimdLane(sub, lane) => simdLane(sub, lane)
+        case Simd(sub) => simd(sub)
       }
       pc += 1
     }
@@ -414,7 +478,11 @@ final class WasmInstance(val module: WasmModule, val config: WasmConfig) {
     if (sp != base + arity) {
       if (sp - arity < base) throw new WasmTrap("operand stack underflow (malformed module)")
       var j = 0
-      while (j < arity) { stack(base + j) = stack(sp - arity + j); j += 1 }
+      while (j < arity) {
+        stack(base + j) = stack(sp - arity + j)
+        vstack(base + j) = vstack(sp - arity + j) // v128 shadow travels with the slot
+        j += 1
+      }
       sp = base + arity
     }
   }
@@ -747,5 +815,568 @@ final class WasmInstance(val module: WasmModule, val config: WasmConfig) {
     if (t < 0 || t >= 1.8446744073709552E19) throw new WasmTrap("integer overflow in trunc")
     push(if (t < 9.223372036854776E18) t.toLong
          else (t - 9.223372036854776E18).toLong + Long.MinValue)
+  }
+
+  // ---- SIMD (v128) evaluation ----------------------------------------------
+  // A v128 is a (lo, hi) pair of longs, lanes little-endian within each long
+  // (lane 0 = low bits of lo). Lane-generic helpers keep the 230-op dispatch
+  // mechanical; `signed` controls whether a lane reaches the combiner
+  // sign-extended or zero-extended. Fully interpreter-portable — lane math is
+  // plain 64-bit arithmetic, no host SIMD dependency.
+
+  private def laneMask(bits: Int): Long = if (bits == 64) -1L else (1L << bits) - 1
+
+  /** Lane-wise binary combine over one 64-bit half. */
+  private def halfBin(bits: Int, signed: Boolean, a: Long, b: Long,
+      f: (Long, Long) => Long): Long = {
+    val m = laneMask(bits)
+    val n = 64 / bits
+    var out = 0L
+    var i = 0
+    while (i < n) {
+      val sh = bits * i
+      var av = (a >>> sh) & m
+      var bv = (b >>> sh) & m
+      if (signed) { av = signExtend(av, bits); bv = signExtend(bv, bits) }
+      out |= (f(av, bv) & m) << sh
+      i += 1
+    }
+    out
+  }
+  private def halfUn(bits: Int, signed: Boolean, a: Long, f: Long => Long): Long = {
+    val m = laneMask(bits)
+    val n = 64 / bits
+    var out = 0L
+    var i = 0
+    while (i < n) {
+      val sh = bits * i
+      var av = (a >>> sh) & m
+      if (signed) av = signExtend(av, bits)
+      out |= (f(av) & m) << sh
+      i += 1
+    }
+    out
+  }
+  private def vBin(bits: Int, signed: Boolean)(f: (Long, Long) => Long): Unit = {
+    popV(); val bl = xLo; val bh = xHi
+    popV()
+    pushV(halfBin(bits, signed, xLo, bl, f), halfBin(bits, signed, xHi, bh, f))
+  }
+  private def vUn(bits: Int, signed: Boolean)(f: Long => Long): Unit = {
+    popV()
+    pushV(halfUn(bits, signed, xLo, f), halfUn(bits, signed, xHi, f))
+  }
+  /** Shift ops: scalar count on top (taken mod lane width, per spec). */
+  private def vShift(bits: Int, signed: Boolean)(f: (Long, Int) => Long): Unit = {
+    val k = ((pop().toInt % bits) + bits) % bits
+    popV()
+    pushV(halfUn(bits, signed, xLo, v => f(v, k)), halfUn(bits, signed, xHi, v => f(v, k)))
+  }
+
+  private def f32FromBits(v: Long): Float = java.lang.Float.intBitsToFloat(v.toInt)
+  private def f32Bits(v: Float): Long =
+    java.lang.Float.floatToRawIntBits(v).toLong & 0xFFFFFFFFL
+  private def dOf(v: Long): Double = java.lang.Double.longBitsToDouble(v)
+  private def dBits(v: Double): Long = java.lang.Double.doubleToRawLongBits(v)
+  private def vBinF32(f: (Float, Float) => Float): Unit =
+    vBin(32, signed = false)((a, b) => f32Bits(f(f32FromBits(a), f32FromBits(b))))
+  private def vUnF32(f: Float => Float): Unit =
+    vUn(32, signed = false)(a => f32Bits(f(f32FromBits(a))))
+  private def vCmpF32(f: (Float, Float) => Boolean): Unit =
+    vBin(32, signed = false)((a, b) =>
+      if (f(f32FromBits(a), f32FromBits(b))) 0xFFFFFFFFL else 0L)
+  private def vBinF64(f: (Double, Double) => Double): Unit = {
+    popV(); val bl = xLo; val bh = xHi
+    popV()
+    pushV(dBits(f(dOf(xLo), dOf(bl))), dBits(f(dOf(xHi), dOf(bh))))
+  }
+  private def vUnF64(f: Double => Double): Unit = {
+    popV(); pushV(dBits(f(dOf(xLo))), dBits(f(dOf(xHi))))
+  }
+  private def vCmpF64(f: (Double, Double) => Boolean): Unit = {
+    popV(); val bl = xLo; val bh = xHi
+    popV()
+    pushV(if (f(dOf(xLo), dOf(bl))) -1L else 0L, if (f(dOf(xHi), dOf(bh))) -1L else 0L)
+  }
+
+  private def getLane(lo: Long, hi: Long, bits: Int, lane: Int, signed: Boolean): Long = {
+    val perHalf = 64 / bits
+    val src = if (lane < perHalf) lo else hi
+    val sh = bits * (lane % perHalf)
+    val raw = (src >>> sh) & laneMask(bits)
+    if (signed) signExtend(raw, bits) else raw
+  }
+  /** Replaces `lane`; result lands in (xLo, xHi). */
+  private def setLane(lo: Long, hi: Long, bits: Int, lane: Int, v: Long): Unit = {
+    val perHalf = 64 / bits
+    val m = laneMask(bits)
+    val sh = bits * (lane % perHalf)
+    if (lane < perHalf) { xLo = (lo & ~(m << sh)) | ((v & m) << sh); xHi = hi }
+    else { xLo = lo; xHi = (hi & ~(m << sh)) | ((v & m) << sh) }
+  }
+  private def byteOf(lo: Long, hi: Long, i: Int): Long =
+    getLane(lo, hi, 8, i, signed = false)
+  private def checkLane(lane: Int, n: Int): Unit =
+    if (lane < 0 || lane >= n) throw new WasmTrap("SIMD lane index out of range")
+
+  private def splat8(v0: Long): Long = (v0 & 0xFF) * 0x0101010101010101L
+  private def splat16(v0: Long): Long = (v0 & 0xFFFF) * 0x0001000100010001L
+  private def splat32(v0: Long): Long = { val v = v0 & 0xFFFFFFFFL; v | (v << 32) }
+
+  private def satLane(v: Long, bits: Int, signed: Boolean): Long =
+    if (signed) {
+      val max = laneMask(bits) >>> 1
+      val min = -max - 1
+      if (v > max) max else if (v < min) min else v
+    } else {
+      val max = laneMask(bits)
+      if (v > max) max else if (v < 0) 0L else v
+    }
+
+  private def simdLoad(sub: Int, off: Long): Unit = (sub: @annotation.switch) match {
+    case 0x00 => val a = addr(off, 16); pushV(rd(a, 8), rd(a + 8, 8))
+    case 0x01 | 0x02 => // load8x8_s/u -> i16x8
+      val a = addr(off, 8)
+      val signed = sub == 0x01
+      var lo = 0L; var hi = 0L; var i = 0
+      while (i < 8) {
+        var v = mem(a + i) & 0xFFL
+        if (signed) v = signExtend(v, 8)
+        v &= 0xFFFFL
+        if (i < 4) lo |= v << (16 * i) else hi |= v << (16 * (i - 4))
+        i += 1
+      }
+      pushV(lo, hi)
+    case 0x03 | 0x04 => // load16x4_s/u -> i32x4
+      val a = addr(off, 8)
+      val signed = sub == 0x03
+      var lo = 0L; var hi = 0L; var i = 0
+      while (i < 4) {
+        var v = rd(a + 2 * i, 2)
+        if (signed) v = signExtend(v, 16)
+        v &= 0xFFFFFFFFL
+        if (i < 2) lo |= v << (32 * i) else hi |= v << (32 * (i - 2))
+        i += 1
+      }
+      pushV(lo, hi)
+    case 0x05 | 0x06 => // load32x2_s/u -> i64x2
+      val a = addr(off, 8)
+      val signed = sub == 0x05
+      def w(o: Int): Long = { val v = rd(o, 4); if (signed) signExtend(v, 32) else v }
+      pushV(w(a), w(a + 4))
+    case 0x07 => val v = splat8(mem(addr(off, 1)) & 0xFFL); pushV(v, v)
+    case 0x08 => val v = splat16(rd(addr(off, 2), 2)); pushV(v, v)
+    case 0x09 => val v = splat32(rd(addr(off, 4), 4)); pushV(v, v)
+    case 0x0A => val v = rd(addr(off, 8), 8); pushV(v, v)
+    case 0x5C => pushV(rd(addr(off, 4), 4), 0L) // load32_zero
+    case 0x5D => pushV(rd(addr(off, 8), 8), 0L) // load64_zero
+    case other => throw new WasmTrap(s"bad SIMD load $other")
+  }
+
+  private def simdLoadLane(sub: Int, off: Long, lane: Int): Unit = {
+    popV()
+    val lo = xLo; val hi = xHi
+    val bits = 8 << (sub - 0x54)
+    checkLane(lane, 128 / bits)
+    val a = addr(off, bits / 8)
+    setLane(lo, hi, bits, lane, rd(a, bits / 8))
+    pushV(xLo, xHi)
+  }
+  private def simdStoreLane(sub: Int, off: Long, lane: Int): Unit = {
+    popV()
+    val lo = xLo; val hi = xHi
+    val bits = 8 << (sub - 0x58)
+    checkLane(lane, 128 / bits)
+    wr(addr(off, bits / 8), bits / 8, getLane(lo, hi, bits, lane, signed = false))
+  }
+
+  private def shuffle(lanes: Array[Byte]): Unit = {
+    popV(); val bl = xLo; val bh = xHi
+    popV(); val al = xLo; val ah = xHi
+    var lo = 0L; var hi = 0L; var i = 0
+    while (i < 16) {
+      val s = lanes(i) & 0xFF
+      val v = if (s < 16) byteOf(al, ah, s) else byteOf(bl, bh, s - 16)
+      if (i < 8) lo |= v << (8 * i) else hi |= v << (8 * (i - 8))
+      i += 1
+    }
+    pushV(lo, hi)
+  }
+
+  private def simdLane(sub: Int, lane: Int): Unit = (sub: @annotation.switch) match {
+    case 0x15 => checkLane(lane, 16); popV(); push(getLane(xLo, xHi, 8, lane, signed = true))
+    case 0x16 => checkLane(lane, 16); popV(); push(getLane(xLo, xHi, 8, lane, signed = false))
+    case 0x17 => checkLane(lane, 16)
+      val v = pop(); popV(); setLane(xLo, xHi, 8, lane, v); pushV(xLo, xHi)
+    case 0x18 => checkLane(lane, 8); popV(); push(getLane(xLo, xHi, 16, lane, signed = true))
+    case 0x19 => checkLane(lane, 8); popV(); push(getLane(xLo, xHi, 16, lane, signed = false))
+    case 0x1A => checkLane(lane, 8)
+      val v = pop(); popV(); setLane(xLo, xHi, 16, lane, v); pushV(xLo, xHi)
+    case 0x1B => checkLane(lane, 4) // i32 slots stay sign-extended
+      popV(); push(signExtend(getLane(xLo, xHi, 32, lane, signed = false), 32))
+    case 0x1C => checkLane(lane, 4)
+      val v = pop(); popV(); setLane(xLo, xHi, 32, lane, v); pushV(xLo, xHi)
+    case 0x1D => checkLane(lane, 2); popV(); push(if (lane == 0) xLo else xHi)
+    case 0x1E => checkLane(lane, 2)
+      val v = pop(); popV(); if (lane == 0) xLo = v else xHi = v; pushV(xLo, xHi)
+    case 0x1F => checkLane(lane, 4) // f32 slots are zero-extended raw bits
+      popV(); push(getLane(xLo, xHi, 32, lane, signed = false))
+    case 0x20 => checkLane(lane, 4)
+      val v = pop(); popV(); setLane(xLo, xHi, 32, lane, v); pushV(xLo, xHi)
+    case 0x21 => checkLane(lane, 2); popV(); push(if (lane == 0) xLo else xHi)
+    case 0x22 => checkLane(lane, 2)
+      val v = pop(); popV(); if (lane == 0) xLo = v else xHi = v; pushV(xLo, xHi)
+    case other => throw new WasmTrap(s"bad SIMD lane op $other")
+  }
+
+  private def vAllTrue(bits: Int): Unit = {
+    popV()
+    val n = 128 / bits
+    var ok = true
+    var i = 0
+    while (i < n) { if (getLane(xLo, xHi, bits, i, signed = false) == 0) ok = false; i += 1 }
+    pushB(ok)
+  }
+  private def vBitmask(bits: Int): Unit = {
+    popV()
+    val n = 128 / bits
+    var m = 0L
+    var i = 0
+    while (i < n) {
+      if ((getLane(xLo, xHi, bits, i, signed = false) >>> (bits - 1)) != 0) m |= 1L << i
+      i += 1
+    }
+    push(m)
+  }
+  /** narrow: one source's lanes saturated into the returned 64-bit half. */
+  private def narrowHalf(lo: Long, hi: Long, srcBits: Int, signedRange: Boolean): Long = {
+    val dstBits = srcBits / 2
+    val n = 128 / srcBits
+    var out = 0L
+    var i = 0
+    while (i < n) {
+      val v = satLane(getLane(lo, hi, srcBits, i, signed = true), dstBits, signedRange)
+      out |= (v & laneMask(dstBits)) << (dstBits * i)
+      i += 1
+    }
+    out
+  }
+  private def vNarrow(srcBits: Int, signedRange: Boolean): Unit = {
+    popV(); val bl = xLo; val bh = xHi
+    popV()
+    pushV(narrowHalf(xLo, xHi, srcBits, signedRange), narrowHalf(bl, bh, srcBits, signedRange))
+  }
+  private def vExtend(srcBits: Int, high: Boolean, signed: Boolean): Unit = {
+    popV()
+    val dstBits = srcBits * 2
+    val n = 128 / dstBits
+    var lo = 0L; var hi = 0L
+    var i = 0
+    while (i < n) {
+      val v = getLane(xLo, xHi, srcBits, if (high) n + i else i, signed) & laneMask(dstBits)
+      if (i < n / 2) lo |= v << (dstBits * i) else hi |= v << (dstBits * (i - n / 2))
+      i += 1
+    }
+    pushV(lo, hi)
+  }
+  private def vExtMul(srcBits: Int, high: Boolean, signed: Boolean): Unit = {
+    popV(); val bl = xLo; val bh = xHi
+    popV()
+    val dstBits = srcBits * 2
+    val n = 128 / dstBits
+    var lo = 0L; var hi = 0L
+    var i = 0
+    while (i < n) {
+      val s = if (high) n + i else i
+      val v = (getLane(xLo, xHi, srcBits, s, signed) *
+        getLane(bl, bh, srcBits, s, signed)) & laneMask(dstBits)
+      if (i < n / 2) lo |= v << (dstBits * i) else hi |= v << (dstBits * (i - n / 2))
+      i += 1
+    }
+    pushV(lo, hi)
+  }
+  private def vExtAddPairwise(srcBits: Int, signed: Boolean): Unit = {
+    popV()
+    val dstBits = srcBits * 2
+    val n = 128 / dstBits
+    var lo = 0L; var hi = 0L
+    var i = 0
+    while (i < n) {
+      val v = (getLane(xLo, xHi, srcBits, 2 * i, signed) +
+        getLane(xLo, xHi, srcBits, 2 * i + 1, signed)) & laneMask(dstBits)
+      if (i < n / 2) lo |= v << (dstBits * i) else hi |= v << (dstBits * (i - n / 2))
+      i += 1
+    }
+    pushV(lo, hi)
+  }
+  private def satI32(d: Double, unsigned: Boolean): Long =
+    if (d.isNaN) 0L
+    else if (unsigned) {
+      if (d <= 0) 0L else if (d >= 4294967295.0) 4294967295L else d.toLong
+    } else {
+      if (d <= Int.MinValue.toDouble) Int.MinValue.toLong
+      else if (d >= Int.MaxValue.toDouble) Int.MaxValue.toLong
+      else d.toLong // toward zero
+    }
+
+  /** Pure SIMD ops by subopcode — the full fixed-width SIMD proposal set;
+    * unassigned gaps trap (contained). */
+  private def simd(sub: Int): Unit = (sub: @annotation.switch) match {
+    case 0x0E => // i8x16.swizzle: out[i] = s[i] < 16 ? a[s[i]] : 0
+      popV(); val sl = xLo; val sh = xHi
+      popV(); val al = xLo; val ah = xHi
+      var lo = 0L; var hi = 0L; var i = 0
+      while (i < 16) {
+        val s = byteOf(sl, sh, i)
+        val v = if (s < 16) byteOf(al, ah, s.toInt) else 0L
+        if (i < 8) lo |= v << (8 * i) else hi |= v << (8 * (i - 8))
+        i += 1
+      }
+      pushV(lo, hi)
+    case 0x0F => val v = splat8(pop()); pushV(v, v)
+    case 0x10 => val v = splat16(pop()); pushV(v, v)
+    case 0x11 => val v = splat32(pop()); pushV(v, v)
+    case 0x12 => val v = pop(); pushV(v, v)
+    case 0x13 => val v = splat32(pop()); pushV(v, v) // f32 slots are raw bits
+    case 0x14 => val v = pop(); pushV(v, v)
+    // integer compares -> all-ones/all-zeros lane masks
+    case 0x23 => vBin(8, signed = true)((a, b) => if (a == b) -1L else 0L)
+    case 0x24 => vBin(8, signed = true)((a, b) => if (a != b) -1L else 0L)
+    case 0x25 => vBin(8, signed = true)((a, b) => if (a < b) -1L else 0L)
+    case 0x26 => vBin(8, signed = false)((a, b) => if (a < b) -1L else 0L)
+    case 0x27 => vBin(8, signed = true)((a, b) => if (a > b) -1L else 0L)
+    case 0x28 => vBin(8, signed = false)((a, b) => if (a > b) -1L else 0L)
+    case 0x29 => vBin(8, signed = true)((a, b) => if (a <= b) -1L else 0L)
+    case 0x2A => vBin(8, signed = false)((a, b) => if (a <= b) -1L else 0L)
+    case 0x2B => vBin(8, signed = true)((a, b) => if (a >= b) -1L else 0L)
+    case 0x2C => vBin(8, signed = false)((a, b) => if (a >= b) -1L else 0L)
+    case 0x2D => vBin(16, signed = true)((a, b) => if (a == b) -1L else 0L)
+    case 0x2E => vBin(16, signed = true)((a, b) => if (a != b) -1L else 0L)
+    case 0x2F => vBin(16, signed = true)((a, b) => if (a < b) -1L else 0L)
+    case 0x30 => vBin(16, signed = false)((a, b) => if (a < b) -1L else 0L)
+    case 0x31 => vBin(16, signed = true)((a, b) => if (a > b) -1L else 0L)
+    case 0x32 => vBin(16, signed = false)((a, b) => if (a > b) -1L else 0L)
+    case 0x33 => vBin(16, signed = true)((a, b) => if (a <= b) -1L else 0L)
+    case 0x34 => vBin(16, signed = false)((a, b) => if (a <= b) -1L else 0L)
+    case 0x35 => vBin(16, signed = true)((a, b) => if (a >= b) -1L else 0L)
+    case 0x36 => vBin(16, signed = false)((a, b) => if (a >= b) -1L else 0L)
+    case 0x37 => vBin(32, signed = true)((a, b) => if (a == b) -1L else 0L)
+    case 0x38 => vBin(32, signed = true)((a, b) => if (a != b) -1L else 0L)
+    case 0x39 => vBin(32, signed = true)((a, b) => if (a < b) -1L else 0L)
+    case 0x3A => vBin(32, signed = false)((a, b) => if (a < b) -1L else 0L)
+    case 0x3B => vBin(32, signed = true)((a, b) => if (a > b) -1L else 0L)
+    case 0x3C => vBin(32, signed = false)((a, b) => if (a > b) -1L else 0L)
+    case 0x3D => vBin(32, signed = true)((a, b) => if (a <= b) -1L else 0L)
+    case 0x3E => vBin(32, signed = false)((a, b) => if (a <= b) -1L else 0L)
+    case 0x3F => vBin(32, signed = true)((a, b) => if (a >= b) -1L else 0L)
+    case 0x40 => vBin(32, signed = false)((a, b) => if (a >= b) -1L else 0L)
+    case 0x41 => vCmpF32((a, b) => a == b)
+    case 0x42 => vCmpF32((a, b) => a != b)
+    case 0x43 => vCmpF32((a, b) => a < b)
+    case 0x44 => vCmpF32((a, b) => a > b)
+    case 0x45 => vCmpF32((a, b) => a <= b)
+    case 0x46 => vCmpF32((a, b) => a >= b)
+    case 0x47 => vCmpF64((a, b) => a == b)
+    case 0x48 => vCmpF64((a, b) => a != b)
+    case 0x49 => vCmpF64((a, b) => a < b)
+    case 0x4A => vCmpF64((a, b) => a > b)
+    case 0x4B => vCmpF64((a, b) => a <= b)
+    case 0x4C => vCmpF64((a, b) => a >= b)
+    case 0x4D => popV(); pushV(~xLo, ~xHi)
+    case 0x4E => popV(); val bl = xLo; val bh = xHi; popV(); pushV(xLo & bl, xHi & bh)
+    case 0x4F => popV(); val bl = xLo; val bh = xHi; popV(); pushV(xLo & ~bl, xHi & ~bh)
+    case 0x50 => popV(); val bl = xLo; val bh = xHi; popV(); pushV(xLo | bl, xHi | bh)
+    case 0x51 => popV(); val bl = xLo; val bh = xHi; popV(); pushV(xLo ^ bl, xHi ^ bh)
+    case 0x52 => // bitselect: (a & c) | (b & ~c)
+      popV(); val cl = xLo; val ch = xHi
+      popV(); val bl = xLo; val bh = xHi
+      popV()
+      pushV((xLo & cl) | (bl & ~cl), (xHi & ch) | (bh & ~ch))
+    case 0x53 => popV(); pushB(xLo != 0 || xHi != 0) // v128.any_true
+    case 0x5E => // f32x4.demote_f64x2_zero
+      popV()
+      pushV(f32Bits(dOf(xLo).toFloat) | (f32Bits(dOf(xHi).toFloat) << 32), 0L)
+    case 0x5F => // f64x2.promote_low_f32x4
+      popV()
+      pushV(dBits(f32FromBits(xLo & 0xFFFFFFFFL).toDouble),
+        dBits(f32FromBits(xLo >>> 32).toDouble))
+    // ---- i8x16
+    case 0x60 => vUn(8, signed = true)(a => if (a < 0) -a else a)
+    case 0x61 => vUn(8, signed = true)(a => -a)
+    case 0x62 => vUn(8, signed = false)(a => java.lang.Long.bitCount(a).toLong)
+    case 0x63 => vAllTrue(8)
+    case 0x64 => vBitmask(8)
+    case 0x65 => vNarrow(16, signedRange = true)
+    case 0x66 => vNarrow(16, signedRange = false)
+    case 0x67 => vUnF32(v => math.ceil(v.toDouble).toFloat)
+    case 0x68 => vUnF32(v => math.floor(v.toDouble).toFloat)
+    case 0x69 => vUnF32(v => (if (v < 0) math.ceil(v.toDouble) else math.floor(v.toDouble)).toFloat)
+    case 0x6A => vUnF32(v => math.rint(v.toDouble).toFloat)
+    case 0x6B => vShift(8, signed = false)((v, k) => v << k)
+    case 0x6C => vShift(8, signed = true)((v, k) => v >> k)
+    case 0x6D => vShift(8, signed = false)((v, k) => v >>> k)
+    case 0x6E => vBin(8, signed = false)((a, b) => a + b)
+    case 0x6F => vBin(8, signed = true)((a, b) => satLane(a + b, 8, signed = true))
+    case 0x70 => vBin(8, signed = false)((a, b) => satLane(a + b, 8, signed = false))
+    case 0x71 => vBin(8, signed = false)((a, b) => a - b)
+    case 0x72 => vBin(8, signed = true)((a, b) => satLane(a - b, 8, signed = true))
+    case 0x73 => vBin(8, signed = false)((a, b) => satLane(a - b, 8, signed = false))
+    case 0x74 => vUnF64(math.ceil)
+    case 0x75 => vUnF64(math.floor)
+    case 0x76 => vBin(8, signed = true)(math.min)
+    case 0x77 => vBin(8, signed = false)(math.min)
+    case 0x78 => vBin(8, signed = true)(math.max)
+    case 0x79 => vBin(8, signed = false)(math.max)
+    case 0x7A => vUnF64(v => if (v < 0) math.ceil(v) else math.floor(v))
+    case 0x7B => vBin(8, signed = false)((a, b) => (a + b + 1) >>> 1)
+    case 0x7C => vExtAddPairwise(8, signed = true)
+    case 0x7D => vExtAddPairwise(8, signed = false)
+    case 0x7E => vExtAddPairwise(16, signed = true)
+    case 0x7F => vExtAddPairwise(16, signed = false)
+    // ---- i16x8
+    case 0x80 => vUn(16, signed = true)(a => if (a < 0) -a else a)
+    case 0x81 => vUn(16, signed = true)(a => -a)
+    case 0x82 => vBin(16, signed = true)((a, b) =>
+      satLane((a * b + 0x4000L) >> 15, 16, signed = true)) // q15mulr_sat_s
+    case 0x83 => vAllTrue(16)
+    case 0x84 => vBitmask(16)
+    case 0x85 => vNarrow(32, signedRange = true)
+    case 0x86 => vNarrow(32, signedRange = false)
+    case 0x87 => vExtend(8, high = false, signed = true)
+    case 0x88 => vExtend(8, high = true, signed = true)
+    case 0x89 => vExtend(8, high = false, signed = false)
+    case 0x8A => vExtend(8, high = true, signed = false)
+    case 0x8B => vShift(16, signed = false)((v, k) => v << k)
+    case 0x8C => vShift(16, signed = true)((v, k) => v >> k)
+    case 0x8D => vShift(16, signed = false)((v, k) => v >>> k)
+    case 0x8E => vBin(16, signed = false)((a, b) => a + b)
+    case 0x8F => vBin(16, signed = true)((a, b) => satLane(a + b, 16, signed = true))
+    case 0x90 => vBin(16, signed = false)((a, b) => satLane(a + b, 16, signed = false))
+    case 0x91 => vBin(16, signed = false)((a, b) => a - b)
+    case 0x92 => vBin(16, signed = true)((a, b) => satLane(a - b, 16, signed = true))
+    case 0x93 => vBin(16, signed = false)((a, b) => satLane(a - b, 16, signed = false))
+    case 0x94 => vUnF64(math.rint)
+    case 0x95 => vBin(16, signed = false)((a, b) => a * b)
+    case 0x96 => vBin(16, signed = true)(math.min)
+    case 0x97 => vBin(16, signed = false)(math.min)
+    case 0x98 => vBin(16, signed = true)(math.max)
+    case 0x99 => vBin(16, signed = false)(math.max)
+    case 0x9B => vBin(16, signed = false)((a, b) => (a + b + 1) >>> 1)
+    case 0x9C => vExtMul(8, high = false, signed = true)
+    case 0x9D => vExtMul(8, high = true, signed = true)
+    case 0x9E => vExtMul(8, high = false, signed = false)
+    case 0x9F => vExtMul(8, high = true, signed = false)
+    // ---- i32x4
+    case 0xA0 => vUn(32, signed = true)(a => if (a < 0) -a else a)
+    case 0xA1 => vUn(32, signed = true)(a => -a)
+    case 0xA3 => vAllTrue(32)
+    case 0xA4 => vBitmask(32)
+    case 0xA7 => vExtend(16, high = false, signed = true)
+    case 0xA8 => vExtend(16, high = true, signed = true)
+    case 0xA9 => vExtend(16, high = false, signed = false)
+    case 0xAA => vExtend(16, high = true, signed = false)
+    case 0xAB => vShift(32, signed = false)((v, k) => v << k)
+    case 0xAC => vShift(32, signed = true)((v, k) => v >> k)
+    case 0xAD => vShift(32, signed = false)((v, k) => v >>> k)
+    case 0xAE => vBin(32, signed = false)((a, b) => a + b)
+    case 0xB1 => vBin(32, signed = false)((a, b) => a - b)
+    case 0xB5 => vBin(32, signed = false)((a, b) => a * b)
+    case 0xB6 => vBin(32, signed = true)(math.min)
+    case 0xB7 => vBin(32, signed = false)(math.min)
+    case 0xB8 => vBin(32, signed = true)(math.max)
+    case 0xB9 => vBin(32, signed = false)(math.max)
+    case 0xBA => // i32x4.dot_i16x8_s
+      popV(); val bl = xLo; val bh = xHi
+      popV()
+      var lo = 0L; var hi = 0L; var i = 0
+      while (i < 4) {
+        val v = (getLane(xLo, xHi, 16, 2 * i, signed = true) *
+          getLane(bl, bh, 16, 2 * i, signed = true) +
+          getLane(xLo, xHi, 16, 2 * i + 1, signed = true) *
+            getLane(bl, bh, 16, 2 * i + 1, signed = true)) & 0xFFFFFFFFL
+        if (i < 2) lo |= v << (32 * i) else hi |= v << (32 * (i - 2))
+        i += 1
+      }
+      pushV(lo, hi)
+    case 0xBC => vExtMul(16, high = false, signed = true)
+    case 0xBD => vExtMul(16, high = true, signed = true)
+    case 0xBE => vExtMul(16, high = false, signed = false)
+    case 0xBF => vExtMul(16, high = true, signed = false)
+    // ---- i64x2 (lanes are the two halves directly)
+    case 0xC0 => popV(); pushV(math.abs(xLo), math.abs(xHi))
+    case 0xC1 => popV(); pushV(-xLo, -xHi)
+    case 0xC3 => popV(); pushB(xLo != 0 && xHi != 0)
+    case 0xC4 => popV(); push(((xLo >>> 63) | ((xHi >>> 63) << 1)))
+    case 0xC7 => vExtend(32, high = false, signed = true)
+    case 0xC8 => vExtend(32, high = true, signed = true)
+    case 0xC9 => vExtend(32, high = false, signed = false)
+    case 0xCA => vExtend(32, high = true, signed = false)
+    case 0xCB => vShift(64, signed = false)((v, k) => v << k)
+    case 0xCC => vShift(64, signed = true)((v, k) => v >> k)
+    case 0xCD => vShift(64, signed = false)((v, k) => v >>> k)
+    case 0xCE => popV(); val bl = xLo; val bh = xHi; popV(); pushV(xLo + bl, xHi + bh)
+    case 0xD1 => popV(); val bl = xLo; val bh = xHi; popV(); pushV(xLo - bl, xHi - bh)
+    case 0xD5 => popV(); val bl = xLo; val bh = xHi; popV(); pushV(xLo * bl, xHi * bh)
+    case 0xD6 => popV(); val bl = xLo; val bh = xHi; popV()
+      pushV(if (xLo == bl) -1L else 0L, if (xHi == bh) -1L else 0L)
+    case 0xD7 => popV(); val bl = xLo; val bh = xHi; popV()
+      pushV(if (xLo != bl) -1L else 0L, if (xHi != bh) -1L else 0L)
+    case 0xD8 => popV(); val bl = xLo; val bh = xHi; popV()
+      pushV(if (xLo < bl) -1L else 0L, if (xHi < bh) -1L else 0L)
+    case 0xD9 => popV(); val bl = xLo; val bh = xHi; popV()
+      pushV(if (xLo > bl) -1L else 0L, if (xHi > bh) -1L else 0L)
+    case 0xDA => popV(); val bl = xLo; val bh = xHi; popV()
+      pushV(if (xLo <= bl) -1L else 0L, if (xHi <= bh) -1L else 0L)
+    case 0xDB => popV(); val bl = xLo; val bh = xHi; popV()
+      pushV(if (xLo >= bl) -1L else 0L, if (xHi >= bh) -1L else 0L)
+    case 0xDC => vExtMul(32, high = false, signed = true)
+    case 0xDD => vExtMul(32, high = true, signed = true)
+    case 0xDE => vExtMul(32, high = false, signed = false)
+    case 0xDF => vExtMul(32, high = true, signed = false)
+    // ---- f32x4
+    case 0xE0 => vUnF32(math.abs)
+    case 0xE1 => vUnF32(v => -v)
+    case 0xE3 => vUnF32(v => math.sqrt(v.toDouble).toFloat)
+    case 0xE4 => vBinF32((a, b) => a + b)
+    case 0xE5 => vBinF32((a, b) => a - b)
+    case 0xE6 => vBinF32((a, b) => a * b)
+    case 0xE7 => vBinF32((a, b) => a / b)
+    case 0xE8 => vBinF32(java.lang.Math.min) // NaN-propagating, -0 < +0
+    case 0xE9 => vBinF32(java.lang.Math.max)
+    case 0xEA => vBinF32((a, b) => if (b < a) b else a) // pmin
+    case 0xEB => vBinF32((a, b) => if (a < b) b else a) // pmax
+    // ---- f64x2
+    case 0xEC => vUnF64(math.abs)
+    case 0xED => vUnF64(v => -v)
+    case 0xEF => vUnF64(math.sqrt)
+    case 0xF0 => vBinF64((a, b) => a + b)
+    case 0xF1 => vBinF64((a, b) => a - b)
+    case 0xF2 => vBinF64((a, b) => a * b)
+    case 0xF3 => vBinF64((a, b) => a / b)
+    case 0xF4 => vBinF64(java.lang.Math.min)
+    case 0xF5 => vBinF64(java.lang.Math.max)
+    case 0xF6 => vBinF64((a, b) => if (b < a) b else a)
+    case 0xF7 => vBinF64((a, b) => if (a < b) b else a)
+    // ---- conversions
+    case 0xF8 => vUn(32, signed = false)(raw => satI32(f32FromBits(raw).toDouble, unsigned = false))
+    case 0xF9 => vUn(32, signed = false)(raw => satI32(f32FromBits(raw).toDouble, unsigned = true))
+    case 0xFA => vUn(32, signed = true)(a => f32Bits(a.toFloat))
+    case 0xFB => vUn(32, signed = false)(a => f32Bits(a.toFloat))
+    case 0xFC => // i32x4.trunc_sat_f64x2_s_zero
+      popV()
+      pushV((satI32(dOf(xLo), unsigned = false) & 0xFFFFFFFFL) |
+        ((satI32(dOf(xHi), unsigned = false) & 0xFFFFFFFFL) << 32), 0L)
+    case 0xFD =>
+      popV()
+      pushV((satI32(dOf(xLo), unsigned = true) & 0xFFFFFFFFL) |
+        ((satI32(dOf(xHi), unsigned = true) & 0xFFFFFFFFL) << 32), 0L)
+    case 0xFE => // f64x2.convert_low_i32x4_s
+      popV()
+      pushV(dBits(signExtend(xLo & 0xFFFFFFFFL, 32).toDouble),
+        dBits(signExtend(xLo >>> 32, 32).toDouble))
+    case 0xFF =>
+      popV()
+      pushV(dBits((xLo & 0xFFFFFFFFL).toDouble), dBits((xLo >>> 32).toDouble))
+    case other => throw new WasmTrap(f"unsupported SIMD subopcode 0x$other%02x")
   }
 }
