@@ -184,6 +184,43 @@ object Bench {
         graft.ops.Similarity.quantizedTopK(s.read.parquet(qdir), queries, 10)
           .write.format("noop").mode("overwrite").save()
       },
+      // Curation ops at 1M docs — the documents table holds only 500 rows at
+      // every SF, so these probes are the operators' scale proof. Corpora are
+      // derived from range() (no files), deterministic by construction.
+      "x_decontaminate_1m" -> { s: SparkSession =>
+        Graft.install(s)
+        // doc i covers words [5i, 5i+20) of a rolling vocab: consecutive docs
+        // share 15-word runs, so benchmark docs (every 1000th) contaminate
+        // their neighbors through shared 8-grams; bench side broadcasts
+        // ~13k n-grams, corpus side is a map-only explode + semi-join
+        val docs = s.range(1000000L).selectExpr("id AS doc_id",
+          "array_join(transform(sequence(0, 19), i -> concat('w', pmod(id * 5 + i, 50021))), ' ') AS text")
+        graft.ops.Curation.decontaminate(
+            docs.where("doc_id % 1000 <> 0"), docs.where("doc_id % 1000 = 0"),
+            "text", "doc_id", 8)
+          .write.format("noop").mode("overwrite").save()
+      },
+      "x_sentence_dedup_1m" -> { s: SparkSession =>
+        Graft.install(s)
+        // 1M docs x 4 sentences drawn from a 100k-sentence pool -> 4M
+        // instances, ~100k survivors; the window shuffle partitions by
+        // sentence text (the CCNet shape) and reassembly by doc id
+        val docs = s.range(1000000L).selectExpr("id AS doc_id",
+          """concat_ws('. ', transform(sequence(0, 3),
+            |  i -> concat('sentence ', pmod(hash(id * 4 + i), 100000), ' body'))) AS text""".stripMargin)
+        graft.ops.Curation.dedupSentences(docs, "text", "doc_id")
+          .write.format("noop").mode("overwrite").save()
+      },
+      "x_pack_sequences_1m" -> { s: SparkSession =>
+        Graft.install(s)
+        // 1000 strata x 1000 docs each through flatMapSortedGroups: strata
+        // are the parallelism unit, Spark sorts each group spill-safely
+        val docs = s.range(1000000L).selectExpr(
+          "concat('src', id % 1000) AS source", "id AS doc_id",
+          "CAST(50 + pmod(hash(id), 400) AS INT) AS n_tok")
+        graft.ops.Curation.packSequences(docs, "source", "doc_id", "n_tok", 2048)
+          .write.format("noop").mode("overwrite").save()
+      },
       // Guest-SPI function over the wire: served through BatchEval /
       // LanguageRuntime.callBatch — pool + compiled-handle lookups amortize
       // per batch server-side instead of repeating per row.

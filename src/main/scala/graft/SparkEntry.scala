@@ -183,7 +183,8 @@ object SparkEntry {
     // overflow; surfaces as an ordinary LATERAL VIEW generator
     "q_wasm_table" -> q(
       """SELECT l_orderkey, l_linenumber, t.d AS d
-        |FROM (SELECT l_orderkey, l_linenumber, CAST(l_linenumber AS BIGINT) AS n FROM lineitem)
+        |FROM (SELECT /*+ REPARTITION */ l_orderkey, l_linenumber,
+        |             CAST(l_linenumber AS BIGINT) AS n FROM lineitem)
         |LATERAL VIEW wasm_divisors(n) t AS d
         |ORDER BY l_orderkey, l_linenumber, d""".stripMargin) _,
     // funcref-table dispatch: a passive element segment seeds the table via
@@ -196,11 +197,15 @@ object SparkEntry {
         |                CAST(l_linenumber AS BIGINT)) AS r
         |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin) _,
     // wasm div-by-zero traps surface on the error column, never fail the task
+    // REPARTITION fan-out before the per-row wasm work: the sf0.1 tables are
+    // single parquet files (one scan partition), and ~5 µs/row fallible guest
+    // calls serialized on one core dominate the query otherwise
     "q_wasm_div_error" -> q(
       """SELECT l_orderkey, l_linenumber, d.value AS div_value, d.error AS div_error
         |FROM (SELECT l_orderkey, l_linenumber,
         |             wasm_div(CAST(l_partkey AS BIGINT), CAST(l_suppkey % 7 AS BIGINT)) AS d
-        |      FROM lineitem)
+        |      FROM (SELECT /*+ REPARTITION */ l_orderkey, l_linenumber, l_partkey, l_suppkey
+        |            FROM lineitem))
         |ORDER BY l_orderkey, l_linenumber""".stripMargin) _,
 
     // Columnar batch tier: gcd evaluated directly on the vectorized parquet
