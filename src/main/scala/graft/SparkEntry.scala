@@ -75,12 +75,13 @@ object SparkEntry {
         |ORDER BY l_orderkey, l_linenumber""".stripMargin) _,
     "q_range_setof" -> q(
       """SELECT l_orderkey, l_linenumber, t.value
-        |FROM lineitem LATERAL VIEW range_setof(l_linenumber) t AS value
+        |FROM (SELECT /*+ REPARTITION */ l_orderkey, l_linenumber FROM lineitem)
+        |LATERAL VIEW range_setof(l_linenumber) t AS value
         |ORDER BY l_orderkey, l_linenumber, t.value""".stripMargin) _,
     // §2.1 #7 variant: setof-struct generator
     "q_key_values" -> q(
       """SELECT l_orderkey, l_linenumber, t.value.key AS k, t.value.value AS v
-        |FROM (SELECT l_orderkey, l_linenumber,
+        |FROM (SELECT /*+ REPARTITION */ l_orderkey, l_linenumber,
         |             concat(l_returnflag, '=', l_linestatus, ',q=', CAST(l_linenumber AS STRING)) AS s
         |      FROM lineitem)
         |LATERAL VIEW key_values(s) t AS value
@@ -132,7 +133,8 @@ object SparkEntry {
     // §2.1 #14: table function through the runtime SPI (multi-value yield)
     "q_script_table" -> q(
       """SELECT l_orderkey, l_linenumber, t.value AS v
-        |FROM (SELECT l_orderkey, l_linenumber, CAST(l_linenumber AS BIGINT) AS n FROM lineitem)
+        |FROM (SELECT /*+ REPARTITION */ l_orderkey, l_linenumber,
+        |             CAST(l_linenumber AS BIGINT) AS n FROM lineitem)
         |LATERAL VIEW script_echoes(n) t AS value
         |ORDER BY l_orderkey, l_linenumber, v""".stripMargin) _,
 
