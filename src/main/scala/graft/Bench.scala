@@ -184,6 +184,24 @@ object Bench {
         graft.ops.Similarity.quantizedTopK(s.read.parquet(qdir), queries, 10)
           .write.format("noop").mode("overwrite").save()
       },
+      // PQ-compressed ANN at 1M vectors: 8 code bytes/vector (16x less scan
+      // I/O than float32). Encode once at ingest (stored like the int8
+      // codes); the probe measures SEARCH over stored codes.
+      "x_ann_pq_1m" -> { s: SparkSession =>
+        Graft.install(s)
+        val base = s.read.parquet(annBenchParquet(s))
+        val cb = graft.ops.Similarity.pqCodebook(base, m = 8, nCodes = 256)
+        val qdir = "/tmp/graft_bench_ann1m_pq"
+        val baseMarker = new java.io.File(annBenchParquet(s), "_SUCCESS")
+        val pqMarker = new java.io.File(qdir, "_SUCCESS")
+        if (!pqMarker.isFile || pqMarker.lastModified < baseMarker.lastModified)
+          graft.ops.Similarity.pqEncode(base, cb)
+            .write.mode("overwrite").parquet(qdir)
+        val queries = base.where("vec_id < 5")
+          .selectExpr("vec_id AS q_id", "embedding AS q_embedding")
+        graft.ops.Similarity.pqTopK(s.read.parquet(qdir), cb, queries, 10)
+          .write.format("noop").mode("overwrite").save()
+      },
       // Curation ops at 1M docs — the documents table holds only 500 rows at
       // every SF, so these probes are the operators' scale proof. Corpora are
       // derived from range() (no files), deterministic by construction.

@@ -659,6 +659,21 @@ object SparkEntry {
     // Index MAINTENANCE: build on half the corpus, ivfAppend the other half
     // into the saved layout — searching all cells must see both halves
     // exactly (same brute-force oracle as q_ivf_saved)
+    // PQ-compressed ANN: 8 sub-spaces x 16-entry sampled codebooks — the
+    // corpus representation is 8 code BYTES per vector (16x less scan I/O
+    // than float32); scoring is cosine against the codebook reconstruction,
+    // every double re-derived exactly by the SQL oracle (codebook sampling,
+    // argmin assignment, flat-order accumulation)
+    "q_pq_topk" -> dfq { s =>
+      val emb = s.table("embeddings")
+      val cb = graft.ops.Similarity.pqCodebook(emb, m = 8, nCodes = 16)
+      val enc = graft.ops.Similarity.pqEncode(emb, cb)
+      val queries = emb.where("vec_id < 5")
+        .selectExpr("vec_id AS q_id", "embedding AS q_embedding")
+      graft.ops.Similarity.pqTopK(enc, cb, queries, 10)
+        .selectExpr("q_id", "vec_id", "rank", "CAST(ROUND(sim * 10000) AS BIGINT) AS c4")
+        .orderBy("q_id", "rank")
+    } _,
     "q_ivf_append" -> dfq { s =>
       val path = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_append_q"
       val emb = s.table("embeddings")
@@ -1675,6 +1690,30 @@ object SparkEntry {
          |SELECT q_id, vec_id, rank, CAST(ROUND(sim * 10000) AS BIGINT) AS c4
          |FROM r WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin,
     // identical to the q_ann_topk oracle: full-probe IVF is exact by design
+    "q_pq_topk" ->
+      s"""WITH samp AS (SELECT embedding, row_number() OVER (ORDER BY vec_id) - 1 AS code
+         |              FROM embeddings ORDER BY vec_id LIMIT 16),
+         |cb AS (SELECT ss.s, p.code, [p.embedding[ss.s*8 + j] for j in range(1, 9)] AS cent
+         |       FROM (SELECT unnest(range(8)) AS s) ss, samp p),
+         |d AS (SELECT e.vec_id, cb.s, cb.code,
+         |        list_sum([(CAST(e.embedding[cb.s*8 + j] AS DOUBLE) - CAST(cb.cent[j] AS DOUBLE))
+         |                * (CAST(e.embedding[cb.s*8 + j] AS DOUBLE) - CAST(cb.cent[j] AS DOUBLE))
+         |                  for j in range(1, 9)]) AS d2
+         |      FROM embeddings e, cb),
+         |enc AS (SELECT vec_id, s, code FROM (
+         |          SELECT vec_id, s, code,
+         |                 row_number() OVER (PARTITION BY vec_id, s ORDER BY d2, code) AS rn
+         |          FROM d) WHERE rn = 1),
+         |recon AS (SELECT enc.vec_id, flatten(list(cb.cent ORDER BY enc.s)) AS rv
+         |          FROM enc JOIN cb ON cb.s = enc.s AND cb.code = enc.code
+         |          GROUP BY enc.vec_id),
+         |q AS (SELECT vec_id AS q_id, embedding AS qe FROM embeddings WHERE vec_id < 5),
+         |sc AS (SELECT q.q_id, r.vec_id, ${duckCos("q.qe", "r.rv")} AS sim FROM q, recon r),
+         |rk AS (SELECT q_id, vec_id, sim,
+         |         CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS INT) AS rank
+         |       FROM sc)
+         |SELECT q_id, vec_id, rank, CAST(ROUND(sim * 10000) AS BIGINT) AS c4
+         |FROM rk WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin,
     "q_ivf_topk" ->
       s"""WITH q AS (SELECT vec_id AS q_id, embedding AS qe FROM embeddings WHERE vec_id < 5),
          |s AS (SELECT q.q_id, e.vec_id, ${duckCos("q.qe", "e.embedding")} AS sim

@@ -162,6 +162,110 @@ object Similarity {
   }
 
   /**
+   * Product quantization (PQ): the dimension is split into `m` subspaces and
+   * each subvector is replaced by the index of its nearest codebook entry —
+   * `m` BYTES per vector against `4·dim` for float32 (16× at m=8, dim=64),
+   * the standard compressed-corpus representation beyond scalar quantization.
+   *
+   * Codebooks here are a DETERMINISTIC corpus sample (the subvectors of the
+   * `nCodes` lowest-id vectors) rather than Lloyd-refined cells: sampling is
+   * the standard k-means init, skipping refinement keeps every step exactly
+   * reproducible on any engine (the correctness oracle re-derives codebooks,
+   * assignments and scores bit-for-bit in SQL). A production pipeline can
+   * refine these with the same machinery as [[ivfCentroids]] at the cost of
+   * an iteration-order-dependent oracle.
+   *
+   * Returns `[s][c][j]`: `m` codebooks of `nCodes` centroids of `dim/m` dims.
+   */
+  def pqCodebook(corpus: DataFrame, m: Int = 8, nCodes: Int = 16,
+      idCol: String = "vec_id", embCol: String = "embedding"): Array[Array[Array[Float]]] = {
+    val sample = corpus.orderBy(col(idCol)).limit(nCodes)
+      .select(embCol).collect().map(_.getSeq[Float](0).toArray)
+    require(sample.length == nCodes, s"corpus smaller than nCodes=$nCodes")
+    val dim = sample.head.length
+    require(dim % m == 0, s"dim $dim not divisible by m=$m")
+    val w = dim / m
+    Array.tabulate(m)(s => Array.tabulate(nCodes)(c => sample(c).slice(s * w, (s + 1) * w)))
+  }
+
+  /** Encode each vector as `m` code bytes: per subspace, the argmin-L2
+    * codebook entry (ties to the lowest code — the oracle's
+    * `ORDER BY d2, code` exactly). A pure projection: no shuffle; the
+    * codebook broadcasts once per executor. The codes column is BINARY
+    * (one blob of `m` bytes), the most compact parquet representation. */
+  def pqEncode(corpus: DataFrame, codebook: Array[Array[Array[Float]]],
+      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    val bc = corpus.sparkSession.sparkContext.broadcast(codebook)
+    val enc = udf { (emb: Seq[Float]) =>
+      val cb = bc.value
+      val m = cb.length
+      val w = cb(0)(0).length
+      Array.tabulate(m) { s =>
+        var best = 0
+        var bestD = Double.MaxValue
+        var c = 0
+        while (c < cb(s).length) {
+          var d = 0.0
+          var j = 0
+          while (j < w) {
+            val t = emb(s * w + j).toDouble - cb(s)(c)(j).toDouble
+            d += t * t
+            j += 1
+          }
+          if (d < bestD) { bestD = d; best = c } // strict < : first min wins
+          c += 1
+        }
+        best.toByte
+      }
+    }
+    corpus.select(col(idCol), enc(col(embCol)).as("codes"))
+  }
+
+  /** Top-k over the PQ-ENCODED corpus: the scan reads `m` code bytes per
+    * vector instead of the float array; scoring is cosine against the
+    * codebook-reconstructed vector, accumulated in flat dimension order so
+    * the SQL oracle reproduces every double exactly. Same broadcast +
+    * bounded-heap topology as [[bruteForceTopK]]. (A per-query lookup-table
+    * refinement — 8 adds per vector instead of 64 multiplies — changes the
+    * summation GROUPING and therefore the low bits; production would pair it
+    * with a tolerance oracle.) */
+  def pqTopK(encoded: DataFrame, codebook: Array[Array[Array[Float]]],
+      queries: DataFrame, k: Int): DataFrame = {
+    val bc = encoded.sparkSession.sparkContext.broadcast(codebook)
+    val sim = udf { (codes: Array[Byte], qe: Seq[Float]) =>
+      val cb = bc.value
+      val m = cb.length
+      val w = cb(0)(0).length
+      var dot = 0.0
+      var nq = 0.0
+      var nv = 0.0
+      // subspace-outer loops hoist the centroid lookup out of the element
+      // loop; accumulation still visits elements in flat dimension order, so
+      // every double matches the oracle's single 64-wide comprehension
+      var s = 0
+      while (s < m) {
+        val cent = cb(s)(codes(s) & 0xFF)
+        val off = s * w
+        var j = 0
+        while (j < w) {
+          val rvj = cent(j).toDouble
+          val qj = qe(off + j).toDouble
+          dot += qj * rvj
+          nq += qj * qj
+          nv += rvj * rvj
+          j += 1
+        }
+        s += 1
+      }
+      dot / (math.sqrt(nq) * math.sqrt(nv))
+    }
+    val scored = encoded.crossJoin(broadcast(queries))
+      .select(col("q_id"), col("vec_id"),
+        sim(col("codes"), col("q_embedding")).as("sim"))
+    topKRank(scored, k)
+  }
+
+  /**
    * IVF (inverted-file) ANN: deterministic distributed k-means centroids,
    * corpus assigned to its nearest centroid, queries probe `nprobe` nearest
    * cells and rerank exactly. The other bucketing family next to hyperplane

@@ -56,6 +56,38 @@ class OpsSpec extends AnyFunSuite {
     assert(r.getDouble(0) == 1.0 && r.getDouble(1) == 0.0)
   }
 
+  test("pq: sampled vectors reconstruct exactly; codes deterministic and in range") {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType, nullable = false),
+      StructField("embedding", ArrayType(FloatType, containsNull = false), nullable = false)))
+    val rows = (0L until 40L).map { i =>
+      org.apache.spark.sql.Row(i,
+        Array.tabulate(16)(j => ((i * 16 + j) % 23).toFloat / 23f).toSeq)
+    }
+    val emb = spark.createDataFrame(rows.asJava, schema)
+    val cb = graft.ops.Similarity.pqCodebook(emb, m = 4, nCodes = 8)
+    assert(cb.length == 4 && cb(0).length == 8 && cb(0)(0).length == 4)
+    val enc = graft.ops.Similarity.pqEncode(emb, cb)
+    val codes = enc.collect()
+      .map(r => r.getLong(0) -> r.getAs[Array[Byte]](1).toSeq).toMap
+    assert(codes.size == 40)
+    codes.values.foreach(cs => assert(cs.length == 4 && cs.forall(c => c >= 0 && c < 8)))
+    // a sampled vector's subvectors ARE codebook entries -> it encodes to its
+    // own sample index in every subspace and reconstructs exactly (sim 1)
+    assert(codes(3L).forall(_ == 3.toByte))
+    val queries = emb.where("vec_id = 3")
+      .selectExpr("vec_id AS q_id", "embedding AS q_embedding")
+    val top = graft.ops.Similarity.pqTopK(enc, cb, queries, 3)
+      .orderBy("rank").collect()
+    assert(top.head.getLong(1) == 3L)
+    assert(math.abs(top.head.getDouble(top.head.fieldIndex("sim")) - 1.0) < 1e-12)
+    // determinism across invocations
+    val codes2 = graft.ops.Similarity.pqEncode(emb, cb)
+      .collect().map(r => r.getLong(0) -> r.getAs[Array[Byte]](1).toSeq).toMap
+    assert(codes == codes2)
+  }
+
   test("cosine_sim: identity 1, orthogonal 0") {
     val r = spark.sql(
       """SELECT cosine_sim(array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT)), array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT))),
