@@ -292,6 +292,75 @@ class WasmSimdSpec extends AnyFunSuite {
     assert(t2.getMessage.contains("shuffle"))
   }
 
+  test("compiled-shape conformance: one module composing every cdylib feature") {
+    // The instruction mix an LLVM-compiled `+simd128` cdylib actually uses,
+    // in one module: IMPORTED memory (--import-memory linking), a ctor START
+    // function seeding the funcref table from a passive element segment
+    // (__wasm_call_ctors shape), call_indirect dispatch, bulk memory
+    // (memory.fill), a SIMD inner loop with a scalar tail, the bump-alloc
+    // FFI surface, and a mutable stack-pointer-style global.
+    val b = new WasmBuilder
+    b.importMemory("env", "memory", 1, Some(4))
+    val spGlobal = b.global(i32, mutable = true, i32Const(1024)) // stack pointer shape
+    val allocIdx = b.addBumpAllocator(heapBase = 4096)
+    // summing kernel: i64x2 lane sum of 16-byte blocks + scalar tail
+    val sumTy = b.typeIdx(Seq(i32, i32), Seq(i64))
+    val simdSum = b.func(Seq(i32, i32), Seq(i64), Seq(i32, i64, v128), concat(
+      v128ConstBytes(Seq.fill(16)(0)), localSet(4),
+      block(
+        loop(concat(
+          localGet(2), i32Const(8), i32Add, localGet(1), i32GtS, brIf(1),
+          localGet(4),
+          localGet(0), localGet(2), i32Add, v128Load8x8U(), // 8 bytes -> i16x8
+          i32x4ExtAddPairwiseI16x8S,                        // -> i32x4 pair sums
+          i32x4Add, localSet(4),                            // acc += (4 partials)
+          localGet(2), i32Const(8), i32Add, localSet(2),
+          br(0)))),
+      // fold the four i32 partial lanes + scalar-tail the rest
+      localGet(4), i32x4ExtractLane(0), i64ExtendI32S,
+      localGet(4), i32x4ExtractLane(1), i64ExtendI32S, i64Add,
+      localGet(4), i32x4ExtractLane(2), i64ExtendI32S, i64Add,
+      localGet(4), i32x4ExtractLane(3), i64ExtendI32S, i64Add, localSet(3),
+      block(
+        loop(concat(
+          localGet(2), localGet(1), i32GeS, brIf(1),
+          localGet(0), localGet(2), i32Add, i32Load8U(), i64ExtendI32U,
+          localGet(3), i64Add, localSet(3),
+          localGet(2), i32Const(1), i32Add, localSet(2),
+          br(0)))),
+      localGet(3)))
+    // a second kernel dispatched through the table: constant 0
+    val zeroFn = b.func(Seq(i32, i32), Seq(i64), Seq.empty, i64Const(0L))
+    b.table(2, Some(2))
+    val seg = b.elemPassive(Seq(simdSum, zeroFn))
+    val ctor = b.func(Seq.empty, Seq.empty, Seq.empty, concat(
+      i32Const(0), i32Const(0), i32Const(2), tableInit(seg)))
+    b.start(ctor)
+    // exported entry: memory.fill a buffer with a byte value, then dispatch
+    // the summing kernel through call_indirect (selector param)
+    b.func(Seq(i32, i32, i32), Seq(i64), Seq(i32), concat(
+      // ptr = alloc(len)
+      localGet(1), call(allocIdx), localSet(3),
+      // memory.fill(ptr, fillByte, len)
+      localGet(3), localGet(2), localGet(1), memoryFill,
+      // call_indirect sum(ptr, len) via table slot `sel`
+      localGet(3), localGet(1),
+      localGet(0),
+      callIndirect(sumTy)), exportAs = Some("entry"))
+    val mod = WasmModule.decode(b.build())
+    assert(mod.hasV128)
+    val inst = new WasmInstance(mod, WasmConfig())
+    // slot 0 = SIMD sum: len bytes of value v sum to len*v (crosses the
+    // 8-byte stride: 37 = 4 SIMD blocks + 5-byte tail)
+    assert(inst.invoke("entry", Array(0L, 37L, 11L)) == 37L * 11L)
+    assert(inst.invoke("entry", Array(0L, 16L, 255L)) == 16L * 255L)
+    assert(inst.invoke("entry", Array(0L, 5L, 7L)) == 35L)   // pure tail
+    assert(inst.invoke("entry", Array(1L, 37L, 11L)) == 0L)  // dispatched to zeroFn
+    // the stack-pointer global is untouched by any of it
+    assert(inst.invoke("entry", Array(0L, 0L, 0L)) == 0L)
+    val _ = spGlobal
+  }
+
   test("count_simd kernel matches the scalar count_byte across lengths") {
     val spark = TestSpark.spark
     // lengths 0..40 cross the 16-byte SIMD stride and exercise the tail
