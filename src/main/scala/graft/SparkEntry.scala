@@ -674,6 +674,19 @@ object SparkEntry {
         .selectExpr("q_id", "vec_id", "rank", "CAST(ROUND(sim * 10000) AS BIGINT) AS c4")
         .orderBy("q_id", "rank")
     } _,
+    // IVF × PQ composition at FULL probe: cell pruning removes no
+    // candidates, so the PQ oracle gates the whole pipeline (Lloyd cells,
+    // code assignment, probed join, compressed scoring) bit-exactly;
+    // nprobe < nCells is the at-scale recall/cost knob
+    "q_ivfpq_topk" -> dfq { s =>
+      val emb = s.table("embeddings")
+      val cb = graft.ops.Similarity.pqCodebook(emb, m = 8, nCodes = 16)
+      val queries = emb.where("vec_id < 5")
+        .selectExpr("vec_id AS q_id", "embedding AS q_embedding")
+      graft.ops.Similarity.ivfPqTopK(emb, queries, 10, cb, nCells = 16, nprobe = 16)
+        .selectExpr("q_id", "vec_id", "rank", "CAST(ROUND(sim * 10000) AS BIGINT) AS c4")
+        .orderBy("q_id", "rank")
+    } _,
     "q_ivf_append" -> dfq { s =>
       val path = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_append_q"
       val emb = s.table("embeddings")
@@ -1138,6 +1151,34 @@ object SparkEntry {
     s"""(list_reduce([CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE) for i in range(1, 65)], (x, y) -> x + y)
        | / (sqrt(list_reduce([CAST($a[i] AS DOUBLE) * CAST($a[i] AS DOUBLE) for i in range(1, 65)], (x, y) -> x + y))
        |  * sqrt(list_reduce([CAST($b[i] AS DOUBLE) * CAST($b[i] AS DOUBLE) for i in range(1, 65)], (x, y) -> x + y))))""".stripMargin
+  /** PQ oracle, shared by q_pq_topk and q_ivfpq_topk (full probe ≡ PQ over
+    * the whole corpus): re-derives sampled codebooks, argmin code
+    * assignment, reconstruction, and flat-order cosine — bit-exact. */
+  private lazy val duckPqTopK: String =
+    s"""WITH samp AS (SELECT embedding, row_number() OVER (ORDER BY vec_id) - 1 AS code
+       |              FROM embeddings ORDER BY vec_id LIMIT 16),
+       |cb AS (SELECT ss.s, p.code, [p.embedding[ss.s*8 + j] for j in range(1, 9)] AS cent
+       |       FROM (SELECT unnest(range(8)) AS s) ss, samp p),
+       |d AS (SELECT e.vec_id, cb.s, cb.code,
+       |        list_sum([(CAST(e.embedding[cb.s*8 + j] AS DOUBLE) - CAST(cb.cent[j] AS DOUBLE))
+       |                * (CAST(e.embedding[cb.s*8 + j] AS DOUBLE) - CAST(cb.cent[j] AS DOUBLE))
+       |                  for j in range(1, 9)]) AS d2
+       |      FROM embeddings e, cb),
+       |enc AS (SELECT vec_id, s, code FROM (
+       |          SELECT vec_id, s, code,
+       |                 row_number() OVER (PARTITION BY vec_id, s ORDER BY d2, code) AS rn
+       |          FROM d) WHERE rn = 1),
+       |recon AS (SELECT enc.vec_id, flatten(list(cb.cent ORDER BY enc.s)) AS rv
+       |          FROM enc JOIN cb ON cb.s = enc.s AND cb.code = enc.code
+       |          GROUP BY enc.vec_id),
+       |q AS (SELECT vec_id AS q_id, embedding AS qe FROM embeddings WHERE vec_id < 5),
+       |sc AS (SELECT q.q_id, r.vec_id, ${duckCos("q.qe", "r.rv")} AS sim FROM q, recon r),
+       |rk AS (SELECT q_id, vec_id, sim,
+       |         CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS INT) AS rank
+       |       FROM sc)
+       |SELECT q_id, vec_id, rank, CAST(ROUND(sim * 10000) AS BIGINT) AS c4
+       |FROM rk WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin
+
   /** Shared minhash CTE chain (k=16, 4 bands × 4 rows) ending in `jac`
     * (candidate pairs + intersection/set sizes). */
   private lazy val duckMinhashCtes: String =
@@ -1690,30 +1731,9 @@ object SparkEntry {
          |SELECT q_id, vec_id, rank, CAST(ROUND(sim * 10000) AS BIGINT) AS c4
          |FROM r WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin,
     // identical to the q_ann_topk oracle: full-probe IVF is exact by design
-    "q_pq_topk" ->
-      s"""WITH samp AS (SELECT embedding, row_number() OVER (ORDER BY vec_id) - 1 AS code
-         |              FROM embeddings ORDER BY vec_id LIMIT 16),
-         |cb AS (SELECT ss.s, p.code, [p.embedding[ss.s*8 + j] for j in range(1, 9)] AS cent
-         |       FROM (SELECT unnest(range(8)) AS s) ss, samp p),
-         |d AS (SELECT e.vec_id, cb.s, cb.code,
-         |        list_sum([(CAST(e.embedding[cb.s*8 + j] AS DOUBLE) - CAST(cb.cent[j] AS DOUBLE))
-         |                * (CAST(e.embedding[cb.s*8 + j] AS DOUBLE) - CAST(cb.cent[j] AS DOUBLE))
-         |                  for j in range(1, 9)]) AS d2
-         |      FROM embeddings e, cb),
-         |enc AS (SELECT vec_id, s, code FROM (
-         |          SELECT vec_id, s, code,
-         |                 row_number() OVER (PARTITION BY vec_id, s ORDER BY d2, code) AS rn
-         |          FROM d) WHERE rn = 1),
-         |recon AS (SELECT enc.vec_id, flatten(list(cb.cent ORDER BY enc.s)) AS rv
-         |          FROM enc JOIN cb ON cb.s = enc.s AND cb.code = enc.code
-         |          GROUP BY enc.vec_id),
-         |q AS (SELECT vec_id AS q_id, embedding AS qe FROM embeddings WHERE vec_id < 5),
-         |sc AS (SELECT q.q_id, r.vec_id, ${duckCos("q.qe", "r.rv")} AS sim FROM q, recon r),
-         |rk AS (SELECT q_id, vec_id, sim,
-         |         CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS INT) AS rank
-         |       FROM sc)
-         |SELECT q_id, vec_id, rank, CAST(ROUND(sim * 10000) AS BIGINT) AS c4
-         |FROM rk WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin,
+    "q_pq_topk" -> duckPqTopK,
+    // full-probe IVFPQ ≡ PQ over the whole corpus: same oracle
+    "q_ivfpq_topk" -> duckPqTopK,
     "q_ivf_topk" ->
       s"""WITH q AS (SELECT vec_id AS q_id, embedding AS qe FROM embeddings WHERE vec_id < 5),
          |s AS (SELECT q.q_id, e.vec_id, ${duckCos("q.qe", "e.embedding")} AS sim

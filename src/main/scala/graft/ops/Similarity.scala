@@ -194,7 +194,8 @@ object Similarity {
     * codebook broadcasts once per executor. The codes column is BINARY
     * (one blob of `m` bytes), the most compact parquet representation. */
   def pqEncode(corpus: DataFrame, codebook: Array[Array[Array[Float]]],
-      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+      idCol: String = "vec_id", embCol: String = "embedding",
+      keep: Seq[String] = Nil): DataFrame = {
     val bc = corpus.sparkSession.sparkContext.broadcast(codebook)
     val enc = udf { (emb: Seq[Float]) =>
       val cb = bc.value
@@ -218,21 +219,15 @@ object Similarity {
         best.toByte
       }
     }
-    corpus.select(col(idCol), enc(col(embCol)).as("codes"))
+    corpus.select(col(idCol) +: keep.map(col) :+ enc(col(embCol)).as("codes"): _*)
   }
 
-  /** Top-k over the PQ-ENCODED corpus: the scan reads `m` code bytes per
-    * vector instead of the float array; scoring is cosine against the
-    * codebook-reconstructed vector, accumulated in flat dimension order so
-    * the SQL oracle reproduces every double exactly. Same broadcast +
-    * bounded-heap topology as [[bruteForceTopK]]. (A per-query lookup-table
-    * refinement — 8 adds per vector instead of 64 multiplies — changes the
-    * summation GROUPING and therefore the low bits; production would pair it
-    * with a tolerance oracle.) */
-  def pqTopK(encoded: DataFrame, codebook: Array[Array[Array[Float]]],
-      queries: DataFrame, k: Int): DataFrame = {
-    val bc = encoded.sparkSession.sparkContext.broadcast(codebook)
-    val sim = udf { (codes: Array[Byte], qe: Seq[Float]) =>
+  /** The PQ cosine scorer (codes vs float query) shared by [[pqTopK]] and
+    * [[ivfPqTopK]] — flat dimension-order accumulation, oracle-exact. */
+  private def pqSim(spark: org.apache.spark.sql.SparkSession,
+      codebook: Array[Array[Array[Float]]]) = {
+    val bc = spark.sparkContext.broadcast(codebook)
+    udf { (codes: Array[Byte], qe: Seq[Float]) =>
       val cb = bc.value
       val m = cb.length
       val w = cb(0)(0).length
@@ -259,7 +254,48 @@ object Similarity {
       }
       dot / (math.sqrt(nq) * math.sqrt(nv))
     }
+  }
+
+  /** Top-k over the PQ-ENCODED corpus: the scan reads `m` code bytes per
+    * vector instead of the float array; scoring is cosine against the
+    * codebook-reconstructed vector, accumulated in flat dimension order so
+    * the SQL oracle reproduces every double exactly. Same broadcast +
+    * bounded-heap topology as [[bruteForceTopK]]. (A per-query lookup-table
+    * refinement — 8 adds per vector instead of 64 multiplies — changes the
+    * summation GROUPING and therefore the low bits; production would pair it
+    * with a tolerance oracle.) */
+  def pqTopK(encoded: DataFrame, codebook: Array[Array[Array[Float]]],
+      queries: DataFrame, k: Int): DataFrame = {
+    val sim = pqSim(encoded.sparkSession, codebook)
     val scored = encoded.crossJoin(broadcast(queries))
+      .select(col("q_id"), col("vec_id"),
+        sim(col("codes"), col("q_embedding")).as("sim"))
+    topKRank(scored, k)
+  }
+
+  /**
+   * IVF × PQ — the production composition (the classic IVFPQ layout):
+   * coarse cells prune the candidate scan to an `nprobe / nCells` fraction,
+   * PQ codes compress what remains to `m` bytes per vector — at 100 TB the
+   * search reads `nprobe/nCells × m/(4·dim)` of the raw corpus bytes.
+   * At `nprobe = nCells` the result is EXACTLY [[pqTopK]]'s (cell pruning
+   * only removes candidates), which is how the correctness oracle gates it;
+   * at scale `nprobe` is the recall/cost knob, same contract as [[ivfTopK]].
+   */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      codebook: Array[Array[Array[Float]]], nCells: Int = 16,
+      nprobe: Int = 3, iters: Int = 5): DataFrame = {
+    val spark = corpus.sparkSession
+    val centroids = ivfCentroids(corpus, nCells, iters)
+    val bcC = spark.sparkContext.broadcast(centroids)
+    val assignCell = udf { (v: Seq[Float]) => Ivf.nearest(bcC.value, v) }
+    val probeCells = udf { (v: Seq[Float]) => Ivf.nearestK(bcC.value, v, nprobe) }
+    val encoded = pqEncode(
+      corpus.withColumn("cell", assignCell(col("embedding"))),
+      codebook, keep = Seq("cell"))
+    val q = queries.withColumn("cell", explode(probeCells(col("q_embedding"))))
+    val sim = pqSim(spark, codebook)
+    val scored = encoded.join(broadcast(q), Seq("cell"))
       .select(col("q_id"), col("vec_id"),
         sim(col("codes"), col("q_embedding")).as("sim"))
     topKRank(scored, k)

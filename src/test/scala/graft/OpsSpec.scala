@@ -88,6 +88,33 @@ class OpsSpec extends AnyFunSuite {
     assert(codes == codes2)
   }
 
+  test("ivfPq at full probe equals pq over the whole corpus") {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType, nullable = false),
+      StructField("embedding", ArrayType(FloatType, containsNull = false), nullable = false)))
+    val rows = (0L until 60L).map { i =>
+      org.apache.spark.sql.Row(i,
+        Array.tabulate(16)(j => (((i * 37 + j * 11) % 29).toFloat - 14f) / 14f).toSeq)
+    }
+    val emb = spark.createDataFrame(rows.asJava, schema)
+    val cb = graft.ops.Similarity.pqCodebook(emb, m = 4, nCodes = 8)
+    val queries = emb.where("vec_id < 3")
+      .selectExpr("vec_id AS q_id", "embedding AS q_embedding")
+    def rs(df: org.apache.spark.sql.DataFrame) =
+      df.select("q_id", "vec_id", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sortBy(t => (t._1, t._3)).toSeq
+    val pq = rs(graft.ops.Similarity.pqTopK(
+      graft.ops.Similarity.pqEncode(emb, cb), cb, queries, 5))
+    val ivfpq = rs(graft.ops.Similarity.ivfPqTopK(
+      emb, queries, 5, cb, nCells = 4, nprobe = 4, iters = 2))
+    assert(pq == ivfpq)
+    // pruned probe returns a subset of cells' candidates, still ranked
+    val pruned = rs(graft.ops.Similarity.ivfPqTopK(
+      emb, queries, 5, cb, nCells = 4, nprobe = 1, iters = 2))
+    assert(pruned.nonEmpty && pruned.size <= pq.size)
+  }
+
   test("cosine_sim: identity 1, orthogonal 0") {
     val r = spark.sql(
       """SELECT cosine_sim(array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT)), array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT))),
