@@ -84,6 +84,36 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("batch ≡ stream: curation gates (mixture sample + quality filter) on a stream") {
+    // stratified sampling and quality gating are pure per-row filters —
+    // they compose with Structured Streaming with no state or watermark;
+    // the same Curation call works on a streaming DataFrame unchanged.
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docs = (1L to 200L).map { i =>
+      (i, if (i % 3 == 0) "the quick brown fox jumps over the lazy dog and runs on"
+          else "zz", s"src${i % 4}")
+    }
+    val batch = docs.toDF("doc_id", "text", "source")
+    def gate(df: org.apache.spark.sql.DataFrame) =
+      graft.ops.Curation.stratifiedSample(df, "doc_id", "mix",
+          org.apache.spark.sql.functions.expr(
+            "300 + 100 * (CAST(substring(source, 4) AS INT) % 4)"))
+        .where("token_count(text) >= 5")
+    val want = gate(batch).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(want.nonEmpty && want.size < 67) // both gates actually cut
+    val mem = MemoryStream[(Long, String, String)]
+    val q = gate(mem.toDF().toDF("doc_id", "text", "source"))
+      .writeStream.format("memory").queryName("curate_stream")
+      .outputMode("append").start()
+    try {
+      docs.grouped(70).foreach { c => mem.addData(c: _*); q.processAllAvailable() }
+      val got = spark.sql("SELECT doc_id FROM curate_stream")
+        .collect().map(_.getLong(0)).toSet
+      assert(got == want)
+    } finally q.stop()
+  }
+
   test("streaming sessionization closes sessions on gap, matches batch semantics") {
     import spark.implicits._
     import graft.streaming.Streaming.SessEvent
