@@ -22,8 +22,23 @@ object SparkEntry {
   private val tables = Seq("region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** The events table's `ts` has shipped as both TIMESTAMP(NANOS) (a ns
+    * Long under `nanosAsLong`) and TIMESTAMP(MICROS) (a timestamp column) —
+    * normalize to ns-since-epoch Long so every downstream consumer keeps one
+    * shape. The µs→ns conversion is exact; session tz is UTC everywhere, so
+    * the NTZ cast is instant-preserving and matches the DuckDB oracle's
+    * `epoch_ns(ts)` on the same file. */
+  def eventsTsNs(df: DataFrame): DataFrame = df.schema("ts").dataType match {
+    case org.apache.spark.sql.types.LongType => df
+    case _ => df.withColumn("ts", expr("unix_micros(CAST(ts AS TIMESTAMP)) * 1000"))
+  }
+
   private def registerTables(s: SparkSession, dir: String): Unit =
-    tables.foreach(n => s.read.parquet(s"$dir/$n.parquet").createOrReplaceTempView(n))
+    tables.foreach { n =>
+      val raw = s.read.parquet(s"$dir/$n.parquet")
+      val df = if (n == "events") eventsTsNs(raw) else raw
+      df.createOrReplaceTempView(n)
+    }
 
   /** Register the testdata tables + graft functions, run `sql`. */
   private def q(sql: String)(s: SparkSession, dir: String): DataFrame = {
@@ -540,6 +555,27 @@ object SparkEntry {
       graft.ops.Curation.packSequences(docs, "source", "doc_id", "n_tok", budget = 512)
         .orderBy("source", "doc_id")
     } _,
+    // LM surprisal quality gate (the CCNet perplexity-filter shape): unigram
+    // model trained on the corpus by the engine (top-16 vocab — half the
+    // testdata vocabulary, so truncation/OOV is exercised), scored as exact
+    // integer bit-surprisal (order-independent sums — oracle bit-parity)
+    "q_lm_score" -> dfq { s =>
+      val docs = s.table("documents")
+      graft.ops.LangModel.lmScore(docs, docs, "text", "doc_id", vocabSize = 16)
+        .orderBy("doc_id")
+    } _,
+    // integer-exact TF-IDF keyword ranking: 'dup' is rare (high idf) so the
+    // planted duplicate docs rank first; common terms contribute low weight
+    "q_tfidf" -> dfq { s =>
+      graft.ops.LangModel.tfIdf(s.table("documents"),
+          Seq("dup", "spark", "scan"), "text", "doc_id")
+        .orderBy(desc("score"), asc("doc_id"))
+    } _,
+    // compressibility junk signal (Gopher/MassiveText rule): DEFLATE has no
+    // SQL replica, so this row is rows-only in the oracle (spec-gated)
+    "q_compress" -> q(
+      """SELECT doc_id, CAST(ROUND(compress_ratio(text) * 10000) AS BIGINT) AS cr
+        |FROM documents ORDER BY doc_id""".stripMargin) _,
 
     // capstone: corpus curation — language/quality/length gates + exact dedup
     // in ONE declarative pass. text_stats is a one-row generator, so the
@@ -1550,6 +1586,42 @@ object SparkEntry {
         |         CASE WHEN p.fill + r.n_tok <= 512 THEN p.fill + r.n_tok ELSE r.n_tok END
         |  FROM pack p JOIN d r ON r.source = p.source AND r.rn = p.rn + 1)
         |SELECT source, doc_id, bin, fill FROM pack ORDER BY source, doc_id""".stripMargin,
+    "q_lm_score" ->
+      """WITH w AS (SELECT doc_id,
+        |    list_filter(str_split_regex(lower(text), '\s+'), x -> x <> '') AS ts
+        |  FROM documents),
+        |tok AS (SELECT doc_id, unnest(ts) AS t FROM w),
+        |cnt AS (SELECT t, count(*) AS c FROM tok GROUP BY t),
+        |tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM cnt),
+        |vocab AS (SELECT t, c FROM cnt ORDER BY c DESC, t LIMIT 16),
+        |surp AS (SELECT k.doc_id,
+        |    length(bin((SELECT n FROM tot) // greatest(coalesce(v.c, 0), 1))) AS b
+        |  FROM tok k LEFT JOIN vocab v USING (t)),
+        |agg AS (SELECT doc_id, CAST(sum(b) AS BIGINT) AS bits FROM surp GROUP BY doc_id)
+        |SELECT w.doc_id, CAST(len(w.ts) AS INT) AS n_tok,
+        |       CAST(coalesce(a.bits, 0) AS BIGINT) AS surprisal,
+        |       CAST(coalesce(a.bits, 0) // greatest(len(w.ts), 1) AS BIGINT) AS bits_per_tok
+        |FROM w LEFT JOIN agg a USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+    "q_tfidf" ->
+      """WITH w AS (SELECT doc_id,
+        |    list_filter(str_split_regex(lower(text), '\s+'), x -> x <> '') AS ts
+        |  FROM documents),
+        |stats AS (SELECT count(*) AS n,
+        |    count(*) FILTER (WHERE list_contains(ts, 'dup')) AS df1,
+        |    count(*) FILTER (WHERE list_contains(ts, 'spark')) AS df2,
+        |    count(*) FILTER (WHERE list_contains(ts, 'scan')) AS df3
+        |  FROM w),
+        |idf AS (SELECT length(bin(n // greatest(df1, 1))) AS w1,
+        |               length(bin(n // greatest(df2, 1))) AS w2,
+        |               length(bin(n // greatest(df3, 1))) AS w3 FROM stats),
+        |scored AS (SELECT doc_id,
+        |    CAST(len(list_filter(ts, x -> x = 'dup')) * (SELECT w1 FROM idf)
+        |       + len(list_filter(ts, x -> x = 'spark')) * (SELECT w2 FROM idf)
+        |       + len(list_filter(ts, x -> x = 'scan')) * (SELECT w3 FROM idf) AS BIGINT) AS score
+        |  FROM w)
+        |SELECT doc_id, score FROM scored WHERE score > 0
+        |ORDER BY score DESC, doc_id""".stripMargin,
     "q_curate_corpus" ->
       s"""WITH tok AS (
          |  SELECT doc_id, list_filter(str_split_regex(lower(text), '\\s+'), x -> x <> '') AS ts,

@@ -8,7 +8,8 @@ class AsofJoinNativeSpec extends AnyFunSuite {
 
   test("native exec matches the union+window formulation on real data") {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val e = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    val e = SparkEntry.eventsTsNs(
+        spark.read.parquet("/root/testdata/sf0.001/events.parquet"))
       .selectExpr("event_id", "user_id", "ts DIV 1000000 AS t_ms")
     val o = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
       .selectExpr("o_custkey", "unix_millis(CAST(o_orderdate AS TIMESTAMP)) AS t_ms", "o_orderkey")

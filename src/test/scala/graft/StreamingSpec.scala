@@ -39,7 +39,7 @@ class StreamingSpec extends AnyFunSuite {
     val dir = "/root/testdata/sf0.001"
     val batchDf = spark.read.parquet(s"$dir/events.parquet")
     val schema = batchDf.schema
-    def windowed(df: org.apache.spark.sql.DataFrame) = df
+    def windowed(df: org.apache.spark.sql.DataFrame) = SparkEntry.eventsTsNs(df)
       .selectExpr("window(timestamp_micros(ts DIV 1000), '1 hour') AS w", "event_type", "value")
       .groupBy("w", "event_type")
       .agg(org.apache.spark.sql.functions.count(
