@@ -1,0 +1,169 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Corpus-statistics language-model operators: n-gram LM surprisal scoring
+ * (the CCNet/Gopher-style "perplexity" quality gate) and keyword relevance
+ * ranking (TF-IDF / BM25) — the model-based half of the curation suite that
+ * [[TextAnalysis]]'s pure per-row heuristics cannot express.
+ *
+ * The LM here is deliberately a count model trained ON the corpus BY the
+ * engine (one aggregation), not imported weights: that is exactly the CCNet
+ * recipe (train a small LM on a trusted slice, score the crawl by
+ * perplexity) reduced to its distributed skeleton.
+ *
+ * == Determinism / oracle parity ==
+ * All gated scores are INTEGER surprisal bits: `surp(w) = bit_length(total
+ * div max(c(w), 1))` — an exact integer ⌊log2⌋ of the inverse unigram
+ * probability. Integer sums are associative, so the engine and the DuckDB
+ * oracle agree bit-for-bit regardless of aggregation order (a float
+ * `sum(ln p)` would drift by reduction order). The float BM25 scorer is the
+ * non-gated production variant.
+ *
+ * == Scale design (100 TB) ==
+ *  - '''Training''' is one `groupBy(token)` count with map-side partial
+ *    aggregation (the shuffle carries one row per DISTINCT token per map
+ *    partition, not per occurrence) followed by a driver-side top-V
+ *    (`TakeOrdered`, V rows — bounded by construction). The corpus total is
+ *    a plain `sum` over the same counts. Nothing corpus-sized ever reaches
+ *    the driver.
+ *  - '''Scoring''' is map-only: the ≤V-entry vocabulary broadcasts once per
+ *    executor and every document is scored in place — no join, no shuffle,
+ *    full column pruning (only the text + id columns are read).
+ *  - '''TF-IDF / BM25''' document frequencies for a FIXED query-term list
+ *    reduce to one tiny aggregate (q longs) broadcast back as literals; the
+ *    scan side is again map-only. This is the classic broadcast-the-small-
+ *    side search shape: the corpus never shuffles to rank against a query.
+ */
+object LangModel {
+
+  /** Unigram count model: the top-`vocabSize` tokens by `(count DESC, token
+    * ASC)` — the deterministic truncation every engine can replay — plus the
+    * corpus-wide token total (ALL occurrences, in- and out-of-vocabulary).
+    */
+  final case class UnigramModel(total: Long, counts: Map[String, Long])
+      extends Serializable
+
+  /** Lowercased whitespace tokens as a Column — the one tokenization shared
+    * with [[TextAnalysis]] (`\s+` split, empties dropped). */
+  private def tokensCol(textCol: String): Column =
+    filter(split(lower(col(textCol)), "\\s+"), t => t =!= "")
+
+  /** Train a [[UnigramModel]] on `corpus`: one counted shuffle + a bounded
+    * top-V. The `vocabSize` cap is the model's memory contract — the
+    * broadcast payload is ≤ V entries no matter how large the corpus. */
+  def trainUnigram(corpus: DataFrame, textCol: String, vocabSize: Int): UnigramModel = {
+    val tok = corpus.select(explode(tokensCol(textCol)).as("t"))
+    val counts = tok.groupBy("t").agg(count(lit(1)).as("c"))
+    val total = counts.agg(sum("c")).head.getLong(0)
+    val vocab = counts.orderBy(col("c").desc, col("t").asc).limit(vocabSize)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    UnigramModel(total, vocab)
+  }
+
+  /** Integer LM surprisal per document under a trained unigram model:
+    * `surprisal = Σ_w bit_length(total div max(c(w), 1))` over the
+    * document's tokens (out-of-vocabulary tokens cost the full
+    * `bit_length(total)` bits — the add-floor convention). Also emits
+    * `n_tok` and `bits_per_tok = surprisal div max(n_tok, 1)` (integer
+    * average), the thresholdable quality signal: high bits/token ≈ high
+    * perplexity ≈ text the model finds improbable.
+    *
+    * Map-only: the model broadcasts, each doc is scored in place.
+    */
+  def surprisal(docs: DataFrame, model: UnigramModel,
+      textCol: String, idCol: String): DataFrame = {
+    val spark = docs.sparkSession
+    val bc = spark.sparkContext.broadcast(model)
+    val score = udf { (toks: Seq[String]) =>
+      val m = bc.value
+      var bits = 0L
+      toks.foreach { t =>
+        val c = m.counts.getOrElse(t, 0L)
+        val eff = if (c < 1L) 1L else c
+        bits += 64 - java.lang.Long.numberOfLeadingZeros(m.total / eff)
+      }
+      bits
+    }
+    docs
+      .withColumn("__toks", tokensCol(textCol))
+      .withColumn("n_tok", size(col("__toks")))
+      .withColumn("surprisal", score(col("__toks")))
+      .withColumn("bits_per_tok",
+        expr("CAST(surprisal DIV greatest(n_tok, 1) AS BIGINT)"))
+      .select(col(idCol), col("n_tok"), col("surprisal"), col("bits_per_tok"))
+  }
+
+  /** One-call LM quality scoring: train on `corpus`, score `docs`. The
+    * common corpus==docs self-scoring call trains and scores in the same
+    * lineage (two scans of the text column; the counts shuffle is the only
+    * exchange). */
+  def lmScore(docs: DataFrame, corpus: DataFrame, textCol: String,
+      idCol: String, vocabSize: Int): DataFrame =
+    surprisal(docs, trainUnigram(corpus, textCol, vocabSize), textCol, idCol)
+
+  /** Integer-exact TF-IDF ranking of `docs` against fixed query `terms`:
+    * `score = Σ_t tf(doc, t) · bit_length(N div df(t))` where `N` is the
+    * corpus document count and `df(t)` the number of documents containing
+    * `t` as a whole token (terms are matched lowercased). Documents with
+    * score 0 are dropped; output is `(idCol, score)` — rank with
+    * `ORDER BY score DESC`.
+    *
+    * The df aggregate is one scan producing `terms.length + 1` longs; they
+    * return to the plan as literals, so scoring is a map-only projection.
+    * A term absent from every document gets `df = 0 → idf = bit_length(N)`
+    * (max weight — it can still never contribute, tf is 0 everywhere).
+    */
+  def tfIdf(docs: DataFrame, terms: Seq[String], textCol: String,
+      idCol: String): DataFrame = {
+    require(terms.nonEmpty, "tfIdf needs at least one query term")
+    val lterms = terms.map(_.toLowerCase)
+    val toks = docs.withColumn("__toks", tokensCol(textCol))
+    val dfRow = toks.agg(
+      count(lit(1)).as("n"),
+      lterms.map(t =>
+        count_if(array_contains(col("__toks"), t)).as(s"df_$t")): _*).head()
+    val n = dfRow.getLong(0)
+    def bitLen(x: Long): Long =
+      if (x < 1L) 0L else 64 - java.lang.Long.numberOfLeadingZeros(x)
+    val idf = lterms.zipWithIndex.map { case (t, i) =>
+      val dft = dfRow.getLong(i + 1)
+      t -> bitLen(n / math.max(dft, 1L))
+    }
+    val scoreCol = idf.map { case (t, w) =>
+      size(filter(col("__toks"), x => x === t)).cast("long") * lit(w)
+    }.reduce(_ + _)
+    toks.select(col(idCol), scoreCol.as("score")).where(col("score") > 0)
+  }
+
+  /** BM25 ranking (k1/b standard defaults) — the float production scorer
+    * behind the same broadcast-df shape as [[tfIdf]]. Emits every document's
+    * score (including 0); not oracle-gated (float reduction order), spec-
+    * tested instead. */
+  def bm25(docs: DataFrame, terms: Seq[String], textCol: String,
+      idCol: String, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty, "bm25 needs at least one query term")
+    val lterms = terms.map(_.toLowerCase)
+    val toks = docs.withColumn("__toks", tokensCol(textCol))
+    val dfRow = toks.agg(
+      count(lit(1)).as("n"),
+      avg(size(col("__toks"))).as("avgdl") +:
+        lterms.map(t =>
+          count_if(array_contains(col("__toks"), t)).as(s"df_$t")): _*).head()
+    val n = dfRow.getLong(0)
+    val avgdl = dfRow.getDouble(1)
+    val idf = lterms.zipWithIndex.map { case (t, i) =>
+      val dft = dfRow.getLong(i + 2).toDouble
+      // BM25+ convention: ln((N - df + 0.5)/(df + 0.5) + 1) — always > 0
+      t -> math.log((n - dft + 0.5) / (dft + 0.5) + 1.0)
+    }
+    val dl = size(col("__toks")).cast("double")
+    val scoreCol = idf.map { case (t, w) =>
+      val tf = size(filter(col("__toks"), x => x === t)).cast("double")
+      lit(w) * (tf * (k1 + 1.0)) / (tf + lit(k1) * (lit(1.0 - b) + lit(b) * dl / avgdl))
+    }.reduce(_ + _)
+    toks.select(col(idCol), scoreCol.as("score"))
+  }
+}

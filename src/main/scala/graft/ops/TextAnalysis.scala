@@ -194,6 +194,27 @@ object TextAnalysis {
     Udf.scalar2[String, Int, Double]("repetition_ratio(string, int) -> double") {
       (s, n) => repetitionOf(s, n)
     }
+
+    // Compression ratio: deflated bytes / raw UTF-8 bytes (level 6 zlib) —
+    // the Gopher/MassiveText-style "compressibility" junk signal: highly
+    // repetitive or templated text compresses far below natural prose.
+    // Empty input -> 1.0 by convention. DEFLATE has no SQL-dialect replica,
+    // so this is spec-gated + rows-only in the oracle (the one such scalar).
+    Udf.scalar1[String, Double]("compress_ratio(string) -> double") { s =>
+      val raw = s.getBytes("UTF-8")
+      if (raw.isEmpty) 1.0
+      else {
+        val d = new java.util.zip.Deflater(java.util.zip.Deflater.DEFAULT_COMPRESSION)
+        try {
+          d.setInput(raw)
+          d.finish()
+          val buf = new Array[Byte](8192)
+          var out = 0L
+          while (!d.finished()) out += d.deflate(buf)
+          out.toDouble / raw.length.toDouble
+        } finally d.end()
+      }
+    }
   }
 }
 

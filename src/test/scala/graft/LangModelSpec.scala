@@ -1,0 +1,100 @@
+package graft
+
+import graft.ops.LangModel
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class LangModelSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import scala.jdk.CollectionConverters._
+
+  private def df(rows: Seq[(Long, String)]) = {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("text", StringType, nullable = false)))
+    spark.createDataFrame(
+      rows.map { case (i, t) => org.apache.spark.sql.Row(i, t) }.asJava, schema)
+  }
+
+  test("trainUnigram counts, truncates deterministically, and totals all tokens") {
+    val corpus = df(Seq(
+      (1L, "a a a b b c"),
+      (2L, "a b d")))
+    val m = LangModel.trainUnigram(corpus, "text", vocabSize = 2)
+    // counts: a=4 b=3 c=1 d=1; top-2 = {a, b}; total covers c and d too
+    assert(m.total == 9L)
+    assert(m.counts == Map("a" -> 4L, "b" -> 3L))
+  }
+
+  test("trainUnigram breaks count ties lexicographically") {
+    val corpus = df(Seq((1L, "z y z y x")))
+    val m = LangModel.trainUnigram(corpus, "text", vocabSize = 1)
+    // y and z tie at 2; (count DESC, token ASC) picks y
+    assert(m.counts.keySet == Set("y"))
+  }
+
+  test("surprisal charges bit_length(total/c) per token, OOV at full cost") {
+    val corpus = df(Seq((1L, "a a a a a a a b")))
+    val m = LangModel.trainUnigram(corpus, "text", vocabSize = 1)
+    // total=8, vocab={a:7}; surp(a)=bitlen(8/7=1)=1, OOV surp=bitlen(8)=4
+    val out = LangModel.surprisal(df(Seq((5L, "a b a"))), m, "text", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq((5L, 3, 1L + 4L + 1L, 2L)))
+  }
+
+  test("surprisal separates in-model text from gibberish") {
+    val corpus = df((1L to 20L).map(i => (i, "the quick brown fox jumps over the lazy dog")))
+    val m = LangModel.trainUnigram(corpus, "text", vocabSize = 8)
+    val out = LangModel.surprisal(
+      df(Seq((1L, "the quick brown fox"), (2L, "zxq wvut qqqz mmmk"))),
+      m, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(out(1L) < out(2L))
+  }
+
+  test("lmScore is map-only over docs: no join or shuffle in the scoring plan") {
+    val corpus = df(Seq((1L, "a b c a b a")))
+    val m = LangModel.trainUnigram(corpus, "text", vocabSize = 4)
+    val plan = LangModel.surprisal(df(Seq((9L, "a b"))), m, "text", "doc_id")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange") && !plan.contains("Join"), plan)
+  }
+
+  test("tfIdf weights rare terms above common ones and drops zero scores") {
+    val docs = df(Seq(
+      (1L, "common common common rare"),
+      (2L, "common common"),
+      (3L, "common"),
+      (4L, "nothing here")))
+    // N=4; df(rare)=1 -> idf=bitlen(4)=3; df(common)=3 -> idf=bitlen(4/3=1)=1
+    val out = LangModel.tfIdf(docs, Seq("rare", "common"), "text", "doc_id")
+      .orderBy(desc("score"), asc("doc_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // doc1: 1*3 + 3*1 = 6; doc2: 2; doc3: 1; doc4 dropped
+    assert(out.toSeq == Seq((1L, 6L), (2L, 2L), (3L, 1L)))
+  }
+
+  test("bm25 ranks the term-dense short doc first and scores all docs") {
+    val docs = df(Seq(
+      (1L, "needle needle needle"),
+      (2L, "needle padding padding padding padding padding padding padding"),
+      (3L, "no match at all")))
+    val out = LangModel.bm25(docs, Seq("needle"), "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(out.size == 3)
+    assert(out(1L) > out(2L))
+    assert(out(3L) == 0.0)
+  }
+
+  test("compress_ratio flags repetitive text below natural prose") {
+    Graft.install(spark)
+    val rows = df(Seq(
+      (1L, "spam spam spam spam spam spam spam spam spam spam spam spam"),
+      (2L, "Four score and seven years ago our fathers brought forth a new nation")))
+      .selectExpr("doc_id", "compress_ratio(text) AS cr")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(rows(1L) < rows(2L))
+    assert(rows.values.forall(v => v > 0.0 && v < 2.0))
+  }
+}
