@@ -19,6 +19,18 @@ object Bench {
     dir
   }
 
+  /** 1M-doc 20-token text corpus over a skewed 50k vocab for the LM probe;
+    * written once, reused across reps and rounds. */
+  private def docsBenchParquet(s: SparkSession): String = {
+    val dir = "/tmp/graft_bench_docs1m"
+    if (!new java.io.File(dir, "_SUCCESS").isFile)
+      s.range(1000000L).selectExpr("id AS doc_id",
+        """array_join(transform(sequence(0, 19),
+          |  i -> concat('w', pmod(hash(id * 20 + i), 1 + pmod(hash(i * 31 + id), 50021)))), ' ') AS text""".stripMargin)
+        .write.mode("overwrite").parquet(dir)
+    dir
+  }
+
   /** 1M-row 64-dim float corpus for the ANN scale probes; written once. */
   private def annBenchParquet(s: SparkSession): String = {
     val dir = "/tmp/graft_bench_ann1m"
@@ -237,6 +249,17 @@ object Bench {
           "concat('src', id % 1000) AS source", "id AS doc_id",
           "CAST(50 + pmod(hash(id), 400) AS INT) AS n_tok")
         graft.ops.Curation.packSequences(docs, "source", "doc_id", "n_tok", 2048)
+          .write.format("noop").mode("overwrite").save()
+      },
+      "x_lm_score_1m" -> { s: SparkSession =>
+        Graft.install(s)
+        // 1M docs x 20 tokens over a skewed 50k vocab (pre-written parquet,
+        // so the probe times the operator, not the synthetic generator):
+        // training is one counted shuffle over 20M occurrences -> 50k
+        // distinct rows + a bounded top-V; scoring is map-only under the
+        // broadcast model
+        val docs = s.read.parquet(docsBenchParquet(s))
+        graft.ops.LangModel.lmScore(docs, docs, "text", "doc_id", vocabSize = 10000)
           .write.format("noop").mode("overwrite").save()
       },
       // Guest-SPI function over the wire: served through BatchEval /

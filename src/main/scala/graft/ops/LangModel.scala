@@ -56,11 +56,16 @@ object LangModel {
     * broadcast payload is ≤ V entries no matter how large the corpus. */
   def trainUnigram(corpus: DataFrame, textCol: String, vocabSize: Int): UnigramModel = {
     val tok = corpus.select(explode(tokensCol(textCol)).as("t"))
-    val counts = tok.groupBy("t").agg(count(lit(1)).as("c"))
-    val total = counts.agg(sum("c")).head.getLong(0)
-    val vocab = counts.orderBy(col("c").desc, col("t").asc).limit(vocabSize)
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    UnigramModel(total, vocab)
+    // persisted between the two reads (total, top-V): the cached relation is
+    // one row per DISTINCT token — bounded by vocabulary, not corpus size —
+    // and saves a full second corpus scan + explode + shuffle
+    val counts = tok.groupBy("t").agg(count(lit(1)).as("c")).persist()
+    try {
+      val total = counts.agg(sum("c")).head.getLong(0)
+      val vocab = counts.orderBy(col("c").desc, col("t").asc).limit(vocabSize)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      UnigramModel(total, vocab)
+    } finally counts.unpersist()
   }
 
   /** Integer LM surprisal per document under a trained unigram model:
