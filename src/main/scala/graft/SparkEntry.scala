@@ -555,6 +555,27 @@ object SparkEntry {
       graft.ops.Curation.packSequences(docs, "source", "doc_id", "n_tok", budget = 512)
         .orderBy("source", "doc_id")
     } _,
+    // capstone v3 — v2's declarative gates PLUS the model-based LM
+    // perplexity gate (CCNet's recipe end-to-end): the unigram model is
+    // trained by the engine (one counted shuffle, bounded top-V), broadcast,
+    // and the bits/token gate composes with the text_stats gates + exact
+    // dedup + PII scrub in one query. The LM side joins on doc_id only.
+    "q_curate_v3" -> dfq { s =>
+      val docs = s.table("documents")
+      graft.ops.LangModel.lmScore(docs, docs, "text", "doc_id", vocabSize = 16)
+        .createOrReplaceTempView("lm_scores")
+      s.sql(
+        """SELECT d.doc_id, t.st.lang AS lang_pred, t.st.n_tok AS n_tok,
+          |       l.bits_per_tok, redact_pii(d.text) AS clean_text
+          |FROM documents d
+          |JOIN lm_scores l ON l.doc_id = d.doc_id
+          |LATERAL VIEW text_stats(d.text) t AS st
+          |WHERE t.st.score >= 0.3 AND t.st.n_tok >= 20 AND t.st.lang <> 'und'
+          |  AND t.st.rep3 <= 0.5
+          |  AND l.bits_per_tok <= 9
+          |  AND d.doc_id IN (SELECT min(doc_id) FROM documents GROUP BY doc_fingerprint(text))
+          |ORDER BY d.doc_id""".stripMargin)
+    } _,
     // LM surprisal quality gate (the CCNet perplexity-filter shape): unigram
     // model trained on the corpus by the engine (top-16 vocab — half the
     // testdata vocabulary, so truncation/OOV is exercised), scored as exact
@@ -1586,6 +1607,66 @@ object SparkEntry {
         |         CASE WHEN p.fill + r.n_tok <= 512 THEN p.fill + r.n_tok ELSE r.n_tok END
         |  FROM pack p JOIN d r ON r.source = p.source AND r.rn = p.rn + 1)
         |SELECT source, doc_id, bin, fill FROM pack ORDER BY source, doc_id""".stripMargin,
+    "q_curate_v3" ->
+      s"""WITH w AS (SELECT doc_id,
+         |    list_filter(str_split_regex(lower(text), '\\s+'), x -> x <> '') AS ts
+         |  FROM documents),
+         |ktok AS (SELECT doc_id, unnest(ts) AS t FROM w),
+         |kcnt AS (SELECT t, count(*) AS c FROM ktok GROUP BY t),
+         |ktot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM kcnt),
+         |kvocab AS (SELECT t, c FROM kcnt ORDER BY c DESC, t LIMIT 16),
+         |ksurp AS (SELECT k.doc_id,
+         |    length(bin((SELECT n FROM ktot) // greatest(coalesce(v.c, 0), 1))) AS b
+         |  FROM ktok k LEFT JOIN kvocab v USING (t)),
+         |kagg AS (SELECT doc_id, CAST(sum(b) AS BIGINT) AS bits FROM ksurp GROUP BY doc_id),
+         |lm AS (SELECT w.doc_id,
+         |    CAST(coalesce(a.bits, 0) // greatest(len(w.ts), 1) AS BIGINT) AS bits_per_tok
+         |  FROM w LEFT JOIN kagg a USING (doc_id)),
+         |tok AS (
+         |  SELECT doc_id, list_filter(str_split_regex(lower(text), '\\s+'), x -> x <> '') AS ts,
+         |         len(regexp_extract_all(text, '[^\\p{L}\\p{N}\\s]')) AS n_punct,
+         |         length(text) AS len_s
+         |  FROM documents),
+         |m AS (
+         |  SELECT doc_id, len(ts) AS n_tok,
+         |    len(list_filter(ts, x -> x IN ('the','and','of','to','a','in','is','it','that','for'))) AS n_stop,
+         |    n_punct, len_s,
+         |    list_sort([
+         |      {'s': -len(list_filter(ts, x -> x IN ('the','and','of','to','a','in','is','it','that','for'))), 'l': 'en'},
+         |      {'s': -len(list_filter(ts, x -> x IN ('der','die','das','und','ist','nicht','ein','zu','mit','von'))), 'l': 'de'},
+         |      {'s': -len(list_filter(ts, x -> x IN ('el','la','de','que','y','en','un','es','por','los'))), 'l': 'es'},
+         |      {'s': -len(list_filter(ts, x -> x IN ('le','la','de','et','un','est','que','pour','dans','les'))), 'l': 'fr'},
+         |      {'s': -len(list_filter(ts, x -> x IN ('的','是','不','了','在','有','我','他','这','中'))), 'l': 'zh'}
+         |    ]) AS sorted
+         |  FROM tok),
+         |scored AS (
+         |  SELECT doc_id,
+         |    CASE WHEN struct_extract(sorted[1], 's') = 0 THEN 'und'
+         |         ELSE struct_extract(sorted[1], 'l') END AS lang_pred,
+         |    CASE WHEN n_tok = 0 THEN 0.0 ELSE
+         |      0.4 * (n_stop / CAST(n_tok AS DOUBLE))
+         |      + 0.3 * least(n_tok / 100.0, 1.0)
+         |      + 0.3 * (1.0 - n_punct / CAST(len_s AS DOUBLE)) END AS score,
+         |    CAST(n_tok AS INT) AS n_tok
+         |  FROM m),
+         |rep AS (
+         |  SELECT doc_id, CASE WHEN len(sh) = 0 THEN 0.0
+         |    ELSE 1.0 - CAST(len(list_distinct(sh)) AS DOUBLE) / CAST(len(sh) AS DOUBLE) END AS rr
+         |  FROM (SELECT doc_id, ${duckShingles(3)} AS sh
+         |        FROM (SELECT doc_id, $duckWords AS ws FROM documents)))
+         |SELECT s.doc_id, s.lang_pred, s.n_tok, l.bits_per_tok,
+         |       regexp_replace(regexp_replace(regexp_replace(d.text,
+         |         'https?://\\S+', '<URL>', 'g'),
+         |         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}', '<EMAIL>', 'g'),
+         |         '[+]?[0-9][0-9()\\- ]{7,}[0-9]', '<PHONE>', 'g') AS clean_text
+         |FROM scored s
+         |JOIN rep r ON r.doc_id = s.doc_id
+         |JOIN lm l ON l.doc_id = s.doc_id
+         |JOIN documents d ON d.doc_id = s.doc_id
+         |WHERE s.score >= 0.3 AND s.n_tok >= 20 AND s.lang_pred <> 'und' AND r.rr <= 0.5
+         |  AND l.bits_per_tok <= 9
+         |  AND s.doc_id IN (SELECT min(doc_id) FROM documents GROUP BY md5(text))
+         |ORDER BY s.doc_id""".stripMargin,
     "q_lm_score" ->
       """WITH w AS (SELECT doc_id,
         |    list_filter(str_split_regex(lower(text), '\s+'), x -> x <> '') AS ts

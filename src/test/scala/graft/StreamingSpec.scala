@@ -84,6 +84,35 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("batch ≡ stream: LM surprisal scoring with a batch-trained model") {
+    // the train-offline / score-online pattern: the unigram model is built
+    // from a batch corpus, then the map-only scorer runs unchanged on a
+    // stream (no state, no watermark — it's a pure projection under a
+    // broadcast model)
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = (1L to 50L).map(i => (i, "alpha beta gamma delta"))
+      .toDF("doc_id", "text")
+    val model = graft.ops.LangModel.trainUnigram(corpus, "text", vocabSize = 3)
+    val docs = Seq((100L, "alpha beta"), (101L, "zeta zeta unknown"))
+    val expected = graft.ops.LangModel
+      .surprisal(docs.toDF("doc_id", "text"), model, "text", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val mem = MemoryStream[(Long, String)]
+    val q = graft.ops.LangModel
+      .surprisal(mem.toDF().toDF("doc_id", "text"), model, "text", "doc_id")
+      .writeStream.format("memory").queryName("lm_stream")
+      .outputMode("append").start()
+    try {
+      mem.addData(docs: _*)
+      q.processAllAvailable()
+      val got = spark.sql("SELECT doc_id, surprisal FROM lm_stream")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == expected)
+      assert(got.nonEmpty)
+    } finally q.stop()
+  }
+
   test("batch ≡ stream: curation gates (mixture sample + quality filter) on a stream") {
     // stratified sampling and quality gating are pure per-row filters —
     // they compose with Structured Streaming with no state or watermark;
