@@ -47,9 +47,11 @@ object LangModel {
       extends Serializable
 
   /** Lowercased whitespace tokens as a Column — the one tokenization shared
-    * with [[TextAnalysis]] (`\s+` split, empties dropped). */
+    * with [[TextAnalysis]] (`\s+` split, empties dropped). NULL text reads
+    * as the empty document (0 tokens, score 0) rather than poisoning the
+    * scorer with a null array. */
   private def tokensCol(textCol: String): Column =
-    filter(split(lower(col(textCol)), "\\s+"), t => t =!= "")
+    filter(split(lower(coalesce(col(textCol), lit(""))), "\\s+"), t => t =!= "")
 
   /** Train a [[UnigramModel]] on `corpus`: one counted shuffle + a bounded
     * top-V. The `vocabSize` cap is the model's memory contract — the
@@ -61,7 +63,9 @@ object LangModel {
     // and saves a full second corpus scan + explode + shuffle
     val counts = tok.groupBy("t").agg(count(lit(1)).as("c")).persist()
     try {
-      val total = counts.agg(sum("c")).head.getLong(0)
+      // coalesce: an empty/all-empty corpus sums to NULL, which is a valid
+      // (if degenerate) model — total 0 makes every surprisal 0
+      val total = counts.agg(coalesce(sum("c"), lit(0L))).head.getLong(0)
       val vocab = counts.orderBy(col("c").desc, col("t").asc).limit(vocabSize)
         .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
       UnigramModel(total, vocab)
@@ -154,11 +158,12 @@ object LangModel {
     val toks = docs.withColumn("__toks", tokensCol(textCol))
     val dfRow = toks.agg(
       count(lit(1)).as("n"),
-      avg(size(col("__toks"))).as("avgdl") +:
+      coalesce(avg(size(col("__toks"))), lit(0.0)).as("avgdl") +:
         lterms.map(t =>
           count_if(array_contains(col("__toks"), t)).as(s"df_$t")): _*).head()
     val n = dfRow.getLong(0)
-    val avgdl = dfRow.getDouble(1)
+    // avgdl 0 (empty corpus / all-empty docs) would divide to NaN below
+    val avgdl = math.max(dfRow.getDouble(1), 1e-9)
     val idf = lterms.zipWithIndex.map { case (t, i) =>
       val dft = dfRow.getLong(i + 2).toDouble
       // BM25+ convention: ln((N - df + 0.5)/(df + 0.5) + 1) — always > 0

@@ -87,6 +87,26 @@ class LangModelSpec extends AnyFunSuite {
     assert(out(3L) == 0.0)
   }
 
+  test("null text and empty corpora degrade to zero scores, never NPE") {
+    import org.apache.spark.sql.types._
+    import scala.jdk.CollectionConverters._
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("text", StringType, nullable = true)))
+    val withNull = spark.createDataFrame(Seq(
+      org.apache.spark.sql.Row(1L, "a b"),
+      org.apache.spark.sql.Row(2L, null)).asJava, schema)
+    val empty = spark.createDataFrame(Seq.empty[org.apache.spark.sql.Row].asJava, schema)
+    val m = LangModel.trainUnigram(empty, "text", 4)
+    assert(m.total == 0L && m.counts.isEmpty)
+    val out = LangModel.surprisal(withNull, m, "text", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    // degenerate model: every token costs bit_length(0) = 0 bits
+    assert(out == Set((1L, 2, 0L), (2L, 0, 0L)))
+    assert(LangModel.tfIdf(withNull, Seq("a"), "text", "doc_id").count() == 1L)
+    assert(LangModel.bm25(empty, Seq("a"), "text", "doc_id").count() == 0L)
+  }
+
   test("compress_ratio flags repetitive text below natural prose") {
     Graft.install(spark)
     val rows = df(Seq(
