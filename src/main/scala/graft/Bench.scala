@@ -251,6 +251,15 @@ object Bench {
         graft.ops.Curation.packSequences(docs, "source", "doc_id", "n_tok", 2048)
           .write.format("noop").mode("overwrite").save()
       },
+      "x_dedup_spans_1m" -> { s: SparkSession =>
+        Graft.install(s)
+        // 20M tokens -> ~13M gram instances through the first-occurrence
+        // shuffle; mostly-novel corpus, so this measures the full gram
+        // exchange + anti-join cost, not a lucky early exit
+        val docs = s.read.parquet(docsBenchParquet(s))
+        graft.ops.Curation.dedupSpans(docs, "text", "doc_id", n = 8)
+          .write.format("noop").mode("overwrite").save()
+      },
       "x_lm_score_1m" -> { s: SparkSession =>
         Graft.install(s)
         // 1M docs x 20 tokens over a skewed 50k vocab (pre-written parquet,

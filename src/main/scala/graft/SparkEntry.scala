@@ -540,6 +540,13 @@ object SparkEntry {
           .selectExpr("doc_id + 1000000 AS doc_id", "substr(text, 1, 200) AS text"))
       graft.ops.Curation.dedupSentences(corpus, "text", "doc_id").orderBy("doc_id")
     } _,
+    // repeated-span dedup (Lee et al. exact-substring rule): tokens covered
+    // by an 8-gram first seen elsewhere are removed; exact-duplicate docs
+    // vanish entirely, partial echoes keep only their novel spans
+    "q_dedup_spans" -> dfq { s =>
+      graft.ops.Curation.dedupSpans(s.table("documents"), "text", "doc_id", n = 8)
+        .orderBy("doc_id")
+    } _,
     // deterministic stratified mixture sampling: per-source permille rates,
     // membership a pure function of the salted doc id (no RNG state)
     "q_mixture_sample" -> dfq { s =>
@@ -1587,6 +1594,26 @@ object SparkEntry {
         |          row_number() OVER (PARTITION BY sent ORDER BY doc_id, pos) AS rn FROM ex)
         |SELECT doc_id, string_agg(sent, ' ' ORDER BY pos) AS kept_text
         |FROM win WHERE rn = 1 GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_dedup_spans" ->
+      """WITH w AS (SELECT doc_id,
+        |    list_filter(str_split_regex(text, '\s+'), x -> x <> '') AS ws
+        |  FROM documents),
+        |tok AS (SELECT doc_id, unnest(ws) AS tok, generate_subscripts(ws, 1) - 1 AS pos FROM w),
+        |sh AS (SELECT doc_id, CASE WHEN len(ws) >= 8
+        |    THEN [array_to_string(ws[i:i+7], ' ') for i in range(1, len(ws) - 6)]
+        |    ELSE [] END AS gs FROM w),
+        |gi AS (SELECT doc_id,
+        |    CAST('0x' || substr(md5(unnest(gs)), 1, 15) AS BIGINT) AS fp,
+        |    generate_subscripts(gs, 1) - 1 AS pos FROM sh),
+        |win AS (SELECT doc_id, fp, pos,
+        |    row_number() OVER (PARTITION BY fp ORDER BY doc_id, pos) AS rn FROM gi),
+        |dup AS (SELECT doc_id, pos FROM win WHERE rn > 1),
+        |cov AS (SELECT DISTINCT doc_id, pos + o AS cpos
+        |        FROM dup, (SELECT unnest(range(0, 8)) AS o)),
+        |kept AS (SELECT t.doc_id, t.pos, t.tok FROM tok t WHERE NOT EXISTS
+        |  (SELECT 1 FROM cov c WHERE c.doc_id = t.doc_id AND c.cpos = t.pos))
+        |SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS kept_text
+        |FROM kept GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q_mixture_sample" ->
       s"""SELECT doc_id, source FROM documents
          |WHERE ${duckMd5_60("'mix:' || CAST(doc_id AS VARCHAR)")} % 1000

@@ -83,6 +83,53 @@ object Curation {
   }
 
   /**
+   * Repeated-span dedup (the exact-substring rule of Lee et al.,
+   * "Deduplicating Training Data Makes Language Models Better"): any token
+   * covered by a word `n`-gram whose first global occurrence — ordered by
+   * `(idCol, position)` — is elsewhere in the corpus is removed, and each
+   * document is reassembled from its surviving tokens in original order.
+   * Documents shorter than `n` tokens carry no grams and survive intact;
+   * documents whose every token is covered (exact duplicates) disappear.
+   *
+   * Returns `(idCol, kept_text)`.
+   *
+   * == Scale design ==
+   * Gram instances ship as 60-bit md5 fingerprints (`doc_fingerprint` —
+   * replicated exactly in the oracle, like every fingerprint operator here),
+   * so the one corpus-sized exchange — the first-occurrence window — carries
+   * ~20 B/gram instead of the gram text. Duplicate instances explode into at
+   * most `n` covered positions each (never a per-doc range join) and
+   * aggregate to one covered-position set per AFFECTED doc; that small
+   * relation joins back (broadcast under AQE when it fits) and each doc is
+   * rebuilt in place with an index-aware `filter` — the corpus's tokens
+   * never ride a shuffle at all. Nothing is ever O(corpus²) and nothing
+   * reaches the driver.
+   *
+   * Requires [[graft.Graft.install]] (uses the registered `doc_fingerprint`).
+   */
+  def dedupSpans(docs: DataFrame, textCol: String, idCol: String, n: Int): DataFrame = {
+    require(n >= 2, s"dedupSpans needs n >= 2, got $n")
+    val ws = filter(split(col(textCol), "\\s+"), t => t =!= "")
+    val base = docs.select(col(idCol), ws.as("ws"))
+    val grams = base
+      .where(size(col("ws")) >= n)
+      .select(col(idCol), posexplode(expr(
+        s"transform(sequence(0, size(ws) - $n)," +
+          s" i -> doc_fingerprint(array_join(slice(ws, i + 1, $n), ' ')))"))
+        .as(Seq("pos", "fp")))
+    val firstOcc = Window.partitionBy("fp").orderBy(col(idCol), col("pos"))
+    val covered = grams
+      .withColumn("rn", row_number().over(firstOcc)).where(col("rn") > 1)
+      .select(col(idCol), explode(expr(s"sequence(pos, pos + ${n - 1})")).as("pos"))
+      .groupBy(col(idCol)).agg(collect_set(col("pos")).as("cov"))
+    base.join(covered, Seq(idCol), "left")
+      .select(col(idCol), expr(
+        "array_join(filter(ws, (t, i) -> cov IS NULL OR NOT array_contains(cov, i)), ' ')")
+        .as("kept_text"))
+      .where(col("kept_text") =!= "")
+  }
+
+  /**
    * Deterministic stratified sampling for mixture construction: keep a row
    * iff `md5_60(salt:key) mod 1000 < ratePermille`, where `ratePermille` may
    * be any per-row expression (per-source mixture weights). No RNG state —

@@ -48,6 +48,26 @@ class CurationSpec extends AnyFunSuite {
     assert(!out.contains(3L))
   }
 
+  test("dedupSpans removes covered spans, keeps short docs, drops exact copies") {
+    Graft.install(spark)
+    val docs = df(Seq(
+      // doc 1 is the first occurrence of everything it holds
+      (1L, "a b c d e f g h novel1 novel2", "s"),
+      // doc 2 repeats doc 1's leading 8-gram then diverges: the 8 covered
+      // tokens go, the tail survives
+      (2L, "a b c d e f g h tail1 tail2 tail3", "s"),
+      // doc 3 is an exact copy of doc 1: fully covered, disappears
+      (3L, "a b c d e f g h novel1 novel2", "s"),
+      // doc 4 is shorter than n: carries no grams, survives intact
+      (4L, "tiny doc", "s")))
+    val out = Curation.dedupSpans(docs, "text", "doc_id", n = 8)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "a b c d e f g h novel1 novel2")
+    assert(out(2L) == "tail1 tail2 tail3")
+    assert(!out.contains(3L))
+    assert(out(4L) == "tiny doc")
+  }
+
   test("stratifiedSample is deterministic, salt-sensitive, and rate-monotone") {
     val docs = df((1L to 400L).map(i => (i, s"text $i", s"src${i % 4}")))
     def ids(salt: String, rate: Int) =
