@@ -251,6 +251,16 @@ object Bench {
         graft.ops.Curation.packSequences(docs, "source", "doc_id", "n_tok", 2048)
           .write.format("noop").mode("overwrite").save()
       },
+      "x_semantic_dedup_1m" -> { s: SparkSession =>
+        Graft.install(s)
+        // 1M random 64-dim vectors through 12-plane buckets (~4096 cells,
+        // ~244 vectors/cell): measures the full LSH equi-join + per-bucket
+        // pairwise cosine + greedy min aggregate — the SemDeDup shape
+        val corpus = s.read.parquet(annBenchParquet(s))
+        graft.ops.Dedup.semanticDedup(corpus, "vec_id", "embedding",
+            nPlanes = 12, tau = 0.95)
+          .write.format("noop").mode("overwrite").save()
+      },
       "x_dedup_spans_1m" -> { s: SparkSession =>
         Graft.install(s)
         // 20M tokens -> ~13M gram instances through the first-occurrence

@@ -781,6 +781,17 @@ object SparkEntry {
     // vec_id+100000 with one coordinate nudged (+0.25 on dim 0, float-exact
     // on both engines) — sim ≈ 0.999, discoverable only by the LSH+verify
     // pipeline, and the 0.9 threshold separates planted pairs from noise.
+    // SemDeDup-shape semantic dedup: greedy keep-smallest-id within LSH
+    // cells; the 50 planted perturbed copies resolve to their originals
+    "q_semantic_dedup" -> dfq { s =>
+      val base = s.table("embeddings")
+      val planted = base.where("vec_id < 50")
+        .selectExpr("vec_id + 100000 AS vec_id",
+          "transform(embedding, (x, i) -> IF(i = 0, CAST(x + CAST(0.25 AS DOUBLE) AS FLOAT), x)) AS embedding")
+      val corpus = base.select("vec_id", "embedding").unionByName(planted)
+      graft.ops.Dedup.semanticDedup(corpus, "vec_id", "embedding", nPlanes = 8, tau = 0.9)
+        .orderBy("vec_id")
+    } _,
     "q_embed_neardup" -> dfq { s =>
       val base = s.table("embeddings")
       val planted = base.where("vec_id < 50")
@@ -1966,6 +1977,28 @@ object SparkEntry {
          |      FROM s)
          |SELECT q_id, vec_id, rank, CAST(ROUND(sim * 10000) AS BIGINT) AS c4
          |FROM r WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
+    "q_semantic_dedup" ->
+      s"""WITH corpus AS (
+         |  SELECT vec_id, embedding FROM embeddings
+         |  UNION ALL
+         |  SELECT vec_id + 100000 AS vec_id,
+         |         [CASE WHEN i = 1 THEN CAST(embedding[i] + CAST(0.25 AS DOUBLE) AS FLOAT)
+         |               ELSE embedding[i] END for i in range(1, 65)] AS embedding
+         |  FROM embeddings WHERE vec_id < 50),
+         |b AS (SELECT vec_id, embedding,
+         |  CAST(list_sum([CASE WHEN
+         |    list_reduce([CAST(embedding[i] AS DOUBLE) *
+         |      (${duckMd5_60("CAST(p * 10007 + (i - 1) AS VARCHAR) || 'hp'")} / 5.764607523034235e17 - 1.0)
+         |      for i in range(1, 65)], (x, y) -> x + y) >= 0
+         |    THEN (CAST(1 AS BIGINT) << p) ELSE CAST(0 AS BIGINT) END for p in range(8)]) AS BIGINT) AS bucket
+         |  FROM corpus),
+         |p AS (SELECT a.vec_id AS id_a, b2.vec_id AS id_b,
+         |        ${duckCos("a.embedding", "b2.embedding")} AS sim
+         |      FROM b a JOIN b b2 USING (bucket) WHERE a.vec_id < b2.vec_id),
+         |d AS (SELECT id_b AS vec_id, CAST(min(id_a) AS BIGINT) AS dup_of
+         |      FROM p WHERE sim >= 0.9 GROUP BY id_b)
+         |SELECT c.vec_id, d.dup_of FROM corpus c LEFT JOIN d USING (vec_id)
+         |ORDER BY c.vec_id""".stripMargin,
     "q_embed_neardup" ->
       s"""WITH corpus AS (
          |  SELECT vec_id, embedding FROM embeddings

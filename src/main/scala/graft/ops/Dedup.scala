@@ -269,6 +269,37 @@ object Dedup {
     df.join(losers, df(idCol).cast("long") === losers("id"), "left_anti")
   }
 
+  /** Semantic dedup over an embedding column (the SemDeDup recipe with
+    * deterministic LSH cells): vectors land in hyperplane buckets, and every
+    * vector with a same-bucket neighbor of smaller id at cosine ≥ `tau` is
+    * marked a duplicate of its SMALLEST such neighbor (the greedy
+    * keep-first-id rule). Returns every corpus row as `(idCol, dup_of)` —
+    * `dup_of` NULL for survivors; filter `dup_of IS NULL` for the kept set.
+    *
+    * Buckets are a pure function of the embedding (`hyperplane_bucket`), so
+    * the result is reproducible across runs/engines and the oracle replays
+    * it exactly. Candidate generation is the LSH equi-join shape: pairwise
+    * work is bounded per bucket (AQE splits hot buckets), never O(corpus²);
+    * the greedy winner is one `min` aggregate per duplicate — no iteration,
+    * no connected components. More planes → smaller buckets → cheaper and
+    * stricter (near-dup pairs must agree on every plane to be compared).
+    *
+    * Requires [[graft.Graft.install]] (uses `hyperplane_bucket`/`cosine_sim`).
+    */
+  def semanticDedup(corpus: DataFrame, idCol: String, embCol: String,
+      nPlanes: Int, tau: Double): DataFrame = {
+    val e = corpus.selectExpr(idCol, embCol,
+      s"hyperplane_bucket($embCol, $nPlanes) AS bucket")
+    val l = e.selectExpr("bucket", s"$idCol AS id_a", s"$embCol AS ea")
+    val r = e.selectExpr("bucket", s"$idCol AS id_b", s"$embCol AS eb")
+    val dups = l.join(r, "bucket")
+      .where(col("id_a") < col("id_b"))
+      .where(expr(s"cosine_sim(ea, eb) >= $tau"))
+      .groupBy(col("id_b").as(idCol))
+      .agg(min(col("id_a")).as("dup_of"))
+    corpus.select(col(idCol)).join(dups, Seq(idCol), "left")
+  }
+
   /** SimHash near-dup pairs: block on the 4 15-bit quarters of the signature
     * (a pair within Hamming distance 3 shares at least one identical quarter
     * — pigeonhole), then verify the true Hamming distance. */

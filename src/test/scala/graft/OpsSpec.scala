@@ -42,6 +42,28 @@ class OpsSpec extends AnyFunSuite {
     assert(kept == Seq(0L, 2L, 4L)) // {0,1,3} collapse to 0; 2 and 4 survive
   }
 
+  test("semanticDedup: planted copies resolve greedily to the smallest id") {
+    Graft.install(spark)
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType, nullable = false),
+      StructField("embedding", ArrayType(FloatType, containsNull = false), nullable = false)))
+    def vec(seed: Int) =
+      Array.tabulate(64)(i => (math.sin(seed * 64 + i) * 0.5).toFloat)
+    val rows = Seq(
+      1L -> vec(1), 2L -> vec(2), 3L -> vec(3),
+      10L -> vec(1),               // exact copy of 1
+      11L -> vec(1).updated(0, vec(1)(0) + 1e-4f), // near copy of 1
+      12L -> vec(2),               // exact copy of 2
+    ).map { case (i, v) => org.apache.spark.sql.Row(i, v.toSeq) }
+    val corpus = spark.createDataFrame(rows.asJava, schema)
+    val out = Dedup.semanticDedup(corpus, "vec_id", "embedding", nPlanes = 6, tau = 0.99)
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    assert(out(1L) == -1L && out(2L) == -1L && out(3L) == -1L)
+    assert(out(10L) == 1L && out(11L) == 1L && out(12L) == 2L)
+    assert(out.size == 6)
+  }
+
   test("simhashPairs: exact dup at distance 0; hamming sane") {
     val pairs = Dedup.simhashPairs(docsDf, "text", "doc_id", maxDist = 6)
       .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
