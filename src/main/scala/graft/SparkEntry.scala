@@ -781,6 +781,20 @@ object SparkEntry {
     // vec_id+100000 with one coordinate nudged (+0.25 on dim 0, float-exact
     // on both engines) — sim ≈ 0.999, discoverable only by the LSH+verify
     // pipeline, and the 0.9 threshold separates planted pairs from noise.
+    // embedding-level decontamination: the 50 planted perturbed copies are
+    // caught as semantically contaminated against the 50-vector benchmark
+    // (paraphrase-robust sibling of q_decontaminate); benchmark broadcast,
+    // corpus map-only
+    "q_semantic_decontaminate" -> dfq { s =>
+      val base = s.table("embeddings")
+      val bench = base.where("vec_id < 50").select("vec_id", "embedding")
+      val corpus = base.where("vec_id >= 50").select("vec_id", "embedding")
+        .unionByName(base.where("vec_id < 50")
+          .selectExpr("vec_id + 100000 AS vec_id",
+            "transform(embedding, (x, i) -> IF(i = 0, CAST(x + CAST(0.25 AS DOUBLE) AS FLOAT), x)) AS embedding"))
+      graft.ops.Curation.semanticDecontaminate(corpus, bench, "vec_id", "embedding", tau = 0.9)
+        .orderBy("vec_id")
+    } _,
     // SemDeDup-shape semantic dedup: greedy keep-smallest-id within LSH
     // cells; the 50 planted perturbed copies resolve to their originals
     "q_semantic_dedup" -> dfq { s =>
@@ -1977,6 +1991,23 @@ object SparkEntry {
          |      FROM s)
          |SELECT q_id, vec_id, rank, CAST(ROUND(sim * 10000) AS BIGINT) AS c4
          |FROM r WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
+    "q_semantic_decontaminate" ->
+      s"""WITH bench AS (SELECT vec_id AS near_id, embedding AS be
+         |  FROM embeddings WHERE vec_id < 50),
+         |corpus AS (
+         |  SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 50
+         |  UNION ALL
+         |  SELECT vec_id + 100000 AS vec_id,
+         |         [CASE WHEN i = 1 THEN CAST(embedding[i] + CAST(0.25 AS DOUBLE) AS FLOAT)
+         |               ELSE embedding[i] END for i in range(1, 65)] AS embedding
+         |  FROM embeddings WHERE vec_id < 50),
+         |p AS (SELECT c.vec_id, b.near_id, ${duckCos("c.embedding", "b.be")} AS sim
+         |      FROM corpus c, bench b),
+         |hits AS (SELECT vec_id, near_id, sim,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY near_id) AS rn
+         |  FROM p WHERE sim >= 0.9)
+         |SELECT vec_id, near_id, CAST(ROUND(sim * 10000) AS BIGINT) AS sim4
+         |FROM hits WHERE rn = 1 ORDER BY vec_id""".stripMargin,
     "q_semantic_dedup" ->
       s"""WITH corpus AS (
          |  SELECT vec_id, embedding FROM embeddings

@@ -83,6 +83,33 @@ object Curation {
   }
 
   /**
+   * Embedding-level decontamination: ids of corpus vectors within cosine
+   * `tau` of ANY benchmark vector — the semantic sibling of the n-gram
+   * [[decontaminate]] (catches paraphrased eval contamination that exact
+   * n-grams miss). Emits one row per contaminated corpus id:
+   * `(idCol, near_id, sim4)` where `near_id` is the SMALLEST matching
+   * benchmark id and `sim4` its similarity ×10⁴ (integer-rounded).
+   *
+   * The benchmark side is small by definition, so it broadcasts and the
+   * corpus side is a map-only scan + per-row argmin over the broadcast set —
+   * no corpus shuffle at all (the n-gram decontamination shape, dense).
+   *
+   * Requires [[graft.Graft.install]] (uses `cosine_sim`).
+   */
+  def semanticDecontaminate(corpus: DataFrame, benchmark: DataFrame,
+      idCol: String, embCol: String, tau: Double): DataFrame = {
+    val bench = broadcast(
+      benchmark.selectExpr(s"$idCol AS near_id", s"$embCol AS be"))
+    corpus.selectExpr(idCol, embCol).crossJoin(bench)
+      .where(expr(s"cosine_sim($embCol, be) >= $tau"))
+      .withColumn("sim", expr(s"cosine_sim($embCol, be)"))
+      .groupBy(col(idCol))
+      .agg(min_by(struct(col("near_id"), col("sim")), col("near_id")).as("m"))
+      .select(col(idCol), col("m.near_id").as("near_id"),
+        expr("CAST(ROUND(m.sim * 10000) AS BIGINT)").as("sim4"))
+  }
+
+  /**
    * Repeated-span dedup (the exact-substring rule of Lee et al.,
    * "Deduplicating Training Data Makes Language Models Better"): any token
    * covered by a word `n`-gram whose first global occurrence — ordered by

@@ -68,6 +68,28 @@ class CurationSpec extends AnyFunSuite {
     assert(out(4L) == "tiny doc")
   }
 
+  test("semanticDecontaminate flags only near-benchmark vectors, broadcast side") {
+    Graft.install(spark)
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType, nullable = false),
+      StructField("embedding", ArrayType(FloatType, containsNull = false), nullable = false)))
+    def vec(seed: Int) =
+      Array.tabulate(64)(i => (math.sin(seed * 64 + i) * 0.5).toFloat)
+    def df0(rows: Seq[(Long, Array[Float])]) = spark.createDataFrame(
+      rows.map { case (i, v) => org.apache.spark.sql.Row(i, v.toSeq) }.asJava, schema)
+    val bench = df0(Seq(1L -> vec(1), 2L -> vec(2)))
+    val corpus = df0(Seq(
+      10L -> vec(1),                                  // copy of bench 1
+      11L -> vec(1).updated(0, vec(1)(0) + 1e-4f),    // near copy of bench 1
+      12L -> vec(7)))                                 // unrelated
+    val out = graft.ops.Curation
+      .semanticDecontaminate(corpus, bench, "vec_id", "embedding", tau = 0.99)
+    assert(out.queryExecution.executedPlan.toString.contains("Broadcast"))
+    val got = out.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(10L -> 1L, 11L -> 1L))
+  }
+
   test("stratifiedSample is deterministic, salt-sensitive, and rate-monotone") {
     val docs = df((1L to 400L).map(i => (i, s"text $i", s"src${i % 4}")))
     def ids(salt: String, rate: Int) =
