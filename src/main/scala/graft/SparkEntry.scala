@@ -554,6 +554,14 @@ object SparkEntry {
           expr("200 + 37 * (CAST(substring(source, 4) AS INT) % 20)"))
         .select("doc_id", "source").orderBy("doc_id")
     } _,
+    // deterministic upsampling (epoch weighting): per-source weights 0-3 —
+    // weight-0 sources drop, weight-3 sources triple (the >1-weight half of
+    // mixture construction; q_mixture_sample is the <1 half)
+    "q_upsample" -> dfq { s =>
+      graft.ops.Curation.upsample(s.table("documents"),
+          expr("CAST(substring(source, 4) AS INT) % 4"))
+        .select("doc_id", "copy", "source").orderBy("doc_id", "copy")
+    } _,
     // greedy first-fit sequence packing: 512-token bins within each source
     // stratum, walked in doc_id order (strata are the parallelism unit)
     "q_pack_sequences" -> dfq { s =>
@@ -1644,6 +1652,11 @@ object SparkEntry {
          |WHERE ${duckMd5_60("'mix:' || CAST(doc_id AS VARCHAR)")} % 1000
          |      < 200 + 37 * (CAST(substr(source, 4) AS INT) % 20)
          |ORDER BY doc_id""".stripMargin,
+    "q_upsample" ->
+      """SELECT doc_id, CAST(c.copy AS INT) AS copy, source
+        |FROM documents,
+        |     UNNEST(range(0, greatest(CAST(substring(source, 4) AS INT) % 4, 0))) AS c(copy)
+        |ORDER BY doc_id, copy""".stripMargin,
     "q_pack_sequences" ->
       """WITH RECURSIVE d AS (
         |  SELECT source, doc_id,

@@ -171,6 +171,22 @@ object Curation {
         < ratePermille)
 
   /**
+   * Deterministic upsampling for mixture construction — the >1-weight half
+   * that [[stratifiedSample]] (a filter) cannot express: each row repeats
+   * `copies` times (any per-row integer expression, e.g. a per-source epoch
+   * weight), emitting a `copy` ordinal in `[0, copies)`. Rows with
+   * `copies <= 0` disappear, so one call expresses a full mixture weighting
+   * (0 = drop, 1 = keep, n = repeat). Pure per-row generation: no shuffle,
+   * no RNG, stable under re-partitioning; downstream packing/shuffling
+   * should treat `(idCol, copy)` as the sequence key.
+   */
+  def upsample(df: DataFrame, copies: Column): DataFrame =
+    df.withColumn("__n", copies.cast("int"))
+      .withColumn("copy", explode(when(col("__n") <= 0, array())
+        .otherwise(sequence(lit(0), col("__n") - 1))))
+      .drop("__n")
+
+  /**
    * Greedy first-fit sequence packing: within each stratum, walk documents
    * in `idCol` order and fill bins of at most `budget` tokens — the standard
    * pre-tokenization packing pass that turns documents into fixed-budget
