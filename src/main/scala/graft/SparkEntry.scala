@@ -1628,15 +1628,15 @@ object SparkEntry {
         |SELECT doc_id, string_agg(sent, ' ' ORDER BY pos) AS kept_text
         |FROM win WHERE rn = 1 GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q_dedup_spans" ->
-      """WITH w AS (SELECT doc_id,
-        |    list_filter(str_split_regex(text, '\s+'), x -> x <> '') AS ws
+      s"""WITH w AS (SELECT doc_id,
+        |    list_filter(str_split_regex(text, '\\s+'), x -> x <> '') AS ws
         |  FROM documents),
         |tok AS (SELECT doc_id, unnest(ws) AS tok, generate_subscripts(ws, 1) - 1 AS pos FROM w),
         |sh AS (SELECT doc_id, CASE WHEN len(ws) >= 8
         |    THEN [array_to_string(ws[i:i+7], ' ') for i in range(1, len(ws) - 6)]
         |    ELSE [] END AS gs FROM w),
         |gi AS (SELECT doc_id,
-        |    CAST('0x' || substr(md5(unnest(gs)), 1, 15) AS BIGINT) AS fp,
+        |    ${duckMd5_60("unnest(gs)")} AS fp,
         |    generate_subscripts(gs, 1) - 1 AS pos FROM sh),
         |win AS (SELECT doc_id, fp, pos,
         |    row_number() OVER (PARTITION BY fp ORDER BY doc_id, pos) AS rn FROM gi),

@@ -91,8 +91,9 @@ object Curation {
    * benchmark id and `sim4` its similarity ×10⁴ (integer-rounded).
    *
    * The benchmark side is small by definition, so it broadcasts and the
-   * corpus side is a map-only scan + per-row argmin over the broadcast set —
-   * no corpus shuffle at all (the n-gram decontamination shape, dense).
+   * candidate scan is map-only (the n-gram decontamination shape, dense);
+   * the only exchange is the winner aggregate over MATCHED rows — bounded
+   * by contamination volume, not corpus size.
    *
    * Requires [[graft.Graft.install]] (uses `cosine_sim`).
    */
@@ -101,8 +102,8 @@ object Curation {
     val bench = broadcast(
       benchmark.selectExpr(s"$idCol AS near_id", s"$embCol AS be"))
     corpus.selectExpr(idCol, embCol).crossJoin(bench)
-      .where(expr(s"cosine_sim($embCol, be) >= $tau"))
       .withColumn("sim", expr(s"cosine_sim($embCol, be)"))
+      .where(col("sim") >= tau)
       .groupBy(col(idCol))
       .agg(min_by(struct(col("near_id"), col("sim")), col("near_id")).as("m"))
       .select(col(idCol), col("m.near_id").as("near_id"),
@@ -118,7 +119,11 @@ object Curation {
    * Documents shorter than `n` tokens carry no grams and survive intact;
    * documents whose every token is covered (exact duplicates) disappear.
    *
-   * Returns `(idCol, kept_text)`.
+   * Returns `(idCol, kept_text)`. Documents that end up with NO surviving
+   * tokens — fully-covered exact duplicates, but also docs whose text is
+   * empty/whitespace-only/NULL — produce no output row (an empty document
+   * has no place in a curated corpus; keep such rows upstream if they
+   * matter).
    *
    * == Scale design ==
    * Gram instances ship as 60-bit md5 fingerprints (`doc_fingerprint` —
@@ -149,10 +154,18 @@ object Curation {
       .withColumn("rn", row_number().over(firstOcc)).where(col("rn") > 1)
       .select(col(idCol), explode(expr(s"sequence(pos, pos + ${n - 1})")).as("pos"))
       .groupBy(col(idCol)).agg(collect_set(col("pos")).as("cov"))
+    // set-probe rebuild: O(tokens) per doc even when cov is huge (an
+    // array_contains-per-token filter would be O(tokens x |cov|) — quadratic
+    // on a long heavily-duplicated document)
+    val rebuild = udf { (ws: Seq[String], cov: Seq[Int]) =>
+      if (cov == null) ws.mkString(" ")
+      else {
+        val s = cov.toSet
+        ws.iterator.zipWithIndex.collect { case (t, i) if !s(i) => t }.mkString(" ")
+      }
+    }
     base.join(covered, Seq(idCol), "left")
-      .select(col(idCol), expr(
-        "array_join(filter(ws, (t, i) -> cov IS NULL OR NOT array_contains(cov, i)), ' ')")
-        .as("kept_text"))
+      .select(col(idCol), rebuild(col("ws"), col("cov")).as("kept_text"))
       .where(col("kept_text") =!= "")
   }
 
@@ -175,13 +188,15 @@ object Curation {
    * that [[stratifiedSample]] (a filter) cannot express: each row repeats
    * `copies` times (any per-row integer expression, e.g. a per-source epoch
    * weight), emitting a `copy` ordinal in `[0, copies)`. Rows with
-   * `copies <= 0` disappear, so one call expresses a full mixture weighting
-   * (0 = drop, 1 = keep, n = repeat). Pure per-row generation: no shuffle,
-   * no RNG, stable under re-partitioning; downstream packing/shuffling
-   * should treat `(idCol, copy)` as the sequence key.
+   * `copies <= 0` — and NULL, which coalesces to 0 explicitly rather than
+   * vanishing through NULL propagation — disappear, so one call expresses a
+   * full mixture weighting (0/NULL = drop, 1 = keep, n = repeat). Pure
+   * per-row generation: no shuffle, no RNG, stable under re-partitioning;
+   * downstream packing/shuffling should treat `(idCol, copy)` as the
+   * sequence key.
    */
   def upsample(df: DataFrame, copies: Column): DataFrame =
-    df.withColumn("__n", copies.cast("int"))
+    df.withColumn("__n", coalesce(copies.cast("int"), lit(0)))
       .withColumn("copy", explode(when(col("__n") <= 0, array())
         .otherwise(sequence(lit(0), col("__n") - 1))))
       .drop("__n")

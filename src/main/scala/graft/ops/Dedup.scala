@@ -269,12 +269,21 @@ object Dedup {
     df.join(losers, df(idCol).cast("long") === losers("id"), "left_anti")
   }
 
-  /** Semantic dedup over an embedding column (the SemDeDup recipe with
+  /** Semantic dedup over an embedding column (the SemDeDup shape with
     * deterministic LSH cells): vectors land in hyperplane buckets, and every
     * vector with a same-bucket neighbor of smaller id at cosine ≥ `tau` is
-    * marked a duplicate of its SMALLEST such neighbor (the greedy
-    * keep-first-id rule). Returns every corpus row as `(idCol, dup_of)` —
-    * `dup_of` NULL for survivors; filter `dup_of IS NULL` for the kept set.
+    * marked a duplicate of its SMALLEST such neighbor. Returns every corpus
+    * row as `(idCol, dup_of)` — `dup_of` NULL for survivors; filter
+    * `dup_of IS NULL` for the kept set.
+    *
+    * The rule is ONE-PASS by design: "has any smaller-id near neighbor",
+    * not the sequential greedy "has a smaller-id near neighbor that itself
+    * survived". Near-dup chains (a~b, b~c, but a!~c) therefore delete the
+    * whole tail and `dup_of` may point at a row that was itself removed —
+    * follow the `dup_of` chain for the surviving representative. This is
+    * the standard scalable approximation: the sequential rule is inherently
+    * iterative (each verdict depends on earlier survivors), while this one
+    * is a single join + aggregate.
     *
     * Buckets are a pure function of the embedding (`hyperplane_bucket`), so
     * the result is reproducible across runs/engines and the oracle replays

@@ -80,7 +80,11 @@ object LangModel {
     * average), the thresholdable quality signal: high bits/token ≈ high
     * perplexity ≈ text the model finds improbable.
     *
-    * Map-only: the model broadcasts, each doc is scored in place.
+    * Map-only: the model broadcasts, each doc is scored in place. Each call
+    * registers one ≤V-entry broadcast that lives until the SparkContext
+    * ends — fine for pipeline use (a handful of models per session); a
+    * service scoring thousands of ad-hoc models per context would want to
+    * manage the broadcast lifecycle itself.
     */
   def surprisal(docs: DataFrame, model: UnigramModel,
       textCol: String, idCol: String): DataFrame = {

@@ -200,19 +200,24 @@ object TextAnalysis {
     // repetitive or templated text compresses far below natural prose.
     // Empty input -> 1.0 by convention. DEFLATE has no SQL-dialect replica,
     // so this is spec-gated + rows-only in the oracle (the one such scalar).
+    // thread-local Deflater + reset(): a per-row native stream alloc/free
+    // would dominate the deflate cost of short documents at corpus scale
+    val tlDeflater = new ThreadLocal[java.util.zip.Deflater] {
+      override def initialValue() =
+        new java.util.zip.Deflater(java.util.zip.Deflater.DEFAULT_COMPRESSION)
+    }
     Udf.scalar1[String, Double]("compress_ratio(string) -> double") { s =>
       val raw = s.getBytes("UTF-8")
       if (raw.isEmpty) 1.0
       else {
-        val d = new java.util.zip.Deflater(java.util.zip.Deflater.DEFAULT_COMPRESSION)
-        try {
-          d.setInput(raw)
-          d.finish()
-          val buf = new Array[Byte](8192)
-          var out = 0L
-          while (!d.finished()) out += d.deflate(buf)
-          out.toDouble / raw.length.toDouble
-        } finally d.end()
+        val d = tlDeflater.get()
+        d.reset()
+        d.setInput(raw)
+        d.finish()
+        val buf = new Array[Byte](8192)
+        var out = 0L
+        while (!d.finished()) out += d.deflate(buf)
+        out.toDouble / raw.length.toDouble
       }
     }
   }

@@ -104,8 +104,9 @@ class CurationSpec extends AnyFunSuite {
 
   test("upsample repeats by per-row weight, drops non-positive, stays map-only") {
     val docs = df(Seq((0L, "drop me", "s"), (1L, "once", "s"),
-      (3L, "thrice", "s"), (7L, "none", "s")))
-    val out = Curation.upsample(docs, expr("CASE WHEN doc_id = 7 THEN -2 ELSE CAST(doc_id AS INT) END"))
+      (3L, "thrice", "s"), (7L, "negative", "s"), (9L, "null weight", "s")))
+    val out = Curation.upsample(docs, expr(
+      "CASE WHEN doc_id = 7 THEN -2 WHEN doc_id = 9 THEN CAST(NULL AS INT) ELSE CAST(doc_id AS INT) END"))
     val got = out.collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("copy")))
     assert(got.toSet == Set((1L, 0), (3L, 0), (3L, 1), (3L, 2)))
     val plan = out.queryExecution.executedPlan.toString
