@@ -200,25 +200,32 @@ object TextAnalysis {
     // repetitive or templated text compresses far below natural prose.
     // Empty input -> 1.0 by convention. DEFLATE has no SQL-dialect replica,
     // so this is spec-gated + rows-only in the oracle (the one such scalar).
-    // thread-local Deflater + reset(): a per-row native stream alloc/free
-    // would dominate the deflate cost of short documents at corpus scale
-    val tlDeflater = new ThreadLocal[java.util.zip.Deflater] {
-      override def initialValue() =
-        new java.util.zip.Deflater(java.util.zip.Deflater.DEFAULT_COMPRESSION)
-    }
-    Udf.scalar1[String, Double]("compress_ratio(string) -> double") { s =>
-      val raw = s.getBytes("UTF-8")
-      if (raw.isEmpty) 1.0
-      else {
-        val d = tlDeflater.get()
-        d.reset()
-        d.setInput(raw)
-        d.finish()
-        val buf = new Array[Byte](8192)
-        var out = 0L
-        while (!d.finished()) out += d.deflate(buf)
-        out.toDouble / raw.length.toDouble
-      }
+    Udf.scalar1[String, Double]("compress_ratio(string) -> double")(Zlib.ratio)
+  }
+}
+
+/** Per-executor Deflater pool for `compress_ratio`: a per-row native stream
+  * alloc/free would dominate the deflate cost of short documents at corpus
+  * scale. A top-level object so UDF closures reference it statically —
+  * a ThreadLocal captured in the closure is not serializable. */
+private[ops] object Zlib {
+  private val tl = new ThreadLocal[java.util.zip.Deflater] {
+    override def initialValue(): java.util.zip.Deflater =
+      new java.util.zip.Deflater(java.util.zip.Deflater.DEFAULT_COMPRESSION)
+  }
+
+  def ratio(s: String): Double = {
+    val raw = s.getBytes("UTF-8")
+    if (raw.isEmpty) 1.0
+    else {
+      val d = tl.get()
+      d.reset()
+      d.setInput(raw)
+      d.finish()
+      val buf = new Array[Byte](8192)
+      var out = 0L
+      while (!d.finished()) out += d.deflate(buf)
+      out.toDouble / raw.length.toDouble
     }
   }
 }
