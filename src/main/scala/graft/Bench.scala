@@ -281,6 +281,17 @@ object Bench {
         graft.ops.LangModel.lmScore(docs, docs, "text", "doc_id", vocabSize = 10000)
           .write.format("noop").mode("overwrite").save()
       },
+      "x_bpe_encode_1m" -> { s: SparkSession =>
+        Graft.install(s)
+        // BPE end-to-end at scale: train 64 merges on the same 1M-doc/20M-
+        // token corpus (one counted shuffle + bounded top-V + driver merge
+        // loop), then map-only encode of all 1M docs under the broadcast
+        // merge list with the per-executor word memo hot
+        val docs = s.read.parquet(docsBenchParquet(s))
+        val m = graft.ops.Bpe.train(docs, "text", numMerges = 64, maxWords = 50000)
+        graft.ops.Bpe.encode(docs, m, "text", "doc_id")
+          .write.format("noop").mode("overwrite").save()
+      },
       // Guest-SPI function over the wire: served through BatchEval /
       // LanguageRuntime.callBatch — pool + compiled-handle lookups amortize
       // per batch server-side instead of repeating per row.

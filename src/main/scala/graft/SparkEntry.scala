@@ -612,6 +612,26 @@ object SparkEntry {
     "q_compress" -> q(
       """SELECT doc_id, CAST(ROUND(compress_ratio(text) * 10000) AS BIGINT) AS cr
         |FROM documents ORDER BY doc_id""".stripMargin) _,
+    // BPE subword tokenization, fixed merge table: the encoder's flat
+    // bracket-replace algorithm is replayed bit-for-bit by nested replace()
+    // in the oracle, so every token boundary is hash-gated
+    "q_bpe_encode" -> dfq { s =>
+      graft.ops.Bpe.encode(s.table("documents"),
+          graft.ops.Bpe.BpeModel(bpeFixedMerges), "text", "doc_id")
+        .select(col("doc_id"), array_join(col("tokens"), "|").as("toks"), col("n_tok"))
+        .orderBy("doc_id")
+    } _,
+    // BPE trained BY the engine (48 merges on the corpus itself), gated on
+    // the lossless-reconstruction property: concatenating every document's
+    // subword tokens must rebuild its exact word stream (the merge list
+    // itself is spec-gated against hand-computed training runs)
+    "q_bpe_roundtrip" -> dfq { s =>
+      val docs = s.table("documents")
+      val m = graft.ops.Bpe.train(docs, "text", numMerges = 48)
+      graft.ops.Bpe.encode(docs, m, "text", "doc_id")
+        .select(col("doc_id"), concat_ws("", col("tokens")).as("glued"))
+        .orderBy("doc_id")
+    } _,
 
     // capstone: corpus curation — language/quality/length gates + exact dedup
     // in ONE declarative pass. text_stats is a one-row generator, so the
@@ -1244,6 +1264,28 @@ object SparkEntry {
        |     ELSE [array_to_string(ws[i:i+$win], ' ') for i in range(1, len(ws) - ${win - 1})] END""".stripMargin
   }
   private def duckMd5_60(e: String): String = s"CAST('0x' || substr(md5($e), 1, 15) AS BIGINT)"
+
+  /** Fixed BPE merge table for `q_bpe_encode` — hand-ordered over the
+    * testdata vocabulary so cascades fire (the/sort/batch/join/data/window/
+    * scan/spark all fully re-merge); component-before-compound order holds,
+    * as a trained list's would. */
+  private val bpeFixedMerges: Seq[(String, String)] = Seq(
+    "t" -> "h", "th" -> "e", "s" -> "o", "r" -> "t", "so" -> "rt",
+    "b" -> "a", "ba" -> "t", "bat" -> "c", "batc" -> "h",
+    "j" -> "o", "jo" -> "i", "joi" -> "n", "d" -> "a", "da" -> "t",
+    "dat" -> "a", "w" -> "i", "wi" -> "n", "win" -> "d", "wind" -> "o",
+    "windo" -> "w", "s" -> "c", "sc" -> "a", "sca" -> "n",
+    "s" -> "p", "sp" -> "a", "spa" -> "r", "spar" -> "k")
+
+  /** DuckDB replay of [[graft.ops.Bpe]]'s encoder on lambda variable `wx`:
+    * bracket every code point with chr(1)/chr(2), then one plain `replace`
+    * per merge in rank order — the engine's exact flat-replace algorithm. */
+  private def duckBpe(merges: Seq[(String, String)]): String =
+    merges.foldLeft(
+      "array_to_string(list_transform(string_split_regex(wx,''), c -> chr(1)||c||chr(2)),'')") {
+      case (acc, (a, b)) =>
+        s"replace($acc, chr(1)||'$a'||chr(2)||chr(1)||'$b'||chr(2), chr(1)||'$a$b'||chr(2))"
+    }
   private def duckCos(a: String, b: String): String =
     s"""(list_reduce([CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE) for i in range(1, 65)], (x, y) -> x + y)
        | / (sqrt(list_reduce([CAST($a[i] AS DOUBLE) * CAST($a[i] AS DOUBLE) for i in range(1, 65)], (x, y) -> x + y))
@@ -1768,6 +1810,21 @@ object SparkEntry {
         |  FROM w)
         |SELECT doc_id, score FROM scored WHERE score > 0
         |ORDER BY score DESC, doc_id""".stripMargin,
+    "q_bpe_encode" ->
+      s"""WITH w AS (SELECT doc_id,
+         |    list_filter(str_split_regex(lower(coalesce(text,'')), '\\s+'), x -> x <> '') AS ws
+         |  FROM documents),
+         |enc AS (SELECT doc_id, list_transform(ws, wx -> ${duckBpe(bpeFixedMerges)}) AS es FROM w)
+         |SELECT doc_id,
+         |  array_to_string(list_transform(es,
+         |    e -> replace(replace(replace(e, chr(2)||chr(1), '|'), chr(1), ''), chr(2), '')), '|') AS toks,
+         |  CAST(coalesce(list_sum(list_transform(es,
+         |    e -> len(e) - len(replace(e, chr(1), '')))), 0) AS INT) AS n_tok
+         |FROM enc ORDER BY doc_id""".stripMargin,
+    "q_bpe_roundtrip" ->
+      """SELECT doc_id,
+        |  array_to_string(list_filter(str_split_regex(lower(coalesce(text,'')), '\s+'), x -> x <> ''), '') AS glued
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "q_curate_corpus" ->
       s"""WITH tok AS (
          |  SELECT doc_id, list_filter(str_split_regex(lower(text), '\\s+'), x -> x <> '') AS ts,
