@@ -632,6 +632,17 @@ object SparkEntry {
         .select(col("doc_id"), concat_ws("", col("tokens")).as("glued"))
         .orderBy("doc_id")
     } _,
+    // tokenizer-aware packing: greedy first-fit sequence packing where the
+    // budget is counted in BPE subword tokens (the real training-data unit),
+    // not whitespace words — the n_tok column is a map-only projection, so
+    // the packing shuffle is the plan's only exchange
+    "q_pack_bpe" -> dfq { s =>
+      val docs = s.table("documents")
+      val withTok = docs.select(col("source"), col("doc_id"),
+        graft.ops.Bpe.nTokCol(docs, graft.ops.Bpe.BpeModel(bpeFixedMerges), "text").as("n_tok"))
+      graft.ops.Curation.packSequences(withTok, "source", "doc_id", "n_tok", budget = 1024)
+        .orderBy("source", "doc_id")
+    } _,
 
     // capstone: corpus curation — language/quality/length gates + exact dedup
     // in ONE declarative pass. text_stats is a one-row generator, so the
@@ -1825,6 +1836,24 @@ object SparkEntry {
       """SELECT doc_id,
         |  array_to_string(list_filter(str_split_regex(lower(coalesce(text,'')), '\s+'), x -> x <> ''), '') AS glued
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_pack_bpe" ->
+      s"""WITH RECURSIVE w0 AS (SELECT source, doc_id,
+         |    list_filter(str_split_regex(lower(coalesce(text,'')), '\\s+'), x -> x <> '') AS ws
+         |  FROM documents),
+         |d AS (SELECT source, doc_id,
+         |    CAST(coalesce(list_sum(list_transform(list_transform(ws, wx -> ${duckBpe(bpeFixedMerges)}),
+         |      e -> len(e) - len(replace(e, chr(1), '')))), 0) AS INT) AS n_tok,
+         |    row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+         |  FROM w0),
+         |pack AS (
+         |  SELECT source, doc_id, n_tok, rn, 0 AS bin, n_tok AS fill
+         |  FROM d WHERE rn = 1
+         |  UNION ALL
+         |  SELECT r.source, r.doc_id, r.n_tok, r.rn,
+         |         CASE WHEN p.fill + r.n_tok <= 1024 THEN p.bin ELSE p.bin + 1 END,
+         |         CASE WHEN p.fill + r.n_tok <= 1024 THEN p.fill + r.n_tok ELSE r.n_tok END
+         |  FROM pack p JOIN d r ON r.source = p.source AND r.rn = p.rn + 1)
+         |SELECT source, doc_id, bin, fill FROM pack ORDER BY source, doc_id""".stripMargin,
     "q_curate_corpus" ->
       s"""WITH tok AS (
          |  SELECT doc_id, list_filter(str_split_regex(lower(text), '\\s+'), x -> x <> '') AS ts,

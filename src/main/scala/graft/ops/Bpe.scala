@@ -171,13 +171,10 @@ object Bpe {
     }
   }
 
-  /** Tokenize `docs` under a trained model: emits `(idCol, tokens, n_tok)`
-    * where `tokens` is the concatenation of every word's subword tokens in
-    * document order. Map-only (broadcast merges), memoized per executor. */
-  def encode(docs: DataFrame, model: BpeModel, textCol: String,
-      idCol: String): DataFrame = {
+  /** Broadcast-model tokens UDF shared by [[encode]] and [[nTokCol]]. */
+  private def tokensUdf(docs: DataFrame, model: BpeModel) = {
     val bc = docs.sparkSession.sparkContext.broadcast(model.merges.toArray)
-    val enc = udf { (ws: Seq[String]) =>
+    udf { (ws: Seq[String]) =>
       val merges = bc.value
       val out = mutable.ArrayBuffer.empty[String]
       ws.foreach { w =>
@@ -185,11 +182,23 @@ object Bpe {
       }
       out.toSeq
     }
+  }
+
+  /** Tokenize `docs` under a trained model: emits `(idCol, tokens, n_tok)`
+    * where `tokens` is the concatenation of every word's subword tokens in
+    * document order. Map-only (broadcast merges), memoized per executor. */
+  def encode(docs: DataFrame, model: BpeModel, textCol: String,
+      idCol: String): DataFrame =
     docs
-      .withColumn("tokens", enc(wordsCol(textCol)))
+      .withColumn("tokens", tokensUdf(docs, model)(wordsCol(textCol)))
       .withColumn("n_tok", size(col("tokens")))
       .select(col(idCol), col("tokens"), col("n_tok"))
-  }
+
+  /** BPE token count of `textCol` as a bare Column, for composing with other
+    * operators (e.g. token-budget sequence packing) without a join — the
+    * count stays a map-only projection on the caller's plan. */
+  def nTokCol(docs: DataFrame, model: BpeModel, textCol: String): Column =
+    size(tokensUdf(docs, model)(wordsCol(textCol)))
 
   /** One-call train + encode on the same corpus. */
   def tokenize(docs: DataFrame, textCol: String, idCol: String,

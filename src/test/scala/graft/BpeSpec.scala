@@ -125,6 +125,16 @@ class BpeSpec extends AnyFunSuite {
     assert(!plan.contains("Exchange"), plan)
   }
 
+  test("nTokCol matches encode's n_tok column") {
+    val corpus = docs(Seq((1L, "spark scan merge"), (2L, "the the windows")))
+    val m = Bpe.train(corpus, "text", numMerges = 6, minCount = 1L)
+    val viaCol = corpus.select(col("doc_id"), Bpe.nTokCol(corpus, m, "text").as("n"))
+      .orderBy("doc_id").collect().map(_.getInt(1)).toSeq
+    val viaEncode = Bpe.encode(corpus, m, "text", "doc_id")
+      .orderBy("doc_id").collect().map(_.getInt(2)).toSeq
+    assert(viaCol == viaEncode)
+  }
+
   test("reserved bracket code points are stripped from input words") {
     val m = Bpe.BpeModel(Seq("a" -> "b"))
     val out = Bpe.encode(docs(Seq((1L, "a\u0001b a\u0002\u0001b"))), m, "text", "doc_id")
