@@ -632,6 +632,13 @@ object SparkEntry {
         .select(col("doc_id"), concat_ws("", col("tokens")).as("glued"))
         .orderBy("doc_id")
     } _,
+    // canonical normalization gate — run over a deliberately messy derived
+    // string (case flips, tab/newline runs, edge whitespace) so every
+    // normalization step observably fires on clean testdata
+    "q_normalize" -> q(
+      """SELECT doc_id,
+        |  normalize_text(concat('  ', upper(text), chr(9), 'X ', chr(10), ' ')) AS norm
+        |FROM documents ORDER BY doc_id""".stripMargin) _,
     // tokenizer-aware packing: greedy first-fit sequence packing where the
     // budget is counted in BPE subword tokens (the real training-data unit),
     // not whitespace words — the n_tok column is a map-only projection, so
@@ -1835,6 +1842,10 @@ object SparkEntry {
     "q_bpe_roundtrip" ->
       """SELECT doc_id,
         |  array_to_string(list_filter(str_split_regex(lower(coalesce(text,'')), '\s+'), x -> x <> ''), '') AS glued
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_normalize" ->
+      """SELECT doc_id,
+        |  trim(regexp_replace(nfc_normalize(lower('  ' || upper(text) || chr(9) || 'X ' || chr(10) || ' ')), '\s+', ' ', 'g')) AS norm
         |FROM documents ORDER BY doc_id""".stripMargin,
     "q_pack_bpe" ->
       s"""WITH RECURSIVE w0 AS (SELECT source, doc_id,

@@ -143,6 +143,20 @@ object TextAnalysis {
           urlP.matcher(s).replaceAll("<URL>")).replaceAll("<EMAIL>")).replaceAll("<PHONE>")
     }
 
+    // Canonical text normalization — the standard pre-dedup/pre-fingerprint
+    // scrub: lowercase, Unicode NFC composition, whitespace runs collapsed
+    // to single spaces, ends trimmed. Order is fixed (lower -> NFC ->
+    // collapse -> trim) so the DuckDB oracle replays it exactly with
+    // trim(regexp_replace(nfc_normalize(lower(s)), '\s+', ' ', 'g')).
+    // (space-only trim, not String.trim: DuckDB's trim strips ' ' only,
+    // java's also strips other controls <= U+0020 and would break parity)
+    Udf.scalar1[String, String]("normalize_text(string) -> string") { s =>
+      java.text.Normalizer
+        .normalize(s.toLowerCase(java.util.Locale.ROOT), java.text.Normalizer.Form.NFC)
+        .replaceAll("\\s+", " ")
+        .replaceAll("^ +| +$", "")
+    }
+
     // Sentence segmentation as a set-returning function: split on terminal
     // punctuation runs, trim, drop empties. Trim char set is EXACTLY the
     // oracle's (space/tab/LF/CR/VT/FF) — String.trim would also strip other

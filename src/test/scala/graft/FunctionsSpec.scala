@@ -10,6 +10,15 @@ class FunctionsSpec extends AnyFunSuite {
 
   private def sql1(q: String): Row = spark.sql(q).collect().head
 
+  test("normalize_text: casefold, NFC composition, whitespace collapse, trim") {
+    // decomposed e + combining acute must compose to é; tabs/newlines
+    // collapse; ends trimmed; case folds
+    assert(sql1("SELECT normalize_text('  Cafe\u0301 \t DU\nJOUR  ')")
+      .getString(0) == "caf\u00e9 du jour")
+    assert(sql1("SELECT normalize_text('')").getString(0) == "")
+    assert(sql1("SELECT normalize_text(CAST(NULL AS STRING))").isNullAt(0))
+  }
+
   test("gcd: value, null-skip, both overloads") {
     assert(sql1("SELECT gcd(25, 15)").getInt(0) == 5)
     assert(sql1("SELECT gcd(CAST(NULL AS INT), 15)").isNullAt(0))
