@@ -1296,11 +1296,14 @@ object SparkEntry {
     "s" -> "p", "sp" -> "a", "spa" -> "r", "spar" -> "k")
 
   /** DuckDB replay of [[graft.ops.Bpe]]'s encoder on lambda variable `wx`:
-    * bracket every code point with chr(1)/chr(2), then one plain `replace`
-    * per merge in rank order — the engine's exact flat-replace algorithm. */
+    * strip the reserved bracket code points (the engine drops them at
+    * symbolization), bracket every remaining code point with chr(1)/chr(2),
+    * then one plain `replace` per merge in rank order — the engine's exact
+    * flat-replace algorithm. */
   private def duckBpe(merges: Seq[(String, String)]): String =
     merges.foldLeft(
-      "array_to_string(list_transform(string_split_regex(wx,''), c -> chr(1)||c||chr(2)),'')") {
+      "array_to_string(list_transform(list_filter(string_split_regex(wx,''), " +
+        "c -> c <> chr(1) AND c <> chr(2)), c -> chr(1)||c||chr(2)),'')") {
       case (acc, (a, b)) =>
         s"replace($acc, chr(1)||'$a'||chr(2)||chr(1)||'$b'||chr(2), chr(1)||'$a$b'||chr(2))"
     }
@@ -1841,11 +1844,13 @@ object SparkEntry {
          |FROM enc ORDER BY doc_id""".stripMargin,
     "q_bpe_roundtrip" ->
       """SELECT doc_id,
-        |  array_to_string(list_filter(str_split_regex(lower(coalesce(text,'')), '\s+'), x -> x <> ''), '') AS glued
+        |  replace(replace(
+        |    array_to_string(list_filter(str_split_regex(lower(coalesce(text,'')), '\s+'), x -> x <> ''), ''),
+        |    chr(1), ''), chr(2), '') AS glued
         |FROM documents ORDER BY doc_id""".stripMargin,
     "q_normalize" ->
       """SELECT doc_id,
-        |  trim(regexp_replace(nfc_normalize(lower('  ' || upper(text) || chr(9) || 'X ' || chr(10) || ' ')), '\s+', ' ', 'g')) AS norm
+        |  trim(regexp_replace(nfc_normalize(lower('  ' || upper(text) || chr(9) || 'X ' || chr(10) || ' ')), '[\t\n\v\f\r ]+', ' ', 'g')) AS norm
         |FROM documents ORDER BY doc_id""".stripMargin,
     "q_pack_bpe" ->
       s"""WITH RECURSIVE w0 AS (SELECT source, doc_id,

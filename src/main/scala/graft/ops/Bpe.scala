@@ -51,15 +51,13 @@ import scala.collection.mutable
  */
 object Bpe {
 
-  /** A trained merge list, highest-priority first. `vocab` is the set of
-    * multi-character symbols the merges can produce. */
-  final case class BpeModel(merges: Seq[(String, String)]) extends Serializable {
-    def vocab: Seq[String] = merges.map { case (a, b) => a + b }
-  }
+  /** A trained merge list, highest-priority first. */
+  final case class BpeModel(merges: Seq[(String, String)]) extends Serializable
 
-  /** Lowercased whitespace words, empties dropped; NULL text = no words. */
-  private def wordsCol(textCol: String): Column =
-    filter(split(lower(coalesce(col(textCol), lit(""))), "\\s+"), t => t =!= "")
+  /** Lowercased whitespace words, empties dropped; NULL text = no words —
+    * the one tokenization shared with [[LangModel]] (single definition, so
+    * BPE and LM tokenization can never drift apart). */
+  private def wordsCol(textCol: String): Column = LangModel.sharedTokensCol(textCol)
 
   /** Train a BPE merge list on `corpus`: one counted shuffle, a bounded
     * top-`maxWords` collect, then the classic driver-side merge loop.
@@ -134,13 +132,8 @@ object Bpe {
     * merge in rank order. */
   private[ops] def encodeWord(word: String, merges: Array[(String, String)]): Array[String] = {
     val sb = new java.lang.StringBuilder(word.length * 3)
-    var i = 0
-    while (i < word.length) {
-      val cp = word.codePointAt(i)
-      if (cp != 0x01 && cp != 0x02) {
-        sb.append('\u0001'); sb.appendCodePoint(cp); sb.append('\u0002')
-      }
-      i += Character.charCount(cp)
+    toSymbols(word).foreach { sym =>
+      sb.append('\u0001'); sb.append(sym); sb.append('\u0002')
     }
     var s = sb.toString
     if (s.isEmpty) return Array.empty
@@ -156,29 +149,41 @@ object Bpe {
 
   /** Bounded per-executor word→tokens memo. Cleared wholesale past the cap:
     * crude, but correctness never depends on it and Zipfian corpora refill
-    * the hot head immediately. Keyed by broadcast id so two models never
-    * share entries. */
+    * the hot head immediately. Keyed by a content digest of the merge list,
+    * so repeated queries over the SAME model share hot entries across
+    * broadcasts while distinct models can never collide. */
   private object EncodeCache {
     private val MaxEntries = 1 << 17
     private val map =
-      new java.util.concurrent.ConcurrentHashMap[(Long, String), Array[String]]()
-    def getOrCompute(modelId: Long, w: String,
+      new java.util.concurrent.ConcurrentHashMap[(String, String), Array[String]]()
+    def getOrCompute(modelKey: String, w: String,
         f: String => Array[String]): Array[String] = {
       if (map.size > MaxEntries) map.clear()
-      var v = map.get((modelId, w))
-      if (v == null) { v = f(w); map.put((modelId, w), v) }
+      var v = map.get((modelKey, w))
+      if (v == null) { v = f(w); map.put((modelKey, w), v) }
       v
     }
   }
 
+  /** SHA-1 of the merge list — the cross-broadcast memo key. */
+  private def modelKeyOf(merges: Array[(String, String)]): String = {
+    val md = java.security.MessageDigest.getInstance("SHA-1")
+    merges.foreach { case (a, b) =>
+      md.update(a.getBytes("UTF-8")); md.update(0.toByte)
+      md.update(b.getBytes("UTF-8")); md.update(1.toByte)
+    }
+    java.util.Base64.getEncoder.encodeToString(md.digest)
+  }
+
   /** Broadcast-model tokens UDF shared by [[encode]] and [[nTokCol]]. */
   private def tokensUdf(docs: DataFrame, model: BpeModel) = {
-    val bc = docs.sparkSession.sparkContext.broadcast(model.merges.toArray)
+    val merges0 = model.merges.toArray
+    val bc = docs.sparkSession.sparkContext.broadcast((modelKeyOf(merges0), merges0))
     udf { (ws: Seq[String]) =>
-      val merges = bc.value
+      val (key, merges) = bc.value
       val out = mutable.ArrayBuffer.empty[String]
       ws.foreach { w =>
-        out ++= EncodeCache.getOrCompute(bc.id, w, encodeWord(_, merges))
+        out ++= EncodeCache.getOrCompute(key, w, encodeWord(_, merges))
       }
       out.toSeq
     }

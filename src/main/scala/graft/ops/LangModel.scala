@@ -47,11 +47,14 @@ object LangModel {
       extends Serializable
 
   /** Lowercased whitespace tokens as a Column — the one tokenization shared
-    * with [[TextAnalysis]] (`\s+` split, empties dropped). NULL text reads
-    * as the empty document (0 tokens, score 0) rather than poisoning the
-    * scorer with a null array. */
+    * with [[TextAnalysis]] and [[Bpe]] (`\s+` split, empties dropped). NULL
+    * text reads as the empty document (0 tokens, score 0) rather than
+    * poisoning the scorer with a null array. Exposed package-private as
+    * [[sharedTokensCol]] so sibling operators can never drift from it. */
   private def tokensCol(textCol: String): Column =
     filter(split(lower(coalesce(col(textCol), lit(""))), "\\s+"), t => t =!= "")
+
+  private[ops] def sharedTokensCol(textCol: String): Column = tokensCol(textCol)
 
   /** Train a [[UnigramModel]] on `corpus`: one counted shuffle + a bounded
     * top-V. The `vocabSize` cap is the model's memory contract — the

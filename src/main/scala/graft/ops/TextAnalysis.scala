@@ -146,14 +146,16 @@ object TextAnalysis {
     // Canonical text normalization — the standard pre-dedup/pre-fingerprint
     // scrub: lowercase, Unicode NFC composition, whitespace runs collapsed
     // to single spaces, ends trimmed. Order is fixed (lower -> NFC ->
-    // collapse -> trim) so the DuckDB oracle replays it exactly with
-    // trim(regexp_replace(nfc_normalize(lower(s)), '\s+', ' ', 'g')).
+    // collapse -> trim) and the whitespace class is EXPLICIT — Java's \s
+    // includes vertical tab, RE2's excludes it, so both sides spell out
+    // [ \t\n\v\f\r] and the DuckDB oracle replays exactly with
+    // trim(regexp_replace(nfc_normalize(lower(s)), '[\t\n\v\f\r ]+', ' ', 'g')).
     // (space-only trim, not String.trim: DuckDB's trim strips ' ' only,
     // java's also strips other controls <= U+0020 and would break parity)
     Udf.scalar1[String, String]("normalize_text(string) -> string") { s =>
       java.text.Normalizer
         .normalize(s.toLowerCase(java.util.Locale.ROOT), java.text.Normalizer.Form.NFC)
-        .replaceAll("\\s+", " ")
+        .replaceAll("[ \\t\\n\\u000B\\f\\r]+", " ")
         .replaceAll("^ +| +$", "")
     }
 

@@ -17,6 +17,9 @@ class FunctionsSpec extends AnyFunSuite {
       .getString(0) == "caf\u00e9 du jour")
     assert(sql1("SELECT normalize_text('')").getString(0) == "")
     assert(sql1("SELECT normalize_text(CAST(NULL AS STRING))").isNullAt(0))
+    // vertical tab is in the explicit collapse class (Java \s has it,
+    // RE2 \s doesn't — the class is spelled out on both sides)
+    assert(sql1("SELECT normalize_text('a\u000Bb')").getString(0) == "a b")
   }
 
   test("gcd: value, null-skip, both overloads") {
