@@ -978,6 +978,31 @@ object SparkEntry {
         |         OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
         |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_cents
         |FROM orders ORDER BY o_custkey, rn""".stripMargin) _,
+    // full analytic-window battery over one totally-ordered frame: offsets
+    // (lag/lead), ranks (rank/dense_rank/ntile), and a distribution
+    // (percent_rank, fixed-point) — ordering includes the key so every
+    // function is deterministic
+    "q_window_funcs" -> q(
+      """SELECT o_custkey, o_orderkey,
+        |  lag(CAST(ROUND(o_totalprice * 100) AS BIGINT)) OVER w AS prev_cents,
+        |  lead(CAST(ROUND(o_totalprice * 100) AS BIGINT)) OVER w AS next_cents,
+        |  rank() OVER w AS rnk,
+        |  dense_rank() OVER w AS drnk,
+        |  ntile(4) OVER w AS quartile,
+        |  CAST(ROUND(percent_rank() OVER w * 10000) AS BIGINT) AS pr4
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin) _,
+    // CUBE margins with grouping indicators — full multidimensional
+    // aggregation surface (GROUP BY CUBE covers ROLLUP/GROUPING SETS shapes)
+    "q_cube" -> q(
+      """SELECT coalesce(l_returnflag, 'ALL') AS rf,
+        |       coalesce(l_linestatus, 'ALL') AS ls,
+        |       CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS INT) AS gid,
+        |       CAST(sum(CAST(l_quantity AS INT)) AS BIGINT) AS s,
+        |       count(*) AS n
+        |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+        |ORDER BY rf, ls, gid""".stripMargin) _,
     // Q17-style correlated scalar subquery, integer-exact threshold:
     // qty < 0.2 * avg(qty per part)  ⟺  qty_cents * cnt * 5 < sum_cents
     "q17_small_quantity" -> q(
@@ -2276,6 +2301,25 @@ object SparkEntry {
         |         OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
         |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS run_cents
         |FROM orders ORDER BY o_custkey, rn""".stripMargin,
+    "q_window_funcs" ->
+      """SELECT o_custkey, o_orderkey,
+        |  lag(CAST(ROUND(o_totalprice * 100) AS BIGINT)) OVER w AS prev_cents,
+        |  lead(CAST(ROUND(o_totalprice * 100) AS BIGINT)) OVER w AS next_cents,
+        |  CAST(rank() OVER w AS INT) AS rnk,
+        |  CAST(dense_rank() OVER w AS INT) AS drnk,
+        |  CAST(ntile(4) OVER w AS INT) AS quartile,
+        |  CAST(ROUND(percent_rank() OVER w * 10000) AS BIGINT) AS pr4
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "q_cube" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS rf,
+        |       coalesce(l_linestatus, 'ALL') AS ls,
+        |       CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS INT) AS gid,
+        |       CAST(sum(CAST(l_quantity AS INT)) AS BIGINT) AS s,
+        |       count(*) AS n
+        |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+        |ORDER BY rf, ls, gid""".stripMargin,
     "q17_small_quantity" ->
       """SELECT l.l_orderkey, l.l_linenumber, l.l_partkey
         |FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
