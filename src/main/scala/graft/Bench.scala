@@ -281,6 +281,16 @@ object Bench {
         graft.ops.LangModel.lmScore(docs, docs, "text", "doc_id", vocabSize = 10000)
           .write.format("noop").mode("overwrite").save()
       },
+      "x_classifier_1m" -> { s: SparkSession =>
+        Graft.install(s)
+        // model-based curation at scale: 8 full-batch GD steps over 1M docs
+        // (each one map-side-combined aggregate of five longs over the
+        // persisted 6-double/row feature matrix) + map-only scoring
+        val docs = s.read.parquet(docsBenchParquet(s))
+        graft.ops.Classifier.qualityClassifier(docs, "text", "doc_id",
+            "CASE WHEN doc_id % 2 = 0 THEN 1.0 ELSE 0.0 END", iters = 8)
+          .write.format("noop").mode("overwrite").save()
+      },
       "x_bpe_encode_1m" -> { s: SparkSession =>
         Graft.install(s)
         // BPE end-to-end at scale: train 64 merges on the same 1M-doc/20M-

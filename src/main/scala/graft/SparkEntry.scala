@@ -632,6 +632,16 @@ object SparkEntry {
         .select(col("doc_id"), concat_ws("", col("tokens")).as("glued"))
         .orderBy("doc_id")
     } _,
+    // model-based quality classification, the fastText/CCNet recipe trained
+    // BY the engine: 8 full-batch logistic GD steps (one five-long aggregate
+    // per step), then map-only scoring with the weights as literals. The
+    // rational fast sigmoid + floor-quantized integer gradients make the
+    // whole float pipeline bit-replayable by the oracle's chained CTEs.
+    "q_quality_classifier" -> dfq { s =>
+      graft.ops.Classifier.qualityClassifier(s.table("documents"),
+          "text", "doc_id", classifierLabel, iters = 8)
+        .orderBy("doc_id")
+    } _,
     // canonical normalization gate — run over a deliberately messy derived
     // string (case flips, tab/newline runs, edge whitespace) so every
     // normalization step observably fires on clean testdata
@@ -1320,6 +1330,45 @@ object SparkEntry {
     "windo" -> "w", "s" -> "c", "sc" -> "a", "sca" -> "n",
     "s" -> "p", "sp" -> "a", "spa" -> "r", "spar" -> "k")
 
+  /** Label shared by `q_quality_classifier` and its oracle: sources src0..
+    * src9 are the positive class. */
+  private val classifierLabel =
+    "CASE WHEN CAST(substring(source, 4) AS INT) < 10 THEN 1.0 ELSE 0.0 END"
+
+  /** DuckDB replay of [[graft.ops.Classifier]]'s full-batch logistic GD:
+    * identical feature expressions, the same rational fast sigmoid, floor-
+    * quantized integer gradient sums, and weight updates with the exact
+    * operation shape of the driver loop — K chained CTE iterations, then
+    * map-only scoring under wK. */
+  private def duckLogit(labelExpr: String, iters: Int): String = {
+    val fs = graft.ops.Classifier.duckFeatureExprs("text")
+    val k = graft.ops.Classifier.numFeatures
+    val featCols = fs.zipWithIndex.map { case (e, j) => s"$e AS f$j" }.mkString(",\n    ")
+    def mExpr(wAlias: String) = (0 until k).map(j => s"$wAlias.w$j * f$j").mkString(" + ")
+    val d = (x: String) => s"CAST($x AS DOUBLE)"
+    val p = s"${d("0.5")} + m / (${d("2.0")} * (${d("1.0")} + abs(m)))"
+    val sb = new StringBuilder
+    sb ++= s"WITH feat AS (SELECT doc_id,\n    $featCols,\n    CAST($labelExpr AS DOUBLE) AS y\n  FROM documents),\n"
+    sb ++= "cnt AS (SELECT CAST(count(*) AS BIGINT) AS n FROM feat),\n"
+    sb ++= "w0 AS (SELECT " +
+      (0 until k).map(j => s"${d("0.0")} AS w$j").mkString(", ") + "),\n"
+    for (i <- 1 to iters) {
+      val prev = s"w${i - 1}"
+      sb ++= s"g$i AS (SELECT " + (0 until k).map(j =>
+        s"CAST(sum(CAST(floor(($p - y) * f$j * ${d("1000000.0")}) AS BIGINT)) AS BIGINT) AS g$j")
+        .mkString(", ") +
+        s" FROM (SELECT ${mExpr(prev)} AS m, " +
+        (0 until k).map(j => s"f$j").mkString(", ") + s", y FROM feat, $prev) t$i),\n"
+      sb ++= s"w$i AS (SELECT " + (0 until k).map(j =>
+        s"$prev.w$j - ${d("1.0")} * (g$i.g$j / (cnt.n * ${d("1000000.0")})) AS w$j")
+        .mkString(", ") + s" FROM $prev, g$i, cnt),\n"
+    }
+    sb ++= s"scored AS (SELECT doc_id, ${mExpr(s"w$iters")} AS m FROM feat, w$iters)\n"
+    sb ++= s"SELECT doc_id, CAST(floor(m * ${d("1000000.0")}) AS BIGINT) AS margin6, " +
+      s"m > ${d("0.0")} AS pred FROM scored ORDER BY doc_id"
+    sb.toString
+  }
+
   /** DuckDB replay of [[graft.ops.Bpe]]'s encoder on lambda variable `wx`:
     * strip the reserved bracket code points (the engine drops them at
     * symbolization), bracket every remaining code point with chr(1)/chr(2),
@@ -1873,6 +1922,7 @@ object SparkEntry {
         |    array_to_string(list_filter(str_split_regex(lower(coalesce(text,'')), '\s+'), x -> x <> ''), ''),
         |    chr(1), ''), chr(2), '') AS glued
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_quality_classifier" -> duckLogit(classifierLabel, iters = 8),
     "q_normalize" ->
       """SELECT doc_id,
         |  trim(regexp_replace(nfc_normalize(lower('  ' || upper(text) || chr(9) || 'X ' || chr(10) || ' ')), '[\t\n\v\f\r ]+', ' ', 'g')) AS norm

@@ -1,0 +1,141 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Model-based quality classification trained BY the engine — the
+ * fastText/CCNet-style "train a small classifier, score the crawl" recipe
+ * reduced to its distributed skeleton, with a bit-exact SQL oracle.
+ *
+ * A logistic model over a fixed per-document feature vector is fit with
+ * full-batch gradient descent: each iteration is ONE aggregate over the
+ * corpus (five integer sums), the weight update runs on the driver, and
+ * scoring is a map-only projection under the learned weights. This is the
+ * plumbing a real quality classifier needs; production swaps the feature
+ * map and trains on a labeled sample, the distributed shape is identical.
+ *
+ * == Determinism / oracle parity ==
+ * Floats normally break oracle parity through reduction order and libm
+ * drift. Both are engineered out:
+ *  - the link is the RATIONAL fast sigmoid `0.5 + m / (2·(1+|m|))` — only
+ *    IEEE +,·,/,abs, which give bit-identical doubles on any engine (no
+ *    `exp`, whose last-ulp rounding differs between Java and libm);
+ *  - per-row gradient contributions are `floor(g · 1e6)` BIGINTs (floor,
+ *    not round: round's tie rule differs across engines), so the
+ *    per-iteration sums are exact integers — associative, order-free;
+ *  - the driver's weight update repeats the oracle's expression shape
+ *    operation for operation, so after K iterations both sides hold the
+ *    same 64-bit weights, and the gated margins match bit-for-bit.
+ *
+ * == Scale design (100 TB) ==
+ * The feature matrix (6 doubles/row) is computed once and persisted;
+ * each of the K iterations is one map-side-combined aggregate producing
+ * five longs — nothing corpus-sized reaches the driver, no shuffle wider
+ * than one row per partition. Gradient sums stay exact below 2^53 µ-units
+ * (~9e9 rows per partition-sum at |g|≤1e6 — and partial sums are exact
+ * integers, so overflow, not drift, is the only failure mode and longs
+ * make it unreachable in practice). Scoring embeds the weights as
+ * literals: map-only, codegen'd, no UDF, no broadcast.
+ */
+object Classifier {
+
+  /** Learned logistic weights, one per feature in [[featureExprs]] order. */
+  final case class LogitModel(w: Array[Double]) extends Serializable
+
+  /** Ten-word stopword list shared with the curation oracles. */
+  private val stops = Seq("the", "and", "of", "to", "a", "in", "is", "it", "that", "for")
+
+  /** Fixed feature map (Spark SQL strings; [[duckFeatureExprs]] mirrors each
+    * one function-for-function in DuckDB):
+    * bias, saturated length, stopword ratio, distinct-token ratio,
+    * saturated mean word length. All integer-derived then divided, so both
+    * engines produce identical doubles. */
+  def featureExprs(textCol: String): Seq[String] = {
+    val ts = s"filter(split(lower(coalesce($textCol, '')), '\\\\s+'), x -> x != '')"
+    val nTok = s"size($ts)"
+    val inList = stops.map("'" + _ + "'").mkString(", ")
+    // every literal is CAST to DOUBLE: bare 200.0 parses as DECIMAL in both
+    // engines and decimal arithmetic rounds differently from IEEE doubles
+    Seq(
+      "CAST(1.0 AS DOUBLE)",
+      s"least($nTok, 200) / CAST(200.0 AS DOUBLE)",
+      s"size(filter($ts, x -> x IN ($inList))) / greatest($nTok, 1)",
+      s"size(array_distinct($ts)) / greatest($nTok, 1)",
+      s"least(aggregate($ts, 0, (a, x) -> a + length(x)) / greatest($nTok, 1), CAST(20.0 AS DOUBLE)) / CAST(20.0 AS DOUBLE)")
+  }
+
+  /** The same five features in DuckDB SQL, over lambda-free names so the
+    * oracle can inline them; kept adjacent to [[featureExprs]] so the two
+    * lists can never drift apart silently. */
+  def duckFeatureExprs(textCol: String): Seq[String] = {
+    val ts = s"list_filter(str_split_regex(lower(coalesce($textCol, '')), '\\s+'), x -> x <> '')"
+    val nTok = s"len($ts)"
+    val inList = stops.map("'" + _ + "'").mkString(", ")
+    Seq(
+      "CAST(1.0 AS DOUBLE)",
+      s"least($nTok, 200) / CAST(200.0 AS DOUBLE)",
+      s"len(list_filter($ts, x -> x IN ($inList))) / greatest($nTok, 1)",
+      s"len(list_distinct($ts)) / greatest($nTok, 1)",
+      s"least(CAST(coalesce(list_sum(list_transform($ts, x -> len(x))), 0) AS INT) / greatest($nTok, 1), CAST(20.0 AS DOUBLE)) / CAST(20.0 AS DOUBLE)")
+  }
+
+  val numFeatures: Int = 5
+
+  /** Margin column `w·f` in fixed left-associative order. */
+  private def marginCol(w: Array[Double]): Column =
+    w.zipWithIndex.map { case (wj, j) => lit(wj) * col(s"f$j") }.reduce(_ + _)
+
+  /** Rational fast sigmoid — IEEE-exact on every engine. */
+  private def sigmoid(m: Column): Column =
+    lit(0.5) + m / (lit(2.0) * (lit(1.0) + abs(m)))
+
+  /** Fit a logistic model with `iters` full-batch GD steps at rate `lr`.
+    * `labelExpr` is a Spark SQL expression evaluating to 1.0/0.0. */
+  def trainLogit(docs: DataFrame, textCol: String, labelExpr: String,
+      iters: Int = 8, lr: Double = 1.0): LogitModel = {
+    require(iters >= 0, "iters must be >= 0")
+    val feat = docs.selectExpr(
+      featureExprs(textCol).zipWithIndex.map { case (e, j) => s"$e AS f$j" } :+
+        s"CAST($labelExpr AS DOUBLE) AS y": _*).persist()
+    try {
+      val n = feat.count()
+      val w = Array.fill(numFeatures)(0.0)
+      var it = 0
+      while (it < iters) {
+        val m = marginCol(w)
+        val p = sigmoid(m)
+        val sums = feat.select(
+          (0 until numFeatures).map(j =>
+            sum(floor((p - col("y")) * col(s"f$j") * lit(1000000.0)).cast("long"))
+              .cast("long").as(s"g$j")): _*).head()
+        var j = 0
+        while (j < numFeatures) {
+          // same op shape as the oracle: w - LR * (g / (n * 1000000.0))
+          w(j) = w(j) - lr * (sums.getLong(j) / (n * 1000000.0))
+          j += 1
+        }
+        it += 1
+      }
+      LogitModel(w)
+    } finally feat.unpersist()
+  }
+
+  /** Score `docs` under a trained model: `(idCol, margin6, pred)` where
+    * `margin6 = floor(w·f · 1e6)` (exact integer, hash-gateable) and `pred`
+    * is the decision `m > 0`. Map-only — weights ride as literals. */
+  def scoreLogit(docs: DataFrame, model: LogitModel, textCol: String,
+      idCol: String): DataFrame = {
+    val feat = docs.selectExpr(
+      idCol +: featureExprs(textCol).zipWithIndex.map { case (e, j) => s"$e AS f$j" }: _*)
+    val m = marginCol(model.w)
+    feat.select(col(idCol),
+      floor(m * lit(1000000.0)).cast("long").as("margin6"),
+      (m > lit(0.0)).as("pred"))
+  }
+
+  /** Train-and-score on the same corpus in one call. */
+  def qualityClassifier(docs: DataFrame, textCol: String, idCol: String,
+      labelExpr: String, iters: Int = 8, lr: Double = 1.0): DataFrame =
+    scoreLogit(docs, trainLogit(docs, textCol, labelExpr, iters, lr), textCol, idCol)
+}
