@@ -338,6 +338,76 @@ object Streaming {
         col(pointTs) <= col(intervalTs) + expr(s"INTERVAL $window"))
   }
 
+  /** Input row for [[streamSemanticDedup]]: an id'd embedding. */
+  final case class StreamVec(vec_id: Long, embedding: Seq[Float])
+  /** Output: `dup_of` is the smallest previously-seen same-cell neighbor at
+    * cosine ≥ tau, NULL (None) for originals — [[graft.ops.Dedup.semanticDedup]]'s
+    * contract, incremental. */
+  final case class SemDedupResult(vec_id: Long, dup_of: Option[Long])
+
+  /** Streaming SemDeDup: the batch operator's deterministic-LSH-cell
+    * semantics applied incrementally. Vectors are keyed by their
+    * `hyperplane_bucket` cell (the SAME expression the batch operator uses,
+    * so cell assignment can never drift between the two); per-cell state is
+    * every vector seen in that cell, and each arrival maps to the smallest
+    * earlier id within cosine `tau`, exactly the batch `min(id_a)` rule when
+    * rows arrive in id order. Cosine replicates the engine kernel's
+    * left-to-right double accumulation, so threshold decisions match the
+    * batch expression bit-for-bit.
+    *
+    * State per cell is O(vectors in cell) — inherent to dedup (every kept
+    * vector must remain comparable forever) and exactly why the cell
+    * partitioning matters: `nPlanes` bounds the expected cell population,
+    * and `maxPerCell` hard-caps state (beyond it, new arrivals still emit —
+    * compared against the capped prefix — but are not retained; a
+    * deployment sizes nPlanes so the cap is unreachable). Requires
+    * `Graft.install` for `hyperplane_bucket`. */
+  def streamSemanticDedup(vecs: Dataset[StreamVec], nPlanes: Int, tau: Double,
+      maxPerCell: Int = 100000): Dataset[SemDedupResult] = {
+    import vecs.sparkSession.implicits._
+    // bucket via the registered graft expression — identical to the batch op
+    val bucketed = vecs.toDF()
+      .selectExpr(s"hyperplane_bucket(embedding, $nPlanes) AS bucket",
+        "vec_id", "embedding")
+    bucketed.as[(Long, Long, Seq[Float])]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[List[(Long, Array[Float])], SemDedupResult](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (_: Long, rows: Iterator[(Long, Long, Seq[Float])],
+            state: GroupState[List[(Long, Array[Float])]]) =>
+          // stored newest-first; comparisons scan the full kept list
+          var kept = state.getOption.getOrElse(Nil)
+          var nKept = kept.length
+          val out = List.newBuilder[SemDedupResult]
+          // id order within the micro-batch = the batch operator's order
+          rows.toSeq.sortBy(_._2).foreach { case (_, id, embSeq) =>
+            val emb = embSeq.toArray
+            var best = Long.MaxValue
+            kept.foreach { case (kid, kemb) =>
+              if (kid < id && cosine(kemb, emb) >= tau && kid < best) best = kid
+            }
+            out += SemDedupResult(id, if (best == Long.MaxValue) None else Some(best))
+            if (nKept < maxPerCell) { kept = (id, emb) :: kept; nKept += 1 }
+          }
+          state.update(kept)
+          out.result().iterator
+      }
+  }
+
+  /** The engine cosine kernel's exact arithmetic (left-to-right double
+    * accumulation over floats) — see `Kernels.cosineSim`. */
+  private def cosine(a: Array[Float], b: Array[Float]): Double = {
+    val n = math.min(a.length, b.length)
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a(i).toDouble; val y = b(i).toDouble
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
   /** Apply a retractable [[GraftAggregate]] over a keyed CDC stream with
     * `flatMapGroupsWithState`, emitting the revised aggregate per key per
     * micro-batch. */

@@ -389,4 +389,41 @@ class StreamingSpec extends AnyFunSuite {
       assert(got == want, s"stream $got vs batch $want")
     } finally q.stop()
   }
+
+  test("batch \u2261 stream: semantic dedup agrees with Dedup.semanticDedup") {
+    Graft.install(spark)
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // 40 base vectors + 12 planted near-copies (tiny perturbation on one
+    // coordinate keeps cosine ~0.9999); unrelated vectors are near-orthogonal
+    def vec(seed: Long): Seq[Float] =
+      (0 until 16).map(j => (((seed * 31 + j * 17) % 13) - 6).toFloat / 6.0f)
+    val base = (0L until 40L).map(i => Streaming.StreamVec(i, vec(i)))
+    val dups = (0L until 12L).map { k =>
+      val src = vec(k * 3)
+      Streaming.StreamVec(100L + k, src.updated(0, src.head + 0.001f))
+    }
+    val all = (base ++ dups).sortBy(_.vec_id)
+    val batchDf = spark.createDataFrame(
+      all.map(v => (v.vec_id, v.embedding))).toDF("vec_id", "embedding")
+      .selectExpr("vec_id", "CAST(embedding AS ARRAY<FLOAT>) AS embedding")
+    val want = graft.ops.Dedup.semanticDedup(batchDf, "vec_id", "embedding",
+        nPlanes = 6, tau = 0.99)
+      .collect().map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toSet
+
+    val mem = MemoryStream[Streaming.StreamVec]
+    val q = Streaming.streamSemanticDedup(mem.toDS(), nPlanes = 6, tau = 0.99)
+      .writeStream.format("memory").queryName("stream_semdedup")
+      .outputMode("append").start()
+    try {
+      // two micro-batches in id order: originals first, then the copies
+      mem.addData(all.filter(_.vec_id < 100L): _*); q.processAllAvailable()
+      mem.addData(all.filter(_.vec_id >= 100L): _*); q.processAllAvailable()
+      val got = spark.table("stream_semdedup")
+        .as[Streaming.SemDedupResult].collect()
+        .map(r => (r.vec_id, r.dup_of.getOrElse(-1L))).toSet
+      assert(got == want, s"stream $got vs batch $want")
+      assert(got.exists(_._2 >= 0L), "no duplicate was detected at all")
+    } finally q.stop()
+  }
 }
