@@ -632,6 +632,31 @@ object SparkEntry {
         .select(col("doc_id"), concat_ws("", col("tokens")).as("glued"))
         .orderBy("doc_id")
     } _,
+    // capstone v4 — v3's CCNet recipe PLUS the engine-trained logistic
+    // classifier gate (the fastText half of production curation): heuristic
+    // gates, LM bits/token gate, exact dedup, PII scrub, and the learned
+    // model's decision composed in one declarative query
+    "q_curate_v4" -> dfq { s =>
+      val docs = s.table("documents")
+      graft.ops.LangModel.lmScore(docs, docs, "text", "doc_id", vocabSize = 16)
+        .createOrReplaceTempView("lm_scores_v4")
+      graft.ops.Classifier.qualityClassifier(docs, "text", "doc_id",
+          classifierLabel, iters = 8)
+        .createOrReplaceTempView("clf_scores_v4")
+      s.sql(
+        """SELECT d.doc_id, t.st.lang AS lang_pred, t.st.n_tok AS n_tok,
+          |       l.bits_per_tok, c.margin6, redact_pii(d.text) AS clean_text
+          |FROM documents d
+          |JOIN lm_scores_v4 l ON l.doc_id = d.doc_id
+          |JOIN clf_scores_v4 c ON c.doc_id = d.doc_id
+          |LATERAL VIEW text_stats(d.text) t AS st
+          |WHERE t.st.score >= 0.3 AND t.st.n_tok >= 20 AND t.st.lang <> 'und'
+          |  AND t.st.rep3 <= 0.5
+          |  AND l.bits_per_tok <= 9
+          |  AND c.pred
+          |  AND d.doc_id IN (SELECT min(doc_id) FROM documents GROUP BY doc_fingerprint(text))
+          |ORDER BY d.doc_id""".stripMargin)
+    } _,
     // model-based quality classification, the fastText/CCNet recipe trained
     // BY the engine: 8 full-batch logistic GD steps (one five-long aggregate
     // per step), then map-only scoring with the weights as literals. The
@@ -1340,7 +1365,7 @@ object SparkEntry {
     * quantized integer gradient sums, and weight updates with the exact
     * operation shape of the driver loop — K chained CTE iterations, then
     * map-only scoring under wK. */
-  private def duckLogit(labelExpr: String, iters: Int): String = {
+  private def duckLogitCtes(labelExpr: String, iters: Int): String = {
     val fs = graft.ops.Classifier.duckFeatureExprs("text")
     val k = graft.ops.Classifier.numFeatures
     val featCols = fs.zipWithIndex.map { case (e, j) => s"$e AS f$j" }.mkString(",\n    ")
@@ -1348,26 +1373,31 @@ object SparkEntry {
     val d = (x: String) => s"CAST($x AS DOUBLE)"
     val p = s"${d("0.5")} + m / (${d("2.0")} * (${d("1.0")} + abs(m)))"
     val sb = new StringBuilder
-    sb ++= s"WITH feat AS (SELECT doc_id,\n    $featCols,\n    CAST($labelExpr AS DOUBLE) AS y\n  FROM documents),\n"
-    sb ++= "cnt AS (SELECT CAST(count(*) AS BIGINT) AS n FROM feat),\n"
-    sb ++= "w0 AS (SELECT " +
+    // all CTE names carry a c-prefix so the chain composes into larger
+    // oracles (q_curate_v4) without collisions
+    sb ++= s"cfeat AS (SELECT doc_id,\n    $featCols,\n    CAST($labelExpr AS DOUBLE) AS y\n  FROM documents),\n"
+    sb ++= "ccnt AS (SELECT CAST(count(*) AS BIGINT) AS n FROM cfeat),\n"
+    sb ++= "cw0 AS (SELECT " +
       (0 until k).map(j => s"${d("0.0")} AS w$j").mkString(", ") + "),\n"
     for (i <- 1 to iters) {
-      val prev = s"w${i - 1}"
-      sb ++= s"g$i AS (SELECT " + (0 until k).map(j =>
+      val prev = s"cw${i - 1}"
+      sb ++= s"cg$i AS (SELECT " + (0 until k).map(j =>
         s"CAST(sum(CAST(floor(($p - y) * f$j * ${d("1000000.0")}) AS BIGINT)) AS BIGINT) AS g$j")
         .mkString(", ") +
         s" FROM (SELECT ${mExpr(prev)} AS m, " +
-        (0 until k).map(j => s"f$j").mkString(", ") + s", y FROM feat, $prev) t$i),\n"
-      sb ++= s"w$i AS (SELECT " + (0 until k).map(j =>
-        s"$prev.w$j - ${d("1.0")} * (g$i.g$j / (cnt.n * ${d("1000000.0")})) AS w$j")
-        .mkString(", ") + s" FROM $prev, g$i, cnt),\n"
+        (0 until k).map(j => s"f$j").mkString(", ") + s", y FROM cfeat, $prev) t$i),\n"
+      sb ++= s"cw$i AS (SELECT " + (0 until k).map(j =>
+        s"$prev.w$j - ${d("1.0")} * (cg$i.g$j / (ccnt.n * ${d("1000000.0")})) AS w$j")
+        .mkString(", ") + s" FROM $prev, cg$i, ccnt),\n"
     }
-    sb ++= s"scored AS (SELECT doc_id, ${mExpr(s"w$iters")} AS m FROM feat, w$iters)\n"
-    sb ++= s"SELECT doc_id, CAST(floor(m * ${d("1000000.0")}) AS BIGINT) AS margin6, " +
-      s"m > ${d("0.0")} AS pred FROM scored ORDER BY doc_id"
+    sb ++= s"clf AS (SELECT doc_id, CAST(floor(m * ${d("1000000.0")}) AS BIGINT) AS margin6, " +
+      s"m > ${d("0.0")} AS pred FROM (SELECT doc_id, ${mExpr(s"cw$iters")} AS m FROM cfeat, cw$iters) tm)"
     sb.toString
   }
+
+  private def duckLogit(labelExpr: String, iters: Int): String =
+    s"WITH ${duckLogitCtes(labelExpr, iters)}\n" +
+      "SELECT doc_id, margin6, pred FROM clf ORDER BY doc_id"
 
   /** DuckDB replay of [[graft.ops.Bpe]]'s encoder on lambda variable `wx`:
     * strip the reserved bracket code points (the engine drops them at
@@ -1867,6 +1897,69 @@ object SparkEntry {
          |JOIN documents d ON d.doc_id = s.doc_id
          |WHERE s.score >= 0.3 AND s.n_tok >= 20 AND s.lang_pred <> 'und' AND r.rr <= 0.5
          |  AND l.bits_per_tok <= 9
+         |  AND s.doc_id IN (SELECT min(doc_id) FROM documents GROUP BY md5(text))
+         |ORDER BY s.doc_id""".stripMargin,
+    "q_curate_v4" ->
+      s"""WITH w AS (SELECT doc_id,
+         |    list_filter(str_split_regex(lower(text), '\\s+'), x -> x <> '') AS ts
+         |  FROM documents),
+         |ktok AS (SELECT doc_id, unnest(ts) AS t FROM w),
+         |kcnt AS (SELECT t, count(*) AS c FROM ktok GROUP BY t),
+         |ktot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM kcnt),
+         |kvocab AS (SELECT t, c FROM kcnt ORDER BY c DESC, t LIMIT 16),
+         |ksurp AS (SELECT k.doc_id,
+         |    length(bin((SELECT n FROM ktot) // greatest(coalesce(v.c, 0), 1))) AS b
+         |  FROM ktok k LEFT JOIN kvocab v USING (t)),
+         |kagg AS (SELECT doc_id, CAST(sum(b) AS BIGINT) AS bits FROM ksurp GROUP BY doc_id),
+         |lm AS (SELECT w.doc_id,
+         |    CAST(coalesce(a.bits, 0) // greatest(len(w.ts), 1) AS BIGINT) AS bits_per_tok
+         |  FROM w LEFT JOIN kagg a USING (doc_id)),
+         |tok AS (
+         |  SELECT doc_id, list_filter(str_split_regex(lower(text), '\\s+'), x -> x <> '') AS ts,
+         |         len(regexp_extract_all(text, '[^\\p{L}\\p{N}\\s]')) AS n_punct,
+         |         length(text) AS len_s
+         |  FROM documents),
+         |m AS (
+         |  SELECT doc_id, len(ts) AS n_tok,
+         |    len(list_filter(ts, x -> x IN ('the','and','of','to','a','in','is','it','that','for'))) AS n_stop,
+         |    n_punct, len_s,
+         |    list_sort([
+         |      {'s': -len(list_filter(ts, x -> x IN ('the','and','of','to','a','in','is','it','that','for'))), 'l': 'en'},
+         |      {'s': -len(list_filter(ts, x -> x IN ('der','die','das','und','ist','nicht','ein','zu','mit','von'))), 'l': 'de'},
+         |      {'s': -len(list_filter(ts, x -> x IN ('el','la','de','que','y','en','un','es','por','los'))), 'l': 'es'},
+         |      {'s': -len(list_filter(ts, x -> x IN ('le','la','de','et','un','est','que','pour','dans','les'))), 'l': 'fr'},
+         |      {'s': -len(list_filter(ts, x -> x IN ('的','是','不','了','在','有','我','他','这','中'))), 'l': 'zh'}
+         |    ]) AS sorted
+         |  FROM tok),
+         |scored AS (
+         |  SELECT doc_id,
+         |    CASE WHEN struct_extract(sorted[1], 's') = 0 THEN 'und'
+         |         ELSE struct_extract(sorted[1], 'l') END AS lang_pred,
+         |    CASE WHEN n_tok = 0 THEN 0.0 ELSE
+         |      0.4 * (n_stop / CAST(n_tok AS DOUBLE))
+         |      + 0.3 * least(n_tok / 100.0, 1.0)
+         |      + 0.3 * (1.0 - n_punct / CAST(len_s AS DOUBLE)) END AS score,
+         |    CAST(n_tok AS INT) AS n_tok
+         |  FROM m),
+         |rep AS (
+         |  SELECT doc_id, CASE WHEN len(sh) = 0 THEN 0.0
+         |    ELSE 1.0 - CAST(len(list_distinct(sh)) AS DOUBLE) / CAST(len(sh) AS DOUBLE) END AS rr
+         |  FROM (SELECT doc_id, ${duckShingles(3)} AS sh
+         |        FROM (SELECT doc_id, $duckWords AS ws FROM documents))),
+         |${duckLogitCtes(classifierLabel, iters = 8)}
+         |SELECT s.doc_id, s.lang_pred, s.n_tok, l.bits_per_tok, c.margin6,
+         |       regexp_replace(regexp_replace(regexp_replace(d.text,
+         |         'https?://\\S+', '<URL>', 'g'),
+         |         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}', '<EMAIL>', 'g'),
+         |         '[+]?[0-9][0-9()\\- ]{7,}[0-9]', '<PHONE>', 'g') AS clean_text
+         |FROM scored s
+         |JOIN rep r ON r.doc_id = s.doc_id
+         |JOIN lm l ON l.doc_id = s.doc_id
+         |JOIN clf c ON c.doc_id = s.doc_id
+         |JOIN documents d ON d.doc_id = s.doc_id
+         |WHERE s.score >= 0.3 AND s.n_tok >= 20 AND s.lang_pred <> 'und' AND r.rr <= 0.5
+         |  AND l.bits_per_tok <= 9
+         |  AND c.pred
          |  AND s.doc_id IN (SELECT min(doc_id) FROM documents GROUP BY md5(text))
          |ORDER BY s.doc_id""".stripMargin,
     "q_lm_score" ->
