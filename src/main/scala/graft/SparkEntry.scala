@@ -600,6 +600,18 @@ object SparkEntry {
       graft.ops.LangModel.lmScore(docs, docs, "text", "doc_id", vocabSize = 16)
         .orderBy("doc_id")
     } _,
+    // adaptive percentile gate: keep the lowest-surprisal 30% where the
+    // threshold itself is computed FROM the corpus (integer histogram
+    // cumsum — exact, order-free, bit-replayable; float percentile
+    // interpolation formulas differ across engines and could not be gated)
+    "q_gate_adaptive" -> dfq { s =>
+      val docs = s.table("documents")
+      val lm = graft.ops.LangModel.lmScore(docs, docs, "text", "doc_id", vocabSize = 16)
+      val thr = graft.ops.LangModel.adaptiveThreshold(lm, "bits_per_tok", 30)
+      lm.where(col("bits_per_tok") <= lit(thr.getOrElse(Long.MinValue)))
+        .select(col("doc_id"), col("bits_per_tok"))
+        .orderBy("doc_id")
+    } _,
     // integer-exact TF-IDF keyword ranking: 'dup' is rare (high idf) so the
     // planted duplicate docs rank first; common terms contribute low weight
     "q_tfidf" -> dfq { s =>
@@ -1978,6 +1990,29 @@ object SparkEntry {
         |       CAST(coalesce(a.bits, 0) AS BIGINT) AS surprisal,
         |       CAST(coalesce(a.bits, 0) // greatest(len(w.ts), 1) AS BIGINT) AS bits_per_tok
         |FROM w LEFT JOIN agg a USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+    "q_gate_adaptive" ->
+      """WITH w AS (SELECT doc_id,
+        |    list_filter(str_split_regex(lower(text), '\s+'), x -> x <> '') AS ts
+        |  FROM documents),
+        |tok AS (SELECT doc_id, unnest(ts) AS t FROM w),
+        |cnt AS (SELECT t, count(*) AS c FROM tok GROUP BY t),
+        |tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM cnt),
+        |vocab AS (SELECT t, c FROM cnt ORDER BY c DESC, t LIMIT 16),
+        |surp AS (SELECT k.doc_id,
+        |    length(bin((SELECT n FROM tot) // greatest(coalesce(v.c, 0), 1))) AS b
+        |  FROM tok k LEFT JOIN vocab v USING (t)),
+        |agg AS (SELECT doc_id, CAST(sum(b) AS BIGINT) AS bits FROM surp GROUP BY doc_id),
+        |lmsc AS (SELECT w.doc_id,
+        |    CAST(coalesce(a.bits, 0) // greatest(len(w.ts), 1) AS BIGINT) AS bits_per_tok
+        |  FROM w LEFT JOIN agg a USING (doc_id)),
+        |hist AS (SELECT bits_per_tok AS v, CAST(count(*) AS BIGINT) AS c FROM lmsc GROUP BY v),
+        |nrows AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM hist),
+        |thr AS (SELECT min(v) AS t FROM
+        |  (SELECT v, sum(c) OVER (ORDER BY v) AS cum FROM hist) h, nrows
+        |  WHERE h.cum >= (nrows.n * 30 + 99) // 100)
+        |SELECT doc_id, bits_per_tok FROM lmsc, thr
+        |WHERE bits_per_tok <= thr.t
         |ORDER BY doc_id""".stripMargin,
     "q_tfidf" ->
       """WITH w AS (SELECT doc_id,

@@ -154,6 +154,36 @@ object LangModel {
     toks.select(col(idCol), scoreCol.as("score")).where(col("score") > 0)
   }
 
+  /** Exact percentile threshold over an INTEGER score column — the adaptive
+    * gate ("keep the best 30%") every curation pipeline ends up needing.
+    * Returns the smallest value `v` whose cumulative count reaches
+    * `ceil(pct·n/100)`; `None` on an empty input. One tiny aggregate: the
+    * histogram has one row per DISTINCT score, so for bounded integer
+    * domains (bit-surprisal, margins in µ-units bucketed, token counts) the
+    * driver collect is bounded by the domain, not the corpus. Exact and
+    * order-free by construction — unlike interpolated percentiles, whose
+    * float formulas differ across engines, an integer histogram cumsum
+    * replays bit-for-bit in the oracle. */
+  def adaptiveThreshold(scores: DataFrame, scoreCol: String, pct: Int): Option[Long] = {
+    require(pct >= 1 && pct <= 100, "pct must be in [1, 100]")
+    val hist = scores.groupBy(col(scoreCol).cast("long").as("v"))
+      .agg(count(lit(1)).as("c")).orderBy("v")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    if (hist.isEmpty) None
+    else {
+      val n = hist.map(_._2).sum
+      val need = (n * pct + 99) / 100
+      var cum = 0L
+      var res: Option[Long] = None
+      val it = hist.iterator
+      while (res.isEmpty && it.hasNext) {
+        val (v, c) = it.next(); cum += c
+        if (cum >= need) res = Some(v)
+      }
+      res
+    }
+  }
+
   /** BM25 ranking (k1/b standard defaults) — the float production scorer
     * behind the same broadcast-df shape as [[tfIdf]]. Emits every document's
     * score (including 0); not oracle-gated (float reduction order), spec-

@@ -107,6 +107,19 @@ class LangModelSpec extends AnyFunSuite {
     assert(LangModel.bm25(empty, Seq("a"), "text", "doc_id").count() == 0L)
   }
 
+  test("adaptiveThreshold: exact ceil-percentile over an integer histogram") {
+    import spark.implicits._
+    // scores 1..10, one each: P30 needs ceil(10*30/100)=3 rows -> v=3
+    val s = (1L to 10L).toDF("v")
+    assert(LangModel.adaptiveThreshold(s, "v", 30) == Some(3L))
+    // ties: [1,1,1,9]: need ceil(4*30/100)=2 -> cum(1)=3 >= 2 -> v=1
+    val t = Seq(1L, 1L, 1L, 9L).toDF("v")
+    assert(LangModel.adaptiveThreshold(t, "v", 30) == Some(1L))
+    // pct=100 returns the max; empty input returns None
+    assert(LangModel.adaptiveThreshold(s, "v", 100) == Some(10L))
+    assert(LangModel.adaptiveThreshold(s.where(lit(false)), "v", 30).isEmpty)
+  }
+
   test("compress_ratio flags repetitive text below natural prose") {
     Graft.install(spark)
     val rows = df(Seq(
