@@ -606,7 +606,10 @@ object SparkEntry {
     // interpolation formulas differ across engines and could not be gated)
     "q_gate_adaptive" -> dfq { s =>
       val docs = s.table("documents")
+      // persisted across the two consumers (threshold collect + gated
+      // output) so the LM scoring lineage runs once, not twice
       val lm = graft.ops.LangModel.lmScore(docs, docs, "text", "doc_id", vocabSize = 16)
+        .persist()
       val thr = graft.ops.LangModel.adaptiveThreshold(lm, "bits_per_tok", 30)
       lm.where(col("bits_per_tok") <= lit(thr.getOrElse(Long.MinValue)))
         .select(col("doc_id"), col("bits_per_tok"))
@@ -1372,12 +1375,71 @@ object SparkEntry {
   private val classifierLabel =
     "CASE WHEN CAST(substring(source, 4) AS INT) < 10 THEN 1.0 ELSE 0.0 END"
 
+  /** Shared CTE chain of the curation-capstone oracles (tokenize, unigram
+    * LM, language/quality/repetition scoring) — one definition, so
+    * q_curate_v3 and q_curate_v4 can never silently drift apart. No WITH
+    * prefix: callers compose it with further CTEs. */
+  private lazy val duckCurateCtes: String =
+    s"""w AS (SELECT doc_id,
+         |    list_filter(str_split_regex(lower(text), '\\s+'), x -> x <> '') AS ts
+         |  FROM documents),
+         |ktok AS (SELECT doc_id, unnest(ts) AS t FROM w),
+         |kcnt AS (SELECT t, count(*) AS c FROM ktok GROUP BY t),
+         |ktot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM kcnt),
+         |kvocab AS (SELECT t, c FROM kcnt ORDER BY c DESC, t LIMIT 16),
+         |ksurp AS (SELECT k.doc_id,
+         |    length(bin((SELECT n FROM ktot) // greatest(coalesce(v.c, 0), 1))) AS b
+         |  FROM ktok k LEFT JOIN kvocab v USING (t)),
+         |kagg AS (SELECT doc_id, CAST(sum(b) AS BIGINT) AS bits FROM ksurp GROUP BY doc_id),
+         |lm AS (SELECT w.doc_id,
+         |    CAST(coalesce(a.bits, 0) // greatest(len(w.ts), 1) AS BIGINT) AS bits_per_tok
+         |  FROM w LEFT JOIN kagg a USING (doc_id)),
+         |tok AS (
+         |  SELECT doc_id, list_filter(str_split_regex(lower(text), '\\s+'), x -> x <> '') AS ts,
+         |         len(regexp_extract_all(text, '[^\\p{L}\\p{N}\\s]')) AS n_punct,
+         |         length(text) AS len_s
+         |  FROM documents),
+         |m AS (
+         |  SELECT doc_id, len(ts) AS n_tok,
+         |    len(list_filter(ts, x -> x IN ('the','and','of','to','a','in','is','it','that','for'))) AS n_stop,
+         |    n_punct, len_s,
+         |    list_sort([
+         |      {'s': -len(list_filter(ts, x -> x IN ('the','and','of','to','a','in','is','it','that','for'))), 'l': 'en'},
+         |      {'s': -len(list_filter(ts, x -> x IN ('der','die','das','und','ist','nicht','ein','zu','mit','von'))), 'l': 'de'},
+         |      {'s': -len(list_filter(ts, x -> x IN ('el','la','de','que','y','en','un','es','por','los'))), 'l': 'es'},
+         |      {'s': -len(list_filter(ts, x -> x IN ('le','la','de','et','un','est','que','pour','dans','les'))), 'l': 'fr'},
+         |      {'s': -len(list_filter(ts, x -> x IN ('的','是','不','了','在','有','我','他','这','中'))), 'l': 'zh'}
+         |    ]) AS sorted
+         |  FROM tok),
+         |scored AS (
+         |  SELECT doc_id,
+         |    CASE WHEN struct_extract(sorted[1], 's') = 0 THEN 'und'
+         |         ELSE struct_extract(sorted[1], 'l') END AS lang_pred,
+         |    CASE WHEN n_tok = 0 THEN 0.0 ELSE
+         |      0.4 * (n_stop / CAST(n_tok AS DOUBLE))
+         |      + 0.3 * least(n_tok / 100.0, 1.0)
+         |      + 0.3 * (1.0 - n_punct / CAST(len_s AS DOUBLE)) END AS score,
+         |    CAST(n_tok AS INT) AS n_tok
+         |  FROM m),
+         |rep AS (
+         |  SELECT doc_id, CASE WHEN len(sh) = 0 THEN 0.0
+         |    ELSE 1.0 - CAST(len(list_distinct(sh)) AS DOUBLE) / CAST(len(sh) AS DOUBLE) END AS rr
+         |  FROM (SELECT doc_id, ${duckShingles(3)} AS sh
+         |        FROM (SELECT doc_id, $duckWords AS ws FROM documents)))""".stripMargin
+
+  /** PII-redaction expression shared by the capstone oracles. */
+  private val duckRedact: String =
+    """regexp_replace(regexp_replace(regexp_replace(d.text,
+         |         'https?://\\S+', '<URL>', 'g'),
+         |         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}', '<EMAIL>', 'g'),
+         |         '[+]?[0-9][0-9()\\- ]{7,}[0-9]', '<PHONE>', 'g')""".stripMargin
+
   /** DuckDB replay of [[graft.ops.Classifier]]'s full-batch logistic GD:
     * identical feature expressions, the same rational fast sigmoid, floor-
     * quantized integer gradient sums, and weight updates with the exact
     * operation shape of the driver loop — K chained CTE iterations, then
     * map-only scoring under wK. */
-  private def duckLogitCtes(labelExpr: String, iters: Int): String = {
+  private def duckLogitCtes(labelExpr: String, iters: Int, lr: Double = 1.0): String = {
     val fs = graft.ops.Classifier.duckFeatureExprs("text")
     val k = graft.ops.Classifier.numFeatures
     val featCols = fs.zipWithIndex.map { case (e, j) => s"$e AS f$j" }.mkString(",\n    ")
@@ -1399,7 +1461,7 @@ object SparkEntry {
         s" FROM (SELECT ${mExpr(prev)} AS m, " +
         (0 until k).map(j => s"f$j").mkString(", ") + s", y FROM cfeat, $prev) t$i),\n"
       sb ++= s"cw$i AS (SELECT " + (0 until k).map(j =>
-        s"$prev.w$j - ${d("1.0")} * (cg$i.g$j / (ccnt.n * ${d("1000000.0")})) AS w$j")
+        s"$prev.w$j - ${d(java.lang.Double.toString(lr))} * (cg$i.g$j / (ccnt.n * ${d("1000000.0")})) AS w$j")
         .mkString(", ") + s" FROM $prev, cg$i, ccnt),\n"
     }
     sb ++= s"clf AS (SELECT doc_id, CAST(floor(m * ${d("1000000.0")}) AS BIGINT) AS margin6, " +
@@ -1852,57 +1914,9 @@ object SparkEntry {
         |  FROM pack p JOIN d r ON r.source = p.source AND r.rn = p.rn + 1)
         |SELECT source, doc_id, bin, fill FROM pack ORDER BY source, doc_id""".stripMargin,
     "q_curate_v3" ->
-      s"""WITH w AS (SELECT doc_id,
-         |    list_filter(str_split_regex(lower(text), '\\s+'), x -> x <> '') AS ts
-         |  FROM documents),
-         |ktok AS (SELECT doc_id, unnest(ts) AS t FROM w),
-         |kcnt AS (SELECT t, count(*) AS c FROM ktok GROUP BY t),
-         |ktot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM kcnt),
-         |kvocab AS (SELECT t, c FROM kcnt ORDER BY c DESC, t LIMIT 16),
-         |ksurp AS (SELECT k.doc_id,
-         |    length(bin((SELECT n FROM ktot) // greatest(coalesce(v.c, 0), 1))) AS b
-         |  FROM ktok k LEFT JOIN kvocab v USING (t)),
-         |kagg AS (SELECT doc_id, CAST(sum(b) AS BIGINT) AS bits FROM ksurp GROUP BY doc_id),
-         |lm AS (SELECT w.doc_id,
-         |    CAST(coalesce(a.bits, 0) // greatest(len(w.ts), 1) AS BIGINT) AS bits_per_tok
-         |  FROM w LEFT JOIN kagg a USING (doc_id)),
-         |tok AS (
-         |  SELECT doc_id, list_filter(str_split_regex(lower(text), '\\s+'), x -> x <> '') AS ts,
-         |         len(regexp_extract_all(text, '[^\\p{L}\\p{N}\\s]')) AS n_punct,
-         |         length(text) AS len_s
-         |  FROM documents),
-         |m AS (
-         |  SELECT doc_id, len(ts) AS n_tok,
-         |    len(list_filter(ts, x -> x IN ('the','and','of','to','a','in','is','it','that','for'))) AS n_stop,
-         |    n_punct, len_s,
-         |    list_sort([
-         |      {'s': -len(list_filter(ts, x -> x IN ('the','and','of','to','a','in','is','it','that','for'))), 'l': 'en'},
-         |      {'s': -len(list_filter(ts, x -> x IN ('der','die','das','und','ist','nicht','ein','zu','mit','von'))), 'l': 'de'},
-         |      {'s': -len(list_filter(ts, x -> x IN ('el','la','de','que','y','en','un','es','por','los'))), 'l': 'es'},
-         |      {'s': -len(list_filter(ts, x -> x IN ('le','la','de','et','un','est','que','pour','dans','les'))), 'l': 'fr'},
-         |      {'s': -len(list_filter(ts, x -> x IN ('的','是','不','了','在','有','我','他','这','中'))), 'l': 'zh'}
-         |    ]) AS sorted
-         |  FROM tok),
-         |scored AS (
-         |  SELECT doc_id,
-         |    CASE WHEN struct_extract(sorted[1], 's') = 0 THEN 'und'
-         |         ELSE struct_extract(sorted[1], 'l') END AS lang_pred,
-         |    CASE WHEN n_tok = 0 THEN 0.0 ELSE
-         |      0.4 * (n_stop / CAST(n_tok AS DOUBLE))
-         |      + 0.3 * least(n_tok / 100.0, 1.0)
-         |      + 0.3 * (1.0 - n_punct / CAST(len_s AS DOUBLE)) END AS score,
-         |    CAST(n_tok AS INT) AS n_tok
-         |  FROM m),
-         |rep AS (
-         |  SELECT doc_id, CASE WHEN len(sh) = 0 THEN 0.0
-         |    ELSE 1.0 - CAST(len(list_distinct(sh)) AS DOUBLE) / CAST(len(sh) AS DOUBLE) END AS rr
-         |  FROM (SELECT doc_id, ${duckShingles(3)} AS sh
-         |        FROM (SELECT doc_id, $duckWords AS ws FROM documents)))
+      s"""WITH $duckCurateCtes
          |SELECT s.doc_id, s.lang_pred, s.n_tok, l.bits_per_tok,
-         |       regexp_replace(regexp_replace(regexp_replace(d.text,
-         |         'https?://\\S+', '<URL>', 'g'),
-         |         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}', '<EMAIL>', 'g'),
-         |         '[+]?[0-9][0-9()\\- ]{7,}[0-9]', '<PHONE>', 'g') AS clean_text
+         |       $duckRedact AS clean_text
          |FROM scored s
          |JOIN rep r ON r.doc_id = s.doc_id
          |JOIN lm l ON l.doc_id = s.doc_id
@@ -1912,58 +1926,10 @@ object SparkEntry {
          |  AND s.doc_id IN (SELECT min(doc_id) FROM documents GROUP BY md5(text))
          |ORDER BY s.doc_id""".stripMargin,
     "q_curate_v4" ->
-      s"""WITH w AS (SELECT doc_id,
-         |    list_filter(str_split_regex(lower(text), '\\s+'), x -> x <> '') AS ts
-         |  FROM documents),
-         |ktok AS (SELECT doc_id, unnest(ts) AS t FROM w),
-         |kcnt AS (SELECT t, count(*) AS c FROM ktok GROUP BY t),
-         |ktot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM kcnt),
-         |kvocab AS (SELECT t, c FROM kcnt ORDER BY c DESC, t LIMIT 16),
-         |ksurp AS (SELECT k.doc_id,
-         |    length(bin((SELECT n FROM ktot) // greatest(coalesce(v.c, 0), 1))) AS b
-         |  FROM ktok k LEFT JOIN kvocab v USING (t)),
-         |kagg AS (SELECT doc_id, CAST(sum(b) AS BIGINT) AS bits FROM ksurp GROUP BY doc_id),
-         |lm AS (SELECT w.doc_id,
-         |    CAST(coalesce(a.bits, 0) // greatest(len(w.ts), 1) AS BIGINT) AS bits_per_tok
-         |  FROM w LEFT JOIN kagg a USING (doc_id)),
-         |tok AS (
-         |  SELECT doc_id, list_filter(str_split_regex(lower(text), '\\s+'), x -> x <> '') AS ts,
-         |         len(regexp_extract_all(text, '[^\\p{L}\\p{N}\\s]')) AS n_punct,
-         |         length(text) AS len_s
-         |  FROM documents),
-         |m AS (
-         |  SELECT doc_id, len(ts) AS n_tok,
-         |    len(list_filter(ts, x -> x IN ('the','and','of','to','a','in','is','it','that','for'))) AS n_stop,
-         |    n_punct, len_s,
-         |    list_sort([
-         |      {'s': -len(list_filter(ts, x -> x IN ('the','and','of','to','a','in','is','it','that','for'))), 'l': 'en'},
-         |      {'s': -len(list_filter(ts, x -> x IN ('der','die','das','und','ist','nicht','ein','zu','mit','von'))), 'l': 'de'},
-         |      {'s': -len(list_filter(ts, x -> x IN ('el','la','de','que','y','en','un','es','por','los'))), 'l': 'es'},
-         |      {'s': -len(list_filter(ts, x -> x IN ('le','la','de','et','un','est','que','pour','dans','les'))), 'l': 'fr'},
-         |      {'s': -len(list_filter(ts, x -> x IN ('的','是','不','了','在','有','我','他','这','中'))), 'l': 'zh'}
-         |    ]) AS sorted
-         |  FROM tok),
-         |scored AS (
-         |  SELECT doc_id,
-         |    CASE WHEN struct_extract(sorted[1], 's') = 0 THEN 'und'
-         |         ELSE struct_extract(sorted[1], 'l') END AS lang_pred,
-         |    CASE WHEN n_tok = 0 THEN 0.0 ELSE
-         |      0.4 * (n_stop / CAST(n_tok AS DOUBLE))
-         |      + 0.3 * least(n_tok / 100.0, 1.0)
-         |      + 0.3 * (1.0 - n_punct / CAST(len_s AS DOUBLE)) END AS score,
-         |    CAST(n_tok AS INT) AS n_tok
-         |  FROM m),
-         |rep AS (
-         |  SELECT doc_id, CASE WHEN len(sh) = 0 THEN 0.0
-         |    ELSE 1.0 - CAST(len(list_distinct(sh)) AS DOUBLE) / CAST(len(sh) AS DOUBLE) END AS rr
-         |  FROM (SELECT doc_id, ${duckShingles(3)} AS sh
-         |        FROM (SELECT doc_id, $duckWords AS ws FROM documents))),
+      s"""WITH $duckCurateCtes,
          |${duckLogitCtes(classifierLabel, iters = 8)}
          |SELECT s.doc_id, s.lang_pred, s.n_tok, l.bits_per_tok, c.margin6,
-         |       regexp_replace(regexp_replace(regexp_replace(d.text,
-         |         'https?://\\S+', '<URL>', 'g'),
-         |         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}', '<EMAIL>', 'g'),
-         |         '[+]?[0-9][0-9()\\- ]{7,}[0-9]', '<PHONE>', 'g') AS clean_text
+         |       $duckRedact AS clean_text
          |FROM scored s
          |JOIN rep r ON r.doc_id = s.doc_id
          |JOIN lm l ON l.doc_id = s.doc_id

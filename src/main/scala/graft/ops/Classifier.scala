@@ -101,6 +101,9 @@ object Classifier {
     try {
       val n = feat.count()
       val w = Array.fill(numFeatures)(0.0)
+      // empty corpus: no gradient information and the update would divide by
+      // zero — the zero model is the only consistent answer
+      if (n == 0) return LogitModel(w)
       var it = 0
       while (it < iters) {
         val m = marginCol(w)

@@ -157,7 +157,8 @@ object LangModel {
   /** Exact percentile threshold over an INTEGER score column — the adaptive
     * gate ("keep the best 30%") every curation pipeline ends up needing.
     * Returns the smallest value `v` whose cumulative count reaches
-    * `ceil(pct·n/100)`; `None` on an empty input. One tiny aggregate: the
+    * `ceil(pct·n/100)`; NULL scores are excluded from the histogram and the
+    * count; `None` on an empty (or all-NULL) input. One tiny aggregate: the
     * histogram has one row per DISTINCT score, so for bounded integer
     * domains (bit-surprisal, margins in µ-units bucketed, token counts) the
     * driver collect is bounded by the domain, not the corpus. Exact and
@@ -166,7 +167,8 @@ object LangModel {
     * replays bit-for-bit in the oracle. */
   def adaptiveThreshold(scores: DataFrame, scoreCol: String, pct: Int): Option[Long] = {
     require(pct >= 1 && pct <= 100, "pct must be in [1, 100]")
-    val hist = scores.groupBy(col(scoreCol).cast("long").as("v"))
+    val hist = scores.where(col(scoreCol).isNotNull)
+      .groupBy(col(scoreCol).cast("long").as("v"))
       .agg(count(lit(1)).as("c")).orderBy("v")
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     if (hist.isEmpty) None

@@ -67,6 +67,11 @@ class ClassifierSpec extends AnyFunSuite {
     assert(!plan.contains("Exchange"), plan)
   }
 
+  test("empty corpus trains to the zero model without dividing by zero") {
+    val m = Classifier.trainLogit(docs(Seq.empty), "text", "1.0", iters = 3)
+    assert(m.w.forall(_ == 0.0))
+  }
+
   test("zero iterations returns zero weights and all-negative preds") {
     val d = docs(Seq((1L, "x y z")))
     val m = Classifier.trainLogit(d, "text", evenLabel, iters = 0)
