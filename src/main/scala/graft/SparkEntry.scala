@@ -1028,6 +1028,17 @@ object SparkEntry {
         |         OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
         |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_cents
         |FROM orders ORDER BY o_custkey, rn""".stripMargin) _,
+    // user-defined aggregate as a WINDOW function: the graft-registered
+    // sum_udaf runs over a running frame — the aggregate tier composes with
+    // Spark's window exec, not just groupBy. The frame ordering includes
+    // enough columns to be TOTAL (duplicate line numbers exist), otherwise
+    // the running sum is tie-order nondeterministic
+    "q_udaf_window" -> q(
+      """SELECT l_orderkey, l_linenumber,
+        |       sum_udaf(CAST(l_quantity AS INT))
+        |         OVER (PARTITION BY l_orderkey ORDER BY l_linenumber, l_partkey, l_suppkey, l_quantity, l_extendedprice
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_q
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin) _,
     // full analytic-window battery over one totally-ordered frame: offsets
     // (lag/lead), ranks (rank/dense_rank/ntile), and a distribution
     // (percent_rank, fixed-point) — ordering includes the key so every
@@ -2445,6 +2456,12 @@ object SparkEntry {
         |         OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
         |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS run_cents
         |FROM orders ORDER BY o_custkey, rn""".stripMargin,
+    "q_udaf_window" ->
+      """SELECT l_orderkey, l_linenumber,
+        |       CAST(sum(CAST(l_quantity AS INT))
+        |         OVER (PARTITION BY l_orderkey ORDER BY l_linenumber, l_partkey, l_suppkey, l_quantity, l_extendedprice
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS run_q
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
     "q_window_funcs" ->
       """SELECT o_custkey, o_orderkey,
         |  lag(CAST(ROUND(o_totalprice * 100) AS BIGINT)) OVER w AS prev_cents,
