@@ -636,6 +636,16 @@ object SparkEntry {
         .select(col("doc_id"), array_join(col("tokens"), "|").as("toks"), col("n_tok"))
         .orderBy("doc_id")
     } _,
+    // BPE TRAINING itself hash-gated: the engine's merge list (16 rounds,
+    // weighted pair counts, deterministic tie-break) against an oracle that
+    // re-trains in SQL through 16 chained merge CTEs
+    "q_bpe_train" -> dfq { s =>
+      import s.implicits._
+      val m = graft.ops.Bpe.train(s.table("documents"), "text",
+        numMerges = 16, minCount = 1L)
+      m.merges.zipWithIndex.map { case ((a, b), i) => (i, a, b) }
+        .toDF("rank", "lhs", "rhs").orderBy("rank")
+    } _,
     // BPE trained BY the engine (48 merges on the corpus itself), gated on
     // the lossless-reconstruction property: concatenating every document's
     // subword tokens must rebuild its exact word stream (the merge list
@@ -1484,6 +1494,29 @@ object SparkEntry {
     s"WITH ${duckLogitCtes(labelExpr, iters)}\n" +
       "SELECT doc_id, margin6, pred FROM clf ORDER BY doc_id"
 
+  /** DuckDB replay of [[graft.ops.Bpe]]'s TRAINER: the word-count table,
+    * bracket symbolization, and `k` chained merge iterations — each one
+    * weighted adjacent-pair counting, the (count DESC, lhs, rhs) argmin
+    * tie-break, and a global bracket-replace application — emitting the
+    * learned merge list itself. String tie-breaks compare per byte (UTF-8)
+    * vs the JVM's UTF-16 code units — identical on ASCII corpora. */
+  private def duckBpeTrain(k: Int): String = {
+    val parts = scala.collection.mutable.ArrayBuffer[String](
+      """wc AS MATERIALIZED (SELECT w, CAST(count(*) AS BIGINT) AS c FROM (SELECT unnest(list_filter(str_split_regex(lower(coalesce(text,'')), '\s+'), x -> x <> '')) AS w FROM documents) GROUP BY w)""",
+      """words0 AS MATERIALIZED (SELECT w, c, array_to_string(list_transform(list_filter(string_split_regex(w,''), ch -> ch <> chr(1) AND ch <> chr(2)), ch -> chr(1)||ch||chr(2)),'') AS s FROM wc)""")
+    for (i <- 1 to k) {
+      val prev = s"words${i - 1}"
+      parts += s"syms$i AS MATERIALIZED (SELECT c, str_split(substr(s, 2, length(s)-2), chr(2)||chr(1)) AS sy FROM $prev)"
+      parts += s"pl$i AS MATERIALIZED (SELECT c, unnest([{'a': sy[i], 'b': sy[i+1]} for i in range(1, len(sy))]) AS p FROM syms$i)"
+      parts += s"best$i AS MATERIALIZED (SELECT p.a AS a, p.b AS b FROM pl$i GROUP BY p.a, p.b ORDER BY sum(c) DESC, p.a, p.b LIMIT 1)"
+      parts += s"words$i AS MATERIALIZED (SELECT w, c, replace(s, chr(1)||(SELECT a FROM best$i)||chr(2)||chr(1)||(SELECT b FROM best$i)||chr(2), chr(1)||(SELECT a FROM best$i)||(SELECT b FROM best$i)||chr(2)) AS s FROM $prev)"
+    }
+    val union = (1 to k)
+      .map(i => s"SELECT ${i - 1} AS rank, a AS lhs, b AS rhs FROM best$i")
+      .mkString(" UNION ALL ")
+    "WITH " + parts.mkString(",\n") + s"\nSELECT * FROM ($union) ORDER BY rank"
+  }
+
   /** DuckDB replay of [[graft.ops.Bpe]]'s encoder on lambda variable `wx`:
     * strip the reserved bracket code points (the engine drops them at
     * symbolization), bracket every remaining code point with chr(1)/chr(2),
@@ -2021,6 +2054,7 @@ object SparkEntry {
          |  CAST(coalesce(list_sum(list_transform(es,
          |    e -> len(e) - len(replace(e, chr(1), '')))), 0) AS INT) AS n_tok
          |FROM enc ORDER BY doc_id""".stripMargin,
+    "q_bpe_train" -> duckBpeTrain(16),
     "q_bpe_roundtrip" ->
       """SELECT doc_id,
         |  replace(replace(
