@@ -692,6 +692,18 @@ object SparkEntry {
           "text", "doc_id", classifierLabel, iters = 8)
         .orderBy("doc_id")
     } _,
+    // incremental dedup against a PERSISTED index (the daily-crawl shape):
+    // even-id docs are indexed (fingerprints + minhash signatures, no text),
+    // odd-id docs dedup against the index — exact via fingerprint probe,
+    // near via band candidates verified by signature-agreement (the MinHash
+    // Jaccard estimate; corpus text is never re-read)
+    "q_dedup_increment" -> dfq { s =>
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_dedup_idx_q"
+      val docs = s.table("documents")
+      graft.ops.Dedup.saveDedupIndex(docs.where("doc_id % 2 = 0"), "text", "doc_id", path)
+      graft.ops.Dedup.dedupAgainstIndex(docs.where("doc_id % 2 = 1"), "text", "doc_id", path)
+        .orderBy("doc_id")
+    } _,
     // canonical normalization gate — run over a deliberately messy derived
     // string (case flips, tab/newline runs, edge whitespace) so every
     // normalization step observably fires on clean testdata
@@ -2062,6 +2074,31 @@ object SparkEntry {
         |    chr(1), ''), chr(2), '') AS glued
         |FROM documents ORDER BY doc_id""".stripMargin,
     "q_quality_classifier" -> duckLogit(classifierLabel, iters = 8),
+    "q_dedup_increment" ->
+      s"""WITH $duckMinhashCtes,
+         |inc AS (SELECT doc_id FROM documents WHERE doc_id % 2 = 1),
+         |cor AS (SELECT doc_id FROM documents WHERE doc_id % 2 = 0),
+         |iexact AS (SELECT di.doc_id AS iid, min(dc.doc_id) AS exact_dup
+         |           FROM documents di JOIN inc i2 ON i2.doc_id = di.doc_id
+         |           JOIN documents dc ON dc.text = di.text
+         |           JOIN cor c2 ON c2.doc_id = dc.doc_id
+         |           GROUP BY di.doc_id),
+         |icand AS (SELECT DISTINCT bi.doc_id AS iid, bc.doc_id AS cid
+         |          FROM band bi JOIN band bc USING (b, bh)
+         |          JOIN inc ON inc.doc_id = bi.doc_id
+         |          JOIN cor ON cor.doc_id = bc.doc_id),
+         |inear AS (SELECT iid, min(cid) AS near_dup FROM (
+         |            SELECT icand.iid, icand.cid,
+         |              len(list_filter([si.sig[j+1] = sc.sig[j+1] for j in range(16)], x -> x)) AS nm
+         |            FROM icand JOIN sig si ON si.doc_id = icand.iid
+         |                       JOIN sig sc ON sc.doc_id = icand.cid) t
+         |          WHERE nm >= 8 GROUP BY iid)
+         |SELECT i.doc_id, coalesce(e.exact_dup, n.near_dup) AS dup_of,
+         |       CASE WHEN e.exact_dup IS NOT NULL THEN 'exact'
+         |            WHEN n.near_dup IS NOT NULL THEN 'near' END AS kind
+         |FROM inc i LEFT JOIN iexact e ON e.iid = i.doc_id
+         |LEFT JOIN inear n ON n.iid = i.doc_id
+         |ORDER BY i.doc_id""".stripMargin,
     "q_normalize" ->
       """SELECT doc_id,
         |  trim(regexp_replace(nfc_normalize(lower('  ' || upper(text) || chr(9) || 'X ' || chr(10) || ' ')), '[\t\n\v\f\r ]+', ' ', 'g')) AS norm

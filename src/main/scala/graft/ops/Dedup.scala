@@ -156,10 +156,8 @@ object Dedup {
     // 100 TB, write the signature table out once and join from that instead).
     val banded = docs
       .withColumn("sig", expr(s"minhash_sig(text, $k)"))
-      .select(col("id"), posexplode(
-        expr((0 until bands).map(b =>
-          s"doc_fingerprint(concat_ws(',', transform(slice(sig, ${b * rows + 1}, $rows), x -> CAST(x AS STRING))))")
-          .mkString("array(", ", ", ")"))).as(Seq("band", "bh")))
+      .select(col("id"), posexplode(expr(bandHashExpr("sig", bands, rows)))
+        .as(Seq("band", "bh")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val l = banded.select(col("band"), col("bh"), col("id").as("id_a"))
     val r = banded.select(col("band"), col("bh"), col("id").as("id_b"))
@@ -307,6 +305,84 @@ object Dedup {
       .groupBy(col("id_b").as(idCol))
       .agg(min(col("id_a")).as("dup_of"))
     corpus.select(col(idCol)).join(dups, Seq(idCol), "left")
+  }
+
+  /** Band-hash array expression over a signature column: bands of `rows`
+    * consecutive signature slots, each fingerprinted — shared by the
+    * self-join pipeline and the persisted index so the two can never use
+    * different bucketing. */
+  private def bandHashExpr(sigCol: String, bands: Int, rows: Int): String =
+    (0 until bands).map(b =>
+      s"doc_fingerprint(concat_ws(',', transform(slice($sigCol, ${b * rows + 1}, $rows), x -> CAST(x AS STRING))))")
+      .mkString("array(", ", ", ")")
+
+  /** Persist a dedup index for `df`: content fingerprints + full minhash
+    * signatures (`path/sigs`) and the banded bucket table
+    * (`path/bands`, partitioned by band). The production shape for
+    * incremental pipelines: the historical corpus is indexed ONCE (~k
+    * longs + one fingerprint per document — thousands of times smaller
+    * than the text), and each day's increment dedups against the index
+    * without ever re-reading corpus text ([[dedupAgainstIndex]]). */
+  def saveDedupIndex(df: DataFrame, textCol: String, idCol: String,
+      path: String, k: Int = 16, bands: Int = 4): Unit = {
+    val rows = k / bands
+    df.select(col(idCol).cast("long").as("id"),
+        expr(s"doc_fingerprint($textCol)").as("fp"),
+        expr(s"minhash_sig($textCol, $k)").as("sig"))
+      .write.mode("overwrite").parquet(s"$path/sigs")
+    // banded view derived from the WRITTEN sigs (no second text scan)
+    df.sparkSession.read.parquet(s"$path/sigs")
+      .select(col("id"),
+        posexplode(expr(bandHashExpr("sig", bands, rows))).as(Seq("band", "bh")))
+      .write.mode("overwrite").partitionBy("band").parquet(s"$path/bands")
+  }
+
+  /** Dedup an increment against a saved index: emits one row per increment
+    * document — `dup_of` = the smallest corpus id it duplicates (NULL for
+    * novel content) and `kind` = 'exact' (identical fingerprint) or 'near'
+    * (band-bucket candidate whose signatures agree on at least
+    * `ceil(threshold·k)` of the k minhash slots — the standard MinHash
+    * Jaccard estimate, so NO corpus text is needed for verification).
+    * Exact wins when both rules match.
+    *
+    * Scale: the increment's signatures compute in one map pass; the exact
+    * probe and the band join shuffle only (hash, id) pairs against the
+    * bounded index tables; candidate verification joins k-long signature
+    * arrays for the candidate subset only. */
+  def dedupAgainstIndex(increment: DataFrame, textCol: String, idCol: String,
+      path: String, k: Int = 16, bands: Int = 4,
+      threshold: Double = 0.5): DataFrame = {
+    val spark = increment.sparkSession
+    val rows = k / bands
+    val minMatch = math.ceil(threshold * k).toLong
+    val idx = spark.read.parquet(s"$path/sigs")
+    val idxBands = spark.read.parquet(s"$path/bands")
+    // persisted: feeds the exact probe, the band explode, and the verify join
+    val inc = increment.select(col(idCol).cast("long").as("iid"),
+        expr(s"doc_fingerprint($textCol)").as("ifp"),
+        expr(s"minhash_sig($textCol, $k)").as("isig"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val exact = inc.join(idx.select(col("fp").as("ifp"), col("id").as("cid")), Seq("ifp"))
+      .groupBy("iid").agg(min("cid").as("exact_dup"))
+    val incBands = inc.select(col("iid"),
+      posexplode(expr(bandHashExpr("isig", bands, rows))).as(Seq("band", "bh")))
+    val cand = incBands
+      .join(idxBands.select(col("band"), col("bh"), col("id").as("cid")), Seq("band", "bh"))
+      .select("iid", "cid").distinct()
+    val near = cand
+      .join(inc.select(col("iid"), col("isig")), Seq("iid"))
+      .join(idx.select(col("id").as("cid"), col("sig").as("csig")), Seq("cid"))
+      .withColumn("n_match",
+        expr("size(filter(zip_with(isig, csig, (x, y) -> x = y), b -> b))").cast("long"))
+      .where(col("n_match") >= lit(minMatch))
+      .groupBy("iid").agg(min("cid").as("near_dup"))
+    increment.select(col(idCol).cast("long").as("iid"))
+      .join(exact, Seq("iid"), "left")
+      .join(near, Seq("iid"), "left")
+      .select(col("iid").as(idCol),
+        coalesce(col("exact_dup"), col("near_dup")).as("dup_of"),
+        when(col("exact_dup").isNotNull, lit("exact"))
+          .when(col("near_dup").isNotNull, lit("near")).as("kind"))
   }
 
   /** SimHash near-dup pairs: block on the 4 15-bit quarters of the signature

@@ -28,6 +28,24 @@ class OpsSpec extends AnyFunSuite {
     assert(kept == Seq(0L, 1L, 2L, 4L)) // 3 deduped against 0
   }
 
+  test("dedupAgainstIndex: exact and near hits against a saved index, novel pass through") {
+    val path = java.nio.file.Files.createTempDirectory("graft_dedup_idx").toString
+    // index docs 0 and 2; increment: 3 = exact copy of 0, 1 = near-dup of 0,
+    // 4 = novel
+    // bands = 8 (2-row bands) like the pairs test: the tiny fixture's ~0.75
+    // Jaccard pair needs narrow bands to collide
+    Dedup.saveDedupIndex(docsDf.where("doc_id IN (0, 2)"), "text", "doc_id", path,
+      k = 16, bands = 8)
+    val got = Dedup.dedupAgainstIndex(
+        docsDf.where("doc_id IN (1, 3, 4)"), "text", "doc_id", path,
+        k = 16, bands = 8)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(1)) -1L else r.getLong(1),
+        if (r.isNullAt(2)) "" else r.getString(2))).toSeq
+    assert(got == Seq((1L, 0L, "near"), (3L, 0L, "exact"), (4L, -1L, "")))
+  }
+
   test("minhashPairs finds near-dup and exact-dup pairs, not unrelated ones") {
     val pairs = Dedup.minhashPairs(docsDf, "text", "doc_id", k = 16, bands = 8, threshold = 0.3)
       .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
