@@ -281,6 +281,26 @@ object Bench {
         graft.ops.LangModel.lmScore(docs, docs, "text", "doc_id", vocabSize = 10000)
           .write.format("noop").mode("overwrite").save()
       },
+      // END-TO-END pipeline: LM quality gate -> exact dedup -> BPE tokenize
+      // -> token-budget packing, over the 1M-doc corpus in ONE lineage — the
+      // number a "build a training shard" run would see. Every stage is the
+      // scale-shaped operator: map-only scoring under a broadcast model, a
+      // fingerprint semi-join, broadcast-merges encode, one packing shuffle.
+      "x_pipeline_1m" -> { s: SparkSession =>
+        Graft.install(s)
+        val docs = s.read.parquet(docsBenchParquet(s))
+        val lm = graft.ops.LangModel.trainUnigram(docs, "text", vocabSize = 10000)
+        val gated = graft.ops.LangModel.surprisal(docs, lm, "text", "doc_id")
+          .where("bits_per_tok <= 14").select("doc_id")
+          .join(docs, "doc_id")
+        val deduped = graft.ops.Dedup.exactDedup(gated, "text", "doc_id")
+        val bpe = graft.ops.Bpe.train(deduped, "text", numMerges = 32)
+        val toks = deduped
+          .withColumn("n_tok", graft.ops.Bpe.nTokCol(deduped, bpe, "text"))
+          .withColumn("stratum", org.apache.spark.sql.functions.expr("CAST(doc_id % 16 AS STRING)"))
+        graft.ops.Curation.packSequences(toks, "stratum", "doc_id", "n_tok", budget = 2048)
+          .write.format("noop").mode("overwrite").save()
+      },
       "x_classifier_1m" -> { s: SparkSession =>
         Graft.install(s)
         // model-based curation at scale: 8 full-batch GD steps over 1M docs
