@@ -337,6 +337,26 @@ object Dedup {
       .write.mode("overwrite").partitionBy("band").parquet(s"$path/bands")
   }
 
+  /** Append an increment's fingerprints/signatures/bands to a saved index —
+    * the write half of the daily loop ([[dedupAgainstIndex]] then append the
+    * survivors). One pass over the increment; existing index files are
+    * untouched (parquet append), so the index grows by the increment's
+    * footprint only. */
+  def appendDedupIndex(increment: DataFrame, textCol: String, idCol: String,
+      path: String, k: Int = 16, bands: Int = 4): Unit = {
+    val rows = k / bands
+    val sigs = increment.select(col(idCol).cast("long").as("id"),
+      expr(s"doc_fingerprint($textCol)").as("fp"),
+      expr(s"minhash_sig($textCol, $k)").as("sig"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      sigs.write.mode("append").parquet(s"$path/sigs")
+      sigs.select(col("id"),
+          posexplode(expr(bandHashExpr("sig", bands, rows))).as(Seq("band", "bh")))
+        .write.mode("append").partitionBy("band").parquet(s"$path/bands")
+    } finally sigs.unpersist()
+  }
+
   /** Dedup an increment against a saved index: emits one row per increment
     * document — `dup_of` = the smallest corpus id it duplicates (NULL for
     * novel content) and `kind` = 'exact' (identical fingerprint) or 'near'

@@ -75,6 +75,22 @@ object LangModel {
     } finally counts.unpersist()
   }
 
+  /** Merge two unigram models (e.g. the historical corpus model and a new
+    * increment's) into one, re-truncated to `vocabSize` under the same
+    * deterministic `(count DESC, token ASC)` rule as [[trainUnigram]] —
+    * incremental corpus statistics without re-scanning history. Counts for
+    * tokens truncated out of EITHER input are gone from that input
+    * (truncation is lossy by design), so merge order over many increments
+    * should keep `vocabSize` comfortably above the live vocabulary. */
+  def mergeUnigram(a: UnigramModel, b: UnigramModel, vocabSize: Int): UnigramModel = {
+    val merged = (a.counts.keySet ++ b.counts.keySet).iterator
+      .map(t => t -> (a.counts.getOrElse(t, 0L) + b.counts.getOrElse(t, 0L)))
+      .toSeq
+      .sortBy { case (t, c) => (-c, t) }
+      .take(vocabSize)
+    UnigramModel(a.total + b.total, merged.toMap)
+  }
+
   /** Integer LM surprisal per document under a trained unigram model:
     * `surprisal = Σ_w bit_length(total div max(c(w), 1))` over the
     * document's tokens (out-of-vocabulary tokens cost the full

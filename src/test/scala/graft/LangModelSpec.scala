@@ -107,6 +107,17 @@ class LangModelSpec extends AnyFunSuite {
     assert(LangModel.bm25(empty, Seq("a"), "text", "doc_id").count() == 0L)
   }
 
+  test("mergeUnigram: incremental training equals whole-corpus training") {
+    val a = df(Seq((1L, "spark scan merge spark"), (2L, "the the scan")))
+    val b = df(Seq((3L, "batch spark the"), (4L, "scan scan window")))
+    val whole = LangModel.trainUnigram(a.union(b), "text", vocabSize = 8)
+    val merged = LangModel.mergeUnigram(
+      LangModel.trainUnigram(a, "text", vocabSize = 8),
+      LangModel.trainUnigram(b, "text", vocabSize = 8), vocabSize = 8)
+    assert(merged.total == whole.total)
+    assert(merged.counts == whole.counts)
+  }
+
   test("adaptiveThreshold: exact ceil-percentile over an integer histogram") {
     import spark.implicits._
     // scores 1..10, one each: P30 needs ceil(10*30/100)=3 rows -> v=3

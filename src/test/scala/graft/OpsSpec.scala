@@ -46,6 +46,22 @@ class OpsSpec extends AnyFunSuite {
     assert(got == Seq((1L, 0L, "near"), (3L, 0L, "exact"), (4L, -1L, "")))
   }
 
+  test("appendDedupIndex: appended docs are visible to later dedup runs") {
+    val path = java.nio.file.Files.createTempDirectory("graft_dedup_app").toString
+    Dedup.saveDedupIndex(docsDf.where("doc_id = 2"), "text", "doc_id", path,
+      k = 16, bands = 8)
+    // doc 3 (exact copy of 0) is novel against {2} ...
+    val before = Dedup.dedupAgainstIndex(docsDf.where("doc_id = 3"), "text", "doc_id",
+      path, k = 16, bands = 8).head
+    assert(before.isNullAt(1))
+    // ... then doc 0 is appended and 3 becomes an exact dup of it
+    Dedup.appendDedupIndex(docsDf.where("doc_id = 0"), "text", "doc_id", path,
+      k = 16, bands = 8)
+    val after = Dedup.dedupAgainstIndex(docsDf.where("doc_id = 3"), "text", "doc_id",
+      path, k = 16, bands = 8).head
+    assert(after.getLong(1) == 0L && after.getString(2) == "exact")
+  }
+
   test("minhashPairs finds near-dup and exact-dup pairs, not unrelated ones") {
     val pairs = Dedup.minhashPairs(docsDf, "text", "doc_id", k = 16, bands = 8, threshold = 0.3)
       .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
