@@ -698,8 +698,11 @@ object SparkEntry {
     // near via band candidates verified by signature-agreement (the MinHash
     // Jaccard estimate; corpus text is never re-read)
     "q_dedup_increment" -> dfq { s =>
-      val path = s"${System.getProperty("java.io.tmpdir")}/graft_dedup_idx_q"
       val docs = s.table("documents")
+      // path is keyed by the input files so concurrent runs over different
+      // SFs (or hosts sharing /tmp) never overwrite each other's index
+      val tag = java.lang.Integer.toHexString(docs.inputFiles.toSeq.hashCode)
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_dedup_idx_$tag"
       graft.ops.Dedup.saveDedupIndex(docs.where("doc_id % 2 = 0"), "text", "doc_id", path)
       graft.ops.Dedup.dedupAgainstIndex(docs.where("doc_id % 2 = 1"), "text", "doc_id", path)
         .orderBy("doc_id")
@@ -1060,7 +1063,8 @@ object SparkEntry {
         |       sum_udaf(CAST(l_quantity AS INT))
         |         OVER (PARTITION BY l_orderkey ORDER BY l_linenumber, l_partkey, l_suppkey, l_quantity, l_extendedprice
         |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_q
-        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin) _,
+        |FROM lineitem
+        |ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey, l_quantity, l_extendedprice""".stripMargin) _,
     // full analytic-window battery over one totally-ordered frame: offsets
     // (lag/lead), ranks (rank/dense_rank/ntile), and a distribution
     // (percent_rank, fixed-point) — ordering includes the key so every
@@ -1514,7 +1518,9 @@ object SparkEntry {
     * vs the JVM's UTF-16 code units — identical on ASCII corpora. */
   private def duckBpeTrain(k: Int): String = {
     val parts = scala.collection.mutable.ArrayBuffer[String](
-      """wc AS MATERIALIZED (SELECT w, CAST(count(*) AS BIGINT) AS c FROM (SELECT unnest(list_filter(str_split_regex(lower(coalesce(text,'')), '\s+'), x -> x <> '')) AS w FROM documents) GROUP BY w)""",
+      // the engine trains on the top-50000 words by (count DESC, word ASC);
+      // replicate the truncation so the gate stays correct on any corpus
+      """wc AS MATERIALIZED (SELECT w, c FROM (SELECT w, CAST(count(*) AS BIGINT) AS c FROM (SELECT unnest(list_filter(str_split_regex(lower(coalesce(text,'')), '\s+'), x -> x <> '')) AS w FROM documents) GROUP BY w) ORDER BY c DESC, w LIMIT 50000)""",
       """words0 AS MATERIALIZED (SELECT w, c, array_to_string(list_transform(list_filter(string_split_regex(w,''), ch -> ch <> chr(1) AND ch <> chr(2)), ch -> chr(1)||ch||chr(2)),'') AS s FROM wc)""")
     for (i <- 1 to k) {
       val prev = s"words${i - 1}"
@@ -2532,7 +2538,8 @@ object SparkEntry {
         |       CAST(sum(CAST(l_quantity AS INT))
         |         OVER (PARTITION BY l_orderkey ORDER BY l_linenumber, l_partkey, l_suppkey, l_quantity, l_extendedprice
         |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS run_q
-        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+        |FROM lineitem
+        |ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey, l_quantity, l_extendedprice""".stripMargin,
     "q_window_funcs" ->
       """SELECT o_custkey, o_orderkey,
         |  lag(CAST(ROUND(o_totalprice * 100) AS BIGINT)) OVER w AS prev_cents,

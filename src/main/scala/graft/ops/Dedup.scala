@@ -325,15 +325,38 @@ object Dedup {
     * without ever re-reading corpus text ([[dedupAgainstIndex]]). */
   def saveDedupIndex(df: DataFrame, textCol: String, idCol: String,
       path: String, k: Int = 16, bands: Int = 4): Unit = {
+    val spark = df.sparkSession
     val rows = k / bands
+    // (k, bands) are INDEX properties: persisted alongside the data so
+    // probe/append can never silently use mismatched bucketing
+    import spark.implicits._
+    Seq((k, bands)).toDF("k", "bands").write.mode("overwrite").parquet(s"$path/meta")
     df.select(col(idCol).cast("long").as("id"),
         expr(s"doc_fingerprint($textCol)").as("fp"),
         expr(s"minhash_sig($textCol, $k)").as("sig"))
       .write.mode("overwrite").parquet(s"$path/sigs")
     // banded view derived from the WRITTEN sigs (no second text scan)
-    df.sparkSession.read.parquet(s"$path/sigs")
+    spark.read.parquet(s"$path/sigs")
       .select(col("id"),
         posexplode(expr(bandHashExpr("sig", bands, rows))).as(Seq("band", "bh")))
+      .write.mode("overwrite").partitionBy("band").parquet(s"$path/bands")
+  }
+
+  /** (k, bands) as stored by [[saveDedupIndex]]. */
+  private def readIndexMeta(spark: org.apache.spark.sql.SparkSession,
+      path: String): (Int, Int) = {
+    val r = spark.read.parquet(s"$path/meta").head()
+    (r.getInt(0), r.getInt(1))
+  }
+
+  /** Rebuild the banded bucket table from the sigs table — the repair path
+    * when an [[appendDedupIndex]] died between its two writes (sigs are the
+    * source of truth; bands are always derivable). */
+  def repairDedupIndex(spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
+    val (k, bands) = readIndexMeta(spark, path)
+    spark.read.parquet(s"$path/sigs")
+      .select(col("id"),
+        posexplode(expr(bandHashExpr("sig", bands, k / bands))).as(Seq("band", "bh")))
       .write.mode("overwrite").partitionBy("band").parquet(s"$path/bands")
   }
 
@@ -343,7 +366,8 @@ object Dedup {
     * untouched (parquet append), so the index grows by the increment's
     * footprint only. */
   def appendDedupIndex(increment: DataFrame, textCol: String, idCol: String,
-      path: String, k: Int = 16, bands: Int = 4): Unit = {
+      path: String): Unit = {
+    val (k, bands) = readIndexMeta(increment.sparkSession, path)
     val rows = k / bands
     val sigs = increment.select(col(idCol).cast("long").as("id"),
       expr(s"doc_fingerprint($textCol)").as("fp"),
@@ -370,9 +394,9 @@ object Dedup {
     * bounded index tables; candidate verification joins k-long signature
     * arrays for the candidate subset only. */
   def dedupAgainstIndex(increment: DataFrame, textCol: String, idCol: String,
-      path: String, k: Int = 16, bands: Int = 4,
-      threshold: Double = 0.5): DataFrame = {
+      path: String, threshold: Double = 0.5): DataFrame = {
     val spark = increment.sparkSession
+    val (k, bands) = readIndexMeta(spark, path)
     val rows = k / bands
     val minMatch = math.ceil(threshold * k).toLong
     val idx = spark.read.parquet(s"$path/sigs")
@@ -396,13 +420,18 @@ object Dedup {
         expr("size(filter(zip_with(isig, csig, (x, y) -> x = y), b -> b))").cast("long"))
       .where(col("n_match") >= lit(minMatch))
       .groupBy("iid").agg(min("cid").as("near_dup"))
-    increment.select(col(idCol).cast("long").as("iid"))
+    val result = increment.select(col(idCol).cast("long").as("iid"))
       .join(exact, Seq("iid"), "left")
       .join(near, Seq("iid"), "left")
       .select(col("iid").as(idCol),
         coalesce(col("exact_dup"), col("near_dup")).as("dup_of"),
         when(col("exact_dup").isNotNull, lit("exact"))
           .when(col("near_dup").isNotNull, lit("near")).as("kind"))
+      // eager materialization (one small row per increment doc) lets the
+      // signature cache release immediately instead of leaking per call
+      .localCheckpoint(true)
+    inc.unpersist()
+    result
   }
 
   /** SimHash near-dup pairs: block on the 4 15-bit quarters of the signature

@@ -37,8 +37,7 @@ class OpsSpec extends AnyFunSuite {
     Dedup.saveDedupIndex(docsDf.where("doc_id IN (0, 2)"), "text", "doc_id", path,
       k = 16, bands = 8)
     val got = Dedup.dedupAgainstIndex(
-        docsDf.where("doc_id IN (1, 3, 4)"), "text", "doc_id", path,
-        k = 16, bands = 8)
+        docsDf.where("doc_id IN (1, 3, 4)"), "text", "doc_id", path)
       .orderBy("doc_id").collect()
       .map(r => (r.getLong(0),
         if (r.isNullAt(1)) -1L else r.getLong(1),
@@ -52,13 +51,12 @@ class OpsSpec extends AnyFunSuite {
       k = 16, bands = 8)
     // doc 3 (exact copy of 0) is novel against {2} ...
     val before = Dedup.dedupAgainstIndex(docsDf.where("doc_id = 3"), "text", "doc_id",
-      path, k = 16, bands = 8).head
+      path).head
     assert(before.isNullAt(1))
     // ... then doc 0 is appended and 3 becomes an exact dup of it
-    Dedup.appendDedupIndex(docsDf.where("doc_id = 0"), "text", "doc_id", path,
-      k = 16, bands = 8)
+    Dedup.appendDedupIndex(docsDf.where("doc_id = 0"), "text", "doc_id", path)
     val after = Dedup.dedupAgainstIndex(docsDf.where("doc_id = 3"), "text", "doc_id",
-      path, k = 16, bands = 8).head
+      path).head
     assert(after.getLong(1) == 0L && after.getString(2) == "exact")
   }
 
