@@ -707,6 +707,19 @@ object SparkEntry {
       graft.ops.Dedup.dedupAgainstIndex(docs.where("doc_id % 2 = 1"), "text", "doc_id", path)
         .orderBy("doc_id")
     } _,
+    // the exact branch of the index probe, non-vacuous by construction: the
+    // increment is 50 verbatim copies of indexed docs under fresh ids, so
+    // every row must come back kind='exact' with dup_of = its source doc
+    "q_dedup_increment_exact" -> dfq { s =>
+      val docs = s.table("documents")
+      val tag = java.lang.Integer.toHexString(docs.inputFiles.toSeq.hashCode)
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_dedup_idx_x_$tag"
+      graft.ops.Dedup.saveDedupIndex(docs, "text", "doc_id", path)
+      val copies = docs.where("doc_id < 50")
+        .selectExpr("doc_id + 1000000 AS doc_id", "text")
+      graft.ops.Dedup.dedupAgainstIndex(copies, "text", "doc_id", path)
+        .orderBy("doc_id")
+    } _,
     // canonical normalization gate — run over a deliberately messy derived
     // string (case flips, tab/newline runs, edge whitespace) so every
     // normalization step observably fires on clean testdata
@@ -2105,6 +2118,13 @@ object SparkEntry {
          |FROM inc i LEFT JOIN iexact e ON e.iid = i.doc_id
          |LEFT JOIN inear n ON n.iid = i.doc_id
          |ORDER BY i.doc_id""".stripMargin,
+    "q_dedup_increment_exact" ->
+      """SELECT i.doc_id + 1000000 AS doc_id,
+        |       min(c.doc_id) AS dup_of, 'exact' AS kind
+        |FROM documents i JOIN documents c ON c.text = i.text
+        |WHERE i.doc_id < 50
+        |GROUP BY i.doc_id
+        |ORDER BY doc_id""".stripMargin,
     "q_normalize" ->
       """SELECT doc_id,
         |  trim(regexp_replace(nfc_normalize(lower('  ' || upper(text) || chr(9) || 'X ' || chr(10) || ' ')), '[\t\n\v\f\r ]+', ' ', 'g')) AS norm
