@@ -394,6 +394,41 @@ object Streaming {
       }
   }
 
+  /** Streaming incremental dedup: every micro-batch of `(id, text)` rows is
+    * deduped against the PERSISTED index at `path`
+    * ([[graft.ops.Dedup.dedupAgainstIndex]]), results land in `sink`, and the
+    * batch's NOVEL documents (dup_of IS NULL) are appended to the index so
+    * later batches dedup against them — the daily-crawl loop as a stream.
+    *
+    * foreachBatch is the right tool here, not a stateful operator: the index
+    * is shared, persistent, and readable by BATCH consumers mid-stream, and
+    * micro-batch boundaries give the exactly-once append points. Note the
+    * batch-id guard: foreachBatch can replay a batch after a failure, and
+    * appending the same novel docs twice would corrupt the index — replays
+    * are detected via the id file and skip the append (the dedup output
+    * write is idempotent per batch id).
+    *
+    * The stream must deliver unique ids (enforced upstream via watermarked
+    * dropDuplicates); within one micro-batch, documents are NOT deduped
+    * against each other — only against the index — matching the batch
+    * operator's increment-vs-corpus contract. */
+  def dedupStream(docs: DataFrame, textCol: String, idCol: String,
+      indexPath: String, sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[Row] = {
+    docs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      val marker = new org.apache.hadoop.fs.Path(s"$indexPath/_applied_$batchId")
+      val fs = marker.getFileSystem(batch.sparkSession.sparkContext.hadoopConfiguration)
+      if (!fs.exists(marker)) {
+        val flagged = graft.ops.Dedup
+          .dedupAgainstIndex(batch, textCol, idCol, indexPath)
+        sink(flagged, batchId)
+        val novelIds = flagged.where(col("dup_of").isNull).select(col(idCol))
+        graft.ops.Dedup.appendDedupIndex(
+          batch.join(novelIds, idCol), textCol, idCol, indexPath)
+        fs.create(marker, true).close()
+      }
+    }
+  }
+
   /** The engine cosine kernel's exact arithmetic (left-to-right double
     * accumulation over floats) — see `Kernels.cosineSim`. */
   private def cosine(a: Array[Float], b: Array[Float]): Double = {

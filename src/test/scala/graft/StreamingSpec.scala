@@ -426,4 +426,32 @@ class StreamingSpec extends AnyFunSuite {
       assert(got.exists(_._2 >= 0L), "no duplicate was detected at all")
     } finally q.stop()
   }
+
+  test("dedupStream: novel docs append to the index, later batches see them") {
+    Graft.install(spark)
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val idxPath = java.nio.file.Files.createTempDirectory("graft_stream_idx").toString
+    // seed the index with one doc
+    graft.ops.Dedup.saveDedupIndex(
+      Seq((100L, "seed document about spark engines and scans")).toDF("doc_id", "text"),
+      "text", "doc_id", idxPath)
+    val results = scala.collection.mutable.Map.empty[Long, Array[(Long, Long)]]
+    val mem = MemoryStream[(Long, String)]
+    val q = Streaming.dedupStream(mem.toDF().toDF("doc_id", "text"), "text", "doc_id",
+        idxPath, (df, bid) => results(bid) = df.collect()
+          .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))))
+      .start()
+    try {
+      // batch 0: one copy of the seed, one novel doc
+      mem.addData((1L, "seed document about spark engines and scans"),
+        (2L, "a completely new crawl page with fresh words"))
+      q.processAllAvailable()
+      // batch 1: a copy of batch 0's NOVEL doc must now be flagged
+      mem.addData((3L, "a completely new crawl page with fresh words"))
+      q.processAllAvailable()
+      assert(results(0).toMap == Map(1L -> 100L, 2L -> -1L))
+      assert(results(1).toMap == Map(3L -> 2L))
+    } finally q.stop()
+  }
 }
