@@ -699,10 +699,7 @@ object SparkEntry {
     // Jaccard estimate; corpus text is never re-read)
     "q_dedup_increment" -> dfq { s =>
       val docs = s.table("documents")
-      // path is keyed by the input files so concurrent runs over different
-      // SFs (or hosts sharing /tmp) never overwrite each other's index
-      val tag = java.lang.Integer.toHexString(docs.inputFiles.toSeq.hashCode)
-      val path = s"${System.getProperty("java.io.tmpdir")}/graft_dedup_idx_$tag"
+      val path = dedupIdxPath(docs, "q")
       graft.ops.Dedup.saveDedupIndex(docs.where("doc_id % 2 = 0"), "text", "doc_id", path)
       graft.ops.Dedup.dedupAgainstIndex(docs.where("doc_id % 2 = 1"), "text", "doc_id", path)
         .orderBy("doc_id")
@@ -712,8 +709,7 @@ object SparkEntry {
     // every row must come back kind='exact' with dup_of = its source doc
     "q_dedup_increment_exact" -> dfq { s =>
       val docs = s.table("documents")
-      val tag = java.lang.Integer.toHexString(docs.inputFiles.toSeq.hashCode)
-      val path = s"${System.getProperty("java.io.tmpdir")}/graft_dedup_idx_x_$tag"
+      val path = dedupIdxPath(docs, "x")
       graft.ops.Dedup.saveDedupIndex(docs, "text", "doc_id", path)
       val copies = docs.where("doc_id < 50")
         .selectExpr("doc_id + 1000000 AS doc_id", "text")
@@ -1407,6 +1403,13 @@ object SparkEntry {
        |     ELSE [array_to_string(ws[i:i+$win], ' ') for i in range(1, len(ws) - ${win - 1})] END""".stripMargin
   }
   private def duckMd5_60(e: String): String = s"CAST('0x' || substr(md5($e), 1, 15) AS BIGINT)"
+
+  /** Temp index path keyed by the input files, so concurrent runs over
+    * different SFs (or hosts sharing /tmp) never overwrite each other. */
+  private def dedupIdxPath(docs: org.apache.spark.sql.DataFrame, suffix: String): String = {
+    val tag = java.lang.Integer.toHexString(docs.inputFiles.toSeq.hashCode)
+    s"${System.getProperty("java.io.tmpdir")}/graft_dedup_idx_${suffix}_$tag"
+  }
 
   /** Fixed BPE merge table for `q_bpe_encode` — hand-ordered over the
     * testdata vocabulary so cascades fire (the/sort/batch/join/data/window/

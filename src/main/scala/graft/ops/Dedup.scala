@@ -331,16 +331,22 @@ object Dedup {
     // probe/append can never silently use mismatched bucketing
     import spark.implicits._
     Seq((k, bands)).toDF("k", "bands").write.mode("overwrite").parquet(s"$path/meta")
-    df.select(col(idCol).cast("long").as("id"),
-        expr(s"doc_fingerprint($textCol)").as("fp"),
-        expr(s"minhash_sig($textCol, $k)").as("sig"))
-      .write.mode("overwrite").parquet(s"$path/sigs")
+    sigsOf(df, textCol, idCol, k).write.mode("overwrite").parquet(s"$path/sigs")
     // banded view derived from the WRITTEN sigs (no second text scan)
     spark.read.parquet(s"$path/sigs")
       .select(col("id"),
         posexplode(expr(bandHashExpr("sig", bands, rows))).as(Seq("band", "bh")))
       .write.mode("overwrite").partitionBy("band").parquet(s"$path/bands")
   }
+
+  /** Fingerprint + signature rows for an id'd text frame — the index's
+    * storage schema, shared by save/append/probe so the three can never
+    * compute signatures differently. */
+  private[graft] def sigsOf(df: DataFrame, textCol: String, idCol: String,
+      k: Int): DataFrame =
+    df.select(col(idCol).cast("long").as("id"),
+      expr(s"doc_fingerprint($textCol)").as("fp"),
+      expr(s"minhash_sig($textCol, $k)").as("sig"))
 
   /** (k, bands) as stored by [[saveDedupIndex]]. */
   private def readIndexMeta(spark: org.apache.spark.sql.SparkSession,
@@ -367,18 +373,22 @@ object Dedup {
     * footprint only. */
   def appendDedupIndex(increment: DataFrame, textCol: String, idCol: String,
       path: String): Unit = {
-    val (k, bands) = readIndexMeta(increment.sparkSession, path)
-    val rows = k / bands
-    val sigs = increment.select(col(idCol).cast("long").as("id"),
-      expr(s"doc_fingerprint($textCol)").as("fp"),
-      expr(s"minhash_sig($textCol, $k)").as("sig"))
+    val (k, _) = readIndexMeta(increment.sparkSession, path)
+    val sigs = sigsOf(increment, textCol, idCol, k)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      sigs.write.mode("append").parquet(s"$path/sigs")
-      sigs.select(col("id"),
-          posexplode(expr(bandHashExpr("sig", bands, rows))).as(Seq("band", "bh")))
-        .write.mode("append").partitionBy("band").parquet(s"$path/bands")
-    } finally sigs.unpersist()
+    try appendSigsToIndex(sigs, path)
+    finally sigs.unpersist()
+  }
+
+  /** Append PRECOMPUTED (id, fp, sig) rows — for callers that already hold
+    * the signatures ([[graft.streaming.Streaming.dedupStream]] probes and
+    * appends the same batch; recomputing would double the signature work). */
+  private[graft] def appendSigsToIndex(sigs: DataFrame, path: String): Unit = {
+    val (k, bands) = readIndexMeta(sigs.sparkSession, path)
+    sigs.write.mode("append").parquet(s"$path/sigs")
+    sigs.select(col("id"),
+        posexplode(expr(bandHashExpr("sig", bands, k / bands))).as(Seq("band", "bh")))
+      .write.mode("append").partitionBy("band").parquet(s"$path/bands")
   }
 
   /** Dedup an increment against a saved index: emits one row per increment
@@ -395,23 +405,36 @@ object Dedup {
     * arrays for the candidate subset only. */
   def dedupAgainstIndex(increment: DataFrame, textCol: String, idCol: String,
       path: String, threshold: Double = 0.5): DataFrame = {
-    val spark = increment.sparkSession
+    val (k, _) = readIndexMeta(increment.sparkSession, path)
+    val sigs = sigsOf(increment, textCol, idCol, k)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val out = dedupSigsAgainstIndex(sigs, idCol, path, threshold)
+    sigs.unpersist()
+    out
+  }
+
+  /** [[dedupAgainstIndex]] over PRECOMPUTED (id, fp, sig) rows. Matches
+    * against the increment's OWN ids are excluded, so a replay that probes
+    * an index holding a torn append of this very batch self-heals instead
+    * of flagging every document as a duplicate of itself. */
+  private[graft] def dedupSigsAgainstIndex(sigs: DataFrame, idCol: String,
+      path: String, threshold: Double = 0.5): DataFrame = {
+    val spark = sigs.sparkSession
     val (k, bands) = readIndexMeta(spark, path)
     val rows = k / bands
     val minMatch = math.ceil(threshold * k).toLong
     val idx = spark.read.parquet(s"$path/sigs")
     val idxBands = spark.read.parquet(s"$path/bands")
-    // persisted: feeds the exact probe, the band explode, and the verify join
-    val inc = increment.select(col(idCol).cast("long").as("iid"),
-        expr(s"doc_fingerprint($textCol)").as("ifp"),
-        expr(s"minhash_sig($textCol, $k)").as("isig"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val inc = sigs.select(col("id").as("iid"), col("fp").as("ifp"),
+      col("sig").as("isig"))
     val exact = inc.join(idx.select(col("fp").as("ifp"), col("id").as("cid")), Seq("ifp"))
+      .where(col("cid") =!= col("iid"))
       .groupBy("iid").agg(min("cid").as("exact_dup"))
     val incBands = inc.select(col("iid"),
       posexplode(expr(bandHashExpr("isig", bands, rows))).as(Seq("band", "bh")))
     val cand = incBands
       .join(idxBands.select(col("band"), col("bh"), col("id").as("cid")), Seq("band", "bh"))
+      .where(col("cid") =!= col("iid"))
       .select("iid", "cid").distinct()
     val near = cand
       .join(inc.select(col("iid"), col("isig")), Seq("iid"))
@@ -420,7 +443,7 @@ object Dedup {
         expr("size(filter(zip_with(isig, csig, (x, y) -> x = y), b -> b))").cast("long"))
       .where(col("n_match") >= lit(minMatch))
       .groupBy("iid").agg(min("cid").as("near_dup"))
-    val result = increment.select(col(idCol).cast("long").as("iid"))
+    val result = sigs.select(col("id").as("iid"))
       .join(exact, Seq("iid"), "left")
       .join(near, Seq("iid"), "left")
       .select(col("iid").as(idCol),
@@ -428,9 +451,8 @@ object Dedup {
         when(col("exact_dup").isNotNull, lit("exact"))
           .when(col("near_dup").isNotNull, lit("near")).as("kind"))
       // eager materialization (one small row per increment doc) lets the
-      // signature cache release immediately instead of leaking per call
+      // caller's signature cache release immediately instead of leaking
       .localCheckpoint(true)
-    inc.unpersist()
     result
   }
 

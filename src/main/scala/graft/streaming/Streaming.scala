@@ -414,17 +414,34 @@ object Streaming {
     * operator's increment-vs-corpus contract. */
   def dedupStream(docs: DataFrame, textCol: String, idCol: String,
       indexPath: String, sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[Row] = {
+    // markers are scoped to THIS writer instance: a restarted stream gets a
+    // fresh run id, so stale markers from a previous run (or a previous
+    // checkpoint lineage whose batch ids restarted at 0) can never silently
+    // swallow batches — they only suppress duplicate appends of a batch
+    // replayed WITHIN one run
+    val runId = java.util.UUID.randomUUID().toString
     docs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
-      val marker = new org.apache.hadoop.fs.Path(s"$indexPath/_applied_$batchId")
-      val fs = marker.getFileSystem(batch.sparkSession.sparkContext.hadoopConfiguration)
+      val spark = batch.sparkSession
+      val marker = new org.apache.hadoop.fs.Path(
+        s"$indexPath/_applied/${runId}_$batchId")
+      val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
       if (!fs.exists(marker)) {
-        val flagged = graft.ops.Dedup
-          .dedupAgainstIndex(batch, textCol, idCol, indexPath)
-        sink(flagged, batchId)
-        val novelIds = flagged.where(col("dup_of").isNull).select(col(idCol))
-        graft.ops.Dedup.appendDedupIndex(
-          batch.join(novelIds, idCol), textCol, idCol, indexPath)
-        fs.create(marker, true).close()
+        val (k, _) = {
+          val r = spark.read.parquet(s"$indexPath/meta").head()
+          (r.getInt(0), r.getInt(1))
+        }
+        // signatures computed ONCE, shared by the probe and the append
+        val sigs = graft.ops.Dedup.sigsOf(batch, textCol, idCol, k)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          val flagged = graft.ops.Dedup
+            .dedupSigsAgainstIndex(sigs, idCol, indexPath)
+          sink(flagged, batchId)
+          val novelIds = flagged.where(col("dup_of").isNull)
+            .select(col(idCol).as("id"))
+          graft.ops.Dedup.appendSigsToIndex(sigs.join(novelIds, "id"), indexPath)
+          fs.create(marker, true).close()
+        } finally sigs.unpersist()
       }
     }
   }
