@@ -579,6 +579,11 @@ object SparkEntry {
       val docs = s.table("documents")
       graft.ops.LangModel.lmScore(docs, docs, "text", "doc_id", vocabSize = 16)
         .createOrReplaceTempView("lm_scores")
+      // winners materialized ONCE: subquery pushdown otherwise replants the
+      // fingerprint groupBy (a full corpus scan) into every join branch
+      docs.groupBy(expr("doc_fingerprint(text)"))
+        .agg(min(col("doc_id")).as("doc_id")).select("doc_id")
+        .localCheckpoint(true).createOrReplaceTempView("dedup_winners_v3")
       s.sql(
         """SELECT d.doc_id, t.st.lang AS lang_pred, t.st.n_tok AS n_tok,
           |       l.bits_per_tok, redact_pii(d.text) AS clean_text
@@ -588,7 +593,7 @@ object SparkEntry {
           |WHERE t.st.score >= 0.3 AND t.st.n_tok >= 20 AND t.st.lang <> 'und'
           |  AND t.st.rep3 <= 0.5
           |  AND l.bits_per_tok <= 9
-          |  AND d.doc_id IN (SELECT min(doc_id) FROM documents GROUP BY doc_fingerprint(text))
+          |  AND d.doc_id IN (SELECT doc_id FROM dedup_winners_v3)
           |ORDER BY d.doc_id""".stripMargin)
     } _,
     // LM surprisal quality gate (the CCNet perplexity-filter shape): unigram
@@ -668,6 +673,9 @@ object SparkEntry {
       graft.ops.Classifier.qualityClassifier(docs, "text", "doc_id",
           classifierLabel, iters = 8)
         .createOrReplaceTempView("clf_scores_v4")
+      docs.groupBy(expr("doc_fingerprint(text)"))
+        .agg(min(col("doc_id")).as("doc_id")).select("doc_id")
+        .localCheckpoint(true).createOrReplaceTempView("dedup_winners_v4")
       s.sql(
         """SELECT d.doc_id, t.st.lang AS lang_pred, t.st.n_tok AS n_tok,
           |       l.bits_per_tok, c.margin6, redact_pii(d.text) AS clean_text
@@ -679,7 +687,7 @@ object SparkEntry {
           |  AND t.st.rep3 <= 0.5
           |  AND l.bits_per_tok <= 9
           |  AND c.pred
-          |  AND d.doc_id IN (SELECT min(doc_id) FROM documents GROUP BY doc_fingerprint(text))
+          |  AND d.doc_id IN (SELECT doc_id FROM dedup_winners_v4)
           |ORDER BY d.doc_id""".stripMargin)
     } _,
     // model-based quality classification, the fastText/CCNet recipe trained
