@@ -74,6 +74,23 @@ class BpePropertySpec extends AnyFunSuite {
     }, min = 15)
   }
 
+  test("dedup index property: every relabeled copy is an exact hit, novel words are not") {
+    check(Prop.forAll(corpusGen) { words =>
+      val path = java.nio.file.Files.createTempDirectory("graft_prop_idx").toString
+      val uniq = words.distinct
+      val corpus = docs(uniq)
+      graft.ops.Dedup.saveDedupIndex(corpus, "text", "doc_id", path)
+      // increment: all corpus docs relabeled (+1000) plus one guaranteed-novel doc
+      val inc = docs(uniq).selectExpr("doc_id + 1000 AS doc_id", "text")
+        .union(docs(Seq("zzzz qqqq xxxx")).selectExpr("doc_id + 9000 AS doc_id", "text"))
+      val got = graft.ops.Dedup.dedupAgainstIndex(inc, "text", "doc_id", path)
+        .collect().map(r => r.getLong(0) ->
+          (if (r.isNullAt(2)) "" else r.getString(2))).toMap
+      uniq.indices.forall(i => got(i.toLong + 1000) == "exact") &&
+        got(9000L) == ""
+    }, min = 10)
+  }
+
   test("encode is lossless and every token is a known symbol") {
     check(Prop.forAll(corpusGen) { words =>
       val corpus = docs(words)
