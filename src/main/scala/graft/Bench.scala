@@ -322,6 +322,35 @@ object Bench {
         graft.ops.Bpe.encode(docs, m, "text", "doc_id")
           .write.format("noop").mode("overwrite").save()
       },
+      // Sketch probes: each is one pass over tens of millions of rows with
+      // kilobytes of state — the "profile the corpus without shuffling it"
+      // regime the sketches exist for.
+      "x_hll_20m" -> { s: SparkSession =>
+        // 20M rows / ~5M distinct: register file via the counted shuffle
+        // (<=512 groups, map-side combined)
+        val df = s.range(20000000L).selectExpr("CAST(id % 5000003 AS STRING) AS k")
+        graft.ops.Sketches.hllRegisters(df, org.apache.spark.sql.functions.col("k"), p = 9)
+          .write.format("noop").mode("overwrite").save()
+      },
+      "x_cms_20m" -> { s: SparkSession =>
+        // count-min over the 1M-doc corpus token stream (20M tokens, skewed
+        // 50k vocab): per-partition 4x1024 matrices, one tiny driver merge
+        val toks = s.read.parquet(docsBenchParquet(s))
+          .selectExpr("explode(split(text, ' ')) AS t")
+        val mat = graft.ops.Sketches.countMin(toks,
+          org.apache.spark.sql.functions.col("t"), None, d = 4, w = 1024)
+        require(mat.sum > 0)
+      },
+      "x_bloom_20m" -> { s: SparkSession =>
+        // build over 100k keys, probe 20M rows map-only under broadcast bits
+        val build = s.range(100000L).selectExpr("CAST(id * 7 AS STRING) AS k")
+        val bits = graft.ops.Sketches.bloomBits(build,
+          org.apache.spark.sql.functions.col("k"), mBits = 1 << 21, k = 3)
+        val probe = s.range(20000000L).selectExpr("CAST(id AS STRING) AS k")
+        graft.ops.Sketches.bloomProbe(probe,
+            org.apache.spark.sql.functions.col("k"), bits, 1 << 21, 3)
+          .write.format("noop").mode("overwrite").save()
+      },
       // Guest-SPI function over the wire: served through BatchEval /
       // LanguageRuntime.callBatch — pool + compiled-handle lookups amortize
       // per batch server-side instead of repeating per row.

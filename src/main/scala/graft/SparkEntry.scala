@@ -1401,6 +1401,82 @@ object SparkEntry {
           "o_orderkey", Seq("o_orderkey"))
         .select("event_id", "user_id", "o_orderkey").orderBy("event_id")
     } _,
+    // ---- mergeable sketches (corpus profiling at 100 TB) -------------------
+    // HLL register file over a key column: the persistable/mergeable distinct
+    // sketch artifact (one counted shuffle over <=2^p buckets, builtins only)
+    "q_hll_registers" -> dfq { s =>
+      graft.ops.Sketches.hllRegisters(s.table("lineitem"), col("l_partkey"), p = 9)
+        .orderBy("bucket")
+    } _,
+    // register-file UNION (the daily-increment shape): merging the sketches
+    // of two disjoint corpus halves must equal the whole-corpus register
+    // file bit-for-bit — the oracle computes the whole directly, so HLL's
+    // mergeability itself is hash-gated
+    "q_hll_union" -> dfq { s =>
+      val li = s.table("lineitem")
+      val even = graft.ops.Sketches.hllRegisters(
+        li.where(col("l_orderkey") % 2 === 0), col("l_partkey"), p = 9)
+      val odd = graft.ops.Sketches.hllRegisters(
+        li.where(col("l_orderkey") % 2 === 1), col("l_partkey"), p = 9)
+      graft.ops.Sketches.hllUnion(even, odd).orderBy("bucket")
+    } _,
+    // HLL as a grouped AGGREGATE function (partial/final register max-merge);
+    // the raw estimator is exact-integer (BigInt / HUGEINT on the oracle
+    // side), so the estimate itself is hash-gated bit-for-bit
+    "q_hll_distinct" -> q(
+      """SELECT l_returnflag, hll_distinct(CAST(l_partkey AS STRING)) AS est
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) _,
+    // count-min frequency estimates: one 4x1024 matrix per corpus pass (no
+    // key ever shuffles), candidate words estimated driver-side
+    "q_cms_estimate" -> dfq { s =>
+      val toks = s.table("documents").select(
+        explode(filter(split(lower(col("text")), "\\s+"), x => length(x) > 0)).as("t"))
+      graft.ops.Sketches.cmsEstimates(s, toks, col("t"),
+          Seq("the", "a", "spark", "scan", "dup", "query", "data", "zz_absent"),
+          d = 4, w = 1024)
+        .orderBy("key")
+    } _,
+    // Bloom-pruned probe: mBits deliberately tiny (64) so FALSE POSITIVES
+    // actually occur and are gated — the oracle replays the same bit array,
+    // proving bloom semantics rather than a plain semi-join. is_member marks
+    // true members vs false positives.
+    "q_bloom_probe" -> dfq { s =>
+      val build = s.table("supplier").where(col("s_suppkey") % 7 === 0)
+      val bits = graft.ops.Sketches.bloomBits(build, col("s_suppkey"), mBits = 64, k = 3)
+      val probe = s.table("lineitem").select(col("l_suppkey")).distinct()
+      val passed = graft.ops.Sketches.bloomProbe(probe, col("l_suppkey"), bits, 64, 3)
+      passed.join(build.select(col("s_suppkey").as("mk")),
+          passed("l_suppkey") === col("mk"), "left")
+        .select(col("l_suppkey"), col("mk").isNotNull.as("is_member"))
+        .orderBy("l_suppkey")
+    } _,
+    // ---- retrieval: inverted index + conjunctive search --------------------
+    "q_inverted_index" -> dfq { s =>
+      graft.ops.Index.invertedIndex(s.table("documents"), "text", "doc_id",
+          minDf = 1, maxDf = 390)
+        .select(col("term"), col("df"), array_join(col("postings"), ",").as("plist"))
+        .orderBy("term")
+    } _,
+    "q_postings_search" -> dfq { s =>
+      val idx = graft.ops.Index.invertedIndex(s.table("documents"), "text", "doc_id")
+      graft.ops.Index.searchAll(idx, Seq("spark", "scan", "dup")).orderBy("doc_id")
+    } _,
+    // ---- full Gopher/MassiveText rule battery (map-only, integer-exact) ----
+    "q_gopher_rules" -> dfq { s =>
+      graft.ops.Curation.gopherRules(s.table("documents"), "text", "doc_id",
+          minWords = 40).orderBy("doc_id")
+    } _,
+    // ---- connected components as a first-class graph operator --------------
+    // edges = LSH near-dup candidate pairs; isolated docs are their own comp
+    "q_connected_components" -> dfq { s =>
+      val docs = s.table("documents")
+      val pairs = graft.ops.Dedup.minhashPairs(docs, "text", "doc_id",
+          k = 16, bands = 4, threshold = 0.3).select("id_a", "id_b")
+      val comp = graft.ops.Dedup.connectedComponents(pairs, "id_a", "id_b")
+      docs.select(col("doc_id")).join(comp, docs("doc_id") === comp("id"), "left")
+        .select(col("doc_id"), coalesce(col("comp"), col("doc_id")).as("comp"))
+        .orderBy("doc_id")
+    } _,
   )
 
   // DuckDB SQL fragments shared by several oracles.
@@ -2817,5 +2893,128 @@ object SparkEntry {
         |WHERE NOT EXISTS (SELECT 1 FROM orders o
         |  WHERE o.o_custkey = e.user_id AND epoch_ms(o.o_orderdate) <= epoch_ns(e.ts) // 1000000)
         |ORDER BY event_id""".stripMargin,
+    // HLL registers: bucket = low 9 hash bits, rho = 52 - bitlength(h >> 9)
+    "q_hll_registers" ->
+      s"""WITH h AS (SELECT ${duckMd5_60("CAST(l_partkey AS VARCHAR)")} AS h
+         |           FROM lineitem WHERE l_partkey IS NOT NULL)
+         |SELECT CAST(h & 511 AS INT) AS bucket,
+         |       CAST(max(CASE WHEN h >> 9 = 0 THEN 52
+         |                     ELSE 52 - length(bin(h >> 9)) END) AS INT) AS r
+         |FROM h GROUP BY 1 ORDER BY bucket""".stripMargin,
+    "q_hll_union" ->
+      s"""WITH h AS (SELECT ${duckMd5_60("CAST(l_partkey AS VARCHAR)")} AS h
+         |           FROM lineitem WHERE l_partkey IS NOT NULL)
+         |SELECT CAST(h & 511 AS INT) AS bucket,
+         |       CAST(max(CASE WHEN h >> 9 = 0 THEN 52
+         |                     ELSE 52 - length(bin(h >> 9)) END) AS INT) AS r
+         |FROM h GROUP BY 1 ORDER BY bucket""".stripMargin,
+    // raw HLL estimator replayed in exact HUGEINT arithmetic:
+    // E = 7213·m³·2^62 // ((10000·m + 10790) · Σ_j 2^(62-M_j)), m = 512
+    "q_hll_distinct" ->
+      s"""WITH h AS (SELECT l_returnflag AS g,
+         |             ${duckMd5_60("CAST(l_partkey AS VARCHAR)")} AS h
+         |           FROM lineitem WHERE l_partkey IS NOT NULL),
+         |reg AS (SELECT g, h & 511 AS bucket,
+         |          max(CASE WHEN h >> 9 = 0 THEN 52 ELSE 52 - length(bin(h >> 9)) END) AS r
+         |        FROM h GROUP BY g, bucket),
+         |grps AS (SELECT DISTINCT g FROM h),
+         |filled AS (SELECT grps.g, gr.b, coalesce(reg.r, 0) AS r
+         |           FROM grps CROSS JOIN (SELECT unnest(range(512)) AS b) gr
+         |           LEFT JOIN reg ON reg.g = grps.g AND reg.bucket = gr.b),
+         |s AS (SELECT g, sum(CAST(CAST(1 AS BIGINT) << (62 - r) AS HUGEINT)) AS sm
+         |      FROM filled GROUP BY g)
+         |SELECT g AS l_returnflag,
+         |  CAST((CAST(7213 AS HUGEINT) * 512 * 512 * 512
+         |        * CAST(CAST(1 AS BIGINT) << 62 AS HUGEINT))
+         |       // ((CAST(10000 AS HUGEINT) * 512 + 10790) * sm) AS BIGINT) AS est
+         |FROM s ORDER BY l_returnflag""".stripMargin,
+    "q_cms_estimate" ->
+      s"""WITH tok AS (SELECT unnest(list_filter(str_split_regex(lower(text), '\\s+'),
+         |                           x -> x <> '')) AS t FROM documents),
+         |grid AS (SELECT unnest(range(4)) AS i),
+         |cells AS (SELECT i,
+         |            ${duckMd5_60("CAST(i AS VARCHAR) || ':' || t")} % 1024 AS slot,
+         |            count(*) AS c
+         |          FROM tok, grid GROUP BY 1, 2),
+         |cand AS (SELECT unnest(['the','a','spark','scan','dup','query','data','zz_absent']) AS key),
+         |cs AS (SELECT key, i,
+         |         ${duckMd5_60("CAST(i AS VARCHAR) || ':' || key")} % 1024 AS slot
+         |       FROM cand, grid)
+         |SELECT key, CAST(min(coalesce(c, 0)) AS BIGINT) AS est
+         |FROM cs LEFT JOIN cells USING (i, slot) GROUP BY key ORDER BY key""".stripMargin,
+    "q_bloom_probe" ->
+      s"""WITH bk AS (SELECT DISTINCT CAST(s_suppkey AS VARCHAR) AS k
+         |            FROM supplier WHERE s_suppkey % 7 = 0),
+         |grid AS (SELECT unnest(range(3)) AS i),
+         |bits AS (SELECT DISTINCT ${duckMd5_60("CAST(i AS VARCHAR) || ':' || k")} % 64 AS pos
+         |         FROM bk, grid),
+         |probe AS (SELECT DISTINCT l_suppkey FROM lineitem),
+         |pass AS (SELECT l_suppkey FROM probe WHERE NOT EXISTS (
+         |  SELECT 1 FROM grid g
+         |  WHERE ${duckMd5_60("CAST(g.i AS VARCHAR) || ':' || CAST(l_suppkey AS VARCHAR)")} % 64
+         |        NOT IN (SELECT pos FROM bits)))
+         |SELECT p.l_suppkey,
+         |       EXISTS (SELECT 1 FROM bk WHERE bk.k = CAST(p.l_suppkey AS VARCHAR)) AS is_member
+         |FROM pass p ORDER BY l_suppkey""".stripMargin,
+    "q_inverted_index" ->
+      """WITH dt AS (SELECT DISTINCT doc_id,
+        |              unnest(list_filter(str_split_regex(lower(text), '\s+'),
+        |                     x -> x <> '')) AS term
+        |            FROM documents),
+        |dfs AS (SELECT term, count(*) AS df FROM dt GROUP BY term),
+        |keep AS (SELECT term, df FROM dfs WHERE df >= 1 AND df <= 390)
+        |SELECT k.term, k.df,
+        |       array_to_string(list(d.doc_id ORDER BY d.doc_id), ',') AS plist
+        |FROM keep k JOIN dt d USING (term)
+        |GROUP BY k.term, k.df ORDER BY term""".stripMargin,
+    "q_postings_search" ->
+      """WITH w AS (SELECT doc_id,
+        |             list_filter(str_split_regex(lower(text), '\s+'), x -> x <> '') AS ts
+        |           FROM documents)
+        |SELECT doc_id FROM w
+        |WHERE list_contains(ts, 'spark') AND list_contains(ts, 'scan')
+        |  AND list_contains(ts, 'dup')
+        |ORDER BY doc_id""".stripMargin,
+    "q_gopher_rules" ->
+      """WITH b AS (SELECT doc_id, coalesce(text, '') AS t,
+        |             list_filter(str_split_regex(coalesce(text, ''), '\s+'), x -> x <> '') AS ws,
+        |             str_split(coalesce(text, ''), chr(10)) AS ls
+        |           FROM documents),
+        |c AS (SELECT doc_id, len(ws) AS nw,
+        |        coalesce(list_sum(list_transform(ws, x -> length(x))), 0) AS chars,
+        |        len(list_filter(ws, x -> regexp_matches(x, '[A-Za-z]'))) AS alphaw,
+        |        len(list_intersect(list_distinct(list_transform(ws, x -> lower(x))),
+        |            ['the','be','to','of','and','that','have','with'])) AS stops,
+        |        len(ls) AS nl,
+        |        len(list_filter(ls, l -> starts_with(trim(l), '-')
+        |            OR starts_with(trim(l), '*') OR starts_with(trim(l), '•'))) AS bul,
+        |        len(list_filter(ls, l -> l LIKE '%...' OR l LIKE '%…')) AS ell,
+        |        length(t) - length(replace(t, '#', '')) AS hashes,
+        |        (length(t) - length(regexp_replace(t, '\.\.\.', '', 'g'))) // 3 AS ellipses
+        |      FROM b)
+        |SELECT doc_id, CAST(nw AS INT) AS n_words,
+        |  nw >= 40 AND nw <= 100000 AS r_words,
+        |  3 * nw <= chars AND chars <= 10 * nw AS r_meanlen,
+        |  10 * (hashes + ellipses) <= nw AS r_symbol,
+        |  10 * bul <= 9 * nl AS r_bullet,
+        |  10 * ell <= 3 * nl AS r_ellipsis,
+        |  5 * alphaw >= 4 * nw AS r_alpha,
+        |  stops >= 2 AS r_stop,
+        |  (nw >= 40 AND nw <= 100000) AND (3 * nw <= chars AND chars <= 10 * nw)
+        |    AND (10 * (hashes + ellipses) <= nw) AND (10 * bul <= 9 * nl)
+        |    AND (10 * ell <= 3 * nl) AND (5 * alphaw >= 4 * nw) AND (stops >= 2) AS pass
+        |FROM c ORDER BY doc_id""".stripMargin,
+    "q_connected_components" ->
+      s"""WITH RECURSIVE $duckMinhashCtes,
+         |p AS (SELECT id_a, id_b FROM jac
+         |      WHERE CAST(i AS DOUBLE) / CAST(la + lb - i AS DOUBLE) >= 0.3),
+         |edges AS (SELECT id_a AS s, id_b AS d FROM p
+         |          UNION ALL SELECT id_b AS s, id_a AS d FROM p),
+         |reach(id, r) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.d, reach.r FROM reach JOIN edges e ON e.s = reach.id)
+         |SELECT id AS doc_id, CAST(min(r) AS BIGINT) AS comp
+         |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
   )
 }

@@ -20,6 +20,7 @@ object Builtins {
     ConformanceAggregates.registerAll()
     graft.ops.TextAnalysis.registerAll()
     graft.ops.Dedup.registerAll()
+    graft.ops.Sketches.registerAll()
     graft.ops.Similarity.registerAll()
     graft.ops.Multimodal.registerAll()
     graft.wasm.WasmKernels.registerAll()

@@ -234,4 +234,51 @@ object Curation {
       }
       .toDF(strataCol, idCol, "bin", "fill")
   }
+
+  /**
+   * The full Gopher/MassiveText document-quality rule battery (Rae et al.
+   * 2021 §A1.1), one boolean column per rule plus the combined gate:
+   *
+   *  - `r_words`    word count within [minWords, maxWords]
+   *  - `r_meanlen`  mean word length within [3, 10] characters
+   *  - `r_symbol`   (hash + ellipsis) to word ratio ≤ 0.1
+   *  - `r_bullet`   ≤ 90% of lines start with a bullet character
+   *  - `r_ellipsis` ≤ 30% of lines end with an ellipsis
+   *  - `r_alpha`    ≥ 80% of words contain at least one alphabetic character
+   *  - `r_stop`     contains ≥ 2 distinct English stop words
+   *  - `pass`       AND of all seven
+   *
+   * Every predicate is integer arithmetic on builtin expressions (ratio
+   * bounds are cross-multiplied: `10·symbols ≤ words`, never a float), so
+   * the whole battery is one map-only codegen'd projection — no shuffle, no
+   * UDF — and the DuckDB oracle replays it bit-for-bit. At 100 TB this is
+   * the first gate in the pipeline precisely because it costs one scan.
+   */
+  def gopherRules(docs: DataFrame, textCol: String, idCol: String,
+                  minWords: Int = 50, maxWords: Int = 100000): DataFrame = {
+    val txt = coalesce(col(textCol), lit(""))
+    val ws = filter(split(txt, "\\s+"), x => length(x) > 0)
+    val nw = size(ws)
+    val chars = aggregate(ws, lit(0), (acc, x) => acc + length(x))
+    val alphaWords = size(filter(ws, x => x.rlike("[A-Za-z]")))
+    val stops = array(TextAnalysis.gopherStopwords.map(lit): _*)
+    val stopHits = size(array_intersect(array_distinct(transform(ws, lower _)), stops))
+    val lines = split(txt, "\n")
+    val nLines = size(lines)
+    val bullets = size(filter(lines, l => trim(l).startsWith("-") ||
+      trim(l).startsWith("*") || trim(l).startsWith("•")))
+    val ellLines = size(filter(lines, l => l.endsWith("...") || l.endsWith("…")))
+    val hashes = length(txt) - length(regexp_replace(txt, "#", ""))
+    val ellipses = ((length(txt) - length(regexp_replace(txt, "\\.\\.\\.", ""))) / 3).cast("int")
+    docs.select(col(idCol), nw.as("n_words"),
+        (nw >= minWords && nw <= maxWords).as("r_words"),
+        (lit(3) * nw <= chars && chars <= lit(10) * nw).as("r_meanlen"),
+        (lit(10) * (hashes + ellipses) <= nw).as("r_symbol"),
+        (lit(10) * bullets <= lit(9) * nLines).as("r_bullet"),
+        (lit(10) * ellLines <= lit(3) * nLines).as("r_ellipsis"),
+        (lit(5) * alphaWords >= lit(4) * nw).as("r_alpha"),
+        (stopHits >= 2).as("r_stop"))
+      .withColumn("pass", col("r_words") && col("r_meanlen") && col("r_symbol") &&
+        col("r_bullet") && col("r_ellipsis") && col("r_alpha") && col("r_stop"))
+  }
 }

@@ -209,12 +209,37 @@ object Dedup {
     // the checkpoint above materialized the pairs — the banded-signature cache
     // is dead weight from here on
     banded.unpersist(false)
+    val labels = connectedComponents(pairs, "id_a", "id_b", maxIter)
+    // Drop non-root endpoints; every other document (including the untouched
+    // majority) survives — an anti join against the small loser set.
+    val losers = labels.where(col("comp") =!= col("id")).select(col("id")).localCheckpoint()
+    df.join(losers, df(idCol).cast("long") === losers("id"), "left_anti")
+  }
+
+  /** Connected components over an (undirected) edge list by min-label
+    * propagation with alternating pointer-jumping — the subroutine behind
+    * [[nearDedupCorpus]], exposed as a first-class graph operator.
+    *
+    * Input edges need NOT be symmetrized (each row is treated as an
+    * undirected edge); ids must be integral (cast to long internally).
+    * Returns one row per edge ENDPOINT: `(id, comp)` where `comp` is the
+    * smallest id reachable from `id`. Vertices with no edges are the
+    * caller's to union in (they are trivially their own component) — at
+    * corpus scale the untouched majority never enters the iteration.
+    *
+    * Scale: each iteration is one shuffle over the edge set + one over the
+    * label set; pointer jumping on odd iterations keeps convergence
+    * O(log diameter). Lineage is truncated with localCheckpoint (swap for a
+    * reliable checkpoint dir on a multi-node cluster). */
+  def connectedComponents(edges0: DataFrame, srcCol: String, dstCol: String,
+                          maxIter: Int = 50): DataFrame = {
+    val pairs = edges0.select(col(srcCol).cast("long").as("id_a"),
+      col(dstCol).cast("long").as("id_b"))
     val edges = pairs.union(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
-    // Only candidate-pair ENDPOINTS participate in label propagation —
-    // documents with no near-dup candidate trivially keep themselves. The
-    // iteration working set is the candidate subgraph (a tiny fraction of the
-    // corpus at 100 TB), never the corpus.
-    var labels = edges.select(col("id_a").cast("long").as("id")).distinct()
+    // Only edge ENDPOINTS participate in label propagation — the iteration
+    // working set is the candidate subgraph (a tiny fraction of the corpus
+    // at 100 TB), never the corpus.
+    var labels = edges.select(col("id_a").as("id")).distinct()
       .withColumn("comp", col("id"))
       .localCheckpoint()
     var prev: Option[DataFrame] = None
@@ -257,14 +282,12 @@ object Dedup {
     }
     if (changed > 0)
       throw new IllegalStateException(
-        s"nearDedupCorpus: connected components did not converge after $maxIter iterations")
-    // Drop non-root endpoints; every other document (including the untouched
-    // majority) survives — an anti join against the small loser set. The loser
-    // set is tiny (candidate endpoints only), so materializing it here lets us
-    // release the last iteration's cached blocks before returning.
-    val losers = labels.where(col("comp") =!= col("id")).select(col("id")).localCheckpoint()
+        s"connectedComponents did not converge after $maxIter iterations")
+    // Materialize the (small) label table so the last iteration's cached
+    // blocks can be released before returning.
+    val out = labels.localCheckpoint()
     prev.foreach(_.unpersist(false))
-    df.join(losers, df(idCol).cast("long") === losers("id"), "left_anti")
+    out
   }
 
   /** Semantic dedup over an embedding column (the SemDeDup shape with

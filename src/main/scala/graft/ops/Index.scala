@@ -1,0 +1,57 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Inverted-index construction and postings search — the retrieval-side
+ * companion to the corpus-curation operators: build a term → postings map
+ * over the corpus once, then answer conjunctive (AND) keyword queries from
+ * the index without re-reading any document text.
+ */
+object Index {
+
+  /** Lowercased whitespace tokens, one row per DISTINCT (doc, term) — the
+    * document-frequency basis (duplicates within a doc collapse). */
+  private def docTerms(docs: DataFrame, textCol: String, idCol: String): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+        explode(array_distinct(filter(split(lower(col(textCol)), "\\s+"),
+          x => length(x) > 0))).as("term"))
+
+  /** Build an inverted index: one row per term with its document frequency
+    * and sorted postings list, keeping only terms with df in [minDf, maxDf].
+    *
+    * Scale design — TWO passes over the term stream, on purpose:
+    * pass 1 aggregates df counts only (a counted shuffle, ~bytes per
+    * distinct term); the df filter then runs BEFORE any postings list is
+    * materialized, so stopword-scale terms ("the" at 100 TB → billions of
+    * doc ids) never build a giant array in an executor. Pass 2 collects
+    * postings only for surviving terms. maxDf is the memory contract: a
+    * term's postings array is ≤ maxDf ids. For web-scale retrieval shard
+    * further by (term, hash(doc_id) % nSegments). */
+  def invertedIndex(docs: DataFrame, textCol: String, idCol: String,
+                    minDf: Long = 1L, maxDf: Long = 1000000L): DataFrame = {
+    val toks = docTerms(docs, textCol, idCol)
+    val kept = toks.groupBy("term").agg(count("*").as("df"))
+      .where(col("df") >= minDf && col("df") <= maxDf)
+    toks.join(kept, "term")
+      .groupBy("term", "df")
+      .agg(sort_array(collect_list("doc_id")).as("postings"))
+      .select("term", "df", "postings")
+  }
+
+  /** Conjunctive (AND) search over an inverted index: documents containing
+    * EVERY query term. Fully distributed — the index scan prunes to the
+    * query terms (predicate pushdown on `term`), postings explode, and a
+    * doc qualifies iff it appears under all of them. No document text is
+    * read. */
+  def searchAll(index: DataFrame, terms: Seq[String]): DataFrame = {
+    val qs = terms.map(_.toLowerCase).distinct
+    require(qs.nonEmpty, "searchAll: empty term list")
+    index.where(col("term").isin(qs: _*))
+      .select(explode(col("postings")).as("doc_id"))
+      .groupBy("doc_id").agg(count("*").as("nt"))
+      .where(col("nt") === qs.length)
+      .select("doc_id")
+  }
+}

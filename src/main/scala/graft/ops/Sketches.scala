@@ -1,0 +1,238 @@
+package graft.ops
+
+import graft.functions.{GraftAggregate, Udf}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Mergeable summary sketches for corpus-scale profiling: HyperLogLog distinct
+ * counting, count-min frequency estimation, and Bloom-filter membership.
+ *
+ * These are the operators a 100 TB pipeline reaches for when the exact
+ * answer (COUNT(DISTINCT …), a full frequency table, a shuffled semi-join)
+ * would itself be a corpus-sized shuffle. Each sketch here is:
+ *
+ *  - '''one pass, map-side combinable''': state is a small fixed-size array
+ *    (HLL: 2^p bytes; CMS: d·w longs; Bloom: m/64 longs) that Spark's
+ *    partial-aggregation split merges associatively — the shuffle carries
+ *    one small state per partition, never the keys;
+ *  - '''deterministic''': every hash is the engine-wide md5-prefix scheme
+ *    ([[Hashing.md5_60]]), so results are reproducible across runs, engines,
+ *    and the DuckDB oracle (which replays the same md5 arithmetic in SQL);
+ *  - '''integer-exact where gated''': the HLL estimator is evaluated in
+ *    exact BigInt arithmetic (a fixed rational alpha), not floating point,
+ *    so the correctness gate hashes identical integers on both engines.
+ *
+ * Scale notes: the collected artifacts (an HLL register file, a CMS matrix,
+ * a Bloom bit array) are kilobytes by construction, independent of corpus
+ * size — safe to collect, broadcast, persist, or merge across days.
+ */
+object Sketches {
+
+  // ---- shared hashing ------------------------------------------------------
+
+  /** 60-bit md5 prefix of `i + ":" + key` — the salted row-hash family used
+    * by CMS and Bloom (DuckDB replica:
+    * `CAST('0x' || substr(md5(CAST(i AS VARCHAR) || ':' || key), 1, 15) AS BIGINT)`). */
+  @inline private def saltedHash(i: Int, key: String): Long =
+    Hashing.md5_60(i.toString + ":" + key)
+
+  // ---- HyperLogLog ---------------------------------------------------------
+
+  /** Registers of an HLL sketch with 2^p buckets over the 60-bit md5 hash:
+    * bucket = low p bits, rho = 1-based position of the first set bit in the
+    * remaining (60-p)-bit suffix (rho = 61-p for an all-zero suffix). */
+  def hllRho(h: Long, p: Int): Int = {
+    val wBits = 60 - p
+    val w = h >>> p
+    if (w == 0L) wBits + 1
+    else wBits - (64 - java.lang.Long.numberOfLeadingZeros(w)) + 1
+  }
+
+  /** Raw HLL estimator in EXACT integer arithmetic: with S = Σ_j 2^(62-M_j)
+    * (so Σ 2^-M_j = S / 2^62) and the standard bias constant expressed as the
+    * rational alpha_m = 7213·m / (10000·m + 10790),
+    *
+    *   E = floor( 7213 · m³ · 2^62  /  ((10000·m + 10790) · S) ).
+    *
+    * No floating point anywhere, so DuckDB reproduces it bit-for-bit in
+    * HUGEINT. This is the RAW estimator (no small-range linear-counting
+    * correction — that needs ln()); see [[hllEstimate]] for the corrected
+    * estimate to use in application code. */
+  def hllEstimateRaw(registers: Array[Byte]): Long = {
+    val m = registers.length
+    var s = BigInt(0)
+    var j = 0
+    while (j < m) { s += BigInt(1) << (62 - registers(j)); j += 1 }
+    val num = BigInt(7213) * BigInt(m).pow(3) * (BigInt(1) << 62)
+    (num / (BigInt(10000 * m.toLong + 10790) * s)).toLong
+  }
+
+  /** Standard corrected estimate (linear counting below 2.5·m when empty
+    * registers exist) — floats, for application use; the gated queries use
+    * [[hllEstimateRaw]]. */
+  def hllEstimate(registers: Array[Byte]): Double = {
+    val m = registers.length
+    val raw = hllEstimateRaw(registers).toDouble
+    val zeros = registers.count(_ == 0)
+    if (raw <= 2.5 * m && zeros > 0) m * math.log(m.toDouble / zeros) else raw
+  }
+
+  /** Distributed register computation as a plain aggregation — the shape you
+    * want when the registers themselves are the deliverable (merging across
+    * days, unioning corpora): one groupBy over ≤2^p buckets, map-side
+    * combined, rows = non-empty buckets only. Entirely built-in codegen'd
+    * expressions (md5/conv/bin), no UDF in the path. */
+  def hllRegisters(df: DataFrame, key: Column, p: Int): DataFrame = {
+    val m = 1 << p
+    val wBits = 60 - p
+    val h = conv(substring(md5(key.cast("string")), 1, 15), 16, 10).cast("long")
+    df.where(key.isNotNull)
+      .select(h.as("h"))
+      .select(col("h").bitwiseAND(lit(m - 1)).cast("int").as("bucket"),
+        expr(s"CAST(CASE WHEN shiftrightunsigned(h, $p) = 0 THEN ${wBits + 1} " +
+             s"ELSE ${wBits + 1} - length(bin(shiftrightunsigned(h, $p))) END AS INT)").as("rho"))
+      .groupBy("bucket").agg(max("rho").as("r"))
+  }
+
+  /** Union two register files produced by [[hllRegisters]] (the
+    * incremental-pipeline shape: yesterday's persisted registers ∪ today's):
+    * full-outer join on bucket, elementwise max. The result is EXACTLY the
+    * register file of the concatenated corpora — HLL's defining property —
+    * so unions are associative, idempotent, and re-run-safe. */
+  def hllUnion(a: DataFrame, b: DataFrame): DataFrame = {
+    val bb = b.select(col("bucket").as("bucket2"), col("r").as("r2"))
+    a.join(bb, a("bucket") === bb("bucket2"), "full_outer")
+      .select(coalesce(a("bucket"), bb("bucket2")).as("bucket"),
+        greatest(coalesce(a("r"), lit(0)), coalesce(bb("r2"), lit(0))).as("r"))
+  }
+
+  /** HLL as a mergeable aggregate function (`hll_distinct(string) -> bigint`,
+    * p = 9 → 512 byte state): per-group approximate distinct with Spark's
+    * partial/final split doing the register max-merge. */
+  final class HllAgg(p: Int) extends GraftAggregate[Array[Byte], Long] {
+    private val m = 1 << p
+    override def createState(): Array[Byte] = new Array[Byte](m)
+    override def accumulate(state: Array[Byte], input: Row): Array[Byte] = {
+      if (!input.isNullAt(0)) {
+        val h = Hashing.md5_60(input.getString(0))
+        val bucket = (h & (m - 1)).toInt
+        val r = hllRho(h, p)
+        if (r > state(bucket)) state(bucket) = r.toByte
+      }
+      state
+    }
+    override def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
+      var j = 0
+      while (j < a.length) { if (b(j) > a(j)) a(j) = b(j); j += 1 }
+      a
+    }
+    override def finish(state: Array[Byte]): Long = hllEstimateRaw(state)
+  }
+
+  // ---- Count-min sketch ----------------------------------------------------
+
+  /** Build the CMS matrix over `key` (optionally weighted) in one pass:
+    * one partial matrix per partition, elementwise-added on the driver —
+    * no key ever shuffles. Returned array is row-major (d rows × w slots),
+    * kilobytes regardless of corpus size — safe to collect and broadcast. */
+  def countMin(df: DataFrame, key: Column, weight: Option[Column], d: Int, w: Int): Array[Long] = {
+    val hasW = weight.isDefined
+    val in = weight match {
+      case Some(wc) => df.select(key.cast("string").as("k"), wc.cast("long").as("wt"))
+      case None => df.select(key.cast("string").as("k"))
+    }
+    val states = in.queryExecution.toRdd.mapPartitions { it =>
+      val st = new Array[Long](d * w)
+      it.foreach { ir =>
+        if (!ir.isNullAt(0)) {
+          val key = ir.getUTF8String(0).toString
+          val wt = if (hasW && !ir.isNullAt(1)) ir.getLong(1) else 1L
+          var i = 0
+          while (i < d) { st(i * w + (saltedHash(i, key) % w).toInt) += wt; i += 1 }
+        }
+      }
+      Iterator.single(st)
+    }.collect()
+    states.reduceOption { (a, b) =>
+      var j = 0; while (j < a.length) { a(j) += b(j); j += 1 }; a
+    }.getOrElse(new Array[Long](d * w))
+  }
+
+  /** Point-estimate ĉ(key) = min_i matrix[i][h_i(key) % w] — the classic CMS
+    * overestimate (never an underestimate). */
+  def cmsEstimate(matrix: Array[Long], d: Int, w: Int, key: String): Long = {
+    var best = Long.MaxValue
+    var i = 0
+    while (i < d) {
+      val c = matrix(i * w + (saltedHash(i, key) % w).toInt)
+      if (c < best) best = c
+      i += 1
+    }
+    best
+  }
+
+  /** Frequency estimates for a candidate list in one corpus pass: build the
+    * matrix, then evaluate each candidate driver-side (candidates are a
+    * user-supplied bounded list — the corpus itself never leaves executors). */
+  def cmsEstimates(spark: SparkSession, df: DataFrame, key: Column,
+                   candidates: Seq[String], d: Int = 4, w: Int = 1024): DataFrame = {
+    val matrix = countMin(df, key, None, d, w)
+    import spark.implicits._
+    candidates.map(c => (c, cmsEstimate(matrix, d, w, c))).toDF("key", "est")
+  }
+
+  // ---- Bloom filter --------------------------------------------------------
+
+  /** Build the bit array over the build side's keys (one pass, per-partition
+    * partial bitsets OR-merged on the driver — the build side never shuffles). */
+  def bloomBits(build: DataFrame, key: Column, mBits: Int, k: Int): Array[Long] = {
+    require(mBits % 64 == 0, "mBits must be a multiple of 64")
+    val in = build.select(key.cast("string").as("k"))
+    val states = in.queryExecution.toRdd.mapPartitions { it =>
+      val st = new Array[Long](mBits / 64)
+      it.foreach { ir =>
+        if (!ir.isNullAt(0)) {
+          val key = ir.getUTF8String(0).toString
+          var i = 0
+          while (i < k) {
+            val pos = (saltedHash(i, key) % mBits).toInt
+            st(pos >> 6) |= (1L << (pos & 63))
+            i += 1
+          }
+        }
+      }
+      Iterator.single(st)
+    }.collect()
+    states.reduceOption { (a, b) =>
+      var j = 0; while (j < a.length) { a(j) |= b(j); j += 1 }; a
+    }.getOrElse(new Array[Long](mBits / 64))
+  }
+
+  @inline def bloomContains(bits: Array[Long], mBits: Int, k: Int, key: String): Boolean = {
+    var i = 0
+    while (i < k) {
+      val pos = (saltedHash(i, key) % mBits).toInt
+      if ((bits(pos >> 6) & (1L << (pos & 63))) == 0L) return false
+      i += 1
+    }
+    true
+  }
+
+  /** Filter `probe` to rows whose key MIGHT be in the build set (no false
+    * negatives; false-positive rate set by mBits/k vs build cardinality).
+    * The bit array is broadcast in the task closure — the probe side is a
+    * map-only scan, which is the entire point: at 100 TB this prunes a
+    * corpus-sized shuffle down to the (small) candidate set before any join. */
+  def bloomProbe(probe: DataFrame, key: Column, bits: Array[Long],
+                 mBits: Int, k: Int): DataFrame = {
+    val contains = udf { s: String => s != null && bloomContains(bits, mBits, k, s) }
+    probe.where(contains(key.cast("string")))
+  }
+
+  // ---- registration --------------------------------------------------------
+
+  def registerAll(): Unit = {
+    Udf.aggregateNative("hll_distinct(string) -> bigint")(new HllAgg(9))
+  }
+}

@@ -31,6 +31,11 @@ object TextAnalysis {
   /** English stopwords used by the quality score. */
   val stopwords: Set[String] = markers("en")
 
+  /** The Gopher rule stop list (Rae et al. 2021 §A1.1): a document must
+    * contain at least two of these to pass the stop-word rule. */
+  val gopherStopwords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
   private def tokens(s: String): Array[String] =
     s.split("\\s+").filter(_.nonEmpty)
 

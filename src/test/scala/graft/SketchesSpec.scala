@@ -1,0 +1,196 @@
+package graft
+
+import graft.ops.{Curation, Dedup, Index, Sketches}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Sketch operators (HLL / CMS / Bloom), the inverted index, the Gopher rule
+  * battery, and public connected components. Property style: every sketch is
+  * checked against its exact ground truth on seeded random data. */
+class SketchesSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val rnd = new scala.util.Random(42)
+
+  // ---- HyperLogLog ---------------------------------------------------------
+
+  test("hll: corrected estimate within 10% of exact distinct at n=5000") {
+    val keys = (1 to 20000).map(_ => "k" + rnd.nextInt(5000))
+    val exact = keys.distinct.size
+    val df = keys.toDF("k")
+    val regs = new Array[Byte](512)
+    Sketches.hllRegisters(df, col("k"), p = 9).collect().foreach { r =>
+      regs(r.getInt(0)) = r.getInt(1).toByte
+    }
+    val est = Sketches.hllEstimate(regs)
+    assert(math.abs(est - exact) < 0.10 * exact, s"est=$est exact=$exact")
+  }
+
+  test("hll: register merge (elementwise max) equals whole-corpus registers") {
+    val keys = (1 to 3000).map(i => "u" + rnd.nextInt(2000))
+    val (a, b) = keys.splitAt(1100)
+    def regsOf(ks: Seq[String]): Array[Byte] = {
+      val agg = new Sketches.HllAgg(9)
+      var st = agg.createState()
+      ks.foreach(k => st = agg.accumulate(st, org.apache.spark.sql.Row(k)))
+      st
+    }
+    val whole = regsOf(keys)
+    val merged = new Sketches.HllAgg(9).merge(regsOf(a), regsOf(b))
+    assert(java.util.Arrays.equals(whole, merged))
+  }
+
+  test("hll_distinct SQL aggregate equals driver-side raw estimator") {
+    val keys = (1 to 4000).map(i => "g" + (i % 2) -> ("v" + rnd.nextInt(700)))
+    val df = keys.toDF("g", "v")
+    df.createOrReplaceTempView("hll_in")
+    val viaSql = spark.sql(
+      "SELECT g, hll_distinct(v) AS e FROM hll_in GROUP BY g ORDER BY g")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val expected = keys.groupBy(_._1).map { case (g, kvs) =>
+      val agg = new Sketches.HllAgg(9)
+      var st = agg.createState()
+      kvs.foreach { case (_, v) => st = agg.accumulate(st, org.apache.spark.sql.Row(v)) }
+      g -> Sketches.hllEstimateRaw(st)
+    }
+    assert(viaSql == expected)
+  }
+
+  test("hll raw estimator: exact-integer formula matches a float reference") {
+    // raw = alpha*m^2 / sum(2^-Mj); BigInt formula must floor the same value
+    val regs = new Array[Byte](512)
+    (0 until 512).foreach(j => regs(j) = (rnd.nextInt(8) + 1).toByte)
+    val m = 512.0
+    val alpha = 0.7213 / (1 + 1.079 / m)
+    val s = regs.map(r => math.pow(2.0, -r.toDouble)).sum
+    val floatE = alpha * m * m / s
+    val intE = Sketches.hllEstimateRaw(regs)
+    assert(math.abs(intE - floatE) <= 1.0, s"int=$intE float=$floatE")
+  }
+
+  // ---- Count-min -----------------------------------------------------------
+
+  test("cms: never underestimates, exact for most keys at low load") {
+    val keys = (1 to 5000).map(_ => "w" + rnd.nextInt(300))
+    val truth = keys.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val mat = Sketches.countMin(keys.toDF("k"), col("k"), None, d = 4, w = 1024)
+    truth.foreach { case (k, n) =>
+      val est = Sketches.cmsEstimate(mat, 4, 1024, k)
+      assert(est >= n, s"underestimate for $k: $est < $n")
+    }
+    // at 300 keys / 1024 slots / 4 rows, collisions in all 4 rows are rare
+    val exact = truth.count { case (k, n) => Sketches.cmsEstimate(mat, 4, 1024, k) == n }
+    assert(exact >= truth.size * 0.95)
+  }
+
+  test("cms: weighted build sums weights") {
+    val df = Seq(("a", 5L), ("a", 7L), ("b", 1L)).toDF("k", "wt")
+    val mat = Sketches.countMin(df, col("k"), Some(col("wt")), d = 2, w = 64)
+    assert(Sketches.cmsEstimate(mat, 2, 64, "a") >= 12L)
+    assert(Sketches.cmsEstimate(mat, 2, 64, "b") >= 1L)
+  }
+
+  // ---- Bloom ---------------------------------------------------------------
+
+  test("bloom: no false negatives; FP rate sane at sized filter") {
+    val members = (1 to 500).map(i => "m" + i)
+    val bits = Sketches.bloomBits(members.toDF("k"), col("k"), mBits = 8192, k = 3)
+    members.foreach(m => assert(Sketches.bloomContains(bits, 8192, 3, m)))
+    val nonMembers = (1 to 2000).map(i => "x" + i)
+    val fps = nonMembers.count(Sketches.bloomContains(bits, 8192, 3, _))
+    // 500 keys * 3 hashes in 8192 bits -> fill ~0.17, fp ~ 0.5%; allow 5%
+    assert(fps <= 100, s"fp=$fps/2000")
+  }
+
+  test("bloomProbe: map-only filter passes every true member") {
+    val members = (1 to 50).map(i => "m" + i)
+    val bits = Sketches.bloomBits(members.toDF("k"), col("k"), mBits = 4096, k = 3)
+    val probe = ((1 to 50).map(i => "m" + i) ++ (1 to 50).map(i => "z" + i)).toDF("k")
+    val got = Sketches.bloomProbe(probe, col("k"), bits, 4096, 3)
+      .as[String].collect().toSet
+    assert(members.toSet.subsetOf(got))
+    assert(got.size <= 60) // few false positives at this sizing
+  }
+
+  // ---- Inverted index ------------------------------------------------------
+
+  test("inverted index + searchAll match brute-force containment") {
+    val vocab = Vector("red", "green", "blue", "cyan", "lime", "teal")
+    val docs = (1 to 200).map { i =>
+      (i.toLong, (1 to 10).map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }
+    val df = docs.toDF("doc_id", "text")
+    val idx = Index.invertedIndex(df, "text", "doc_id").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getSeq[Long](2))).toList
+    idx.foreach { case (term, dfc, postings) =>
+      val truth = docs.filter(_._2.split(" ").contains(term)).map(_._1).sorted
+      assert(postings == truth, s"postings for $term")
+      assert(dfc == truth.size)
+    }
+    val hits = Index.searchAll(Index.invertedIndex(df, "text", "doc_id"),
+      Seq("red", "blue")).as[Long].collect().toSet
+    val truth = docs.filter { case (_, t) =>
+      val ws = t.split(" ").toSet; ws("red") && ws("blue")
+    }.map(_._1).toSet
+    assert(hits == truth)
+  }
+
+  test("inverted index: maxDf filter prunes before postings materialize") {
+    val df = Seq((1L, "a b"), (2L, "a c"), (3L, "a d")).toDF("doc_id", "text")
+    val idx = Index.invertedIndex(df, "text", "doc_id", minDf = 1, maxDf = 2)
+    assert(!idx.collect().map(_.getString(0)).contains("a")) // df=3 pruned
+    assert(idx.count() == 3) // b, c, d
+  }
+
+  // ---- Gopher rules --------------------------------------------------------
+
+  test("gopher rules: each predicate fires on a targeted fixture") {
+    val good = ((1 to 60).map(_ => "steady") ++ Seq("the", "of")).mkString(" ")
+    val fixtures = Seq(
+      (1L, good),                                       // passes all
+      (2L, "the of tiny"),                              // fails r_words
+      (3L, (1 to 60).map(_ => "a").mkString(" ") + " the of"), // fails r_meanlen (mean<3)
+      (4L, ((1 to 60).map(_ => "x#####x")).mkString(" ") + " the of"), // fails r_symbol
+      (5L, (1 to 60).map(_ => "- bullet line").mkString("\n")), // fails r_bullet
+      (6L, (1 to 60).map(_ => "trailing...").mkString("\n")),   // fails r_ellipsis
+      (7L, ((1 to 60).map(_ => "123")).mkString(" ") + " the of"), // fails r_alpha
+      (8L, (1 to 60).map(_ => "steady").mkString(" ")), // fails r_stop (0 stopwords)
+    )
+    val out = Curation.gopherRules(fixtures.toDF("doc_id", "text"), "text", "doc_id")
+      .orderBy("doc_id").collect()
+    def b(r: org.apache.spark.sql.Row, c: String) = r.getBoolean(r.fieldIndex(c))
+    assert(b(out(0), "pass"))
+    assert(!b(out(1), "r_words"))
+    assert(!b(out(2), "r_meanlen"))
+    assert(!b(out(3), "r_symbol"))
+    assert(!b(out(4), "r_bullet"))
+    assert(!b(out(5), "r_ellipsis"))
+    assert(!b(out(6), "r_alpha"))
+    assert(!b(out(7), "r_stop"))
+  }
+
+  // ---- Connected components ------------------------------------------------
+
+  test("connectedComponents matches union-find on a random graph") {
+    val n = 120
+    val edges = (1 to 150).map(_ => (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      .filter { case (a, b) => a != b }
+    // union-find ground truth
+    val parent = Array.tabulate(n)(identity)
+    def find(x: Int): Int = { if (parent(x) != x) parent(x) = find(parent(x)); parent(x) }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a.toInt), find(b.toInt))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val truth = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      .map(id => id -> {
+        // component = min id in the union-find class
+        val root = find(id.toInt)
+        (0 until n).filter(j => find(j) == root).min.toLong
+      }).toMap
+    val got = Dedup.connectedComponents(edges.toDF("s", "d"), "s", "d")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == truth)
+  }
+}
