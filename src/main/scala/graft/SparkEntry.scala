@@ -1466,6 +1466,21 @@ object SparkEntry {
       graft.ops.Curation.gopherRules(s.table("documents"), "text", "doc_id",
           minWords = 40).orderBy("doc_id")
     } _,
+    // bigram LM with stupid-backoff (the KenLM-lite upgrade of q_lm_score):
+    // two counted shuffles train V=16/B=64 tables, scoring is map-only; all
+    // integer bit-surprisal so every branch hash-gates
+    "q_lm_bigram" -> dfq { s =>
+      val docs = s.table("documents")
+      val m = graft.ops.LangModel.trainBigram(docs, "text",
+        vocabSize = 16, bigramVocab = 64)
+      graft.ops.LangModel.bigramSurprisal(docs, m, "text", "doc_id")
+        .orderBy("doc_id")
+    } _,
+    // one-pass corpus profile: the before/after-gate report every pipeline
+    // run logs (scalars + histogram map-side combined; exact vocab distinct)
+    "q_corpus_stats" -> dfq { s =>
+      graft.ops.Curation.corpusStats(s.table("documents"), "text").orderBy("stat")
+    } _,
     // ---- connected components as a first-class graph operator --------------
     // edges = LSH near-dup candidate pairs; isolated docs are their own comp
     "q_connected_components" -> dfq { s =>
@@ -3004,6 +3019,54 @@ object SparkEntry {
         |    AND (10 * (hashes + ellipses) <= nw) AND (10 * bul <= 9 * nl)
         |    AND (10 * ell <= 3 * nl) AND (5 * alphaw >= 4 * nw) AND (stops >= 2) AS pass
         |FROM c ORDER BY doc_id""".stripMargin,
+    "q_lm_bigram" ->
+      """WITH w AS (SELECT doc_id,
+        |             list_filter(str_split_regex(lower(coalesce(text, '')), '\s+'),
+        |                         x -> x <> '') AS ws
+        |           FROM documents),
+        |tok AS (SELECT doc_id, t.i AS i, ws[t.i+1] AS cur,
+        |               CASE WHEN t.i = 0 THEN NULL ELSE ws[t.i] END AS prev
+        |        FROM w, unnest(range(len(ws))) AS t(i)),
+        |uni_all AS (SELECT cur AS t, count(*) AS c FROM tok GROUP BY cur),
+        |tot AS (SELECT CAST(coalesce(sum(c), 0) AS BIGINT) AS n FROM uni_all),
+        |uni AS (SELECT t, c FROM uni_all ORDER BY c DESC, t LIMIT 16),
+        |big_all AS (SELECT prev, cur, count(*) AS c2 FROM tok
+        |            WHERE prev IS NOT NULL GROUP BY prev, cur),
+        |big AS (SELECT prev, cur, c2 FROM big_all
+        |        ORDER BY c2 DESC, prev, cur LIMIT 64),
+        |sc AS (SELECT k.doc_id,
+        |         CASE WHEN k.prev IS NULL
+        |                THEN length(bin((SELECT n FROM tot) // greatest(coalesce(u.c, 0), 1)))
+        |              WHEN b.c2 IS NOT NULL AND coalesce(up.c, 0) >= b.c2
+        |                THEN length(bin(coalesce(up.c, 0) // b.c2))
+        |              ELSE 1 + length(bin((SELECT n FROM tot) // greatest(coalesce(u.c, 0), 1)))
+        |         END AS bits
+        |       FROM tok k
+        |       LEFT JOIN uni u ON u.t = k.cur
+        |       LEFT JOIN uni up ON up.t = k.prev
+        |       LEFT JOIN big b ON b.prev = k.prev AND b.cur = k.cur),
+        |agg AS (SELECT doc_id, CAST(coalesce(sum(bits), 0) AS BIGINT) AS surprisal
+        |        FROM sc GROUP BY doc_id)
+        |SELECT w.doc_id, CAST(len(w.ws) AS INT) AS n_tok,
+        |       CAST(coalesce(a.surprisal, 0) AS BIGINT) AS surprisal
+        |FROM w LEFT JOIN agg a USING (doc_id) ORDER BY doc_id""".stripMargin,
+    "q_corpus_stats" ->
+      """WITH w AS (SELECT coalesce(text, '') AS t,
+        |             list_filter(str_split_regex(lower(coalesce(text, '')), '\s+'),
+        |                         x -> x <> '') AS ws
+        |           FROM documents),
+        |b AS (SELECT len(ws) AS nt, length(t) AS nc, ws FROM w)
+        |SELECT * FROM (
+        |  SELECT 'n_docs' AS stat, CAST(count(*) AS BIGINT) AS value FROM b
+        |  UNION ALL SELECT 'n_tokens', CAST(coalesce(sum(nt), 0) AS BIGINT) FROM b
+        |  UNION ALL SELECT 'n_chars', CAST(coalesce(sum(nc), 0) AS BIGINT) FROM b
+        |  UNION ALL SELECT 'max_doc_tokens', CAST(max(nt) AS BIGINT) FROM b
+        |  UNION ALL SELECT 'min_doc_tokens', CAST(min(nt) AS BIGINT) FROM b
+        |  UNION ALL SELECT 'hist_' || CAST(nt // 10 AS VARCHAR), CAST(count(*) AS BIGINT)
+        |            FROM b GROUP BY nt // 10
+        |  UNION ALL SELECT 'distinct_terms', CAST(count(DISTINCT term) AS BIGINT)
+        |            FROM (SELECT unnest(ws) AS term FROM b)
+        |) ORDER BY stat""".stripMargin,
     "q_connected_components" ->
       s"""WITH RECURSIVE $duckMinhashCtes,
          |p AS (SELECT id_a, id_b FROM jac

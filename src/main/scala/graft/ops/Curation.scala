@@ -236,6 +236,38 @@ object Curation {
   }
 
   /**
+   * One-pass corpus profile as a tall `(stat, value)` report: doc/token/char
+   * totals, token-count extremes, exact distinct vocabulary, and a
+   * doc-length histogram (decade buckets). The report every pipeline run
+   * should log before and after each gate — at 100 TB it is two counted
+   * aggregations (scalars + histogram are map-side combined; the exact
+   * vocabulary count is one distinct over terms, the only term-keyed
+   * shuffle — swap in [[Sketches.hllRegisters]] when ±2% is acceptable).
+   */
+  def corpusStats(docs: DataFrame, textCol: String): DataFrame = {
+    val txt = coalesce(col(textCol), lit(""))
+    val ws = filter(split(lower(txt), "\\s+"), x => length(x) > 0)
+    val base = docs.select(size(ws).as("nt"), length(txt).as("nc"), ws.as("ws"))
+    val scalars = base.agg(
+        count(lit(1)).cast("long").as("n_docs"),
+        coalesce(sum("nt"), lit(0L)).cast("long").as("n_tokens"),
+        coalesce(sum("nc"), lit(0L)).cast("long").as("n_chars"),
+        max("nt").cast("long").as("max_doc_tokens"),
+        min("nt").cast("long").as("min_doc_tokens"))
+      .selectExpr("""stack(5,
+        'n_docs', n_docs, 'n_tokens', n_tokens, 'n_chars', n_chars,
+        'max_doc_tokens', max_doc_tokens, 'min_doc_tokens', min_doc_tokens
+        ) AS (stat, value)""")
+    val hist = base.groupBy((col("nt") / 10).cast("long").as("b"))
+      .agg(count(lit(1)).as("value"))
+      .select(concat(lit("hist_"), col("b")).as("stat"), col("value"))
+    val vocab = base.select(explode(col("ws")).as("term"))
+      .agg(countDistinct("term").as("value"))
+      .select(lit("distinct_terms").as("stat"), col("value"))
+    scalars.union(hist).union(vocab)
+  }
+
+  /**
    * The full Gopher/MassiveText document-quality rule battery (Rae et al.
    * 2021 §A1.1), one boolean column per rule plus the combined gate:
    *

@@ -128,6 +128,80 @@ object LangModel {
       .select(col(idCol), col("n_tok"), col("surprisal"), col("bits_per_tok"))
   }
 
+  /** Bigram count model over the same tokenization: the unigram model plus
+    * the top-`bigramVocab` adjacent-pair counts by `(count DESC, prev ASC,
+    * cur ASC)` — the same deterministic truncation rule, so both tables
+    * replay bit-for-bit in the oracle. */
+  final case class BigramModel(uni: UnigramModel,
+      bigrams: Map[(String, String), Long]) extends Serializable
+
+  /** Train a [[BigramModel]]: the unigram pass plus ONE more counted shuffle
+    * over adjacent token pairs (zip_with of the two slices — no self-join),
+    * truncated to a bounded top-B collect. Model payload ≤ V + B entries
+    * regardless of corpus size. */
+  def trainBigram(corpus: DataFrame, textCol: String,
+                  vocabSize: Int, bigramVocab: Int): BigramModel = {
+    val uni = trainUnigram(corpus, textCol, vocabSize)
+    val ws = col("ws")
+    val pairs = corpus.select(tokensCol(textCol).as("ws"))
+      .where(size(ws) >= 2)
+      .select(explode(zip_with(
+        slice(ws, lit(1), size(ws) - 1), slice(ws, lit(2), size(ws) - 1),
+        (a, b) => struct(a.as("p"), b.as("c")))).as("pc"))
+      .select(col("pc.p").as("p"), col("pc.c").as("c"))
+    val top = pairs.groupBy("p", "c").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("p").asc, col("c").asc)
+      .limit(bigramVocab)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    BigramModel(uni, top)
+  }
+
+  /** Integer bigram surprisal with stupid-backoff, map-only under the
+    * broadcast model. Per token i:
+    *
+    *  - i = 0 (no context): unigram bits `bit_length(total div max(c(w),1))`
+    *  - bigram hit (`c2(prev,w) ≥ 1` and `c1(prev) ≥ c2`):
+    *    `bit_length(c1(prev) div c2(prev,w))` — the conditional-probability
+    *    cost
+    *  - otherwise: 1 + unigram bits (a fixed 1-bit backoff penalty)
+    *
+    * The `c1 ≥ c2` guard covers truncation skew (a pair surviving top-B
+    * whose context fell out of top-V); every branch is integer division +
+    * bit-length, so the DuckDB oracle replays the score exactly. Emits
+    * `(idCol, n_tok, surprisal)`. */
+  def bigramSurprisal(docs: DataFrame, model: BigramModel,
+      textCol: String, idCol: String): DataFrame = {
+    val spark = docs.sparkSession
+    val bc = spark.sparkContext.broadcast(model)
+    def bitLen(x: Long): Long =
+      if (x < 1L) 0L else 64 - java.lang.Long.numberOfLeadingZeros(x)
+    val score = udf { (toks: Seq[String]) =>
+      val m = bc.value
+      def uniBits(t: String): Long = {
+        val c = m.uni.counts.getOrElse(t, 0L)
+        bitLen(m.uni.total / (if (c < 1L) 1L else c))
+      }
+      var bits = 0L
+      var i = 0
+      while (i < toks.length) {
+        if (i == 0) bits += uniBits(toks(0))
+        else {
+          val prev = toks(i - 1)
+          val c2 = m.bigrams.getOrElse((prev, toks(i)), 0L)
+          val c1 = m.uni.counts.getOrElse(prev, 0L)
+          if (c2 >= 1L && c1 >= c2) bits += bitLen(c1 / c2)
+          else bits += 1L + uniBits(toks(i))
+        }
+        i += 1
+      }
+      bits
+    }
+    docs
+      .withColumn("__toks", tokensCol(textCol))
+      .select(col(idCol), size(col("__toks")).as("n_tok"),
+        score(col("__toks")).as("surprisal"))
+  }
+
   /** One-call LM quality scoring: train on `corpus`, score `docs`. The
     * common corpus==docs self-scoring call trains and scores in the same
     * lineage (two scans of the text column; the counts shuffle is the only

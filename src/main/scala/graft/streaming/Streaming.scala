@@ -480,4 +480,32 @@ object Streaming {
           Iterator.single(KeyResult(key, agg.finish(s)))
       }
   }
+
+  /** One keyed value for the streaming cardinality sketch. */
+  case class KV(key: String, value: String)
+  case class CardEstimate(key: String, est: Long)
+
+  /** Streaming distinct-count: per-key HyperLogLog registers as group state,
+    * revised estimate emitted every micro-batch. Because HLL registers are a
+    * commutative-idempotent max-merge, the streaming estimate after any
+    * prefix of batches is IDENTICAL to the batch `hll_distinct` over the
+    * same rows — arrival order, batching, and replays cannot change it
+    * (re-accumulating a replayed row is a no-op by idempotence). State is a
+    * fixed 2^p bytes per key forever, the streaming-state contract a
+    * count-distinct-over-unbounded-keys job needs. */
+  def hllStream(input: Dataset[KV], p: Int = 9): Dataset[CardEstimate] = {
+    implicit val stateEnc: Encoder[Array[Byte]] = Encoders.BINARY
+    implicit val outEnc: Encoder[CardEstimate] = Encoders.product[CardEstimate]
+    implicit val keyEnc: Encoder[String] = Encoders.STRING
+    val agg = new graft.ops.Sketches.HllAgg(p)
+    input.groupByKey(_.key)
+      .flatMapGroupsWithState[Array[Byte], CardEstimate](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (key: String, rows: Iterator[KV], state: GroupState[Array[Byte]]) =>
+          var s = state.getOption.getOrElse(agg.createState())
+          rows.foreach(r => s = agg.accumulate(s, Row(r.value)))
+          state.update(s)
+          Iterator.single(CardEstimate(key, agg.finish(s)))
+      }
+  }
 }

@@ -141,4 +141,41 @@ class LangModelSpec extends AnyFunSuite {
     assert(rows(1L) < rows(2L))
     assert(rows.values.forall(v => v > 0.0 && v < 2.0))
   }
+
+  test("bigram LM: pair counts and stupid-backoff arithmetic, hand-computed") {
+    import spark.implicits._
+    val corpus = Seq((1L, "a b a b c"), (2L, "a b x")).toDF("doc_id", "text")
+    val m = graft.ops.LangModel.trainBigram(corpus, "text",
+      vocabSize = 16, bigramVocab = 64)
+    // unigram: a:3 b:3 c:1 x:1, total 8; bigrams: (a,b):3 (b,a):1 (b,c):1 (b,x):1
+    assert(m.uni.total == 8L)
+    assert(m.uni.counts == Map("a" -> 3L, "b" -> 3L, "c" -> 1L, "x" -> 1L))
+    assert(m.bigrams == Map(("a", "b") -> 3L, ("b", "a") -> 1L,
+      ("b", "c") -> 1L, ("b", "x") -> 1L))
+    // score "a b c z": uni(a)=bitLen(8/3)=2; (a,b) hit bitLen(3/3)=1;
+    // (b,c) hit bitLen(3/1)=2; (c,z) miss -> 1 + bitLen(8/1)=5; total 10
+    val got = graft.ops.LangModel.bigramSurprisal(
+        Seq((9L, "a b c z")).toDF("doc_id", "text"), m, "text", "doc_id")
+      .collect().head
+    assert(got.getInt(1) == 4)
+    assert(got.getLong(2) == 10L)
+  }
+
+  test("bigram LM: truncation skew (pair kept, context dropped) backs off") {
+    import spark.implicits._
+    // 'q r' is the most frequent pair but vocabSize=1 keeps only 'q' — wait,
+    // keep only 'z': z dominates unigrams, q falls out of top-V, so the
+    // (q, r) bigram hit fails the c1(prev) >= c2 guard and must back off
+    val corpus = Seq((1L, "z z z z z q r q r q r")).toDF("doc_id", "text")
+    val m = graft.ops.LangModel.trainBigram(corpus, "text",
+      vocabSize = 1, bigramVocab = 64)
+    assert(m.uni.counts.keySet == Set("z"))
+    assert(m.bigrams(("q", "r")) == 3L)
+    // doc "q r": uni(q)=OOV -> bitLen(11/1)=4; (q,r): c2=3 but c1(q)=0 -> backoff
+    // 1 + uniBits(r)=1+4=5; total 9
+    val got = graft.ops.LangModel.bigramSurprisal(
+        Seq((9L, "q r")).toDF("doc_id", "text"), m, "text", "doc_id")
+      .collect().head
+    assert(got.getLong(2) == 9L)
+  }
 }

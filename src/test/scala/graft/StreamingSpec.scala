@@ -454,4 +454,35 @@ class StreamingSpec extends AnyFunSuite {
       assert(results(1).toMap == Map(3L -> 2L))
     } finally q.stop()
   }
+
+  test("batch ≡ stream: hllStream estimate equals batch hll_distinct after every prefix") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rnd = new scala.util.Random(7)
+    val batch0 = (1 to 800).map(_ => Streaming.KV("g" + rnd.nextInt(2), "v" + rnd.nextInt(300)))
+    val batch1 = (1 to 800).map(_ => Streaming.KV("g" + rnd.nextInt(2), "v" + rnd.nextInt(500)))
+    def batchEst(rows: Seq[Streaming.KV]): Map[String, Long] =
+      rows.toDF("key", "value").groupBy("key")
+        .agg(org.apache.spark.sql.functions.call_function("hll_distinct",
+          org.apache.spark.sql.functions.col("value")).as("est"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val mem = MemoryStream[Streaming.KV]
+    val q = Streaming.hllStream(mem.toDS())
+      .writeStream.format("memory").queryName("hll_stream")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      mem.addData(batch0: _*)
+      q.processAllAvailable()
+      def latest(): Map[String, Long] = spark.sql("SELECT * FROM hll_stream").collect()
+        .groupBy(_.getString(0)).map { case (k, rs) => k -> rs.last.getLong(1) }
+      assert(latest() == batchEst(batch0))
+      mem.addData(batch1: _*)
+      q.processAllAvailable()
+      assert(latest() == batchEst(batch0 ++ batch1))
+      // replay the whole of batch1 — idempotent max-merge: nothing changes
+      mem.addData(batch1: _*)
+      q.processAllAvailable()
+      assert(latest() == batchEst(batch0 ++ batch1))
+    } finally q.stop()
+  }
 }
