@@ -1466,6 +1466,26 @@ object SparkEntry {
       graft.ops.Curation.gopherRules(s.table("documents"), "text", "doc_id",
           minWords = 40).orderBy("doc_id")
     } _,
+    // incremental index loop: per-half indexes merged must equal the
+    // whole-corpus index (the oracle builds the whole directly), proving
+    // the merge is order/replay-proof like the dedup-index loop
+    "q_index_increment" -> dfq { s =>
+      val docs = s.table("documents")
+      val even = graft.ops.Index.invertedIndex(
+        docs.where(col("doc_id") % 2 === 0), "text", "doc_id")
+      val odd = graft.ops.Index.invertedIndex(
+        docs.where(col("doc_id") % 2 === 1), "text", "doc_id")
+      graft.ops.Index.mergeIndex(even, odd)
+        .select(col("term"), col("df"), array_join(col("postings"), ",").as("plist"))
+        .orderBy("term")
+    } _,
+    // deterministic epoch shuffle: pos = rank of md5(salt:id) — reproducible
+    // training order via a distributed sort + zipWithIndex (never a
+    // single-partition row_number window)
+    "q_shuffle_det" -> dfq { s =>
+      graft.ops.Curation.deterministicShuffle(s.table("documents"), "doc_id", "ep0")
+        .orderBy("doc_id")
+    } _,
     // bigram LM with stupid-backoff (the KenLM-lite upgrade of q_lm_score):
     // two counted shuffles train V=16/B=64 tables, scoring is map-only; all
     // integer bit-surprisal so every branch hash-gates
@@ -3019,6 +3039,20 @@ object SparkEntry {
         |    AND (10 * (hashes + ellipses) <= nw) AND (10 * bul <= 9 * nl)
         |    AND (10 * ell <= 3 * nl) AND (5 * alphaw >= 4 * nw) AND (stops >= 2) AS pass
         |FROM c ORDER BY doc_id""".stripMargin,
+    "q_index_increment" ->
+      """WITH dt AS (SELECT DISTINCT doc_id,
+        |              unnest(list_filter(str_split_regex(lower(text), '\s+'),
+        |                     x -> x <> '')) AS term
+        |            FROM documents)
+        |SELECT term, CAST(count(*) AS BIGINT) AS df,
+        |       array_to_string(list(doc_id ORDER BY doc_id), ',') AS plist
+        |FROM dt GROUP BY term ORDER BY term""".stripMargin,
+    "q_shuffle_det" ->
+      s"""SELECT doc_id,
+         |  CAST(row_number() OVER (
+         |    ORDER BY ${duckMd5_60("'ep0:' || CAST(doc_id AS VARCHAR)")}, doc_id) - 1
+         |    AS BIGINT) AS pos
+         |FROM documents ORDER BY doc_id""".stripMargin,
     "q_lm_bigram" ->
       """WITH w AS (SELECT doc_id,
         |             list_filter(str_split_regex(lower(coalesce(text, '')), '\s+'),

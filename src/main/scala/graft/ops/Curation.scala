@@ -236,6 +236,32 @@ object Curation {
   }
 
   /**
+   * Deterministic global shuffle for training order: every row gets a
+   * contiguous position `pos` (0-based) by rank of `md5(salt + ":" + id)`
+   * with the id as tie-break — a reproducible permutation that is a pure
+   * function of (salt, id), so re-runs, engine changes, and repartitioning
+   * cannot change the order, and a new `salt` gives an independent epoch
+   * permutation.
+   *
+   * Scale: `orderBy` is Spark's range-partitioned distributed sort and
+   * `zipWithIndex` assigns contiguous ids with one extra count pass — no
+   * single-partition window, no driver materialization. (A bare
+   * `row_number() OVER (ORDER BY …)` would collapse to one partition —
+   * that is the anti-pattern this operator exists to replace.)
+   */
+  def deterministicShuffle(df: DataFrame, idCol: String, salt: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val h = conv(substring(md5(concat(lit(salt + ":"), col(idCol).cast("string"))), 1, 15), 16, 10)
+      .cast("long")
+    df.select(col(idCol).cast("long").as("id"), h.as("h"))
+      .orderBy(col("h"), col("id"))
+      .rdd.zipWithIndex()
+      .map { case (r, i) => (r.getLong(0), i) }
+      .toDF(idCol, "pos")
+  }
+
+  /**
    * One-pass corpus profile as a tall `(stat, value)` report: doc/token/char
    * totals, token-count extremes, exact distinct vocabulary, and a
    * doc-length histogram (decade buckets). The report every pipeline run

@@ -40,6 +40,25 @@ object Index {
       .select("term", "df", "postings")
   }
 
+  /** Merge two inverted indexes (e.g. yesterday's persisted index and a new
+    * increment's): full-outer join on term, postings unioned/deduped/sorted,
+    * df recomputed from the merged postings. Because union-dedup-sort is
+    * commutative, associative, and idempotent, merging per-increment indexes
+    * in ANY order — including replaying an increment — yields exactly the
+    * whole-corpus index (gated as such by q_index_increment). Build both
+    * inputs WITHOUT a maxDf cap when merging incrementally: a df filter
+    * applied per-increment would not commute with the merge (apply the cap
+    * when querying instead). */
+  def mergeIndex(a: DataFrame, b: DataFrame): DataFrame = {
+    val empty = array().cast("array<bigint>")
+    a.select(col("term"), col("postings").as("pa"))
+      .join(b.select(col("term"), col("postings").as("pb")), Seq("term"), "full_outer")
+      .select(col("term"),
+        sort_array(array_union(coalesce(col("pa"), empty),
+          coalesce(col("pb"), empty))).as("postings"))
+      .select(col("term"), size(col("postings")).cast("long").as("df"), col("postings"))
+  }
+
   /** Conjunctive (AND) search over an inverted index: documents containing
     * EVERY query term. Fully distributed — the index scan prunes to the
     * query terms (predicate pushdown on `term`), postings explode, and a

@@ -143,6 +143,32 @@ class SketchesSpec extends AnyFunSuite {
     assert(idx.count() == 3) // b, c, d
   }
 
+  test("mergeIndex: order- and replay-proof, equals whole-corpus index") {
+    val docs = (1 to 60).map(i => (i.toLong, s"w${i % 7} w${i % 5} shared")).toDF("doc_id", "text")
+    val whole = Index.invertedIndex(docs, "text", "doc_id")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getSeq[Long](2))).toMap
+    val a = Index.invertedIndex(docs.where(col("doc_id") <= 20), "text", "doc_id")
+    val b = Index.invertedIndex(docs.where(col("doc_id") > 20), "text", "doc_id")
+    def toMapOf(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getString(0) -> (r.getLong(1), r.getSeq[Long](2))).toMap
+    assert(toMapOf(Index.mergeIndex(a, b)) == whole)
+    assert(toMapOf(Index.mergeIndex(b, a)) == whole)          // commutative
+    assert(toMapOf(Index.mergeIndex(Index.mergeIndex(a, b), b)) == whole) // replay-idempotent
+  }
+
+  test("deterministicShuffle: a permutation, stable across runs, salt-dependent") {
+    val docs = (1 to 100).map(i => (i.toLong, s"t$i")).toDF("doc_id", "text")
+    val p1 = graft.ops.Curation.deterministicShuffle(docs, "doc_id", "s1")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(p1.values.toSeq.sorted == (0L until 100L))          // contiguous positions
+    val p1again = graft.ops.Curation.deterministicShuffle(docs, "doc_id", "s1")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(p1 == p1again)                                      // reproducible
+    val p2 = graft.ops.Curation.deterministicShuffle(docs, "doc_id", "s2")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(p1 != p2)                                           // epochs differ
+  }
+
   // ---- Gopher rules --------------------------------------------------------
 
   test("gopher rules: each predicate fires on a targeted fixture") {
