@@ -252,6 +252,11 @@ object Curation {
   def deterministicShuffle(df: DataFrame, idCol: String, salt: String): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
+    // a non-integral id would cast to null and NPE inside a task — fail
+    // up-front instead (same guard as Dedup's integral-id operators)
+    val idDt = df.schema(idCol).dataType
+    require(Seq("byte", "short", "integer", "long").contains(idDt.typeName),
+      s"deterministicShuffle: id column '$idCol' must be integral, got $idDt")
     val h = conv(substring(md5(concat(lit(salt + ":"), col(idCol).cast("string"))), 1, 15), 16, 10)
       .cast("long")
     df.select(col(idCol).cast("long").as("id"), h.as("h"))
@@ -262,35 +267,42 @@ object Curation {
   }
 
   /**
-   * One-pass corpus profile as a tall `(stat, value)` report: doc/token/char
-   * totals, token-count extremes, exact distinct vocabulary, and a
-   * doc-length histogram (decade buckets). The report every pipeline run
-   * should log before and after each gate — at 100 TB it is two counted
-   * aggregations (scalars + histogram are map-side combined; the exact
-   * vocabulary count is one distinct over terms, the only term-keyed
-   * shuffle — swap in [[Sketches.hllRegisters]] when ±2% is acceptable).
+   * Corpus profile as a tall `(stat, value)` report: doc/token/char totals,
+   * token-count extremes, exact distinct vocabulary, and a doc-length
+   * histogram (decade buckets). The report every pipeline run should log
+   * before and after each gate.
+   *
+   * Exactly TWO corpus scans: (1) one map-side-combined aggregation keyed
+   * by per-doc token count — the result is bounded by the token-count
+   * DOMAIN (distinct doc lengths), not the corpus, so it is collected and
+   * every scalar + histogram row derives from it driver-side (the same
+   * bounded-collect contract as [[LangModel.adaptiveThreshold]]); (2) the
+   * exact vocabulary distinct, the only term-keyed shuffle — swap in
+   * [[Sketches.hllRegisters]] when ±2% is acceptable.
    */
   def corpusStats(docs: DataFrame, textCol: String): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
     val txt = coalesce(col(textCol), lit(""))
-    val ws = filter(split(lower(txt), "\\s+"), x => length(x) > 0)
+    val ws = LangModel.sharedTokensCol(textCol)
     val base = docs.select(size(ws).as("nt"), length(txt).as("nc"), ws.as("ws"))
-    val scalars = base.agg(
-        count(lit(1)).cast("long").as("n_docs"),
-        coalesce(sum("nt"), lit(0L)).cast("long").as("n_tokens"),
-        coalesce(sum("nc"), lit(0L)).cast("long").as("n_chars"),
-        max("nt").cast("long").as("max_doc_tokens"),
-        min("nt").cast("long").as("min_doc_tokens"))
-      .selectExpr("""stack(5,
-        'n_docs', n_docs, 'n_tokens', n_tokens, 'n_chars', n_chars,
-        'max_doc_tokens', max_doc_tokens, 'min_doc_tokens', min_doc_tokens
-        ) AS (stat, value)""")
-    val hist = base.groupBy((col("nt") / 10).cast("long").as("b"))
-      .agg(count(lit(1)).as("value"))
-      .select(concat(lit("hist_"), col("b")).as("stat"), col("value"))
+    val perLen = base.groupBy("nt")
+      .agg(count(lit(1)).as("cnt"), sum("nc").as("snc"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    val scalars: Seq[(String, Long)] =
+      if (perLen.isEmpty) Seq("n_docs" -> 0L, "n_tokens" -> 0L, "n_chars" -> 0L)
+      else Seq(
+        "n_docs" -> perLen.map(_._2).sum,
+        "n_tokens" -> perLen.map(p => p._1.toLong * p._2).sum,
+        "n_chars" -> perLen.map(_._3).sum,
+        "max_doc_tokens" -> perLen.map(_._1).max.toLong,
+        "min_doc_tokens" -> perLen.map(_._1).min.toLong)
+    val hist: Seq[(String, Long)] = perLen.groupBy(_._1 / 10).toSeq
+      .map { case (b, rows) => (s"hist_$b", rows.map(_._2).sum) }
     val vocab = base.select(explode(col("ws")).as("term"))
       .agg(countDistinct("term").as("value"))
       .select(lit("distinct_terms").as("stat"), col("value"))
-    scalars.union(hist).union(vocab)
+    (scalars ++ hist).toDF("stat", "value").union(vocab)
   }
 
   /**

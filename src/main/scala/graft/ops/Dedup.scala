@@ -211,8 +211,10 @@ object Dedup {
     banded.unpersist(false)
     val labels = connectedComponents(pairs, "id_a", "id_b", maxIter)
     // Drop non-root endpoints; every other document (including the untouched
-    // majority) survives — an anti join against the small loser set.
-    val losers = labels.where(col("comp") =!= col("id")).select(col("id")).localCheckpoint()
+    // majority) survives — an anti join against the small loser set. labels
+    // is already materialized (connectedComponents localCheckpoints its
+    // result), so the filter here is a cheap scan, not a recompute.
+    val losers = labels.where(col("comp") =!= col("id")).select(col("id"))
     df.join(losers, df(idCol).cast("long") === losers("id"), "left_anti")
   }
 
@@ -233,6 +235,13 @@ object Dedup {
     * reliable checkpoint dir on a multi-node cluster). */
   def connectedComponents(edges0: DataFrame, srcCol: String, dstCol: String,
                           maxIter: Int = 50): DataFrame = {
+    // a non-integral id would cast to null and silently collapse the label
+    // table — same guard as nearDedupCorpus
+    Seq(srcCol, dstCol).foreach { c =>
+      val dt = edges0.schema(c).dataType
+      require(Seq("byte", "short", "integer", "long").contains(dt.typeName),
+        s"connectedComponents: id column '$c' must be integral, got $dt")
+    }
     val pairs = edges0.select(col(srcCol).cast("long").as("id_a"),
       col(dstCol).cast("long").as("id_b"))
     val edges = pairs.union(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))

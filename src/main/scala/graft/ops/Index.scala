@@ -11,12 +11,13 @@ import org.apache.spark.sql.functions._
  */
 object Index {
 
-  /** Lowercased whitespace tokens, one row per DISTINCT (doc, term) — the
-    * document-frequency basis (duplicates within a doc collapse). */
+  /** One row per DISTINCT (doc, term) — the document-frequency basis
+    * (duplicates within a doc collapse). Tokenization is
+    * [[LangModel.sharedTokensCol]], the engine-wide canonical split, so the
+    * index can never drift from the LM/BPE/curation operators. */
   private def docTerms(docs: DataFrame, textCol: String, idCol: String): DataFrame =
     docs.select(col(idCol).as("doc_id"),
-        explode(array_distinct(filter(split(lower(col(textCol)), "\\s+"),
-          x => length(x) > 0))).as("term"))
+        explode(array_distinct(LangModel.sharedTokensCol(textCol))).as("term"))
 
   /** Build an inverted index: one row per term with its document frequency
     * and sorted postings list, keeping only terms with df in [minDf, maxDf].

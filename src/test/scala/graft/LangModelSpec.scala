@@ -163,9 +163,9 @@ class LangModelSpec extends AnyFunSuite {
 
   test("bigram LM: truncation skew (pair kept, context dropped) backs off") {
     import spark.implicits._
-    // 'q r' is the most frequent pair but vocabSize=1 keeps only 'q' — wait,
-    // keep only 'z': z dominates unigrams, q falls out of top-V, so the
-    // (q, r) bigram hit fails the c1(prev) >= c2 guard and must back off
+    // vocabSize=1 keeps only 'z' (it dominates the unigram counts), so 'q'
+    // falls out of top-V: the (q, r) bigram survives top-B but its context
+    // count is 0, failing the c1(prev) >= c2 guard — must back off
     val corpus = Seq((1L, "z z z z z q r q r q r")).toDF("doc_id", "text")
     val m = graft.ops.LangModel.trainBigram(corpus, "text",
       vocabSize = 1, bigramVocab = 64)
