@@ -341,6 +341,13 @@ object Bench {
           org.apache.spark.sql.functions.col("t"), None, d = 4, w = 1024)
         require(mat.sum > 0)
       },
+      "x_shuffle_20m" -> { s: SparkSession =>
+        // deterministic epoch shuffle at 20M rows: distributed sort on the
+        // md5 rank + zipWithIndex's extra count pass
+        val df = s.range(20000000L).selectExpr("id AS doc_id")
+        graft.ops.Curation.deterministicShuffle(df, "doc_id", "bench")
+          .write.format("noop").mode("overwrite").save()
+      },
       "x_bloom_20m" -> { s: SparkSession =>
         // build over 100k keys, probe 20M rows map-only under broadcast bits
         val build = s.range(100000L).selectExpr("CAST(id * 7 AS STRING) AS k")

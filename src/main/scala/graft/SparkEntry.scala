@@ -1462,9 +1462,12 @@ object SparkEntry {
       graft.ops.Index.searchAll(idx, Seq("spark", "scan", "dup")).orderBy("doc_id")
     } _,
     // ---- full Gopher/MassiveText rule battery (map-only, integer-exact) ----
+    // stop list adapted to the synthetic corpus's vocabulary so the combined
+    // `pass` gate is non-vacuous in BOTH directions (~265/500 pass)
     "q_gopher_rules" -> dfq { s =>
       graft.ops.Curation.gopherRules(s.table("documents"), "text", "doc_id",
-          minWords = 40).orderBy("doc_id")
+          minWords = 40, stopList = Seq("the", "a", "of", "and"))
+        .orderBy("doc_id")
     } _,
     // incremental index loop: per-half indexes merged must equal the
     // whole-corpus index (the oracle builds the whole directly), proving
@@ -3019,7 +3022,7 @@ object SparkEntry {
         |        coalesce(list_sum(list_transform(ws, x -> length(x))), 0) AS chars,
         |        len(list_filter(ws, x -> regexp_matches(x, '[A-Za-z]'))) AS alphaw,
         |        len(list_intersect(list_distinct(list_transform(ws, x -> lower(x))),
-        |            ['the','be','to','of','and','that','have','with'])) AS stops,
+        |            ['the','a','of','and'])) AS stops,
         |        len(ls) AS nl,
         |        len(list_filter(ls, l -> starts_with(trim(l), '-')
         |            OR starts_with(trim(l), '*') OR starts_with(trim(l), '•'))) AS bul,

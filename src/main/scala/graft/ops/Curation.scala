@@ -259,10 +259,14 @@ object Curation {
       s"deterministicShuffle: id column '$idCol' must be integral, got $idDt")
     val h = conv(substring(md5(concat(lit(salt + ":"), col(idCol).cast("string"))), 1, 15), 16, 10)
       .cast("long")
-    df.select(col(idCol).cast("long").as("id"), h.as("h"))
+    val sorted = df.where(col(idCol).isNotNull)
+      .select(col(idCol).cast("long").as("id"), h.as("h"))
       .orderBy(col("h"), col("id"))
-      .rdd.zipWithIndex()
-      .map { case (r, i) => (r.getLong(0), i) }
+    // toRdd + primitive reads: no per-row external-Row materialization on
+    // the way into zipWithIndex (ids are non-null after the guard above)
+    sorted.queryExecution.toRdd
+      .map(_.getLong(0))
+      .zipWithIndex()
       .toDF(idCol, "pos")
   }
 
@@ -325,13 +329,14 @@ object Curation {
    * the first gate in the pipeline precisely because it costs one scan.
    */
   def gopherRules(docs: DataFrame, textCol: String, idCol: String,
-                  minWords: Int = 50, maxWords: Int = 100000): DataFrame = {
+                  minWords: Int = 50, maxWords: Int = 100000,
+                  stopList: Seq[String] = TextAnalysis.gopherStopwords): DataFrame = {
     val txt = coalesce(col(textCol), lit(""))
     val ws = filter(split(txt, "\\s+"), x => length(x) > 0)
     val nw = size(ws)
     val chars = aggregate(ws, lit(0), (acc, x) => acc + length(x))
     val alphaWords = size(filter(ws, x => x.rlike("[A-Za-z]")))
-    val stops = array(TextAnalysis.gopherStopwords.map(lit): _*)
+    val stops = array(stopList.map(lit): _*)
     val stopHits = size(array_intersect(array_distinct(transform(ws, lower _)), stops))
     val lines = split(txt, "\n")
     val nLines = size(lines)

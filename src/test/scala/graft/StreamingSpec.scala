@@ -485,4 +485,40 @@ class StreamingSpec extends AnyFunSuite {
       assert(latest() == batchEst(batch0 ++ batch1))
     } finally q.stop()
   }
+
+  test("hllStream state survives a stop/restart from checkpoint") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_hll_ckpt").toString
+    val rnd = new scala.util.Random(11)
+    val batch0 = (1 to 600).map(_ => Streaming.KV("k" + rnd.nextInt(2), "a" + rnd.nextInt(250)))
+    val batch1 = (1 to 600).map(_ => Streaming.KV("k" + rnd.nextInt(2), "b" + rnd.nextInt(250)))
+    val seen = scala.collection.mutable.Map[String, Long]()
+    val mem = MemoryStream[Streaming.KV]
+    def start() = Streaming.hllStream(mem.toDS())
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Update())
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[Streaming.CardEstimate], _: Long) =>
+        df.collect().foreach(r => seen.synchronized { seen(r.key) = r.est })
+      }
+      .start()
+    val q1 = start()
+    try {
+      mem.addData(batch0: _*)
+      q1.processAllAvailable()
+    } finally q1.stop()
+    // the registers live in the state store now — a NEW query from the same
+    // checkpoint must resume them, so batch1's estimates reflect batch0 too
+    val q2 = start()
+    try {
+      mem.addData(batch1: _*)
+      q2.processAllAvailable()
+    } finally q2.stop()
+    val expected = (batch0 ++ batch1).toDF("key", "value").groupBy("key")
+      .agg(org.apache.spark.sql.functions.call_function("hll_distinct",
+        org.apache.spark.sql.functions.col("value")).as("est"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(seen.toMap == expected)
+  }
 }
