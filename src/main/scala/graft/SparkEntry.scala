@@ -1450,6 +1450,31 @@ object SparkEntry {
         .select(col("l_suppkey"), col("mk").isNotNull.as("is_member"))
         .orderBy("l_suppkey")
     } _,
+    // join-cardinality profiling without a join: registers for each key
+    // column (one scan each), overlap by inclusion-exclusion on the
+    // exact-integer estimator — est_intersect ≈ |distinct lineitem partkeys
+    // ∩ part partkeys| (≈ |part|, every part is referenced at these SFs)
+    "q_hll_intersect" -> dfq { s =>
+      import s.implicits._
+      val a = graft.ops.Sketches.collectRegisters(
+        graft.ops.Sketches.hllRegisters(s.table("lineitem"), col("l_partkey"), 9), 9)
+      val b = graft.ops.Sketches.collectRegisters(
+        graft.ops.Sketches.hllRegisters(s.table("part"), col("p_partkey"), 9), 9)
+      val (ea, eb) = (graft.ops.Sketches.hllEstimateRaw(a), graft.ops.Sketches.hllEstimateRaw(b))
+      val eu = graft.ops.Sketches.hllEstimateRaw(graft.ops.Sketches.hllMerge(a, b))
+      Seq((ea, eb, eu, graft.ops.Sketches.hllIntersectEstimate(a, b)))
+        .toDF("est_a", "est_b", "est_union", "est_intersect")
+    } _,
+    // exact heavy hitters with a candidate-bounded shuffle: CMS prune
+    // (map-only, broadcast matrix) then exact count — CMS never
+    // underestimates, so the result equals the plain exact query the
+    // oracle runs; only the COST differs
+    "q_heavy_hitters" -> dfq { s =>
+      val toks = s.table("documents").select(
+        explode(filter(split(lower(col("text")), "\\s+"), x => length(x) > 0)).as("t"))
+      graft.ops.Sketches.heavyHitters(toks, col("t"), minCount = 900L)
+        .orderBy(desc("cnt"), asc("k"))
+    } _,
     // ---- retrieval: inverted index + conjunctive search --------------------
     "q_inverted_index" -> dfq { s =>
       graft.ops.Index.invertedIndex(s.table("documents"), "text", "doc_id",
@@ -1525,6 +1550,21 @@ object SparkEntry {
        |     ELSE [array_to_string(ws[i:i+$win], ' ') for i in range(1, len(ws) - ${win - 1})] END""".stripMargin
   }
   private def duckMd5_60(e: String): String = s"CAST('0x' || substr(md5($e), 1, 15) AS BIGINT)"
+
+  /** CTE chain computing the exact-integer raw HLL estimate (p=9) from a
+    * 60-bit-hash CTE named `h$tag` with column `h`; ends in `e$tag(e)`. */
+  private def duckHllEstCtes(tag: String): String =
+    s"""r$tag AS (SELECT h & 511 AS b,
+       |  max(CASE WHEN h >> 9 = 0 THEN 52 ELSE 52 - length(bin(h >> 9)) END) AS r
+       |  FROM h$tag GROUP BY 1),
+       |f$tag AS (SELECT gr.b, coalesce(r$tag.r, 0) AS r
+       |  FROM (SELECT unnest(range(512)) AS b) gr LEFT JOIN r$tag USING (b)),
+       |s$tag AS (SELECT sum(CAST(CAST(1 AS BIGINT) << (62 - r) AS HUGEINT)) AS sm
+       |  FROM f$tag),
+       |e$tag AS (SELECT CAST((CAST(7213 AS HUGEINT) * 512 * 512 * 512
+       |    * CAST(CAST(1 AS BIGINT) << 62 AS HUGEINT))
+       |    // ((CAST(10000 AS HUGEINT) * 512 + 10790) * sm) AS BIGINT) AS e
+       |  FROM s$tag)""".stripMargin
 
   /** Temp index path keyed by the input files, so concurrent runs over
     * different SFs (or hosts sharing /tmp) never overwrite each other. */
@@ -2994,6 +3034,24 @@ object SparkEntry {
          |SELECT p.l_suppkey,
          |       EXISTS (SELECT 1 FROM bk WHERE bk.k = CAST(p.l_suppkey AS VARCHAR)) AS is_member
          |FROM pass p ORDER BY l_suppkey""".stripMargin,
+    "q_hll_intersect" ->
+      s"""WITH ha AS (SELECT ${duckMd5_60("CAST(l_partkey AS VARCHAR)")} AS h
+         |            FROM lineitem WHERE l_partkey IS NOT NULL),
+         |hb AS (SELECT ${duckMd5_60("CAST(p_partkey AS VARCHAR)")} AS h
+         |       FROM part WHERE p_partkey IS NOT NULL),
+         |hu AS (SELECT h FROM ha UNION ALL SELECT h FROM hb),
+         |${duckHllEstCtes("a")},
+         |${duckHllEstCtes("b")},
+         |${duckHllEstCtes("u")}
+         |SELECT ea.e AS est_a, eb.e AS est_b, eu.e AS est_union,
+         |       greatest(CAST(0 AS BIGINT), ea.e + eb.e - eu.e) AS est_intersect
+         |FROM ea, eb, eu""".stripMargin,
+    "q_heavy_hitters" ->
+      """WITH tok AS (SELECT unnest(list_filter(str_split_regex(lower(text), '\s+'),
+        |                           x -> x <> '')) AS k FROM documents)
+        |SELECT k, CAST(count(*) AS BIGINT) AS cnt FROM tok
+        |GROUP BY k HAVING count(*) >= 900
+        |ORDER BY cnt DESC, k""".stripMargin,
     "q_inverted_index" ->
       """WITH dt AS (SELECT DISTINCT doc_id,
         |              unnest(list_filter(str_split_regex(lower(text), '\s+'),

@@ -107,6 +107,33 @@ object Sketches {
         greatest(coalesce(a("r"), lit(0)), coalesce(bb("r2"), lit(0))).as("r"))
   }
 
+  /** Elementwise max of two register arrays (the HLL union). */
+  def hllMerge(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
+    require(a.length == b.length, "register files must share p")
+    val out = new Array[Byte](a.length)
+    var j = 0
+    while (j < a.length) { out(j) = if (a(j) >= b(j)) a(j) else b(j); j += 1 }
+    out
+  }
+
+  /** Inclusion–exclusion intersection estimate from two register files:
+    * |A ∩ B| ≈ E(A) + E(B) − E(A ∪ B), with the union's registers the
+    * elementwise max. All three terms are the exact-integer raw estimator,
+    * so the estimate is deterministic and oracle-replayable; it can be
+    * negative for near-disjoint sets (estimator noise) — clamped at 0.
+    * This is the join-cardinality profiling tool: registers for both key
+    * columns cost one scan each, then any pairwise overlap is a driver-side
+    * subtraction — no join is ever executed to estimate one. */
+  def hllIntersectEstimate(a: Array[Byte], b: Array[Byte]): Long =
+    math.max(0L, hllEstimateRaw(a) + hllEstimateRaw(b) - hllEstimateRaw(hllMerge(a, b)))
+
+  /** Collect a register FILE (from [[hllRegisters]]) into a dense array. */
+  def collectRegisters(regs: DataFrame, p: Int): Array[Byte] = {
+    val out = new Array[Byte](1 << p)
+    regs.collect().foreach { r => out(r.getInt(0)) = r.getInt(1).toByte }
+    out
+  }
+
   /** HLL as a mergeable aggregate function (`hll_distinct(string) -> bigint`,
     * p = 9 → 512 byte state): per-group approximate distinct with Spark's
     * partial/final split doing the register max-merge. */
@@ -180,6 +207,25 @@ object Sketches {
     val matrix = countMin(df, key, None, d, w)
     import spark.implicits._
     candidates.map(c => (c, cmsEstimate(matrix, d, w, c))).toDF("key", "est")
+  }
+
+  /** Exact heavy hitters with a BOUNDED shuffle: pass 1 builds the CMS
+    * matrix (kilobytes, no key shuffles); pass 2 prunes map-only under the
+    * broadcast matrix — only keys whose ESTIMATE reaches `minCount` enter
+    * the exact groupBy — then the exact count filter removes the CMS's
+    * false positives. Because CMS never underestimates, no true heavy
+    * hitter is pruned: the result is EXACTLY `groupBy.count ≥ minCount`,
+    * but the shuffle carries only candidate keys instead of the whole key
+    * universe (at 100 TB: heavy-hitter detection over trillions of tokens
+    * with a shuffle bounded by the candidates). */
+  def heavyHitters(df: DataFrame, key: Column, minCount: Long,
+                   d: Int = 4, w: Int = 1024): DataFrame = {
+    val mat = countMin(df, key, None, d, w)
+    val pass = udf { k: String => k != null && cmsEstimate(mat, d, w, k) >= minCount }
+    df.select(key.cast("string").as("k"))
+      .where(pass(col("k")))
+      .groupBy("k").agg(count(lit(1)).as("cnt"))
+      .where(col("cnt") >= minCount)
   }
 
   // ---- Bloom filter --------------------------------------------------------

@@ -69,6 +69,30 @@ class SketchesSpec extends AnyFunSuite {
     assert(math.abs(intE - floatE) <= 1.0, s"int=$intE float=$floatE")
   }
 
+  test("hll intersect estimate: inclusion-exclusion lands near true overlap") {
+    val shared = (1 to 1500).map(i => "s" + i)
+    val aOnly = (1 to 1500).map(i => "a" + i)
+    val bOnly = (1 to 1500).map(i => "b" + i)
+    def regs(ks: Seq[String]): Array[Byte] =
+      Sketches.collectRegisters(Sketches.hllRegisters(ks.toDF("k"), col("k"), 9), 9)
+    val (ra, rb) = (regs(shared ++ aOnly), regs(shared ++ bOnly))
+    val est = Sketches.hllIntersectEstimate(ra, rb)
+    assert(math.abs(est - 1500L) < 450, s"est=$est")  // 3 correlated estimates -> wide band
+    // union registers commute and the merge is idempotent
+    assert(java.util.Arrays.equals(Sketches.hllMerge(ra, rb), Sketches.hllMerge(rb, ra)))
+    assert(java.util.Arrays.equals(Sketches.hllMerge(ra, ra), ra))
+  }
+
+  test("heavyHitters: CMS-pruned result equals the exact heavy-hitter set") {
+    // skewed counts: key i appears i times
+    val rows = (1 to 80).flatMap(i => Seq.fill(i)("h" + i))
+    val got = Sketches.heavyHitters(rows.toDF("k"), col("k"), minCount = 50L)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val truth = rows.groupBy(identity).view.mapValues(_.size.toLong)
+      .filter(_._2 >= 50L).toMap
+    assert(got == truth)
+  }
+
   // ---- Count-min -----------------------------------------------------------
 
   test("cms: never underestimates, exact for most keys at low load") {
