@@ -108,6 +108,23 @@ object Graft {
             name, builder(name), "scala_udf")
       }
     }
+    // Introspection surface (the duckdb_functions() analogue / reference
+    // Runtime::functions() iteration): every registered overload as a row.
+    functionsDf(spark).createOrReplaceTempView("graft_functions")
+  }
+
+  /** One row per registered overload: `(name, signature, kind, deterministic,
+    * fallible, call_mode)` — queryable as the `graft_functions` temp view
+    * after [[install]]. */
+  def functionsDf(spark: SparkSession): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    Registry.global.all
+      .map { fd =>
+        (fd.signature.name, fd.signature.toString, fd.signature.kind.toString,
+          fd.deterministic, fd.fallible, fd.callMode.toString)
+      }
+      .sortBy(r => (r._1, r._2))
+      .toDF("name", "signature", "kind", "deterministic", "fallible", "call_mode")
   }
 
   /** Tag a column with a graft extension type (e.g. `graft.decimal`,

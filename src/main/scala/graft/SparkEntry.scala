@@ -1450,6 +1450,18 @@ object SparkEntry {
         .select(col("l_suppkey"), col("mk").isNotNull.as("is_member"))
         .orderBy("l_suppkey")
     } _,
+    // capstone v5: the seventh-pass battery composed — full Gopher rule
+    // gate (corpus stop list) AND LSH near-dedup survivorship in one query
+    "q_curate_v5" -> dfq { s =>
+      val docs = s.table("documents")
+      val rules = graft.ops.Curation.gopherRules(docs, "text", "doc_id",
+        minWords = 40, stopList = Seq("the", "a", "of", "and"))
+      val survivors = graft.ops.Dedup.nearDedupCorpus(docs, "text", "doc_id",
+        k = 16, bands = 4, threshold = 0.3).select(col("doc_id").as("sid"))
+      rules.where(col("pass"))
+        .join(survivors, col("doc_id") === col("sid"))
+        .select("doc_id", "n_words").orderBy("doc_id")
+    } _,
     // join-cardinality profiling without a join: registers for each key
     // column (one scan each), overlap by inclusion-exclusion on the
     // exact-integer estimator — est_intersect ≈ |distinct lineitem partkeys
@@ -3034,6 +3046,41 @@ object SparkEntry {
          |SELECT p.l_suppkey,
          |       EXISTS (SELECT 1 FROM bk WHERE bk.k = CAST(p.l_suppkey AS VARCHAR)) AS is_member
          |FROM pass p ORDER BY l_suppkey""".stripMargin,
+    "q_curate_v5" ->
+      s"""WITH RECURSIVE $duckMinhashCtes,
+         |p AS (SELECT id_a, id_b FROM jac
+         |      WHERE CAST(i AS DOUBLE) / CAST(la + lb - i AS DOUBLE) >= 0.3),
+         |edges AS (SELECT id_a AS s, id_b AS d FROM p
+         |          UNION ALL SELECT id_b AS s, id_a AS d FROM p),
+         |reach(id, r) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.d, reach.r FROM reach JOIN edges e ON e.s = reach.id),
+         |comp AS (SELECT id, min(r) AS comp FROM reach GROUP BY id),
+         |surv AS (SELECT d.doc_id FROM documents d JOIN comp c2 ON c2.id = d.doc_id
+         |         WHERE c2.comp = d.doc_id),
+         |gb AS (SELECT doc_id, coalesce(text, '') AS t,
+         |         list_filter(str_split_regex(coalesce(text, ''), '\\s+'), x -> x <> '') AS gws,
+         |         str_split(coalesce(text, ''), chr(10)) AS ls
+         |       FROM documents),
+         |gc AS (SELECT doc_id, len(gws) AS nw,
+         |         coalesce(list_sum(list_transform(gws, x -> length(x))), 0) AS chars,
+         |         len(list_filter(gws, x -> regexp_matches(x, '[A-Za-z]'))) AS alphaw,
+         |         len(list_intersect(list_distinct(list_transform(gws, x -> lower(x))),
+         |             ['the','a','of','and'])) AS stops,
+         |         len(ls) AS nl,
+         |         len(list_filter(ls, l -> starts_with(trim(l), '-')
+         |             OR starts_with(trim(l), '*') OR starts_with(trim(l), '•'))) AS bul,
+         |         len(list_filter(ls, l -> l LIKE '%...' OR l LIKE '%…')) AS ell,
+         |         length(t) - length(replace(t, '#', '')) AS hashes,
+         |         (length(t) - length(regexp_replace(t, '\\.\\.\\.', '', 'g'))) // 3 AS ellipses
+         |       FROM gb)
+         |SELECT gc.doc_id, CAST(nw AS INT) AS n_words
+         |FROM gc JOIN surv USING (doc_id)
+         |WHERE nw >= 40 AND nw <= 100000 AND 3 * nw <= chars AND chars <= 10 * nw
+         |  AND 10 * (hashes + ellipses) <= nw AND 10 * bul <= 9 * nl
+         |  AND 10 * ell <= 3 * nl AND 5 * alphaw >= 4 * nw AND stops >= 2
+         |ORDER BY doc_id""".stripMargin,
     "q_hll_intersect" ->
       s"""WITH ha AS (SELECT ${duckMd5_60("CAST(l_partkey AS VARCHAR)")} AS h
          |            FROM lineitem WHERE l_partkey IS NOT NULL),

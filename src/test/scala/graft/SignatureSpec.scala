@@ -74,4 +74,18 @@ class SignatureSpec extends AnyFunSuite {
   }
 
   private val ScalarOpaque = graft.functions.ScalarImpl(_ => null)
+
+  test("graft_functions introspection view lists every registered overload") {
+    val spark = TestSpark.spark // Graft.install ran in the fixture
+    val df = spark.sql("SELECT * FROM graft_functions")
+    assert(df.columns.toSeq ==
+      Seq("name", "signature", "kind", "deterministic", "fallible", "call_mode"))
+    val names = df.select("name").collect().map(_.getString(0)).toSet
+    assert(Set("gcd", "hll_distinct", "sum_udaf", "graft_div", "range_setof")
+      .subsetOf(names))
+    assert(df.where("name = 'gcd'").count() >= 2)            // int + bigint overloads
+    assert(df.where("name = 'graft_div' AND fallible").count() >= 1)
+    assert(df.where("kind = 'Aggregate'").count() >= 4)
+    assert(df.where("kind = 'Table'").count() >= 1)
+  }
 }
