@@ -341,6 +341,21 @@ object Bench {
           org.apache.spark.sql.functions.col("t"), None, d = 4, w = 1024)
         require(mat.sum > 0)
       },
+      "x_cc_1m" -> { s: SparkSession =>
+        // connected components on a 1M-edge graph: 800k nodes in 25k chain
+        // blocks of 32 (+ star links to each block head) → ~10 label-
+        // propagation iterations over 1M edges with pointer jumps; the
+        // iterative operator's proof beyond the 500-doc table. (Diameter is
+        // bounded by construction: dedup candidate graphs are star/clique-
+        // like; million-hop chains are the documented pathological case.)
+        val edges = s.range(1000000L).selectExpr(
+          "id % 800000 AS src",
+          """CASE WHEN id % 3 = 0 THEN (id % 800000) - (id % 800000) % 32
+            |     WHEN (id % 800000) % 32 = 31 THEN id % 800000
+            |     ELSE (id % 800000) + 1 END AS dst""".stripMargin)
+        val labels = graft.ops.Dedup.connectedComponents(edges, "src", "dst")
+        labels.write.format("noop").mode("overwrite").save()
+      },
       "x_shuffle_20m" -> { s: SparkSession =>
         // deterministic epoch shuffle at 20M rows: distributed sort on the
         // md5 rank + zipWithIndex's extra count pass
