@@ -341,6 +341,14 @@ object Bench {
           org.apache.spark.sql.functions.col("t"), None, d = 4, w = 1024)
         require(mat.sum > 0)
       },
+      "x_index_1m" -> { s: SparkSession =>
+        // inverted index over the 1M-doc / 20M-token corpus: the df-count
+        // pass + the term-keyed postings shuffle, maxDf capping postings at
+        // 10k ids so no stopword-scale array ever materializes
+        val docs = s.read.parquet(docsBenchParquet(s))
+        graft.ops.Index.invertedIndex(docs, "text", "doc_id", minDf = 2, maxDf = 10000)
+          .write.format("noop").mode("overwrite").save()
+      },
       "x_cc_1m" -> { s: SparkSession =>
         // connected components on a 1M-edge graph: 800k nodes in 25k chain
         // blocks of 32 (+ star links to each block head) → ~10 label-
