@@ -1474,7 +1474,7 @@ object SparkEntry {
         graft.ops.Sketches.hllRegisters(s.table("part"), col("p_partkey"), 9), 9)
       val (ea, eb) = (graft.ops.Sketches.hllEstimateRaw(a), graft.ops.Sketches.hllEstimateRaw(b))
       val eu = graft.ops.Sketches.hllEstimateRaw(graft.ops.Sketches.hllMerge(a, b))
-      Seq((ea, eb, eu, graft.ops.Sketches.hllIntersectEstimate(a, b)))
+      Seq((ea, eb, eu, math.max(0L, ea + eb - eu)))
         .toDF("est_a", "est_b", "est_union", "est_intersect")
     } _,
     // exact heavy hitters with a candidate-bounded shuffle: CMS prune
@@ -1562,6 +1562,57 @@ object SparkEntry {
        |     ELSE [array_to_string(ws[i:i+$win], ' ') for i in range(1, len(ws) - ${win - 1})] END""".stripMargin
   }
   private def duckMd5_60(e: String): String = s"CAST('0x' || substr(md5($e), 1, 15) AS BIGINT)"
+
+  /** Gopher rule base CTEs `gb`/`gc` over `documents` (stop list matches the
+    * gated queries' corpus-adapted list) plus the per-rule predicates —
+    * ONE definition, so q_gopher_rules and the q_curate_v5 capstone can
+    * never silently drift apart. */
+  private val duckGopherCtes: String =
+    """gb AS (SELECT doc_id, coalesce(text, '') AS t,
+      |         list_filter(str_split_regex(coalesce(text, ''), '\s+'), x -> x <> '') AS gws,
+      |         str_split(coalesce(text, ''), chr(10)) AS ls
+      |       FROM documents),
+      |gc AS (SELECT doc_id, len(gws) AS nw,
+      |         coalesce(list_sum(list_transform(gws, x -> length(x))), 0) AS chars,
+      |         len(list_filter(gws, x -> regexp_matches(x, '[A-Za-z]'))) AS alphaw,
+      |         len(list_intersect(list_distinct(list_transform(gws, x -> lower(x))),
+      |             ['the','a','of','and'])) AS stops,
+      |         len(ls) AS nl,
+      |         len(list_filter(ls, l -> starts_with(trim(l), '-')
+      |             OR starts_with(trim(l), '*') OR starts_with(trim(l), '•'))) AS bul,
+      |         len(list_filter(ls, l -> l LIKE '%...' OR l LIKE '%…')) AS ell,
+      |         length(t) - length(replace(t, '#', '')) AS hashes,
+      |         (length(t) - length(regexp_replace(t, '\.\.\.', '', 'g'))) // 3 AS ellipses
+      |       FROM gb)""".stripMargin
+
+  private val duckGopherRules: Seq[(String, String)] = Seq(
+    "r_words" -> "nw >= 40 AND nw <= 100000",
+    "r_meanlen" -> "3 * nw <= chars AND chars <= 10 * nw",
+    "r_symbol" -> "10 * (hashes + ellipses) <= nw",
+    "r_bullet" -> "10 * bul <= 9 * nl",
+    "r_ellipsis" -> "10 * ell <= 3 * nl",
+    "r_alpha" -> "5 * alphaw >= 4 * nw",
+    "r_stop" -> "stops >= 2")
+
+  private val duckGopherPass: String =
+    duckGopherRules.map { case (_, e) => s"($e)" }.mkString(" AND ")
+
+  /** LSH candidate pairs (threshold 0.3) → symmetric edges → recursive
+    * min-label components → `surv` (first-occurrence survivors). Appended
+    * after [[duckMinhashCtes]]; shared by q_near_dedup,
+    * q_connected_components, and q_curate_v5. */
+  private val duckNearDupCcCtes: String =
+    """p AS (SELECT id_a, id_b FROM jac
+      |      WHERE CAST(i AS DOUBLE) / CAST(la + lb - i AS DOUBLE) >= 0.3),
+      |edges AS (SELECT id_a AS s, id_b AS d FROM p
+      |          UNION ALL SELECT id_b AS s, id_a AS d FROM p),
+      |reach(id, r) AS (
+      |  SELECT doc_id, doc_id FROM documents
+      |  UNION
+      |  SELECT e.d, reach.r FROM reach JOIN edges e ON e.s = reach.id),
+      |comp AS (SELECT id, min(r) AS comp FROM reach GROUP BY id),
+      |surv AS (SELECT d.doc_id FROM documents d JOIN comp c2 ON c2.id = d.doc_id
+      |         WHERE c2.comp = d.doc_id)""".stripMargin
 
   /** CTE chain computing the exact-integer raw HLL estimate (p=9) from a
     * 60-bit-hash CTE named `h$tag` with column `h`; ends in `e$tag(e)`. */
@@ -2430,17 +2481,9 @@ object SparkEntry {
          |ORDER BY id_a, id_b""".stripMargin,
     "q_near_dedup" ->
       s"""WITH RECURSIVE $duckMinhashCtes,
-         |p AS (SELECT id_a, id_b FROM jac
-         |      WHERE CAST(i AS DOUBLE) / CAST(la + lb - i AS DOUBLE) >= 0.3),
-         |edges AS (SELECT id_a AS s, id_b AS d FROM p
-         |          UNION ALL SELECT id_b AS s, id_a AS d FROM p),
-         |reach(id, r) AS (
-         |  SELECT doc_id, doc_id FROM documents
-         |  UNION
-         |  SELECT e.d, reach.r FROM reach JOIN edges e ON e.s = reach.id),
-         |comp AS (SELECT id, min(r) AS comp FROM reach GROUP BY id)
-         |SELECT d.doc_id, d.n_chars FROM documents d JOIN comp c ON c.id = d.doc_id
-         |WHERE c.comp = d.doc_id ORDER BY d.doc_id""".stripMargin,
+         |$duckNearDupCcCtes
+         |SELECT d.doc_id, d.n_chars FROM documents d JOIN surv USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin,
     "q_simhash" -> (duckSimhash + "\nORDER BY doc_id"),
     "q_simhash_pairs" ->
       s"""WITH s AS ($duckSimhash),
@@ -3048,38 +3091,11 @@ object SparkEntry {
          |FROM pass p ORDER BY l_suppkey""".stripMargin,
     "q_curate_v5" ->
       s"""WITH RECURSIVE $duckMinhashCtes,
-         |p AS (SELECT id_a, id_b FROM jac
-         |      WHERE CAST(i AS DOUBLE) / CAST(la + lb - i AS DOUBLE) >= 0.3),
-         |edges AS (SELECT id_a AS s, id_b AS d FROM p
-         |          UNION ALL SELECT id_b AS s, id_a AS d FROM p),
-         |reach(id, r) AS (
-         |  SELECT doc_id, doc_id FROM documents
-         |  UNION
-         |  SELECT e.d, reach.r FROM reach JOIN edges e ON e.s = reach.id),
-         |comp AS (SELECT id, min(r) AS comp FROM reach GROUP BY id),
-         |surv AS (SELECT d.doc_id FROM documents d JOIN comp c2 ON c2.id = d.doc_id
-         |         WHERE c2.comp = d.doc_id),
-         |gb AS (SELECT doc_id, coalesce(text, '') AS t,
-         |         list_filter(str_split_regex(coalesce(text, ''), '\\s+'), x -> x <> '') AS gws,
-         |         str_split(coalesce(text, ''), chr(10)) AS ls
-         |       FROM documents),
-         |gc AS (SELECT doc_id, len(gws) AS nw,
-         |         coalesce(list_sum(list_transform(gws, x -> length(x))), 0) AS chars,
-         |         len(list_filter(gws, x -> regexp_matches(x, '[A-Za-z]'))) AS alphaw,
-         |         len(list_intersect(list_distinct(list_transform(gws, x -> lower(x))),
-         |             ['the','a','of','and'])) AS stops,
-         |         len(ls) AS nl,
-         |         len(list_filter(ls, l -> starts_with(trim(l), '-')
-         |             OR starts_with(trim(l), '*') OR starts_with(trim(l), '•'))) AS bul,
-         |         len(list_filter(ls, l -> l LIKE '%...' OR l LIKE '%…')) AS ell,
-         |         length(t) - length(replace(t, '#', '')) AS hashes,
-         |         (length(t) - length(regexp_replace(t, '\\.\\.\\.', '', 'g'))) // 3 AS ellipses
-         |       FROM gb)
+         |$duckNearDupCcCtes,
+         |$duckGopherCtes
          |SELECT gc.doc_id, CAST(nw AS INT) AS n_words
          |FROM gc JOIN surv USING (doc_id)
-         |WHERE nw >= 40 AND nw <= 100000 AND 3 * nw <= chars AND chars <= 10 * nw
-         |  AND 10 * (hashes + ellipses) <= nw AND 10 * bul <= 9 * nl
-         |  AND 10 * ell <= 3 * nl AND 5 * alphaw >= 4 * nw AND stops >= 2
+         |WHERE $duckGopherPass
          |ORDER BY doc_id""".stripMargin,
     "q_hll_intersect" ->
       s"""WITH ha AS (SELECT ${duckMd5_60("CAST(l_partkey AS VARCHAR)")} AS h
@@ -3119,34 +3135,11 @@ object SparkEntry {
         |  AND list_contains(ts, 'dup')
         |ORDER BY doc_id""".stripMargin,
     "q_gopher_rules" ->
-      """WITH b AS (SELECT doc_id, coalesce(text, '') AS t,
-        |             list_filter(str_split_regex(coalesce(text, ''), '\s+'), x -> x <> '') AS ws,
-        |             str_split(coalesce(text, ''), chr(10)) AS ls
-        |           FROM documents),
-        |c AS (SELECT doc_id, len(ws) AS nw,
-        |        coalesce(list_sum(list_transform(ws, x -> length(x))), 0) AS chars,
-        |        len(list_filter(ws, x -> regexp_matches(x, '[A-Za-z]'))) AS alphaw,
-        |        len(list_intersect(list_distinct(list_transform(ws, x -> lower(x))),
-        |            ['the','a','of','and'])) AS stops,
-        |        len(ls) AS nl,
-        |        len(list_filter(ls, l -> starts_with(trim(l), '-')
-        |            OR starts_with(trim(l), '*') OR starts_with(trim(l), '•'))) AS bul,
-        |        len(list_filter(ls, l -> l LIKE '%...' OR l LIKE '%…')) AS ell,
-        |        length(t) - length(replace(t, '#', '')) AS hashes,
-        |        (length(t) - length(regexp_replace(t, '\.\.\.', '', 'g'))) // 3 AS ellipses
-        |      FROM b)
-        |SELECT doc_id, CAST(nw AS INT) AS n_words,
-        |  nw >= 40 AND nw <= 100000 AS r_words,
-        |  3 * nw <= chars AND chars <= 10 * nw AS r_meanlen,
-        |  10 * (hashes + ellipses) <= nw AS r_symbol,
-        |  10 * bul <= 9 * nl AS r_bullet,
-        |  10 * ell <= 3 * nl AS r_ellipsis,
-        |  5 * alphaw >= 4 * nw AS r_alpha,
-        |  stops >= 2 AS r_stop,
-        |  (nw >= 40 AND nw <= 100000) AND (3 * nw <= chars AND chars <= 10 * nw)
-        |    AND (10 * (hashes + ellipses) <= nw) AND (10 * bul <= 9 * nl)
-        |    AND (10 * ell <= 3 * nl) AND (5 * alphaw >= 4 * nw) AND (stops >= 2) AS pass
-        |FROM c ORDER BY doc_id""".stripMargin,
+      s"""WITH $duckGopherCtes
+         |SELECT doc_id, CAST(nw AS INT) AS n_words,
+         |${duckGopherRules.map { case (n, e) => s"  $e AS $n" }.mkString(",\n")},
+         |  $duckGopherPass AS pass
+         |FROM gc ORDER BY doc_id""".stripMargin,
     "q_index_increment" ->
       """WITH dt AS (SELECT DISTINCT doc_id,
         |              unnest(list_filter(str_split_regex(lower(text), '\s+'),
@@ -3211,15 +3204,8 @@ object SparkEntry {
         |) ORDER BY stat""".stripMargin,
     "q_connected_components" ->
       s"""WITH RECURSIVE $duckMinhashCtes,
-         |p AS (SELECT id_a, id_b FROM jac
-         |      WHERE CAST(i AS DOUBLE) / CAST(la + lb - i AS DOUBLE) >= 0.3),
-         |edges AS (SELECT id_a AS s, id_b AS d FROM p
-         |          UNION ALL SELECT id_b AS s, id_a AS d FROM p),
-         |reach(id, r) AS (
-         |  SELECT doc_id, doc_id FROM documents
-         |  UNION
-         |  SELECT e.d, reach.r FROM reach JOIN edges e ON e.s = reach.id)
-         |SELECT id AS doc_id, CAST(min(r) AS BIGINT) AS comp
-         |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
+         |$duckNearDupCcCtes
+         |SELECT id AS doc_id, CAST(comp AS BIGINT) AS comp
+         |FROM comp ORDER BY doc_id""".stripMargin,
   )
 }

@@ -210,22 +210,44 @@ object Sketches {
   }
 
   /** Exact heavy hitters with a BOUNDED shuffle: pass 1 builds the CMS
-    * matrix (kilobytes, no key shuffles); pass 2 prunes map-only under the
+    * matrix (kilobytes, no key shuffles); pass 2 prunes map-side under the
     * broadcast matrix — only keys whose ESTIMATE reaches `minCount` enter
     * the exact groupBy — then the exact count filter removes the CMS's
     * false positives. Because CMS never underestimates, no true heavy
-    * hitter is pruned: the result is EXACTLY `groupBy.count ≥ minCount`,
-    * but the shuffle carries only candidate keys instead of the whole key
-    * universe (at 100 TB: heavy-hitter detection over trillions of tokens
-    * with a shuffle bounded by the candidates). */
+    * hitter is pruned: over the NON-NULL keys the result is exactly
+    * `groupBy.count ≥ minCount` (null keys are excluded, matching the
+    * matrix build), but the shuffle carries only candidate keys instead of
+    * the whole key universe (at 100 TB: heavy-hitter detection over
+    * trillions of tokens with a shuffle bounded by the candidates).
+    *
+    * The prune verdict is memoized per partition (one d-hash probe per
+    * DISTINCT key per partition, not per row — a 10^9-occurrence token
+    * costs one probe per partition, not 10^9); past `memoCap` distinct
+    * keys the memo stops growing and further keys probe directly, so
+    * memory stays bounded on unbounded key universes. */
   def heavyHitters(df: DataFrame, key: Column, minCount: Long,
-                   d: Int = 4, w: Int = 1024): DataFrame = {
+                   d: Int = 4, w: Int = 1024, memoCap: Int = 1 << 22): DataFrame = {
     val mat = countMin(df, key, None, d, w)
-    val pass = udf { k: String => k != null && cmsEstimate(mat, d, w, k) >= minCount }
-    df.select(key.cast("string").as("k"))
-      .where(pass(col("k")))
-      .groupBy("k").agg(count(lit(1)).as("cnt"))
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(key.cast("string").as("k")).as[String]
+      .mapPartitions { it =>
+        val memo = new java.util.HashMap[String, java.lang.Boolean]()
+        it.filter { k =>
+          k != null && {
+            val cached = memo.get(k)
+            if (cached != null) cached.booleanValue()
+            else {
+              val v = cmsEstimate(mat, d, w, k) >= minCount
+              if (memo.size < memoCap) memo.put(k, java.lang.Boolean.valueOf(v))
+              v
+            }
+          }
+        }
+      }
+      .groupBy(col("value").as("k")).agg(count(lit(1)).as("cnt"))
       .where(col("cnt") >= minCount)
+      .select(col("k"), col("cnt"))
   }
 
   // ---- Bloom filter --------------------------------------------------------
