@@ -1487,6 +1487,22 @@ object SparkEntry {
       graft.ops.Sketches.heavyHitters(toks, col("t"), minCount = 900L)
         .orderBy(desc("cnt"), asc("k"))
     } _,
+    // bloom-pruned JOIN (the runtime-filter shape): the probe side is
+    // scan-filtered under the broadcast bits BEFORE the join; no false
+    // negatives + the join dropping false positives ⇒ result provably
+    // equals the plain join the oracle runs — only the shuffle volume
+    // differs (candidates instead of the whole fact side)
+    "q_bloom_join" -> dfq { s =>
+      val build = s.table("supplier").where(col("s_suppkey") % 7 === 0)
+        .select(col("s_suppkey"), col("s_nationkey"))
+      val bits = graft.ops.Sketches.bloomBits(build, col("s_suppkey"), mBits = 4096, k = 3)
+      val pruned = graft.ops.Sketches.bloomProbe(
+        s.table("lineitem").select("l_orderkey", "l_linenumber", "l_suppkey"),
+        col("l_suppkey"), bits, 4096, 3)
+      pruned.join(build, pruned("l_suppkey") === build("s_suppkey"))
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_suppkey"), col("s_nationkey"))
+        .orderBy("l_orderkey", "l_linenumber")
+    } _,
     // ---- retrieval: inverted index + conjunctive search --------------------
     "q_inverted_index" -> dfq { s =>
       graft.ops.Index.invertedIndex(s.table("documents"), "text", "doc_id",
@@ -3115,6 +3131,11 @@ object SparkEntry {
         |SELECT k, CAST(count(*) AS BIGINT) AS cnt FROM tok
         |GROUP BY k HAVING count(*) >= 900
         |ORDER BY cnt DESC, k""".stripMargin,
+    "q_bloom_join" ->
+      """SELECT l.l_orderkey, l.l_linenumber, l.l_suppkey, s.s_nationkey
+        |FROM lineitem l JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        |WHERE s.s_suppkey % 7 = 0
+        |ORDER BY l.l_orderkey, l.l_linenumber""".stripMargin,
     "q_inverted_index" ->
       """WITH dt AS (SELECT DISTINCT doc_id,
         |              unnest(list_filter(str_split_regex(lower(text), '\s+'),

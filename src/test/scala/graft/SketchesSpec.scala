@@ -178,6 +178,11 @@ class SketchesSpec extends AnyFunSuite {
     assert(toMapOf(Index.mergeIndex(a, b)) == whole)
     assert(toMapOf(Index.mergeIndex(b, a)) == whole)          // commutative
     assert(toMapOf(Index.mergeIndex(Index.mergeIndex(a, b), b)) == whole) // replay-idempotent
+    // associative over a 3-way split in either association order
+    val parts = Seq(docs.where(col("doc_id") % 3 === 0), docs.where(col("doc_id") % 3 === 1),
+      docs.where(col("doc_id") % 3 === 2)).map(Index.invertedIndex(_, "text", "doc_id"))
+    assert(toMapOf(Index.mergeIndex(Index.mergeIndex(parts(0), parts(1)), parts(2))) == whole)
+    assert(toMapOf(Index.mergeIndex(parts(0), Index.mergeIndex(parts(1), parts(2)))) == whole)
   }
 
   test("deterministicShuffle: a permutation, stable across runs, salt-dependent") {
