@@ -1487,6 +1487,14 @@ object SparkEntry {
       graft.ops.Sketches.heavyHitters(toks, col("t"), minCount = 900L)
         .orderBy(desc("cnt"), asc("k"))
     } _,
+    // ordered funnel (view → click → purchase): one user-keyed shuffle,
+    // sorted-group scan with O(#stages) state; the greedy chain equals the
+    // oracle's chained min-aggregates
+    "q_funnel" -> dfq { s =>
+      graft.ops.Funnel.funnel(s.table("events"), "user_id", "event_type", "ts",
+          Seq("view", "click", "purchase"))
+        .orderBy("user_id")
+    } _,
     // bloom-pruned JOIN (the runtime-filter shape): the probe side is
     // scan-filtered under the broadcast bits BEFORE the join; no false
     // negatives + the join dropping false positives ⇒ result provably
@@ -3131,6 +3139,22 @@ object SparkEntry {
         |SELECT k, CAST(count(*) AS BIGINT) AS cnt FROM tok
         |GROUP BY k HAVING count(*) >= 900
         |ORDER BY cnt DESC, k""".stripMargin,
+    "q_funnel" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_ns(ts) AS t FROM events),
+        |s1 AS (SELECT user_id, min(t) AS t1 FROM e WHERE event_type = 'view' GROUP BY user_id),
+        |s2 AS (SELECT e.user_id, min(t) AS t2 FROM e JOIN s1 USING (user_id)
+        |       WHERE event_type = 'click' AND t > t1 GROUP BY e.user_id),
+        |s3 AS (SELECT e.user_id, min(t) AS t3 FROM e JOIN s2 USING (user_id)
+        |       WHERE event_type = 'purchase' AND t > t2 GROUP BY e.user_id)
+        |SELECT u.user_id,
+        |  CAST(CASE WHEN t3 IS NOT NULL THEN 3 WHEN t2 IS NOT NULL THEN 2
+        |            WHEN t1 IS NOT NULL THEN 1 ELSE 0 END AS INT) AS reached,
+        |  t1, t2, t3
+        |FROM (SELECT DISTINCT user_id FROM e
+        |      WHERE event_type IN ('view', 'click', 'purchase')) u
+        |LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)
+        |LEFT JOIN s3 USING (user_id)
+        |ORDER BY user_id""".stripMargin,
     "q_bloom_join" ->
       """SELECT l.l_orderkey, l.l_linenumber, l.l_suppkey, s.s_nationkey
         |FROM lineitem l JOIN supplier s ON s.s_suppkey = l.l_suppkey

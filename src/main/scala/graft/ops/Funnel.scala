@@ -1,0 +1,59 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Encoders}
+import org.apache.spark.sql.functions._
+
+/**
+ * Ordered-funnel analysis over an event stream: for each user, the earliest
+ * stage-1 event, then the earliest stage-2 event STRICTLY after it, and so
+ * on through the stage list — the product-analytics "view → click →
+ * purchase" conversion primitive.
+ *
+ * Scale design: ONE shuffle on the user key; each group is scanned once in
+ * timestamp order with `flatMapSortedGroups` (Spark sorts groups
+ * spill-safely instead of buffering them), and per-user state is the
+ * stage-time array — O(#stages), never O(events). The greedy sorted scan
+ * (take the next needed stage the first time it appears after the previous
+ * stage's time) is provably the sequential-min chain: t_{k+1} =
+ * min{ts of stage k+1 | ts > t_k}, which is what the SQL oracle computes
+ * with chained min-aggregates.
+ */
+object Funnel {
+
+  /** One row per user: `(userCol, reached, t_1 … t_n)` where `reached` is
+    * the number of completed stages and `t_k` is the stage-k chain time
+    * (null once the chain breaks). Timestamps are compared as longs —
+    * normalize first (see [[graft.SparkEntry.eventsTsNs]]). */
+  def funnel(events: DataFrame, userCol: String, typeCol: String, tsCol: String,
+             stages: Seq[String]): DataFrame = {
+    require(stages.nonEmpty && stages.length <= 8, "1..8 stages")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val n = stages.length
+    val stageArr = stages.toArray
+    val out = events
+      .select(col(userCol).cast("long").as("u"), col(typeCol).cast("string").as("tp"),
+        col(tsCol).cast("long").as("t"))
+      .where(col("u").isNotNull && col("tp").isin(stages: _*) && col("t").isNotNull)
+      .as[(Long, String, Long)]
+      .groupByKey(_._1)
+      .flatMapSortedGroups(col("t").asc) { (user, it) =>
+        val times = new Array[Long](n)
+        var next = 0
+        it.foreach { case (_, tp, ts) =>
+          if (next < n && tp == stageArr(next) && (next == 0 || ts > times(next - 1))) {
+            times(next) = ts
+            next += 1
+          }
+        }
+        val filled: Seq[Option[Long]] =
+          (0 until n).map(k => if (k < next) Some(times(k)) else None)
+        Iterator.single((user, next, filled))
+      }(Encoders.product[(Long, Int, Seq[Option[Long]])])
+      .toDF("u", "reached", "ts_list")
+    // every user with at least one stage-typed event gets a row (reached=0
+    // if the chain never starts); users with no stage events have no funnel
+    val tCols = (0 until n).map(k => element_at(col("ts_list"), k + 1).as(s"t${k + 1}"))
+    out.select(col("u").as(userCol) +: col("reached") +: tCols: _*)
+  }
+}

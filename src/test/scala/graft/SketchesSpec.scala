@@ -225,6 +225,31 @@ class SketchesSpec extends AnyFunSuite {
     assert(!b(out(7), "r_stop"))
   }
 
+  // ---- Funnel --------------------------------------------------------------
+
+  test("funnel: greedy sorted chain equals sequential-min semantics") {
+    // user 1: full chain, with a click BEFORE the first view (must be
+    // skipped) and a same-timestamp click (strictly-after excludes it)
+    // user 2: view then purchase but no click -> reached 1
+    // user 3: only clicks -> reached 0
+    val ev = Seq(
+      (1L, "click", 5L), (1L, "view", 10L), (1L, "click", 10L),
+      (1L, "click", 20L), (1L, "purchase", 15L), (1L, "purchase", 30L),
+      (2L, "view", 1L), (2L, "purchase", 2L),
+      (3L, "click", 7L),
+      (4L, "error", 9L), // no stage-typed events: no funnel row
+    ).toDF("user_id", "event_type", "ts")
+    val got = graft.ops.Funnel.funnel(ev, "user_id", "event_type", "ts",
+        Seq("view", "click", "purchase"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), (2 to 4).map(i => if (r.isNullAt(i)) None else Some(r.getLong(i)))))
+      .toMap
+    assert(got(1L) == (3, Seq(Some(10L), Some(20L), Some(30L))))
+    assert(got(2L) == (1, Seq(Some(1L), None, None)))
+    assert(got(3L) == (0, Seq(None, None, None)))
+    assert(!got.contains(4L))
+  }
+
   // ---- Connected components ------------------------------------------------
 
   test("connectedComponents matches union-find on a random graph") {
