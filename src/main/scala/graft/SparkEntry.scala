@@ -1495,6 +1495,13 @@ object SparkEntry {
           Seq("view", "click", "purchase"))
         .orderBy("user_id")
     } _,
+    // cohort retention matrix: signup-day cohorts × active-day offsets,
+    // all-integer day arithmetic (ns DIV 86400e9)
+    "q_cohort" -> dfq { s =>
+      graft.ops.Funnel.cohortRetention(s.table("events"), "user_id", "event_type",
+          "ts", anchorType = "signup")
+        .orderBy("cohort_day", "offset_day")
+    } _,
     // bloom-pruned JOIN (the runtime-filter shape): the probe side is
     // scan-filtered under the broadcast bits BEFORE the join; no false
     // negatives + the join dropping false positives ⇒ result provably
@@ -3139,6 +3146,17 @@ object SparkEntry {
         |SELECT k, CAST(count(*) AS BIGINT) AS cnt FROM tok
         |GROUP BY k HAVING count(*) >= 900
         |ORDER BY cnt DESC, k""".stripMargin,
+    "q_cohort" ->
+      """WITH e AS (SELECT user_id, event_type,
+        |             epoch_ns(ts) // 86400000000000 AS day FROM events),
+        |a AS (SELECT user_id, min(day) AS cohort_day FROM e
+        |      WHERE event_type = 'signup' GROUP BY user_id),
+        |act AS (SELECT DISTINCT user_id, day FROM e)
+        |SELECT a.cohort_day, act.day - a.cohort_day AS offset_day,
+        |       CAST(count(DISTINCT act.user_id) AS BIGINT) AS active_users
+        |FROM act JOIN a USING (user_id)
+        |WHERE act.day >= a.cohort_day
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q_funnel" ->
       """WITH e AS (SELECT user_id, event_type, epoch_ns(ts) AS t FROM events),
         |s1 AS (SELECT user_id, min(t) AS t1 FROM e WHERE event_type = 'view' GROUP BY user_id),

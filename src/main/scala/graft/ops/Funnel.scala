@@ -56,4 +56,32 @@ object Funnel {
     val tCols = (0 until n).map(k => element_at(col("ts_list"), k + 1).as(s"t${k + 1}"))
     out.select(col("u").as(userCol) +: col("reached") +: tCols: _*)
   }
+
+  /** Cohort retention matrix: users are anchored to the day of their first
+    * `anchorType` event; each (cohort_day, offset_day) cell counts the
+    * distinct users from that cohort active (any event) that many days
+    * later. Timestamps are ns-since-epoch longs; days are integer division
+    * by 86400e9 — all-integer, so the matrix hash-gates exactly.
+    *
+    * Scale: anchor extraction is one user-keyed counted aggregate; activity
+    * dedups to (user, day) — bounded by users × active days, far below the
+    * event count; the join is user-keyed; the final cell aggregate is a
+    * (cohort, offset)-keyed count-distinct. Nothing is ever driver-side. */
+  def cohortRetention(events: DataFrame, userCol: String, typeCol: String,
+                      tsCol: String, anchorType: String): DataFrame = {
+    // integer DIV, not `/`: float division of an ns-scale long loses
+    // precision past the double mantissa and can misplace day boundaries
+    val day = expr(s"CAST($tsCol AS BIGINT) DIV 86400000000000")
+    val e = events
+      .where(col(userCol).isNotNull && col(tsCol).isNotNull)
+      .select(col(userCol).cast("long").as("u"), col(typeCol).cast("string").as("tp"),
+        day.as("day"))
+    val anchors = e.where(col("tp") === anchorType)
+      .groupBy("u").agg(min("day").as("cohort_day"))
+    val activity = e.select(col("u"), col("day")).distinct()
+    activity.join(anchors, "u")
+      .where(col("day") >= col("cohort_day"))
+      .groupBy(col("cohort_day"), (col("day") - col("cohort_day")).as("offset_day"))
+      .agg(countDistinct("u").as("active_users"))
+  }
 }

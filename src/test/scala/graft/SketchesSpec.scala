@@ -250,6 +250,22 @@ class SketchesSpec extends AnyFunSuite {
     assert(!got.contains(4L))
   }
 
+  test("cohortRetention: hand-computed matrix, pre-anchor activity excluded") {
+    val D = 86400L * 1000000000L
+    val ev = Seq(
+      (1L, "signup", 10 * D), (1L, "click", 10 * D + 5), (1L, "view", 12 * D),
+      (1L, "view", 9 * D),   // before the anchor day: excluded
+      (2L, "signup", 10 * D), (2L, "view", 12 * D),
+      (3L, "signup", 11 * D), (3L, "click", 11 * D),
+      (4L, "click", 10 * D), // never signs up: no cohort
+    ).toDF("user_id", "event_type", "ts")
+    val got = graft.ops.Funnel.cohortRetention(ev, "user_id", "event_type", "ts", "signup")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // cohort day 10: users 1,2 active day 0; users 1,2 active day 2
+    // cohort day 11: user 3 active day 0
+    assert(got == Map((10L, 0L) -> 2L, (10L, 2L) -> 2L, (11L, 0L) -> 1L))
+  }
+
   // ---- Connected components ------------------------------------------------
 
   test("connectedComponents matches union-find on a random graph") {
