@@ -1495,6 +1495,13 @@ object SparkEntry {
           Seq("view", "click", "purchase"))
         .orderBy("user_id")
     } _,
+    // triangle enumeration on the near-dup candidate graph (oriented
+    // wedge join + closing edge; each a<b<c triangle once)
+    "q_triangles" -> dfq { s =>
+      val pairs = graft.ops.Dedup.minhashPairs(s.table("documents"), "text", "doc_id",
+          k = 16, bands = 4, threshold = 0.3).select("id_a", "id_b")
+      graft.ops.Dedup.triangles(pairs, "id_a", "id_b").orderBy("a", "b", "c")
+    } _,
     // cohort retention matrix: signup-day cohorts × active-day offsets,
     // all-integer day arithmetic (ns DIV 86400e9)
     "q_cohort" -> dfq { s =>
@@ -3146,6 +3153,16 @@ object SparkEntry {
         |SELECT k, CAST(count(*) AS BIGINT) AS cnt FROM tok
         |GROUP BY k HAVING count(*) >= 900
         |ORDER BY cnt DESC, k""".stripMargin,
+    "q_triangles" ->
+      s"""WITH RECURSIVE $duckMinhashCtes,
+         |p AS (SELECT id_a, id_b FROM jac
+         |      WHERE CAST(i AS DOUBLE) / CAST(la + lb - i AS DOUBLE) >= 0.3),
+         |e AS (SELECT least(id_a, id_b) AS a, greatest(id_a, id_b) AS b
+         |      FROM p WHERE id_a <> id_b GROUP BY 1, 2)
+         |SELECT e1.a AS a, e1.b AS b, e2.b AS c
+         |FROM e e1 JOIN e e2 ON e2.a = e1.b
+         |JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+         |ORDER BY a, b, c""".stripMargin,
     "q_cohort" ->
       """WITH e AS (SELECT user_id, event_type,
         |             epoch_ns(ts) // 86400000000000 AS day FROM events),

@@ -299,6 +299,34 @@ object Dedup {
     out
   }
 
+  /** Triangle enumeration over an undirected edge list: edges are oriented
+    * small→large and deduped, wedges form by joining on the middle vertex,
+    * and a closing-edge join keeps the closed ones — each triangle
+    * `(a < b < c)` is emitted exactly once.
+    *
+    * Scale: two equi-joins; the wedge join is keyed on the middle vertex,
+    * so hot (high-degree) vertices produce the classic d² wedge blowup —
+    * AQE splits those partitions, and the orientation (only smaller→larger
+    * edges) already halves wedge counts. For power-law graphs add a degree
+    * threshold upstream. */
+  def triangles(edges0: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    Seq(srcCol, dstCol).foreach { c =>
+      val dt = edges0.schema(c).dataType
+      require(Seq("byte", "short", "integer", "long").contains(dt.typeName),
+        s"triangles: id column '$c' must be integral, got $dt")
+    }
+    val s0 = col(srcCol).cast("long")
+    val d0 = col(dstCol).cast("long")
+    val e = edges0.select(least(s0, d0).as("a"), greatest(s0, d0).as("b"))
+      .where(col("a") =!= col("b")).distinct()
+    val e1 = e.select(col("a").as("x"), col("b").as("y"))
+    val e2 = e.select(col("a").as("y2"), col("b").as("z"))
+    val e3 = e.select(col("a").as("x3"), col("b").as("z3"))
+    e1.join(e2, col("y") === col("y2"))
+      .join(e3, col("x") === col("x3") && col("z") === col("z3"))
+      .select(col("x").as("a"), col("y").as("b"), col("z").as("c"))
+  }
+
   /** Semantic dedup over an embedding column (the SemDeDup shape with
     * deterministic LSH cells): vectors land in hyperplane buckets, and every
     * vector with a same-bucket neighbor of smaller id at cosine ≥ `tau` is

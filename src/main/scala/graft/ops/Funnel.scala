@@ -24,8 +24,11 @@ object Funnel {
     * the number of completed stages and `t_k` is the stage-k chain time
     * (null once the chain breaks). Timestamps are compared as longs —
     * normalize first (see [[graft.SparkEntry.eventsTsNs]]). */
+  /** `maxSpan`: optional conversion window — later stages only count while
+    * `ts − t_1 ≤ maxSpan` (anchored at the FIRST stage-1 touch, the
+    * standard first-touch attribution; a later anchor is never considered). */
   def funnel(events: DataFrame, userCol: String, typeCol: String, tsCol: String,
-             stages: Seq[String]): DataFrame = {
+             stages: Seq[String], maxSpan: Option[Long] = None): DataFrame = {
     require(stages.nonEmpty && stages.length <= 8, "1..8 stages")
     val spark = events.sparkSession
     import spark.implicits._
@@ -40,8 +43,10 @@ object Funnel {
       .flatMapSortedGroups(col("t").asc) { (user, it) =>
         val times = new Array[Long](n)
         var next = 0
+        val span = maxSpan.getOrElse(Long.MaxValue)
         it.foreach { case (_, tp, ts) =>
-          if (next < n && tp == stageArr(next) && (next == 0 || ts > times(next - 1))) {
+          if (next < n && tp == stageArr(next) &&
+              (next == 0 || (ts > times(next - 1) && ts - times(0) <= span))) {
             times(next) = ts
             next += 1
           }

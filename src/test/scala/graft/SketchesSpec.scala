@@ -266,6 +266,31 @@ class SketchesSpec extends AnyFunSuite {
     assert(got == Map((10L, 0L) -> 2L, (10L, 2L) -> 2L, (11L, 0L) -> 1L))
   }
 
+  test("funnel maxSpan: conversions outside the window are rejected") {
+    val ev = Seq(
+      (1L, "view", 100L), (1L, "click", 150L), (1L, "purchase", 300L), // purchase past span
+      (2L, "view", 100L), (2L, "click", 150L), (2L, "purchase", 190L), // inside
+    ).toDF("user_id", "event_type", "ts")
+    val got = graft.ops.Funnel.funnel(ev, "user_id", "event_type", "ts",
+        Seq("view", "click", "purchase"), maxSpan = Some(100L))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got == Map(1L -> 2, 2L -> 3))
+  }
+
+  test("triangles match brute force on a random graph, each counted once") {
+    val edges = (1 to 260).map(_ => (rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+      .filter { case (a, b) => a != b }
+    val undirected = edges.map { case (a, b) => (math.min(a, b), math.max(a, b)) }.toSet
+    val truth = (for {
+      a <- 0L until 40L; b <- a + 1 to 39L; c <- b + 1 to 39L
+      if undirected((a, b)) && undirected((b, c)) && undirected((a, c))
+    } yield (a, b, c)).toSet
+    val got = graft.ops.Dedup.triangles(edges.toDF("s", "d"), "s", "d")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSet == truth)
+    assert(got.length == truth.size) // no duplicates
+  }
+
   // ---- Connected components ------------------------------------------------
 
   test("connectedComponents matches union-find on a random graph") {
