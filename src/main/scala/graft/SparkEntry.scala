@@ -1495,6 +1495,15 @@ object SparkEntry {
           Seq("view", "click", "purchase"))
         .orderBy("user_id")
     } _,
+    // integer PageRank on the near-dup candidate graph: 6 rounds of
+    // r' = 0.15 + 0.85·Σ floor(r/deg) at scale 10^6 — bit-replayable
+    "q_pagerank" -> dfq { s =>
+      val pairs = graft.ops.Dedup.minhashPairs(s.table("documents"), "text", "doc_id",
+          k = 16, bands = 4, threshold = 0.3).select("id_a", "id_b")
+      graft.ops.Dedup.pageRank(pairs, "id_a", "id_b", iters = 6)
+        .select(col("id").as("doc_id"), col("r").as("pr"))
+        .orderBy("doc_id")
+    } _,
     // triangle enumeration on the near-dup candidate graph (oriented
     // wedge join + closing edge; each a<b<c triangle once)
     "q_triangles" -> dfq { s =>
@@ -1651,6 +1660,29 @@ object SparkEntry {
       |comp AS (SELECT id, min(r) AS comp FROM reach GROUP BY id),
       |surv AS (SELECT d.doc_id FROM documents d JOIN comp c2 ON c2.id = d.doc_id
       |         WHERE c2.comp = d.doc_id)""".stripMargin
+
+  /** Integer PageRank replay over the near-dup candidate graph — `iters`
+    * chained CTEs of the engine's exact arithmetic. */
+  private def duckPageRankSql(iters: Int): String = {
+    val rounds = (1 to iters).map { i =>
+      s"""r$i AS (SELECT n.id, 150000 + (850 * coalesce(s.s, 0)) // 1000 AS r
+         |  FROM n LEFT JOIN (
+         |    SELECT e.b AS id, sum(rp.r // deg.d) AS s
+         |    FROM e JOIN r${i - 1} rp ON rp.id = e.a JOIN deg ON deg.u = e.a
+         |    GROUP BY e.b) s USING (id))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH RECURSIVE $duckMinhashCtes,
+       |p AS (SELECT id_a, id_b FROM jac
+       |      WHERE CAST(i AS DOUBLE) / CAST(la + lb - i AS DOUBLE) >= 0.3),
+       |pe AS (SELECT id_a AS a, id_b AS b FROM p WHERE id_a <> id_b),
+       |e AS (SELECT a, b FROM (SELECT a, b FROM pe UNION ALL SELECT b AS a, a AS b FROM pe)
+       |      GROUP BY a, b),
+       |deg AS (SELECT a AS u, count(*) AS d FROM e GROUP BY a),
+       |n AS (SELECT DISTINCT a AS id FROM e),
+       |r0 AS (SELECT id, CAST(1000000 AS BIGINT) AS r FROM n),
+       |$rounds
+       |SELECT id AS doc_id, CAST(r AS BIGINT) AS pr FROM r$iters ORDER BY doc_id""".stripMargin
+  }
 
   /** CTE chain computing the exact-integer raw HLL estimate (p=9) from a
     * 60-bit-hash CTE named `h$tag` with column `h`; ends in `e$tag(e)`. */
@@ -3153,6 +3185,7 @@ object SparkEntry {
         |SELECT k, CAST(count(*) AS BIGINT) AS cnt FROM tok
         |GROUP BY k HAVING count(*) >= 900
         |ORDER BY cnt DESC, k""".stripMargin,
+    "q_pagerank" -> duckPageRankSql(6),
     "q_triangles" ->
       s"""WITH RECURSIVE $duckMinhashCtes,
          |p AS (SELECT id_a, id_b FROM jac

@@ -327,6 +327,57 @@ object Dedup {
       .select(col("x").as("a"), col("y").as("b"), col("z").as("c"))
   }
 
+  /** PageRank over an undirected edge list in EXACT integer arithmetic
+    * (ranks scaled by 10^6): edges are symmetrized and deduped, every
+    * endpoint starts at 1.0, and each of the `iters` rounds computes
+    *
+    *   r'(v) = 0.15 + 0.85 · Σ_{u→v} floor(r(u) / outdeg(u))
+    *
+    * entirely in integer division — order-free sums, no floats — so the
+    * scores replay bit-for-bit in the oracle's chained CTEs. Symmetrized
+    * graphs have no dangling nodes (every endpoint has outdeg ≥ 1), so no
+    * dangling-mass redistribution is needed.
+    *
+    * Scale: each round is one edge-keyed join + one target-keyed counted
+    * aggregate — the same shuffle shape as one label-propagation round;
+    * the rank table is endpoints-only, never the corpus. Fixed iteration
+    * count (no convergence scan) keeps the plan depth bounded; lineage is
+    * truncated every round via persist. */
+  def pageRank(edges0: DataFrame, srcCol: String, dstCol: String,
+               iters: Int = 6): DataFrame = {
+    Seq(srcCol, dstCol).foreach { c =>
+      val dt = edges0.schema(c).dataType
+      require(Seq("byte", "short", "integer", "long").contains(dt.typeName),
+        s"pageRank: id column '$c' must be integral, got $dt")
+    }
+    val p = edges0.select(col(srcCol).cast("long").as("a"), col(dstCol).cast("long").as("b"))
+      .where(col("a") =!= col("b"))
+    val e = p.union(p.select(col("b").as("a"), col("a").as("b"))).distinct()
+      .localCheckpoint()
+    val deg = e.groupBy("a").agg(count(lit(1)).as("d"))
+    val nodes = e.select(col("a").as("id")).distinct()
+    var r = nodes.withColumn("r", lit(1000000L)).persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var prev: Option[DataFrame] = None
+    for (_ <- 1 to iters) {
+      val contrib = e.join(r, e("a") === r("id")).join(deg, "a")
+        .select(col("b").as("id"), expr("r DIV d").as("c"))
+        .groupBy("id").agg(sum("c").as("s"))
+      val next = nodes.join(contrib, Seq("id"), "left")
+        .select(col("id"),
+          (lit(150000L) + expr("850 * coalesce(s, 0) DIV 1000")).as("r"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      next.count() // materialize before releasing the previous round
+      prev.foreach(_.unpersist(false))
+      prev = Some(r)
+      r = next
+    }
+    val out = r.localCheckpoint()
+    prev.foreach(_.unpersist(false))
+    r.unpersist(false)
+    out
+  }
+
   /** Semantic dedup over an embedding column (the SemDeDup shape with
     * deterministic LSH cells): vectors land in hyperplane buckets, and every
     * vector with a same-bucket neighbor of smaller id at cosine ≥ `tau` is

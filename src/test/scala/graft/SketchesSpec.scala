@@ -291,6 +291,16 @@ class SketchesSpec extends AnyFunSuite {
     assert(got.length == truth.size) // no duplicates
   }
 
+  test("pageRank: hand-computed integer iterations on a star graph") {
+    // star 0-{1,2,3}: deg(0)=3, deg(leaf)=1
+    // round 1: r(0)=150000+850*3e6//1000=2700000; r(leaf)=150000+850*(1e6//3)//1000=433333
+    // round 2: r(0)=150000+850*(3*433333)//1000=1254999; r(leaf)=150000+850*(2700000//3)//1000=915000
+    val edges = Seq((0L, 1L), (0L, 2L), (0L, 3L)).toDF("s", "d")
+    val got = graft.ops.Dedup.pageRank(edges, "s", "d", iters = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(0L -> 1254999L, 1L -> 915000L, 2L -> 915000L, 3L -> 915000L))
+  }
+
   // ---- Connected components ------------------------------------------------
 
   test("connectedComponents matches union-find on a random graph") {
