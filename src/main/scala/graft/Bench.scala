@@ -341,6 +341,25 @@ object Bench {
           org.apache.spark.sql.functions.col("t"), None, d = 4, w = 1024)
         require(mat.sum > 0)
       },
+      "x_funnel_20m" -> { s: SparkSession =>
+        // ordered funnel over 20M synthetic events / 1M users: one
+        // user-keyed shuffle + sorted-group scan with O(#stages) state
+        val ev = s.range(20000000L).selectExpr(
+          "id % 1000000 AS user_id",
+          "element_at(array('view','click','purchase','error'), CAST(id % 4 + 1 AS INT)) AS event_type",
+          "id * 13 AS ts")
+        graft.ops.Funnel.funnel(ev, "user_id", "event_type", "ts",
+            Seq("view", "click", "purchase"))
+          .write.format("noop").mode("overwrite").save()
+      },
+      "x_cohort_20m" -> { s: SparkSession =>
+        val ev = s.range(20000000L).selectExpr(
+          "id % 1000000 AS user_id",
+          "CASE WHEN id < 1000000 THEN 'signup' ELSE 'view' END AS event_type",
+          "(id % 30) * 86400000000000 + id AS ts")
+        graft.ops.Funnel.cohortRetention(ev, "user_id", "event_type", "ts", "signup")
+          .write.format("noop").mode("overwrite").save()
+      },
       "x_index_1m" -> { s: SparkSession =>
         // inverted index over the 1M-doc / 20M-token corpus: the df-count
         // pass + the term-keyed postings shuffle, maxDf capping postings at
