@@ -346,7 +346,10 @@ object Bench {
         // user-keyed shuffle + sorted-group scan with O(#stages) state
         val ev = s.range(20000000L).selectExpr(
           "id % 1000000 AS user_id",
-          "element_at(array('view','click','purchase','error'), CAST(id % 4 + 1 AS INT)) AS event_type",
+          // vary the type WITHIN each user's event sequence (1e6 % 4 == 0,
+          // so a bare id % 4 would give every user a single constant type
+          // and the chain-advance state would never run past stage 1)
+          "element_at(array('view','click','purchase','error'), CAST((id + id DIV 1000000) % 4 + 1 AS INT)) AS event_type",
           "id * 13 AS ts")
         graft.ops.Funnel.funnel(ev, "user_id", "event_type", "ts",
             Seq("view", "click", "purchase"))

@@ -129,6 +129,15 @@ object Dedup {
     * Shuffles only (fingerprint, id) pairs, then semi-joins the winners back —
     * at scale prefer this over `Window.partitionBy(fp)` which would shuffle
     * whole rows. */
+  /** Shared guard for operators that cast ids to long: a non-integral id
+    * column would cast to null and silently corrupt the result. */
+  private[ops] def requireIntegralIds(df: DataFrame, cols: Seq[String], op: String): Unit =
+    cols.foreach { c =>
+      val dt = df.schema(c).dataType
+      require(Seq("byte", "short", "integer", "long").contains(dt.typeName),
+        s"$op: id column '$c' must be integral, got $dt")
+    }
+
   def exactDedup(df: DataFrame, textCol: String, idCol: String): DataFrame = {
     val withFp = df.withColumn("fp", expr(s"doc_fingerprint($textCol)"))
     val keep = withFp.groupBy("fp").agg(min(col(idCol)).as(idCol)).drop("fp")
@@ -199,9 +208,7 @@ object Dedup {
     // corpus; on a multi-node cluster prefer a reliable checkpoint dir.
     // Labels propagate as longs; a non-integral id column would cast to null
     // in the final anti-join and silently return the corpus un-deduplicated.
-    val idDt = df.schema(idCol).dataType
-    require(Seq("byte", "short", "integer", "long").contains(idDt.typeName),
-      s"nearDedupCorpus: id column '$idCol' must be integral, got $idDt")
+    requireIntegralIds(df, Seq(idCol), "nearDedupCorpus")
     val (rawPairs, banded) = minhashPairsImpl(df, textCol, idCol, k, bands, threshold)
     val pairs = rawPairs
       .select(col("id_a"), col("id_b"))
@@ -237,11 +244,7 @@ object Dedup {
                           maxIter: Int = 50): DataFrame = {
     // a non-integral id would cast to null and silently collapse the label
     // table — same guard as nearDedupCorpus
-    Seq(srcCol, dstCol).foreach { c =>
-      val dt = edges0.schema(c).dataType
-      require(Seq("byte", "short", "integer", "long").contains(dt.typeName),
-        s"connectedComponents: id column '$c' must be integral, got $dt")
-    }
+    requireIntegralIds(edges0, Seq(srcCol, dstCol), "connectedComponents")
     val pairs = edges0.select(col(srcCol).cast("long").as("id_a"),
       col(dstCol).cast("long").as("id_b"))
     val edges = pairs.union(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
@@ -310,11 +313,7 @@ object Dedup {
     * edges) already halves wedge counts. For power-law graphs add a degree
     * threshold upstream. */
   def triangles(edges0: DataFrame, srcCol: String, dstCol: String): DataFrame = {
-    Seq(srcCol, dstCol).foreach { c =>
-      val dt = edges0.schema(c).dataType
-      require(Seq("byte", "short", "integer", "long").contains(dt.typeName),
-        s"triangles: id column '$c' must be integral, got $dt")
-    }
+    requireIntegralIds(edges0, Seq(srcCol, dstCol), "triangles")
     val s0 = col(srcCol).cast("long")
     val d0 = col(dstCol).cast("long")
     val e = edges0.select(least(s0, d0).as("a"), greatest(s0, d0).as("b"))
@@ -345,17 +344,17 @@ object Dedup {
     * truncated every round via persist. */
   def pageRank(edges0: DataFrame, srcCol: String, dstCol: String,
                iters: Int = 6): DataFrame = {
-    Seq(srcCol, dstCol).foreach { c =>
-      val dt = edges0.schema(c).dataType
-      require(Seq("byte", "short", "integer", "long").contains(dt.typeName),
-        s"pageRank: id column '$c' must be integral, got $dt")
-    }
+    requireIntegralIds(edges0, Seq(srcCol, dstCol), "pageRank")
     val p = edges0.select(col(srcCol).cast("long").as("a"), col(dstCol).cast("long").as("b"))
       .where(col("a") =!= col("b"))
     val e = p.union(p.select(col("b").as("a"), col("a").as("b"))).distinct()
       .localCheckpoint()
+    // loop-invariant: persisted once so the per-round materializations don't
+    // re-run the degree and distinct shuffles every iteration
     val deg = e.groupBy("a").agg(count(lit(1)).as("d"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nodes = e.select(col("a").as("id")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var r = nodes.withColumn("r", lit(1000000L)).persist(
       org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var prev: Option[DataFrame] = None
@@ -375,6 +374,8 @@ object Dedup {
     val out = r.localCheckpoint()
     prev.foreach(_.unpersist(false))
     r.unpersist(false)
+    deg.unpersist(false)
+    nodes.unpersist(false)
     out
   }
 

@@ -30,6 +30,8 @@ object Funnel {
   def funnel(events: DataFrame, userCol: String, typeCol: String, tsCol: String,
              stages: Seq[String], maxSpan: Option[Long] = None): DataFrame = {
     require(stages.nonEmpty && stages.length <= 8, "1..8 stages")
+    Dedup.requireIntegralIds(events, Seq(userCol), "funnel")
+    requireLongTs(events, tsCol, "funnel")
     val spark = events.sparkSession
     import spark.implicits._
     val n = stages.length
@@ -72,8 +74,19 @@ object Funnel {
     * dedups to (user, day) — bounded by users × active days, far below the
     * event count; the join is user-keyed; the final cell aggregate is a
     * (cohort, offset)-keyed count-distinct. Nothing is ever driver-side. */
+  /** Timestamps must already be integral (ns-since-epoch longs, see
+    * [[graft.SparkEntry.eventsTsNs]]): a TimestampType column would CAST to
+    * seconds and silently collapse day arithmetic / chain ordering. */
+  private def requireLongTs(df: DataFrame, tsCol: String, op: String): Unit = {
+    val dt = df.schema(tsCol).dataType
+    require(Seq("byte", "short", "integer", "long").contains(dt.typeName),
+      s"$op: timestamp column '$tsCol' must be an integral epoch value, got $dt")
+  }
+
   def cohortRetention(events: DataFrame, userCol: String, typeCol: String,
                       tsCol: String, anchorType: String): DataFrame = {
+    Dedup.requireIntegralIds(events, Seq(userCol), "cohortRetention")
+    requireLongTs(events, tsCol, "cohortRetention")
     // integer DIV, not `/`: float division of an ns-scale long loses
     // precision past the double mantissa and can misplace day boundaries
     val day = expr(s"CAST($tsCol AS BIGINT) DIV 86400000000000")
