@@ -1599,6 +1599,72 @@ object SparkEntry {
         .select(col("doc_id"), coalesce(col("comp"), col("doc_id")).as("comp"))
         .orderBy("doc_id")
     } _,
+
+    // ---- fuzzy matching / entity resolution --------------------------------
+    // edit-distance self-join on part names via PassJoin pigeonhole blocking
+    // (never O(n²)); the oracle runs the brute-force cross join — equality
+    // proves the blocking loses no pair
+    "q_fuzzy_join" -> dfq { s =>
+      graft.ops.Fuzzy.fuzzySelfJoin(s.table("part"), "p_partkey", "p_name", maxDist = 1)
+        .orderBy("id_a", "id_b")
+    } _,
+
+    // ---- time series -------------------------------------------------------
+    // rolling z-score outliers per event_type, cross-multiplied to exact
+    // integers: flag ⇔ (n·x − s)² > 9·(n·s2 − s²) over a 20-row frame
+    "q_anomaly" -> dfq { s =>
+      val ev = s.table("events")
+        .withColumn("cents", expr("CAST(ROUND(value * 100) AS BIGINT)"))
+      graft.ops.TimeSeries.anomalyFlags(ev, "event_type",
+          Seq("ts", "event_id"), "cents", window = 20, tSigma = 3)
+        .select(col("event_id"), col("event_type"), col("cents"),
+                col("roll_n"), col("flag"))
+        .orderBy("event_type", "event_id")
+    } _,
+    // per-user calendar-day resample + forward fill (gap-fill the metric
+    // stream); day arithmetic is integer ns-div — exact past 2^53
+    "q_resample_fill" -> dfq { s =>
+      val ev = s.table("events")
+        .withColumn("cents", expr("CAST(ROUND(value * 100) AS BIGINT)"))
+      graft.ops.TimeSeries.resampleFill(ev, "user_id", "ts", "cents", "event_id")
+        .select(col("key").as("user_id"), col("day"), col("v").as("cents"))
+        .orderBy("user_id", "day")
+    } _,
+    // windowed power-of-two-decay EMA, integer-scaled (Σ 2^(7−j)·x_{t−j})
+    "q_ewma" -> dfq { s =>
+      val ev = s.table("events")
+        .withColumn("cents", expr("CAST(ROUND(value * 100) AS BIGINT)"))
+      graft.ops.TimeSeries.ewmaScaled(ev, "event_type",
+          Seq("ts", "event_id"), "cents", depth = 8)
+        .select(col("event_id"), col("event_type"), col("ewma_scaled"))
+        .orderBy("event_type", "event_id")
+    } _,
+
+    // ---- data-quality profiling --------------------------------------------
+    // one-scan tall column profile (nulls / cardinality / native-type range)
+    "q_profile" -> dfq { s =>
+      graft.ops.Profile.profile(s.table("lineitem"),
+        Seq("l_orderkey", "l_partkey", "l_suppkey", "l_returnflag",
+            "l_linestatus", "l_shipdate"))
+    } _,
+
+    // ---- relational: pivot / unpivot ---------------------------------------
+    // PIVOT with two aggregates per cell (explicit value list: no extra
+    // values-collect job, deterministic column order)
+    "q_pivot" -> q(
+      """SELECT rf, F_sq, F_n, O_sq, O_n FROM (
+        |  SELECT l_returnflag AS rf, l_linestatus AS ls, CAST(l_quantity AS INT) AS q
+        |  FROM lineitem)
+        |PIVOT (CAST(sum(q) AS BIGINT) AS sq, count(*) AS n FOR ls IN ('F' AS F, 'O' AS O))
+        |ORDER BY rf""".stripMargin) _,
+    // UNPIVOT two measures to tall (metric, v) form
+    "q_unpivot" -> q(
+      """SELECT o_orderkey, metric, v FROM (
+        |  SELECT o_orderkey, CAST(ROUND(o_totalprice * 100) AS BIGINT) AS price_cents,
+        |         o_custkey AS custkey
+        |  FROM orders)
+        |UNPIVOT (v FOR metric IN (price_cents, custkey))
+        |ORDER BY o_orderkey, metric""".stripMargin) _,
   )
 
   // DuckDB SQL fragments shared by several oracles.
@@ -3320,5 +3386,109 @@ object SparkEntry {
          |$duckNearDupCcCtes
          |SELECT id AS doc_id, CAST(comp AS BIGINT) AS comp
          |FROM comp ORDER BY doc_id""".stripMargin,
+    // brute-force cross join: equality with the blocked Spark plan proves
+    // the PassJoin pigeonhole blocking loses no pair
+    "q_fuzzy_join" ->
+      """SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+        |       CAST(levenshtein(a.p_name, b.p_name) AS INT) AS dist
+        |FROM part a JOIN part b ON a.p_partkey < b.p_partkey
+        |WHERE abs(length(a.p_name) - length(b.p_name)) <= 1
+        |  AND levenshtein(a.p_name, b.p_name) <= 1
+        |ORDER BY id_a, id_b""".stripMargin,
+    "q_anomaly" ->
+      """WITH e AS (SELECT event_id, event_type,
+        |             CAST(ROUND(value * 100) AS BIGINT) AS cents,
+        |             epoch_ns(ts) AS tns
+        |           FROM events),
+        |w AS (SELECT event_id, event_type, cents,
+        |        count(*) OVER fr AS n,
+        |        sum(cents) OVER fr AS s,
+        |        sum(cents * cents) OVER fr AS s2
+        |      FROM e
+        |      WINDOW fr AS (PARTITION BY event_type ORDER BY tns, event_id
+        |                    ROWS BETWEEN 19 PRECEDING AND CURRENT ROW))
+        |SELECT event_id, event_type, cents, CAST(n AS INT) AS roll_n,
+        |       CAST(CASE WHEN (n * cents - s) * (n * cents - s)
+        |                       > 9 * (n * s2 - s * s) THEN 1 ELSE 0 END AS INT) AS flag
+        |FROM w ORDER BY event_type, event_id""".stripMargin,
+    "q_resample_fill" ->
+      """WITH e AS (SELECT user_id, event_id,
+        |             epoch_ns(ts) // 86400000000000 AS day,
+        |             epoch_ns(ts) AS tns,
+        |             CAST(ROUND(value * 100) AS BIGINT) AS cents
+        |           FROM events),
+        |d AS (SELECT user_id, day, cents FROM (
+        |        SELECT user_id, day, cents,
+        |               row_number() OVER (PARTITION BY user_id, day
+        |                                  ORDER BY tns DESC, event_id DESC) AS rn
+        |        FROM e) WHERE rn = 1),
+        |g AS (SELECT user_id, unnest(generate_series(min(day), max(day))) AS day
+        |      FROM e GROUP BY user_id)
+        |SELECT g.user_id, CAST(g.day AS BIGINT) AS day,
+        |       CAST(last_value(d.cents IGNORE NULLS) OVER (
+        |         PARTITION BY g.user_id ORDER BY g.day) AS BIGINT) AS cents
+        |FROM g LEFT JOIN d ON d.user_id = g.user_id AND d.day = g.day
+        |ORDER BY g.user_id, g.day""".stripMargin,
+    "q_ewma" ->
+      """WITH e AS (SELECT event_id, event_type,
+        |             CAST(ROUND(value * 100) AS BIGINT) AS cents,
+        |             epoch_ns(ts) AS tns
+        |           FROM events)
+        |SELECT event_id, event_type,
+        |  CAST(coalesce(lag(cents, 0) OVER w, 0) * 128
+        |     + coalesce(lag(cents, 1) OVER w, 0) * 64
+        |     + coalesce(lag(cents, 2) OVER w, 0) * 32
+        |     + coalesce(lag(cents, 3) OVER w, 0) * 16
+        |     + coalesce(lag(cents, 4) OVER w, 0) * 8
+        |     + coalesce(lag(cents, 5) OVER w, 0) * 4
+        |     + coalesce(lag(cents, 6) OVER w, 0) * 2
+        |     + coalesce(lag(cents, 7) OVER w, 0) AS BIGINT) AS ewma_scaled
+        |FROM e
+        |WINDOW w AS (PARTITION BY event_type ORDER BY tns, event_id)
+        |ORDER BY event_type, event_id""".stripMargin,
+    "q_profile" ->
+      """SELECT col_name, n_nonnull, n_distinct, min_s, max_s FROM (
+        |  SELECT 'l_orderkey' AS col_name, count(l_orderkey) AS n_nonnull,
+        |         CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_distinct,
+        |         CAST(min(l_orderkey) AS VARCHAR) AS min_s,
+        |         CAST(max(l_orderkey) AS VARCHAR) AS max_s FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_partkey', count(l_partkey),
+        |         CAST(count(DISTINCT l_partkey) AS BIGINT),
+        |         CAST(min(l_partkey) AS VARCHAR), CAST(max(l_partkey) AS VARCHAR)
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_suppkey', count(l_suppkey),
+        |         CAST(count(DISTINCT l_suppkey) AS BIGINT),
+        |         CAST(min(l_suppkey) AS VARCHAR), CAST(max(l_suppkey) AS VARCHAR)
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_returnflag', count(l_returnflag),
+        |         CAST(count(DISTINCT l_returnflag) AS BIGINT),
+        |         min(l_returnflag), max(l_returnflag) FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_linestatus', count(l_linestatus),
+        |         CAST(count(DISTINCT l_linestatus) AS BIGINT),
+        |         min(l_linestatus), max(l_linestatus) FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_shipdate', count(l_shipdate),
+        |         CAST(count(DISTINCT l_shipdate) AS BIGINT),
+        |         strftime(min(l_shipdate), '%Y-%m-%d %H:%M:%S'),
+        |         strftime(max(l_shipdate), '%Y-%m-%d %H:%M:%S') FROM lineitem
+        |)""".stripMargin,
+    "q_pivot" ->
+      """SELECT l_returnflag AS rf,
+        |       CAST(sum(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS INT) END) AS BIGINT) AS F_sq,
+        |       CAST(count(*) FILTER (WHERE l_linestatus = 'F') AS BIGINT) AS F_n,
+        |       CAST(sum(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS INT) END) AS BIGINT) AS O_sq,
+        |       CAST(count(*) FILTER (WHERE l_linestatus = 'O') AS BIGINT) AS O_n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY rf""".stripMargin,
+    "q_unpivot" ->
+      """SELECT o_orderkey, metric, v FROM (
+        |  SELECT o_orderkey, 'price_cents' AS metric,
+        |         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS v FROM orders
+        |  UNION ALL
+        |  SELECT o_orderkey, 'custkey', o_custkey FROM orders)
+        |ORDER BY o_orderkey, metric""".stripMargin,
   )
 }

@@ -1,0 +1,98 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Edit-distance similarity join (fuzzy join / entity resolution) with
+ * PassJoin-style pigeonhole blocking (Li, Deng, Feng — "PassJoin: a
+ * partition-based method for similarity joins", VLDB 2012): never O(n²).
+ *
+ * Blocking soundness: split the index-side string into `k+1` contiguous
+ * segments. An alignment witnessing edit distance ≤ k touches ≤ k of those
+ * segments (each substitution/deletion lands inside exactly one segment;
+ * insertions fall between characters and only shift positions), so at least
+ * one segment survives UNTOUCHED and appears verbatim in the probe string,
+ * displaced by at most k positions. The probe side therefore emits, for each
+ * plausible index length `la ∈ [len−k, len+k]` and segment index, every
+ * substring of the segment's length within ±k of its nominal start — a
+ * bounded O(k²·(2k+1)) key set per row. Candidates meet on the exact
+ * (segment-index, segment-content) equi-join key; `levenshtein ≤ k`
+ * verifies. No false negatives ⇒ the result provably equals the brute-force
+ * cross join the oracle runs; only the shuffle volume differs.
+ *
+ * Scale design: ONE equi-join shuffle keyed by (segIdx, content) — key
+ * fan-out is a small constant per row, bucket sizes track segment-content
+ * selectivity (natural text ⇒ selective), and verification cost is bounded
+ * by candidate count. Strings shorter than k+1 characters cannot host a
+ * non-empty segment split; they ride a per-exact-length fallback bucket
+ * (such strings live in a tiny O(alphabet^k) universe, and an edit-distance
+ * join over them is inherently all-pairs within the bucket).
+ */
+object Fuzzy {
+
+  /** Probe-side key generator: for every plausible index length `la` and
+    * segment index, all candidate substrings within the ±k shift window.
+    * Pure Spark SQL expression (codegen'd, no UDF). `sequence()` calls are
+    * guarded so an empty window never produces Spark's descending-sequence
+    * surprise. */
+  private def probeKeysExpr(strCol: String, k: Int): String = {
+    val kp1 = k + 1
+    s"""array_distinct(flatten(transform(
+       |  sequence(greatest(length($strCol) - $k, 0), length($strCol) + $k), la ->
+       |    CASE WHEN la <= $k THEN array(struct(-1 AS gi, concat('L', la) AS gs))
+       |    ELSE flatten(transform(sequence(0, $k), i ->
+       |      CASE WHEN least(length($strCol) - ((((i+1) * la) div $kp1) - ((i * la) div $kp1)),
+       |                      ((i * la) div $kp1) + $k)
+       |                >= greatest(((i * la) div $kp1) - $k, 0)
+       |           THEN transform(sequence(greatest(((i * la) div $kp1) - $k, 0),
+       |                                   least(length($strCol) - ((((i+1) * la) div $kp1) - ((i * la) div $kp1)),
+       |                                         ((i * la) div $kp1) + $k)), p ->
+       |                  struct(i AS gi,
+       |                         substring($strCol, p + 1,
+       |                                   (((i+1) * la) div $kp1) - ((i * la) div $kp1)) AS gs))
+       |           ELSE CAST(array() AS ARRAY<STRUCT<gi: INT, gs: STRING>>) END))
+       |    END)))""".stripMargin
+  }
+
+  /** Index-side key generator: the k+1 segments of the string itself (or the
+    * short-string fallback bucket). */
+  private def indexKeysExpr(strCol: String, k: Int): String = {
+    val kp1 = k + 1
+    s"""CASE WHEN length($strCol) <= $k
+       |     THEN array(struct(-1 AS gi, concat('L', length($strCol)) AS gs))
+       |     ELSE transform(sequence(0, $k), i ->
+       |       struct(i AS gi,
+       |              substring($strCol, ((i * length($strCol)) div $kp1) + 1,
+       |                        (((i+1) * length($strCol)) div $kp1)
+       |                          - ((i * length($strCol)) div $kp1)) AS gs)) END""".stripMargin
+  }
+
+  /** All (id_a, id_b, dist) pairs across `left` × `right` with
+    * `levenshtein(strA, strB) ≤ maxDist`. Ids must be integral (join keys
+    * and downstream pair dedup assume exact equality semantics). */
+  def fuzzyJoin(left: DataFrame, leftId: String, leftStr: String,
+                right: DataFrame, rightId: String, rightStr: String,
+                maxDist: Int): DataFrame = {
+    require(maxDist >= 1 && maxDist <= 4, "maxDist in 1..4 (key fan-out grows O(k^3))")
+    Dedup.requireIntegralIds(left, Seq(leftId), "fuzzyJoin")
+    Dedup.requireIntegralIds(right, Seq(rightId), "fuzzyJoin")
+    val idx = left
+      .select(col(leftId).cast("long").as("id_a"), col(leftStr).cast("string").as("s_a"))
+      .withColumn("key", explode(expr(indexKeysExpr("s_a", maxDist))))
+    val prb = right
+      .select(col(rightId).cast("long").as("id_b"), col(rightStr).cast("string").as("s_b"))
+      .withColumn("key", explode(expr(probeKeysExpr("s_b", maxDist))))
+    idx.join(prb, idx("key") === prb("key"))
+      .where(abs(length(col("s_a")) - length(col("s_b"))) <= maxDist)
+      .where(levenshtein(col("s_a"), col("s_b")) <= maxDist)
+      .select(col("id_a"), col("id_b"),
+              levenshtein(col("s_a"), col("s_b")).as("dist"))
+      .distinct()
+  }
+
+  /** Self-join variant: unordered pairs once (`id_a < id_b`). */
+  def fuzzySelfJoin(df: DataFrame, idCol: String, strCol: String, maxDist: Int): DataFrame =
+    fuzzyJoin(df, idCol, strCol, df, idCol, strCol, maxDist)
+      .where(col("id_a") < col("id_b"))
+}

@@ -1,0 +1,99 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Time-series primitives over event streams: rolling z-score anomaly flags
+ * and calendar resampling with forward fill — the monitoring/feature-
+ * engineering shapes a training-data pipeline runs over metric streams.
+ *
+ * Exactness: the z-score test |x − μ| > T·σ over a rolling window is
+ * cross-multiplied to integers — with s = Σv, s2 = Σv², n = count over the
+ * frame, the flag is (n·x − s)² > T²·(n·s2 − s²) — so the oracle replays it
+ * bit-for-bit with no float in sight (64-bit safe for cent-scaled values up
+ * to ~10⁶ and windows up to ~10³).
+ *
+ * Scale design: both operators are ONE shuffle on the partition key; the
+ * rolling frame is a bounded ROWS window (O(window) state per task), and the
+ * resample grid is generated per key with `sequence()` — no driver
+ * collection, no cross join. A key whose day span is pathological (one user
+ * active for 30 years) produces a long but still per-key-local array;
+ * `maxSpanDays` guards against an adversarial span blowing up a single task.
+ */
+object TimeSeries {
+
+  /** Rolling z-score outlier flags over an integer value column.
+    *
+    * Adds `roll_n` (frame row count) and `flag` (1 when the current value
+    * deviates from the frame mean by more than `tSigma` population standard
+    * deviations, exact integer arithmetic). Frame = current row and the
+    * `window−1` preceding rows within `partCol`, ordered by `orderCols`
+    * (include a tiebreaker id for determinism). */
+  def anomalyFlags(df: DataFrame, partCol: String, orderCols: Seq[String],
+                   valueCol: String, window: Int = 20, tSigma: Int = 3): DataFrame = {
+    require(window >= 2 && window <= 4096, "window in 2..4096")
+    val w = Window.partitionBy(partCol)
+      .orderBy(orderCols.map(col): _*)
+      .rowsBetween(-(window - 1), Window.currentRow)
+    val v = col(valueCol).cast("long")
+    val s = sum(v).over(w)
+    val s2 = sum(v * v).over(w)
+    val n = count(v).over(w)
+    val lhs = (n * v - s) * (n * v - s)
+    val rhs = lit(tSigma.toLong * tSigma) * (n * s2 - s * s)
+    df.withColumn("roll_n", n.cast("int"))
+      .withColumn("flag", (lhs > rhs).cast("int"))
+  }
+
+  /** Calendar-day resample + forward fill: one row per (key, day) from each
+    * key's first to last active day; days with no events carry the previous
+    * day's last value. `tsNsCol` is ns-since-epoch (see
+    * [[graft.SparkEntry.eventsTsNs]]); "last value of the day" is the row
+    * with the greatest (ts, tiebreakId) — deterministic under duplicate
+    * timestamps. Output: (key, day, value). */
+  def resampleFill(df: DataFrame, keyCol: String, tsNsCol: String,
+                   valueCol: String, tiebreakId: String,
+                   maxSpanDays: Int = 100000): DataFrame = {
+    Dedup.requireIntegralIds(df, Seq(keyCol), "resampleFill")
+    val nsPerDay = 86400L * 1000000000L
+    val base = df.select(
+      col(keyCol).cast("long").as("key"),
+      // integer div, NOT `/`: float division of ns-longs loses day
+      // boundaries past the double mantissa (2^53 < 1.6e18 ns)
+      expr(s"`$tsNsCol` div ${nsPerDay}L").as("day"),
+      col(valueCol).cast("long").as("v"),
+      col(tsNsCol).as("ts"), col(tiebreakId).cast("long").as("tid"))
+    // last value per active (key, day): one partial-aggregated shuffle
+    val perDay = base.groupBy("key", "day")
+      .agg(max_by(col("v"), struct(col("ts"), col("tid"))).as("v"))
+    // per-key day grid; span guard keeps a single task's array bounded
+    val grid = base.groupBy("key")
+      .agg(min("day").as("d0"), max("day").as("d1"))
+      .where(col("d1") - col("d0") < maxSpanDays)
+      .select(col("key"), explode(sequence(col("d0"), col("d1"))).as("day"))
+    val wFill = Window.partitionBy("key").orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(perDay, Seq("key", "day"), "left")
+      .withColumn("v", last(col("v"), ignoreNulls = true).over(wFill))
+      .select(col("key"), col("day"), col("v"))
+  }
+
+  /** Windowed exponential moving average with power-of-two decay, scaled to
+    * an exact integer: Σ_{j=0..depth−1} 2^(depth−1−j) · x_{t−j} over the
+    * ordered frame (weight halves per step back; truncated at `depth`).
+    * Returns the scaled sum — divide by (2^depth − 1) for the unit-weight
+    * EMA; keeping the integer form makes the result hash-gateable. */
+  def ewmaScaled(df: DataFrame, partCol: String, orderCols: Seq[String],
+                 valueCol: String, depth: Int = 8): DataFrame = {
+    require(depth >= 1 && depth <= 16, "depth in 1..16")
+    val ws = Window.partitionBy(partCol).orderBy(orderCols.map(col): _*)
+    val v = col(valueCol).cast("long")
+    val terms: Seq[Column] = (0 until depth).map { j =>
+      val weight = 1L << (depth - 1 - j)
+      coalesce(lag(v, j).over(ws), lit(0L)) * weight
+    }
+    df.withColumn("ewma_scaled", terms.reduce(_ + _))
+  }
+}
