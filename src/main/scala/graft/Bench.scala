@@ -481,6 +481,40 @@ object Bench {
             s"(got ${got.size} keys, want ${want.size})")
         } finally q.stop()
       },
+      // fuzzy edit-distance self-join over 1M ~22-char strings with 250k
+      // planted single-char-perturbed near-dups: PassJoin blocking keys +
+      // one candidate equi-join; proves the operator beyond 2k part names
+      "x_fuzzy_1m" -> { s: SparkSession =>
+        val strs = s.range(1000000L).selectExpr("id",
+          // ids 4n/4n+1 share a base string; 4n+1 perturbs one char
+          """concat('tok', pmod(hash(id div 4), 100000), ' mid',
+            |       CASE WHEN id % 4 = 1 THEN 'x' ELSE 'q' END,
+            |       pmod(hash(id div 4, 7), 1000), ' tail',
+            |       CASE WHEN id % 4 <= 1 THEN pmod(hash(id div 4, 13), 100)
+            |            ELSE pmod(hash(id, 17), 100) END) AS s""".stripMargin)
+        val n = graft.ops.Fuzzy.fuzzySelfJoin(strs, "id", "s", maxDist = 1).count()
+        require(n >= 200000, s"expected >=200k planted near-dup pairs, got $n")
+      },
+      // rolling z-score flags over 20M events / 100 series: one hash
+      // exchange + a bounded 50-row frame
+      "x_anomaly_20m" -> { s: SparkSession =>
+        val ev = s.range(20000000L).selectExpr(
+          "CAST(id % 100 AS STRING) AS k", "id AS i",
+          "CASE WHEN id % 997 = 0 THEN 50000 + pmod(hash(id), 100) " +
+            "ELSE 100 + pmod(hash(id), 7) END AS v")
+        graft.ops.TimeSeries.anomalyFlags(ev, "k", Seq("i"), "v", window = 50)
+          .write.format("noop").mode("overwrite").save()
+      },
+      // weighted sampling: 10k winners from 1M docs across 10 strata,
+      // ticket mins map-only, bounded-heap top-k selection
+      "x_weighted_sample_1m" -> { s: SparkSession =>
+        val docs = s.read.parquet(docsBenchParquet(s))
+          .selectExpr("doc_id", "pmod(hash(doc_id), 10) AS stratum",
+            "pmod(hash(doc_id, 3), 8) + 1 AS w")
+        val n = graft.ops.Curation.weightedSample(docs, "doc_id", "stratum",
+          org.apache.spark.sql.functions.col("w"), k = 1000, salt = "bench").count()
+        require(n == 10000L, s"expected 10k winners, got $n")
+      },
     )
     // Optional substring filter (args) for local iteration on one probe;
     // the driver passes no args and measures everything.

@@ -1648,6 +1648,24 @@ object SparkEntry {
             "l_linestatus", "l_shipdate"))
     } _,
 
+    // deterministic weighted sampling without replacement: k winners per
+    // lang, odds ∝ weight, via min-of-w-tickets (integer A-ES — see
+    // Curation.weightedSample); selection is the bounded-heap TopKPerKey
+    "q_weighted_sample" -> dfq { s =>
+      graft.ops.Curation.weightedSample(s.table("documents"), "doc_id", "lang",
+          expr("least(n_chars div 200 + 1, 8)"), k = 10, salt = "ws1")
+        .select(col("doc_id"), col("lang"), col("priority"))
+        .orderBy("lang", "priority", "doc_id")
+    } _,
+    // exact discrete percentiles per group (integer position arithmetic)
+    "q_percentiles" -> dfq { s =>
+      val cust = s.table("customer")
+        .withColumn("cents", expr("CAST(ROUND(c_acctbal * 100) AS BIGINT)"))
+      graft.ops.Profile.groupPercentilesDisc(cust, "c_nationkey", "cents",
+          Seq(25, 50, 90, 99))
+        .orderBy("c_nationkey")
+    } _,
+
     // ---- relational: pivot / unpivot ---------------------------------------
     // PIVOT with two aggregates per cell (explicit value list: no extra
     // values-collect job, deterministic column order)
@@ -3476,6 +3494,32 @@ object SparkEntry {
         |         strftime(min(l_shipdate), '%Y-%m-%d %H:%M:%S'),
         |         strftime(max(l_shipdate), '%Y-%m-%d %H:%M:%S') FROM lineitem
         |)""".stripMargin,
+    "q_weighted_sample" ->
+      s"""WITH t AS (SELECT doc_id, lang, least(n_chars // 200 + 1, 8) AS w
+         |           FROM documents),
+         |p AS (SELECT doc_id, lang,
+         |        list_min(list_transform(range(w), i ->
+         |          ${duckMd5_60("'ws1:' || CAST(doc_id AS VARCHAR) || ':' || CAST(i AS VARCHAR)")}))
+         |          AS priority
+         |      FROM t WHERE w >= 1),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY lang
+         |                                   ORDER BY priority, doc_id) AS rn
+         |      FROM p)
+         |SELECT doc_id, lang, CAST(priority AS BIGINT) AS priority
+         |FROM r WHERE rn <= 10 ORDER BY lang, priority, doc_id""".stripMargin,
+    "q_percentiles" ->
+      """WITH c AS (SELECT c_nationkey,
+        |             CAST(ROUND(c_acctbal * 100) AS BIGINT) AS v FROM customer),
+        |w AS (SELECT c_nationkey, v,
+        |        row_number() OVER (PARTITION BY c_nationkey ORDER BY v) AS rn,
+        |        count(*) OVER (PARTITION BY c_nationkey) AS n
+        |      FROM c)
+        |SELECT c_nationkey,
+        |  max(CASE WHEN rn = (25 * n + 99) // 100 THEN v END) AS p25,
+        |  max(CASE WHEN rn = (50 * n + 99) // 100 THEN v END) AS p50,
+        |  max(CASE WHEN rn = (90 * n + 99) // 100 THEN v END) AS p90,
+        |  max(CASE WHEN rn = (99 * n + 99) // 100 THEN v END) AS p99
+        |FROM w GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
     "q_pivot" ->
       """SELECT l_returnflag AS rf,
         |       CAST(sum(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS INT) END) AS BIGINT) AS F_sq,

@@ -202,6 +202,42 @@ object Curation {
       .drop("__n")
 
   /**
+   * Deterministic weighted sampling WITHOUT replacement: exactly `k` rows
+   * per stratum, inclusion odds proportional to an integer weight — the
+   * fixed-size half of mixture construction ([[stratifiedSample]] gives a
+   * fixed RATE, not a fixed count).
+   *
+   * Scheme: each row draws `weight` pseudo-uniform tickets
+   * (`md5_60(salt:id:i)`) and keeps the minimum; the k smallest
+   * min-tickets per stratum win. Min-of-w-uniforms is distributionally the
+   * Efraimidis–Spirakis A-ES priority u^(1/w) (for any two rows,
+   * P(a outranks b) = w_a/(w_a+w_b)), but the comparison is 60-bit INTEGER —
+   * no `ln`/`pow`, whose last-ulp behavior differs across engines, so the
+   * oracle replays the draw bit-for-bit.
+   *
+   * Scale design: the ticket min folds inside `array_min(transform(...))` —
+   * map-only, nothing explodes, no shuffle; the per-stratum selection is the
+   * bounded-heap TopKPerKey operator (partial heaps before the exchange, so
+   * a 100 TB stratum ships k survivors per task, not the stratum).
+   * Weights are capped — the ticket array is materialized per row.
+   */
+  def weightedSample(df: DataFrame, idCol: String, strataCol: String,
+      weight: Column, k: Int, salt: String, maxWeight: Int = 1024): DataFrame = {
+    require(k >= 1 && maxWeight >= 1, "k and maxWeight must be positive")
+    val prio = df
+      .withColumn("__w", least(greatest(coalesce(weight.cast("int"), lit(0)), lit(0)),
+        lit(maxWeight)))
+      .where(col("__w") >= 1)
+      .withColumn("priority", expr(
+        s"""array_min(transform(sequence(0, __w - 1), i ->
+           |  doc_fingerprint(concat('$salt:', CAST($idCol AS STRING), ':', CAST(i AS STRING)))))"""
+          .stripMargin))
+      .drop("__w")
+    graft.plans.TopKPerKey.topKBy(prio, Seq(strataCol),
+      Seq(("priority", true), (idCol, true)), k)
+  }
+
+  /**
    * Greedy first-fit sequence packing: within each stratum, walk documents
    * in `idCol` order and fill bins of at most `budget` tokens — the standard
    * pre-tokenization packing pass that turns documents into fixed-budget

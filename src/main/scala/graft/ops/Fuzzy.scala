@@ -68,31 +68,72 @@ object Fuzzy {
        |                          - ((i * length($strCol)) div $kp1)) AS gs)) END""".stripMargin
   }
 
+  /** PassJoin candidate pairs over two DISTINCT-string relations
+    * (`sa`/`sb` columns), verified with `levenshtein ≤ k`. Includes the
+    * (s, s) identical pair when it exists on both sides. */
+  private def distinctStringPairs(uniqA: DataFrame, uniqB: DataFrame,
+                                  k: Int): DataFrame = {
+    val idx = uniqA.withColumn("key", explode(expr(indexKeysExpr("sa", k))))
+    val prb = uniqB.withColumn("key", explode(expr(probeKeysExpr("sb", k))))
+    idx.join(prb, idx("key") === prb("key"))
+      .where(abs(length(col("sa")) - length(col("sb"))) <= k)
+      .withColumn("dist", levenshtein(col("sa"), col("sb")))
+      .where(col("dist") <= k)
+      .select(col("sa"), col("sb"), col("dist"))
+      .distinct()
+  }
+
   /** All (id_a, id_b, dist) pairs across `left` × `right` with
     * `levenshtein(strA, strB) ≤ maxDist`. Ids must be integral (join keys
-    * and downstream pair dedup assume exact equality semantics). */
+    * and downstream pair dedup assume exact equality semantics).
+    *
+    * Duplicate strings are collapsed BEFORE blocking: the candidate join
+    * runs over distinct strings, then maps back to ids with equi-joins.
+    * A value appearing m times therefore costs the blocking stage one row,
+    * not m (and never m² candidate checks) — only the final id-pair
+    * expansion is output-sized, which any correct answer must pay. */
   def fuzzyJoin(left: DataFrame, leftId: String, leftStr: String,
                 right: DataFrame, rightId: String, rightStr: String,
                 maxDist: Int): DataFrame = {
     require(maxDist >= 1 && maxDist <= 4, "maxDist in 1..4 (key fan-out grows O(k^3))")
     Dedup.requireIntegralIds(left, Seq(leftId), "fuzzyJoin")
     Dedup.requireIntegralIds(right, Seq(rightId), "fuzzyJoin")
-    val idx = left
-      .select(col(leftId).cast("long").as("id_a"), col(leftStr).cast("string").as("s_a"))
-      .withColumn("key", explode(expr(indexKeysExpr("s_a", maxDist))))
-    val prb = right
-      .select(col(rightId).cast("long").as("id_b"), col(rightStr).cast("string").as("s_b"))
-      .withColumn("key", explode(expr(probeKeysExpr("s_b", maxDist))))
-    idx.join(prb, idx("key") === prb("key"))
-      .where(abs(length(col("s_a")) - length(col("s_b"))) <= maxDist)
-      .where(levenshtein(col("s_a"), col("s_b")) <= maxDist)
-      .select(col("id_a"), col("id_b"),
-              levenshtein(col("s_a"), col("s_b")).as("dist"))
-      .distinct()
+    val l = left.select(col(leftId).cast("long").as("id_a"),
+                        col(leftStr).cast("string").as("s_a"))
+    val r = right.select(col(rightId).cast("long").as("id_b"),
+                         col(rightStr).cast("string").as("s_b"))
+    val pairs = distinctStringPairs(
+      l.select(col("s_a").as("sa")).distinct(),
+      r.select(col("s_b").as("sb")).distinct(), maxDist)
+    pairs
+      .join(l, col("sa") === col("s_a"))
+      .join(r, col("sb") === col("s_b"))
+      .select(col("id_a"), col("id_b"), col("dist"))
   }
 
-  /** Self-join variant: unordered pairs once (`id_a < id_b`). */
-  def fuzzySelfJoin(df: DataFrame, idCol: String, strCol: String, maxDist: Int): DataFrame =
-    fuzzyJoin(df, idCol, strCol, df, idCol, strCol, maxDist)
-      .where(col("id_a") < col("id_b"))
+  /** Self-join variant: unordered pairs once (`id_a < id_b`). The
+    * distinct-string core self-joins the string universe (ordered
+    * `sa ≤ sb` so each unordered string pair verifies once); identical-
+    * string id pairs ride the `sa = sb` diagonal. */
+  def fuzzySelfJoin(df: DataFrame, idCol: String, strCol: String, maxDist: Int): DataFrame = {
+    require(maxDist >= 1 && maxDist <= 4, "maxDist in 1..4 (key fan-out grows O(k^3))")
+    Dedup.requireIntegralIds(df, Seq(idCol), "fuzzySelfJoin")
+    val rows = df.select(col(idCol).cast("long").as("id"),
+                         col(strCol).cast("string").as("s"))
+    val uniq = rows.select(col("s")).distinct()
+    val pairs = distinctStringPairs(
+      uniq.select(col("s").as("sa")), uniq.select(col("s").as("sb")), maxDist)
+      .where(col("sa") <= col("sb"))
+    val a = rows.select(col("id").as("id_a"), col("s").as("s_a"))
+    val b = rows.select(col("id").as("id_b"), col("s").as("s_b"))
+    // sa < sb: every (ids(sa) × ids(sb)) combination is one unordered id
+    // pair — reorder with least/greatest. sa = sb (the identical-string
+    // diagonal): both orientations appear, keep id_a < id_b only.
+    pairs
+      .join(a, col("sa") === col("s_a"))
+      .join(b, col("sb") === col("s_b"))
+      .where(col("sa") < col("sb") || col("id_a") < col("id_b"))
+      .select(least(col("id_a"), col("id_b")).as("id_a"),
+              greatest(col("id_a"), col("id_b")).as("id_b"), col("dist"))
+  }
 }

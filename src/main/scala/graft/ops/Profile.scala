@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /**
@@ -35,5 +36,32 @@ object Profile {
     }.mkString(", ")
     one.selectExpr(
       s"stack(${cols.size}, $stackArgs) AS (col_name, n_nonnull, n_distinct, min_s, max_s)")
+  }
+
+  /** Exact discrete percentiles per group: for each percentile p the value
+    * at 1-indexed position ⌈p·n/100⌉ of the group's sorted values — the
+    * standard `percentile_disc` contract, computed with integer-only
+    * position arithmetic (⌈p·n/100⌉ = (p·n+99) div 100) so the oracle
+    * replays it exactly. Ties in `valCol` don't matter: row_number order
+    * among equal values is arbitrary, but the value AT any rank is
+    * well-defined.
+    *
+    * Scale: one shuffle on the group key; a running-rank window plus one
+    * partial-aggregated max per percentile. Output: (keyCol, p<p1>, …). */
+  def groupPercentilesDisc(df: DataFrame, keyCol: String, valCol: String,
+      ps: Seq[Int]): DataFrame = {
+    require(ps.nonEmpty && ps.forall(p => p >= 1 && p <= 100), "ps in 1..100")
+    val wOrd = Window.partitionBy(keyCol).orderBy(col("v"))
+    val wAll = Window.partitionBy(keyCol)
+    val base = df.select(col(keyCol), col(valCol).cast("long").as("v"))
+      .where(col("v").isNotNull) // percentiles are over the non-null multiset
+      .withColumn("rn", row_number().over(wOrd))
+      .withColumn("n", count(col("v")).over(wAll))
+    val aggs = ps.map { p =>
+      // integer div, not Column./ (double division)
+      max(when(col("rn") === expr(s"(${p}L * n + 99) div 100"), col("v")))
+        .as(s"p$p")
+    }
+    base.groupBy(keyCol).agg(aggs.head, aggs.tail: _*)
   }
 }

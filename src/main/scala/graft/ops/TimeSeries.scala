@@ -34,17 +34,30 @@ object TimeSeries {
   def anomalyFlags(df: DataFrame, partCol: String, orderCols: Seq[String],
                    valueCol: String, window: Int = 20, tSigma: Int = 3): DataFrame = {
     require(window >= 2 && window <= 4096, "window in 2..4096")
-    val w = Window.partitionBy(partCol)
+    // Rolling sums as running-sum DIFFERENCES, not a bounded ROWS frame:
+    // Spark re-aggregates a sliding frame from scratch per row (O(window)
+    // each), while UNBOUNDED PRECEDING frames update incrementally — the
+    // lag-of-cumsum form is O(1)/row and bit-identical (integer adds).
+    val wRun = Window.partitionBy(partCol)
       .orderBy(orderCols.map(col): _*)
-      .rowsBetween(-(window - 1), Window.currentRow)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wRow = Window.partitionBy(partCol).orderBy(orderCols.map(col): _*)
     val v = col(valueCol).cast("long")
-    val s = sum(v).over(w)
-    val s2 = sum(v * v).over(w)
-    val n = count(v).over(w)
+    val withCums = df
+      .withColumn("__c1", sum(v).over(wRun))
+      .withColumn("__c2", sum(v * v).over(wRun))
+      .withColumn("__rn", row_number().over(wRow))
+    // second Window pass: lag over the cumsums (same partitioning+sort —
+    // Catalyst reuses the exchange and sort, no extra shuffle)
+    val s = col("__c1") - coalesce(lag(col("__c1"), window).over(wRow), lit(0L))
+    val s2 = col("__c2") - coalesce(lag(col("__c2"), window).over(wRow), lit(0L))
+    val n = least(col("__rn").cast("long"), lit(window.toLong))
     val lhs = (n * v - s) * (n * v - s)
     val rhs = lit(tSigma.toLong * tSigma) * (n * s2 - s * s)
-    df.withColumn("roll_n", n.cast("int"))
+    withCums
+      .withColumn("roll_n", n.cast("int"))
       .withColumn("flag", (lhs > rhs).cast("int"))
+      .drop("__c1", "__c2", "__rn")
   }
 
   /** Calendar-day resample + forward fill: one row per (key, day) from each

@@ -104,6 +104,47 @@ class FuzzySpec extends AnyFunSuite {
     assert(out.toSeq == Seq(4L, 6L, 7L))
   }
 
+  test("groupPercentilesDisc matches a brute-force sorted-position oracle") {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("k", StringType, nullable = false),
+      StructField("v", LongType, nullable = false)))
+    val data = Seq("a" -> Seq(5L, 1L, 9L, 3L, 7L), "b" -> Seq(10L, 20L),
+      "c" -> Seq(4L))
+    val df = spark.createDataFrame(
+      data.flatMap { case (k, vs) => vs.map(v => Row(k, v)) }.asJava, schema)
+    val ps = Seq(25, 50, 90, 100)
+    val got = graft.ops.Profile.groupPercentilesDisc(df, "k", "v", ps)
+      .collect().map(r => r.getString(0) -> ps.indices.map(i => r.getLong(i + 1))).toMap
+    val want = data.toMap.map { case (k, vs) =>
+      val sorted = vs.sorted
+      k -> ps.map(p => sorted(((p * vs.size + 99) / 100) - 1))
+    }
+    assert(got == want)
+  }
+
+  test("weightedSample: exact k per stratum, deterministic, weight-monotone") {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("g", StringType, nullable = false),
+      StructField("w", IntegerType, nullable = false)))
+    // ids 0..49 weight 1, ids 50..99 weight 10, one zero-weight row
+    val rows = (0L until 100L).map(i => Row(i, "s", if (i < 50) 1 else 10)) :+
+      Row(100L, "s", 0)
+    val df = spark.createDataFrame(rows.asJava, schema)
+    def run(salt: String) = graft.ops.Curation
+      .weightedSample(df, "id", "g", org.apache.spark.sql.functions.col("w"),
+        k = 20, salt = salt)
+      .collect().map(_.getLong(0)).toSet
+    val a = run("s1")
+    assert(a.size == 20 && !a.contains(100L), "exact k, zero-weight excluded")
+    assert(a == run("s1"), "deterministic in the salt")
+    // heavy rows (10× weight) should dominate the sample across salts
+    val heavyShare = (1 to 5).map(i => run(s"salt$i").count(_ >= 50L)).sum
+    assert(heavyShare > 60, s"heavy rows won only $heavyShare/100 slots")
+  }
+
   test("profile: exact stats, native-type extrema, column order preserved") {
     import org.apache.spark.sql.types._
     val schema = StructType(Seq(
