@@ -1640,6 +1640,44 @@ object SparkEntry {
         .orderBy("event_type", "event_id")
     } _,
 
+    // session path mining: top-10 in-session event-type trigrams (1-day
+    // gap sessions — the sparse testdata stream needs a wide gap to form
+    // multi-event sessions), deterministic tie-break (cnt desc, path)
+    "q_paths" -> dfq { s =>
+      graft.ops.Funnel.topPaths(s.table("events"), "user_id", "event_type",
+          "ts", "event_id", gapNs = 86400L * 1000000000L, n = 3, k = 10)
+    } _,
+    // CUSUM mean-shift detection per metric series, exact integers
+    // (baseline = first 50 rows as the rational s0/n0; deviations scaled
+    // by n0 so nothing ever divides)
+    "q_cusum" -> dfq { s =>
+      val ev = s.table("events")
+        .withColumn("cents", expr("CAST(ROUND(value * 100) AS BIGINT)"))
+      graft.ops.TimeSeries.cusum(ev, "event_type", Seq("ts", "event_id"),
+          "cents", baselineN = 50, thresh = 100000L)
+        .select(col("event_id"), col("event_type"), col("cusum"), col("changed"))
+        .orderBy("event_type", "event_id")
+    } _,
+    // run-length encoding of each user's event-type stream (SQL islands)
+    "q_runs" -> dfq { s =>
+      graft.ops.TimeSeries.runLength(s.table("events"), "user_id",
+          Seq("ts", "event_id"), "event_type")
+        .select(col("key").as("user_id"), col("sym"), col("run_start"),
+                col("run_len"))
+        .orderBy("user_id", "run_start")
+    } _,
+    // Spearman rank-correlation statistics per group: exact integer
+    // (n, Σd²) over doubled tie-averaged ranks — quantity vs price
+    "q_rank_corr" -> dfq { s =>
+      val li = s.table("lineitem").select(
+        col("l_returnflag").as("rf"),
+        expr("CAST(ROUND(l_quantity * 100) AS BIGINT)").as("x"),
+        expr("CAST(ROUND(l_extendedprice * 100) AS BIGINT)").as("y"))
+      graft.ops.Profile.rankCorrStats(li, "rf", "x", "y")
+        .select(col("key").as("rf"), col("n"), col("sum_d2"))
+        .orderBy("rf")
+    } _,
+
     // ---- data-quality profiling --------------------------------------------
     // one-scan tall column profile (nulls / cardinality / native-type range)
     "q_profile" -> dfq { s =>
@@ -3464,6 +3502,66 @@ object SparkEntry {
         |FROM e
         |WINDOW w AS (PARTITION BY event_type ORDER BY tns, event_id)
         |ORDER BY event_type, event_id""".stripMargin,
+    "q_paths" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_ns(ts) AS t, event_id AS i
+        |           FROM events),
+        |s AS (SELECT *, CASE WHEN t - lag(t) OVER w <= 86400000000000
+        |                     THEN 0 ELSE 1 END AS nw
+        |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t, i)),
+        |s2 AS (SELECT *, sum(nw) OVER (PARTITION BY user_id ORDER BY t, i) AS sess
+        |       FROM s),
+        |l AS (SELECT event_type AS t0, lead(event_type, 1) OVER w AS t1,
+        |             lead(event_type, 2) OVER w AS t2, sess,
+        |             lead(sess, 1) OVER w AS sl1, lead(sess, 2) OVER w AS sl2
+        |      FROM s2 WINDOW w AS (PARTITION BY user_id ORDER BY t, i))
+        |SELECT t0 || '>' || t1 || '>' || t2 AS path, CAST(count(*) AS BIGINT) AS cnt
+        |FROM l WHERE sl1 = sess AND sl2 = sess
+        |GROUP BY 1 ORDER BY cnt DESC, path LIMIT 10""".stripMargin,
+    "q_cusum" ->
+      """WITH e AS (SELECT event_id, event_type,
+        |             CAST(ROUND(value * 100) AS BIGINT) AS cents,
+        |             epoch_ns(ts) AS tns
+        |           FROM events),
+        |r AS (SELECT *, row_number() OVER w AS rn
+        |      FROM e WINDOW w AS (PARTITION BY event_type ORDER BY tns, event_id)),
+        |b AS (SELECT event_type,
+        |        sum(CASE WHEN rn <= 50 THEN cents END) AS s0,
+        |        sum(CASE WHEN rn <= 50 THEN 1 END) AS n0
+        |      FROM r GROUP BY event_type),
+        |c AS (SELECT r.event_id, r.event_type,
+        |        sum(b.n0 * r.cents - b.s0)
+        |          OVER (PARTITION BY r.event_type ORDER BY r.tns, r.event_id) AS cusum,
+        |        b.n0 AS n0
+        |      FROM r JOIN b USING (event_type))
+        |SELECT event_id, event_type, CAST(cusum AS BIGINT) AS cusum,
+        |       CAST(CASE WHEN abs(cusum) > 100000 * n0 THEN 1 ELSE 0 END AS INT)
+        |         AS changed
+        |FROM c ORDER BY event_type, event_id""".stripMargin,
+    "q_runs" ->
+      """WITH e AS (SELECT user_id AS key, event_type AS sym,
+        |             epoch_ns(ts) AS t, event_id AS i FROM events),
+        |m AS (SELECT *, row_number() OVER w AS rn,
+        |        CASE WHEN lag(sym) OVER w = sym THEN 0 ELSE 1 END AS chg
+        |      FROM e WINDOW w AS (PARTITION BY key ORDER BY t, i)),
+        |m2 AS (SELECT *, sum(chg) OVER (PARTITION BY key ORDER BY t, i) AS run
+        |       FROM m)
+        |SELECT key AS user_id, sym, CAST(min(rn) AS BIGINT) AS run_start,
+        |       CAST(count(*) AS BIGINT) AS run_len
+        |FROM m2 GROUP BY key, run, sym ORDER BY user_id, run_start""".stripMargin,
+    "q_rank_corr" ->
+      """WITH b AS (SELECT l_returnflag AS rf,
+        |             CAST(ROUND(l_quantity * 100) AS BIGINT) AS x,
+        |             CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS y
+        |           FROM lineitem),
+        |r AS (SELECT rf,
+        |        2 * rank() OVER (PARTITION BY rf ORDER BY x) - 1
+        |          + count(*) OVER (PARTITION BY rf, x) AS r2x,
+        |        2 * rank() OVER (PARTITION BY rf ORDER BY y) - 1
+        |          + count(*) OVER (PARTITION BY rf, y) AS r2y
+        |      FROM b)
+        |SELECT rf, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum((r2x - r2y) * (r2x - r2y)) AS BIGINT) AS sum_d2
+        |FROM r GROUP BY rf ORDER BY rf""".stripMargin,
     "q_profile" ->
       """SELECT col_name, n_nonnull, n_distinct, min_s, max_s FROM (
         |  SELECT 'l_orderkey' AS col_name, count(l_orderkey) AS n_nonnull,

@@ -102,4 +102,44 @@ object Funnel {
       .groupBy(col("cohort_day"), (col("day") - col("cohort_day")).as("offset_day"))
       .agg(countDistinct("u").as("active_users"))
   }
+
+  /** Session path mining: the `k` most frequent length-`n` event-type
+    * sequences occurring inside gap-sessions — "what do users do next"
+    * product analytics. Sessions are `gapNs`-bounded (a gap larger than
+    * `gapNs` between consecutive events starts a new session); every
+    * sliding n-window fully inside one session counts once.
+    *
+    * Scale: one shuffle on the user key (sessionization + leads in two
+    * window passes over the same sort), one counted path aggregation
+    * (partial map-side combine — path cardinality ≤ |types|ⁿ, tiny), and a
+    * TakeOrdered top-k. `idCol` breaks timestamp ties deterministically.
+    * Output: (path, cnt), ordered cnt desc then path. */
+  def topPaths(events: DataFrame, userCol: String, typeCol: String,
+               tsCol: String, idCol: String, gapNs: Long, n: Int,
+               k: Int): DataFrame = {
+    require(n >= 2 && n <= 8, "path length in 2..8")
+    Dedup.requireIntegralIds(events, Seq(userCol), "topPaths")
+    requireLongTs(events, tsCol, "topPaths")
+    import org.apache.spark.sql.expressions.Window
+    val wRow = Window.partitionBy("u").orderBy(col("t"), col("i"))
+    val wRun = wRow.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val base = events.select(
+      col(userCol).cast("long").as("u"), col(typeCol).cast("string").as("tp"),
+      col(tsCol).cast("long").as("t"), col(idCol).cast("long").as("i"))
+    val sess = base
+      .withColumn("__new", when(col("t") - lag(col("t"), 1).over(wRow) <= gapNs, 0L)
+        .otherwise(1L))
+      .withColumn("sess", sum(col("__new")).over(wRun))
+    val withLeads = (1 until n).foldLeft(sess) { (d, j) =>
+      d.withColumn(s"tp$j", lead(col("tp"), j).over(wRow))
+        .withColumn(s"ok$j", lead(col("sess"), j).over(wRow) === col("sess"))
+    }
+    val inSession = (1 until n).map(j => col(s"ok$j")).reduce(_ && _)
+    val path = concat_ws(">", col("tp") +: (1 until n).map(j => col(s"tp$j")): _*)
+    withLeads.where(inSession)
+      .select(path.as("path"))
+      .groupBy("path").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("path"))
+      .limit(k)
+  }
 }

@@ -64,4 +64,34 @@ object Profile {
     }
     base.groupBy(keyCol).agg(aggs.head, aggs.tail: _*)
   }
+
+  /** Spearman rank-correlation STATISTICS per group, exact integers:
+    * `(key, n, sum_d2)` where `sum_d2 = Σ (R2x − R2y)²` over DOUBLED
+    * tie-averaged ranks `R2 = 2·rank − 1 + #ties` (doubling keeps the
+    * standard (rank_min + rank_max)/2 tie treatment integral). Spearman's
+    * ρ = 1 − 6·(sum_d2/4) / (n(n²−1)) follows in whatever precision the
+    * caller wants; emitting the exact integer pieces is what lets the
+    * oracle hash-gate the computation. 64-bit safe for groups up to ~10⁶
+    * rows (sum_d2 ≤ 4n³).
+    *
+    * Scale: one shuffle on the group key, two in-partition sorts (x ranks,
+    * y ranks), one partial-aggregated reduction. */
+  def rankCorrStats(df: DataFrame, keyCol: String, xCol: String,
+                    yCol: String): DataFrame = {
+    val base = df.select(col(keyCol).as("key"),
+      col(xCol).cast("long").as("x"), col(yCol).cast("long").as("y"))
+      .where(col("x").isNotNull && col("y").isNotNull)
+    val wx = Window.partitionBy("key").orderBy("x")
+    val wxTies = Window.partitionBy("key", "x")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val wy = Window.partitionBy("key").orderBy("y")
+    val wyTies = Window.partitionBy("key", "y")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val ranked = base
+      .withColumn("r2x", lit(2L) * rank().over(wx) - 1L + count(lit(1)).over(wxTies))
+      .withColumn("r2y", lit(2L) * rank().over(wy) - 1L + count(lit(1)).over(wyTies))
+    val d = col("r2x") - col("r2y")
+    ranked.groupBy("key")
+      .agg(count(lit(1)).as("n"), sum(d * d).as("sum_d2"))
+  }
 }

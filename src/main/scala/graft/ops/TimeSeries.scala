@@ -93,6 +93,57 @@ object TimeSeries {
       .select(col("key"), col("day"), col("v"))
   }
 
+  /** CUSUM change-point detection, exact integers: a baseline mean is taken
+    * from each series' first `baselineN` rows (as the rational s0/n0), then
+    * the one-sided cumulative deviations
+    * `cusum_t = Σ_{i ≤ t} (n0·x_i − s0)` (scaled by n0 to stay integral)
+    * are flagged when `|cusum_t| > thresh·n0` — the classic mean-shift
+    * detector. One shuffle on the series key; two window passes over the
+    * same sort (baseline extraction + running sum). */
+  def cusum(df: DataFrame, partCol: String, orderCols: Seq[String],
+            valueCol: String, baselineN: Int, thresh: Long): DataFrame = {
+    require(baselineN >= 1, "baselineN >= 1")
+    val wRow = Window.partitionBy(partCol).orderBy(orderCols.map(col): _*)
+    val wRun = wRow.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(partCol)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val v = col(valueCol).cast("long")
+    val withBase = df
+      .withColumn("__rn", row_number().over(wRow))
+      .withColumn("__s0", sum(when(col("__rn") <= baselineN, v)).over(wAll))
+      .withColumn("__n0", sum(when(col("__rn") <= baselineN, 1L)).over(wAll))
+    withBase
+      .withColumn("cusum", sum(col("__n0") * v - col("__s0")).over(wRun))
+      .withColumn("changed",
+        (abs(col("cusum")) > lit(thresh) * col("__n0")).cast("int"))
+      .drop("__rn", "__s0", "__n0")
+  }
+
+  /** Run-length encoding of a per-key ordered symbol stream (the SQL
+    * "islands" shape): one row per maximal run of consecutive equal
+    * symbols — `(key, symbol, run_start_rank, run_len)`. Two window passes
+    * over one sort: a change marker, its running sum as the island id, then
+    * one partial-aggregated count per island. */
+  def runLength(df: DataFrame, keyCol: String, orderCols: Seq[String],
+                symbolCol: String): DataFrame = {
+    require(!orderCols.exists(Set("key", "sym").contains),
+      "order columns may not be named 'key'/'sym'")
+    val wRow = Window.partitionBy("key").orderBy(orderCols.map(col): _*)
+    val wRun = wRow.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val marked = df
+      .select(col(keyCol).as("key") +: col(symbolCol).cast("string").as("sym") +:
+        orderCols.map(col): _*)
+      .withColumn("__rn", row_number().over(wRow))
+      .withColumn("__chg",
+        when(lag(col("sym"), 1).over(wRow) === col("sym"), 0L).otherwise(1L))
+      .withColumn("__run", sum(col("__chg")).over(wRun))
+    marked.groupBy(col("key"), col("__run"))
+      .agg(first(col("sym")).as("sym"), min(col("__rn")).as("run_start"),
+           count(lit(1)).as("run_len"))
+      .select(col("key"), col("sym"), col("run_start").cast("long").as("run_start"),
+              col("run_len"))
+  }
+
   /** Windowed exponential moving average with power-of-two decay, scaled to
     * an exact integer: Σ_{j=0..depth−1} 2^(depth−1−j) · x_{t−j} over the
     * ordered frame (weight halves per step back; truncated at `depth`).

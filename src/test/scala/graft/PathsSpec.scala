@@ -1,0 +1,80 @@
+package graft
+
+import graft.ops.{Funnel, Profile, TimeSeries}
+import org.apache.spark.sql.Row
+import org.scalatest.funsuite.AnyFunSuite
+
+class PathsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import scala.jdk.CollectionConverters._
+
+  private def eventsDf(rows: Seq[(Long, String, Long, Long)]) = {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("u", LongType, nullable = false),
+      StructField("tp", StringType, nullable = false),
+      StructField("t", LongType, nullable = false),
+      StructField("i", LongType, nullable = false)))
+    spark.createDataFrame(
+      rows.map { case (u, tp, t, i) => Row(u, tp, t, i) }.asJava, schema)
+  }
+
+  test("topPaths counts in-session trigrams only, never across a gap") {
+    val gap = 100L
+    val rows = Seq(
+      // user 1, session A: a b c d  → a>b>c, b>c>d
+      (1L, "a", 0L, 1L), (1L, "b", 10L, 2L), (1L, "c", 20L, 3L), (1L, "d", 30L, 4L),
+      // gap > 100 → session B: a b c → a>b>c
+      (1L, "a", 500L, 5L), (1L, "b", 510L, 6L), (1L, "c", 520L, 7L),
+      // user 2: only two events — no trigram
+      (2L, "a", 0L, 8L), (2L, "b", 10L, 9L))
+    val got = Funnel.topPaths(eventsDf(rows), "u", "tp", "t", "i", gap, n = 3, k = 5)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+    assert(got == Seq("a>b>c" -> 2L, "b>c>d" -> 1L))
+  }
+
+  test("cusum flags a mean shift and scales by the baseline count") {
+    // baseline 4 rows of 10, then a shift to 20: cusum grows 40/row after
+    val rows = (0L until 4L).map(i => (1L, "x", i, i)) ++
+      (4L until 10L).map(i => (1L, "x", i, i))
+    val df = eventsDf(rows.map { case (u, tp, t, i) => (u, tp, t, i) })
+      .withColumn("v", org.apache.spark.sql.functions.expr(
+        "CASE WHEN t < 4 THEN 10 ELSE 20 END"))
+    val out = TimeSeries.cusum(df, "u", Seq("t"), "v", baselineN = 4, thresh = 20L)
+      .select("t", "cusum", "changed").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sortBy(_._1)
+    // n0=4, s0=40: rows 0..3 deviation 0; rows 4.. add 4*20-40 = 40 each
+    assert(out.map(_._2).toSeq == Seq(0L, 0L, 0L, 0L, 40L, 80L, 120L, 160L, 200L, 240L))
+    // thresh*n0 = 80: changed once |cusum| > 80
+    assert(out.map(_._3).toSeq == Seq(0, 0, 0, 0, 0, 0, 1, 1, 1, 1))
+  }
+
+  test("runLength emits one row per maximal run with start rank and length") {
+    val rows = Seq(
+      (1L, "a", 0L, 1L), (1L, "a", 1L, 2L), (1L, "b", 2L, 3L),
+      (1L, "a", 3L, 4L), (2L, "c", 0L, 5L))
+    val got = TimeSeries.runLength(eventsDf(rows), "u", Seq("t", "i"), "tp")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .sortBy(x => (x._1, x._3))
+    assert(got.toSeq == Seq((1L, "a", 1L, 2L), (1L, "b", 3L, 1L),
+      (1L, "a", 4L, 1L), (2L, "c", 1L, 1L)))
+  }
+
+  test("rankCorrStats: perfect agreement gives sum_d2 = 0; ties averaged") {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("k", StringType, nullable = false),
+      StructField("x", LongType, nullable = false),
+      StructField("y", LongType, nullable = false)))
+    val data = Seq(
+      // group a: y = 2x → identical ranks → sum_d2 = 0
+      Row("a", 1L, 2L), Row("a", 2L, 4L), Row("a", 3L, 6L),
+      // group b: x = {1,1,2}: doubled tie-avg ranks R2x = (3,3,6);
+      // y = (5,6,4) distinct: R2y = (4,6,2) → d = (-1,-3,4) → sum_d2 = 26
+      Row("b", 1L, 5L), Row("b", 1L, 6L), Row("b", 2L, 4L))
+    val df = spark.createDataFrame(data.asJava, schema)
+    val got = Profile.rankCorrStats(df, "k", "x", "y")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == Map("a" -> ((3L, 0L)), "b" -> ((3L, 26L))))
+  }
+}
