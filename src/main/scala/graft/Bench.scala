@@ -505,6 +505,46 @@ object Bench {
         graft.ops.TimeSeries.anomalyFlags(ev, "k", Seq("i"), "v", window = 50)
           .write.format("noop").mode("overwrite").save()
       },
+      // bucketed co-located join: both sides written bucketed+sorted on the
+      // key, so the sort-merge join needs NO shuffle and NO sort — the plan
+      // is asserted exchange-free. At 100 TB this is the difference between
+      // joining in place and moving both tables over the network.
+      "x_bucketed_join" -> { s: SparkSession =>
+        if (!s.catalog.tableExists("graft_bl")) {
+          s.range(10000000L).selectExpr("id % 1000000 AS k", "id AS va")
+            .write.bucketBy(32, "k").sortBy("k").mode("overwrite")
+            .saveAsTable("graft_bl")
+          s.range(2000000L).selectExpr("id % 1000000 AS k", "id AS vb")
+            .write.bucketBy(32, "k").sortBy("k").mode("overwrite")
+            .saveAsTable("graft_br")
+        }
+        val old = s.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+        s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try {
+          val j = s.table("graft_bl").join(s.table("graft_br"), "k")
+            .selectExpr("k", "va + vb AS v")
+          val plan = j.queryExecution.executedPlan.toString
+          require(!plan.contains("Exchange hashpartitioning"),
+            "bucketed join should not shuffle")
+          j.write.format("noop").mode("overwrite").save()
+        } finally s.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+      },
+      // partition-pruned scan: a day-partitioned write, then a one-day
+      // filter that must prune at planning time (PartitionFilters in the
+      // scan, ~1/64 of the files read) — the other half of not-reading
+      // 100 TB. The full-scan count is measured alongside for contrast.
+      "x_partition_prune" -> { s: SparkSession =>
+        val dir = "/tmp/graft_bench_part_events"
+        if (!new java.io.File(dir, "_SUCCESS").isFile)
+          s.range(10000000L).selectExpr("id", "id % 64 AS day", "id % 997 AS v")
+            .write.partitionBy("day").mode("overwrite").parquet(dir)
+        val one = s.read.parquet(dir).where("day = 17")
+        val plan = one.queryExecution.executedPlan.toString
+        require(plan.contains("PartitionFilters: [isnotnull(day"),
+          s"day filter did not reach partition pruning")
+        require(one.count() == 10000000L / 64,
+          "pruned scan returned wrong row count")
+      },
       // weighted sampling: 10k winners from 1M docs across 10 strata,
       // ticket mins map-only, bounded-heap top-k selection
       "x_weighted_sample_1m" -> { s: SparkSession =>

@@ -1704,6 +1704,17 @@ object SparkEntry {
         .orderBy("c_nationkey")
     } _,
 
+    // Z-order (Morton) clustering key: bit-interleaved (l_partkey,
+    // l_suppkey) — the multi-column layout sort key; pure integer bit
+    // arithmetic, replayed by the oracle term-for-term
+    "q_zorder" -> dfq { s =>
+      s.table("lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          graft.ops.Layout.zOrderValue(
+            Seq(col("l_partkey"), col("l_suppkey")), bits = 16).as("zval"))
+        .orderBy("l_orderkey", "l_linenumber")
+    } _,
+
     // ---- relational: pivot / unpivot ---------------------------------------
     // PIVOT with two aggregates per cell (explicit value list: no extra
     // values-collect job, deterministic column order)
@@ -3618,6 +3629,10 @@ object SparkEntry {
         |  max(CASE WHEN rn = (90 * n + 99) // 100 THEN v END) AS p90,
         |  max(CASE WHEN rn = (99 * n + 99) // 100 THEN v END) AS p99
         |FROM w GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+    "q_zorder" ->
+      s"""SELECT l_orderkey, l_linenumber,
+         |  CAST(${graft.ops.Layout.zOrderSql(Seq("l_partkey", "l_suppkey"), 16)} AS BIGINT) AS zval
+         |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
     "q_pivot" ->
       """SELECT l_returnflag AS rf,
         |       CAST(sum(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS INT) END) AS BIGINT) AS F_sq,

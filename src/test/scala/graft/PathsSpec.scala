@@ -60,6 +60,23 @@ class PathsSpec extends AnyFunSuite {
       (1L, "a", 4L, 1L), (2L, "c", 1L, 1L)))
   }
 
+  test("zOrderValue interleaves bits; SQL fragment replays it exactly") {
+    import org.apache.spark.sql.functions._
+    val df = spark.range(1000).selectExpr("id % 37 AS x", "id % 53 AS y")
+    val both = df.select(
+      graft.ops.Layout.zOrderValue(Seq(col("x"), col("y")), 16).as("zc"),
+      expr(graft.ops.Layout.zOrderSql(Seq("x", "y"), 16)).as("zs"),
+      col("x"), col("y"))
+    assert(both.where(col("zc") =!= col("zs")).count() == 0)
+    // hand-checked example: x=3 (11b), y=1 (1b) → bits x→{0,2}, y→{1} → 7
+    val one = both.where(col("x") === 3 && col("y") === 1).head()
+    assert(one.getLong(0) == 7L)
+    // Morton keys of equal values are equal, distinct cells distinct (both
+    // inputs < 2^16 so no wrap): zval is a bijection on the (x, y) grid
+    assert(both.select("zc").distinct().count() ==
+      both.select("x", "y").distinct().count())
+  }
+
   test("rankCorrStats: perfect agreement gives sum_d2 = 0; ties averaged") {
     import org.apache.spark.sql.types._
     val schema = StructType(Seq(
