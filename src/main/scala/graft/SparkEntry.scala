@@ -1504,6 +1504,14 @@ object SparkEntry {
         .select(col("id").as("doc_id"), col("r").as("pr"))
         .orderBy("doc_id")
     } _,
+    // k-core peeling on the near-dup candidate graph: surviving nodes of
+    // the 2-core with their within-core degree (dense-cluster filter)
+    "q_kcore" -> dfq { s =>
+      val pairs = graft.ops.Dedup.minhashPairs(s.table("documents"), "text", "doc_id",
+          k = 16, bands = 4, threshold = 0.3).select("id_a", "id_b")
+      graft.ops.Dedup.kCore(pairs, "id_a", "id_b", k = 2, iters = 10)
+        .orderBy("id")
+    } _,
     // triangle enumeration on the near-dup candidate graph (oriented
     // wedge join + closing edge; each a<b<c triangle once)
     "q_triangles" -> dfq { s =>
@@ -1796,6 +1804,29 @@ object SparkEntry {
 
   /** Integer PageRank replay over the near-dup candidate graph — `iters`
     * chained CTEs of the engine's exact arithmetic. */
+  /** k-core peeling replay over the near-dup candidate graph: `iters`
+    * chained delete-degree-<k rounds (peeling is confluent and idempotent
+    * at the fixed point, so fixed rounds ≡ the engine's converged result). */
+  private def duckKCoreSql(k: Int, iters: Int): String = {
+    // each round reads the previous THREE times — without MATERIALIZED the
+    // inlined expansion is 3^iters scans of the base graph
+    val rounds = (1 to iters).map { i =>
+      s"""e${i + 1} AS MATERIALIZED (SELECT a, b FROM e$i
+         |  WHERE a IN (SELECT a FROM e$i GROUP BY a HAVING count(*) >= $k)
+         |    AND b IN (SELECT a FROM e$i GROUP BY a HAVING count(*) >= $k))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH RECURSIVE $duckMinhashCtes,
+       |p AS (SELECT id_a, id_b FROM jac
+       |      WHERE CAST(i AS DOUBLE) / CAST(la + lb - i AS DOUBLE) >= 0.3),
+       |pe AS (SELECT id_a AS a, id_b AS b FROM p WHERE id_a <> id_b),
+       |e1 AS MATERIALIZED (
+       |  SELECT a, b FROM (SELECT a, b FROM pe UNION ALL SELECT b AS a, a AS b FROM pe)
+       |  GROUP BY a, b),
+       |$rounds
+       |SELECT a AS id, CAST(count(*) AS BIGINT) AS deg
+       |FROM e${iters + 1} GROUP BY a ORDER BY id""".stripMargin
+  }
+
   private def duckPageRankSql(iters: Int): String = {
     val rounds = (1 to iters).map { i =>
       s"""r$i AS (SELECT n.id, 150000 + (850 * coalesce(s.s, 0)) // 1000 AS r
@@ -3319,6 +3350,7 @@ object SparkEntry {
         |GROUP BY k HAVING count(*) >= 900
         |ORDER BY cnt DESC, k""".stripMargin,
     "q_pagerank" -> duckPageRankSql(6),
+    "q_kcore" -> duckKCoreSql(2, 10),
     "q_triangles" ->
       s"""WITH RECURSIVE $duckMinhashCtes,
          |p AS (SELECT id_a, id_b FROM jac

@@ -379,6 +379,50 @@ object Dedup {
     out
   }
 
+  /** k-core decomposition by iterative peeling: repeatedly delete nodes of
+    * degree < k (and their edges) until stable; returns the surviving
+    * nodes with their within-core degree — the standard dense-subgraph
+    * filter (spam/bot cliques, strongly-duplicated clusters).
+    *
+    * Exactness: peeling is confluent — the fixed point is unique whatever
+    * the removal order — and once a round deletes nothing every further
+    * round is the identity, so running a FIXED `iters` rounds (the oracle's
+    * chained CTEs) equals the engine's converge-and-stop result whenever
+    * convergence happens within `iters`; the engine verifies that and
+    * fails loudly otherwise rather than returning a half-peeled graph.
+    *
+    * Scale: each round is one counted degree aggregate + two semi-joins —
+    * no row ever carries more than an edge; lineage is truncated per round. */
+  def kCore(edges0: DataFrame, srcCol: String, dstCol: String, k: Int,
+            iters: Int = 10): DataFrame = {
+    requireIntegralIds(edges0, Seq(srcCol, dstCol), "kCore")
+    require(k >= 1 && iters >= 1, "k >= 1, iters >= 1")
+    val p = edges0.select(col(srcCol).cast("long").as("a"), col(dstCol).cast("long").as("b"))
+      .where(col("a") =!= col("b"))
+    var cur = p.union(p.select(col("b").as("a"), col("a").as("b"))).distinct()
+      .localCheckpoint()
+    var curCount = cur.count()
+    var converged = false
+    var round = 0
+    while (round < iters && !converged) {
+      round += 1
+      val keep = cur.groupBy("a").agg(count(lit(1)).as("d"))
+        .where(col("d") >= k).select(col("a").as("kid"))
+      val next = cur
+        .join(keep, cur("a") === col("kid"), "left_semi")
+        .join(keep.select(col("kid").as("kid2")), cur("b") === col("kid2"), "left_semi")
+        .localCheckpoint()
+      val nextCount = next.count()
+      converged = nextCount == curCount
+      cur = next
+      curCount = nextCount
+    }
+    require(converged || curCount == 0,
+      s"kCore did not converge within $iters rounds — raise iters")
+    cur.groupBy("a").agg(count(lit(1)).as("deg"))
+      .select(col("a").as("id"), col("deg"))
+  }
+
   /** Semantic dedup over an embedding column (the SemDeDup shape with
     * deterministic LSH cells): vectors land in hyperplane buckets, and every
     * vector with a same-bucket neighbor of smaller id at cosine ≥ `tau` is

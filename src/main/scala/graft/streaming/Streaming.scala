@@ -493,6 +493,44 @@ object Streaming {
     * (re-accumulating a replayed row is a no-op by idempotence). State is a
     * fixed 2^p bytes per key forever, the streaming-state contract a
     * count-distinct-over-unbounded-keys job needs. */
+  case class MetricRow(key: String, seq: Long, v: Long)
+  case class AnomalyOut(key: String, seq: Long, roll_n: Int, flag: Int)
+  case class AnomState(buf: Seq[Long])
+
+  /** Streaming rolling z-score anomaly flags with BATCH-IDENTICAL
+    * semantics: per-key state is the last `window−1` values (bounded,
+    * O(window) per key); each arrival evaluates the exact integer test
+    * `(n·x − s)² > T²·(n·s2 − s²)` over its frame — the same arithmetic as
+    * [[graft.ops.TimeSeries.anomalyFlags]], so a stream fed in `seq` order
+    * emits exactly the batch flags (parity spec). Rows are sorted by `seq`
+    * within each micro-batch; cross-batch disorder is the caller's
+    * watermarking problem (state never rewinds). */
+  def anomalyStream(input: Dataset[MetricRow], window: Int = 20,
+                    tSigma: Int = 3): Dataset[AnomalyOut] = {
+    implicit val stateEnc: Encoder[AnomState] = Encoders.product[AnomState]
+    implicit val outEnc: Encoder[AnomalyOut] = Encoders.product[AnomalyOut]
+    implicit val keyEnc: Encoder[String] = Encoders.STRING
+    val t2 = tSigma.toLong * tSigma
+    input.groupByKey(_.key)
+      .flatMapGroupsWithState[AnomState, AnomalyOut](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (key: String, rows: Iterator[MetricRow], state: GroupState[AnomState]) =>
+          var buf = state.getOption.map(_.buf.toVector).getOrElse(Vector.empty[Long])
+          val out = rows.toSeq.sortBy(_.seq).map { r =>
+            val frame = buf :+ r.v
+            val n = frame.size.toLong
+            val s = frame.sum
+            val s2 = frame.map(x => x * x).sum
+            val d = n * r.v - s
+            val flag = if (d * d > t2 * (n * s2 - s * s)) 1 else 0
+            buf = frame.takeRight(window - 1)
+            AnomalyOut(key, r.seq, n.toInt, flag)
+          }
+          state.update(AnomState(buf))
+          out.iterator
+      }
+  }
+
   def hllStream(input: Dataset[KV], p: Int = 9): Dataset[CardEstimate] = {
     implicit val stateEnc: Encoder[Array[Byte]] = Encoders.BINARY
     implicit val outEnc: Encoder[CardEstimate] = Encoders.product[CardEstimate]

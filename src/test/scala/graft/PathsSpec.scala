@@ -60,6 +60,22 @@ class PathsSpec extends AnyFunSuite {
       (1L, "a", 4L, 1L), (2L, "c", 1L, 1L)))
   }
 
+  test("kCore peels to the unique fixed point (triangle + pendant chain)") {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("a", LongType, nullable = false),
+      StructField("b", LongType, nullable = false)))
+    // triangle 1-2-3 (the 2-core) with a chain 3-4-5 hanging off it
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L))
+    val df = spark.createDataFrame(
+      edges.map { case (a, b) => Row(a, b) }.asJava, schema)
+    val got = graft.ops.Dedup.kCore(df, "a", "b", k = 2, iters = 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+    // k=3: nothing survives (empty result is a valid converged state)
+    assert(graft.ops.Dedup.kCore(df, "a", "b", k = 3, iters = 10).count() == 0)
+  }
+
   test("zOrderValue interleaves bits; SQL fragment replays it exactly") {
     import org.apache.spark.sql.functions._
     val df = spark.range(1000).selectExpr("id % 37 AS x", "id % 53 AS y")

@@ -486,6 +486,36 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("batch ≡ stream: anomalyStream flags equal TimeSeries.anomalyFlags") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rnd = new scala.util.Random(11)
+    // two series: noise with planted spikes
+    val rows = for (k <- Seq("a", "b"); i <- 0L until 300L) yield
+      Streaming.MetricRow(k, i,
+        if (i % 97 == 0 && i > 0) 100000L + rnd.nextInt(100)
+        else 500L + rnd.nextInt(20))
+    val batch = graft.ops.TimeSeries.anomalyFlags(
+        rows.toDF("key", "seq", "v"), "key", Seq("seq"), "v",
+        window = 20, tSigma = 3)
+      .select("key", "seq", "roll_n", "flag").collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> ((r.getInt(2), r.getInt(3)))).toMap
+    assert(batch.values.count(_._2 == 1) > 0, "no planted spike flagged")
+    val mem = MemoryStream[Streaming.MetricRow]
+    val q = Streaming.anomalyStream(mem.toDS(), window = 20, tSigma = 3)
+      .writeStream.format("memory").queryName("anom_stream")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      // split mid-frame: state must carry the partial window across batches
+      val (b0, b1) = rows.partition(_.seq < 150L)
+      mem.addData(b0: _*); q.processAllAvailable()
+      mem.addData(b1: _*); q.processAllAvailable()
+      val got = spark.sql("SELECT * FROM anom_stream").collect()
+        .map(r => (r.getString(0), r.getLong(1)) -> ((r.getInt(2), r.getInt(3)))).toMap
+      assert(got == batch)
+    } finally q.stop()
+  }
+
   test("hllStream state survives a stop/restart from checkpoint") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
