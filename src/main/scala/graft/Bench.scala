@@ -545,6 +545,19 @@ object Bench {
         require(one.count() == 10000000L / 64,
           "pruned scan returned wrong row count")
       },
+      // 2-itemset mining over the 1M-doc corpus (every 20th doc carries a
+      // planted correlated pair): frequent-term prune first, then the
+      // doc-keyed pair self-join over surviving terms only
+      "x_cooccur_1m" -> { s: SparkSession =>
+        val docs = s.read.parquet(docsBenchParquet(s))
+          .selectExpr("doc_id",
+            "CASE WHEN doc_id % 20 = 0 THEN concat(text, ' kwa kwb') ELSE text END AS text")
+        val top = graft.ops.Index.coOccurrence(docs, "text", "doc_id",
+          minSup = 2000L, topK = 100).collect()
+        require(top.exists(r => r.getString(0) == "kwa" && r.getString(1) == "kwb"
+            && r.getLong(2) == 50000L),
+          "planted pair (kwa, kwb) not mined at its exact support")
+      },
       // weighted sampling: 10k winners from 1M docs across 10 strata,
       // ticket mins map-only, bounded-heap top-k selection
       "x_weighted_sample_1m" -> { s: SparkSession =>

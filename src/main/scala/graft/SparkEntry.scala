@@ -1504,6 +1504,13 @@ object SparkEntry {
         .select(col("id").as("doc_id"), col("r").as("pr"))
         .orderBy("doc_id")
     } _,
+    // frequent term-pair mining (2-itemset Apriori): top-50 co-occurring
+    // pairs with support ≥ 100 docs; the frequent-term prune runs before
+    // any pairing
+    "q_cooccur" -> dfq { s =>
+      graft.ops.Index.coOccurrence(s.table("documents"), "text", "doc_id",
+          minSup = 100L, topK = 50)
+    } _,
     // k-core peeling on the near-dup candidate graph: surviving nodes of
     // the 2-core with their within-core degree (dense-cluster filter)
     "q_kcore" -> dfq { s =>
@@ -3351,6 +3358,17 @@ object SparkEntry {
         |ORDER BY cnt DESC, k""".stripMargin,
     "q_pagerank" -> duckPageRankSql(6),
     "q_kcore" -> duckKCoreSql(2, 10),
+    "q_cooccur" ->
+      """WITH t AS (SELECT DISTINCT doc_id,
+        |             unnest(list_filter(str_split_regex(lower(text), '\s+'),
+        |                    x -> x <> '')) AS term
+        |           FROM documents),
+        |f AS (SELECT term FROM t GROUP BY term HAVING count(*) >= 100),
+        |tf AS (SELECT doc_id, term FROM t WHERE term IN (SELECT term FROM f))
+        |SELECT x.term AS a, y.term AS b, CAST(count(*) AS BIGINT) AS cnt
+        |FROM tf x JOIN tf y ON x.doc_id = y.doc_id AND x.term < y.term
+        |GROUP BY 1, 2 HAVING count(*) >= 100
+        |ORDER BY cnt DESC, a, b LIMIT 50""".stripMargin,
     "q_triangles" ->
       s"""WITH RECURSIVE $duckMinhashCtes,
          |p AS (SELECT id_a, id_b FROM jac

@@ -65,6 +65,34 @@ object Index {
     * query terms (predicate pushdown on `term`), postings explode, and a
     * doc qualifies iff it appears under all of them. No document text is
     * read. */
+  /** Frequent term-pair co-occurrence mining (the 2-itemset Apriori pass):
+    * the `topK` most frequent unordered pairs of terms appearing in the
+    * same document, among pairs whose count ≥ `minSup`.
+    *
+    * Scale design: the Apriori prune runs FIRST — a term can only be in a
+    * frequent pair if the term itself is frequent (downward closure), so
+    * term df counts (one counted shuffle) filter the stream before any
+    * pairing, and the doc-keyed self-join pairs only frequent terms. Pair
+    * cost is Σ_d f_d² with f_d = frequent-distinct terms in doc d — at web
+    * scale raise `minSup` (which shrinks f_d) rather than capping docs.
+    * The pair aggregation is map-side combined (≤ |frequent|² keys), and
+    * top-k is a TakeOrdered, never a full sort. */
+  def coOccurrence(docs: DataFrame, textCol: String, idCol: String,
+                   minSup: Long, topK: Int): DataFrame = {
+    require(minSup >= 1 && topK >= 1, "minSup and topK must be positive")
+    val toks = docTerms(docs, textCol, idCol)
+    val frequent = toks.groupBy("term").agg(count(lit(1)).as("df"))
+      .where(col("df") >= minSup).select("term")
+    val ft = toks.join(frequent, "term")
+    val x = ft.select(col("doc_id"), col("term").as("a"))
+    val y = ft.select(col("doc_id").as("doc_id2"), col("term").as("b"))
+    x.join(y, col("doc_id") === col("doc_id2") && col("a") < col("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("cnt"))
+      .where(col("cnt") >= minSup)
+      .orderBy(col("cnt").desc, col("a"), col("b"))
+      .limit(topK)
+  }
+
   def searchAll(index: DataFrame, terms: Seq[String]): DataFrame = {
     val qs = terms.map(_.toLowerCase).distinct
     require(qs.nonEmpty, "searchAll: empty term list")

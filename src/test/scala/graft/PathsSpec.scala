@@ -60,6 +60,23 @@ class PathsSpec extends AnyFunSuite {
       (1L, "a", 4L, 1L), (2L, "c", 1L, 1L)))
   }
 
+  test("coOccurrence: Apriori prune + exact pair counts + deterministic top-k") {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("text", StringType, nullable = false)))
+    val docs = Seq(
+      (1L, "a b c rare1"), (2L, "a b c rare2"), (3L, "a b rare3"),
+      (4L, "a b b b"), // duplicate terms collapse: (a,b) counts once here
+      (5L, "c rare4"))
+    val df = spark.createDataFrame(
+      docs.map { case (i, t) => Row(i, t) }.asJava, schema)
+    val got = graft.ops.Index.coOccurrence(df, "text", "doc_id", minSup = 3L, topK = 10)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    // frequent terms: a(4) b(4) c(3); pairs ≥ 3: (a,b)=4, (a,c)=2 ✗, (b,c)=2 ✗
+    assert(got == Seq(("a", "b", 4L)))
+  }
+
   test("kCore peels to the unique fixed point (triangle + pendant chain)") {
     import org.apache.spark.sql.types._
     val schema = StructType(Seq(
