@@ -1710,6 +1710,22 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"), col("priority"))
         .orderBy("lang", "priority", "doc_id")
     } _,
+    // sliding 7-day EXACT distinct users per event_type (fan-out of the
+    // deduplicated daily stream into its trailing windows)
+    "q_window_distinct" -> dfq { s =>
+      graft.ops.TimeSeries.windowedDistinct(s.table("events"), "event_type",
+          "ts", "user_id", windowDays = 7)
+        .select(col("key").as("event_type"), col("day"), col("nd"))
+        .orderBy("event_type", "day")
+    } _,
+    // winsorization: acctbal cents clipped to each nation's [p5, p95]
+    "q_winsorize" -> dfq { s =>
+      val cust = s.table("customer")
+        .withColumn("cents", expr("CAST(ROUND(c_acctbal * 100) AS BIGINT)"))
+      graft.ops.Profile.winsorize(cust, "c_nationkey", "cents", pLo = 5, pHi = 95)
+        .select(col("c_custkey"), col("c_nationkey"), col("cents"), col("v_w"))
+        .orderBy("c_custkey")
+    } _,
     // exact discrete percentiles per group (integer position arithmetic)
     "q_percentiles" -> dfq { s =>
       val cust = s.table("customer")
@@ -3666,6 +3682,30 @@ object SparkEntry {
          |      FROM p)
          |SELECT doc_id, lang, CAST(priority AS BIGINT) AS priority
          |FROM r WHERE rn <= 10 ORDER BY lang, priority, doc_id""".stripMargin,
+    "q_window_distinct" ->
+      """WITH e AS (SELECT DISTINCT event_type AS key,
+        |             epoch_ns(ts) // 86400000000000 AS day, user_id AS ent
+        |           FROM events),
+        |s AS (SELECT key, min(day) AS d0, max(day) AS d1 FROM e GROUP BY key),
+        |f AS (SELECT key, ent,
+        |        unnest(generate_series(day, day + 6)) AS day FROM e)
+        |SELECT f.key AS event_type, CAST(f.day AS BIGINT) AS day,
+        |       CAST(count(DISTINCT f.ent) AS BIGINT) AS nd
+        |FROM f JOIN s USING (key)
+        |WHERE f.day BETWEEN s.d0 AND s.d1
+        |GROUP BY 1, 2 ORDER BY event_type, day""".stripMargin,
+    "q_winsorize" ->
+      """WITH c AS (SELECT c_custkey, c_nationkey,
+        |             CAST(ROUND(c_acctbal * 100) AS BIGINT) AS cents FROM customer),
+        |w AS (SELECT *, row_number() OVER (PARTITION BY c_nationkey ORDER BY cents) AS rn,
+        |        count(*) OVER (PARTITION BY c_nationkey) AS n FROM c),
+        |b AS (SELECT c_nationkey,
+        |        max(CASE WHEN rn = (5 * n + 99) // 100 THEN cents END) AS lo,
+        |        max(CASE WHEN rn = (95 * n + 99) // 100 THEN cents END) AS hi
+        |      FROM w GROUP BY c_nationkey)
+        |SELECT c.c_custkey, c.c_nationkey, c.cents,
+        |       least(greatest(c.cents, b.lo), b.hi) AS v_w
+        |FROM c JOIN b USING (c_nationkey) ORDER BY c_custkey""".stripMargin,
     "q_percentiles" ->
       """WITH c AS (SELECT c_nationkey,
         |             CAST(ROUND(c_acctbal * 100) AS BIGINT) AS v FROM customer),

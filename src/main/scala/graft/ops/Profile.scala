@@ -65,6 +65,22 @@ object Profile {
     base.groupBy(keyCol).agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Winsorization: clip `valCol` to its group's [pLo, pHi] discrete
+    * percentiles — the standard outlier-robust feature scrub. Composes
+    * [[groupPercentilesDisc]] (one windowed pass) with a per-key bounds
+    * join (one row per key — broadcast-sized at any scale) and a map-only
+    * clip. Adds `v_w` (clipped value) to the input's (key, value) pair. */
+  def winsorize(df: DataFrame, keyCol: String, valCol: String,
+                pLo: Int = 1, pHi: Int = 99): DataFrame = {
+    require(pLo >= 1 && pHi <= 100 && pLo < pHi, "need 1 <= pLo < pHi <= 100")
+    val bounds = groupPercentilesDisc(df, keyCol, valCol, Seq(pLo, pHi))
+      .select(col(keyCol), col(s"p$pLo").as("__lo"), col(s"p$pHi").as("__hi"))
+    df.join(broadcast(bounds), keyCol)
+      .withColumn("v_w",
+        least(greatest(col(valCol).cast("long"), col("__lo")), col("__hi")))
+      .drop("__lo", "__hi")
+  }
+
   /** Spearman rank-correlation STATISTICS per group, exact integers:
     * `(key, n, sum_d2)` where `sum_d2 = Σ (R2x − R2y)²` over DOUBLED
     * tie-averaged ranks `R2 = 2·rank − 1 + #ties` (doubling keeps the

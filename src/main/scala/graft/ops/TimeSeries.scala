@@ -144,6 +144,32 @@ object TimeSeries {
               col("run_len"))
   }
 
+  /** Sliding-window EXACT distinct counts: for every (key, day) in each
+    * key's active range, the distinct `entityCol` values seen in the
+    * trailing `windowDays` days. Window aggregates can't do DISTINCT, so
+    * each (key, entity, day) contribution is fanned out to the `windowDays`
+    * windows it belongs to and counted with a distinct aggregate — a
+    * windowDays-factor fan-out of the DEDUPLICATED daily stream (not the
+    * raw events), which is the standard exact formulation; for sketch-sized
+    * state at larger windows use the mergeable HLL registers instead
+    * ([[Sketches]]). Output: (key, day, nd). */
+  def windowedDistinct(df: DataFrame, keyCol: String, tsNsCol: String,
+                       entityCol: String, windowDays: Int): DataFrame = {
+    require(windowDays >= 1 && windowDays <= 370, "windowDays in 1..370")
+    val nsPerDay = 86400L * 1000000000L
+    val base = df.select(col(keyCol).as("key"),
+        expr(s"`$tsNsCol` div ${nsPerDay}L").as("day"),
+        col(entityCol).cast("long").as("ent"))
+      .distinct() // daily presence, not event multiplicity
+    val span = base.groupBy("key").agg(min("day").as("d0"), max("day").as("d1"))
+    val fanned = base.select(col("key"), col("ent"),
+      explode(sequence(col("day"), col("day") + (windowDays - 1))).as("day"))
+    fanned.join(span, "key")
+      .where(col("day") >= col("d0") && col("day") <= col("d1"))
+      .groupBy("key", "day")
+      .agg(countDistinct("ent").as("nd"))
+  }
+
   /** Windowed exponential moving average with power-of-two decay, scaled to
     * an exact integer: Σ_{j=0..depth−1} 2^(depth−1−j) · x_{t−j} over the
     * ordered frame (weight halves per step back; truncated at `depth`).

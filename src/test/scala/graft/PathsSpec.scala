@@ -60,6 +60,37 @@ class PathsSpec extends AnyFunSuite {
       (1L, "a", 4L, 1L), (2L, "c", 1L, 1L)))
   }
 
+  test("windowedDistinct: trailing-window exact distincts incl. gap days") {
+    import org.apache.spark.sql.types._
+    val ns = 86400L * 1000000000L
+    val schema = StructType(Seq(
+      StructField("k", StringType, nullable = false),
+      StructField("ts", LongType, nullable = false),
+      StructField("e", LongType, nullable = false)))
+    // key a: entity 1 on day 0, entities 1,2 on day 3, span 0..3
+    val rows = Seq(Row("a", 0L * ns, 1L), Row("a", 3L * ns, 1L),
+      Row("a", 3L * ns + 5L, 2L))
+    val df = spark.createDataFrame(rows.asJava, schema)
+    val got = graft.ops.TimeSeries.windowedDistinct(df, "k", "ts", "e", 3)
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    // day0: {1}; day1,2: window covers day0 ({1}); day3: {1,2}
+    assert(got == Map(0L -> 1L, 1L -> 1L, 2L -> 1L, 3L -> 2L))
+  }
+
+  test("winsorize clips to the group's discrete percentile bounds") {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("g", StringType, nullable = false),
+      StructField("v", LongType, nullable = false)))
+    val vals = (1L to 100L).map(v => Row("a", v))
+    val df = spark.createDataFrame(vals.asJava, schema)
+    val got = graft.ops.Profile.winsorize(df, "g", "v", pLo = 10, pHi = 90)
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(got(1L) == 10L && got(5L) == 10L && got(10L) == 10L)
+    assert(got(50L) == 50L)
+    assert(got(90L) == 90L && got(95L) == 90L && got(100L) == 90L)
+  }
+
   test("coOccurrence: Apriori prune + exact pair counts + deterministic top-k") {
     import org.apache.spark.sql.types._
     val schema = StructType(Seq(
