@@ -495,6 +495,15 @@ object Bench {
         val n = graft.ops.Fuzzy.fuzzySelfJoin(strs, "id", "s", maxDist = 1).count()
         require(n >= 200000, s"expected >=200k planted near-dup pairs, got $n")
       },
+      // O(1)/row rolling extrema over 20M rows / 100 series at w=1000 — the
+      // tile decomposition's point: a naive 1000-row frame would do 20G
+      // comparisons
+      "x_rollext_20m" -> { s: SparkSession =>
+        val ev = s.range(20000000L).selectExpr(
+          "CAST(id % 100 AS STRING) AS k", "id AS i", "pmod(hash(id), 100000) AS v")
+        graft.ops.TimeSeries.rollingExtrema(ev, "k", Seq("i"), "v", window = 1000)
+          .write.format("noop").mode("overwrite").save()
+      },
       // rolling z-score flags over 20M events / 100 series: one hash
       // exchange + a bounded 50-row frame
       "x_anomaly_20m" -> { s: SparkSession =>

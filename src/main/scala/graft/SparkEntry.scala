@@ -1710,6 +1710,34 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"), col("priority"))
         .orderBy("lang", "priority", "doc_id")
     } _,
+    // O(1)/row rolling extrema via tile decomposition (a naive w-row frame
+    // re-aggregates O(w) per row); order includes event_id — the total
+    // order the tile trick requires
+    "q_rolling_extrema" -> dfq { s =>
+      val ev = s.table("events")
+        .withColumn("cents", expr("CAST(ROUND(value * 100) AS BIGINT)"))
+      graft.ops.TimeSeries.rollingExtrema(ev, "event_type",
+          Seq("ts", "event_id"), "cents", window = 50)
+        .select(col("event_id"), col("event_type"), col("cents"),
+                col("roll_max"), col("roll_min"))
+        .orderBy("event_type", "event_id")
+    } _,
+    // duplicate-event suppression: drop events within 1h of the previous
+    // same-(user, type) event (chained bursts collapse to their first)
+    "q_event_dedup" -> dfq { s =>
+      graft.ops.TimeSeries.dedupBursts(s.table("events"),
+          Seq("user_id", "event_type"), Seq("ts", "event_id"), "ts",
+          deltaNs = 3600L * 1000000000L)
+        .select(col("event_id"), col("user_id"), col("event_type"))
+        .orderBy("event_id")
+    } _,
+    // association rules over document co-occurrence: support ≥ 100 docs,
+    // confidence ≥ 80% (cross-multiplied integers, both directions)
+    "q_assoc_rules" -> dfq { s =>
+      graft.ops.Index.assocRules(s.table("documents"), "text", "doc_id",
+          minSup = 100L, minConfPct = 80)
+        .orderBy("ante", "cons")
+    } _,
     // sliding 7-day EXACT distinct users per event_type (fan-out of the
     // deduplicated daily stream into its trailing windows)
     "q_window_distinct" -> dfq { s =>
@@ -3682,6 +3710,47 @@ object SparkEntry {
          |      FROM p)
          |SELECT doc_id, lang, CAST(priority AS BIGINT) AS priority
          |FROM r WHERE rn <= 10 ORDER BY lang, priority, doc_id""".stripMargin,
+    // the oracle runs the NAIVE bounded frame — equality proves the tile
+    // decomposition covers every trailing window exactly
+    "q_rolling_extrema" ->
+      """WITH e AS (SELECT event_id, event_type,
+        |             CAST(ROUND(value * 100) AS BIGINT) AS cents,
+        |             epoch_ns(ts) AS tns
+        |           FROM events)
+        |SELECT event_id, event_type, cents,
+        |       max(cents) OVER fr AS roll_max,
+        |       min(cents) OVER fr AS roll_min
+        |FROM e
+        |WINDOW fr AS (PARTITION BY event_type ORDER BY tns, event_id
+        |              ROWS BETWEEN 49 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_type, event_id""".stripMargin,
+    "q_event_dedup" ->
+      """WITH e AS (SELECT event_id, user_id, event_type, epoch_ns(ts) AS t
+        |           FROM events),
+        |l AS (SELECT *, lag(t) OVER (PARTITION BY user_id, event_type
+        |                             ORDER BY t, event_id) AS p
+        |      FROM e)
+        |SELECT event_id, user_id, event_type FROM l
+        |WHERE p IS NULL OR t - p > 3600000000000
+        |ORDER BY event_id""".stripMargin,
+    "q_assoc_rules" ->
+      """WITH t AS (SELECT DISTINCT doc_id,
+        |             unnest(list_filter(str_split_regex(lower(text), '\s+'),
+        |                    x -> x <> '')) AS term
+        |           FROM documents),
+        |i AS (SELECT term, CAST(count(*) AS BIGINT) AS sup FROM t
+        |      GROUP BY term HAVING count(*) >= 100),
+        |tf AS (SELECT doc_id, term FROM t WHERE term IN (SELECT term FROM i)),
+        |p AS (SELECT x.term AS a, y.term AS b, CAST(count(*) AS BIGINT) AS sp
+        |      FROM tf x JOIN tf y ON x.doc_id = y.doc_id AND x.term < y.term
+        |      GROUP BY 1, 2 HAVING count(*) >= 100),
+        |r AS (SELECT a AS ante, b AS cons, sp FROM p
+        |      UNION ALL SELECT b AS ante, a AS cons, sp FROM p)
+        |SELECT r.ante, r.cons, r.sp AS sup_pair, ia.sup AS sup_ante,
+        |       ic.sup AS sup_cons
+        |FROM r JOIN i ia ON ia.term = r.ante JOIN i ic ON ic.term = r.cons
+        |WHERE 100 * r.sp >= 80 * ia.sup
+        |ORDER BY ante, cons""".stripMargin,
     "q_window_distinct" ->
       """WITH e AS (SELECT DISTINCT event_type AS key,
         |             epoch_ns(ts) // 86400000000000 AS day, user_id AS ent

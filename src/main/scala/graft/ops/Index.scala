@@ -93,6 +93,35 @@ object Index {
       .limit(topK)
   }
 
+  /** Association rules a → b over document co-occurrence: both directions
+    * of every frequent pair, kept when support ≥ `minSup` and confidence
+    * `sup(a,b)/sup(a)` ≥ `minConfPct`% — tested as the cross-multiplied
+    * integer `100·sup_pair ≥ minConfPct·sup_ante`, never a float. Emits
+    * `(ante, cons, sup_pair, sup_ante, sup_cons)`; lift/conviction are one
+    * exact division away for the caller. Same Apriori prune and shuffle
+    * shape as [[coOccurrence]]. */
+  def assocRules(docs: DataFrame, textCol: String, idCol: String,
+                 minSup: Long, minConfPct: Int): DataFrame = {
+    require(minSup >= 1 && minConfPct >= 1 && minConfPct <= 100,
+      "minSup >= 1, minConfPct in 1..100")
+    val toks = docTerms(docs, textCol, idCol)
+    val items = toks.groupBy("term").agg(count(lit(1)).as("sup"))
+      .where(col("sup") >= minSup)
+    val ft = toks.join(items.select("term"), "term")
+    val x = ft.select(col("doc_id"), col("term").as("a"))
+    val y = ft.select(col("doc_id").as("doc_id2"), col("term").as("b"))
+    val pairs = x.join(y, col("doc_id") === col("doc_id2") && col("a") < col("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("sup_pair"))
+      .where(col("sup_pair") >= minSup)
+    val rules = pairs.select(col("a").as("ante"), col("b").as("cons"), col("sup_pair"))
+      .union(pairs.select(col("b").as("ante"), col("a").as("cons"), col("sup_pair")))
+    rules
+      .join(items.select(col("term").as("ante"), col("sup").as("sup_ante")), "ante")
+      .join(items.select(col("term").as("cons"), col("sup").as("sup_cons")), "cons")
+      .where(lit(100L) * col("sup_pair") >= lit(minConfPct.toLong) * col("sup_ante"))
+      .select("ante", "cons", "sup_pair", "sup_ante", "sup_cons")
+  }
+
   def searchAll(index: DataFrame, terms: Seq[String]): DataFrame = {
     val qs = terms.map(_.toLowerCase).distinct
     require(qs.nonEmpty, "searchAll: empty term list")

@@ -119,6 +119,24 @@ object TimeSeries {
       .drop("__rn", "__s0", "__n0")
   }
 
+  /** Duplicate-event suppression: keep a row iff the previous event of the
+    * same key is more than `deltaNs` older (chained-burst semantics — a
+    * steady drizzle of sub-δ gaps collapses to its first event, exactly
+    * like gap sessionization keeps one session). The client-retry /
+    * double-fire scrub every event pipeline runs at ingest. One shuffle on
+    * the key, one lag over one sort, map-only filter. */
+  def dedupBursts(df: DataFrame, keyCols: Seq[String], orderCols: Seq[String],
+                  tsNsCol: String, deltaNs: Long): DataFrame = {
+    require(deltaNs >= 0, "deltaNs >= 0")
+    val wRow = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(orderCols.map(col): _*)
+    val prev = lag(col(tsNsCol).cast("long"), 1).over(wRow)
+    df.withColumn("__prev", prev)
+      .where(col("__prev").isNull ||
+        col(tsNsCol).cast("long") - col("__prev") > deltaNs)
+      .drop("__prev")
+  }
+
   /** Run-length encoding of a per-key ordered symbol stream (the SQL
     * "islands" shape): one row per maximal run of consecutive equal
     * symbols — `(key, symbol, run_start_rank, run_len)`. Two window passes
@@ -142,6 +160,45 @@ object TimeSeries {
            count(lit(1)).as("run_len"))
       .select(col("key"), col("sym"), col("run_start").cast("long").as("run_start"),
               col("run_len"))
+  }
+
+  /** Rolling max/min over the trailing `window` rows in O(1) per row —
+    * the two-pass block decomposition (Lemire's sliding-extrema trick):
+    * with tiles exactly `window` rows wide, any trailing frame spans at
+    * most two tiles, so `roll_max_t = max(sufmax_{t−w+1}, premax_t)` where
+    * `premax` is the running max within the row's tile and `sufmax` the
+    * running max from the row to its tile's end — both UNBOUNDED-frame
+    * windows Spark updates incrementally, with the cross-row reference a
+    * plain `lag(sufmax, w−1)`. A naive `ROWS BETWEEN w−1 PRECEDING` frame
+    * re-aggregates O(w) per row in Spark — 50× slower at w=50.
+    * Adds `roll_max` and `roll_min`. */
+  def rollingExtrema(df: DataFrame, partCol: String, orderCols: Seq[String],
+                     valueCol: String, window: Int): DataFrame = {
+    require(window >= 2 && window <= (1 << 20), "window in 2..2^20")
+    val wRow = Window.partitionBy(partCol).orderBy(orderCols.map(col): _*)
+    val v = col(valueCol).cast("long")
+    val tiled = df
+      .withColumn("__rn", row_number().over(wRow) - 1)
+      .withColumn("__tile", expr(s"__rn div $window"))
+    val wPre = Window.partitionBy(col(partCol), col("__tile"))
+      .orderBy(orderCols.map(col): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wSuf = Window.partitionBy(col(partCol), col("__tile"))
+      .orderBy(orderCols.map(c => col(c).desc): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val staged = tiled
+      .withColumn("__premax", max(v).over(wPre))
+      .withColumn("__premin", min(v).over(wPre))
+      .withColumn("__sufmax", max(v).over(wSuf))
+      .withColumn("__sufmin", min(v).over(wSuf))
+    staged
+      .withColumn("roll_max",
+        greatest(coalesce(lag(col("__sufmax"), window - 1).over(wRow),
+          col("__premax")), col("__premax")))
+      .withColumn("roll_min",
+        least(coalesce(lag(col("__sufmin"), window - 1).over(wRow),
+          col("__premin")), col("__premin")))
+      .drop("__rn", "__tile", "__premax", "__premin", "__sufmax", "__sufmin")
   }
 
   /** Sliding-window EXACT distinct counts: for every (key, day) in each

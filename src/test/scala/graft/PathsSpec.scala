@@ -60,6 +60,38 @@ class PathsSpec extends AnyFunSuite {
       (1L, "a", 4L, 1L), (2L, "c", 1L, 1L)))
   }
 
+  test("rollingExtrema tile trick equals the naive bounded frame (random)") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    for (w <- Seq(2, 3, 7, 16)) {
+      val df = spark.range(500).selectExpr("CAST(id % 3 AS STRING) AS k",
+        "id AS i", "pmod(hash(id), 1000) AS v")
+      val naiveW = Window.partitionBy("k").orderBy("i").rowsBetween(-(w - 1), 0)
+      val naive = df
+        .withColumn("nmax", max(col("v")).over(naiveW))
+        .withColumn("nmin", min(col("v")).over(naiveW))
+      val got = graft.ops.TimeSeries.rollingExtrema(naive, "k", Seq("i"), "v", w)
+      assert(got.where(col("roll_max") =!= col("nmax") ||
+        col("roll_min") =!= col("nmin")).count() == 0, s"w=$w")
+    }
+  }
+
+  test("dedupBursts keeps the first event of each chained burst") {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("u", LongType, nullable = false),
+      StructField("ts", LongType, nullable = false),
+      StructField("i", LongType, nullable = false)))
+    // gaps: 5, 5, 100, 5 with delta 10 → burst {0,5,10}, {110,115}
+    val rows = Seq(Row(1L, 0L, 1L), Row(1L, 5L, 2L), Row(1L, 10L, 3L),
+      Row(1L, 110L, 4L), Row(1L, 115L, 5L))
+    val df = spark.createDataFrame(rows.asJava, schema)
+    val kept = graft.ops.TimeSeries.dedupBursts(df, Seq("u"), Seq("ts", "i"),
+        "ts", deltaNs = 10L)
+      .collect().map(_.getLong(2)).toSet
+    assert(kept == Set(1L, 4L))
+  }
+
   test("windowedDistinct: trailing-window exact distincts incl. gap days") {
     import org.apache.spark.sql.types._
     val ns = 86400L * 1000000000L
