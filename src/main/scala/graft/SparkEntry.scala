@@ -1710,6 +1710,25 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"), col("priority"))
         .orderBy("lang", "priority", "doc_id")
     } _,
+    // analytics capstone: funnel → conversion durations → exact discrete
+    // percentiles, one tall report (two operators composed in one lineage)
+    "q_funnel_capstone" -> dfq { s =>
+      val f = graft.ops.Funnel.funnel(s.table("events"), "user_id", "event_type",
+          "ts", Seq("view", "click", "purchase"))
+      val counts = f.agg(
+        sum(when(col("reached") >= 1, 1L).otherwise(0L)).as("r1"),
+        sum(when(col("reached") >= 2, 1L).otherwise(0L)).as("r2"),
+        sum(when(col("reached") >= 3, 1L).otherwise(0L)).as("r3"))
+      val durs = f.where(col("reached") === 3)
+        .select(lit("all").as("g"), (col("t3") - col("t1")).as("d"))
+      val p = graft.ops.Profile.groupPercentilesDisc(durs, "g", "d", Seq(50, 90))
+      counts.selectExpr(
+          "stack(3, 'reached_view', r1, 'reached_click', r2, 'reached_purchase', r3)" +
+            " AS (stat, value)")
+        .union(p.selectExpr(
+          "stack(2, 'p50_conv_ns', p50, 'p90_conv_ns', p90) AS (stat, value)"))
+        .orderBy("stat")
+    } _,
     // O(1)/row rolling extrema via tile decomposition (a naive w-row frame
     // re-aggregates O(w) per row); order includes event_id — the total
     // order the tile trick requires
@@ -3710,6 +3729,29 @@ object SparkEntry {
          |      FROM p)
          |SELECT doc_id, lang, CAST(priority AS BIGINT) AS priority
          |FROM r WHERE rn <= 10 ORDER BY lang, priority, doc_id""".stripMargin,
+    "q_funnel_capstone" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_ns(ts) AS t FROM events),
+        |s1 AS (SELECT user_id, min(t) AS t1 FROM e WHERE event_type = 'view' GROUP BY user_id),
+        |s2 AS (SELECT e.user_id, min(t) AS t2 FROM e JOIN s1 USING (user_id)
+        |       WHERE event_type = 'click' AND t > t1 GROUP BY e.user_id),
+        |s3 AS (SELECT e.user_id, min(t) AS t3 FROM e JOIN s2 USING (user_id)
+        |       WHERE event_type = 'purchase' AND t > t2 GROUP BY e.user_id),
+        |c AS (SELECT (SELECT count(*) FROM s1) AS r1,
+        |             (SELECT count(*) FROM s2) AS r2,
+        |             (SELECT count(*) FROM s3) AS r3),
+        |d AS (SELECT s3.t3 - s1.t1 AS d FROM s3 JOIN s1 USING (user_id)),
+        |w AS (SELECT d, row_number() OVER (ORDER BY d) AS rn,
+        |             count(*) OVER () AS n FROM d),
+        |p AS (SELECT max(CASE WHEN rn = (50 * n + 99) // 100 THEN d END) AS p50,
+        |             max(CASE WHEN rn = (90 * n + 99) // 100 THEN d END) AS p90
+        |      FROM w)
+        |SELECT stat, CAST(value AS BIGINT) AS value FROM (
+        |  SELECT 'reached_view' AS stat, r1 AS value FROM c
+        |  UNION ALL SELECT 'reached_click', r2 FROM c
+        |  UNION ALL SELECT 'reached_purchase', r3 FROM c
+        |  UNION ALL SELECT 'p50_conv_ns', p50 FROM p
+        |  UNION ALL SELECT 'p90_conv_ns', p90 FROM p)
+        |ORDER BY stat""".stripMargin,
     // the oracle runs the NAIVE bounded frame — equality proves the tile
     // decomposition covers every trailing window exactly
     "q_rolling_extrema" ->
