@@ -71,6 +71,8 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      // managed tables (x_bucketed_join) land in /tmp, not the repo
+      .config("spark.sql.warehouse.dir", "/tmp/graft_bench_warehouse")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

@@ -1710,6 +1710,37 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"), col("priority"))
         .orderBy("lang", "priority", "doc_id")
     } _,
+    // CSV sink/source EXACT round-trip under hostile content — embedded
+    // delimiters, double quotes, newlines (multiLine read), unicode,
+    // leading/trailing spaces. The oracle recomputes the derived column
+    // from parquet directly: equality proves write quoting ∘ read parsing
+    // is the identity. (Empty-vs-null is CSV's documented blind spot and
+    // is excluded by construction: every derived value is non-empty.)
+    "q_csv_roundtrip" -> dfq { s =>
+      val tricky = expr(
+        """concat('a,"b"', char(10), '  ', substring(text, 1, 20), ' é€ ', char(10), 'z')""")
+      val df = s.table("documents")
+        .select(col("doc_id"), tricky.as("tricky"), col("n_chars"))
+      val out = java.nio.file.Files.createTempDirectory("graft_csv_rt").toString
+      df.coalesce(2).write.mode("overwrite")
+        .option("header", "true").option("escape", "\"").csv(out)
+      s.read.schema(df.schema)
+        .option("header", "true").option("multiLine", "true").option("escape", "\"")
+        .csv(out)
+        .orderBy("doc_id")
+    } _,
+    // JSONL round-trip of the same hostile content plus NULLs (JSON, unlike
+    // CSV, round-trips null exactly: absent field + explicit schema)
+    "q_jsonl_roundtrip" -> dfq { s =>
+      val tricky = expr(
+        """CASE WHEN doc_id % 11 = 0 THEN NULL
+          |ELSE concat('a,"b"', char(10), substring(text, 1, 20), ' é€\\') END""".stripMargin)
+      val df = s.table("documents")
+        .select(col("doc_id"), tricky.as("tricky"), col("n_chars"))
+      val out = java.nio.file.Files.createTempDirectory("graft_jsonl_rt").toString
+      df.coalesce(2).write.mode("overwrite").json(out)
+      s.read.schema(df.schema).json(out).orderBy("doc_id")
+    } _,
     // analytics capstone: funnel → conversion durations → exact discrete
     // percentiles, one tall report (two operators composed in one lineage)
     "q_funnel_capstone" -> dfq { s =>
@@ -3729,6 +3760,19 @@ object SparkEntry {
          |      FROM p)
          |SELECT doc_id, lang, CAST(priority AS BIGINT) AS priority
          |FROM r WHERE rn <= 10 ORDER BY lang, priority, doc_id""".stripMargin,
+    "q_csv_roundtrip" ->
+      """SELECT doc_id,
+        |       'a,"b"' || chr(10) || '  ' || substr(text, 1, 20) || ' é€ '
+        |         || chr(10) || 'z' AS tricky,
+        |       n_chars
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_jsonl_roundtrip" ->
+      """SELECT doc_id,
+        |       CASE WHEN doc_id % 11 = 0 THEN NULL
+        |            ELSE 'a,"b"' || chr(10) || substr(text, 1, 20) || ' é€\' END
+        |         AS tricky,
+        |       n_chars
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "q_funnel_capstone" ->
       """WITH e AS (SELECT user_id, event_type, epoch_ns(ts) AS t FROM events),
         |s1 AS (SELECT user_id, min(t) AS t1 FROM e WHERE event_type = 'view' GROUP BY user_id),
