@@ -506,6 +506,18 @@ object Bench {
         graft.ops.TimeSeries.rollingExtrema(ev, "k", Seq("i"), "v", window = 1000)
           .write.format("noop").mode("overwrite").save()
       },
+      // duplicate-immunity: 1M rows but only 100k distinct strings (10
+      // copies each), every distinct pair ≥ 2 edits apart (the value digits
+      // appear twice, so one edit can't equate two values) — with k=1 the
+      // answer is EXACTLY the same-string diagonal, 100k · C(10,2) = 4.5M
+      // id pairs. Candidate verification cost stays distinct-string-sized;
+      // only the unavoidable output expansion is 4.5M.
+      "x_fuzzy_dup_1m" -> { s: SparkSession =>
+        val strs = s.range(1000000L).selectExpr("id",
+          "concat('v', id div 10, ' v', id div 10) AS s")
+        val n = graft.ops.Fuzzy.fuzzySelfJoin(strs, "id", "s", maxDist = 1).count()
+        require(n == 4500000L, s"expected exactly 4.5M diagonal pairs, got $n")
+      },
       // rolling z-score flags over 20M events / 100 series: one hash
       // exchange + a bounded 50-row frame
       "x_anomaly_20m" -> { s: SparkSession =>

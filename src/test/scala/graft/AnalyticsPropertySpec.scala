@@ -1,0 +1,160 @@
+package graft
+
+import graft.ops.{Curation, Dedup, Fuzzy, Profile, TimeSeries}
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Randomized cross-checks of the analytics operators against independent
+  * in-memory models — high-collision alphabets and adversarial shapes the
+  * hand-written cases don't reach. Seeds are fixed: failures reproduce. */
+class AnalyticsPropertySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import scala.jdk.CollectionConverters._
+
+  private def lev(a: String, b: String): Int = {
+    val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>
+      if (j == 0) i else if (i == 0) j else 0)
+    for (i <- 1 to a.length; j <- 1 to b.length)
+      d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+        d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+    d(a.length)(b.length)
+  }
+
+  test("fuzzySelfJoin ≡ brute force on random dense short strings (k=1..3)") {
+    val rnd = new scala.util.Random(42)
+    // tiny alphabet + short lengths → heavy collisions, exact dups, empties
+    val rows = (1L to 120L).map { i =>
+      val len = rnd.nextInt(7) // 0..6
+      i -> Array.fill(len)(('a' + rnd.nextInt(3)).toChar).mkString
+    }
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("id", LongType, nullable = false),
+      StructField("s", StringType, nullable = false)))
+    val df = spark.createDataFrame(
+      rows.map { case (i, s) => Row(i, s) }.asJava, schema)
+    for (k <- 1 to 3) {
+      val got = Fuzzy.fuzzySelfJoin(df, "id", "s", k)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      val want = (for {
+        (ia, sa) <- rows; (ib, sb) <- rows
+        if ia < ib; d = lev(sa, sb) if d <= k
+      } yield (ia, ib, d)).toSet
+      assert(got == want, s"k=$k: ${got.diff(want).size} extra, ${want.diff(got).size} missing")
+    }
+  }
+
+  test("rollingExtrema ≡ naive trailing frame on random series and windows") {
+    val rnd = new scala.util.Random(7)
+    val rows = for (k <- 0 until 5; i <- 0 until (20 + rnd.nextInt(80)))
+      yield (k.toString, i.toLong, rnd.nextInt(50).toLong)
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("k", StringType, nullable = false),
+      StructField("i", LongType, nullable = false),
+      StructField("v", LongType, nullable = false)))
+    val df = spark.createDataFrame(
+      rows.map { case (k, i, v) => Row(k, i, v) }.asJava, schema)
+    for (w <- Seq(2, 5, 13, 64)) {
+      val got = TimeSeries.rollingExtrema(df, "k", Seq("i"), "v", w)
+        .collect().map(r => (r.getString(0), r.getLong(1)) ->
+          ((r.getLong(3), r.getLong(4)))).toMap
+      rows.groupBy(_._1).foreach { case (k, ks) =>
+        val sorted = ks.sortBy(_._2)
+        sorted.indices.foreach { t =>
+          val frame = sorted.slice(math.max(0, t - w + 1), t + 1).map(_._3)
+          assert(got((k, sorted(t)._2)) == ((frame.max, frame.min)), s"w=$w k=$k t=$t")
+        }
+      }
+    }
+  }
+
+  test("groupPercentilesDisc ≡ sorted-position model on random groups") {
+    val rnd = new scala.util.Random(13)
+    val rows = for (g <- 0 until 8; _ <- 0 until (1 + rnd.nextInt(40)))
+      yield (g.toString, rnd.nextInt(20).toLong) // ties abound
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("g", StringType, nullable = false),
+      StructField("v", LongType, nullable = false)))
+    val df = spark.createDataFrame(
+      rows.map { case (g, v) => Row(g, v) }.asJava, schema)
+    val ps = Seq(1, 25, 50, 75, 99, 100)
+    val got = Profile.groupPercentilesDisc(df, "g", "v", ps)
+      .collect().map(r => r.getString(0) -> ps.indices.map(i => r.getLong(i + 1))).toMap
+    rows.groupBy(_._1).foreach { case (g, gs) =>
+      val sorted = gs.map(_._2).sorted
+      val want = ps.map(p => sorted(((p * sorted.size + 99) / 100) - 1))
+      assert(got(g) == want, s"g=$g")
+    }
+  }
+
+  test("weightedSample: per-stratum independence, exact k, salt determinism") {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("id", LongType, nullable = false),
+      StructField("g", StringType, nullable = false),
+      StructField("w", IntegerType, nullable = false)))
+    val rows = (0L until 200L).map(i => Row(i, (i % 4).toString, 1 + (i % 5).toInt))
+    val df = spark.createDataFrame(rows.asJava, schema)
+    def pick(d: org.apache.spark.sql.DataFrame) = Curation
+      .weightedSample(d, "id", "g", col("w"), k = 7, salt = "prop")
+      .collect().map(r => (r.getString(1), r.getLong(0))).toSet
+    val all = pick(df)
+    assert(all.size == 28 && all.groupBy(_._1).forall(_._2.size == 7))
+    // strata are independent: sampling one stratum alone picks the same ids
+    val only2 = pick(df.where(col("g") === "2"))
+    assert(only2 == all.filter(_._1 == "2"))
+  }
+
+  test("runLength reconstructs the original symbol stream per key") {
+    val rnd = new scala.util.Random(3)
+    val rows = for (k <- 0 until 4; i <- 0 until 60)
+      yield (k.toLong, i.toLong, ('x' + rnd.nextInt(2)).toChar.toString)
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("u", LongType, nullable = false),
+      StructField("i", LongType, nullable = false),
+      StructField("tp", StringType, nullable = false)))
+    val df = spark.createDataFrame(
+      rows.map { case (u, i, tp) => Row(u, i, tp) }.asJava, schema)
+    val runs = TimeSeries.runLength(df, "u", Seq("i"), "tp")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    rows.groupBy(_._1).foreach { case (u, us) =>
+      val stream = us.sortBy(_._2).map(_._3)
+      val rebuilt = runs.filter(_._1 == u).sortBy(_._3)
+        .flatMap { case (_, sym, _, len) => Seq.fill(len.toInt)(sym) }
+      assert(rebuilt.toSeq == stream.toSeq, s"u=$u")
+      // run starts are contiguous: next start = prev start + prev len
+      val rs = runs.filter(_._1 == u).sortBy(_._3)
+      rs.sliding(2).foreach {
+        case Array(a, b) => assert(b._3 == a._3 + a._4)
+        case _ =>
+      }
+    }
+  }
+
+  test("kCore self-consistency and idempotence on random graphs") {
+    val rnd = new scala.util.Random(19)
+    val edges = (1 to 300).map(_ => (rnd.nextInt(60).toLong, rnd.nextInt(60).toLong))
+      .filter { case (a, b) => a != b }.distinct
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("a", LongType, nullable = false),
+      StructField("b", LongType, nullable = false)))
+    val df = spark.createDataFrame(
+      edges.map { case (a, b) => Row(a, b) }.asJava, schema)
+    for (k <- Seq(2, 4, 6)) {
+      val core = Dedup.kCore(df, "a", "b", k, iters = 60)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // every survivor's within-core degree ≥ k
+      assert(core.values.forall(_ >= k), s"k=$k")
+      // the fixed point really is fixed: peeling the core again changes nothing
+      val und = edges.flatMap { case (a, b) => Seq((a, b), (b, a)) }.distinct
+      val coreEdges = und.filter { case (a, b) =>
+        core.contains(a) && core.contains(b) }
+      if (coreEdges.nonEmpty) {
+        val df2 = spark.createDataFrame(
+          coreEdges.map { case (a, b) => Row(a, b) }.asJava, schema)
+        val again = Dedup.kCore(df2, "a", "b", k, iters = 60)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(again == core, s"k=$k not idempotent")
+      } else assert(core.isEmpty)
+    }
+  }
+}
