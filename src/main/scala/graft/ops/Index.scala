@@ -83,7 +83,9 @@ object Index {
     val toks = docTerms(docs, textCol, idCol)
     val frequent = toks.groupBy("term").agg(count(lit(1)).as("df"))
       .where(col("df") >= minSup).select("term")
-    val ft = toks.join(frequent, "term")
+    // both self-join sides read ft — materialize once or the whole
+    // scan+count+join subtree executes twice (two extra corpus scans)
+    val ft = toks.join(frequent, "term").localCheckpoint()
     val x = ft.select(col("doc_id"), col("term").as("a"))
     val y = ft.select(col("doc_id").as("doc_id2"), col("term").as("b"))
     x.join(y, col("doc_id") === col("doc_id2") && col("a") < col("b"))
@@ -105,14 +107,17 @@ object Index {
     require(minSup >= 1 && minConfPct >= 1 && minConfPct <= 100,
       "minSup >= 1, minConfPct in 1..100")
     val toks = docTerms(docs, textCol, idCol)
+    // items is read three times (prune + two confidence joins), ft twice,
+    // pairs twice (the direction union) — truncate each or the corpus
+    // subtree re-executes per consumer
     val items = toks.groupBy("term").agg(count(lit(1)).as("sup"))
-      .where(col("sup") >= minSup)
-    val ft = toks.join(items.select("term"), "term")
+      .where(col("sup") >= minSup).localCheckpoint()
+    val ft = toks.join(items.select("term"), "term").localCheckpoint()
     val x = ft.select(col("doc_id"), col("term").as("a"))
     val y = ft.select(col("doc_id").as("doc_id2"), col("term").as("b"))
     val pairs = x.join(y, col("doc_id") === col("doc_id2") && col("a") < col("b"))
       .groupBy("a", "b").agg(count(lit(1)).as("sup_pair"))
-      .where(col("sup_pair") >= minSup)
+      .where(col("sup_pair") >= minSup).localCheckpoint()
     val rules = pairs.select(col("a").as("ante"), col("b").as("cons"), col("sup_pair"))
       .union(pairs.select(col("b").as("ante"), col("a").as("cons"), col("sup_pair")))
     rules
