@@ -1504,6 +1504,28 @@ object SparkEntry {
         .select(col("id").as("doc_id"), col("r").as("pr"))
         .orderBy("doc_id")
     } _,
+    // Spark's built-in batch SESSION_WINDOW operator (30-min gap), gated
+    // against the islands replay the oracle runs — the declarative
+    // sessionization surface next to the SQL-windowed q_sessionize
+    "q_session_window" -> q(
+      """SELECT user_id, unix_micros(sw.start) AS s_us, unix_micros(sw.end) AS e_us,
+        |       count(*) AS n_events
+        |FROM (SELECT user_id,
+        |             session_window(timestamp_micros(ts DIV 1000), '30 minutes') AS sw
+        |      FROM events)
+        |GROUP BY user_id, sw
+        |ORDER BY user_id, s_us""".stripMargin) _,
+    // related terms: top-3 co-occurring partners per anchor term, selected
+    // by the bounded-heap TopKPerKey over the symmetrized pair counts
+    "q_related_terms" -> dfq { s =>
+      val pairs = graft.ops.Index.coOccurrence(s.table("documents"), "text",
+          "doc_id", minSup = 100L, topK = 1000)
+      val sym = pairs.select(col("a").as("t"), col("b").as("other"), col("cnt"))
+        .union(pairs.select(col("b").as("t"), col("a").as("other"), col("cnt")))
+      graft.plans.TopKPerKey.topKBy(sym, Seq("t"),
+          Seq(("cnt", false), ("other", true)), 3)
+        .orderBy("t", "other")
+    } _,
     // frequent term-pair mining (2-itemset Apriori): top-50 co-occurring
     // pairs with support ≥ 100 docs; the frequent-term prune runs before
     // any pairing
@@ -3452,6 +3474,36 @@ object SparkEntry {
         |ORDER BY cnt DESC, k""".stripMargin,
     "q_pagerank" -> duckPageRankSql(6),
     "q_kcore" -> duckKCoreSql(2, 10),
+    // strict `<` on the boundary: Spark merges sessions iff the next event
+    // starts BEFORE the previous session's end (last + gap)
+    "q_session_window" ->
+      """WITH e AS (SELECT user_id, epoch_ns(ts) // 1000 AS t_us FROM events),
+        |s AS (SELECT *, CASE WHEN t_us - lag(t_us) OVER w < 1800000000
+        |                     THEN 0 ELSE 1 END AS nw
+        |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t_us)),
+        |s2 AS (SELECT *, sum(nw) OVER (PARTITION BY user_id ORDER BY t_us) AS sess
+        |       FROM s)
+        |SELECT user_id, CAST(min(t_us) AS BIGINT) AS s_us,
+        |       CAST(max(t_us) + 1800000000 AS BIGINT) AS e_us,
+        |       CAST(count(*) AS BIGINT) AS n_events
+        |FROM s2 GROUP BY user_id, sess ORDER BY user_id, s_us""".stripMargin,
+    "q_related_terms" ->
+      """WITH t AS (SELECT DISTINCT doc_id,
+        |             unnest(list_filter(str_split_regex(lower(text), '\s+'),
+        |                    x -> x <> '')) AS term
+        |           FROM documents),
+        |f AS (SELECT term FROM t GROUP BY term HAVING count(*) >= 100),
+        |tf AS (SELECT doc_id, term FROM t WHERE term IN (SELECT term FROM f)),
+        |p AS (SELECT x.term AS a, y.term AS b, CAST(count(*) AS BIGINT) AS cnt
+        |      FROM tf x JOIN tf y ON x.doc_id = y.doc_id AND x.term < y.term
+        |      GROUP BY 1, 2 HAVING count(*) >= 100
+        |      ORDER BY cnt DESC, a, b LIMIT 1000),
+        |r AS (SELECT a AS t, b AS other, cnt FROM p
+        |      UNION ALL SELECT b AS t, a AS other, cnt FROM p),
+        |k AS (SELECT *, row_number() OVER (PARTITION BY t
+        |                                   ORDER BY cnt DESC, other) AS rn
+        |      FROM r)
+        |SELECT t, other, cnt FROM k WHERE rn <= 3 ORDER BY t, other""".stripMargin,
     "q_cooccur" ->
       """WITH t AS (SELECT DISTINCT doc_id,
         |             unnest(list_filter(str_split_regex(lower(text), '\s+'),
