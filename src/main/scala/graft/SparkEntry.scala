@@ -1504,6 +1504,16 @@ object SparkEntry {
         .select(col("id").as("doc_id"), col("r").as("pr"))
         .orderBy("doc_id")
     } _,
+    // decimal aggregate widening: sum/avg over DECIMAL(12,2) per group,
+    // both engines casting to the same output scale so trailing digits
+    // (and the hash) agree exactly
+    "q_decimal_agg" -> q(
+      """SELECT l_returnflag,
+        |       CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS s,
+        |       CAST(avg(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(18,4)) AS a,
+        |       CAST(min(CAST(l_extendedprice AS DECIMAL(14,2))) AS DECIMAL(18,2)) AS mn,
+        |       CAST(max(CAST(l_extendedprice AS DECIMAL(14,2))) AS DECIMAL(18,2)) AS mx
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) _,
     // Spark's built-in batch SESSION_WINDOW operator (30-min gap), gated
     // against the islands replay the oracle runs — the declarative
     // sessionization surface next to the SQL-windowed q_sessionize
@@ -3474,6 +3484,13 @@ object SparkEntry {
         |ORDER BY cnt DESC, k""".stripMargin,
     "q_pagerank" -> duckPageRankSql(6),
     "q_kcore" -> duckKCoreSql(2, 10),
+    "q_decimal_agg" ->
+      """SELECT l_returnflag,
+        |       CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS s,
+        |       CAST(avg(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(18,4)) AS a,
+        |       CAST(min(CAST(l_extendedprice AS DECIMAL(14,2))) AS DECIMAL(18,2)) AS mn,
+        |       CAST(max(CAST(l_extendedprice AS DECIMAL(14,2))) AS DECIMAL(18,2)) AS mx
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     // strict `<` on the boundary: Spark merges sessions iff the next event
     // starts BEFORE the previous session's end (last + gap)
     "q_session_window" ->

@@ -516,6 +516,39 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("anomalyStream window buffer survives a stop/restart from checkpoint") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_anom_ckpt").toString
+    val rnd = new scala.util.Random(23)
+    val rows = (0L until 200L).map(i => Streaming.MetricRow("m", i,
+      if (i == 150L) 99999L else 700L + rnd.nextInt(30)))
+    val seen = scala.collection.mutable.Map[Long, (Int, Int)]()
+    val mem = MemoryStream[Streaming.MetricRow]
+    def start() = Streaming.anomalyStream(mem.toDS(), window = 20, tSigma = 3)
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Update())
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[Streaming.AnomalyOut], _: Long) =>
+        df.collect().foreach(r => seen.synchronized { seen(r.seq) = (r.roll_n, r.flag) })
+      }
+      .start()
+    // stop mid-frame (at seq 140, inside the spike's eventual window)…
+    val (b0, b1) = rows.partition(_.seq < 140L)
+    val q1 = start()
+    try { mem.addData(b0: _*); q1.processAllAvailable() } finally q1.stop()
+    // …the buffer lives in the state store; a NEW query must resume it so
+    // the spike at 150 is judged against pre-restart values too
+    val q2 = start()
+    try { mem.addData(b1: _*); q2.processAllAvailable() } finally q2.stop()
+    val batch = graft.ops.TimeSeries.anomalyFlags(
+        rows.toDF("key", "seq", "v"), "key", Seq("seq"), "v", 20, 3)
+      .select("seq", "roll_n", "flag").collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2)))).toMap
+    assert(batch(150L)._2 == 1, "spike must flag in batch")
+    assert(seen.toMap == batch)
+  }
+
   test("hllStream state survives a stop/restart from checkpoint") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
