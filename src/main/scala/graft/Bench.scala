@@ -533,7 +533,7 @@ object Bench {
       // is asserted exchange-free. At 100 TB this is the difference between
       // joining in place and moving both tables over the network.
       "x_bucketed_join" -> { s: SparkSession =>
-        if (!s.catalog.tableExists("graft_bl")) {
+        if (!s.catalog.tableExists("graft_bl") || !s.catalog.tableExists("graft_br")) {
           s.range(10000000L).selectExpr("id % 1000000 AS k", "id AS va")
             .write.bucketBy(32, "k").sortBy("k").mode("overwrite")
             .saveAsTable("graft_bl")

@@ -1507,10 +1507,14 @@ object SparkEntry {
     // decimal aggregate widening: sum/avg over DECIMAL(12,2) per group,
     // both engines casting to the same output scale so trailing digits
     // (and the hash) agree exactly
+    // the mean rides as an exact scaled-integer quotient — engine-native
+    // avg(DECIMAL) is NOT cross-engine exact (DuckDB computes it in DOUBLE,
+    // Spark in exact decimal with HALF_UP)
     "q_decimal_agg" -> q(
       """SELECT l_returnflag,
         |       CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS s,
-        |       CAST(avg(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(18,4)) AS a,
+        |       CAST(sum(CAST(ROUND(l_quantity * 100) AS BIGINT)) * 100 AS BIGINT)
+        |         div count(*) AS a_x10000,
         |       CAST(min(CAST(l_extendedprice AS DECIMAL(14,2))) AS DECIMAL(18,2)) AS mn,
         |       CAST(max(CAST(l_extendedprice AS DECIMAL(14,2))) AS DECIMAL(18,2)) AS mx
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) _,
@@ -1785,10 +1789,14 @@ object SparkEntry {
       val durs = f.where(col("reached") === 3)
         .select(lit("all").as("g"), (col("t3") - col("t1")).as("d"))
       val p = graft.ops.Profile.groupPercentilesDisc(durs, "g", "d", Seq(50, 90))
+      // left-join from a literal row: with ZERO completed funnels the
+      // percentile rows must still exist (NULL-valued) — the oracle's
+      // ungrouped aggregate always emits one row
+      val pOne = s.range(1).select(lit("all").as("g")).join(p, Seq("g"), "left")
       counts.selectExpr(
           "stack(3, 'reached_view', r1, 'reached_click', r2, 'reached_purchase', r3)" +
             " AS (stat, value)")
-        .union(p.selectExpr(
+        .union(pOne.selectExpr(
           "stack(2, 'p50_conv_ns', p50, 'p90_conv_ns', p90) AS (stat, value)"))
         .orderBy("stat")
     } _,
@@ -1859,8 +1867,11 @@ object SparkEntry {
     // ---- relational: pivot / unpivot ---------------------------------------
     // PIVOT with two aggregates per cell (explicit value list: no extra
     // values-collect job, deterministic column order)
+    // count cells coalesce to 0: Spark's PIVOT rewrite yields NULL for an
+    // empty cell where a FILTERed count yields 0 — the testdata happens to
+    // populate every cell, but TPC-H-faithful data would not
     "q_pivot" -> q(
-      """SELECT rf, F_sq, F_n, O_sq, O_n FROM (
+      """SELECT rf, F_sq, coalesce(F_n, 0) AS F_n, O_sq, coalesce(O_n, 0) AS O_n FROM (
         |  SELECT l_returnflag AS rf, l_linestatus AS ls, CAST(l_quantity AS INT) AS q
         |  FROM lineitem)
         |PIVOT (CAST(sum(q) AS BIGINT) AS sq, count(*) AS n FOR ls IN ('F' AS F, 'O' AS O))
@@ -3487,7 +3498,8 @@ object SparkEntry {
     "q_decimal_agg" ->
       """SELECT l_returnflag,
         |       CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS s,
-        |       CAST(avg(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(18,4)) AS a,
+        |       CAST(sum(CAST(ROUND(l_quantity * 100) AS BIGINT)) * 100 AS BIGINT)
+        |         // count(*) AS a_x10000,
         |       CAST(min(CAST(l_extendedprice AS DECIMAL(14,2))) AS DECIMAL(18,2)) AS mn,
         |       CAST(max(CAST(l_extendedprice AS DECIMAL(14,2))) AS DECIMAL(18,2)) AS mx
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,

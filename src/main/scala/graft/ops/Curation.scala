@@ -224,6 +224,9 @@ object Curation {
   def weightedSample(df: DataFrame, idCol: String, strataCol: String,
       weight: Column, k: Int, salt: String, maxWeight: Int = 1024): DataFrame = {
     require(k >= 1 && maxWeight >= 1, "k and maxWeight must be positive")
+    // ids ride the ticket hash as strings — a float id would render "1.0"
+    // and silently draw different tickets than an integer-keyed replay
+    Dedup.requireIntegralIds(df, Seq(idCol), "weightedSample")
     val prio = df
       .withColumn("__w", least(greatest(coalesce(weight.cast("int"), lit(0)), lit(0)),
         lit(maxWeight)))

@@ -77,20 +77,30 @@ object Index {
     * scale raise `minSup` (which shrinks f_d) rather than capping docs.
     * The pair aggregation is map-side combined (≤ |frequent|² keys), and
     * top-k is a TakeOrdered, never a full sort. */
+  /** The shared Apriori core: frequent single terms (`(term, sup)`, pruned
+    * at `minSup`) and frequent unordered pairs (`(a, b, sup_pair)`, a < b,
+    * pruned at `minSup`). Both relations are localCheckpointed — every
+    * consumer reads them more than once, and an unmaterialized subtree
+    * would re-execute the corpus scan per consumer. */
+  private def frequentPairs(docs: DataFrame, textCol: String, idCol: String,
+                            minSup: Long): (DataFrame, DataFrame) = {
+    val toks = docTerms(docs, textCol, idCol)
+    val items = toks.groupBy("term").agg(count(lit(1)).as("sup"))
+      .where(col("sup") >= minSup).localCheckpoint()
+    val ft = toks.join(items.select("term"), "term").localCheckpoint()
+    val x = ft.select(col("doc_id"), col("term").as("a"))
+    val y = ft.select(col("doc_id").as("doc_id2"), col("term").as("b"))
+    val pairs = x.join(y, col("doc_id") === col("doc_id2") && col("a") < col("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("sup_pair"))
+      .where(col("sup_pair") >= minSup).localCheckpoint()
+    (items, pairs)
+  }
+
   def coOccurrence(docs: DataFrame, textCol: String, idCol: String,
                    minSup: Long, topK: Int): DataFrame = {
     require(minSup >= 1 && topK >= 1, "minSup and topK must be positive")
-    val toks = docTerms(docs, textCol, idCol)
-    val frequent = toks.groupBy("term").agg(count(lit(1)).as("df"))
-      .where(col("df") >= minSup).select("term")
-    // both self-join sides read ft — materialize once or the whole
-    // scan+count+join subtree executes twice (two extra corpus scans)
-    val ft = toks.join(frequent, "term").localCheckpoint()
-    val x = ft.select(col("doc_id"), col("term").as("a"))
-    val y = ft.select(col("doc_id").as("doc_id2"), col("term").as("b"))
-    x.join(y, col("doc_id") === col("doc_id2") && col("a") < col("b"))
-      .groupBy("a", "b").agg(count(lit(1)).as("cnt"))
-      .where(col("cnt") >= minSup)
+    val (_, pairs) = frequentPairs(docs, textCol, idCol, minSup)
+    pairs.select(col("a"), col("b"), col("sup_pair").as("cnt"))
       .orderBy(col("cnt").desc, col("a"), col("b"))
       .limit(topK)
   }
@@ -106,18 +116,7 @@ object Index {
                  minSup: Long, minConfPct: Int): DataFrame = {
     require(minSup >= 1 && minConfPct >= 1 && minConfPct <= 100,
       "minSup >= 1, minConfPct in 1..100")
-    val toks = docTerms(docs, textCol, idCol)
-    // items is read three times (prune + two confidence joins), ft twice,
-    // pairs twice (the direction union) — truncate each or the corpus
-    // subtree re-executes per consumer
-    val items = toks.groupBy("term").agg(count(lit(1)).as("sup"))
-      .where(col("sup") >= minSup).localCheckpoint()
-    val ft = toks.join(items.select("term"), "term").localCheckpoint()
-    val x = ft.select(col("doc_id"), col("term").as("a"))
-    val y = ft.select(col("doc_id").as("doc_id2"), col("term").as("b"))
-    val pairs = x.join(y, col("doc_id") === col("doc_id2") && col("a") < col("b"))
-      .groupBy("a", "b").agg(count(lit(1)).as("sup_pair"))
-      .where(col("sup_pair") >= minSup).localCheckpoint()
+    val (items, pairs) = frequentPairs(docs, textCol, idCol, minSup)
     val rules = pairs.select(col("a").as("ante"), col("b").as("cons"), col("sup_pair"))
       .union(pairs.select(col("b").as("ante"), col("a").as("cons"), col("sup_pair")))
     rules

@@ -38,6 +38,10 @@ object Layout {
     * `zOrderSql(Seq("x","y"), 16)` ≡ `zOrderValue(Seq(col("x"),col("y")), 16)`. */
   def zOrderSql(cols: Seq[String], bits: Int): String = {
     val m = cols.size
+    // same guards as zOrderValue: a shift ≥ 64 wraps mod 64 in Spark but
+    // not in other engines — the "equivalent twin" would silently diverge
+    require(m >= 2 && m <= 6, "interleave 2..6 columns")
+    require(bits >= 1 && m * bits <= 63, s"need m*bits <= 63, got $m*$bits")
     val terms = for {
       i <- 0 until bits
       (c, j) <- cols.zipWithIndex

@@ -107,7 +107,15 @@ object Profile {
       .withColumn("r2x", lit(2L) * rank().over(wx) - 1L + count(lit(1)).over(wxTies))
       .withColumn("r2y", lit(2L) * rank().over(wy) - 1L + count(lit(1)).over(wyTies))
     val d = col("r2x") - col("r2y")
+    // fail loudly past the documented 64-bit bound (sum_d2 ≤ 4n³ wraps
+    // silently under Spark's non-ANSI sum); the guard replaces the output
+    // column itself so pruning can never elide it
     ranked.groupBy("key")
-      .agg(count(lit(1)).as("n"), sum(d * d).as("sum_d2"))
+      .agg(count(lit(1)).as("n"), sum(d * d).as("__sum_d2"))
+      .select(col("key"), col("n"),
+        when(col("n") > 1290000L,
+          raise_error(concat(lit("rankCorrStats: group "), col("key").cast("string"),
+            lit(" exceeds the 64-bit-exact size bound (n > 1.29e6)"))).cast("long"))
+          .otherwise(col("__sum_d2")).as("sum_d2"))
   }
 }

@@ -81,11 +81,17 @@ object TimeSeries {
     // last value per active (key, day): one partial-aggregated shuffle
     val perDay = base.groupBy("key", "day")
       .agg(max_by(col("v"), struct(col("ts"), col("tid"))).as("v"))
-    // per-key day grid; span guard keeps a single task's array bounded
+    // per-key day grid; the span guard FAILS LOUDLY (a key with a corrupt
+    // far-future timestamp would otherwise either blow up one task's array
+    // or — worse — silently vanish from the output). The guard rides the
+    // sequence bound itself so column pruning can never elide it.
+    val guardedD1 = when(col("d1") - col("d0") >= maxSpanDays,
+        raise_error(concat(lit("resampleFill: key "), col("key").cast("string"),
+          lit(s" spans >= $maxSpanDays days — corrupt timestamps?"))).cast("long"))
+      .otherwise(col("d1"))
     val grid = base.groupBy("key")
       .agg(min("day").as("d0"), max("day").as("d1"))
-      .where(col("d1") - col("d0") < maxSpanDays)
-      .select(col("key"), explode(sequence(col("d0"), col("d1"))).as("day"))
+      .select(col("key"), explode(sequence(col("d0"), guardedD1)).as("day"))
     val wFill = Window.partitionBy("key").orderBy("day")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     grid.join(perDay, Seq("key", "day"), "left")

@@ -90,6 +90,23 @@ class FuzzySpec extends AnyFunSuite {
       (1L, 3L) -> 42L, (2L, 7L) -> 7L))
   }
 
+  test("resampleFill fails loudly on a pathological span instead of dropping the key") {
+    import org.apache.spark.sql.types._
+    val ns = 86400L * 1000000000L
+    val schema = StructType(Seq(
+      StructField("u", LongType, nullable = false),
+      StructField("ts", LongType, nullable = false),
+      StructField("v", LongType, nullable = false),
+      StructField("eid", LongType, nullable = false)))
+    val rows = Seq(Row(1L, 0L, 1L, 1L), Row(1L, 2000L * ns, 2L, 2L))
+    val df = spark.createDataFrame(rows.asJava, schema)
+    val ex = intercept[Exception] {
+      TimeSeries.resampleFill(df, "u", "ts", "v", "eid", maxSpanDays = 1000)
+        .collect()
+    }
+    assert(ex.getMessage.contains("spans >="))
+  }
+
   test("ewmaScaled: weights halve per step back, truncated at depth") {
     import org.apache.spark.sql.types._
     val schema = StructType(Seq(
