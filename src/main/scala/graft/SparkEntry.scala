@@ -1844,6 +1844,37 @@ object SparkEntry {
         .select(col("c_custkey"), col("c_nationkey"), col("cents"), col("v_w"))
         .orderBy("c_custkey")
     } _,
+    // robust median/MAD outlier flags (k=1: beyond one MAD from the
+    // median — the detector the outliers themselves can't drag)
+    "q_robust_z" -> dfq { s =>
+      val cust = s.table("customer")
+        .withColumn("cents", expr("CAST(ROUND(c_acctbal * 100) AS BIGINT)"))
+      graft.ops.Profile.robustOutliers(cust, "c_nationkey", "cents", k = 1)
+        .select(col("c_custkey"), col("c_nationkey"), col("cents"),
+                col("med"), col("mad"), col("flag"))
+        .orderBy("c_custkey")
+    } _,
+    // group-wise min-max scaling to exact integer ten-thousandths
+    "q_minmax_scale" -> dfq { s =>
+      val li = s.table("lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_returnflag").as("rf"),
+          expr("CAST(ROUND(l_extendedprice * 100) AS BIGINT)").as("cents"))
+      graft.ops.Profile.minMaxScale(li, "rf", "cents", scale = 10000)
+        .select(col("l_orderkey"), col("l_linenumber"), col("cents"), col("v_s"))
+        .orderBy("l_orderkey", "l_linenumber")
+    } _,
+    // pairwise correlation sufficient statistics over 4 measures in ONE
+    // scan (Pearson r / covariance are one division away; the integer
+    // pieces are what hash-gates)
+    "q_corr_stats" -> dfq { s =>
+      val li = s.table("lineitem").select(
+        expr("CAST(l_quantity AS BIGINT)").as("qty"),
+        expr("CAST(ROUND(l_extendedprice) AS BIGINT)").as("price_u"),
+        expr("CAST(ROUND(l_discount * 100) AS BIGINT)").as("disc_c"),
+        expr("CAST(ROUND(l_tax * 100) AS BIGINT)").as("tax_c"))
+      graft.ops.Profile.corrStats(li, Seq("qty", "price_u", "disc_c", "tax_c"))
+    } _,
     // exact discrete percentiles per group (integer position arithmetic)
     "q_percentiles" -> dfq { s =>
       val cust = s.table("customer")
@@ -3942,6 +3973,65 @@ object SparkEntry {
         |SELECT c.c_custkey, c.c_nationkey, c.cents,
         |       least(greatest(c.cents, b.lo), b.hi) AS v_w
         |FROM c JOIN b USING (c_nationkey) ORDER BY c_custkey""".stripMargin,
+    "q_robust_z" ->
+      """WITH c AS (SELECT c_custkey, c_nationkey,
+        |             CAST(ROUND(c_acctbal * 100) AS BIGINT) AS cents FROM customer),
+        |w1 AS (SELECT *, row_number() OVER (PARTITION BY c_nationkey ORDER BY cents) AS rn,
+        |         count(*) OVER (PARTITION BY c_nationkey) AS n FROM c),
+        |m1 AS (SELECT c_nationkey,
+        |         max(CASE WHEN rn = (50 * n + 99) // 100 THEN cents END) AS med
+        |       FROM w1 GROUP BY c_nationkey),
+        |d AS (SELECT c.*, m1.med, abs(c.cents - m1.med) AS ad
+        |      FROM c JOIN m1 USING (c_nationkey)),
+        |w2 AS (SELECT *, row_number() OVER (PARTITION BY c_nationkey ORDER BY ad) AS rn,
+        |         count(*) OVER (PARTITION BY c_nationkey) AS n FROM d),
+        |m2 AS (SELECT c_nationkey,
+        |         max(CASE WHEN rn = (50 * n + 99) // 100 THEN ad END) AS mad
+        |       FROM w2 GROUP BY c_nationkey)
+        |SELECT d.c_custkey, d.c_nationkey, d.cents, d.med, m2.mad,
+        |       CAST(CASE WHEN d.ad > 1 * m2.mad THEN 1 ELSE 0 END AS INT) AS flag
+        |FROM d JOIN m2 USING (c_nationkey) ORDER BY d.c_custkey""".stripMargin,
+    "q_minmax_scale" ->
+      """WITH l AS (SELECT l_orderkey, l_linenumber, l_returnflag AS rf,
+        |             CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS cents
+        |           FROM lineitem),
+        |b AS (SELECT *, min(cents) OVER (PARTITION BY rf) AS mn,
+        |        max(cents) OVER (PARTITION BY rf) AS mx FROM l)
+        |SELECT l_orderkey, l_linenumber, cents,
+        |       CAST(CASE WHEN mx = mn THEN 0
+        |                 ELSE ((cents - mn) * 10000) // (mx - mn) END AS BIGINT) AS v_s
+        |FROM b ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q_corr_stats" ->
+      """WITH b AS (SELECT CAST(l_quantity AS BIGINT) AS qty,
+        |             CAST(ROUND(l_extendedprice) AS BIGINT) AS price_u,
+        |             CAST(ROUND(l_discount * 100) AS BIGINT) AS disc_c,
+        |             CAST(ROUND(l_tax * 100) AS BIGINT) AS tax_c
+        |           FROM lineitem)
+        |SELECT 'qty' AS col_x, 'price_u' AS col_y, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(qty) AS BIGINT) AS sx, CAST(sum(price_u) AS BIGINT) AS sy,
+        |       CAST(sum(qty * price_u) AS BIGINT) AS sxy,
+        |       CAST(sum(qty * qty) AS BIGINT) AS sx2,
+        |       CAST(sum(price_u * price_u) AS BIGINT) AS sy2 FROM b
+        |UNION ALL
+        |SELECT 'qty', 'disc_c', CAST(count(*) AS BIGINT), CAST(sum(qty) AS BIGINT),
+        |       CAST(sum(disc_c) AS BIGINT), CAST(sum(qty * disc_c) AS BIGINT),
+        |       CAST(sum(qty * qty) AS BIGINT), CAST(sum(disc_c * disc_c) AS BIGINT) FROM b
+        |UNION ALL
+        |SELECT 'qty', 'tax_c', CAST(count(*) AS BIGINT), CAST(sum(qty) AS BIGINT),
+        |       CAST(sum(tax_c) AS BIGINT), CAST(sum(qty * tax_c) AS BIGINT),
+        |       CAST(sum(qty * qty) AS BIGINT), CAST(sum(tax_c * tax_c) AS BIGINT) FROM b
+        |UNION ALL
+        |SELECT 'price_u', 'disc_c', CAST(count(*) AS BIGINT), CAST(sum(price_u) AS BIGINT),
+        |       CAST(sum(disc_c) AS BIGINT), CAST(sum(price_u * disc_c) AS BIGINT),
+        |       CAST(sum(price_u * price_u) AS BIGINT), CAST(sum(disc_c * disc_c) AS BIGINT) FROM b
+        |UNION ALL
+        |SELECT 'price_u', 'tax_c', CAST(count(*) AS BIGINT), CAST(sum(price_u) AS BIGINT),
+        |       CAST(sum(tax_c) AS BIGINT), CAST(sum(price_u * tax_c) AS BIGINT),
+        |       CAST(sum(price_u * price_u) AS BIGINT), CAST(sum(tax_c * tax_c) AS BIGINT) FROM b
+        |UNION ALL
+        |SELECT 'disc_c', 'tax_c', CAST(count(*) AS BIGINT), CAST(sum(disc_c) AS BIGINT),
+        |       CAST(sum(tax_c) AS BIGINT), CAST(sum(disc_c * tax_c) AS BIGINT),
+        |       CAST(sum(disc_c * disc_c) AS BIGINT), CAST(sum(tax_c * tax_c) AS BIGINT) FROM b""".stripMargin,
     "q_percentiles" ->
       """WITH c AS (SELECT c_nationkey,
         |             CAST(ROUND(c_acctbal * 100) AS BIGINT) AS v FROM customer),

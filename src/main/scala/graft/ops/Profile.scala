@@ -81,6 +81,81 @@ object Profile {
       .drop("__lo", "__hi")
   }
 
+  /** Robust (median/MAD) outlier flags per group, exact integers: a row is
+    * flagged when `|x − median| > k·MAD` with MAD the median absolute
+    * deviation — the outlier detector that, unlike mean/σ z-scores, is not
+    * itself dragged by the outliers. Both medians are the discrete p50
+    * ([[groupPercentilesDisc]]); the comparison is pure integers so the
+    * oracle replays it exactly. Groups where MAD = 0 (over half the values
+    * identical) flag every x ≠ median — the standard convention.
+    *
+    * Scale: two windowed passes (p50 of x, then p50 of |x − med|) + two
+    * broadcast-sized per-key joins; everything else map-only. */
+  def robustOutliers(df: DataFrame, keyCol: String, valCol: String,
+                     k: Int = 3): DataFrame = {
+    require(k >= 1, "k >= 1")
+    val med = groupPercentilesDisc(df, keyCol, valCol, Seq(50))
+      .select(col(keyCol), col("p50").as("__med"))
+    val withMed = df.join(broadcast(med), keyCol)
+      .withColumn("__absdev", abs(col(valCol).cast("long") - col("__med")))
+    val mad = groupPercentilesDisc(withMed, keyCol, "__absdev", Seq(50))
+      .select(col(keyCol), col("p50").as("__mad"))
+    withMed.join(broadcast(mad), keyCol)
+      .withColumn("flag",
+        (col("__absdev") > lit(k.toLong) * col("__mad")).cast("int"))
+      .withColumn("med", col("__med")).withColumn("mad", col("__mad"))
+      .drop("__med", "__mad", "__absdev")
+  }
+
+  /** Group-wise min-max scaling to an exact integer in [0, scale]:
+    * `(x − min)·scale div (max − min)` (a constant group maps to 0 — the
+    * degenerate-range convention). Map-only after one broadcast-sized
+    * bounds aggregate; adds `v_s`. */
+  def minMaxScale(df: DataFrame, keyCol: String, valCol: String,
+                  scale: Int = 10000): DataFrame = {
+    require(scale >= 1, "scale >= 1")
+    val v = col(valCol).cast("long")
+    val bounds = df.groupBy(keyCol)
+      .agg(min(v).as("__mn"), max(v).as("__mx"))
+    df.join(broadcast(bounds), keyCol)
+      .withColumn("v_s",
+        when(col("__mx") === col("__mn"), lit(0L))
+          .otherwise(expr(s"((CAST(`$valCol` AS BIGINT) - __mn) * $scale)" +
+            " div (__mx - __mn)")))
+      .drop("__mn", "__mx")
+  }
+
+  /** Pairwise correlation SUFFICIENT STATISTICS over `cols` in ONE scan:
+    * for every unordered column pair, exact integer (n, Σx, Σy, Σxy, Σx²,
+    * Σy²) — Pearson r, covariance, and OLS slopes are one division away in
+    * whatever precision the caller wants, and the integer pieces are what
+    * lets the oracle hash-gate the computation. Rows with a NULL in either
+    * column of a pair are excluded from that pair (pairwise deletion).
+    * 64-bit-safe for cent-scaled values up to ~10⁶ over ~10⁶ rows per
+    * pair. Output: (col_x, col_y, n, sx, sy, sxy, sx2, sy2). */
+  def corrStats(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.size >= 2 && cols.size <= 12, "2..12 columns (k² sums)")
+    val pairs = for (i <- cols.indices; j <- i + 1 until cols.size)
+      yield (cols(i), cols(j))
+    val aggs = pairs.zipWithIndex.flatMap { case ((a, b), i) =>
+      val x = col(a).cast("long"); val y = col(b).cast("long")
+      val both = x.isNotNull && y.isNotNull
+      Seq(
+        count(when(both, 1)).as(s"n_$i"),
+        sum(when(both, x)).as(s"sx_$i"),
+        sum(when(both, y)).as(s"sy_$i"),
+        sum(when(both, x * y)).as(s"sxy_$i"),
+        sum(when(both, x * x)).as(s"sx2_$i"),
+        sum(when(both, y * y)).as(s"sy2_$i"))
+    }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val stackArgs = pairs.zipWithIndex.map { case ((a, b), i) =>
+      s"'$a', '$b', n_$i, sx_$i, sy_$i, sxy_$i, sx2_$i, sy2_$i"
+    }.mkString(", ")
+    one.selectExpr(s"stack(${pairs.size}, $stackArgs)" +
+      " AS (col_x, col_y, n, sx, sy, sxy, sx2, sy2)")
+  }
+
   /** Spearman rank-correlation STATISTICS per group, exact integers:
     * `(key, n, sum_d2)` where `sum_d2 = Σ (R2x − R2y)²` over DOUBLED
     * tie-averaged ranks `R2 = 2·rank − 1 + #ties` (doubling keeps the
