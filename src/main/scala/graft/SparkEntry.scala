@@ -1844,6 +1844,20 @@ object SparkEntry {
         .select(col("c_custkey"), col("c_nationkey"), col("cents"), col("v_w"))
         .orderBy("c_custkey")
     } _,
+    // per-group OLS slope as exact integer numerator/denominator
+    "q_ols" -> dfq { s =>
+      val li = s.table("lineitem").select(
+        col("l_returnflag").as("rf"),
+        expr("CAST(l_quantity AS BIGINT)").as("qty"),
+        expr("CAST(ROUND(l_extendedprice) AS BIGINT)").as("price_u"))
+      graft.ops.Profile.olsStats(li, "rf", "qty", "price_u").orderBy("rf")
+    } _,
+    // deterministic mode per group (ties → smallest value)
+    "q_mode" -> dfq { s =>
+      val li = s.table("lineitem").select(
+        col("l_returnflag").as("rf"), expr("CAST(l_quantity AS BIGINT)").as("qty"))
+      graft.ops.Profile.mode(li, "rf", "qty").orderBy("rf")
+    } _,
     // robust median/MAD outlier flags (k=1: beyond one MAD from the
     // median — the detector the outliers themselves can't drag)
     "q_robust_z" -> dfq { s =>
@@ -3973,6 +3987,21 @@ object SparkEntry {
         |SELECT c.c_custkey, c.c_nationkey, c.cents,
         |       least(greatest(c.cents, b.lo), b.hi) AS v_w
         |FROM c JOIN b USING (c_nationkey) ORDER BY c_custkey""".stripMargin,
+    "q_ols" ->
+      """WITH b AS (SELECT l_returnflag AS rf, CAST(l_quantity AS BIGINT) AS x,
+        |             CAST(ROUND(l_extendedprice) AS BIGINT) AS y FROM lineitem)
+        |SELECT rf, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(count(*) * sum(x * y) - sum(x) * sum(y) AS BIGINT) AS slope_num,
+        |       CAST(count(*) * sum(x * x) - sum(x) * sum(x) AS BIGINT) AS slope_den
+        |FROM b GROUP BY rf ORDER BY rf""".stripMargin,
+    "q_mode" ->
+      """WITH c AS (SELECT l_returnflag AS rf, CAST(l_quantity AS BIGINT) AS v,
+        |             count(*) AS n
+        |           FROM lineitem GROUP BY 1, 2),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY rf
+        |                                   ORDER BY n DESC, v ASC) AS rn FROM c)
+        |SELECT rf, v AS mode, CAST(n AS BIGINT) AS mode_n
+        |FROM r WHERE rn = 1 ORDER BY rf""".stripMargin,
     "q_robust_z" ->
       """WITH c AS (SELECT c_custkey, c_nationkey,
         |             CAST(ROUND(c_acctbal * 100) AS BIGINT) AS cents FROM customer),

@@ -125,6 +125,40 @@ object Profile {
       .drop("__mn", "__mx")
   }
 
+  /** Per-group OLS slope PIECES, exact integers: the regression slope of
+    * y on x is `(n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²)` — this emits the exact
+    * integer numerator and denominator per group (`slope_num`,
+    * `slope_den`, plus n) so the caller divides in whatever precision
+    * they want and the oracle hash-gates the whole computation. One
+    * partial-aggregated shuffle. 64-bit-safe for cent-scaled values up to
+    * ~10⁴ over ~10⁵ rows per group (n·Σxy ≤ n²·max(x·y)). */
+  def olsStats(df: DataFrame, keyCol: String, xCol: String,
+               yCol: String): DataFrame = {
+    val x = col(xCol).cast("long"); val y = col(yCol).cast("long")
+    val both = x.isNotNull && y.isNotNull
+    df.groupBy(keyCol).agg(
+        count(when(both, 1)).as("n"),
+        sum(when(both, x)).as("__sx"),
+        sum(when(both, y)).as("__sy"),
+        sum(when(both, x * y)).as("__sxy"),
+        sum(when(both, x * x)).as("__sx2"))
+      .select(col(keyCol), col("n"),
+        (col("n") * col("__sxy") - col("__sx") * col("__sy")).as("slope_num"),
+        (col("n") * col("__sx2") - col("__sx") * col("__sx")).as("slope_den"))
+  }
+
+  /** Deterministic MODE per group: the most frequent value, ties broken by
+    * the smallest value — two partial-aggregated shuffles (value counts,
+    * then a max_by per group), never a sort of the group. Output:
+    * (keyCol, mode, mode_n). */
+  def mode(df: DataFrame, keyCol: String, valCol: String): DataFrame =
+    df.where(col(valCol).isNotNull)
+      .groupBy(col(keyCol), col(valCol).cast("long").as("__v"))
+      .agg(count(lit(1)).as("__c"))
+      .groupBy(keyCol)
+      .agg(max_by(col("__v"), struct(col("__c"), -col("__v"))).as("mode"),
+           max(col("__c")).as("mode_n"))
+
   /** Pairwise correlation SUFFICIENT STATISTICS over `cols` in ONE scan:
     * for every unordered column pair, exact integer (n, Σx, Σy, Σxy, Σx²,
     * Σy²) — Pearson r, covariance, and OLS slopes are one division away in

@@ -531,6 +531,53 @@ object Streaming {
       }
   }
 
+  case class CusumOut(key: String, seq: Long, cusum: Long, changed: Int)
+  case class CusumState(baseBuf: Seq[(Long, Long)], n0: Long, s0: Long,
+                        cusum: Long)
+
+  /** Streaming CUSUM change-point detection with BATCH-IDENTICAL semantics
+    * ([[graft.ops.TimeSeries.cusum]]): the baseline is the rational
+    * (s0, n0) over each key's first `baselineN` rows, and every row — the
+    * baseline rows included — accumulates `n0·x − s0`. Rows buffer
+    * (unemitted) until the baseline fills, because every cusum depends on
+    * the complete baseline; from then on per-key state is THREE longs.
+    * A key that never reaches `baselineN` rows emits nothing — ending a
+    * stream early is a watermark policy, not this operator's call. */
+  def cusumStream(input: Dataset[MetricRow], baselineN: Int,
+                  thresh: Long): Dataset[CusumOut] = {
+    require(baselineN >= 1, "baselineN >= 1")
+    implicit val stateEnc: Encoder[CusumState] = Encoders.product[CusumState]
+    implicit val outEnc: Encoder[CusumOut] = Encoders.product[CusumOut]
+    implicit val keyEnc: Encoder[String] = Encoders.STRING
+    input.groupByKey(_.key)
+      .flatMapGroupsWithState[CusumState, CusumOut](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (key: String, rows: Iterator[MetricRow], state: GroupState[CusumState]) =>
+          var st = state.getOption.getOrElse(CusumState(Vector.empty, 0L, 0L, 0L))
+          val out = scala.collection.mutable.ArrayBuffer.empty[CusumOut]
+          def emit(seq: Long, v: Long): Unit = {
+            val c = st.cusum + st.n0 * v - st.s0
+            st = st.copy(cusum = c)
+            out += CusumOut(key, seq, c,
+              if (math.abs(c) > thresh * st.n0) 1 else 0)
+          }
+          rows.toSeq.sortBy(_.seq).foreach { r =>
+            if (st.n0 > 0) emit(r.seq, r.v)
+            else {
+              val buf = st.baseBuf :+ (r.seq -> r.v)
+              if (buf.size < baselineN) st = st.copy(baseBuf = buf)
+              else {
+                st = CusumState(Vector.empty, baselineN.toLong,
+                  buf.take(baselineN).map(_._2).sum, 0L)
+                buf.foreach { case (s, v) => emit(s, v) }
+              }
+            }
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+
   def hllStream(input: Dataset[KV], p: Int = 9): Dataset[CardEstimate] = {
     implicit val stateEnc: Encoder[Array[Byte]] = Encoders.BINARY
     implicit val outEnc: Encoder[CardEstimate] = Encoders.product[CardEstimate]

@@ -549,6 +549,39 @@ class StreamingSpec extends AnyFunSuite {
     assert(seen.toMap == batch)
   }
 
+  test("batch ≡ stream: cusumStream equals TimeSeries.cusum incl. a mid-baseline split") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rnd = new scala.util.Random(31)
+    // a mean shift at seq 120 on series "a"; series "b" stays flat
+    val rows = for (k <- Seq("a", "b"); i <- 0L until 200L) yield
+      Streaming.MetricRow(k, i,
+        if (k == "a" && i >= 120L) 900L + rnd.nextInt(10)
+        else 500L + rnd.nextInt(10))
+    val batch = graft.ops.TimeSeries.cusum(
+        rows.toDF("key", "seq", "v"), "key", Seq("seq"), "v",
+        baselineN = 50, thresh = 2000L)
+      .select("key", "seq", "cusum", "changed").collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> ((r.getLong(2), r.getInt(3)))).toMap
+    assert(batch.values.count(_._2 == 1) > 0, "shift must flag in batch")
+    val mem = MemoryStream[Streaming.MetricRow]
+    val q = Streaming.cusumStream(mem.toDS(), baselineN = 50, thresh = 2000L)
+      .writeStream.format("memory").queryName("cusum_stream")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      // first batch ends INSIDE the baseline window (seq < 30 of 50):
+      // nothing may emit yet; the buffered rows must emit correctly later
+      val (b0, rest) = rows.partition(_.seq < 30L)
+      mem.addData(b0: _*); q.processAllAvailable()
+      assert(spark.sql("SELECT count(*) FROM cusum_stream").head().getLong(0) == 0L,
+        "no emission before the baseline completes")
+      mem.addData(rest: _*); q.processAllAvailable()
+      val got = spark.sql("SELECT * FROM cusum_stream").collect()
+        .map(r => (r.getString(0), r.getLong(1)) -> ((r.getLong(2), r.getInt(3)))).toMap
+      assert(got == batch)
+    } finally q.stop()
+  }
+
   test("hllStream state survives a stop/restart from checkpoint") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
