@@ -1844,6 +1844,26 @@ object SparkEntry {
         .select(col("c_custkey"), col("c_nationkey"), col("cents"), col("v_w"))
         .orderBy("c_custkey")
     } _,
+    // time-weighted average pieces (step interpolation, second-resolution
+    // to keep value·Δt in 64 bits)
+    "q_twa" -> dfq { s =>
+      val ev = s.table("events").select(
+        col("event_type"), col("event_id"),
+        expr("ts div 1000000000").as("t_s"),
+        expr("CAST(ROUND(value * 100) AS BIGINT)").as("cents"))
+      graft.ops.TimeSeries.timeWeighted(ev, "event_type", "t_s", "event_id", "cents")
+        .orderBy("event_type")
+    } _,
+    // interval-union coverage: each event opens a 2h window; overlapping
+    // windows merge (the utilization sweep)
+    "q_interval_union" -> dfq { s =>
+      val iv = s.table("events").select(
+        col("user_id"),
+        expr("ts div 1000000000").as("s0"),
+        expr("ts div 1000000000 + 7200").as("e0"))
+      graft.ops.TimeSeries.intervalCoverage(iv, "user_id", "s0", "e0")
+        .orderBy("user_id")
+    } _,
     // per-group OLS slope as exact integer numerator/denominator
     "q_ols" -> dfq { s =>
       val li = s.table("lineitem").select(
@@ -3987,6 +4007,28 @@ object SparkEntry {
         |SELECT c.c_custkey, c.c_nationkey, c.cents,
         |       least(greatest(c.cents, b.lo), b.hi) AS v_w
         |FROM c JOIN b USING (c_nationkey) ORDER BY c_custkey""".stripMargin,
+    "q_twa" ->
+      """WITH e AS (SELECT event_type, event_id, epoch_ns(ts) // 1000000000 AS t,
+        |             CAST(ROUND(value * 100) AS BIGINT) AS c FROM events),
+        |l AS (SELECT *, lead(t) OVER (PARTITION BY event_type
+        |                              ORDER BY t, event_id) AS nt FROM e)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(c * coalesce(nt - t, 0)) AS BIGINT) AS twa_num,
+        |       CAST(max(t) - min(t) AS BIGINT) AS span
+        |FROM l GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_interval_union" ->
+      """WITH iv AS (SELECT user_id, epoch_ns(ts) // 1000000000 AS s,
+        |              epoch_ns(ts) // 1000000000 + 7200 AS e FROM events),
+        |m AS (SELECT *, CASE WHEN s > coalesce(max(e) OVER (
+        |          PARTITION BY user_id ORDER BY s, e
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |          -9223372036854775808) THEN 1 ELSE 0 END AS ni FROM iv),
+        |m2 AS (SELECT *, sum(ni) OVER (PARTITION BY user_id ORDER BY s, e
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl FROM m),
+        |g AS (SELECT user_id, isl, min(s) AS a, max(e) AS b FROM m2 GROUP BY 1, 2)
+        |SELECT user_id, CAST(sum(b - a) AS BIGINT) AS covered,
+        |       CAST(count(*) AS BIGINT) AS n_islands
+        |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin,
     "q_ols" ->
       """WITH b AS (SELECT l_returnflag AS rf, CAST(l_quantity AS BIGINT) AS x,
         |             CAST(ROUND(l_extendedprice) AS BIGINT) AS y FROM lineitem)

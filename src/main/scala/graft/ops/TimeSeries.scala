@@ -125,6 +125,51 @@ object TimeSeries {
       .drop("__rn", "__s0", "__n0")
   }
 
+  /** Time-weighted-average PIECES per key, exact integers: with each
+    * sample's value held until the next sample (step interpolation —
+    * billing/utilization semantics), the TWA over the observed span is
+    * `twa_num / span` where `twa_num = Σ vᵢ·(tᵢ₊₁ − tᵢ)` and
+    * `span = t_last − t_first`; the last sample has no successor and
+    * contributes no area. Emitting the integer pieces keeps the result
+    * hash-gateable; one shuffle, one lead() pass. Output:
+    * (key, n, twa_num, span). */
+  def timeWeighted(df: DataFrame, keyCol: String, tsNsCol: String,
+                   orderTiebreak: String, valueCol: String): DataFrame = {
+    val w = Window.partitionBy(keyCol).orderBy(col(tsNsCol), col(orderTiebreak))
+    val t = col(tsNsCol).cast("long")
+    val v = col(valueCol).cast("long")
+    df.withColumn("__dt", lead(t, 1).over(w) - t)
+      .groupBy(keyCol)
+      .agg(count(lit(1)).as("n"),
+           sum(v * coalesce(col("__dt"), lit(0L))).as("twa_num"),
+           (max(t) - min(t)).as("span"))
+  }
+
+  /** Total covered time of possibly-overlapping `[start, end)` intervals
+    * per key (the interval-union sweep): islands form where an interval
+    * starts beyond every earlier interval's end; each island contributes
+    * `max(end) − min(start)`. The running "earlier max end" is an
+    * UNBOUNDED-PRECEDING window max — incremental, O(1)/row — so the
+    * whole sweep is one shuffle + one sort. Output:
+    * (key, covered, n_islands). */
+  def intervalCoverage(df: DataFrame, keyCol: String, startCol: String,
+                       endCol: String): DataFrame = {
+    val wRow = Window.partitionBy(keyCol).orderBy(col(startCol), col(endCol))
+    val wPrev = wRow.rowsBetween(Window.unboundedPreceding, -1)
+    val wRun = wRow.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val s = col(startCol).cast("long")
+    val e = col(endCol).cast("long")
+    val marked = df
+      .withColumn("__newIsland",
+        when(s > coalesce(max(e).over(wPrev), lit(Long.MinValue)), 1L).otherwise(0L))
+      .withColumn("__island", sum(col("__newIsland")).over(wRun))
+    marked.groupBy(col(keyCol), col("__island"))
+      .agg(min(s).as("__is"), max(e).as("__ie"))
+      .groupBy(keyCol)
+      .agg(sum(col("__ie") - col("__is")).as("covered"),
+           count(lit(1)).as("n_islands"))
+  }
+
   /** Duplicate-event suppression: keep a row iff the previous event of the
     * same key is more than `deltaNs` older (chained-burst semantics — a
     * steady drizzle of sub-δ gaps collapses to its first event, exactly

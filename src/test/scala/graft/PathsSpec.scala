@@ -60,6 +60,37 @@ class PathsSpec extends AnyFunSuite {
       (1L, "a", 4L, 1L), (2L, "c", 1L, 1L)))
   }
 
+  test("timeWeighted: step-interpolated area and span, last sample no area") {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("k", StringType, nullable = false),
+      StructField("t", LongType, nullable = false),
+      StructField("i", LongType, nullable = false),
+      StructField("v", LongType, nullable = false)))
+    val rows = Seq(Row("a", 0L, 1L, 10L), Row("a", 5L, 2L, 20L), Row("a", 8L, 3L, 1L))
+    val df = spark.createDataFrame(rows.asJava, schema)
+    val got = TimeSeries.timeWeighted(df, "k", "t", "i", "v").collect().head
+    // 10·(5−0) + 20·(8−5) + 0 = 110 over span 8
+    assert((got.getLong(1), got.getLong(2), got.getLong(3)) == ((3L, 110L, 8L)))
+  }
+
+  test("intervalCoverage merges overlaps and touching intervals") {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("k", StringType, nullable = false),
+      StructField("s", LongType, nullable = false),
+      StructField("e", LongType, nullable = false)))
+    val rows = Seq(
+      Row("a", 0L, 10L), Row("a", 5L, 15L),   // overlap → [0,15)
+      Row("a", 15L, 18L),                     // touching → still island 1
+      Row("a", 20L, 30L),                     // gap → island 2
+      Row("b", 1L, 2L))
+    val df = spark.createDataFrame(rows.asJava, schema)
+    val got = TimeSeries.intervalCoverage(df, "k", "s", "e")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == Map("a" -> ((28L, 2L)), "b" -> ((1L, 1L))))
+  }
+
   test("rollingExtrema tile trick equals the naive bounded frame (random)") {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.expressions.Window
