@@ -534,6 +534,18 @@ object Bench {
       // joining in place and moving both tables over the network.
       "x_bucketed_join" -> { s: SparkSession =>
         if (!s.catalog.tableExists("graft_bl") || !s.catalog.tableExists("graft_br")) {
+          // the in-memory catalog forgets tables across JVMs while the
+          // warehouse directory persists — CREATE then refuses the
+          // existing location. Drop + clear both before writing.
+          def rmrf(f: java.io.File): Unit = {
+            if (f.isDirectory) f.listFiles().foreach(rmrf)
+            f.delete(); ()
+          }
+          Seq("graft_bl", "graft_br").foreach { t =>
+            s.sql(s"DROP TABLE IF EXISTS $t")
+            val dir = new java.io.File(s"/tmp/graft_bench_warehouse/$t")
+            if (dir.exists()) rmrf(dir)
+          }
           s.range(10000000L).selectExpr("id % 1000000 AS k", "id AS va")
             .write.bucketBy(32, "k").sortBy("k").mode("overwrite")
             .saveAsTable("graft_bl")
