@@ -593,6 +593,23 @@ object Bench {
             && r.getLong(2) == 50000L),
           "planted pair (kwa, kwb) not mined at its exact support")
       },
+      // interval-union sweep over 20M overlapping intervals / 1000 keys:
+      // one shuffle + one sort, O(1)/row island marker
+      "x_interval_union_20m" -> { s: SparkSession =>
+        val iv = s.range(20000000L).selectExpr("id % 1000 AS k",
+          "(id div 1000) * 7 + pmod(hash(id), 5) AS s0",
+          "(id div 1000) * 7 + 10 + pmod(hash(id, 3), 5) AS e0")
+        graft.ops.TimeSeries.intervalCoverage(iv, "k", "s0", "e0")
+          .write.format("noop").mode("overwrite").save()
+      },
+      // group percentiles + winsorize clip over 20M rows / 100 groups:
+      // one windowed rank pass + a broadcast bounds join
+      "x_winsorize_20m" -> { s: SparkSession =>
+        val df = s.range(20000000L).selectExpr("CAST(id % 100 AS STRING) AS k",
+          "pmod(hash(id), 1000000) AS v")
+        graft.ops.Profile.winsorize(df, "k", "v", pLo = 1, pHi = 99)
+          .write.format("noop").mode("overwrite").save()
+      },
       // weighted sampling: 10k winners from 1M docs across 10 strata,
       // ticket mins map-only, bounded-heap top-k selection
       "x_weighted_sample_1m" -> { s: SparkSession =>
