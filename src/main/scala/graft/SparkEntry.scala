@@ -1844,6 +1844,22 @@ object SparkEntry {
         .select(col("c_custkey"), col("c_nationkey"), col("cents"), col("v_w"))
         .orderBy("c_custkey")
     } _,
+    // dataset datasheet: the dataset-card numbers in ONE tall report —
+    // corpus size, language/source breakdown, exact-dup rate (via the
+    // engine's doc_fingerprint), char-length stats (integer mean)
+    "q_datasheet" -> q(
+      """SELECT stat, value FROM (
+        |  SELECT 'n_docs' AS stat, CAST(count(*) AS BIGINT) AS value FROM documents
+        |  UNION ALL SELECT 'n_langs', count(DISTINCT lang) FROM documents
+        |  UNION ALL SELECT 'n_sources', count(DISTINCT source) FROM documents
+        |  UNION ALL SELECT concat('docs_lang_', lang), count(*) FROM documents GROUP BY lang
+        |  UNION ALL SELECT concat('docs_src_', source), count(*) FROM documents GROUP BY source
+        |  UNION ALL SELECT 'exact_dup_docs',
+        |    count(*) - count(DISTINCT doc_fingerprint(text)) FROM documents
+        |  UNION ALL SELECT 'total_chars', CAST(sum(n_chars) AS BIGINT) FROM documents
+        |  UNION ALL SELECT 'mean_chars_x100',
+        |    (CAST(sum(n_chars) AS BIGINT) * 100) div count(*) FROM documents
+        |) ORDER BY stat""".stripMargin) _,
     // time-weighted average pieces (step interpolation, second-resolution
     // to keep value·Δt in 64 bits)
     "q_twa" -> dfq { s =>
@@ -4007,6 +4023,19 @@ object SparkEntry {
         |SELECT c.c_custkey, c.c_nationkey, c.cents,
         |       least(greatest(c.cents, b.lo), b.hi) AS v_w
         |FROM c JOIN b USING (c_nationkey) ORDER BY c_custkey""".stripMargin,
+    "q_datasheet" ->
+      s"""SELECT stat, value FROM (
+         |  SELECT 'n_docs' AS stat, CAST(count(*) AS BIGINT) AS value FROM documents
+         |  UNION ALL SELECT 'n_langs', count(DISTINCT lang) FROM documents
+         |  UNION ALL SELECT 'n_sources', count(DISTINCT source) FROM documents
+         |  UNION ALL SELECT 'docs_lang_' || lang, count(*) FROM documents GROUP BY lang
+         |  UNION ALL SELECT 'docs_src_' || source, count(*) FROM documents GROUP BY source
+         |  UNION ALL SELECT 'exact_dup_docs',
+         |    count(*) - count(DISTINCT ${duckMd5_60("text")}) FROM documents
+         |  UNION ALL SELECT 'total_chars', CAST(sum(n_chars) AS BIGINT) FROM documents
+         |  UNION ALL SELECT 'mean_chars_x100',
+         |    (CAST(sum(n_chars) AS BIGINT) * 100) // count(*) FROM documents
+         |) ORDER BY stat""".stripMargin,
     "q_twa" ->
       """WITH e AS (SELECT event_type, event_id, epoch_ns(ts) // 1000000000 AS t,
         |             CAST(ROUND(value * 100) AS BIGINT) AS c FROM events),
