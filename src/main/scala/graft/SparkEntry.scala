@@ -1504,19 +1504,21 @@ object SparkEntry {
         .select(col("id").as("doc_id"), col("r").as("pr"))
         .orderBy("doc_id")
     } _,
-    // decimal aggregate widening: sum/avg over DECIMAL(12,2) per group,
-    // both engines casting to the same output scale so trailing digits
-    // (and the hash) agree exactly
+    // decimal aggregate widening: sum/avg over DECIMAL(12,2) per group.
+    // The aggregation runs in exact widened decimals, but the RESULT rides
+    // as scaled BIGINT cents — decimal OUTPUT columns hash-diverge in the
+    // driver (Spark parquet decimals vs DuckDB->pandas rendering), while
+    // integral cents are canonical on both sides.
     // the mean rides as an exact scaled-integer quotient — engine-native
     // avg(DECIMAL) is NOT cross-engine exact (DuckDB computes it in DOUBLE,
     // Spark in exact decimal with HALF_UP)
     "q_decimal_agg" -> q(
       """SELECT l_returnflag,
-        |       CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS s,
+        |       CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) * 100 AS BIGINT) AS s_cents,
         |       CAST(sum(CAST(ROUND(l_quantity * 100) AS BIGINT)) * 100 AS BIGINT)
         |         div count(*) AS a_x10000,
-        |       CAST(min(CAST(l_extendedprice AS DECIMAL(14,2))) AS DECIMAL(18,2)) AS mn,
-        |       CAST(max(CAST(l_extendedprice AS DECIMAL(14,2))) AS DECIMAL(18,2)) AS mx
+        |       CAST(min(CAST(l_extendedprice AS DECIMAL(14,2))) * 100 AS BIGINT) AS mn_cents,
+        |       CAST(max(CAST(l_extendedprice AS DECIMAL(14,2))) * 100 AS BIGINT) AS mx_cents
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) _,
     // Spark's built-in batch SESSION_WINDOW operator (30-min gap), gated
     // against the islands replay the oracle runs — the declarative
@@ -3578,11 +3580,11 @@ object SparkEntry {
     "q_kcore" -> duckKCoreSql(2, 10),
     "q_decimal_agg" ->
       """SELECT l_returnflag,
-        |       CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS s,
+        |       CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) * 100 AS BIGINT) AS s_cents,
         |       CAST(sum(CAST(ROUND(l_quantity * 100) AS BIGINT)) * 100 AS BIGINT)
         |         // count(*) AS a_x10000,
-        |       CAST(min(CAST(l_extendedprice AS DECIMAL(14,2))) AS DECIMAL(18,2)) AS mn,
-        |       CAST(max(CAST(l_extendedprice AS DECIMAL(14,2))) AS DECIMAL(18,2)) AS mx
+        |       CAST(min(CAST(l_extendedprice AS DECIMAL(14,2))) * 100 AS BIGINT) AS mn_cents,
+        |       CAST(max(CAST(l_extendedprice AS DECIMAL(14,2))) * 100 AS BIGINT) AS mx_cents
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     // strict `<` on the boundary: Spark merges sessions iff the next event
     // starts BEFORE the previous session's end (last + gap)
@@ -4003,14 +4005,16 @@ object SparkEntry {
       """WITH e AS (SELECT DISTINCT event_type AS key,
         |             epoch_ns(ts) // 86400000000000 AS day, user_id AS ent
         |           FROM events),
-        |s AS (SELECT key, min(day) AS d0, max(day) AS d1 FROM e GROUP BY key),
+        |g AS (SELECT key, unnest(generate_series(min(day), max(day))) AS day
+        |      FROM e GROUP BY key),
         |f AS (SELECT key, ent,
-        |        unnest(generate_series(day, day + 6)) AS day FROM e)
-        |SELECT f.key AS event_type, CAST(f.day AS BIGINT) AS day,
-        |       CAST(count(DISTINCT f.ent) AS BIGINT) AS nd
-        |FROM f JOIN s USING (key)
-        |WHERE f.day BETWEEN s.d0 AND s.d1
-        |GROUP BY 1, 2 ORDER BY event_type, day""".stripMargin,
+        |        unnest(generate_series(day, day + 6)) AS day FROM e),
+        |c AS (SELECT key, day, count(DISTINCT ent) AS nd
+        |      FROM f GROUP BY key, day)
+        |SELECT g.key AS event_type, CAST(g.day AS BIGINT) AS day,
+        |       CAST(coalesce(c.nd, 0) AS BIGINT) AS nd
+        |FROM g LEFT JOIN c USING (key, day)
+        |ORDER BY event_type, day""".stripMargin,
     "q_winsorize" ->
       """WITH c AS (SELECT c_custkey, c_nationkey,
         |             CAST(ROUND(c_acctbal * 100) AS BIGINT) AS cents FROM customer),

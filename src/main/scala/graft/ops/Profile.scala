@@ -51,15 +51,18 @@ object Profile {
   def groupPercentilesDisc(df: DataFrame, keyCol: String, valCol: String,
       ps: Seq[Int]): DataFrame = {
     require(ps.nonEmpty && ps.forall(p => p >= 1 && p <= 100), "ps in 1..100")
-    val wOrd = Window.partitionBy(keyCol).orderBy(col("v"))
+    // intermediates are __-prefixed; only a __-named key could collide
+    require(!keyCol.startsWith("__"),
+      s"groupPercentilesDisc: keyCol '$keyCol' collides with __-prefixed intermediates")
+    val wOrd = Window.partitionBy(keyCol).orderBy(col("__v"))
     val wAll = Window.partitionBy(keyCol)
-    val base = df.select(col(keyCol), col(valCol).cast("long").as("v"))
-      .where(col("v").isNotNull) // percentiles are over the non-null multiset
-      .withColumn("rn", row_number().over(wOrd))
-      .withColumn("n", count(col("v")).over(wAll))
+    val base = df.select(col(keyCol), col(valCol).cast("long").as("__v"))
+      .where(col("__v").isNotNull) // percentiles are over the non-null multiset
+      .withColumn("__rn", row_number().over(wOrd))
+      .withColumn("__n", count(col("__v")).over(wAll))
     val aggs = ps.map { p =>
       // integer div, not Column./ (double division)
-      max(when(col("rn") === expr(s"(${p}L * n + 99) div 100"), col("v")))
+      max(when(col("__rn") === expr(s"(${p}L * __n + 99) div 100"), col("__v")))
         .as(s"p$p")
     }
     base.groupBy(keyCol).agg(aggs.head, aggs.tail: _*)
@@ -69,13 +72,17 @@ object Profile {
     * percentiles — the standard outlier-robust feature scrub. Composes
     * [[groupPercentilesDisc]] (one windowed pass) with a per-key bounds
     * join (one row per key — broadcast-sized at any scale) and a map-only
-    * clip. Adds `v_w` (clipped value) to the input's (key, value) pair. */
+    * clip. Adds `v_w` (clipped value) to the input's (key, value) pair.
+    * A key whose values are ALL NULL has no percentile bounds; its rows
+    * pass through (left join) with `v_w` = the (null) value unclipped,
+    * rather than being silently dropped. */
   def winsorize(df: DataFrame, keyCol: String, valCol: String,
                 pLo: Int = 1, pHi: Int = 99): DataFrame = {
     require(pLo >= 1 && pHi <= 100 && pLo < pHi, "need 1 <= pLo < pHi <= 100")
     val bounds = groupPercentilesDisc(df, keyCol, valCol, Seq(pLo, pHi))
       .select(col(keyCol), col(s"p$pLo").as("__lo"), col(s"p$pHi").as("__hi"))
-    df.join(broadcast(bounds), keyCol)
+    // least/greatest skip NULL operands, so missing bounds pass v through
+    df.join(broadcast(bounds), Seq(keyCol), "left")
       .withColumn("v_w",
         least(greatest(col(valCol).cast("long"), col("__lo")), col("__hi")))
       .drop("__lo", "__hi")

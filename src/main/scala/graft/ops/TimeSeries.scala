@@ -65,7 +65,11 @@ object TimeSeries {
     * day's last value. `tsNsCol` is ns-since-epoch (see
     * [[graft.SparkEntry.eventsTsNs]]); "last value of the day" is the row
     * with the greatest (ts, tiebreakId) — deterministic under duplicate
-    * timestamps. Output: (key, day, value). */
+    * timestamps. Day bucketing is ns-epoch `div` (truncation toward zero),
+    * identical to DuckDB's integer `//` (also truncating — verified on
+    * negatives), so the oracle replays it exactly; pre-1970 timestamps
+    * share day 0 with the first epoch day (use non-negative epochs).
+    * Output: (key, day, value). */
   def resampleFill(df: DataFrame, keyCol: String, tsNsCol: String,
                    valueCol: String, tiebreakId: String,
                    maxSpanDays: Int = 100000): DataFrame = {
@@ -252,30 +256,45 @@ object TimeSeries {
       .drop("__rn", "__tile", "__premax", "__premin", "__sufmax", "__sufmin")
   }
 
-  /** Sliding-window EXACT distinct counts: for every (key, day) in each
-    * key's active range, the distinct `entityCol` values seen in the
-    * trailing `windowDays` days. Window aggregates can't do DISTINCT, so
-    * each (key, entity, day) contribution is fanned out to the `windowDays`
-    * windows it belongs to and counted with a distinct aggregate — a
-    * windowDays-factor fan-out of the DEDUPLICATED daily stream (not the
-    * raw events), which is the standard exact formulation; for sketch-sized
-    * state at larger windows use the mergeable HLL registers instead
-    * ([[Sketches]]). Output: (key, day, nd). */
+  /** Sliding-window EXACT distinct counts: one row for EVERY (key, day) in
+    * each key's [first, last] active range — a day whose trailing
+    * `windowDays` window saw no activity reports `nd = 0` (the per-key day
+    * grid is materialized and left-joined, like [[resampleFill]]'s).
+    * Window aggregates can't do DISTINCT, so each (key, entity, day)
+    * contribution is fanned out to the `windowDays` windows it belongs to
+    * and counted with a distinct aggregate — a windowDays-factor fan-out of
+    * the DEDUPLICATED daily stream (not the raw events), which is the
+    * standard exact formulation; for sketch-sized state at larger windows
+    * use the mergeable HLL registers instead ([[Sketches]]).
+    *
+    * Day bucketing is ns-epoch `div` (truncation toward zero) — identical
+    * to DuckDB's integer `//` (also truncating), so the oracle replays it
+    * exactly; note pre-1970 timestamps share day 0 with the first epoch
+    * day (use non-negative epochs). Output: (key, day, nd). */
   def windowedDistinct(df: DataFrame, keyCol: String, tsNsCol: String,
-                       entityCol: String, windowDays: Int): DataFrame = {
+                       entityCol: String, windowDays: Int,
+                       maxSpanDays: Int = 100000): DataFrame = {
     require(windowDays >= 1 && windowDays <= 370, "windowDays in 1..370")
     val nsPerDay = 86400L * 1000000000L
     val base = df.select(col(keyCol).as("key"),
         expr(s"`$tsNsCol` div ${nsPerDay}L").as("day"),
         col(entityCol).cast("long").as("ent"))
       .distinct() // daily presence, not event multiplicity
-    val span = base.groupBy("key").agg(min("day").as("d0"), max("day").as("d1"))
-    val fanned = base.select(col("key"), col("ent"),
-      explode(sequence(col("day"), col("day") + (windowDays - 1))).as("day"))
-    fanned.join(span, "key")
-      .where(col("day") >= col("d0") && col("day") <= col("d1"))
+    // per-key day grid with resampleFill's loud span guard (a corrupt
+    // far-future timestamp must fail, not blow up one task's array)
+    val guardedD1 = when(col("d1") - col("d0") >= maxSpanDays,
+        raise_error(concat(lit("windowedDistinct: key "), col("key").cast("string"),
+          lit(s" spans >= $maxSpanDays days — corrupt timestamps?"))).cast("long"))
+      .otherwise(col("d1"))
+    val grid = base.groupBy("key")
+      .agg(min("day").as("d0"), max("day").as("d1"))
+      .select(col("key"), explode(sequence(col("d0"), guardedD1)).as("day"))
+    val counts = base.select(col("key"), col("ent"),
+        explode(sequence(col("day"), col("day") + (windowDays - 1))).as("day"))
       .groupBy("key", "day")
-      .agg(countDistinct("ent").as("nd"))
+      .agg(countDistinct("ent").as("__nd"))
+    grid.join(counts, Seq("key", "day"), "left")
+      .select(col("key"), col("day"), coalesce(col("__nd"), lit(0L)).as("nd"))
   }
 
   /** Windowed exponential moving average with power-of-two decay, scaled to

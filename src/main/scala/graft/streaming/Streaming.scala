@@ -535,14 +535,18 @@ object Streaming {
   case class CusumState(baseBuf: Seq[(Long, Long)], n0: Long, s0: Long,
                         cusum: Long)
 
-  /** Streaming CUSUM change-point detection with BATCH-IDENTICAL semantics
-    * ([[graft.ops.TimeSeries.cusum]]): the baseline is the rational
-    * (s0, n0) over each key's first `baselineN` rows, and every row — the
-    * baseline rows included — accumulates `n0·x − s0`. Rows buffer
-    * (unemitted) until the baseline fills, because every cusum depends on
-    * the complete baseline; from then on per-key state is THREE longs.
-    * A key that never reaches `baselineN` rows emits nothing — ending a
-    * stream early is a watermark policy, not this operator's call. */
+  /** Streaming CUSUM change-point detection, BATCH-IDENTICAL
+    * ([[graft.ops.TimeSeries.cusum]]) for every key that reaches
+    * `baselineN` rows: the baseline is the rational (s0, n0) over each
+    * key's first `baselineN` rows, and every row — the baseline rows
+    * included — accumulates `n0·x − s0`. Rows buffer (unemitted) until the
+    * baseline fills, because every cusum depends on the complete baseline;
+    * from then on per-key state is THREE longs.
+    * DIVERGENCE for short keys: a key that never reaches `baselineN` rows
+    * emits nothing here (an unbounded stream can't know the key is done),
+    * while the batch operator — which sees the group end — emits its rows
+    * against the partial baseline (n0 = group size). The parity claim is
+    * therefore scoped to keys with ≥ `baselineN` rows. */
   def cusumStream(input: Dataset[MetricRow], baselineN: Int,
                   thresh: Long): Dataset[CusumOut] = {
     require(baselineN >= 1, "baselineN >= 1")

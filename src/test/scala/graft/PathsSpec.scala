@@ -140,6 +140,22 @@ class PathsSpec extends AnyFunSuite {
     assert(got == Map(0L -> 1L, 1L -> 1L, 2L -> 1L, 3L -> 2L))
   }
 
+  test("windowedDistinct: activity gap wider than the window reports nd=0") {
+    import org.apache.spark.sql.types._
+    val ns = 86400L * 1000000000L
+    val schema = StructType(Seq(
+      StructField("k", StringType, nullable = false),
+      StructField("ts", LongType, nullable = false),
+      StructField("e", LongType, nullable = false)))
+    // activity on day 0 and day 5 only; window 2 (trailing days d-1..d)
+    val rows = Seq(Row("b", 0L * ns, 7L), Row("b", 5L * ns, 8L))
+    val df = spark.createDataFrame(rows.asJava, schema)
+    val got = graft.ops.TimeSeries.windowedDistinct(df, "k", "ts", "e", 2)
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    // days 2..4 have an EMPTY trailing window — they must appear with 0
+    assert(got == Map(0L -> 1L, 1L -> 1L, 2L -> 0L, 3L -> 0L, 4L -> 0L, 5L -> 1L))
+  }
+
   test("winsorize clips to the group's discrete percentile bounds") {
     import org.apache.spark.sql.types._
     val schema = StructType(Seq(
@@ -152,6 +168,23 @@ class PathsSpec extends AnyFunSuite {
     assert(got(1L) == 10L && got(5L) == 10L && got(10L) == 10L)
     assert(got(50L) == 50L)
     assert(got(90L) == 90L && got(95L) == 90L && got(100L) == 90L)
+  }
+
+  test("winsorize: all-NULL-valued keys pass through instead of vanishing") {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("g", StringType, nullable = false),
+      StructField("v", LongType, nullable = true)))
+    val rows = (1L to 10L).map(v => Row("a", v)) ++
+      Seq(Row("z", null), Row("z", null)) // key with ONLY null values
+    val df = spark.createDataFrame(rows.asJava, schema)
+    val out = graft.ops.Profile.winsorize(df, "g", "v", pLo = 10, pHi = 90)
+    val zRows = out.filter(org.apache.spark.sql.functions.col("g") === "z").collect()
+    assert(zRows.length == 2 && zRows.forall(_.isNullAt(2)))
+    // keyCol named like an old intermediate must not throw (collision guard)
+    val df2 = df.withColumnRenamed("g", "n")
+    assert(graft.ops.Profile.groupPercentilesDisc(df2, "n", "v", Seq(50))
+      .collect().length == 1)
   }
 
   test("coOccurrence: Apriori prune + exact pair counts + deterministic top-k") {
