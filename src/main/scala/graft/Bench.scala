@@ -610,6 +610,26 @@ object Bench {
         graft.ops.Profile.winsorize(df, "k", "v", pLo = 1, pHi = 99)
           .write.format("noop").mode("overwrite").save()
       },
+      // SCD2 over a 20M-row changelog (100k keys × 200 versions-ish): one
+      // key shuffle, both windows on one sort; distinct-until-changed keeps
+      // only ~1/4 of rows (state cycles with period-4 noise)
+      "x_scd2_20m" -> { s: SparkSession =>
+        val log = s.range(20000000L).selectExpr("id % 100000 AS k",
+          "id div 100000 AS ts", "id AS tid",
+          "CAST(pmod(hash(id), 4) AS STRING) AS st")
+        graft.ops.Warehouse.scd2(log, "k", "ts", "tid", Seq("st"))
+          .write.format("noop").mode("overwrite").save()
+      },
+      // keyed snapshot diff of two 20M-row snapshots (~1/16 keys changed,
+      // 1/31 added, 1/37 removed): SMJ full outer, delta-sized output
+      "x_snapshot_diff_20m" -> { s: SparkSession =>
+        val base = s.range(20000000L).selectExpr("id AS k", "hash(id) AS v")
+        val old = base.where("k % 31 != 0")
+        val neu = base.where("k % 37 != 0")
+          .selectExpr("k", "CASE WHEN k % 16 = 0 THEN v + 1 ELSE v END AS v")
+        graft.ops.Warehouse.snapshotDiff(old, neu, Seq("k"), Seq("v"))
+          .write.format("noop").mode("overwrite").save()
+      },
       // weighted sampling: 10k winners from 1M docs across 10 strata,
       // ticket mins map-only, bounded-heap top-k selection
       "x_weighted_sample_1m" -> { s: SparkSession =>

@@ -1846,6 +1846,46 @@ object SparkEntry {
         .select(col("c_custkey"), col("c_nationkey"), col("cents"), col("v_w"))
         .orderBy("c_custkey")
     } _,
+    // SCD Type-2 history build: each user's event_type changelog collapsed
+    // to half-open validity intervals [valid_from, valid_to) — one key
+    // shuffle, lag change-detect + lead validity over the same sort
+    "q_scd2" -> dfq { s =>
+      graft.ops.Warehouse.scd2(s.table("events"), "user_id", "ts", "event_id",
+          Seq("event_type"))
+        .orderBy("user_id", "valid_from")
+    } _,
+    // keyed snapshot diff: two orders snapshots derived deterministically
+    // (old = keys %3≠0; new = keys %5≠0 with %7 keys repriced +100 cents)
+    // classified added/removed/changed via a full-outer merge on the key
+    "q_snapshot_diff" -> dfq { s =>
+      val base = s.table("orders").select(col("o_orderkey"),
+        expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)").as("cents"),
+        col("o_orderstatus").as("status"))
+      val old = base.where(col("o_orderkey") % 3 =!= 0)
+      val neu = base.where(col("o_orderkey") % 5 =!= 0)
+        .withColumn("cents",
+          col("cents") + when(col("o_orderkey") % 7 === 0, 100L).otherwise(0L))
+      graft.ops.Warehouse.snapshotDiff(old, neu, Seq("o_orderkey"),
+          Seq("cents", "status"))
+        .orderBy("o_orderkey")
+    } _,
+    // data-quality constraint battery over lineitem: completeness, ranges,
+    // accepted sets (one scan), uniqueness (count-only shuffles) and
+    // referential integrity (distinct-dim left joins); the l_linenumber[1,4]
+    // / l_linestatus('O') / half-missing-supplier checks FAIL on purpose so
+    // nonzero violation counts are exercised
+    "q_dq_report" -> dfq { s =>
+      val halfSupp = s.table("supplier").where(col("s_suppkey") % 2 === 0)
+      graft.ops.Warehouse.dqReport(s.table("lineitem"),
+          notNull = Seq("l_orderkey", "l_quantity"),
+          unique = Seq(Seq("l_orderkey", "l_linenumber"), Seq("l_orderkey")),
+          ranges = Seq(("l_quantity", 1L, 50L), ("l_linenumber", 1L, 4L)),
+          accepted = Seq(("l_returnflag", Seq("A", "N", "R")),
+            ("l_linestatus", Seq("O"))),
+          refs = Seq(("l_orderkey", s.table("orders"), "o_orderkey"),
+            ("l_suppkey", halfSupp, "s_suppkey")))
+        .orderBy("check_name")
+    } _,
     // dataset datasheet: the dataset-card numbers in ONE tall report —
     // corpus size, language/source breakdown, exact-dup rate (via the
     // engine's doc_fingerprint), char-length stats (integer mean)
@@ -4027,6 +4067,102 @@ object SparkEntry {
         |SELECT c.c_custkey, c.c_nationkey, c.cents,
         |       least(greatest(c.cents, b.lo), b.hi) AS v_w
         |FROM c JOIN b USING (c_nationkey) ORDER BY c_custkey""".stripMargin,
+    "q_scd2" ->
+      """WITH e AS (SELECT user_id, epoch_ns(ts) AS t, event_id, event_type
+        |           FROM events),
+        |c AS (SELECT *, lag(event_type)
+        |               OVER (PARTITION BY user_id ORDER BY t, event_id) AS prev
+        |      FROM e),
+        |v AS (SELECT user_id, event_type, t, event_id FROM c
+        |      WHERE prev IS NULL OR prev IS DISTINCT FROM event_type),
+        |f AS (SELECT user_id, event_type, t AS valid_from,
+        |             lead(t) OVER (PARTITION BY user_id ORDER BY t, event_id)
+        |               AS valid_to
+        |      FROM v)
+        |SELECT user_id, event_type, CAST(valid_from AS BIGINT) AS valid_from,
+        |       CAST(valid_to AS BIGINT) AS valid_to,
+        |       CAST(CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END AS INT)
+        |         AS is_current
+        |FROM f ORDER BY user_id, valid_from""".stripMargin,
+    "q_snapshot_diff" ->
+      """WITH b AS (SELECT o_orderkey AS k,
+        |             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents,
+        |             o_orderstatus AS status FROM orders),
+        |o AS (SELECT * FROM b WHERE k % 3 <> 0),
+        |n AS (SELECT k, cents + CASE WHEN k % 7 = 0 THEN 100 ELSE 0 END AS cents,
+        |             status FROM b WHERE k % 5 <> 0),
+        |j AS (SELECT coalesce(o.k, n.k) AS o_orderkey,
+        |             CASE WHEN o.k IS NULL THEN 'added'
+        |                  WHEN n.k IS NULL THEN 'removed'
+        |                  WHEN (o.cents IS DISTINCT FROM n.cents)
+        |                    OR (o.status IS DISTINCT FROM n.status) THEN 'changed'
+        |                  ELSE 'unchanged' END AS change,
+        |             o.cents AS old_cents, n.cents AS new_cents,
+        |             o.status AS old_status, n.status AS new_status
+        |      FROM o FULL JOIN n ON o.k = n.k)
+        |SELECT * FROM j WHERE change <> 'unchanged' ORDER BY o_orderkey""".stripMargin,
+    "q_dq_report" ->
+      """SELECT * FROM (
+        |SELECT 'not_null:l_orderkey' AS check_name,
+        |       CAST(sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS violations,
+        |       CAST(count(*) AS BIGINT) AS total FROM lineitem
+        |UNION ALL
+        |SELECT 'not_null:l_quantity',
+        |       CAST(sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |       CAST(count(*) AS BIGINT) FROM lineitem
+        |UNION ALL
+        |SELECT 'range:l_quantity[1,50]',
+        |       CAST(sum(CASE WHEN l_quantity IS NOT NULL
+        |                      AND (CAST(l_quantity AS BIGINT) < 1
+        |                        OR CAST(l_quantity AS BIGINT) > 50)
+        |                THEN 1 ELSE 0 END) AS BIGINT),
+        |       CAST(count(*) AS BIGINT) FROM lineitem
+        |UNION ALL
+        |SELECT 'range:l_linenumber[1,4]',
+        |       CAST(sum(CASE WHEN l_linenumber IS NOT NULL
+        |                      AND (l_linenumber < 1 OR l_linenumber > 4)
+        |                THEN 1 ELSE 0 END) AS BIGINT),
+        |       CAST(count(*) AS BIGINT) FROM lineitem
+        |UNION ALL
+        |SELECT 'accepted:l_returnflag',
+        |       CAST(sum(CASE WHEN l_returnflag IS NOT NULL
+        |                      AND l_returnflag NOT IN ('A', 'N', 'R')
+        |                THEN 1 ELSE 0 END) AS BIGINT),
+        |       CAST(count(*) AS BIGINT) FROM lineitem
+        |UNION ALL
+        |SELECT 'accepted:l_linestatus',
+        |       CAST(sum(CASE WHEN l_linestatus IS NOT NULL
+        |                      AND l_linestatus NOT IN ('O')
+        |                THEN 1 ELSE 0 END) AS BIGINT),
+        |       CAST(count(*) AS BIGINT) FROM lineitem
+        |UNION ALL
+        |SELECT 'unique:l_orderkey,l_linenumber',
+        |       CAST(coalesce(sum(CASE WHEN c > 1 THEN c - 1 END), 0) AS BIGINT),
+        |       CAST(coalesce(sum(c), 0) AS BIGINT)
+        |FROM (SELECT count(*) AS c FROM lineitem
+        |      GROUP BY l_orderkey, l_linenumber)
+        |UNION ALL
+        |SELECT 'unique:l_orderkey',
+        |       CAST(coalesce(sum(CASE WHEN c > 1 THEN c - 1 END), 0) AS BIGINT),
+        |       CAST(coalesce(sum(c), 0) AS BIGINT)
+        |FROM (SELECT count(*) AS c FROM lineitem GROUP BY l_orderkey)
+        |UNION ALL
+        |SELECT 'ref:l_orderkey->o_orderkey',
+        |       CAST(sum(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |       CAST(count(*) AS BIGINT)
+        |FROM (SELECT l_orderkey FROM lineitem WHERE l_orderkey IS NOT NULL) l
+        |LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) o
+        |  ON l.l_orderkey = o.o_orderkey
+        |UNION ALL
+        |SELECT 'ref:l_suppkey->s_suppkey',
+        |       CAST(sum(CASE WHEN s.s_suppkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |       CAST(count(*) AS BIGINT)
+        |FROM (SELECT l_suppkey FROM lineitem WHERE l_suppkey IS NOT NULL) l
+        |LEFT JOIN (SELECT DISTINCT s_suppkey FROM supplier
+        |           WHERE s_suppkey % 2 = 0) s
+        |  ON l.l_suppkey = s.s_suppkey
+        |) ORDER BY check_name""".stripMargin,
     "q_datasheet" ->
       s"""SELECT stat, value FROM (
          |  SELECT 'n_docs' AS stat, CAST(count(*) AS BIGINT) AS value FROM documents

@@ -1,0 +1,154 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Warehouse-maintenance operators: SCD Type-2 history building from a
+ * changelog, keyed snapshot diffing, and a declarative data-quality
+ * constraint report — the maintenance jobs that run NEXT TO an analytics
+ * engine over the same tables (reference analogue: the curation/ingest
+ * side of arrow-udf deployments; none of these need UDFs, so they are
+ * pure Catalyst plans).
+ *
+ * Scale design notes per operator are on each method; nothing here ever
+ * collects a corpus-sized result to the driver, and every join is either
+ * key-bucketed (AQE-splittable) or an explicitly-reportable aggregate.
+ */
+object Warehouse {
+
+  /** Slowly-Changing-Dimension Type-2 history from a changelog: per `keyCol`
+    * (ordered by `tsCol`, then `tiebreakCol` for determinism under duplicate
+    * timestamps), consecutive rows whose `stateCols` are unchanged collapse
+    * into one VERSION; each version carries `valid_from` (its first ts),
+    * `valid_to` (the NEXT version's first ts, NULL while current — the
+    * half-open [from, to) convention) and `is_current`.
+    *
+    * Change detection is null-safe (`<=>` over the state struct), so NULL
+    * state values compare like values, not like SQL unknowns.
+    *
+    * Scale: ONE shuffle on `keyCol`; the change-detection lag and the
+    * validity lead ride the same (key, ts, tiebreak) sort order — the
+    * filter between them preserves ordering, so Catalyst plans a single
+    * Exchange+Sort. Per-key state in the window operator is O(1).
+    * Output: (keyCol, stateCols…, valid_from, valid_to, is_current). */
+  def scd2(df: DataFrame, keyCol: String, tsCol: String, tiebreakCol: String,
+           stateCols: Seq[String]): DataFrame = {
+    require(stateCols.nonEmpty, "scd2 needs at least one state column")
+    require(!(stateCols :+ keyCol :+ tsCol).exists(_.startsWith("__")),
+      "scd2: __-prefixed input columns collide with intermediates")
+    val w = Window.partitionBy(keyCol).orderBy(col(tsCol), col(tiebreakCol))
+    val state = struct(stateCols.map(col): _*)
+    df.select((keyCol +: tsCol +: tiebreakCol +: stateCols).distinct.map(col): _*)
+      .withColumn("__prev", lag(state, 1).over(w))
+      .where(col("__prev").isNull || !(col("__prev") <=> state))
+      .withColumn("valid_from", col(tsCol))
+      .withColumn("valid_to", lead(col(tsCol), 1).over(w))
+      .withColumn("is_current", col("valid_to").isNull.cast("int"))
+      .select((keyCol +: stateCols) .map(col) ++
+        Seq(col("valid_from"), col("valid_to"), col("is_current")): _*)
+  }
+
+  /** Keyed snapshot diff: classify every key across two snapshot versions as
+    * `added` (new only), `removed` (old only), `changed` (both, differing
+    * `cmpCols`) or `unchanged`; `includeUnchanged=false` (default) keeps the
+    * result change-sized, not table-sized. Comparison is null-safe struct
+    * equality. CONTRACT: `keyCols` identify at most one row per snapshot
+    * (duplicate keys multiply through the join, as in any keyed merge).
+    *
+    * Scale: one co-partitioned shuffle per side into a sort-merge FULL
+    * OUTER join on the key — the one join shape that can't broadcast; AQE
+    * skew-split applies. The change filter is evaluated join-side, so with
+    * the default only the delta flows downstream.
+    * Output: (keyCols…, change, old_<c>/new_<c> per cmp col). */
+  def snapshotDiff(oldDf: DataFrame, newDf: DataFrame, keyCols: Seq[String],
+                   cmpCols: Seq[String],
+                   includeUnchanged: Boolean = false): DataFrame = {
+    require(keyCols.nonEmpty && cmpCols.nonEmpty, "need key and compare columns")
+    require(!(keyCols ++ cmpCols).exists(_.startsWith("__")),
+      "snapshotDiff: __-prefixed input columns collide with intermediates")
+    def side(df: DataFrame, tag: String) =
+      df.select(keyCols.map(col) :+ struct(cmpCols.map(col): _*).as(tag): _*)
+    // using-columns full outer join → key columns arrive coalesced; a
+    // missing side is a NULL struct (structs with null FIELDS are non-null,
+    // so presence tests stay exact even for all-NULL compare values)
+    val j = side(oldDf, "__old").join(side(newDf, "__new"), keyCols, "full_outer")
+      .withColumn("change",
+        when(col("__old").isNull, lit("added"))
+          .when(col("__new").isNull, lit("removed"))
+          .when(!(col("__old") <=> col("__new")), lit("changed"))
+          .otherwise(lit("unchanged")))
+    val kept = if (includeUnchanged) j else j.where(col("change") =!= "unchanged")
+    kept.select(keyCols.map(col) ++ Seq(col("change")) ++ cmpCols.flatMap(c =>
+      Seq(col(s"__old.$c").as(s"old_$c"), col(s"__new.$c").as(s"new_$c"))): _*)
+  }
+
+  /** Declarative data-quality report (mini constraint-validation battery):
+    * one tall row `(check_name, violations, total)` per declared check.
+    *
+    *  - `notNull`: NULL count per column (total = table rows)
+    *  - `ranges`: values (cast long) outside [lo, hi]; NULLs are NOT range
+    *    violations — completeness is `notNull`'s job (total = table rows)
+    *  - `accepted`: values outside the allowed set; NULLs not counted
+    *    (total = table rows)
+    *  - `unique`: excess duplicate rows per key set, Σ max(c−1, 0) over
+    *    group counts c (total = table rows)
+    *  - `refs`: `(fkCol, dimDf, pkCol)` orphaned foreign keys — non-null
+    *    fk values with no match in the dimension's pk (total = non-null
+    *    fk rows)
+    *
+    * Scale: all notNull/range/accepted indicators fold into ONE scan's
+    * partial aggregate; each `unique` key set is one groupBy whose shuffle
+    * carries only (key, count); each ref check is one left join against the
+    * DISTINCT dimension keys (let AQE broadcast small dims) reduced to two
+    * counters. The report itself is checks-sized. */
+  def dqReport(df: DataFrame,
+               notNull: Seq[String] = Nil,
+               unique: Seq[Seq[String]] = Nil,
+               ranges: Seq[(String, Long, Long)] = Nil,
+               accepted: Seq[(String, Seq[String])] = Nil,
+               refs: Seq[(String, DataFrame, String)] = Nil): DataFrame = {
+    require(notNull.nonEmpty || unique.nonEmpty || ranges.nonEmpty ||
+      accepted.nonEmpty || refs.nonEmpty, "dqReport: no checks declared")
+    val scanChecks: Seq[(String, org.apache.spark.sql.Column)] =
+      notNull.map(c => s"not_null:$c" -> col(c).isNull.cast("long")) ++
+      ranges.map { case (c, lo, hi) =>
+        s"range:$c[$lo,$hi]" -> (col(c).isNotNull &&
+          (col(c).cast("long") < lo || col(c).cast("long") > hi)).cast("long") } ++
+      accepted.map { case (c, vs) =>
+        s"accepted:$c" -> (col(c).isNotNull &&
+          !col(c).isin(vs.map(_.asInstanceOf[Any]): _*)).cast("long") }
+    val scanReport: Option[DataFrame] =
+      if (scanChecks.isEmpty) None else Some {
+        val aggs = scanChecks.zipWithIndex.map { case ((_, ind), i) =>
+          coalesce(sum(ind), lit(0L)).as(s"__v_$i")
+        } :+ count(lit(1)).as("__total")
+        val one = df.agg(aggs.head, aggs.tail: _*)
+        val stackArgs = scanChecks.zipWithIndex.map { case ((name, _), i) =>
+          s"'${name.replace("'", "''")}', __v_$i"
+        }.mkString(", ")
+        one.selectExpr(
+          s"stack(${scanChecks.size}, $stackArgs) AS (check_name, violations)",
+          "__total AS total")
+      }
+    val uniqueReports = unique.map { ks =>
+      df.groupBy(ks.map(col): _*).agg(count(lit(1)).as("__c"))
+        .agg(coalesce(sum(when(col("__c") > 1, col("__c") - 1)), lit(0L))
+          .as("violations"), coalesce(sum(col("__c")), lit(0L)).as("total"))
+        .select(lit(s"unique:${ks.mkString(",")}").as("check_name"),
+          col("violations"), col("total"))
+    }
+    val refReports = refs.map { case (fk, dimDf, pk) =>
+      val fks = df.where(col(fk).isNotNull).select(col(fk).as("__fk"))
+      val dim = dimDf.select(col(pk).as("__fk")).distinct()
+        .withColumn("__hit", lit(1))
+      fks.join(dim, Seq("__fk"), "left")
+        .agg(coalesce(sum(when(col("__hit").isNull, 1L).otherwise(0L)), lit(0L))
+          .as("violations"), count(lit(1)).as("total"))
+        .select(lit(s"ref:$fk->$pk").as("check_name"),
+          col("violations"), col("total"))
+    }
+    (scanReport.toSeq ++ uniqueReports ++ refReports).reduce(_ union _)
+  }
+}

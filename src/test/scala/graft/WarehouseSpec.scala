@@ -1,0 +1,93 @@
+package graft
+
+import graft.ops.Warehouse
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+class WarehouseSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import scala.jdk.CollectionConverters._
+
+  private def df(schema: StructType, rows: Seq[Row]) =
+    spark.createDataFrame(rows.asJava, schema)
+
+  private val logSchema = StructType(Seq(
+    StructField("k", LongType, nullable = false),
+    StructField("ts", LongType, nullable = false),
+    StructField("id", LongType, nullable = false),
+    StructField("st", StringType, nullable = true)))
+
+  test("scd2 collapses unchanged runs into half-open validity intervals") {
+    val rows = Seq(
+      Row(1L, 10L, 1L, "a"), Row(1L, 20L, 2L, "a"), // same state: one version
+      Row(1L, 30L, 3L, "b"),                        // change at 30
+      Row(1L, 40L, 4L, "a"),                        // back to a: NEW version
+      Row(2L, 5L, 5L, "x"))
+    val got = Warehouse.scd2(df(logSchema, rows), "k", "ts", "id", Seq("st"))
+      .orderBy("k", "valid_from").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3), r.getInt(4)))
+    assert(got.toSeq == Seq(
+      (1L, "a", 10L, 30L, 0), (1L, "b", 30L, 40L, 0), (1L, "a", 40L, -1L, 1),
+      (2L, "x", 5L, -1L, 1)))
+  }
+
+  test("scd2 change detection is null-safe and tiebreak-deterministic") {
+    val rows = Seq( // duplicate ts=10: id orders a before null
+      Row(1L, 10L, 1L, "a"), Row(1L, 10L, 2L, null),
+      Row(1L, 20L, 3L, null)) // null == null: no new version
+    val got = Warehouse.scd2(df(logSchema, rows), "k", "ts", "id", Seq("st"))
+      .orderBy("valid_from", "is_current").collect()
+    assert(got.length == 2)
+    assert(got(0).getString(1) == "a" && got(0).getLong(3) == 10L)
+    assert(got(1).isNullAt(1) && got(1).getInt(4) == 1)
+  }
+
+  private val snapSchema = StructType(Seq(
+    StructField("k", LongType, nullable = false),
+    StructField("v", LongType, nullable = true)))
+
+  test("snapshotDiff classifies added/removed/changed and hides unchanged") {
+    val old = df(snapSchema, Seq(Row(1L, 10L), Row(2L, 20L), Row(3L, null)))
+    val neu = df(snapSchema, Seq(Row(2L, 25L), Row(3L, null), Row(4L, 40L)))
+    val got = Warehouse.snapshotDiff(old, neu, Seq("k"), Seq("v"))
+      .orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    // k=3 has NULL compare values on both sides → unchanged (null-safe)
+    assert(got.toSeq == Seq((1L, "removed"), (2L, "changed"), (4L, "added")))
+    val all = Warehouse.snapshotDiff(old, neu, Seq("k"), Seq("v"),
+      includeUnchanged = true).collect()
+    assert(all.length == 4)
+    val changed = all.find(_.getLong(0) == 2L).get
+    assert(changed.getLong(2) == 20L && changed.getLong(3) == 25L)
+  }
+
+  test("dqReport counts each violation family with exact totals") {
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = true),
+      StructField("q", LongType, nullable = true),
+      StructField("flag", StringType, nullable = true)))
+    val rows = Seq(
+      Row(1L, 5L, "A"), Row(1L, 60L, "A"), // dup id; q=60 out of [1,50]
+      Row(2L, null, "Z"),                  // null q (NOT a range violation)
+      Row(null, 7L, "N"))                  // null id
+    val d = df(schema, rows)
+    val dim = df(StructType(Seq(StructField("pk", LongType, nullable = false))),
+      Seq(Row(1L)))
+    val got = Warehouse.dqReport(d,
+        notNull = Seq("id", "q"),
+        unique = Seq(Seq("id")),
+        ranges = Seq(("q", 1L, 50L)),
+        accepted = Seq(("flag", Seq("A", "N"))),
+        refs = Seq(("id", dim, "pk")))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got("not_null:id") == (1L, 4L))
+    assert(got("not_null:q") == (1L, 4L))
+    assert(got("range:q[1,50]") == (1L, 4L)) // only the 60; NULL not counted
+    assert(got("accepted:flag") == (1L, 4L)) // only Z
+    assert(got("unique:id") == (1L, 4L))     // one excess duplicate row
+    assert(got("ref:id->pk") == (1L, 3L))    // id=2 orphaned; 3 non-null fks
+  }
+}
