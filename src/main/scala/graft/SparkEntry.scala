@@ -1886,6 +1886,24 @@ object SparkEntry {
             ("l_suppkey", halfSupp, "s_suppkey")))
         .orderBy("check_name")
     } _,
+    // interpolated percentiles (percentile_cont contract) as exact ×100
+    // integers — engine-native percentile_cont is double-computed and not
+    // cross-engine exact; the scaled-integer form is
+    "q_percentile_cont" -> dfq { s =>
+      val cust = s.table("customer")
+        .withColumn("cents", expr("CAST(ROUND(c_acctbal * 100) AS BIGINT)"))
+      graft.ops.Profile.groupPercentilesCont(cust, "c_nationkey", "cents",
+          Seq(25, 50, 75))
+        .orderBy("c_nationkey")
+    } _,
+    // equi-width histogram of quantities per returnflag: 12 buckets over
+    // [1, 60] — quantities stop at 50, so the top buckets prove the
+    // empty-cell grid (cnt = 0 rows appear)
+    "q_histogram" -> dfq { s =>
+      graft.ops.Profile.histogram(s.table("lineitem"), "l_returnflag",
+          "l_quantity", lo = 1L, hi = 60L, nbins = 12)
+        .orderBy("l_returnflag", "bucket")
+    } _,
     // dataset datasheet: the dataset-card numbers in ONE tall report —
     // corpus size, language/source breakdown, exact-dup rate (via the
     // engine's doc_fingerprint), char-length stats (integer mean)
@@ -4163,6 +4181,43 @@ object SparkEntry {
         |           WHERE s_suppkey % 2 = 0) s
         |  ON l.l_suppkey = s.s_suppkey
         |) ORDER BY check_name""".stripMargin,
+    "q_percentile_cont" ->
+      """WITH c AS (SELECT c_nationkey AS k,
+        |             CAST(ROUND(c_acctbal * 100) AS BIGINT) AS v
+        |           FROM customer WHERE c_acctbal IS NOT NULL),
+        |w AS (SELECT k, v, row_number() OVER (PARTITION BY k ORDER BY v) AS rn,
+        |             count(*) OVER (PARTITION BY k) AS n FROM c),
+        |a AS (SELECT k,
+        |        max(CASE WHEN rn = (25 * (n-1)) // 100 + 1 THEN v END) AS lo25,
+        |        max(CASE WHEN rn = (25 * (n-1)) // 100 + 2 THEN v END) AS hi25,
+        |        max((25 * (n-1)) % 100) AS f25,
+        |        max(CASE WHEN rn = (50 * (n-1)) // 100 + 1 THEN v END) AS lo50,
+        |        max(CASE WHEN rn = (50 * (n-1)) // 100 + 2 THEN v END) AS hi50,
+        |        max((50 * (n-1)) % 100) AS f50,
+        |        max(CASE WHEN rn = (75 * (n-1)) // 100 + 1 THEN v END) AS lo75,
+        |        max(CASE WHEN rn = (75 * (n-1)) // 100 + 2 THEN v END) AS hi75,
+        |        max((75 * (n-1)) % 100) AS f75
+        |      FROM w GROUP BY k)
+        |SELECT k AS c_nationkey,
+        |       CAST(100 * lo25 + f25 * (coalesce(hi25, lo25) - lo25) AS BIGINT)
+        |         AS p25_x100,
+        |       CAST(100 * lo50 + f50 * (coalesce(hi50, lo50) - lo50) AS BIGINT)
+        |         AS p50_x100,
+        |       CAST(100 * lo75 + f75 * (coalesce(hi75, lo75) - lo75) AS BIGINT)
+        |         AS p75_x100
+        |FROM a ORDER BY c_nationkey""".stripMargin,
+    "q_histogram" ->
+      """WITH c AS (SELECT l_returnflag AS k, CAST(l_quantity AS BIGINT) AS v
+        |           FROM lineitem),
+        |f AS (SELECT k, v FROM c WHERE v IS NOT NULL AND v BETWEEN 1 AND 60),
+        |cnt AS (SELECT k, ((v - 1) * 12) // 60 AS bucket, count(*) AS c
+        |        FROM f GROUP BY 1, 2),
+        |grid AS (SELECT k, unnest(generate_series(0, 11)) AS bucket
+        |         FROM (SELECT DISTINCT k FROM c))
+        |SELECT grid.k AS l_returnflag, CAST(grid.bucket AS BIGINT) AS bucket,
+        |       CAST(coalesce(cnt.c, 0) AS BIGINT) AS cnt
+        |FROM grid LEFT JOIN cnt ON grid.k = cnt.k AND grid.bucket = cnt.bucket
+        |ORDER BY l_returnflag, bucket""".stripMargin,
     "q_datasheet" ->
       s"""SELECT stat, value FROM (
          |  SELECT 'n_docs' AS stat, CAST(count(*) AS BIGINT) AS value FROM documents

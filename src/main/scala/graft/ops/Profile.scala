@@ -68,6 +68,76 @@ object Profile {
     base.groupBy(keyCol).agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Exact INTERPOLATED percentiles per group (the `percentile_cont`
+    * contract), scaled ×100 to stay integral: at 0-indexed real rank
+    * r = p·(n−1)/100 the result is v_lo + frac·(v_hi − v_lo) with
+    * lo = ⌊r⌋, frac = r − lo — emitted as
+    * `100·v_lo + ((p·(n−1)) mod 100)·(v_hi − v_lo)`, i.e. the interpolated
+    * value ×100 exactly (integer by construction; divide by 100.0 for the
+    * float). Engine-native percentile_cont is double-computed on both
+    * engines and NOT cross-engine exact — this integer form is.
+    *
+    * Same plan shape as [[groupPercentilesDisc]]: one key shuffle, a
+    * running-rank window, one partial-aggregated pass (two neighbor picks
+    * + the constant frac per percentile). Output: (keyCol, p<p>_x100 …). */
+  def groupPercentilesCont(df: DataFrame, keyCol: String, valCol: String,
+      ps: Seq[Int]): DataFrame = {
+    require(ps.nonEmpty && ps.forall(p => p >= 0 && p <= 100), "ps in 0..100")
+    require(!keyCol.startsWith("__"),
+      s"groupPercentilesCont: keyCol '$keyCol' collides with __-prefixed intermediates")
+    val wOrd = Window.partitionBy(keyCol).orderBy(col("__v"))
+    val wAll = Window.partitionBy(keyCol)
+    val base = df.select(col(keyCol), col(valCol).cast("long").as("__v"))
+      .where(col("__v").isNotNull)
+      .withColumn("__rn", row_number().over(wOrd))
+      .withColumn("__n", count(col("__v")).over(wAll))
+    val aggs = ps.flatMap { p => Seq(
+      // 1-indexed neighbors around the real rank; __hi is NULL when the
+      // rank is integral at the group's end (frac = 0) — coalesced below
+      max(when(col("__rn") === expr(s"(${p}L * (__n - 1)) div 100 + 1"),
+        col("__v"))).as(s"__lo_$p"),
+      max(when(col("__rn") === expr(s"(${p}L * (__n - 1)) div 100 + 2"),
+        col("__v"))).as(s"__hi_$p"),
+      max(expr(s"(${p}L * (__n - 1)) % 100")).as(s"__f_$p"))
+    }
+    base.groupBy(keyCol).agg(aggs.head, aggs.tail: _*)
+      .select(col(keyCol) +: ps.map { p =>
+        (lit(100L) * col(s"__lo_$p") + col(s"__f_$p") *
+          (coalesce(col(s"__hi_$p"), col(s"__lo_$p")) - col(s"__lo_$p")))
+          .as(s"p${p}_x100")
+      }: _*)
+  }
+
+  /** Exact equi-width histogram per group over integer-cast values in the
+    * CLOSED range [lo, hi]: bucket i of `nbins` is
+    * `(v − lo)·nbins div (hi − lo + 1)` — guaranteed in [0, nbins) for
+    * in-range v. Out-of-range and NULL values are excluded (count them
+    * with [[graft.ops.Warehouse.dqReport]] range checks if they matter).
+    * EVERY (key, bucket) cell appears — empty buckets report 0 via a
+    * distinct-keys × nbins grid (report-sized, like
+    * [[graft.ops.TimeSeries.windowedDistinct]]'s day grid).
+    *
+    * Scale: one count-only shuffle on (key, bucket) + one grid left join;
+    * the grid side is tiny. Output: (keyCol, bucket, cnt). */
+  def histogram(df: DataFrame, keyCol: String, valCol: String,
+                lo: Long, hi: Long, nbins: Int): DataFrame = {
+    require(nbins >= 1 && nbins <= 100000, "nbins in 1..100000")
+    require(lo <= hi && hi - lo < Long.MaxValue / nbins,
+      "need lo <= hi with (hi - lo)·nbins in 64-bit range")
+    require(!keyCol.startsWith("__"),
+      s"histogram: keyCol '$keyCol' collides with __-prefixed intermediates")
+    val w = hi - lo + 1
+    val counts = df.select(col(keyCol), col(valCol).cast("long").as("__v"))
+      .where(col("__v").isNotNull && col("__v").between(lo, hi))
+      .withColumn("bucket", expr(s"((__v - ${lo}L) * ${nbins}L) div ${w}L"))
+      .groupBy(col(keyCol), col("bucket")).agg(count(lit(1)).as("__c"))
+    val grid = df.select(col(keyCol)).distinct()
+      .select(col(keyCol), explode(sequence(lit(0L), lit((nbins - 1).toLong)))
+        .as("bucket"))
+    grid.join(counts, Seq(keyCol, "bucket"), "left")
+      .select(col(keyCol), col("bucket"), coalesce(col("__c"), lit(0L)).as("cnt"))
+  }
+
   /** Winsorization: clip `valCol` to its group's [pLo, pHi] discrete
     * percentiles — the standard outlier-robust feature scrub. Composes
     * [[groupPercentilesDisc]] (one windowed pass) with a per-key bounds

@@ -170,6 +170,37 @@ class PathsSpec extends AnyFunSuite {
     assert(got(90L) == 90L && got(95L) == 90L && got(100L) == 90L)
   }
 
+  test("groupPercentilesCont interpolates exactly (×100 integers)") {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("g", StringType, nullable = false),
+      StructField("v", LongType, nullable = false)))
+    val df = spark.createDataFrame((1L to 100L).map(v => Row("a", v)).asJava, schema)
+    val r = graft.ops.Profile.groupPercentilesCont(df, "g", "v", Seq(0, 25, 50, 100))
+      .collect().head
+    // ranks over 1..100: p25 → 25.75, p50 → 50.5, endpoints exact
+    assert(r.getLong(1) == 100L)    // p0  = 1.00
+    assert(r.getLong(2) == 2575L)   // p25 = 25.75
+    assert(r.getLong(3) == 5050L)   // p50 = 50.50
+    assert(r.getLong(4) == 10000L)  // p100 = 100.00
+  }
+
+  test("histogram: equi-width buckets with empty cells present") {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("g", StringType, nullable = false),
+      StructField("v", LongType, nullable = true)))
+    val rows = (1L to 50L).map(v => Row("a", v)) ++
+      Seq(Row("a", null), Row("a", 999L), Row("b", 7L)) // excluded + key b
+    val df = spark.createDataFrame(rows.asJava, schema)
+    val got = graft.ops.Profile.histogram(df, "g", "v", lo = 1L, hi = 60L, nbins = 12)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got.size == 24) // full 2-key × 12-bucket grid
+    (0 to 9).foreach(b => assert(got(("a", b.toLong)) == 5L)) // width-5 slices
+    assert(got(("a", 10L)) == 0L && got(("a", 11L)) == 0L)    // empty cells
+    assert(got(("b", 1L)) == 1L && got(("b", 0L)) == 0L)      // 7 → bucket 1
+  }
+
   test("winsorize: all-NULL-valued keys pass through instead of vanishing") {
     import org.apache.spark.sql.types._
     val schema = StructType(Seq(
