@@ -1549,6 +1549,17 @@ object SparkEntry {
       graft.ops.Index.coOccurrence(s.table("documents"), "text", "doc_id",
           minSup = 100L, topK = 50)
     } _,
+    // hop-bounded BFS on the near-dup candidate graph: min distance from
+    // the doc_id%10==0 seed set within 4 hops (fixed-round min-propagation,
+    // bit-replayable in the oracle's chained CTEs)
+    "q_bfs_dist" -> dfq { s =>
+      val pairs = graft.ops.Dedup.minhashPairs(s.table("documents"), "text", "doc_id",
+          k = 16, bands = 4, threshold = 0.3).select("id_a", "id_b")
+      val seeds = s.table("documents").where(col("doc_id") % 10 === 0)
+      graft.ops.Dedup.bfsDistances(pairs, "id_a", "id_b", seeds, "doc_id",
+          maxHops = 4)
+        .orderBy("id")
+    } _,
     // k-core peeling on the near-dup candidate graph: surviving nodes of
     // the 2-core with their within-core degree (dense-cluster filter)
     "q_kcore" -> dfq { s =>
@@ -2110,6 +2121,28 @@ object SparkEntry {
        |$rounds
        |SELECT a AS id, CAST(count(*) AS BIGINT) AS deg
        |FROM e${iters + 1} GROUP BY a ORDER BY id""".stripMargin
+  }
+
+  private def duckBfsSql(hops: Int): String = {
+    val rounds = (1 to hops).map { i =>
+      s"""d$i AS MATERIALIZED (SELECT id, min(d) AS d FROM (
+         |  SELECT id, d FROM d${i - 1}
+         |  UNION ALL
+         |  SELECT e.b AS id, $i AS d
+         |  FROM e JOIN (SELECT id FROM d${i - 1} WHERE d = ${i - 1}) f
+         |    ON e.a = f.id
+         |) GROUP BY id)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH RECURSIVE $duckMinhashCtes,
+       |p AS (SELECT id_a, id_b FROM jac
+       |      WHERE CAST(i AS DOUBLE) / CAST(la + lb - i AS DOUBLE) >= 0.3),
+       |pe AS (SELECT id_a AS a, id_b AS b FROM p WHERE id_a <> id_b),
+       |e AS (SELECT a, b FROM (SELECT a, b FROM pe UNION ALL SELECT b AS a, a AS b FROM pe)
+       |      GROUP BY a, b),
+       |d0 AS (SELECT DISTINCT doc_id AS id, 0 AS d FROM documents
+       |       WHERE doc_id % 10 = 0),
+       |$rounds
+       |SELECT id, CAST(d AS BIGINT) AS dist FROM d$hops ORDER BY id""".stripMargin
   }
 
   private def duckPageRankSql(iters: Int): String = {
@@ -3636,6 +3669,7 @@ object SparkEntry {
         |ORDER BY cnt DESC, k""".stripMargin,
     "q_pagerank" -> duckPageRankSql(6),
     "q_kcore" -> duckKCoreSql(2, 10),
+    "q_bfs_dist" -> duckBfsSql(4),
     "q_decimal_agg" ->
       """SELECT l_returnflag,
         |       CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) * 100 AS BIGINT) AS s_cents,

@@ -379,6 +379,41 @@ object Dedup {
     out
   }
 
+  /** k-hop BFS distances from a seed set over an undirected edge list:
+    * `(id, dist)` = the minimum number of edges from any seed, for every
+    * seed (dist = 0) and every node reachable within `maxHops` hops;
+    * unreached nodes are absent. Deterministic — each round is a
+    * min-aggregate, so the result is independent of execution order, and a
+    * FIXED `maxHops` rounds replays exactly in the oracle's chained CTEs
+    * (extra rounds past the fixed point are the identity).
+    *
+    * Scale: each hop is one frontier×edges equi-join (frontier = nodes
+    * first reached last hop, which only shrinks the join) + a min
+    * aggregate over (reached ∪ neighbors); the working set is the reached
+    * subgraph, never the corpus. Lineage is truncated per hop with
+    * localCheckpoint (swap for a reliable checkpoint dir multi-node). */
+  def bfsDistances(edges0: DataFrame, srcCol: String, dstCol: String,
+                   seeds0: DataFrame, seedCol: String, maxHops: Int): DataFrame = {
+    require(maxHops >= 1 && maxHops <= 64, "maxHops in 1..64")
+    requireIntegralIds(edges0, Seq(srcCol, dstCol), "bfsDistances")
+    requireIntegralIds(seeds0, Seq(seedCol), "bfsDistances")
+    val p = edges0.select(col(srcCol).cast("long").as("a"), col(dstCol).cast("long").as("b"))
+      .where(col("a") =!= col("b"))
+    val e = p.union(p.select(col("b").as("a"), col("a").as("b"))).distinct()
+      .localCheckpoint()
+    var dist = seeds0.select(col(seedCol).cast("long").as("id")).distinct()
+      .withColumn("dist", lit(0L)).localCheckpoint()
+    for (hop <- 1 to maxHops) {
+      val frontier = dist.where(col("dist") === (hop - 1).toLong)
+      val nbrs = e.join(frontier, e("a") === frontier("id"))
+        .select(col("b").as("id")).distinct()
+        .withColumn("dist", lit(hop.toLong))
+      dist = dist.union(nbrs).groupBy("id").agg(min("dist").as("dist"))
+        .localCheckpoint()
+    }
+    dist
+  }
+
   /** k-core decomposition by iterative peeling: repeatedly delete nodes of
     * degree < k (and their edges) until stable; returns the surviving
     * nodes with their within-core degree — the standard dense-subgraph

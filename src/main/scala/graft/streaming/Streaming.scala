@@ -582,6 +582,42 @@ object Streaming {
       }
   }
 
+  case class Scd2In(key: Long, ts: Long, id: Long, st: String)
+  case class Scd2Out(key: Long, st: String, valid_from: Long, valid_to: Long)
+  case class Scd2State(st: String, validFrom: Long, open: Boolean)
+
+  /** Streaming SCD Type-2 history build, BATCH-IDENTICAL
+    * ([[graft.ops.Warehouse.scd2]]) on CLOSED versions: each change of a
+    * key's state closes the previous version and emits it with
+    * `valid_to` = the change's ts (the half-open [from, to) convention).
+    * The currently-OPEN version lives only in state — an unbounded stream
+    * can never finalize it (the batch operator, which sees the group end,
+    * emits it with a NULL valid_to; that row is the one difference).
+    * Per-key state is O(1) (state value + valid_from); rows are sorted by
+    * (ts, id) within each micro-batch, cross-batch disorder is the
+    * caller's watermarking problem. State comparison is null-safe. */
+  def scd2Stream(input: Dataset[Scd2In]): Dataset[Scd2Out] = {
+    implicit val stateEnc: Encoder[Scd2State] = Encoders.product[Scd2State]
+    implicit val outEnc: Encoder[Scd2Out] = Encoders.product[Scd2Out]
+    implicit val keyEnc: Encoder[Long] = Encoders.scalaLong
+    input.groupByKey(_.key)
+      .flatMapGroupsWithState[Scd2State, Scd2Out](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (key: Long, rows: Iterator[Scd2In], state: GroupState[Scd2State]) =>
+          var st = state.getOption.getOrElse(Scd2State(null, 0L, open = false))
+          val out = scala.collection.mutable.ArrayBuffer.empty[Scd2Out]
+          rows.toSeq.sortBy(r => (r.ts, r.id)).foreach { r =>
+            if (!st.open) st = Scd2State(r.st, r.ts, open = true)
+            else if (st.st != r.st) { // Scala == is null-safe
+              out += Scd2Out(key, st.st, st.validFrom, r.ts)
+              st = Scd2State(r.st, r.ts, open = true)
+            }
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+
   def hllStream(input: Dataset[KV], p: Int = 9): Dataset[CardEstimate] = {
     implicit val stateEnc: Encoder[Array[Byte]] = Encoders.BINARY
     implicit val outEnc: Encoder[CardEstimate] = Encoders.product[CardEstimate]

@@ -251,6 +251,23 @@ class PathsSpec extends AnyFunSuite {
     assert(graft.ops.Dedup.kCore(df, "a", "b", k = 3, iters = 10).count() == 0)
   }
 
+  test("bfsDistances: hop-bounded min distances from a seed set") {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("a", LongType, nullable = false),
+      StructField("b", LongType, nullable = false)))
+    // path 1-2-3-4-5 plus a cycle edge 5-1 reached faster the other way
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 1L))
+    val df = spark.createDataFrame(
+      edges.map { case (a, b) => Row(a, b) }.asJava, schema)
+    val seeds = spark.createDataFrame(Seq(Row(1L), Row(10L)).asJava,
+      StructType(Seq(StructField("id", LongType, nullable = false))))
+    val got = graft.ops.Dedup.bfsDistances(df, "a", "b", seeds, "id", maxHops = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // seed 10 is graph-absent but still reports 0; 4 is 2 hops via 5-1
+    assert(got == Map(1L -> 0L, 10L -> 0L, 2L -> 1L, 5L -> 1L, 3L -> 2L, 4L -> 2L))
+  }
+
   test("zOrderValue interleaves bits; SQL fragment replays it exactly") {
     import org.apache.spark.sql.functions._
     val df = spark.range(1000).selectExpr("id % 37 AS x", "id % 53 AS y")

@@ -617,4 +617,35 @@ class StreamingSpec extends AnyFunSuite {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(seen.toMap == expected)
   }
+
+  test("batch ≡ stream: scd2Stream equals Warehouse.scd2 on closed versions") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rnd = new scala.util.Random(17)
+    // 3 keys × 120 rows; states repeat in runs so versions collapse
+    val rows = for (k <- 1L to 3L; i <- 0L until 120L) yield
+      Streaming.Scd2In(k, ts = i * 10L, id = k * 1000L + i,
+        st = if (rnd.nextInt(4) == 0) null else "s" + rnd.nextInt(3))
+    val batchClosed = graft.ops.Warehouse.scd2(
+        rows.toDF("key", "ts", "id", "st"), "key", "ts", "id", Seq("st"))
+      .where("valid_to IS NOT NULL")
+      .collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) null else r.getString(1),
+        r.getLong(2), r.getLong(3))).toSet
+    assert(batchClosed.size > 10, "need a non-trivial version history")
+    val mem = MemoryStream[Streaming.Scd2In]
+    val q = Streaming.scd2Stream(mem.toDS())
+      .writeStream.format("memory").queryName("scd2_stream")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      // split MID-VERSION: a version opened in batch 0 must close in batch 1
+      val (b0, rest) = rows.partition(_.ts < 370L)
+      mem.addData(b0: _*); q.processAllAvailable()
+      mem.addData(rest: _*); q.processAllAvailable()
+      val got = spark.sql("SELECT * FROM scd2_stream").collect()
+        .map(r => (r.getLong(0), if (r.isNullAt(1)) null else r.getString(1),
+          r.getLong(2), r.getLong(3))).toSet
+      assert(got == batchClosed)
+    } finally q.stop()
+  }
 }
