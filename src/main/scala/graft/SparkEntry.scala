@@ -1907,6 +1907,17 @@ object SparkEntry {
           Seq(25, 50, 75))
         .orderBy("c_nationkey")
     } _,
+    // weighted discrete percentiles: acctbal cents per nation where each
+    // customer counts (c_custkey mod 5 + 1) times — the weighted median /
+    // p90 without materializing the weight expansion
+    "q_weighted_percentiles" -> dfq { s =>
+      val cust = s.table("customer")
+        .withColumn("cents", expr("CAST(ROUND(c_acctbal * 100) AS BIGINT)"))
+        .withColumn("w", expr("c_custkey % 5 + 1"))
+      graft.ops.Profile.groupWeightedPercentilesDisc(cust, "c_nationkey",
+          "cents", "w", Seq(50, 90))
+        .orderBy("c_nationkey")
+    } _,
     // equi-width histogram of quantities per returnflag: 12 buckets over
     // [1, 60] — quantities stop at 50, so the top buckets prove the
     // empty-cell grid (cnt = 0 rows appear)
@@ -4240,6 +4251,23 @@ object SparkEntry {
         |       CAST(100 * lo75 + f75 * (coalesce(hi75, lo75) - lo75) AS BIGINT)
         |         AS p75_x100
         |FROM a ORDER BY c_nationkey""".stripMargin,
+    "q_weighted_percentiles" ->
+      """WITH c AS (SELECT c_nationkey AS k,
+        |             CAST(ROUND(c_acctbal * 100) AS BIGINT) AS v,
+        |             c_custkey % 5 + 1 AS w
+        |           FROM customer WHERE c_acctbal IS NOT NULL),
+        |r AS (SELECT k, v,
+        |        sum(w) OVER (PARTITION BY k ORDER BY v
+        |                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |          AS cw,
+        |        sum(w) OVER (PARTITION BY k) AS tw
+        |      FROM c)
+        |SELECT k AS c_nationkey,
+        |       CAST(min(CASE WHEN cw >= (50 * tw + 99) // 100 THEN v END)
+        |            AS BIGINT) AS p50,
+        |       CAST(min(CASE WHEN cw >= (90 * tw + 99) // 100 THEN v END)
+        |            AS BIGINT) AS p90
+        |FROM r GROUP BY k ORDER BY c_nationkey""".stripMargin,
     "q_histogram" ->
       """WITH c AS (SELECT l_returnflag AS k, CAST(l_quantity AS BIGINT) AS v
         |           FROM lineitem),

@@ -108,6 +108,39 @@ object Profile {
       }: _*)
   }
 
+  /** Exact WEIGHTED discrete percentiles per group: for each percentile p
+    * the smallest value whose cumulative weight (in `valCol` order) reaches
+    * ⌈p·W/100⌉, W = the group's total weight — the weighted
+    * `percentile_disc` contract (each row counts `wCol` times without
+    * materializing the expansion). Rows with NULL value/weight or
+    * non-positive weight are excluded. Integer-only arithmetic; the
+    * crossing VALUE is deterministic even though row order within a tied
+    * value is not (every row of a tied run carries the same value).
+    *
+    * Scale: one key shuffle; the cumulative weight is a running
+    * unbounded-preceding sum (O(1)/row — bounded frames are the ones Spark
+    * re-aggregates), then one partial-aggregated min per percentile.
+    * Output: (keyCol, p<p> …). */
+  def groupWeightedPercentilesDisc(df: DataFrame, keyCol: String,
+      valCol: String, wCol: String, ps: Seq[Int]): DataFrame = {
+    require(ps.nonEmpty && ps.forall(p => p >= 1 && p <= 100), "ps in 1..100")
+    require(!keyCol.startsWith("__"),
+      s"groupWeightedPercentilesDisc: keyCol '$keyCol' collides with __-prefixed intermediates")
+    val wRun = Window.partitionBy(keyCol).orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(keyCol)
+    val base = df.select(col(keyCol), col(valCol).cast("long").as("__v"),
+        col(wCol).cast("long").as("__w"))
+      .where(col("__v").isNotNull && col("__w").isNotNull && col("__w") > 0)
+      .withColumn("__cw", sum(col("__w")).over(wRun))
+      .withColumn("__tw", sum(col("__w")).over(wAll))
+    val aggs = ps.map { p =>
+      min(when(col("__cw") >= expr(s"(${p}L * __tw + 99) div 100"), col("__v")))
+        .as(s"p$p")
+    }
+    base.groupBy(keyCol).agg(aggs.head, aggs.tail: _*)
+  }
+
   /** Exact equi-width histogram per group over integer-cast values in the
     * CLOSED range [lo, hi]: bucket i of `nbins` is
     * `(v − lo)·nbins div (hi − lo + 1)` — guaranteed in [0, nbins) for
@@ -126,6 +159,8 @@ object Profile {
       "need lo <= hi with (hi - lo)·nbins in 64-bit range")
     require(!keyCol.startsWith("__"),
       s"histogram: keyCol '$keyCol' collides with __-prefixed intermediates")
+    require(keyCol != "bucket" && keyCol != "cnt",
+      "histogram: keyCol may not be named bucket/cnt (output columns)")
     val w = hi - lo + 1
     val counts = df.select(col(keyCol), col(valCol).cast("long").as("__v"))
       .where(col("__v").isNotNull && col("__v").between(lo, hi))

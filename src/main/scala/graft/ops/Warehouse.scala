@@ -38,6 +38,9 @@ object Warehouse {
     require(stateCols.nonEmpty, "scd2 needs at least one state column")
     require(!(stateCols :+ keyCol :+ tsCol).exists(_.startsWith("__")),
       "scd2: __-prefixed input columns collide with intermediates")
+    val reservedScd2 = Set("valid_from", "valid_to", "is_current")
+    require(!(keyCol +: tsCol +: tiebreakCol +: stateCols).exists(reservedScd2),
+      s"scd2: input columns may not be named ${reservedScd2.mkString("/")}")
     val w = Window.partitionBy(keyCol).orderBy(col(tsCol), col(tiebreakCol))
     val state = struct(stateCols.map(col): _*)
     df.select((keyCol +: tsCol +: tiebreakCol +: stateCols).distinct.map(col): _*)
@@ -68,6 +71,8 @@ object Warehouse {
     require(keyCols.nonEmpty && cmpCols.nonEmpty, "need key and compare columns")
     require(!(keyCols ++ cmpCols).exists(_.startsWith("__")),
       "snapshotDiff: __-prefixed input columns collide with intermediates")
+    require(!keyCols.contains("change"),
+      "snapshotDiff: a key column named 'change' collides with the output")
     def side(df: DataFrame, tag: String) =
       df.select(keyCols.map(col) :+ struct(cmpCols.map(col): _*).as(tag): _*)
     // using-columns full outer join → key columns arrive coalesced; a
@@ -111,6 +116,11 @@ object Warehouse {
                refs: Seq[(String, DataFrame, String)] = Nil): DataFrame = {
     require(notNull.nonEmpty || unique.nonEmpty || ranges.nonEmpty ||
       accepted.nonEmpty || refs.nonEmpty, "dqReport: no checks declared")
+    require(ranges.forall { case (_, lo, hi) => lo <= hi },
+      "dqReport: range checks need lo <= hi")
+    require(accepted.forall(_._2.nonEmpty),
+      "dqReport: accepted-set checks need at least one allowed value")
+    require(unique.forall(_.nonEmpty), "dqReport: empty unique key set")
     val scanChecks: Seq[(String, org.apache.spark.sql.Column)] =
       notNull.map(c => s"not_null:$c" -> col(c).isNull.cast("long")) ++
       ranges.map { case (c, lo, hi) =>

@@ -185,6 +185,32 @@ class PathsSpec extends AnyFunSuite {
     assert(r.getLong(4) == 10000L)  // p100 = 100.00
   }
 
+  test("groupWeightedPercentilesDisc ≡ percentile over the weight expansion") {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("g", StringType, nullable = false),
+      StructField("v", LongType, nullable = false),
+      StructField("w", LongType, nullable = false)))
+    // v = 1..10 with weight v: W = 55, p50 target 28 → v=7; p90 → v=10
+    val rows = (1L to 10L).map(v => Row("a", v, v))
+    val df = spark.createDataFrame(rows.asJava, schema)
+    val r = graft.ops.Profile.groupWeightedPercentilesDisc(df, "g", "v", "w",
+      Seq(50, 90)).collect().head
+    assert(r.getLong(1) == 7L && r.getLong(2) == 10L)
+    // equivalence on random data: expanding each row w times and taking the
+    // plain discrete percentile must agree
+    val rnd = new scala.util.Random(7)
+    val rand = (1 to 200).map(_ => Row("b", rnd.nextInt(50).toLong,
+      rnd.nextInt(4) + 1L))
+    val rdf = spark.createDataFrame(rand.asJava, schema)
+    val viaWeights = graft.ops.Profile.groupWeightedPercentilesDisc(
+      rdf, "g", "v", "w", Seq(25, 50, 75, 99)).collect().head
+    val expanded = rdf.selectExpr("g", "explode(sequence(1, w)) AS i", "v")
+    val viaExpansion = graft.ops.Profile.groupPercentilesDisc(
+      expanded, "g", "v", Seq(25, 50, 75, 99)).collect().head
+    (1 to 4).foreach(i => assert(viaWeights.getLong(i) == viaExpansion.getLong(i)))
+  }
+
   test("histogram: equi-width buckets with empty cells present") {
     import org.apache.spark.sql.types._
     val schema = StructType(Seq(
