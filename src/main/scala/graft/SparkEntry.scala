@@ -1401,6 +1401,25 @@ object SparkEntry {
           "o_orderkey", Seq("o_orderkey"))
         .select("event_id", "user_id", "o_orderkey").orderBy("event_id")
     } _,
+    // last-touch attribution capstone: each purchase joined AS-OF to the
+    // user's most recent prior view/click (the one-merge-pass native asof
+    // exec — no pair explosion), carrying the touch's channel from props
+    "q_attribution" -> dfq { s =>
+      val ev = s.table("events")
+      val purchases = ev.where(col("event_type") === "purchase")
+        .selectExpr("event_id", "user_id", "ts",
+          "CAST(ROUND(value * 100) AS BIGINT) AS rev_cents")
+      val touches = ev.where(col("event_type").isin("view", "click"))
+        .selectExpr("user_id AS t_user", "ts AS t_ts", "event_id AS t_id",
+          "event_type AS t_type",
+          "CAST(NULLIF(regexp_extract(props, '\"k\": *([0-9]+)', 1), '') AS INT) % 5 AS channel")
+      graft.plans.AsofJoinNative.asof(purchases, touches, "user_id", "t_user",
+          "ts", "t_ts", "t_id", Seq("t_id", "t_type", "channel"))
+        .select(col("event_id"), col("user_id"), col("rev_cents"),
+          col("t_id").as("touch_id"), col("t_type").as("touch_type"),
+          col("channel"))
+        .orderBy("event_id")
+    } _,
     // ---- mergeable sketches (corpus profiling at 100 TB) -------------------
     // HLL register file over a key column: the persistable/mergeable distinct
     // sketch artifact (one counted shuffle over <=2^p buckets, builtins only)
@@ -3588,6 +3607,28 @@ object SparkEntry {
         |SELECT e.event_id, e.user_id, NULL AS o_orderkey FROM events e
         |WHERE NOT EXISTS (SELECT 1 FROM orders o
         |  WHERE o.o_custkey = e.user_id AND epoch_ms(o.o_orderdate) <= epoch_ns(e.ts) // 1000000)
+        |ORDER BY event_id""".stripMargin,
+    "q_attribution" ->
+      """WITH p AS (SELECT event_id, user_id, epoch_ns(ts) AS t,
+        |             CAST(ROUND(value * 100) AS BIGINT) AS rev_cents
+        |           FROM events WHERE event_type = 'purchase'),
+        |tc AS (SELECT user_id AS t_user, epoch_ns(ts) AS t_ts,
+        |             event_id AS t_id, event_type AS t_type,
+        |             CAST(NULLIF(regexp_extract(props, '"k": *([0-9]+)', 1), '')
+        |                  AS INT) % 5 AS channel
+        |       FROM events WHERE event_type IN ('view', 'click'))
+        |SELECT event_id, user_id, rev_cents, t_id AS touch_id,
+        |       t_type AS touch_type, channel FROM (
+        |  SELECT p.event_id, p.user_id, p.rev_cents, tc.t_id, tc.t_type,
+        |         tc.channel,
+        |         row_number() OVER (PARTITION BY p.event_id
+        |                            ORDER BY tc.t_ts DESC, tc.t_id DESC) AS rn
+        |  FROM p JOIN tc ON tc.t_user = p.user_id AND tc.t_ts <= p.t
+        |) WHERE rn = 1
+        |UNION ALL
+        |SELECT p.event_id, p.user_id, p.rev_cents, NULL, NULL, NULL FROM p
+        |WHERE NOT EXISTS (SELECT 1 FROM tc
+        |                  WHERE tc.t_user = p.user_id AND tc.t_ts <= p.t)
         |ORDER BY event_id""".stripMargin,
     // HLL registers: bucket = low 9 hash bits, rho = 52 - bitlength(h >> 9)
     "q_hll_registers" ->
