@@ -610,6 +610,26 @@ object Bench {
         graft.ops.Profile.winsorize(df, "k", "v", pLo = 1, pHi = 99)
           .write.format("noop").mode("overwrite").save()
       },
+      // 4-hop BFS over a 1M-edge ring-with-chords graph from 1k seeds:
+      // per-hop frontier joins + min aggregates, localCheckpoint-truncated
+      "x_bfs_1m" -> { s: SparkSession =>
+        val edges = s.range(1000000L).selectExpr("id AS a",
+          "pmod(id + 1 + pmod(hash(id), 97), 1000000) AS b")
+        val seeds = s.range(1000L).selectExpr("id * 1000 AS id")
+        val n = graft.ops.Dedup.bfsDistances(edges, "a", "b", seeds, "id",
+          maxHops = 4).count()
+        require(n >= 1000L, s"expected >= 1k reached nodes, got $n")
+      },
+      // sliding 7-day exact distincts over 10M events (1k keys × 200 days,
+      // ~70M fanned rows into the distinct aggregate): the deduplicated-
+      // daily fan-out + day-grid left join at scale
+      "x_window_distinct_10m" -> { s: SparkSession =>
+        val ev = s.range(10000000L).selectExpr("id % 1000 AS k",
+          "(id div 1000 % 200) * 86400000000000 + id AS ts",
+          "pmod(hash(id), 50000) AS e")
+        graft.ops.TimeSeries.windowedDistinct(ev, "k", "ts", "e", windowDays = 7)
+          .write.format("noop").mode("overwrite").save()
+      },
       // SCD2 over a 20M-row changelog (100k keys × 200 versions-ish): one
       // key shuffle, both windows on one sort; distinct-until-changed keeps
       // only ~1/4 of rows (state cycles with period-4 noise)

@@ -1884,6 +1884,19 @@ object SparkEntry {
           Seq("event_type"))
         .orderBy("user_id", "valid_from")
     } _,
+    // incremental SCD2 (the MERGE pattern): history built from the pre-split
+    // changelog, the rest applied with scd2Apply — closed versions untouched,
+    // open versions re-seeded; the oracle is the FULL rebuild, so the gate
+    // proves incremental ≡ batch
+    "q_scd2_increment" -> dfq { s =>
+      val splitNs = 1705400000000000000L // ~mid-range of events.ts
+      val ev = s.table("events")
+      val hist = graft.ops.Warehouse.scd2(ev.where(col("ts") < splitNs),
+        "user_id", "ts", "event_id", Seq("event_type"))
+      graft.ops.Warehouse.scd2Apply(hist, ev.where(col("ts") >= splitNs),
+          "user_id", "ts", "event_id", Seq("event_type"))
+        .orderBy("user_id", "valid_from")
+    } _,
     // keyed snapshot diff: two orders snapshots derived deterministically
     // (old = keys %3≠0; new = keys %5≠0 with %7 keys repriced +100 cents)
     // classified added/removed/changed via a full-outer merge on the key
@@ -2152,6 +2165,26 @@ object SparkEntry {
        |SELECT a AS id, CAST(count(*) AS BIGINT) AS deg
        |FROM e${iters + 1} GROUP BY a ORDER BY id""".stripMargin
   }
+
+  /** SCD2 rebuild from the full events changelog — the oracle for both the
+    * batch build (q_scd2) and the incremental MERGE (q_scd2_increment). */
+  private val duckScd2Sql: String =
+    """WITH e AS (SELECT user_id, epoch_ns(ts) AS t, event_id, event_type
+      |           FROM events),
+      |c AS (SELECT *, lag(event_type)
+      |               OVER (PARTITION BY user_id ORDER BY t, event_id) AS prev
+      |      FROM e),
+      |v AS (SELECT user_id, event_type, t, event_id FROM c
+      |      WHERE prev IS NULL OR prev IS DISTINCT FROM event_type),
+      |f AS (SELECT user_id, event_type, t AS valid_from,
+      |             lead(t) OVER (PARTITION BY user_id ORDER BY t, event_id)
+      |               AS valid_to
+      |      FROM v)
+      |SELECT user_id, event_type, CAST(valid_from AS BIGINT) AS valid_from,
+      |       CAST(valid_to AS BIGINT) AS valid_to,
+      |       CAST(CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END AS INT)
+      |         AS is_current
+      |FROM f ORDER BY user_id, valid_from""".stripMargin
 
   private def duckBfsSql(hops: Int): String = {
     val rounds = (1 to hops).map { i =>
@@ -4171,23 +4204,10 @@ object SparkEntry {
         |SELECT c.c_custkey, c.c_nationkey, c.cents,
         |       least(greatest(c.cents, b.lo), b.hi) AS v_w
         |FROM c JOIN b USING (c_nationkey) ORDER BY c_custkey""".stripMargin,
-    "q_scd2" ->
-      """WITH e AS (SELECT user_id, epoch_ns(ts) AS t, event_id, event_type
-        |           FROM events),
-        |c AS (SELECT *, lag(event_type)
-        |               OVER (PARTITION BY user_id ORDER BY t, event_id) AS prev
-        |      FROM e),
-        |v AS (SELECT user_id, event_type, t, event_id FROM c
-        |      WHERE prev IS NULL OR prev IS DISTINCT FROM event_type),
-        |f AS (SELECT user_id, event_type, t AS valid_from,
-        |             lead(t) OVER (PARTITION BY user_id ORDER BY t, event_id)
-        |               AS valid_to
-        |      FROM v)
-        |SELECT user_id, event_type, CAST(valid_from AS BIGINT) AS valid_from,
-        |       CAST(valid_to AS BIGINT) AS valid_to,
-        |       CAST(CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END AS INT)
-        |         AS is_current
-        |FROM f ORDER BY user_id, valid_from""".stripMargin,
+    "q_scd2" -> duckScd2Sql,
+    // incremental ≡ batch: the oracle for the incremental build IS the
+    // full-changelog rebuild
+    "q_scd2_increment" -> duckScd2Sql,
     "q_snapshot_diff" ->
       """WITH b AS (SELECT o_orderkey AS k,
         |             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents,

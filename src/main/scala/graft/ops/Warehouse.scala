@@ -53,6 +53,49 @@ object Warehouse {
         Seq(col("valid_from"), col("valid_to"), col("is_current")): _*)
   }
 
+  /** Incremental SCD2 maintenance (the MERGE pattern): apply a NEW
+    * changelog batch to an existing [[scd2]] history without touching
+    * closed versions. Each key's OPEN version is re-seeded as a synthetic
+    * changelog row at its `valid_from` (with a −∞ tiebreak so it sorts
+    * before any same-instant new row) and re-collapsed together with the
+    * new rows; the result is `closed-history ∪ scd2(seeds ∪ changes)` —
+    * IDENTICAL to rebuilding from the full changelog (the oracle gate
+    * replays exactly that). A change OLDER than its key's open version
+    * would rewrite closed history: it fails loudly (late data is the
+    * caller's watermark policy, not a silent history rewrite). The guard
+    * rides the ts column itself so column pruning can never elide it.
+    *
+    * Scale: closed history is touched by NOTHING (at 100 TB it stays on
+    * disk; only the open-version seeds — one row per live key — and the
+    * new batch enter the shuffle). `tiebreakCol` must be integral (the
+    * synthetic seed tiebreak is Long.MinValue). */
+  def scd2Apply(history: DataFrame, changes: DataFrame, keyCol: String,
+                tsCol: String, tiebreakCol: String,
+                stateCols: Seq[String]): DataFrame = {
+    require(stateCols.nonEmpty, "scd2Apply needs at least one state column")
+    Dedup.requireIntegralIds(changes, Seq(tiebreakCol), "scd2Apply")
+    val closed = history.where(col("valid_to").isNotNull)
+    val open = history.where(col("valid_to").isNull)
+    val tsType = changes.schema(tsCol).dataType
+    val openFrom = open.select(col(keyCol), col("valid_from").as("__vf"))
+    val guardedChanges = changes.join(openFrom, Seq(keyCol), "left")
+      .withColumn("__ts_g",
+        when(col("__vf").isNotNull && col(tsCol) < col("__vf"),
+          raise_error(concat(lit("scd2Apply: change for key "),
+            col(keyCol).cast("string"),
+            lit(" predates the open version — late data needs a watermark" +
+              " policy, not a history rewrite"))).cast(tsType))
+          .otherwise(col(tsCol)))
+      .select(col(keyCol) +: col("__ts_g").as(tsCol) +:
+        col(tiebreakCol).cast("long").as(tiebreakCol) +: stateCols.map(col): _*)
+    val seeds = open.select(col(keyCol) +: col("valid_from").as(tsCol) +:
+      lit(Long.MinValue).as(tiebreakCol) +: stateCols.map(col): _*)
+    closed.select((keyCol +: stateCols).map(col) ++
+        Seq(col("valid_from"), col("valid_to"), col("is_current")): _*)
+      .union(scd2(seeds.union(guardedChanges), keyCol, tsCol, tiebreakCol,
+        stateCols))
+  }
+
   /** Keyed snapshot diff: classify every key across two snapshot versions as
     * `added` (new only), `removed` (old only), `changed` (both, differing
     * `cmpCols`) or `unchanged`; `includeUnchanged=false` (default) keeps the

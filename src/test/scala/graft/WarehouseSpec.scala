@@ -45,6 +45,33 @@ class WarehouseSpec extends AnyFunSuite {
     assert(got(1).isNullAt(1) && got(1).getInt(4) == 1)
   }
 
+  test("scd2Apply: incremental merge equals the full rebuild at any split") {
+    val rnd = new scala.util.Random(23)
+    val rows = for (k <- 1L to 5L; i <- 0L until 80L) yield
+      Row(k, i * 7L, k * 1000L + i,
+        if (rnd.nextInt(5) == 0) null else "s" + rnd.nextInt(3))
+    val all = df(logSchema, rows)
+    val full = Warehouse.scd2(all, "k", "ts", "id", Seq("st"))
+      .collect().map(_.toSeq).toSet
+    for (splitTs <- Seq(0L, 100L, 300L, 10000L)) {
+      val hist = Warehouse.scd2(all.where(col("ts") < splitTs),
+        "k", "ts", "id", Seq("st"))
+      val got = Warehouse.scd2Apply(hist, all.where(col("ts") >= splitTs),
+        "k", "ts", "id", Seq("st")).collect().map(_.toSeq).toSet
+      assert(got == full, s"split at $splitTs diverged")
+    }
+  }
+
+  test("scd2Apply: a change predating the open version fails loudly") {
+    val base = df(logSchema, Seq(Row(1L, 100L, 1L, "a"), Row(1L, 200L, 2L, "b")))
+    val hist = Warehouse.scd2(base, "k", "ts", "id", Seq("st"))
+    val late = df(logSchema, Seq(Row(1L, 150L, 3L, "c"))) // before open@200
+    val ex = intercept[Exception] {
+      Warehouse.scd2Apply(hist, late, "k", "ts", "id", Seq("st")).collect()
+    }
+    assert(ex.getMessage != null)
+  }
+
   private val snapSchema = StructType(Seq(
     StructField("k", LongType, nullable = false),
     StructField("v", LongType, nullable = true)))
