@@ -610,6 +610,15 @@ object Bench {
         graft.ops.Profile.winsorize(df, "k", "v", pLo = 1, pHi = 99)
           .write.format("noop").mode("overwrite").save()
       },
+      // exact global rank + running sum over 20M rows with NO
+      // single-partition window: range shuffle + per-partition prefixes
+      "x_global_prefix_20m" -> { s: SparkSession =>
+        val df = s.range(20000000L).selectExpr("id", "hash(id) AS v")
+        graft.ops.Rank.globalPrefix(df,
+          Seq(org.apache.spark.sql.functions.col("v").desc,
+            org.apache.spark.sql.functions.col("id").asc), "v")
+          .write.format("noop").mode("overwrite").save()
+      },
       // 4-hop BFS over a 1M-edge ring-with-chords graph from 1k seeds:
       // per-hop frontier joins + min aggregates, localCheckpoint-truncated
       "x_bfs_1m" -> { s: SparkSession =>

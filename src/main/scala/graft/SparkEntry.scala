@@ -1929,6 +1929,39 @@ object SparkEntry {
             ("l_suppkey", halfSupp, "s_suppkey")))
         .orderBy("check_name")
     } _,
+    // RFM quintile scoring: per-customer recency/frequency/monetary from
+    // orders, scores 1-5 by exact global-rank position arithmetic — three
+    // range-partitioned prefix passes, NO single-partition window
+    "q_rfm" -> dfq { s =>
+      val o = s.table("orders").selectExpr("o_custkey",
+        "unix_millis(CAST(o_orderdate AS TIMESTAMP)) AS t_ms",
+        "CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents")
+      val a = o.groupBy("o_custkey").agg(
+        max(col("t_ms")).as("last_ms"), count(lit(1)).as("f"),
+        sum(col("cents")).as("m_cents"))
+      val withR = a.crossJoin(broadcast(o.agg(max(col("t_ms")).as("mx"))))
+        .withColumn("r_days", expr("(mx - last_ms) div 86400000"))
+        .drop("mx", "last_ms")
+      graft.ops.Rank.rfmScores(withR, "o_custkey", "r_days", "f", "m_cents")
+        .orderBy("o_custkey")
+    } _,
+    // ABC / Pareto classification of parts by revenue share: exact global
+    // rank + running revenue share via the range-partitioned prefix op
+    // (again no single-partition window); A = first 80% of revenue, B = 95%
+    "q_abc" -> dfq { s =>
+      val rev = s.table("lineitem")
+        .withColumn("cents", expr("CAST(ROUND(l_extendedprice * 100) AS BIGINT)"))
+        .groupBy("l_partkey").agg(sum("cents").as("rev"))
+      val pref = graft.ops.Rank.globalPrefix(rev,
+        Seq(col("rev").desc, col("l_partkey").asc), "rev",
+        rankName = "rnk", cumName = "cum")
+      pref.crossJoin(broadcast(rev.agg(sum("rev").as("tot"))))
+        .withColumn("cls",
+          when(col("cum") * 100 <= col("tot") * 80, "A")
+            .when(col("cum") * 100 <= col("tot") * 95, "B").otherwise("C"))
+        .drop("tot")
+        .orderBy("l_partkey")
+    } _,
     // interpolated percentiles (percentile_cont contract) as exact ×100
     // integers — engine-native percentile_cont is double-computed and not
     // cross-engine exact; the scaled-integer form is
@@ -4287,6 +4320,43 @@ object SparkEntry {
         |           WHERE s_suppkey % 2 = 0) s
         |  ON l.l_suppkey = s.s_suppkey
         |) ORDER BY check_name""".stripMargin,
+    "q_rfm" ->
+      """WITH o AS (SELECT o_custkey, epoch_ms(o_orderdate) AS t_ms,
+        |             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+        |           FROM orders),
+        |a AS (SELECT o_custkey, max(t_ms) AS last_ms, count(*) AS f,
+        |             sum(cents) AS m_cents FROM o GROUP BY 1),
+        |r AS (SELECT a.o_custkey, (m.mx - a.last_ms) // 86400000 AS r_days,
+        |             a.f, a.m_cents
+        |      FROM a, (SELECT max(t_ms) AS mx FROM o) m),
+        |s AS (SELECT *, row_number() OVER (ORDER BY r_days, o_custkey) AS rr,
+        |             row_number() OVER (ORDER BY f DESC, o_custkey) AS rf,
+        |             row_number() OVER (ORDER BY m_cents DESC, o_custkey) AS rm,
+        |             count(*) OVER () AS n
+        |      FROM r)
+        |SELECT o_custkey, CAST(r_days AS BIGINT) AS r_days,
+        |       CAST(f AS BIGINT) AS f, CAST(m_cents AS BIGINT) AS m_cents,
+        |       CAST(5 - (5 * (rr - 1)) // n AS INT) AS r_score,
+        |       CAST(5 - (5 * (rf - 1)) // n AS INT) AS f_score,
+        |       CAST(5 - (5 * (rm - 1)) // n AS INT) AS m_score
+        |FROM s ORDER BY o_custkey""".stripMargin,
+    "q_abc" ->
+      """WITH rev AS (SELECT l_partkey,
+        |               CAST(sum(CAST(ROUND(l_extendedprice * 100) AS BIGINT))
+        |                    AS BIGINT) AS rev
+        |             FROM lineitem GROUP BY 1),
+        |r AS (SELECT l_partkey, rev,
+        |        row_number() OVER (ORDER BY rev DESC, l_partkey) AS rnk,
+        |        sum(rev) OVER (ORDER BY rev DESC, l_partkey
+        |                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |          AS cum,
+        |        sum(rev) OVER () AS tot
+        |      FROM rev)
+        |SELECT l_partkey, rev, CAST(rnk AS BIGINT) AS rnk,
+        |       CAST(cum AS BIGINT) AS cum,
+        |       CASE WHEN cum * 100 <= tot * 80 THEN 'A'
+        |            WHEN cum * 100 <= tot * 95 THEN 'B' ELSE 'C' END AS cls
+        |FROM r ORDER BY l_partkey""".stripMargin,
     "q_percentile_cont" ->
       """WITH c AS (SELECT c_nationkey AS k,
         |             CAST(ROUND(c_acctbal * 100) AS BIGINT) AS v

@@ -1,0 +1,83 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Exact GLOBAL order statistics without the single-partition funnel.
+ *
+ * The naive `row_number() OVER (ORDER BY …)` / running `sum() OVER
+ * (ORDER BY …)` with no PARTITION BY collapses the whole table into ONE
+ * window partition — the classic scale-killer for global ranking. The
+ * standard distributed formulation used here: range-repartition on the
+ * order key, compute per-partition (count, sum) — a #partitions-sized
+ * driver collect — and give every partition its prefix offsets; ranks and
+ * running sums are then per-partition windows, fully parallel. The order
+ * must end in a unique tiebreak so the total order (and therefore every
+ * rank) is well-defined regardless of partitioning.
+ */
+object Rank {
+
+  /** Add exact global `rank` (1-indexed position in `orderCols` order) and
+    * `cum` (running sum of `valCol`, current row inclusive) to `df`.
+    *
+    * `orderCols` MUST be a total order (end in a unique tiebreak).
+    * Scale: one range shuffle + per-partition windows; the only driver
+    * materialization is one (count, sum) row per partition. The ranged
+    * data is localCheckpoint-pinned so the offset pass and the output ride
+    * the same partitioning (swap for a reliable checkpoint dir multi-node). */
+  def globalPrefix(df: DataFrame, orderCols: Seq[Column], valCol: String,
+                   rankName: String = "rank", cumName: String = "cum"): DataFrame = {
+    require(orderCols.nonEmpty, "globalPrefix needs order columns")
+    require(!df.columns.contains(rankName) && !df.columns.contains(cumName),
+      s"globalPrefix: output names $rankName/$cumName collide with input")
+    require(!df.columns.exists(_.startsWith("__")),
+      "globalPrefix: __-prefixed input columns collide with intermediates")
+    val v = col(valCol).cast("long")
+    val ranged = df.repartitionByRange(orderCols: _*)
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint()
+    val parts = ranged.groupBy("__pid")
+      .agg(count(lit(1)).as("__c"), coalesce(sum(v), lit(0L)).as("__s"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    var (cAcc, sAcc) = (0L, 0L)
+    val offs = parts.map { case (pid, c, s) =>
+      val row = (pid, cAcc, sAcc); cAcc += c; sAcc += s; row
+    }
+    val spark = df.sparkSession
+    import spark.implicits._
+    val offDf = offs.toSeq.toDF("__pid", "__coff", "__soff")
+    val w = Window.partitionBy("__pid").orderBy(orderCols: _*)
+    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ranged.join(broadcast(offDf), Seq("__pid"))
+      .withColumn(rankName, row_number().over(w) + col("__coff"))
+      .withColumn(cumName, sum(v).over(wRun) + col("__soff"))
+      .drop("__pid", "__coff", "__soff")
+  }
+
+  /** RFM quintile scoring per entity: given per-entity (recency metric
+    * ASCENDING = better, frequency, monetary), attach exact quintile
+    * scores 1–5 (5 = best) by global-rank position arithmetic:
+    * `score = 5 − (5·(rank−1)) div n` with rank over (metric, tiebreak) —
+    * deterministic, replayable, no single-partition window (three
+    * [[globalPrefix]] passes over the entity-sized table). `idCol` is the
+    * unique tiebreak. Output adds r_score/f_score/m_score. */
+  def rfmScores(df: DataFrame, idCol: String, recencyCol: String,
+                freqCol: String, monetaryCol: String): DataFrame = {
+    def scored(in: DataFrame, metric: Column, name: String): DataFrame = {
+      val ranked = globalPrefix(in, Seq(metric, col(idCol)), idCol,
+        rankName = "__rnk", cumName = "__cum")
+      ranked.crossJoin(broadcast(in.agg(count(lit(1)).as("__n"))))
+        .withColumn(name,
+          (lit(5L) - expr("(5 * (__rnk - 1)) div __n")).cast("int"))
+        .drop("__rnk", "__cum", "__n")
+    }
+    // recency: SMALLER is better → rank ascending puts best first (rank 1
+    // → score 5); frequency/monetary: LARGER is better → rank descending
+    val r = scored(df, col(recencyCol).asc, "r_score")
+    val f = scored(r, col(freqCol).desc, "f_score")
+    scored(f, col(monetaryCol).desc, "m_score")
+  }
+}

@@ -1,0 +1,50 @@
+package graft
+
+import graft.ops.Rank
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+class RankSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import scala.jdk.CollectionConverters._
+
+  private val schema = StructType(Seq(
+    StructField("id", LongType, nullable = false),
+    StructField("v", LongType, nullable = false)))
+
+  test("globalPrefix equals the single-partition window on random data") {
+    val rnd = new scala.util.Random(41)
+    val rows = (1L to 500L).map(i => Row(i, rnd.nextInt(40).toLong))
+    // many partitions + heavy ties to stress the range/offset arithmetic
+    val df = spark.createDataFrame(rows.asJava, schema).repartition(7)
+    val got = Rank.globalPrefix(df, Seq(col("v").desc, col("id").asc), "v")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3)))).toMap
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("v").desc, col("id").asc)
+    val exp = df.withColumn("rank", row_number().over(w).cast("long"))
+      .withColumn("cum", sum("v").over(
+        w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3)))).toMap
+    assert(got == exp)
+  }
+
+  test("rfmScores: quintile positions 1-5, best metric gets 5") {
+    val rfmSchema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("rec", LongType, nullable = false),
+      StructField("f", LongType, nullable = false),
+      StructField("m", LongType, nullable = false)))
+    // rec ascending best → id 1 best recency; f/m descending best → id 10
+    val rows = (1L to 10L).map(i => Row(i, i, i, i * 100L))
+    val df = spark.createDataFrame(rows.asJava, rfmSchema)
+    val got = Rank.rfmScores(df, "id", "rec", "f", "m")
+      .collect().map(r => r.getLong(0) -> ((r.getInt(4), r.getInt(5), r.getInt(6))))
+      .toMap
+    assert(got(1L) == ((5, 1, 1)) && got(10L) == ((1, 5, 5)))
+    // 10 rows → exactly 2 per quintile on each axis
+    assert(got.values.map(_._1).groupBy(identity).forall(_._2.size == 2))
+  }
+}
