@@ -1929,6 +1929,24 @@ object SparkEntry {
             ("l_suppkey", halfSupp, "s_suppkey")))
         .orderBy("check_name")
     } _,
+    // mergeable log-binned quantile sketch: registers (key, bin, cnt) over
+    // price cents — the persistable/mergeable quantile artifact next to the
+    // HLL register file (≤ ~960 integer rows per key at any corpus size)
+    "q_qsketch_registers" -> dfq { s =>
+      val li = s.table("lineitem")
+        .withColumn("cents", expr("CAST(ROUND(l_extendedprice * 100) AS BIGINT)"))
+      graft.ops.Sketches.qsketchRegisters(li, "l_returnflag", "cents")
+        .orderBy("l_returnflag", "bin")
+    } _,
+    // quantile estimates read back from the registers (crossing bin →
+    // lower bound): deterministic, ≤ 1/16 relative error vs exact
+    "q_qsketch_quantiles" -> dfq { s =>
+      val li = s.table("lineitem")
+        .withColumn("cents", expr("CAST(ROUND(l_extendedprice * 100) AS BIGINT)"))
+      val regs = graft.ops.Sketches.qsketchRegisters(li, "l_returnflag", "cents")
+      graft.ops.Sketches.qsketchQuantiles(regs, "l_returnflag", Seq(50, 90, 99))
+        .orderBy("l_returnflag")
+    } _,
     // RFM quintile scoring: per-customer recency/frequency/monetary from
     // orders, scores 1-5 by exact global-rank position arithmetic — three
     // range-partitioned prefix passes, NO single-partition window
@@ -4320,6 +4338,47 @@ object SparkEntry {
         |           WHERE s_suppkey % 2 = 0) s
         |  ON l.l_suppkey = s.s_suppkey
         |) ORDER BY check_name""".stripMargin,
+    "q_qsketch_registers" ->
+      """WITH c AS (SELECT l_returnflag AS k,
+        |             CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS v
+        |           FROM lineitem),
+        |f AS (SELECT k, v FROM c WHERE v IS NOT NULL AND v >= 0),
+        |b AS (SELECT k, CASE WHEN v < 16 THEN v
+        |                ELSE (length(bin(v)) - 5) * 16 + (v >> (length(bin(v)) - 5))
+        |                END AS bin
+        |      FROM f)
+        |SELECT k AS l_returnflag, CAST(bin AS BIGINT) AS bin,
+        |       CAST(count(*) AS BIGINT) AS cnt
+        |FROM b GROUP BY 1, 2 ORDER BY l_returnflag, bin""".stripMargin,
+    "q_qsketch_quantiles" ->
+      """WITH c AS (SELECT l_returnflag AS k,
+        |             CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS v
+        |           FROM lineitem),
+        |f AS (SELECT k, v FROM c WHERE v IS NOT NULL AND v >= 0),
+        |b AS (SELECT k, CASE WHEN v < 16 THEN v
+        |                ELSE (length(bin(v)) - 5) * 16 + (v >> (length(bin(v)) - 5))
+        |                END AS bin
+        |      FROM f),
+        |r AS (SELECT k, bin, count(*) AS cnt FROM b GROUP BY 1, 2),
+        |w AS (SELECT k, bin, cnt,
+        |        sum(cnt) OVER (PARTITION BY k ORDER BY bin
+        |                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |          AS cw,
+        |        sum(cnt) OVER (PARTITION BY k) AS tw
+        |      FROM r),
+        |q AS (SELECT k,
+        |        min(CASE WHEN cw >= (50 * tw + 99) // 100 THEN bin END) AS b50,
+        |        min(CASE WHEN cw >= (90 * tw + 99) // 100 THEN bin END) AS b90,
+        |        min(CASE WHEN cw >= (99 * tw + 99) // 100 THEN bin END) AS b99
+        |      FROM w GROUP BY k)
+        |SELECT k AS l_returnflag,
+        |  CAST(CASE WHEN b50 < 16 THEN b50
+        |       ELSE (b50 % 16 + 16) << (b50 // 16 - 1) END AS BIGINT) AS q50,
+        |  CAST(CASE WHEN b90 < 16 THEN b90
+        |       ELSE (b90 % 16 + 16) << (b90 // 16 - 1) END AS BIGINT) AS q90,
+        |  CAST(CASE WHEN b99 < 16 THEN b99
+        |       ELSE (b99 % 16 + 16) << (b99 // 16 - 1) END AS BIGINT) AS q99
+        |FROM q ORDER BY l_returnflag""".stripMargin,
     "q_rfm" ->
       """WITH o AS (SELECT o_custkey, epoch_ms(o_orderdate) AS t_ms,
         |             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents

@@ -298,6 +298,42 @@ object Sketches {
     probe.where(contains(key.cast("string")))
   }
 
+  // ---- log-binned quantile sketch ("qsketch") ------------------------------
+
+  /** Mergeable quantile-sketch REGISTERS per group: `(key, bin, cnt)` over
+    * NON-NEGATIVE integer values (negatives/NULLs excluded) with ≤ 1/16
+    * relative bucket width — exact bins for v < 16, then 16 sub-bins per
+    * power-of-two octave: `bin = (e−4)·16 + (v >> (e−4))`, e = bitlength−1
+    * (computed as `length(bin(v)) − 1`, identical in Spark and DuckDB).
+    * Like [[hllRegisters]], the artifact is engine-independent integers:
+    * persist it, union shards, re-aggregate with `sum(cnt)` — quantiles of
+    * a 100 TB corpus reduce to merging ≤ ~960 register rows per key.
+    * One counted shuffle. */
+  def qsketchRegisters(df: DataFrame, keyCol: String, valCol: String): DataFrame = {
+    require(!keyCol.startsWith("__") && keyCol != "bin" && keyCol != "cnt",
+      "qsketchRegisters: keyCol collides with intermediates/output")
+    df.select(col(keyCol), col(valCol).cast("long").as("__v"))
+      .where(col("__v").isNotNull && col("__v") >= 0)
+      .withColumn("bin", expr("CASE WHEN __v < 16 THEN __v ELSE " +
+        "(length(bin(__v)) - 5) * 16 + shiftright(__v, length(bin(__v)) - 5) END"))
+      .groupBy(col(keyCol), col("bin")).agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Quantile ESTIMATES from qsketch registers: the weighted-percentile
+    * crossing bin ([[Profile.groupWeightedPercentilesDisc]] over
+    * (bin, cnt) — registers per key are tiny) inverted to the bin's LOWER
+    * BOUND (`(bin%16+16) << (bin div 16 − 1)` past the exact range) —
+    * deterministic, merge-stable, within 1/16 relative error of the exact
+    * discrete percentile (spec-asserted). Output: (keyCol, q<p> …). */
+  def qsketchQuantiles(regs: DataFrame, keyCol: String, ps: Seq[Int]): DataFrame = {
+    val picked = Profile.groupWeightedPercentilesDisc(regs, keyCol, "bin", "cnt", ps)
+    picked.select(col(keyCol) +: ps.map { p =>
+      expr(s"CASE WHEN p$p < 16 THEN p$p ELSE " +
+        s"shiftleft(CAST(p$p % 16 + 16 AS BIGINT), CAST(p$p div 16 - 1 AS INT)) END")
+        .as(s"q$p")
+    }: _*)
+  }
+
   // ---- registration --------------------------------------------------------
 
   def registerAll(): Unit = {

@@ -324,4 +324,32 @@ class SketchesSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == truth)
   }
+
+  test("qsketch: merge-stable registers, quantiles within 1/16 relative error") {
+    val rnd = new scala.util.Random(53)
+    // lognormal-ish positive longs with a heavy tail + the exact range
+    val vals = (1 to 4000).map { _ =>
+      val e = rnd.nextInt(28)
+      ((1L << e) + ((rnd.nextLong() & Long.MaxValue) % (1L << e)))
+        .max(rnd.nextInt(16).toLong)
+    }
+    val df = vals.map(v => ("k", v)).toDF("g", "v")
+    val regs = Sketches.qsketchRegisters(df, "g", "v")
+    // merge stability: registers of two shards, unioned and re-summed,
+    // equal the full build (the artifact contract)
+    val (s1, s2) = vals.zipWithIndex.partition(_._2 % 2 == 0)
+    val merged = Sketches.qsketchRegisters(s1.map(x => ("k", x._1)).toDF("g", "v"), "g", "v")
+      .union(Sketches.qsketchRegisters(s2.map(x => ("k", x._1)).toDF("g", "v"), "g", "v"))
+      .groupBy("g", "bin").agg(sum("cnt").as("cnt"))
+    assert(merged.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet ==
+      regs.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet)
+    // error bound vs the exact discrete percentiles
+    val est = Sketches.qsketchQuantiles(regs, "g", Seq(50, 90, 99)).collect().head
+    val sorted = vals.sorted
+    def exact(p: Int): Long = sorted(((p.toLong * sorted.size + 99) / 100).toInt - 1)
+    Seq(50, 90, 99).zipWithIndex.foreach { case (p, i) =>
+      val e = est.getLong(i + 1); val x = exact(p)
+      assert(e <= x && x - e <= x / 16 + 1, s"p$p: est $e vs exact $x")
+    }
+  }
 }
