@@ -1692,6 +1692,33 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     } _,
 
+    // entity-resolution capstone: fuzzy candidate pairs (edit distance ≤ 1,
+    // PassJoin blocking) → connected components → one canonical entity id
+    // (the component's min part id) per part, singletons mapping to
+    // themselves — record linkage end-to-end in one lineage
+    "q_entity_ids" -> dfq { s =>
+      val pairs = graft.ops.Fuzzy.fuzzySelfJoin(s.table("part"), "p_partkey",
+          "p_name", maxDist = 1).select("id_a", "id_b")
+      val labels = graft.ops.Dedup.connectedComponents(pairs, "id_a", "id_b")
+      s.table("part").select(col("p_partkey"))
+        .join(labels, col("p_partkey") === col("id"), "left")
+        .select(col("p_partkey"),
+          coalesce(col("comp"), col("p_partkey")).as("entity_id"))
+        .orderBy("p_partkey")
+    } _,
+    // ORC round-trip: the other built-in columnar format next to parquet —
+    // binary-exact for NULLs/unicode/newlines without CSV quoting hazards
+    "q_orc_roundtrip" -> dfq { s =>
+      val tricky = expr(
+        """CASE WHEN doc_id % 7 = 0 THEN NULL
+          |ELSE concat(substring(text, 1, 25), ' é€', char(10), 'tail') END""".stripMargin)
+      val df = s.table("documents")
+        .select(col("doc_id"), tricky.as("tricky"), col("n_chars"))
+      val out = java.nio.file.Files.createTempDirectory("graft_orc_rt").toString
+      df.coalesce(2).write.mode("overwrite").orc(out)
+      s.read.schema(df.schema).orc(out).orderBy("doc_id")
+    } _,
+
     // ---- time series -------------------------------------------------------
     // rolling z-score outliers per event_type, cross-multiplied to exact
     // integers: flag ⇔ (n·x − s)² > 9·(n·s2 − s²) over a 20-row frame
@@ -1928,6 +1955,24 @@ object SparkEntry {
           refs = Seq(("l_orderkey", s.table("orders"), "o_orderkey"),
             ("l_suppkey", halfSupp, "s_suppkey")))
         .orderBy("check_name")
+    } _,
+    // deterministic equal-frequency binning (exact-ntile deciles of acctbal
+    // cents per nation, ties broken by c_custkey — reproducible where SQL
+    // ntile's tie order is engine-arbitrary)
+    "q_quantile_bins" -> dfq { s =>
+      val cust = s.table("customer")
+        .withColumn("cents", expr("CAST(ROUND(c_acctbal * 100) AS BIGINT)"))
+      graft.ops.Profile.quantileBins(cust, "c_nationkey", "cents",
+          "c_custkey", nBins = 10)
+        .select("c_custkey", "c_nationkey", "cents", "bucket")
+        .orderBy("c_custkey")
+    } _,
+    // sparse contingency table with exact chi-square pieces: event_type ×
+    // user-bucket cell counts + marginals + grand total as integers
+    "q_contingency" -> dfq { s =>
+      val ev = s.table("events").withColumn("ub", col("user_id") % 7)
+      graft.ops.Profile.contingency(ev, "event_type", "ub")
+        .orderBy("a", "b")
     } _,
     // mergeable log-binned quantile sketch: registers (key, bin, cnt) over
     // price cents — the persistable/mergeable quantile artifact next to the
@@ -2236,6 +2281,35 @@ object SparkEntry {
       |       CAST(CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END AS INT)
       |         AS is_current
       |FROM f ORDER BY user_id, valid_from""".stripMargin
+
+  /** Entity-resolution replay: CC runs at the DISTINCT-NAME level (labels
+    * start at each name's min part id, so the converged label is the
+    * component's min part id — identical to the engine's id-graph CC, which
+    * verifies its own convergence). The name graph's diameter is ~1 at the
+    * gate SFs; `rounds` = 8 is a wide margin and each round is over the
+    * name universe (tiny). */
+  private def duckEntityIdsSql(rounds: Int): String = {
+    val iter = (1 to rounds).map { i =>
+      s"""l$i AS MATERIALIZED (
+         |  SELECT l.s, least(l.comp, coalesce(m.mc, l.comp)) AS comp
+         |  FROM l${i - 1} l LEFT JOIN (
+         |    SELECT se.d AS s, min(lp.comp) AS mc
+         |    FROM se JOIN l${i - 1} lp ON lp.s = se.s GROUP BY se.d) m
+         |    ON m.s = l.s)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH names AS (SELECT p_name, min(p_partkey) AS rep FROM part GROUP BY 1),
+       |sp AS (SELECT a.p_name AS sa, b.p_name AS sb FROM names a JOIN names b
+       |       ON a.p_name < b.p_name
+       |       WHERE abs(length(a.p_name) - length(b.p_name)) <= 1
+       |         AND levenshtein(a.p_name, b.p_name) <= 1),
+       |se AS MATERIALIZED (SELECT sa AS s, sb AS d FROM sp
+       |                    UNION ALL SELECT sb, sa FROM sp),
+       |l0 AS MATERIALIZED (SELECT p_name AS s, rep AS comp FROM names),
+       |$iter
+       |SELECT p.p_partkey, CAST(l.comp AS BIGINT) AS entity_id
+       |FROM part p JOIN l$rounds l ON l.s = p.p_name
+       |ORDER BY p_partkey""".stripMargin
+  }
 
   private def duckBfsSql(hops: Int): String = {
     val rounds = (1 to hops).map { i =>
@@ -3998,6 +4072,14 @@ object SparkEntry {
         |WHERE abs(length(a.p_name) - length(b.p_name)) <= 1
         |  AND levenshtein(a.p_name, b.p_name) <= 1
         |ORDER BY id_a, id_b""".stripMargin,
+    "q_entity_ids" -> duckEntityIdsSql(8),
+    "q_orc_roundtrip" ->
+      """SELECT doc_id,
+        |       CASE WHEN doc_id % 7 = 0 THEN NULL
+        |            ELSE substr(text, 1, 25) || ' é€' || chr(10) || 'tail' END
+        |         AS tricky,
+        |       n_chars
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "q_anomaly" ->
       """WITH e AS (SELECT event_id, event_type,
         |             CAST(ROUND(value * 100) AS BIGINT) AS cents,
@@ -4338,6 +4420,33 @@ object SparkEntry {
         |           WHERE s_suppkey % 2 = 0) s
         |  ON l.l_suppkey = s.s_suppkey
         |) ORDER BY check_name""".stripMargin,
+    "q_quantile_bins" ->
+      """WITH c AS (SELECT c_custkey, c_nationkey,
+        |             CAST(ROUND(c_acctbal * 100) AS BIGINT) AS cents
+        |           FROM customer),
+        |w AS (SELECT c_custkey, c_nationkey, cents,
+        |        count(cents) OVER (PARTITION BY c_nationkey
+        |                           ORDER BY cents, c_custkey
+        |                           ROWS BETWEEN UNBOUNDED PRECEDING
+        |                             AND CURRENT ROW) AS rn,
+        |        count(cents) OVER (PARTITION BY c_nationkey) AS n
+        |      FROM c)
+        |SELECT c_custkey, c_nationkey, cents,
+        |       CASE WHEN cents IS NOT NULL
+        |            THEN CAST((10 * (rn - 1)) // n + 1 AS BIGINT) END AS bucket
+        |FROM w ORDER BY c_custkey""".stripMargin,
+    "q_contingency" ->
+      """WITH e AS (SELECT event_type AS a, user_id % 7 AS b FROM events
+        |           WHERE event_type IS NOT NULL AND user_id IS NOT NULL),
+        |cells AS (SELECT a, b, count(*) AS o FROM e GROUP BY 1, 2),
+        |ra AS (SELECT a, sum(o) AS ra FROM cells GROUP BY 1),
+        |cb AS (SELECT b, sum(o) AS cb FROM cells GROUP BY 1),
+        |n AS (SELECT sum(o) AS n FROM cells)
+        |SELECT cells.a, cells.b, CAST(o AS BIGINT) AS o,
+        |       CAST(ra.ra AS BIGINT) AS ra, CAST(cb.cb AS BIGINT) AS cb,
+        |       CAST(n.n AS BIGINT) AS n
+        |FROM cells JOIN ra USING (a) JOIN cb USING (b), n
+        |ORDER BY a, b""".stripMargin,
     "q_qsketch_registers" ->
       """WITH c AS (SELECT l_returnflag AS k,
         |             CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS v

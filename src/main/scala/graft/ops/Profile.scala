@@ -141,6 +141,55 @@ object Profile {
     base.groupBy(keyCol).agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Deterministic equal-frequency binning (exact ntile) per group:
+    * `bucket = (n·(rank−1)) div count + 1` with rank over
+    * (valCol, tiebreakCol) — unlike SQL `ntile`, ties are broken by the
+    * unique tiebreak, so the assignment is reproducible across engines and
+    * runs (SQL ntile's tie order is engine-arbitrary). NULL values get
+    * bucket NULL. One key shuffle, one window pass; adds `bucket`. */
+  def quantileBins(df: DataFrame, keyCol: String, valCol: String,
+                   tiebreakCol: String, nBins: Int): DataFrame = {
+    require(nBins >= 1 && nBins <= 10000, "nBins in 1..10000")
+    require(!keyCol.startsWith("__") && keyCol != "bucket",
+      "quantileBins: keyCol collides with intermediates/output")
+    // rank among NON-NULL values via a running count — row_number would be
+    // poisoned by NULL rows' position, which differs across engines (Spark
+    // sorts NULLS FIRST, DuckDB NULLS LAST); count skips them either way
+    val wRun = Window.partitionBy(keyCol).orderBy(col(valCol), col(tiebreakCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(keyCol)
+    df.withColumn("__rn", count(col(valCol)).over(wRun))
+      .withColumn("__n", count(col(valCol)).over(wAll))
+      .withColumn("bucket",
+        when(col(valCol).isNotNull,
+          expr(s"(${nBins}L * (__rn - 1)) div __n + 1")))
+      .drop("__rn", "__n")
+  }
+
+  /** Contingency table with exact chi-square PIECES: counts per (a, b)
+    * cell plus row/column marginals and the grand total — emitted as
+    * integers so the oracle hash-gates them; the chi-square statistic
+    * `Σ (n·o − ra·cb)² / (n·ra·cb)` is one float fold away in whatever
+    * precision the caller wants. Only OBSERVED cells appear (a sparse
+    * contingency table; absent cells have o = 0 and contribute
+    * `ra·cb/n` — reconstructable from the marginals).
+    *
+    * Scale: one counted shuffle on (a, b); marginals re-aggregate the
+    * CELL table (|A|·|B|-sized, not row-sized) and join back broadcast.
+    * Output: (a, b, o, ra, cb, n). */
+  def contingency(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val cells = df.where(col(aCol).isNotNull && col(bCol).isNotNull)
+      .groupBy(col(aCol).as("a"), col(bCol).as("b"))
+      .agg(count(lit(1)).as("o"))
+      .localCheckpoint() // marginals + join reuse one materialization
+    val ra = cells.groupBy("a").agg(sum("o").as("ra"))
+    val cb = cells.groupBy("b").agg(sum("o").as("cb"))
+    val n = cells.agg(sum("o").as("n"))
+    cells.join(broadcast(ra), "a").join(broadcast(cb), "b")
+      .crossJoin(broadcast(n))
+      .select(col("a"), col("b"), col("o"), col("ra"), col("cb"), col("n"))
+  }
+
   /** Exact equi-width histogram per group over integer-cast values in the
     * CLOSED range [lo, hi]: bucket i of `nbins` is
     * `(v − lo)·nbins div (hi − lo + 1)` — guaranteed in [0, nbins) for

@@ -227,6 +227,39 @@ class PathsSpec extends AnyFunSuite {
     assert(got(("b", 1L)) == 1L && got(("b", 0L)) == 0L)      // 7 → bucket 1
   }
 
+  test("quantileBins: even deciles, NULL values get NULL buckets") {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("g", StringType, nullable = false),
+      StructField("id", LongType, nullable = false),
+      StructField("v", LongType, nullable = true)))
+    val rows = (1L to 100L).map(v => Row("a", v, v)) ++
+      Seq(Row("a", 200L, null), Row("a", 201L, null))
+    val df = spark.createDataFrame(rows.asJava, schema)
+    val got = graft.ops.Profile.quantileBins(df, "g", "v", "id", nBins = 10)
+      .collect().map(r => r.getLong(1) ->
+        (if (r.isNullAt(3)) -1L else r.getLong(3))).toMap
+    (1L to 100L).foreach(v => assert(got(v) == (v - 1) / 10 + 1))
+    assert(got(200L) == -1L && got(201L) == -1L) // NULL in, NULL bucket out
+  }
+
+  test("contingency: cell counts, marginals, grand total") {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("a", StringType, nullable = true),
+      StructField("b", LongType, nullable = true)))
+    val rows = Seq(Row("x", 1L), Row("x", 1L), Row("x", 2L), Row("y", 1L),
+      Row(null, 1L), Row("y", null)) // null-keyed rows excluded
+    val df = spark.createDataFrame(rows.asJava, schema)
+    val got = graft.ops.Profile.contingency(df, "a", "b")
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(got(("x", 1L)) == ((2L, 3L, 3L, 4L)))
+    assert(got(("x", 2L)) == ((1L, 3L, 1L, 4L)))
+    assert(got(("y", 1L)) == ((1L, 1L, 3L, 4L)))
+    assert(got.size == 3) // sparse: no (y,2) cell
+  }
+
   test("winsorize: all-NULL-valued keys pass through instead of vanishing") {
     import org.apache.spark.sql.types._
     val schema = StructType(Seq(

@@ -45,6 +45,14 @@ class WarehouseSpec extends AnyFunSuite {
     assert(got(1).isNullAt(1) && got(1).getInt(4) == 1)
   }
 
+  test("scd2 plans exactly one hash exchange (both windows share one sort)") {
+    val rows = (1L to 50L).map(i => Row(i % 5, i, i, "s" + (i % 3)))
+    val plan = Warehouse.scd2(df(logSchema, rows), "k", "ts", "id", Seq("st"))
+      .queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges == 1, s"expected 1 hash exchange, got $exchanges:\n$plan")
+  }
+
   test("scd2Apply: incremental merge equals the full rebuild at any split") {
     val rnd = new scala.util.Random(23)
     val rows = for (k <- 1L to 5L; i <- 0L until 80L) yield
