@@ -1579,6 +1579,13 @@ object SparkEntry {
           maxHops = 4)
         .orderBy("id")
     } _,
+    // local clustering-coefficient pieces on the near-dup candidate graph:
+    // (id, triangles-through, degree) — 2·tri/(deg·(deg−1)) one division away
+    "q_clustering" -> dfq { s =>
+      val pairs = graft.ops.Dedup.minhashPairs(s.table("documents"), "text", "doc_id",
+          k = 16, bands = 4, threshold = 0.3).select("id_a", "id_b")
+      graft.ops.Dedup.clusteringPieces(pairs, "id_a", "id_b").orderBy("id")
+    } _,
     // k-core peeling on the near-dup candidate graph: surviving nodes of
     // the 2-core with their within-core degree (dense-cluster filter)
     "q_kcore" -> dfq { s =>
@@ -1910,6 +1917,13 @@ object SparkEntry {
       graft.ops.Warehouse.scd2(s.table("events"), "user_id", "ts", "event_id",
           Seq("event_type"))
         .orderBy("user_id", "valid_from")
+    } _,
+    // SCD Type-1 latest-wins state: one max_by shuffle, no window — the
+    // upsert-compaction companion to the SCD2 history build
+    "q_scd1" -> dfq { s =>
+      graft.ops.Warehouse.scd1Latest(s.table("events"), "user_id", "ts",
+          "event_id", Seq("event_type"))
+        .orderBy("user_id")
     } _,
     // incremental SCD2 (the MERGE pattern): history built from the pre-split
     // changelog, the rest applied with scd2Apply — closed versions untouched,
@@ -3880,6 +3894,25 @@ object SparkEntry {
     "q_pagerank" -> duckPageRankSql(6),
     "q_kcore" -> duckKCoreSql(2, 10),
     "q_bfs_dist" -> duckBfsSql(4),
+    "q_clustering" ->
+      s"""WITH RECURSIVE $duckMinhashCtes,
+         |p AS (SELECT id_a, id_b FROM jac
+         |      WHERE CAST(i AS DOUBLE) / CAST(la + lb - i AS DOUBLE) >= 0.3),
+         |e AS (SELECT least(id_a, id_b) AS a, greatest(id_a, id_b) AS b
+         |      FROM p WHERE id_a <> id_b GROUP BY 1, 2),
+         |t AS (SELECT e1.a AS a, e1.b AS b, e2.b AS c
+         |      FROM e e1 JOIN e e2 ON e2.a = e1.b
+         |      JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+         |tn AS (SELECT id, count(*) AS tri FROM (
+         |         SELECT a AS id FROM t UNION ALL SELECT b FROM t
+         |         UNION ALL SELECT c FROM t)
+         |       GROUP BY id),
+         |dn AS (SELECT id, count(*) AS deg FROM (
+         |         SELECT a AS id FROM e UNION ALL SELECT b FROM e)
+         |       GROUP BY id)
+         |SELECT dn.id, CAST(coalesce(tn.tri, 0) AS BIGINT) AS tri,
+         |       CAST(dn.deg AS BIGINT) AS deg
+         |FROM dn LEFT JOIN tn USING (id) ORDER BY id""".stripMargin,
     "q_decimal_agg" ->
       """SELECT l_returnflag,
         |       CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) * 100 AS BIGINT) AS s_cents,
@@ -4337,6 +4370,13 @@ object SparkEntry {
         |SELECT c.c_custkey, c.c_nationkey, c.cents,
         |       least(greatest(c.cents, b.lo), b.hi) AS v_w
         |FROM c JOIN b USING (c_nationkey) ORDER BY c_custkey""".stripMargin,
+    "q_scd1" ->
+      """SELECT user_id, event_type, CAST(t AS BIGINT) AS ts FROM (
+        |  SELECT user_id, event_type, epoch_ns(ts) AS t,
+        |         row_number() OVER (PARTITION BY user_id
+        |                            ORDER BY epoch_ns(ts) DESC, event_id DESC)
+        |           AS rn
+        |  FROM events) WHERE rn = 1 ORDER BY user_id""".stripMargin,
     "q_scd2" -> duckScd2Sql,
     // incremental ≡ batch: the oracle for the incremental build IS the
     // full-changelog rebuild

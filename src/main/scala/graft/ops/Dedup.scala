@@ -326,6 +326,28 @@ object Dedup {
       .select(col("x").as("a"), col("y").as("b"), col("z").as("c"))
   }
 
+  /** Local clustering-coefficient PIECES per node: `(id, tri, deg)` with
+    * `tri` = triangles through the node and `deg` its degree in the
+    * deduped undirected graph — the coefficient `2·tri / (deg·(deg−1))`
+    * is one division away; the integer pieces keep it oracle-exact.
+    * Scale: the oriented wedge join of [[triangles]] (each triangle
+    * enumerated once) + two counted aggregates; the checkpointed edge set
+    * feeds both. */
+  def clusteringPieces(edges0: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    requireIntegralIds(edges0, Seq(srcCol, dstCol), "clusteringPieces")
+    val s0 = col(srcCol).cast("long")
+    val d0 = col(dstCol).cast("long")
+    val e = edges0.select(least(s0, d0).as("a"), greatest(s0, d0).as("b"))
+      .where(col("a") =!= col("b")).distinct().localCheckpoint()
+    val triCounts = triangles(e, "a", "b")
+      .select(explode(array(col("a"), col("b"), col("c"))).as("id"))
+      .groupBy("id").agg(count(lit(1)).as("tri"))
+    val deg = e.select(col("a").as("id")).union(e.select(col("b").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("deg"))
+    deg.join(triCounts, Seq("id"), "left")
+      .select(col("id"), coalesce(col("tri"), lit(0L)).as("tri"), col("deg"))
+  }
+
   /** PageRank over an undirected edge list in EXACT integer arithmetic
     * (ranks scaled by 10^6): edges are symmetrized and deduped, every
     * endpoint starts at 1.0, and each of the `iters` rounds computes

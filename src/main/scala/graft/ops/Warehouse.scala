@@ -53,6 +53,25 @@ object Warehouse {
         Seq(col("valid_from"), col("valid_to"), col("is_current")): _*)
   }
 
+  /** SCD Type-1 (latest-wins) state: one row per key carrying the state of
+    * the greatest (ts, tiebreak) — the upsert-compaction companion to
+    * [[scd2]]. ONE partial-aggregated shuffle (`max_by` folds map-side);
+    * no window, no sort. Output: (keyCol, stateCols…, tsCol). */
+  def scd1Latest(df: DataFrame, keyCol: String, tsCol: String,
+                 tiebreakCol: String, stateCols: Seq[String]): DataFrame = {
+    require(stateCols.nonEmpty, "scd1Latest needs at least one state column")
+    require(!(keyCol +: tsCol +: tiebreakCol +: stateCols)
+      .exists(_.startsWith("__")),
+      "scd1Latest: __-prefixed input columns collide with intermediates")
+    df.groupBy(col(keyCol))
+      .agg(
+        max_by(struct(stateCols.map(col): _*),
+          struct(col(tsCol), col(tiebreakCol))).as("__st"),
+        max(struct(col(tsCol), col(tiebreakCol))).as("__at"))
+      .select(col(keyCol) +: stateCols.map(c => col(s"__st.$c").as(c)) :+
+        col(s"__at.$tsCol").as(tsCol): _*)
+  }
+
   /** Incremental SCD2 maintenance (the MERGE pattern): apply a NEW
     * changelog batch to an existing [[scd2]] history without touching
     * closed versions. Each key's OPEN version is re-seeded as a synthetic

@@ -618,6 +618,44 @@ object Streaming {
       }
   }
 
+  case class QIn(key: String, v: Long)
+  case class QReg(key: String, bin: Long, cnt: Long)
+  case class QState(bins: Seq[Long], cnts: Seq[Long])
+
+  /** Streaming qsketch registers, BATCH-IDENTICAL
+    * ([[graft.ops.Sketches.qsketchRegisters]]): per-key state is the
+    * register map (≤ ~960 entries — bounded whatever the stream length);
+    * each micro-batch emits the key's full updated register set (Update
+    * mode: per-(key, bin) counts only grow, so the latest emission per
+    * (key, bin) is the state). Negative values are ignored, matching the
+    * batch operator's filter. The bin arithmetic is the same
+    * bitlength−1 formula the SQL tier uses. */
+  def qsketchStream(input: Dataset[QIn]): Dataset[QReg] = {
+    implicit val stateEnc: Encoder[QState] = Encoders.product[QState]
+    implicit val outEnc: Encoder[QReg] = Encoders.product[QReg]
+    implicit val keyEnc: Encoder[String] = Encoders.STRING
+    def bin(v: Long): Long =
+      if (v < 16L) v
+      else {
+        val e = 63 - java.lang.Long.numberOfLeadingZeros(v)
+        (e - 4).toLong * 16L + (v >>> (e - 4))
+      }
+    input.groupByKey(_.key)
+      .flatMapGroupsWithState[QState, QReg](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (key: String, rows: Iterator[QIn], state: GroupState[QState]) =>
+          val m = scala.collection.mutable.Map.empty[Long, Long]
+          state.getOption.foreach(s =>
+            s.bins.zip(s.cnts).foreach { case (b, c) => m(b) = c })
+          rows.foreach { r =>
+            if (r.v >= 0L) { val b = bin(r.v); m(b) = m.getOrElse(b, 0L) + 1L }
+          }
+          val sorted = m.toSeq.sortBy(_._1)
+          state.update(QState(sorted.map(_._1), sorted.map(_._2)))
+          sorted.map { case (b, c) => QReg(key, b, c) }.iterator
+      }
+  }
+
   def hllStream(input: Dataset[KV], p: Int = 9): Dataset[CardEstimate] = {
     implicit val stateEnc: Encoder[Array[Byte]] = Encoders.BINARY
     implicit val outEnc: Encoder[CardEstimate] = Encoders.product[CardEstimate]

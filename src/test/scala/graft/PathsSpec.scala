@@ -310,6 +310,21 @@ class PathsSpec extends AnyFunSuite {
     assert(graft.ops.Dedup.kCore(df, "a", "b", k = 3, iters = 10).count() == 0)
   }
 
+  test("clusteringPieces: triangle and degree counts on a known graph") {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("a", LongType, nullable = false),
+      StructField("b", LongType, nullable = false)))
+    // triangle 1-2-3 with pendant 3-4 (and a duplicate reversed edge)
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (2L, 1L))
+    val df = spark.createDataFrame(
+      edges.map { case (a, b) => Row(a, b) }.asJava, schema)
+    val got = graft.ops.Dedup.clusteringPieces(df, "a", "b")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == Map(1L -> ((1L, 2L)), 2L -> ((1L, 2L)),
+      3L -> ((1L, 3L)), 4L -> ((0L, 1L))))
+  }
+
   test("bfsDistances: hop-bounded min distances from a seed set") {
     import org.apache.spark.sql.types._
     val schema = StructType(Seq(

@@ -618,6 +618,32 @@ class StreamingSpec extends AnyFunSuite {
     assert(seen.toMap == expected)
   }
 
+  test("batch ≡ stream: qsketchStream registers equal the batch sketch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rnd = new scala.util.Random(67)
+    val rows = (1 to 3000).map { _ =>
+      Streaming.QIn("k" + rnd.nextInt(2), 1L << rnd.nextInt(30) | rnd.nextInt(1000))
+    }
+    val batch = graft.ops.Sketches.qsketchRegisters(
+        rows.toDF("g", "v"), "g", "v")
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val mem = MemoryStream[Streaming.QIn]
+    val q = Streaming.qsketchStream(mem.toDS())
+      .writeStream.format("memory").queryName("qsketch_stream")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      val (b0, b1) = rows.splitAt(1100)
+      mem.addData(b0: _*); q.processAllAvailable()
+      mem.addData(b1: _*); q.processAllAvailable()
+      // counts per (key, bin) only grow → max over emissions = final state
+      val got = spark.sql(
+          "SELECT key, bin, max(cnt) FROM qsketch_stream GROUP BY key, bin")
+        .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+      assert(got == batch)
+    } finally q.stop()
+  }
+
   test("batch ≡ stream: scd2Stream equals Warehouse.scd2 on closed versions") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

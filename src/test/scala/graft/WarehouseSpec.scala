@@ -70,6 +70,17 @@ class WarehouseSpec extends AnyFunSuite {
     }
   }
 
+  test("scd1Latest: latest-wins with deterministic ties") {
+    val rows = Seq(
+      Row(1L, 10L, 1L, "a"), Row(1L, 20L, 2L, "b"),
+      Row(1L, 20L, 3L, "c"), // duplicate ts: greater id wins
+      Row(2L, 5L, 4L, null)) // null state carried as-is
+    val got = Warehouse.scd1Latest(df(logSchema, rows), "k", "ts", "id", Seq("st"))
+      .collect().map(r => r.getLong(0) ->
+        ((if (r.isNullAt(1)) null else r.getString(1)), r.getLong(2))).toMap
+    assert(got(1L) == (("c", 20L)) && got(2L) == ((null, 5L)))
+  }
+
   test("scd2Apply: a change predating the open version fails loudly") {
     val base = df(logSchema, Seq(Row(1L, 100L, 1L, "a"), Row(1L, 200L, 2L, "b")))
     val hist = Warehouse.scd2(base, "k", "ts", "id", Seq("st"))
