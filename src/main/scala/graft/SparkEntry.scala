@@ -2039,6 +2039,26 @@ object SparkEntry {
         .drop("tot")
         .orderBy("l_partkey")
     } _,
+    // warehouse-maintenance capstone: the DQ battery run ON the SCD2 output
+    // itself — interval invariants as predicate checks (non-negative spans,
+    // is_current ⇔ open), uniqueness of (key, valid_from), referential
+    // closure back to the source; the sub-second-version check FAILS on
+    // purpose so a nonzero violation count is exercised
+    "q_warehouse_capstone" -> dfq { s =>
+      val hist = graft.ops.Warehouse.scd2(s.table("events"), "user_id", "ts",
+        "event_id", Seq("event_type"))
+      graft.ops.Warehouse.dqReport(hist,
+          notNull = Seq("user_id", "event_type", "valid_from"),
+          unique = Seq(Seq("user_id", "valid_from")),
+          refs = Seq(("user_id", s.table("events").select("user_id"), "user_id")),
+          predicates = Seq(
+            ("valid_to_after_from", "valid_to IS NULL OR valid_to > valid_from"),
+            ("current_iff_open",
+              "is_current = CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END"),
+            ("version_ge_1s",
+              "valid_to IS NULL OR valid_to - valid_from >= 1000000000")))
+        .orderBy("check_name")
+    } _,
     // interpolated percentiles (percentile_cont contract) as exact ×100
     // integers — engine-native percentile_cont is double-computed and not
     // cross-engine exact; the scaled-integer form is
@@ -4459,6 +4479,64 @@ object SparkEntry {
         |LEFT JOIN (SELECT DISTINCT s_suppkey FROM supplier
         |           WHERE s_suppkey % 2 = 0) s
         |  ON l.l_suppkey = s.s_suppkey
+        |) ORDER BY check_name""".stripMargin,
+    "q_warehouse_capstone" ->
+      """WITH e AS (SELECT user_id, epoch_ns(ts) AS t, event_id, event_type
+        |           FROM events),
+        |c AS (SELECT *, lag(event_type)
+        |               OVER (PARTITION BY user_id ORDER BY t, event_id) AS prev
+        |      FROM e),
+        |v AS (SELECT user_id, event_type, t, event_id FROM c
+        |      WHERE prev IS NULL OR prev IS DISTINCT FROM event_type),
+        |f AS (SELECT user_id, event_type, t AS valid_from,
+        |             lead(t) OVER (PARTITION BY user_id ORDER BY t, event_id)
+        |               AS valid_to
+        |      FROM v),
+        |h AS (SELECT user_id, event_type, valid_from, valid_to,
+        |             CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END AS is_current
+        |      FROM f)
+        |SELECT * FROM (
+        |SELECT 'not_null:user_id' AS check_name,
+        |       CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS violations,
+        |       CAST(count(*) AS BIGINT) AS total FROM h
+        |UNION ALL
+        |SELECT 'not_null:event_type',
+        |       CAST(sum(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |       CAST(count(*) AS BIGINT) FROM h
+        |UNION ALL
+        |SELECT 'not_null:valid_from',
+        |       CAST(sum(CASE WHEN valid_from IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |       CAST(count(*) AS BIGINT) FROM h
+        |UNION ALL
+        |SELECT 'predicate:valid_to_after_from',
+        |       CAST(sum(CASE WHEN NOT coalesce(
+        |                  valid_to IS NULL OR valid_to > valid_from, FALSE)
+        |                THEN 1 ELSE 0 END) AS BIGINT),
+        |       CAST(count(*) AS BIGINT) FROM h
+        |UNION ALL
+        |SELECT 'predicate:current_iff_open',
+        |       CAST(sum(CASE WHEN NOT coalesce(is_current =
+        |                  CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END, FALSE)
+        |                THEN 1 ELSE 0 END) AS BIGINT),
+        |       CAST(count(*) AS BIGINT) FROM h
+        |UNION ALL
+        |SELECT 'predicate:version_ge_1s',
+        |       CAST(sum(CASE WHEN NOT coalesce(
+        |                  valid_to IS NULL OR valid_to - valid_from >= 1000000000,
+        |                  FALSE) THEN 1 ELSE 0 END) AS BIGINT),
+        |       CAST(count(*) AS BIGINT) FROM h
+        |UNION ALL
+        |SELECT 'unique:user_id,valid_from',
+        |       CAST(coalesce(sum(CASE WHEN cc > 1 THEN cc - 1 END), 0) AS BIGINT),
+        |       CAST(coalesce(sum(cc), 0) AS BIGINT)
+        |FROM (SELECT count(*) AS cc FROM h GROUP BY user_id, valid_from)
+        |UNION ALL
+        |SELECT 'ref:user_id->user_id',
+        |       CAST(sum(CASE WHEN d.user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |       CAST(count(*) AS BIGINT)
+        |FROM (SELECT user_id FROM h WHERE user_id IS NOT NULL) l
+        |LEFT JOIN (SELECT DISTINCT user_id FROM events) d USING (user_id)
         |) ORDER BY check_name""".stripMargin,
     "q_quantile_bins" ->
       """WITH c AS (SELECT c_custkey, c_nationkey,

@@ -164,6 +164,9 @@ object Warehouse {
     *  - `refs`: `(fkCol, dimDf, pkCol)` orphaned foreign keys — non-null
     *    fk values with no match in the dimension's pk (total = non-null
     *    fk rows)
+    *  - `predicates`: `(name, sqlBooleanExpr)` — rows where the expression
+    *    is NOT true (NULL counts as a violation: an unknown invariant is a
+    *    broken invariant); folded into the same single scan
     *
     * Scale: all notNull/range/accepted indicators fold into ONE scan's
     * partial aggregate; each `unique` key set is one groupBy whose shuffle
@@ -175,9 +178,11 @@ object Warehouse {
                unique: Seq[Seq[String]] = Nil,
                ranges: Seq[(String, Long, Long)] = Nil,
                accepted: Seq[(String, Seq[String])] = Nil,
-               refs: Seq[(String, DataFrame, String)] = Nil): DataFrame = {
+               refs: Seq[(String, DataFrame, String)] = Nil,
+               predicates: Seq[(String, String)] = Nil): DataFrame = {
     require(notNull.nonEmpty || unique.nonEmpty || ranges.nonEmpty ||
-      accepted.nonEmpty || refs.nonEmpty, "dqReport: no checks declared")
+      accepted.nonEmpty || refs.nonEmpty || predicates.nonEmpty,
+      "dqReport: no checks declared")
     require(ranges.forall { case (_, lo, hi) => lo <= hi },
       "dqReport: range checks need lo <= hi")
     require(accepted.forall(_._2.nonEmpty),
@@ -190,7 +195,9 @@ object Warehouse {
           (col(c).cast("long") < lo || col(c).cast("long") > hi)).cast("long") } ++
       accepted.map { case (c, vs) =>
         s"accepted:$c" -> (col(c).isNotNull &&
-          !col(c).isin(vs.map(_.asInstanceOf[Any]): _*)).cast("long") }
+          !col(c).isin(vs.map(_.asInstanceOf[Any]): _*)).cast("long") } ++
+      predicates.map { case (name, e) =>
+        s"predicate:$name" -> (!coalesce(expr(e), lit(false))).cast("long") }
     val scanReport: Option[DataFrame] =
       if (scanChecks.isEmpty) None else Some {
         val aggs = scanChecks.zipWithIndex.map { case ((_, ind), i) =>

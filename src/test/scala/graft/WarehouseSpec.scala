@@ -110,6 +110,24 @@ class WarehouseSpec extends AnyFunSuite {
     assert(changed.getLong(2) == 20L && changed.getLong(3) == 25L)
   }
 
+  test("snapshotDiff plans one full-outer sort-merge join, two exchanges") {
+    val old = df(snapSchema, (1L to 50L).map(i => Row(i, i)))
+    val neu = df(snapSchema, (20L to 70L).map(i => Row(i, i + 1)))
+    val plan = Warehouse.snapshotDiff(old, neu, Seq("k"), Seq("v"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin") && plan.contains("FullOuter"), plan)
+    assert("Exchange hashpartitioning".r.findAllIn(plan).length == 2, plan)
+  }
+
+  test("dqReport predicates: NULL evaluations count as violations") {
+    val d = df(snapSchema, Seq(Row(1L, 10L), Row(2L, null), Row(3L, 3L)))
+    val got = Warehouse.dqReport(d,
+        predicates = Seq(("v_gt_k", "v > k")))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // k=1: 10>1 ok; k=2: NULL → violation; k=3: 3>3 false → violation
+    assert(got("predicate:v_gt_k") == ((2L, 3L)))
+  }
+
   test("dqReport counts each violation family with exact totals") {
     val schema = StructType(Seq(
       StructField("id", LongType, nullable = true),
