@@ -2042,8 +2042,8 @@ object SparkEntry {
     // warehouse-maintenance capstone: the DQ battery run ON the SCD2 output
     // itself — interval invariants as predicate checks (non-negative spans,
     // is_current ⇔ open), uniqueness of (key, valid_from), referential
-    // closure back to the source; the sub-second-version check FAILS on
-    // purpose so a nonzero violation count is exercised
+    // closure back to the source; the version_ge_1h check FAILS on purpose
+    // (event bursts produce sub-hour versions) so a nonzero count is exercised
     "q_warehouse_capstone" -> dfq { s =>
       val hist = graft.ops.Warehouse.scd2(s.table("events"), "user_id", "ts",
         "event_id", Seq("event_type"))
@@ -2055,8 +2055,8 @@ object SparkEntry {
             ("valid_to_after_from", "valid_to IS NULL OR valid_to > valid_from"),
             ("current_iff_open",
               "is_current = CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END"),
-            ("version_ge_1s",
-              "valid_to IS NULL OR valid_to - valid_from >= 1000000000")))
+            ("version_ge_1h",
+              "valid_to IS NULL OR valid_to - valid_from >= 3600000000000")))
         .orderBy("check_name")
     } _,
     // interpolated percentiles (percentile_cont contract) as exact ×100
@@ -4521,9 +4521,9 @@ object SparkEntry {
         |                THEN 1 ELSE 0 END) AS BIGINT),
         |       CAST(count(*) AS BIGINT) FROM h
         |UNION ALL
-        |SELECT 'predicate:version_ge_1s',
+        |SELECT 'predicate:version_ge_1h',
         |       CAST(sum(CASE WHEN NOT coalesce(
-        |                  valid_to IS NULL OR valid_to - valid_from >= 1000000000,
+        |                  valid_to IS NULL OR valid_to - valid_from >= 3600000000000,
         |                  FALSE) THEN 1 ELSE 0 END) AS BIGINT),
         |       CAST(count(*) AS BIGINT) FROM h
         |UNION ALL
