@@ -2006,6 +2006,19 @@ object SparkEntry {
       graft.ops.Sketches.qsketchQuantiles(regs, "l_returnflag", Seq(50, 90, 99))
         .orderBy("l_returnflag")
     } _,
+    // sketch-merge gate: registers built on two disjoint shards, unioned
+    // and sum-merged — the oracle is the FULL single-pass build, so the
+    // gate proves shard-merge ≡ full (the artifact's whole point at 100 TB)
+    "q_qsketch_merge" -> dfq { s =>
+      val li = s.table("lineitem")
+        .withColumn("cents", expr("CAST(ROUND(l_extendedprice * 100) AS BIGINT)"))
+      val a = graft.ops.Sketches.qsketchRegisters(
+        li.where(col("l_orderkey") % 2 === 0), "l_returnflag", "cents")
+      val b = graft.ops.Sketches.qsketchRegisters(
+        li.where(col("l_orderkey") % 2 =!= 0), "l_returnflag", "cents")
+      a.union(b).groupBy("l_returnflag", "bin").agg(sum("cnt").as("cnt"))
+        .orderBy("l_returnflag", "bin")
+    } _,
     // RFM quintile scoring: per-customer recency/frequency/monetary from
     // orders, scores 1-5 by exact global-rank position arithmetic — three
     // range-partitioned prefix passes, NO single-partition window
@@ -2295,6 +2308,22 @@ object SparkEntry {
        |SELECT a AS id, CAST(count(*) AS BIGINT) AS deg
        |FROM e${iters + 1} GROUP BY a ORDER BY id""".stripMargin
   }
+
+  /** Full single-pass qsketch register build — the oracle for both the
+    * direct build (q_qsketch_registers) and the shard-merge
+    * (q_qsketch_merge). */
+  private val duckQsketchRegistersSql: String =
+    """WITH c AS (SELECT l_returnflag AS k,
+      |             CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS v
+      |           FROM lineitem),
+      |f AS (SELECT k, v FROM c WHERE v IS NOT NULL AND v >= 0),
+      |b AS (SELECT k, CASE WHEN v < 16 THEN v
+      |                ELSE (length(bin(v)) - 5) * 16 + (v >> (length(bin(v)) - 5))
+      |                END AS bin
+      |      FROM f)
+      |SELECT k AS l_returnflag, CAST(bin AS BIGINT) AS bin,
+      |       CAST(count(*) AS BIGINT) AS cnt
+      |FROM b GROUP BY 1, 2 ORDER BY l_returnflag, bin""".stripMargin
 
   /** SCD2 rebuild from the full events changelog — the oracle for both the
     * batch build (q_scd2) and the incremental MERGE (q_scd2_increment). */
@@ -4565,18 +4594,10 @@ object SparkEntry {
         |       CAST(n.n AS BIGINT) AS n
         |FROM cells JOIN ra USING (a) JOIN cb USING (b), n
         |ORDER BY a, b""".stripMargin,
-    "q_qsketch_registers" ->
-      """WITH c AS (SELECT l_returnflag AS k,
-        |             CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS v
-        |           FROM lineitem),
-        |f AS (SELECT k, v FROM c WHERE v IS NOT NULL AND v >= 0),
-        |b AS (SELECT k, CASE WHEN v < 16 THEN v
-        |                ELSE (length(bin(v)) - 5) * 16 + (v >> (length(bin(v)) - 5))
-        |                END AS bin
-        |      FROM f)
-        |SELECT k AS l_returnflag, CAST(bin AS BIGINT) AS bin,
-        |       CAST(count(*) AS BIGINT) AS cnt
-        |FROM b GROUP BY 1, 2 ORDER BY l_returnflag, bin""".stripMargin,
+    "q_qsketch_registers" -> duckQsketchRegistersSql,
+    // shard-merge ≡ full: the oracle for the merged build IS the
+    // single-pass full build
+    "q_qsketch_merge" -> duckQsketchRegistersSql,
     "q_qsketch_quantiles" ->
       """WITH c AS (SELECT l_returnflag AS k,
         |             CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS v

@@ -44,6 +44,81 @@ class AnalyticsPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("scd2 ≡ in-memory run-collapse model on random changelogs") {
+    val rnd = new scala.util.Random(97)
+    val rows = for (k <- 1L to 8L; i <- 0L until (30 + rnd.nextInt(60)).toLong)
+      yield (k, rnd.nextInt(20).toLong * 5, k * 10000 + i, // ts ties likely
+        if (rnd.nextInt(6) == 0) null else "s" + rnd.nextInt(3))
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("k", LongType, nullable = false),
+      StructField("ts", LongType, nullable = false),
+      StructField("id", LongType, nullable = false),
+      StructField("st", StringType, nullable = true)))
+    val df = spark.createDataFrame(
+      rows.map { case (k, t, i, s) => Row(k, t, i, s) }.asJava, schema)
+    val got = graft.ops.Warehouse.scd2(df, "k", "ts", "id", Seq("st"))
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) null else r.getString(1), r.getLong(2),
+        if (r.isNullAt(3)) Long.MaxValue else r.getLong(3), r.getInt(4))).toSet
+    val want = rows.groupBy(_._1).flatMap { case (k, ks) =>
+      val ordered = ks.sortBy(r => (r._2, r._3))
+      val versions = ordered.foldLeft(Vector.empty[(String, Long)]) {
+        case (acc, (_, t, _, s)) =>
+          if (acc.nonEmpty && acc.last._1 == s) acc else acc :+ (s -> t)
+      }
+      versions.zipWithIndex.map { case ((s, from), i) =>
+        val to = if (i + 1 < versions.size) versions(i + 1)._2 else Long.MaxValue
+        (k, s, from, to, if (to == Long.MaxValue) 1 else 0)
+      }
+    }.toSet
+    assert(got == want)
+  }
+
+  test("snapshotDiff ≡ map-diff model on random keyed snapshots") {
+    val rnd = new scala.util.Random(101)
+    def snap() = (1L to 200L).flatMap { k =>
+      if (rnd.nextInt(4) == 0) None
+      else Some(k -> (if (rnd.nextInt(5) == 0) null
+                      else java.lang.Long.valueOf(rnd.nextInt(3).toLong)))
+    }.toMap
+    val (o, n) = (snap(), snap())
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("k", LongType, nullable = false),
+      StructField("v", LongType, nullable = true)))
+    def toDf(m: Map[Long, java.lang.Long]) = spark.createDataFrame(
+      m.toSeq.map { case (k, v) => Row(k, v) }.asJava, schema)
+    val got = graft.ops.Warehouse.snapshotDiff(toDf(o), toDf(n), Seq("k"), Seq("v"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val want = (o.keySet ++ n.keySet).flatMap { k =>
+      (o.get(k), n.get(k)) match {
+        case (None, Some(_)) => Some(k -> "added")
+        case (Some(_), None) => Some(k -> "removed")
+        case (Some(a), Some(b)) if a != b => Some(k -> "changed")
+        case _ => None
+      }
+    }.toMap
+    assert(got == want)
+  }
+
+  test("histogram ≡ counting model on random values and bounds") {
+    val rnd = new scala.util.Random(103)
+    val vals = (1 to 2000).map(_ => rnd.nextInt(200).toLong - 50)
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("g", StringType, nullable = false),
+      StructField("v", LongType, nullable = false)))
+    val df = spark.createDataFrame(
+      vals.map(v => Row("a", v)).asJava, schema)
+    for ((lo, hi, nb) <- Seq((0L, 99L, 10), (-50L, 149L, 7), (10L, 10L, 3))) {
+      val got = graft.ops.Profile.histogram(df, "g", "v", lo, hi, nb)
+        .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+      val width = hi - lo + 1
+      val want = (0L until nb.toLong).map(b => b ->
+        vals.count(v => v >= lo && v <= hi &&
+          (v - lo) * nb / width == b).toLong).toMap
+      assert(got == want, s"[$lo,$hi]x$nb")
+    }
+  }
+
   test("rollingExtrema ≡ naive trailing frame on random series and windows") {
     val rnd = new scala.util.Random(7)
     val rows = for (k <- 0 until 5; i <- 0 until (20 + rnd.nextInt(80)))
