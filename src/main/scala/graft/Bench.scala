@@ -610,6 +610,28 @@ object Bench {
         graft.ops.Profile.winsorize(df, "k", "v", pLo = 1, pHi = 99)
           .write.format("noop").mode("overwrite").save()
       },
+      // the one-scan DQ battery (2 not-null + 2 ranges + 1 accepted + 1
+      // predicate folded into ONE aggregate) + a uniqueness check over 20M
+      "x_dq_20m" -> { s: SparkSession =>
+        val df = s.range(20000000L).selectExpr("id",
+          "CASE WHEN id % 97 = 0 THEN NULL ELSE pmod(hash(id), 1000) END AS v")
+        val n = graft.ops.Warehouse.dqReport(df,
+          notNull = Seq("id", "v"),
+          unique = Seq(Seq("id")),
+          ranges = Seq(("v", 0L, 900L)),
+          accepted = Nil,
+          refs = Nil,
+          predicates = Seq(("v_small", "v IS NULL OR v < 990"))).count()
+        require(n == 5L, s"expected 5 report rows, got $n")
+      },
+      // qsketch register build over 20M values across 100 keys: one
+      // counted shuffle into <= ~960 bins/key
+      "x_qsketch_20m" -> { s: SparkSession =>
+        val df = s.range(20000000L).selectExpr("CAST(id % 100 AS STRING) AS k",
+          "id * 37 % 1000000007 AS v")
+        graft.ops.Sketches.qsketchRegisters(df, "k", "v")
+          .write.format("noop").mode("overwrite").save()
+      },
       // exact global rank + running sum over 20M rows with NO
       // single-partition window: range shuffle + per-partition prefixes
       "x_global_prefix_20m" -> { s: SparkSession =>
