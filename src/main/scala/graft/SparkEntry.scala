@@ -1643,6 +1643,52 @@ object SparkEntry {
           minWords = 40, stopList = Seq("the", "a", "of", "and"))
         .orderBy("doc_id")
     } _,
+    // C4 line-level cleaning battery (the other half of the web-cleaning
+    // stack next to the document-level gopher rules). Testdata documents are
+    // single-line, so the query derives a hostile multi-line page (shared
+    // SQL fragment — identical derivation in the oracle) where every rule
+    // observably fires: no-terminal-punct lines, a javascript line, a
+    // too-short line, and doc_id-keyed lorem-ipsum / curly-brace page kills
+    "q_c4_filter" -> dfq { s =>
+      val pages = s.table("documents")
+        .select(col("doc_id"), expr(c4PageSql).as("page"))
+      graft.ops.Curation.c4Filter(pages, "page", "doc_id").orderBy("doc_id")
+    } _,
+    // native codegen'd Jaro-Winkler over adjacent part names — the record-
+    // linkage scorer, gated raw-double against DuckDB's builtin (the two
+    // implementations are bit-compatible; fuzz-verified)
+    "q_jaro" -> q(
+      """SELECT a.p_partkey AS id, jaro_winkler(a.p_name, b.p_name) AS jw
+        |FROM part a JOIN part b ON b.p_partkey = a.p_partkey + 1
+        |ORDER BY id""".stripMargin) _,
+    // pipeline observability capstone: the per-stage survivor funnel every
+    // production curation run logs — total → C4 page cleaning → gopher
+    // document gates → exact dedup, each stage nested in the previous, as
+    // (stage, n_docs) rows. Four independent count aggregates over one
+    // lineage; at 100 TB these are the cheap side outputs of the main pass
+    // (each stage is a scan + the battery projections, counts combine
+    // map-side)
+    "q_pipeline_report" -> dfq { s =>
+      val docs = s.table("documents")
+      val pages = docs.select(col("doc_id"), expr(c4PageSql).as("page"))
+      val c4s = graft.ops.Curation.c4Filter(pages, "page", "doc_id")
+        .where(col("pass")).select("doc_id")
+      val gp = graft.ops.Curation.gopherRules(docs, "text", "doc_id",
+          minWords = 40, stopList = Seq("the", "a", "of", "and"))
+        .where(col("pass")).select("doc_id").join(c4s, "doc_id")
+      // head fingerprint (first 30 chars) as the dedup key — testdata has
+      // no full-text exact duplicates, but head collisions are real (~5%),
+      // so the stage provably removes docs at every SF
+      val win = docs.join(gp, "doc_id")
+        .select(expr("doc_fingerprint(substring(text, 1, 30))").as("fp"), col("doc_id"))
+        .groupBy("fp").agg(min("doc_id").as("doc_id"))
+      Seq("s1_total" -> docs, "s2_c4" -> c4s, "s3_gopher" -> gp,
+          "s4_dedup" -> win)
+        .map { case (n, df) =>
+          df.agg(count(lit(1)).as("n_docs")).select(lit(n).as("stage"), col("n_docs"))
+        }
+        .reduce(_ unionByName _).orderBy("stage")
+    } _,
     // incremental index loop: per-half indexes merged must equal the
     // whole-corpus index (the oracle builds the whole directly), proving
     // the merge is order/replay-proof like the dedup-index loop
@@ -2266,6 +2312,53 @@ object SparkEntry {
 
   private val duckGopherPass: String =
     duckGopherRules.map { case (_, e) => s"($e)" }.mkString(" AND ")
+
+  /** Derived hostile multi-line page for `q_c4_filter` — ONE definition
+    * parsed by both Spark (`expr`) and DuckDB, so the two sides can never
+    * drift. Lines are chosen so every C4 rule observably fires on the
+    * single-line testdata: the raw text (no terminal punctuation → dropped),
+    * a clean keeper, a javascript line, a <5-word line, a doc_id-keyed
+    * keeper, a no-punct fragment, and doc_id-keyed lorem-ipsum (÷7) /
+    * curly-brace (÷11) page kills. (Declared before [[duckC4Ctes]], which
+    * interpolates it at object init.) */
+  private val c4PageSql: String =
+    """concat_ws(chr(10),
+      |  text,
+      |  'The quick brown fox jumps over the lazy dog.',
+      |  'Please enable javascript to continue reading this page.',
+      |  'Too short.',
+      |  concat('Document number ', doc_id, ' contains exactly eight words total.'),
+      |  'click here for more',
+      |  CASE WHEN doc_id % 7 = 0 THEN 'Lorem ipsum dolor sit amet consectetur.'
+      |       ELSE 'Every good page needs a couple more sentences.' END,
+      |  CASE WHEN doc_id % 11 = 0 THEN 'body { color: red }'
+      |       ELSE 'And a final closing sentence rounds it out.' END)""".stripMargin
+
+  /** C4 battery CTE chain over the derived page ([[c4PageSql]]) ending in
+    * `c4f(doc_id, n_lines, n_kept, n_sentences, has_lorem, has_brace, ct,
+    * pass)` — ONE definition shared by q_c4_filter and the
+    * q_pipeline_report capstone. */
+  private val duckC4Ctes: String =
+    s"""c4pg AS (SELECT doc_id, $c4PageSql AS page FROM documents),
+       |c4l AS (SELECT doc_id, page,
+       |         list_transform(string_split(page, chr(10)), x -> trim(x)) AS lines
+       |       FROM c4pg),
+       |c4k AS (SELECT doc_id, page, len(lines) AS n_lines,
+       |         list_filter(lines, x -> regexp_matches(x, '[.!?"]$$')
+       |           AND len(list_filter(str_split_regex(x, '\\s+'), w -> w <> '')) >= 5
+       |           AND NOT contains(lower(x), 'javascript')) AS kept
+       |       FROM c4l),
+       |c4c AS (SELECT doc_id, n_lines, len(kept) AS n_kept,
+       |         array_to_string(kept, chr(10)) AS ct,
+       |         contains(lower(page), 'lorem ipsum') AS has_lorem,
+       |         contains(page, '{') AS has_brace
+       |       FROM c4k),
+       |c4f AS (SELECT doc_id, n_lines, n_kept,
+       |         len(ct) - len(regexp_replace(ct, '[.!?]', '', 'g')) AS n_sentences,
+       |         has_lorem, has_brace, ct,
+       |         (NOT has_lorem AND NOT has_brace
+       |          AND len(ct) - len(regexp_replace(ct, '[.!?]', '', 'g')) >= 3) AS pass
+       |       FROM c4c)""".stripMargin
 
   /** LSH candidate pairs (threshold 0.3) → symmetric edges → recursive
     * min-label components → `surv` (first-occurrence survivors). Appended
@@ -4078,6 +4171,31 @@ object SparkEntry {
          |${duckGopherRules.map { case (n, e) => s"  $e AS $n" }.mkString(",\n")},
          |  $duckGopherPass AS pass
          |FROM gc ORDER BY doc_id""".stripMargin,
+    "q_c4_filter" ->
+      s"""WITH $duckC4Ctes
+         |SELECT doc_id, CAST(n_lines AS INT) AS n_lines,
+         |  CAST(n_kept AS INT) AS n_kept,
+         |  CAST(n_sentences AS INT) AS n_sentences, has_lorem, has_brace, pass,
+         |  CASE WHEN pass THEN ct END AS clean_text
+         |FROM c4f ORDER BY doc_id""".stripMargin,
+    "q_pipeline_report" ->
+      s"""WITH $duckC4Ctes,
+         |c4s AS (SELECT doc_id FROM c4f WHERE pass),
+         |$duckGopherCtes,
+         |gp AS (SELECT gc.doc_id FROM gc JOIN c4s USING (doc_id)
+         |       WHERE $duckGopherPass),
+         |fps AS (SELECT d.doc_id, ${duckMd5_60("substr(d.text, 1, 30)")} AS fp
+         |        FROM documents d JOIN gp USING (doc_id)),
+         |win AS (SELECT min(doc_id) AS doc_id FROM fps GROUP BY fp)
+         |SELECT 's1_total' AS stage, CAST(count(*) AS BIGINT) AS n_docs FROM documents
+         |UNION ALL SELECT 's2_c4', CAST(count(*) AS BIGINT) FROM c4s
+         |UNION ALL SELECT 's3_gopher', CAST(count(*) AS BIGINT) FROM gp
+         |UNION ALL SELECT 's4_dedup', CAST(count(*) AS BIGINT) FROM win
+         |ORDER BY stage""".stripMargin,
+    "q_jaro" ->
+      """SELECT a.p_partkey AS id, jaro_winkler_similarity(a.p_name, b.p_name) AS jw
+        |FROM part a JOIN part b ON b.p_partkey = a.p_partkey + 1
+        |ORDER BY id""".stripMargin,
     "q_index_increment" ->
       """WITH dt AS (SELECT DISTINCT doc_id,
         |              unnest(list_filter(str_split_regex(lower(text), '\s+'),

@@ -275,6 +275,25 @@ case class TokenCountExpr(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Native codegen'd Jaro-Winkler similarity (see [[Kernels.jaroWinkler]]) —
+  * the record-linkage scorer as a whole-stage-codegen expression, so fuzzy
+  * entity comparisons stay inside the generated loop. */
+case class JaroWinklerExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "jaro_winkler"
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    Kernels.jaroWinkler(a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String])
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.Kernels.jaroWinkler($a, $b)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Native codegen'd 60-bit md5 content fingerprint (UTF8String bytes direct,
   * no String conversion). */
 case class DocFingerprintExpr(child: Expression) extends UnaryExpression {

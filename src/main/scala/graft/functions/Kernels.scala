@@ -98,6 +98,59 @@ object Kernels {
   def md5_60(s: org.apache.spark.unsafe.types.UTF8String): Long =
     graft.ops.Hashing.md5_60b(s.getBytes)
 
+  /** Jaro-Winkler similarity in [0,1] — the record-linkage classic
+    * (Winkler 1990): Jaro = (m/|a| + m/|b| + (m−t)/m)/3 with the match
+    * window ⌊max/2⌋−1 and t = half the out-of-order matches, then the
+    * prefix boost `J + ℓ·0.1·(1−J)` (ℓ = common prefix ≤ 4) applied only
+    * when J > 0.7. This exact variant (boost threshold, floor'd
+    * transpositions) was fuzz-verified bit-identical to DuckDB's
+    * `jaro_winkler_similarity` over random pairs, so the oracle gate can
+    * compare raw doubles. Char-level (UTF-16 units), like the reference
+    * string kernels (`arrow-udf/src/lib.rs` string fns operate per
+    * scalar value). */
+  def jaroWinkler(a: org.apache.spark.unsafe.types.UTF8String,
+                  b: org.apache.spark.unsafe.types.UTF8String): Double = {
+    val s1 = a.toString; val s2 = b.toString
+    val l1 = s1.length; val l2 = s2.length
+    if (l1 == 0 || l2 == 0) return 0.0
+    if (s1 == s2) return 1.0
+    val w = math.max(0, math.max(l1, l2) / 2 - 1)
+    val m1 = new Array[Boolean](l1); val m2 = new Array[Boolean](l2)
+    var m = 0
+    var i = 0
+    while (i < l1) {
+      val lo = math.max(0, i - w); val hi = math.min(l2 - 1, i + w)
+      var j = lo
+      var found = false
+      while (j <= hi && !found) {
+        if (!m2(j) && s1.charAt(i) == s2.charAt(j)) {
+          m1(i) = true; m2(j) = true; m += 1; found = true
+        }
+        j += 1
+      }
+      i += 1
+    }
+    if (m == 0) return 0.0
+    var t = 0; var k = 0
+    i = 0
+    while (i < l1) {
+      if (m1(i)) {
+        while (!m2(k)) k += 1
+        if (s1.charAt(i) != s2.charAt(k)) t += 1
+        k += 1
+      }
+      i += 1
+    }
+    t /= 2
+    val j = (m.toDouble / l1 + m.toDouble / l2 + (m - t).toDouble / m) / 3.0
+    if (j <= 0.7) j
+    else {
+      var p = 0
+      while (p < 4 && p < l1 && p < l2 && s1.charAt(p) == s2.charAt(p)) p += 1
+      j + p * 0.1 * (1.0 - j)
+    }
+  }
+
   /** Polynomial rolling hash mod a prime — chosen because it is exactly
     * reproducible in the DuckDB oracle with `list_reduce` over `ascii()`
     * codes, giving the correctness gate a bit-exact target. */

@@ -395,4 +395,45 @@ object Curation {
       .withColumn("pass", col("r_words") && col("r_meanlen") && col("r_symbol") &&
         col("r_bullet") && col("r_ellipsis") && col("r_alpha") && col("r_stop"))
   }
+
+  /** C4-style line-level page cleaning (Raffel et al. 2020, "Exploring the
+    * Limits of Transfer Learning", §2.2 — the C4 heuristics):
+    *
+    *  - keep only lines that end in a terminal punctuation mark
+    *    (`.` `!` `?` or a closing quote);
+    *  - keep only lines with at least `minLineWords` words;
+    *  - drop any line containing the word "javascript";
+    *  - drop the whole page if it contains "lorem ipsum" or a curly brace;
+    *  - drop the whole page if fewer than `minSentences` sentences survive
+    *    (sentence count = terminal `.!?` marks in the kept lines — the
+    *    deterministic proxy, so the oracle replays it exactly).
+    *
+    * Complements [[gopherRules]] (document-level) with the line-level half
+    * of a web-corpus cleaning stack. Pure map-only projection: array
+    * lambdas over a split, no UDF, no shuffle — one scan at 100 TB, and the
+    * `pass` predicate is sargable for downstream gates.
+    *
+    * Output: (idCol, n_lines, n_kept, n_sentences, has_lorem, has_brace,
+    * pass, clean_text) — report form, one row per input page; `clean_text`
+    * is the surviving lines rejoined with `\n` (NULL when the page fails).
+    */
+  def c4Filter(pages: DataFrame, textCol: String, idCol: String,
+               minSentences: Int = 3, minLineWords: Int = 5): DataFrame = {
+    val page = coalesce(col(textCol), lit(""))
+    val lines = transform(split(page, "\n"), l => trim(l))
+    val kept = filter(lines, l =>
+      l.rlike("[.!?\"]$") &&
+        size(filter(split(l, "\\s+"), w => length(w) > lit(0))) >= minLineWords &&
+        instr(lower(l), "javascript") === 0)
+    val cleanText = array_join(kept, "\n")
+    val nSent = length(cleanText) -
+      length(regexp_replace(cleanText, "[.!?]", ""))
+    val hasLorem = instr(lower(page), "lorem ipsum") > 0
+    val hasBrace = instr(page, "{") > 0
+    val pass = !hasLorem && !hasBrace && nSent >= minSentences
+    pages.select(col(idCol), size(lines).as("n_lines"),
+        size(kept).as("n_kept"), nSent.as("n_sentences"),
+        hasLorem.as("has_lorem"), hasBrace.as("has_brace"), pass.as("pass"),
+        when(pass, cleanText).as("clean_text"))
+  }
 }

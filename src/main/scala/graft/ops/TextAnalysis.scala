@@ -86,6 +86,13 @@ object TextAnalysis {
       graft.functions.TokenCountExpr(children(0))
     }
 
+    // jaro_winkler: record-linkage similarity, native codegen tier;
+    // bit-compatible with DuckDB's jaro_winkler_similarity (fuzz-verified),
+    // so oracle gates compare raw doubles.
+    Udf.native("jaro_winkler(string, string) -> double") { children =>
+      graft.functions.JaroWinklerExpr(children(0), children(1))
+    }
+
     Udf.scalar1[String, Int]("token_count_bpe(string) -> int") { s =>
       // letters runs, digit runs, and single punctuation marks — a cheap
       // BPE-style pre-tokenizer (no merges).

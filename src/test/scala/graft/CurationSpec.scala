@@ -18,6 +18,40 @@ class CurationSpec extends AnyFunSuite {
       rows.map { case (i, t, s) => org.apache.spark.sql.Row(i, t, s) }.asJava, schema)
   }
 
+  test("c4Filter: every line rule and page rule fires; clean pages survive") {
+    val good = "This sentence has more than five words in it.\n" +
+      "Another perfectly fine sentence follows right here now.\n" +
+      "A third keeps the page over the sentence minimum."
+    val pages = df(Seq(
+      (1L, good, "s"),                                           // clean pass
+      (2L, good + "\nPlease enable javascript to see this page.", "s"), // js line dropped, page ok
+      (3L, good + "\nlorem ipsum dolor sit amet.", "s"),          // page killed
+      (4L, good + "\nvar x = { a: 1 }", "s"),                     // brace kills page
+      (5L, "Only two sentences survive this cleaning pass here.\n" +
+           "And here is exactly the second surviving one.", "s"), // < 3 sentences
+      (6L, "no terminal punctuation on this line\nShort one.\n" + good, "s")))
+    val out = Curation.c4Filter(pages, "text", "doc_id")
+      .orderBy("doc_id").collect()
+    assert(out.map(_.getBoolean(6)).toSeq ==
+      Seq(true, true, false, false, false, true))
+    // page 2: the javascript line is dropped but the 3 good lines remain
+    assert(out(1).getInt(2) == 3)
+    // page 6: the two junk lines are dropped, clean_text is just `good`
+    assert(out(5).getString(7) == good)
+    // page 1 sentence count = 3 terminal marks
+    assert(out(0).getInt(3) == 3)
+    // killed pages carry NULL clean_text but still report counts
+    assert(out(2).isNullAt(7) && out(2).getBoolean(4))
+    assert(out(3).isNullAt(7) && out(3).getBoolean(5))
+  }
+
+  test("c4Filter is map-only: no exchange in the plan") {
+    val pages = df(Seq((1L, "One fine sentence with enough words here.", "s")))
+    val plan = Curation.c4Filter(pages, "text", "doc_id")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"))
+  }
+
   test("decontaminate flags only corpus docs sharing an n-gram with the benchmark") {
     val bench = df(Seq((100L, "the secret eval answer is forty two exactly", "b")))
     val corpus = df(Seq(

@@ -22,6 +22,22 @@ class FunctionsSpec extends AnyFunSuite {
     assert(sql1("SELECT normalize_text('a\u000Bb')").getString(0) == "a b")
   }
 
+  test("jaro_winkler: classic values, boost threshold, degenerate inputs") {
+    // classic record-linkage pairs (Winkler 1990 examples)
+    assert(sql1("SELECT jaro_winkler('MARTHA', 'MARHTA')").getDouble(0)
+      === 0.9611111111111111)
+    assert(sql1("SELECT jaro_winkler('DIXON', 'DICKSONX')").getDouble(0)
+      === 0.8133333333333332)
+    // below the 0.7 boost threshold the shared prefix must NOT boost
+    assert(sql1("SELECT jaro_winkler('abcdef', 'abzzzz')").getDouble(0)
+      === 0.5555555555555555)
+    assert(sql1("SELECT jaro_winkler('same', 'same')").getDouble(0) === 1.0)
+    assert(sql1("SELECT jaro_winkler('', 'abc')").getDouble(0) === 0.0)
+    // window 0 on 2-char strings: transposed pair has no in-window match
+    assert(sql1("SELECT jaro_winkler('ab', 'ba')").getDouble(0) === 0.0)
+    assert(sql1("SELECT jaro_winkler(CAST(NULL AS STRING), 'x')").isNullAt(0))
+  }
+
   test("gcd: value, null-skip, both overloads") {
     assert(sql1("SELECT gcd(25, 15)").getInt(0) == 5)
     assert(sql1("SELECT gcd(CAST(NULL AS INT), 15)").isNullAt(0))
