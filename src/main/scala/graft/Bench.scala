@@ -518,6 +518,52 @@ object Bench {
         val n = graft.ops.Fuzzy.fuzzySelfJoin(strs, "id", "s", maxDist = 1).count()
         require(n == 4500000L, s"expected exactly 4.5M diagonal pairs, got $n")
       },
+      // C4 battery over 1M derived multi-line pages: one scan, the whole
+      // battery a codegen'd projection (the gate's 100 TB cost model)
+      "x_c4_1m" -> { s: SparkSession =>
+        val pages = s.range(1000000L).selectExpr("id",
+          """concat_ws(chr(10),
+            |  'This page has a perfectly fine first sentence.',
+            |  concat('Row ', id, ' adds one more good sentence here.'),
+            |  CASE WHEN id % 7 = 0 THEN 'lorem ipsum dolor sit amet.'
+            |       ELSE 'And a third sentence keeps it over the bar.' END,
+            |  'no terminal punctuation here',
+            |  'Enable javascript to continue viewing this content.') AS page""".stripMargin)
+        val n = graft.ops.Curation.c4Filter(pages, "page", "id")
+          .where(org.apache.spark.sql.functions.col("pass")).count()
+        require(n == 1000000L - (1000000L + 6) / 7,
+          s"expected all pages except the id%7 lorem kills to pass, got $n")
+      },
+      // 2M jaro_winkler scorings, map-only: the codegen kernel's throughput
+      "x_jw_2m" -> { s: SparkSession =>
+        val n = s.range(2000000L).selectExpr(
+            "concat('record name ', id) AS a",
+            "concat('record name ', id + 1, 'x') AS b")
+          .selectExpr("jaro_winkler(a, b) AS sim")
+          .where(org.apache.spark.sql.functions.col("sim") > 0.8).count()
+        require(n > 1900000L, s"expected >1.9M high-sim pairs, got $n")
+      },
+      // sorted-neighborhood linkage at 1M rows, window 4: distributed
+      // sort-rank + 3M-row successor equi-join — never O(n^2)
+      "x_sneighbor_1m" -> { s: SparkSession =>
+        val strs = s.range(1000000L).selectExpr("id",
+          // ids 2n/2n+1 share a name stem differing in the last char, so
+          // each planted pair is adjacent after the sort
+          "concat('name', id div 2, CASE WHEN id % 2 = 0 THEN 'a' ELSE 'b' END) AS s")
+        val n = graft.ops.Fuzzy.sortedNeighborhood(strs, "id", "s",
+          window = 4, minSim = 0.9).count()
+        require(n >= 500000L, s"expected >=500k planted adjacent pairs, got $n")
+      },
+      // token-budget mixture over 20M docs / 100 sources: one per-stratum
+      // window pass
+      "x_token_mix_20m" -> { s: SparkSession =>
+        val docs = s.range(20000000L).selectExpr(
+          "CAST(id % 100 AS STRING) AS src", "id",
+          "100 + pmod(hash(id), 50) AS n_tok")
+        val kept = graft.ops.Curation.tokenBudgetMix(docs, "src", "id", "n_tok",
+          budget = 10000000L, salt = "bx").count()
+        require(kept > 1000000L, s"expected >1M docs within budget, got $kept")
+      },
       // rolling z-score flags over 20M events / 100 series: one hash
       // exchange + a bounded 50-row frame
       "x_anomaly_20m" -> { s: SparkSession =>

@@ -1689,6 +1689,24 @@ object SparkEntry {
         }
         .reduce(_ unionByName _).orderBy("stage")
     } _,
+    // sorted-neighborhood record linkage (the OTHER classic blocking next
+    // to PassJoin): distributed sort-rank + bounded successor fan-out,
+    // jaro_winkler scoring — the oracle replays the window pairing with an
+    // inequality join and DuckDB's builtin scorer
+    "q_jw_neighbors" -> dfq { s =>
+      graft.ops.Fuzzy.sortedNeighborhood(s.table("part"), "p_partkey", "p_name",
+          window = 10, minSim = 0.9)
+        .orderBy("id_a", "id_b")
+    } _,
+    // token-budget mixture: per-source quotas counted in TOKENS, cut at the
+    // deterministic-shuffle prefix (monotone cumsum = stop-at-overflow)
+    "q_token_mix" -> dfq { s =>
+      val docs = s.table("documents")
+        .selectExpr("source", "doc_id", "token_count(text) AS n_tok")
+      graft.ops.Curation.tokenBudgetMix(docs, "source", "doc_id", "n_tok",
+          budget = 800, salt = "mix1")
+        .orderBy("source", "doc_id")
+    } _,
     // incremental index loop: per-half indexes merged must equal the
     // whole-corpus index (the oracle builds the whole directly), proving
     // the merge is order/replay-proof like the dedup-index loop
@@ -4196,6 +4214,27 @@ object SparkEntry {
       """SELECT a.p_partkey AS id, jaro_winkler_similarity(a.p_name, b.p_name) AS jw
         |FROM part a JOIN part b ON b.p_partkey = a.p_partkey + 1
         |ORDER BY id""".stripMargin,
+    "q_jw_neighbors" ->
+      """WITH r AS (SELECT p_partkey AS id, p_name AS s,
+        |    row_number() OVER (ORDER BY p_name, p_partkey) - 1 AS rk
+        |  FROM part)
+        |SELECT a.id AS id_a, b.id AS id_b,
+        |       jaro_winkler_similarity(a.s, b.s) AS sim
+        |FROM r a JOIN r b ON b.rk >= a.rk + 1 AND b.rk <= a.rk + 9
+        |WHERE jaro_winkler_similarity(a.s, b.s) >= 0.9
+        |ORDER BY id_a, id_b""".stripMargin,
+    "q_token_mix" ->
+      s"""WITH t AS (SELECT source, doc_id,
+         |    CAST(len(list_filter(str_split_regex(text, '\\s+'), x -> x <> ''))
+         |         AS BIGINT) AS n_tok,
+         |    ${duckMd5_60("'mix1:' || CAST(doc_id AS VARCHAR)")} AS h
+         |  FROM documents),
+         |c AS (SELECT source, doc_id, n_tok,
+         |    sum(n_tok) OVER (PARTITION BY source ORDER BY h, doc_id
+         |                     ROWS UNBOUNDED PRECEDING) AS cum
+         |  FROM t)
+         |SELECT source, doc_id, n_tok, CAST(cum AS BIGINT) AS cum
+         |FROM c WHERE cum <= 800 ORDER BY source, doc_id""".stripMargin,
     "q_index_increment" ->
       """WITH dt AS (SELECT DISTINCT doc_id,
         |              unnest(list_filter(str_split_regex(lower(text), '\s+'),

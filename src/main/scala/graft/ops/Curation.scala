@@ -396,6 +396,30 @@ object Curation {
         col("r_bullet") && col("r_ellipsis") && col("r_alpha") && col("r_stop"))
   }
 
+  /** Token-budget-aware mixture: take each stratum's documents in
+    * deterministic-shuffle order (salted md5 rank — no RNG state, same
+    * contract as [[stratifiedSample]]) until the stratum's cumulative token
+    * count reaches `budget`. Because the running sum is monotone, the
+    * `cum ≤ budget` filter IS the stop-at-first-overflow prefix — no
+    * iteration. This is how training mixtures are actually cut: per-source
+    * quotas in TOKENS (the unit models train on), not documents.
+    *
+    * One window pass partitioned by stratum (the per-stratum sort is the
+    * only shuffle); the token column is a plain projection the caller
+    * supplies, so at 100 TB the scan + window pipeline into one stage.
+    * Output: (strataCol, idCol, nTokCol, cum) for the kept prefix. */
+  def tokenBudgetMix(docs: DataFrame, strataCol: String, idCol: String,
+                     nTokCol: String, budget: Long, salt: String): DataFrame = {
+    require(budget >= 1, "budget >= 1")
+    val h = conv(substring(md5(concat(lit(salt + ":"),
+      col(idCol).cast("string"))), 1, 15), 16, 10).cast("long")
+    val w = Window.partitionBy(col(strataCol)).orderBy(h, col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs.select(col(strataCol), col(idCol), col(nTokCol).cast("long").as(nTokCol))
+      .withColumn("cum", sum(col(nTokCol)).over(w))
+      .where(col("cum") <= budget)
+  }
+
   /** C4-style line-level page cleaning (Raffel et al. 2020, "Exploring the
     * Limits of Transfer Learning", §2.2 — the C4 heuristics):
     *

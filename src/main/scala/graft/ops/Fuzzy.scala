@@ -136,4 +136,47 @@ object Fuzzy {
       .select(least(col("id_a"), col("id_b")).as("id_a"),
               greatest(col("id_a"), col("id_b")).as("id_b"), col("dist"))
   }
+
+  /** Sorted-neighborhood record linkage (Hernández & Stolfo, SIGMOD 1995):
+    * sort all records by the blocking key, then compare only records within
+    * `window` positions of each other, scoring candidates with the
+    * codegen'd `jaro_winkler` and keeping pairs at `sim ≥ minSim`.
+    *
+    * Distributed shape: ranks come from a DISTRIBUTED sort + zipWithIndex
+    * (the single-partition `row_number()` window is explicitly avoided —
+    * same contract as `Curation.deterministicShuffle`); successor pairing
+    * is an equi-join on rank after a bounded (window−1)-way fan-out. One
+    * sort + one rank-keyed shuffle of (w−1)·n slim rows — never O(n²), and
+    * the window is the method's published recall knob.
+    *
+    * Requires `Graft.install` (uses the registered `jaro_winkler`).
+    * Output: (id_a, id_b, sim), id_a preceding id_b in sort order. */
+  def sortedNeighborhood(df: DataFrame, idCol: String, strCol: String,
+                         window: Int, minSim: Double): DataFrame = {
+    require(window >= 2, "window >= 2")
+    Dedup.requireIntegralIds(df, Seq(idCol), "sortedNeighborhood")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val sorted = df.where(col(idCol).isNotNull && col(strCol).isNotNull)
+      .select(col(idCol).cast("long").as("id"), col(strCol).cast("string").as("s"))
+      .orderBy(col("s"), col("id"))
+    // localCheckpoint: ranked is joined against itself below — without the
+    // lineage cut the distributed sort + zipWithIndex would run twice
+    val ranked = sorted.queryExecution.toRdd
+      .map(r => (r.getLong(0), r.getUTF8String(1).toString))
+      .zipWithIndex()
+      .map { case ((id, s), rk) => (rk, id, s) }
+      .toDF("rk", "id", "s")
+      .localCheckpoint()
+    val fan = ranked
+      .withColumn("off", explode(sequence(lit(1), lit(window - 1))))
+      .select((col("rk") + col("off")).as("rk2"),
+              col("id").as("id_a"), col("s").as("s_a"))
+    val right = ranked.select(col("rk").as("rk2"),
+      col("id").as("id_b"), col("s").as("s_b"))
+    fan.join(right, "rk2")
+      .withColumn("sim", expr("jaro_winkler(s_a, s_b)"))
+      .where(col("sim") >= lit(minSim))
+      .select("id_a", "id_b", "sim")
+  }
 }

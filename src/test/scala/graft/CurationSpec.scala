@@ -18,6 +18,36 @@ class CurationSpec extends AnyFunSuite {
       rows.map { case (i, t, s) => org.apache.spark.sql.Row(i, t, s) }.asJava, schema)
   }
 
+  test("tokenBudgetMix: monotone prefix cut per stratum, deterministic order") {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("src", StringType, nullable = false),
+      StructField("doc_id", LongType, nullable = false),
+      StructField("n_tok", IntegerType, nullable = false)))
+    val rows = (0L until 20L).map(i =>
+      org.apache.spark.sql.Row(if (i < 10) "a" else "b", i, 10 + (i % 3).toInt))
+    val docs = spark.createDataFrame(rows.asJava, schema)
+    val out = Curation.tokenBudgetMix(docs, "src", "doc_id", "n_tok",
+      budget = 40, salt = "t").collect()
+    // every stratum's kept set fits the budget and one more doc would not
+    val byStratum = out.groupBy(_.getString(0))
+    assert(byStratum.keySet == Set("a", "b"))
+    byStratum.foreach { case (_, rs) =>
+      val total = rs.map(_.getLong(2)).sum
+      assert(total <= 40 && total >= 40 - 12) // can't fit another 10..12-tok doc
+      // cum column really is the running sum in the emitted order
+      assert(rs.map(_.getLong(3)).max == total)
+    }
+    // deterministic: same salt → same rows
+    val again = Curation.tokenBudgetMix(docs, "src", "doc_id", "n_tok",
+      budget = 40, salt = "t").collect().map(_.getLong(1)).toSet
+    assert(again == out.map(_.getLong(1)).toSet)
+    // different salt → (almost surely) different prefix on 10 docs
+    val other = Curation.tokenBudgetMix(docs, "src", "doc_id", "n_tok",
+      budget = 40, salt = "u").collect().map(_.getLong(1)).toSet
+    assert(other != again || other.size == 10)
+  }
+
   test("c4Filter: every line rule and page rule fires; clean pages survive") {
     val good = "This sentence has more than five words in it.\n" +
       "Another perfectly fine sentence follows right here now.\n" +

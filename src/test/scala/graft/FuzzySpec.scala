@@ -176,4 +176,31 @@ class FuzzySpec extends AnyFunSuite {
       "n" -> ((3L, 2L, "2", "10")),
       "s" -> ((3L, 2L, "a", "b"))))
   }
+
+  test("sortedNeighborhood: finds in-window pairs, misses out-of-window ones") {
+    graft.Graft.install(spark)
+    // sort order by s: apple01, apple02, banana, cherry, zzz..., apple99
+    // is NOT how it sorts — build an explicit gap: two near-identical names
+    // adjacent in sort order, and two equally-similar names separated by
+    // more than `window` filler rows
+    val filler = (100L until 120L).map(i => (i, f"m$i%03d filler row"))
+    val rows = Seq(
+      (1L, "aaaa target alpha"), (2L, "aaaa target alphb"), // adjacent pair
+      (50L, "zz far twin one"), (51L, "zz far twin onf")    // adjacent too
+    ) ++ filler
+    val out = Fuzzy.sortedNeighborhood(strDf(rows), "id", "s",
+      window = 3, minSim = 0.9).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out.contains((1L, 2L)) && out.contains((50L, 51L)))
+    // the aaaa pair and zz pair are separated by 20 filler rows — no
+    // cross pair can appear
+    assert(!out.exists { case (a, b) => a <= 2 && b >= 50 })
+    // sim of the found pairs matches the direct scorer
+    val sim = Fuzzy.sortedNeighborhood(strDf(rows), "id", "s", 3, 0.9)
+      .where(col("id_a") === 1).collect().head.getDouble(2)
+    val direct = graft.functions.Kernels.jaroWinkler(
+      org.apache.spark.unsafe.types.UTF8String.fromString("aaaa target alpha"),
+      org.apache.spark.unsafe.types.UTF8String.fromString("aaaa target alphb"))
+    assert(sim == direct)
+  }
 }
