@@ -518,6 +518,18 @@ object Bench {
         val n = graft.ops.Fuzzy.fuzzySelfJoin(strs, "id", "s", maxDist = 1).count()
         require(n == 4500000L, s"expected exactly 4.5M diagonal pairs, got $n")
       },
+      // small-file compaction: 512 files → few, rows preserved (the
+      // maintenance rewrite is one round-robin repartition)
+      "x_compact_512f" -> { s: SparkSession =>
+        val dir = "/tmp/graft_bench_compact/t"
+        org.apache.hadoop.fs.FileSystem.getLocal(s.sparkContext.hadoopConfiguration)
+          .delete(new org.apache.hadoop.fs.Path("/tmp/graft_bench_compact"), true)
+        s.range(2000000L).selectExpr("id", "id % 97 AS v")
+          .repartition(512).write.parquet(dir)
+        val (b, a, rows) = graft.ops.Warehouse.compact(s, dir, targetBytes = 32L << 20)
+        require(b == 512 && a <= 4 && rows == 2000000L,
+          s"compact: $b -> $a files, $rows rows")
+      },
       // C4 battery over 1M derived multi-line pages: one scan, the whole
       // battery a codegen'd projection (the gate's 100 TB cost model)
       "x_c4_1m" -> { s: SparkSession =>

@@ -1698,6 +1698,15 @@ object SparkEntry {
           window = 10, minSim = 0.9)
         .orderBy("id_a", "id_b")
     } _,
+    // boilerplate HTML → text over a derived page (style/script blocks with
+    // content, tags, all six entities incl. the &amp;lt; double-escape) —
+    // the whole strip is a builtin regexp/replace chain, codegen'd, no UDF
+    "q_html_strip" -> dfq { s =>
+      s.table("documents")
+        .select(col("doc_id"),
+          graft.ops.TextAnalysis.stripHtml(expr(htmlPageSql)).as("clean"))
+        .orderBy("doc_id")
+    } _,
     // token-budget mixture: per-source quotas counted in TOKENS, cut at the
     // deterministic-shuffle prefix (monotone cumsum = stop-at-overflow)
     "q_token_mix" -> dfq { s =>
@@ -2351,6 +2360,18 @@ object SparkEntry {
       |       ELSE 'Every good page needs a couple more sentences.' END,
       |  CASE WHEN doc_id % 11 = 0 THEN 'body { color: red }'
       |       ELSE 'And a final closing sentence rounds it out.' END)""".stripMargin
+
+  /** Derived HTML page for `q_html_strip` — ONE definition for both engines.
+    * Exercises every strip step: a style block with braces, a script block
+    * containing a bare `<`, real tags, all six entities, and the
+    * `&amp;lt;` double-escape (must decode to the TEXT `&lt;`, proving
+    * `&amp;` decodes last). */
+  private val htmlPageSql: String =
+    """concat('<html><head><style>body { color: red }</style></head><body><h1>',
+      |  substr(text, 1, 40),
+      |  '</h1><script type="text/javascript">var x = 1 < 2;</script>',
+      |  '<p>Rest &amp; more &lt;tags&gt; "here" &#39;quoted&#39;',
+      |  ' &nbsp; &amp;lt;escaped.</p></body></html>')""".stripMargin
 
   /** C4 battery CTE chain over the derived page ([[c4PageSql]]) ending in
     * `c4f(doc_id, n_lines, n_kept, n_sentences, has_lorem, has_brace, ct,
@@ -4223,6 +4244,16 @@ object SparkEntry {
         |FROM r a JOIN r b ON b.rk >= a.rk + 1 AND b.rk <= a.rk + 9
         |WHERE jaro_winkler_similarity(a.s, b.s) >= 0.9
         |ORDER BY id_a, id_b""".stripMargin,
+    "q_html_strip" ->
+      s"""SELECT doc_id, trim(regexp_replace(
+         |  replace(replace(replace(replace(replace(replace(
+         |    regexp_replace(regexp_replace($htmlPageSql,
+         |      '(?is)<(script|style)[^>]*>.*?</(script|style)>', ' ', 'g'),
+         |      '(?s)<[^>]*>', ' ', 'g'),
+         |    '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+         |    '&#39;', ''''), '&amp;', '&'),
+         |  '[\\t\\n\\x0B\\f\\r ]+', ' ', 'g')) AS clean
+         |FROM documents ORDER BY doc_id""".stripMargin,
     "q_token_mix" ->
       s"""WITH t AS (SELECT source, doc_id,
          |    CAST(len(list_filter(str_split_regex(text, '\\s+'), x -> x <> ''))

@@ -230,6 +230,29 @@ object TextAnalysis {
     // so this is spec-gated + rows-only in the oracle (the one such scalar).
     Udf.scalar1[String, Double]("compress_ratio(string) -> double")(Zlib.ratio)
   }
+
+  /** Boilerplate HTML → text, as a chain of BUILTIN expressions (codegen'd,
+    * no UDF — the whole strip stays inside WholeStageCodegen):
+    *   1. drop `<script>`/`<style>` blocks WITH their content
+    *      (case-insensitive dotall, non-greedy — backref-free so the same
+    *      pattern runs on Java regex and the oracle's RE2);
+    *   2. strip remaining tags;
+    *   3. decode the six common entities (`&amp;` LAST, so `&amp;lt;`
+    *      correctly yields the text `&lt;`, not `<`);
+    *   4. collapse whitespace (explicit class — Java and RE2 disagree on
+    *      `\v`/`\s`) and trim.
+    * The DuckDB twin is the same chain with 'g' flags; order is part of the
+    * contract. */
+  def stripHtml(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    val noBlocks = regexp_replace(c,
+      "(?is)<(script|style)[^>]*>.*?</(script|style)>", " ")
+    val noTags = regexp_replace(noBlocks, "(?s)<[^>]*>", " ")
+    val decoded = Seq("&nbsp;" -> " ", "&lt;" -> "<", "&gt;" -> ">",
+        "&quot;" -> "\"", "&#39;" -> "'", "&amp;" -> "&")
+      .foldLeft(noTags) { case (e, (from, to)) => replace(e, lit(from), lit(to)) }
+    trim(regexp_replace(decoded, "[\\t\\n\\x0B\\f\\r ]+", " "))
+  }
 }
 
 /** Per-executor Deflater pool for `compress_ratio`: a per-row native stream

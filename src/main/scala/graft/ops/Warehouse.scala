@@ -230,4 +230,42 @@ object Warehouse {
     }
     (scanReport.toSeq ++ uniqueReports ++ refReports).reduce(_ union _)
   }
+
+  /** Small-file compaction — the maintenance job every long-lived ingest
+    * table needs: rewrite a parquet directory into ⌈totalBytes /
+    * targetBytes⌉ files and swap it in place. Returns
+    * (filesBefore, filesAfter, rows).
+    *
+    * The rewrite is ONE round-robin repartition (no keys, no skew — Spark's
+    * RoundRobinPartitioning balances by construction); the swap is
+    * rename-based (dir → .bak, tmp → dir, drop .bak), atomic per rename on
+    * HDFS/local. On an object store (no atomic rename) production tables
+    * want a manifest-based table format instead — this operator is the
+    * filesystem-table half, and its crash window (between the two renames)
+    * leaves `.bak` intact for manual recovery.
+    *
+    * At 100 TB you run this per PARTITION directory (date=…), not per
+    * table: each invocation's cost is then one partition's rewrite and the
+    * repartition count stays in the thousands. */
+  def compact(spark: org.apache.spark.sql.SparkSession, dir: String,
+              targetBytes: Long): (Int, Int, Long) = {
+    require(targetBytes >= 1L, "targetBytes >= 1")
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def dataFiles(p: org.apache.hadoop.fs.Path) =
+      fs.listStatus(p).filter(_.getPath.getName.endsWith(".parquet"))
+    val before = dataFiles(path)
+    val total = before.map(_.getLen).sum
+    val n = math.max(1L, (total + targetBytes - 1L) / targetBytes).toInt
+    val df = spark.read.parquet(dir)
+    val rows = df.count()
+    val tmp = new org.apache.hadoop.fs.Path(dir.stripSuffix("/") + ".compact_tmp")
+    val bak = new org.apache.hadoop.fs.Path(dir.stripSuffix("/") + ".compact_bak")
+    df.repartition(n).write.mode("overwrite").parquet(tmp.toString)
+    fs.delete(bak, true)
+    require(fs.rename(path, bak), s"compact: could not move $dir aside")
+    require(fs.rename(tmp, path), s"compact: could not swap in rewritten $dir")
+    fs.delete(bak, true)
+    (before.length, dataFiles(path).length, rows)
+  }
 }

@@ -22,6 +22,23 @@ class FunctionsSpec extends AnyFunSuite {
     assert(sql1("SELECT normalize_text('a\u000Bb')").getString(0) == "a b")
   }
 
+  test("stripHtml: blocks, tags, entity order, whitespace, case-insensitivity") {
+    import org.apache.spark.sql.functions._
+    def strip(s: String): String = spark.range(1)
+      .select(graft.ops.TextAnalysis.stripHtml(lit(s)).as("c"))
+      .collect().head.getString(0)
+    // script/style content vanishes entirely, tags become separators
+    assert(strip("<p>a</p><script>var x = 1 < 2;</script><b>b</b>") == "a b")
+    assert(strip("<STYLE>h1 { x }</STYLE>keep") == "keep")
+    // &amp; decodes LAST: &amp;lt; is the text "&lt;", not "<"
+    assert(strip("x &amp;lt; y &lt; z") == "x &lt; y < z")
+    assert(strip("a&nbsp;b &quot;c&quot; &#39;d&#39; e&gt;f") ==
+      "a b \"c\" 'd' e>f")
+    // whitespace collapse + trim
+    assert(strip("  a\n\n<br>\t b ") == "a b")
+    assert(strip("") == "")
+  }
+
   test("jaro_winkler: classic values, boost threshold, degenerate inputs") {
     // classic record-linkage pairs (Winkler 1990 examples)
     assert(sql1("SELECT jaro_winkler('MARTHA', 'MARHTA')").getDouble(0)

@@ -154,4 +154,20 @@ class WarehouseSpec extends AnyFunSuite {
     assert(got("unique:id") == (1L, 4L))     // one excess duplicate row
     assert(got("ref:id->pk") == (1L, 3L))    // id=2 orphaned; 3 non-null fks
   }
+
+  test("compact: shrinks a many-file table in place, content identical") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_compact").toString + "/t"
+    spark.range(10000L).selectExpr("id", "id % 7 AS v")
+      .repartition(64).write.parquet(dir)
+    val beforeRows = spark.read.parquet(dir).orderBy("id").collect().toSeq
+    val (nBefore, nAfter, rows) = Warehouse.compact(spark, dir, targetBytes = 64L << 20)
+    assert(nBefore == 64 && nAfter == 1 && rows == 10000L)
+    // content byte-identical, swap dirs cleaned up
+    assert(spark.read.parquet(dir).orderBy("id").collect().toSeq == beforeRows)
+    assert(!new java.io.File(dir + ".compact_tmp").exists)
+    assert(!new java.io.File(dir + ".compact_bak").exists)
+    // idempotent second run: already one file, stays one file
+    val (b2, a2, r2) = Warehouse.compact(spark, dir, targetBytes = 64L << 20)
+    assert(b2 == 1 && a2 == 1 && r2 == 10000L)
+  }
 }
