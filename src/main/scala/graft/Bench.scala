@@ -530,6 +530,25 @@ object Bench {
         require(b == 512 && a <= 4 && rows == 2000000L,
           s"compact: $b -> $a files, $rows rows")
       },
+      // dynamic partition overwrite: replacing ONE day's partition must
+      // leave every other partition byte-identical — the idempotent-backfill
+      // write pattern every date-partitioned 100 TB table relies on
+      "x_dynamic_overwrite" -> { s: SparkSession =>
+        val root = "/tmp/graft_bench_dynover"
+        org.apache.hadoop.fs.FileSystem.getLocal(s.sparkContext.hadoopConfiguration)
+          .delete(new org.apache.hadoop.fs.Path(root), true)
+        val dir = root + "/t"
+        s.range(100000L).selectExpr("id", "id % 8 AS day")
+          .write.partitionBy("day").parquet(dir)
+        s.range(500L).selectExpr("id + 1000000 AS id", "CAST(3 AS BIGINT) AS day")
+          .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+          .partitionBy("day").parquet(dir)
+        val counts = s.read.parquet(dir).groupBy("day").count().collect()
+          .map(r => r.get(0).toString.toLong -> r.getLong(1)).toMap
+        require(counts(3L) == 500L && (0L until 8L).filter(_ != 3L)
+            .forall(counts(_) == 12500L),
+          s"dynamic overwrite corrupted sibling partitions: $counts")
+      },
       // C4 battery over 1M derived multi-line pages: one scan, the whole
       // battery a codegen'd projection (the gate's 100 TB cost model)
       "x_c4_1m" -> { s: SparkSession =>

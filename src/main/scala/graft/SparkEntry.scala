@@ -1099,6 +1099,16 @@ object SparkEntry {
         |ORDER BY o_custkey, o_orderkey""".stripMargin) _,
     // CUBE margins with grouping indicators — full multidimensional
     // aggregation surface (GROUP BY CUBE covers ROLLUP/GROUPING SETS shapes)
+    // ROLLUP margins — the hierarchy sibling of CUBE (drill-down totals
+    // without the cross-margins); same grouping-id discipline
+    "q_rollup" -> q(
+      """SELECT coalesce(l_returnflag, 'ALL') AS rf,
+        |       coalesce(l_linestatus, 'ALL') AS ls,
+        |       CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS INT) AS gid,
+        |       CAST(sum(CAST(l_quantity AS INT)) AS BIGINT) AS s,
+        |       count(*) AS n
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY rf, ls, gid""".stripMargin) _,
     "q_cube" -> q(
       """SELECT coalesce(l_returnflag, 'ALL') AS rf,
         |       coalesce(l_linestatus, 'ALL') AS ls,
@@ -3726,6 +3736,14 @@ object SparkEntry {
         |FROM orders
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
         |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "q_rollup" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS rf,
+        |       coalesce(l_linestatus, 'ALL') AS ls,
+        |       CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS INT) AS gid,
+        |       CAST(sum(CAST(l_quantity AS INT)) AS BIGINT) AS s,
+        |       count(*) AS n
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY rf, ls, gid""".stripMargin,
     "q_cube" ->
       """SELECT coalesce(l_returnflag, 'ALL') AS rf,
         |       coalesce(l_linestatus, 'ALL') AS ls,

@@ -582,6 +582,44 @@ object Streaming {
       }
   }
 
+  case class TokKept(key: String, seq: Long, nTok: Long, cum: Long)
+  case class BudgetState(cum: Long, done: Boolean)
+
+  /** Streaming token-budget cut — the incremental twin of
+    * [[graft.ops.Curation.tokenBudgetMix]]: per key (source), emit arriving
+    * documents while the running token total stays ≤ `budget`; the first
+    * overflowing document flips the key to `done` and NOTHING later emits
+    * (the batch operator's monotone-prefix contract). Per-key state is one
+    * long + one flag, forever.
+    *
+    * Ordering: the stream consumes in (seq) arrival order — the
+    * deterministic-shuffle pre-ordering that the batch operator applies is
+    * the upstream writer's job in a streaming setting. Parity claim
+    * (spec-gated): output ≡ the batch window-cumsum prefix cut over the
+    * same rows in seq order, across any micro-batch split. */
+  def tokenBudgetStream(input: Dataset[MetricRow], budget: Long): Dataset[TokKept] = {
+    require(budget >= 1L, "budget >= 1")
+    implicit val stateEnc: Encoder[BudgetState] = Encoders.product[BudgetState]
+    implicit val outEnc: Encoder[TokKept] = Encoders.product[TokKept]
+    implicit val keyEnc: Encoder[String] = Encoders.STRING
+    input.groupByKey(_.key)
+      .flatMapGroupsWithState[BudgetState, TokKept](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (key: String, rows: Iterator[MetricRow], state: GroupState[BudgetState]) =>
+          var st = state.getOption.getOrElse(BudgetState(0L, false))
+          val out = scala.collection.mutable.ArrayBuffer.empty[TokKept]
+          rows.toSeq.sortBy(_.seq).foreach { r =>
+            if (!st.done) {
+              val c = st.cum + r.v
+              if (c <= budget) { st = st.copy(cum = c); out += TokKept(key, r.seq, r.v, c) }
+              else st = st.copy(done = true)
+            }
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+
   case class Scd2In(key: Long, ts: Long, id: Long, st: String)
   case class Scd2Out(key: Long, st: String, valid_from: Long, valid_to: Long)
   case class Scd2State(st: String, validFrom: Long, open: Boolean)

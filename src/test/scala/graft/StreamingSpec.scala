@@ -582,6 +582,39 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("batch ≡ stream: tokenBudgetStream prefix cut across a mid-prefix split") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rows = for (k <- Seq("a", "b"); i <- 0L until 100L) yield
+      Streaming.MetricRow(k, i, 10L + (i % 4))
+    // expected: seq-ordered window cumsum, cum <= budget (monotone prefix)
+    val expected = rows.groupBy(_.key).flatMap { case (k, rs) =>
+      var c = 0L
+      rs.sortBy(_.seq).flatMap { r =>
+        c += r.v
+        if (c <= 300L) Some((k, r.seq, r.v, c)) else { c = Long.MaxValue / 2; None }
+      }
+    }.toSet
+    val mem = MemoryStream[Streaming.MetricRow]
+    val q = Streaming.tokenBudgetStream(mem.toDS(), budget = 300L)
+      .writeStream.format("memory").queryName("tokbudget_stream")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      // split INSIDE the kept prefix (~30 docs of ~10 tokens fit in 300)
+      val (b0, rest) = rows.partition(_.seq < 12L)
+      mem.addData(b0: _*); q.processAllAvailable()
+      mem.addData(rest: _*); q.processAllAvailable()
+      val got = spark.sql("SELECT * FROM tokbudget_stream").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      assert(got == expected)
+      assert(got.nonEmpty && got.size < rows.size, "cut must be non-vacuous")
+      // a late straggler after the budget closed must NOT emit
+      mem.addData(Streaming.MetricRow("a", 500L, 1L)); q.processAllAvailable()
+      val after = spark.sql("SELECT count(*) FROM tokbudget_stream").head().getLong(0)
+      assert(after == got.size.toLong)
+    } finally q.stop()
+  }
+
   test("hllStream state survives a stop/restart from checkpoint") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
