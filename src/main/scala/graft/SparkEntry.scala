@@ -1699,6 +1699,25 @@ object SparkEntry {
         }
         .reduce(_ unionByName _).orderBy("stage")
     } _,
+    // capstone v6 — the funnel as DATA, ending in the token-budget cut:
+    // C4 page cleaning ∩ gopher document gates, then each source's
+    // survivors taken in deterministic-shuffle order until a 600-token
+    // budget fills. One lineage: two scan-filter batteries, one broadcast
+    // semi-join, one per-source window
+    "q_curate_v6" -> dfq { s =>
+      val docs = s.table("documents")
+      val pages = docs.select(col("doc_id"), expr(c4PageSql).as("page"))
+      val c4s = graft.ops.Curation.c4Filter(pages, "page", "doc_id")
+        .where(col("pass")).select("doc_id")
+      val gp = graft.ops.Curation.gopherRules(docs, "text", "doc_id",
+          minWords = 40, stopList = Seq("the", "a", "of", "and"))
+        .where(col("pass")).select("doc_id").join(c4s, "doc_id")
+      val surv = docs.join(gp, "doc_id")
+        .selectExpr("source", "doc_id", "token_count(text) AS n_tok")
+      graft.ops.Curation.tokenBudgetMix(surv, "source", "doc_id", "n_tok",
+          budget = 600, salt = "v6")
+        .orderBy("source", "doc_id")
+    } _,
     // sorted-neighborhood record linkage (the OTHER classic blocking next
     // to PassJoin): distributed sort-rank + bounded successor fan-out,
     // jaro_winkler scoring — the oracle replays the window pairing with an
@@ -4253,6 +4272,23 @@ object SparkEntry {
       """SELECT a.p_partkey AS id, jaro_winkler_similarity(a.p_name, b.p_name) AS jw
         |FROM part a JOIN part b ON b.p_partkey = a.p_partkey + 1
         |ORDER BY id""".stripMargin,
+    "q_curate_v6" ->
+      s"""WITH $duckC4Ctes,
+         |c4s AS (SELECT doc_id FROM c4f WHERE pass),
+         |$duckGopherCtes,
+         |gp AS (SELECT gc.doc_id FROM gc JOIN c4s USING (doc_id)
+         |       WHERE $duckGopherPass),
+         |sv AS (SELECT d.source, d.doc_id,
+         |    CAST(len(list_filter(str_split_regex(d.text, '\\s+'), x -> x <> ''))
+         |         AS BIGINT) AS n_tok,
+         |    ${duckMd5_60("'v6:' || CAST(d.doc_id AS VARCHAR)")} AS h
+         |  FROM documents d JOIN gp USING (doc_id)),
+         |cm AS (SELECT source, doc_id, n_tok,
+         |    sum(n_tok) OVER (PARTITION BY source ORDER BY h, doc_id
+         |                     ROWS UNBOUNDED PRECEDING) AS cum
+         |  FROM sv)
+         |SELECT source, doc_id, n_tok, CAST(cum AS BIGINT) AS cum
+         |FROM cm WHERE cum <= 600 ORDER BY source, doc_id""".stripMargin,
     "q_jw_neighbors" ->
       """WITH r AS (SELECT p_partkey AS id, p_name AS s,
         |    row_number() OVER (ORDER BY p_name, p_partkey) - 1 AS rk

@@ -203,4 +203,13 @@ class FuzzySpec extends AnyFunSuite {
       org.apache.spark.unsafe.types.UTF8String.fromString("aaaa target alphb"))
     assert(sim == direct)
   }
+
+  test("sortedNeighborhood plan: rank equi-join, never a cartesian product") {
+    graft.Graft.install(spark)
+    val rows = (0L until 50L).map(i => (i, f"k$i%03d"))
+    val plan = Fuzzy.sortedNeighborhood(strDf(rows), "id", "s", 5, 0.5)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      s"pair generation degenerated to a cross join:\n$plan")
+  }
 }
