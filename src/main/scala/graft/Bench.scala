@@ -565,6 +565,16 @@ object Bench {
         require(n == 1000000L - (1000000L + 6) / 7,
           s"expected all pages except the id%7 lorem kills to pass, got $n")
       },
+      // Aho-Corasick blocklist over 1M docs × 200 patterns: ONE automaton
+      // pass per doc (per-pattern contains would be 200 corpus scans)
+      "x_blocklist_1m" -> { s: SparkSession =>
+        Graft.install(s)
+        val pats = (0 until 200).map(i => s"'w$i'").mkString(", ")
+        val hits = s.read.parquet(docsBenchParquet(s))
+          .selectExpr(s"size(blocklist_matches(text, array($pats))) AS nh")
+          .agg(org.apache.spark.sql.functions.sum("nh")).head().getLong(0)
+        require(hits > 100000L, s"expected >100k pattern hits, got $hits")
+      },
       // 2M jaro_winkler scorings, map-only: the codegen kernel's throughput
       "x_jw_2m" -> { s: SparkSession =>
         val n = s.range(2000000L).selectExpr(

@@ -1727,6 +1727,16 @@ object SparkEntry {
           window = 10, minSim = 0.9)
         .orderBy("id_a", "id_b")
     } _,
+    // Aho-Corasick blocklist scan: one automaton pass per doc over the
+    // whole pattern list (incl. a multi-word phrase, overlapping patterns,
+    // and two absent terms proving negatives); joined output keeps the
+    // driver checker list-free
+    "q_blocklist" -> q(
+      """SELECT doc_id,
+        |  array_join(blocklist_matches(text,
+        |    array('spark', 'window', 'scan', 'fast key', 'ast', 'gdpr', 'lorem')),
+        |    ',') AS hits
+        |FROM documents ORDER BY doc_id""".stripMargin) _,
     // boilerplate HTML → text over a derived page (style/script blocks with
     // content, tags, all six entities incl. the &amp;lt; double-escape) —
     // the whole strip is a builtin regexp/replace chain, codegen'd, no UDF
@@ -4298,6 +4308,12 @@ object SparkEntry {
         |FROM r a JOIN r b ON b.rk >= a.rk + 1 AND b.rk <= a.rk + 9
         |WHERE jaro_winkler_similarity(a.s, b.s) >= 0.9
         |ORDER BY id_a, id_b""".stripMargin,
+    "q_blocklist" ->
+      """SELECT doc_id,
+        |  coalesce(array_to_string(list_sort(list_filter(
+        |    ['spark', 'window', 'scan', 'fast key', 'ast', 'gdpr', 'lorem'],
+        |    p -> contains(text, p))), ','), '') AS hits
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "q_html_strip" ->
       s"""SELECT doc_id, trim(regexp_replace(
          |  replace(replace(replace(replace(replace(replace(

@@ -86,6 +86,15 @@ object TextAnalysis {
       graft.functions.TokenCountExpr(children(0))
     }
 
+    // blocklist_matches: Aho-Corasick multi-pattern scan — ONE pass per
+    // document regardless of pattern-list size (per-pattern contains would
+    // re-scan the corpus once per pattern); sorted-distinct output so the
+    // oracle replays with list_sort(list_filter(...))
+    Udf.scalar2[String, Seq[String], Seq[String]](
+      "blocklist_matches(string, string[]) -> string[]") { (s, ps) =>
+      Blocklist.matches(s, ps)
+    }
+
     // jaro_winkler: record-linkage similarity, native codegen tier;
     // bit-compatible with DuckDB's jaro_winkler_similarity (fuzz-verified),
     // so oracle gates compare raw doubles.

@@ -22,6 +22,24 @@ class FunctionsSpec extends AnyFunSuite {
     assert(sql1("SELECT normalize_text('a\u000Bb')").getString(0) == "a b")
   }
 
+  test("blocklist_matches: automaton ≡ naive contains on dense random cases") {
+    val rnd = new scala.util.Random(42)
+    val ab = "abc" // dense alphabet stresses the fail links
+    for (_ <- 1 to 300) {
+      val pats = (1 to rnd.nextInt(6) + 1)
+        .map(_ => (1 to rnd.nextInt(4) + 1).map(_ => ab(rnd.nextInt(3))).mkString)
+        .distinct
+      val text = (1 to rnd.nextInt(30)).map(_ => ab(rnd.nextInt(3))).mkString
+      val got = graft.ops.Blocklist.matches(text, pats)
+      val want = pats.filter(text.contains).sorted
+      assert(got == want, s"text=$text pats=$pats got=$got want=$want")
+    }
+    // overlapping pattern inside a longer phrase, via the SQL surface
+    assert(sql1("""SELECT array_join(blocklist_matches('xfast keyy',
+        array('ast', 'fast key', 'zz')), ',')""").getString(0) == "ast,fast key")
+    assert(sql1("SELECT size(blocklist_matches('abc', array('zz')))").getInt(0) == 0)
+  }
+
   test("stripHtml: blocks, tags, entity order, whitespace, case-insensitivity") {
     import org.apache.spark.sql.functions._
     def strip(s: String): String = spark.range(1)
