@@ -577,6 +577,7 @@ object Bench {
       },
       // 2M jaro_winkler scorings, map-only: the codegen kernel's throughput
       "x_jw_2m" -> { s: SparkSession =>
+        Graft.install(s)
         val n = s.range(2000000L).selectExpr(
             "concat('record name ', id) AS a",
             "concat('record name ', id + 1, 'x') AS b")
@@ -587,6 +588,7 @@ object Bench {
       // sorted-neighborhood linkage at 1M rows, window 4: distributed
       // sort-rank + 3M-row successor equi-join — never O(n^2)
       "x_sneighbor_1m" -> { s: SparkSession =>
+        Graft.install(s)
         val strs = s.range(1000000L).selectExpr("id",
           // ids 2n/2n+1 share a name stem differing in the last char, so
           // each planted pair is adjacent after the sort

@@ -1097,8 +1097,6 @@ object SparkEntry {
         |FROM orders
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
         |ORDER BY o_custkey, o_orderkey""".stripMargin) _,
-    // CUBE margins with grouping indicators — full multidimensional
-    // aggregation surface (GROUP BY CUBE covers ROLLUP/GROUPING SETS shapes)
     // ROLLUP margins — the hierarchy sibling of CUBE (drill-down totals
     // without the cross-margins); same grouping-id discipline
     "q_rollup" -> q(
@@ -1109,6 +1107,8 @@ object SparkEntry {
         |       count(*) AS n
         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
         |ORDER BY rf, ls, gid""".stripMargin) _,
+    // CUBE margins with grouping indicators — full multidimensional
+    // aggregation surface (GROUP BY CUBE covers ROLLUP/GROUPING SETS shapes)
     "q_cube" -> q(
       """SELECT coalesce(l_returnflag, 'ALL') AS rf,
         |       coalesce(l_linestatus, 'ALL') AS ls,

@@ -105,15 +105,16 @@ object Kernels {
     * when J > 0.7. This exact variant (boost threshold, floor'd
     * transpositions) was fuzz-verified bit-identical to DuckDB's
     * `jaro_winkler_similarity` over random pairs, so the oracle gate can
-    * compare raw doubles. Char-level (UTF-16 units), like the reference
-    * string kernels (`arrow-udf/src/lib.rs` string fns operate per
-    * scalar value). */
+    * compare raw doubles. BYTE-level over UTF-8 (exactly DuckDB's unit —
+    * a char-level variant diverges on any non-ASCII input, e.g.
+    * 'héllo'/'hèllo' is 0.911… in bytes but 0.88 in UTF-16 chars), which
+    * also skips the String round-trip entirely. */
   def jaroWinkler(a: org.apache.spark.unsafe.types.UTF8String,
                   b: org.apache.spark.unsafe.types.UTF8String): Double = {
-    val s1 = a.toString; val s2 = b.toString
+    val s1 = a.getBytes; val s2 = b.getBytes
     val l1 = s1.length; val l2 = s2.length
     if (l1 == 0 || l2 == 0) return 0.0
-    if (s1 == s2) return 1.0
+    if (java.util.Arrays.equals(s1, s2)) return 1.0
     val w = math.max(0, math.max(l1, l2) / 2 - 1)
     val m1 = new Array[Boolean](l1); val m2 = new Array[Boolean](l2)
     var m = 0
@@ -123,7 +124,7 @@ object Kernels {
       var j = lo
       var found = false
       while (j <= hi && !found) {
-        if (!m2(j) && s1.charAt(i) == s2.charAt(j)) {
+        if (!m2(j) && s1(i) == s2(j)) {
           m1(i) = true; m2(j) = true; m += 1; found = true
         }
         j += 1
@@ -136,7 +137,7 @@ object Kernels {
     while (i < l1) {
       if (m1(i)) {
         while (!m2(k)) k += 1
-        if (s1.charAt(i) != s2.charAt(k)) t += 1
+        if (s1(i) != s2(k)) t += 1
         k += 1
       }
       i += 1
@@ -146,7 +147,7 @@ object Kernels {
     if (j <= 0.7) j
     else {
       var p = 0
-      while (p < 4 && p < l1 && p < l2 && s1.charAt(p) == s2.charAt(p)) p += 1
+      while (p < 4 && p < l1 && p < l2 && s1(p) == s2(p)) p += 1
       j + p * 0.1 * (1.0 - j)
     }
   }

@@ -30,18 +30,21 @@ object Blocklist {
     private val fail = scala.collection.mutable.ArrayBuffer[Int](0)
 
     patterns.zipWithIndex.foreach { case (p, idx) =>
-      if (p.nonEmpty) {
-        var s = 0
-        p.foreach { ch =>
-          s = next(s).getOrElseUpdate(ch, {
-            next += new scala.collection.mutable.HashMap[Char, Int]()
-            out += Nil
-            fail += 0
-            next.size - 1
-          })
-        }
-        out(s) = idx :: out(s)
+      // '' would "match every text" under the documented contains-replay
+      // semantics but can never reach an automaton output — fail loudly
+      // rather than silently diverge from the oracle (blocklist files with
+      // trailing newlines produce exactly this)
+      require(p.nonEmpty, "blocklist: empty pattern (strip blank list entries)")
+      var s = 0
+      p.foreach { ch =>
+        s = next(s).getOrElseUpdate(ch, {
+          next += new scala.collection.mutable.HashMap[Char, Int]()
+          out += Nil
+          fail += 0
+          next.size - 1
+        })
       }
+      out(s) = idx :: out(s)
     }
     // BFS failure links; output sets merge along them
     locally {

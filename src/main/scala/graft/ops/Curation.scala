@@ -296,8 +296,7 @@ object Curation {
     val idDt = df.schema(idCol).dataType
     require(Seq("byte", "short", "integer", "long").contains(idDt.typeName),
       s"deterministicShuffle: id column '$idCol' must be integral, got $idDt")
-    val h = conv(substring(md5(concat(lit(salt + ":"), col(idCol).cast("string"))), 1, 15), 16, 10)
-      .cast("long")
+    val h = saltedRank(idCol, salt)
     val sorted = df.where(col(idCol).isNotNull)
       .select(col(idCol).cast("long").as("id"), h.as("h"))
       .orderBy(col("h"), col("id"))
@@ -411,14 +410,29 @@ object Curation {
   def tokenBudgetMix(docs: DataFrame, strataCol: String, idCol: String,
                      nTokCol: String, budget: Long, salt: String): DataFrame = {
     require(budget >= 1, "budget >= 1")
-    val h = conv(substring(md5(concat(lit(salt + ":"),
-      col(idCol).cast("string"))), 1, 15), 16, 10).cast("long")
-    val w = Window.partitionBy(col(strataCol)).orderBy(h, col(idCol))
+    // the output running-total column would silently shadow an input column
+    // of the same name (same guard class as runLength/groupPercentiles)
+    require(!Seq(strataCol, idCol, nTokCol).contains("cum"),
+      "tokenBudgetMix: 'cum' is reserved for the running total")
+    val w = Window.partitionBy(col(strataCol))
+      .orderBy(saltedRank(idCol, salt), col(idCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    docs.select(col(strataCol), col(idCol), col(nTokCol).cast("long").as(nTokCol))
+    // null ids would make the sort key all-null (nondeterministic prefix) —
+    // same up-front filter as deterministicShuffle, whose contract this
+    // operator shares
+    docs.where(col(idCol).isNotNull)
+      .select(col(strataCol), col(idCol), col(nTokCol).cast("long").as(nTokCol))
       .withColumn("cum", sum(col(nTokCol)).over(w))
       .where(col("cum") <= budget)
   }
+
+  /** Salted deterministic rank key — the 60-bit md5 prefix shared by
+    * [[deterministicShuffle]], [[tokenBudgetMix]] and the DuckDB
+    * `duckMd5_60` twin; ONE definition so the oracle parity of every
+    * consumer moves together. */
+  private def saltedRank(idCol: String, salt: String): Column =
+    conv(substring(md5(concat(lit(salt + ":"),
+      col(idCol).cast("string"))), 1, 15), 16, 10).cast("long")
 
   /** C4-style line-level page cleaning (Raffel et al. 2020, "Exploring the
     * Limits of Transfer Learning", §2.2 — the C4 heuristics):

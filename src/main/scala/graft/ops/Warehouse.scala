@@ -255,13 +255,22 @@ object Warehouse {
     def dataFiles(p: org.apache.hadoop.fs.Path) =
       fs.listStatus(p).filter(_.getPath.getName.endsWith(".parquet"))
     val before = dataFiles(path)
+    // a partitioned table root has NO top-level data files — rewriting it
+    // here would flatten the layout into one unpartitioned file and destroy
+    // partition pruning; fail loudly instead (run compact per partition dir)
+    require(before.nonEmpty,
+      s"compact: no top-level .parquet files in $dir — for a partitioned " +
+        "table run compact on each partition directory")
     val total = before.map(_.getLen).sum
     val n = math.max(1L, (total + targetBytes - 1L) / targetBytes).toInt
-    val df = spark.read.parquet(dir)
-    val rows = df.count()
+    // row count via observe: piggybacks on the rewrite job's single scan
+    // instead of paying a second full read
+    val obs = org.apache.spark.sql.Observation()
+    val df = spark.read.parquet(dir).observe(obs, count(lit(1)).as("rows"))
     val tmp = new org.apache.hadoop.fs.Path(dir.stripSuffix("/") + ".compact_tmp")
     val bak = new org.apache.hadoop.fs.Path(dir.stripSuffix("/") + ".compact_bak")
     df.repartition(n).write.mode("overwrite").parquet(tmp.toString)
+    val rows = obs.get("rows").asInstanceOf[Long]
     fs.delete(bak, true)
     require(fs.rename(path, bak), s"compact: could not move $dir aside")
     require(fs.rename(tmp, path), s"compact: could not swap in rewritten $dir")

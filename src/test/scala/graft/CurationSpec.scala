@@ -42,10 +42,11 @@ class CurationSpec extends AnyFunSuite {
     val again = Curation.tokenBudgetMix(docs, "src", "doc_id", "n_tok",
       budget = 40, salt = "t").collect().map(_.getLong(1)).toSet
     assert(again == out.map(_.getLong(1)).toSet)
-    // different salt → (almost surely) different prefix on 10 docs
+    // different salt → different prefix (deterministic hashes: this either
+    // always holds or never does — verified to differ for salts t/u here)
     val other = Curation.tokenBudgetMix(docs, "src", "doc_id", "n_tok",
       budget = 40, salt = "u").collect().map(_.getLong(1)).toSet
-    assert(other != again || other.size == 10)
+    assert(other != again)
   }
 
   test("c4Filter: every line rule and page rule fires; clean pages survive") {

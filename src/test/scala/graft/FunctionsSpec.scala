@@ -38,6 +38,11 @@ class FunctionsSpec extends AnyFunSuite {
     assert(sql1("""SELECT array_join(blocklist_matches('xfast keyy',
         array('ast', 'fast key', 'zz')), ',')""").getString(0) == "ast,fast key")
     assert(sql1("SELECT size(blocklist_matches('abc', array('zz')))").getInt(0) == 0)
+    // empty patterns fail loudly instead of silently diverging from the
+    // contains-replay contract ('' matches every text under contains)
+    assertThrows[Exception] {
+      graft.ops.Blocklist.matches("abc", Seq("a", ""))
+    }
   }
 
   test("stripHtml: blocks, tags, entity order, whitespace, case-insensitivity") {
@@ -71,6 +76,10 @@ class FunctionsSpec extends AnyFunSuite {
     // window 0 on 2-char strings: transposed pair has no in-window match
     assert(sql1("SELECT jaro_winkler('ab', 'ba')").getDouble(0) === 0.0)
     assert(sql1("SELECT jaro_winkler(CAST(NULL AS STRING), 'x')").isNullAt(0))
+    // BYTE-level like DuckDB: é/è share their UTF-8 lead byte, so m=5 of 6
+    // bytes and prefix 2 — a UTF-16 char-level variant would say 0.88
+    assert(sql1("SELECT jaro_winkler('héllo', 'hèllo')").getDouble(0)
+      === 0.9111111111111112)
   }
 
   test("gcd: value, null-skip, both overloads") {
