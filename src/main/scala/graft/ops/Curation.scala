@@ -366,10 +366,12 @@ object Curation {
    * UDF — and the DuckDB oracle replays it bit-for-bit. At 100 TB this is
    * the first gate in the pipeline precisely because it costs one scan.
    */
-  def gopherRules(docs: DataFrame, textCol: String, idCol: String,
-                  minWords: Int = 50, maxWords: Int = 100000,
-                  stopList: Seq[String] = TextAnalysis.gopherStopwords): DataFrame = {
-    val txt = coalesce(col(textCol), lit(""))
+  /** The seven gopher rule columns over a text Column — ONE definition
+    * shared by the batch report ([[gopherRules]]) and the streaming gate
+    * ([[gopherPass]]). Returns (n_words, named rules). */
+  private def gopherRuleCols(textCol: Column, minWords: Int, maxWords: Int,
+                             stopList: Seq[String]): (Column, Seq[(String, Column)]) = {
+    val txt = coalesce(textCol, lit(""))
     val ws = filter(split(txt, "\\s+"), x => length(x) > 0)
     val nw = size(ws)
     val chars = aggregate(ws, lit(0), (acc, x) => acc + length(x))
@@ -383,14 +385,29 @@ object Curation {
     val ellLines = size(filter(lines, l => l.endsWith("...") || l.endsWith("…")))
     val hashes = length(txt) - length(regexp_replace(txt, "#", ""))
     val ellipses = ((length(txt) - length(regexp_replace(txt, "\\.\\.\\.", ""))) / 3).cast("int")
-    docs.select(col(idCol), nw.as("n_words"),
-        (nw >= minWords && nw <= maxWords).as("r_words"),
-        (lit(3) * nw <= chars && chars <= lit(10) * nw).as("r_meanlen"),
-        (lit(10) * (hashes + ellipses) <= nw).as("r_symbol"),
-        (lit(10) * bullets <= lit(9) * nLines).as("r_bullet"),
-        (lit(10) * ellLines <= lit(3) * nLines).as("r_ellipsis"),
-        (lit(5) * alphaWords >= lit(4) * nw).as("r_alpha"),
-        (stopHits >= 2).as("r_stop"))
+    (nw, Seq(
+      "r_words" -> (nw >= minWords && nw <= maxWords),
+      "r_meanlen" -> (lit(3) * nw <= chars && chars <= lit(10) * nw),
+      "r_symbol" -> (lit(10) * (hashes + ellipses) <= nw),
+      "r_bullet" -> (lit(10) * bullets <= lit(9) * nLines),
+      "r_ellipsis" -> (lit(10) * ellLines <= lit(3) * nLines),
+      "r_alpha" -> (lit(5) * alphaWords >= lit(4) * nw),
+      "r_stop" -> (stopHits >= 2)))
+  }
+
+  /** The whole battery as one boolean Column — usable as a stream filter or
+    * scan predicate (sargable; the conjuncts fold into parquet DataFilters). */
+  def gopherPass(textCol: Column, minWords: Int = 50, maxWords: Int = 100000,
+                 stopList: Seq[String] = TextAnalysis.gopherStopwords): Column =
+    gopherRuleCols(textCol, minWords, maxWords, stopList)._2
+      .map(_._2).reduce(_ && _)
+
+  def gopherRules(docs: DataFrame, textCol: String, idCol: String,
+                  minWords: Int = 50, maxWords: Int = 100000,
+                  stopList: Seq[String] = TextAnalysis.gopherStopwords): DataFrame = {
+    val (nw, rules) = gopherRuleCols(col(textCol), minWords, maxWords, stopList)
+    docs.select(col(idCol) +: nw.as("n_words") +:
+        rules.map { case (n, c) => c.as(n) }: _*)
       .withColumn("pass", col("r_words") && col("r_meanlen") && col("r_symbol") &&
         col("r_bullet") && col("r_ellipsis") && col("r_alpha") && col("r_stop"))
   }

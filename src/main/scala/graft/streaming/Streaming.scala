@@ -620,6 +620,29 @@ object Streaming {
       }
   }
 
+  case class DocIn(source: String, doc_id: Long, text: String)
+
+  /** Streaming curation capstone: the batch pipeline's document gate as a
+    * stateless stream filter (the gopher battery is one boolean Column —
+    * [[graft.ops.Curation.gopherPass]] — so it costs a projection, no
+    * state), feeding the stateful per-source token-budget cut
+    * ([[tokenBudgetStream]]). Requires `Graft.install` (token_count).
+    * Batch-identical by construction: gate then prefix-cut in doc_id
+    * arrival order — the parity spec replays the same rows through
+    * `gopherRules` + a seq-order cumsum. */
+  def curationStream(docs: Dataset[DocIn], minWords: Int, budget: Long,
+                     stopList: Seq[String]): Dataset[TokKept] = {
+    import org.apache.spark.sql.functions.col
+    implicit val rowEnc: Encoder[MetricRow] = Encoders.product[MetricRow]
+    val gated = docs
+      .where(graft.ops.Curation.gopherPass(col("text"), minWords,
+        stopList = stopList))
+      .selectExpr("source AS key", "doc_id AS seq",
+        "CAST(token_count(text) AS BIGINT) AS v")
+      .as[MetricRow]
+    tokenBudgetStream(gated, budget)
+  }
+
   case class Scd2In(key: Long, ts: Long, id: Long, st: String)
   case class Scd2Out(key: Long, st: String, valid_from: Long, valid_to: Long)
   case class Scd2State(st: String, validFrom: Long, open: Boolean)

@@ -615,6 +615,52 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("batch ≡ stream: curationStream = gopher gate + seq-order budget cut") {
+    Graft.install(spark)
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val good = (1 to 60).map(i => s"word$i").mkString(
+      "the quick data of a scan and ", " ", " end.") // passes all 7 rules
+    val junk = "#### #### #### ####"                  // fails symbol/stop/words
+    val rows = for (s <- Seq("sa", "sb"); i <- 0L until 40L) yield
+      Streaming.DocIn(s, i, if (i % 5 == 4) junk else good)
+    // batch oracle: gopherRules pass + arrival-order prefix cut
+    val passIds = graft.ops.Curation.gopherRules(
+        rows.toDF("source", "doc_id", "text"), "text", "doc_id",
+        minWords = 40, stopList = Seq("the", "a", "of", "and"))
+      .where(org.apache.spark.sql.functions.col("pass"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val nTok = rows.map(r => (r.source, r.doc_id) ->
+      r.text.split("\\s+").count(_.nonEmpty).toLong).toMap
+    val expected = rows.groupBy(_.source).flatMap { case (s, rs) =>
+      var c = 0L
+      var done = false
+      rs.sortBy(_.doc_id).flatMap { r =>
+        if (done || !passIds.contains(r.doc_id)) None
+        else {
+          val v = nTok((r.source, r.doc_id))
+          if (c + v <= 2000L) { c += v; Some((s, r.doc_id, v, c)) }
+          else { done = true; None }
+        }
+      }
+    }.toSet
+    assert(expected.nonEmpty && expected.size < rows.count(r => passIds(r.doc_id)),
+      "both the gate and the budget must bite")
+    val mem = MemoryStream[Streaming.DocIn]
+    val q = Streaming.curationStream(mem.toDS(), minWords = 40, budget = 2000L,
+        stopList = Seq("the", "a", "of", "and"))
+      .writeStream.format("memory").queryName("curation_stream")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      val (b0, rest) = rows.partition(_.doc_id < 13L)
+      mem.addData(b0: _*); q.processAllAvailable()
+      mem.addData(rest: _*); q.processAllAvailable()
+      val got = spark.sql("SELECT * FROM curation_stream").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      assert(got == expected)
+    } finally q.stop()
+  }
+
   test("hllStream state survives a stop/restart from checkpoint") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
