@@ -449,6 +449,41 @@ object Bench {
       // harness, not operator design — a deployment replays from
       // Kafka/files; the measured work is flatMapGroupsWithState state
       // revision across micro-batches.
+      // streaming curation at 100k docs / 100 sources: stateless gopher
+      // gate + stateful budget cut across 4 micro-batches; replay must
+      // equal the batch gate + seq-order prefix (require, not just timing)
+      "x_curation_stream_100k" -> { s: SparkSession =>
+        import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+        import graft.streaming.Streaming
+        import s.implicits._
+        implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+        Graft.install(s)
+        val good = (1 to 50).map(i => s"tok$i").mkString(
+          "the quick data of a scan and ", " ", " end.")
+        // junk keyed by the per-source ORDINAL (i/100), not i itself —
+        // i%5 would correlate with the i%100 source id (both mod 5) and
+        // make 20 sources all-junk
+        val docs = (0L until 100000L).map(i =>
+          Streaming.DocIn("s" + (i % 100), i,
+            if ((i / 100) % 5 == 4) "#### ####" else good))
+        val mem = MemoryStream[Streaming.DocIn]
+        val oldParts = s.conf.get("spark.sql.shuffle.partitions")
+        s.conf.set("spark.sql.shuffle.partitions", "8")
+        val q = try Streaming.curationStream(mem.toDS(), minWords = 40,
+            budget = 25000L, stopList = Seq("the", "a", "of", "and"))
+          .writeStream.format("memory").queryName("x_curation_stream_100k")
+          .outputMode("update").start()
+        finally s.conf.set("spark.sql.shuffle.partitions", oldParts)
+        try {
+          docs.grouped(25001).foreach { c =>
+            mem.addData(c.toSeq: _*); q.processAllAvailable()
+          }
+          val n = s.table("x_curation_stream_100k").count()
+          // each source: 800 good docs × 58 tokens, budget 25000 → 431 kept
+          require(n == 100L * (25000L / 58L),
+            s"stream kept $n docs, expected ${100L * (25000L / 58L)}")
+        } finally q.stop()
+      },
       "x_retract_replay_200k" -> { s: SparkSession =>
         import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
         import graft.streaming.Streaming
