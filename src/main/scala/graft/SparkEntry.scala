@@ -1403,6 +1403,21 @@ object SparkEntry {
         .select("event_id", "purchase_id")
         .orderBy("event_id", "purchase_id")
     } _,
+    // interval-OVERLAP join (interval × interval, not point-in-interval):
+    // view attention windows × purchase ±5-min windows per user; both sides
+    // bucket-exploded, each overlapping pair emitted exactly once in its
+    // first shared bucket — never a per-key cartesian product
+    "q_interval_join" -> dfq { s =>
+      val views = s.table("events").where("event_type = 'view'")
+        .selectExpr("event_id AS view_id", "user_id AS v_user",
+          "ts DIV 1000000 AS v_lo", "ts DIV 1000000 + 7200000 AS v_hi")
+      val buys = s.table("events").where("event_type = 'purchase'")
+        .selectExpr("event_id AS purchase_id", "user_id AS p_user",
+          "ts DIV 1000000 - 3600000 AS p_lo", "ts DIV 1000000 + 3600000 AS p_hi")
+      graft.plans.RangeJoin.bucketedIntervalJoin(views, buys, "v_user", "p_user",
+          "v_lo", "v_hi", "p_lo", "p_hi", bucketWidth = 3600000L)
+        .select("view_id", "purchase_id").orderBy("view_id", "purchase_id")
+    } _,
     "q_asof_join" -> dfq { s =>
       val e = s.table("events").selectExpr("event_id", "user_id", "ts DIV 1000000 AS t_ms")
       val o = s.table("orders").selectExpr("o_custkey",
@@ -3995,6 +4010,18 @@ object SparkEntry {
         |      FROM events WHERE event_type = 'purchase') p
         |  ON p.user_id = e.user_id AND e.t_ms >= p.lo AND e.t_ms <= p.hi
         |ORDER BY event_id, purchase_id""".stripMargin,
+    "q_interval_join" ->
+      """SELECT v.view_id, p.purchase_id
+        |FROM (SELECT event_id AS view_id, user_id,
+        |             epoch_ns(ts) // 1000000 AS lo,
+        |             epoch_ns(ts) // 1000000 + 7200000 AS hi
+        |      FROM events WHERE event_type = 'view') v
+        |JOIN (SELECT event_id AS purchase_id, user_id,
+        |             epoch_ns(ts) // 1000000 - 3600000 AS lo,
+        |             epoch_ns(ts) // 1000000 + 3600000 AS hi
+        |      FROM events WHERE event_type = 'purchase') p
+        |  ON p.user_id = v.user_id AND v.lo <= p.hi AND p.lo <= v.hi
+        |ORDER BY view_id, purchase_id""".stripMargin,
     "q_asof_join" ->
       """SELECT event_id, user_id, o_orderkey FROM (
         |  SELECT e.event_id, e.user_id, o.o_orderkey,

@@ -46,4 +46,38 @@ object RangeJoin {
       .where(col(pointVal) >= col(lo) && col(pointVal) <= col(hi))
       .drop("__bucket")
   }
+
+  /**
+   * Interval-OVERLAP join: pairs of closed intervals sharing a key with
+   * `a.lo <= b.hi AND b.lo <= a.hi`. Both sides explode to value buckets
+   * and meet on `(key, bucket)` — the same never-cartesian discipline as
+   * [[bucketedRangeJoin]] — but an overlapping pair shares EVERY bucket its
+   * overlap region spans, so each pair is emitted only in its FIRST shared
+   * bucket: `bucket == max(floorBucket(a.lo), floorBucket(b.lo))`
+   * (= the overlap start's bucket — floor is monotone, and overlap
+   * guarantees that bucket lies inside both explode ranges). Exactly one
+   * row per overlapping pair, no post-join distinct.
+   *
+   * Scale: replication is span/bucketWidth per row (pick the width near the
+   * typical span); the shuffle is the (key, bucket) equi-join; AQE splits
+   * skewed buckets. Inverted intervals are dropped before the explode on
+   * both sides (same guard as the point form).
+   */
+  def bucketedIntervalJoin(left: DataFrame, right: DataFrame,
+                           leftKey: String, rightKey: String,
+                           lLo: String, lHi: String, rLo: String, rHi: String,
+                           bucketWidth: Long): DataFrame = {
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    require(!(left.columns ++ right.columns).contains("__bucket"),
+      "__bucket is reserved by bucketedIntervalJoin")
+    val lb = left.where(col(lLo) <= col(lHi)).withColumn("__bucket",
+      explode(sequence(floorBucket(lLo, bucketWidth), floorBucket(lHi, bucketWidth))))
+    val rb = right.where(col(rLo) <= col(rHi)).withColumn("__bucket",
+      explode(sequence(floorBucket(rLo, bucketWidth), floorBucket(rHi, bucketWidth))))
+    lb.join(rb, lb(leftKey) === rb(rightKey) && lb("__bucket") === rb("__bucket"))
+      .where(col(lLo) <= col(rHi) && col(rLo) <= col(lHi))
+      .where(lb("__bucket") ===
+        greatest(floorBucket(lLo, bucketWidth), floorBucket(rLo, bucketWidth)))
+      .drop("__bucket")
+  }
 }

@@ -338,4 +338,35 @@ class OpsSpec extends AnyFunSuite {
     assert(out(103) == 4)  // tie on time -> greatest tiebreak
     assert(out(104) == null)
   }
+
+  test("bucketedIntervalJoin ≡ brute-force overlap, exactly once per pair") {
+    import org.apache.spark.sql.types._
+    val rnd = new scala.util.Random(13)
+    // spans up to 10× the bucket width so many pairs share several buckets —
+    // the first-shared-bucket dedup must still emit each pair exactly once
+    val mk = (n: Int) => (0 until n).map { i =>
+      val lo = rnd.nextInt(200).toLong
+      (i.toLong, (i % 3).toLong, lo, lo + rnd.nextInt(50))
+    }
+    val ls = mk(40); val rs = mk(40)
+    val schema = (p: String) => StructType(Seq(
+      StructField(p + "id", LongType, nullable = false),
+      StructField(p + "k", LongType, nullable = false),
+      StructField(p + "lo", LongType, nullable = false),
+      StructField(p + "hi", LongType, nullable = false)))
+    val ldf = spark.createDataFrame(
+      ls.map(t => org.apache.spark.sql.Row(t._1, t._2, t._3, t._4)).asJava, schema("l"))
+    val rdf = spark.createDataFrame(
+      rs.map(t => org.apache.spark.sql.Row(t._1, t._2, t._3, t._4)).asJava, schema("r"))
+    val got = graft.plans.RangeJoin.bucketedIntervalJoin(ldf, rdf,
+        "lk", "rk", "llo", "lhi", "rlo", "rhi", bucketWidth = 5L)
+      .select("lid", "rid").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val want = for {
+      (li, lk, llo, lhi) <- ls; (ri, rk, rlo, rhi) <- rs
+      if lk == rk && llo <= rhi && rlo <= lhi
+    } yield (li, ri)
+    // exactly once: compare as multisets
+    assert(got.sorted == want.sorted,
+      s"got ${got.size} pairs (${got.distinct.size} distinct), want ${want.size}")
+  }
 }
