@@ -1426,6 +1426,19 @@ object SparkEntry {
           "o_orderkey", Seq("o_orderkey"))
         .select("event_id", "user_id", "o_orderkey").orderBy("event_id")
     } _,
+    // FORWARD as-of (earliest right at-or-after each left): the same
+    // one-merge-pass native exec run over NEGATED timestamps — backward
+    // "latest <=" under negation IS forward "earliest >=", so one exec
+    // serves both directions (tiebreak column untouched)
+    "q_asof_forward" -> dfq { s =>
+      val e = s.table("events")
+        .selectExpr("event_id", "user_id", "-(ts DIV 1000000) AS t_neg")
+      val o = s.table("orders").selectExpr("o_custkey",
+        "-unix_millis(CAST(o_orderdate AS TIMESTAMP)) AS t_neg", "o_orderkey")
+      graft.plans.AsofJoinNative.asof(e, o, "user_id", "o_custkey",
+          "t_neg", "t_neg", "o_orderkey", Seq("o_orderkey"))
+        .select("event_id", "user_id", "o_orderkey").orderBy("event_id")
+    } _,
     // last-touch attribution capstone: each purchase joined AS-OF to the
     // user's most recent prior view/click (the one-merge-pass native asof
     // exec — no pair explosion), carrying the touch's channel from props
@@ -4034,6 +4047,19 @@ object SparkEntry {
         |SELECT e.event_id, e.user_id, NULL AS o_orderkey FROM events e
         |WHERE NOT EXISTS (SELECT 1 FROM orders o
         |  WHERE o.o_custkey = e.user_id AND epoch_ms(o.o_orderdate) <= epoch_ns(e.ts) // 1000000)
+        |ORDER BY event_id""".stripMargin,
+    "q_asof_forward" ->
+      """SELECT event_id, user_id, o_orderkey FROM (
+        |  SELECT e.event_id, e.user_id, o.o_orderkey,
+        |         row_number() OVER (PARTITION BY e.event_id
+        |                            ORDER BY epoch_ms(o.o_orderdate) ASC, o.o_orderkey DESC) AS rn
+        |  FROM events e JOIN orders o
+        |    ON o.o_custkey = e.user_id AND epoch_ms(o.o_orderdate) >= epoch_ns(e.ts) // 1000000
+        |) WHERE rn = 1
+        |UNION ALL
+        |SELECT e.event_id, e.user_id, NULL AS o_orderkey FROM events e
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |  WHERE o.o_custkey = e.user_id AND epoch_ms(o.o_orderdate) >= epoch_ns(e.ts) // 1000000)
         |ORDER BY event_id""".stripMargin,
     "q_attribution" ->
       """WITH p AS (SELECT event_id, user_id, epoch_ns(ts) AS t,
