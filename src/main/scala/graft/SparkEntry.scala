@@ -1097,6 +1097,18 @@ object SparkEntry {
         |FROM orders
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
         |ORDER BY o_custkey, o_orderkey""".stripMargin) _,
+    // explicit GROUPING SETS — the arbitrary-set form CUBE/ROLLUP are sugar
+    // for: flag×status detail, per-status margin, and the grand total, but
+    // NOT the per-flag margin (proving the set list is honored literally)
+    "q_grouping_sets" -> q(
+      """SELECT coalesce(l_returnflag, 'ALL') AS rf,
+        |       coalesce(l_linestatus, 'ALL') AS ls,
+        |       CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS INT) AS gid,
+        |       CAST(sum(CAST(l_quantity AS INT)) AS BIGINT) AS s,
+        |       count(*) AS n
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linestatus), ())
+        |ORDER BY rf, ls, gid""".stripMargin) _,
     // ROLLUP margins — the hierarchy sibling of CUBE (drill-down totals
     // without the cross-margins); same grouping-id discipline
     "q_rollup" -> q(
@@ -3793,6 +3805,15 @@ object SparkEntry {
         |FROM orders
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
         |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "q_grouping_sets" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS rf,
+        |       coalesce(l_linestatus, 'ALL') AS ls,
+        |       CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS INT) AS gid,
+        |       CAST(sum(CAST(l_quantity AS INT)) AS BIGINT) AS s,
+        |       count(*) AS n
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linestatus), ())
+        |ORDER BY rf, ls, gid""".stripMargin,
     "q_rollup" ->
       """SELECT coalesce(l_returnflag, 'ALL') AS rf,
         |       coalesce(l_linestatus, 'ALL') AS ls,
