@@ -173,20 +173,29 @@ class WeightedAvgAgg extends GraftAggregate[WAvgState, Double] {
   *
   * '''Memory contract''': exact median is not computable in sublinear state,
   * so this aggregate holds O(group size) values per group — it exists to
-  * demonstrate the opaque-state lifecycle, sized for group cardinalities
-  * that fit an executor (≲ tens of millions of doubles per group). At
-  * 100 TB-scale group sizes, use Spark's mergeable bounded-memory sketch
-  * instead: `percentile_approx(col, 0.5, accuracy)` (QuantileSummaries /
+  * demonstrate the opaque-state lifecycle. It is registered under the
+  * explicitly opt-in name `median_exact_unbounded` (the default
+  * `median_udaf` is [[BoundedMedianAgg]], O(cap) state per group), and it
+  * fails LOUDLY — not with an executor OOM — when any one group exceeds
+  * `maxValues` (default 2^26 doubles ≈ 512 MB of state). At 100 TB-scale
+  * group sizes, use the bounded default or Spark's
+  * `percentile_approx(col, 0.5, accuracy)` (QuantileSummaries /
   * Greenwald–Khanna, O(accuracy) state per group) — see AggregateSpec for
   * the accuracy cross-check against this exact aggregate. */
-class MedianAgg extends GraftAggregate[java.util.ArrayList[Double], Double] {
+class MedianAgg(maxValues: Int = 1 << 26)
+  extends GraftAggregate[java.util.ArrayList[Double], Double] {
+  private def guard(n: Int): Unit =
+    require(n <= maxValues,
+      s"median_exact_unbounded: a single group exceeds $maxValues values — " +
+        "exact unbounded median holds O(group) state; use median_udaf " +
+        "(bounded) or percentile_approx for groups this hot")
   override def createState(): java.util.ArrayList[Double] = new java.util.ArrayList[Double]()
   override def accumulate(s: java.util.ArrayList[Double], in: Row): java.util.ArrayList[Double] = {
-    if (!in.isNullAt(0)) s.add(in.getDouble(0))
+    if (!in.isNullAt(0)) { guard(s.size + 1); s.add(in.getDouble(0)) }
     s
   }
   override def merge(a: java.util.ArrayList[Double], b: java.util.ArrayList[Double]): java.util.ArrayList[Double] = {
-    a.addAll(b); a
+    guard(a.size + b.size); a.addAll(b); a
   }
   override def finish(s: java.util.ArrayList[Double]): Double = {
     if (s.isEmpty) return Double.NaN
@@ -323,8 +332,14 @@ object ConformanceAggregates {
   def registerAll(): Unit = {
     Udf.aggregateNative("sum_udaf(int) -> bigint")(new SumAgg)
     Udf.aggregateNative("weighted_avg(int, int) -> double")(new WeightedAvgAgg)
-    Udf.aggregateNative("median_udaf(double) -> double")(new MedianAgg)
+    // The DEFAULT median is the bounded-state form: exact while a group
+    // holds <= cap values (far above every oracle SF's group sizes, so the
+    // cross-engine hash gates exercise the EXACT path), O(cap) state on a
+    // hot key at any scale. The O(group)-state demo stays available under
+    // an explicitly scary opt-in name with a loud group-size guard.
+    Udf.aggregateNative("median_udaf(double) -> double")(new BoundedMedianAgg())
     Udf.aggregateNative("median_bounded(double) -> double")(new BoundedMedianAgg())
+    Udf.aggregateNative("median_exact_unbounded(double) -> double")(new MedianAgg())
 
     // Compatibility tier kept registered (and spec-covered) under a distinct
     // name: the UDAF/Aggregator lowering with an explicit state encoder.

@@ -91,7 +91,18 @@ object Blocklist {
     new java.util.concurrent.ConcurrentHashMap[Seq[String], Automaton]()
 
   def matches(text: String, patterns: Seq[String]): Seq[String] = {
-    if (cache.size > 64) cache.clear()
+    // Bounded eviction: drop ONE arbitrary non-hot entry when over budget
+    // (a whole-cache clear would evict the hot entry too, rebuilding the
+    // automaton per batch for workloads cycling through >64 pattern lists;
+    // remove() on a concurrently-absent key is a benign no-op).
+    if (cache.size > 64) {
+      val it = cache.keySet.iterator
+      var evicted = false
+      while (!evicted && it.hasNext) {
+        val k = it.next()
+        if (k != patterns) { cache.remove(k); evicted = true }
+      }
+    }
     cache.computeIfAbsent(patterns,
       p => new Automaton(p.toIndexedSeq)).run(text)
   }

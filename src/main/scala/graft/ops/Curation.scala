@@ -328,9 +328,19 @@ object Curation {
     val txt = coalesce(col(textCol), lit(""))
     val ws = LangModel.sharedTokensCol(textCol)
     val base = docs.select(size(ws).as("nt"), length(txt).as("nc"), ws.as("ws"))
+    // Domain-bounded collect, now with a hard cap like every other bounded
+    // collect site: distinct doc token counts can't realistically exceed a
+    // few hundred thousand, but a corrupt tokenizer could explode the nt
+    // domain — limit() bounds driver memory BEFORE the fetch and the
+    // require turns overflow into a loud failure instead of a driver OOM.
+    val maxLenBuckets = 4 << 20
     val perLen = base.groupBy("nt")
       .agg(count(lit(1)).as("cnt"), sum("nc").as("snc"))
+      .limit(maxLenBuckets + 1)
       .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    require(perLen.length <= maxLenBuckets,
+      s"corpusStats: > $maxLenBuckets distinct doc token counts — the " +
+        "token-count domain is corrupt; refusing an unbounded driver collect")
     val scalars: Seq[(String, Long)] =
       if (perLen.isEmpty) Seq("n_docs" -> 0L, "n_tokens" -> 0L, "n_chars" -> 0L)
       else Seq(

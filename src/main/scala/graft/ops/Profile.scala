@@ -43,9 +43,19 @@ object Profile {
     }.mkString(", ")
     val basic = one.selectExpr(s"stack(${cols.size}, $stackArgs)" +
       " AS (col_name, __ord, n_nonnull, min_s, max_s)")
+    // The string-cast must be injective up to countDistinct's equivalence:
+    // for float/double, -0.0 and 0.0 are DISTINCT strings but EQUAL under
+    // countDistinct's normalization — adding 0.0 collapses -0.0 to 0.0
+    // (exact: float widens to double losslessly; NaN casts to the single
+    // string "NaN" either way). Other supported types cast injectively.
+    def ndKey(c: String): org.apache.spark.sql.Column =
+      df.schema(c).dataType.typeName match {
+        case "float" | "double" => (col(c) + lit(0.0)).cast("string")
+        case _                  => col(c).cast("string")
+      }
     val nd = df
       .select(explode(array(cols.map(c =>
-        struct(lit(c).as("c"), col(c).cast("string").as("v"))): _*)).as("e"))
+        struct(lit(c).as("c"), ndKey(c).as("v"))): _*)).as("e"))
       .select(col("e.c").as("col_name"), col("e.v").as("v"))
       .where(col("v").isNotNull)
       .groupBy("col_name").agg(countDistinct("v").as("n_distinct"))

@@ -34,6 +34,14 @@ object Rank {
       s"globalPrefix: output names $rankName/$cumName collide with input")
     require(!df.columns.exists(_.startsWith("__")),
       "globalPrefix: __-prefixed input columns collide with intermediates")
+    // the running sum rides long arithmetic; a fractional valCol would be
+    // silently truncated by the cast below — reject it up front
+    locally {
+      val dt = df.schema(valCol).dataType.typeName
+      require(Seq("byte", "short", "integer", "long").contains(dt),
+        s"globalPrefix: valCol '$valCol' must be integral (got $dt) — " +
+          "scale fractional values to integers (e.g. cents) upstream")
+    }
     val v = col(valCol).cast("long")
     val ranged = df.repartitionByRange(orderCols: _*)
       .withColumn("__pid", spark_partition_id())

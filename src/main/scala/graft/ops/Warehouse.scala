@@ -79,10 +79,14 @@ object Warehouse {
     * before any same-instant new row) and re-collapsed together with the
     * new rows; the result is `closed-history ∪ scd2(seeds ∪ changes)` —
     * IDENTICAL to rebuilding from the full changelog (the oracle gate
-    * replays exactly that). A change OLDER than its key's open version
-    * would rewrite closed history: it fails loudly (late data is the
-    * caller's watermark policy, not a silent history rewrite). The guard
-    * rides the ts column itself so column pruning can never elide it.
+    * replays exactly that). A change OLDER than — or AT THE SAME INSTANT
+    * as — its key's open version fails loudly: older data would rewrite
+    * closed history, and a same-instant change with a tiebreak below the
+    * open version's original row would reorder against the full rebuild
+    * (the synthetic seed carries a −∞ tiebreak, not the original), so both
+    * need an explicit watermark/dedup policy upstream, not a silent
+    * divergence. The guard rides the ts column itself so column pruning
+    * can never elide it.
     *
     * Scale: closed history is touched by NOTHING (at 100 TB it stays on
     * disk; only the open-version seeds — one row per live key — and the
@@ -99,11 +103,12 @@ object Warehouse {
     val openFrom = open.select(col(keyCol), col("valid_from").as("__vf"))
     val guardedChanges = changes.join(openFrom, Seq(keyCol), "left")
       .withColumn("__ts_g",
-        when(col("__vf").isNotNull && col(tsCol) < col("__vf"),
+        when(col("__vf").isNotNull && col(tsCol) <= col("__vf"),
           raise_error(concat(lit("scd2Apply: change for key "),
             col(keyCol).cast("string"),
-            lit(" predates the open version — late data needs a watermark" +
-              " policy, not a history rewrite"))).cast(tsType))
+            lit(" is at or before the open version's valid_from — late or" +
+              " same-instant data needs a watermark/dedup policy, not a" +
+              " silent history divergence"))).cast(tsType))
           .otherwise(col(tsCol)))
       .select(col(keyCol) +: col("__ts_g").as(tsCol) +:
         col(tiebreakCol).cast("long").as(tiebreakCol) +: stateCols.map(col): _*)

@@ -68,16 +68,25 @@ object RangeJoin {
                            lLo: String, lHi: String, rLo: String, rHi: String,
                            bucketWidth: Long): DataFrame = {
     require(bucketWidth > 0, "bucketWidth must be positive")
-    require(!(left.columns ++ right.columns).contains("__bucket"),
-      "__bucket is reserved by bucketedIntervalJoin")
-    val lb = left.where(col(lLo) <= col(lHi)).withColumn("__bucket",
-      explode(sequence(floorBucket(lLo, bucketWidth), floorBucket(lHi, bucketWidth))))
-    val rb = right.where(col(rLo) <= col(rHi)).withColumn("__bucket",
-      explode(sequence(floorBucket(rLo, bucketWidth), floorBucket(rHi, bucketWidth))))
+    require(!(left.columns ++ right.columns)
+      .exists(c => c == "__bucket" || c == "__lofb"),
+      "__bucket/__lofb are reserved by bucketedIntervalJoin")
+    // Post-join predicates must be side-QUALIFIED (lb(...)/rb(...)) — the
+    // natural call shape names both sides' bounds identically ('lo'/'hi'),
+    // and bare col(...) would fail analysis as ambiguous. floorBucket is
+    // name-based, so each side's lo-bucket is precomputed pre-join (__lofb,
+    // one long per row) and compared qualified after.
+    val lb = left.where(col(lLo) <= col(lHi))
+      .withColumn("__lofb", floorBucket(lLo, bucketWidth))
+      .withColumn("__bucket",
+        explode(sequence(col("__lofb"), floorBucket(lHi, bucketWidth))))
+    val rb = right.where(col(rLo) <= col(rHi))
+      .withColumn("__lofb", floorBucket(rLo, bucketWidth))
+      .withColumn("__bucket",
+        explode(sequence(col("__lofb"), floorBucket(rHi, bucketWidth))))
     lb.join(rb, lb(leftKey) === rb(rightKey) && lb("__bucket") === rb("__bucket"))
-      .where(col(lLo) <= col(rHi) && col(rLo) <= col(lHi))
-      .where(lb("__bucket") ===
-        greatest(floorBucket(lLo, bucketWidth), floorBucket(rLo, bucketWidth)))
-      .drop("__bucket")
+      .where(lb(lLo) <= rb(rHi) && rb(rLo) <= lb(lHi))
+      .where(lb("__bucket") === greatest(lb("__lofb"), rb("__lofb")))
+      .drop("__bucket", "__lofb")
   }
 }

@@ -68,9 +68,10 @@ class AggregateSpec extends AnyFunSuite {
 
   test("median_bounded: a 100k-value hot group stays O(cap) and lands within 1%") {
     // 25x the 4096 cap: the state must collapse to the centroid sketch
-    // instead of carrying 100k doubles through the shuffle
+    // instead of carrying 100k doubles through the shuffle (the exact
+    // reference is the opt-in unbounded form)
     val r = spark.sql(
-      """SELECT median_bounded(v) AS approx, median_udaf(v) AS exact
+      """SELECT median_bounded(v) AS approx, median_exact_unbounded(v) AS exact
         |FROM (SELECT CAST(pow(id % 1000, 1.7) AS DOUBLE) AS v FROM range(100000)
         |      DISTRIBUTE BY id % 8)""".stripMargin).collect().head
     val (approx, exact) = (r.getDouble(0), r.getDouble(1))
@@ -93,11 +94,38 @@ class AggregateSpec extends AnyFunSuite {
     // two on the same skewed data: at accuracy 10000 the sketch must land
     // within 1% of exact on 100k values.
     val r = spark.sql(
-      """SELECT median_udaf(v) AS exact, percentile_approx(v, 0.5, 10000) AS approx
+      """SELECT median_exact_unbounded(v) AS exact, percentile_approx(v, 0.5, 10000) AS approx
         |FROM (SELECT CAST(pow(id % 1000, 1.7) AS DOUBLE) AS v FROM range(100000)
         |      DISTRIBUTE BY id % 8)""".stripMargin).collect().head
     val (exact, approx) = (r.getDouble(0), r.getDouble(1))
     assert(math.abs(exact - approx) <= 0.01 * math.max(1.0, exact),
       s"exact=$exact approx=$approx")
+  }
+
+  test("median_exact_unbounded: a group over the value cap fails loudly, not OOM") {
+    val agg = new graft.functions.MedianAgg(maxValues = 1000)
+    var st = agg.createState()
+    (0 until 1000).foreach { i =>
+      st = agg.accumulate(st, org.apache.spark.sql.Row(i.toDouble))
+    }
+    val e = intercept[IllegalArgumentException] {
+      agg.accumulate(st, org.apache.spark.sql.Row(1000.0))
+    }
+    assert(e.getMessage.contains("median_exact_unbounded"))
+    val other = agg.createState()
+    other.add(0.5)
+    val e2 = intercept[IllegalArgumentException] { agg.merge(st, other) }
+    assert(e2.getMessage.contains("median_exact_unbounded"))
+  }
+
+  test("median_udaf default is the BOUNDED aggregate: hot-group state stays O(cap)") {
+    // the registered default must never carry O(group) state — same direct
+    // state probe as the median_bounded contract test, via the default class
+    val agg = new graft.functions.BoundedMedianAgg()
+    var st = agg.createState()
+    (0 until 50000).foreach { i =>
+      st = agg.accumulate(st, org.apache.spark.sql.Row(i.toDouble))
+    }
+    assert(st.exact == null, "default median_udaf state did not collapse")
   }
 }

@@ -45,6 +45,17 @@ class FunctionsSpec extends AnyFunSuite {
     }
   }
 
+  test("blocklist memo: cycling through >64 pattern lists stays correct (bounded eviction)") {
+    // 200 distinct lists blow the 64-entry memo several times over; every
+    // call must still answer correctly (eviction only ever costs a rebuild,
+    // and never evicts the entry being used)
+    for (i <- 0 until 200) {
+      val pats = Seq(s"pat$i", "shared")
+      val got = graft.ops.Blocklist.matches(s"xx pat$i yy shared", pats)
+      assert(got == Seq(s"pat$i", "shared").sorted, s"i=$i got=$got")
+    }
+  }
+
   test("stripHtml: blocks, tags, entity order, whitespace, case-insensitivity") {
     import org.apache.spark.sql.functions._
     def strip(s: String): String = spark.range(1)

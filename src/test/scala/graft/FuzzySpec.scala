@@ -177,6 +177,20 @@ class FuzzySpec extends AnyFunSuite {
       "s" -> ((3L, 2L, "a", "b"))))
   }
 
+  test("profile: n_distinct matches countDistinct on float edge values (-0.0, NaN)") {
+    import org.apache.spark.sql.types._
+    // countDistinct normalizes -0.0 == 0.0 and NaN == NaN; the string-cast
+    // distinct path must agree (a bare cast would count "-0.0" separately)
+    val schema = StructType(Seq(StructField("d", DoubleType, nullable = true)))
+    val df = spark.createDataFrame(Seq(
+      Row(0.0), Row(-0.0), Row(Double.NaN), Row(Double.NaN), Row(1.5),
+      Row(null)).asJava, schema)
+    val nd = Profile.profile(df, Seq("d")).collect().head.getLong(2)
+    val want = df.select(org.apache.spark.sql.functions.countDistinct("d"))
+      .collect().head.getLong(0)
+    assert(nd == want, s"profile n_distinct=$nd, countDistinct=$want")
+  }
+
   test("sortedNeighborhood: finds in-window pairs, misses out-of-window ones") {
     graft.Graft.install(spark)
     // sort order by s: apple01, apple02, banana, cherry, zzz..., apple99

@@ -369,4 +369,26 @@ class OpsSpec extends AnyFunSuite {
     assert(got.sorted == want.sorted,
       s"got ${got.size} pairs (${got.distinct.size} distinct), want ${want.size}")
   }
+
+  test("bucketedIntervalJoin: identical bound names on both sides (the natural call shape)") {
+    import org.apache.spark.sql.types._
+    // both sides name their bounds 'lo'/'hi' and key 'k' — post-join
+    // predicates must be side-qualified or analysis fails as ambiguous
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("k", LongType, nullable = false),
+      StructField("lo", LongType, nullable = false),
+      StructField("hi", LongType, nullable = false)))
+    val ls = Seq((1L, 1L, 0L, 10L), (2L, 1L, 20L, 30L), (3L, 2L, 0L, 5L))
+    val rs = Seq((10L, 1L, 8L, 25L), (11L, 2L, 6L, 9L))
+    val ldf = spark.createDataFrame(
+      ls.map(t => org.apache.spark.sql.Row(t._1, t._2, t._3, t._4)).asJava, schema)
+    val rdf = spark.createDataFrame(
+      rs.map(t => org.apache.spark.sql.Row(t._1, t._2, t._3, t._4)).asJava, schema)
+    val got = graft.plans.RangeJoin.bucketedIntervalJoin(ldf, rdf,
+        "k", "k", "lo", "hi", "lo", "hi", bucketWidth = 4L)
+      .collect().map(r => (r.getLong(0), r.getLong(4))).toSet
+    // overlaps: (1,[0,10])x(10,[8,25]) and (2,[20,30])x(10,[8,25]); key 2 pair [0,5]x[6,9] misses
+    assert(got == Set((1L, 10L), (2L, 10L)))
+  }
 }

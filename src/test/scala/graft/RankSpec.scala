@@ -14,6 +14,17 @@ class RankSpec extends AnyFunSuite {
     StructField("id", LongType, nullable = false),
     StructField("v", LongType, nullable = false)))
 
+  test("globalPrefix rejects a fractional valCol instead of truncating silently") {
+    import org.apache.spark.sql.types._
+    val s = StructType(Seq(StructField("id", LongType, nullable = false),
+      StructField("d", DoubleType, nullable = false)))
+    val df = spark.createDataFrame(Seq(Row(1L, 1.5), Row(2L, 2.5)).asJava, s)
+    val e = intercept[IllegalArgumentException] {
+      Rank.globalPrefix(df, Seq(col("id").asc), "d")
+    }
+    assert(e.getMessage.contains("integral"))
+  }
+
   test("globalPrefix equals the single-partition window on random data") {
     val rnd = new scala.util.Random(41)
     val rows = (1L to 500L).map(i => Row(i, rnd.nextInt(40).toLong))

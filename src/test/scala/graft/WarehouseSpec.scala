@@ -91,6 +91,19 @@ class WarehouseSpec extends AnyFunSuite {
     assert(ex.getMessage != null)
   }
 
+  test("scd2Apply: a SAME-INSTANT change (ts == open valid_from) also fails loudly") {
+    // the seed carries a -inf tiebreak, so a same-instant change with a
+    // smaller real tiebreak would silently diverge from the full rebuild —
+    // the guard must reject ts <= valid_from, not just ts <
+    val base = df(logSchema, Seq(Row(1L, 100L, 5L, "a"), Row(1L, 200L, 6L, "b")))
+    val hist = Warehouse.scd2(base, "k", "ts", "id", Seq("st"))
+    val sameInstant = df(logSchema, Seq(Row(1L, 200L, 1L, "c"))) // == open@200, tiebreak 1 < 6
+    val ex = intercept[Exception] {
+      Warehouse.scd2Apply(hist, sameInstant, "k", "ts", "id", Seq("st")).collect()
+    }
+    assert(ex.getMessage != null)
+  }
+
   private val snapSchema = StructType(Seq(
     StructField("k", LongType, nullable = false),
     StructField("v", LongType, nullable = true)))
