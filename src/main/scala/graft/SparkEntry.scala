@@ -628,9 +628,26 @@ object SparkEntry {
         .orderBy(desc("score"), asc("doc_id"))
     } _,
     // compressibility junk signal (Gopher/MassiveText rule): DEFLATE has no
-    // SQL replica, so this row is rows-only in the oracle (spec-gated)
+    // SQL replica, so the RATIOS are spec-gated (bounds on deterministic
+    // fixtures, FunctionsSpec) while the oracle row gates the PROPERTIES the
+    // compression path must always satisfy, computed engine-side and pinned
+    // to 1 by the oracle: inflate∘deflate identity per document, the ratio
+    // inside (0, 1 + overhead/n], and self-concatenation never compressing
+    // worse (back-references make the repeat ~free) — plus the exact UTF-8
+    // byte length both engines can compute. A corrupted zlib path flips a
+    // flag to 0 and the hash gate fails; no more rows-only asterisk.
     "q_compress" -> q(
-      """SELECT doc_id, CAST(ROUND(compress_ratio(text) * 10000) AS BIGINT) AS cr
+      """SELECT doc_id,
+        |  CAST(octet_length(text) AS BIGINT) AS nbytes,
+        |  CAST(CASE WHEN compress_roundtrip_ok(coalesce(text, ''))
+        |    THEN 1 ELSE 0 END AS BIGINT) AS rt_ok,
+        |  CAST(CASE WHEN compress_ratio(coalesce(text, '')) > 0.0
+        |    AND compress_ratio(coalesce(text, '')) <=
+        |        1.0 + 32.0 / greatest(octet_length(coalesce(text, '')), 1)
+        |    THEN 1 ELSE 0 END AS BIGINT) AS ratio_ok,
+        |  CAST(CASE WHEN compress_ratio(coalesce(text, '') || coalesce(text, ''))
+        |    <= compress_ratio(coalesce(text, '')) + 0.001
+        |    THEN 1 ELSE 0 END AS BIGINT) AS dup_le
         |FROM documents ORDER BY doc_id""".stripMargin) _,
     // BPE subword tokenization, fixed merge table: the encoder's flat
     // bracket-replace algorithm is replayed bit-for-bit by nested replace()
@@ -3297,6 +3314,15 @@ object SparkEntry {
         |SELECT doc_id, bits_per_tok FROM lmsc, thr
         |WHERE bits_per_tok <= thr.t
         |ORDER BY doc_id""".stripMargin,
+    // DEFLATE has no DuckDB replica: the oracle pins the engine-computed
+    // invariant flags to 1 and cross-computes only the byte length — the
+    // Spark side genuinely exercises deflate+inflate per row, so a broken
+    // zlib path hash-fails this gate (ratio magnitudes are spec-gated)
+    "q_compress" ->
+      """SELECT doc_id, CAST(strlen(text) AS BIGINT) AS nbytes,
+        |  CAST(1 AS BIGINT) AS rt_ok, CAST(1 AS BIGINT) AS ratio_ok,
+        |  CAST(1 AS BIGINT) AS dup_le
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "q_tfidf" ->
       """WITH w AS (SELECT doc_id,
         |    list_filter(str_split_regex(lower(text), '\s+'), x -> x <> '') AS ts

@@ -238,6 +238,13 @@ object TextAnalysis {
     // Empty input -> 1.0 by convention. DEFLATE has no SQL-dialect replica,
     // so this is spec-gated + rows-only in the oracle (the one such scalar).
     Udf.scalar1[String, Double]("compress_ratio(string) -> double")(Zlib.ratio)
+
+    // The oracle-facing self-check for the compression path: DEFLATE has no
+    // SQL replica, but inflate(deflate(s)) == s is checkable ENGINE-side and
+    // emitted as a value the oracle pins to 1 — if compression ever corrupts
+    // a byte, the gate hash-fails instead of the row being oracle-blind.
+    Udf.scalar1[String, Boolean]("compress_roundtrip_ok(string) -> boolean")(
+      Zlib.roundtripOk)
   }
 
   /** Boilerplate HTML → text, as a chain of BUILTIN expressions (codegen'd,
@@ -268,7 +275,7 @@ object TextAnalysis {
   * alloc/free would dominate the deflate cost of short documents at corpus
   * scale. A top-level object so UDF closures reference it statically —
   * a ThreadLocal captured in the closure is not serializable. */
-private[ops] object Zlib {
+private[graft] object Zlib {
   private val tl = new ThreadLocal[java.util.zip.Deflater] {
     override def initialValue(): java.util.zip.Deflater =
       new java.util.zip.Deflater(java.util.zip.Deflater.DEFAULT_COMPRESSION)
@@ -287,6 +294,33 @@ private[ops] object Zlib {
       while (!d.finished()) out += d.deflate(buf)
       out.toDouble / raw.length.toDouble
     }
+  }
+
+  /** Decompress∘compress identity: deflate then inflate and compare bytes.
+    * The correctness gate for the whole zlib path (ratios themselves have no
+    * cross-engine replica; this property does — it must ALWAYS hold). */
+  def roundtripOk(s: String): Boolean = {
+    val raw = s.getBytes("UTF-8")
+    val d = tl.get()
+    d.reset()
+    d.setInput(raw)
+    d.finish()
+    val outBuf = new java.io.ByteArrayOutputStream(raw.length / 2 + 16)
+    val buf = new Array[Byte](8192)
+    while (!d.finished()) { val n = d.deflate(buf); outBuf.write(buf, 0, n) }
+    val inf = new java.util.zip.Inflater()
+    try {
+      inf.setInput(outBuf.toByteArray)
+      val back = new java.io.ByteArrayOutputStream(raw.length + 16)
+      while (!inf.finished()) {
+        val n = inf.inflate(buf)
+        // truncated stream: no output, input exhausted, and NOT at the
+        // stream end (the final call legitimately hits n==0 + needsInput)
+        if (n == 0 && inf.needsInput() && !inf.finished()) return false
+        back.write(buf, 0, n)
+      }
+      java.util.Arrays.equals(back.toByteArray, raw)
+    } finally inf.end()
   }
 }
 

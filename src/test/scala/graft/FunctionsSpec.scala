@@ -45,6 +45,38 @@ class FunctionsSpec extends AnyFunSuite {
     }
   }
 
+  test("compress_ratio bounds on deterministic fixtures + roundtrip identity") {
+    // ratio MAGNITUDES have no cross-engine oracle (DEFLATE isn't in SQL),
+    // so they are pinned here as BOUNDS robust to zlib version drift:
+    // pure repetition compresses below 2%, seeded pseudo-random hex stays
+    // above 30%, natural prose lands in between; empty input is 1.0 by
+    // convention; and inflate(deflate(s)) == s on every shape incl. unicode
+    val rep = "a" * 4000
+    val rnd = new scala.util.Random(7)
+    val hex = (1 to 4000).map(_ => "0123456789abcdef"(rnd.nextInt(16))).mkString
+    val prose = ("the quick brown fox jumps over the lazy dog and then " +
+      "inspects forty-two parquet files before lunch ") * 40
+    val uni = "héllo wörld é世界 " * 100
+    import graft.ops.Zlib
+    assert(Zlib.ratio("") == 1.0)
+    assert(Zlib.ratio(rep) < 0.02, s"repetitive ratio ${Zlib.ratio(rep)}")
+    assert(Zlib.ratio(hex) > 0.30, s"random-hex ratio ${Zlib.ratio(hex)}")
+    val pr = Zlib.ratio(prose)
+    assert(pr > 0.01 && pr < 0.5, s"prose ratio $pr")
+    Seq("", "a", rep, hex, prose, uni).foreach { s =>
+      assert(Zlib.roundtripOk(s), s"roundtrip failed on len=${s.length}")
+    }
+    // SQL surface: the three oracle-pinned flags must all be 1
+    graft.Graft.install(spark)
+    val r = spark.sql(
+      """SELECT CAST(compress_roundtrip_ok(t) AS INT) AS a,
+        |  CAST(compress_ratio(t) > 0.0 AS INT) AS b,
+        |  CAST(compress_ratio(t || t) <= compress_ratio(t) + 0.001 AS INT) AS c
+        |FROM VALUES ('some repeated text some repeated text') v(t)""".stripMargin)
+      .collect().head
+    assert((r.getInt(0), r.getInt(1), r.getInt(2)) == ((1, 1, 1)))
+  }
+
   test("blocklist memo: cycling through >64 pattern lists stays correct (bounded eviction)") {
     // 200 distinct lists blow the 64-entry memo several times over; every
     // call must still answer correctly (eviction only ever costs a rebuild,
