@@ -31,6 +31,21 @@ object Bench {
     dir
   }
 
+  /** ~19M-row SCD2 history parquet (100k keys, ~190 ts steps each) for the
+    * incremental-apply probe — materialized once so the probe times the
+    * MERGE, not the history build. */
+  private def scd2HistParquet(s: SparkSession): String = {
+    val dir = "/tmp/graft_bench_scd2hist"
+    if (!new java.io.File(dir, "_SUCCESS").isFile) {
+      val log = s.range(19000000L).selectExpr("id % 100000 AS k",
+        "id div 100000 AS ts", "id AS tid",
+        "CAST(pmod(hash(id), 4) AS STRING) AS st")
+      graft.ops.Warehouse.scd2(log, "k", "ts", "tid", Seq("st"))
+        .write.mode("overwrite").parquet(dir)
+    }
+    dir
+  }
+
   /** 1M-row 64-dim float corpus for the ANN scale probes; written once. */
   private def annBenchParquet(s: SparkSession): String = {
     val dir = "/tmp/graft_bench_ann1m"
@@ -756,15 +771,8 @@ object Bench {
         graft.ops.Sketches.qsketchRegisters(df, "k", "v")
           .write.format("noop").mode("overwrite").save()
       },
-      // exact global rank + running sum over 20M rows with NO
-      // single-partition window: range shuffle + per-partition prefixes
-      "x_global_prefix_20m" -> { s: SparkSession =>
-        val df = s.range(20000000L).selectExpr("id", "hash(id) AS v")
-        graft.ops.Rank.globalPrefix(df,
-          Seq(org.apache.spark.sql.functions.col("v").desc,
-            org.apache.spark.sql.functions.col("id").asc), "v")
-          .write.format("noop").mode("overwrite").save()
-      },
+      // (x_global_prefix_20m superseded by the 100M-row probe in the
+      // 100×-scale battery below)
       // 4-hop BFS over a 1M-edge ring-with-chords graph from 1k seeds:
       // per-hop frontier joins + min aggregates, localCheckpoint-truncated
       "x_bfs_1m" -> { s: SparkSession =>
@@ -814,6 +822,79 @@ object Bench {
         val n = graft.ops.Curation.weightedSample(docs, "doc_id", "stratum",
           org.apache.spark.sql.functions.col("w"), k = 1000, salt = "bench").count()
         require(n == 10000L, s"expected 10k winners, got $n")
+      },
+
+      // ---- 100×-scale battery: the heavy pipeline operators at 2M–100M
+      // rows, each plan-shape ASSERTED (no single-partition exchange, no
+      // cartesian — PlanAudit.assertScaleShape; PlanShapeSpec asserts the
+      // same shapes per-stage at unit scale) before being timed, with
+      // planted exact-count invariants so a silently-broken op can't post a
+      // fast time. These are the operators a 100 TB user actually runs hot.
+
+      // full near-dedup pipeline (minhash → LSH bands → verify → CC → anti
+      // join) over 2M docs: 100k planted identical pairs, the rest
+      // token-unique — survivor count is exact
+      "x_near_dedup_2m" -> { s: SparkSession =>
+        Graft.install(s)
+        val docs = s.range(2000000L).selectExpr("id AS doc_id",
+          """array_join(transform(sequence(0, 9), j -> concat('w',
+            |  pmod(hash(CASE WHEN id % 20 < 2 THEN id div 20
+            |            ELSE 2000000 + id END, j), 1000000000))), ' ') AS text""".stripMargin)
+        val out = graft.ops.Dedup.nearDedupCorpus(docs, "text", "doc_id")
+        PlanAudit.assertScaleShape(out, "x_near_dedup_2m")
+        val n = out.count()
+        require(n == 1900000L, s"expected exactly 1.9M survivors, got $n")
+      },
+      // exact global rank + running sum over 100M rows: one range shuffle +
+      // one window shuffle, offsets broadcast — 5× the 20M probe, same plan
+      "x_global_prefix_100m" -> { s: SparkSession =>
+        val df = s.range(100000000L).selectExpr("id", "hash(id) AS v")
+        val out = graft.ops.Rank.globalPrefix(df,
+          Seq(org.apache.spark.sql.functions.col("v").desc,
+            org.apache.spark.sql.functions.col("id").asc), "v")
+        PlanAudit.assertScaleShape(out, "x_global_prefix_100m", maxShuffles = 2)
+        out.write.format("noop").mode("overwrite").save()
+      },
+      // incremental SCD2 merge: 1M-row batch applied to a ~19M-row parquet
+      // history (100k live keys) — closed history passes through untouched,
+      // only seeds + batch enter the shuffle; exactly one open version per
+      // key must survive
+      "x_scd2_apply_20m" -> { s: SparkSession =>
+        val hist = s.read.parquet(scd2HistParquet(s))
+        val batch = s.range(1000000L).selectExpr("id % 100000 AS k",
+          "200 + id div 100000 AS ts", "id AS tid",
+          "CAST(pmod(hash(id, 5), 4) AS STRING) AS st")
+        val out = graft.ops.Warehouse.scd2Apply(hist, batch, "k", "ts", "tid",
+          Seq("st"))
+        PlanAudit.assertScaleShape(out, "x_scd2_apply_20m")
+        val opens = out.where("valid_to IS NULL").count()
+        require(opens == 100000L, s"expected 100k open versions, got $opens")
+      },
+      // sorted-neighborhood linkage over 4M strings (4× the 1M probe):
+      // distributed sort + rank fan-out equi-join, 2M planted adjacent pairs
+      "x_sneighbor_4m" -> { s: SparkSession =>
+        Graft.install(s)
+        val strs = s.range(4000000L).selectExpr("id",
+          "concat('name', id div 2, CASE WHEN id % 2 = 0 THEN 'a' ELSE 'b' END) AS s")
+        val out = graft.ops.Fuzzy.sortedNeighborhood(strs, "id", "s",
+          window = 4, minSim = 0.9)
+        PlanAudit.assertScaleShape(out, "x_sneighbor_4m")
+        val n = out.count()
+        require(n >= 2000000L, s"expected >=2M planted adjacent pairs, got $n")
+      },
+      // exact-substring span dedup over 2M docs × 16 tokens (32M tokens,
+      // ~18M gram instances through the first-occurrence shuffle); ids
+      // 10n/10n+1 share a 12-token prefix so planted 8-gram spans dedup
+      "x_dedup_spans_2m" -> { s: SparkSession =>
+        Graft.install(s)
+        val docs = s.range(2000000L).selectExpr("id AS doc_id",
+          """array_join(transform(sequence(0, 15), j -> concat('w',
+            |  pmod(hash(CASE WHEN id % 10 < 2 AND j < 12
+            |                 THEN CAST(id div 10 * 100 + j AS BIGINT)
+            |            ELSE CAST(hash(id, j) AS BIGINT) END), 1000000000))), ' ') AS text""".stripMargin)
+        val out = graft.ops.Curation.dedupSpans(docs, "text", "doc_id", n = 8)
+        PlanAudit.assertScaleShape(out, "x_dedup_spans_2m")
+        out.write.format("noop").mode("overwrite").save()
       },
     )
     // Optional substring filter (args) for local iteration on one probe;

@@ -5,6 +5,34 @@ package graft
   * 100×?" review loop. Usage:
   * `sbt "runMain graft.PlanAudit [sfDir] [query-substring...]"` */
 object PlanAudit {
+
+  /** Structural scale assert, shared by Bench probes and PlanShapeSpec: the
+    * physical plan of `df` must contain NO single-partition exchange (the
+    * global-funnel scale-killer) and NO cartesian product; `maxShuffles`
+    * (when >= 0) bounds the number of shuffle exchanges (BroadcastExchange
+    * is excluded — broadcasting a bounded side is the desired shape).
+    *
+    * Caveat: operators that cut lineage (localCheckpoint) hide their
+    * upstream stages from this plan — assert those stages separately on the
+    * pre-checkpoint DataFrame (PlanShapeSpec does). A global aggregate of a
+    * FEW rows legitimately plans `Exchange SinglePartition` (one row per
+    * partition rides it), so apply this to the operator's OUTPUT, not to
+    * driver-side summary aggregates layered on top. */
+  def assertScaleShape(df: org.apache.spark.sql.DataFrame, what: String,
+                       maxShuffles: Int = -1): Unit = {
+    val plan = df.queryExecution.executedPlan.toString
+    require(!plan.contains("Exchange SinglePartition"),
+      s"$what: plan funnels through a single-partition exchange\n$plan")
+    require(!plan.contains("CartesianProduct"),
+      s"$what: plan contains a cartesian product\n$plan")
+    if (maxShuffles >= 0) {
+      val n = plan.linesIterator
+        .count(l => l.contains("Exchange ") && !l.contains("BroadcastExchange"))
+      require(n <= maxShuffles,
+        s"$what: $n shuffle exchanges, budget $maxShuffles\n$plan")
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
     val filters = args.drop(1)

@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+/**
+ * Plan-SHAPE asserts for the heavy pipeline operators: the "would this
+ * survive 100×?" argument, checked structurally rather than by prose. Each
+ * test builds the operator over a small input and asserts the physical plan
+ * has no single-partition exchange (the global funnel every one of these ops
+ * exists to avoid) and no cartesian product; where the op documents an exact
+ * shuffle budget, that is asserted too. The x_* probes in Bench re-assert
+ * the same shapes at 2M–100M rows before timing them.
+ *
+ * localCheckpoint lineage cuts hide upstream stages from a final plan, so
+ * ops that checkpoint are asserted in pieces (the pre-checkpoint stage
+ * explicitly).
+ */
+class PlanShapeSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import scala.jdk.CollectionConverters._
+
+  private def docs(n: Int) = {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("text", StringType, nullable = false)))
+    spark.createDataFrame((0 until n).map(i =>
+      Row(i.toLong, s"tok${i % 7} alpha beta tok${i % 5} gamma delta tok$i epsilon zeta eta")).asJava,
+      schema)
+  }
+
+  test("minhashPairs: LSH candidate stage is equi-join only (no cartesian, no funnel)") {
+    Graft.install(spark)
+    val pairs = graft.ops.Dedup.minhashPairs(docs(60), "text", "doc_id")
+    PlanAudit.assertScaleShape(pairs, "minhashPairs")
+  }
+
+  test("nearDedupCorpus: final anti-join stage has no funnel") {
+    Graft.install(spark)
+    val out = graft.ops.Dedup.nearDedupCorpus(docs(60), "text", "doc_id")
+    PlanAudit.assertScaleShape(out, "nearDedupCorpus")
+  }
+
+  test("globalPrefix: per-partition windows + broadcast offsets, <= 2 shuffles, no funnel") {
+    val df = spark.range(1000).selectExpr("id", "hash(id) AS v")
+      .withColumn("v", col("v").cast("long"))
+    val out = graft.ops.Rank.globalPrefix(df, Seq(col("v").desc, col("id").asc), "v")
+    // post-checkpoint: at most the window's hash exchange on __pid (the
+    // range partitioning itself is pre-checkpoint); offsets arrive broadcast
+    PlanAudit.assertScaleShape(out, "globalPrefix", maxShuffles = 2)
+  }
+
+  test("scd2Apply: merge plan has no funnel and no cartesian") {
+    val logSchema = StructType(Seq(
+      StructField("k", LongType, nullable = false),
+      StructField("ts", LongType, nullable = false),
+      StructField("id", LongType, nullable = false),
+      StructField("st", StringType, nullable = true)))
+    val base = spark.createDataFrame((1L to 200L).map(i =>
+      Row(i % 20, i, i, "s" + (i % 3))).asJava, logSchema)
+    val hist = graft.ops.Warehouse.scd2(base, "k", "ts", "id", Seq("st"))
+      .localCheckpoint()
+    val changes = spark.createDataFrame((1L to 40L).map(i =>
+      Row(i % 20, 1000L + i, 1000L + i, "n" + (i % 2))).asJava, logSchema)
+    val out = graft.ops.Warehouse.scd2Apply(hist, changes, "k", "ts", "id", Seq("st"))
+    PlanAudit.assertScaleShape(out, "scd2Apply")
+  }
+
+  test("sortedNeighborhood: rank fan-out joins are equi-joins, no funnel") {
+    Graft.install(spark)
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("s", StringType, nullable = false)))
+    val df = spark.createDataFrame((0 until 100).map(i =>
+      Row(i.toLong, f"name${i / 2}%03d${if (i % 2 == 0) "a" else "b"}")).asJava, schema)
+    val out = graft.ops.Fuzzy.sortedNeighborhood(df, "id", "s", window = 3, minSim = 0.8)
+    PlanAudit.assertScaleShape(out, "sortedNeighborhood")
+  }
+
+  test("dedupSpans: gram first-occurrence rides fp-partitioned windows, no funnel") {
+    Graft.install(spark)
+    val out = graft.ops.Curation.dedupSpans(docs(50), "text", "doc_id", n = 3)
+    PlanAudit.assertScaleShape(out, "dedupSpans")
+  }
+}
