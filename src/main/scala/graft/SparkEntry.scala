@@ -1775,6 +1775,53 @@ object SparkEntry {
           budget = 600, salt = "v6")
         .orderBy("source", "doc_id")
     } _,
+    // capstone v7 — the FULL training-data funnel in one lineage: doc-level
+    // near-dedup (minhash/LSH/CC) → C4 page gate → gopher rules → unigram-LM
+    // surprisal gate → trained quality classifier → exact-substring span
+    // dedup AMONG the survivors (first-occurrence is subset-dependent, so
+    // the oracle replays it over the gated set) → token-budget mixture →
+    // greedy sequence packing → deterministic epoch order. Every stage is
+    // the SAME operator its standalone gate exercises; the oracle replays
+    // the entire funnel in one WITH RECURSIVE chain.
+    "q_curate_v7" -> dfq { s =>
+      val docs = s.table("documents")
+      val surv = graft.ops.Dedup.nearDedupCorpus(docs, "text", "doc_id",
+          k = 16, bands = 4, threshold = 0.3).select(col("doc_id").as("sid"))
+      val pages = docs.select(col("doc_id"), expr(c4PageSql).as("page"))
+      val c4s = graft.ops.Curation.c4Filter(pages, "page", "doc_id")
+        .where(col("pass")).select("doc_id")
+      val gop = graft.ops.Curation.gopherRules(docs, "text", "doc_id",
+          minWords = 40, stopList = Seq("the", "a", "of", "and"))
+        .where(col("pass")).select("doc_id")
+      val lmOk = graft.ops.LangModel.lmScore(docs, docs, "text", "doc_id",
+          vocabSize = 16)
+        .where(col("bits_per_tok") <= 9).select("doc_id")
+      val clfOk = graft.ops.Classifier.qualityClassifier(docs, "text", "doc_id",
+          classifierLabel, iters = 8)
+        .where(col("pred")).select("doc_id")
+      // the five-gate lineage feeds span-dedup THREE times (token base,
+      // gram explode, source rejoin) — materialize it once
+      val keep = docs.select("doc_id", "source", "text")
+        .join(surv, col("doc_id") === col("sid")).drop("sid")
+        .join(c4s, "doc_id").join(gop, "doc_id")
+        .join(lmOk, "doc_id").join(clfOk, "doc_id")
+        .localCheckpoint()
+      val sd = graft.ops.Curation.dedupSpans(keep, "text", "doc_id", n = 8)
+      val sv = sd.join(keep.select("doc_id", "source"), "doc_id")
+        .selectExpr("source", "doc_id", "token_count(kept_text) AS n_tok")
+      val mixed = graft.ops.Curation.tokenBudgetMix(sv, "source", "doc_id",
+          "n_tok", budget = 600, salt = "v7m")
+      val packed = graft.ops.Curation.packSequences(
+        mixed.select("source", "doc_id", "n_tok"), "source", "doc_id", "n_tok",
+        budget = 512)
+      val pos = graft.ops.Curation.deterministicShuffle(
+        mixed.select("doc_id"), "doc_id", "v7s")
+      packed.join(mixed.select("doc_id", "n_tok"), "doc_id").join(pos, "doc_id")
+        .select(col("source"), col("doc_id"),
+          col("n_tok").cast("long").as("n_tok"), col("bin").cast("long").as("bin"),
+          col("fill").cast("long").as("fill"), col("pos").cast("long").as("pos"))
+        .orderBy("source", "doc_id")
+    } _,
     // sorted-neighborhood record linkage (the OTHER classic blocking next
     // to PassJoin): distributed sort-rank + bounded successor fan-out,
     // jaro_winkler scoring — the oracle replays the window pairing with an
@@ -2402,6 +2449,33 @@ object SparkEntry {
   }
   private def duckMd5_60(e: String): String = s"CAST('0x' || substr(md5($e), 1, 15) AS BIGINT)"
 
+  /** Exact-substring span-dedup CTE chain over `src(doc_id, text)` (Lee et
+    * al. 8-gram rule), ending in `sd(doc_id, kept_text)` with empty results
+    * dropped — the [[graft.ops.Curation.dedupSpans]] replica, parameterized
+    * by source table/CTE so q_dedup_spans (whole corpus) and the curation
+    * capstones (gated subset) share one definition. All names s-prefixed to
+    * compose with the minhash/curate chains. */
+  private def duckSpanCtes(src: String): String =
+    s"""sw AS (SELECT doc_id,
+       |    list_filter(str_split_regex(text, '\\s+'), x -> x <> '') AS ws
+       |  FROM $src),
+       |stok AS (SELECT doc_id, unnest(ws) AS tok, generate_subscripts(ws, 1) - 1 AS pos FROM sw),
+       |ssh AS (SELECT doc_id, CASE WHEN len(ws) >= 8
+       |    THEN [array_to_string(ws[i:i+7], ' ') for i in range(1, len(ws) - 6)]
+       |    ELSE [] END AS gs FROM sw),
+       |sgi AS (SELECT doc_id,
+       |    ${duckMd5_60("unnest(gs)")} AS fp,
+       |    generate_subscripts(gs, 1) - 1 AS pos FROM ssh),
+       |swin AS (SELECT doc_id, fp, pos,
+       |    row_number() OVER (PARTITION BY fp ORDER BY doc_id, pos) AS rn FROM sgi),
+       |sdup AS (SELECT doc_id, pos FROM swin WHERE rn > 1),
+       |scov AS (SELECT DISTINCT doc_id, pos + o AS cpos
+       |        FROM sdup, (SELECT unnest(range(0, 8)) AS o)),
+       |skept AS (SELECT t.doc_id, t.pos, t.tok FROM stok t WHERE NOT EXISTS
+       |  (SELECT 1 FROM scov c WHERE c.doc_id = t.doc_id AND c.cpos = t.pos)),
+       |sd AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS kept_text
+       |       FROM skept GROUP BY doc_id HAVING string_agg(tok, ' ' ORDER BY pos) <> '')""".stripMargin
+
   /** Gopher rule base CTEs `gb`/`gc` over `documents` (stop list matches the
     * gated queries' corpus-adapted list) plus the per-rule predicates —
     * ONE definition, so q_gopher_rules and the q_curate_v5 capstone can
@@ -2684,15 +2758,15 @@ object SparkEntry {
   private val classifierLabel =
     "CASE WHEN CAST(substring(source, 4) AS INT) < 10 THEN 1.0 ELSE 0.0 END"
 
-  /** Shared CTE chain of the curation-capstone oracles (tokenize, unigram
-    * LM, language/quality/repetition scoring) — one definition, so
-    * q_curate_v3 and q_curate_v4 can never silently drift apart. No WITH
-    * prefix: callers compose it with further CTEs. */
-  private lazy val duckCurateCtes: String =
-    s"""w AS (SELECT doc_id,
+  /** Unigram-LM surprisal CTE chain ending in `lm(doc_id, bits_per_tok)` —
+    * the [[graft.ops.LangModel.lmScore]] replica, extracted from the curate
+    * chain so capstones that ALSO need the minhash ctes can compose it (all
+    * names are k-prefixed; the minhash chain owns the bare `w`/`sh`). */
+  private lazy val duckUnigramLmCtes: String =
+    s"""kw AS (SELECT doc_id,
          |    list_filter(str_split_regex(lower(text), '\\s+'), x -> x <> '') AS ts
          |  FROM documents),
-         |ktok AS (SELECT doc_id, unnest(ts) AS t FROM w),
+         |ktok AS (SELECT doc_id, unnest(ts) AS t FROM kw),
          |kcnt AS (SELECT t, count(*) AS c FROM ktok GROUP BY t),
          |ktot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM kcnt),
          |kvocab AS (SELECT t, c FROM kcnt ORDER BY c DESC, t LIMIT 16),
@@ -2700,9 +2774,16 @@ object SparkEntry {
          |    length(bin((SELECT n FROM ktot) // greatest(coalesce(v.c, 0), 1))) AS b
          |  FROM ktok k LEFT JOIN kvocab v USING (t)),
          |kagg AS (SELECT doc_id, CAST(sum(b) AS BIGINT) AS bits FROM ksurp GROUP BY doc_id),
-         |lm AS (SELECT w.doc_id,
-         |    CAST(coalesce(a.bits, 0) // greatest(len(w.ts), 1) AS BIGINT) AS bits_per_tok
-         |  FROM w LEFT JOIN kagg a USING (doc_id)),
+         |lm AS (SELECT kw.doc_id,
+         |    CAST(coalesce(a.bits, 0) // greatest(len(kw.ts), 1) AS BIGINT) AS bits_per_tok
+         |  FROM kw LEFT JOIN kagg a USING (doc_id))""".stripMargin
+
+  /** Shared CTE chain of the curation-capstone oracles (tokenize, unigram
+    * LM, language/quality/repetition scoring) — one definition, so
+    * q_curate_v3 and q_curate_v4 can never silently drift apart. No WITH
+    * prefix: callers compose it with further CTEs. */
+  private lazy val duckCurateCtes: String =
+    s"""$duckUnigramLmCtes,
          |tok AS (
          |  SELECT doc_id, list_filter(str_split_regex(lower(text), '\\s+'), x -> x <> '') AS ts,
          |         len(regexp_extract_all(text, '[^\\p{L}\\p{N}\\s]')) AS n_punct,
@@ -3203,25 +3284,8 @@ object SparkEntry {
         |SELECT doc_id, string_agg(sent, ' ' ORDER BY pos) AS kept_text
         |FROM win WHERE rn = 1 GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q_dedup_spans" ->
-      s"""WITH w AS (SELECT doc_id,
-        |    list_filter(str_split_regex(text, '\\s+'), x -> x <> '') AS ws
-        |  FROM documents),
-        |tok AS (SELECT doc_id, unnest(ws) AS tok, generate_subscripts(ws, 1) - 1 AS pos FROM w),
-        |sh AS (SELECT doc_id, CASE WHEN len(ws) >= 8
-        |    THEN [array_to_string(ws[i:i+7], ' ') for i in range(1, len(ws) - 6)]
-        |    ELSE [] END AS gs FROM w),
-        |gi AS (SELECT doc_id,
-        |    ${duckMd5_60("unnest(gs)")} AS fp,
-        |    generate_subscripts(gs, 1) - 1 AS pos FROM sh),
-        |win AS (SELECT doc_id, fp, pos,
-        |    row_number() OVER (PARTITION BY fp ORDER BY doc_id, pos) AS rn FROM gi),
-        |dup AS (SELECT doc_id, pos FROM win WHERE rn > 1),
-        |cov AS (SELECT DISTINCT doc_id, pos + o AS cpos
-        |        FROM dup, (SELECT unnest(range(0, 8)) AS o)),
-        |kept AS (SELECT t.doc_id, t.pos, t.tok FROM tok t WHERE NOT EXISTS
-        |  (SELECT 1 FROM cov c WHERE c.doc_id = t.doc_id AND c.cpos = t.pos))
-        |SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS kept_text
-        |FROM kept GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+      s"""WITH ${duckSpanCtes("documents")}
+        |SELECT doc_id, kept_text FROM sd ORDER BY doc_id""".stripMargin,
     "q_mixture_sample" ->
       s"""SELECT doc_id, source FROM documents
          |WHERE ${duckMd5_60("'mix:' || CAST(doc_id AS VARCHAR)")} % 1000
@@ -4399,6 +4463,55 @@ object SparkEntry {
          |  FROM sv)
          |SELECT source, doc_id, n_tok, CAST(cum AS BIGINT) AS cum
          |FROM cm WHERE cum <= 600 ORDER BY source, doc_id""".stripMargin,
+    // the full-funnel capstone: near-dedup survivors ∩ C4 ∩ gopher ∩ LM ∩
+    // classifier, then span-dedup over THAT subset, budget-mix, recursive
+    // greedy pack, and the salted epoch order — all shared fragments
+    "q_curate_v7" ->
+      s"""WITH RECURSIVE $duckMinhashCtes,
+         |$duckNearDupCcCtes,
+         |$duckC4Ctes,
+         |c4s AS (SELECT doc_id FROM c4f WHERE pass),
+         |$duckGopherCtes,
+         |gp AS (SELECT doc_id FROM gc WHERE $duckGopherPass),
+         |$duckUnigramLmCtes,
+         |${duckLogitCtes(classifierLabel, iters = 8)},
+         |keep AS MATERIALIZED (
+         |  SELECT d.doc_id, d.source, d.text FROM documents d
+         |  JOIN surv s7 ON s7.doc_id = d.doc_id
+         |  JOIN c4s ON c4s.doc_id = d.doc_id
+         |  JOIN gp ON gp.doc_id = d.doc_id
+         |  JOIN lm ON lm.doc_id = d.doc_id
+         |  JOIN clf ON clf.doc_id = d.doc_id
+         |  WHERE lm.bits_per_tok <= 9 AND clf.pred),
+         |${duckSpanCtes("keep")},
+         |sv7 AS (SELECT k.source, sd.doc_id,
+         |    CAST(len(list_filter(str_split_regex(sd.kept_text, '\\s+'), x -> x <> ''))
+         |         AS BIGINT) AS n_tok,
+         |    ${duckMd5_60("'v7m:' || CAST(sd.doc_id AS VARCHAR)")} AS h
+         |  FROM sd JOIN keep k ON k.doc_id = sd.doc_id),
+         |cm7 AS (SELECT source, doc_id, n_tok,
+         |    sum(n_tok) OVER (PARTITION BY source ORDER BY h, doc_id
+         |                     ROWS UNBOUNDED PRECEDING) AS cum
+         |  FROM sv7),
+         |mix7 AS MATERIALIZED (SELECT source, doc_id, n_tok FROM cm7 WHERE cum <= 600),
+         |d7 AS MATERIALIZED (SELECT source, doc_id, n_tok,
+         |    row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn FROM mix7),
+         |pack7 AS (
+         |  SELECT source, doc_id, n_tok, rn, 0 AS bin, n_tok AS fill
+         |  FROM d7 WHERE rn = 1
+         |  UNION ALL
+         |  SELECT r.source, r.doc_id, r.n_tok, r.rn,
+         |         CASE WHEN p.fill + r.n_tok <= 512 THEN p.bin ELSE p.bin + 1 END,
+         |         CASE WHEN p.fill + r.n_tok <= 512 THEN p.fill + r.n_tok ELSE r.n_tok END
+         |  FROM pack7 p JOIN d7 r ON r.source = p.source AND r.rn = p.rn + 1),
+         |pos7 AS (SELECT doc_id, row_number() OVER (
+         |    ORDER BY ${duckMd5_60("'v7s:' || CAST(doc_id AS VARCHAR)")}, doc_id) - 1 AS pos
+         |  FROM mix7)
+         |SELECT p.source, p.doc_id, CAST(p.n_tok AS BIGINT) AS n_tok,
+         |       CAST(p.bin AS BIGINT) AS bin, CAST(p.fill AS BIGINT) AS fill,
+         |       CAST(q.pos AS BIGINT) AS pos
+         |FROM pack7 p JOIN pos7 q ON q.doc_id = p.doc_id
+         |ORDER BY p.source, p.doc_id""".stripMargin,
     "q_jw_neighbors" ->
       """WITH r AS (SELECT p_partkey AS id, p_name AS s,
         |    row_number() OVER (ORDER BY p_name, p_partkey) - 1 AS rk
