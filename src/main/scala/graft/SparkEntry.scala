@@ -168,6 +168,22 @@ object SparkEntry {
       """SELECT l_orderkey, l_linenumber,
         |       wasm_popcnt(CAST(l_orderkey AS BIGINT)) AS pc
         |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin) _,
+    // FOREIGN-binary conformance: these functions come from the checked-in
+    // hand-assembled LLVM-shaped fixture (wasm/WasmFixture.scala — section
+    // order, custom sections, v128 LEB sub-opcodes all from a non-WasmBuilder
+    // emitter), exercising plain ints, the string alloc ABI (ASCII-only
+    // derived input: the guest upcases bytes, DuckDB upper() is unicode-
+    // aware), and the i64x2 SIMD path
+    "q_wasm_real_binary" -> q(
+      """SELECT doc_id,
+        |  wasm_fx_gcd(CAST(doc_id AS INT) + 7, CAST(pmod(doc_id, 97) AS INT) + 3) AS g,
+        |  wasm_fx_upper(concat('doc ', CAST(doc_id AS STRING), ' of ', source)) AS up,
+        |  wasm_fx_vadd(doc_id, octet_length(text)) AS va
+        |FROM documents ORDER BY doc_id""".stripMargin) _,
+    // the fixture's i64-state aggregate through all phases + the shuffle
+    "q_wasm_real_agg" -> q(
+      """SELECT source, wasm_fx_sumsq(CAST(pmod(doc_id, 50) AS INT)) AS ss
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin) _,
     // string arg rides the reference FFI ABI: host calls the guest's
     // exported alloc, copies UTF-8 bytes into linear memory, passes (ptr,len)
     "q_wasm_count_byte" -> q(
@@ -3115,6 +3131,15 @@ object SparkEntry {
         |       CASE WHEN l_suppkey % 7 = 0 THEN 'integer divide by zero' END AS div_error
         |FROM lineitem
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q_wasm_real_binary" ->
+      """SELECT doc_id,
+        |  CAST(gcd(doc_id + 7, doc_id % 97 + 3) AS INT) AS g,
+        |  upper('doc ' || CAST(doc_id AS VARCHAR) || ' of ' || source) AS up,
+        |  doc_id + strlen(text) AS va
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_wasm_real_agg" ->
+      """SELECT source, CAST(sum((doc_id % 50) * (doc_id % 50)) AS BIGINT) AS ss
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
     "q_wasm_dispatch" ->
       """SELECT l_orderkey, l_linenumber,
         |       CAST(CASE l_orderkey % 3

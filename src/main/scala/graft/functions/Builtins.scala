@@ -24,6 +24,7 @@ object Builtins {
     graft.ops.Similarity.registerAll()
     graft.ops.Multimodal.registerAll()
     graft.wasm.WasmKernels.registerAll()
+    graft.wasm.WasmFixture.registerAll()
 
     // Embedded-runtime (graftscript) demo function — SURVEY §2.1 #13/#19 SPI.
     graft.runtime.ScriptUdf.register(

@@ -1,0 +1,40 @@
+package graft.wasm
+
+/**
+ * Foreign-binary conformance fixture: a checked-in `.wasm` module that was
+ * NOT produced by [[WasmBuilder]] — it is hand-assembled against the
+ * WebAssembly 1.0 + SIMD binary spec (`tools/make_wasm_fixture.py`,
+ * deterministic, byte-identical on every run) in the layout LLVM emits for
+ * `wasm32-wasip1` cdylibs: funcref table, 2 MiB memory, a mutable
+ * `__stack_pointer`-style global, an active data segment at offset 1024,
+ * and trailing `name`/`producers`/`target_features` custom sections.
+ *
+ * Loading it drives [[WasmUdf.load]]/[[WasmInterp]] against a binary whose
+ * section order, custom sections, and v128 sub-opcode LEB encodings come
+ * from a foreign emitter — the conformance axis the WasmBuilder-built
+ * kernels cannot cover (reference ABI shape: `arrow-udf/wasm/build.rs` +
+ * `arrow-udf-runtime/src/wasm/mod.rs:107-125` export discovery).
+ *
+ * Carries the full export ABI: `arrowudf_<b64>` scalars (plain ints, a
+ * string→string through the alloc FFI with a packed (ptr<<32|len) return,
+ * and an i64x2 SIMD kernel), an i64-state aggregate, `ARROWUDF_VERSION_3_0`,
+ * `alloc` + `reset_heap`.
+ */
+object WasmFixture {
+
+  lazy val bytes: Array[Byte] = {
+    val in = getClass.getResourceAsStream("/graft/fixture_llvm_shape.wasm")
+    require(in != null, "fixture_llvm_shape.wasm missing from resources")
+    try in.readAllBytes() finally in.close()
+  }
+
+  /** Registers wasm_fx_gcd / wasm_fx_upper / wasm_fx_vadd (discovered from
+    * the binary's own exports) and the wasm_fx_sumsq aggregate. */
+  def registerAll(): Unit = {
+    WasmUdf.load(bytes)
+    WasmUdf.loadAggregate(bytes, "wasm_fx_sumsq(int) -> bigint",
+      createFn = "fx_create", accFn = "fx_acc", retractFn = None,
+      mergeFn = "fx_merge", finishFn = "fx_finish")
+    ()
+  }
+}

@@ -724,4 +724,35 @@ class WasmSpec extends AnyFunSuite {
     assert(intercept[WasmTrap] { inst.invoke("init", Array.empty) }
       .getMessage.contains("memory.init"))
   }
+
+  test("foreign-binary fixture: LLVM-shaped layout decodes, ABI works end-to-end") {
+    // the checked-in hand-assembled module (NOT WasmBuilder output): funcref
+    // table, __stack_pointer-style globals, active data at 1024, trailing
+    // name/producers/target_features custom sections — all must decode
+    val bytes = WasmFixture.bytes
+    val m = WasmModule.decode(bytes)
+    val names = m.exports.map(_.name).toSet
+    assert(names.contains("ARROWUDF_VERSION_3_0") && names.contains("alloc"))
+    assert(m.exports.count(_.name.startsWith("arrowudf_")) == 3)
+    // the active data segment landed where the foreign layout says
+    val inst = new WasmInstance(m, WasmConfig())
+    assert(new String(inst.readBytes(1024, 5),
+      java.nio.charset.StandardCharsets.US_ASCII) == "graft")
+    // edge semantics through the SQL surface
+    val spark = TestSpark.spark
+    graft.Graft.install(spark)
+    val r = spark.sql(
+      """SELECT wasm_fx_gcd(0, 5) AS g0, wasm_fx_gcd(91, 0) AS g1,
+        |  wasm_fx_upper('mIxEd! 42 [a-z]') AS up,
+        |  wasm_fx_vadd(-3, 5) AS vneg""".stripMargin).collect().head
+    assert(r.getInt(0) == 5 && r.getInt(1) == 91)
+    assert(r.getString(2) == "MIXED! 42 [A-Z]")
+    assert(r.getLong(3) == 2L)
+    // aggregate phases incl. merge across a forced repartition
+    val ss = spark.sql(
+      """SELECT wasm_fx_sumsq(CAST(v AS INT)) AS ss
+        |FROM (SELECT explode(sequence(1, 10)) AS v DISTRIBUTE BY v % 3)""".stripMargin)
+      .collect().head.getLong(0)
+    assert(ss == 385L) // 1^2 + ... + 10^2
+  }
 }
