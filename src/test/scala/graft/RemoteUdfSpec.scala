@@ -414,4 +414,88 @@ class RemoteUdfSpec extends AnyFunSuite {
       assert(byId(30) == 32) // 30 + 2
     } finally server.close()
   }
+
+  test("golden framing: the exact wire bytes a Flight bridge must speak") {
+    // Freezes the graft-side framing per docs/FLIGHT_INTEROP.md: command
+    // lines, status lines, blank-line terminators, and the Arrow IPC
+    // landmarks (continuation marker + end-of-stream) that delimit CALL
+    // payloads. A future do_exchange bridge is conformant iff it produces
+    // and consumes exactly these bytes around standard Arrow IPC bodies.
+    graft.functions.Builtins.ensureRegistered()
+    val server = new UdfServer()
+    val sock = new java.net.Socket("127.0.0.1", server.boundPort)
+    try {
+      val out = new java.io.DataOutputStream(
+        new java.io.BufferedOutputStream(sock.getOutputStream))
+      val in = new java.io.DataInputStream(
+        new java.io.BufferedInputStream(sock.getInputStream))
+      def line(): String = {
+        val b = new StringBuilder
+        var c = in.read()
+        while (c != -1 && c != '\n') { b.append(c.toChar); c = in.read() }
+        b.toString
+      }
+      // VERSION: OK, version line, blank terminator — golden
+      out.write("VERSION\n".getBytes("UTF-8")); out.flush()
+      assert(line() == "OK")
+      assert(line() == graft.remote.RemoteProtocol.Version.toString)
+      assert(line() == "")
+      // GET: OK + exactly the registered signature text + blank terminator
+      out.write("GET add\n".getBytes("UTF-8")); out.flush()
+      assert(line() == "OK")
+      assert(line() == "add(int32,int32) -> int32")
+      assert(line() == "")
+      // unknown verb: single ERR line, connection stays usable
+      out.write("BOGUS\n".getBytes("UTF-8")); out.flush()
+      assert(line() == "ERR bad command BOGUS")
+      // CALL: command line + one complete Arrow IPC stream; response is
+      // "OK\n" + one IPC stream. Assert the IPC landmarks: the stream
+      // begins with the 0xFFFFFFFF continuation marker and ends with the
+      // 8-byte EOS (0xFFFFFFFF 0x00000000) — the self-delimiting property
+      // the half-duplex framing relies on.
+      val alloc = new org.apache.arrow.memory.RootAllocator()
+      val schema = new org.apache.arrow.vector.types.pojo.Schema(
+        java.util.List.of(
+          new org.apache.arrow.vector.types.pojo.Field("a",
+            org.apache.arrow.vector.types.pojo.FieldType.nullable(
+              new org.apache.arrow.vector.types.pojo.ArrowType.Int(32, true)), null),
+          new org.apache.arrow.vector.types.pojo.Field("b",
+            org.apache.arrow.vector.types.pojo.FieldType.nullable(
+              new org.apache.arrow.vector.types.pojo.ArrowType.Int(32, true)), null)))
+      val root = org.apache.arrow.vector.VectorSchemaRoot.create(schema, alloc)
+      val va = root.getVector(0).asInstanceOf[org.apache.arrow.vector.IntVector]
+      val vb = root.getVector(1).asInstanceOf[org.apache.arrow.vector.IntVector]
+      va.allocateNew(2); vb.allocateNew(2)
+      va.set(0, 40); vb.set(0, 2); va.set(1, 7); vb.set(1, 8)
+      root.setRowCount(2)
+      val ipcBuf = new java.io.ByteArrayOutputStream()
+      val w = new org.apache.arrow.vector.ipc.ArrowStreamWriter(root, null, ipcBuf)
+      w.start(); w.writeBatch(); w.end(); w.close(); root.close()
+      val ipc = ipcBuf.toByteArray
+      // request-side landmarks (what the bridge must emit after the line)
+      assert((ipc(0) & 0xFF) == 0xFF && (ipc(1) & 0xFF) == 0xFF &&
+        (ipc(2) & 0xFF) == 0xFF && (ipc(3) & 0xFF) == 0xFF, "IPC continuation")
+      val eos = ipc.takeRight(8).map(_ & 0xFF)
+      assert(eos.take(4).forall(_ == 0xFF) && eos.drop(4).forall(_ == 0),
+        s"IPC EOS, got ${eos.mkString(",")}")
+      out.write("CALL add\n".getBytes("UTF-8")); out.write(ipc); out.flush()
+      assert(line() == "OK")
+      // response: a complete IPC stream readable in place; EOS consumed by
+      // the reader leaves the connection aligned for the next command
+      val r = new org.apache.arrow.vector.ipc.ArrowStreamReader(in, alloc)
+      assert(r.loadNextBatch())
+      val rr = r.getVectorSchemaRoot
+      assert(rr.getRowCount == 2)
+      val rv = rr.getVector(0).asInstanceOf[org.apache.arrow.vector.IntVector]
+      assert(rv.get(0) == 42 && rv.get(1) == 15)
+      assert(!r.loadNextBatch()) // EOS
+      r.close(false)
+      // the connection survives: framed protocol re-alignment golden check
+      out.write("GET add\n".getBytes("UTF-8")); out.flush()
+      assert(line() == "OK")
+      assert(line() == "add(int32,int32) -> int32")
+      assert(line() == "")
+      alloc.close()
+    } finally { sock.close(); server.close() }
+  }
 }
