@@ -30,13 +30,15 @@ import scala.collection.mutable.ArrayBuffer
  * for compiled cdylibs: funcref tables + `call_indirect` (function-pointer /
  * trait-object dispatch), bulk memory (`memory.copy`/`memory.fill` — memcpy
  * and memset), saturating truncations, typed `select`, multi-value blocks,
- * reference types, table mutation, and imports of every kind — FUNCTION
- * imports as trapping stubs (a wasip1 module's fd_write etc. load fine and
- * only trap if a kernel actually reaches them), MEMORY/TABLE imports
- * satisfied with a fresh host-provided instance of the declared limits
- * (`--import-memory` linking mode), GLOBAL imports as instance-owned
+ * reference types, table mutation, full v128 SIMD (fixed-width lanes, one
+ * operand-stack slot + shadow per value), and imports of every kind —
+ * FUNCTION imports as trapping stubs (a wasip1 module's fd_write etc. load
+ * fine and only trap if a kernel actually reaches them), MEMORY/TABLE
+ * imports satisfied with a fresh host-provided instance of the declared
+ * limits (`--import-memory` linking mode), GLOBAL imports as instance-owned
  * zero-initialized slots. Deliberate subset (documented, validated at
- * load): no SIMD (v128), single memory/table, no cross-instance sharing.
+ * load): single memory/table, no threads/atomics, no cross-instance
+ * sharing.
  */
 final class WasmTrap(msg: String) extends RuntimeException(msg) {
   // traps are expected control flow (error column); a JVM stack trace per
