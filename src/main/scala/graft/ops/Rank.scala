@@ -43,26 +43,52 @@ object Rank {
           "scale fractional values to integers (e.g. cents) upstream")
     }
     val v = col(valCol).cast("long")
+    // ONE range shuffle and ONE in-partition sort, both pinned by the
+    // checkpoint. (A `Window.partitionBy(__pid)` here would re-exchange and
+    // re-sort the WHOLE table: the checkpoint hides the ordering and
+    // partitioning from Catalyst, so the window planner inserts a second
+    // hashpartitioning(__pid) Exchange + Sort over 100% of the data. The
+    // prefix attachment below is a narrow mapPartitions instead — zero
+    // post-checkpoint shuffles, nothing sorted twice.)
     val ranged = df.repartitionByRange(orderCols: _*)
+      .sortWithinPartitions(orderCols: _*)
       .withColumn("__pid", spark_partition_id())
+      .withColumn("__v", coalesce(v, lit(0L)))
       .localCheckpoint()
     val parts = ranged.groupBy("__pid")
-      .agg(count(lit(1)).as("__c"), coalesce(sum(v), lit(0L)).as("__s"))
+      .agg(count(lit(1)).as("__c"), coalesce(sum(col("__v")), lit(0L)).as("__s"))
       .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
       .sortBy(_._1)
     var (cAcc, sAcc) = (0L, 0L)
-    val offs = parts.map { case (pid, c, s) =>
-      val row = (pid, cAcc, sAcc); cAcc += c; sAcc += s; row
-    }
+    val offMap = parts.map { case (pid, c, s) =>
+      val row = pid -> ((cAcc, sAcc)); cAcc += c; sAcc += s; row
+    }.toMap
     val spark = df.sparkSession
-    import spark.implicits._
-    val offDf = offs.toSeq.toDF("__pid", "__coff", "__soff")
-    val w = Window.partitionBy("__pid").orderBy(orderCols: _*)
-    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    ranged.join(broadcast(offDf), Seq("__pid"))
-      .withColumn(rankName, row_number().over(w) + col("__coff"))
-      .withColumn(cumName, sum(v).over(wRun) + col("__soff"))
-      .drop("__pid", "__coff", "__soff")
+    val bc = spark.sparkContext.broadcast(offMap)
+    val pidIdx = ranged.schema.fieldIndex("__pid")
+    val vIdx = ranged.schema.fieldIndex("__v")
+    val outSchema = org.apache.spark.sql.types.StructType(
+      ranged.schema.fields ++ Seq(
+        org.apache.spark.sql.types.StructField(rankName,
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField(cumName,
+          org.apache.spark.sql.types.LongType, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    ranged.mapPartitions { it =>
+      var rk = 0L
+      var cm = 0L
+      var init = false
+      it.map { row =>
+        if (!init) {
+          val (c0, s0) = bc.value(row.getInt(pidIdx)); rk = c0; cm = s0
+          init = true
+        }
+        rk += 1
+        cm += row.getLong(vIdx)
+        org.apache.spark.sql.Row.fromSeq(row.toSeq :+ rk :+ cm)
+      }
+    }(enc)
+      .drop("__pid", "__v")
   }
 
   /** RFM quintile scoring per entity: given per-entity (recency metric
