@@ -77,19 +77,40 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val tInit = System.nanoTime()
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-      .config("spark.sql.adaptive.skewJoin.enabled", "true")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.ui.enabled", "false")
-      // managed tables (x_bucketed_join) land in /tmp, not the repo
-      .config("spark.sql.warehouse.dir", "/tmp/graft_bench_warehouse")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    def buildSession(): SparkSession = {
+      val s = SparkSession.builder()
+        .master(s"local[$cpus]")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.ui.enabled", "false")
+        // checkpoint/cache blocks are only dropped after a driver GC lets
+        // ContextCleaner see the dead RDD refs; the default periodic-GC
+        // interval (30min) outlives the whole bench, so hundreds of
+        // queries' checkpoint blocks would pile up in the block manager
+        .config("spark.cleaner.periodicGC.interval", "2min")
+        // managed tables (x_bucketed_join) land in /tmp, not the repo
+        .config("spark.sql.warehouse.dir", "/tmp/graft_bench_warehouse")
+        .getOrCreate()
+      s.sparkContext.setLogLevel("WARN")
+      s
+    }
+    var spark = buildSession()
+    // One probe OOM-killing the local SparkContext must not zero out every
+    // number after it: rebuild the session (outside any timed window) and
+    // keep measuring. Only the offending probe records a failure.
+    def liveSession(): SparkSession = {
+      if (spark.sparkContext.isStopped) {
+        System.err.println("[bench] SparkContext stopped — rebuilding session")
+        SparkSession.clearActiveSession()
+        SparkSession.clearDefaultSession()
+        spark = buildSession()
+      }
+      spark
+    }
 
     // warm the session (JIT, codegen, parquet footers) on the smallest query;
     // timed separately so fixed session overhead never blurs per-query
@@ -1039,15 +1060,16 @@ object Bench {
 
     val benchables: Seq[(String, () => Unit)] =
       throughput.filter(p => keep(p._1)).map { case (name, fn) =>
-        name -> (() => fn(spark)) } ++
+        name -> (() => fn(liveSession())) } ++
       SparkEntry.queries.toSeq.sortBy(_._1).filter(p => keep(p._1)).map { case (name, fn) =>
-        name -> (() => fn(spark, sfDir).write.format("noop").mode("overwrite").save())
+        name -> (() => fn(liveSession(), sfDir).write.format("noop").mode("overwrite").save())
       }
 
     val samples = Array.fill(benchables.size)(List.empty[Double])
     val failed = Array.fill(benchables.size)(false)
     for (rep <- 1 to reps; ((name, run), i) <- benchables.zipWithIndex if !failed(i)) {
       try {
+        liveSession() // any rebuild happens OUTSIDE the timed window
         val t0 = System.nanoTime(); run(); val t = (System.nanoTime() - t0) / 1e9
         samples(i) :+= t
         System.err.println(f"[bench] $name rep$rep $t%.3f s")

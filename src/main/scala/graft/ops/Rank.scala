@@ -48,46 +48,42 @@ object Rank {
     // re-sort the WHOLE table: the checkpoint hides the ordering and
     // partitioning from Catalyst, so the window planner inserts a second
     // hashpartitioning(__pid) Exchange + Sort over 100% of the data. The
-    // prefix attachment below is a narrow mapPartitions instead — zero
-    // post-checkpoint shuffles, nothing sorted twice.)
+    // prefix attachment below is a codegen'd stateful expression instead —
+    // zero post-checkpoint shuffles, nothing sorted twice, no boxing.)
+    // DISK_ONLY: the pinned copy exists only so the offset pass and the
+    // output pass see identical partitions — it is read back exactly once
+    // per pass, streaming. MEMORY_AND_DISK (the default) would pin the
+    // whole table in executor storage memory and starve the task heap at
+    // the 100M-row probe scale.
     val ranged = df.repartitionByRange(orderCols: _*)
       .sortWithinPartitions(orderCols: _*)
       .withColumn("__pid", spark_partition_id())
       .withColumn("__v", coalesce(v, lit(0L)))
-      .localCheckpoint()
+      .localCheckpoint(true, org.apache.spark.storage.StorageLevel.DISK_ONLY)
     val parts = ranged.groupBy("__pid")
       .agg(count(lit(1)).as("__c"), coalesce(sum(col("__v")), lit(0L)).as("__s"))
       .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
       .sortBy(_._1)
+    // exclusive prefix offsets per partition id, dense long[] (pids missing
+    // from `parts` hold no rows — their seed is never observed)
+    val nParts = if (parts.isEmpty) 0 else parts.map(_._1).max + 1
+    val coff = new Array[Long](nParts)
+    val soff = new Array[Long](nParts)
     var (cAcc, sAcc) = (0L, 0L)
-    val offMap = parts.map { case (pid, c, s) =>
-      val row = pid -> ((cAcc, sAcc)); cAcc += c; sAcc += s; row
-    }.toMap
-    val spark = df.sparkSession
-    val bc = spark.sparkContext.broadcast(offMap)
-    val pidIdx = ranged.schema.fieldIndex("__pid")
-    val vIdx = ranged.schema.fieldIndex("__v")
-    val outSchema = org.apache.spark.sql.types.StructType(
-      ranged.schema.fields ++ Seq(
-        org.apache.spark.sql.types.StructField(rankName,
-          org.apache.spark.sql.types.LongType, nullable = false),
-        org.apache.spark.sql.types.StructField(cumName,
-          org.apache.spark.sql.types.LongType, nullable = false)))
-    val enc = org.apache.spark.sql.Encoders.row(outSchema)
-    ranged.mapPartitions { it =>
-      var rk = 0L
-      var cm = 0L
-      var init = false
-      it.map { row =>
-        if (!init) {
-          val (c0, s0) = bc.value(row.getInt(pidIdx)); rk = c0; cm = s0
-          init = true
-        }
-        rk += 1
-        cm += row.getLong(vIdx)
-        org.apache.spark.sql.Row.fromSeq(row.toSeq :+ rk :+ cm)
-      }
-    }(enc)
+    parts.foreach { case (pid, c, s) =>
+      coff(pid) = cAcc; soff(pid) = sAcc; cAcc += c; sAcc += s
+    }
+    // rank = running sum of 1, cum = running sum of __v — each a stateful
+    // codegen'd expression seeded per partition (PartitionRunningSum, the
+    // MonotonicallyIncreasingID pattern): the whole attachment stays inside
+    // WholeStageCodegen directly over the checkpoint scan.
+    import org.apache.spark.sql.graftshim.Shim
+    import graft.functions.PartitionRunningSum
+    ranged
+      .withColumn(rankName, Shim.column(
+        PartitionRunningSum(Shim.expression(lit(1L)), coff)))
+      .withColumn(cumName, Shim.column(
+        PartitionRunningSum(Shim.expression(col("__v")), soff)))
       .drop("__pid", "__v")
   }
 

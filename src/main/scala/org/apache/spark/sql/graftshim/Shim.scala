@@ -17,4 +17,10 @@ object Shim {
 
   def experimental(spark: SparkSession): org.apache.spark.sql.ExperimentalMethods =
     spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession].experimental
+
+  def column(e: org.apache.spark.sql.catalyst.expressions.Expression): org.apache.spark.sql.Column =
+    org.apache.spark.sql.classic.ExpressionUtils.column(e)
+
+  def expression(c: org.apache.spark.sql.Column): org.apache.spark.sql.catalyst.expressions.Expression =
+    org.apache.spark.sql.classic.ExpressionUtils.expression(c)
 }

@@ -43,13 +43,18 @@ class PlanShapeSpec extends AnyFunSuite {
     PlanAudit.assertScaleShape(out, "nearDedupCorpus")
   }
 
-  test("globalPrefix: per-partition windows + broadcast offsets, <= 2 shuffles, no funnel") {
+  test("globalPrefix: codegen prefix attachment, ZERO post-checkpoint shuffles") {
     val df = spark.range(1000).selectExpr("id", "hash(id) AS v")
       .withColumn("v", col("v").cast("long"))
     val out = graft.ops.Rank.globalPrefix(df, Seq(col("v").desc, col("id").asc), "v")
-    // post-checkpoint: at most the window's hash exchange on __pid (the
-    // range partitioning itself is pre-checkpoint); offsets arrive broadcast
-    PlanAudit.assertScaleShape(out, "globalPrefix", maxShuffles = 2)
+    // the range shuffle + sort are pre-checkpoint; rank/cum attach via the
+    // stateful PartitionRunningSum expression in a bare Project — the
+    // output plan over the checkpoint must contain NO exchange at all
+    PlanAudit.assertScaleShape(out, "globalPrefix", maxShuffles = 0)
+    // and the attachment must stay inside whole-stage codegen (the `*(n)`
+    // prefix in the executed-plan string marks a codegen stage)
+    assert(out.queryExecution.executedPlan.toString.contains("*(1) Project"),
+      "prefix attachment fell out of whole-stage codegen")
   }
 
   test("scd2Apply: merge plan has no funnel and no cartesian") {
