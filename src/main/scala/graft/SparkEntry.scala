@@ -2284,6 +2284,26 @@ object SparkEntry {
         .drop("tot")
         .orderBy("l_partkey")
     } _,
+    // exact GLOBAL median over the whole fact table — the selection face of
+    // the global-order machinery: rank every row once (range shuffle +
+    // codegen prefix, no single-partition window), pick the rows at the two
+    // middle positions ((n+1) div 2 and (n+2) div 2 — equal when n is odd),
+    // report them as (lower, upper) median values. Tie order among equal
+    // cents is arbitrary but the VALUE at any rank is well-defined, so the
+    // oracle needs no matching tiebreak.
+    "q_global_median" -> dfq { s =>
+      val li = s.table("lineitem")
+        .withColumn("cents", expr("CAST(ROUND(l_extendedprice * 100) AS BIGINT)"))
+        .withColumn("tb", expr("l_orderkey * 10 + l_linenumber"))
+        .select("cents", "tb")
+      val pref = graft.ops.Rank.globalPrefix(li,
+        Seq(col("cents").asc, col("tb").asc), "cents",
+        rankName = "rnk", cumName = "cum")
+      pref.crossJoin(broadcast(li.agg(count(lit(1)).as("n"))))
+        .where(col("rnk") === expr("(n + 1) div 2") ||
+          col("rnk") === expr("(n + 2) div 2"))
+        .agg(min("cents").as("med_lo"), max("cents").as("med_hi"))
+    } _,
     // warehouse-maintenance capstone: the DQ battery run ON the SCD2 output
     // itself — interval invariants as predicate checks (non-negative spans,
     // is_current ⇔ open), uniqueness of (key, valid_from), referential
@@ -5160,6 +5180,14 @@ object SparkEntry {
         |       CASE WHEN cum * 100 <= tot * 80 THEN 'A'
         |            WHEN cum * 100 <= tot * 95 THEN 'B' ELSE 'C' END AS cls
         |FROM r ORDER BY l_partkey""".stripMargin,
+    "q_global_median" ->
+      """WITH c AS (SELECT CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS cents
+        |           FROM lineitem),
+        |o AS (SELECT cents, row_number() OVER (ORDER BY cents) AS rnk FROM c),
+        |n AS (SELECT count(*) AS n FROM c)
+        |SELECT CAST(min(cents) AS BIGINT) AS med_lo,
+        |       CAST(max(cents) AS BIGINT) AS med_hi
+        |FROM o, n WHERE rnk = (n + 1) // 2 OR rnk = (n + 2) // 2""".stripMargin,
     "q_percentile_cont" ->
       """WITH c AS (SELECT c_nationkey AS k,
         |             CAST(ROUND(c_acctbal * 100) AS BIGINT) AS v

@@ -42,6 +42,28 @@ class RankSpec extends AnyFunSuite {
     assert(got == exp)
   }
 
+  test("globalPrefix: interpreted (no-codegen) path equals the codegen path") {
+    // PartitionRunningSum has two eval paths: doGenCode (whole-stage) and
+    // evalInternal (interpreted fallback). Force the fallback and compare.
+    val rnd = new scala.util.Random(43)
+    val rows = (1L to 300L).map(i => Row(i, rnd.nextInt(20).toLong))
+    val df = spark.createDataFrame(rows.asJava, schema).repartition(5)
+    def run(): Map[Long, (Long, Long)] =
+      Rank.globalPrefix(df, Seq(col("v").asc, col("id").asc), "v")
+        .collect().map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3)))).toMap
+    val withCodegen = run()
+    val ws = spark.conf.get("spark.sql.codegen.wholeStage")
+    val fm = spark.conf.get("spark.sql.codegen.factoryMode")
+    try {
+      spark.conf.set("spark.sql.codegen.wholeStage", "false")
+      spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+      assert(run() == withCodegen)
+    } finally {
+      spark.conf.set("spark.sql.codegen.wholeStage", ws)
+      spark.conf.set("spark.sql.codegen.factoryMode", fm)
+    }
+  }
+
   test("rfmScores: quintile positions 1-5, best metric gets 5") {
     val rfmSchema = StructType(Seq(
       StructField("id", LongType, nullable = false),
