@@ -945,6 +945,18 @@ object SparkEntry {
         .selectExpr("q_id", "vec_id", "rank", "CAST(ROUND(sim * 10000) AS BIGINT) AS c4")
         .orderBy("q_id", "rank")
     } _,
+    // BIG-BIG ANN join: every 10th vector retrieves its top-3 neighbors from
+    // the full corpus — neither side broadcast, Hamming-1 multi-probe, and
+    // bounded per-key heaps before the exchange; the oracle replays the
+    // operator's defined semantics (same buckets, same probe set, same
+    // candidates, same rerank) exactly
+    "q_ann_join" -> dfq { s =>
+      val left = s.table("embeddings").where("vec_id % 10 = 0")
+        .selectExpr("vec_id AS q_id", "embedding AS q_embedding")
+      graft.ops.Similarity.lshJoinTopK(left, s.table("embeddings"), 3, bits = 6)
+        .selectExpr("q_id", "vec_id", "rank", "CAST(ROUND(sim * 10000) AS BIGINT) AS c4")
+        .orderBy("q_id", "rank")
+    } _,
 
     // embedding-cosine near-dup: LSH bucket join + exact threshold verify.
     // The synthetic embeddings are near-random (max raw pairwise sim ~0.51),
@@ -3752,6 +3764,28 @@ object SparkEntry {
          |      FROM s)
          |SELECT q_id, vec_id, rank, CAST(ROUND(sim * 10000) AS BIGINT) AS c4
          |FROM r WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
+    // same bucket replica; the left side probes its own bucket plus the 6
+    // single-bit-flip neighbors (xor), candidates from the bucket equi-join
+    "q_ann_join" ->
+      s"""WITH b AS (SELECT vec_id, embedding,
+         |  CAST(list_sum([CASE WHEN
+         |    list_reduce([CAST(embedding[i] AS DOUBLE) *
+         |      (${duckMd5_60("CAST(p * 10007 + (i - 1) AS VARCHAR) || 'hp'")} / 5.764607523034235e17 - 1.0)
+         |      for i in range(1, 65)], (x, y) -> x + y) >= 0
+         |    THEN (CAST(1 AS BIGINT) << p) ELSE CAST(0 AS BIGINT) END for p in range(6)]) AS BIGINT) AS bucket
+         |  FROM embeddings),
+         |q AS (SELECT vec_id AS q_id, embedding AS qe, bucket AS b0 FROM b
+         |      WHERE vec_id % 10 = 0),
+         |pr AS (SELECT q_id, qe,
+         |         unnest([xor(b0, CAST(1 AS BIGINT) << p) for p in range(6)] || [b0]) AS bucket
+         |       FROM q),
+         |s AS (SELECT pr.q_id, b.vec_id, ${duckCos("pr.qe", "b.embedding")} AS sim
+         |      FROM pr JOIN b USING (bucket)),
+         |r AS (SELECT q_id, vec_id, sim,
+         |             CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS INT) AS rank
+         |      FROM s)
+         |SELECT q_id, vec_id, rank, CAST(ROUND(sim * 10000) AS BIGINT) AS c4
+         |FROM r WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin,
     "q_semantic_decontaminate" ->
       s"""WITH bench AS (SELECT vec_id AS near_id, embedding AS be
          |  FROM embeddings WHERE vec_id < 50),

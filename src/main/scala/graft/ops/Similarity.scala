@@ -472,4 +472,42 @@ object Similarity {
       .select(col("q_id"), col("vec_id"), col("sim"))
     topKRank(scored, k)
   }
+
+  /** BIG-BIG ANN join: approximate top-k `right` neighbors for EVERY `left`
+    * row, with NEITHER side broadcast — the retrieval join for two
+    * corpus-scale relations (dedup one corpus against another, link every
+    * training document to its nearest benchmark items, nearest-neighbor
+    * feature joins). `left` is `(q_id, q_embedding)`, `right` is
+    * `(vec_id, embedding)` — the family's column conventions.
+    *
+    * Both sides are hyperplane-bucketed; the left side additionally probes
+    * its `bits` Hamming-1 neighbor buckets (multi-probe: one explode,
+    * recovers most near-boundary misses). Candidates arise ONLY from the
+    * bucket equi-join, and each (left, right) pair meets at most once (the
+    * right row holds a single bucket, the probe set is distinct), so no
+    * dedup pass is needed. The rerank cuts to ≤ k per left row with bounded
+    * partial heaps BEFORE any exchange ([[graft.plans.TopKPerKey]]).
+    *
+    * Scale: the shuffles carry (1 + bits)·|left| probe rows, bucket-matched
+    * candidate triples, and k survivors per left row — never a broadcast of
+    * either relation, never all pairs. At 100 TB pick `bits` so the mean
+    * bucket occupancy |right| / 2^bits stays O(candidates you can afford
+    * per probe). */
+  def lshJoinTopK(left: DataFrame, right: DataFrame, k: Int, bits: Int = 8,
+                  multiProbe: Boolean = true): DataFrame = {
+    require(bits >= 1 && bits <= 62, "bits in 1..62")
+    val r = right.withColumn("bucket", expr(s"hyperplane_bucket(embedding, $bits)"))
+    val l0 = left.withColumn("__b0", expr(s"hyperplane_bucket(q_embedding, $bits)"))
+    val l =
+      if (multiProbe)
+        l0.withColumn("bucket", explode(expr(
+            s"array_append(transform(sequence(0, ${bits - 1}), " +
+              "i -> __b0 ^ shiftleft(CAST(1 AS BIGINT), i)), __b0)")))
+          .drop("__b0")
+      else l0.withColumnRenamed("__b0", "bucket")
+    val scored = l.join(r, "bucket")
+      .withColumn("sim", expr("cosine_sim(embedding, q_embedding)"))
+      .select(col("q_id"), col("vec_id"), col("sim"))
+    topKRank(scored, k)
+  }
 }

@@ -190,6 +190,31 @@ class OpsSpec extends AnyFunSuite {
     assert((exact intersect approx).size >= 5)
   }
 
+  test("lshJoinTopK: big-big join finds self-matches, multi-probe only adds candidates") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val left = emb.where("vec_id % 7 = 0")
+      .selectExpr("vec_id AS q_id", "embedding AS q_embedding")
+    val nLeft = left.count()
+    val joined = Similarity.lshJoinTopK(left, emb, 3, bits = 5)
+    // every left row IS a corpus row: its own bucket holds an exact copy,
+    // so rank 1 must be a sim ~= 1.0 hit for every left id
+    val self = joined.where("rank = 1 AND sim >= 0.999999").count()
+    assert(self == nLeft, s"self-matches $self of $nLeft")
+    // each (left, right) pair meets at most once: candidate sets per q_id
+    // contain no duplicate vec_ids even under multi-probe
+    assert(joined.groupBy("q_id", "vec_id").count().where("count > 1").count() == 0L)
+    // single-probe results are a subset of multi-probe results at the same k
+    // only for the candidate SETS, not the top-k cut — compare rank-1 hits
+    val single = Similarity.lshJoinTopK(left, emb, 3, bits = 5, multiProbe = false)
+      .where("rank = 1").select("q_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val multi = joined.where("rank = 1").select("q_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // rank-1 under multi-probe is at least as similar: the self-match is in
+    // both candidate sets, so both must pick a sim-1.0 row — identical here
+    assert(single == multi)
+  }
+
   test("int8 quantization: 4x smaller codes, near-exact recall, self-retrieval") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val queries = emb.where("vec_id < 3").selectExpr("vec_id AS q_id", "embedding AS q_embedding")
