@@ -2214,6 +2214,15 @@ object SparkEntry {
             ("l_suppkey", halfSupp, "s_suppkey")))
         .orderBy("check_name")
     } _,
+    // k-anonymity audit: quasi-identifier combinations shared by fewer than
+    // k rows are re-identifiable — the privacy gate on corpus metadata; one
+    // map-side-combined aggregate, delta-sized (violators-only) output
+    "q_k_anonymity" -> dfq { s =>
+      graft.ops.Warehouse.kAnonymity(s.table("customer"),
+          Seq("c_nationkey", "c_mktsegment"), k = 10)
+        .selectExpr("c_nationkey", "c_mktsegment", "CAST(n AS BIGINT) AS n")
+        .orderBy("c_nationkey", "c_mktsegment")
+    } _,
     // deterministic equal-frequency binning (exact-ntile deciles of acctbal
     // cents per nation, ties broken by c_custkey — reproducible where SQL
     // ntile's tie order is engine-arbitrary)
@@ -5117,6 +5126,10 @@ object SparkEntry {
         |FROM (SELECT user_id FROM h WHERE user_id IS NOT NULL) l
         |LEFT JOIN (SELECT DISTINCT user_id FROM events) d USING (user_id)
         |) ORDER BY check_name""".stripMargin,
+    "q_k_anonymity" ->
+      """SELECT c_nationkey, c_mktsegment, CAST(count(*) AS BIGINT) AS n
+        |FROM customer GROUP BY 1, 2 HAVING count(*) < 10
+        |ORDER BY c_nationkey, c_mktsegment""".stripMargin,
     "q_quantile_bins" ->
       """WITH c AS (SELECT c_custkey, c_nationkey,
         |             CAST(ROUND(c_acctbal * 100) AS BIGINT) AS cents

@@ -282,4 +282,26 @@ object Warehouse {
     fs.delete(bak, true)
     (before.length, dataFiles(path).length, rows)
   }
+
+  /** k-anonymity audit over a quasi-identifier combination: every distinct
+    * value combination of `quasiCols` must be shared by at least `k` rows,
+    * or the rows holding it are re-identifiable by joining those columns
+    * against an external dataset — the standard privacy gate run on a
+    * training corpus's metadata columns before release. Returns only the
+    * VIOLATING combinations with their group sizes (delta-sized output:
+    * empty when the table is k-anonymous; a combination with exactly `k`
+    * rows is compliant).
+    *
+    * Scale: one map-side-combined aggregate on the quasi columns — the
+    * output is bounded by the number of rare combinations, never the table;
+    * nothing reaches the driver. NULL is a value: an all-NULL combination
+    * held by fewer than k rows is reported like any other (grouping treats
+    * NULLs as equal, matching SQL GROUP BY). */
+  def kAnonymity(df: DataFrame, quasiCols: Seq[String], k: Long): DataFrame = {
+    require(quasiCols.nonEmpty, "kAnonymity: need at least one quasi column")
+    require(k >= 2, "kAnonymity: k < 2 is vacuous (every row is 1-anonymous)")
+    df.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("n"))
+      .where(col("n") < k)
+  }
 }

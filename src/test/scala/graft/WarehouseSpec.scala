@@ -108,6 +108,25 @@ class WarehouseSpec extends AnyFunSuite {
     StructField("k", LongType, nullable = false),
     StructField("v", LongType, nullable = true)))
 
+  test("kAnonymity: flags only sub-k combinations; exactly k is compliant; NULL is a value") {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("zip", StringType, nullable = true),
+      StructField("age", LongType, nullable = false)))
+    // zip A/age 1: 3 rows (== k, compliant); zip B/age 2: 2 rows (violates);
+    // zip NULL/age 3: 1 row (violates — NULLs group together like SQL)
+    val rows = Seq(Row("A", 1L), Row("A", 1L), Row("A", 1L),
+      Row("B", 2L), Row("B", 2L), Row(null, 3L))
+    val df = spark.createDataFrame(rows.asJava, schema)
+    val got = Warehouse.kAnonymity(df, Seq("zip", "age"), k = 3)
+      .collect().map(r => (Option(r.getString(0)), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set((Some("B"), 2L, 2L), (None, 3L, 1L)))
+    val e = intercept[IllegalArgumentException] {
+      Warehouse.kAnonymity(df, Seq("zip"), k = 1)
+    }
+    assert(e.getMessage.contains("vacuous"))
+  }
+
   test("snapshotDiff classifies added/removed/changed and hides unchanged") {
     val old = df(snapSchema, Seq(Row(1L, 10L), Row(2L, 20L), Row(3L, null)))
     val neu = df(snapSchema, Seq(Row(2L, 25L), Row(3L, null), Row(4L, 40L)))
