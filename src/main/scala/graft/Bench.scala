@@ -884,14 +884,17 @@ object Bench {
         val n = out.count()
         require(n == 1900000L, s"expected exactly 1.9M survivors, got $n")
       },
-      // exact global rank + running sum over 100M rows: one range shuffle +
-      // one window shuffle, offsets broadcast — 5× the 20M probe, same plan
+      // exact global rank + running sum over 100M rows: ONE range shuffle
+      // (hidden behind the DISK_ONLY checkpoint) + the codegen'd
+      // PartitionRunningSum attachment — the post-checkpoint plan must hold
+      // ZERO shuffle exchanges (a Window.partitionBy(__pid) regression
+      // would plan one and fail this budget)
       "x_global_prefix_100m" -> { s: SparkSession =>
         val df = s.range(100000000L).selectExpr("id", "hash(id) AS v")
         val out = graft.ops.Rank.globalPrefix(df,
           Seq(org.apache.spark.sql.functions.col("v").desc,
             org.apache.spark.sql.functions.col("id").asc), "v")
-        PlanAudit.assertScaleShape(out, "x_global_prefix_100m", maxShuffles = 2)
+        PlanAudit.assertScaleShape(out, "x_global_prefix_100m", maxShuffles = 0)
         out.write.format("noop").mode("overwrite").save()
       },
       // incremental SCD2 merge: 1M-row batch applied to a ~19M-row parquet
@@ -974,7 +977,7 @@ object Bench {
               |  CASE WHEN b % 23 = 0 THEN
               |    'the common span sentence continues with nine exact words.'
               |  ELSE NULL END) AS text""".stripMargin)
-          .localCheckpoint()
+          .localCheckpoint(true, org.apache.spark.storage.StorageLevel.DISK_ONLY)
         // gate flags, one frame each, intersected by doc_id
         val surv = graft.ops.Dedup.nearDedupCorpus(docs, "text", "doc_id")
           .select(col("doc_id"), lit(true).as("f_dedup"))
@@ -1003,7 +1006,10 @@ object Bench {
           .join(surv, Seq("doc_id"), "left").na.fill(false, Seq("f_dedup"))
           .join(c4, "doc_id").join(gop, "doc_id").join(lm, "doc_id")
           .join(clf, "doc_id")
-          .localCheckpoint()
+          .localCheckpoint(true, org.apache.spark.storage.StorageLevel.DISK_ONLY)
+        // flags is pinned (eagerly) — the persisted LM scores are dead now;
+        // free their storage before the heavy tail stages
+        lmScores.unpersist()
         // the funnel report: ONE aggregation pass over the flag frame
         val f = flags.agg(count(lit(1)), sum(col("f_dedup").cast("long")),
             sum(col("f_c4").cast("long")), sum(col("f_gopher").cast("long")),
@@ -1022,11 +1028,11 @@ object Bench {
           .where(col("f_dedup") && col("f_c4") && col("f_gopher") &&
             col("f_lm") && col("f_clf"))
           .select("doc_id", "source", "text")
-          .localCheckpoint()
+          .localCheckpoint(true, org.apache.spark.storage.StorageLevel.DISK_ONLY)
         val sd = graft.ops.Curation.dedupSpans(keep, "text", "doc_id", n = 8)
         val sv = sd.join(keep.select("doc_id", "source"), "doc_id")
           .selectExpr("source", "doc_id", "token_count(kept_text) AS n_tok")
-          .localCheckpoint()
+          .localCheckpoint(true, org.apache.spark.storage.StorageLevel.DISK_ONLY)
         // the planted ÷23 span must have actually been cut somewhere
         val keepToks = keep.selectExpr("CAST(sum(token_count(text)) AS BIGINT) t")
           .collect().head.getLong(0)
@@ -1035,7 +1041,7 @@ object Bench {
           s"span dedup did not fire: $keepToks tokens in, $svToks out")
         val mixed = graft.ops.Curation.tokenBudgetMix(sv, "source", "doc_id",
             "n_tok", budget = 100000, salt = "x1m")
-          .localCheckpoint()
+          .localCheckpoint(true, org.apache.spark.storage.StorageLevel.DISK_ONLY)
         val packed = graft.ops.Curation.packSequences(
           mixed.select("source", "doc_id", "n_tok"), "source", "doc_id",
           "n_tok", budget = 2048)
@@ -1082,6 +1088,17 @@ object Bench {
       SparkEntry.queries.toSeq.sortBy(_._1).filter(p => keep(p._1)).map { case (name, fn) =>
         name -> (() => fn(liveSession(), sfDir).write.format("noop").mode("overwrite").save())
       }
+
+    // one-time synthetic fixtures (content-addressed by _SUCCESS) build
+    // OUTSIDE the timed loop — otherwise a cold /tmp charges the build to
+    // the first rep of whichever probe touches it first
+    val fixtureUsers = Seq(
+      ("x_wasm_perrow_10m|x_wasm_batched_10m", () => { wasmBenchParquet(spark); () }),
+      ("x_ann_|x_lsh_join_1m", () => { annBenchParquet(spark); () }),
+      ("x_scd2_apply_20m", () => { scd2HistParquet(spark); () }))
+    fixtureUsers.foreach { case (pat, build) =>
+      if (pat.split('|').exists(p => benchables.exists(_._1.contains(p)))) build()
+    }
 
     val samples = Array.fill(benchables.size)(List.empty[Double])
     val failed = Array.fill(benchables.size)(false)

@@ -26,8 +26,11 @@ object PlanAudit {
     require(!plan.contains("CartesianProduct"),
       s"$what: plan contains a cartesian product\n$plan")
     if (maxShuffles >= 0) {
+      // ReusedExchange lines repeat the reused exchange's description — one
+      // physical shuffle reused twice must count once, not twice
       val n = plan.linesIterator
-        .count(l => l.contains("Exchange ") && !l.contains("BroadcastExchange"))
+        .count(l => l.contains("Exchange ") && !l.contains("BroadcastExchange")
+          && !l.contains("ReusedExchange"))
       require(n <= maxShuffles,
         s"$what: $n shuffle exchanges, budget $maxShuffles\n$plan")
     }

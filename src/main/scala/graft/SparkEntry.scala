@@ -648,10 +648,12 @@ object SparkEntry {
     // fixtures, FunctionsSpec) while the oracle row gates the PROPERTIES the
     // compression path must always satisfy, computed engine-side and pinned
     // to 1 by the oracle: inflate∘deflate identity per document, the ratio
-    // inside (0, 1 + overhead/n], and self-concatenation never compressing
-    // worse (back-references make the repeat ~free) — plus the exact UTF-8
-    // byte length both engines can compute. A corrupted zlib path flips a
-    // flag to 0 and the hash gate fails; no more rows-only asterisk.
+    // inside (0, 1 + overhead/n] with overhead = 32 + n/1024 (a TRUE zlib
+    // bound: stored-block worst case adds ~5 bytes per 64 KiB block plus
+    // the 6-byte header/trailer, comfortably under one byte per KiB), and
+    // self-concatenation never compressing worse (back-references make the
+    // repeat ~free) — plus the exact UTF-8 byte length both engines can
+    // compute. A corrupted zlib path flips a flag to 0 and the gate fails.
     "q_compress" -> q(
       """SELECT doc_id,
         |  CAST(octet_length(text) AS BIGINT) AS nbytes,
@@ -659,7 +661,8 @@ object SparkEntry {
         |    THEN 1 ELSE 0 END AS BIGINT) AS rt_ok,
         |  CAST(CASE WHEN compress_ratio(coalesce(text, '')) > 0.0
         |    AND compress_ratio(coalesce(text, '')) <=
-        |        1.0 + 32.0 / greatest(octet_length(coalesce(text, '')), 1)
+        |        1.0 + (32.0 + octet_length(coalesce(text, '')) / 1024.0)
+        |              / greatest(octet_length(coalesce(text, '')), 1)
         |    THEN 1 ELSE 0 END AS BIGINT) AS ratio_ok,
         |  CAST(CASE WHEN compress_ratio(coalesce(text, '') || coalesce(text, ''))
         |    <= compress_ratio(coalesce(text, '')) + 0.001

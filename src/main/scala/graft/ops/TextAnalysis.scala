@@ -308,19 +308,25 @@ private[graft] object Zlib {
     val outBuf = new java.io.ByteArrayOutputStream(raw.length / 2 + 16)
     val buf = new Array[Byte](8192)
     while (!d.finished()) { val n = d.deflate(buf); outBuf.write(buf, 0, n) }
-    val inf = new java.util.zip.Inflater()
-    try {
-      inf.setInput(outBuf.toByteArray)
-      val back = new java.io.ByteArrayOutputStream(raw.length + 16)
-      while (!inf.finished()) {
-        val n = inf.inflate(buf)
-        // truncated stream: no output, input exhausted, and NOT at the
-        // stream end (the final call legitimately hits n==0 + needsInput)
-        if (n == 0 && inf.needsInput() && !inf.finished()) return false
-        back.write(buf, 0, n)
-      }
-      java.util.Arrays.equals(back.toByteArray, raw)
-    } finally inf.end()
+    // same per-thread reuse as the Deflater above: a fresh native Inflater
+    // per row would dominate the cost of short documents at corpus scale
+    val inf = tlInf.get()
+    inf.reset()
+    inf.setInput(outBuf.toByteArray)
+    val back = new java.io.ByteArrayOutputStream(raw.length + 16)
+    while (!inf.finished()) {
+      val n = inf.inflate(buf)
+      // truncated stream: no output, input exhausted, and NOT at the
+      // stream end (the final call legitimately hits n==0 + needsInput)
+      if (n == 0 && inf.needsInput() && !inf.finished()) return false
+      back.write(buf, 0, n)
+    }
+    java.util.Arrays.equals(back.toByteArray, raw)
+  }
+
+  private val tlInf = new ThreadLocal[java.util.zip.Inflater] {
+    override def initialValue(): java.util.zip.Inflater =
+      new java.util.zip.Inflater()
   }
 }
 

@@ -300,6 +300,8 @@ object Warehouse {
   def kAnonymity(df: DataFrame, quasiCols: Seq[String], k: Long): DataFrame = {
     require(quasiCols.nonEmpty, "kAnonymity: need at least one quasi column")
     require(k >= 2, "kAnonymity: k < 2 is vacuous (every row is 1-anonymous)")
+    require(!quasiCols.contains("n"),
+      "kAnonymity: output column 'n' collides with a quasi column — rename it")
     df.groupBy(quasiCols.map(col): _*)
       .agg(count(lit(1)).as("n"))
       .where(col("n") < k)
