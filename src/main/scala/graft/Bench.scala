@@ -60,17 +60,22 @@ object Bench {
 
   /** Session with GraftExtensions applied (GraftColumnarRule runs only in
     * extensions sessions); shares the SparkContext with the main session.
-    * Lazy so plain runs never pay for it; restores the default session. */
-  private lazy val extensionsSession: SparkSession = {
-    val old = SparkSession.active
-    SparkSession.clearActiveSession()
-    SparkSession.clearDefaultSession()
-    val s = SparkSession.builder()
-      .withExtensions(new GraftExtensions()(_))
-      .getOrCreate()
-    SparkSession.setDefaultSession(old)
-    SparkSession.setActiveSession(old)
-    s
+    * Built on first use so plain runs never pay for it; rebuilt if its
+    * context died (the same resilience contract as liveSession in main —
+    * a probe OOM must not poison the extensions probes that follow). */
+  private var extSessionCache: SparkSession = _
+  private def extensionsSession: SparkSession = synchronized {
+    if (extSessionCache == null || extSessionCache.sparkContext.isStopped) {
+      val old = SparkSession.active
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+      extSessionCache = SparkSession.builder()
+        .withExtensions(new GraftExtensions()(_))
+        .getOrCreate()
+      SparkSession.setDefaultSession(old)
+      SparkSession.setActiveSession(old)
+    }
+    extSessionCache
   }
 
   def main(args: Array[String]): Unit = {

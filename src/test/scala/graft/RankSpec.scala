@@ -64,6 +64,31 @@ class RankSpec extends AnyFunSuite {
     }
   }
 
+  test("globalPrefix: rank/cum referenced multiple times downstream stay single-evaluation") {
+    // Regression guard for the stateful expression under CollapseProject:
+    // if the optimizer ever inlined PartitionRunningSum into more than one
+    // use site, the accumulator would advance once PER REFERENCE per row
+    // and every downstream value would be wrong. q_abc's CASE references
+    // cum twice; this pins the same shape against the window model.
+    val rows = (1L to 200L).map(i => Row(i, (i % 13).toLong))
+    val df = spark.createDataFrame(rows.asJava, schema).repartition(4)
+    val out = Rank.globalPrefix(df, Seq(col("v").desc, col("id").asc), "v")
+      .selectExpr("id", "rank + rank AS r2", "cum + cum AS c2",
+        "CASE WHEN cum > 100 THEN cum ELSE -cum END AS cpick")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("v").desc, col("id").asc)
+    val exp = df
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .withColumn("cum", sum("v").over(
+        w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)))
+      .selectExpr("id", "rank + rank AS r2", "cum + cum AS c2",
+        "CASE WHEN cum > 100 THEN cum ELSE -cum END AS cpick")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out == exp)
+  }
+
   test("rfmScores: quintile positions 1-5, best metric gets 5") {
     val rfmSchema = StructType(Seq(
       StructField("id", LongType, nullable = false),
