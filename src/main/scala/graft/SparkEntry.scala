@@ -823,6 +823,29 @@ object SparkEntry {
         .selectExpr("id_a", "id_b", "CAST(ROUND(jaccard * 10000) AS BIGINT) AS j4")
         .orderBy("id_a", "id_b")
     } _,
+    // split-leakage audit: near-dup pairs (the same minhash/LSH battery as
+    // q_minhash_pairs) whose two documents land in DIFFERENT buckets of the
+    // deterministic 8/1/1 train/val/test split (q_split_bucket's convention)
+    // — eval contamination via near-duplicates, the QA gate every split
+    // needs before training. Pure composition of two gated operators;
+    // delta-sized output (leaking pairs only). The split map is id-sized
+    // and joins on the pair ids (broadcast under AQE when it fits).
+    "q_split_leakage" -> dfq { s =>
+      val docs = s.table("documents")
+      val pairs = graft.ops.Dedup.minhashPairs(docs, "text", "doc_id",
+          k = 16, bands = 4, threshold = 0.3)
+      val sp = docs.selectExpr("doc_id",
+        """CASE WHEN split_bucket(doc_id, 'v1', 10) < 8 THEN 'train'
+          |     WHEN split_bucket(doc_id, 'v1', 10) = 8 THEN 'val'
+          |     ELSE 'test' END AS split""".stripMargin)
+      pairs
+        .join(sp.selectExpr("doc_id AS id_a", "split AS split_a"), "id_a")
+        .join(sp.selectExpr("doc_id AS id_b", "split AS split_b"), "id_b")
+        .where(col("split_a") =!= col("split_b"))
+        .selectExpr("id_a", "id_b", "split_a", "split_b",
+          "CAST(ROUND(jaccard * 10000) AS BIGINT) AS j4")
+        .orderBy("id_a", "id_b")
+    } _,
     // full fuzzy-dedup pipeline: LSH pairs -> connected components -> keep min
     "q_near_dedup" -> dfq { s =>
       graft.ops.Dedup.nearDedupCorpus(s.table("documents"), "text", "doc_id",
@@ -3651,6 +3674,22 @@ object SparkEntry {
       s"""WITH $duckMinhashCtes
          |SELECT id_a, id_b, CAST(ROUND(CAST(i AS DOUBLE) / CAST(la + lb - i AS DOUBLE) * 10000) AS BIGINT) AS j4
          |FROM jac WHERE CAST(i AS DOUBLE) / CAST(la + lb - i AS DOUBLE) >= 0.3
+         |ORDER BY id_a, id_b""".stripMargin,
+    "q_split_leakage" ->
+      s"""WITH $duckMinhashCtes,
+         |sp AS (SELECT doc_id,
+         |         CASE WHEN ${duckMd5_60("'v1:' || CAST(doc_id AS VARCHAR)")} % 10 < 8 THEN 'train'
+         |              WHEN ${duckMd5_60("'v1:' || CAST(doc_id AS VARCHAR)")} % 10 = 8 THEN 'val'
+         |              ELSE 'test' END AS split
+         |       FROM documents),
+         |lk AS (SELECT id_a, id_b,
+         |         CAST(i AS DOUBLE) / CAST(la + lb - i AS DOUBLE) AS jac
+         |       FROM jac
+         |       WHERE CAST(i AS DOUBLE) / CAST(la + lb - i AS DOUBLE) >= 0.3)
+         |SELECT l.id_a, l.id_b, a.split AS split_a, b.split AS split_b,
+         |       CAST(ROUND(jac * 10000) AS BIGINT) AS j4
+         |FROM lk l JOIN sp a ON l.id_a = a.doc_id JOIN sp b ON l.id_b = b.doc_id
+         |WHERE a.split <> b.split
          |ORDER BY id_a, id_b""".stripMargin,
     "q_near_dedup" ->
       s"""WITH RECURSIVE $duckMinhashCtes,
