@@ -205,6 +205,58 @@ class AnalyticsPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("lshJoinTopK ≡ bucket+rerank model on random low-dim vectors with heavy ties") {
+    graft.Graft.install(spark)
+    val rnd = new scala.util.Random(44)
+    // dim 4 over a 5-value alphabet: many identical vectors (exact sim
+    // ties), crowded buckets, zero vectors (sim defined 0.0) — the
+    // adversarial shapes the real-embedding gates never produce
+    val vals = Array(-1f, -0.5f, 0f, 0.5f, 1f)
+    def vec(): Array[Float] = Array.fill(4)(vals(rnd.nextInt(vals.length)))
+    val right = (0L until 80L).map(i => (i, vec().toSeq))
+    val left = (0L until 30L).map(i => (1000L + i, right((i % 80).toInt)._2)) ++
+      (30L until 40L).map(i => (1000L + i, vec().toSeq))
+    import spark.implicits._
+    val rdf = right.toDF("vec_id", "embedding")
+      .withColumn("embedding", col("embedding").cast("array<float>"))
+    val ldf = left.toDF("q_id", "q_embedding")
+      .withColumn("q_embedding", col("q_embedding").cast("array<float>"))
+    val bits = 4
+    val got = graft.ops.Similarity.lshJoinTopK(ldf, rdf, 3, bits = bits)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+
+    // model: buckets via the ENGINE's own bucket function (gated
+    // separately by q_lsh_bucket), candidates/rerank replicated in memory
+    def buckets(pairs: Seq[(Long, Seq[Float])], emb: String): Map[Long, Long] =
+      pairs.toDF("id", emb).withColumn(emb, col(emb).cast("array<float>"))
+        .selectExpr("id", s"hyperplane_bucket($emb, $bits) AS b")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val rb = buckets(right, "e")
+    val lb = buckets(left, "e")
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < a.length) {
+        val x = a(i).toDouble; val y = b(i).toDouble
+        dot += x * y; na += x * x; nb += y * y; i += 1
+      }
+      val s = if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+      if (s == 0.0) 0.0 else s // normalize -0.0 like UnsafeRow's sort does
+    }
+    val rightByBucket = right.groupBy(p => rb(p._1))
+    val exp = left.flatMap { case (qid, qe) =>
+      val b0 = lb(qid)
+      val probes = (b0 +: (0 until bits).map(i => b0 ^ (1L << i))).toSet
+      val cands = probes.toSeq.flatMap(b => rightByBucket.getOrElse(b, Nil))
+      cands.map { case (vid, ve) => (vid, cos(ve, qe)) }
+        .sortWith { case ((ia, sa), (ib, sb)) =>
+          if (sa != sb) sa > sb else ia < ib }
+        .take(3).zipWithIndex
+        .map { case ((vid, _), idx) => (qid, vid, idx + 1) }
+    }.toSet
+    assert(got == exp, s"got ${got.size} rows, expected ${exp.size}")
+  }
+
   test("kCore self-consistency and idempotence on random graphs") {
     val rnd = new scala.util.Random(19)
     val edges = (1 to 300).map(_ => (rnd.nextInt(60).toLong, rnd.nextInt(60).toLong))
