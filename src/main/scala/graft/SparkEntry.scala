@@ -979,7 +979,21 @@ object SparkEntry {
     "q_ann_join" -> dfq { s =>
       val left = s.table("embeddings").where("vec_id % 10 = 0")
         .selectExpr("vec_id AS q_id", "embedding AS q_embedding")
-      graft.ops.Similarity.lshJoinTopK(left, s.table("embeddings"), 3, bits = 6)
+      graft.ops.Similarity.lshJoinTopK(left, s.table("embeddings").select("vec_id", "embedding"),
+          3, bits = 6)
+        .selectExpr("q_id", "vec_id", "rank", "CAST(ROUND(sim * 10000) AS BIGINT) AS c4")
+        .orderBy("q_id", "rank")
+    } _,
+    // MULTI-TABLE big-big ANN join: 3 independent hyperplane sets, union of
+    // candidates, scored-triple dedup before the bounded heaps — the recall
+    // knob that keeps per-bucket occupancy constant; the oracle replays the
+    // table-seeded buckets, the (table, bucket) equi-join, the dedup, and
+    // the rerank exactly
+    "q_ann_multitable" -> dfq { s =>
+      val left = s.table("embeddings").where("vec_id % 10 = 0")
+        .selectExpr("vec_id AS q_id", "embedding AS q_embedding")
+      graft.ops.Similarity.lshJoinTopKMulti(left,
+          s.table("embeddings").select("vec_id", "embedding"), 3, bits = 6, tables = 3)
         .selectExpr("q_id", "vec_id", "rank", "CAST(ROUND(sim * 10000) AS BIGINT) AS c4")
         .orderBy("q_id", "rank")
     } _,
@@ -3832,6 +3846,27 @@ object SparkEntry {
          |       FROM q),
          |s AS (SELECT pr.q_id, b.vec_id, ${duckCos("pr.qe", "b.embedding")} AS sim
          |      FROM pr JOIN b USING (bucket)),
+         |r AS (SELECT q_id, vec_id, sim,
+         |             CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS INT) AS rank
+         |      FROM s)
+         |SELECT q_id, vec_id, rank, CAST(ROUND(sim * 10000) AS BIGINT) AS c4
+         |FROM r WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin,
+    // table-seeded buckets (seed row t·1000003+p of the same md5 stream),
+    // candidates = union over 3 tables of the (t, bucket) equi-join, pair
+    // dedup via SELECT DISTINCT on the deterministic scored triple
+    "q_ann_multitable" ->
+      s"""WITH tt AS (SELECT unnest(range(3)) AS t),
+         |b AS (SELECT e.vec_id, e.embedding, tt.t,
+         |  CAST(list_sum([CASE WHEN
+         |    list_reduce([CAST(e.embedding[i] AS DOUBLE) *
+         |      (${duckMd5_60("CAST((CAST(tt.t AS BIGINT) * 1000003 + p) * 10007 + (i - 1) AS VARCHAR) || 'hp'")} / 5.764607523034235e17 - 1.0)
+         |      for i in range(1, 65)], (x, y) -> x + y) >= 0
+         |    THEN (CAST(1 AS BIGINT) << p) ELSE CAST(0 AS BIGINT) END for p in range(6)]) AS BIGINT) AS bucket
+         |  FROM embeddings e, tt),
+         |q AS (SELECT vec_id AS q_id, embedding AS qe, t, bucket FROM b
+         |      WHERE vec_id % 10 = 0),
+         |s AS (SELECT DISTINCT q.q_id, b.vec_id, ${duckCos("q.qe", "b.embedding")} AS sim
+         |      FROM q JOIN b ON q.t = b.t AND q.bucket = b.bucket),
          |r AS (SELECT q_id, vec_id, sim,
          |             CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS INT) AS rank
          |      FROM s)

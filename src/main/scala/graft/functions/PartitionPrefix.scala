@@ -33,6 +33,12 @@ case class PartitionRunningSum(child: Expression, offsets: Array[Long])
   override def nullable: Boolean = false
   override def prettyName: String = "partition_running_sum"
 
+  // Mutable `acc` must not be shared across projections/threads:
+  // stateful=true makes interpreted/mutable projections fresh-copy this
+  // expression (freshCopyIfContainsStatefulExpression), exactly like
+  // MonotonicallyIncreasingID.
+  override def stateful: Boolean = true
+
   @transient private var acc: Long = _
 
   override protected def initializeInternal(partitionIndex: Int): Unit =

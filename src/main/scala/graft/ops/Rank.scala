@@ -11,11 +11,13 @@ import org.apache.spark.sql.functions._
  * (ORDER BY …)` with no PARTITION BY collapses the whole table into ONE
  * window partition — the classic scale-killer for global ranking. The
  * standard distributed formulation used here: range-repartition on the
- * order key, compute per-partition (count, sum) — a #partitions-sized
- * driver collect — and give every partition its prefix offsets; ranks and
- * running sums are then per-partition windows, fully parallel. The order
- * must end in a unique tiebreak so the total order (and therefore every
- * rank) is well-defined regardless of partitioning.
+ * order key, pin the sorted layout with a checkpoint, compute per-partition
+ * (count, sum) — a #partitions-sized driver collect — then attach ranks and
+ * running sums with a stateful codegen expression seeded from the prefix
+ * offsets ([[graft.functions.PartitionRunningSum]]): a bare codegen Project
+ * directly over the checkpoint scan, zero post-checkpoint exchanges. The
+ * order must end in a unique tiebreak so the total order (and therefore
+ * every rank) is well-defined regardless of partitioning.
  */
 object Rank {
 

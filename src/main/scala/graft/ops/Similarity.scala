@@ -54,23 +54,36 @@ object Similarity {
     // plane matrix is row-independent, so it is materialized once per
     // executor (not re-derived per row).
     Udf.scalar2[Seq[Float], Int, Long]("hyperplane_bucket(float[], int) -> bigint") {
-      (v, bits) =>
-        val planes = hyperplanes(bits, v.length)
-        var bucket = 0L
-        var p = 0
-        while (p < bits) {
-          val plane = planes(p)
-          var dot = 0.0
-          var i = 0
-          while (i < v.length) {
-            dot += v(i).toDouble * plane(i)
-            i += 1
-          }
-          if (dot >= 0) bucket |= (1L << p)
-          p += 1
-        }
-        bucket
+      (v, bits) => bucketOf(v, hyperplanes(bits, v.length), bits)
     }
+
+    // Table-seeded variant for MULTI-TABLE LSH: table `t` draws its planes
+    // from row (t·1000003 + p) of the same md5 stream, so table 0 is
+    // bit-identical to hyperplane_bucket and every further table is an
+    // independent hyperplane set. L tables union their candidates — the
+    // recall knob that multiplies candidate coverage ×L without touching
+    // per-bucket occupancy (more bits per table stays affordable).
+    Udf.scalar3[Seq[Float], Int, Int, Long](
+      "hyperplane_bucket_t(float[], int, int) -> bigint") { (v, bits, table) =>
+        bucketOf(v, hyperplanesT(table, bits, v.length), bits)
+    }
+  }
+
+  private def bucketOf(v: Seq[Float], planes: Array[Array[Double]], bits: Int): Long = {
+    var bucket = 0L
+    var p = 0
+    while (p < bits) {
+      val plane = planes(p)
+      var dot = 0.0
+      var i = 0
+      while (i < v.length) {
+        dot += v(i).toDouble * plane(i)
+        i += 1
+      }
+      if (dot >= 0) bucket |= (1L << p)
+      p += 1
+    }
+    bucket
   }
 
   /** Serializable helpers used inside IVF UDF closures. */
@@ -87,15 +100,24 @@ object Similarity {
       cs.sortBy { case (id, c) => (dist2(c, v), id) }.take(k).map(_._1).toSeq
   }
 
-  private val planeCache =
-    new java.util.concurrent.ConcurrentHashMap[(Int, Int), Array[Array[Double]]]()
-
   /** Per-executor hyperplane matrix: component (p, i) = md5_60(p·10007+i || "hp")
     * scaled into [-1, 1). Deterministic, derived once per (bits, dims). */
   private[ops] def hyperplanes(bits: Int, dims: Int): Array[Array[Double]] =
-    planeCache.computeIfAbsent((bits, dims), { case (b, d) =>
+    hyperplanesT(0, bits, dims)
+
+  private val planeCacheT =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int, Int), Array[Array[Double]]]()
+
+  /** Table-seeded hyperplane matrix: plane p of table t is row t·1000003+p of
+    * the shared md5 stream — table 0 coincides with [[hyperplanes]]; distinct
+    * tables are independent draws (1000003 > any realistic `bits`, so rows
+    * never collide across tables). */
+  private[ops] def hyperplanesT(table: Int, bits: Int, dims: Int): Array[Array[Double]] =
+    planeCacheT.computeIfAbsent((table, bits, dims), { case (t, b, d) =>
       Array.tabulate(b, d) { (p, i) =>
-        Hashing.md5_60(p * 10007 + i, "hp").toDouble / 5.764607523034235e17 - 1.0
+        // Long seed: (t·1000003 + p)·10007 + i overflows Int32 for t ≥ 1
+        val seed = (t.toLong * 1000003L + p) * 10007L + i
+        Hashing.md5_60(seed.toString + "hp").toDouble / 5.764607523034235e17 - 1.0
       }
     })
 
@@ -496,6 +518,7 @@ object Similarity {
   def lshJoinTopK(left: DataFrame, right: DataFrame, k: Int, bits: Int = 8,
                   multiProbe: Boolean = true): DataFrame = {
     require(bits >= 1 && bits <= 62, "bits in 1..62")
+    requireAnnJoinColumns(left, right)
     val r = right.withColumn("bucket", expr(s"hyperplane_bucket(embedding, $bits)"))
     val l0 = left.withColumn("__b0", expr(s"hyperplane_bucket(q_embedding, $bits)"))
     val l =
@@ -508,6 +531,59 @@ object Similarity {
     val scored = l.join(r, "bucket")
       .withColumn("sim", expr("cosine_sim(embedding, q_embedding)"))
       .select(col("q_id"), col("vec_id"), col("sim"))
+    topKRank(scored, k)
+  }
+
+  /** Shared input contract for the big-big ANN joins: the family's column
+    * conventions must hold, and the intermediate names this op introduces
+    * must not already exist (the guard convention of globalPrefix /
+    * bucketedIntervalJoin — fail loudly, never misjoin silently). */
+  private def requireAnnJoinColumns(left: DataFrame, right: DataFrame): Unit = {
+    require(left.columns.contains("q_id") && left.columns.contains("q_embedding"),
+      s"ANN join: left needs (q_id, q_embedding); got ${left.columns.mkString(", ")}")
+    require(right.columns.contains("vec_id") && right.columns.contains("embedding"),
+      s"ANN join: right needs (vec_id, embedding); got ${right.columns.mkString(", ")}")
+    val reserved = Seq("bucket", "__b0", "__t", "sim", "rank")
+    val clashL = left.columns.intersect(reserved) ++
+      left.columns.intersect(Seq("vec_id", "embedding"))
+    val clashR = right.columns.intersect(reserved) ++
+      right.columns.intersect(Seq("q_id", "q_embedding"))
+    require(clashL.isEmpty,
+      s"ANN join: left columns ${clashL.mkString(", ")} collide with intermediates/output")
+    require(clashR.isEmpty,
+      s"ANN join: right columns ${clashR.mkString(", ")} collide with intermediates/output")
+  }
+
+  /** MULTI-TABLE big-big ANN join: `tables` independent hyperplane sets
+    * (table-seeded — see hyperplane_bucket_t), candidates are the UNION of
+    * per-table bucket matches. This is the recall knob that does NOT blow
+    * bucket occupancy: each table keeps its full `bits` selectivity (mean
+    * occupancy |right| / 2^bits unchanged), and a near-boundary pair missed
+    * by one table's planes gets `tables` independent chances — the same
+    * banded trick minhash-LSH dedup uses, applied to embeddings. Contrast
+    * Hamming-1 multi-probe, which only recovers single-plane flips.
+    *
+    * Topology: both sides explode ×`tables` (composite key (__t, bucket)),
+    * candidates from the two-column equi-join only. A pair meeting in
+    * several tables would duplicate, so scored triples are deduplicated
+    * (`distinct` on (q_id, vec_id, sim) — sim is deterministic per pair)
+    * with map-side partial aggregation BEFORE the bounded per-key heaps.
+    * Shuffles carry: tables·|probe rows|, bucket-matched scored triples,
+    * then ≤ k survivors per left row. Neither side is ever broadcast. */
+  def lshJoinTopKMulti(left: DataFrame, right: DataFrame, k: Int,
+                       bits: Int = 8, tables: Int = 4): DataFrame = {
+    require(bits >= 1 && bits <= 62, "bits in 1..62")
+    require(tables >= 1 && tables <= 64, "tables in 1..64")
+    requireAnnJoinColumns(left, right)
+    val ts = expr(s"explode(sequence(0, ${tables - 1}))")
+    val r = right.withColumn("__t", ts)
+      .withColumn("bucket", expr(s"hyperplane_bucket_t(embedding, $bits, __t)"))
+    val l = left.withColumn("__t", ts)
+      .withColumn("bucket", expr(s"hyperplane_bucket_t(q_embedding, $bits, __t)"))
+    val scored = l.join(r, Seq("__t", "bucket"))
+      .withColumn("sim", expr("cosine_sim(embedding, q_embedding)"))
+      .select(col("q_id"), col("vec_id"), col("sim"))
+      .distinct()
     topKRank(scored, k)
   }
 }

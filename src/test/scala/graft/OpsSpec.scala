@@ -215,6 +215,47 @@ class OpsSpec extends AnyFunSuite {
     assert(single == multi)
   }
 
+  test("lshJoinTopKMulti: union of tables dedups pairs and beats one table's recall") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val left = emb.where("vec_id % 7 = 0")
+      .selectExpr("vec_id AS q_id", "embedding AS q_embedding")
+    val nLeft = left.count()
+    val multi = Similarity.lshJoinTopKMulti(left, emb, 3, bits = 5, tables = 4)
+    // table 0's buckets alone guarantee the exact copy is a candidate
+    assert(multi.where("rank = 1 AND sim >= 0.999999").count() == nLeft)
+    // pairs meeting in several tables must collapse to one row
+    assert(multi.groupBy("q_id", "vec_id").count().where("count > 1").count() == 0L)
+    // recall@3 vs brute force: the 4-table union can only add candidates
+    // relative to table 0 alone, so its overlap with the exact top-3 is >=
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("q_id", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(Similarity.bruteForceTopK(emb, left, 3))
+    val one = pairs(Similarity.lshJoinTopKMulti(left, emb, 3, bits = 5, tables = 1))
+    val four = pairs(multi)
+    assert((exact intersect four).size >= (exact intersect one).size,
+      s"4-table recall ${(exact intersect four).size} < 1-table ${(exact intersect one).size}")
+    // tables = 1 is exactly single-probe lshJoinTopK (table 0 == the
+    // un-seeded hyperplane set)
+    val singleProbe = pairs(Similarity.lshJoinTopK(left, emb, 3, bits = 5, multiProbe = false))
+    assert(one == singleProbe)
+  }
+
+  test("ANN join guards: missing conventions and reserved columns fail loudly") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val left = emb.selectExpr("vec_id AS q_id", "embedding AS q_embedding")
+    intercept[IllegalArgumentException] {
+      Similarity.lshJoinTopK(left.withColumnRenamed("q_id", "id"), emb, 3)
+    }
+    intercept[IllegalArgumentException] {
+      Similarity.lshJoinTopK(left.withColumn("bucket", org.apache.spark.sql.functions.lit(1L)), emb, 3)
+    }
+    intercept[IllegalArgumentException] {
+      Similarity.lshJoinTopKMulti(left, emb.withColumn("__t", org.apache.spark.sql.functions.lit(0)), 3)
+    }
+  }
+
   test("int8 quantization: 4x smaller codes, near-exact recall, self-retrieval") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val queries = emb.where("vec_id < 3").selectExpr("vec_id AS q_id", "embedding AS q_embedding")
