@@ -935,6 +935,19 @@ object SparkEntry {
         .selectExpr("q_id", "vec_id", "rank", "CAST(ROUND(sim * 10000) AS BIGINT) AS c4")
         .orderBy("q_id", "rank")
     } _,
+    // PQ shortlist + exact rerank (the refine topology): compressed scan
+    // cuts to 30 candidates per query, stored float vectors rescore only
+    // those — real recall@k from an 8-byte/vector corpus scan
+    "q_pq_rerank" -> dfq { s =>
+      val emb = s.table("embeddings").select("vec_id", "embedding")
+      val cb = graft.ops.Similarity.pqCodebook(emb, m = 8, nCodes = 16)
+      val enc = graft.ops.Similarity.pqEncode(emb, cb)
+      val queries = emb.where("vec_id < 5")
+        .selectExpr("vec_id AS q_id", "embedding AS q_embedding")
+      graft.ops.Similarity.pqTopKRerank(emb, enc, cb, queries, 10, shortlist = 30)
+        .selectExpr("q_id", "vec_id", "rank", "CAST(ROUND(sim * 10000) AS BIGINT) AS c4")
+        .orderBy("q_id", "rank")
+    } _,
     // IVF × PQ composition at FULL probe: cell pruning removes no
     // candidates, so the PQ oracle gates the whole pipeline (Lloyd cells,
     // code assignment, probed join, compressed scoring) bit-exactly;
@@ -3001,11 +3014,12 @@ object SparkEntry {
     s"""(list_reduce([CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE) for i in range(1, 65)], (x, y) -> x + y)
        | / (sqrt(list_reduce([CAST($a[i] AS DOUBLE) * CAST($a[i] AS DOUBLE) for i in range(1, 65)], (x, y) -> x + y))
        |  * sqrt(list_reduce([CAST($b[i] AS DOUBLE) * CAST($b[i] AS DOUBLE) for i in range(1, 65)], (x, y) -> x + y))))""".stripMargin
-  /** PQ oracle, shared by q_pq_topk and q_ivfpq_topk (full probe ≡ PQ over
-    * the whole corpus): re-derives sampled codebooks, argmin code
-    * assignment, reconstruction, and flat-order cosine — bit-exact. */
-  private lazy val duckPqTopK: String =
-    s"""WITH samp AS (SELECT embedding, row_number() OVER (ORDER BY vec_id) - 1 AS code
+  /** Shared PQ CTE chain ending in `sc(q_id, vec_id, sim)` — sampled
+    * codebooks, argmin code assignment, reconstruction, flat-order cosine —
+    * used by q_pq_topk / q_ivfpq_topk / q_pq_rerank. Bit-exact vs the
+    * engine's pqEncode + pqSim. */
+  private lazy val duckPqCtes: String =
+    s"""samp AS (SELECT embedding, row_number() OVER (ORDER BY vec_id) - 1 AS code
        |              FROM embeddings ORDER BY vec_id LIMIT 16),
        |cb AS (SELECT ss.s, p.code, [p.embedding[ss.s*8 + j] for j in range(1, 9)] AS cent
        |       FROM (SELECT unnest(range(8)) AS s) ss, samp p),
@@ -3022,10 +3036,29 @@ object SparkEntry {
        |          FROM enc JOIN cb ON cb.s = enc.s AND cb.code = enc.code
        |          GROUP BY enc.vec_id),
        |q AS (SELECT vec_id AS q_id, embedding AS qe FROM embeddings WHERE vec_id < 5),
-       |sc AS (SELECT q.q_id, r.vec_id, ${duckCos("q.qe", "r.rv")} AS sim FROM q, recon r),
+       |sc AS (SELECT q.q_id, r.vec_id, ${duckCos("q.qe", "r.rv")} AS sim FROM q, recon r)""".stripMargin
+
+  private lazy val duckPqTopK: String =
+    s"""WITH $duckPqCtes,
        |rk AS (SELECT q_id, vec_id, sim,
        |         CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS INT) AS rank
        |       FROM sc)
+       |SELECT q_id, vec_id, rank, CAST(ROUND(sim * 10000) AS BIGINT) AS c4
+       |FROM rk WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin
+
+  /** PQ shortlist (rank ≤ 30 on compressed scores) + exact-cosine rerank —
+    * the refine topology [[graft.ops.Similarity.pqTopKRerank]] replays. */
+  private lazy val duckPqRerank: String =
+    s"""WITH $duckPqCtes,
+       |sl AS (SELECT q_id, vec_id FROM (
+       |         SELECT q_id, vec_id,
+       |                row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rn
+       |         FROM sc) WHERE rn <= 30),
+       |ex AS (SELECT sl.q_id, sl.vec_id, ${duckCos("q.qe", "e.embedding")} AS sim
+       |       FROM sl JOIN q USING (q_id) JOIN embeddings e USING (vec_id)),
+       |rk AS (SELECT q_id, vec_id, sim,
+       |         CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS INT) AS rank
+       |       FROM ex)
        |SELECT q_id, vec_id, rank, CAST(ROUND(sim * 10000) AS BIGINT) AS c4
        |FROM rk WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin
 
@@ -3775,6 +3808,7 @@ object SparkEntry {
          |FROM r WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin,
     // identical to the q_ann_topk oracle: full-probe IVF is exact by design
     "q_pq_topk" -> duckPqTopK,
+    "q_pq_rerank" -> duckPqRerank,
     // full-probe IVFPQ ≡ PQ over the whole corpus: same oracle
     "q_ivfpq_topk" -> duckPqTopK,
     "q_ivf_topk" ->
