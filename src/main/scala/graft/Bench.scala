@@ -366,6 +366,67 @@ object Bench {
         require(pqCluster >= 0.90, f"pqTopK cluster recall $pqCluster%.3f < 0.90")
         require(rPqRerank >= 0.90, f"pqTopKRerank recall@10 $rPqRerank%.3f < 0.90")
       },
+      // PATHOLOGICAL hot bucket: 20% of the corpus (200k scaled copies of
+      // one base vector — positive scaling preserves every hyperplane sign,
+      // so they share ONE bucket at ANY bits) against a 200k-query left
+      // side. The hot bucket's candidate block is ~10M pairs in a single
+      // join key — the shape that funnels one reducer in a plain SMJ. The
+      // probe asserts AQE's skew-join split actually engages (skew=true in
+      // the final adaptive SMJ) AND the planted invariants hold, under a
+      // wall budget enforced by the bench harness itself.
+      "x_lsh_skew_1m" -> { s: SparkSession =>
+        Graft.install(s)
+        val conf = s.conf
+        val saved = Seq(
+          "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+          "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+          "spark.sql.adaptive.autoBroadcastJoinThreshold")
+          .map(k => k -> conf.getOption(k))
+        try {
+          // the defaults (256 MB threshold) are sized for TB shuffles; the
+          // 1M-row probe plants a ~60 MB hot partition, so scale the knobs
+          // the same way a 100 TB deployment would size them DOWN per task
+          conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16m")
+          conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8m")
+          // neither side may broadcast: the probe must exercise the
+          // shuffled-join path where key skew actually hurts
+          conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+          val corpus = s.range(1000000L).selectExpr("id AS vec_id",
+            """transform(sequence(0, 63), i -> CAST(
+              |  CASE WHEN id % 5 = 0
+              |    THEN ((hash(i, 99) % 10007) / 10007.0) * (1.0 + (id % 9973) / 100000.0)
+              |    ELSE (hash(id * 64 + i) % 10007) / 10007.0
+              |  END AS FLOAT)) AS embedding""".stripMargin)
+          // left: all 200k cold every-4th rows, but only 50 hot rows — the
+          // hot CANDIDATE block stays ~10M pairs (50 × 200k), not 10^10
+          val left = corpus
+            .where("vec_id % 4 = 0 AND (vec_id % 5 != 0 OR vec_id % 20000 = 0)")
+            .selectExpr("vec_id AS q_id", "embedding AS q_embedding")
+          val out = graft.ops.Similarity.lshJoinTopK(left, corpus, 3, bits = 18)
+          val agg = out.selectExpr(
+            "count(*) AS total",
+            // every cold left row is its own unique corpus vector: rank 1
+            // must be the exact self-match
+            "count_if(q_id % 5 != 0 AND rank = 1 AND q_id = vec_id AND sim >= 0.999999) AS coldSelf",
+            // hot left rows tie at cosine 1.0 with every scaled copy: all 3
+            // survivors must be perfect-sim hits
+            "count_if(q_id % 20000 = 0 AND sim >= 0.999999) AS hotTies")
+          // collect() (NOT head(): head plans a separate limit(1) execution)
+          // so agg's own adaptive plan finalizes and can be inspected
+          val row = agg.collect().head
+          val finalPlan = agg.queryExecution.executedPlan.toString
+          require(finalPlan.contains("skew=true"),
+            s"AQE skew-join split did not engage on the hot bucket\n$finalPlan")
+          // left = 250k every-4th rows − 50k hot + the 50 planted hot probes
+          val nColdLeft = 200000L
+          require(row.getLong(1) == nColdLeft,
+            s"cold self-matches ${row.getLong(1)} of $nColdLeft")
+          require(row.getLong(2) == 50L * 3L,
+            s"hot perfect-sim survivors ${row.getLong(2)} != 150")
+        } finally saved.foreach { case (k, v) =>
+          v match { case Some(x) => conf.set(k, x); case None => conf.unset(k) }
+        }
+      },
       // Curation ops at 1M docs — the documents table holds only 500 rows at
       // every SF, so these probes are the operators' scale proof. Corpora are
       // derived from range() (no files), deterministic by construction.
