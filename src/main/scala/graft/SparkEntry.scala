@@ -184,6 +184,26 @@ object SparkEntry {
     "q_wasm_real_agg" -> q(
       """SELECT source, wasm_fx_sumsq(CAST(pmod(doc_id, 50) AS INT)) AS ss
         |FROM documents GROUP BY source ORDER BY source""".stripMargin) _,
+    // round-2 foreign-fixture matrix: f64 math (sqrt is IEEE
+    // correctly-rounded — cross-engine bit-exact), f32x4 SIMD on
+    // integer-valued floats (< 2^24, exact in f32), and a bigint spread
+    // whose guest consumes an INTERNAL multi-value (i64, i64) call
+    "q_wasm_real_math" -> q(
+      """SELECT doc_id,
+        |  CAST(ROUND(wasm_fx_hypot(CAST(pmod(doc_id, 40) AS DOUBLE),
+        |                           CAST(pmod(doc_id, 30) AS DOUBLE)) * 1000) AS BIGINT) AS h3,
+        |  CAST(wasm_fx_fma(CAST(pmod(doc_id, 100) AS FLOAT), CAST(pmod(doc_id, 50) AS FLOAT),
+        |                   CAST(pmod(doc_id, 25) AS FLOAT)) AS BIGINT) AS f,
+        |  wasm_fx_spread(doc_id, CAST(octet_length(text) AS BIGINT)) AS sp
+        |FROM documents ORDER BY doc_id""".stripMargin) _,
+    // foreign-fixture TABLE function through the out-buffer ABI (divisor
+    // counts straddle the 64-slot initial cap nowhere here, but the same
+    // overflow handshake is spec-pinned in WasmSpec at n = 55440)
+    "q_wasm_real_table" -> q(
+      """SELECT doc_id, t.d AS d
+        |FROM (SELECT doc_id, CAST(pmod(doc_id, 36) + 1 AS INT) AS n FROM documents)
+        |LATERAL VIEW wasm_fx_divisors(n) t AS d
+        |ORDER BY doc_id, d""".stripMargin) _,
     // string arg rides the reference FFI ABI: host calls the guest's
     // exported alloc, copies UTF-8 bytes into linear memory, passes (ptr,len)
     "q_wasm_count_byte" -> q(
@@ -3254,6 +3274,19 @@ object SparkEntry {
     "q_wasm_real_agg" ->
       """SELECT source, CAST(sum((doc_id % 50) * (doc_id % 50)) AS BIGINT) AS ss
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+    "q_wasm_real_math" ->
+      """SELECT doc_id,
+        |  CAST(ROUND(sqrt(CAST((doc_id % 40) * (doc_id % 40)
+        |                     + (doc_id % 30) * (doc_id % 30) AS DOUBLE)) * 1000) AS BIGINT) AS h3,
+        |  CAST((doc_id % 100) * (doc_id % 50) + (doc_id % 25) AS BIGINT) AS f,
+        |  CAST(abs(doc_id - strlen(text)) AS BIGINT) AS sp
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_wasm_real_table" ->
+      """SELECT doc_id, CAST(u.d AS INT) AS d
+        |FROM documents,
+        |     UNNEST(list_filter(range(1, (doc_id % 36 + 1) + 1),
+        |                        x -> (doc_id % 36 + 1) % x = 0)) AS u(d)
+        |ORDER BY doc_id, d""".stripMargin,
     "q_wasm_dispatch" ->
       """SELECT l_orderkey, l_linenumber,
         |       CAST(CASE l_orderkey % 3

@@ -17,8 +17,10 @@ package graft.wasm
  *
  * Carries the full export ABI: `arrowudf_<b64>` scalars (plain ints, a
  * string→string through the alloc FFI with a packed (ptr<<32|len) return,
- * and an i64x2 SIMD kernel), an i64-state aggregate, `ARROWUDF_VERSION_3_0`,
- * `alloc` + `reset_heap`.
+ * i64x2 and f32x4 SIMD kernels, f64 math, and a bigint spread that consumes
+ * an INTERNAL multi-value `(i64, i64)` call — the shape LLVM emits for small
+ * struct returns), a `setof` TABLE function through the out-buffer ABI, an
+ * i64-state aggregate, `ARROWUDF_VERSION_3_0`, `alloc` + `reset_heap`.
  */
 object WasmFixture {
 

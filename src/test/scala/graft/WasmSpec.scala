@@ -733,7 +733,7 @@ class WasmSpec extends AnyFunSuite {
     val m = WasmModule.decode(bytes)
     val names = m.exports.map(_.name).toSet
     assert(names.contains("ARROWUDF_VERSION_3_0") && names.contains("alloc"))
-    assert(m.exports.count(_.name.startsWith("arrowudf_")) == 3)
+    assert(m.exports.count(_.name.startsWith("arrowudf_")) == 7)
     // the active data segment landed where the foreign layout says
     val inst = new WasmInstance(m, WasmConfig())
     assert(new String(inst.readBytes(1024, 5),
@@ -754,5 +754,26 @@ class WasmSpec extends AnyFunSuite {
         |FROM (SELECT explode(sequence(1, 10)) AS v DISTRIBUTE BY v % 3)""".stripMargin)
       .collect().head.getLong(0)
     assert(ss == 385L) // 1^2 + ... + 10^2
+    // round-2 matrix: f64 math, f32x4 SIMD, multi-value internal call
+    val m2 = spark.sql(
+      """SELECT wasm_fx_hypot(CAST(3 AS DOUBLE), CAST(4 AS DOUBLE)) AS h,
+        |  wasm_fx_fma(CAST(3 AS FLOAT), CAST(4 AS FLOAT), CAST(5 AS FLOAT)) AS f,
+        |  wasm_fx_spread(-3, 9) AS s1, wasm_fx_spread(9, -3) AS s2,
+        |  wasm_fx_spread(7, 7) AS s3""".stripMargin).collect().head
+    assert(m2.getDouble(0) == 5.0)
+    assert(m2.getFloat(1) == 17.0f)
+    assert(m2.getLong(2) == 12L && m2.getLong(3) == 12L && m2.getLong(4) == 0L)
+    // table function through the foreign binary's out-buffer ABI
+    val divs = spark.sql(
+      "SELECT d FROM (SELECT 1) LATERAL VIEW wasm_fx_divisors(12) t AS d ORDER BY d")
+      .collect().map(_.getInt(0)).toSeq
+    assert(divs == Seq(1, 2, 3, 4, 6, 12))
+    // out-buffer overflow handshake: 55440 has 120 divisors > the 64-slot
+    // initial cap, forcing the exact-size re-call (and staying inside the
+    // default 10M-step fuel: ~0.9M loop steps per call)
+    val many = spark.sql(
+      "SELECT count(*) AS c FROM (SELECT 1) LATERAL VIEW wasm_fx_divisors(55440) t AS d")
+      .collect().head.getLong(0)
+    assert(many == 120L)
   }
 }

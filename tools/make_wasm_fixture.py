@@ -19,6 +19,13 @@ Functions:
   wasm_fx_gcd(int, int) -> int            euclid loop (rem_u)
   wasm_fx_upper(string) -> string         ASCII upcase via the alloc ABI
   wasm_fx_vadd(bigint, bigint) -> bigint  i64x2 splat/add/extract (SIMD)
+  wasm_fx_hypot(double, double) -> double f64 mul/add/sqrt
+  wasm_fx_fma(float,float,float) -> float f32x4 splat/mul/add/extract (SIMD)
+  wasm_fx_divisors(int) -> setof int      table fn via the out-buffer ABI
+  wasm_fx_spread(bigint,bigint) -> bigint max-min through an INTERNAL
+                                          multi-value call (minmax returns
+                                          (i64, i64) — the multi-value shape
+                                          LLVM emits for small struct returns)
   fx_create/fx_acc/fx_merge/fx_finish     i64-state sum-of-squares aggregate
 
 Deterministic: running this script always yields byte-identical output.
@@ -30,7 +37,7 @@ OUT = os.path.join(os.path.dirname(__file__), "..",
                    "src", "main", "resources", "graft",
                    "fixture_llvm_shape.wasm")
 
-I32, I64 = 0x7F, 0x7E
+I32, I64, F32, F64 = 0x7F, 0x7E, 0x7D, 0x7C
 
 
 def uleb(n):
@@ -104,15 +111,20 @@ types = [
     functype([], []),                  # 1 reset_heap
     functype([I32, I32], [I32]),       # 2 gcd
     functype([I32, I32], [I64]),       # 3 upper (ptr, len) -> packed
-    functype([I64, I64], [I64]),       # 4 vadd / fx_merge
+    functype([I64, I64], [I64]),       # 4 vadd / fx_merge / fx_spread
     functype([], [I64]),               # 5 fx_create / version
     functype([I64, I32], [I64]),       # 6 fx_acc
     functype([I64], [I64]),            # 7 fx_finish
+    functype([F64, F64], [F64]),       # 8 hypot
+    functype([F32, F32, F32], [F32]),  # 9 fma
+    functype([I32, I32, I32], [I64]),  # 10 divisors (n, outPtr, outCap)
+    functype([I64, I64], [I64, I64]),  # 11 minmax — MULTI-VALUE result
 ]
 # function index -> type index (defined functions only; no imports)
-func_types = [0, 1, 2, 3, 4, 5, 6, 4, 7, 5]
+func_types = [0, 1, 2, 3, 4, 5, 6, 4, 7, 5, 8, 9, 10, 11, 4]
 (F_ALLOC, F_RESET, F_GCD, F_UPPER, F_VADD, F_CREATE, F_ACC, F_MERGE,
- F_FINISH, F_VERSION) = range(10)
+ F_FINISH, F_VERSION, F_HYPOT, F_FMA, F_DIVISORS, F_MINMAX,
+ F_SPREAD) = range(15)
 
 # ---- bodies --------------------------------------------------------------
 
@@ -171,6 +183,66 @@ vadd_body = (
     simd(0x1D, 0)                      # i64x2.extract_lane 0
 )
 
+# hypot(a, b) = f64.sqrt(a*a + b*b)
+hypot_body = (
+    local_get(0) + local_get(0) + b"\xa2" +      # a * a
+    local_get(1) + local_get(1) + b"\xa2" +      # b * b
+    b"\xa0" +                                    # +
+    b"\x9f"                                      # f64.sqrt
+)
+
+# fma(a, b, c) = extract_lane0(f32x4.add(f32x4.mul(splat a, splat b), splat c))
+fma_body = (
+    local_get(0) + simd(0x13) +        # f32x4.splat
+    local_get(1) + simd(0x13) +
+    simd(0xE6) +                       # f32x4.mul
+    local_get(2) + simd(0x13) +
+    simd(0xE4) +                       # f32x4.add
+    simd(0x1F, 0)                      # f32x4.extract_lane 0
+)
+
+# divisors(n, outPtr, outCap): table fn — write each d | n as an i64 slot
+# while cnt < cap, always count; return the TOTAL so the host can re-call
+# with a larger buffer (the out-buffer ABI's overflow handshake)
+divisors_body = (
+    i32c(1) + local_set(3) +                           # d = 1
+    b"\x02\x40" + b"\x03\x40" +                        # block loop
+    local_get(3) + local_get(0) + b"\x4a" +            # d > n ?
+    b"\x0d" + uleb(1) +                                # br_if block
+    local_get(0) + local_get(3) + b"\x70" + b"\x45" +  # (n rem_u d) == 0 ?
+    b"\x04\x40" +                                      # if
+    local_get(4) + local_get(2) + b"\x48" +            #   cnt < cap ?
+    b"\x04\x40" +                                      #   if
+    local_get(1) + local_get(4) + i32c(8) + b"\x6c" + b"\x6a" +  # outPtr+cnt*8
+    local_get(3) + b"\xad" +                           #     d as i64
+    b"\x37\x03\x00" +                                  #     i64.store align=8
+    b"\x0b" +
+    local_get(4) + i32c(1) + b"\x6a" + local_set(4) +  #   cnt++
+    b"\x0b" +
+    local_get(3) + i32c(1) + b"\x6a" + local_set(3) +  # d++
+    b"\x0c" + uleb(0) +                                # br loop
+    b"\x0b\x0b" +
+    local_get(4) + b"\xad"                             # total as i64
+)
+
+# minmax(a, b) -> (min, max): a MULTI-VALUE functype — internal only (the
+# export ABI is single-value); proves the interpreter handles multi-result
+# calls from a foreign emitter
+minmax_body = (
+    local_get(0) + local_get(1) +
+    local_get(0) + local_get(1) + b"\x53" + b"\x1b" +  # select(a, b, a<b) = min
+    local_get(0) + local_get(1) +
+    local_get(0) + local_get(1) + b"\x55" + b"\x1b"    # select(a, b, a>=b) = max
+)
+
+# spread(a, b) = max - min, consuming BOTH results of the multi-value call
+spread_body = (
+    local_get(0) + local_get(1) + call(F_MINMAX) +
+    local_set(2) +                                     # max (top)
+    local_set(3) +                                     # min
+    local_get(2) + local_get(3) + b"\x7d"              # max - min
+)
+
 create_body = i64c(0)
 acc_body = (local_get(0) +
             local_get(1) + b"\xac" + local_get(1) + b"\xac" + b"\x7e" +
@@ -190,6 +262,11 @@ codes = [
     code([], merge_body),
     code([], finish_body),
     code([], version_body),
+    code([], hypot_body),
+    code([], fma_body),
+    code([(2, I32)], divisors_body),
+    code([], minmax_body),
+    code([(2, I64)], spread_body),
 ]
 
 # ---- sections ------------------------------------------------------------
@@ -197,6 +274,10 @@ codes = [
 SIG_GCD = "wasm_fx_gcd(int, int) -> int"
 SIG_UPPER = "wasm_fx_upper(string) -> string"
 SIG_VADD = "wasm_fx_vadd(bigint, bigint) -> bigint"
+SIG_HYPOT = "wasm_fx_hypot(double, double) -> double"
+SIG_FMA = "wasm_fx_fma(float, float, float) -> float"
+SIG_DIVISORS = "wasm_fx_divisors(int) -> setof int"
+SIG_SPREAD = "wasm_fx_spread(bigint, bigint) -> bigint"
 
 exports = [
     ("memory", 2, 0),
@@ -205,6 +286,10 @@ exports = [
     (sym(SIG_GCD), 0, F_GCD),
     (sym(SIG_UPPER), 0, F_UPPER),
     (sym(SIG_VADD), 0, F_VADD),
+    (sym(SIG_HYPOT), 0, F_HYPOT),
+    (sym(SIG_FMA), 0, F_FMA),
+    (sym(SIG_DIVISORS), 0, F_DIVISORS),
+    (sym(SIG_SPREAD), 0, F_SPREAD),
     ("fx_create", 0, F_CREATE),
     ("fx_acc", 0, F_ACC),
     ("fx_merge", 0, F_MERGE),
@@ -214,7 +299,8 @@ exports = [
 
 fn_names = ["alloc", "reset_heap", "fx_gcd_impl", "fx_upper_impl",
             "fx_vadd_impl", "fx_create", "fx_acc", "fx_merge", "fx_finish",
-            "abi_version"]
+            "abi_version", "fx_hypot_impl", "fx_fma_impl",
+            "fx_divisors_impl", "fx_minmax_impl", "fx_spread_impl"]
 name_payload = name("name") + b"\x01" + (lambda p: uleb(len(p)) + p)(
     vec([uleb(i) + name(n) for i, n in enumerate(fn_names)]))
 
@@ -239,7 +325,7 @@ module += section(6, vec([
 module += section(7, vec([name(n) + bytes([k]) + uleb(i)
                           for n, k, i in exports]))
 module += section(10, vec(codes))
-data_bytes = b"graft wasm conformance fixture v1\x00"
+data_bytes = b"graft wasm conformance fixture v2\x00"
 module += section(11, vec([b"\x00" + i32c(1024) + b"\x0b" +
                            uleb(len(data_bytes)) + data_bytes]))
 module += section(0, name_payload)
