@@ -561,15 +561,39 @@ object Similarity {
     require(bits >= 1 && bits <= 62, "bits in 1..62")
     requireAnnJoinColumns(left, right)
     val r = right.withColumn("bucket", expr(s"hyperplane_bucket(embedding, $bits)"))
+    val scored = probeExpand(left, bits, multiProbe).join(r, "bucket")
+      .withColumn("sim", expr("cosine_sim(embedding, q_embedding)"))
+      .select(col("q_id"), col("vec_id"), col("sim"))
+    topKRank(scored, k)
+  }
+
+  /** Multi-probe expansion of the query side: each probe row carries its own
+    * bucket plus (optionally) the `bits` Hamming-1 neighbor buckets. */
+  private def probeExpand(left: DataFrame, bits: Int, multiProbe: Boolean): DataFrame = {
     val l0 = left.withColumn("__b0", expr(s"hyperplane_bucket(q_embedding, $bits)"))
-    val l =
-      if (multiProbe)
-        l0.withColumn("bucket", explode(expr(
-            s"array_append(transform(sequence(0, ${bits - 1}), " +
-              "i -> __b0 ^ shiftleft(CAST(1 AS BIGINT), i)), __b0)")))
-          .drop("__b0")
-      else l0.withColumnRenamed("__b0", "bucket")
-    val scored = l.join(r, "bucket")
+    if (multiProbe)
+      l0.withColumn("bucket", explode(expr(
+          s"array_append(transform(sequence(0, ${bits - 1}), " +
+            "i -> __b0 ^ shiftleft(CAST(1 AS BIGINT), i)), __b0)")))
+        .drop("__b0")
+    else l0.withColumnRenamed("__b0", "bucket")
+  }
+
+  /** Retrieval against a PRE-BUCKETED corpus: `bucketedRight` already
+    * carries its `bucket` column (typically computed once and persisted),
+    * and the query side BROADCASTS — the micro-batch topology of the
+    * streaming twin ([[graft.streaming.Streaming.annJoinStream]]), where a
+    * small probe batch joins the cached corpus map-only: no corpus shuffle,
+    * no corpus re-hash, per batch. Same output contract as
+    * [[lshJoinTopK]] at the same (bits, multiProbe). */
+  def lshJoinTopKPrebucketed(left: DataFrame, bucketedRight: DataFrame, k: Int,
+      bits: Int, multiProbe: Boolean = true): DataFrame = {
+    require(bits >= 1 && bits <= 62, "bits in 1..62")
+    require(bucketedRight.columns.contains("bucket"),
+      "prebucketed right needs a bucket column (withColumn(\"bucket\", hyperplane_bucket(...)))")
+    requireAnnJoinColumns(left, bucketedRight.drop("bucket"))
+    val scored = bucketedRight
+      .join(broadcast(probeExpand(left, bits, multiProbe)), "bucket")
       .withColumn("sim", expr("cosine_sim(embedding, q_embedding)"))
       .select(col("q_id"), col("vec_id"), col("sim"))
     topKRank(scored, k)

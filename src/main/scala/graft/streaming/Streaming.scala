@@ -397,6 +397,32 @@ object Streaming {
       }
   }
 
+  /** Streaming twin of the big-big ANN join
+    * ([[graft.ops.Similarity.lshJoinTopK]]): a stream of `(q_id,
+    * q_embedding)` probe rows retrieves its top-k corpus neighbors per
+    * micro-batch. Retrieval is stateless per probe row, so foreachBatch +
+    * the batch operator IS the exact twin — same buckets, same multi-probe
+    * set, same rerank; a row's result is identical whether it arrived in a
+    * batch or a stream.
+    *
+    * Topology per micro-batch: the corpus is bucketed ONCE and persisted
+    * (the one-time cost a serving deployment pays at startup); each batch
+    * then joins as a BROADCAST of the (small) probe set against the cached
+    * buckets — map-only over the corpus, no corpus shuffle or re-hash per
+    * batch ([[graft.ops.Similarity.lshJoinTopKPrebucketed]]). Results land
+    * through `sink(df, batchId)`, the exactly-once seam. */
+  def annJoinStream(queries: DataFrame, corpus: DataFrame, k: Int, bits: Int,
+      sink: (DataFrame, Long) => Unit,
+      multiProbe: Boolean = true): org.apache.spark.sql.streaming.DataStreamWriter[Row] = {
+    val bucketed = corpus
+      .withColumn("bucket", expr(s"hyperplane_bucket(embedding, $bits)"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    queries.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      sink(graft.ops.Similarity.lshJoinTopKPrebucketed(
+        batch, bucketed, k, bits, multiProbe), batchId)
+    }
+  }
+
   /** Streaming incremental dedup: every micro-batch of `(id, text)` rows is
     * deduped against the PERSISTED index at `path`
     * ([[graft.ops.Dedup.dedupAgainstIndex]]), results land in `sink`, and the

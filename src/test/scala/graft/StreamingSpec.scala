@@ -427,6 +427,41 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("batch ≡ stream: annJoinStream equals lshJoinTopK per micro-batch") {
+    Graft.install(spark)
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val corpus = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val probes = corpus.where("vec_id % 7 = 0")
+      .selectExpr("vec_id AS q_id", "embedding AS q_embedding")
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
+    def want(ids: Set[Long]) = graft.ops.Similarity.lshJoinTopK(
+        corpus.where(s"vec_id % 7 = 0 AND vec_id IN (${ids.mkString(",")})")
+          .selectExpr("vec_id AS q_id", "embedding AS q_embedding"),
+        corpus, 3, bits = 5)
+      .select("q_id", "vec_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val results = scala.collection.mutable.Map.empty[Long, Set[(Long, Long, Int)]]
+    val mem = MemoryStream[(Long, Seq[Float])]
+    val q = Streaming.annJoinStream(
+        mem.toDF().toDF("q_id", "q_embedding")
+          .selectExpr("q_id", "CAST(q_embedding AS ARRAY<FLOAT>) AS q_embedding"),
+        corpus, 3, bits = 5,
+        (df, bid) => results(bid) = df.select("q_id", "vec_id", "rank").collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet)
+      .start()
+    try {
+      val (b0, b1) = probes.splitAt(probes.length / 2)
+      mem.addData(b0: _*); q.processAllAvailable()
+      mem.addData(b1: _*); q.processAllAvailable()
+      assert(results(0) == want(b0.map(_._1).toSet), "batch 0 parity")
+      assert(results(1) == want(b1.map(_._1).toSet), "batch 1 parity")
+      assert(results(0).nonEmpty && results(1).nonEmpty)
+    } finally q.stop()
+  }
+
   test("dedupStream: novel docs append to the index, later batches see them") {
     Graft.install(spark)
     import spark.implicits._
