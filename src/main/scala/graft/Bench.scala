@@ -294,14 +294,14 @@ object Bench {
           s"expected 250k exact self-matches at rank 1, got $selfHits")
       },
       // MEASURED recall gates: planted-structure corpus (1000 clusters x
-      // 1000 vectors), ~100 NEAR-BOUNDARY queries (corpus vectors re-noised
+      // 1000 vectors), ~51 NEAR-BOUNDARY queries (corpus vectors re-noised
       // at 0.12 — never exact copies, so same-bucket membership is earned,
       // not planted), ground truth = exact bruteForceTopK. Every approximate
       // family must clear a recall@10 floor, and the multi-table union must
       // measurably beat one table — the claim that L tables are the recall
-      // knob, now a number instead of an argument. Floors sit ~5 points
+      // knob, now a number instead of an argument. Floors sit ~10 points
       // under the deterministic measured values (hash-seeded corpus, fixed
-      // summation order); see BenchSpec for the unit-scale twin.
+      // summation order).
       "x_ann_recall_1m" -> { s: SparkSession =>
         Graft.install(s)
         val corpus = s.read.parquet(annClusteredParquet(s))

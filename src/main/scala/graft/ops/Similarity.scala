@@ -328,7 +328,10 @@ object Similarity {
     require(shortlist >= k, s"shortlist $shortlist < k $k")
     val cand = pqTopK(encoded, codebook, queries, shortlist)
       .select(col("q_id"), col("vec_id"))
-    val rescored = cand
+    // the shortlist is ≤ shortlist × |queries| rows — broadcast it so the
+    // float-vector fetch is a map-side semi-join over the corpus scan, never
+    // a shuffle of all corpus vectors on vec_id
+    val rescored = broadcast(cand)
       .join(corpus.select(col("vec_id"), col("embedding")), "vec_id")
       .join(broadcast(queries), "q_id")
       .withColumn("sim", expr("cosine_sim(embedding, q_embedding)"))
@@ -579,18 +582,41 @@ object Similarity {
     else l0.withColumnRenamed("__b0", "bucket")
   }
 
-  /** Retrieval against a PRE-BUCKETED corpus: `bucketedRight` already
-    * carries its `bucket` column (typically computed once and persisted),
-    * and the query side BROADCASTS — the micro-batch topology of the
-    * streaming twin ([[graft.streaming.Streaming.annJoinStream]]), where a
-    * small probe batch joins the cached corpus map-only: no corpus shuffle,
-    * no corpus re-hash, per batch. Same output contract as
+  /** Attach the LSH `bucket` column to a corpus, tagging the column's
+    * METADATA with the bits used — [[lshJoinTopKPrebucketed]] reads the tag
+    * back and refuses a bits mismatch, so a corpus bucketed at 16 bits can
+    * never silently misjoin against 18-bit probes. This is the documented
+    * way to prepare (and persist) a corpus for the streaming twin; the
+    * caller owns the persist/unpersist lifecycle. */
+  def bucketCorpus(corpus: DataFrame, bits: Int): DataFrame = {
+    require(bits >= 1 && bits <= 62, "bits in 1..62")
+    val md = new org.apache.spark.sql.types.MetadataBuilder()
+      .putLong("graft.lsh.bits", bits.toLong).build()
+    corpus.withColumn("bucket",
+      expr(s"hyperplane_bucket(embedding, $bits)").as("bucket", md))
+  }
+
+  /** Retrieval against a PRE-BUCKETED corpus ([[bucketCorpus]] output,
+    * typically persisted), query side BROADCAST — the micro-batch topology
+    * of the streaming twin ([[graft.streaming.Streaming.annJoinStream]]),
+    * where a small probe batch joins the cached corpus map-only: no corpus
+    * shuffle, no corpus re-hash, per batch. Same output contract as
     * [[lshJoinTopK]] at the same (bits, multiProbe). */
   def lshJoinTopKPrebucketed(left: DataFrame, bucketedRight: DataFrame, k: Int,
       bits: Int, multiProbe: Boolean = true): DataFrame = {
     require(bits >= 1 && bits <= 62, "bits in 1..62")
     require(bucketedRight.columns.contains("bucket"),
-      "prebucketed right needs a bucket column (withColumn(\"bucket\", hyperplane_bucket(...)))")
+      "prebucketed right needs a bucket column — build it with bucketCorpus(corpus, bits)")
+    // probe buckets at N bits against a corpus bucketed at M ≠ N bits match
+    // only on coincidental collisions — garbage output with no error. The
+    // bits ride the bucket column's metadata so the mismatch fails loudly.
+    locally {
+      val md = bucketedRight.schema("bucket").metadata
+      require(md.contains("graft.lsh.bits"),
+        "bucket column lacks graft.lsh.bits metadata — build it with bucketCorpus(corpus, bits)")
+      require(md.getLong("graft.lsh.bits") == bits.toLong,
+        s"corpus bucketed at ${md.getLong("graft.lsh.bits")} bits, probes at $bits")
+    }
     requireAnnJoinColumns(left, bucketedRight.drop("bucket"))
     val scored = bucketedRight
       .join(broadcast(probeExpand(left, bits, multiProbe)), "bucket")

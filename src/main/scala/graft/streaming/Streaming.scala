@@ -405,21 +405,23 @@ object Streaming {
     * set, same rerank; a row's result is identical whether it arrived in a
     * batch or a stream.
     *
-    * Topology per micro-batch: the corpus is bucketed ONCE and persisted
-    * (the one-time cost a serving deployment pays at startup); each batch
-    * then joins as a BROADCAST of the (small) probe set against the cached
-    * buckets — map-only over the corpus, no corpus shuffle or re-hash per
-    * batch ([[graft.ops.Similarity.lshJoinTopKPrebucketed]]). Results land
-    * through `sink(df, batchId)`, the exactly-once seam. */
-  def annJoinStream(queries: DataFrame, corpus: DataFrame, k: Int, bits: Int,
+    * Topology per micro-batch: `bucketedCorpus` is
+    * [[graft.ops.Similarity.bucketCorpus]] output, bucketed ONCE and
+    * persisted BY THE CALLER (who owns the cache lifecycle — this function
+    * deliberately takes the prepared handle instead of persisting
+    * internally, so a stopped/restarted stream never strands an
+    * unreachable cached copy); each batch then joins as a BROADCAST of the
+    * (small) probe set against the cached buckets — map-only over the
+    * corpus, no corpus shuffle or re-hash per batch
+    * ([[graft.ops.Similarity.lshJoinTopKPrebucketed]], which also verifies
+    * the corpus was bucketed at the SAME `bits`). Results land through
+    * `sink(df, batchId)`, the exactly-once seam. */
+  def annJoinStream(queries: DataFrame, bucketedCorpus: DataFrame, k: Int, bits: Int,
       sink: (DataFrame, Long) => Unit,
       multiProbe: Boolean = true): org.apache.spark.sql.streaming.DataStreamWriter[Row] = {
-    val bucketed = corpus
-      .withColumn("bucket", expr(s"hyperplane_bucket(embedding, $bits)"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     queries.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
       sink(graft.ops.Similarity.lshJoinTopKPrebucketed(
-        batch, bucketed, k, bits, multiProbe), batchId)
+        batch, bucketedCorpus, k, bits, multiProbe), batchId)
     }
   }
 

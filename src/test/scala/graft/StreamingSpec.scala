@@ -445,10 +445,18 @@ class StreamingSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
     val results = scala.collection.mutable.Map.empty[Long, Set[(Long, Long, Int)]]
     val mem = MemoryStream[(Long, Seq[Float])]
+    // the caller buckets + persists the corpus once and owns the cache
+    val bucketed = graft.ops.Similarity.bucketCorpus(corpus, bits = 5).persist()
+    // a mismatched-bits probe set must fail loudly, never misjoin
+    intercept[IllegalArgumentException] {
+      graft.ops.Similarity.lshJoinTopKPrebucketed(
+        corpus.limit(1).selectExpr("vec_id AS q_id", "embedding AS q_embedding"),
+        bucketed, 3, bits = 6)
+    }
     val q = Streaming.annJoinStream(
         mem.toDF().toDF("q_id", "q_embedding")
           .selectExpr("q_id", "CAST(q_embedding AS ARRAY<FLOAT>) AS q_embedding"),
-        corpus, 3, bits = 5,
+        bucketed, 3, bits = 5,
         (df, bid) => results(bid) = df.select("q_id", "vec_id", "rank").collect()
           .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet)
       .start()
@@ -459,7 +467,7 @@ class StreamingSpec extends AnyFunSuite {
       assert(results(0) == want(b0.map(_._1).toSet), "batch 0 parity")
       assert(results(1) == want(b1.map(_._1).toSet), "batch 1 parity")
       assert(results(0).nonEmpty && results(1).nonEmpty)
-    } finally q.stop()
+    } finally { q.stop(); bucketed.unpersist() }
   }
 
   test("dedupStream: novel docs append to the index, later batches see them") {

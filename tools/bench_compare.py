@@ -66,4 +66,9 @@ def main(paths):
 
 
 if __name__ == "__main__":
+    if len(sys.argv) < 2:
+        sys.exit("usage: bench_compare.py <base.json> [prev.json ...]\n"
+                 "note: truncated BENCH_r*.json tails lose failed-query "
+                 "markers (a query that failed on a later rep shows its "
+                 "surviving rep's time)")
     main(sys.argv[1:])
