@@ -945,20 +945,8 @@ object Bench {
         graft.ops.Profile.winsorize(df, "k", "v", pLo = 1, pHi = 99)
           .write.format("noop").mode("overwrite").save()
       },
-      // the one-scan DQ battery (2 not-null + 2 ranges + 1 accepted + 1
-      // predicate folded into ONE aggregate) + a uniqueness check over 20M
-      "x_dq_20m" -> { s: SparkSession =>
-        val df = s.range(20000000L).selectExpr("id",
-          "CASE WHEN id % 97 = 0 THEN NULL ELSE pmod(hash(id), 1000) END AS v")
-        val n = graft.ops.Warehouse.dqReport(df,
-          notNull = Seq("id", "v"),
-          unique = Seq(Seq("id")),
-          ranges = Seq(("v", 0L, 900L)),
-          accepted = Nil,
-          refs = Nil,
-          predicates = Seq(("v_small", "v IS NULL OR v < 990"))).count()
-        require(n == 5L, s"expected 5 report rows, got $n")
-      },
+      // (the old rows-count-only x_dq_20m is superseded by the planted-
+      // violation-count version in the warehouse battery below)
       // qsketch register build over 20M values across 100 keys: one
       // counted shuffle into <= ~960 bins/key
       "x_qsketch_20m" -> { s: SparkSession =>
@@ -1068,6 +1056,49 @@ object Bench {
         PlanAudit.assertScaleShape(out, "x_scd2_apply_20m")
         val opens = out.where("valid_to IS NULL").count()
         require(opens == 100000L, s"expected 100k open versions, got $opens")
+      },
+      // full DQ battery over 20M rows with PLANTED violation counts per
+      // check: the scan checks (not_null / range / accepted / predicate)
+      // fold into ONE aggregation pass over the table; unique adds one
+      // key-shuffle agg; ref adds one broadcast-dim join. The one-row
+      // funnel at the end is inherent to a report (and carries #checks
+      // longs, not data), so this probe gates exact counts, not plan shape.
+      "x_dq_20m" -> { s: SparkSession =>
+        val df = s.range(20000000L).selectExpr(
+          "id",
+          "IF(pmod(id, 1000000) = 3, NULL, id) AS v",              // 20 nulls
+          "pmod(id, 100) + IF(pmod(id, 2000000) = 11, 1000, 0) AS r", // 10 over
+          "IF(pmod(id, 4000000) = 13, 'junk', CAST(pmod(id, 4) AS STRING)) AS st", // 5 bad
+          "IF(pmod(id, 5000000) = 17, 0, id) AS uk",               // key 0: 5 rows
+          "CAST(IF(pmod(id, 2000000) = 19, 1000 + pmod(id, 7), pmod(id, 1000)) AS BIGINT) AS fk") // 10 dangling
+        val dim = s.range(1000L).selectExpr("id AS pk")
+        val rep = graft.ops.Warehouse.dqReport(df,
+          notNull = Seq("v"),
+          unique = Seq(Seq("uk")),
+          ranges = Seq(("r", 0L, 99L)),
+          accepted = Seq(("st", Seq("0", "1", "2", "3"))),
+          refs = Seq(("fk", dim, "pk")),
+          predicates = Seq(("v_matches_id", "v IS NULL OR v = id")))
+        val got = rep.collect()
+          .map(r => (r.getString(0), r.getLong(1))).toMap       // ≤ 6 rows
+        val want = Map(
+          "not_null:v" -> 20L, "range:r[0,99]" -> 10L, "accepted:st" -> 5L,
+          "predicate:v_matches_id" -> 0L, "unique:uk" -> 4L,
+          "ref:fk->pk" -> 10L)
+        require(got == want, s"dq report mismatch: $got vs $want")
+      },
+      // k-anonymity audit over 20M rows × 200k quasi-identifier groups with
+      // 20 PLANTED singleton groups: one groupBy + filter, violators-only
+      // output (the privacy scan is a single shuffle at any scale)
+      "x_kanon_20m" -> { s: SparkSession =>
+        val df = s.range(20000000L).selectExpr(
+          "IF(id < 20, 1000000 + id, pmod(id, 100000)) AS q1",
+          "pmod(id, 2) AS q2")
+        val out = graft.ops.Warehouse.kAnonymity(df, Seq("q1", "q2"), k = 5)
+        PlanAudit.assertScaleShape(out, "x_kanon_20m")
+        val rows = out.collect()                                // violators only
+        require(rows.length == 20 && rows.forall(_.getLong(2) == 1L),
+          s"expected 20 singleton violator groups, got ${rows.length}")
       },
       // sorted-neighborhood linkage over 4M strings (4× the 1M probe):
       // distributed sort + rank fan-out equi-join, 2M planted adjacent pairs
