@@ -257,6 +257,66 @@ class AnalyticsPropertySpec extends AnyFunSuite {
     assert(got == exp, s"got ${got.size} rows, expected ${exp.size}")
   }
 
+  test("lshJoinTopKMulti ≡ multi-table bucket+rerank model under heavy ties") {
+    graft.Graft.install(spark)
+    val rnd = new scala.util.Random(45)
+    // same adversarial shape as the single-table property test: low-dim
+    // coarse alphabet → exact-duplicate vectors, exact sim ties, crowded
+    // buckets, zero vectors
+    val vals = Array(-1f, -0.5f, 0f, 0.5f, 1f)
+    def vec(): Array[Float] = Array.fill(4)(vals(rnd.nextInt(vals.length)))
+    val right = (0L until 80L).map(i => (i, vec().toSeq))
+    val left = (0L until 30L).map(i => (1000L + i, right((i % 80).toInt)._2)) ++
+      (30L until 40L).map(i => (1000L + i, vec().toSeq))
+    import spark.implicits._
+    val rdf = right.toDF("vec_id", "embedding")
+      .withColumn("embedding", col("embedding").cast("array<float>"))
+    val ldf = left.toDF("q_id", "q_embedding")
+      .withColumn("q_embedding", col("q_embedding").cast("array<float>"))
+    val (bits, tables) = (4, 3)
+    val got = graft.ops.Similarity.lshJoinTopKMulti(ldf, rdf, 3, bits, tables)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+
+    // model: table-seeded buckets via the ENGINE's own function (gated
+    // separately by q_ann_multitable's oracle), candidate union + pair
+    // dedup + rerank replicated in memory
+    def buckets(pairs: Seq[(Long, Seq[Float])], t: Int): Map[Long, Long] =
+      pairs.toDF("id", "e").withColumn("e", col("e").cast("array<float>"))
+        .selectExpr("id", s"hyperplane_bucket_t(e, $bits, $t) AS b")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < a.length) {
+        val x = a(i).toDouble; val y = b(i).toDouble
+        dot += x * y; na += x * x; nb += y * y; i += 1
+      }
+      val s = if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+      if (s == 0.0) 0.0 else s
+    }
+    val perTable = (0 until tables).map { t =>
+      (buckets(right, t), buckets(left, t))
+    }
+    val exp = left.flatMap { case (qid, qe) =>
+      val cands = perTable.flatMap { case (rb, lb) =>
+        val b = lb(qid)
+        right.filter(p => rb(p._1) == b)
+      }.distinctBy(_._1)                           // pair dedup across tables
+      cands.map { case (vid, ve) => (vid, cos(ve, qe)) }
+        .sortWith { case ((ia, sa), (ib, sb)) =>
+          if (sa != sb) sa > sb else ia < ib }
+        .take(3).zipWithIndex
+        .map { case ((vid, _), idx) => (qid, vid, idx + 1) }
+    }.toSet
+    assert(got == exp, s"got ${got.size} rows, expected ${exp.size}")
+    // table 0 is bit-identical to the un-seeded hyperplane set
+    val b0 = buckets(right, 0)
+    val plain = right.toDF("id", "e").withColumn("e", col("e").cast("array<float>"))
+      .selectExpr("id", s"hyperplane_bucket(e, $bits) AS b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(b0 == plain)
+  }
+
   test("kCore self-consistency and idempotence on random graphs") {
     val rnd = new scala.util.Random(19)
     val edges = (1 to 300).map(_ => (rnd.nextInt(60).toLong, rnd.nextInt(60).toLong))
