@@ -329,12 +329,23 @@ object Bench {
         // the cells converge immediately — 3 more iterations buy nothing
         val rIvf = recall(pairs(
           graft.ops.Similarity.ivfTopK(corpus, queries, 10, nCells = 64, nprobe = 8, iters = 2)))
+        // PERSISTED index at PARTIAL probe — the 100 TB retrieval path: the
+        // cell-partitioned layout is built once at ingest (fixture-cached,
+        // like the PQ codes); each search reads nprobe/nCells of the files
+        // via static partition pruning. This gates the pruned READ path's
+        // recall, not just in-memory ivfTopK's.
+        val baseMarker = new java.io.File(annClusteredParquet(s), "_SUCCESS")
+        val ivfDir = "/tmp/graft_bench_annrec1m_ivf"
+        val ivfMarker = new java.io.File(s"$ivfDir/assigned", "_SUCCESS")
+        if (!ivfMarker.isFile || ivfMarker.lastModified < baseMarker.lastModified)
+          graft.ops.Similarity.ivfSave(corpus, ivfDir, nCells = 64, iters = 2)
+        val rIvfSaved = recall(pairs(
+          graft.ops.Similarity.ivfSearchSaved(s, ivfDir, queries, 10, nprobe = 8)))
         // PQ codes are encoded ONCE at ingest and stored (the compressed-
         // corpus model, same fixture pattern as x_ann_pq_1m) — search passes
         // scan 8-byte codes, never re-encode
         val cb = graft.ops.Similarity.pqCodebook(corpus, m = 8, nCodes = 256)
         val pqDir = "/tmp/graft_bench_annrec1m_pq"
-        val baseMarker = new java.io.File(annClusteredParquet(s), "_SUCCESS")
         val pqMarker = new java.io.File(pqDir, "_SUCCESS")
         if (!pqMarker.isFile || pqMarker.lastModified < baseMarker.lastModified)
           graft.ops.Similarity.pqEncode(corpus, cb)
@@ -355,14 +366,15 @@ object Bench {
           corpus, encoded, cb, queries, 10, shortlist = 2000)))
         System.err.println(f"[bench] x_ann_recall_1m recall@10: lsh+probe=$rLsh1%.3f " +
           f"1-table=$rMulti1%.3f 8-table=$rMulti8%.3f ivf=$rIvf%.3f " +
-          f"pq_cluster=$pqCluster%.3f pq_rerank=$rPqRerank%.3f")
+          f"ivf_saved=$rIvfSaved%.3f pq_cluster=$pqCluster%.3f pq_rerank=$rPqRerank%.3f")
         // floors ~10 points under deterministic measured values (r9:
-        // 0.825 / 0.450 / 0.996 / 1.000 / ~1.0 / ~1.0)
+        // 0.825 / 0.450 / 0.996 / 1.000 / 1.000 / ~1.0 / ~1.0)
         require(rLsh1 >= 0.70, f"lshJoinTopK multi-probe recall@10 $rLsh1%.3f < 0.70")
         require(rMulti8 >= 0.90, f"8-table lshJoinTopKMulti recall@10 $rMulti8%.3f < 0.90")
         require(rMulti8 >= rMulti1 + 0.30,
           f"multi-table recall knob ineffective: 8-table $rMulti8%.3f vs 1-table $rMulti1%.3f")
         require(rIvf >= 0.90, f"ivfTopK recall@10 $rIvf%.3f < 0.90")
+        require(rIvfSaved >= 0.90, f"ivfSearchSaved recall@10 $rIvfSaved%.3f < 0.90")
         require(pqCluster >= 0.90, f"pqTopK cluster recall $pqCluster%.3f < 0.90")
         require(rPqRerank >= 0.90, f"pqTopKRerank recall@10 $rPqRerank%.3f < 0.90")
       },
