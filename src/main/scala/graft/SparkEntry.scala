@@ -1089,27 +1089,66 @@ object SparkEntry {
         .orderBy("vec_id")
     } _,
 
-    // ---- multimodal (decode stubbed, plumbing real) ------------------------
+    // ---- multimodal (REAL pure-JDK codecs: javax.imageio + javax.sound) ----
+    // Fixture-through-the-engine gates: png_synth/wav_synth ENCODE real
+    // payloads with planted dims/pixels/durations, the decode surface reads
+    // them back, and DuckDB recomputes the planted values arithmetically —
+    // a broken encoder, header parser, pixel decode, or resampler hash-fails
+    // (same pattern as q_compress).
     "q_image_meta" -> q(
       """SELECT doc_id, m.width, m.height, m.format
-        |FROM (SELECT doc_id, image_meta(CAST(text AS BINARY)) AS m FROM documents)
+        |FROM (SELECT doc_id, image_meta(png_synth(
+        |        CAST(8 + doc_id % 97 AS INT),
+        |        CAST(8 + (doc_id * 7) % 89 AS INT),
+        |        CAST((doc_id % 251) * 65536 AS INT))) AS m
+        |      FROM documents)
         |ORDER BY doc_id""".stripMargin) _,
+    // real bilinear resize of real bytes: decoded output dims must equal the
+    // aspect arithmetic, and a solid-color image must stay EXACTLY solid
+    // through fixed-point bilinear (weights sum to 1), so the red-channel
+    // sum is r·rw·rh — all three replayed arithmetically by the oracle
     "q_resize" -> q(
-      """SELECT doc_id, r.width AS rw, r.height AS rh
-        |FROM (SELECT doc_id, resize_dims(m.width, m.height, 256) AS r
-        |      FROM (SELECT doc_id, image_meta(CAST(text AS BINARY)) AS m FROM documents))
+      """SELECT doc_id, m.width AS rw, m.height AS rh, p.sum_r AS rsum_r
+        |FROM (SELECT doc_id, image_meta(rz) AS m, pixel_stats(rz) AS p
+        |      FROM (SELECT doc_id, image_resize(png_synth(
+        |              CAST(8 + doc_id % 97 AS INT),
+        |              CAST(8 + (doc_id * 7) % 89 AS INT),
+        |              CAST((doc_id % 251) * 65536 AS INT)), 64) AS rz
+        |            FROM documents))
         |ORDER BY doc_id""".stripMargin) _,
+    // full pixel decode through the BATCHED kernel tier (column-at-a-time):
+    // two-tone planted image, per-channel integer sums + red extrema exact
+    "q_pixel_stats" -> dfq { s =>
+      val df = s.table("documents").selectExpr("doc_id",
+        """png_synth_2tone(
+          |  CAST(8 + doc_id % 97 AS INT),
+          |  CAST(8 + (doc_id * 7) % 89 AS INT),
+          |  CAST((doc_id % 251) * 65536 + ((doc_id * 3) % 241) * 256 + ((doc_id * 7) % 239) AS INT),
+          |  CAST((doc_id % 127) * 65536 + ((doc_id * 5) % 131) * 256 + ((doc_id * 11) % 137) AS INT)) AS payload""".stripMargin)
+      graft.ops.Multimodal.pixelStatsBatch(df, "payload")
+        .selectExpr("doc_id", "stats.sum_r AS sum_r", "stats.sum_g AS sum_g",
+          "stats.sum_b AS sum_b", "stats.min_r AS min_r", "stats.max_r AS max_r")
+        .orderBy("doc_id")
+    } _,
     // batch feature extraction: the mapPartitions shape a vectorized media
-    // UDF plugs into, driven end-to-end against the metadata oracle
+    // UDF plugs into — per-row body is the real header-only decode
     "q_extract_features" -> dfq { s =>
-      val df = s.table("documents").selectExpr("doc_id", "CAST(text AS BINARY) AS payload")
+      val df = s.table("documents").selectExpr("doc_id",
+        """png_synth(CAST(8 + doc_id % 97 AS INT),
+          |          CAST(8 + (doc_id * 7) % 89 AS INT),
+          |          CAST((doc_id % 251) * 65536 AS INT)) AS payload""".stripMargin)
       graft.ops.Multimodal.extractImageFeatures(df, "payload")
         .select("doc_id", "width", "height", "format")
         .orderBy("doc_id")
     } _,
+    // real WAV container roundtrip: wav_synth writes (1 + doc_id % 53) s of
+    // 16-bit mono PCM at 1 kHz, media_duration_ms reads frames/frameRate
+    // back from the RIFF header, frame_sample expands timestamps lazily
     "q_frame_sample" -> q(
       """SELECT doc_id, t.value AS frame_ms
-        |FROM (SELECT doc_id, media_duration_ms(CAST(text AS BINARY)) AS dur FROM documents)
+        |FROM (SELECT doc_id, media_duration_ms(
+        |        wav_synth(CAST(1000 * (1 + doc_id % 53) AS INT), 1000)) AS dur
+        |      FROM documents)
         |LATERAL VIEW frame_sample(dur, 7000) t AS value
         |ORDER BY doc_id, frame_ms""".stripMargin) _,
 
@@ -4019,28 +4058,42 @@ object SparkEntry {
     "q_arrow_roundtrip" ->
       """SELECT vec_id, CAST(ROUND(embedding[1] * 10000) AS BIGINT) AS e0
         |FROM embeddings ORDER BY vec_id""".stripMargin,
+    // Multimodal oracles replay the PLANTED arithmetic — the Spark side
+    // genuinely encodes and decodes real PNG/WAV bytes (javax.imageio /
+    // javax.sound), so any codec defect breaks the hash match.
     "q_image_meta" ->
-      s"""SELECT doc_id, CAST(64 + h % 1024 AS INT) AS width, CAST(64 + (h >> 10) % 1024 AS INT) AS height,
-         |       CASE WHEN h & 1 = 0 THEN 'jpeg' ELSE 'png' END AS format
-         |FROM (SELECT doc_id, ${duckMd5_60("text")} AS h FROM documents)
-         |ORDER BY doc_id""".stripMargin,
+      """SELECT doc_id, CAST(8 + doc_id % 97 AS INT) AS width,
+        |       CAST(8 + (doc_id * 7) % 89 AS INT) AS height, 'png' AS format
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "q_extract_features" ->
-      s"""SELECT doc_id, CAST(64 + h % 1024 AS INT) AS width, CAST(64 + (h >> 10) % 1024 AS INT) AS height,
-         |       CASE WHEN h & 1 = 0 THEN 'jpeg' ELSE 'png' END AS format
-         |FROM (SELECT doc_id, ${duckMd5_60("text")} AS h FROM documents)
-         |ORDER BY doc_id""".stripMargin,
+      """SELECT doc_id, CAST(8 + doc_id % 97 AS INT) AS width,
+        |       CAST(8 + (doc_id * 7) % 89 AS INT) AS height, 'png' AS format
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "q_resize" ->
-      s"""SELECT doc_id,
-         |  CAST(CASE WHEN w <= 256 AND h <= 256 THEN w WHEN w >= h THEN 256 ELSE greatest(1, (w * 256) // h) END AS INT) AS rw,
-         |  CAST(CASE WHEN w <= 256 AND h <= 256 THEN h WHEN w >= h THEN greatest(1, (h * 256) // w) ELSE 256 END AS INT) AS rh
-         |FROM (SELECT doc_id, 64 + hh % 1024 AS w, 64 + (hh >> 10) % 1024 AS h
-         |      FROM (SELECT doc_id, ${duckMd5_60("text")} AS hh FROM documents))
-         |ORDER BY doc_id""".stripMargin,
+      """SELECT doc_id, CAST(rw AS INT) AS rw, CAST(rh AS INT) AS rh,
+        |       CAST(r * rw * rh AS BIGINT) AS rsum_r
+        |FROM (SELECT doc_id, r,
+        |        CASE WHEN w <= 64 AND h <= 64 THEN w WHEN w >= h THEN 64 ELSE greatest(1, (w * 64) // h) END AS rw,
+        |        CASE WHEN w <= 64 AND h <= 64 THEN h WHEN w >= h THEN greatest(1, (h * 64) // w) ELSE 64 END AS rh
+        |      FROM (SELECT doc_id, 8 + doc_id % 97 AS w, 8 + (doc_id * 7) % 89 AS h,
+        |              doc_id % 251 AS r FROM documents))
+        |ORDER BY doc_id""".stripMargin,
+    "q_pixel_stats" ->
+      """SELECT doc_id,
+        |  CAST((ra * (w // 2) + rb * (w - w // 2)) * h AS BIGINT) AS sum_r,
+        |  CAST((ga * (w // 2) + gb * (w - w // 2)) * h AS BIGINT) AS sum_g,
+        |  CAST((ba * (w // 2) + bb * (w - w // 2)) * h AS BIGINT) AS sum_b,
+        |  CAST(least(ra, rb) AS INT) AS min_r, CAST(greatest(ra, rb) AS INT) AS max_r
+        |FROM (SELECT doc_id, 8 + doc_id % 97 AS w, 8 + (doc_id * 7) % 89 AS h,
+        |        doc_id % 251 AS ra, (doc_id * 3) % 241 AS ga, (doc_id * 7) % 239 AS ba,
+        |        doc_id % 127 AS rb, (doc_id * 5) % 131 AS gb, (doc_id * 11) % 137 AS bb
+        |      FROM documents)
+        |ORDER BY doc_id""".stripMargin,
     "q_frame_sample" ->
-      s"""SELECT doc_id, CAST(t.u AS BIGINT) AS frame_ms
-         |FROM (SELECT doc_id, 1000 + (${duckMd5_60("text")} % 60000) AS dur FROM documents),
-         |     UNNEST(range(0, dur, 7000)) AS t(u)
-         |ORDER BY doc_id, frame_ms""".stripMargin,
+      """SELECT doc_id, CAST(t.u AS BIGINT) AS frame_ms
+        |FROM (SELECT doc_id, 1000 * (1 + doc_id % 53) AS dur FROM documents),
+        |     UNNEST(range(0, dur, 7000)) AS t(u)
+        |ORDER BY doc_id, frame_ms""".stripMargin,
 
     "q1_pricing" ->
       """SELECT l_returnflag, l_linestatus,

@@ -347,19 +347,60 @@ class OpsSpec extends AnyFunSuite {
     assert(selected <= 2, s"probe of 2 cells read $selected partitions")
   }
 
-  test("multimodal: mapPartitions feature extraction + frame sampling") {
-    val df = docsDf.selectExpr("doc_id", "CAST(text AS BINARY) AS payload")
+  test("multimodal: real JDK codecs — PNG header/pixels/resize, WAV duration") {
+    import Multimodal.JdkCodec
+    // header-only meta recovers planted dims from a real PNG
+    val png = JdkCodec.synthPng(37, 21, 0x102030, 0x405060)
+    assert(png.take(4).toSeq == Seq(0x89.toByte, 'P'.toByte, 'N'.toByte, 'G'.toByte))
+    assert(JdkCodec.imageMeta(png) == ((37, 21, "png")))
+    // pixel stats: left 18 columns (0x10,0x20,0x30), right 19 (0x40,0x50,0x60)
+    val (sr, sg, sb, mnR, mxR) = JdkCodec.pixelStats(png)
+    assert(sr == (0x10L * 18 + 0x40L * 19) * 21, s"sum_r $sr")
+    assert(sg == (0x20L * 18 + 0x50L * 19) * 21 && sb == (0x30L * 18 + 0x60L * 19) * 21)
+    assert(mnR == 0x10 && mxR == 0x40)
+    // bilinear resize of a SOLID image stays exactly solid (fixed-point
+    // weights sum to 1) and lands on the aspect arithmetic
+    val solid = JdkCodec.synthPng(100, 40, 0x7F0000, 0x7F0000)
+    val rz = JdkCodec.resizeMaxEdge(solid, 32)
+    assert(JdkCodec.imageMeta(rz) == ((32, 12, "png")))
+    val (rsr, _, _, rmn, rmx) = JdkCodec.pixelStats(rz)
+    assert(rmn == 0x7F && rmx == 0x7F && rsr == 0x7FL * 32 * 12)
+    // JPEG readers are registered too (imageMeta is container-agnostic)
+    locally {
+      val img = new java.awt.image.BufferedImage(5, 7, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", bos)
+      val (w, h, fmt) = JdkCodec.imageMeta(bos.toByteArray)
+      assert(w == 5 && h == 7 && fmt.startsWith("jp"), s"$w x $h $fmt")
+    }
+    // WAV: header-parsed duration = frames / rate
+    assert(JdkCodec.audioDurationMs(JdkCodec.synthWav(4410, 44100)) == 100L)
+    // SQL surface end-to-end through mapPartitions feature extraction
+    val df = docsDf.selectExpr("doc_id",
+      "png_synth(CAST(9 + doc_id % 5 AS INT), CAST(6 + doc_id % 3 AS INT), 0) AS payload")
     val feats = Multimodal.extractImageFeatures(df, "payload")
     assert(feats.columns.toSeq == Seq("doc_id", "payload", "width", "height", "format"))
-    val r = feats.where("doc_id = 0").select("width", "height", "format").collect().head
-    assert(r.getInt(0) >= 64 && r.getInt(1) >= 64 && Set("jpeg", "png").contains(r.getString(2)))
-    // exact dup doc 3 has identical metadata to doc 0 (deterministic stub)
-    val r3 = feats.where("doc_id = 3").select("width", "height", "format").collect().head
-    assert(r == r3)
+    val r = feats.where("doc_id = 2").select("width", "height", "format").collect().head
+    assert(r.getInt(0) == 11 && r.getInt(1) == 8 && r.getString(2) == "png")
+    // frame sampling over a real WAV duration, rows stream lazily
     val frames = spark.sql(
-      "SELECT t.value FROM (SELECT media_duration_ms(CAST('x' AS BINARY)) AS d) LATERAL VIEW frame_sample(d, 1000) t AS value")
+      "SELECT t.value FROM (SELECT media_duration_ms(wav_synth(3500, 1000)) AS d) " +
+        "LATERAL VIEW frame_sample(d, 1000) t AS value")
       .collect().map(_.getLong(0)).toSeq
-    assert(frames.nonEmpty && frames == frames.indices.map(_ * 1000L))
+    assert(frames == Seq(0L, 1000L, 2000L, 3000L))
+  }
+
+  test("multimodal: pixelStatsBatch drives pixel decode through the batch tier") {
+    val df = spark.range(10).selectExpr("id AS doc_id",
+      s"png_synth_2tone(CAST(8 + id AS INT), 4, ${0x0A0000}, ${0x140000}) AS payload")
+    val out = Multimodal.pixelStatsBatch(df, "payload", batchSize = 4)
+      .selectExpr("doc_id", "stats.sum_r AS sum_r", "stats.min_r AS mn", "stats.max_r AS mx")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3)))
+    out.foreach { case (id, sumR, mn, mx) =>
+      val w = 8 + id.toInt; val wl = w / 2
+      assert(sumR == (0x0AL * wl + 0x14L * (w - wl)) * 4, s"doc $id")
+      assert(mn == 0x0A && mx == 0x14)
+    }
   }
 
   test("batched kernel: column-at-a-time evaluation with chunk boundaries") {
