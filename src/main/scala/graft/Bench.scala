@@ -316,7 +316,17 @@ object Bench {
         def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
           df.select("q_id", "vec_id").collect()
             .map(r => (r.getLong(0), r.getLong(1))).toSet   // ≤ k × ~51 rows
-        val exact = pairs(graft.ops.Similarity.bruteForceTopK(corpus, queries, 10))
+        // Exact ground truth is a deterministic constant per corpus (the
+        // queries derive from it) — fixture-cache the brute-force pairs like
+        // the PQ codes / IVF layout, keyed by the corpus _SUCCESS mtime, so
+        // the gate re-measures recall without re-deriving 1M×51 cosines
+        val baseMarker = new java.io.File(annClusteredParquet(s), "_SUCCESS")
+        val exactDir = "/tmp/graft_bench_annrec1m_exact_k10"
+        val exactMarker = new java.io.File(exactDir, "_SUCCESS")
+        if (!exactMarker.isFile || exactMarker.lastModified < baseMarker.lastModified)
+          graft.ops.Similarity.bruteForceTopK(corpus, queries, 10)
+            .select("q_id", "vec_id").write.mode("overwrite").parquet(exactDir)
+        val exact = pairs(s.read.parquet(exactDir))
         def recall(approx: Set[(Long, Long)]): Double =
           (exact intersect approx).size.toDouble / exact.size
         val rLsh1 = recall(pairs(
@@ -334,18 +344,22 @@ object Bench {
         // like the PQ codes); each search reads nprobe/nCells of the files
         // via static partition pruning. This gates the pruned READ path's
         // recall, not just in-memory ivfTopK's.
-        val baseMarker = new java.io.File(annClusteredParquet(s), "_SUCCESS")
-        val ivfDir = "/tmp/graft_bench_annrec1m_ivf"
+        // fixture dirs carry the BUILD PARAMETERS in their names, so a
+        // parameter change can never silently reuse a stale layout built
+        // with the old ones (the _SUCCESS-mtime check only sees the corpus)
+        val (ivfCells, ivfIters) = (64, 2)
+        val ivfDir = s"/tmp/graft_bench_annrec1m_ivf_c${ivfCells}_i$ivfIters"
         val ivfMarker = new java.io.File(s"$ivfDir/assigned", "_SUCCESS")
         if (!ivfMarker.isFile || ivfMarker.lastModified < baseMarker.lastModified)
-          graft.ops.Similarity.ivfSave(corpus, ivfDir, nCells = 64, iters = 2)
+          graft.ops.Similarity.ivfSave(corpus, ivfDir, nCells = ivfCells, iters = ivfIters)
         val rIvfSaved = recall(pairs(
           graft.ops.Similarity.ivfSearchSaved(s, ivfDir, queries, 10, nprobe = 8)))
         // PQ codes are encoded ONCE at ingest and stored (the compressed-
         // corpus model, same fixture pattern as x_ann_pq_1m) — search passes
         // scan 8-byte codes, never re-encode
-        val cb = graft.ops.Similarity.pqCodebook(corpus, m = 8, nCodes = 256)
-        val pqDir = "/tmp/graft_bench_annrec1m_pq"
+        val (pqM, pqCodes) = (8, 256)
+        val cb = graft.ops.Similarity.pqCodebook(corpus, m = pqM, nCodes = pqCodes)
+        val pqDir = s"/tmp/graft_bench_annrec1m_pq_m${pqM}_c$pqCodes"
         val pqMarker = new java.io.File(pqDir, "_SUCCESS")
         if (!pqMarker.isFile || pqMarker.lastModified < baseMarker.lastModified)
           graft.ops.Similarity.pqEncode(corpus, cb)
@@ -414,7 +428,11 @@ object Bench {
           val left = corpus
             .where("vec_id % 4 = 0 AND (vec_id % 5 != 0 OR vec_id % 20000 = 0)")
             .selectExpr("vec_id AS q_id", "embedding AS q_embedding")
-          val out = graft.ops.Similarity.lshJoinTopK(left, corpus, 3, bits = 18)
+          // bits derived by the occupancy rule, not hand-picked: 1M rows at
+          // target occupancy 4 → 18 bits (the value the probe was sized for)
+          val bits = graft.ops.Similarity.autoBits(corpus.count(), targetOccupancy = 4L)
+          require(bits == 18, s"autoBits(1M, occ=4) = $bits, probe sized for 18")
+          val out = graft.ops.Similarity.lshJoinTopK(left, corpus, 3, bits = bits)
           val agg = out.selectExpr(
             "count(*) AS total",
             // every cold left row is its own unique corpus vector: rank 1
@@ -1301,6 +1319,17 @@ object Bench {
       if (pat.split('|').exists(p => benchables.exists(_._1.contains(p)))) build()
     }
 
+    // Contention evidence IN the artifact: host load before/after the timed
+    // loop (1/5/15-min averages) + the per-rep samples below let a reader —
+    // and tools/bench_compare.py — separate a real regression from a busy
+    // host without re-running anything (loadavg ≫ ncpus ⇒ contended run).
+    def loadavg(): String = try {
+      val p = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("/proc/loadavg"))).trim.split("\\s+")
+      s"[${p(0)},${p(1)},${p(2)}]"
+    } catch { case _: Throwable => "null" }
+    val loadBefore = loadavg()
+
     val samples = Array.fill(benchables.size)(List.empty[Double])
     val failed = Array.fill(benchables.size)(false)
     for (rep <- 1 to reps; ((name, run), i) <- benchables.zipWithIndex if !failed(i)) {
@@ -1328,8 +1357,10 @@ object Bench {
     // session_overhead = SparkSession build + warmup query (paid once per
     // JVM, amortized to zero on a long-lived cluster); "queries" are
     // steady-state only
+    val loadAfter = loadavg()
+    val ncpus = Runtime.getRuntime.availableProcessors()
     val jsonLine =
-      s"""{"metric":"total","value":$totalStr,"unit":"sec","queries":$qs,"reps":$repsJson,"session_overhead":${f"$overheadSec%.3f"},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$totalStr,"unit":"sec","queries":$qs,"reps":$repsJson,"session_overhead":${f"$overheadSec%.3f"},"loadavg_before":$loadBefore,"loadavg_after":$loadAfter,"ncpus":$ncpus,"sf":"$sfDir"}"""
     println(jsonLine)
     // The driver's BENCH_r<n>.json keeps only the tail of stdout, which
     // truncates the per-query map past ~60 entries — persist the COMPLETE

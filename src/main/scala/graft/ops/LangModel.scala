@@ -254,13 +254,28 @@ object LangModel {
     * driver collect is bounded by the domain, not the corpus. Exact and
     * order-free by construction — unlike interpolated percentiles, whose
     * float formulas differ across engines, an integer histogram cumsum
-    * replays bit-for-bit in the oracle. */
-  def adaptiveThreshold(scores: DataFrame, scoreCol: String, pct: Int): Option[Long] = {
+    * replays bit-for-bit in the oracle.
+    *
+    * LOUD GUARD (family convention — cf. globalPrefix,
+    * median_exact_unbounded): a wide-range score (e.g. a scaled surprisal)
+    * would collect one row per distinct value; the collect is therefore
+    * capped at `maxDistinct` distinct scores and FAILS rather than silently
+    * hauling millions of rows to the driver. Raise the cap deliberately, or
+    * bucket the score / use the qsketch quantile path for continuous
+    * domains. */
+  def adaptiveThreshold(scores: DataFrame, scoreCol: String, pct: Int,
+      maxDistinct: Int = 1 << 20): Option[Long] = {
     require(pct >= 1 && pct <= 100, "pct must be in [1, 100]")
+    require(maxDistinct >= 1, "maxDistinct must be >= 1")
     val hist = scores.where(col(scoreCol).isNotNull)
       .groupBy(col(scoreCol).cast("long").as("v"))
       .agg(count(lit(1)).as("c")).orderBy("v")
+      .limit(maxDistinct + 1)
       .collect().map(r => (r.getLong(0), r.getLong(1)))
+    require(hist.length <= maxDistinct,
+      s"adaptiveThreshold: > $maxDistinct distinct score values — the driver " +
+        "histogram is bounded by the score DOMAIN; bucket the score (or use the " +
+        "qsketch quantile path) for wide/continuous domains, or raise maxDistinct")
     if (hist.isEmpty) None
     else {
       val n = hist.map(_._2).sum

@@ -122,9 +122,14 @@ object Similarity {
 
   /** Table-seeded hyperplane matrix: plane p of table t is row t·1000003+p of
     * the shared md5 stream — table 0 coincides with [[hyperplanes]]; distinct
-    * tables are independent draws (1000003 > any realistic `bits`, so rows
-    * never collide across tables). */
-  private[ops] def hyperplanesT(table: Int, bits: Int, dims: Int): Array[Array[Double]] =
+    * tables are independent draws (1000003 > any realistic `bits`, so plane
+    * ROWS never collide across tables). The per-row component stride is
+    * 10007, so the no-overlap guarantee holds only for `dims` ≤ 10007 —
+    * enforced here rather than silently correlating adjacent planes for
+    * ultra-high-dimensional embeddings. */
+  private[ops] def hyperplanesT(table: Int, bits: Int, dims: Int): Array[Array[Double]] = {
+    require(dims <= 10007,
+      s"hyperplanes support dims <= 10007 (seed stride), got $dims — widen the stride first")
     planeCacheT.computeIfAbsent((table, bits, dims), { case (t, b, d) =>
       Array.tabulate(b, d) { (p, i) =>
         // Long seed: (t·1000003 + p)·10007 + i overflows Int32 for t ≥ 1
@@ -132,6 +137,7 @@ object Similarity {
         Hashing.md5_60(seed.toString + "hp").toDouble / 5.764607523034235e17 - 1.0
       }
     })
+  }
 
   /** Final rerank shared by every ANN family: bounded partial heaps cut the
     * scored candidates to ≤ k per query BEFORE the exchange
@@ -601,9 +607,19 @@ object Similarity {
     * of the streaming twin ([[graft.streaming.Streaming.annJoinStream]]),
     * where a small probe batch joins the cached corpus map-only: no corpus
     * shuffle, no corpus re-hash, per batch. Same output contract as
-    * [[lshJoinTopK]] at the same (bits, multiProbe). */
+    * [[lshJoinTopK]] at the same (bits, multiProbe).
+    *
+    * SMALL-LEFT CONTRACT: the probe side is broadcast after a ×(bits+1)
+    * multi-probe expansion, so a large batch would OOM the driver. The
+    * contract is enforced loudly (family guard convention): the expanded
+    * probe row count must stay ≤ `maxProbeRows` (bounded-limit count, one
+    * cheap job; pass `maxProbeRows <= 0` to skip the check when the batch
+    * size is known by construction). For probe sets too big to broadcast,
+    * pass `broadcastLeft = false` (plain shuffled equi-join — no guard
+    * needed) or use [[lshJoinTopK]]. */
   def lshJoinTopKPrebucketed(left: DataFrame, bucketedRight: DataFrame, k: Int,
-      bits: Int, multiProbe: Boolean = true): DataFrame = {
+      bits: Int, multiProbe: Boolean = true, broadcastLeft: Boolean = true,
+      maxProbeRows: Long = 4000000L): DataFrame = {
     require(bits >= 1 && bits <= 62, "bits in 1..62")
     require(bucketedRight.columns.contains("bucket"),
       "prebucketed right needs a bucket column — build it with bucketCorpus(corpus, bits)")
@@ -618,8 +634,24 @@ object Similarity {
         s"corpus bucketed at ${md.getLong("graft.lsh.bits")} bits, probes at $bits")
     }
     requireAnnJoinColumns(left, bucketedRight.drop("bucket"))
-    val scored = bucketedRight
-      .join(broadcast(probeExpand(left, bits, multiProbe)), "bucket")
+    val probes = probeExpand(left, bits, multiProbe)
+    val probeSide = if (!broadcastLeft) probes
+    else {
+      if (maxProbeRows > 0) {
+        val expansion = if (multiProbe) bits + 1L else 1L
+        val leftCap = math.max(1L, maxProbeRows / expansion)
+          .min(Int.MaxValue - 1L)
+        // LocalLimit caps the per-partition scan, so the count job reads at
+        // most leftCap+1 rows — cheap for a well-sized probe batch
+        val n = left.limit(leftCap.toInt + 1).count()
+        require(n <= leftCap,
+          s"lshJoinTopKPrebucketed: probe batch has > $leftCap rows (×$expansion " +
+            s"multi-probe expansion exceeds maxProbeRows=$maxProbeRows) — too big " +
+            "to broadcast; pass broadcastLeft=false or use lshJoinTopK")
+      }
+      broadcast(probes)
+    }
+    val scored = bucketedRight.join(probeSide, "bucket")
       .withColumn("sim", expr("cosine_sim(embedding, q_embedding)"))
       .select(col("q_id"), col("vec_id"), col("sim"))
     topKRank(scored, k)
@@ -656,11 +688,13 @@ object Similarity {
     *
     * Topology: both sides explode ×`tables` (composite key (__t, bucket)),
     * candidates from the two-column equi-join only. A pair meeting in
-    * several tables would duplicate, so scored triples are deduplicated
-    * (`distinct` on (q_id, vec_id, sim) — sim is deterministic per pair)
-    * with map-side partial aggregation BEFORE the bounded per-key heaps.
-    * Shuffles carry: tables·|probe rows|, bucket-matched scored triples,
-    * then ≤ k survivors per left row. Neither side is ever broadcast. */
+    * several tables would duplicate, so CANDIDATE pairs are deduplicated on
+    * (q_id, vec_id) — with map-side partial aggregation — BEFORE cosine is
+    * computed: each pair is scored exactly once, and correctness never
+    * leans on float bit-equality of recomputed scores. Shuffles carry:
+    * tables·|probe rows|, then ≤ one candidate row per distinct pair (the
+    * embeddings ride the dedup exchange once), then ≤ k survivors per left
+    * row. Neither side is ever broadcast. */
   def lshJoinTopKMulti(left: DataFrame, right: DataFrame, k: Int,
                        bits: Int = 8, tables: Int = 4): DataFrame = {
     require(bits >= 1 && bits <= 62, "bits in 1..62")
@@ -672,9 +706,25 @@ object Similarity {
     val l = left.withColumn("__t", ts)
       .withColumn("bucket", expr(s"hyperplane_bucket_t(q_embedding, $bits, __t)"))
     val scored = l.join(r, Seq("__t", "bucket"))
+      .select(col("q_id"), col("q_embedding"), col("vec_id"), col("embedding"))
+      .dropDuplicates("q_id", "vec_id")
       .withColumn("sim", expr("cosine_sim(embedding, q_embedding)"))
       .select(col("q_id"), col("vec_id"), col("sim"))
-      .distinct()
     topKRank(scored, k)
+  }
+
+  /** The 100 TB occupancy rule as code: the smallest `bits` whose mean
+    * bucket occupancy `rightRows / 2^bits` is ≤ `targetOccupancy` — pick
+    * the right-side row count from a cheap `right.count()` (or a catalog
+    * estimate) and hand the result to [[lshJoinTopK]]/[[lshJoinTopKMulti]].
+    * Candidate volume per probe then stays O(targetOccupancy·(bits+1)),
+    * independent of corpus growth; clamped to [minBits, 62]. */
+  def autoBits(rightRows: Long, targetOccupancy: Long = 8L, minBits: Int = 8): Int = {
+    require(rightRows >= 0, "rightRows must be >= 0")
+    require(targetOccupancy >= 1, "targetOccupancy must be >= 1")
+    require(minBits >= 1 && minBits <= 62, "minBits in 1..62")
+    var b = minBits
+    while (b < 62 && (rightRows >> b) > targetOccupancy) b += 1
+    b
   }
 }

@@ -131,6 +131,20 @@ class LangModelSpec extends AnyFunSuite {
     assert(LangModel.adaptiveThreshold(s.where(lit(false)), "v", 30).isEmpty)
   }
 
+  test("adaptiveThreshold: wide-range score fails loudly at the distinct cap") {
+    // a continuous-ish score (every value distinct) must NOT silently haul
+    // one histogram row per value to the driver — the family's loud-guard
+    // convention
+    val wide = spark.range(5000).selectExpr("id * 1000003 AS v")
+    val e = intercept[IllegalArgumentException] {
+      LangModel.adaptiveThreshold(wide, "v", 30, maxDistinct = 1000)
+    }
+    assert(e.getMessage.contains("distinct score values"))
+    // at-the-cap domains still work exactly (cap is inclusive)
+    val narrow = spark.range(5000).selectExpr("id % 10 AS v")
+    assert(LangModel.adaptiveThreshold(narrow, "v", 30, maxDistinct = 10) == Some(2L))
+  }
+
   test("compress_ratio flags repetitive text below natural prose") {
     Graft.install(spark)
     val rows = df(Seq(

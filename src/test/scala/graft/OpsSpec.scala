@@ -254,6 +254,32 @@ class OpsSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       Similarity.lshJoinTopKMulti(left, emb.withColumn("__t", org.apache.spark.sql.functions.lit(0)), 3)
     }
+    // small-left broadcast contract of the prebucketed twin: an over-cap
+    // probe batch fails loudly instead of OOMing the driver mid-broadcast...
+    val bucketed = Similarity.bucketCorpus(emb, bits = 5)
+    val e = intercept[IllegalArgumentException] {
+      Similarity.lshJoinTopKPrebucketed(left, bucketed, 3, bits = 5,
+        maxProbeRows = 12) // cap of 2 left rows after the x(5+1) expansion
+    }
+    assert(e.getMessage.contains("too big to broadcast"))
+    // ...while broadcastLeft=false takes the shuffled path with no cap
+    assert(Similarity.lshJoinTopKPrebucketed(left, bucketed, 3, bits = 5,
+      broadcastLeft = false).where("rank = 1 AND sim >= 0.999999").count() == left.count())
+  }
+
+  test("autoBits: occupancy-rule sizing for the LSH joins") {
+    // 1M rows at target occupancy 4 -> 18 bits (floor(1M/2^18)=3 <= 4)
+    assert(Similarity.autoBits(1000000L, targetOccupancy = 4L) == 18)
+    assert(Similarity.autoBits(1000000L, targetOccupancy = 4L, minBits = 20) == 20)
+    // small corpora stay at the floor; growth raises bits logarithmically
+    assert(Similarity.autoBits(100L) == 8)
+    assert(Similarity.autoBits(100000000L) == 24) // floor(1e8/2^24)=5 <= 8
+    assert(Similarity.autoBits(0L) == 8)
+    // occupancy after sizing is within target (the rule's contract)
+    for (rows <- Seq(1000L, 123456L, 10000000L, 5000000000L)) {
+      val b = Similarity.autoBits(rows)
+      assert(rows >> b <= 8L, s"rows=$rows bits=$b occ=${rows >> b}")
+    }
   }
 
   test("int8 quantization: 4x smaller codes, near-exact recall, self-retrieval") {
