@@ -29,9 +29,11 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
  * The default HDFS-backed state store keeps every key's state on the JVM
  * heap — fine for the spec-sized streams here, an OOM at a 10^9-key CDC
  * feed. On a real cluster switch to RocksDB and bound what lives in memory
- * (the switch is TESTED, not just advised: `RocksDbStreamingSpec` runs the
- * semantic-dedup / HLL / SCD2 twins under this provider and asserts
- * batch-parity plus exact state-row counts from the rocksdb metrics):
+ * (the switch is TESTED, not just advised: `RocksDbStreamingSpec` runs EVERY
+ * state-store-backed twin in this package under this provider and asserts
+ * batch-parity plus exact/bounded state-row counts from the rocksdb
+ * metrics; `annJoinStream`/`dedupStream` hold their state externally via
+ * foreachBatch, so no state store is involved):
  * {{{
  * spark.conf.set("spark.sql.streaming.stateStore.providerClass",
  *   "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
