@@ -1007,6 +1007,34 @@ object Bench {
         graft.ops.TimeSeries.windowedDistinct(ev, "k", "ts", "e", windowDays = 7)
           .write.format("noop").mode("overwrite").save()
       },
+      // sliding 7-day APPROXIMATE distinct via HLL day-registers on a
+      // heavy-day fixture (10 keys × 100 days × 10k events, ~9k distinct
+      // entities per key-day): each day collapses to ≤512 register rows
+      // before the window fan-out — ~17× fewer fanned rows than the exact
+      // formulation would produce here, the gap that widens with entity
+      // count at 100 TB. Accuracy is GATED, not argued: one key's slice is
+      // compared against the exact operator (p=9 ⇒ σ≈4.6%).
+      "x_window_distinct_hll_10m" -> { s: SparkSession =>
+        def ev = s.range(10000000L).selectExpr("id % 10 AS k",
+          "(id div 10 % 100) * 86400000000000 + id AS ts",
+          "pmod(hash(id), 50000) AS e")
+        val n = graft.ops.TimeSeries.windowedDistinctHll(
+            ev, "k", "ts", "e", windowDays = 7)
+          .where("est > 0").count()
+        require(n == 1000L, s"expected the full 10x100 day grid, got $n")
+        val slice = ev.where("k = 0")
+        val exact = graft.ops.TimeSeries.windowedDistinct(slice, "k", "ts", "e", 7)
+          .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+        val est = graft.ops.TimeSeries.windowedDistinctHll(slice, "k", "ts", "e", 7)
+          .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+        val errs = exact.toSeq.collect { case (d, nd) if nd > 0 =>
+          math.abs(est(d) - nd).toDouble / nd }
+        val worst = errs.max
+        val mean = errs.sum / errs.size
+        require(worst <= 0.15 && mean <= 0.08,
+          f"HLL windowed distinct rel-err worst=$worst%.3f mean=$mean%.3f " +
+            "above (0.15, 0.08) floors")
+      },
       // SCD2 over a 20M-row changelog (100k keys × 200 versions-ish): one
       // key shuffle, both windows on one sort; distinct-until-changed keeps
       // only ~1/4 of rows (state cycles with period-4 noise)

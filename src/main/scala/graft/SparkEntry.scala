@@ -1151,6 +1151,16 @@ object SparkEntry {
         |      FROM documents)
         |LATERAL VIEW frame_sample(dur, 7000) t AS value
         |ORDER BY doc_id, frame_ms""".stripMargin) _,
+    // full SAMPLE decode of the real WAV payload: frame count, peak |v|,
+    // Σv² over the planted deterministic ramp — the oracle replays the
+    // ramp arithmetic over generate_series, so a broken PCM decode
+    // (endianness, frame stride, sign) hash-fails
+    "q_audio_stats" -> q(
+      """SELECT doc_id, st.n, st.peak, st.sum_sq
+        |FROM (SELECT doc_id, audio_stats(
+        |        wav_synth(CAST(1000 * (1 + doc_id % 53) AS INT), 1000)) AS st
+        |      FROM documents)
+        |ORDER BY doc_id""".stripMargin) _,
 
     // ---- relational layer (Spark-provided operators, SURVEY §2.3) ----------
     // decimal sums emitted as integer cents: Spark and DuckDB render/hash
@@ -2256,6 +2266,17 @@ object SparkEntry {
       graft.ops.TimeSeries.windowedDistinct(s.table("events"), "event_type",
           "ts", "user_id", windowDays = 7)
         .select(col("key").as("event_type"), col("day"), col("nd"))
+        .orderBy("event_type", "day")
+    } _,
+    // the 100 TB variant of the same rollup: sliding 7-day APPROXIMATE
+    // distinct users via mergeable HLL day-registers — each day collapses to
+    // <=512 register rows BEFORE the window fan-out, so cost is independent
+    // of the entity count; the exact-integer estimator is replayed by the
+    // oracle bit-for-bit (approximate vs truth, deterministic vs the replay)
+    "q_window_distinct_hll" -> dfq { s =>
+      graft.ops.TimeSeries.windowedDistinctHll(s.table("events"), "event_type",
+          "ts", "user_id", windowDays = 7, p = 9)
+        .select(col("key").as("event_type"), col("day"), col("est"))
         .orderBy("event_type", "day")
     } _,
     // winsorization: acctbal cents clipped to each nation's [p5, p95]
@@ -4094,6 +4115,19 @@ object SparkEntry {
         |FROM (SELECT doc_id, 1000 * (1 + doc_id % 53) AS dur FROM documents),
         |     UNNEST(range(0, dur, 7000)) AS t(u)
         |ORDER BY doc_id, frame_ms""".stripMargin,
+    // the wav_synth ramp v_i = ((i % 2048) - 1024)·16 replayed sample by
+    // sample: count, max |v|, Σv² must match the real PCM decode exactly
+    "q_audio_stats" ->
+      """SELECT doc_id, CAST(n AS BIGINT) AS n, CAST(peak AS INT) AS peak,
+        |       CAST(sum_sq AS BIGINT) AS sum_sq
+        |FROM (SELECT doc_id, count(*) AS n, max(abs(v)) AS peak,
+        |        sum(CAST(v AS BIGINT) * v) AS sum_sq
+        |      FROM (SELECT doc_id, ((t.u % 2048) - 1024) * 16 AS v
+        |            FROM (SELECT doc_id, 1000 * (1 + doc_id % 53) AS ns
+        |                  FROM documents),
+        |                 UNNEST(range(0, ns, 1)) AS t(u))
+        |      GROUP BY doc_id)
+        |ORDER BY doc_id""".stripMargin,
 
     "q1_pricing" ->
       """SELECT l_returnflag, l_linestatus,
@@ -5163,6 +5197,36 @@ object SparkEntry {
         |       CAST(coalesce(c.nd, 0) AS BIGINT) AS nd
         |FROM g LEFT JOIN c USING (key, day)
         |ORDER BY event_type, day""".stripMargin,
+    // HLL windowed distinct: day registers (bucket = low 9 hash bits,
+    // rho = 52 - bitlength(h >> 9)) fanned into trailing windows,
+    // max-merged, then the q_hll_distinct HUGEINT estimator per (key, day)
+    "q_window_distinct_hll" ->
+      s"""WITH e AS (SELECT event_type AS key,
+         |             epoch_ns(ts) // 86400000000000 AS day,
+         |             ${duckMd5_60("CAST(user_id AS VARCHAR)")} AS h
+         |           FROM events WHERE user_id IS NOT NULL),
+         |reg AS (SELECT key, day, h & 511 AS bucket,
+         |          max(CASE WHEN h >> 9 = 0 THEN 52
+         |                   ELSE 52 - length(bin(h >> 9)) END) AS r
+         |        FROM e GROUP BY 1, 2, 3),
+         |f AS (SELECT key, bucket, r,
+         |        unnest(generate_series(day, day + 6)) AS day FROM reg),
+         |mg AS (SELECT key, day, bucket, max(r) AS r FROM f GROUP BY 1, 2, 3),
+         |s AS (SELECT key, day,
+         |        sum(CAST(CAST(1 AS BIGINT) << (62 - r) AS HUGEINT)) AS ssum,
+         |        count(*) AS n
+         |      FROM mg GROUP BY 1, 2),
+         |g AS (SELECT key, unnest(generate_series(min(day), max(day))) AS day
+         |      FROM e GROUP BY key)
+         |SELECT g.key AS event_type, CAST(g.day AS BIGINT) AS day,
+         |  CAST(CASE WHEN s.n IS NULL THEN 0 ELSE
+         |    (CAST(7213 AS HUGEINT) * 512 * 512 * 512
+         |     * CAST(CAST(1 AS BIGINT) << 62 AS HUGEINT))
+         |    // ((CAST(10000 AS HUGEINT) * 512 + 10790)
+         |       * (s.ssum + (512 - s.n) * CAST(CAST(1 AS BIGINT) << 62 AS HUGEINT)))
+         |  END AS BIGINT) AS est
+         |FROM g LEFT JOIN s ON s.key = g.key AND s.day = g.day
+         |ORDER BY event_type, day""".stripMargin,
     "q_winsorize" ->
       """WITH c AS (SELECT c_custkey, c_nationkey,
         |             CAST(ROUND(c_acctbal * 100) AS BIGINT) AS cents FROM customer),

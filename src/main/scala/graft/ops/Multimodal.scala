@@ -164,6 +164,38 @@ object Multimodal {
       try math.round(ais.getFrameLength * 1000.0 / ais.getFormat.getFrameRate)
       finally ais.close()
     }
+
+    /** Sample-level stats over the DECODED audio payload (16-bit PCM, either
+      * endianness, channel 0 of any channel count): frame count, peak |v|,
+      * and Σv² — integer-exact, so the oracle replays the synth ramp's
+      * arithmetic in SQL. Streaming read: constant memory at any length. */
+    def audioStats(payload: Array[Byte]): (Long, Int, Long) = {
+      val ais = AudioSystem.getAudioInputStream(new ByteArrayInputStream(payload))
+      try {
+        val fmt = ais.getFormat
+        require(fmt.getSampleSizeInBits == 16,
+          s"audio_stats: 16-bit PCM only, got ${fmt.getSampleSizeInBits}-bit")
+        val frameBytes = fmt.getFrameSize
+        val big = fmt.isBigEndian
+        val buf = new Array[Byte](frameBytes * 4096)
+        var n = 0L; var peak = 0; var sumSq = 0L
+        var read = ais.read(buf) // AudioInputStream reads whole frames only
+        while (read > 0) {
+          var off = 0
+          while (off + 1 < read) {
+            val v = if (big) (buf(off) << 8) | (buf(off + 1) & 0xff)
+                    else (buf(off + 1) << 8) | (buf(off) & 0xff)
+            val a = math.abs(v)
+            if (a > peak) peak = a
+            sumSq += v.toLong * v
+            n += 1
+            off += frameBytes
+          }
+          read = ais.read(buf)
+        }
+        (n, peak, sumSq)
+      } finally ais.close()
+    }
   }
 
   val imageMetaType: StructType = StructType(Seq(
@@ -211,6 +243,14 @@ object Multimodal {
 
     // media_duration_ms(binary) -> bigint — real audio header parse (WAV/AIFF/AU)
     Udf.scalar1[Array[Byte], Long]("media_duration_ms(binary) -> bigint")(JdkCodec.audioDurationMs)
+
+    // audio_stats(binary) — full sample decode: frames, peak |v|, Σv²
+    Udf.scalar1[Array[Byte], Row](
+      "audio_stats(binary) -> struct<n: bigint, peak: int, sum_sq: bigint>") {
+      payload =>
+        val (n, peak, sumSq) = JdkCodec.audioStats(payload)
+        Row(n, peak, sumSq)
+    }
 
     // resize plan arithmetic alone (no payload) — dims under a max edge
     Udf.scalar3[Int, Int, Int, Row]("resize_dims(int, int, int) -> struct<width: int, height: int>") {

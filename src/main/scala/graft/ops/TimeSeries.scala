@@ -280,21 +280,102 @@ object TimeSeries {
         expr(s"`$tsNsCol` div ${nsPerDay}L").as("day"),
         col(entityCol).cast("long").as("ent"))
       .distinct() // daily presence, not event multiplicity
-    // per-key day grid with resampleFill's loud span guard (a corrupt
-    // far-future timestamp must fail, not blow up one task's array)
-    val guardedD1 = when(col("d1") - col("d0") >= maxSpanDays,
-        raise_error(concat(lit("windowedDistinct: key "), col("key").cast("string"),
-          lit(s" spans >= $maxSpanDays days — corrupt timestamps?"))).cast("long"))
-      .otherwise(col("d1"))
-    val grid = base.groupBy("key")
-      .agg(min("day").as("d0"), max("day").as("d1"))
-      .select(col("key"), explode(sequence(col("d0"), guardedD1)).as("day"))
+    val grid = keyDayGrid(base, "windowedDistinct", maxSpanDays)
     val counts = base.select(col("key"), col("ent"),
         explode(sequence(col("day"), col("day") + (windowDays - 1))).as("day"))
       .groupBy("key", "day")
       .agg(countDistinct("ent").as("__nd"))
     grid.join(counts, Seq("key", "day"), "left")
       .select(col("key"), col("day"), coalesce(col("__nd"), lit(0L)).as("nd"))
+  }
+
+  /** Per-key [min, max] day grid with resampleFill's loud span guard (a
+    * corrupt far-future timestamp must fail, not blow up one task's array).
+    * Input needs (key, day) columns. */
+  private def keyDayGrid(base: DataFrame, opName: String, maxSpanDays: Int): DataFrame = {
+    val guardedD1 = when(col("d1") - col("d0") >= maxSpanDays,
+        raise_error(concat(lit(s"$opName: key "), col("key").cast("string"),
+          lit(s" spans >= $maxSpanDays days — corrupt timestamps?"))).cast("long"))
+      .otherwise(col("d1"))
+    base.groupBy("key")
+      .agg(min("day").as("d0"), max("day").as("d1"))
+      .select(col("key"), explode(sequence(col("d0"), guardedD1)).as("day"))
+  }
+
+  /** Sliding-window APPROXIMATE distinct counts via mergeable HyperLogLog
+    * registers — the 100 TB path where [[windowedDistinct]]'s exact
+    * formulation gets expensive: the exact operator fans the DEDUPLICATED
+    * (key, entity, day) stream into its `windowDays` trailing windows (a
+    * windowDays× blow-up of entity rows into a distinct aggregate), while
+    * this one aggregates each day down to ≤ 2^p register rows FIRST and fans
+    * only those — per-key daily state is a fixed ≤ 2^p rows no matter how
+    * many entities were active, so the fan-out and both downstream shuffles
+    * are O(keys · days · 2^p), independent of the entity count.
+    *
+    * The estimate is [[Sketches.hllEstimateRaw]]'s exact-integer arithmetic
+    * (the same 60-bit md5 hash, bucket/rho split, and rational-alpha
+    * estimator as `q_hll_distinct` / [[Sketches.hllRegisters]]), so the
+    * oracle replays every row bit-for-bit in HUGEINT — approximate vs the
+    * TRUE count, deterministic vs the replay. Standard error ≈ 1.04/√(2^p)
+    * (~4.6% at the default p=9).
+    *
+    * Output: (key, day, est) over the same per-key day grid as the exact
+    * operator (days whose trailing window saw no activity report est = 0).
+    */
+  /** @param corrected apply linear counting below 2.5·2^p (the standard
+    *        small-range correction, as [[Sketches.hllEstimate]]) — uses ln(),
+    *        so it is NOT cross-engine hash-gateable; the gated query keeps
+    *        the default raw estimator. */
+  def windowedDistinctHll(df: DataFrame, keyCol: String, tsNsCol: String,
+                          entityCol: String, windowDays: Int, p: Int = 9,
+                          corrected: Boolean = false,
+                          maxSpanDays: Int = 100000): DataFrame = {
+    require(windowDays >= 1 && windowDays <= 370, "windowDays in 1..370")
+    require(p >= 4 && p <= 14, "p in 4..14")
+    val m = 1 << p
+    val wBits = 60 - p
+    val nsPerDay = 86400L * 1000000000L
+    val h = conv(substring(md5(col(entityCol).cast("string")), 1, 15), 16, 10)
+      .cast("long")
+    // day registers: one counted shuffle, map-side combined to ≤ m rows per
+    // (key, day) before anything fans out
+    val perDay = df.where(col(entityCol).isNotNull)
+      .select(col(keyCol).as("key"),
+        expr(s"`$tsNsCol` div ${nsPerDay}L").as("day"), h.as("h"))
+      .select(col("key"), col("day"),
+        col("h").bitwiseAND(lit(m - 1)).cast("int").as("bucket"),
+        expr(s"CAST(CASE WHEN shiftrightunsigned(h, $p) = 0 THEN ${wBits + 1} " +
+             s"ELSE ${wBits + 1} - length(bin(shiftrightunsigned(h, $p))) END AS INT)")
+          .as("rho"))
+      .groupBy("key", "day", "bucket").agg(max("rho").as("r"))
+    // fan REGISTER rows (not entities) into their trailing windows, then
+    // max-merge per window — HLL union is elementwise max
+    val merged = perDay
+      .select(col("key"), col("bucket"), col("r"),
+        explode(sequence(col("day"), col("day") + (windowDays - 1))).as("day"))
+      .groupBy("key", "day", "bucket").agg(max("r").as("r"))
+    // S = Σ_present 2^(62-r) summed exactly in decimal(38,0); absent buckets
+    // contribute 2^62 each, added in the estimator from the present count
+    val sums = merged.groupBy("key", "day")
+      .agg(sum(expr(s"shiftrightunsigned(${1L << 62}L, r)").cast("decimal(38,0)"))
+          .as("__ssum"),
+        count(lit(1)).as("__n"))
+    // exact-integer raw estimator (BigInt; runs on ≤ keys·days tiny rows)
+    val applyCorrection = corrected
+    val est = udf { (ssum: java.math.BigDecimal, n: Long) =>
+      val s = BigInt(ssum.toBigInteger) + BigInt(m - n) * (BigInt(1) << 62)
+      val num = BigInt(7213) * BigInt(m).pow(3) * (BigInt(1) << 62)
+      val raw = (num / (BigInt(10000L * m + 10790) * s)).toLong
+      // zeros = m - n: every present register row has r >= 1 by construction
+      if (applyCorrection && raw <= (5L * m) / 2 && n < m)
+        math.round(m * math.log(m.toDouble / (m - n)))
+      else raw
+    }
+    keyDayGrid(perDay.select("key", "day"), "windowedDistinctHll", maxSpanDays)
+      .join(sums, Seq("key", "day"), "left")
+      .select(col("key"), col("day"),
+        when(col("__n").isNull, lit(0L))
+          .otherwise(est(col("__ssum"), col("__n"))).as("est"))
   }
 
   /** Windowed exponential moving average with power-of-two decay, scaled to

@@ -1,5 +1,8 @@
 package graft
 
+import java.io.ByteArrayInputStream
+import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+
 import graft.ops.{Dedup, Multimodal, Similarity}
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -401,6 +404,27 @@ class OpsSpec extends AnyFunSuite {
     }
     // WAV: header-parsed duration = frames / rate
     assert(JdkCodec.audioDurationMs(JdkCodec.synthWav(4410, 44100)) == 100L)
+    // full sample decode: stats over the real PCM bytes equal the ramp's
+    // closed-form replay (v_i = ((i % 2048) - 1024)·16)
+    locally {
+      val n = 3000
+      val vs = (0 until n).map(i => ((i % 2048) - 1024) * 16)
+      val (gn, peak, sumSq) = JdkCodec.audioStats(JdkCodec.synthWav(n, 8000))
+      assert(gn == n.toLong)
+      assert(peak == vs.map(math.abs).max)
+      assert(sumSq == vs.map(v => v.toLong * v).sum)
+      // big-endian AIFF of the same samples must decode identically
+      val fmtBe = new AudioFormat(8000f, 16, 1, true, true)
+      val data = new Array[Byte](n * 2)
+      vs.zipWithIndex.foreach { case (v, i) =>
+        data(2 * i) = ((v >> 8) & 0xff).toByte; data(2 * i + 1) = (v & 0xff).toByte
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      AudioSystem.write(new AudioInputStream(
+        new ByteArrayInputStream(data), fmtBe, n.toLong),
+        AudioFileFormat.Type.AIFF, bos)
+      assert(JdkCodec.audioStats(bos.toByteArray) == ((n.toLong, peak, sumSq)))
+    }
     // SQL surface end-to-end through mapPartitions feature extraction
     val df = docsDf.selectExpr("doc_id",
       "png_synth(CAST(9 + doc_id % 5 AS INT), CAST(6 + doc_id % 3 AS INT), 0) AS payload")

@@ -156,6 +156,48 @@ class PathsSpec extends AnyFunSuite {
     assert(got == Map(0L -> 1L, 1L -> 1L, 2L -> 0L, 3L -> 0L, 4L -> 0L, 5L -> 1L))
   }
 
+  test("windowedDistinctHll: window estimates equal the merged register-file estimator") {
+    import org.apache.spark.sql.functions.col
+    val ns = 86400L * 1000000000L
+    // 300 entities on day 0, 200 NEW entities on day 1 (500 distinct total)
+    val df = spark.range(500).selectExpr("'a' AS k",
+      s"CASE WHEN id < 300 THEN 0 ELSE ${ns}L END AS ts", "id AS e")
+    val got = graft.ops.TimeSeries.windowedDistinctHll(df, "k", "ts", "e",
+        windowDays = 3)
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    // the day-0 window holds exactly day 0's entities: its estimate must
+    // EQUAL hllEstimateRaw over that register file (same hash, same p)
+    val reg0 = graft.ops.Sketches.collectRegisters(
+      graft.ops.Sketches.hllRegisters(spark.range(300).toDF("v"), col("v"), 9), 9)
+    assert(got(0L) == graft.ops.Sketches.hllEstimateRaw(reg0))
+    // the day-1 window merges day 0 + day 1: estimate == the UNION register
+    // file's — HLL mergeability through the window fan-out
+    val regAll = graft.ops.Sketches.collectRegisters(
+      graft.ops.Sketches.hllRegisters(spark.range(500).toDF("v"), col("v"), 9), 9)
+    assert(got(1L) == graft.ops.Sketches.hllEstimateRaw(regAll))
+    assert(got.keySet == Set(0L, 1L))
+  }
+
+  test("windowedDistinctHll: gap days report 0; corrected mode tracks small truths") {
+    import org.apache.spark.sql.types._
+    val ns = 86400L * 1000000000L
+    val schema = StructType(Seq(
+      StructField("k", StringType, nullable = false),
+      StructField("ts", LongType, nullable = false),
+      StructField("e", LongType, nullable = false)))
+    val rows = Seq(Row("b", 0L * ns, 7L), Row("b", 5L * ns, 8L))
+    val df = spark.createDataFrame(rows.asJava, schema)
+    val got = graft.ops.TimeSeries.windowedDistinctHll(df, "k", "ts", "e",
+        windowDays = 2, corrected = true)
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    // same day grid as the exact operator; empty trailing windows are 0, and
+    // linear counting makes the single-entity days estimate ~1 (the RAW
+    // estimator would report ~370 here — the documented small-range bias)
+    assert(got.keySet == Set(0L, 1L, 2L, 3L, 4L, 5L))
+    assert(got(2L) == 0L && got(3L) == 0L && got(4L) == 0L)
+    assert(got(0L) == 1L && got(1L) == 1L && got(5L) == 1L)
+  }
+
   test("winsorize clips to the group's discrete percentile bounds") {
     import org.apache.spark.sql.types._
     val schema = StructType(Seq(
