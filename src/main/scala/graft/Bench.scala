@@ -304,7 +304,13 @@ object Bench {
       // summation order).
       "x_ann_recall_1m" -> { s: SparkSession =>
         Graft.install(s)
+        // seven retrieval passes share one in-memory corpus (the gate
+        // measures RECALL of live operator code, not parquet re-reads; the
+        // passes themselves always run live — only deterministic inputs are
+        // ever fixture-cached)
         val corpus = s.read.parquet(annClusteredParquet(s))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
         // ~51 probe queries; checkpointed so each recall pass doesn't re-scan
         // the corpus just to derive them
         val queries = corpus.where("vec_id % 19997 = 0")
@@ -391,6 +397,7 @@ object Bench {
         require(rIvfSaved >= 0.90, f"ivfSearchSaved recall@10 $rIvfSaved%.3f < 0.90")
         require(pqCluster >= 0.90, f"pqTopK cluster recall $pqCluster%.3f < 0.90")
         require(rPqRerank >= 0.90, f"pqTopKRerank recall@10 $rPqRerank%.3f < 0.90")
+        } finally corpus.unpersist()
       },
       // PATHOLOGICAL hot bucket: 20% of the corpus (200k scaled copies of
       // one base vector — positive scaling preserves every hyperplane sign,

@@ -1871,6 +1871,30 @@ object SparkEntry {
         .select(col("doc_id"), expr(c4PageSql).as("page"))
       graft.ops.Curation.c4Filter(pages, "page", "doc_id").orderBy("doc_id")
     } _,
+    // URL canonicalization (crawl-dedup pre-step): hostile raw URLs derived
+    // from doc_id — mixed case, default/explicit ports, trailing slashes,
+    // tracking params out of order, fragments, empty paths/queries — must
+    // normalize to the PLANTED canonical form the oracle derives directly
+    // from doc_id arithmetic (q_compress pattern: independent derivation,
+    // not a re-implementation). Map-only builtins, no UDF
+    "q_url_normalize" -> dfq { s =>
+      val raw = expr(
+        """concat('HTTP', CASE WHEN doc_id % 3 = 0 THEN 'S' ELSE '' END,
+          |  '://ExAmple', CAST(doc_id % 7 AS STRING), '.CoM',
+          |  CASE WHEN doc_id % 3 = 0 THEN ':443' WHEN doc_id % 5 = 0 THEN ':80'
+          |       WHEN doc_id % 11 = 0 THEN ':8080' ELSE '' END,
+          |  CASE WHEN doc_id % 9 = 0 THEN ''
+          |       ELSE concat('/Path/', CAST(doc_id % 13 AS STRING),
+          |         CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END) END,
+          |  CASE WHEN doc_id % 4 = 0 THEN '?b=2&utm_source=x&a=1'
+          |       WHEN doc_id % 4 = 1 THEN '?gclid=99&z=26&a=1'
+          |       WHEN doc_id % 4 = 2 THEN '?' ELSE '' END,
+          |  CASE WHEN doc_id % 6 = 0 THEN '#Frag' ELSE '' END)""".stripMargin)
+      val norm = graft.ops.Curation.normalizeUrl(raw)
+      s.table("documents").select(col("doc_id"), norm.as("norm"),
+          graft.ops.Curation.urlDomain(norm).as("domain"))
+        .orderBy("doc_id")
+    } _,
     // native codegen'd Jaro-Winkler over adjacent part names — the record-
     // linkage scorer, gated raw-double against DuckDB's builtin (the two
     // implementations are bit-compatible; fuzz-verified)
@@ -4765,6 +4789,22 @@ object SparkEntry {
       """SELECT a.p_partkey AS id, jaro_winkler_similarity(a.p_name, b.p_name) AS jw
         |FROM part a JOIN part b ON b.p_partkey = a.p_partkey + 1
         |ORDER BY id""".stripMargin,
+    // canonical form derived DIRECTLY from doc_id arithmetic — lowercased
+    // scheme/host, default ports gone, :8080 kept (only when neither
+    // default-port branch matched), empty path -> '/', trailing slash gone,
+    // tracking params gone, survivors sorted, fragments gone
+    "q_url_normalize" ->
+      """SELECT doc_id,
+        |  concat('http', CASE WHEN doc_id % 3 = 0 THEN 's' ELSE '' END,
+        |    '://example', CAST(doc_id % 7 AS VARCHAR), '.com',
+        |    CASE WHEN doc_id % 11 = 0 AND doc_id % 3 <> 0 AND doc_id % 5 <> 0
+        |         THEN ':8080' ELSE '' END,
+        |    CASE WHEN doc_id % 9 = 0 THEN '/'
+        |         ELSE concat('/Path/', CAST(doc_id % 13 AS VARCHAR)) END,
+        |    CASE WHEN doc_id % 4 = 0 THEN '?a=1&b=2'
+        |         WHEN doc_id % 4 = 1 THEN '?a=1&z=26' ELSE '' END) AS norm,
+        |  concat('example', CAST(doc_id % 7 AS VARCHAR), '.com') AS domain
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "q_curate_v6" ->
       s"""WITH $duckC4Ctes,
          |c4s AS (SELECT doc_id FROM c4f WHERE pass),

@@ -501,4 +501,60 @@ object Curation {
         hasLorem.as("has_lorem"), hasBrace.as("has_brace"), pass.as("pass"),
         when(pass, cleanText).as("clean_text"))
   }
+
+  /**
+   * URL canonicalization for crawl dedup — the pre-step that makes
+   * `http://Example.com:80/a/?b=2&utm_source=x&a=1#frag` and
+   * `http://example.com/a?a=1&b=2` collide BEFORE any content hashing.
+   * Entirely built-in Column functions (codegen'd, no UDF), so it runs as a
+   * map-only projection at any scale and the oracle replays every step
+   * independently in SQL.
+   *
+   * Contract (the common crawl-dedup canon, NOT a full RFC 3986 parser):
+   *  1. trim; a value without `://` is opaque — returned trimmed, unchanged;
+   *  2. strip the fragment (`#...`);
+   *  3. lowercase the scheme and the authority (host[:port]);
+   *  4. drop the default port (`:80` for http, `:443` for https);
+   *  5. empty path → `/`; otherwise drop one trailing `/` (root keeps its);
+   *  6. query: split on `&`, drop empty params and the tracking family
+   *     (`utm_*` prefixes, `fbclid=`, `gclid=`), sort the remaining
+   *     `k=v` tokens bytewise, rejoin; an emptied query drops its `?`.
+   * Path case and percent-encoding are preserved (paths are case-sensitive;
+   * decoding is not canonical without charset knowledge).
+   */
+  def normalizeUrl(u: Column): Column = {
+    val t = trim(u)
+    val noFrag = substring_index(t, "#", 1)
+    val base = substring_index(noFrag, "?", 1)
+    val query = when(instr(noFrag, "?") > 0,
+      noFrag.substr(instr(noFrag, "?") + lit(1), length(noFrag))).otherwise(lit(""))
+    val sep = instr(base, "://")
+    val scheme = lower(base.substr(lit(1), sep - lit(1)))
+    val rest = base.substr(sep + lit(3), length(base))
+    val hostport = lower(substring_index(rest, "/", 1))
+    val path0 = rest.substr(length(hostport) + lit(1), length(rest))
+    val hp = when(scheme === "http" && hostport.endsWith(":80"),
+        hostport.substr(lit(1), length(hostport) - lit(3)))
+      .when(scheme === "https" && hostport.endsWith(":443"),
+        hostport.substr(lit(1), length(hostport) - lit(4)))
+      .otherwise(hostport)
+    val path1 = when(path0 === "", lit("/")).otherwise(path0)
+    val path = when(length(path1) > 1 && path1.endsWith("/"),
+      path1.substr(lit(1), length(path1) - lit(1))).otherwise(path1)
+    val toks = filter(split(query, "&"), tok =>
+      tok =!= "" && !tok.startsWith("utm_") &&
+        !tok.startsWith("fbclid=") && !tok.startsWith("gclid="))
+    val qNorm = array_join(array_sort(toks), "&")
+    when(sep === 0, t).otherwise(concat(scheme, lit("://"), hp, path,
+      when(qNorm === "", lit("")).otherwise(concat(lit("?"), qNorm))))
+  }
+
+  /** The host (authority minus port) of a NORMALIZED url — the group-by key
+    * for per-domain corpus stats/budgets. Opaque (no `://`) values → NULL. */
+  def urlDomain(normUrl: Column): Column = {
+    val sep = instr(normUrl, "://")
+    when(sep > 0, substring_index(
+      substring_index(normUrl.substr(sep + lit(3), length(normUrl)), "/", 1),
+      ":", 1))
+  }
 }

@@ -750,6 +750,116 @@ object Streaming {
       }
   }
 
+  /** One dated value for the sliding-window streaming sketch. */
+  case class DayKV(key: String, day: Long, value: String)
+  /** One revised window estimate: the trailing-`windowDays` distinct
+    * estimate for (key, day), matching [[graft.ops.TimeSeries.windowedDistinctHll]]. */
+  case class WinEst(key: String, day: Long, est: Long)
+  /** Per-key state: parallel (day, registers) columns plus the min/max day
+    * seen (max drives recomputation + retention eviction; min detects
+    * whether eviction has ever removed one of this key's grid days). */
+  case class HllWinState(days: Seq[Long], regs: Seq[Array[Byte]], maxDay: Long,
+                         minDay: Long)
+
+  /**
+   * Streaming sliding-window distinct estimates — the incremental twin of
+   * [[graft.ops.TimeSeries.windowedDistinctHll]]: per-key state is one HLL
+   * register file PER RETAINED DAY (bounded: `retainDays` × 2^p bytes per
+   * key, whatever the entity rate), and each micro-batch emits the revised
+   * trailing-window estimate for every window-day the batch could have
+   * changed.
+   *
+   * BATCH-IDENTICAL on the emitted grid: the latest emission per (key, day)
+   * equals the batch operator's estimate over the same rows for every day in
+   * the key's [min, max] span — including newly-in-grid days a jump in
+   * `maxDay` exposes (recomputed from `prevMax`) and empty windows (emitted
+   * as 0), because the parity spec replays exactly that contract. Uses the
+   * same md5 hash/bucket/rho split and exact-integer raw estimator as the
+   * batch operator, so estimates agree bit-for-bit.
+   *
+   * Late data: rows for days older than `maxDay - retainDays` are DROPPED
+   * (their registers were evicted — the state-boundedness contract; size
+   * `retainDays` like a watermark delay). `retainDays` must cover at least
+   * the window so every live window can re-merge its days. Once retention
+   * bites (a key's span exceeds `retainDays`), windows older than the evict
+   * horizon keep their LAST in-retention emission rather than being
+   * recounted from partial state — so the batch-parity claim above is exact
+   * when `retainDays` covers the span, and eventually-frozen-correct beyond
+   * it.
+   */
+  def hllWindowStream(input: Dataset[DayKV], windowDays: Int, p: Int = 9,
+      retainDays: Int = 0): Dataset[WinEst] = {
+    require(windowDays >= 1 && windowDays <= 370, "windowDays in 1..370")
+    require(p >= 4 && p <= 14, "p in 4..14")
+    val retain = if (retainDays <= 0) 2 * windowDays else retainDays
+    require(retain >= windowDays, "retainDays must cover the window")
+    implicit val stateEnc: Encoder[HllWinState] = Encoders.product[HllWinState]
+    implicit val outEnc: Encoder[WinEst] = Encoders.product[WinEst]
+    implicit val keyEnc: Encoder[String] = Encoders.STRING
+    val agg = new graft.ops.Sketches.HllAgg(p)
+    input.groupByKey(_.key)
+      .flatMapGroupsWithState[HllWinState, WinEst](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (key: String, rows: Iterator[DayKV], state: GroupState[HllWinState]) =>
+          val st = state.getOption.getOrElse(
+            HllWinState(Nil, Nil, Long.MinValue, Long.MaxValue))
+          val regs = scala.collection.mutable.Map.empty[Long, Array[Byte]]
+          st.days.zip(st.regs).foreach { case (d, r) => regs(d) = r }
+          val prevMax = st.maxDay
+          var maxDay = prevMax
+          var minDay = st.minDay
+          val touched = scala.collection.mutable.Set.empty[Long]
+          rows.foreach { r =>
+            if (maxDay == Long.MinValue || r.day > maxDay - retain) {
+              regs(r.day) = agg.accumulate(
+                regs.getOrElse(r.day, agg.createState()), Row(r.value))
+              touched += r.day
+              if (r.day > maxDay) maxDay = r.day
+              if (r.day < minDay) minDay = r.day
+            } // else: beyond the retention horizon — dropped, like a watermark
+          }
+          // evict days no live window can reference anymore
+          regs.keys.filter(_ <= maxDay - retain).toSeq.foreach(regs.remove)
+          // window-days to recompute: every window covering a touched day,
+          // plus days newly inside the [min, max] grid (maxDay advanced;
+          // on the key's first batch the grid starts at its min day) — all
+          // capped to the grid's right edge, so mid-gap days emit their 0s
+          val affected = scala.collection.mutable.SortedSet.empty[Long]
+          touched.foreach { d =>
+            var w = d
+            while (w < d + windowDays && w <= maxDay) { affected += w; w += 1 }
+          }
+          val fillFrom =
+            if (prevMax == Long.MinValue)
+              if (touched.nonEmpty) touched.min else maxDay + 1
+            else prevMax + 1
+          require(maxDay == Long.MinValue || maxDay - fillFrom < 100000,
+            s"hllWindowStream: key $key jumped ${maxDay - fillFrom} days in " +
+              "one batch — corrupt timestamps?")
+          (fillFrom to maxDay).foreach(affected += _)
+          // only re-emit windows whose full day range survived eviction: a
+          // maxDay jump inside one batch may have evicted days an affected
+          // OLD window needs — its prior (correct) emission must stand, not
+          // be clobbered with a partial recount (the retention contract).
+          // While nothing of this key's grid has ever crossed the horizon
+          // (minDay > maxDay - retain), every window is recount-safe
+          val emitFloor =
+            if (minDay > maxDay - retain) Long.MinValue
+            else maxDay - retain + windowDays
+          val out = affected.iterator.filter(_ >= emitFloor).map { w =>
+            val merged = ((w - windowDays + 1) to w).foldLeft(agg.createState()) {
+              (acc, d) => regs.get(d).map(agg.merge(acc, _)).getOrElse(acc)
+            }
+            val covered = ((w - windowDays + 1) to w).exists(regs.contains)
+            WinEst(key, w, if (covered) agg.finish(merged) else 0L)
+          }.toVector
+          val sorted = regs.toSeq.sortBy(_._1)
+          state.update(HllWinState(sorted.map(_._1), sorted.map(_._2), maxDay,
+            minDay))
+          out.iterator
+      }
+  }
+
   def hllStream(input: Dataset[KV], p: Int = 9): Dataset[CardEstimate] = {
     implicit val stateEnc: Encoder[Array[Byte]] = Encoders.BINARY
     implicit val outEnc: Encoder[CardEstimate] = Encoders.product[CardEstimate]

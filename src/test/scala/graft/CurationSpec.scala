@@ -49,6 +49,31 @@ class CurationSpec extends AnyFunSuite {
     assert(other != again)
   }
 
+  test("normalizeUrl: canonical form for every contract rule; opaque passthrough") {
+    import spark.implicits._
+    val cases = Seq(
+      // fragment + default port + trailing slash + tracking + unsorted params
+      "HTTP://Example.COM:80/a/?b=2&utm_source=x&a=1#frag" ->
+        "http://example.com/a?a=1&b=2",
+      "https://HOST.net:443/P/Q" -> "https://host.net/P/Q", // path case kept
+      "http://h.io:8080/x" -> "http://h.io:8080/x",         // explicit port kept
+      "http://h.io" -> "http://h.io/",                      // empty path -> /
+      "http://h.io/?" -> "http://h.io/",                    // bare ? dropped
+      "http://h.io/a?fbclid=1&gclid=2&utm_x=3" -> "http://h.io/a", // all tracked
+      "  http://h.io/a  " -> "http://h.io/a",               // trimmed
+      "mailto-like-opaque-value" -> "mailto-like-opaque-value") // no :// -> as-is
+    val got = cases.map(_._1).toDF("u")
+      .select(graft.ops.Curation.normalizeUrl(col("u")).as("n"))
+      .collect().map(_.getString(0)).toSeq
+    assert(got == cases.map(_._2), got.mkString("\n"))
+    // domain of the normalized forms
+    val doms = cases.map(_._2).toDF("u")
+      .select(graft.ops.Curation.urlDomain(col("u")).as("d"))
+      .collect().map(r => Option(r.getString(0))).toSeq
+    assert(doms == Seq(Some("example.com"), Some("host.net"), Some("h.io"),
+      Some("h.io"), Some("h.io"), Some("h.io"), Some("h.io"), None))
+  }
+
   test("c4Filter: every line rule and page rule fires; clean pages survive") {
     val good = "This sentence has more than five words in it.\n" +
       "Another perfectly fine sentence follows right here now.\n" +

@@ -15,9 +15,9 @@ import org.scalatest.funsuite.AnyFunSuite
  * (rocksdb custom metrics present, state row counts exact or tightly
  * bounded).
  *
- * Covered: semantic-dedup, HLL, SCD2, retracting aggregate, windowed count,
- * sessionize (both variants), as-of join, range join, anomaly, CUSUM,
- * token-budget, curation, qsketch. NOT here: `annJoinStream` and
+ * Covered: semantic-dedup, HLL, HLL sliding window, SCD2, retracting
+ * aggregate, windowed count, sessionize (both variants), as-of join, range
+ * join, anomaly, CUSUM, token-budget, curation, qsketch. NOT here: `annJoinStream` and
  * `dedupStream` — their state is external (a persisted parquet index /
  * cached corpus driven through foreachBatch), so no state store is involved
  * regardless of provider.
@@ -475,6 +475,36 @@ class RocksDbStreamingSpec extends AnyFunSuite {
           .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
         assert(got == batch)
         assert(rocksStateRows(q) == 2L) // one register map per key
+      } finally q.stop()
+    }
+  }
+
+  test("rocksdb: hllWindowStream equals the batch HLL windowed distinct, one state row per key") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ns = 86400L * 1000000000L
+    val rnd = new scala.util.Random(17)
+    val rows = for (k <- Seq("a", "b"); d <- 0L until 5L; _ <- 0 until 80)
+      yield Streaming.DayKV(k, d, s"v${rnd.nextInt(200)}")
+    val want = graft.ops.TimeSeries.windowedDistinctHll(
+        rows.toDF("key", "day", "value")
+          .selectExpr("key AS k", s"day * ${ns}L AS ts", "value AS e"),
+        "k", "ts", "e", windowDays = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    withRocksDb {
+      val mem = MemoryStream[Streaming.DayKV]
+      val q = Streaming.hllWindowStream(mem.toDS(), windowDays = 3)
+        .writeStream.format("memory").queryName("rocks_hllwin")
+        .outputMode("update").start()
+      try {
+        val (b0, b1) = rows.splitAt(rows.size / 2) // splits mid-day
+        mem.addData(b0: _*); q.processAllAvailable()
+        mem.addData(b1: _*); q.processAllAvailable()
+        val got = spark.sql("SELECT * FROM rocks_hllwin").collect()
+          .groupBy(r => (r.getString(0), r.getLong(1)))
+          .map { case (k, rs) => k -> rs.last.getLong(2) }
+        assert(got == want, s"rocksdb stream $got vs batch $want")
+        assert(rocksStateRows(q) == 2L) // one day-register map per key
       } finally q.stop()
     }
   }

@@ -740,6 +740,70 @@ class StreamingSpec extends AnyFunSuite {
     assert(seen.toMap == expected)
   }
 
+  test("batch ≡ stream: hllWindowStream equals windowedDistinctHll on the emitted grid") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ns = 86400L * 1000000000L
+    // 2 keys, activity on days 0,1,2,5,9 (gaps!), 120 draws/day from 300
+    val rnd = new scala.util.Random(13)
+    val rows = for (k <- Seq("a", "b"); d <- Seq(0L, 1L, 2L, 5L, 9L); _ <- 0 until 120)
+      yield Streaming.DayKV(k, d, s"u${rnd.nextInt(300)}")
+    val batchDf = rows.toDF("key", "day", "value")
+      .selectExpr("key AS k", s"day * ${ns}L AS ts", "value AS e")
+    val want = graft.ops.TimeSeries.windowedDistinctHll(
+        batchDf, "k", "ts", "e", windowDays = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(want.values.exists(_ == 0L) && want.values.exists(_ > 0L),
+      "fixture needs both empty and covered windows")
+    val mem = MemoryStream[Streaming.DayKV]
+    // retention covers the full 0..9 span so the parity claim is exact
+    val q = Streaming.hllWindowStream(mem.toDS(), windowDays = 3, retainDays = 16)
+      .writeStream.format("memory").queryName("hllwin_stream")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      // three chunks split MID-DAY: day registers must merge across batches,
+      // and the day-9 jump must back-fill the gap days' zeros
+      rows.grouped(rows.size / 3 + 1).foreach { c =>
+        mem.addData(c: _*); q.processAllAvailable()
+      }
+      val got = spark.sql("SELECT * FROM hllwin_stream").collect()
+        .groupBy(r => (r.getString(0), r.getLong(1)))
+        .map { case (k, rs) => k -> rs.last.getLong(2) }
+      assert(got == want, s"stream $got vs batch $want")
+    } finally q.stop()
+  }
+
+  test("hllWindowStream: beyond-retention late rows drop; wild day jumps fail loudly") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Streaming.DayKV]
+    val results = scala.collection.mutable.Map.empty[(String, Long), Long]
+    val q = Streaming.hllWindowStream(mem.toDS(), windowDays = 2, retainDays = 3)
+      .writeStream.outputMode(OutputMode.Update())
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[Streaming.WinEst], _: Long) =>
+        df.collect().foreach(r => results.synchronized {
+          results((r.key, r.day)) = r.est })
+      }.start()
+    try {
+      mem.addData(Streaming.DayKV("k", 10L, "a"), Streaming.DayKV("k", 10L, "b"))
+      q.processAllAvailable()
+      assert(results(("k", 10L)) >= 1L)
+      // a row 4 days late (10 - 3 - 1 = 6 <= 10 - retain) must be DROPPED:
+      // day 7's window estimate never appears, day 10's never changes
+      val before = results.toMap
+      mem.addData(Streaming.DayKV("k", 6L, "z"))
+      q.processAllAvailable()
+      assert(results.toMap == before, "beyond-retention row must not change anything")
+      // a 100k-day jump (corrupt timestamp) must kill the query loudly, not
+      // grind through a 100k-window back-fill
+      mem.addData(Streaming.DayKV("k", 300000L, "w"))
+      val ex = intercept[Exception] { q.processAllAvailable() }
+      def chain(t: Throwable): Seq[String] =
+        if (t == null) Nil else Option(t.getMessage).toSeq ++ chain(t.getCause)
+      assert(chain(ex).exists(_.contains("jumped")), chain(ex).mkString(" | "))
+    } finally q.stop()
+  }
+
   test("batch ≡ stream: qsketchStream registers equal the batch sketch") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
