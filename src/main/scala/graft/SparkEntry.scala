@@ -5256,8 +5256,10 @@ object SparkEntry {
          |        sum(CAST(CAST(1 AS BIGINT) << (62 - r) AS HUGEINT)) AS ssum,
          |        count(*) AS n
          |      FROM mg GROUP BY 1, 2),
-         |g AS (SELECT key, unnest(generate_series(min(day), max(day))) AS day
-         |      FROM e GROUP BY key)
+         |g AS (SELECT event_type AS key,
+         |        unnest(generate_series(min(epoch_ns(ts) // 86400000000000),
+         |                               max(epoch_ns(ts) // 86400000000000))) AS day
+         |      FROM events GROUP BY 1)
          |SELECT g.key AS event_type, CAST(g.day AS BIGINT) AS day,
          |  CAST(CASE WHEN s.n IS NULL THEN 0 ELSE
          |    (CAST(7213 AS HUGEINT) * 512 * 512 * 512

@@ -175,6 +175,9 @@ object Multimodal {
         val fmt = ais.getFormat
         require(fmt.getSampleSizeInBits == 16,
           s"audio_stats: 16-bit PCM only, got ${fmt.getSampleSizeInBits}-bit")
+        require(fmt.getEncoding == AudioFormat.Encoding.PCM_SIGNED,
+          s"audio_stats: signed PCM only, got ${fmt.getEncoding} — an " +
+            "unsigned payload would silently decode with flipped sign")
         val frameBytes = fmt.getFrameSize
         val big = fmt.isBigEndian
         val buf = new Array[Byte](frameBytes * 4096)

@@ -64,6 +64,14 @@ object Sketches {
     var s = BigInt(0)
     var j = 0
     while (j < m) { s += BigInt(1) << (62 - registers(j)); j += 1 }
+    hllEstimateRawFromSum(s, m)
+  }
+
+  /** [[hllEstimateRaw]] from the precomputed S = Σ_j 2^(62-M_j) — the form
+    * distributed register pipelines produce (absent buckets contribute
+    * 2^62 each; add them before calling). Single source of truth for the
+    * alpha constants the DuckDB oracles mirror. */
+  def hllEstimateRawFromSum(s: BigInt, m: Int): Long = {
     val num = BigInt(7213) * BigInt(m).pow(3) * (BigInt(1) << 62)
     (num / (BigInt(10000 * m.toLong + 10790) * s)).toLong
   }
@@ -83,15 +91,26 @@ object Sketches {
     * days, unioning corpora): one groupBy over ≤2^p buckets, map-side
     * combined, rows = non-empty buckets only. Entirely built-in codegen'd
     * expressions (md5/conv/bin), no UDF in the path. */
-  def hllRegisters(df: DataFrame, key: Column, p: Int): DataFrame = {
-    val m = 1 << p
+  /** The 60-bit md5 hash column every HLL computation hashes with (DuckDB
+    * replica: `CAST('0x' || substr(md5(key), 1, 15) AS BIGINT)`). */
+  def hllHashCol(key: Column): Column =
+    conv(substring(md5(key.cast("string")), 1, 15), 16, 10).cast("long")
+
+  /** (bucket, rho) over a hash column NAMED `h` — the shared front half of
+    * [[hllRegisters]] and the windowed register pipelines; keeping one
+    * definition keeps the DuckDB oracle mirrors honest. */
+  def hllBucketRhoCols(p: Int): (Column, Column) = {
     val wBits = 60 - p
-    val h = conv(substring(md5(key.cast("string")), 1, 15), 16, 10).cast("long")
+    (col("h").bitwiseAND(lit((1 << p) - 1)).cast("int"),
+      expr(s"CAST(CASE WHEN shiftrightunsigned(h, $p) = 0 THEN ${wBits + 1} " +
+           s"ELSE ${wBits + 1} - length(bin(shiftrightunsigned(h, $p))) END AS INT)"))
+  }
+
+  def hllRegisters(df: DataFrame, key: Column, p: Int): DataFrame = {
+    val (bucket, rho) = hllBucketRhoCols(p)
     df.where(key.isNotNull)
-      .select(h.as("h"))
-      .select(col("h").bitwiseAND(lit(m - 1)).cast("int").as("bucket"),
-        expr(s"CAST(CASE WHEN shiftrightunsigned(h, $p) = 0 THEN ${wBits + 1} " +
-             s"ELSE ${wBits + 1} - length(bin(shiftrightunsigned(h, $p))) END AS INT)").as("rho"))
+      .select(hllHashCol(key).as("h"))
+      .select(bucket.as("bucket"), rho.as("rho"))
       .groupBy("bucket").agg(max("rho").as("r"))
   }
 

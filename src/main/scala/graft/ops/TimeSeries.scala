@@ -333,20 +333,16 @@ object TimeSeries {
     require(windowDays >= 1 && windowDays <= 370, "windowDays in 1..370")
     require(p >= 4 && p <= 14, "p in 4..14")
     val m = 1 << p
-    val wBits = 60 - p
     val nsPerDay = 86400L * 1000000000L
-    val h = conv(substring(md5(col(entityCol).cast("string")), 1, 15), 16, 10)
-      .cast("long")
-    // day registers: one counted shuffle, map-side combined to ≤ m rows per
-    // (key, day) before anything fans out
+    // day registers (Sketches' shared hash/bucket/rho — one definition for
+    // every HLL pipeline and its oracle mirror): one counted shuffle,
+    // map-side combined to ≤ m rows per (key, day) before anything fans out
+    val (bucketCol, rhoCol) = Sketches.hllBucketRhoCols(p)
     val perDay = df.where(col(entityCol).isNotNull)
       .select(col(keyCol).as("key"),
-        expr(s"`$tsNsCol` div ${nsPerDay}L").as("day"), h.as("h"))
-      .select(col("key"), col("day"),
-        col("h").bitwiseAND(lit(m - 1)).cast("int").as("bucket"),
-        expr(s"CAST(CASE WHEN shiftrightunsigned(h, $p) = 0 THEN ${wBits + 1} " +
-             s"ELSE ${wBits + 1} - length(bin(shiftrightunsigned(h, $p))) END AS INT)")
-          .as("rho"))
+        expr(s"`$tsNsCol` div ${nsPerDay}L").as("day"),
+        Sketches.hllHashCol(col(entityCol)).as("h"))
+      .select(col("key"), col("day"), bucketCol.as("bucket"), rhoCol.as("rho"))
       .groupBy("key", "day", "bucket").agg(max("rho").as("r"))
     // fan REGISTER rows (not entities) into their trailing windows, then
     // max-merge per window — HLL union is elementwise max
@@ -360,18 +356,22 @@ object TimeSeries {
       .agg(sum(expr(s"shiftrightunsigned(${1L << 62}L, r)").cast("decimal(38,0)"))
           .as("__ssum"),
         count(lit(1)).as("__n"))
-    // exact-integer raw estimator (BigInt; runs on ≤ keys·days tiny rows)
+    // exact-integer raw estimator (runs on ≤ keys·days tiny rows; the
+    // alpha arithmetic lives once, in Sketches)
     val applyCorrection = corrected
     val est = udf { (ssum: java.math.BigDecimal, n: Long) =>
       val s = BigInt(ssum.toBigInteger) + BigInt(m - n) * (BigInt(1) << 62)
-      val num = BigInt(7213) * BigInt(m).pow(3) * (BigInt(1) << 62)
-      val raw = (num / (BigInt(10000L * m + 10790) * s)).toLong
+      val raw = Sketches.hllEstimateRawFromSum(s, m)
       // zeros = m - n: every present register row has r >= 1 by construction
       if (applyCorrection && raw <= (5L * m) / 2 && n < m)
         math.round(m * math.log(m.toDouble / (m - n)))
       else raw
     }
-    keyDayGrid(perDay.select("key", "day"), "windowedDistinctHll", maxSpanDays)
+    // grid from the NULL-INCLUSIVE projection — identical to the exact
+    // operator's grid (a day with only null entities is in-grid, count 0)
+    val allDays = df.select(col(keyCol).as("key"),
+      expr(s"`$tsNsCol` div ${nsPerDay}L").as("day"))
+    keyDayGrid(allDays, "windowedDistinctHll", maxSpanDays)
       .join(sums, Seq("key", "day"), "left")
       .select(col("key"), col("day"),
         when(col("__n").isNull, lit(0L))

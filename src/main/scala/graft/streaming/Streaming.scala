@@ -771,9 +771,12 @@ object Streaming {
    *
    * BATCH-IDENTICAL on the emitted grid: the latest emission per (key, day)
    * equals the batch operator's estimate over the same rows for every day in
-   * the key's [min, max] span — including newly-in-grid days a jump in
-   * `maxDay` exposes (recomputed from `prevMax`) and empty windows (emitted
-   * as 0), because the parity spec replays exactly that contract. Uses the
+   * the key's [min, max] span — including newly-in-grid days exposed on
+   * EITHER side (a `maxDay` jump back-fills from the previous max; an
+   * in-retention late day below the previous min back-fills down to it),
+   * empty windows (emitted as 0), and null entities (ignored, like the
+   * batch operator's isNotNull filter) — because the parity spec replays
+   * exactly that contract. Uses the
    * same md5 hash/bucket/rho split and exact-integer raw estimator as the
    * batch operator, so estimates agree bit-for-bit.
    *
@@ -806,11 +809,15 @@ object Streaming {
           val regs = scala.collection.mutable.Map.empty[Long, Array[Byte]]
           st.days.zip(st.regs).foreach { case (d, r) => regs(d) = r }
           val prevMax = st.maxDay
+          val prevMin = st.minDay
           var maxDay = prevMax
-          var minDay = st.minDay
+          var minDay = prevMin
           val touched = scala.collection.mutable.Set.empty[Long]
           rows.foreach { r =>
-            if (maxDay == Long.MinValue || r.day > maxDay - retain) {
+            // null entities never count, extend the grid, or touch state —
+            // the batch operator's isNotNull filter
+            if (r.value != null &&
+                (maxDay == Long.MinValue || r.day > maxDay - retain)) {
               regs(r.day) = agg.accumulate(
                 regs.getOrElse(r.day, agg.createState()), Row(r.value))
               touched += r.day
@@ -818,12 +825,12 @@ object Streaming {
               if (r.day < minDay) minDay = r.day
             } // else: beyond the retention horizon — dropped, like a watermark
           }
-          // evict days no live window can reference anymore
-          regs.keys.filter(_ <= maxDay - retain).toSeq.foreach(regs.remove)
           // window-days to recompute: every window covering a touched day,
-          // plus days newly inside the [min, max] grid (maxDay advanced;
-          // on the key's first batch the grid starts at its min day) — all
-          // capped to the grid's right edge, so mid-gap days emit their 0s
+          // plus days newly inside the [min, max] grid on EITHER side (a
+          // maxDay advance opens days at the top; an in-retention late day
+          // below prevMin opens days at the bottom; on the key's first
+          // batch the grid starts at its min day) — all capped to the
+          // grid's right edge, so mid-gap days emit their 0s
           val affected = scala.collection.mutable.SortedSet.empty[Long]
           touched.foreach { d =>
             var w = d
@@ -837,15 +844,19 @@ object Streaming {
             s"hllWindowStream: key $key jumped ${maxDay - fillFrom} days in " +
               "one batch — corrupt timestamps?")
           (fillFrom to maxDay).foreach(affected += _)
-          // only re-emit windows whose full day range survived eviction: a
-          // maxDay jump inside one batch may have evicted days an affected
-          // OLD window needs — its prior (correct) emission must stand, not
-          // be clobbered with a partial recount (the retention contract).
-          // While nothing of this key's grid has ever crossed the horizon
-          // (minDay > maxDay - retain), every window is recount-safe
+          if (prevMin != Long.MaxValue && minDay < prevMin)
+            (minDay until prevMin).foreach(affected += _) // bottom back-fill
+          // Emission happens BEFORE this batch's eviction, so every affected
+          // window still sees the days this batch accepted. Windows whose
+          // days were evicted in an EARLIER batch must not be recounted from
+          // partial state — their prior (correct) emission stands (the
+          // retention contract). While nothing of this key's grid has ever
+          // crossed the PRE-BATCH horizon, every window is recount-safe.
+          val prevHorizon =
+            if (prevMax == Long.MinValue) Long.MinValue else prevMax - retain
           val emitFloor =
-            if (minDay > maxDay - retain) Long.MinValue
-            else maxDay - retain + windowDays
+            if (prevHorizon == Long.MinValue || minDay > prevHorizon) Long.MinValue
+            else prevHorizon + windowDays
           val out = affected.iterator.filter(_ >= emitFloor).map { w =>
             val merged = ((w - windowDays + 1) to w).foldLeft(agg.createState()) {
               (acc, d) => regs.get(d).map(agg.merge(acc, _)).getOrElse(acc)
@@ -853,6 +864,9 @@ object Streaming {
             val covered = ((w - windowDays + 1) to w).exists(regs.contains)
             WinEst(key, w, if (covered) agg.finish(merged) else 0L)
           }.toVector
+          // evict days no live window can reference anymore (state only —
+          // this batch's emissions above already used them)
+          regs.keys.filter(_ <= maxDay - retain).toSeq.foreach(regs.remove)
           val sorted = regs.toSeq.sortBy(_._1)
           state.update(HllWinState(sorted.map(_._1), sorted.map(_._2), maxDay,
             minDay))

@@ -794,6 +794,18 @@ class StreamingSpec extends AnyFunSuite {
       mem.addData(Streaming.DayKV("k", 6L, "z"))
       q.processAllAvailable()
       assert(results.toMap == before, "beyond-retention row must not change anything")
+      // an IN-retention late day below the previous min back-fills the grid
+      // down to it: day 8 opens days 8 and 9 (window 9 = days {8,9} -> day 8
+      // only; day 9's own window was never coverable before)
+      mem.addData(Streaming.DayKV("k", 8L, "y"))
+      q.processAllAvailable()
+      assert(results(("k", 8L)) >= 1L && results(("k", 9L)) >= 1L,
+        results.toString)
+      // null entities are ignored entirely — no estimate revision at all
+      val beforeNull = results.toMap
+      mem.addData(Streaming.DayKV("k", 10L, null))
+      q.processAllAvailable()
+      assert(results.toMap == beforeNull, "null entity must be a no-op")
       // a 100k-day jump (corrupt timestamp) must kill the query loudly, not
       // grind through a 100k-window back-fill
       mem.addData(Streaming.DayKV("k", 300000L, "w"))
