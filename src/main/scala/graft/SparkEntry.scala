@@ -1895,6 +1895,26 @@ object SparkEntry {
           graft.ops.Curation.urlDomain(norm).as("domain"))
         .orderBy("doc_id")
     } _,
+    // URL-level dedup (the crawl stage BEFORE content hashing): raw variants
+    // — case, :80, trailing slash, utm params, fragments — of the same page
+    // must collapse to one canonical URL; keeper = min doc_id per canonical.
+    // doc_ids congruent mod lcm(20,50)=100 share a page, so each canonical
+    // collects multiple planted variants; the oracle derives canonical,
+    // keeper, and group size directly from the arithmetic
+    "q_url_dedup" -> dfq { s =>
+      val raw = expr(
+        """concat('HTTP://Site', CAST(doc_id % 20 AS STRING), '.COM',
+          |  CASE WHEN doc_id % 2 = 0 THEN ':80' ELSE '' END,
+          |  '/p/', CAST(doc_id % 50 AS STRING),
+          |  CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END,
+          |  CASE WHEN doc_id % 4 < 2 THEN '?utm_source=x' ELSE '' END,
+          |  CASE WHEN doc_id % 7 = 0 THEN '#sec' ELSE '' END)""".stripMargin)
+      s.table("documents")
+        .select(col("doc_id"), graft.ops.Curation.normalizeUrl(raw).as("norm"))
+        .groupBy("norm")
+        .agg(min("doc_id").as("keeper"), count(lit(1)).as("n_variants"))
+        .orderBy("norm")
+    } _,
     // native codegen'd Jaro-Winkler over adjacent part names — the record-
     // linkage scorer, gated raw-double against DuckDB's builtin (the two
     // implementations are bit-compatible; fuzz-verified)
@@ -4805,6 +4825,14 @@ object SparkEntry {
         |         WHEN doc_id % 4 = 1 THEN '?a=1&z=26' ELSE '' END) AS norm,
         |  concat('example', CAST(doc_id % 7 AS VARCHAR), '.com') AS domain
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // canonical = pure (doc_id % 20, doc_id % 50) arithmetic: every raw
+    // variant family must have collapsed to exactly one of these
+    "q_url_dedup" ->
+      """SELECT concat('http://site', CAST(doc_id % 20 AS VARCHAR),
+        |         '.com/p/', CAST(doc_id % 50 AS VARCHAR)) AS norm,
+        |       CAST(min(doc_id) AS BIGINT) AS keeper,
+        |       CAST(count(*) AS BIGINT) AS n_variants
+        |FROM documents GROUP BY 1 ORDER BY norm""".stripMargin,
     "q_curate_v6" ->
       s"""WITH $duckC4Ctes,
          |c4s AS (SELECT doc_id FROM c4f WHERE pass),
