@@ -766,6 +766,46 @@ object Bench {
             s"(got ${got.size} keys, want ${want.size})")
         } finally q.stop()
       },
+      // streaming HLL sliding-window replay: 200k dated values over 100 keys
+      // x 60 days fed in 4 micro-batches whose id order REVISITS earlier
+      // days each batch (late in-retention data) — the final latest-per-
+      // (key, day) estimates must equal the batch operator's exactly
+      "x_hllwin_replay_200k" -> { s: SparkSession =>
+        import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+        import graft.streaming.Streaming
+        import s.implicits._
+        implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+        val ns = 86400L * 1000000000L
+        val rows = s.range(200000L).selectExpr(
+            "CAST(id % 100 AS STRING) AS key",
+            "id div 100 % 60 AS day",
+            "concat('u', pmod(hash(id), 3000)) AS value")
+          .as[(String, Long, String)].collect()
+          .map { case (k, d, v) => Streaming.DayKV(k, d, v) }
+        val want = graft.ops.TimeSeries.windowedDistinctHll(
+            rows.toSeq.toDF("key", "day", "value")
+              .selectExpr("key AS k", s"day * ${ns}L AS ts", "value AS e"),
+            "k", "ts", "e", windowDays = 7)
+          .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+        val mem = MemoryStream[Streaming.DayKV]
+        val oldParts = s.conf.get("spark.sql.shuffle.partitions")
+        s.conf.set("spark.sql.shuffle.partitions", "8")
+        // retention covers the full 60-day span: exact batch parity holds
+        val q = try Streaming.hllWindowStream(mem.toDS(), windowDays = 7,
+            retainDays = 60)
+          .writeStream.format("memory").queryName("x_hllwin_replay_200k")
+          .outputMode("update").start()
+        finally s.conf.set("spark.sql.shuffle.partitions", oldParts)
+        try {
+          rows.grouped(rows.length / 4 + 1).foreach { c =>
+            mem.addData(c.toSeq: _*); q.processAllAvailable()
+          }
+          val got = s.table("x_hllwin_replay_200k").as[Streaming.WinEst].collect()
+            .groupBy(e => (e.key, e.day)).map { case (k, es) => k -> es.last.est }
+          require(got == want, s"hllWindowStream replay diverged from batch " +
+            s"(got ${got.size} grid days, want ${want.size})")
+        } finally q.stop()
+      },
       // fuzzy edit-distance self-join over 1M ~22-char strings with 250k
       // planted single-char-perturbed near-dups: PassJoin blocking keys +
       // one candidate equi-join; proves the operator beyond 2k part names
