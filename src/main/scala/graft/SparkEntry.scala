@@ -1890,9 +1890,14 @@ object SparkEntry {
           |       WHEN doc_id % 4 = 1 THEN '?gclid=99&z=26&a=1'
           |       WHEN doc_id % 4 = 2 THEN '?' ELSE '' END,
           |  CASE WHEN doc_id % 6 = 0 THEN '#Frag' ELSE '' END)""".stripMargin)
-      val norm = graft.ops.Curation.normalizeUrl(raw)
-      s.table("documents").select(col("doc_id"), norm.as("norm"),
-          graft.ops.Curation.urlDomain(norm).as("domain"))
+      // norm is materialized ONCE, then domain derives from the column —
+      // embedding urlDomain(normalizeUrl(raw)) would inline the whole norm
+      // tree three more times (substr/instr each re-reference it), blowing
+      // the codegen method size into interpreted fallback (~5x slower)
+      s.table("documents")
+        .select(col("doc_id"), graft.ops.Curation.normalizeUrl(raw).as("norm"))
+        .select(col("doc_id"), col("norm"),
+          graft.ops.Curation.urlDomain(col("norm")).as("domain"))
         .orderBy("doc_id")
     } _,
     // URL-level dedup (the crawl stage BEFORE content hashing): raw variants

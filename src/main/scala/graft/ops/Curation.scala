@@ -521,6 +521,15 @@ object Curation {
    *     `k=v` tokens bytewise, rejoin; an emptied query drops its `?`.
    * Path case and percent-encoding are preserved (paths are case-sensitive;
    * decoding is not canonical without charset knowledge).
+   *
+   * Composition note: the returned Column is a LARGE expression tree whose
+   * stages re-reference each other — materialize it once
+   * (`.select(normalizeUrl(col("u")).as("norm"))`) and derive downstream
+   * columns (e.g. [[urlDomain]]) from the projected column, NOT by nesting
+   * `urlDomain(normalizeUrl(u))`: nesting re-inlines the whole tree per
+   * reference and can blow whole-stage codegen into interpreted fallback
+   * (measured ~5× slower). CollapseProject will not re-inline a non-cheap
+   * multiply-referenced projection, so the two-step select is safe.
    */
   def normalizeUrl(u: Column): Column = {
     val t = trim(u)
