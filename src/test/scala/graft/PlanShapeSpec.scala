@@ -57,6 +57,21 @@ class PlanShapeSpec extends AnyFunSuite {
       "prefix attachment fell out of whole-stage codegen")
   }
 
+  test("windowedDistinctHll: register pipeline is 4 bounded shuffles, no funnel") {
+    val ns = 86400L * 1000000000L
+    val ev = spark.range(2000).selectExpr("CAST(id % 5 AS STRING) AS k",
+      s"(id div 5 % 20) * ${ns}L AS ts", "pmod(hash(id), 300) AS e")
+    val out = graft.ops.TimeSeries.windowedDistinctHll(ev, "k", "ts", "e", 7)
+    // shuffles: day-register agg (map-side combined over raw rows), the
+    // post-fan window merge, the estimate sums, and the grid min/max —
+    // everything after the first one moves REGISTER rows (≤2^p per
+    // key·day), never entities; the grid joins back by broadcast
+    PlanAudit.assertScaleShape(out, "windowedDistinctHll", maxShuffles = 4)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("partial_max"),
+      "day-register max must combine map-side before the first exchange")
+  }
+
   test("scd2Apply: merge plan has no funnel and no cartesian") {
     val logSchema = StructType(Seq(
       StructField("k", LongType, nullable = false),
