@@ -2328,6 +2328,27 @@ object SparkEntry {
         .select(col("key").as("event_type"), col("day"), col("est"))
         .orderBy("event_type", "day")
     } _,
+    // trending: per day, the top-3 event types by trailing 7-day event
+    // count — the daily-dashboard rollup. Daily counts fan into their
+    // trailing windows (the register-fan pattern, counts not entities:
+    // keys x days rows, cheap at any event volume), one ranked window per
+    // day, grid clamped to the data's max day
+    "q_trending" -> dfq { s =>
+      val ns = 86400L * 1000000000L
+      val daily = s.table("events")
+        .selectExpr("event_type", s"ts div ${ns}L AS day")
+        .groupBy("event_type", "day").agg(count(lit(1)).as("c"))
+      val fanned = daily
+        .select(col("event_type"), col("c"),
+          explode(sequence(col("day"), col("day") + 6)).as("day"))
+        .groupBy("day", "event_type").agg(sum("c").as("cnt7"))
+      val bounds = daily.agg(max("day").as("dmax"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("day").orderBy(col("cnt7").desc, col("event_type"))
+      fanned.join(broadcast(bounds), col("day") <= col("dmax")).drop("dmax")
+        .withColumn("rank", row_number().over(w)).where(col("rank") <= 3)
+        .orderBy("day", "rank")
+    } _,
     // winsorization: acctbal cents clipped to each nation's [p5, p95]
     "q_winsorize" -> dfq { s =>
       val cust = s.table("customer")
@@ -5302,6 +5323,22 @@ object SparkEntry {
          |  END AS BIGINT) AS est
          |FROM g LEFT JOIN s ON s.key = g.key AND s.day = g.day
          |ORDER BY event_type, day""".stripMargin,
+    // trailing 7-day counts fanned from daily counts, ranked per day
+    "q_trending" ->
+      """WITH d AS (SELECT event_type, epoch_ns(ts) // 86400000000000 AS day,
+        |             count(*) AS c
+        |           FROM events GROUP BY 1, 2),
+        |f AS (SELECT event_type, c,
+        |        unnest(generate_series(day, day + 6)) AS day FROM d),
+        |w AS (SELECT day, event_type, CAST(sum(c) AS BIGINT) AS cnt7
+        |      FROM f WHERE day <= (SELECT max(day) FROM d) GROUP BY 1, 2),
+        |r AS (SELECT day, event_type, cnt7,
+        |        row_number() OVER (PARTITION BY day
+        |                           ORDER BY cnt7 DESC, event_type) AS rank
+        |      FROM w)
+        |SELECT CAST(day AS BIGINT) AS day, event_type, cnt7,
+        |       CAST(rank AS INT) AS rank
+        |FROM r WHERE rank <= 3 ORDER BY day, rank""".stripMargin,
     "q_winsorize" ->
       """WITH c AS (SELECT c_custkey, c_nationkey,
         |             CAST(ROUND(c_acctbal * 100) AS BIGINT) AS cents FROM customer),
