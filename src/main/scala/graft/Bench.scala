@@ -313,7 +313,8 @@ object Bench {
         try {
         // ~51 probe queries; checkpointed so each recall pass doesn't re-scan
         // the corpus just to derive them
-        val queries = corpus.where("vec_id % 19997 = 0")
+        val (gtMod, gtK) = (19997, 10) // ground-truth derivation parameters
+        val queries = corpus.where(s"vec_id % $gtMod = 0")
           .selectExpr("vec_id AS q_id",
             """transform(embedding, (x, i) -> CAST(
               |  x + 0.12 * ((hash(vec_id * 64 + i, 13) % 10007) / 10007.0) AS FLOAT))
@@ -324,13 +325,18 @@ object Bench {
             .map(r => (r.getLong(0), r.getLong(1))).toSet   // ≤ k × ~51 rows
         // Exact ground truth is a deterministic constant per corpus (the
         // queries derive from it) — fixture-cache the brute-force pairs like
-        // the PQ codes / IVF layout, keyed by the corpus _SUCCESS mtime, so
-        // the gate re-measures recall without re-deriving 1M×51 cosines
+        // the PQ codes / IVF layout: the dir name carries the DERIVATION
+        // PARAMETERS (query modulus, k) and the corpus path hash (the ivf_c/
+        // pq_m naming convention), so a rule change or a second checkout's
+        // same-named corpus can never silently reuse stale pairs; the
+        // _SUCCESS mtime still guards corpus regeneration in place
         val baseMarker = new java.io.File(annClusteredParquet(s), "_SUCCESS")
-        val exactDir = "/tmp/graft_bench_annrec1m_exact_k10"
+        val corpusTag = java.lang.Integer.toHexString(annClusteredParquet(s).hashCode)
+        val exactDir =
+          s"/tmp/graft_bench_annrec1m_exact_k${gtK}_mod${gtMod}_p$corpusTag"
         val exactMarker = new java.io.File(exactDir, "_SUCCESS")
         if (!exactMarker.isFile || exactMarker.lastModified < baseMarker.lastModified)
-          graft.ops.Similarity.bruteForceTopK(corpus, queries, 10)
+          graft.ops.Similarity.bruteForceTopK(corpus, queries, gtK)
             .select("q_id", "vec_id").write.mode("overwrite").parquet(exactDir)
         val exact = pairs(s.read.parquet(exactDir))
         def recall(approx: Set[(Long, Long)]): Double =

@@ -1873,7 +1873,9 @@ object SparkEntry {
     } _,
     // URL canonicalization (crawl-dedup pre-step): hostile raw URLs derived
     // from doc_id — mixed case, default/explicit ports, trailing slashes,
-    // tracking params out of order, fragments, empty paths/queries — must
+    // tracking params out of order AND case-varied (UTM_Medium/FBCLID must
+    // strip like their lowercase family), fragments, empty paths/queries,
+    // empty params — must
     // normalize to the PLANTED canonical form the oracle derives directly
     // from doc_id arithmetic (q_compress pattern: independent derivation,
     // not a re-implementation). Map-only builtins, no UDF
@@ -1888,7 +1890,8 @@ object SparkEntry {
           |         CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END) END,
           |  CASE WHEN doc_id % 4 = 0 THEN '?b=2&utm_source=x&a=1'
           |       WHEN doc_id % 4 = 1 THEN '?gclid=99&z=26&a=1'
-          |       WHEN doc_id % 4 = 2 THEN '?' ELSE '' END,
+          |       WHEN doc_id % 4 = 2 THEN '?UTM_Medium=Y&&FBCLID=1&GCLid=2'
+          |       ELSE '' END,
           |  CASE WHEN doc_id % 6 = 0 THEN '#Frag' ELSE '' END)""".stripMargin)
       // norm is materialized ONCE, then domain derives from the column —
       // embedding urlDomain(normalizeUrl(raw)) would inline the whole norm

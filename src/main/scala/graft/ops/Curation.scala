@@ -517,8 +517,9 @@ object Curation {
    *  4. drop the default port (`:80` for http, `:443` for https);
    *  5. empty path → `/`; otherwise drop one trailing `/` (root keeps its);
    *  6. query: split on `&`, drop empty params and the tracking family
-   *     (`utm_*` prefixes, `fbclid=`, `gclid=`), sort the remaining
-   *     `k=v` tokens bytewise, rejoin; an emptied query drops its `?`.
+   *     (`utm_*` prefixes, `fbclid=`, `gclid=` — matched case-INsensitively,
+   *     so `UTM_SOURCE=x` collapses too), sort the remaining `k=v` tokens
+   *     bytewise (case-preserved), rejoin; an emptied query drops its `?`.
    * Path case and percent-encoding are preserved (paths are case-sensitive;
    * decoding is not canonical without charset knowledge).
    *
@@ -550,9 +551,13 @@ object Curation {
     val path1 = when(path0 === "", lit("/")).otherwise(path0)
     val path = when(length(path1) > 1 && path1.endsWith("/"),
       path1.substr(lit(1), length(path1) - lit(1))).otherwise(path1)
-    val toks = filter(split(query, "&"), tok =>
-      tok =!= "" && !tok.startsWith("utm_") &&
-        !tok.startsWith("fbclid=") && !tok.startsWith("gclid="))
+    // tracking family matched on the LOWERCASED token (UTM_SOURCE=x must
+    // collapse with utm_source=x); surviving params keep their case
+    val toks = filter(split(query, "&"), tok => {
+      val lt = lower(tok)
+      tok =!= "" && !lt.startsWith("utm_") &&
+        !lt.startsWith("fbclid=") && !lt.startsWith("gclid=")
+    })
     val qNorm = array_join(array_sort(toks), "&")
     when(sep === 0, t).otherwise(concat(scheme, lit("://"), hp, path,
       when(qNorm === "", lit("")).otherwise(concat(lit("?"), qNorm))))

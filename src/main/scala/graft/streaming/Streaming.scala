@@ -774,15 +774,20 @@ object Streaming {
    * the key's [min, max] span — including newly-in-grid days exposed on
    * EITHER side (a `maxDay` jump back-fills from the previous max; an
    * in-retention late day below the previous min back-fills down to it),
-   * empty windows (emitted as 0), and null entities (ignored, like the
-   * batch operator's isNotNull filter) — because the parity spec replays
-   * exactly that contract. Uses the
+   * empty windows (emitted as 0), and null entities (which EXTEND the grid
+   * without counting — the batch operator's grid projection is
+   * null-inclusive while its registers filter isNotNull) — because the
+   * parity spec replays exactly that contract. Uses the
    * same md5 hash/bucket/rho split and exact-integer raw estimator as the
    * batch operator, so estimates agree bit-for-bit.
    *
-   * Late data: rows for days older than `maxDay - retainDays` are DROPPED
-   * (their registers were evicted — the state-boundedness contract; size
-   * `retainDays` like a watermark delay). `retainDays` must cover at least
+   * Late data: rows for days older than `max(prevMax, batchMax) -
+   * retainDays` are DROPPED (their registers were evicted — the
+   * state-boundedness contract; size `retainDays` like a watermark delay).
+   * The horizon is computed from the batch's max day BEFORE any row is
+   * accepted, so the accept/drop outcome is independent of intra-batch row
+   * order — a task retry that re-reads the same rows in a different order
+   * produces identical state and emissions. `retainDays` must cover at least
    * the window so every live window can re-merge its days. Once retention
    * bites (a key's span exceeds `retainDays`), windows older than the evict
    * horizon keep their LAST in-retention emission rather than being
@@ -813,16 +818,27 @@ object Streaming {
           var maxDay = prevMax
           var minDay = prevMin
           val touched = scala.collection.mutable.Set.empty[Long]
-          rows.foreach { r =>
-            // null entities never count, extend the grid, or touch state —
-            // the batch operator's isNotNull filter
-            if (r.value != null &&
-                (maxDay == Long.MinValue || r.day > maxDay - retain)) {
-              regs(r.day) = agg.accumulate(
-                regs.getOrElse(r.day, agg.createState()), Row(r.value))
-              touched += r.day
+          // buffer the batch: the retention horizon must come from the
+          // batch's max day BEFORE any accept/drop decision, or intra-batch
+          // row order (which a task retry does not preserve) changes which
+          // late rows survive. Null-inclusive, like the batch grid.
+          val batch = rows.toVector
+          val batchMax =
+            if (batch.isEmpty) Long.MinValue else batch.iterator.map(_.day).max
+          val horizon = math.max(prevMax, batchMax) - retain // deterministic
+          batch.foreach { r =>
+            if (batchMax == Long.MinValue || r.day > horizon) {
+              // any row — null entity included — extends the GRID (the
+              // batch operator's grid projection is null-inclusive) ...
               if (r.day > maxDay) maxDay = r.day
               if (r.day < minDay) minDay = r.day
+              // ... but only non-null entities reach the registers (the
+              // batch operator's isNotNull register filter)
+              if (r.value != null) {
+                regs(r.day) = agg.accumulate(
+                  regs.getOrElse(r.day, agg.createState()), Row(r.value))
+                touched += r.day
+              }
             } // else: beyond the retention horizon — dropped, like a watermark
           }
           // window-days to recompute: every window covering a touched day,
@@ -838,7 +854,9 @@ object Streaming {
           }
           val fillFrom =
             if (prevMax == Long.MinValue)
-              if (touched.nonEmpty) touched.min else maxDay + 1
+              // first batch: the grid starts at the key's (null-inclusive)
+              // min day, exactly like the batch operator's keyDayGrid
+              if (minDay != Long.MaxValue) minDay else maxDay + 1
             else prevMax + 1
           require(maxDay == Long.MinValue || maxDay - fillFrom < 100000,
             s"hllWindowStream: key $key jumped ${maxDay - fillFrom} days in " +

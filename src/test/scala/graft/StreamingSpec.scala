@@ -746,8 +746,11 @@ class StreamingSpec extends AnyFunSuite {
     val ns = 86400L * 1000000000L
     // 2 keys, activity on days 0,1,2,5,9 (gaps!), 120 draws/day from 300
     val rnd = new scala.util.Random(13)
-    val rows = for (k <- Seq("a", "b"); d <- Seq(0L, 1L, 2L, 5L, 9L); _ <- 0 until 120)
-      yield Streaming.DayKV(k, d, s"u${rnd.nextInt(300)}")
+    val rows = (for (k <- Seq("a", "b"); d <- Seq(0L, 1L, 2L, 5L, 9L); _ <- 0 until 120)
+      yield Streaming.DayKV(k, d, s"u${rnd.nextInt(300)}")) ++
+      // null entities EXTEND the grid without counting (the batch grid
+      // projection is null-inclusive): a's grid must stretch to day 11
+      Seq(Streaming.DayKV("a", 11L, null), Streaming.DayKV("b", 3L, null))
     val batchDf = rows.toDF("key", "day", "value")
       .selectExpr("key AS k", s"day * ${ns}L AS ts", "value AS e")
     val want = graft.ops.TimeSeries.windowedDistinctHll(
@@ -755,6 +758,8 @@ class StreamingSpec extends AnyFunSuite {
       .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
     assert(want.values.exists(_ == 0L) && want.values.exists(_ > 0L),
       "fixture needs both empty and covered windows")
+    assert(want.contains(("a", 11L)) && !want.contains(("b", 11L)),
+      "fixture needs a null-extended grid day")
     val mem = MemoryStream[Streaming.DayKV]
     // retention covers the full 0..9 span so the parity claim is exact
     val q = Streaming.hllWindowStream(mem.toDS(), windowDays = 3, retainDays = 16)
@@ -801,11 +806,18 @@ class StreamingSpec extends AnyFunSuite {
       q.processAllAvailable()
       assert(results(("k", 8L)) >= 1L && results(("k", 9L)) >= 1L,
         results.toString)
-      // null entities are ignored entirely — no estimate revision at all
+      // a null entity on an ALREADY-IN-GRID day is a no-op: registers and
+      // grid both unchanged, so no estimate revision at all
       val beforeNull = results.toMap
       mem.addData(Streaming.DayKV("k", 10L, null))
       q.processAllAvailable()
-      assert(results.toMap == beforeNull, "null entity must be a no-op")
+      assert(results.toMap == beforeNull, "in-grid null entity must be a no-op")
+      // a null entity on a NEW day extends the grid (the batch grid is
+      // null-inclusive): day 11's window {10, 11} emits from day 10's
+      // registers alone, with no new register state
+      mem.addData(Streaming.DayKV("k", 11L, null))
+      q.processAllAvailable()
+      assert(results(("k", 11L)) == results(("k", 10L)), results.toString)
       // a 100k-day jump (corrupt timestamp) must kill the query loudly, not
       // grind through a 100k-window back-fill
       mem.addData(Streaming.DayKV("k", 300000L, "w"))
@@ -813,6 +825,38 @@ class StreamingSpec extends AnyFunSuite {
       def chain(t: Throwable): Seq[String] =
         if (t == null) Nil else Option(t.getMessage).toSeq ++ chain(t.getCause)
       assert(chain(ex).exists(_.contains("jumped")), chain(ex).mkString(" | "))
+    } finally q.stop()
+  }
+
+  test("hllWindowStream: retention horizon is intra-batch order-independent") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // one first batch spanning MORE than retainDays, oldest rows FIRST: the
+    // horizon must come from the batch's max day computed up front, so days
+    // 0 and 1 drop no matter where they sit in the batch — a task retry
+    // that re-reads the rows in another order must produce identical
+    // state and emissions
+    val mem = MemoryStream[Streaming.DayKV]
+    val results = scala.collection.mutable.Map.empty[(String, Long), Long]
+    val q = Streaming.hllWindowStream(mem.toDS(), windowDays = 2, retainDays = 3)
+      .writeStream.outputMode(OutputMode.Update())
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[Streaming.WinEst], _: Long) =>
+        df.collect().foreach(r => results.synchronized {
+          results((r.key, r.day)) = r.est })
+      }.start()
+    try {
+      mem.addData(Streaming.DayKV("k", 0L, "old"), Streaming.DayKV("k", 1L, "old2"),
+        Streaming.DayKV("k", 10L, "new"))
+      q.processAllAvailable()
+      // horizon = 10 - 3 = 7: days 0/1 dropped BEFORE they can seed the
+      // grid, so the grid is [10, 10] and the emission equals the batch
+      // operator run on the surviving row alone
+      val ns = 86400L * 1000000000L
+      val want = graft.ops.TimeSeries.windowedDistinctHll(
+          Seq(("k", 10L * ns, "new")).toDF("k", "ts", "e"), "k", "ts", "e",
+          windowDays = 2)
+        .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+      assert(results.toMap == want, s"stream $results vs batch $want")
     } finally q.stop()
   }
 
