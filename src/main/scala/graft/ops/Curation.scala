@@ -513,15 +513,25 @@ object Curation {
    * Contract (the common crawl-dedup canon, NOT a full RFC 3986 parser):
    *  1. trim; a value without `://` is opaque — returned trimmed, unchanged;
    *  2. strip the fragment (`#...`);
-   *  3. lowercase the scheme and the authority (host[:port]);
-   *  4. drop the default port (`:80` for http, `:443` for https);
-   *  5. empty path → `/`; otherwise drop one trailing `/` (root keeps its);
+   *  3. lowercase the scheme and the authority ([user@]host[:port]);
+   *  4. drop the default port (`:80` for http, `:443` for https) — the port
+   *     is the EXACT suffix after the host (bracket-aware for IPv6
+   *     literals, userinfo-aware), so a garbage `:80:80` tail is preserved
+   *     rather than half-stripped;
+   *  5. empty path → `/`; otherwise drop ALL trailing `/` (root keeps its);
    *  6. query: split on `&`, drop empty params and the tracking family
    *     (`utm_*` prefixes, `fbclid=`, `gclid=` — matched case-INsensitively,
    *     so `UTM_SOURCE=x` collapses too), sort the remaining `k=v` tokens
    *     bytewise (case-preserved), rejoin; an emptied query drops its `?`.
    * Path case and percent-encoding are preserved (paths are case-sensitive;
-   * decoding is not canonical without charset knowledge).
+   * decoding is not canonical without charset knowledge). Userinfo is
+   * preserved (lowercased with the rest of the authority): `u@host` and
+   * `host` stay DISTINCT urls — but [[urlDomain]] groups both under `host`.
+   *
+   * Totality and idempotence are fuzz-gated (UrlPropertySpec): for any
+   * non-null string the result is non-null, throws nothing, and
+   * `normalizeUrl` is a fixpoint of itself; where `java.net.URI` parses a
+   * hierarchical url the scheme and host agree with it.
    *
    * Composition note: the returned Column is a LARGE expression tree whose
    * stages re-reference each other — materialize it once
@@ -543,14 +553,25 @@ object Curation {
     val rest = base.substr(sep + lit(3), length(base))
     val hostport = lower(substring_index(rest, "/", 1))
     val path0 = rest.substr(length(hostport) + lit(1), length(rest))
-    val hp = when(scheme === "http" && hostport.endsWith(":80"),
-        hostport.substr(lit(1), length(hostport) - lit(3)))
-      .when(scheme === "https" && hostport.endsWith(":443"),
-        hostport.substr(lit(1), length(hostport) - lit(4)))
-      .otherwise(hostport)
+    // authority split: [userinfo@] host [port-suffix]. The port rule fires
+    // only on the EXACT suffix after the host (never endsWith — ":80:80"
+    // must survive untouched or re-normalizing would strip again), and the
+    // host is bracket-aware so `[::80]` has no port and `[::1]:80` does.
+    val afterAt = substring_index(hostport, "@", -1)
+    val userPfx = hostport.substr(lit(1), length(hostport) - length(afterAt))
+    val hostOnly = when(afterAt.startsWith("[") && instr(afterAt, "]") > 0,
+        concat(substring_index(afterAt, "]", 1), lit("]")))
+      .otherwise(substring_index(afterAt, ":", 1))
+    val portSuf = afterAt.substr(length(hostOnly) + lit(1), length(afterAt))
+    val hp = concat(userPfx, hostOnly,
+      when((scheme === "http" && portSuf === ":80") ||
+           (scheme === "https" && portSuf === ":443"), lit(""))
+        .otherwise(portSuf))
     val path1 = when(path0 === "", lit("/")).otherwise(path0)
-    val path = when(length(path1) > 1 && path1.endsWith("/"),
-      path1.substr(lit(1), length(path1) - lit(1))).otherwise(path1)
+    // ALL trailing slashes (one pass of strip-one is not idempotent on
+    // "/a//"); an all-slash path collapses to root
+    val stripped = regexp_replace(path1, "/+$", "")
+    val path = when(stripped === "", lit("/")).otherwise(stripped)
     // tracking family matched on the LOWERCASED token (UTM_SOURCE=x must
     // collapse with utm_source=x); surviving params keep their case
     val toks = filter(split(query, "&"), tok => {
@@ -563,12 +584,18 @@ object Curation {
       when(qNorm === "", lit("")).otherwise(concat(lit("?"), qNorm))))
   }
 
-  /** The host (authority minus port) of a NORMALIZED url — the group-by key
-    * for per-domain corpus stats/budgets. Opaque (no `://`) values → NULL. */
+  /** The host (authority minus userinfo and port, bracket-aware for IPv6
+    * literals) of a NORMALIZED url — the group-by key for per-domain corpus
+    * stats/budgets: `u@host:8080` and `host` both group under `host`.
+    * Opaque (no `://`) values → NULL. */
   def urlDomain(normUrl: Column): Column = {
     val sep = instr(normUrl, "://")
-    when(sep > 0, substring_index(
-      substring_index(normUrl.substr(sep + lit(3), length(normUrl)), "/", 1),
-      ":", 1))
+    val auth = substring_index(
+      normUrl.substr(sep + lit(3), length(normUrl)), "/", 1)
+    val afterAt = substring_index(auth, "@", -1)
+    val host = when(afterAt.startsWith("[") && instr(afterAt, "]") > 0,
+        concat(substring_index(afterAt, "]", 1), lit("]")))
+      .otherwise(substring_index(afterAt, ":", 1))
+    when(sep > 0, host)
   }
 }

@@ -60,7 +60,13 @@ class CurationSpec extends AnyFunSuite {
       "http://h.io" -> "http://h.io/",                      // empty path -> /
       "http://h.io/?" -> "http://h.io/",                    // bare ? dropped
       "http://h.io/a?fbclid=1&gclid=2&utm_x=3" -> "http://h.io/a", // all tracked
+      "http://h.io/a?UTM_SOURCE=x&B=2" -> "http://h.io/a?B=2", // case-insens family
       "  http://h.io/a  " -> "http://h.io/a",               // trimmed
+      "http://h.io/a//" -> "http://h.io/a",                 // ALL trailing slashes
+      "http://h.io:80:80/x" -> "http://h.io:80:80/x",       // junk port kept WHOLE
+      "https://[2001:DB8::1]:443/x" -> "https://[2001:db8::1]/x", // IPv6 + port
+      "http://[::80]/x" -> "http://[::80]/x",               // bracketed, no port
+      "HTTP://User@H.io:80/x" -> "http://user@h.io/x",      // userinfo preserved
       "mailto-like-opaque-value" -> "mailto-like-opaque-value") // no :// -> as-is
     val got = cases.map(_._1).toDF("u")
       .select(graft.ops.Curation.normalizeUrl(col("u")).as("n"))
@@ -71,7 +77,9 @@ class CurationSpec extends AnyFunSuite {
       .select(graft.ops.Curation.urlDomain(col("u")).as("d"))
       .collect().map(r => Option(r.getString(0))).toSeq
     assert(doms == Seq(Some("example.com"), Some("host.net"), Some("h.io"),
-      Some("h.io"), Some("h.io"), Some("h.io"), Some("h.io"), None))
+      Some("h.io"), Some("h.io"), Some("h.io"), Some("h.io"), Some("h.io"),
+      Some("h.io"), Some("h.io"), Some("[2001:db8::1]"), Some("[::80]"),
+      Some("h.io"), None))
   }
 
   test("c4Filter: every line rule and page rule fires; clean pages survive") {
