@@ -21,6 +21,25 @@ import json
 import re
 import sys
 
+# Baseline resets: queries whose measured cost changed for a DOCUMENTED
+# reason — the comparison is meaningless across the reset round, so a
+# beyond-spread delta that straddles it is labeled RESET, not REGRESSION.
+# Entries: query -> (first round measuring the new baseline, reason).
+BASELINE_RESETS = {
+    # r10 swapped FakeCodec for real javax.imageio/javax.sound decode:
+    # r9 and earlier timed a stub, not the codec (README r10)
+    "q_resize":           (10, "r10 real codecs (FakeCodec retired)"),
+    "q_extract_features": (10, "r10 real codecs (FakeCodec retired)"),
+    "q_frame_sample":     (10, "r10 real codecs (FakeCodec retired)"),
+    "q_image_meta":       (10, "r10 real codecs (FakeCodec retired)"),
+}
+
+
+def round_of(path):
+    """Round number parsed from a BENCH*_r<n> artifact name, else None."""
+    m = re.search(r"_r(\d+)", path)
+    return int(m.group(1)) if m else None
+
 
 def load_record(path):
     """Return (queries: {name: min_sec}, reps: {name: [sec,...]}, meta)."""
@@ -93,7 +112,14 @@ def main(paths):
             # run is measurement noise, not a regression
             margin = max(spread(base_reps.get(k, [])),
                          spread(prev_reps.get(k, [])), 0.15)
-            if d > margin:
+            reset = BASELINE_RESETS.get(k)
+            base_r, prev_r = round_of(paths[0]), round_of(other)
+            straddles = reset is not None and \
+                (prev_r is None or prev_r < reset[0]) and \
+                (base_r is None or base_r >= reset[0])
+            if d > margin and straddles:
+                verdict = f"RESET: {reset[1]}"
+            elif d > margin:
                 verdict = f"REGRESSION (spread {margin:.2f})"
                 n_real += 1
             elif d < -margin:
