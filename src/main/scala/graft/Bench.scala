@@ -276,18 +276,20 @@ object Bench {
           .write.format("noop").mode("overwrite").save()
       },
       // BIG-BIG ANN join at 250k x 1M: every 4th corpus vector retrieves its
-      // top-3 neighbors from the full corpus — neither side broadcast,
-      // Hamming-1 multi-probe at bits=18 (1M / 2^18 ≈ 4 candidates/bucket,
-      // ~19 probes/left row ≈ 18M reranked pairs), bounded per-key heaps
-      // before the exchange. Planted invariant: every left vector IS a
-      // corpus vector, so its own bucket always holds an exact copy — all
-      // 250k left ids must surface a sim ≈ 1.0 hit at rank 1.
+      // top-3 neighbors from the full corpus — neither side broadcast, NO
+      // manual bits: AutoBits resolves 18 from the corpus count (1M / 2^18
+      // ≈ 4 candidates/bucket, ~19 probes/left row ≈ 18M reranked pairs —
+      // the sizing r10 hand-picked, now derived), bounded per-key heaps
+      // before the exchange. Planted invariant: every
+      // left vector IS a corpus vector, so its own bucket always holds an
+      // exact copy — all 250k left ids must surface a sim ≈ 1.0 hit at
+      // rank 1, whatever bits the rule picks.
       "x_lsh_join_1m" -> { s: SparkSession =>
         Graft.install(s)
         val corpus = s.read.parquet(annBenchParquet(s))
         val left = corpus.where("vec_id % 4 = 0")
           .selectExpr("vec_id AS q_id", "embedding AS q_embedding")
-        val out = graft.ops.Similarity.lshJoinTopK(left, corpus, 3, bits = 18)
+        val out = graft.ops.Similarity.lshJoinTopK(left, corpus, 3)
         PlanAudit.assertScaleShape(out, "x_lsh_join_1m")
         val selfHits = out.where("rank = 1 AND sim >= 0.999999").count()
         require(selfHits == 250000L,

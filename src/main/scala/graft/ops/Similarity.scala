@@ -534,11 +534,29 @@ object Similarity {
     topKRank(scored, k)
   }
 
+  /** Sentinel for the `bits` parameter of [[lshTopK]] / [[lshJoinTopK]] /
+    * [[lshJoinTopKMulti]]: resolve via [[autoBits]] from a `count()` of the
+    * bucketed (corpus/right) side. The count is ONE extra cheap job — a
+    * column-pruned scan (parquet answers it from footer row counts) — and
+    * removes the 100 TB footgun of the old fixed default (8 bits over a
+    * billion rows = 4M-row buckets). Pass explicit `bits` to skip the count
+    * job: required where the result must not depend on corpus size (oracle
+    * gates) and for [[lshJoinTopKPrebucketed]], whose bits are fixed at
+    * bucketing time. */
+  val AutoBits: Int = 0
+
+  private def resolveBits(bits: Int, bucketedSide: DataFrame): Int =
+    if (bits == AutoBits) autoBits(bucketedSide.count())
+    else { require(bits >= 1 && bits <= 62, "bits in 1..62"); bits }
+
   /** LSH-bucketed ANN: both sides bucketed by hyperplane signature; candidates
-    * only within matching buckets, then exact rerank + top-k. */
-  def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int, bits: Int = 8): DataFrame = {
-    val c = corpus.withColumn("bucket", expr(s"hyperplane_bucket(embedding, $bits)"))
-    val q = queries.withColumn("bucket", expr(s"hyperplane_bucket(q_embedding, $bits)"))
+    * only within matching buckets, then exact rerank + top-k. `bits` defaults
+    * to [[AutoBits]] (occupancy-ruled from a corpus count — see there). */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+              bits: Int = AutoBits): DataFrame = {
+    val b = resolveBits(bits, corpus)
+    val c = corpus.withColumn("bucket", expr(s"hyperplane_bucket(embedding, $b)"))
+    val q = queries.withColumn("bucket", expr(s"hyperplane_bucket(q_embedding, $b)"))
     val scored = c.join(broadcast(q), Seq("bucket"))
       .withColumn("sim", expr("cosine_sim(embedding, q_embedding)"))
       .select(col("q_id"), col("vec_id"), col("sim"))
@@ -562,15 +580,16 @@ object Similarity {
     *
     * Scale: the shuffles carry (1 + bits)·|left| probe rows, bucket-matched
     * candidate triples, and k survivors per left row — never a broadcast of
-    * either relation, never all pairs. At 100 TB pick `bits` so the mean
-    * bucket occupancy |right| / 2^bits stays O(candidates you can afford
-    * per probe). */
-  def lshJoinTopK(left: DataFrame, right: DataFrame, k: Int, bits: Int = 8,
-                  multiProbe: Boolean = true): DataFrame = {
-    require(bits >= 1 && bits <= 62, "bits in 1..62")
+    * either relation, never all pairs. `bits` defaults to [[AutoBits]]: the
+    * occupancy rule picks it from a `right.count()` (one extra cheap job),
+    * so candidate volume stays bounded however big the corpus; pass
+    * explicit `bits` to skip the count. */
+  def lshJoinTopK(left: DataFrame, right: DataFrame, k: Int,
+                  bits: Int = AutoBits, multiProbe: Boolean = true): DataFrame = {
     requireAnnJoinColumns(left, right)
-    val r = right.withColumn("bucket", expr(s"hyperplane_bucket(embedding, $bits)"))
-    val scored = probeExpand(left, bits, multiProbe).join(r, "bucket")
+    val b = resolveBits(bits, right)
+    val r = right.withColumn("bucket", expr(s"hyperplane_bucket(embedding, $b)"))
+    val scored = probeExpand(left, b, multiProbe).join(r, "bucket")
       .withColumn("sim", expr("cosine_sim(embedding, q_embedding)"))
       .select(col("q_id"), col("vec_id"), col("sim"))
     topKRank(scored, k)
@@ -694,17 +713,19 @@ object Similarity {
     * leans on float bit-equality of recomputed scores. Shuffles carry:
     * tables·|probe rows|, then ≤ one candidate row per distinct pair (the
     * embeddings ride the dedup exchange once), then ≤ k survivors per left
-    * row. Neither side is ever broadcast. */
+    * row. Neither side is ever broadcast. `bits` defaults to [[AutoBits]]
+    * (occupancy-ruled from a `right.count()` — per-table occupancy is what
+    * the rule bounds, so the same resolution applies). */
   def lshJoinTopKMulti(left: DataFrame, right: DataFrame, k: Int,
-                       bits: Int = 8, tables: Int = 4): DataFrame = {
-    require(bits >= 1 && bits <= 62, "bits in 1..62")
+                       bits: Int = AutoBits, tables: Int = 4): DataFrame = {
     require(tables >= 1 && tables <= 64, "tables in 1..64")
     requireAnnJoinColumns(left, right)
+    val b = resolveBits(bits, right)
     val ts = expr(s"explode(sequence(0, ${tables - 1}))")
     val r = right.withColumn("__t", ts)
-      .withColumn("bucket", expr(s"hyperplane_bucket_t(embedding, $bits, __t)"))
+      .withColumn("bucket", expr(s"hyperplane_bucket_t(embedding, $b, __t)"))
     val l = left.withColumn("__t", ts)
-      .withColumn("bucket", expr(s"hyperplane_bucket_t(q_embedding, $bits, __t)"))
+      .withColumn("bucket", expr(s"hyperplane_bucket_t(q_embedding, $b, __t)"))
     val scored = l.join(r, Seq("__t", "bucket"))
       .select(col("q_id"), col("q_embedding"), col("vec_id"), col("embedding"))
       .dropDuplicates("q_id", "vec_id")
@@ -718,8 +739,12 @@ object Similarity {
     * the right-side row count from a cheap `right.count()` (or a catalog
     * estimate) and hand the result to [[lshJoinTopK]]/[[lshJoinTopKMulti]].
     * Candidate volume per probe then stays O(targetOccupancy·(bits+1)),
-    * independent of corpus growth; clamped to [minBits, 62]. */
-  def autoBits(rightRows: Long, targetOccupancy: Long = 8L, minBits: Int = 8): Int = {
+    * independent of corpus growth; clamped to [minBits, 62]. The default
+    * occupancy is 4: Hamming-1 multi-probe already visits bits+1 buckets
+    * per probe row, so ~4·(bits+1) candidates is ample for small k — it is
+    * also exactly the hand-tuned sizing of the 1M probes (18 bits), so the
+    * auto default costs what the tuned value did. */
+  def autoBits(rightRows: Long, targetOccupancy: Long = 4L, minBits: Int = 8): Int = {
     require(rightRows >= 0, "rightRows must be >= 0")
     require(targetOccupancy >= 1, "targetOccupancy must be >= 1")
     require(minBits >= 1 && minBits <= 62, "minBits in 1..62")

@@ -193,6 +193,28 @@ class OpsSpec extends AnyFunSuite {
     assert((exact intersect approx).size >= 5)
   }
 
+  test("AutoBits default: omitted bits resolve by the occupancy rule") {
+    // the rule itself at the scales that matter
+    assert(Similarity.autoBits(1000000L) == 18)               // 1M/2^18 ≈ 4
+    assert(Similarity.autoBits(1000000L, targetOccupancy = 8L) == 17)
+    assert(Similarity.autoBits(0L) == 8)                      // minBits floor
+    assert(Similarity.autoBits(Long.MaxValue) == 61)          // 2^63/2^61 ≈ 4
+    // a default call resolves bits from the corpus count — on this small
+    // corpus the rule floors at 8, so results match explicit bits = 8
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val left = emb.where("vec_id % 11 = 0")
+      .selectExpr("vec_id AS q_id", "embedding AS q_embedding")
+    def rs(df: org.apache.spark.sql.DataFrame) =
+      df.selectExpr("q_id", "vec_id", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.get(2))).toSet
+    assert(rs(Similarity.lshJoinTopK(left, emb, 3)) ==
+      rs(Similarity.lshJoinTopK(left, emb, 3, bits = 8)))
+    // explicit bits are still validated
+    intercept[IllegalArgumentException] {
+      Similarity.lshJoinTopK(left, emb, 3, bits = 63)
+    }
+  }
+
   test("lshJoinTopK: big-big join finds self-matches, multi-probe only adds candidates") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val left = emb.where("vec_id % 7 = 0")
@@ -276,12 +298,12 @@ class OpsSpec extends AnyFunSuite {
     assert(Similarity.autoBits(1000000L, targetOccupancy = 4L, minBits = 20) == 20)
     // small corpora stay at the floor; growth raises bits logarithmically
     assert(Similarity.autoBits(100L) == 8)
-    assert(Similarity.autoBits(100000000L) == 24) // floor(1e8/2^24)=5 <= 8
+    assert(Similarity.autoBits(100000000L) == 25) // floor(1e8/2^25)=2 <= 4
     assert(Similarity.autoBits(0L) == 8)
     // occupancy after sizing is within target (the rule's contract)
     for (rows <- Seq(1000L, 123456L, 10000000L, 5000000000L)) {
       val b = Similarity.autoBits(rows)
-      assert(rows >> b <= 8L, s"rows=$rows bits=$b occ=${rows >> b}")
+      assert(rows >> b <= 4L, s"rows=$rows bits=$b occ=${rows >> b}")
     }
   }
 
