@@ -392,9 +392,62 @@ object Bench {
         // cosine reranks only the shortlist
         val rPqRerank = recall(pairs(graft.ops.Similarity.pqTopKRerank(
           corpus, encoded, cb, queries, 10, shortlist = 2000)))
+        // REFINED codebook (opt-in Lloyd, refine=2): both the codebook and
+        // the re-encoded codes are deterministic inputs — fixture-cached
+        // with the build parameters in the names, like every other ANN
+        // fixture; the retrieval pass itself always runs live
+        val cbRFile = new java.io.File(
+          s"/tmp/graft_bench_annrec1m_pqcb_m${pqM}_c${pqCodes}_r2_p$corpusTag.bin")
+        val cbR: Array[Array[Array[Float]]] =
+          if (cbRFile.isFile && cbRFile.lastModified >= baseMarker.lastModified) {
+            val ois = new java.io.ObjectInputStream(
+              new java.io.FileInputStream(cbRFile))
+            try ois.readObject().asInstanceOf[Array[Array[Array[Float]]]]
+            finally ois.close()
+          } else {
+            val c = graft.ops.Similarity.pqCodebook(
+              corpus, m = pqM, nCodes = pqCodes, refine = 2)
+            val oos = new java.io.ObjectOutputStream(
+              new java.io.FileOutputStream(cbRFile))
+            try oos.writeObject(c) finally oos.close()
+            c
+          }
+        val pqDirR = s"/tmp/graft_bench_annrec1m_pq_m${pqM}_c${pqCodes}_r2"
+        val pqMarkerR = new java.io.File(pqDirR, "_SUCCESS")
+        if (!pqMarkerR.isFile || pqMarkerR.lastModified < baseMarker.lastModified)
+          graft.ops.Similarity.pqEncode(corpus, cbR)
+            .write.mode("overwrite").parquet(pqDirR)
+        val pqRawR = pairs(graft.ops.Similarity.pqTopK(
+          s.read.parquet(pqDirR), cbR, queries, 10))
+        val pqClusterR = pqRawR.count { case (q, v) => q % 1000 == v % 1000 }
+          .toDouble / pqRawR.size
+        val rPqRerankR = recall(pairs(graft.ops.Similarity.pqTopKRerank(
+          corpus, s.read.parquet(pqDirR), cbR, queries, 10, shortlist = 2000)))
+        // the claim Lloyd actually makes is DISTORTION: mean quantization
+        // error over a deterministic ~100-vector corpus sample, refined vs
+        // sampled-init (raw recall@10 is ~random at this code resolution —
+        // 8 bytes cannot rank within a 1000-member cluster — so it is NOT a
+        // refinement metric; the rankable claims are gated below)
+        def distortion(cbX: Array[Array[Array[Float]]]): Double = {
+          val sampleV = corpus.where("vec_id % 9973 = 0")
+            .select("embedding").collect().map(_.getSeq[Float](0).toArray)
+          val mm = cbX.length; val w = cbX(0)(0).length
+          sampleV.iterator.map { v =>
+            (0 until mm).map { ss =>
+              cbX(ss).map { cent =>
+                (0 until w).map { j =>
+                  val t = v(ss * w + j).toDouble - cent(j).toDouble; t * t
+                }.sum
+              }.min
+            }.sum
+          }.sum / sampleV.length
+        }
+        val (dist0, distR) = (distortion(cb), distortion(cbR))
         System.err.println(f"[bench] x_ann_recall_1m recall@10: lsh+probe=$rLsh1%.3f " +
           f"1-table=$rMulti1%.3f 8-table=$rMulti8%.3f ivf=$rIvf%.3f " +
-          f"ivf_saved=$rIvfSaved%.3f pq_cluster=$pqCluster%.3f pq_rerank=$rPqRerank%.3f")
+          f"ivf_saved=$rIvfSaved%.3f pq_cluster=$pqCluster%.3f pq_rerank=$rPqRerank%.3f " +
+          f"pq_cluster_refined=$pqClusterR%.3f pq_rerank_refined=$rPqRerankR%.3f " +
+          f"pq_distortion=$dist0%.4f->$distR%.4f")
         // floors ~10 points under deterministic measured values (r9:
         // 0.825 / 0.450 / 0.996 / 1.000 / 1.000 / ~1.0 / ~1.0)
         require(rLsh1 >= 0.70, f"lshJoinTopK multi-probe recall@10 $rLsh1%.3f < 0.70")
@@ -405,6 +458,16 @@ object Bench {
         require(rIvfSaved >= 0.90, f"ivfSearchSaved recall@10 $rIvfSaved%.3f < 0.90")
         require(pqCluster >= 0.90, f"pqTopK cluster recall $pqCluster%.3f < 0.90")
         require(rPqRerank >= 0.90, f"pqTopKRerank recall@10 $rPqRerank%.3f < 0.90")
+        // Lloyd refinement gates (all deterministic): it must CUT the
+        // quantization distortion materially, and must not cost quality on
+        // either rankable claim — cluster recall of the raw codes and
+        // recall@10 of the rerank topology
+        require(distR < dist0 * 0.9,
+          f"refined codebook did not cut distortion: $dist0%.4f -> $distR%.4f")
+        require(pqClusterR >= pqCluster,
+          f"refined PQ cluster recall $pqClusterR%.3f < unrefined $pqCluster%.3f")
+        require(rPqRerankR >= rPqRerank,
+          f"refined PQ rerank recall@10 $rPqRerankR%.3f < unrefined $rPqRerank%.3f")
         } finally corpus.unpersist()
       },
       // PATHOLOGICAL hot bucket: 20% of the corpus (200k scaled copies of

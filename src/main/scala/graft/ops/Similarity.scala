@@ -207,25 +207,101 @@ object Similarity {
    * `m` BYTES per vector against `4·dim` for float32 (16× at m=8, dim=64),
    * the standard compressed-corpus representation beyond scalar quantization.
    *
-   * Codebooks here are a DETERMINISTIC corpus sample (the subvectors of the
-   * `nCodes` lowest-id vectors) rather than Lloyd-refined cells: sampling is
-   * the standard k-means init, skipping refinement keeps every step exactly
-   * reproducible on any engine (the correctness oracle re-derives codebooks,
-   * assignments and scores bit-for-bit in SQL). A production pipeline can
-   * refine these with the same machinery as [[ivfCentroids]] at the cost of
-   * an iteration-order-dependent oracle.
+   * Codebooks default to a DETERMINISTIC corpus sample (the subvectors of
+   * the `nCodes` lowest-id vectors) rather than Lloyd-refined cells:
+   * sampling is the standard k-means init, skipping refinement keeps every
+   * step exactly reproducible on any engine (the correctness oracle
+   * re-derives codebooks, assignments and scores bit-for-bit in SQL).
+   *
+   * `refine` > 0 runs that many Lloyd iterations over ALL `m` subspace
+   * codebooks in ONE fused corpus scan per iteration (the [[ivfCentroids]]
+   * machinery, subspace-keyed): each partition folds its vectors into
+   * ≤ m·nCodes fixed-point sum rows, the tiny partials merge
+   * distributively, and exactly m·nCodes·(dim/m) scalars reach the driver
+   * per iteration — bit-reproducible at any parallelism (integer sums are
+   * order-independent), but the result depends on the whole corpus, so
+   * refined codebooks are opt-in (the default keeps the oracle replayable).
+   * Assignment tie-breaking matches [[pqEncode]] (strict <, first min
+   * wins); a code that attracts no vectors keeps its previous centroid.
    *
    * Returns `[s][c][j]`: `m` codebooks of `nCodes` centroids of `dim/m` dims.
    */
   def pqCodebook(corpus: DataFrame, m: Int = 8, nCodes: Int = 16,
-      idCol: String = "vec_id", embCol: String = "embedding"): Array[Array[Array[Float]]] = {
+      idCol: String = "vec_id", embCol: String = "embedding",
+      refine: Int = 0): Array[Array[Array[Float]]] = {
+    require(refine >= 0 && refine <= 50, "refine in 0..50")
+    require(nCodes <= 65536, "nCodes must fit 16 bits")
     val sample = corpus.orderBy(col(idCol)).limit(nCodes)
       .select(embCol).collect().map(_.getSeq[Float](0).toArray)
     require(sample.length == nCodes, s"corpus smaller than nCodes=$nCodes")
     val dim = sample.head.length
     require(dim % m == 0, s"dim $dim not divisible by m=$m")
     val w = dim / m
-    Array.tabulate(m)(s => Array.tabulate(nCodes)(c => sample(c).slice(s * w, (s + 1) * w)))
+    var cb = Array.tabulate(m)(s =>
+      Array.tabulate(nCodes)(c => sample(c).slice(s * w, (s + 1) * w)))
+    if (refine > 0) {
+      val spark = corpus.sparkSession
+      // one materialization of the embedding column for the whole loop
+      val emb = corpus.select(col(embCol))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      import org.apache.spark.sql.{Encoders, Row}
+      import org.apache.spark.sql.types._
+      val partialSchema = StructType(Seq(
+        StructField("s", IntegerType), StructField("code", IntegerType),
+        StructField("sx", ArrayType(LongType)), StructField("cnt", LongType)))
+      val partialEnc = Encoders.row(partialSchema)
+      for (_ <- 0 until refine) {
+        val bc = spark.sparkContext.broadcast(cb)
+        val partials = emb.mapPartitions { it =>
+          val c = bc.value
+          val acc = new java.util.HashMap[Int, Array[Long]]()
+          while (it.hasNext) {
+            val v = it.next().getSeq[Float](0).toArray
+            var s = 0
+            while (s < m) {
+              var best = 0; var bestD = Double.MaxValue; var ci = 0
+              while (ci < nCodes) {
+                var d = 0.0; var j = 0
+                while (j < w) {
+                  val t = v(s * w + j).toDouble - c(s)(ci)(j).toDouble
+                  d += t * t; j += 1
+                }
+                if (d < bestD) { bestD = d; best = ci } // pqEncode's tie rule
+                ci += 1
+              }
+              var a = acc.get(s * 65536 + best)
+              if (a == null) {
+                a = new Array[Long](w + 1); acc.put(s * 65536 + best, a)
+              }
+              var j = 0
+              while (j < w) {
+                a(j) += math.round(v(s * w + j).toDouble * IvfScale); j += 1
+              }
+              a(w) += 1
+              s += 1
+            }
+          }
+          import scala.jdk.CollectionConverters._
+          acc.asScala.iterator.map { case (key, a) =>
+            Row(key / 65536, key % 65536, a.take(w).toSeq, a(w))
+          }
+        }(partialEnc)
+        val sums = partials
+          .select(col("s"), col("code"), col("cnt"),
+            posexplode(col("sx")).as(Seq("dim", "x")))
+          .groupBy("s", "code", "dim")
+          .agg(sum(col("x")).as("sx"), sum(col("cnt")).as("n"))
+          .collect()
+        val next = cb.map(_.map(_.clone()))
+        sums.foreach { r =>
+          next(r.getInt(0))(r.getInt(1))(r.getInt(2)) =
+            (r.getLong(3).toDouble / IvfScale / r.getLong(4)).toFloat
+        }
+        cb = next
+      }
+      emb.unpersist(blocking = false)
+    }
+    cb
   }
 
   /** Encode each vector as `m` code bytes: per subspace, the argmin-L2

@@ -32,6 +32,9 @@ BASELINE_RESETS = {
     "q_extract_features": (10, "r10 real codecs (FakeCodec retired)"),
     "q_frame_sample":     (10, "r10 real codecs (FakeCodec retired)"),
     "q_image_meta":       (10, "r10 real codecs (FakeCodec retired)"),
+    # r11 extends the recall gate with refined-PQ passes: two more live
+    # retrieval sweeps (refined pqTopK + refined rerank) are now measured
+    "x_ann_recall_1m":    (11, "r11 refined-PQ gates (2 extra live passes)"),
 }
 
 
