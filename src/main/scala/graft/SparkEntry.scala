@@ -1161,6 +1161,18 @@ object SparkEntry {
         |        wav_synth(CAST(1000 * (1 + doc_id % 53) AS INT), 1000)) AS st
         |      FROM documents)
         |ORDER BY doc_id""".stripMargin) _,
+    // every crawl-real PCM depth through the same decode: doc_id % 3 picks
+    // u8 / s16 / s24, each ramp with a closed form the oracle replays
+    // sample-by-sample (u8 decodes CENTERED — the WAV convention — so a
+    // sign-convention slip hash-fails; s24 exercises the 3-byte stride and
+    // bit-23 sign extension)
+    "q_audio_depths" -> q(
+      """SELECT doc_id, st.n, st.peak, st.sum_sq
+        |FROM (SELECT doc_id, audio_stats(wav_synth_bits(
+        |        CAST(500 * (1 + doc_id % 23) AS INT), 1000,
+        |        CAST(8 + 8 * (doc_id % 3) AS INT))) AS st
+        |      FROM documents)
+        |ORDER BY doc_id""".stripMargin) _,
 
     // ---- relational layer (Spark-provided operators, SURVEY §2.3) ----------
     // decimal sums emitted as integer cents: Spark and DuckDB render/hash
@@ -4197,6 +4209,23 @@ object SparkEntry {
         |        sum(CAST(v AS BIGINT) * v) AS sum_sq
         |      FROM (SELECT doc_id, ((t.u % 2048) - 1024) * 16 AS v
         |            FROM (SELECT doc_id, 1000 * (1 + doc_id % 53) AS ns
+        |                  FROM documents),
+        |                 UNNEST(range(0, ns, 1)) AS t(u))
+        |      GROUP BY doc_id)
+        |ORDER BY doc_id""".stripMargin,
+    // three depth-specific ramps replayed: u8 centers to (u%256)-128, s16
+    // is ((u%2048)-1024)*16, s24 is ((u%2048)-1024)*4096
+    "q_audio_depths" ->
+      """SELECT doc_id, CAST(n AS BIGINT) AS n, CAST(peak AS INT) AS peak,
+        |       CAST(sum_sq AS BIGINT) AS sum_sq
+        |FROM (SELECT doc_id, count(*) AS n, max(abs(v)) AS peak,
+        |        sum(CAST(v AS BIGINT) * v) AS sum_sq
+        |      FROM (SELECT doc_id,
+        |              CASE doc_id % 3
+        |                WHEN 0 THEN (t.u % 256) - 128
+        |                WHEN 1 THEN ((t.u % 2048) - 1024) * 16
+        |                ELSE ((t.u % 2048) - 1024) * 4096 END AS v
+        |            FROM (SELECT doc_id, 500 * (1 + doc_id % 23) AS ns
         |                  FROM documents),
         |                 UNNEST(range(0, ns, 1)) AS t(u))
         |      GROUP BY doc_id)

@@ -138,17 +138,35 @@ object Multimodal {
       encodePng(dst)
     }
 
-    /** Real RIFF/WAVE payload: mono 16-bit little-endian PCM, `nSamples`
-      * frames of a deterministic ramp at `sampleRate` Hz. */
-    def synthWav(nSamples: Int, sampleRate: Int): Array[Byte] = {
+    /** Real RIFF/WAVE payload: mono PCM at `sampleRate` Hz, `nSamples`
+      * frames of a deterministic ramp, at any of the crawl-real depths —
+      * 8-bit (UNSIGNED, the WAV convention: byte `i % 256`, which decodes
+      * centered to `(i % 256) − 128`), 16-bit signed LE
+      * (`((i % 2048) − 1024)·16`), 24-bit signed LE
+      * (`((i % 2048) − 1024)·4096`). Each ramp has a closed form the
+      * oracle replays sample-by-sample. */
+    def synthWav(nSamples: Int, sampleRate: Int, bits: Int = 16): Array[Byte] = {
       require(nSamples >= 0 && sampleRate >= 1, "synthWav: bad params")
-      val fmt = new AudioFormat(sampleRate.toFloat, 16, 1, true, false)
-      val data = new Array[Byte](nSamples * 2)
+      require(bits == 8 || bits == 16 || bits == 24,
+        s"synthWav: bits in {8, 16, 24}, got $bits")
+      val fmt = new AudioFormat(sampleRate.toFloat, bits, 1, bits != 8, false)
+      val bps = bits / 8
+      val data = new Array[Byte](nSamples * bps)
       var i = 0
       while (i < nSamples) {
-        val v = ((i % 2048) - 1024) * 16 // deterministic ramp, 16-bit range
-        data(2 * i) = (v & 0xff).toByte
-        data(2 * i + 1) = ((v >> 8) & 0xff).toByte
+        bits match {
+          case 8 =>
+            data(i) = (i % 256).toByte // unsigned byte; centers to −128..127
+          case 16 =>
+            val v = ((i % 2048) - 1024) * 16
+            data(2 * i) = (v & 0xff).toByte
+            data(2 * i + 1) = ((v >> 8) & 0xff).toByte
+          case 24 =>
+            val v = ((i % 2048) - 1024) * 4096
+            data(3 * i) = (v & 0xff).toByte
+            data(3 * i + 1) = ((v >> 8) & 0xff).toByte
+            data(3 * i + 2) = ((v >> 16) & 0xff).toByte
+        }
         i += 1
       }
       val ais = new AudioInputStream(new ByteArrayInputStream(data), fmt, nSamples.toLong)
@@ -165,19 +183,26 @@ object Multimodal {
       finally ais.close()
     }
 
-    /** Sample-level stats over the DECODED audio payload (16-bit PCM, either
-      * endianness, channel 0 of any channel count): frame count, peak |v|,
-      * and Σv² — integer-exact, so the oracle replays the synth ramp's
-      * arithmetic in SQL. Streaming read: constant memory at any length. */
+    /** Sample-level stats over the DECODED audio payload (the crawl-real
+      * PCM depths: unsigned 8-bit — decoded CENTERED, v = byte − 128, the
+      * WAV convention — signed 16-bit and signed 24-bit, either endianness,
+      * channel 0 of any channel count): frame count, peak |v|, and Σv² —
+      * integer-exact, so the oracle replays the synth ramps' arithmetic in
+      * SQL. Any other shape (float, u16, 32-bit…) fails LOUDLY: decoding
+      * with the wrong sign/width convention would silently corrupt stats.
+      * Streaming read: constant memory at any length. */
     def audioStats(payload: Array[Byte]): (Long, Int, Long) = {
       val ais = AudioSystem.getAudioInputStream(new ByteArrayInputStream(payload))
       try {
         val fmt = ais.getFormat
-        require(fmt.getSampleSizeInBits == 16,
-          s"audio_stats: 16-bit PCM only, got ${fmt.getSampleSizeInBits}-bit")
-        require(fmt.getEncoding == AudioFormat.Encoding.PCM_SIGNED,
-          s"audio_stats: signed PCM only, got ${fmt.getEncoding} — an " +
-            "unsigned payload would silently decode with flipped sign")
+        val bits = fmt.getSampleSizeInBits
+        val supported =
+          (bits == 8 && fmt.getEncoding == AudioFormat.Encoding.PCM_UNSIGNED) ||
+          ((bits == 16 || bits == 24) &&
+            fmt.getEncoding == AudioFormat.Encoding.PCM_SIGNED)
+        require(supported, s"audio_stats: supported PCM shapes are u8/s16/s24, " +
+          s"got $bits-bit ${fmt.getEncoding}")
+        val bps = bits / 8
         val frameBytes = fmt.getFrameSize
         val big = fmt.isBigEndian
         val buf = new Array[Byte](frameBytes * 4096)
@@ -185,9 +210,20 @@ object Multimodal {
         var read = ais.read(buf) // AudioInputStream reads whole frames only
         while (read > 0) {
           var off = 0
-          while (off + 1 < read) {
-            val v = if (big) (buf(off) << 8) | (buf(off + 1) & 0xff)
-                    else (buf(off + 1) << 8) | (buf(off) & 0xff)
+          while (off + bps <= read) {
+            val v = bits match {
+              case 8 => (buf(off) & 0xff) - 128
+              case 16 =>
+                if (big) (buf(off) << 8) | (buf(off + 1) & 0xff)
+                else (buf(off + 1) << 8) | (buf(off) & 0xff)
+              case _ => // 24: assemble, then sign-extend from bit 23
+                val raw =
+                  if (big) ((buf(off) & 0xff) << 16) |
+                    ((buf(off + 1) & 0xff) << 8) | (buf(off + 2) & 0xff)
+                  else ((buf(off + 2) & 0xff) << 16) |
+                    ((buf(off + 1) & 0xff) << 8) | (buf(off) & 0xff)
+                (raw << 8) >> 8
+            }
             val a = math.abs(v)
             if (a > peak) peak = a
             sumSq += v.toLong * v
@@ -226,6 +262,10 @@ object Multimodal {
     }
     Udf.scalar2[Int, Int, Array[Byte]]("wav_synth(int, int) -> binary") {
       (nSamples, rate) => JdkCodec.synthWav(nSamples, rate)
+    }
+    Udf.scalar3[Int, Int, Int, Array[Byte]](
+      "wav_synth_bits(int, int, int) -> binary") {
+      (nSamples, rate, bits) => JdkCodec.synthWav(nSamples, rate, bits)
     }
 
     // ---- real decode surface ----------------------------------------------

@@ -495,6 +495,40 @@ class OpsSpec extends AnyFunSuite {
     assert(frames == Seq(0L, 1000L, 2000L, 3000L))
   }
 
+  test("multimodal: audioStats decodes u8/s16/s24 WAV sample-exactly; others fail loudly") {
+    import graft.ops.Multimodal.JdkCodec
+    val n = 700
+    def expect(bits: Int): (Long, Int, Long) = {
+      val vs = (0 until n).map { i =>
+        bits match {
+          case 8  => (i % 256) - 128
+          case 16 => ((i % 2048) - 1024) * 16
+          case _  => ((i % 2048) - 1024) * 4096
+        }
+      }
+      (n.toLong, vs.map(math.abs).max, vs.map(v => v.toLong * v).sum)
+    }
+    for (bits <- Seq(8, 16, 24)) {
+      val got = JdkCodec.audioStats(JdkCodec.synthWav(n, 8000, bits))
+      assert(got == expect(bits), s"$bits-bit: $got vs ${expect(bits)}")
+      // header-based duration is depth-independent
+      assert(JdkCodec.audioDurationMs(JdkCodec.synthWav(800, 8000, bits)) == 100L)
+    }
+    // unsupported shapes fail loudly, never decode with a wrong convention
+    // (the JDK WAVE writer silently converts s8 to u8, so 32-bit signed —
+    // which it writes verbatim — is the guard fixture)
+    val ex = intercept[IllegalArgumentException] {
+      val fmt = new javax.sound.sampled.AudioFormat(8000f, 32, 1, true, false)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(new Array[Byte](16)), fmt, 4L)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      JdkCodec.audioStats(bos.toByteArray)
+    }
+    assert(ex.getMessage.contains("u8/s16/s24"), ex.getMessage)
+  }
+
   test("multimodal: pixelStatsBatch drives pixel decode through the batch tier") {
     val df = spark.range(10).selectExpr("id AS doc_id",
       s"png_synth_2tone(CAST(8 + id AS INT), 4, ${0x0A0000}, ${0x140000}) AS payload")
