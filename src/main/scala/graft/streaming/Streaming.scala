@@ -892,6 +892,64 @@ object Streaming {
       }
   }
 
+  case class TrendIn(eventType: String, day: Long)
+  case class TrendOut(day: Long, eventType: String, cnt7: Long, rank: Int)
+  case class TrendState(types: Seq[String], counts: Seq[Long])
+
+  /**
+   * Streaming trailing-window trending top-k — the incremental twin of the
+   * `q_trending` dashboard rollup (per day, the top-k event types by
+   * trailing `windowDays`-day event count).
+   *
+   * Topology inverts the batch register-fan: each event fans to the
+   * `windowDays` WINDOW-day keys its day contributes to, so per-key state
+   * is one count per event type seen in that window (bounded by the type
+   * vocabulary, independent of event volume) and each micro-batch emits a
+   * revised full top-k for every window-day it touched. Ranking matches
+   * the batch query exactly: count desc, then event type asc.
+   *
+   * Contract vs batch: counts only grow, so the LATEST emission per day is
+   * the batch result over the same rows — for every day up to the max
+   * event day seen. Window-days BEYOND it (days the newest events fan
+   * forward into) emit provisionally with partial trailing counts, exactly
+   * what a live dashboard wants for "today"; the batch query instead clamps
+   * its grid to the data's max day, so parity specs compare days ≤ that
+   * max. Null event types are ignored (filter them identically on the
+   * batch side when checking parity).
+   *
+   * Scale: the fan-out is ×windowDays on EVENTS — acceptable for dashboard
+   * feeds; pre-aggregate upstream (a `groupBy(type, day).count` per batch
+   * before this operator would need a count-valued input, not offered here
+   * to keep the operator exactly-once simple). State rows = live window-day
+   * keys × 1.
+   */
+  def trendingStream(input: Dataset[TrendIn], windowDays: Int = 7,
+      k: Int = 3): Dataset[TrendOut] = {
+    require(windowDays >= 1 && windowDays <= 370, "windowDays in 1..370")
+    require(k >= 1 && k <= 1000, "k in 1..1000")
+    implicit val stateEnc: Encoder[TrendState] = Encoders.product[TrendState]
+    implicit val outEnc: Encoder[TrendOut] = Encoders.product[TrendOut]
+    implicit val keyEnc: Encoder[Long] = Encoders.scalaLong
+    implicit val pairEnc: Encoder[(Long, String)] =
+      Encoders.tuple(Encoders.scalaLong, Encoders.STRING)
+    val fanned = input.filter(_.eventType != null)
+      .flatMap(r => (r.day until r.day + windowDays).map(w => (w, r.eventType)))
+    fanned.groupByKey(_._1)
+      .flatMapGroupsWithState[TrendState, TrendOut](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (day: Long, rows: Iterator[(Long, String)], state: GroupState[TrendState]) =>
+          val st = state.getOption.getOrElse(TrendState(Nil, Nil))
+          val m = scala.collection.mutable.Map.empty[String, Long]
+          st.types.zip(st.counts).foreach { case (t, c) => m(t) = c }
+          rows.foreach { case (_, t) => m(t) = m.getOrElse(t, 0L) + 1L }
+          val sorted = m.toSeq.sortBy { case (t, c) => (-c, t) }
+          state.update(TrendState(sorted.map(_._1), sorted.map(_._2)))
+          sorted.iterator.take(k).zipWithIndex.map { case ((t, c), i) =>
+            TrendOut(day, t, c, i + 1)
+          }
+      }
+  }
+
   def hllStream(input: Dataset[KV], p: Int = 9): Dataset[CardEstimate] = {
     implicit val stateEnc: Encoder[Array[Byte]] = Encoders.BINARY
     implicit val outEnc: Encoder[CardEstimate] = Encoders.product[CardEstimate]

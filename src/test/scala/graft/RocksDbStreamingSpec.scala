@@ -15,9 +15,9 @@ import org.scalatest.funsuite.AnyFunSuite
  * (rocksdb custom metrics present, state row counts exact or tightly
  * bounded).
  *
- * Covered: semantic-dedup, HLL, HLL sliding window, SCD2, retracting
- * aggregate, windowed count, sessionize (both variants), as-of join, range
- * join, anomaly, CUSUM, token-budget, curation, qsketch. NOT here: `annJoinStream` and
+ * Covered: semantic-dedup, HLL, HLL sliding window, trending top-k, SCD2,
+ * retracting aggregate, windowed count, sessionize (both variants), as-of
+ * join, range join, anomaly, CUSUM, token-budget, curation, qsketch. NOT here: `annJoinStream` and
  * `dedupStream` — their state is external (a persisted parquet index /
  * cached corpus driven through foreachBatch), so no state store is involved
  * regardless of provider.
@@ -505,6 +505,50 @@ class RocksDbStreamingSpec extends AnyFunSuite {
           .map { case (k, rs) => k -> rs.last.getLong(2) }
         assert(got == want, s"rocksdb stream $got vs batch $want")
         assert(rocksStateRows(q) == 2L) // one day-register map per key
+      } finally q.stop()
+    }
+  }
+
+  test("rocksdb: trendingStream equals the batch rollup, one state row per window-day") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx = spark.sqlContext
+    val rnd = new scala.util.Random(31)
+    val types = Seq("click", "view", "buy", "share")
+    val rows = (0 until 400).map { _ =>
+      Streaming.TrendIn(types(rnd.nextInt(types.size)), rnd.nextInt(5).toLong)
+    }
+    val dmax = rows.map(_.day).max
+    val daily = rows.toDF("event_type", "day")
+      .groupBy("event_type", "day").agg(count(lit(1)).as("c"))
+    val fanned = daily.select(col("event_type"), col("c"),
+        explode(sequence(col("day"), col("day") + 6)).as("day"))
+      .groupBy("day", "event_type").agg(sum("c").as("cnt7"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("day").orderBy(col("cnt7").desc, col("event_type"))
+    val want = fanned.where(col("day") <= dmax)
+      .withColumn("rank", row_number().over(w)).where(col("rank") <= 3)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(3)) -> ((r.getString(1), r.getLong(2))))
+      .toMap
+    // live window-day keys: every day any event fans into
+    val liveKeys = rows.flatMap(r => r.day until r.day + 7).distinct.size
+    withRocksDb {
+      val results = scala.collection.mutable.Map.empty[(Long, Int), (String, Long)]
+      val mem = MemoryStream[Streaming.TrendIn]
+      val q = Streaming.trendingStream(mem.toDS())
+        .writeStream.outputMode("update")
+        .foreachBatch { (df: org.apache.spark.sql.Dataset[Streaming.TrendOut], _: Long) =>
+          df.collect().foreach(r => results.synchronized {
+            results((r.day, r.rank)) = (r.eventType, r.cnt7) })
+        }.start()
+      try {
+        val (b0, b1) = rows.splitAt(rows.size / 2)
+        mem.addData(b0: _*); q.processAllAvailable()
+        mem.addData(b1: _*); q.processAllAvailable()
+        val got = results.toMap.filter(_._1._1 <= dmax)
+        assert(got == want, s"rocksdb stream $got vs batch $want")
+        assert(rocksStateRows(q) == liveKeys.toLong)
       } finally q.stop()
     }
   }

@@ -828,6 +828,52 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("batch ≡ stream: trendingStream equals the trending rollup on days ≤ max event day") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx = spark.sqlContext
+    val rnd = new scala.util.Random(29)
+    val types = Seq("click", "view", "buy", "share", "like")
+    // skewed type mix over 12 days with gaps, so top-3 and its ties are real
+    val rows = (0 until 900).map { _ =>
+      val t = types(rnd.nextInt(types.size) min rnd.nextInt(types.size))
+      Streaming.TrendIn(t, Seq(0L, 1L, 2L, 3L, 6L, 7L, 11L)(rnd.nextInt(7)))
+    }
+    val dmax = rows.map(_.day).max
+    // the q_trending batch derivation, verbatim
+    val daily = rows.toDF("event_type", "day")
+      .groupBy("event_type", "day").agg(count(lit(1)).as("c"))
+    val fanned = daily.select(col("event_type"), col("c"),
+        explode(sequence(col("day"), col("day") + 6)).as("day"))
+      .groupBy("day", "event_type").agg(sum("c").as("cnt7"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("day").orderBy(col("cnt7").desc, col("event_type"))
+    val want = fanned.where(col("day") <= dmax)
+      .withColumn("rank", row_number().over(w)).where(col("rank") <= 3)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(3)) -> ((r.getString(1), r.getLong(2))))
+      .toMap
+    val results = scala.collection.mutable.Map.empty[(Long, Int), (String, Long)]
+    val mem = MemoryStream[Streaming.TrendIn]
+    val q = Streaming.trendingStream(mem.toDS())
+      .writeStream.outputMode(OutputMode.Update())
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[Streaming.TrendOut], _: Long) =>
+        df.collect().foreach(r => results.synchronized {
+          results((r.day, r.rank)) = (r.eventType, r.cnt7) })
+      }.start()
+    try {
+      rows.grouped(rows.size / 3 + 1).foreach { c =>
+        mem.addData(c: _*); q.processAllAvailable()
+      }
+      // latest emission per (day, rank), clamped to the batch grid
+      val got = results.toMap.filter(_._1._1 <= dmax)
+      assert(got == want, s"stream $got vs batch $want")
+      // fan-forward days beyond dmax DID emit provisional rows (the live
+      // "today" view the batch clamp excludes)
+      assert(results.keys.exists(_._1 > dmax))
+    } finally q.stop()
+  }
+
   test("hllWindowStream: retention horizon is intra-batch order-independent") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
