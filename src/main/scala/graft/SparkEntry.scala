@@ -204,6 +204,35 @@ object SparkEntry {
         |FROM (SELECT doc_id, CAST(pmod(doc_id, 36) + 1 AS INT) AS n FROM documents)
         |LATERAL VIEW wasm_fx_divisors(n) t AS d
         |ORDER BY doc_id, d""".stripMargin) _,
+    // COMPILER-built foreign binary: wasm_rs_* come from fixture_rustc.wasm —
+    // real rustc/LLVM codegen for wasm32-unknown-unknown out of a no_core
+    // crate (tools/wasm_conformance.rs + build_wasm_conformance.sh), so
+    // instruction selection / block layout / register pressure are LLVM's,
+    // not graft's emitter and not a hand-written byte script. Same gate
+    // families as the hand-assembled fixture: ints, IEEE f64/f32 (exact:
+    // integer-valued operands), the string alloc ABI, the out-buffer table
+    // ABI, and the i64-state aggregate through all phases + the shuffle
+    "q_wasm_rustc_math" -> q(
+      """SELECT doc_id,
+        |  wasm_rs_gcd(doc_id + 30, CAST(pmod(doc_id, 89) AS BIGINT) + 5) AS g,
+        |  wasm_rs_mix(CAST(doc_id AS INT), CAST(pmod(doc_id, 61) AS INT) + 1) AS m,
+        |  CAST(wasm_rs_poly(CAST(pmod(doc_id, 37) AS DOUBLE),
+        |                    CAST(pmod(doc_id, 23) AS DOUBLE)) AS BIGINT) AS p,
+        |  CAST(wasm_rs_fma(CAST(pmod(doc_id, 90) AS FLOAT), CAST(pmod(doc_id, 45) AS FLOAT),
+        |                   CAST(pmod(doc_id, 20) AS FLOAT)) AS BIGINT) AS f
+        |FROM documents ORDER BY doc_id""".stripMargin) _,
+    "q_wasm_rustc_binary" -> q(
+      """SELECT doc_id,
+        |  wasm_rs_upper(concat('rs ', CAST(doc_id AS STRING), ' of ', source)) AS up
+        |FROM documents ORDER BY doc_id""".stripMargin) _,
+    "q_wasm_rustc_table" -> q(
+      """SELECT doc_id, t.d AS d
+        |FROM (SELECT doc_id, CAST(pmod(doc_id, 30) + 1 AS INT) AS n FROM documents)
+        |LATERAL VIEW wasm_rs_divisors(n) t AS d
+        |ORDER BY doc_id, d""".stripMargin) _,
+    "q_wasm_rustc_agg" -> q(
+      """SELECT source, wasm_rs_sumsq(CAST(pmod(doc_id, 40) AS INT)) AS ss
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin) _,
     // string arg rides the reference FFI ABI: host calls the guest's
     // exported alloc, copies UTF-8 bytes into linear memory, passes (ptr,len)
     "q_wasm_count_byte" -> q(
@@ -3432,6 +3461,32 @@ object SparkEntry {
         |     UNNEST(list_filter(range(1, (doc_id % 36 + 1) + 1),
         |                        x -> (doc_id % 36 + 1) % x = 0)) AS u(d)
         |ORDER BY doc_id, d""".stripMargin,
+    // the rustc/LLVM-built fixture replayed independently: gcd is DuckDB's
+    // builtin; mix replays the i32 lattice (all operands nonnegative, so
+    // truncated % agrees); poly/fma operands are integer-valued — every
+    // product/sum is exact in f64/f32, no rounding to match
+    "q_wasm_rustc_math" ->
+      """SELECT doc_id,
+        |  CAST(gcd(doc_id + 30, doc_id % 89 + 5) AS BIGINT) AS g,
+        |  CAST((doc_id * 31 + (doc_id % 61 + 1) * 7
+        |        + doc_id // (((doc_id % 61 + 1) % 97) + 1)) % 65521 AS INT) AS m,
+        |  CAST((doc_id % 37) * (doc_id % 37) + 2 * (doc_id % 37) * (doc_id % 23)
+        |       + (doc_id % 23) * (doc_id % 23) AS BIGINT) AS p,
+        |  CAST((doc_id % 90) * (doc_id % 45) + (doc_id % 20) AS BIGINT) AS f
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_wasm_rustc_binary" ->
+      """SELECT doc_id,
+        |  upper('rs ' || CAST(doc_id AS VARCHAR) || ' of ' || source) AS up
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_wasm_rustc_table" ->
+      """SELECT doc_id, CAST(u.d AS INT) AS d
+        |FROM documents,
+        |     UNNEST(list_filter(range(1, (doc_id % 30 + 1) + 1),
+        |                        x -> (doc_id % 30 + 1) % x = 0)) AS u(d)
+        |ORDER BY doc_id, d""".stripMargin,
+    "q_wasm_rustc_agg" ->
+      """SELECT source, CAST(sum((doc_id % 40) * (doc_id % 40)) AS BIGINT) AS ss
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
     "q_wasm_dispatch" ->
       """SELECT l_orderkey, l_linenumber,
         |       CAST(CASE l_orderkey % 3

@@ -30,13 +30,34 @@ object WasmFixture {
     try in.readAllBytes() finally in.close()
   }
 
+  /** COMPILER-built conformance fixture: real rustc/LLVM output for
+    * wasm32-unknown-unknown (`tools/wasm_conformance.rs`, a `#![no_core]`
+    * crate — the container ships no wasm32 std/rust-src/crates.io, but the
+    * nightly compiler's own LLVM backend needs none of them; built by
+    * `tools/build_wasm_conformance.sh`, committed like the hand-assembled
+    * fixture). Register allocation, block layout, and instruction selection
+    * here are LLVM's — the conformance axis neither graft's WasmBuilder nor
+    * the hand-written byte script can provide, closing the "compiler-built
+    * binary" gap against the reference's cargo-built guests
+    * (`arrow-udf-runtime/src/wasm/build.rs:36-161`). */
+  lazy val rustcBytes: Array[Byte] = {
+    val in = getClass.getResourceAsStream("/graft/fixture_rustc.wasm")
+    require(in != null, "fixture_rustc.wasm missing from resources")
+    try in.readAllBytes() finally in.close()
+  }
+
   /** Registers wasm_fx_gcd / wasm_fx_upper / wasm_fx_vadd (discovered from
-    * the binary's own exports) and the wasm_fx_sumsq aggregate. */
+    * the binary's own exports) and the wasm_fx_sumsq aggregate, plus the
+    * rustc-built wasm_rs_* family and its wasm_rs_sumsq aggregate. */
   def registerAll(): Unit = {
     WasmUdf.load(bytes)
     WasmUdf.loadAggregate(bytes, "wasm_fx_sumsq(int) -> bigint",
       createFn = "fx_create", accFn = "fx_acc", retractFn = None,
       mergeFn = "fx_merge", finishFn = "fx_finish")
+    WasmUdf.load(rustcBytes)
+    WasmUdf.loadAggregate(rustcBytes, "wasm_rs_sumsq(int) -> bigint",
+      createFn = "rs_create", accFn = "rs_acc", retractFn = None,
+      mergeFn = "rs_merge", finishFn = "rs_finish")
     ()
   }
 }

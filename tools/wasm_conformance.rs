@@ -1,0 +1,263 @@
+// Compiler-built WASM conformance fixture for the graft wasm tier.
+//
+// The reference's build helper compiles real Rust to wasm
+// (arrow-udf-runtime/src/wasm/build.rs:36-161); this container has no wasm32
+// standard library, no rust-src, and no crates.io cache — but it DOES have a
+// nightly rustc whose LLVM backend targets wasm32-unknown-unknown. A
+// `#![no_core]` crate needs none of the missing pieces: the lang items below
+// are the minimal ops/marker surface the functions use (the same shapes
+// libcore declares), and every function body is plain arithmetic, raw
+// pointers, and loops. The result is a REAL rustc/LLVM-emitted binary —
+// register allocation, block layout, and instruction selection all come from
+// LLVM, not from graft's own WasmBuilder emitter and not from a
+// hand-assembled byte script — carrying the arrow-udf export ABI
+// (`arrowudf_<base64(sig)>`, `ARROWUDF_VERSION_3_0`, bump `alloc` +
+// `reset_heap`, packed (ptr<<32|len) string returns, the table-function
+// out-buffer ABI, and an i64-state aggregate).
+//
+// Build (see tools/build_wasm_conformance.sh):
+//   rustc +nightly --target wasm32-unknown-unknown --crate-type cdylib \
+//     -C opt-level=2 -C panic=abort -o fixture_rustc.wasm wasm_conformance.rs
+//
+// The compiled module is checked in at src/main/resources/graft/
+// fixture_rustc.wasm (same convention as the hand-assembled
+// fixture_llvm_shape.wasm + tools/make_wasm_fixture.py pair).
+#![no_std]
+#![no_core]
+#![feature(no_core, lang_items)]
+#![allow(internal_features)]
+
+// ---- minimal lang-item prelude (the shapes libcore declares) ---------------
+
+#[lang = "pointee_sized"]
+pub trait PointeeSized {}
+#[lang = "meta_sized"]
+pub trait MetaSized: PointeeSized {}
+#[lang = "sized"]
+pub trait Sized: MetaSized {}
+#[lang = "copy"]
+pub trait Copy {}
+#[lang = "legacy_receiver"]
+pub trait LegacyReceiver {}
+impl<T: PointeeSized> LegacyReceiver for &T {}
+
+impl Copy for i32 {}
+impl Copy for i64 {}
+impl Copy for u8 {}
+impl Copy for u32 {}
+impl Copy for f32 {}
+impl Copy for f64 {}
+impl Copy for bool {}
+impl Copy for usize {}
+
+#[lang = "add"]
+pub trait Add<Rhs = Self> {
+    type Output;
+    fn add(self, rhs: Rhs) -> Self::Output;
+}
+#[lang = "sub"]
+pub trait Sub<Rhs = Self> {
+    type Output;
+    fn sub(self, rhs: Rhs) -> Self::Output;
+}
+#[lang = "mul"]
+pub trait Mul<Rhs = Self> {
+    type Output;
+    fn mul(self, rhs: Rhs) -> Self::Output;
+}
+#[lang = "div"]
+pub trait Div<Rhs = Self> {
+    type Output;
+    fn div(self, rhs: Rhs) -> Self::Output;
+}
+#[lang = "rem"]
+pub trait Rem<Rhs = Self> {
+    type Output;
+    fn rem(self, rhs: Rhs) -> Self::Output;
+}
+#[lang = "shl"]
+pub trait Shl<Rhs = Self> {
+    type Output;
+    fn shl(self, rhs: Rhs) -> Self::Output;
+}
+#[lang = "eq"]
+pub trait PartialEq<Rhs = Self> {
+    fn eq(&self, other: &Rhs) -> bool;
+    fn ne(&self, other: &Rhs) -> bool;
+}
+#[lang = "partial_ord"]
+pub trait PartialOrd<Rhs = Self>: PartialEq<Rhs> {
+    fn lt(&self, other: &Rhs) -> bool;
+    fn le(&self, other: &Rhs) -> bool;
+    fn gt(&self, other: &Rhs) -> bool;
+    fn ge(&self, other: &Rhs) -> bool;
+}
+
+// `self + rhs` inside a primitive impl resolves to the built-in operation
+// (exactly how libcore's own impls are written), not a recursive call.
+macro_rules! int_ops {
+    ($t:ty) => {
+        impl Add for $t { type Output = $t; fn add(self, r: $t) -> $t { self + r } }
+        impl Sub for $t { type Output = $t; fn sub(self, r: $t) -> $t { self - r } }
+        impl Mul for $t { type Output = $t; fn mul(self, r: $t) -> $t { self * r } }
+        impl Div for $t { type Output = $t; fn div(self, r: $t) -> $t { self / r } }
+        impl Rem for $t { type Output = $t; fn rem(self, r: $t) -> $t { self % r } }
+        impl PartialEq for $t {
+            fn eq(&self, o: &$t) -> bool { *self == *o }
+            fn ne(&self, o: &$t) -> bool { *self != *o }
+        }
+        impl PartialOrd for $t {
+            fn lt(&self, o: &$t) -> bool { *self < *o }
+            fn le(&self, o: &$t) -> bool { *self <= *o }
+            fn gt(&self, o: &$t) -> bool { *self > *o }
+            fn ge(&self, o: &$t) -> bool { *self >= *o }
+        }
+    };
+}
+int_ops!(i32);
+int_ops!(i64);
+
+impl Shl<i32> for i64 { type Output = i64; fn shl(self, r: i32) -> i64 { self << r } }
+
+macro_rules! float_ops {
+    ($t:ty) => {
+        impl Add for $t { type Output = $t; fn add(self, r: $t) -> $t { self + r } }
+        impl Mul for $t { type Output = $t; fn mul(self, r: $t) -> $t { self * r } }
+    };
+}
+float_ops!(f32);
+float_ops!(f64);
+
+// integer division/remainder compile with zero/overflow guards that call
+// these const-panic shims; a guest-side violation must trap, and an infinite
+// loop trips the interpreter's fuel cap — a loud WasmTrap, never a wrong value
+// statics need drop glue metadata even when nothing drops
+#[lang = "drop_glue"]
+pub unsafe fn drop_glue<T: PointeeSized>(_: *mut T) {}
+
+#[lang = "panic_location"]
+pub struct Location<'a> {
+    _file: &'a str,
+    _line: u32,
+    _col: u32,
+}
+#[lang = "panic_const_div_by_zero"]
+pub fn panic_const_div_by_zero() -> ! { loop {} }
+#[lang = "panic_const_div_overflow"]
+pub fn panic_const_div_overflow() -> ! { loop {} }
+#[lang = "panic_const_rem_by_zero"]
+pub fn panic_const_rem_by_zero() -> ! { loop {} }
+#[lang = "panic_const_rem_overflow"]
+pub fn panic_const_rem_overflow() -> ! { loop {} }
+
+// ---- FFI heap: bump allocator over a BSS arena ------------------------------
+
+const ARENA_BYTES: i64 = 1048576;
+static mut ARENA: [u8; 1048576] = [0u8; 1048576];
+static mut HEAP_OFF: i64 = 0;
+
+#[no_mangle]
+pub extern "C" fn alloc(n: i32) -> i32 {
+    unsafe {
+        let base = (&raw mut ARENA) as *mut u8 as i64;
+        let off = HEAP_OFF;
+        let need = ((n as i64) + 7) / 8 * 8;
+        if off + need > ARENA_BYTES { loop {} } // exhausted: trap via fuel
+        HEAP_OFF = off + need;
+        (base + off) as i32
+    }
+}
+
+#[no_mangle]
+pub extern "C" fn reset_heap() {
+    unsafe { HEAP_OFF = 0; }
+}
+
+// ---- the arrow-udf ABI surface ----------------------------------------------
+
+#[export_name = "ARROWUDF_VERSION_3_0"]
+pub extern "C" fn arrowudf_version() -> i32 { 3 }
+
+// wasm_rs_gcd(bigint, bigint) -> bigint
+#[export_name = "arrowudf_d2FzbV9yc19nY2QoYmlnaW50LCBiaWdpbnQpIC0$IGJpZ2ludA"]
+pub extern "C" fn rs_gcd(a0: i64, b0: i64) -> i64 {
+    let mut a = if a0 < 0 { 0 - a0 } else { a0 };
+    let mut b = if b0 < 0 { 0 - b0 } else { b0 };
+    while b != 0 {
+        let t = a % b;
+        a = b;
+        b = t;
+    }
+    a
+}
+
+// wasm_rs_mix(int, int) -> int  — i32 lattice mix with guarded div
+#[export_name = "arrowudf_d2FzbV9yc19taXgoaW50LCBpbnQpIC0$IGludA"]
+pub extern "C" fn rs_mix(a: i32, b: i32) -> i32 {
+    let h = a * 31 + b * 7 + (a / (b % 97 + 1));
+    let m = h % 65521;
+    if m < 0 { m + 65521 } else { m }
+}
+
+// wasm_rs_poly(double, double) -> double — (a·a + 2·a·b) + b·b, every step a
+// single correctly-rounded IEEE op the oracle replays in the same order
+#[export_name = "arrowudf_d2FzbV9yc19wb2x5KGRvdWJsZSwgZG91YmxlKSAtPiBkb3VibGU"]
+pub extern "C" fn rs_poly(a: f64, b: f64) -> f64 {
+    a * a + 2.0 * a * b + b * b
+}
+
+// wasm_rs_fma(float, float, float) -> float — f32 mul/add (no fused contract)
+#[export_name = "arrowudf_d2FzbV9yc19mbWEoZmxvYXQsIGZsb2F0LCBmbG9hdCkgLT4gZmxvYXQ"]
+pub extern "C" fn rs_fma(a: f32, b: f32, c: f32) -> f32 {
+    a * b + c
+}
+
+// wasm_rs_divisors(int) -> setof int — the out-buffer table ABI: write at
+// most `cap` 8-byte slots at `out`, return the TOTAL divisor count (the host
+// re-calls with a larger buffer on overflow)
+#[export_name = "arrowudf_d2FzbV9yc19kaXZpc29ycyhpbnQpIC0$IHNldG9mIGludA"]
+pub extern "C" fn rs_divisors(n: i32, out: i32, cap: i32) -> i64 {
+    let mut cnt: i64 = 0;
+    let mut d: i32 = 1;
+    while d <= n {
+        if n % d == 0 {
+            if cnt < cap as i64 {
+                unsafe { *((out as i64 + cnt * 8) as usize as *mut i64) = d as i64; }
+            }
+            cnt = cnt + 1;
+        }
+        d = d + 1;
+    }
+    cnt
+}
+
+// wasm_rs_upper(string) -> string — input rides the alloc FFI (host copies
+// bytes in, passes ptr+len); the ASCII-upcased output is bump-allocated and
+// returned packed as (ptr << 32) + len
+#[export_name = "arrowudf_d2FzbV9yc191cHBlcihzdHJpbmcpIC0$IHN0cmluZw"]
+pub extern "C" fn rs_upper(ptr: i32, len: i32) -> i64 {
+    let out = alloc(len);
+    let mut i: i32 = 0;
+    while i < len {
+        let b = unsafe { *((ptr as i64 + i as i64) as usize as *const u8) } as i32;
+        let u = if 97 <= b {
+            if b <= 122 { b - 32 } else { b }
+        } else { b };
+        unsafe { *((out as i64 + i as i64) as usize as *mut u8) = u as u8; }
+        i = i + 1;
+    }
+    ((out as i64) << 32) + len as i64
+}
+
+// wasm_rs_sumsq(int) -> bigint — i64-state aggregate phases (loadAggregate
+// wires create/acc/merge/finish by export name)
+#[no_mangle]
+pub extern "C" fn rs_create() -> i64 { 0 }
+#[no_mangle]
+pub extern "C" fn rs_acc(state: i64, v: i32) -> i64 {
+    state + (v as i64) * (v as i64)
+}
+#[no_mangle]
+pub extern "C" fn rs_merge(a: i64, b: i64) -> i64 { a + b }
+#[no_mangle]
+pub extern "C" fn rs_finish(state: i64) -> i64 { state }
