@@ -96,6 +96,140 @@ object Bench {
     extSessionCache
   }
 
+  /** The q_curate_v7 nine-stage funnel on `nDocs` planted docs — shared by
+    * x_curate_1m and x_curate_10m (identical invariants, one order of
+    * magnitude apart: the 10M run proves each stage's shuffles scale
+    * linearly). See the planted-condition comment below for the fixture. */
+  private def curateFunnel(s: SparkSession, nDocs: Long, tag: String): Unit = {
+    Graft.install(s)
+    import org.apache.spark.sql.functions._
+        // every planted condition keys off the dup base `b` (NOT the id) so
+        // the ÷20 duplicate pairs stay byte-identical: ÷11 of b gets a
+        // curly-brace line (C4 page kill), ÷17 a '##########' spam line
+        // (gopher r_symbol kill), ÷3 a fourth keyed line (the length
+        // feature the classifier label rides), ÷23 a CONSTANT sentence
+        // shared corpus-wide (the planted span-dedup target); all other
+        // tokens embed b ITSELF (w<b>_<hash>) so unique docs share no
+        // 3-shingle run BY CONSTRUCTION at any corpus size — pure
+        // hash-keyed tokens collided often enough at 10M (5 in 10M) to
+        // break the exact dedup-survivor invariant — and LSH buckets stay
+        // pair-sized
+        val docs = s.range(nDocs)
+          .selectExpr("id AS doc_id", "CAST(pmod(id, 20) AS STRING) AS source",
+            s"CASE WHEN id % 20 < 2 THEN id div 20 ELSE ${nDocs}L + id END AS b")
+          // class-keyed filler words: ÷2 of b writes with real English
+          // stopwords, the other half with non-stop fillers — a 0.4-wide
+          // stop-ratio separation the classifier label rides (balanced
+          // classes, so the intercept can't swamp the signal)
+          .selectExpr("doc_id", "source", "b",
+            "CASE WHEN b % 2 = 0 THEN 'the' ELSE 'thus' END AS c1",
+            "CASE WHEN b % 2 = 0 THEN 'of' ELSE 'per' END AS c2",
+            "CASE WHEN b % 2 = 0 THEN 'and' ELSE 'via' END AS c3")
+          .selectExpr("doc_id", "source", "b",
+            """concat_ws(chr(10),
+              |  concat(c1, ' w', b, '_', pmod(hash(b, 1), 1000000), ' ', c2, ' w',
+              |    b, '_', pmod(hash(b, 2), 1000000), ' ', c3, ' w',
+              |    b, '_', pmod(hash(b, 3), 1000000), ' runs w',
+              |    b, '_', pmod(hash(b, 4), 1000000), ' fine.'),
+              |  CASE WHEN b % 5 = 0 THEN concat(c1, ' ', c2, ' ', c3, ' runs w',
+              |    b, '_', pmod(hash(b, 5), 1000000), ' fine. ', c1, ' ', c2, ' ', c3,
+              |    ' runs fine.')
+              |  ELSE concat(c1, ' w', b, '_', pmod(hash(b, 5), 1000000), ' ', c2, ' w',
+              |    b, '_', pmod(hash(b, 6), 1000000), ' ', c3, ' w',
+              |    b, '_', pmod(hash(b, 7), 1000000), ' runs w',
+              |    b, '_', pmod(hash(b, 8), 1000000), ' fine.') END,
+              |  CASE WHEN b % 11 = 0 THEN 'style { color: red }'
+              |       ELSE concat(c1, ' w', b, '_', pmod(hash(b, 9), 1000000), ' ', c2, ' w',
+              |         b, '_', pmod(hash(b, 10), 1000000), ' ', c3, ' w',
+              |         b, '_', pmod(hash(b, 11), 1000000), ' runs w',
+              |         b, '_', pmod(hash(b, 12), 1000000), ' fine.') END,
+              |  CASE WHEN b % 3 = 0 THEN concat(c1, ' w',
+              |    b, '_', pmod(hash(b, 13), 1000000), ' ', c2, ' w', b, '_', pmod(hash(b, 14), 1000000),
+              |    ' ', c3, ' w', b, '_', pmod(hash(b, 15), 1000000), ' walks w',
+              |    b, '_', pmod(hash(b, 16), 1000000), ' fine.') ELSE NULL END,
+              |  CASE WHEN b % 17 = 0 THEN 'spam ########## mark.' ELSE NULL END,
+              |  CASE WHEN b % 23 = 0 THEN
+              |    'the common span sentence continues with nine exact words.'
+              |  ELSE NULL END) AS text""".stripMargin)
+          .localCheckpoint(true, org.apache.spark.storage.StorageLevel.DISK_ONLY)
+        // gate flags, one frame each, intersected by doc_id
+        val surv = graft.ops.Dedup.nearDedupCorpus(docs, "text", "doc_id")
+          .select(col("doc_id"), lit(true).as("f_dedup"))
+        val c4 = graft.ops.Curation.c4Filter(
+            docs.select(col("doc_id"), col("text").as("page")), "page", "doc_id")
+          .select(col("doc_id"), col("pass").as("f_c4"))
+        val gop = graft.ops.Curation.gopherRules(docs, "text", "doc_id",
+            minWords = 20, stopList = Seq("runs", "fine."))
+          .select(col("doc_id"), col("pass").as("f_gopher"))
+        val lmm = graft.ops.LangModel.trainUnigram(docs, "text", vocabSize = 10000)
+        val lmScores = graft.ops.LangModel.surprisal(docs, lmm, "text", "doc_id")
+          .persist()
+        // adaptive 10th-percentile gate: the ÷5 common-heavy docs (~20% of
+        // the corpus) sit strictly below the hash-heavy rest in integer
+        // bits/token, so the percentile threshold lands ON their cluster —
+        // a split is guaranteed by construction, not by luck
+        val thr = graft.ops.LangModel.adaptiveThreshold(lmScores, "bits_per_tok", 10)
+        val lm = lmScores.select(col("doc_id"),
+          (col("bits_per_tok") <= lit(thr.getOrElse(Long.MinValue))).as("f_lm"))
+        // label = the stopword class: balanced 50/50 and separated by ~0.4
+        // on the stop-ratio feature, so pred learns the split
+        val clf = graft.ops.Classifier.qualityClassifier(docs, "text", "doc_id",
+            "CASE WHEN b % 2 = 0 THEN 1.0 ELSE 0.0 END", iters = 8)
+          .select(col("doc_id"), col("pred").as("f_clf"))
+        val flags = docs.select("doc_id", "source", "text")
+          .join(surv, Seq("doc_id"), "left").na.fill(false, Seq("f_dedup"))
+          .join(c4, "doc_id").join(gop, "doc_id").join(lm, "doc_id")
+          .join(clf, "doc_id")
+          .localCheckpoint(true, org.apache.spark.storage.StorageLevel.DISK_ONLY)
+        // flags is pinned (eagerly) — the persisted LM scores are dead now;
+        // free their storage before the heavy tail stages
+        lmScores.unpersist()
+        // the funnel report: ONE aggregation pass over the flag frame
+        val f = flags.agg(count(lit(1)), sum(col("f_dedup").cast("long")),
+            sum(col("f_c4").cast("long")), sum(col("f_gopher").cast("long")),
+            sum(col("f_lm").cast("long")), sum(col("f_clf").cast("long")))
+          .collect().head
+        val (n0, nDedup, nC4, nGop, nLm, nClf) = (f.getLong(0), f.getLong(1),
+          f.getLong(2), f.getLong(3), f.getLong(4), f.getLong(5))
+        System.err.println(s"[bench] $tag funnel: n=$n0 dedup=$nDedup" +
+          s" c4=$nC4 gopher=$nGop lm=$nLm clf=$nClf")
+        require(nDedup == nDocs - nDocs / 20,
+          s"expected exactly ${nDocs - nDocs / 20} dedup survivors, got $nDedup")
+        // every gate must FIRE (reject some docs) and PASS some docs
+        Seq("c4" -> nC4, "gopher" -> nGop, "lm" -> nLm, "clf" -> nClf).foreach {
+          case (g, n) => require(n > 0 && n < n0, s"gate $g vacuous: $n of $n0")
+        }
+        val keep = flags
+          .where(col("f_dedup") && col("f_c4") && col("f_gopher") &&
+            col("f_lm") && col("f_clf"))
+          .select("doc_id", "source", "text")
+          .localCheckpoint(true, org.apache.spark.storage.StorageLevel.DISK_ONLY)
+        val sd = graft.ops.Curation.dedupSpans(keep, "text", "doc_id", n = 8)
+        val sv = sd.join(keep.select("doc_id", "source"), "doc_id")
+          .selectExpr("source", "doc_id", "token_count(kept_text) AS n_tok")
+          .localCheckpoint(true, org.apache.spark.storage.StorageLevel.DISK_ONLY)
+        // the planted ÷23 span must have actually been cut somewhere
+        val keepToks = keep.selectExpr("CAST(sum(token_count(text)) AS BIGINT) t")
+          .collect().head.getLong(0)
+        val svToks = sv.agg(sum(col("n_tok"))).collect().head.getLong(0)
+        require(svToks < keepToks,
+          s"span dedup did not fire: $keepToks tokens in, $svToks out")
+        val mixed = graft.ops.Curation.tokenBudgetMix(sv, "source", "doc_id",
+            "n_tok", budget = 100000, salt = tag)
+          .localCheckpoint(true, org.apache.spark.storage.StorageLevel.DISK_ONLY)
+        val packed = graft.ops.Curation.packSequences(
+          mixed.select("source", "doc_id", "n_tok"), "source", "doc_id",
+          "n_tok", budget = 2048)
+        val pos = graft.ops.Curation.deterministicShuffle(
+          mixed.select("doc_id"), "doc_id", tag + "s")
+        val out = packed.join(pos, "doc_id")
+        PlanAudit.assertScaleShape(out, tag)
+        val (nMix, nOut) = (mixed.count(), out.count())
+        System.err.println(s"[bench] $tag tail: mixed=$nMix out=$nOut")
+        require(nMix > 0 && nOut == nMix,
+          s"pack/shuffle must keep the mixed set 1:1, got $nMix -> $nOut")
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -1293,131 +1427,12 @@ object Bench {
       // every gate PLANTED to fire (dup pairs ÷20, brace pages ÷11, symbol
       // spam ÷17, classifier label ÷2) and the funnel reported from ONE
       // flag-aggregation pass. Budget: ≤120 s warm on local[32] (README).
-      "x_curate_1m" -> { s: SparkSession =>
-        Graft.install(s)
-        import org.apache.spark.sql.functions._
-        // every planted condition keys off the dup base `b` (NOT the id) so
-        // the ÷20 duplicate pairs stay byte-identical: ÷11 of b gets a
-        // curly-brace line (C4 page kill), ÷17 a '##########' spam line
-        // (gopher r_symbol kill), ÷3 a fourth keyed line (the length
-        // feature the classifier label rides), ÷23 a CONSTANT sentence
-        // shared corpus-wide (the planted span-dedup target); all other
-        // tokens are b-keyed hashes, so unique docs share no 3-shingle run
-        // and LSH buckets stay pair-sized
-        val docs = s.range(1000000L)
-          .selectExpr("id AS doc_id", "CAST(pmod(id, 20) AS STRING) AS source",
-            "CASE WHEN id % 20 < 2 THEN id div 20 ELSE 1000000 + id END AS b")
-          // class-keyed filler words: ÷2 of b writes with real English
-          // stopwords, the other half with non-stop fillers — a 0.4-wide
-          // stop-ratio separation the classifier label rides (balanced
-          // classes, so the intercept can't swamp the signal)
-          .selectExpr("doc_id", "source", "b",
-            "CASE WHEN b % 2 = 0 THEN 'the' ELSE 'thus' END AS c1",
-            "CASE WHEN b % 2 = 0 THEN 'of' ELSE 'per' END AS c2",
-            "CASE WHEN b % 2 = 0 THEN 'and' ELSE 'via' END AS c3")
-          .selectExpr("doc_id", "source", "b",
-            """concat_ws(chr(10),
-              |  concat(c1, ' w', pmod(hash(b, 1), 1000000), ' ', c2, ' w',
-              |    pmod(hash(b, 2), 1000000), ' ', c3, ' w',
-              |    pmod(hash(b, 3), 1000000), ' runs w',
-              |    pmod(hash(b, 4), 1000000), ' fine.'),
-              |  CASE WHEN b % 5 = 0 THEN concat(c1, ' ', c2, ' ', c3, ' runs w',
-              |    pmod(hash(b, 5), 1000000), ' fine. ', c1, ' ', c2, ' ', c3,
-              |    ' runs fine.')
-              |  ELSE concat(c1, ' w', pmod(hash(b, 5), 1000000), ' ', c2, ' w',
-              |    pmod(hash(b, 6), 1000000), ' ', c3, ' w',
-              |    pmod(hash(b, 7), 1000000), ' runs w',
-              |    pmod(hash(b, 8), 1000000), ' fine.') END,
-              |  CASE WHEN b % 11 = 0 THEN 'style { color: red }'
-              |       ELSE concat(c1, ' w', pmod(hash(b, 9), 1000000), ' ', c2, ' w',
-              |         pmod(hash(b, 10), 1000000), ' ', c3, ' w',
-              |         pmod(hash(b, 11), 1000000), ' runs w',
-              |         pmod(hash(b, 12), 1000000), ' fine.') END,
-              |  CASE WHEN b % 3 = 0 THEN concat(c1, ' w',
-              |    pmod(hash(b, 13), 1000000), ' ', c2, ' w', pmod(hash(b, 14), 1000000),
-              |    ' ', c3, ' w', pmod(hash(b, 15), 1000000), ' walks w',
-              |    pmod(hash(b, 16), 1000000), ' fine.') ELSE NULL END,
-              |  CASE WHEN b % 17 = 0 THEN 'spam ########## mark.' ELSE NULL END,
-              |  CASE WHEN b % 23 = 0 THEN
-              |    'the common span sentence continues with nine exact words.'
-              |  ELSE NULL END) AS text""".stripMargin)
-          .localCheckpoint(true, org.apache.spark.storage.StorageLevel.DISK_ONLY)
-        // gate flags, one frame each, intersected by doc_id
-        val surv = graft.ops.Dedup.nearDedupCorpus(docs, "text", "doc_id")
-          .select(col("doc_id"), lit(true).as("f_dedup"))
-        val c4 = graft.ops.Curation.c4Filter(
-            docs.select(col("doc_id"), col("text").as("page")), "page", "doc_id")
-          .select(col("doc_id"), col("pass").as("f_c4"))
-        val gop = graft.ops.Curation.gopherRules(docs, "text", "doc_id",
-            minWords = 20, stopList = Seq("runs", "fine."))
-          .select(col("doc_id"), col("pass").as("f_gopher"))
-        val lmm = graft.ops.LangModel.trainUnigram(docs, "text", vocabSize = 10000)
-        val lmScores = graft.ops.LangModel.surprisal(docs, lmm, "text", "doc_id")
-          .persist()
-        // adaptive 10th-percentile gate: the ÷5 common-heavy docs (~20% of
-        // the corpus) sit strictly below the hash-heavy rest in integer
-        // bits/token, so the percentile threshold lands ON their cluster —
-        // a split is guaranteed by construction, not by luck
-        val thr = graft.ops.LangModel.adaptiveThreshold(lmScores, "bits_per_tok", 10)
-        val lm = lmScores.select(col("doc_id"),
-          (col("bits_per_tok") <= lit(thr.getOrElse(Long.MinValue))).as("f_lm"))
-        // label = the stopword class: balanced 50/50 and separated by ~0.4
-        // on the stop-ratio feature, so pred learns the split
-        val clf = graft.ops.Classifier.qualityClassifier(docs, "text", "doc_id",
-            "CASE WHEN b % 2 = 0 THEN 1.0 ELSE 0.0 END", iters = 8)
-          .select(col("doc_id"), col("pred").as("f_clf"))
-        val flags = docs.select("doc_id", "source", "text")
-          .join(surv, Seq("doc_id"), "left").na.fill(false, Seq("f_dedup"))
-          .join(c4, "doc_id").join(gop, "doc_id").join(lm, "doc_id")
-          .join(clf, "doc_id")
-          .localCheckpoint(true, org.apache.spark.storage.StorageLevel.DISK_ONLY)
-        // flags is pinned (eagerly) — the persisted LM scores are dead now;
-        // free their storage before the heavy tail stages
-        lmScores.unpersist()
-        // the funnel report: ONE aggregation pass over the flag frame
-        val f = flags.agg(count(lit(1)), sum(col("f_dedup").cast("long")),
-            sum(col("f_c4").cast("long")), sum(col("f_gopher").cast("long")),
-            sum(col("f_lm").cast("long")), sum(col("f_clf").cast("long")))
-          .collect().head
-        val (n0, nDedup, nC4, nGop, nLm, nClf) = (f.getLong(0), f.getLong(1),
-          f.getLong(2), f.getLong(3), f.getLong(4), f.getLong(5))
-        System.err.println(s"[bench] x_curate_1m funnel: n=$n0 dedup=$nDedup" +
-          s" c4=$nC4 gopher=$nGop lm=$nLm clf=$nClf")
-        require(nDedup == 950000L, s"expected exactly 950k dedup survivors, got $nDedup")
-        // every gate must FIRE (reject some docs) and PASS some docs
-        Seq("c4" -> nC4, "gopher" -> nGop, "lm" -> nLm, "clf" -> nClf).foreach {
-          case (g, n) => require(n > 0 && n < n0, s"gate $g vacuous: $n of $n0")
-        }
-        val keep = flags
-          .where(col("f_dedup") && col("f_c4") && col("f_gopher") &&
-            col("f_lm") && col("f_clf"))
-          .select("doc_id", "source", "text")
-          .localCheckpoint(true, org.apache.spark.storage.StorageLevel.DISK_ONLY)
-        val sd = graft.ops.Curation.dedupSpans(keep, "text", "doc_id", n = 8)
-        val sv = sd.join(keep.select("doc_id", "source"), "doc_id")
-          .selectExpr("source", "doc_id", "token_count(kept_text) AS n_tok")
-          .localCheckpoint(true, org.apache.spark.storage.StorageLevel.DISK_ONLY)
-        // the planted ÷23 span must have actually been cut somewhere
-        val keepToks = keep.selectExpr("CAST(sum(token_count(text)) AS BIGINT) t")
-          .collect().head.getLong(0)
-        val svToks = sv.agg(sum(col("n_tok"))).collect().head.getLong(0)
-        require(svToks < keepToks,
-          s"span dedup did not fire: $keepToks tokens in, $svToks out")
-        val mixed = graft.ops.Curation.tokenBudgetMix(sv, "source", "doc_id",
-            "n_tok", budget = 100000, salt = "x1m")
-          .localCheckpoint(true, org.apache.spark.storage.StorageLevel.DISK_ONLY)
-        val packed = graft.ops.Curation.packSequences(
-          mixed.select("source", "doc_id", "n_tok"), "source", "doc_id",
-          "n_tok", budget = 2048)
-        val pos = graft.ops.Curation.deterministicShuffle(
-          mixed.select("doc_id"), "doc_id", "x1ms")
-        val out = packed.join(pos, "doc_id")
-        PlanAudit.assertScaleShape(out, "x_curate_1m")
-        val (nMix, nOut) = (mixed.count(), out.count())
-        System.err.println(s"[bench] x_curate_1m tail: mixed=$nMix out=$nOut")
-        require(nMix > 0 && nOut == nMix,
-          s"pack/shuffle must keep the mixed set 1:1, got $nMix -> $nOut")
-      },
+      "x_curate_1m" -> { s: SparkSession => curateFunnel(s, 1000000L, "x_curate_1m") },
+      // the SAME planted funnel one order of magnitude up: proves every
+      // stage's shuffles scale linearly — no hidden super-linear term in
+      // CC, gram exchange, classifier GD, or the mix/pack tail. Budget:
+      // ≤ ~10× the 1M probe on a quiet host.
+      "x_curate_10m" -> { s: SparkSession => curateFunnel(s, 10000000L, "x_curate_10m") },
 
       // exact-substring span dedup over 2M docs × 16 tokens (32M tokens,
       // ~18M gram instances through the first-occurrence shuffle); ids
