@@ -1011,6 +1011,54 @@ object Bench {
             s"(got ${got.size} grid days, want ${want.size})")
         } finally q.stop()
       },
+      // streaming trending replay: 500k events over 20 types x 200 days fed
+      // in 4 micro-batches whose id order REVISITS earlier days each batch —
+      // the final latest-per-(day, rank) top-3 must equal the batch rollup
+      // on every day <= the max event day (fan-forward days beyond it are
+      // provisional by the operator's contract)
+      "x_trend_replay_500k" -> { s: SparkSession =>
+        import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+        import graft.streaming.Streaming
+        import s.implicits._
+        import org.apache.spark.sql.functions._
+        implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+        val rows = s.range(500000L).selectExpr(
+            "concat('t', pmod(hash(id), 20)) AS event_type",
+            "id div 100 % 200 AS day")
+          .as[(String, Long)].collect()
+          .map { case (t, d) => Streaming.TrendIn(t, d) }
+        val dmax = rows.map(_.day).max
+        val daily = rows.toSeq.toDF("event_type", "day")
+          .groupBy("event_type", "day").agg(count(lit(1)).as("c"))
+        val fanned = daily.select(col("event_type"), col("c"),
+            explode(sequence(col("day"), col("day") + 6)).as("day"))
+          .groupBy("day", "event_type").agg(sum("c").as("cnt7"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("day").orderBy(col("cnt7").desc, col("event_type"))
+        val want = fanned.where(col("day") <= dmax)
+          .withColumn("rank", row_number().over(w)).where(col("rank") <= 3)
+          .collect()
+          .map(r => (r.getLong(0), r.getInt(3)) -> ((r.getString(1), r.getLong(2))))
+          .toMap
+        val mem = MemoryStream[Streaming.TrendIn]
+        val oldParts = s.conf.get("spark.sql.shuffle.partitions")
+        s.conf.set("spark.sql.shuffle.partitions", "8")
+        val q = try Streaming.trendingStream(mem.toDS())
+          .writeStream.format("memory").queryName("x_trend_replay_500k")
+          .outputMode("update").start()
+        finally s.conf.set("spark.sql.shuffle.partitions", oldParts)
+        try {
+          rows.grouped(rows.length / 4 + 1).foreach { c =>
+            mem.addData(c.toSeq: _*); q.processAllAvailable()
+          }
+          val got = s.table("x_trend_replay_500k").as[Streaming.TrendOut].collect()
+            .groupBy(e => (e.day, e.rank))
+            .map { case (k, es) => k -> ((es.last.eventType, es.last.cnt7)) }
+            .filter(_._1._1 <= dmax)
+          require(got == want, s"trendingStream replay diverged from batch " +
+            s"(got ${got.size} ranked cells, want ${want.size})")
+        } finally q.stop()
+      },
       // fuzzy edit-distance self-join over 1M ~22-char strings with 250k
       // planted single-char-perturbed near-dups: PassJoin blocking keys +
       // one candidate equi-join; proves the operator beyond 2k part names

@@ -202,33 +202,42 @@ object Multimodal {
             fmt.getEncoding == AudioFormat.Encoding.PCM_SIGNED)
         require(supported, s"audio_stats: supported PCM shapes are u8/s16/s24, " +
           s"got $bits-bit ${fmt.getEncoding}")
-        val bps = bits / 8
         val frameBytes = fmt.getFrameSize
         val big = fmt.isBigEndian
         val buf = new Array[Byte](frameBytes * 4096)
         var n = 0L; var peak = 0; var sumSq = 0L
+        // depth-specialized inner loops: the format is constant per payload,
+        // so the sample decoder must not re-dispatch per sample
         var read = ais.read(buf) // AudioInputStream reads whole frames only
         while (read > 0) {
           var off = 0
-          while (off + bps <= read) {
-            val v = bits match {
-              case 8 => (buf(off) & 0xff) - 128
-              case 16 =>
-                if (big) (buf(off) << 8) | (buf(off + 1) & 0xff)
-                else (buf(off + 1) << 8) | (buf(off) & 0xff)
-              case _ => // 24: assemble, then sign-extend from bit 23
-                val raw =
-                  if (big) ((buf(off) & 0xff) << 16) |
-                    ((buf(off + 1) & 0xff) << 8) | (buf(off + 2) & 0xff)
-                  else ((buf(off + 2) & 0xff) << 16) |
-                    ((buf(off + 1) & 0xff) << 8) | (buf(off) & 0xff)
-                (raw << 8) >> 8
+          if (bits == 8) {
+            while (off + 1 <= read) {
+              val v = (buf(off) & 0xff) - 128
+              val a = math.abs(v)
+              if (a > peak) peak = a
+              sumSq += v.toLong * v; n += 1; off += frameBytes
             }
-            val a = math.abs(v)
-            if (a > peak) peak = a
-            sumSq += v.toLong * v
-            n += 1
-            off += frameBytes
+          } else if (bits == 16) {
+            while (off + 2 <= read) {
+              val v = if (big) (buf(off) << 8) | (buf(off + 1) & 0xff)
+                      else (buf(off + 1) << 8) | (buf(off) & 0xff)
+              val a = math.abs(v)
+              if (a > peak) peak = a
+              sumSq += v.toLong * v; n += 1; off += frameBytes
+            }
+          } else { // 24: assemble, then sign-extend from bit 23
+            while (off + 3 <= read) {
+              val raw =
+                if (big) ((buf(off) & 0xff) << 16) |
+                  ((buf(off + 1) & 0xff) << 8) | (buf(off + 2) & 0xff)
+                else ((buf(off + 2) & 0xff) << 16) |
+                  ((buf(off + 1) & 0xff) << 8) | (buf(off) & 0xff)
+              val v = (raw << 8) >> 8
+              val a = math.abs(v)
+              if (a > peak) peak = a
+              sumSq += v.toLong * v; n += 1; off += frameBytes
+            }
           }
           read = ais.read(buf)
         }
