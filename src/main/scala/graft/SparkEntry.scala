@@ -233,6 +233,16 @@ object SparkEntry {
     "q_wasm_rustc_agg" -> q(
       """SELECT source, wasm_rs_sumsq(CAST(pmod(doc_id, 40) AS INT)) AS ss
         |FROM documents GROUP BY source ORDER BY source""".stripMargin) _,
+    // error column through REAL compiler output: LLVM's own zero-divisor
+    // guard calls the crate's trap shim (an immediate OOB store — no_core
+    // cannot emit `unreachable`), the interpreter traps, the row lands in
+    // the error column, the task never fails
+    "q_wasm_rustc_err" -> q(
+      """SELECT l_orderkey, l_linenumber, d.value AS div_value, d.error AS div_error
+        |FROM (SELECT l_orderkey, l_linenumber,
+        |        wasm_rs_div(CAST(l_partkey AS BIGINT), CAST(l_suppkey % 7 AS BIGINT)) AS d
+        |      FROM lineitem)
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin) _,
     // string arg rides the reference FFI ABI: host calls the guest's
     // exported alloc, copies UTF-8 bytes into linear memory, passes (ptr,len)
     "q_wasm_count_byte" -> q(
@@ -3487,6 +3497,15 @@ object SparkEntry {
     "q_wasm_rustc_agg" ->
       """SELECT source, CAST(sum((doc_id % 40) * (doc_id % 40)) AS BIGINT) AS ss
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+    // the guest signals arithmetic panics by TRAPPING (the reference's
+    // Rust-panic-in-wasm convention); the trap text is the interpreter's
+    "q_wasm_rustc_err" ->
+      """SELECT l_orderkey, l_linenumber,
+        |       CASE WHEN l_suppkey % 7 = 0 THEN NULL
+        |            ELSE CAST(CAST(l_partkey AS BIGINT) // CAST(l_suppkey % 7 AS BIGINT) AS BIGINT) END AS div_value,
+        |       CASE WHEN l_suppkey % 7 = 0 THEN 'out of bounds memory access' END AS div_error
+        |FROM lineitem
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
     "q_wasm_dispatch" ->
       """SELECT l_orderkey, l_linenumber,
         |       CAST(CASE l_orderkey % 3

@@ -54,7 +54,11 @@ object WasmFixture {
     WasmUdf.loadAggregate(bytes, "wasm_fx_sumsq(int) -> bigint",
       createFn = "fx_create", accFn = "fx_acc", retractFn = None,
       mergeFn = "fx_merge", finishFn = "fx_finish")
-    WasmUdf.load(rustcBytes)
+    // wasm_rs_div is FALLIBLE: LLVM's zero-divisor guard calls the crate's
+    // trap shim (an immediate OOB store), which the error column surfaces
+    // as "out of bounds memory access" — the compiled-guest analogue of a
+    // Rust panic-as-trap in the reference's wasmtime runtime
+    WasmUdf.load(rustcBytes, fallible = Set("wasm_rs_div"))
     WasmUdf.loadAggregate(rustcBytes, "wasm_rs_sumsq(int) -> bigint",
       createFn = "rs_create", accFn = "rs_acc", retractFn = None,
       mergeFn = "rs_merge", finishFn = "rs_finish")

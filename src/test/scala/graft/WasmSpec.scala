@@ -789,7 +789,7 @@ class WasmSpec extends AnyFunSuite {
     assert(names.contains("ARROWUDF_VERSION_3_0") &&
       names.contains("alloc") && names.contains("reset_heap") &&
       names.contains("memory"))
-    assert(m.exports.count(_.name.startsWith("arrowudf_")) == 6)
+    assert(m.exports.count(_.name.startsWith("arrowudf_")) == 7)
     // LLVM provenance rides in the binary itself: rustc emits a
     // target_features custom section listing the enabled wasm features
     val raw = new String(bytes, java.nio.charset.StandardCharsets.ISO_8859_1)
@@ -825,5 +825,16 @@ class WasmSpec extends AnyFunSuite {
       "SELECT count(*) AS c FROM (SELECT 1) LATERAL VIEW wasm_rs_divisors(55440) t AS d")
       .collect().head.getLong(0)
     assert(many == 120L)
+    // FALLIBLE path through REAL compiler output: LLVM's zero-divisor guard
+    // calls the crate's trap shim (immediate OOB store, never a fuel burn);
+    // the error column carries the trap, the good row computes, and the
+    // trapped instance was discarded without poisoning the pool
+    val e = spark.sql(
+      """SELECT wasm_rs_div(91, 7).value AS v1, wasm_rs_div(91, 7).error AS e1,
+        |  wasm_rs_div(1, 0).value AS v0, wasm_rs_div(1, 0).error AS e0,
+        |  wasm_rs_div(84, 2).value AS v2""".stripMargin).collect().head
+    assert(e.getLong(0) == 13L && e.isNullAt(1))
+    assert(e.isNullAt(2) && e.getString(3).contains("out of bounds"))
+    assert(e.getLong(4) == 42L)
   }
 }

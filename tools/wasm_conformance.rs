@@ -141,14 +141,23 @@ pub struct Location<'a> {
     _line: u32,
     _col: u32,
 }
+// The trap: a deliberate out-of-bounds store — the interpreter raises
+// WasmTrap("out of bounds memory access") IMMEDIATELY, which the host's
+// error-column path surfaces per row. no_core cannot emit `unreachable`
+// (that macro/intrinsic lives in core), and a bare `loop {}` would burn the
+// whole fuel budget per trapping row before the trap fired.
+fn trap() -> ! {
+    unsafe { *(0xFFFF_FFF0usize as *mut i64) = 1; }
+    loop {}
+}
 #[lang = "panic_const_div_by_zero"]
-pub fn panic_const_div_by_zero() -> ! { loop {} }
+pub fn panic_const_div_by_zero() -> ! { trap() }
 #[lang = "panic_const_div_overflow"]
-pub fn panic_const_div_overflow() -> ! { loop {} }
+pub fn panic_const_div_overflow() -> ! { trap() }
 #[lang = "panic_const_rem_by_zero"]
-pub fn panic_const_rem_by_zero() -> ! { loop {} }
+pub fn panic_const_rem_by_zero() -> ! { trap() }
 #[lang = "panic_const_rem_overflow"]
-pub fn panic_const_rem_overflow() -> ! { loop {} }
+pub fn panic_const_rem_overflow() -> ! { trap() }
 
 // ---- FFI heap: bump allocator over a BSS arena ------------------------------
 
@@ -162,7 +171,7 @@ pub extern "C" fn alloc(n: i32) -> i32 {
         let base = (&raw mut ARENA) as *mut u8 as i64;
         let off = HEAP_OFF;
         let need = ((n as i64) + 7) / 8 * 8;
-        if off + need > ARENA_BYTES { loop {} } // exhausted: trap via fuel
+        if off + need > ARENA_BYTES { trap() } // exhausted: trap loudly
         HEAP_OFF = off + need;
         (base + off) as i32
     }
@@ -189,6 +198,14 @@ pub extern "C" fn rs_gcd(a0: i64, b0: i64) -> i64 {
         b = t;
     }
     a
+}
+
+// wasm_rs_div(bigint, bigint) -> bigint — registered FALLIBLE: LLVM's own
+// zero/overflow guards route through the trap shims above, so a zero
+// divisor lands in the host's error column instead of failing the task
+#[export_name = "arrowudf_d2FzbV9yc19kaXYoYmlnaW50LCBiaWdpbnQpIC0$IGJpZ2ludA"]
+pub extern "C" fn rs_div(a: i64, b: i64) -> i64 {
+    a / b
 }
 
 // wasm_rs_mix(int, int) -> int  — i32 lattice mix with guarded div
