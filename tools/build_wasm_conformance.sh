@@ -10,7 +10,11 @@
 # build.rs:36-161: release profile).
 set -eu
 cd "$(dirname "$0")/.."
+# -zstack-size: wasm-ld's default shadow stack is 1 MiB — these functions
+# use bytes of it, and a fallible workload rebuilds one instance per
+# trapping row (the pool discards trapped instances), so minimum memory is
+# rebuild cost: 64 KiB stack + 64 KiB arena keeps instantiation cheap.
 rustc +nightly --target wasm32-unknown-unknown --crate-type cdylib \
-  -C opt-level=2 -C panic=abort \
+  -C opt-level=2 -C panic=abort -C link-arg=-zstack-size=65536 \
   -o src/main/resources/graft/fixture_rustc.wasm tools/wasm_conformance.rs
 ls -la src/main/resources/graft/fixture_rustc.wasm

@@ -161,8 +161,14 @@ pub fn panic_const_rem_overflow() -> ! { trap() }
 
 // ---- FFI heap: bump allocator over a BSS arena ------------------------------
 
-const ARENA_BYTES: i64 = 1048576;
-static mut ARENA: [u8; 1048576] = [0u8; 1048576];
+// 64 KiB is ample for the gate workloads (strings are copied in whole, the
+// table out-buffer is cap*8 bytes) and keeps INSTANCE REBUILD cheap: a
+// trapped instance is discarded by the pool, so fallible workloads rebuild
+// one per trapping row — a 1 MiB BSS arena made each rebuild zero-fill a
+// megabyte (measured 46 s for 85k traps; 64 KiB brings it near the
+// emitter-module cost)
+const ARENA_BYTES: i64 = 65536;
+static mut ARENA: [u8; 65536] = [0u8; 65536];
 static mut HEAP_OFF: i64 = 0;
 
 #[no_mangle]
