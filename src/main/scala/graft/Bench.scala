@@ -546,7 +546,7 @@ object Bench {
             try oos.writeObject(c) finally oos.close()
             c
           }
-        val pqDirR = s"/tmp/graft_bench_annrec1m_pq_m${pqM}_c${pqCodes}_r2"
+        val pqDirR = s"/tmp/graft_bench_annrec1m_pq_m${pqM}_c${pqCodes}_r2_p$corpusTag"
         val pqMarkerR = new java.io.File(pqDirR, "_SUCCESS")
         if (!pqMarkerR.isFile || pqMarkerR.lastModified < baseMarker.lastModified)
           graft.ops.Similarity.pqEncode(corpus, cbR)
@@ -1508,13 +1508,36 @@ object Bench {
     // and the per-rep values (printed + in the JSON) make one visible
     // post-hoc. Default 2: single-rep numbers swing up to 5x contended.
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "2").toInt.max(1)
+    // Battery budget controls (r12 — the r11 driver bench hit its harness
+    // timeout, rc:124, after the battery's reps=2 wall grew to ~2440 s):
+    //  * SPARK_GRAFT_HEAVY=1 opts the `heavyOnly` probes in (x_curate_10m is
+    //    ~330 s/rep — BENCHFULL material, not a driver-default member; its
+    //    1M twin stays in the battery and carries the same plan asserts).
+    //    An explicit name filter in `args` also opts them in.
+    //  * SPARK_GRAFT_HEAVY_SEC (default 5): a probe whose rep-1 time exceeds
+    //    this gets no further reps. A 30 s probe averages a contention
+    //    window out within one run; the min-of-N interleave exists for the
+    //    sub-second tail where one window is a 5× swing — doubling the wall
+    //    of the long probes buys no signal and broke the driver gate.
+    //  * SPARK_GRAFT_BUDGET_SEC (default 1100): once total elapsed passes
+    //    this, no rep ≥ 2 measurements start (rep 1 always completes, so
+    //    every benchable keeps at least one sample). Guards the driver's
+    //    bench timeout against a host 2× slower than the quiet baseline.
+    val heavyOptIn = sys.env.get("SPARK_GRAFT_HEAVY").exists(v =>
+      v == "1" || v.equalsIgnoreCase("true"))
+    val heavyOnly = Set("x_curate_10m")
+    val heavySec = sys.env.getOrElse("SPARK_GRAFT_HEAVY_SEC", "5.0").toDouble
+    val budgetSec = sys.env.getOrElse("SPARK_GRAFT_BUDGET_SEC", "1100").toDouble
 
-    val benchables: Seq[(String, () => Unit)] =
+    val benchables0: Seq[(String, () => Unit)] =
       throughput.filter(p => keep(p._1)).map { case (name, fn) =>
         name -> (() => fn(liveSession())) } ++
       SparkEntry.queries.toSeq.sortBy(_._1).filter(p => keep(p._1)).map { case (name, fn) =>
         name -> (() => fn(liveSession(), sfDir).write.format("noop").mode("overwrite").save())
       }
+    val benchables =
+      if (heavyOptIn || args.nonEmpty) benchables0
+      else benchables0.filterNot(p => heavyOnly(p._1))
 
     // one-time synthetic fixtures (content-addressed by _SUCCESS) build
     // OUTSIDE the timed loop — otherwise a cold /tmp charges the build to
@@ -1541,7 +1564,10 @@ object Bench {
 
     val samples = Array.fill(benchables.size)(List.empty[Double])
     val failed = Array.fill(benchables.size)(false)
-    for (rep <- 1 to reps; ((name, run), i) <- benchables.zipWithIndex if !failed(i)) {
+    val batteryT0 = System.nanoTime()
+    def batteryElapsed(): Double = (System.nanoTime() - batteryT0) / 1e9
+    var budgetHit = false
+    def measure(name: String, run: () => Unit, i: Int, rep: Int): Unit =
       try {
         liveSession() // any rebuild happens OUTSIDE the timed window
         val t0 = System.nanoTime(); run(); val t = (System.nanoTime() - t0) / 1e9
@@ -1550,6 +1576,29 @@ object Bench {
       } catch { case e: Throwable =>
         failed(i) = true
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
+      }
+    for (rep <- 1 to reps; ((name, run), i) <- benchables.zipWithIndex if !failed(i)) {
+      if (rep > 1 && !budgetHit && batteryElapsed() > budgetSec) {
+        budgetHit = true
+        System.err.println(
+          f"[bench] budget ${budgetSec}%.0f s exceeded at ${batteryElapsed()}%.0f s — rep-1 samples only from here")
+      }
+      val skip = rep > 1 &&
+        (budgetHit || samples(i).headOption.exists(_ > heavySec))
+      if (!skip) measure(name, run, i, rep)
+    }
+    // Stability pass: a fast probe whose reps disagree >15% gets ONE extra
+    // sample (the BASELINE.md min-of-3 methodology, applied only where the
+    // spread says contention touched a sample) — budget permitting, so the
+    // pass degrades to nothing on a slow host. Keeps cross-round compares
+    // from needing a contention caveat on the sub-5 s tail.
+    if (reps >= 2) {
+      for (((name, run), i) <- benchables.zipWithIndex
+           if !failed(i) && samples(i).size >= 2) {
+        val ss = samples(i)
+        if (ss.min > 0 && (ss.max - ss.min) / ss.min > 0.15 &&
+            ss.min <= heavySec && batteryElapsed() < budgetSec)
+          measure(name, run, i, ss.size + 1)
       }
     }
 
@@ -1569,7 +1618,7 @@ object Bench {
     val loadAfter = loadavg()
     val ncpus = Runtime.getRuntime.availableProcessors()
     val jsonLine =
-      s"""{"metric":"total","value":$totalStr,"unit":"sec","queries":$qs,"reps":$repsJson,"session_overhead":${f"$overheadSec%.3f"},"loadavg_before":$loadBefore,"loadavg_after":$loadAfter,"ncpus":$ncpus,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$totalStr,"unit":"sec","queries":$qs,"reps":$repsJson,"session_overhead":${f"$overheadSec%.3f"},"loadavg_before":$loadBefore,"loadavg_after":$loadAfter,"ncpus":$ncpus,"budget_hit":$budgetHit,"heavy_skipped":${if (heavyOptIn || args.nonEmpty) "[]" else heavyOnly.map("\"" + _ + "\"").mkString("[", ",", "]")},"sf":"$sfDir"}"""
     println(jsonLine)
     // The driver's BENCH_r<n>.json keeps only the tail of stdout, which
     // truncates the per-query map past ~60 entries — persist the COMPLETE

@@ -101,6 +101,43 @@ final class WasmInstance(val module: WasmModule, val config: WasmConfig) {
   // any call: a hostile ctor traps here and the instance is never handed out
   module.startIdx.foreach(si => invokeBound(new Bound(si, 0, false), Array.empty))
 
+  // ---- pristine snapshot (restore-on-trap) ---------------------------------
+  // Freshly-instantiated state, captured AFTER active segments copy in and
+  // the start function runs: linear memory + page count, mutable globals
+  // (both shadow halves), the funcref table, and the segment-dropped flags.
+  // A trapped call leaves any of these possibly corrupt; restoring from the
+  // snapshot is a few System.arraycopys — orders of magnitude cheaper than
+  // the re-decode + re-instantiate the pool otherwise pays per trapped row
+  // (a planted-error gate at sf0.1 is ~86K traps: per-trap rebuild made it
+  // a 46 s query; restore makes a trap cost ~a memcpy of the module's BSS).
+  // The WASI shims above are stateless and the interpreter keeps no other
+  // cross-call state, so restored ≡ fresh (WasmSpec proves it with a dirty
+  // mutable-global + dirty-heap + dropped-segment probe).
+  private val snapMem: Array[Byte] = mem.clone()
+  private val snapPages: Int = memPages
+  private val snapGlobals: Array[Long] = globals.clone()
+  private val snapVGlobals: Array[Long] = vglobals.clone()
+  private val snapTable: Array[Int] = table.clone()
+  private val snapElemDropped: Array[Boolean] = elemDropped.clone()
+  private val snapDataDropped: Array[Boolean] = dataDropped.clone()
+
+  /** Restores freshly-instantiated state after a trap so the pool can reuse
+    * this instance instead of dropping it and re-instantiating the module. */
+  def restorePristine(): Unit = {
+    if (mem.length == snapMem.length)
+      System.arraycopy(snapMem, 0, mem, 0, snapMem.length)
+    else mem = snapMem.clone() // memory.grow happened: shed the growth
+    memPages = snapPages
+    System.arraycopy(snapGlobals, 0, globals, 0, globals.length)
+    System.arraycopy(snapVGlobals, 0, vglobals, 0, vglobals.length)
+    if (table.length == snapTable.length)
+      System.arraycopy(snapTable, 0, table, 0, table.length)
+    else table = snapTable.clone() // table.grow happened
+    System.arraycopy(snapElemDropped, 0, elemDropped, 0, elemDropped.length)
+    System.arraycopy(snapDataDropped, 0, dataDropped, 0, dataDropped.length)
+    sp = 0; depth = 0; nesting = 0 // trap unwound mid-call: clear the frame
+  }
+
   private def push(v: Long): Unit = {
     if (sp == stack.length) {
       stack = java.util.Arrays.copyOf(stack, stack.length * 2)

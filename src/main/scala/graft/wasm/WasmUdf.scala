@@ -13,9 +13,11 @@ import org.apache.spark.sql.types._
  *    `ARROWUDF_VERSION_` export (≤ major 3), exactly the reference's
  *    convention (`wasm/mod.rs:107-125`) including its `$_`-tailed base64
  *    alphabet (`wasm/mod.rs:619-631`);
- *  - **instance pool per executor JVM**: pop-or-create, returned to the pool
- *    only after a successful call; a trapped instance is discarded with its
- *    (possibly corrupt) memory (`wasm/mod.rs:263-278`);
+ *  - **instance pool per executor JVM**: pop-or-create; a successful call
+ *    returns the instance as-is, a trapped call restores it to its pristine
+ *    post-instantiation snapshot before returning it (state-equivalent to
+ *    the reference's discard-on-error, `wasm/mod.rs:263-278`, without the
+ *    per-trap re-instantiation cost);
  *  - **typed-slot ABI instead of Arrow-IPC-in-guest-memory**: the reference
  *    copies whole RecordBatches through guest linear memory because its
  *    guests are compiled against the arrow crate; an interpreted guest can be
@@ -186,7 +188,7 @@ object WasmUdf {
               ok = true
               out.iterator
             } finally {
-              if (ok) WasmPool.release(poolKey, inst)
+              WasmPool.releaseAfter(poolKey, inst, ok)
             }
           }
           else graft.functions.ScalarImpl { args =>
@@ -211,7 +213,7 @@ object WasmUdf {
               ok = true
               out
             } finally {
-              if (ok) WasmPool.release(poolKey, inst) // trapped instances are dropped
+              WasmPool.releaseAfter(poolKey, inst, ok) // trap → pristine restore, reuse
             }
           }
         Registry.global.register(FunctionDef(parsed, impl,
@@ -263,7 +265,7 @@ object WasmUdf {
                 okB = true
                 out
               } finally {
-                if (okB) WasmPool.release(poolKey, inst) // trapped batch drops
+                WasmPool.releaseAfter(poolKey, inst, okB) // trap → pristine restore, reuse
               }
             })
         // all-numeric non-fallible scalars get the batched columnar kernel:
@@ -311,7 +313,7 @@ object WasmUdf {
       val inst = WasmPool.acquire(poolKey, binary, config)
       var ok = false
       try { val r = f(inst); ok = true; r }
-      finally { if (ok) WasmPool.release(poolKey, inst) }
+      finally { WasmPool.releaseAfter(poolKey, inst, ok) }
     }
 
     val nArgs = parsed.args.length
@@ -387,7 +389,7 @@ object WasmUdf {
       val inst = WasmPool.acquire(poolKey, binary, config)
       var ok = false
       try { val r = f(inst); ok = true; r }
-      finally { if (ok) WasmPool.release(poolKey, inst) }
+      finally { WasmPool.releaseAfter(poolKey, inst, ok) }
     }
     def resetHeap(inst: WasmInstance): Unit =
       if (inst.hasExport("reset_heap")) inst.invoke("reset_heap", Array.empty)
@@ -541,7 +543,7 @@ final case class WasmBatchKernel(
       }
       ok = true
     } finally {
-      if (ok) WasmPool.release(poolKey, inst) // a trapped batch drops the instance
+      WasmPool.releaseAfter(poolKey, inst, ok) // trap → pristine restore, reuse
     }
   }
 
@@ -602,9 +604,14 @@ final case class WasmBatchKernel(
   * held in a ThreadLocal (reference pool semantics `wasm/mod.rs:257-319`,
   * contention-free: a shared queue's CAS traffic at millions of calls/s
   * costs more than the calls). `acquire` REMOVES the instance from the
-  * thread's cache and `release` puts it back, so a trapped call — which
-  * never releases — leaves the (possibly corrupt) instance unreachable,
-  * exactly the reference's discard-on-error behavior. */
+  * thread's cache and `release` puts it back, so an instance is never
+  * reachable mid-call. A TRAPPED call goes through `releaseAfter(ok=false)`:
+  * the instance is restored to its pristine post-instantiation snapshot
+  * (a few memcpys) and returned to the pool — state-equivalent to the
+  * reference's discard-on-error (`wasm/mod.rs` drops the store) but without
+  * paying a full module re-decode + re-instantiate per trapped row, which
+  * made a planted-error gate (one trap per 7 rows, ~86K traps at sf0.1)
+  * a 46 s query. */
 object WasmPool {
   private val modules = scala.collection.concurrent.TrieMap.empty[String, WasmModule]
   private val local =
@@ -633,4 +640,13 @@ object WasmPool {
 
   def release(key: String, inst: WasmInstance): Unit =
     local.get().update(key, inst)
+
+  /** The finally-block counterpart of `acquire`: a successful call (`ok`)
+    * releases as-is; a trapped call restores the pristine snapshot first so
+    * the instance is indistinguishable from fresh, then releases. Restore
+    * never throws (pure arraycopy), so this is finally-safe. */
+  def releaseAfter(key: String, inst: WasmInstance, ok: Boolean): Unit = {
+    if (!ok) inst.restorePristine()
+    release(key, inst)
+  }
 }

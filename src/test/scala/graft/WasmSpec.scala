@@ -349,16 +349,49 @@ class WasmSpec extends AnyFunSuite {
     }
   }
 
-  test("pool reuses instances across calls but drops trapped ones") {
+  test("pool reuses instances across calls; trapped ones are restored and reused") {
     val spark = TestSpark.spark
     Graft.install(spark)
-    // mixed ok/trap rows in one partition exercise acquire/release/drop
+    // mixed ok/trap rows in one partition exercise acquire/release and the
+    // trap → restorePristine → release path (no per-trap re-instantiation)
     val n = spark.sql(
       """SELECT count(*) AS n FROM (
         |  SELECT wasm_div(CAST(100 AS BIGINT), CAST(id % 3 AS BIGINT)) AS d
         |  FROM range(0, 300)) WHERE d.error IS NULL""".stripMargin)
       .collect()(0).getLong(0)
     assert(n == 200L)
+  }
+
+  test("restorePristine: a trapped instance is state-identical to a fresh one") {
+    val b = new WasmBuilder
+    b.memory(1)
+    b.dataSegment(0, Array[Byte](42, 0, 0, 0, 0, 0, 0, 0))
+    val g = b.global(i64, mutable = true, i64Const(7L))
+    // dirty EVERYTHING an errant guest can dirty, then trap: mutable global,
+    // heap over the data segment, and a memory.grow — the pool must hand the
+    // next caller something indistinguishable from a fresh instantiation
+    b.func(Seq.empty, Seq(i64), Seq.empty, concat(
+      i64Const(999L), globalSet(g),
+      i32Const(0), i64Const(13L), i64Store(),
+      i32Const(3), memoryGrow, drop,
+      unreachable, i64Const(0)), exportAs = Some("dirty_then_trap"))
+    // probe = global*1000 + mem[0] + memory.size*100000: catches a stale
+    // global, a dirty heap, and un-shed growth in one number
+    b.func(Seq.empty, Seq(i64), Seq.empty, concat(
+      globalGet(g), i64Const(1000L), i64Mul,
+      i32Const(0), i64Load(), i64Add,
+      memorySize, i64ExtendI32U, i64Const(100000L), i64Mul, i64Add),
+      exportAs = Some("probe"))
+    val inst = new WasmInstance(WasmModule.decode(b.build()), WasmConfig())
+    val fresh = 7L * 1000 + 42 + 1L * 100000
+    assert(inst.invoke("probe", Array.empty) == fresh)
+    intercept[WasmTrap] { inst.invoke("dirty_then_trap", Array.empty) }
+    inst.restorePristine()
+    assert(inst.invoke("probe", Array.empty) == fresh)
+    // restore is idempotent across repeated trap/restore cycles
+    intercept[WasmTrap] { inst.invoke("dirty_then_trap", Array.empty) }
+    inst.restorePristine()
+    assert(inst.invoke("probe", Array.empty) == fresh)
   }
 
   // ---- string returns + blob aggregate state -------------------------------

@@ -117,9 +117,13 @@ def main(paths):
                          spread(prev_reps.get(k, [])), 0.15)
             reset = BASELINE_RESETS.get(k)
             base_r, prev_r = round_of(paths[0]), round_of(other)
+            # RESET applies only when BOTH artifact names parse to a round:
+            # an unversioned artifact (no _r<n>) gives no evidence it
+            # predates the reset, so a genuine regression between two such
+            # artifacts must stay a REGRESSION, not get a permanent pass
             straddles = reset is not None and \
-                (prev_r is None or prev_r < reset[0]) and \
-                (base_r is None or base_r >= reset[0])
+                prev_r is not None and base_r is not None and \
+                prev_r < reset[0] and base_r >= reset[0]
             if d > margin and straddles:
                 verdict = f"RESET: {reset[1]}"
             elif d > margin:
