@@ -322,6 +322,31 @@ class JsUdfSpec extends AnyFunSuite {
     } finally { client.close(); proc.destroy() }
   }
 
+  test("guest heap cap: a memory-hog DEFINE degrades to structured ERR; server survives") {
+    // dedicated server with a deliberately small V8 old-gen cap (the
+    // reference sets a per-runtime memory limit next to its timeout,
+    // javascript/mod.rs:229-260); the deadline stays long so the ERR we see
+    // proves the MEMORY wall fired, not the wall clock
+    val script = new java.io.File(sys.props("user.dir"), "tools/jsudf_server.js").getAbsolutePath
+    val proc = new ProcessBuilder("node", script, "--port", "0",
+        "--max-heap-mb", "64", "--call-timeout-ms", "60000")
+      .redirectError(ProcessBuilder.Redirect.INHERIT).start()
+    val br = new java.io.BufferedReader(new java.io.InputStreamReader(proc.getInputStream))
+    val portLine = br.readLine()
+    assert(portLine != null && portLine.startsWith("PORT "), s"worker failed: $portLine")
+    val client = new JsUdfClient("127.0.0.1", portLine.stripPrefix("PORT ").trim.toInt)
+    try {
+      client.define("scalar", "keeper(int) -> int", "(x) => x + 1")
+      client.define("scalar", "hog(int) -> int",
+        "(x) => { const a = []; for (;;) a.push(new Array(1 << 16).fill(x)); }")
+      val e = intercept[RuntimeException](client.call("hog", IntegerType, Seq(Seq(1))))
+      assert(e.getMessage.contains("MemoryLimitError"), e.getMessage)
+      // the server process survived its guest's OOM: the respawned worker
+      // replayed the DEFINE log and serves normally
+      assert(client.call("keeper", IntegerType, Seq(Seq(41))) == Seq(42))
+    } finally { client.close(); proc.destroy() }
+  }
+
   test("structured ERR objects: name + message are rendered client-side") {
     val client = new JsUdfClient("127.0.0.1", port)
     try {

@@ -43,6 +43,11 @@
  * (built-ins re-created, DEFINE'd functions replayed from the main-thread
  * log); the stuck call resolves to ERR {"name":"TimeoutError",...}. Other
  * in-flight calls fail with {"name":"WorkerRestart",...} rather than hang.
+ * The worker also carries a V8 old-gen heap cap (--max-heap-mb, default 512;
+ * the reference's memory-limit half of javascript/mod.rs:229-260): a
+ * memory-hog guest is killed by V8 with ERR_WORKER_OUT_OF_MEMORY, resolves
+ * to ERR {"name":"MemoryLimitError",...}, and the worker respawns — the
+ * server process never OOMs.
  * Wire-shipped DEFINE source additionally evaluates in a vm context with
  * language built-ins + deliberate capabilities (fetch, timers) but no
  * process/require — a privilege cut (not a hard boundary; Node vm caveat)
@@ -50,6 +55,7 @@
  *
  * Usage: node tools/jsudf_server.js --port 0 [--load extra_funcs.js]
  *        [--call-timeout-ms 30000] [--max-defines 4096] [--max-line-mb 64]
+ *        [--max-heap-mb 512]  (0 disables the guest V8 old-gen cap)
  * Prints `PORT <bound-port>` on stdout once listening.
  */
 "use strict";
@@ -470,11 +476,13 @@ function workerMain() {
  * deadline, and terminate-and-respawn on timeout. DEFINE bodies are logged
  * here so a respawned worker replays them before serving. */
 class GuestHost {
-  constructor(loadFiles, timeoutMs, maxDefines = 4096, maxLineBytes = 64 * 1024 * 1024) {
+  constructor(loadFiles, timeoutMs, maxDefines = 4096, maxLineBytes = 64 * 1024 * 1024,
+              maxHeapMb = 512) {
     this.loadFiles = loadFiles;
     this.timeoutMs = timeoutMs;
     this.maxDefines = maxDefines;       // cap on DISTINCT live definitions
     this.maxLineBytes = maxLineBytes;   // framing cap per protocol line
+    this.maxHeapMb = maxHeapMb;         // V8 old-gen cap on the guest worker
     this.defines = [];
     this.pending = new Map(); // id -> {resolve, timer}
     this.nextId = 1;
@@ -482,8 +490,17 @@ class GuestHost {
   }
 
   spawn() {
+    // resourceLimits is the memory half of guest containment (the reference
+    // sets a per-runtime memory limit next to its timeout,
+    // javascript/mod.rs:229-260): V8 kills the worker thread with
+    // ERR_WORKER_OUT_OF_MEMORY when the guest heap passes the cap, which
+    // lands on the 'error' handler below — the in-flight calls degrade to
+    // structured ERR rows and a fresh worker respawns; the server process
+    // itself never OOMs on a memory-hog DEFINE.
     this.worker = new Worker(__filename, {
       workerData: { loadFiles: this.loadFiles, defines: this.defines },
+      resourceLimits:
+        this.maxHeapMb > 0 ? { maxOldGenerationSizeMb: this.maxHeapMb } : undefined,
     });
     this.worker.on("message", ({ id, text }) => {
       const p = this.pending.get(id);
@@ -493,7 +510,13 @@ class GuestHost {
       p.resolve(text);
     });
     this.worker.on("error", (e) => {
-      this.failAll({ name: "WorkerError", message: (e && e.message) || String(e) });
+      const oom = e && e.code === "ERR_WORKER_OUT_OF_MEMORY";
+      this.failAll({
+        name: oom ? "MemoryLimitError" : "WorkerError",
+        message: oom
+          ? `guest exceeded the ${this.maxHeapMb} MB heap limit; worker restarted`
+          : (e && e.message) || String(e),
+      });
       this.spawn();
     });
     // a guest calling process.exit() kills the worker thread without an
@@ -633,6 +656,7 @@ function main() {
   let timeoutMs = 30000;
   let maxDefines = 4096;
   let maxLineBytes = 64 * 1024 * 1024;
+  let maxHeapMb = 512;
   const loadFiles = [];
   for (let i = 0; i < args.length; i++) {
     if (args[i] === "--port") port = parseInt(args[++i], 10);
@@ -640,8 +664,9 @@ function main() {
     else if (args[i] === "--call-timeout-ms") timeoutMs = parseInt(args[++i], 10);
     else if (args[i] === "--max-defines") maxDefines = parseInt(args[++i], 10);
     else if (args[i] === "--max-line-mb") maxLineBytes = parseInt(args[++i], 10) * 1024 * 1024;
+    else if (args[i] === "--max-heap-mb") maxHeapMb = parseInt(args[++i], 10);
   }
-  const host = new GuestHost(loadFiles, timeoutMs, maxDefines, maxLineBytes);
+  const host = new GuestHost(loadFiles, timeoutMs, maxDefines, maxLineBytes, maxHeapMb);
   const srv = net.createServer((sock) => serve(host, sock));
   srv.listen(port, "127.0.0.1", () => {
     process.stdout.write(`PORT ${srv.address().port}\n`);
