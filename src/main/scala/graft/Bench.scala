@@ -322,6 +322,32 @@ object Bench {
           "x_wasm_batched_10m is not on the batched kernel")
         df.write.format("noop").mode("overwrite").save()
       },
+      // String args + string RETURN through the per-row FFI alloc path —
+      // the baseline x_wasm_str_batched_1m is measured against.
+      "x_wasm_str_perrow_1m" -> { s: SparkSession =>
+        Graft.install(s)
+        s.read.parquet(docsBenchParquet(s))
+          .selectExpr("wasm_count_byte(text, 119) AS ne",
+                      "wasm_substring(text, 4, 16) AS sub")
+          .write.format("noop").mode("overwrite").save()
+      },
+      // Same two calls through the batched kernel: one pooled-instance
+      // borrow + export binds per scan batch, buffer args through the alloc
+      // ABI, the literal args injected as ConstantColumnVectors, both
+      // kernels fused into ONE pass over each batch.
+      "x_wasm_str_batched_1m" -> { _: SparkSession =>
+        val s = extensionsSession
+        Graft.install(s)
+        val df = s.read.parquet(docsBenchParquet(s))
+          .selectExpr("wasm_count_byte(text, 119) AS ne",
+                      "wasm_substring(text, 4, 16) AS sub")
+        val plan = df.queryExecution.executedPlan.toString
+        require(plan.contains("WasmBatchKernel") && plan.contains("ConstArgsKernel"),
+          "x_wasm_str_batched_1m is not on the batched kernel with literal injection")
+        require("ColumnarMultiMap".r.findAllIn(plan).size == 1,
+          "the two wasm string kernels must fuse into one pass")
+        df.write.format("noop").mode("overwrite").save()
+      },
       "x_udaf_10m" -> { s: SparkSession =>
         Graft.install(s)
         s.range(10000000L)
@@ -1544,6 +1570,7 @@ object Bench {
     // the first rep of whichever probe touches it first
     val fixtureUsers = Seq(
       ("x_wasm_perrow_10m|x_wasm_batched_10m", () => { wasmBenchParquet(spark); () }),
+      ("x_wasm_str_", () => { docsBenchParquet(spark); () }),
       ("x_ann_|x_lsh_join_1m", () => { annBenchParquet(spark); () }),
       ("x_ann_recall_1m", () => { annClusteredParquet(spark); () }),
       ("x_scd2_apply_20m", () => { scd2HistParquet(spark); () }))

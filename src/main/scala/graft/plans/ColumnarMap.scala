@@ -136,6 +136,50 @@ object ColumnarMap {
       ShortType, ByteType, StringType, BinaryType)
   }
 
+  /** Adapter that fills LITERAL argument positions with
+    * `ConstantColumnVector`s so a kernel written over the full argument list
+    * lowers even when some args are constants — `wasm_count_byte(text, 101)`
+    * is one column plus one literal, and without this the whole call fell
+    * back to the per-row path. `argSrc(k)` is `Left(i)` for the i-th
+    * provided input vector or `Right((catalystValue, dt))` for a constant
+    * (Catalyst internal repr: `UTF8String` for strings, boxed primitives
+    * otherwise — exactly what `ConstantColumnVector`'s setters take). */
+  final case class ConstArgsKernel(
+      inner: BatchKernel,
+      argSrc: Seq[Either[Int, (Any, DataType)]]) extends BatchKernel {
+    import org.apache.spark.sql.execution.vectorized.ConstantColumnVector
+    import org.apache.spark.sql.types._
+
+    override def apply(in: Seq[ColumnVector], rows: Int, out: OnHeapColumnVector): Unit = {
+      val consts = scala.collection.mutable.ArrayBuffer.empty[ConstantColumnVector]
+      try {
+        val full = argSrc.map {
+          case Left(i) => in(i)
+          case Right((v, dt)) =>
+            val c = new ConstantColumnVector(rows, dt)
+            if (v == null) c.setNull()
+            else dt match {
+              case IntegerType => c.setInt(v.asInstanceOf[Int])
+              case LongType    => c.setLong(v.asInstanceOf[Long])
+              case DoubleType  => c.setDouble(v.asInstanceOf[Double])
+              case FloatType   => c.setFloat(v.asInstanceOf[Float])
+              case BooleanType => c.setBoolean(v.asInstanceOf[Boolean])
+              case ShortType   => c.setShort(v.asInstanceOf[Short])
+              case ByteType    => c.setByte(v.asInstanceOf[Byte])
+              case StringType  =>
+                c.setUtf8String(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+              case BinaryType  => c.setBinary(v.asInstanceOf[Array[Byte]])
+              case other => throw new IllegalStateException(
+                s"unsupported lowered literal type $other")
+            }
+            consts += c
+            c
+        }
+        inner(full, rows, out)
+      } finally consts.foreach(_.close())
+    }
+  }
+
   /** Function-name → hand-registered batch kernel. Consulted FIRST by the
     * auto-lowering rule: a tier that can amortize per-call setup across a
     * whole batch (e.g. wasm guests borrowing one instance per batch instead
@@ -280,17 +324,35 @@ case class GraftColumnarRule(session: SparkSession)
         case al @ Alias(si: graft.functions.ScalarInvoke, name)
             if si.deterministic &&
                ColumnarMap.closureLowerable.contains(si.dataType) &&
-               si.children.forall(c => c.isInstanceOf[Attribute] &&
-                 child.outputSet.contains(c.asInstanceOf[Attribute]) &&
-                 ColumnarMap.closureLowerable.contains(c.dataType)) =>
+               si.children.exists(_.isInstanceOf[Attribute]) &&
+               si.children.forall {
+                 case a: Attribute =>
+                   child.outputSet.contains(a) &&
+                     ColumnarMap.closureLowerable.contains(a.dataType)
+                 case l: org.apache.spark.sql.catalyst.expressions.Literal =>
+                   ColumnarMap.closureLowerable.contains(l.dataType)
+                 case _ => false
+               } =>
           val argTypes = si.children.map(_.dataType)
-          val kernel = ColumnarMap.kernelOverrides.get(si.funcName)
+          val base = ColumnarMap.kernelOverrides.get(si.funcName)
             .flatMap(mk => mk(argTypes, si.dataType))
             .getOrElse(ColumnarMap.RowClosureKernel(si.function,
               si.callMode == graft.sig.CallMode.CalledOnNullInput,
               argTypes, si.dataType))
-          Some((name, al.exprId, si.dataType,
-            si.children.map(_.asInstanceOf[Attribute].name), kernel))
+          // literal args lower through ConstantColumnVector injection; the
+          // kernel sees the full argument list either way
+          val attrs = si.children.collect { case a: Attribute => a }
+          val kernel =
+            if (attrs.length == si.children.length) base
+            else {
+              var nextIn = -1
+              ColumnarMap.ConstArgsKernel(base, si.children.map {
+                case _: Attribute => nextIn += 1; Left(nextIn)
+                case l: org.apache.spark.sql.catalyst.expressions.Literal =>
+                  Right((l.value, l.dataType))
+              })
+            }
+          Some((name, al.exprId, si.dataType, attrs.map(_.name), kernel))
         case _ => None
       }
     }

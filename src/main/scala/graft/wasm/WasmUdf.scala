@@ -268,14 +268,17 @@ object WasmUdf {
                 WasmPool.releaseAfter(poolKey, inst, okB) // trap → pristine restore, reuse
               }
             })
-        // all-numeric non-fallible scalars get the batched columnar kernel:
-        // one instance borrow per scan batch instead of per row
+        // every non-fallible scalar gets the batched columnar kernel — one
+        // instance borrow + export bind per scan batch instead of per row;
+        // string/binary args and results ride the same alloc ABI as the
+        // per-row path, amortized (fallible scalars stay per-row: the error
+        // column needs per-row trap isolation)
         val numericRet = Set[DataType](IntegerType, LongType, DoubleType,
           FloatType, BooleanType, ShortType, ByteType)
-        if (!isTable && !fallible.contains(fname) && !isBuffer.contains(true) &&
-            numericRet.contains(retDt)) {
+        if (!isTable && !fallible.contains(fname) &&
+            (numericRet.contains(retDt) || retIsBuffer)) {
           val kernel = WasmBatchKernel(binary, poolKey, config, exportNm,
-            paramTypes.toSeq, retSlot, retDt)
+            paramTypes.toSeq, retSlot, retDt, isBuffer, retIsBuffer)
           graft.plans.ColumnarMap.kernelOverrides(fname) = (_, _) => Some(kernel)
         }
         fname
@@ -509,12 +512,16 @@ object WasmUdf {
  * scan batch (the reference's batched contract — `call(&RecordBatch)` enters
  * the guest once per batch, `wasm/mod.rs:256-279`), argument slots read
  * box-free off the scan's `ColumnVector`s. Registered in
- * [[graft.plans.ColumnarMap.kernelOverrides]] for all-numeric signatures;
- * string args keep the per-row FFI alloc path.
+ * [[graft.plans.ColumnarMap.kernelOverrides]] for every non-fallible scalar
+ * signature: numeric args pass as typed slots; string/binary args ride the
+ * FFI alloc ABI (guest `alloc` + copy-in, two slots per buffer) with a
+ * `reset_heap` per row — the borrow and the export binds still amortize
+ * over the whole batch, which is what made the per-row path slow.
  */
 final case class WasmBatchKernel(
     binary: Array[Byte], poolKey: String, config: WasmConfig,
-    exportNm: String, paramSlots: Seq[Byte], retSlot: Byte, retDt: DataType)
+    exportNm: String, paramSlots: Seq[Byte], retSlot: Byte, retDt: DataType,
+    bufferArg: Seq[Boolean] = Seq.empty, retIsBuffer: Boolean = false)
   extends graft.plans.ColumnarMap.BatchKernel {
   import org.apache.spark.sql.vectorized.ColumnVector
   import org.apache.spark.sql.execution.vectorized.OnHeapColumnVector
@@ -527,7 +534,17 @@ final case class WasmBatchKernel(
       val bound = inst.bind(exportNm) // export hash lookup once per batch
       val nArgs = in.length
       val cols = in.toArray
-      val slots = new Array[Long](nArgs)
+      val bufArr = new Array[Boolean](nArgs)
+      var b = 0
+      while (b < bufferArg.length) { bufArr(b) = bufferArg(b); b += 1 }
+      val anyBuffer = bufArr.exists(identity)
+      val needsHeap = anyBuffer || retIsBuffer
+      val hasReset = needsHeap && inst.hasExport("reset_heap")
+      val resetB = if (hasReset) inst.bind("reset_heap") else null
+      val allocB = if (anyBuffer) inst.bind("alloc") else null
+      val noArgs = Array.empty[Long]
+      val allocArgs = new Array[Long](1)
+      val slots = new Array[Long](paramSlots.length)
       var i = 0
       while (i < rows) {
         var anyNull = false
@@ -535,9 +552,35 @@ final case class WasmBatchKernel(
         while (j < nArgs) { if (cols(j).isNullAt(i)) anyNull = true; j += 1 }
         if (anyNull) out.putNull(i) // ReturnNullOnNullInput batch semantics
         else {
+          // free the previous row's buffers before placing this row's (the
+          // result is read back below before the next row's reset, so the
+          // guest-allocated result bytes are always live when copied out)
+          if (hasReset) inst.invokeBound(resetB, noArgs)
           j = 0
-          while (j < nArgs) { slots(j) = slotOf(cols(j), i, paramSlots(j)); j += 1 }
-          write(out, i, inst.invokeBound(bound, slots))
+          var s = 0
+          while (j < nArgs) {
+            if (bufArr(j)) {
+              val bytes = cols(j).dataType() match {
+                case StringType => cols(j).getUTF8String(i).getBytes
+                case BinaryType => cols(j).getBinary(i)
+                case dt => throw new WasmTrap(s"cannot pass $dt as buffer arg")
+              }
+              allocArgs(0) = bytes.length.toLong
+              val ptr = inst.invokeBound(allocB, allocArgs).toInt
+              inst.writeBytes(ptr, bytes)
+              slots(s) = ptr.toLong; slots(s + 1) = bytes.length.toLong
+              s += 2
+            } else {
+              slots(s) = slotOf(cols(j), i, paramSlots(s))
+              s += 1
+            }
+            j += 1
+          }
+          val r = inst.invokeBound(bound, slots)
+          if (retIsBuffer) {
+            val bytes = inst.readBytes((r >>> 32).toInt, r.toInt)
+            out.putByteArray(i, bytes, 0, bytes.length)
+          } else write(out, i, r)
         }
         i += 1
       }

@@ -97,6 +97,30 @@ class ExtensionsSpec extends AnyFunSuite {
     }
   }
 
+  test("wasm buffer args + string return lower to the batched kernel; literals inject as constant vectors") {
+    withExtensionsSession { s =>
+      Graft.install(s)
+      // wasm_count_byte(string, int): one scan column + one literal —
+      // lowers only because ConstArgsKernel fills the literal position;
+      // wasm_substring returns a STRING through the packed-i64 alloc ABI
+      val df = s.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .selectExpr("doc_id", "wasm_count_byte(text, 101) AS ne",
+                    "wasm_substring(text, 8, 24) AS sub")
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("WasmBatchKernel"), plan)
+      assert(plan.contains("ConstArgsKernel"), plan)
+      assert("ColumnarMultiMap".r.findAllIn(plan).size == 1, plan) // fused
+      val got = df.collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+      val old = TestSpark.spark
+      Graft.install(old)
+      val expected = old.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .selectExpr("doc_id", "wasm_count_byte(text, 101) AS ne",
+                    "wasm_substring(text, 8, 24) AS sub")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+      assert(got == expected && got.nonEmpty)
+    }
+  }
+
   test("columnar rule auto-lowers boxed string->string functions") {
     withExtensionsSession { s =>
       Graft.install(s)
