@@ -5049,8 +5049,9 @@ object SparkEntry {
     "q_html_strip" ->
       s"""SELECT doc_id, trim(regexp_replace(
          |  replace(replace(replace(replace(replace(replace(
-         |    regexp_replace(regexp_replace($htmlPageSql,
-         |      '(?is)<(script|style)[^>]*>.*?</(script|style)>', ' ', 'g'),
+         |    regexp_replace(regexp_replace(regexp_replace($htmlPageSql,
+         |      '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+         |      '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
          |      '(?s)<[^>]*>', ' ', 'g'),
          |    '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
          |    '&#39;', ''''), '&amp;', '&'),

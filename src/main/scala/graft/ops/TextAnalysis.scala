@@ -249,20 +249,29 @@ object TextAnalysis {
 
   /** Boilerplate HTML → text, as a chain of BUILTIN expressions (codegen'd,
     * no UDF — the whole strip stays inside WholeStageCodegen):
-    *   1. drop `<script>`/`<style>` blocks WITH their content
-    *      (case-insensitive dotall, non-greedy — backref-free so the same
-    *      pattern runs on Java regex and the oracle's RE2);
-    *   2. strip remaining tags;
+    *   1. drop `<script>` then `<style>` blocks WITH their content — TWO
+    *      self-matched passes (case-insensitive dotall, non-greedy,
+    *      backref-free so the same patterns run on Java regex and the
+    *      oracle's RE2). A single alternation pass let `</style>` close a
+    *      `<script>` block, leaking trailing script source into the text
+    *      (found by HtmlPropertySpec's differential fuzz); self-matched
+    *      passes agree with browser tokenization on the cross-nesting
+    *      cases — a raw `<style>` inside script is data, not a closer;
+    *   2. strip remaining tags (an unterminated trailing `<...` has no `>`
+    *      to anchor on and survives as text — cross-engine identical);
     *   3. decode the six common entities (`&amp;` LAST, so `&amp;lt;`
-    *      correctly yields the text `&lt;`, not `<`);
+    *      correctly yields the text `&lt;`, not `<`). Entity decode AFTER
+    *      tag-strip means decoded `<`/`>` are literal text — a SECOND
+    *      stripHtml application would eat them, so the operator is a
+    *      fixpoint only on outputs free of `<` and `&`;
     *   4. collapse whitespace (explicit class — Java and RE2 disagree on
     *      `\v`/`\s`) and trim.
     * The DuckDB twin is the same chain with 'g' flags; order is part of the
     * contract. */
   def stripHtml(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
     import org.apache.spark.sql.functions._
-    val noBlocks = regexp_replace(c,
-      "(?is)<(script|style)[^>]*>.*?</(script|style)>", " ")
+    val noScript = regexp_replace(c, "(?is)<script[^>]*>.*?</script>", " ")
+    val noBlocks = regexp_replace(noScript, "(?is)<style[^>]*>.*?</style>", " ")
     val noTags = regexp_replace(noBlocks, "(?s)<[^>]*>", " ")
     val decoded = Seq("&nbsp;" -> " ", "&lt;" -> "<", "&gt;" -> ">",
         "&quot;" -> "\"", "&#39;" -> "'", "&amp;" -> "&")
