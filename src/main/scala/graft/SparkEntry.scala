@@ -233,6 +233,14 @@ object SparkEntry {
     "q_wasm_rustc_agg" -> q(
       """SELECT source, wasm_rs_sumsq(CAST(pmod(doc_id, 40) AS INT)) AS ss
         |FROM documents GROUP BY source ORDER BY source""".stripMargin) _,
+    // LLVM's own SIMD instruction selection (the crate builds with
+    // -C target-feature=+simd128; the loop vectorizer turns rs_count_eq's
+    // byte loop into i8x16 compares) through the interpreter's
+    // shadow-stack v128 path — unlike q_wasm_simd_count, whose v128 bytes
+    // are WasmBuilder-scripted, these were CHOSEN by a compiler
+    "q_wasm_rustc_simd" -> q(
+      """SELECT doc_id, wasm_rs_count(text, 101) AS ne, wasm_rs_count(text, 32) AS nsp
+        |FROM documents ORDER BY doc_id""".stripMargin) _,
     // error column through REAL compiler output: LLVM's own zero-divisor
     // guard calls the crate's trap shim (an immediate OOB store — no_core
     // cannot emit `unreachable`), the interpreter traps, the row lands in
@@ -3472,9 +3480,10 @@ object SparkEntry {
         |                        x -> (doc_id % 36 + 1) % x = 0)) AS u(d)
         |ORDER BY doc_id, d""".stripMargin,
     // the rustc/LLVM-built fixture replayed independently: gcd is DuckDB's
-    // builtin; mix replays the i32 lattice (all operands nonnegative, so
-    // truncated % agrees); poly/fma operands are integer-valued — every
-    // product/sum is exact in f64/f32, no rounding to match
+    // builtin; mix replays the lattice (guest computes in i64 since r12, so
+    // the gate is scale-independent; operands nonnegative, truncated %
+    // agrees); poly/fma operands are integer-valued — every product/sum is
+    // exact in f64/f32, no rounding to match
     "q_wasm_rustc_math" ->
       """SELECT doc_id,
         |  CAST(gcd(doc_id + 30, doc_id % 89 + 5) AS BIGINT) AS g,
@@ -3497,6 +3506,12 @@ object SparkEntry {
     "q_wasm_rustc_agg" ->
       """SELECT source, CAST(sum((doc_id % 40) * (doc_id % 40)) AS BIGINT) AS ss
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+    // documents.text is ASCII, so char counts replay the guest's byte counts
+    "q_wasm_rustc_simd" ->
+      """SELECT doc_id,
+        |  CAST(length(text) - length(replace(text, 'e', '')) AS BIGINT) AS ne,
+        |  CAST(length(text) - length(replace(text, ' ', '')) AS BIGINT) AS nsp
+        |FROM documents ORDER BY doc_id""".stripMargin,
     // the guest signals arithmetic panics by TRAPPING (the reference's
     // Rust-panic-in-wasm convention); the trap text is the interpreter's
     "q_wasm_rustc_err" ->

@@ -822,12 +822,21 @@ class WasmSpec extends AnyFunSuite {
     assert(names.contains("ARROWUDF_VERSION_3_0") &&
       names.contains("alloc") && names.contains("reset_heap") &&
       names.contains("memory"))
-    assert(m.exports.count(_.name.startsWith("arrowudf_")) == 7)
+    assert(m.exports.count(_.name.startsWith("arrowudf_")) == 8)
     // LLVM provenance rides in the binary itself: rustc emits a
     // target_features custom section listing the enabled wasm features
     val raw = new String(bytes, java.nio.charset.StandardCharsets.ISO_8859_1)
     assert(raw.contains("target_features") && raw.contains("mutable-globals"),
       "expected rustc/LLVM's target_features custom section")
+    // LLVM-SELECTED SIMD: the crate builds with +simd128 and the loop
+    // vectorizer turns rs_count_eq's byte loop into v128 code — require the
+    // characteristic opcodes in the committed binary (v128.const = FD 0C,
+    // i8x16.eq = FD 23) so the claim can never silently rot
+    assert(raw.contains("simd128"), "expected simd128 in target_features")
+    def hasOp(a: Int, b: Int): Boolean =
+      bytes.sliding(2).exists(p => (p(0) & 0xFF) == a && (p(1) & 0xFF) == b)
+    assert(hasOp(0xFD, 0x0C), "no v128.const — LLVM did not vectorize")
+    assert(hasOp(0xFD, 0x23), "no i8x16.eq — LLVM did not vectorize")
     // edge semantics through the SQL surface
     val spark = TestSpark.spark
     graft.Graft.install(spark)
@@ -842,6 +851,15 @@ class WasmSpec extends AnyFunSuite {
     assert(r.getDouble(3) == 49.0)
     assert(r.getFloat(4) == 17.0f)
     assert(r.getString(5) == "MIXED! 42 [A-Z]")
+    // the autovectorized byte-count: >16-byte inputs take the v128 lanes,
+    // the sub-16 tail and the empty string take the scalar epilogue
+    val cnt = spark.sql(
+      """SELECT wasm_rs_count('sixteen bytes ee + tail eee', 101) AS a,
+        |  wasm_rs_count('short e', 101) AS b,
+        |  wasm_rs_count('', 101) AS c,
+        |  wasm_rs_count(repeat('e', 1000), 101) AS d""".stripMargin).collect().head
+    assert(cnt.getLong(0) == 8L, cnt.toString)
+    assert(cnt.getLong(1) == 1L && cnt.getLong(2) == 0L && cnt.getLong(3) == 1000L)
     // aggregate phases incl. merge across a forced repartition
     val ss = spark.sql(
       """SELECT wasm_rs_sumsq(CAST(v AS INT)) AS ss

@@ -116,6 +116,7 @@ macro_rules! int_ops {
 }
 int_ops!(i32);
 int_ops!(i64);
+int_ops!(u8);
 
 impl Shl<i32> for i64 { type Output = i64; fn shl(self, r: i32) -> i64 { self << r } }
 
@@ -214,12 +215,18 @@ pub extern "C" fn rs_div(a: i64, b: i64) -> i64 {
     a / b
 }
 
-// wasm_rs_mix(int, int) -> int  — i32 lattice mix with guarded div
+// wasm_rs_mix(int, int) -> int  — lattice mix with guarded div. Computed in
+// i64 so the gate is SCALE-INDEPENDENT: in i32, a*31 wraps once a >= 2^31/31
+// (~69M) while the oracle computes exactly — safe at the gated fixtures but
+// a latent mismatch at larger ones. The result fits i32 by construction
+// (m in [0, 65520]).
 #[export_name = "arrowudf_d2FzbV9yc19taXgoaW50LCBpbnQpIC0$IGludA"]
-pub extern "C" fn rs_mix(a: i32, b: i32) -> i32 {
+pub extern "C" fn rs_mix(a0: i32, b0: i32) -> i32 {
+    let a = a0 as i64;
+    let b = b0 as i64;
     let h = a * 31 + b * 7 + (a / (b % 97 + 1));
     let m = h % 65521;
-    if m < 0 { m + 65521 } else { m }
+    (if m < 0 { m + 65521 } else { m }) as i32
 }
 
 // wasm_rs_poly(double, double) -> double — (a·a + 2·a·b) + b·b, every step a
@@ -270,6 +277,28 @@ pub extern "C" fn rs_upper(ptr: i32, len: i32) -> i64 {
         i = i + 1;
     }
     ((out as i64) << 32) + len as i64
+}
+
+// wasm_rs_count(string, int) -> bigint — byte-equality count over the
+// alloc-FFI input buffer. The crate builds with -C target-feature=+simd128,
+// and LLVM's loop vectorizer turns this scalar loop into i8x16 compares +
+// mask accumulation — real LLVM v128 INSTRUCTION SELECTION through the
+// interpreter's shadow-stack SIMD path (the hand-assembled SIMD fixture's
+// v128 bytes are scripted, not chosen by a compiler; the build script
+// asserts the vectorization actually happened).
+#[export_name = "arrowudf_d2FzbV9yc19jb3VudChzdHJpbmcsIGludCkgLT4gYmlnaW50"]
+pub extern "C" fn rs_count_eq(ptr: i32, len: i32, needle: i32) -> i64 {
+    let nb = needle as u8;
+    let mut n: i64 = 0;
+    let mut i: i32 = 0;
+    while i < len {
+        let b = unsafe { *((ptr as i64 + i as i64) as usize as *const u8) };
+        if b == nb {
+            n = n + 1;
+        }
+        i = i + 1;
+    }
+    n
 }
 
 // wasm_rs_sumsq(int) -> bigint — i64-state aggregate phases (loadAggregate
