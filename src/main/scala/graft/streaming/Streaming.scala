@@ -818,26 +818,36 @@ object Streaming {
           var maxDay = prevMax
           var minDay = prevMin
           val touched = scala.collection.mutable.Set.empty[Long]
-          // buffer the batch: the retention horizon must come from the
-          // batch's max day BEFORE any accept/drop decision, or intra-batch
-          // row order (which a task retry does not preserve) changes which
-          // late rows survive. Null-inclusive, like the batch grid.
-          val batch = rows.toVector
-          val batchMax =
-            if (batch.isEmpty) Long.MinValue else batch.iterator.map(_.day).max
+          // The retention horizon must come from the batch's max day BEFORE
+          // any accept/drop decision, or intra-batch row order (which a task
+          // retry does not preserve) changes which late rows survive. Rather
+          // than buffering the rows (a hot key's micro-batch is unbounded),
+          // ONE pass folds them into per-DAY partial registers — memory is
+          // O(distinct days × 2^p), not O(rows) — and the accept/drop
+          // decision moves to the day level after the pass, which is exact
+          // because a day's partial register contains only that day's rows.
+          val batchRegs = scala.collection.mutable.Map.empty[Long, Array[Byte]]
+          val batchSeen = scala.collection.mutable.Set.empty[Long]
+          var batchMax = Long.MinValue
+          rows.foreach { r =>
+            if (r.day > batchMax) batchMax = r.day
+            // any row — null entity included — is a GRID day candidate (the
+            // batch operator's grid projection is null-inclusive) ...
+            batchSeen += r.day
+            // ... but only non-null entities reach the registers (the batch
+            // operator's isNotNull register filter)
+            if (r.value != null)
+              batchRegs(r.day) = agg.accumulate(
+                batchRegs.getOrElse(r.day, agg.createState()), Row(r.value))
+          }
           val horizon = math.max(prevMax, batchMax) - retain // deterministic
-          batch.foreach { r =>
-            if (batchMax == Long.MinValue || r.day > horizon) {
-              // any row — null entity included — extends the GRID (the
-              // batch operator's grid projection is null-inclusive) ...
-              if (r.day > maxDay) maxDay = r.day
-              if (r.day < minDay) minDay = r.day
-              // ... but only non-null entities reach the registers (the
-              // batch operator's isNotNull register filter)
-              if (r.value != null) {
-                regs(r.day) = agg.accumulate(
-                  regs.getOrElse(r.day, agg.createState()), Row(r.value))
-                touched += r.day
+          batchSeen.foreach { d =>
+            if (d > horizon) {
+              if (d > maxDay) maxDay = d
+              if (d < minDay) minDay = d
+              batchRegs.get(d).foreach { br =>
+                regs(d) = regs.get(d).map(agg.merge(_, br)).getOrElse(br)
+                touched += d
               }
             } // else: beyond the retention horizon — dropped, like a watermark
           }
@@ -895,6 +905,9 @@ object Streaming {
   case class TrendIn(eventType: String, day: Long)
   case class TrendOut(day: Long, eventType: String, cnt7: Long, rank: Int)
   case class TrendState(types: Seq[String], counts: Seq[Long])
+  /** One fanned (window-day, type) contribution; `ts` is the window-day as
+    * an event-time instant so the retention path can watermark on it. */
+  case class TrendFan(day: Long, eventType: String, ts: java.sql.Timestamp)
 
   /**
    * Streaming trailing-window trending top-k — the incremental twin of the
@@ -921,33 +934,67 @@ object Streaming {
    * feeds; pre-aggregate upstream (a `groupBy(type, day).count` per batch
    * before this operator would need a count-valued input, not offered here
    * to keep the operator exactly-once simple). State rows = live window-day
-   * keys × 1.
+   * keys × 1 — with `retainDays = 0` (the default) keys are NEVER evicted,
+   * so state grows by one row per DAY of stream lifetime (a dashboard that
+   * runs for a year holds ~365 rows per type-vocabulary — small, but
+   * unbounded in principle). Pass `retainDays > 0` for the bounded-state
+   * contract: window-day keys older than (max fanned day − retainDays)
+   * are evicted via event-time timeout, and fanned rows that late are
+   * dropped by the watermark — their windows keep their LAST in-retention
+   * emission, exactly the [[hllWindowStream]] retention contract. Size it
+   * `>= windowDays` so no live window's key can be evicted while current
+   * events still fan into it.
    */
   def trendingStream(input: Dataset[TrendIn], windowDays: Int = 7,
-      k: Int = 3): Dataset[TrendOut] = {
+      k: Int = 3, retainDays: Int = 0): Dataset[TrendOut] = {
     require(windowDays >= 1 && windowDays <= 370, "windowDays in 1..370")
     require(k >= 1 && k <= 1000, "k in 1..1000")
+    require(retainDays <= 0 || retainDays >= windowDays,
+      "retainDays must cover the window (or 0 for unbounded retention)")
     implicit val stateEnc: Encoder[TrendState] = Encoders.product[TrendState]
     implicit val outEnc: Encoder[TrendOut] = Encoders.product[TrendOut]
     implicit val keyEnc: Encoder[Long] = Encoders.scalaLong
-    implicit val pairEnc: Encoder[(Long, String)] =
-      Encoders.tuple(Encoders.scalaLong, Encoders.STRING)
-    val fanned = input.filter(_.eventType != null)
-      .flatMap(r => (r.day until r.day + windowDays).map(w => (w, r.eventType)))
-    fanned.groupByKey(_._1)
-      .flatMapGroupsWithState[TrendState, TrendOut](
-        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
-        (day: Long, rows: Iterator[(Long, String)], state: GroupState[TrendState]) =>
-          val st = state.getOption.getOrElse(TrendState(Nil, Nil))
-          val m = scala.collection.mutable.Map.empty[String, Long]
-          st.types.zip(st.counts).foreach { case (t, c) => m(t) = c }
-          rows.foreach { case (_, t) => m(t) = m.getOrElse(t, 0L) + 1L }
-          val sorted = m.toSeq.sortBy { case (t, c) => (-c, t) }
-          state.update(TrendState(sorted.map(_._1), sorted.map(_._2)))
-          sorted.iterator.take(k).zipWithIndex.map { case ((t, c), i) =>
-            TrendOut(day, t, c, i + 1)
-          }
+    implicit val fanEnc: Encoder[TrendFan] = Encoders.product[TrendFan]
+    val dayMs = 86400000L
+    def step(day: Long, rows: Iterator[TrendFan],
+        state: GroupState[TrendState]): Iterator[TrendOut] =
+      if (state.hasTimedOut) { // beyond retention — drop the key's counts
+        state.remove(); Iterator.empty
+      } else {
+        val st = state.getOption.getOrElse(TrendState(Nil, Nil))
+        val m = scala.collection.mutable.Map.empty[String, Long]
+        st.types.zip(st.counts).foreach { case (t, c) => m(t) = c }
+        rows.foreach(r => m(r.eventType) = m.getOrElse(r.eventType, 0L) + 1L)
+        val sorted = m.toSeq.sortBy { case (t, c) => (-c, t) }
+        state.update(TrendState(sorted.map(_._1), sorted.map(_._2)))
+        if (retainDays > 0)
+          // evict at the first watermark advance past this window-day's own
+          // event time: with the watermark delayed by retainDays, that is
+          // maxFannedDay − retainDays > day — the same horizon at which the
+          // watermark starts dropping this key's late rows, so an evicted
+          // key can never be half-recreated from a partial late fan.
+          // setTimeoutTimestamp requires a value > the current watermark.
+          state.setTimeoutTimestamp(
+            math.max((day + 1) * dayMs, state.getCurrentWatermarkMs() + 1))
+        sorted.iterator.take(k).zipWithIndex.map { case ((t, c), i) =>
+          TrendOut(day, t, c, i + 1)
+        }
       }
+    // ts = (w + 1) days: the +1 keeps day 0 strictly above Spark's initial
+    // zero watermark (a row at exactly the watermark is late-filtered).
+    // Day indexes must be >= 0 on the retention path for the same reason.
+    val fanned = input.filter(_.eventType != null)
+      .flatMap(r => (r.day until r.day + windowDays)
+        .map(w => TrendFan(w, r.eventType, new java.sql.Timestamp((w + 1) * dayMs))))
+    if (retainDays <= 0)
+      fanned.groupByKey(_.day)
+        .flatMapGroupsWithState[TrendState, TrendOut](
+          OutputMode.Update(), GroupStateTimeout.NoTimeout())(step)
+    else
+      fanned.withWatermark("ts", s"$retainDays days")
+        .groupByKey(_.day)
+        .flatMapGroupsWithState[TrendState, TrendOut](
+          OutputMode.Update(), GroupStateTimeout.EventTimeTimeout())(step)
   }
 
   def hllStream(input: Dataset[KV], p: Int = 9): Dataset[CardEstimate] = {

@@ -874,6 +874,53 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("trendingStream: retainDays evicts old window-day keys and freezes their emissions") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def stateRows(q: org.apache.spark.sql.streaming.StreamingQuery): Long = {
+      val withState = q.recentProgress.filter(_.stateOperators.nonEmpty)
+      assert(withState.nonEmpty, "query reported no state operators")
+      withState.last.stateOperators.map(_.numRowsTotal).sum
+    }
+    val results = scala.collection.mutable.Map.empty[(Long, Int), (String, Long)]
+    val mem = MemoryStream[Streaming.TrendIn]
+    val q = Streaming.trendingStream(mem.toDS(), windowDays = 2, k = 3,
+        retainDays = 2)
+      .writeStream.outputMode(OutputMode.Update())
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[Streaming.TrendOut], _: Long) =>
+        df.collect().foreach(r => results.synchronized {
+          results((r.day, r.rank)) = (r.eventType, r.cnt7) })
+      }.start()
+    try {
+      mem.addData(Streaming.TrendIn("a", 0L), Streaming.TrendIn("a", 0L),
+        Streaming.TrendIn("b", 0L), Streaming.TrendIn("a", 1L))
+      q.processAllAvailable()
+      // day 0: a=2 b=1; day 1: a=3 b=1; day 2 (fan-forward): a=1
+      assert(results((0L, 1)) == ("a", 2L) && results((0L, 2)) == ("b", 1L))
+      assert(results((1L, 1)) == ("a", 3L))
+      assert(stateRows(q) == 3L) // window-day keys 0, 1, 2
+      // jump 10 days ahead: watermark = maxFannedDay(11) - retainDays(2) = 9,
+      // so keys 0/1/2 (timeouts at days 1/2/3) evict once the advanced
+      // watermark is applied (the batch after the jump)
+      mem.addData(Streaming.TrendIn("c", 10L))
+      q.processAllAvailable()
+      mem.addData(Streaming.TrendIn("c", 10L))
+      q.processAllAvailable()
+      assert(results((10L, 1)) == ("c", 2L) && results((11L, 1)) == ("c", 2L))
+      assert(stateRows(q) == 2L, // only window-day keys 10, 11 survive
+        s"expected old window-day keys evicted, got ${stateRows(q)} state rows")
+      // a beyond-retention late event: its fanned rows (days 0/1) are below
+      // the watermark and must be DROPPED — the evicted windows keep their
+      // last in-retention emission instead of resurrecting with partial
+      // counts (the hllWindowStream retention contract)
+      mem.addData(Streaming.TrendIn("b", 0L))
+      q.processAllAvailable()
+      assert(results((0L, 1)) == ("a", 2L) && results((0L, 2)) == ("b", 1L))
+      assert(results((1L, 1)) == ("a", 3L))
+      assert(stateRows(q) == 2L)
+    } finally q.stop()
+  }
+
   test("hllWindowStream: retention horizon is intra-batch order-independent") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
