@@ -1085,6 +1085,65 @@ object Bench {
             s"(got ${got.size} ranked cells, want ${want.size})")
         } finally q.stop()
       },
+      // trendingStream RETENTION mode at the same 500k scale: every batch
+      // spans all 200 days, so after batch 1 the watermark sits at
+      // maxFanDay - retainDays and (a) later revisits to older days drop,
+      // freezing those windows at their last in-retention emission, (b) the
+      // per-(window-day) state keys behind the horizon evict — final state
+      // rows must be ~(retainDays + windowDays), NOT the 206 live days the
+      // unbounded twin holds. In-retention days must still equal the batch
+      // rollup exactly (their fans were never dropped).
+      "x_trend_retain_500k" -> { s: SparkSession =>
+        import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+        import graft.streaming.Streaming
+        import s.implicits._
+        import org.apache.spark.sql.functions._
+        implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+        val retain = 14
+        val rows = s.range(500000L).selectExpr(
+            "concat('t', pmod(hash(id), 20)) AS event_type",
+            "id div 100 % 200 AS day")
+          .as[(String, Long)].collect()
+          .map { case (t, d) => Streaming.TrendIn(t, d) }
+        val dmax = rows.map(_.day).max
+        val daily = rows.toSeq.toDF("event_type", "day")
+          .groupBy("event_type", "day").agg(count(lit(1)).as("c"))
+        val fanned = daily.select(col("event_type"), col("c"),
+            explode(sequence(col("day"), col("day") + 6)).as("day"))
+          .groupBy("day", "event_type").agg(sum("c").as("cnt7"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("day").orderBy(col("cnt7").desc, col("event_type"))
+        // watermark horizon after ANY batch: every batch's max fanned day is
+        // dmax + 6, so days >= dmax + 7 - retain kept full fans throughout
+        val safeFrom = dmax + 7 - retain
+        val want = fanned.where(col("day") >= safeFrom && col("day") <= dmax)
+          .withColumn("rank", row_number().over(w)).where(col("rank") <= 3)
+          .collect()
+          .map(r => (r.getLong(0), r.getInt(3)) -> ((r.getString(1), r.getLong(2))))
+          .toMap
+        val mem = MemoryStream[Streaming.TrendIn]
+        val oldParts = s.conf.get("spark.sql.shuffle.partitions")
+        s.conf.set("spark.sql.shuffle.partitions", "8")
+        val q = try Streaming.trendingStream(mem.toDS(), retainDays = retain)
+          .writeStream.format("memory").queryName("x_trend_retain_500k")
+          .outputMode("update").start()
+        finally s.conf.set("spark.sql.shuffle.partitions", oldParts)
+        try {
+          rows.grouped(rows.length / 4 + 1).foreach { c =>
+            mem.addData(c.toSeq: _*); q.processAllAvailable()
+          }
+          val got = s.table("x_trend_retain_500k").as[Streaming.TrendOut].collect()
+            .groupBy(e => (e.day, e.rank))
+            .map { case (k, es) => k -> ((es.last.eventType, es.last.cnt7)) }
+            .filter(kv => kv._1._1 >= safeFrom && kv._1._1 <= dmax)
+          require(got == want, s"retention trendingStream diverged from batch " +
+            s"on in-retention days (got ${got.size} cells, want ${want.size})")
+          val stateRows = q.recentProgress.filter(_.stateOperators.nonEmpty)
+            .last.stateOperators.map(_.numRowsTotal).sum
+          require(stateRows <= retain + 7 + 2,
+            s"retention did not bound state: $stateRows window-day keys live")
+        } finally q.stop()
+      },
       // fuzzy edit-distance self-join over 1M ~22-char strings with 250k
       // planted single-char-perturbed near-dups: PassJoin blocking keys +
       // one candidate equi-join; proves the operator beyond 2k part names
