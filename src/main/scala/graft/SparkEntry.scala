@@ -379,6 +379,45 @@ object SparkEntry {
         .orderBy("doc_id", "tok")
     } _,
 
+    // §2.1 #26 ARROW FLIGHT WIRE: the same gcd through graft's from-scratch
+    // gRPC/HTTP2 Flight client (remote/flight/*) calling a REAL
+    // pyarrow.flight server (grpc-core, tools/flightudf_server.py) — the
+    // reference's actual transport (`remote/mod.rs:36-156`), end-to-end.
+    "q_flight_gcd" -> dfq { s =>
+      val df = s.table("lineitem").selectExpr("l_orderkey", "l_linenumber",
+        "CAST(l_partkey AS INT) AS a", "CAST(l_suppkey AS INT) AS b")
+      graft.remote.flight.FlightUdf.withFlightColumn(df,
+          graft.remote.flight.FlightWorker.endpoints, "flight_gcd",
+          Seq("a", "b"), org.apache.spark.sql.types.IntegerType)
+        .selectExpr("l_orderkey", "l_linenumber", "value AS g")
+        .localCheckpoint() // exchange runs once; sort sampling reads the checkpoint
+        .orderBy("l_orderkey", "l_linenumber")
+    } _,
+
+    // Flight wire, scalar string arg/int return (DoExchange with varlen
+    // buffers crossing the h2 flow-control windows).
+    "q_flight_len" -> dfq { s =>
+      val df = s.table("documents").selectExpr("doc_id", "text")
+      graft.remote.flight.FlightUdf.withFlightColumn(df,
+          graft.remote.flight.FlightWorker.endpoints, "flight_len",
+          Seq("text"), org.apache.spark.sql.types.IntegerType)
+        .selectExpr("doc_id", "value AS n")
+        .localCheckpoint()
+        .orderBy("doc_id")
+    } _,
+
+    // Flight wire, table function: (row_index, value) explode semantics over
+    // DoExchange (reference `call_table_function`, `remote/mod.rs:121-132`).
+    "q_flight_split" -> dfq { s =>
+      val df = s.table("documents").selectExpr("doc_id", "text")
+      graft.remote.flight.FlightUdf.withFlightTableColumn(df,
+          graft.remote.flight.FlightWorker.endpoints, "flight_words",
+          Seq("text"), org.apache.spark.sql.types.StringType)
+        .selectExpr("doc_id", "value AS tok")
+        .localCheckpoint()
+        .orderBy("doc_id", "tok")
+    } _,
+
     // §2.1 #15: the full aggregate lifecycle evaluated in the CPython guest —
     // Spark hash aggregation drives create_state/accumulate over the wire
     // per partition (partial), ships opaque pickled states through the
@@ -3562,6 +3601,20 @@ object SparkEntry {
         |                     ELSE CAST(l_quantity AS INT) END) AS BIGINT) AS result
         |FROM lineitem GROUP BY l_linestatus ORDER BY key""".stripMargin,
     "q_python_split" ->
+      """SELECT doc_id, t.tok
+        |FROM documents, UNNEST(string_split_regex(text, '[ \t\n\r\f\v]+')) AS t(tok)
+        |WHERE t.tok <> ''
+        |ORDER BY doc_id, tok""".stripMargin,
+    "q_flight_gcd" ->
+      """SELECT l_orderkey, l_linenumber,
+        |       CAST(gcd(CAST(l_partkey AS INT), CAST(l_suppkey AS INT)) AS INT) AS g
+        |FROM lineitem
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q_flight_len" ->
+      """SELECT doc_id, CAST(length(text) AS INT) AS n
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
+    "q_flight_split" ->
       """SELECT doc_id, t.tok
         |FROM documents, UNNEST(string_split_regex(text, '[ \t\n\r\f\v]+')) AS t(tok)
         |WHERE t.tok <> ''

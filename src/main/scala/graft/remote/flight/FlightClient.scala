@@ -1,0 +1,202 @@
+package graft.remote.flight
+
+import graft.remote.RemoteProtocol
+import org.apache.arrow.memory.RootAllocator
+import org.apache.arrow.vector.VectorSchemaRoot
+import org.apache.arrow.vector.VectorUnloader
+import org.apache.arrow.vector.ipc.{ArrowStreamReader, ReadChannel, WriteChannel}
+import org.apache.arrow.vector.ipc.message.MessageSerializer
+import org.apache.arrow.vector.types.pojo.{Schema => ASchema}
+import org.apache.spark.sql.types.{DataType, Metadata => SMetadata}
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import java.nio.channels.Channels
+import scala.jdk.CollectionConverters._
+
+/** A remote UDF function discovered over Flight: the reference's
+  * `Function { name, args, returns }` (`remote/mod.rs:160-195`), with Arrow
+  * fields already mapped to Spark types via [[RemoteProtocol.fromArrowField]]. */
+final case class FlightFunction(name: String,
+                                args: Seq[(String, DataType, SMetadata)],
+                                returns: Seq[(String, DataType, SMetadata)])
+
+/**
+ * Arrow Flight UDF client — the reference's `remote::Client`
+ * (`arrow-udf-runtime/src/remote/mod.rs:36-156`) re-expressed on graft's
+ * from-scratch gRPC transport ([[GrpcConn]]): wire-compatible with any stock
+ * Flight UDF server (the reference's Java `UdfServer`, its Python
+ * `arrow_udf.UdfServer`, or anything else speaking the protocol). The
+ * interop gates drive this client against a REAL `pyarrow.flight` server
+ * (grpc-core) in `tools/flightudf_server.py`.
+ *
+ * Verbs (reference lines cited):
+ *  - `protocolVersion` — `DoAction("protocol_version")`, one `Result` byte;
+ *    an error means a v1 server (`remote/mod.rs:53-65`).
+ *  - `get` — `GetFlightInfo(FlightDescriptor::path([name]))`; the returned
+ *    schema is input-fields ++ return-fields with `total_records` carrying
+ *    the input arity (`remote/mod.rs:79-86,170-195`).
+ *  - `list` — `ListFlights(Criteria::default())` (`remote/mod.rs:86-99`).
+ *  - `call`/`callTable` — one `DoExchange` per bounded row chunk: a schema
+ *    `FlightData` carrying the descriptor, then one `FlightData` per record
+ *    batch; results stream back one batch per input batch
+ *    (`remote/mod.rs:134-156`).
+ *
+ * IPC framing: each `FlightData` is one encapsulated Arrow IPC message with
+ * the 8-byte prefix stripped (`data_header` = flatbuffer Message,
+ * `data_body` = body buffers) — the public Flight↔IPC mapping. Outbound
+ * messages are produced by `MessageSerializer` and split; inbound messages
+ * are re-encapsulated and fed to a stock `ArrowStreamReader`, so all vector
+ * decoding rides the same battle-tested path as [[graft.remote.UdfClient]].
+ *
+ * Like [[graft.remote.UdfClient]], exchanges are half-duplex and bounded
+ * (≤ [[RemoteProtocol.BatchSize]] rows per call from the Spark integration),
+ * so flow-control windows never deadlock: the transport services
+ * WINDOW_UPDATE/PING frames at every blocking point and both request and
+ * response fit the announced windows.
+ */
+final class FlightClient(host: String, port: Int, timeoutMs: Int = 120000)
+    extends AutoCloseable {
+  import RemoteProtocol.{cellReader, cellWriter, toArrowField, fromArrowField}
+
+  private val Service = "/arrow.flight.protocol.FlightService"
+  private val grpc = new GrpcConn(host, port, timeoutMs)
+  private val allocator = new RootAllocator()
+
+  /** Server protocol version; any failure (e.g. UNIMPLEMENTED DoAction) means
+    * a version-1 server, exactly like the reference (`remote/mod.rs:53-65`). */
+  def protocolVersion(): Int =
+    try {
+      val results = grpc.call(s"$Service/DoAction",
+        Iterator(Pb.action("protocol_version", Pb.Empty))).toSeq
+      results.headOption.map(Pb.parseResultBody).filter(_.nonEmpty)
+        .map(_.head.toInt).getOrElse(1)
+    } catch { case _: GrpcStatusException => 1 }
+
+  /** Discovery: one function's signature (`Client::get`). */
+  def get(name: String): FlightFunction = {
+    val infos = grpc.call(s"$Service/GetFlightInfo",
+      Iterator(Pb.descriptorPath(name))).toSeq
+    parseFunction(Pb.parseFlightInfo(infos.head))
+  }
+
+  /** Discovery: every function on the server (`Client::list`). */
+  def list(): Seq[FlightFunction] =
+    grpc.call(s"$Service/ListFlights", Iterator(Pb.criteria(Pb.Empty)))
+      .map(b => parseFunction(Pb.parseFlightInfo(b))).toSeq
+
+  private def parseFunction(info: Pb.FlightInfoMsg): FlightFunction = {
+    val schema = MessageSerializer.deserializeSchema(
+      new ReadChannel(Channels.newChannel(new ByteArrayInputStream(info.schemaIpc))))
+    val fields = schema.getFields.asScala.toSeq.map { f =>
+      val (dt, md) = fromArrowField(f)
+      (f.getName, dt, md)
+    }
+    require(info.totalRecords <= fields.length,
+      s"invalid input arity ${info.totalRecords} for ${fields.length} fields")
+    val (in, out) = fields.splitAt(info.totalRecords.toInt)
+    FlightFunction(info.path.headOption.getOrElse(""), in, out)
+  }
+
+  /** Scalar call: one result value per input row (`Client::call`). */
+  def call(fname: String, argTypes: Seq[DataType], rows: Seq[Seq[Any]],
+           argMeta: Seq[SMetadata] = Nil): Seq[Any] =
+    exchange(fname, argTypes, rows, argMeta).map(_.head)
+
+  /** Table-function call: (input-row index, value) pairs
+    * (`Client::call_table_function`; the index column is the protocol's
+    * row-correlation convention, reference python server `TableFunction`). */
+  def callTable(fname: String, argTypes: Seq[DataType], rows: Seq[Seq[Any]],
+                argMeta: Seq[SMetadata] = Nil): Seq[(Int, Any)] =
+    exchange(fname, argTypes, rows, argMeta).map(r => (r(0).asInstanceOf[Int], r(1)))
+
+  /** One DoExchange: write the argument rows as schema + record-batch
+    * `FlightData` messages, read back every result row. */
+  def exchange(fname: String, argTypes: Seq[DataType], rows: Seq[Seq[Any]],
+               argMeta: Seq[SMetadata] = Nil): Seq[Seq[Any]] = {
+    val meta = if (argMeta.nonEmpty) argMeta else argTypes.map(_ => SMetadata.empty)
+    val schema = new ASchema(argTypes.zip(meta).zipWithIndex.map { case ((t, m), i) =>
+      toArrowField(s"a$i", t, m) }.asJava)
+    val descriptor = Pb.descriptorPath(fname)
+
+    // request messages: schema FlightData (carries the descriptor), then one
+    // FlightData per bounded batch
+    val (schemaHeader, _) = encapsulated(ch => { MessageSerializer.serialize(ch, schema); () })
+    val schemaMsg = Pb.flightData(Some(descriptor), schemaHeader, Pb.Empty)
+    val batchMsgs = rows.grouped(RemoteProtocol.BatchSize).map { chunk =>
+      val root = VectorSchemaRoot.create(schema, allocator)
+      try {
+        root.allocateNew()
+        val writers = argTypes.indices.map(j => cellWriter(root.getVector(j)))
+        chunk.zipWithIndex.foreach { case (row, i) =>
+          var j = 0
+          while (j < writers.length) { writers(j)(i, row(j)); j += 1 }
+        }
+        root.setRowCount(chunk.size)
+        val batch = new VectorUnloader(root).getRecordBatch
+        try {
+          val (header, body) = encapsulated(ch => { MessageSerializer.serialize(ch, batch); () })
+          Pb.flightData(None, header, body)
+        } finally batch.close()
+      } finally root.close()
+    }
+
+    val responses = grpc.call(s"$Service/DoExchange", Iterator(schemaMsg) ++ batchMsgs)
+
+    // reassemble the response FlightData messages into one Arrow IPC stream
+    val ipc = new ByteArrayOutputStream()
+    var sawAny = false
+    responses.foreach { msg =>
+      val fd = Pb.parseFlightData(msg)
+      if (fd.dataHeader.nonEmpty) {
+        sawAny = true
+        writeEncapsulated(ipc, fd.dataHeader, fd.dataBody)
+      }
+    }
+    if (!sawAny) return Seq.empty // zero-row exchange: no schema message came back
+    ipc.write(Array[Byte](-1, -1, -1, -1, 0, 0, 0, 0)) // EOS marker
+    val reader = new ArrowStreamReader(new ByteArrayInputStream(ipc.toByteArray), allocator)
+    try {
+      val rroot = reader.getVectorSchemaRoot
+      val results = scala.collection.mutable.ArrayBuffer.empty[Seq[Any]]
+      while (reader.loadNextBatch()) {
+        val readers = rroot.getFieldVectors.asScala.map(cellReader).toArray
+        (0 until rroot.getRowCount).foreach { i =>
+          results += scala.collection.immutable.ArraySeq.unsafeWrapArray(readers.map(_(i)))
+        }
+      }
+      results.toSeq
+    } finally reader.close()
+  }
+
+  /** Run `f` into a buffer and split the encapsulated IPC framing
+    * (`0xFFFFFFFF`, little-endian length, flatbuffer metadata, body) into
+    * (metadata, body) — the `FlightData` field mapping. */
+  private def encapsulated(f: WriteChannel => Unit): (Array[Byte], Array[Byte]) = {
+    val bos = new ByteArrayOutputStream()
+    f(new WriteChannel(Channels.newChannel(bos)))
+    val all = bos.toByteArray
+    require(all.length >= 8 && all(0) == -1 && all(1) == -1 && all(2) == -1 && all(3) == -1,
+      "unexpected IPC framing")
+    val metaLen = (all(4) & 0xff) | ((all(5) & 0xff) << 8) |
+      ((all(6) & 0xff) << 16) | ((all(7) & 0xff) << 24)
+    (java.util.Arrays.copyOfRange(all, 8, 8 + metaLen),
+      java.util.Arrays.copyOfRange(all, 8 + metaLen, all.length))
+  }
+
+  /** Inverse of [[encapsulated]]: re-frame one (metadata, body) message,
+    * padding the metadata so the body lands 8-byte aligned. */
+  private def writeEncapsulated(out: ByteArrayOutputStream, header: Array[Byte],
+                                body: Array[Byte]): Unit = {
+    val padded = (header.length + 7) / 8 * 8
+    out.write(Array[Byte](-1, -1, -1, -1))
+    out.write(padded & 0xff); out.write((padded >> 8) & 0xff)
+    out.write((padded >> 16) & 0xff); out.write((padded >> 24) & 0xff)
+    out.write(header)
+    var i = header.length
+    while (i < padded) { out.write(0); i += 1 }
+    out.write(body)
+  }
+
+  override def close(): Unit = {
+    try grpc.close() finally allocator.close()
+  }
+}

@@ -1,0 +1,400 @@
+package graft.remote.flight
+
+import io.netty.buffer.Unpooled
+import io.netty.handler.codec.http2.{DefaultHttp2Headers, DefaultHttp2HeadersDecoder, DefaultHttp2HeadersEncoder, Http2Headers}
+import java.io.{BufferedInputStream, BufferedOutputStream, DataInputStream, EOFException, IOException}
+import java.net.{InetSocketAddress, Socket}
+import java.nio.charset.StandardCharsets
+import scala.collection.mutable
+
+/**
+ * A from-scratch HTTP/2 + gRPC CLIENT on a blocking socket — the transport
+ * under [[FlightClient]], speaking to any stock gRPC server (the bridge's
+ * interop gate drives it against a real `pyarrow.flight` / grpc-core server).
+ *
+ * Why hand-rolled: the reference reaches its UDF services over Arrow Flight
+ * (tonic/gRPC, `arrow-udf-runtime/src/remote/mod.rs:32-48`); this build has
+ * no gRPC stubs and no dependency egress, but the Spark distribution DOES
+ * ship `netty-codec-http2`, whose public HPACK header codec
+ * (`DefaultHttp2HeadersEncoder/Decoder`) removes the only spec-table-heavy
+ * part (RFC 7541 Huffman + static table). Everything else — connection
+ * preface, frame layer, SETTINGS/PING/GOAWAY handling, flow control, gRPC
+ * message framing and trailer status — is implemented here against the
+ * public RFC 9113 / gRPC-over-HTTP2 specs.
+ *
+ * Concurrency model: ONE in-flight RPC per connection, matching the pooled
+ * per-partition [[graft.remote.UdfClient]] design (each Spark partition owns
+ * a connection for its task lifetime; parallelism comes from partitions, not
+ * multiplexed streams). The exchange discipline is half-duplex — the client
+ * writes the whole bounded request before draining the response — and the
+ * pump services PING/SETTINGS/WINDOW_UPDATE frames whenever it is blocked on
+ * either direction, so server keepalives and flow-control credit never
+ * deadlock a call.
+ *
+ * Flow control: we announce a large stream window (SETTINGS) and extend the
+ * 65535-byte connection window once at startup, then return credit for every
+ * DATA frame consumed; sends respect the peer's connection + stream windows,
+ * pumping frames while blocked. Bounded exchanges (≤ one
+ * [[graft.remote.RemoteProtocol.BatchSize]] batch per call) keep windows from
+ * ever being the throughput limiter.
+ */
+private[flight] final class Http2Conn(host: String, port: Int, timeoutMs: Int = 120000)
+    extends AutoCloseable {
+
+  private val FrameData = 0x0
+  private val FrameHeaders = 0x1
+  private val FrameRst = 0x3
+  private val FrameSettings = 0x4
+  private val FramePing = 0x6
+  private val FrameGoaway = 0x7
+  private val FrameWindowUpdate = 0x8
+  private val FrameContinuation = 0x9
+
+  private val FlagEndStream = 0x1
+  private val FlagAck = 0x1
+  private val FlagEndHeaders = 0x4
+  private val FlagPadded = 0x8
+  private val FlagPriority = 0x20
+
+  /** Our receive window per stream (SETTINGS_INITIAL_WINDOW_SIZE) and the
+    * connection-window top-up. Large enough that a whole bounded exchange
+    * never waits on our credit. */
+  private val RecvWindow = 1 << 23
+
+  private val sock = new Socket()
+  sock.connect(new InetSocketAddress(host, port), timeoutMs)
+  sock.setTcpNoDelay(true)
+  sock.setSoTimeout(timeoutMs)
+  private val in = new DataInputStream(new BufferedInputStream(sock.getInputStream, 1 << 16))
+  private val out = new BufferedOutputStream(sock.getOutputStream, 1 << 16)
+
+  private val hpackEnc = new DefaultHttp2HeadersEncoder()
+  private val hpackDec = new DefaultHttp2HeadersDecoder(false)
+
+  private var nextStreamId = 1
+  // peer-side flow control (how much WE may send)
+  private var connSendWindow: Long = 65535L
+  private var peerInitialWindow: Long = 65535L
+  private var peerMaxFrame: Int = 16384
+  private var goaway: Option[String] = None
+
+  /** The single active RPC's stream state. */
+  private final class StreamState(val id: Int) {
+    var sendWindow: Long = peerInitialWindow
+    val inbox = new mutable.ArrayDeque[Array[Byte]]()
+    var headers: Option[Http2Headers] = None
+    var trailers: Option[Http2Headers] = None
+    var remoteClosed = false
+    var rstCode: Option[Long] = None
+  }
+  private var active: StreamState = null
+
+  // ---- connection preface ---------------------------------------------------
+  out.write("PRI * HTTP/2.0\r\n\r\nSM\r\n\r\n".getBytes(StandardCharsets.US_ASCII))
+  // SETTINGS: no server push; big per-stream receive window
+  writeFrame(FrameSettings, 0, 0,
+    settingsPayload(Seq(0x2 -> 0L, 0x4 -> RecvWindow.toLong)))
+  // top up the fixed 65535 connection receive window once
+  writeFrame(FrameWindowUpdate, 0, 0, u32(RecvWindow - 65535))
+  out.flush()
+
+  private def settingsPayload(kv: Seq[(Int, Long)]): Array[Byte] = {
+    val b = java.nio.ByteBuffer.allocate(kv.size * 6)
+    kv.foreach { case (k, v) => b.putShort(k.toShort).putInt(v.toInt) }
+    b.array()
+  }
+  private def u32(v: Long): Array[Byte] =
+    Array(((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+      ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+
+  private def writeFrame(tpe: Int, flags: Int, streamId: Int, payload: Array[Byte],
+                         off: Int = 0, len: Int = -1): Unit = {
+    val n = if (len < 0) payload.length else len
+    out.write((n >> 16) & 0xff); out.write((n >> 8) & 0xff); out.write(n & 0xff)
+    out.write(tpe); out.write(flags)
+    out.write(u32(streamId.toLong))
+    out.write(payload, off, n)
+  }
+
+  // ---- frame pump -------------------------------------------------------------
+  /** Read and dispatch exactly one frame from the peer. Callers loop on this
+    * whenever they are waiting for response data, trailers, or send-window
+    * credit, so control frames are serviced at every blocking point. */
+  private def pumpOne(): Unit = {
+    goaway.foreach(msg => throw new IOException(s"connection closed by server: $msg"))
+    val b0 = in.read()
+    if (b0 < 0) throw new EOFException("http2 connection closed")
+    val len = (b0 << 16) | (in.readUnsignedByte() << 8) | in.readUnsignedByte()
+    val tpe = in.readUnsignedByte()
+    val flags = in.readUnsignedByte()
+    val sid = in.readInt() & 0x7fffffff
+    val payload = new Array[Byte](len)
+    in.readFully(payload)
+    tpe match {
+      case FrameData =>
+        var off = 0; var n = len
+        if ((flags & FlagPadded) != 0) { val pad = payload(0) & 0xff; off = 1; n = len - 1 - pad }
+        if (active != null && sid == active.id) {
+          if (n > 0) active.inbox.append(java.util.Arrays.copyOfRange(payload, off, off + n))
+          if ((flags & FlagEndStream) != 0) active.remoteClosed = true
+          // return credit for the whole frame (incl. padding) as we consume
+          if (len > 0) {
+            writeFrame(FrameWindowUpdate, 0, 0, u32(len.toLong))
+            if (!active.remoteClosed) writeFrame(FrameWindowUpdate, 0, sid, u32(len.toLong))
+            out.flush()
+          }
+        }
+      case FrameHeaders | FrameContinuation =>
+        var off = 0; var end = len
+        var fl = flags
+        if (tpe == FrameHeaders) {
+          if ((fl & FlagPadded) != 0) { val pad = payload(0) & 0xff; off = 1; end = len - pad }
+          if ((fl & FlagPriority) != 0) off += 5
+        }
+        val block = new java.io.ByteArrayOutputStream()
+        block.write(payload, off, end - off)
+        while ((fl & FlagEndHeaders) == 0) {
+          // CONTINUATION frames must follow immediately on the same stream
+          val c0 = in.read()
+          if (c0 < 0) throw new EOFException("http2 connection closed mid-headers")
+          val clen = (c0 << 16) | (in.readUnsignedByte() << 8) | in.readUnsignedByte()
+          val ctpe = in.readUnsignedByte()
+          fl = in.readUnsignedByte()
+          in.readInt()
+          if (ctpe != FrameContinuation)
+            throw new IOException(s"expected CONTINUATION, got frame type $ctpe")
+          val cp = new Array[Byte](clen)
+          in.readFully(cp)
+          block.write(cp)
+        }
+        val buf = Unpooled.wrappedBuffer(block.toByteArray)
+        val decoded = try hpackDec.decodeHeaders(sid, buf) finally buf.release()
+        if (active != null && sid == active.id) {
+          if (active.headers.isEmpty) active.headers = Some(decoded)
+          else active.trailers = Some(decoded)
+          if ((flags & FlagEndStream) != 0) active.remoteClosed = true
+        }
+      case FrameSettings =>
+        if ((flags & FlagAck) == 0) {
+          var i = 0
+          while (i + 6 <= len) {
+            val k = ((payload(i) & 0xff) << 8) | (payload(i + 1) & 0xff)
+            val v = ((payload(i + 2) & 0xffL) << 24) | ((payload(i + 3) & 0xffL) << 16) |
+              ((payload(i + 4) & 0xffL) << 8) | (payload(i + 5) & 0xffL)
+            k match {
+              case 0x1 => hpackEnc.maxHeaderTableSize(v) // our encoder must honor it
+              case 0x4 =>
+                val delta = v - peerInitialWindow
+                peerInitialWindow = v
+                if (active != null) active.sendWindow += delta
+              case 0x5 => peerMaxFrame = v.toInt
+              case _ =>
+            }
+            i += 6
+          }
+          writeFrame(FrameSettings, FlagAck, 0, Array.emptyByteArray)
+          out.flush()
+        }
+      case FramePing =>
+        if ((flags & FlagAck) == 0) { writeFrame(FramePing, FlagAck, 0, payload); out.flush() }
+      case FrameWindowUpdate =>
+        val inc = ((payload(0) & 0x7fL) << 24) | ((payload(1) & 0xffL) << 16) |
+          ((payload(2) & 0xffL) << 8) | (payload(3) & 0xffL)
+        if (sid == 0) connSendWindow += inc
+        else if (active != null && sid == active.id) active.sendWindow += inc
+      case FrameRst =>
+        if (active != null && sid == active.id) {
+          active.rstCode = Some(((payload(0) & 0xffL) << 24) | ((payload(1) & 0xffL) << 16) |
+            ((payload(2) & 0xffL) << 8) | (payload(3) & 0xffL))
+          active.remoteClosed = true
+        }
+      case FrameGoaway =>
+        val code = ((payload(4) & 0xffL) << 24) | ((payload(5) & 0xffL) << 16) |
+          ((payload(6) & 0xffL) << 8) | (payload(7) & 0xffL)
+        val msg = if (len > 8) new String(payload, 8, len - 8, StandardCharsets.UTF_8) else ""
+        goaway = Some(s"GOAWAY code=$code $msg")
+        // an in-flight stream at or below lastStreamId still completes; only
+        // fail fast when the active stream is past the cutoff
+        val lastSid = ((payload(0) & 0x7f) << 24) | ((payload(1) & 0xff) << 16) |
+          ((payload(2) & 0xff) << 8) | (payload(3) & 0xff)
+        if (active != null && active.id > lastSid) active.remoteClosed = true
+      case _ => // PRIORITY, PUSH_PROMISE (push disabled), unknown: ignore
+    }
+  }
+
+  // ---- RPC surface ------------------------------------------------------------
+  /** Open a gRPC request stream: HEADERS for `POST path`. */
+  def startRpc(path: String): Unit = {
+    require(active == null || active.remoteClosed, "one RPC at a time per connection")
+    val sid = nextStreamId
+    nextStreamId += 2
+    active = new StreamState(sid)
+    val h = new DefaultHttp2Headers(false)
+    h.method("POST").scheme("http").path(path).authority(s"$host:$port")
+    h.add("content-type", "application/grpc")
+    h.add("te", "trailers")
+    h.add("grpc-accept-encoding", "identity")
+    h.add("user-agent", "graft-flight-bridge/1")
+    val buf = Unpooled.buffer(256)
+    try {
+      hpackEnc.encodeHeaders(sid, h, buf)
+      val block = new Array[Byte](buf.readableBytes())
+      buf.readBytes(block)
+      writeFrame(FrameHeaders, FlagEndHeaders, sid, block)
+      out.flush()
+    } finally buf.release()
+  }
+
+  /** Send request bytes on the active stream, honoring peer flow control. */
+  def sendData(bytes: Array[Byte], endStream: Boolean): Unit = {
+    val s = active
+    var off = 0
+    while (off < bytes.length) {
+      var avail = math.min(connSendWindow, s.sendWindow)
+      while (avail <= 0) {
+        pumpOne() // wait for WINDOW_UPDATE credit, servicing pings meanwhile
+        s.rstCode.foreach(c => throw new IOException(s"stream reset by server (code $c)"))
+        avail = math.min(connSendWindow, s.sendWindow)
+      }
+      val n = math.min(math.min(avail, peerMaxFrame.toLong), (bytes.length - off).toLong).toInt
+      val last = endStream && off + n == bytes.length
+      writeFrame(FrameData, if (last) FlagEndStream else 0, s.id, bytes, off, n)
+      off += n
+      connSendWindow -= n
+      s.sendWindow -= n
+    }
+    if (bytes.isEmpty && endStream)
+      writeFrame(FrameData, FlagEndStream, s.id, Array.emptyByteArray)
+    out.flush()
+  }
+
+  /** Next chunk of response DATA, or None once the server closed the stream. */
+  def nextData(): Option[Array[Byte]] = {
+    val s = active
+    while (s.inbox.isEmpty && !s.remoteClosed) pumpOne()
+    if (s.inbox.nonEmpty) Some(s.inbox.removeHead())
+    else {
+      s.rstCode.foreach(c => throw new IOException(s"stream reset by server (code $c)"))
+      None
+    }
+  }
+
+  /** Response headers (blocks until they arrive). */
+  def responseHeaders(): Http2Headers = {
+    val s = active
+    while (s.headers.isEmpty && !s.remoteClosed) pumpOne()
+    s.headers.getOrElse(throw new IOException("stream closed before response headers"))
+  }
+
+  /** Trailers if the server sent a trailing HEADERS block (after stream end). */
+  def trailers(): Option[Http2Headers] = {
+    val s = active
+    while (!s.remoteClosed) pumpOne()
+    s.trailers
+  }
+
+  override def close(): Unit = {
+    try {
+      writeFrame(FrameGoaway, 0, 0, u32(0) ++ u32(0))
+      out.flush()
+    } catch { case _: IOException => }
+    sock.close()
+  }
+}
+
+/** gRPC message framing + status handling over [[Http2Conn]]. */
+private[flight] final class GrpcConn(host: String, port: Int, timeoutMs: Int = 120000)
+    extends AutoCloseable {
+  private val conn = new Http2Conn(host, port, timeoutMs)
+
+  /** One gRPC call: send every request message, then stream back response
+    * messages; the iterator's exhaustion point verifies `grpc-status: 0`.
+    * Covers unary, server-streaming, and the write-then-read half of bidi —
+    * exactly the shapes Flight's UDF verbs use. */
+  def call(path: String, requests: Iterator[Array[Byte]]): Iterator[Array[Byte]] = {
+    // gRPC length-prefixed message framing: [u8 compressed-flag][u32 BE length]
+    def frame(msg: Array[Byte]): Array[Byte] = {
+      val n = msg.length
+      val out = new Array[Byte](5 + n)
+      out(1) = ((n >> 24) & 0xff).toByte; out(2) = ((n >> 16) & 0xff).toByte
+      out(3) = ((n >> 8) & 0xff).toByte; out(4) = (n & 0xff).toByte
+      System.arraycopy(msg, 0, out, 5, n)
+      out
+    }
+    conn.startRpc(path)
+    if (requests.hasNext) {
+      var cur = requests.next()
+      while (requests.hasNext) { conn.sendData(frame(cur), endStream = false); cur = requests.next() }
+      conn.sendData(frame(cur), endStream = true)
+    } else conn.sendData(Array.emptyByteArray, endStream = true)
+
+    new Iterator[Array[Byte]] {
+      private var buf = Array.emptyByteArray
+      private var nextMsg: Array[Byte] = null
+      private var done = false
+      private var statusChecked = false
+
+      private def tryParse(): Boolean = {
+        if (buf.length < 5) return false
+        if (buf(0) != 0) throw new IOException("compressed gRPC messages not supported")
+        val n = ((buf(1) & 0xff) << 24) | ((buf(2) & 0xff) << 16) |
+          ((buf(3) & 0xff) << 8) | (buf(4) & 0xff)
+        if (buf.length < 5 + n) return false
+        nextMsg = java.util.Arrays.copyOfRange(buf, 5, 5 + n)
+        buf = java.util.Arrays.copyOfRange(buf, 5 + n, buf.length)
+        true
+      }
+      private def advance(): Unit = {
+        while (nextMsg == null) {
+          if (tryParse()) return
+          if (done) {
+            // drained: verify grpc-status exactly once at exhaustion
+            if (!statusChecked) { statusChecked = true; checkStatus() }
+            return
+          }
+          conn.nextData() match {
+            case Some(chunk) => buf = buf ++ chunk
+            case None => done = true
+          }
+        }
+      }
+      def hasNext: Boolean = { advance(); nextMsg != null }
+      def next(): Array[Byte] = {
+        advance()
+        if (nextMsg == null) throw new NoSuchElementException("gRPC response exhausted")
+        val m = nextMsg; nextMsg = null; m
+      }
+    }
+  }
+
+  /** `grpc-status` rides the trailers — or the single HEADERS block of a
+    * trailers-only error response. Non-zero → surface code + message. */
+  private def checkStatus(): Unit = {
+    val src = conn.trailers().getOrElse(conn.responseHeaders())
+    val status = Option(src.get("grpc-status")).map(_.toString).getOrElse(
+      throw new IOException("gRPC response missing grpc-status"))
+    if (status != "0") {
+      val msg = Option(src.get("grpc-message")).map(s => percentDecode(s.toString)).getOrElse("")
+      throw new GrpcStatusException(status.toInt, msg)
+    }
+  }
+
+  private def percentDecode(s: String): String = {
+    val out = new java.io.ByteArrayOutputStream()
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '%' && i + 2 < s.length) {
+        out.write(Integer.parseInt(s.substring(i + 1, i + 3), 16)); i += 3
+      } else { out.write(c.toInt); i += 1 }
+    }
+    new String(out.toByteArray, StandardCharsets.UTF_8)
+  }
+
+  override def close(): Unit = conn.close()
+}
+
+/** A non-OK gRPC status from the server (code per the public gRPC status
+  * table: 12 = UNIMPLEMENTED, 5 = NOT_FOUND, ...). */
+final class GrpcStatusException(val code: Int, message: String)
+    extends IOException(s"grpc-status $code: $message")

@@ -1,0 +1,135 @@
+package graft
+
+import graft.remote.flight._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+/**
+ * Drives graft's from-scratch gRPC/HTTP2 Arrow Flight client against a REAL
+ * `pyarrow.flight` server (grpc-core — the same stack a reference
+ * `arrow_udf.UdfServer` deployment runs, `tools/flightudf_server.py`). The
+ * two sides share zero transport code: every HTTP/2 frame, HPACK block,
+ * protobuf message, and Arrow IPC payload is produced by one independent
+ * implementation and parsed by the other. This is the interop gate
+ * `docs/FLIGHT_INTEROP.md` carried as blocked for 11 rounds.
+ */
+class FlightUdfSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private lazy val port = FlightWorker.port
+
+  private def hex(s: String): Array[Byte] =
+    s.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+
+  test("protobuf golden bytes: descriptor + FlightInfo match a real pyarrow build") {
+    // pyarrow: fl.FlightDescriptor.for_path("my_func").serialize().hex()
+    assert(Pb.descriptorPath("my_func").map("%02x".format(_)).mkString ==
+      "08011a076d795f66756e63")
+    // pyarrow: fl.FlightInfo(schema=[x:int32, y:int32, gcd:int32],
+    //   descriptor=for_path("my_func"), endpoints=[], total_records=2,
+    //   total_bytes=0).serialize().hex()
+    val golden = hex(
+      "0ae001ffffffffd80000001000000000000a000c000600050008000a00000000010400" +
+      "0c0000000800080000000400080000000400000003000000740000003400000004000000" +
+      "a8ffffff000001021000000014000000040000000000000003000000676364009" +
+      "8ffffff0000000120000000d4ffffff000001021000000014000000040000000000000001" +
+      "00000079000000c4ffffff0000000120000000100014000800060007000c000000100010" +
+      "00000000000102100000001c00000004000000000000000100000078000000080" +
+      "00c0008000700080000000000000120000000120b08011a076d795f66756e632002")
+    val info = Pb.parseFlightInfo(golden)
+    assert(info.path == Seq("my_func"))
+    assert(info.totalRecords == 2L)
+    // the schema field is a complete encapsulated IPC schema message
+    val schema = org.apache.arrow.vector.ipc.message.MessageSerializer.deserializeSchema(
+      new org.apache.arrow.vector.ipc.ReadChannel(java.nio.channels.Channels.newChannel(
+        new java.io.ByteArrayInputStream(info.schemaIpc))))
+    assert(schema.getFields.size() == 3)
+    assert(schema.getFields.get(0).getName == "x")
+    assert(schema.getFields.get(2).getName == "gcd")
+  }
+
+  test("handshake + discovery: protocol_version, list, get") {
+    val c = new FlightClient("127.0.0.1", port)
+    try {
+      assert(c.protocolVersion() == 2)
+      val fns = c.list()
+      assert(fns.map(_.name).toSet ==
+        Set("flight_gcd", "flight_len", "flight_mod", "flight_words"))
+      val gcd = c.get("flight_gcd")
+      assert(gcd.args.map(_._2) == Seq(IntegerType, IntegerType))
+      assert(gcd.returns.map(_._2) == Seq(IntegerType))
+      val words = c.get("flight_words")
+      assert(words.args.map(_._2) == Seq(StringType))
+      // table fn result schema: (row_index, value)
+      assert(words.returns.map(_._2) == Seq(IntegerType, StringType))
+    } finally c.close()
+  }
+
+  test("scalar DoExchange: values, nulls, and sequential calls on one connection") {
+    val c = new FlightClient("127.0.0.1", port)
+    try {
+      assert(c.call("flight_gcd", Seq(IntegerType, IntegerType),
+        Seq(Seq(12, 8), Seq(54, 24), Seq(null, 5), Seq(7, null))) ==
+        Seq(4, 6, null, null))
+      // a second RPC on the same connection (new h2 stream id)
+      assert(c.call("flight_len", Seq(StringType),
+        Seq(Seq("hello"), Seq(""), Seq(null))) == Seq(5, 0, null))
+    } finally c.close()
+  }
+
+  test("table-function DoExchange: (row_index, value) explode semantics") {
+    val c = new FlightClient("127.0.0.1", port)
+    try {
+      assert(c.callTable("flight_words", Seq(StringType),
+        Seq(Seq("big data engine"), Seq(null), Seq("x"))) ==
+        Seq((0, "big"), (0, "data"), (0, "engine"), (2, "x")))
+    } finally c.close()
+  }
+
+  test("flow control: a 60k-row exchange crosses the 64 KiB h2 windows both ways") {
+    val c = new FlightClient("127.0.0.1", port)
+    try {
+      val n = 60000
+      val rows = (0 until n).map(i => Seq(i * 37 + 1, i % 97 + 1): Seq[Any])
+      val got = c.call("flight_gcd", Seq(IntegerType, IntegerType), rows)
+      assert(got.length == n)
+      def gcd(a: Int, b: Int): Int = if (b == 0) a else gcd(b, a % b)
+      (0 until n by 7919).foreach { i =>
+        assert(got(i) == gcd(i * 37 + 1, i % 97 + 1), s"row $i")
+      }
+    } finally c.close()
+  }
+
+  test("errors surface as gRPC statuses: unknown function, guest exception") {
+    val c = new FlightClient("127.0.0.1", port)
+    try {
+      val e = intercept[GrpcStatusException](
+        c.call("definitely_not_there", Seq(IntegerType), Seq(Seq(1))))
+      assert(e.code != 0)
+      // the connection survives a failed RPC: the next stream works
+      assert(c.call("flight_gcd", Seq(IntegerType, IntegerType), Seq(Seq(6, 4))) == Seq(2))
+      // a guest-side exception mid-exchange fails that call with a status
+      val e2 = intercept[Exception](
+        c.call("flight_mod", Seq(LongType, LongType), Seq(Seq(10L, 0L))))
+      assert(e2.isInstanceOf[GrpcStatusException] || e2.isInstanceOf[java.io.IOException])
+    } finally c.close()
+  }
+
+  test("Spark integration: withFlightColumn + withFlightTableColumn, pooled per partition") {
+    import spark.implicits._
+    val df = (1 to 5000).map(i => (i * 21, i % 14 + 1)).toDF("x", "y")
+    val out = FlightUdf.withFlightColumn(df, FlightWorker.endpoints, "flight_gcd",
+      Seq("x", "y"), IntegerType)
+    def gcd(a: Int, b: Int): Int = if (b == 0) a else gcd(b, a % b)
+    val got = out.collect().map(r => (r.getInt(0), r.getInt(1), r.getInt(2)))
+    assert(got.length == 5000)
+    got.foreach { case (x, y, v) => assert(v == gcd(x, y)) }
+
+    val docs = Seq("alpha beta", "gamma", "").toDF("s")
+    val words = FlightUdf.withFlightTableColumn(docs, FlightWorker.endpoints,
+      "flight_words", Seq("s"), StringType)
+    assert(words.collect().map(_.getString(1)).sorted.toSeq ==
+      Seq("alpha", "beta", "gamma"))
+    // discovery-driven typing resolves the return type without a schema hint
+    assert(FlightUdf.returnTypeOf(FlightWorker.endpoints.head, "flight_gcd") == IntegerType)
+  }
+}
