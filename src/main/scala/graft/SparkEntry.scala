@@ -406,6 +406,21 @@ object SparkEntry {
         .orderBy("doc_id")
     } _,
 
+    // Flight wire-type breadth: Decimal128 BOTH directions with real guest
+    // arithmetic (the reference's decimal scenario, tests/remote.rs
+    // test_decimal_add) — python Decimal adds, Decimal128 vectors carry.
+    "q_flight_decimal" -> dfq { s =>
+      val df = s.table("lineitem").selectExpr("l_orderkey", "l_linenumber",
+        "CAST(l_extendedprice AS DECIMAL(18,2)) AS a",
+        "CAST(l_tax AS DECIMAL(18,2)) AS b")
+      graft.remote.flight.FlightUdf.withFlightColumn(df,
+          graft.remote.flight.FlightWorker.endpoints, "flight_dec_add",
+          Seq("a", "b"), org.apache.spark.sql.types.DecimalType(18, 2))
+        .selectExpr("l_orderkey", "l_linenumber", "CAST(value AS STRING) AS dstr")
+        .localCheckpoint()
+        .orderBy("l_orderkey", "l_linenumber")
+    } _,
+
     // Flight wire, table function: (row_index, value) explode semantics over
     // DoExchange (reference `call_table_function`, `remote/mod.rs:121-132`).
     "q_flight_split" -> dfq { s =>
@@ -3614,6 +3629,12 @@ object SparkEntry {
       """SELECT doc_id, CAST(length(text) AS INT) AS n
         |FROM documents
         |ORDER BY doc_id""".stripMargin,
+    "q_flight_decimal" ->
+      """SELECT l_orderkey, l_linenumber,
+        |       CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+        |                 + CAST(l_tax AS DECIMAL(18,2)) AS DECIMAL(18,2)) AS VARCHAR) AS dstr
+        |FROM lineitem
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
     "q_flight_split" ->
       """SELECT doc_id, t.tok
         |FROM documents, UNNEST(string_split_regex(text, '[ \t\n\r\f\v]+')) AS t(tok)

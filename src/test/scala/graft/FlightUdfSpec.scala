@@ -53,7 +53,8 @@ class FlightUdfSpec extends AnyFunSuite {
       assert(c.protocolVersion() == 2)
       val fns = c.list()
       assert(fns.map(_.name).toSet ==
-        Set("flight_gcd", "flight_len", "flight_mod", "flight_words"))
+        Set("flight_gcd", "flight_len", "flight_mod", "flight_words",
+          "flight_dec_add", "flight_divisors"))
       val gcd = c.get("flight_gcd")
       assert(gcd.args.map(_._2) == Seq(IntegerType, IntegerType))
       assert(gcd.returns.map(_._2) == Seq(IntegerType))
@@ -96,6 +97,25 @@ class FlightUdfSpec extends AnyFunSuite {
       (0 until n by 7919).foreach { i =>
         assert(got(i) == gcd(i * 37 + 1, i % 97 + 1), s"row $i")
       }
+    } finally c.close()
+  }
+
+  test("wide types over the wire: Decimal128 both ways, list<int64> return") {
+    val c = new FlightClient("127.0.0.1", port)
+    try {
+      // the reference's decimal scenario (tests/remote.rs test_decimal_add)
+      val dec = c.get("flight_dec_add")
+      assert(dec.args.map(_._2) == Seq(DecimalType(18, 2), DecimalType(18, 2)))
+      val got = c.call("flight_dec_add", Seq(DecimalType(18, 2), DecimalType(18, 2)),
+        Seq(Seq(new java.math.BigDecimal("1.25"), new java.math.BigDecimal("2.50")),
+          Seq(new java.math.BigDecimal("-0.01"), new java.math.BigDecimal("0.01")),
+          Seq(null, new java.math.BigDecimal("9.99"))))
+      assert(got.map(v => Option(v).map(_.toString).orNull) == Seq("3.75", "0.00", null))
+      // nested vector layout back from the guest
+      val divs = c.get("flight_divisors")
+      assert(divs.returns.map(_._2) == Seq(ArrayType(LongType, containsNull = true)))
+      assert(c.call("flight_divisors", Seq(IntegerType), Seq(Seq(12), Seq(null))) ==
+        Seq(Seq(1L, 2L, 3L, 4L, 6L, 12L), null))
     } finally c.close()
   }
 

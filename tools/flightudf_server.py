@@ -99,6 +99,21 @@ def checked_mod(a, b):
     return a % b
 
 
+def dec_add(a, b):
+    # Decimal128 both directions (the reference's decimal_add scenario,
+    # arrow-udf-runtime/tests/remote.rs test_decimal_add)
+    if a is None or b is None:
+        return None
+    return a + b
+
+
+def divisors(n):
+    # list<int64> return: nested vector layout over the wire
+    if n is None:
+        return None
+    return [d for d in range(1, n + 1) if n % d == 0]
+
+
 FUNCTIONS = [
     Scalar("flight_gcd",
            pa.schema([("x", pa.int32()), ("y", pa.int32())]), pa.int32(), gcd),
@@ -108,6 +123,11 @@ FUNCTIONS = [
            pa.schema([("a", pa.int64()), ("b", pa.int64())]), pa.int64(), checked_mod),
     Table("flight_words",
           pa.schema([("s", pa.string())]), pa.string(), str_words),
+    Scalar("flight_dec_add",
+           pa.schema([("a", pa.decimal128(18, 2)), ("b", pa.decimal128(18, 2))]),
+           pa.decimal128(18, 2), dec_add),
+    Scalar("flight_divisors",
+           pa.schema([("n", pa.int32())]), pa.list_(pa.int64()), divisors),
 ]
 
 
