@@ -46,6 +46,32 @@ object Bench {
     dir
   }
 
+  /** Bucketed+sorted join tables for x_bucketed_join. The in-memory catalog
+    * forgets managed tables across JVMs while the warehouse directory
+    * persists, so a fresh session must drop + clear before rewriting —
+    * which is exactly why this build runs as a PRE-TIMED fixture: charged
+    * to rep 1 it shows up as a phantom 6-7 s regression whenever the
+    * budget guard leaves a single sample. */
+  private def bucketedTablesFixture(s: SparkSession): Unit = {
+    if (!s.catalog.tableExists("graft_bl") || !s.catalog.tableExists("graft_br")) {
+      def rmrf(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rmrf)
+        f.delete(); ()
+      }
+      Seq("graft_bl", "graft_br").foreach { t =>
+        s.sql(s"DROP TABLE IF EXISTS $t")
+        val dir = new java.io.File(s"/tmp/graft_bench_warehouse/$t")
+        if (dir.exists()) rmrf(dir)
+      }
+      s.range(10000000L).selectExpr("id % 1000000 AS k", "id AS va")
+        .write.bucketBy(32, "k").sortBy("k").mode("overwrite")
+        .saveAsTable("graft_bl")
+      s.range(2000000L).selectExpr("id % 1000000 AS k", "id AS vb")
+        .write.bucketBy(32, "k").sortBy("k").mode("overwrite")
+        .saveAsTable("graft_br")
+    }
+  }
+
   /** 1M-row 64-dim float corpus for the ANN scale probes; written once. */
   private def annBenchParquet(s: SparkSession): String = {
     val dir = "/tmp/graft_bench_ann1m"
@@ -1283,26 +1309,7 @@ object Bench {
       // is asserted exchange-free. At 100 TB this is the difference between
       // joining in place and moving both tables over the network.
       "x_bucketed_join" -> { s: SparkSession =>
-        if (!s.catalog.tableExists("graft_bl") || !s.catalog.tableExists("graft_br")) {
-          // the in-memory catalog forgets tables across JVMs while the
-          // warehouse directory persists — CREATE then refuses the
-          // existing location. Drop + clear both before writing.
-          def rmrf(f: java.io.File): Unit = {
-            if (f.isDirectory) f.listFiles().foreach(rmrf)
-            f.delete(); ()
-          }
-          Seq("graft_bl", "graft_br").foreach { t =>
-            s.sql(s"DROP TABLE IF EXISTS $t")
-            val dir = new java.io.File(s"/tmp/graft_bench_warehouse/$t")
-            if (dir.exists()) rmrf(dir)
-          }
-          s.range(10000000L).selectExpr("id % 1000000 AS k", "id AS va")
-            .write.bucketBy(32, "k").sortBy("k").mode("overwrite")
-            .saveAsTable("graft_bl")
-          s.range(2000000L).selectExpr("id % 1000000 AS k", "id AS vb")
-            .write.bucketBy(32, "k").sortBy("k").mode("overwrite")
-            .saveAsTable("graft_br")
-        }
+        bucketedTablesFixture(s) // no-op when already built (pre-built outside the timed loop)
         val old = s.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
         s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
         try {
@@ -1632,7 +1639,8 @@ object Bench {
       ("x_wasm_str_", () => { docsBenchParquet(spark); () }),
       ("x_ann_|x_lsh_join_1m", () => { annBenchParquet(spark); () }),
       ("x_ann_recall_1m", () => { annClusteredParquet(spark); () }),
-      ("x_scd2_apply_20m", () => { scd2HistParquet(spark); () }))
+      ("x_scd2_apply_20m", () => { scd2HistParquet(spark); () }),
+      ("x_bucketed_join", () => { bucketedTablesFixture(liveSession()); () }))
     fixtureUsers.foreach { case (pat, build) =>
       if (pat.split('|').exists(p => benchables.exists(_._1.contains(p)))) build()
     }
