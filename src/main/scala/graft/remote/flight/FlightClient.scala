@@ -148,11 +148,11 @@ final class FlightClient(host: String, port: Int, timeoutMs: Int = 120000)
       val fd = Pb.parseFlightData(msg)
       if (fd.dataHeader.nonEmpty) {
         sawAny = true
-        writeEncapsulated(ipc, fd.dataHeader, fd.dataBody)
+        IpcFraming.write(ipc, fd.dataHeader, fd.dataBody)
       }
     }
     if (!sawAny) return Seq.empty // zero-row exchange: no schema message came back
-    ipc.write(Array[Byte](-1, -1, -1, -1, 0, 0, 0, 0)) // EOS marker
+    ipc.write(IpcFraming.Eos)
     val reader = new ArrowStreamReader(new ByteArrayInputStream(ipc.toByteArray), allocator)
     try {
       val rroot = reader.getVectorSchemaRoot
@@ -167,33 +167,12 @@ final class FlightClient(host: String, port: Int, timeoutMs: Int = 120000)
     } finally reader.close()
   }
 
-  /** Run `f` into a buffer and split the encapsulated IPC framing
-    * (`0xFFFFFFFF`, little-endian length, flatbuffer metadata, body) into
-    * (metadata, body) — the `FlightData` field mapping. */
+  /** Run `f` into a buffer and split the encapsulated IPC framing into the
+    * `FlightData` (metadata, body) field mapping. */
   private def encapsulated(f: WriteChannel => Unit): (Array[Byte], Array[Byte]) = {
     val bos = new ByteArrayOutputStream()
     f(new WriteChannel(Channels.newChannel(bos)))
-    val all = bos.toByteArray
-    require(all.length >= 8 && all(0) == -1 && all(1) == -1 && all(2) == -1 && all(3) == -1,
-      "unexpected IPC framing")
-    val metaLen = (all(4) & 0xff) | ((all(5) & 0xff) << 8) |
-      ((all(6) & 0xff) << 16) | ((all(7) & 0xff) << 24)
-    (java.util.Arrays.copyOfRange(all, 8, 8 + metaLen),
-      java.util.Arrays.copyOfRange(all, 8 + metaLen, all.length))
-  }
-
-  /** Inverse of [[encapsulated]]: re-frame one (metadata, body) message,
-    * padding the metadata so the body lands 8-byte aligned. */
-  private def writeEncapsulated(out: ByteArrayOutputStream, header: Array[Byte],
-                                body: Array[Byte]): Unit = {
-    val padded = (header.length + 7) / 8 * 8
-    out.write(Array[Byte](-1, -1, -1, -1))
-    out.write(padded & 0xff); out.write((padded >> 8) & 0xff)
-    out.write((padded >> 16) & 0xff); out.write((padded >> 24) & 0xff)
-    out.write(header)
-    var i = header.length
-    while (i < padded) { out.write(0); i += 1 }
-    out.write(body)
+    IpcFraming.split(bos.toByteArray)
   }
 
   override def close(): Unit = {

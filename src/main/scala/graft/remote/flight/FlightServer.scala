@@ -1,0 +1,456 @@
+package graft.remote.flight
+
+import graft.remote.RemoteProtocol
+import graft.sig.{FunctionDef, FunctionKind, Registry}
+import io.netty.buffer.Unpooled
+import io.netty.handler.codec.http2.{DefaultHttp2Headers, DefaultHttp2HeadersDecoder, DefaultHttp2HeadersEncoder}
+import org.apache.arrow.vector.ipc.WriteChannel
+import org.apache.arrow.vector.ipc.message.MessageSerializer
+import org.apache.arrow.vector.types.pojo.{Schema => ASchema}
+import org.apache.spark.sql.types.IntegerType
+import java.io.{BufferedInputStream, BufferedOutputStream, ByteArrayOutputStream, DataInputStream, DataOutputStream, EOFException, IOException}
+import java.net.{InetSocketAddress, ServerSocket, Socket}
+import java.nio.charset.StandardCharsets
+import scala.collection.mutable
+import scala.jdk.CollectionConverters._
+
+/**
+ * Arrow Flight UDF SERVER — graft's function registry exposed over the
+ * reference's actual wire, so a stock Flight client (the reference's tonic
+ * `remote::Client`, pyarrow's `FlightClient`, the Java `UdfClient`) can call
+ * INTO graft. Together with [[FlightClient]] this makes rows 26–28
+ * wire-compatible in BOTH directions; `FlightServerSpec` proves the inbound
+ * direction by driving a real `pyarrow.flight` client (grpc-core) against
+ * this server (`tools/flight_client_probe.py`).
+ *
+ * Protocol surface (mirroring the reference Java server,
+ * `UdfProducer.java:30-140`):
+ *  - `DoAction("protocol_version")` → one `Result` byte `2`
+ *  - `GetFlightInfo` / `ListFlights` → one FlightInfo per function: schema =
+ *    input-fields ++ result-fields, `total_records` = input arity
+ *  - `DoExchange` → evaluate each input record batch, stream one result
+ *    batch per input batch; table functions yield (row, value) rows
+ *
+ * Architecture: a WIRE ADAPTER, not a second evaluator. The HTTP/2 + gRPC
+ * layer is handled here (same from-scratch stack as the client side, HPACK
+ * via the shipped netty jar); `DoExchange` bodies pass through BYTE-FOR-BYTE
+ * to the in-process [[graft.remote.UdfServer]] wire (`CALL`/`CALLTABLE` + raw
+ * IPC) — Flight's `FlightData` and graft's wire carry the identical
+ * encapsulated Arrow IPC messages, so bridging is pure re-framing
+ * ([[IpcFraming]]) and the proven registry dispatch (overload resolution by
+ * input schema, CallMode, batched guest dispatch, native-expression tier,
+ * per-batch streamed results) is inherited, not duplicated.
+ *
+ * Scale shape: one handler thread per connection, bounded buffered exchanges
+ * (the client protocol ships ≤ one [[RemoteProtocol.BatchSize]] batch per
+ * call), flow-control credit returned as request bytes arrive so writers
+ * never stall mid-exchange. A deployment fronts many engine JVMs with
+ * ordinary TCP load balancing, exactly like the reference's UdfServer fleet.
+ */
+final class FlightServer(port: Int = 0,
+                         backendPort: () => Int = () => graft.remote.RemoteFixture.port)
+    extends AutoCloseable {
+  graft.functions.Builtins.ensureRegistered()
+
+  private val server = new ServerSocket()
+  server.setReuseAddress(true)
+  server.bind(new InetSocketAddress("127.0.0.1", port))
+  def boundPort: Int = server.getLocalPort
+  @volatile private var running = true
+
+  private val acceptor = new Thread(() => {
+    while (running) {
+      try {
+        val sock = server.accept()
+        sock.setTcpNoDelay(true)
+        val t = new Thread(() => new H2Handler(sock).run(), "graft-flight-conn")
+        t.setDaemon(true)
+        t.start()
+      } catch { case _: Exception if !running => }
+    }
+  }, "graft-flight-server")
+  acceptor.setDaemon(true)
+  acceptor.start()
+
+  override def close(): Unit = { running = false; server.close() }
+
+  // ---- discovery ------------------------------------------------------------
+  /** FlightInfo for one function: args ++ results, total_records = arity —
+    * the reference convention (`UdfProducer.makeFlightInfo`). Result fields
+    * are EXACTLY what DoExchange streams back: `value` for scalars,
+    * `(row, value)` for table functions. */
+  private def infoFor(fd: FunctionDef): Array[Byte] = {
+    val sig = fd.signature
+    val argFields = sig.args.zipWithIndex.map { case (g, i) =>
+      RemoteProtocol.toArrowField(if (g.name.nonEmpty) g.name else s"a$i", g.dataType, g.metadata)
+    }
+    val retFields =
+      if (sig.kind == FunctionKind.Table)
+        Seq(RemoteProtocol.toArrowField("row", IntegerType),
+          RemoteProtocol.toArrowField("value", sig.returns.dataType, sig.returns.metadata))
+      else if (fd.fallible)
+        Seq(RemoteProtocol.toArrowField("value", sig.returns.dataType, sig.returns.metadata),
+          RemoteProtocol.toArrowField("error", org.apache.spark.sql.types.StringType))
+      else
+        Seq(RemoteProtocol.toArrowField("value", sig.returns.dataType, sig.returns.metadata))
+    val schema = new ASchema((argFields ++ retFields).asJava)
+    val bos = new ByteArrayOutputStream()
+    MessageSerializer.serialize(new WriteChannel(java.nio.channels.Channels.newChannel(bos)), schema)
+    Pb.flightInfo(bos.toByteArray, sig.name, argFields.length)
+  }
+
+  // ---- per-connection HTTP/2 handler ----------------------------------------
+  private final class H2Handler(sock: Socket) {
+    private val FrameData = 0x0; private val FrameHeaders = 0x1
+    private val FrameRst = 0x3; private val FrameSettings = 0x4
+    private val FramePing = 0x6; private val FrameGoaway = 0x7
+    private val FrameWindowUpdate = 0x8; private val FrameContinuation = 0x9
+    private val FlagEndStream = 0x1; private val FlagAck = 0x1
+    private val FlagEndHeaders = 0x4; private val FlagPadded = 0x8
+    private val FlagPriority = 0x20
+    private val RecvWindow = 1 << 23
+
+    private val in = new DataInputStream(new BufferedInputStream(sock.getInputStream, 1 << 16))
+    private val out = new BufferedOutputStream(sock.getOutputStream, 1 << 16)
+    private val hpackEnc = new DefaultHttp2HeadersEncoder()
+    private val hpackDec = new DefaultHttp2HeadersDecoder(false)
+
+    private var connSend: Long = 65535L
+    private var peerInitWindow: Long = 65535L
+    private var peerMaxFrame: Int = 16384
+    private var closing = false
+
+    private final class Req {
+      var path: String = ""
+      val buf = new ByteArrayOutputStream()
+      var sendWindow: Long = peerInitWindow
+      var reset = false
+    }
+    private val streams = mutable.LinkedHashMap.empty[Int, Req]
+    private val completed = mutable.ArrayDeque.empty[Int]
+
+    // ---- backend: the in-process graft UDF wire -----------------------------
+    private var backendSock: Socket = null
+    private var backendIn: DataInputStream = null
+    private var backendOut: DataOutputStream = null
+    private def backend(): (DataInputStream, DataOutputStream) = {
+      if (backendSock == null) {
+        backendSock = new Socket("127.0.0.1", backendPort())
+        backendSock.setTcpNoDelay(true)
+        backendIn = new DataInputStream(new BufferedInputStream(backendSock.getInputStream))
+        backendOut = new DataOutputStream(new BufferedOutputStream(backendSock.getOutputStream))
+      }
+      (backendIn, backendOut)
+    }
+
+    def run(): Unit = {
+      try {
+        val preface = new Array[Byte](24)
+        in.readFully(preface)
+        if (!java.util.Arrays.equals(preface,
+            "PRI * HTTP/2.0\r\n\r\nSM\r\n\r\n".getBytes(StandardCharsets.US_ASCII)))
+          throw new IOException("bad http2 preface")
+        writeFrame(FrameSettings, 0, 0, settings(Seq(0x4 -> RecvWindow.toLong)))
+        writeFrame(FrameWindowUpdate, 0, 0, u32(RecvWindow - 65535))
+        out.flush()
+        while (!closing) {
+          handleOneFrame()
+          while (completed.nonEmpty) dispatch(completed.removeHead())
+        }
+      } catch {
+        case _: EOFException =>
+        case _: java.net.SocketException =>
+        case _: IOException =>
+      } finally {
+        if (backendSock != null) { try backendSock.close() catch { case _: Exception => } }
+        try sock.close() catch { case _: Exception => }
+      }
+    }
+
+    private def settings(kv: Seq[(Int, Long)]): Array[Byte] = {
+      val b = java.nio.ByteBuffer.allocate(kv.size * 6)
+      kv.foreach { case (k, v) => b.putShort(k.toShort).putInt(v.toInt) }
+      b.array()
+    }
+    private def u32(v: Long): Array[Byte] =
+      Array(((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+        ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+
+    private def writeFrame(tpe: Int, flags: Int, sid: Int, payload: Array[Byte],
+                           off: Int = 0, len: Int = -1): Unit = {
+      val n = if (len < 0) payload.length else len
+      out.write((n >> 16) & 0xff); out.write((n >> 8) & 0xff); out.write(n & 0xff)
+      out.write(tpe); out.write(flags)
+      out.write(u32(sid.toLong))
+      out.write(payload, off, n)
+    }
+
+    /** Read + handle one frame. Completed request streams are QUEUED, never
+      * dispatched from here — the pump is re-entered from send-window waits,
+      * where starting a nested dispatch would interleave two responses. */
+    private def handleOneFrame(): Unit = {
+      val b0 = in.read()
+      if (b0 < 0) throw new EOFException("client closed")
+      val len = (b0 << 16) | (in.readUnsignedByte() << 8) | in.readUnsignedByte()
+      val tpe = in.readUnsignedByte()
+      var flags = in.readUnsignedByte()
+      val sid = in.readInt() & 0x7fffffff
+      val payload = new Array[Byte](len)
+      in.readFully(payload)
+      tpe match {
+        case FrameHeaders =>
+          var off = 0; var end = len
+          if ((flags & FlagPadded) != 0) { val pad = payload(0) & 0xff; off = 1; end = len - pad }
+          if ((flags & FlagPriority) != 0) off += 5
+          val block = new ByteArrayOutputStream()
+          block.write(payload, off, end - off)
+          while ((flags & FlagEndHeaders) == 0) {
+            val c0 = in.read()
+            if (c0 < 0) throw new EOFException("client closed mid-headers")
+            val clen = (c0 << 16) | (in.readUnsignedByte() << 8) | in.readUnsignedByte()
+            val ctpe = in.readUnsignedByte()
+            flags = in.readUnsignedByte()
+            in.readInt()
+            if (ctpe != FrameContinuation)
+              throw new IOException(s"expected CONTINUATION, got $ctpe")
+            val cp = new Array[Byte](clen)
+            in.readFully(cp)
+            block.write(cp)
+          }
+          val buf = Unpooled.wrappedBuffer(block.toByteArray)
+          val headers = try hpackDec.decodeHeaders(sid, buf) finally buf.release()
+          val req = new Req
+          req.path = Option(headers.path()).map(_.toString).getOrElse("")
+          streams(sid) = req
+          if ((flags & FlagEndStream) != 0) completed.append(sid)
+        case FrameData =>
+          var off = 0; var n = len
+          if ((flags & FlagPadded) != 0) { val pad = payload(0) & 0xff; off = 1; n = len - 1 - pad }
+          streams.get(sid).foreach(_.buf.write(payload, off, n))
+          if (len > 0) {
+            // connection credit returns even for unknown/reset streams — the
+            // shared window must never leak on a cancelled stream's tail
+            writeFrame(FrameWindowUpdate, 0, 0, u32(len.toLong))
+            if ((flags & FlagEndStream) == 0 && streams.contains(sid))
+              writeFrame(FrameWindowUpdate, 0, sid, u32(len.toLong))
+            out.flush()
+          }
+          if ((flags & FlagEndStream) != 0 && streams.contains(sid)) completed.append(sid)
+        case FrameSettings =>
+          if ((flags & FlagAck) == 0) {
+            var i = 0
+            while (i + 6 <= len) {
+              val k = ((payload(i) & 0xff) << 8) | (payload(i + 1) & 0xff)
+              val v = ((payload(i + 2) & 0xffL) << 24) | ((payload(i + 3) & 0xffL) << 16) |
+                ((payload(i + 4) & 0xffL) << 8) | (payload(i + 5) & 0xffL)
+              k match {
+                case 0x1 => hpackEnc.maxHeaderTableSize(v)
+                case 0x4 =>
+                  val delta = v - peerInitWindow
+                  peerInitWindow = v
+                  streams.values.foreach(_.sendWindow += delta)
+                case 0x5 => peerMaxFrame = v.toInt
+                case _ =>
+              }
+              i += 6
+            }
+            writeFrame(FrameSettings, FlagAck, 0, Array.emptyByteArray)
+            out.flush()
+          }
+        case FramePing =>
+          if ((flags & FlagAck) == 0) { writeFrame(FramePing, FlagAck, 0, payload); out.flush() }
+        case FrameWindowUpdate =>
+          val inc = ((payload(0) & 0x7fL) << 24) | ((payload(1) & 0xffL) << 16) |
+            ((payload(2) & 0xffL) << 8) | (payload(3) & 0xffL)
+          if (sid == 0) connSend += inc
+          else streams.get(sid).foreach(_.sendWindow += inc)
+        case FrameRst =>
+          streams.get(sid).foreach(_.reset = true)
+          streams.remove(sid)
+        case FrameGoaway => closing = true
+        case _ => // PRIORITY etc: ignore
+      }
+    }
+
+    // ---- response writing ----------------------------------------------------
+    private def encodeHeaders(sid: Int, h: DefaultHttp2Headers, endStream: Boolean): Unit = {
+      val buf = Unpooled.buffer(256)
+      try {
+        hpackEnc.encodeHeaders(sid, h, buf)
+        val block = new Array[Byte](buf.readableBytes())
+        buf.readBytes(block)
+        writeFrame(FrameHeaders,
+          FlagEndHeaders | (if (endStream) FlagEndStream else 0), sid, block)
+      } finally buf.release()
+    }
+
+    private def sendResponseHeaders(sid: Int): Unit = {
+      val h = new DefaultHttp2Headers(false)
+      h.status("200")
+      h.add("content-type", "application/grpc")
+      encodeHeaders(sid, h, endStream = false)
+      out.flush()
+    }
+
+    private def sendTrailers(sid: Int, code: Int, msg: String,
+                             trailersOnly: Boolean): Unit = {
+      val h = new DefaultHttp2Headers(false)
+      if (trailersOnly) { h.status("200"); h.add("content-type", "application/grpc") }
+      h.add("grpc-status", code.toString)
+      if (msg.nonEmpty) h.add("grpc-message", percentEncode(msg))
+      encodeHeaders(sid, h, endStream = true)
+      out.flush()
+    }
+
+    /** Flow-controlled DATA write: pumps incoming control frames while the
+      * peer's windows are exhausted. */
+    private def sendData(sid: Int, req: Req, bytes: Array[Byte]): Unit = {
+      var off = 0
+      while (off < bytes.length) {
+        var avail = math.min(connSend, req.sendWindow)
+        while (avail <= 0 && !req.reset) {
+          handleOneFrame()
+          avail = math.min(connSend, req.sendWindow)
+        }
+        if (req.reset) return // client cancelled: stop writing this stream
+        val n = math.min(math.min(avail, peerMaxFrame.toLong), (bytes.length - off).toLong).toInt
+        writeFrame(FrameData, 0, sid, bytes, off, n)
+        off += n
+        connSend -= n
+        req.sendWindow -= n
+      }
+      out.flush()
+    }
+
+    private def grpcFrame(msg: Array[Byte]): Array[Byte] = {
+      val n = msg.length
+      val f = new Array[Byte](5 + n)
+      f(1) = ((n >> 24) & 0xff).toByte; f(2) = ((n >> 16) & 0xff).toByte
+      f(3) = ((n >> 8) & 0xff).toByte; f(4) = (n & 0xff).toByte
+      System.arraycopy(msg, 0, f, 5, n)
+      f
+    }
+
+    private def percentEncode(s: String): String = {
+      val sb = new java.lang.StringBuilder()
+      s.getBytes(StandardCharsets.UTF_8).foreach { b =>
+        val c = b & 0xff
+        if (c >= 0x20 && c <= 0x7e && c != '%') sb.append(c.toChar)
+        else sb.append(f"%%$c%02X")
+      }
+      sb.toString
+    }
+
+    // ---- gRPC dispatch ---------------------------------------------------------
+    private def parseMessages(bytes: Array[Byte]): Vector[Array[Byte]] = {
+      val msgs = Vector.newBuilder[Array[Byte]]
+      var p = 0
+      while (p + 5 <= bytes.length) {
+        if (bytes(p) != 0) throw new IOException("compressed gRPC messages not supported")
+        val n = ((bytes(p + 1) & 0xff) << 24) | ((bytes(p + 2) & 0xff) << 16) |
+          ((bytes(p + 3) & 0xff) << 8) | (bytes(p + 4) & 0xff)
+        msgs += java.util.Arrays.copyOfRange(bytes, p + 5, p + 5 + n)
+        p += 5 + n
+      }
+      msgs.result()
+    }
+
+    private def dispatch(sid: Int): Unit = {
+      val req = streams.remove(sid).getOrElse(return)
+      if (req.reset) return
+      try {
+        val msgs = parseMessages(req.buf.toByteArray)
+        req.path match {
+          case "/arrow.flight.protocol.FlightService/DoAction" =>
+            val (tpe, _) = Pb.parseAction(msgs.headOption.getOrElse(Pb.Empty))
+            if (tpe == "protocol_version")
+              respond(sid, req, Seq(Pb.result(Array[Byte](2))))
+            else sendTrailers(sid, 12, s"unimplemented action: $tpe", trailersOnly = true)
+          case "/arrow.flight.protocol.FlightService/GetFlightInfo" =>
+            val path = Pb.parseDescriptorPath(new Pb.Reader(msgs.head))
+            val name = path.headOption.getOrElse("")
+            Registry.global.lookup(name).headOption match {
+              case Some(fd) => respond(sid, req, Seq(infoFor(fd)))
+              case None => sendTrailers(sid, 5, s"no function $name", trailersOnly = true)
+            }
+          case "/arrow.flight.protocol.FlightService/ListFlights" =>
+            // one FlightInfo per NAME (the Flight descriptor is name-keyed;
+            // graft overloads share a name — advertise the first signature).
+            // Signatures the Arrow wire can't express (e.g. a test-registered
+            // ByteType arg) are SKIPPED, not fatal: the listing advertises
+            // what this wire can serve, like the reference server's map.
+            val infos = Registry.global.all.groupBy(_.signature.name).toSeq
+              .sortBy(_._1).flatMap { case (_, defs) =>
+                scala.util.Try(infoFor(defs.head)).toOption }
+            respond(sid, req, infos)
+          case "/arrow.flight.protocol.FlightService/DoExchange" =>
+            doExchange(sid, req, msgs)
+          case other =>
+            sendTrailers(sid, 12, s"unimplemented method $other", trailersOnly = true)
+        }
+      } catch {
+        case e: Exception =>
+          val msg = Option(e.getMessage).getOrElse(e.getClass.getSimpleName)
+          try sendTrailers(sid, 13, msg, trailersOnly = true)
+          catch { case _: Exception => }
+      }
+    }
+
+    private def respond(sid: Int, req: Req, msgs: Seq[Array[Byte]]): Unit = {
+      sendResponseHeaders(sid)
+      msgs.foreach(m => sendData(sid, req, grpcFrame(m)))
+      if (!req.reset) sendTrailers(sid, 0, "", trailersOnly = false)
+    }
+
+    /** DoExchange: byte-level passthrough to the in-process graft wire. Every
+      * inbound FlightData re-frames to one encapsulated IPC message of a
+      * `CALL`/`CALLTABLE` request; every response IPC message re-frames to
+      * one outbound FlightData, streamed as the backend produces it. */
+    private def doExchange(sid: Int, req: Req, msgs: Vector[Array[Byte]]): Unit = {
+      val data = msgs.map(Pb.parseFlightData)
+      val name = data.flatMap(_.descriptorPath.headOption).headOption.getOrElse("")
+      val defs = Registry.global.lookup(name)
+      if (defs.isEmpty) {
+        sendTrailers(sid, 5, s"no function $name", trailersOnly = true)
+        return
+      }
+      // verb selection mirrors what infoFor advertised: table fns explode to
+      // (row, value); fallible scalars carry the (value, error) column pair
+      val verb =
+        if (defs.head.signature.kind == FunctionKind.Table) "CALLTABLE"
+        else if (defs.head.fallible) "CALLERR"
+        else "CALL"
+      val (bin, bout) = backend()
+      bout.write(s"$verb $name\n".getBytes(StandardCharsets.UTF_8))
+      data.foreach { fd =>
+        if (fd.dataHeader.nonEmpty) IpcFraming.write(bout, fd.dataHeader, fd.dataBody)
+      }
+      bout.write(IpcFraming.Eos)
+      bout.flush()
+      val status = readLine(bin)
+      if (status == null) throw new EOFException("backend closed")
+      if (!status.startsWith("OK")) {
+        val msg = status.stripPrefix("ERR").trim
+        val code = if (msg.startsWith("no ")) 5 else 13
+        sendTrailers(sid, code, msg, trailersOnly = true)
+        return
+      }
+      sendResponseHeaders(sid)
+      var m = IpcFraming.readMessage(bin)
+      while (m.isDefined) {
+        val (header, body) = m.get
+        sendData(sid, req, grpcFrame(Pb.flightData(None, header, body)))
+        m = IpcFraming.readMessage(bin)
+      }
+      if (!req.reset) sendTrailers(sid, 0, "", trailersOnly = false)
+    }
+
+    private def readLine(in: DataInputStream): String = {
+      val sb = new java.lang.StringBuilder()
+      var b = in.read()
+      if (b < 0) return null
+      while (b >= 0 && b != '\n') { sb.append(b.toChar); b = in.read() }
+      sb.toString
+    }
+  }
+}

@@ -137,19 +137,41 @@ private[graft] object Pb {
     w.toBytes
   }
 
-  final case class FlightDataMsg(dataHeader: Array[Byte], appMetadata: Array[Byte],
-                                 dataBody: Array[Byte])
+  final case class FlightDataMsg(descriptorPath: Seq[String], dataHeader: Array[Byte],
+                                 appMetadata: Array[Byte], dataBody: Array[Byte])
   def parseFlightData(bytes: Array[Byte]): FlightDataMsg = {
     val r = new Reader(bytes)
+    var path = Seq.empty[String]
     var header = Empty; var app = Empty; var body = Empty
     while (r.hasNext) r.nextField() match {
+      case (1, 2)    => path = parseDescriptorPath(r.readMessage())
       case (2, 2)    => header = r.readBytes()
       case (3, 2)    => app = r.readBytes()
       case (1000, 2) => body = r.readBytes()
       case (_, w)    => r.skip(w)
     }
-    FlightDataMsg(header, app, body)
+    FlightDataMsg(path, header, app, body)
   }
+
+  /** Server-side encodes/parses (graft AS the Flight UDF server). */
+  def parseAction(bytes: Array[Byte]): (String, Array[Byte]) = {
+    val r = new Reader(bytes)
+    var tpe = ""; var body = Empty
+    while (r.hasNext) r.nextField() match {
+      case (1, 2) => tpe = r.readString()
+      case (2, 2) => body = r.readBytes()
+      case (_, w) => r.skip(w)
+    }
+    (tpe, body)
+  }
+
+  def result(body: Array[Byte]): Array[Byte] = new Writer().bytes(1, body).toBytes
+
+  def flightInfo(schemaIpc: Array[Byte], name: String, totalRecords: Long): Array[Byte] =
+    new Writer().bytes(1, schemaIpc)
+      .bytes(2, descriptorPath(name))
+      .int(4, totalRecords)
+      .toBytes
 
   /** `FlightInfo { bytes schema = 1; FlightDescriptor flight_descriptor = 2;
     *   repeated FlightEndpoint endpoint = 3; int64 total_records = 4; ... }`

@@ -1,0 +1,95 @@
+# Reverse-direction Flight interop probe: a REAL pyarrow.flight client
+# (grpc-core) calling INTO graft's from-scratch Flight server
+# (graft.remote.flight.FlightServer). Driven by FlightServerSpec; prints one
+# assertable line per check. Shares zero transport code with the server.
+
+import sys
+import pyarrow as pa
+import pyarrow.flight as fl
+
+
+def main():
+    port = int(sys.argv[1])
+    c = fl.FlightClient(f"grpc+tcp://127.0.0.1:{port}")
+
+    # protocol_version action (reference Client::new, remote/mod.rs:53-65)
+    r = list(c.do_action(fl.Action("protocol_version", b"")))
+    print("VERSION", r[0].body.to_pybytes().hex())
+
+    # discovery
+    infos = list(c.list_flights())
+    names = sorted(i.descriptor.path[0].decode() for i in infos)
+    print("LIST", len(names), "gcd" in names, "range_setof" in names)
+    info = c.get_flight_info(fl.FlightDescriptor.for_path("gcd"))
+    print("GET", info.total_records, info.schema.field(0).type,
+          info.schema.field(info.schema.names.index("value")).type)
+
+    # scalar DoExchange: the native-expression gcd tier, nulls included
+    w, r = c.do_exchange(fl.FlightDescriptor.for_path("gcd"))
+    schema = pa.schema([("a", pa.int32()), ("b", pa.int32())])
+    w.begin(schema)
+    w.write_batch(pa.RecordBatch.from_arrays(
+        [pa.array([12, 54, None], pa.int32()), pa.array([8, 24, 5], pa.int32())],
+        schema=schema))
+    w.done_writing()
+    print("GCD", r.read_all().to_pydict())
+
+    # scalar at flow-control scale: 50k rows crosses the 64 KiB windows
+    w, r = c.do_exchange(fl.FlightDescriptor.for_path("gcd"))
+    n = 50000
+    w.begin(schema)
+    w.write_batch(pa.RecordBatch.from_arrays(
+        [pa.array([i * 37 + 1 for i in range(n)], pa.int32()),
+         pa.array([i % 97 + 1 for i in range(n)], pa.int32())], schema=schema))
+    w.done_writing()
+    got = r.read_all().column("value").to_pylist()
+
+    def gcd(a, b):
+        while b:
+            a, b = b, a % b
+        return a
+    ok = len(got) == n and all(
+        got[i] == gcd(i * 37 + 1, i % 97 + 1) for i in range(0, n, 7919))
+    print("GCD50K", ok)
+
+    # table function: range_setof explodes each row into 0..n-1
+    w, r = c.do_exchange(fl.FlightDescriptor.for_path("range_setof"))
+    s2 = pa.schema([("n", pa.int32())])
+    w.begin(s2)
+    w.write_batch(pa.RecordBatch.from_arrays([pa.array([3, 0, 2], pa.int32())], schema=s2))
+    w.done_writing()
+    print("TABLE", r.read_all().to_pydict())
+
+    # fallible scalar: (value, error) columns, per-row containment
+    w, r = c.do_exchange(fl.FlightDescriptor.for_path("graft_div"))
+    w.begin(schema)
+    w.write_batch(pa.RecordBatch.from_arrays(
+        [pa.array([10, 7], pa.int32()), pa.array([2, 0], pa.int32())], schema=schema))
+    w.done_writing()
+    print("DIV", r.read_all().to_pydict())
+
+    # unknown function -> NOT_FOUND status
+    w = None
+    try:
+        w, r = c.do_exchange(fl.FlightDescriptor.for_path("definitely_not_there"))
+        w.begin(schema)
+        w.write_batch(pa.RecordBatch.from_arrays(
+            [pa.array([1], pa.int32()), pa.array([1], pa.int32())], schema=schema))
+        w.done_writing()
+        r.read_all()
+        print("NOTFOUND False")
+    except Exception as e:  # pyarrow maps NOT_FOUND to ArrowKeyError
+        print("NOTFOUND", "no function" in str(e))
+    # the writer teardown re-raises the stream's error status; swallow it so
+    # the probe's exit code reflects the CHECKS, not the expected failure
+    if w is not None:
+        try:
+            w.close()
+        except Exception:
+            pass
+
+    print("DONE")
+
+
+if __name__ == "__main__":
+    main()
