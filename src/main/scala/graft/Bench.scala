@@ -46,6 +46,11 @@ object Bench {
     dir
   }
 
+  /** Lazily-started shared Flight server for the wire-overhead probe —
+    * returns its bound port. */
+  private lazy val flightBenchServerInstance = new graft.remote.flight.FlightServer()
+  private def flightBenchServer(): Int = flightBenchServerInstance.boundPort
+
   /** Bucketed+sorted join tables for x_bucketed_join. The in-memory catalog
     * forgets managed tables across JVMs while the warehouse directory
     * persists, so a fresh session must drop + clear before rewriting —
@@ -410,6 +415,19 @@ object Bench {
           .selectExpr("CAST(id % 1000003 AS INT) AS a", "CAST(id % 999983 AS INT) AS b")
         graft.remote.RemoteUdf.withRemoteColumn(df, "127.0.0.1", port, "gcd",
             Seq("a", "b"), org.apache.spark.sql.types.IntegerType)
+          .write.format("noop").mode("overwrite").save()
+      },
+      // the SAME 5M-row gcd exchange over the Arrow Flight wire (from-scratch
+      // gRPC/HTTP2 client → FlightServer adapter → in-process UdfServer):
+      // measures the full h2-framing + re-framing overhead vs the raw wire
+      // above — the two probes share workload, registry tier, and batch size.
+      "x_flight_throughput_5m" -> { s: SparkSession =>
+        Graft.install(s)
+        val server = flightBenchServer() // shared across reps; adapter → RemoteFixture
+        val df = s.range(5000000L)
+          .selectExpr("CAST(id % 1000003 AS INT) AS a", "CAST(id % 999983 AS INT) AS b")
+        graft.remote.flight.FlightUdf.withFlightColumn(df, "127.0.0.1", server,
+            "gcd", Seq("a", "b"), org.apache.spark.sql.types.IntegerType)
           .write.format("noop").mode("overwrite").save()
       },
       // ANN at 1M vectors: exact brute-force vs the int8-quantized corpus
