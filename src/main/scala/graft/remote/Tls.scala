@@ -38,4 +38,39 @@ object Tls {
     ctx
   }
 
+  /** Trust-only context: a CLIENT verifying a server without presenting its
+    * own certificate (one-way TLS — the Flight wire's default channel
+    * security; the reference's `tls_root_certificates` client option). */
+  def trustContext(trusted: KeyStore): SSLContext = {
+    val tmf = TrustManagerFactory.getInstance(TrustManagerFactory.getDefaultAlgorithm)
+    tmf.init(trusted)
+    val ctx = SSLContext.getInstance("TLSv1.3")
+    ctx.init(null, tmf.getTrustManagers, null)
+    ctx
+  }
+
+  /** Identity-only context: a SERVER presenting `identity` without
+    * requesting client certificates (one-way TLS). */
+  def identityContext(identity: KeyStore, identityPassword: Array[Char]): SSLContext = {
+    val kmf = KeyManagerFactory.getInstance(KeyManagerFactory.getDefaultAlgorithm)
+    kmf.init(identity, identityPassword)
+    val ctx = SSLContext.getInstance("TLSv1.3")
+    ctx.init(kmf.getKeyManagers, null, null)
+    ctx
+  }
+
+  /** In-memory trust store holding the X.509 certificate(s) in a PEM file —
+    * the bridge between openssl/pyarrow-style PEM material and JDK stores. */
+  def trustStoreFromPem(path: String): KeyStore = {
+    val cf = java.security.cert.CertificateFactory.getInstance("X.509")
+    val in = new FileInputStream(path)
+    val certs = try cf.generateCertificates(in) finally in.close()
+    val ks = KeyStore.getInstance(KeyStore.getDefaultType)
+    ks.load(null, null)
+    val it = certs.iterator()
+    var i = 0
+    while (it.hasNext) { ks.setCertificateEntry(s"cert$i", it.next()); i += 1 }
+    ks
+  }
+
 }

@@ -53,12 +53,13 @@ final case class FlightFunction(name: String,
  * WINDOW_UPDATE/PING frames at every blocking point and both request and
  * response fit the announced windows.
  */
-final class FlightClient(host: String, port: Int, timeoutMs: Int = 120000)
+final class FlightClient(host: String, port: Int, timeoutMs: Int = 120000,
+                         tls: Option[javax.net.ssl.SSLContext] = None)
     extends AutoCloseable {
   import RemoteProtocol.{cellReader, cellWriter, toArrowField, fromArrowField}
 
   private val Service = "/arrow.flight.protocol.FlightService"
-  private val grpc = new GrpcConn(host, port, timeoutMs)
+  private val grpc = new GrpcConn(host, port, timeoutMs, tls)
   private val allocator = new RootAllocator()
 
   /** Server protocol version; any failure (e.g. UNIMPLEMENTED DoAction) means

@@ -48,11 +48,16 @@ import scala.jdk.CollectionConverters._
  * ordinary TCP load balancing, exactly like the reference's UdfServer fleet.
  */
 final class FlightServer(port: Int = 0,
-                         backendPort: () => Int = () => graft.remote.RemoteFixture.port)
+                         backendPort: () => Int = () => graft.remote.RemoteFixture.port,
+                         tls: Option[javax.net.ssl.SSLContext] = None)
     extends AutoCloseable {
   graft.functions.Builtins.ensureRegistered()
 
-  private val server = new ServerSocket()
+  private val server = tls match {
+    case Some(ctx) => ctx.getServerSocketFactory.createServerSocket()
+      .asInstanceOf[javax.net.ssl.SSLServerSocket]
+    case None => new ServerSocket()
+  }
   server.setReuseAddress(true)
   server.bind(new InetSocketAddress("127.0.0.1", port))
   def boundPort: Int = server.getLocalPort
@@ -63,6 +68,15 @@ final class FlightServer(port: Int = 0,
       try {
         val sock = server.accept()
         sock.setTcpNoDelay(true)
+        sock match {
+          case ssl: javax.net.ssl.SSLSocket =>
+            // gRPC clients require ALPN: advertise h2 so the handshake
+            // negotiates it (grpc-core refuses a connection without it)
+            val p = ssl.getSSLParameters
+            p.setApplicationProtocols(Array("h2"))
+            ssl.setSSLParameters(p)
+          case _ =>
+        }
         val t = new Thread(() => new H2Handler(sock).run(), "graft-flight-conn")
         t.setDaemon(true)
         t.start()

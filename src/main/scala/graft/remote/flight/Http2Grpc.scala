@@ -38,7 +38,8 @@ import scala.collection.mutable
  * [[graft.remote.RemoteProtocol.BatchSize]] batch per call) keep windows from
  * ever being the throughput limiter.
  */
-private[flight] final class Http2Conn(host: String, port: Int, timeoutMs: Int = 120000)
+private[flight] final class Http2Conn(host: String, port: Int, timeoutMs: Int = 120000,
+                                      tls: Option[javax.net.ssl.SSLContext] = None)
     extends AutoCloseable {
 
   private val FrameData = 0x0
@@ -61,8 +62,27 @@ private[flight] final class Http2Conn(host: String, port: Int, timeoutMs: Int = 
     * never waits on our credit. */
   private val RecvWindow = 1 << 23
 
-  private val sock = new Socket()
-  sock.connect(new InetSocketAddress(host, port), timeoutMs)
+  private val sock = tls match {
+    case Some(ctx) =>
+      // gRPC-over-TLS requires ALPN "h2" (the gRPC spec's negotiation rule);
+      // endpoint identification pins the server cert to the dialed host/IP
+      val s = ctx.getSocketFactory.createSocket()
+        .asInstanceOf[javax.net.ssl.SSLSocket]
+      s.connect(new InetSocketAddress(host, port), timeoutMs)
+      s.setSoTimeout(timeoutMs) // bound the handshake too, not just reads
+      val p = s.getSSLParameters
+      p.setApplicationProtocols(Array("h2"))
+      p.setEndpointIdentificationAlgorithm("HTTPS")
+      s.setSSLParameters(p)
+      s.startHandshake()
+      if (s.getApplicationProtocol != "h2")
+        throw new IOException(s"peer negotiated '${s.getApplicationProtocol}', not h2")
+      s
+    case None =>
+      val s = new Socket()
+      s.connect(new InetSocketAddress(host, port), timeoutMs)
+      s
+  }
   sock.setTcpNoDelay(true)
   sock.setSoTimeout(timeoutMs)
   private val in = new DataInputStream(new BufferedInputStream(sock.getInputStream, 1 << 16))
@@ -303,9 +323,10 @@ private[flight] final class Http2Conn(host: String, port: Int, timeoutMs: Int = 
 }
 
 /** gRPC message framing + status handling over [[Http2Conn]]. */
-private[flight] final class GrpcConn(host: String, port: Int, timeoutMs: Int = 120000)
+private[flight] final class GrpcConn(host: String, port: Int, timeoutMs: Int = 120000,
+                                     tls: Option[javax.net.ssl.SSLContext] = None)
     extends AutoCloseable {
-  private val conn = new Http2Conn(host, port, timeoutMs)
+  private val conn = new Http2Conn(host, port, timeoutMs, tls)
 
   /** One gRPC call: send every request message, then stream back response
     * messages; the iterator's exhaustion point verifies `grpc-status: 0`.

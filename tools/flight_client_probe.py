@@ -10,7 +10,14 @@ import pyarrow.flight as fl
 
 def main():
     port = int(sys.argv[1])
-    c = fl.FlightClient(f"grpc+tcp://127.0.0.1:{port}")
+    if "--tls" in sys.argv:
+        # --tls <cert.pem>: dial grpc+tls, trusting the given root — the
+        # whole probe then runs over the Scala server's TLS+ALPN-h2 listener
+        with open(sys.argv[sys.argv.index("--tls") + 1], "rb") as f:
+            root = f.read()
+        c = fl.FlightClient(f"grpc+tls://127.0.0.1:{port}", tls_root_certs=root)
+    else:
+        c = fl.FlightClient(f"grpc+tcp://127.0.0.1:{port}")
 
     # protocol_version action (reference Client::new, remote/mod.rs:53-65)
     r = list(c.do_action(fl.Action("protocol_version", b"")))

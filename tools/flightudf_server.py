@@ -132,8 +132,20 @@ FUNCTIONS = [
 
 
 class FixtureServer(flight.FlightServerBase):
-    def __init__(self):
-        super().__init__("grpc://127.0.0.1:0")
+    def __init__(self, tls_dir=None):
+        # --tls <dir>: serve grpc+tls with <dir>/cert.pem + <dir>/key.pem —
+        # the reference server's TLS deployment shape (UdfServer with
+        # tls_certificates); exercises the Scala client's ALPN-h2 TLS path.
+        if tls_dir:
+            with open(f"{tls_dir}/cert.pem", "rb") as f:
+                cert = f.read()
+            with open(f"{tls_dir}/key.pem", "rb") as f:
+                key = f.read()
+            super().__init__(
+                "grpc+tls://127.0.0.1:0",
+                tls_certificates=[flight.CertKeyPair(cert, key)])
+        else:
+            super().__init__("grpc://127.0.0.1:0")
         self.functions = {f.name: f for f in FUNCTIONS}
 
     def _info(self, udf):
@@ -165,6 +177,9 @@ class FixtureServer(flight.FlightServerBase):
 
 
 if __name__ == "__main__":
-    server = FixtureServer()
+    tls_dir = None
+    if "--tls" in sys.argv:
+        tls_dir = sys.argv[sys.argv.index("--tls") + 1]
+    server = FixtureServer(tls_dir)
     print(f"PORT {server.port}", flush=True)
     server.serve()
