@@ -54,12 +54,16 @@ final case class FlightFunction(name: String,
  * response fit the announced windows.
  */
 final class FlightClient(host: String, port: Int, timeoutMs: Int = 120000,
-                         tls: Option[javax.net.ssl.SSLContext] = None)
+                         tls: Option[javax.net.ssl.SSLContext] = None,
+                         authToken: Option[String] = None)
     extends AutoCloseable {
   import RemoteProtocol.{cellReader, cellWriter, toArrowField, fromArrowField}
 
   private val Service = "/arrow.flight.protocol.FlightService"
-  private val grpc = new GrpcConn(host, port, timeoutMs, tls)
+  private val grpc = new GrpcConn(host, port, timeoutMs, tls,
+    // caller identity rides gRPC call metadata — the standard bearer-token
+    // convention (graft's AUTH wire verb, expressed the Flight way)
+    authToken.map(t => "authorization" -> s"Bearer $t").toSeq)
   private val allocator = new RootAllocator()
 
   /** Server protocol version; any failure (e.g. UNIMPLEMENTED DoAction) means

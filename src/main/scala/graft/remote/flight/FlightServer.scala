@@ -47,9 +47,14 @@ import scala.jdk.CollectionConverters._
  * never stall mid-exchange. A deployment fronts many engine JVMs with
  * ordinary TCP load balancing, exactly like the reference's UdfServer fleet.
  */
+/** @param authToken when set, every RPC must carry
+  *   `authorization: Bearer <token>` call metadata or is refused with
+  *   UNAUTHENTICATED (16) — the Flight-wire expression of the graft wire's
+  *   AUTH verb (constant-time compare, per-RPC like gRPC interceptors). */
 final class FlightServer(port: Int = 0,
                          backendPort: () => Int = () => graft.remote.RemoteFixture.port,
-                         tls: Option[javax.net.ssl.SSLContext] = None)
+                         tls: Option[javax.net.ssl.SSLContext] = None,
+                         authToken: Option[String] = None)
     extends AutoCloseable {
   graft.functions.Builtins.ensureRegistered()
 
@@ -136,6 +141,7 @@ final class FlightServer(port: Int = 0,
 
     private final class Req {
       var path: String = ""
+      var authorization: String = ""
       val buf = new ByteArrayOutputStream()
       var sendWindow: Long = peerInitWindow
       var reset = false
@@ -235,6 +241,7 @@ final class FlightServer(port: Int = 0,
           val headers = try hpackDec.decodeHeaders(sid, buf) finally buf.release()
           val req = new Req
           req.path = Option(headers.path()).map(_.toString).getOrElse("")
+          req.authorization = Option(headers.get("authorization")).map(_.toString).getOrElse("")
           streams(sid) = req
           if ((flags & FlagEndStream) != 0) completed.append(sid)
         case FrameData =>
@@ -372,6 +379,17 @@ final class FlightServer(port: Int = 0,
     private def dispatch(sid: Int): Unit = {
       val req = streams.remove(sid).getOrElse(return)
       if (req.reset) return
+      authToken match {
+        case Some(tok) =>
+          val want = s"Bearer $tok".getBytes(StandardCharsets.UTF_8)
+          val got = req.authorization.getBytes(StandardCharsets.UTF_8)
+          if (!java.security.MessageDigest.isEqual(got, want)) {
+            try sendTrailers(sid, 16, "unauthenticated", trailersOnly = true)
+            catch { case _: Exception => }
+            return
+          }
+        case None =>
+      }
       try {
         val msgs = parseMessages(req.buf.toByteArray)
         req.path match {

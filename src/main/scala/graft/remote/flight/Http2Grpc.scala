@@ -244,7 +244,7 @@ private[flight] final class Http2Conn(host: String, port: Int, timeoutMs: Int = 
 
   // ---- RPC surface ------------------------------------------------------------
   /** Open a gRPC request stream: HEADERS for `POST path`. */
-  def startRpc(path: String): Unit = {
+  def startRpc(path: String, extraHeaders: Seq[(String, String)] = Nil): Unit = {
     require(active == null || active.remoteClosed, "one RPC at a time per connection")
     val sid = nextStreamId
     nextStreamId += 2
@@ -255,6 +255,7 @@ private[flight] final class Http2Conn(host: String, port: Int, timeoutMs: Int = 
     h.add("te", "trailers")
     h.add("grpc-accept-encoding", "identity")
     h.add("user-agent", "graft-flight-bridge/1")
+    extraHeaders.foreach { case (k, v) => h.add(k, v) }
     val buf = Unpooled.buffer(256)
     try {
       hpackEnc.encodeHeaders(sid, h, buf)
@@ -324,7 +325,8 @@ private[flight] final class Http2Conn(host: String, port: Int, timeoutMs: Int = 
 
 /** gRPC message framing + status handling over [[Http2Conn]]. */
 private[flight] final class GrpcConn(host: String, port: Int, timeoutMs: Int = 120000,
-                                     tls: Option[javax.net.ssl.SSLContext] = None)
+                                     tls: Option[javax.net.ssl.SSLContext] = None,
+                                     callHeaders: Seq[(String, String)] = Nil)
     extends AutoCloseable {
   private val conn = new Http2Conn(host, port, timeoutMs, tls)
 
@@ -342,7 +344,7 @@ private[flight] final class GrpcConn(host: String, port: Int, timeoutMs: Int = 1
       System.arraycopy(msg, 0, out, 5, n)
       out
     }
-    conn.startRpc(path)
+    conn.startRpc(path, callHeaders)
     if (requests.hasNext) {
       var cur = requests.next()
       while (requests.hasNext) { conn.sendData(frame(cur), endStream = false); cur = requests.next() }
