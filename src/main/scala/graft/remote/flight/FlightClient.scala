@@ -53,9 +53,14 @@ final case class FlightFunction(name: String,
  * WINDOW_UPDATE/PING frames at every blocking point and both request and
  * response fit the announced windows.
  */
+/** @param recvWindow our announced h2 receive window (per stream + the
+  *   connection top-up). The 8 MiB default never back-pressures a bounded
+  *   exchange; shrink it to cap per-connection buffering (the peer then
+  *   waits on our credit, which the read loop returns as it consumes). */
 final class FlightClient(host: String, port: Int, timeoutMs: Int = 120000,
                          tls: Option[javax.net.ssl.SSLContext] = None,
-                         authToken: Option[String] = None)
+                         authToken: Option[String] = None,
+                         recvWindow: Int = 1 << 23)
     extends AutoCloseable {
   import RemoteProtocol.{cellReader, cellWriter, toArrowField, fromArrowField}
 
@@ -63,7 +68,8 @@ final class FlightClient(host: String, port: Int, timeoutMs: Int = 120000,
   private val grpc = new GrpcConn(host, port, timeoutMs, tls,
     // caller identity rides gRPC call metadata — the standard bearer-token
     // convention (graft's AUTH wire verb, expressed the Flight way)
-    authToken.map(t => "authorization" -> s"Bearer $t").toSeq)
+    authToken.map(t => "authorization" -> s"Bearer $t").toSeq,
+    recvWindow)
   private val allocator = new RootAllocator()
 
   /** Server protocol version; any failure (e.g. UNIMPLEMENTED DoAction) means
@@ -108,10 +114,23 @@ final class FlightClient(host: String, port: Int, timeoutMs: Int = 120000,
 
   /** Table-function call: (input-row index, value) pairs
     * (`Client::call_table_function`; the index column is the protocol's
-    * row-correlation convention, reference python server `TableFunction`). */
+    * row-correlation convention, reference python server `TableFunction`).
+    * One bounded batch per DoExchange: stock Flight UDF servers emit row
+    * indices RELATIVE TO EACH INPUT BATCH, so a multi-batch exchange would
+    * collide indices across batches — per-chunk exchanges with a running
+    * base keep the correlation unambiguous against every server. */
   def callTable(fname: String, argTypes: Seq[DataType], rows: Seq[Seq[Any]],
-                argMeta: Seq[SMetadata] = Nil): Seq[(Int, Any)] =
-    exchange(fname, argTypes, rows, argMeta).map(r => (r(0).asInstanceOf[Int], r(1)))
+                argMeta: Seq[SMetadata] = Nil): Seq[(Int, Any)] = {
+    val out = Seq.newBuilder[(Int, Any)]
+    var base = 0
+    rows.grouped(RemoteProtocol.BatchSize).foreach { chunk =>
+      exchange(fname, argTypes, chunk, argMeta).foreach { r =>
+        out += ((base + r(0).asInstanceOf[Int], r(1)))
+      }
+      base += chunk.size
+    }
+    out.result()
+  }
 
   /** One DoExchange: write the argument rows as schema + record-batch
     * `FlightData` messages, read back every result row. */

@@ -145,6 +145,7 @@ final class FlightServer(port: Int = 0,
       val buf = new ByteArrayOutputStream()
       var sendWindow: Long = peerInitWindow
       var reset = false
+      var headersSent = false
     }
     private val streams = mutable.LinkedHashMap.empty[Int, Req]
     private val completed = mutable.ArrayDeque.empty[Int]
@@ -305,11 +306,12 @@ final class FlightServer(port: Int = 0,
       } finally buf.release()
     }
 
-    private def sendResponseHeaders(sid: Int): Unit = {
+    private def sendResponseHeaders(sid: Int, req: Req): Unit = {
       val h = new DefaultHttp2Headers(false)
       h.status("200")
       h.add("content-type", "application/grpc")
       encodeHeaders(sid, h, endStream = false)
+      req.headersSent = true
       out.flush()
     }
 
@@ -376,60 +378,69 @@ final class FlightServer(port: Int = 0,
       msgs.result()
     }
 
+    /** The stream stays IN `streams` for the whole dispatch, so WINDOW_UPDATE
+      * credit and RST_STREAM for the response being written still reach it
+      * (sendData's pump applies them to the live Req) — removed only when the
+      * RPC is fully answered. */
     private def dispatch(sid: Int): Unit = {
-      val req = streams.remove(sid).getOrElse(return)
-      if (req.reset) return
-      authToken match {
-        case Some(tok) =>
-          val want = s"Bearer $tok".getBytes(StandardCharsets.UTF_8)
-          val got = req.authorization.getBytes(StandardCharsets.UTF_8)
-          if (!java.security.MessageDigest.isEqual(got, want)) {
-            try sendTrailers(sid, 16, "unauthenticated", trailersOnly = true)
-            catch { case _: Exception => }
-            return
-          }
-        case None =>
-      }
+      val req = streams.getOrElse(sid, return)
       try {
-        val msgs = parseMessages(req.buf.toByteArray)
-        req.path match {
-          case "/arrow.flight.protocol.FlightService/DoAction" =>
-            val (tpe, _) = Pb.parseAction(msgs.headOption.getOrElse(Pb.Empty))
-            if (tpe == "protocol_version")
-              respond(sid, req, Seq(Pb.result(Array[Byte](2))))
-            else sendTrailers(sid, 12, s"unimplemented action: $tpe", trailersOnly = true)
-          case "/arrow.flight.protocol.FlightService/GetFlightInfo" =>
-            val path = Pb.parseDescriptorPath(new Pb.Reader(msgs.head))
-            val name = path.headOption.getOrElse("")
-            Registry.global.lookup(name).headOption match {
-              case Some(fd) => respond(sid, req, Seq(infoFor(fd)))
-              case None => sendTrailers(sid, 5, s"no function $name", trailersOnly = true)
+        if (req.reset) return
+        authToken match {
+          case Some(tok) =>
+            val want = s"Bearer $tok".getBytes(StandardCharsets.UTF_8)
+            val got = req.authorization.getBytes(StandardCharsets.UTF_8)
+            if (!java.security.MessageDigest.isEqual(got, want)) {
+              try sendTrailers(sid, 16, "unauthenticated", trailersOnly = true)
+              catch { case _: Exception => }
+              return
             }
-          case "/arrow.flight.protocol.FlightService/ListFlights" =>
-            // one FlightInfo per NAME (the Flight descriptor is name-keyed;
-            // graft overloads share a name — advertise the first signature).
-            // Signatures the Arrow wire can't express (e.g. a test-registered
-            // ByteType arg) are SKIPPED, not fatal: the listing advertises
-            // what this wire can serve, like the reference server's map.
-            val infos = Registry.global.all.groupBy(_.signature.name).toSeq
-              .sortBy(_._1).flatMap { case (_, defs) =>
-                scala.util.Try(infoFor(defs.head)).toOption }
-            respond(sid, req, infos)
-          case "/arrow.flight.protocol.FlightService/DoExchange" =>
-            doExchange(sid, req, msgs)
-          case other =>
-            sendTrailers(sid, 12, s"unimplemented method $other", trailersOnly = true)
+          case None =>
         }
-      } catch {
-        case e: Exception =>
-          val msg = Option(e.getMessage).getOrElse(e.getClass.getSimpleName)
-          try sendTrailers(sid, 13, msg, trailersOnly = true)
-          catch { case _: Exception => }
-      }
+        try {
+          val msgs = parseMessages(req.buf.toByteArray)
+          req.path match {
+            case "/arrow.flight.protocol.FlightService/DoAction" =>
+              val (tpe, _) = Pb.parseAction(msgs.headOption.getOrElse(Pb.Empty))
+              if (tpe == "protocol_version")
+                respond(sid, req, Seq(Pb.result(Array[Byte](2))))
+              else sendTrailers(sid, 12, s"unimplemented action: $tpe", trailersOnly = true)
+            case "/arrow.flight.protocol.FlightService/GetFlightInfo" =>
+              val path = Pb.parseDescriptorPath(new Pb.Reader(msgs.head))
+              val name = path.headOption.getOrElse("")
+              Registry.global.lookup(name).headOption match {
+                case Some(fd) => respond(sid, req, Seq(infoFor(fd)))
+                case None => sendTrailers(sid, 5, s"no function $name", trailersOnly = true)
+              }
+            case "/arrow.flight.protocol.FlightService/ListFlights" =>
+              // one FlightInfo per NAME (the Flight descriptor is name-keyed;
+              // graft overloads share a name — advertise the first signature).
+              // Signatures the Arrow wire can't express (e.g. a test-registered
+              // ByteType arg) are SKIPPED, not fatal: the listing advertises
+              // what this wire can serve, like the reference server's map.
+              val infos = Registry.global.all.groupBy(_.signature.name).toSeq
+                .sortBy(_._1).flatMap { case (_, defs) =>
+                  scala.util.Try(infoFor(defs.head)).toOption }
+              respond(sid, req, infos)
+            case "/arrow.flight.protocol.FlightService/DoExchange" =>
+              doExchange(sid, req, msgs)
+            case other =>
+              sendTrailers(sid, 12, s"unimplemented method $other", trailersOnly = true)
+          }
+        } catch {
+          case e: Exception =>
+            // if response HEADERS already went out, the error must ride plain
+            // trailers — a second :status pseudo-header in a trailing HEADERS
+            // block is a connection-killing PROTOCOL_ERROR (RFC 9113 §8.3)
+            val msg = Option(e.getMessage).getOrElse(e.getClass.getSimpleName)
+            try sendTrailers(sid, 13, msg, trailersOnly = !req.headersSent)
+            catch { case _: Exception => }
+        }
+      } finally streams.remove(sid)
     }
 
     private def respond(sid: Int, req: Req, msgs: Seq[Array[Byte]]): Unit = {
-      sendResponseHeaders(sid)
+      sendResponseHeaders(sid, req)
       msgs.foreach(m => sendData(sid, req, grpcFrame(m)))
       if (!req.reset) sendTrailers(sid, 0, "", trailersOnly = false)
     }
@@ -467,7 +478,7 @@ final class FlightServer(port: Int = 0,
         sendTrailers(sid, code, msg, trailersOnly = true)
         return
       }
-      sendResponseHeaders(sid)
+      sendResponseHeaders(sid, req)
       var m = IpcFraming.readMessage(bin)
       while (m.isDefined) {
         val (header, body) = m.get

@@ -39,7 +39,8 @@ import scala.collection.mutable
  * ever being the throughput limiter.
  */
 private[flight] final class Http2Conn(host: String, port: Int, timeoutMs: Int = 120000,
-                                      tls: Option[javax.net.ssl.SSLContext] = None)
+                                      tls: Option[javax.net.ssl.SSLContext] = None,
+                                      recvWindow: Int = 1 << 23)
     extends AutoCloseable {
 
   private val FrameData = 0x0
@@ -58,9 +59,10 @@ private[flight] final class Http2Conn(host: String, port: Int, timeoutMs: Int = 
   private val FlagPriority = 0x20
 
   /** Our receive window per stream (SETTINGS_INITIAL_WINDOW_SIZE) and the
-    * connection-window top-up. Large enough that a whole bounded exchange
-    * never waits on our credit. */
-  private val RecvWindow = 1 << 23
+    * connection-window top-up. Large enough by default that a whole bounded
+    * exchange never waits on our credit; tests shrink it to force the
+    * window-blocked paths. */
+  private val RecvWindow = math.max(recvWindow, 65535)
 
   private val sock = tls match {
     case Some(ctx) =>
@@ -141,7 +143,6 @@ private[flight] final class Http2Conn(host: String, port: Int, timeoutMs: Int = 
     * whenever they are waiting for response data, trailers, or send-window
     * credit, so control frames are serviced at every blocking point. */
   private def pumpOne(): Unit = {
-    goaway.foreach(msg => throw new IOException(s"connection closed by server: $msg"))
     val b0 = in.read()
     if (b0 < 0) throw new EOFException("http2 connection closed")
     val len = (b0 << 16) | (in.readUnsignedByte() << 8) | in.readUnsignedByte()
@@ -232,12 +233,17 @@ private[flight] final class Http2Conn(host: String, port: Int, timeoutMs: Int = 
         val code = ((payload(4) & 0xffL) << 24) | ((payload(5) & 0xffL) << 16) |
           ((payload(6) & 0xffL) << 8) | (payload(7) & 0xffL)
         val msg = if (len > 8) new String(payload, 8, len - 8, StandardCharsets.UTF_8) else ""
+        // NEW RPCs are refused (startRpc); an in-flight stream at or below
+        // lastStreamId still completes — the pump keeps draining its frames.
+        // Only a stream PAST the cutoff is dead: mark it errored so the
+        // caller sees the abort rather than a silent empty response.
         goaway = Some(s"GOAWAY code=$code $msg")
-        // an in-flight stream at or below lastStreamId still completes; only
-        // fail fast when the active stream is past the cutoff
         val lastSid = ((payload(0) & 0x7f) << 24) | ((payload(1) & 0xff) << 16) |
           ((payload(2) & 0xff) << 8) | (payload(3) & 0xff)
-        if (active != null && active.id > lastSid) active.remoteClosed = true
+        if (active != null && active.id > lastSid && !active.remoteClosed) {
+          active.rstCode = Some(code)
+          active.remoteClosed = true
+        }
       case _ => // PRIORITY, PUSH_PROMISE (push disabled), unknown: ignore
     }
   }
@@ -246,11 +252,14 @@ private[flight] final class Http2Conn(host: String, port: Int, timeoutMs: Int = 
   /** Open a gRPC request stream: HEADERS for `POST path`. */
   def startRpc(path: String, extraHeaders: Seq[(String, String)] = Nil): Unit = {
     require(active == null || active.remoteClosed, "one RPC at a time per connection")
+    goaway.foreach(msg => throw new IOException(s"connection closed by server: $msg"))
     val sid = nextStreamId
     nextStreamId += 2
     active = new StreamState(sid)
     val h = new DefaultHttp2Headers(false)
-    h.method("POST").scheme("http").path(path).authority(s"$host:$port")
+    // :scheme must reflect the transport (gRPC-over-TLS expects https)
+    h.method("POST").scheme(if (tls.isDefined) "https" else "http")
+      .path(path).authority(s"$host:$port")
     h.add("content-type", "application/grpc")
     h.add("te", "trailers")
     h.add("grpc-accept-encoding", "identity")
@@ -266,36 +275,48 @@ private[flight] final class Http2Conn(host: String, port: Int, timeoutMs: Int = 
     } finally buf.release()
   }
 
-  /** Send request bytes on the active stream, honoring peer flow control. */
+  /** Send request bytes on the active stream, honoring peer flow control.
+    * If the server has already ENDED the stream (trailers, trailers-only
+    * refusal, or a reset) the remaining writes are dropped, not an error:
+    * the response — including its grpc-status — is already determined, and
+    * surfacing it through the normal iterator path preserves the real code
+    * (a reset mid-send must not mask an UNAUTHENTICATED trailer). */
   def sendData(bytes: Array[Byte], endStream: Boolean): Unit = {
     val s = active
     var off = 0
-    while (off < bytes.length) {
+    while (off < bytes.length && !s.remoteClosed) {
       var avail = math.min(connSendWindow, s.sendWindow)
-      while (avail <= 0) {
+      while (avail <= 0 && !s.remoteClosed) {
         pumpOne() // wait for WINDOW_UPDATE credit, servicing pings meanwhile
-        s.rstCode.foreach(c => throw new IOException(s"stream reset by server (code $c)"))
         avail = math.min(connSendWindow, s.sendWindow)
       }
-      val n = math.min(math.min(avail, peerMaxFrame.toLong), (bytes.length - off).toLong).toInt
-      val last = endStream && off + n == bytes.length
-      writeFrame(FrameData, if (last) FlagEndStream else 0, s.id, bytes, off, n)
-      off += n
-      connSendWindow -= n
-      s.sendWindow -= n
+      if (!s.remoteClosed) {
+        val n = math.min(math.min(avail, peerMaxFrame.toLong), (bytes.length - off).toLong).toInt
+        val last = endStream && off + n == bytes.length
+        writeFrame(FrameData, if (last) FlagEndStream else 0, s.id, bytes, off, n)
+        off += n
+        connSendWindow -= n
+        s.sendWindow -= n
+      }
     }
-    if (bytes.isEmpty && endStream)
+    if (bytes.isEmpty && endStream && !s.remoteClosed)
       writeFrame(FrameData, FlagEndStream, s.id, Array.emptyByteArray)
     out.flush()
   }
 
-  /** Next chunk of response DATA, or None once the server closed the stream. */
+  /** Next chunk of response DATA, or None once the server closed the stream.
+    * A reset stream throws ONLY when no grpc-status arrived (trailers, or a
+    * trailers-only HEADERS): gRPC servers commonly follow trailers with
+    * RST_STREAM(NO_ERROR), which must not mask the real status. */
   def nextData(): Option[Array[Byte]] = {
     val s = active
     while (s.inbox.isEmpty && !s.remoteClosed) pumpOne()
     if (s.inbox.nonEmpty) Some(s.inbox.removeHead())
     else {
-      s.rstCode.foreach(c => throw new IOException(s"stream reset by server (code $c)"))
+      val hasStatus = s.trailers.isDefined ||
+        s.headers.exists(h => h.get("grpc-status") != null)
+      if (!hasStatus)
+        s.rstCode.foreach(c => throw new IOException(s"stream reset by server (code $c)"))
       None
     }
   }
@@ -326,9 +347,10 @@ private[flight] final class Http2Conn(host: String, port: Int, timeoutMs: Int = 
 /** gRPC message framing + status handling over [[Http2Conn]]. */
 private[flight] final class GrpcConn(host: String, port: Int, timeoutMs: Int = 120000,
                                      tls: Option[javax.net.ssl.SSLContext] = None,
-                                     callHeaders: Seq[(String, String)] = Nil)
+                                     callHeaders: Seq[(String, String)] = Nil,
+                                     recvWindow: Int = 1 << 23)
     extends AutoCloseable {
-  private val conn = new Http2Conn(host, port, timeoutMs, tls)
+  private val conn = new Http2Conn(host, port, timeoutMs, tls, recvWindow)
 
   /** One gRPC call: send every request message, then stream back response
     * messages; the iterator's exhaustion point verifies `grpc-status: 0`.
@@ -352,19 +374,39 @@ private[flight] final class GrpcConn(host: String, port: Int, timeoutMs: Int = 1
     } else conn.sendData(Array.emptyByteArray, endStream = true)
 
     new Iterator[Array[Byte]] {
-      private var buf = Array.emptyByteArray
+      // amortized-growth ring over the DATA chunks: appending and slicing
+      // messages are O(bytes), not O(bytes²) like naive array concatenation
+      // (a multi-frame response arrives as hundreds of ≤16 KiB chunks)
+      private var buf = new Array[Byte](8192)
+      private var start = 0
+      private var end = 0
       private var nextMsg: Array[Byte] = null
       private var done = false
       private var statusChecked = false
 
+      private def append(chunk: Array[Byte]): Unit = {
+        if (end + chunk.length > buf.length) {
+          val used = end - start
+          if (used + chunk.length <= buf.length) {
+            System.arraycopy(buf, start, buf, 0, used)
+          } else {
+            val nbuf = new Array[Byte](math.max(buf.length * 2, used + chunk.length))
+            System.arraycopy(buf, start, nbuf, 0, used)
+            buf = nbuf
+          }
+          start = 0; end = used
+        }
+        System.arraycopy(chunk, 0, buf, end, chunk.length)
+        end += chunk.length
+      }
       private def tryParse(): Boolean = {
-        if (buf.length < 5) return false
-        if (buf(0) != 0) throw new IOException("compressed gRPC messages not supported")
-        val n = ((buf(1) & 0xff) << 24) | ((buf(2) & 0xff) << 16) |
-          ((buf(3) & 0xff) << 8) | (buf(4) & 0xff)
-        if (buf.length < 5 + n) return false
-        nextMsg = java.util.Arrays.copyOfRange(buf, 5, 5 + n)
-        buf = java.util.Arrays.copyOfRange(buf, 5 + n, buf.length)
+        if (end - start < 5) return false
+        if (buf(start) != 0) throw new IOException("compressed gRPC messages not supported")
+        val n = ((buf(start + 1) & 0xff) << 24) | ((buf(start + 2) & 0xff) << 16) |
+          ((buf(start + 3) & 0xff) << 8) | (buf(start + 4) & 0xff)
+        if (end - start < 5 + n) return false
+        nextMsg = java.util.Arrays.copyOfRange(buf, start + 5, start + 5 + n)
+        start += 5 + n
         true
       }
       private def advance(): Unit = {
@@ -376,7 +418,7 @@ private[flight] final class GrpcConn(host: String, port: Int, timeoutMs: Int = 1
             return
           }
           conn.nextData() match {
-            case Some(chunk) => buf = buf ++ chunk
+            case Some(chunk) => append(chunk)
             case None => done = true
           }
         }

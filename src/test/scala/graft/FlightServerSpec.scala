@@ -57,6 +57,25 @@ class FlightServerSpec extends AnyFunSuite {
     } finally server.close()
   }
 
+  test("response flow control: a big explode outruns a 64 KiB client window without wedging") {
+    // regression for the dispatch/stream-removal bug: WINDOW_UPDATE credit
+    // for the stream BEING RESPONDED TO must reach its live send window, or
+    // the server spins forever once the response exceeds the client window
+    graft.functions.Builtins.ensureRegistered()
+    val server = new graft.remote.flight.FlightServer()
+    try {
+      val c = new graft.remote.flight.FlightClient("127.0.0.1", server.boundPort,
+        timeoutMs = 60000, recvWindow = 65535)
+      try {
+        val got = c.callTable("range_setof",
+          Seq(org.apache.spark.sql.types.IntegerType), Seq(Seq(60000), Seq(3)))
+        assert(got.length == 60003)
+        assert(got.take(3) == Seq((0, 0), (0, 1), (0, 2)))
+        assert(got.count(_._1 == 1) == 3)
+      } finally c.close()
+    } finally server.close()
+  }
+
   test("graft's own Flight client round-trips through graft's Flight server") {
     // client and server are independent layers over the same specs: the
     // loopback composition catches asymmetric framing bugs the pyarrow

@@ -119,6 +119,20 @@ class FlightUdfSpec extends AnyFunSuite {
     } finally c.close()
   }
 
+  test("table-function correlation past BatchSize: per-chunk exchanges keep indices global") {
+    // stock Flight servers emit row_index relative to each input batch; the
+    // client must therefore never put two batches in one exchange for table
+    // fns (it offsets per-chunk results by a running base instead)
+    val c = new FlightClient("127.0.0.1", port)
+    try {
+      val n = graft.remote.RemoteProtocol.BatchSize + 500
+      val rows = (0 until n).map(i => Seq(s"w$i"): Seq[Any])
+      val got = c.callTable("flight_words", Seq(StringType), rows)
+      assert(got.length == n)
+      got.foreach { case (i, v) => assert(v == s"w$i", s"row $i got $v") }
+    } finally c.close()
+  }
+
   test("errors surface as gRPC statuses: unknown function, guest exception") {
     val c = new FlightClient("127.0.0.1", port)
     try {
