@@ -116,8 +116,10 @@ private[flight] final class Http2Conn(host: String, port: Int, timeoutMs: Int = 
   // SETTINGS: no server push; big per-stream receive window
   writeFrame(FrameSettings, 0, 0,
     settingsPayload(Seq(0x2 -> 0L, 0x4 -> RecvWindow.toLong)))
-  // top up the fixed 65535 connection receive window once
-  writeFrame(FrameWindowUpdate, 0, 0, u32(RecvWindow - 65535))
+  // top up the fixed 65535 connection receive window once (a zero-increment
+  // WINDOW_UPDATE is a PROTOCOL_ERROR, so skip it at the minimum window)
+  if (RecvWindow > 65535)
+    writeFrame(FrameWindowUpdate, 0, 0, u32(RecvWindow - 65535))
   out.flush()
 
   private def settingsPayload(kv: Seq[(Int, Long)]): Array[Byte] = {
