@@ -433,6 +433,34 @@ object SparkEntry {
         .orderBy("doc_id", "tok")
     } _,
 
+    // graft AS the Flight server, under the oracle: the error column served
+    // over the real wire (FlightInfo advertises (value, error); DoExchange
+    // passes through to the CALLERR tier) — client and server both graft's
+    // from-scratch gRPC stack, composed on loopback.
+    "q_flight_div_error" -> dfq { s =>
+      val port = graft.remote.flight.FlightFixture.port
+      val df = s.table("lineitem").selectExpr("l_orderkey", "l_linenumber",
+        "CAST(l_partkey AS INT) AS a", "CAST(l_suppkey % 7 AS INT) AS b")
+      graft.remote.flight.FlightUdf.withFlightFallibleColumn(df, Seq(("127.0.0.1", port)),
+          "graft_div", Seq("a", "b"), org.apache.spark.sql.types.IntegerType)
+        .selectExpr("l_orderkey", "l_linenumber", "value AS div_value", "error AS div_error")
+        .localCheckpoint()
+        .orderBy("l_orderkey", "l_linenumber")
+    } _,
+
+    // graft AS the Flight server: table-function explode (range_setof)
+    // through FlightServer's byte-level CALLTABLE passthrough.
+    "q_flight_setof" -> dfq { s =>
+      val port = graft.remote.flight.FlightFixture.port
+      val df = s.table("lineitem").selectExpr("l_orderkey", "l_linenumber",
+        "CAST(l_linenumber AS INT) AS n")
+      graft.remote.flight.FlightUdf.withFlightTableColumn(df, Seq(("127.0.0.1", port)),
+          "range_setof", Seq("n"), org.apache.spark.sql.types.IntegerType)
+        .selectExpr("l_orderkey", "l_linenumber", "value")
+        .localCheckpoint()
+        .orderBy("l_orderkey", "l_linenumber", "value")
+    } _,
+
     // §2.1 #15: the full aggregate lifecycle evaluated in the CPython guest —
     // Spark hash aggregation drives create_state/accumulate over the wire
     // per partition (partial), ships opaque pickled states through the
@@ -3640,6 +3668,17 @@ object SparkEntry {
         |FROM documents, UNNEST(string_split_regex(text, '[ \t\n\r\f\v]+')) AS t(tok)
         |WHERE t.tok <> ''
         |ORDER BY doc_id, tok""".stripMargin,
+    "q_flight_div_error" ->
+      """SELECT l_orderkey, l_linenumber,
+        |       CASE WHEN l_suppkey % 7 = 0 THEN NULL
+        |            ELSE CAST(CAST(l_partkey AS INT) // CAST(l_suppkey % 7 AS INT) AS INT) END AS div_value,
+        |       CASE WHEN l_suppkey % 7 = 0 THEN 'division by zero' END AS div_error
+        |FROM lineitem
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q_flight_setof" ->
+      """SELECT l_orderkey, l_linenumber, CAST(t.x AS INT) AS value
+        |FROM lineitem, UNNEST(range(l_linenumber)) AS t(x)
+        |ORDER BY l_orderkey, l_linenumber, value""".stripMargin,
     "q_struct_of_all" ->
       """SELECT o_orderkey, (o_orderkey % 1000) % 2 = 0 AS b,
         |       CAST(o_orderkey % 1000 AS INT) AS i32,

@@ -132,6 +132,16 @@ final class FlightClient(host: String, port: Int, timeoutMs: Int = 120000,
     out.result()
   }
 
+  /** Fallible scalar call against a graft [[FlightServer]]: (value, error)
+    * per row — the error-column surface (`CALLERR`) over the Flight wire.
+    * (The reference Flight protocol has no error column; its servers fail
+    * the whole exchange on a guest error. graft's server advertises the
+    * two-column result schema in FlightInfo, so any Flight client can
+    * consume it — this helper just types the pair.) */
+  def callWithErrors(fname: String, argTypes: Seq[DataType], rows: Seq[Seq[Any]],
+                     argMeta: Seq[SMetadata] = Nil): Seq[(Any, String)] =
+    exchange(fname, argTypes, rows, argMeta).map(r => (r(0), r(1).asInstanceOf[String]))
+
   /** One DoExchange: write the argument rows as schema + record-batch
     * `FlightData` messages, read back every result row. */
   def exchange(fname: String, argTypes: Seq[DataType], rows: Seq[Seq[Any]],

@@ -99,6 +99,44 @@ object FlightUdf {
   def withFlightTableColumn(df: DataFrame, host: String, port: Int, fname: String,
                             argCols: Seq[String], retType: DataType): DataFrame =
     withFlightTableColumn(df, Seq((host, port)), fname, argCols, retType)
+
+  /** Append `value` AND `error` columns computed over the Flight wire — the
+    * fallible error-column surface served by a graft [[FlightServer]]
+    * (mirrors [[graft.remote.RemoteUdf.withRemoteFallibleColumn]]). */
+  def withFlightFallibleColumn(df: DataFrame, endpoints: Seq[(String, Int)], fname: String,
+                               argCols: Seq[String], retType: DataType): DataFrame = {
+    val argTypes = argCols.map(c => df.schema(c).dataType)
+    val argIdx = argCols.map(df.schema.fieldIndex)
+    val outSchema = StructType(df.schema.fields :+
+      StructField("value", retType) :+ StructField("error", org.apache.spark.sql.types.StringType))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    val eps = endpoints.toIndexedSeq
+    fanOut(df).mapPartitions { it =>
+      if (it.isEmpty) Iterator.empty
+      else {
+        val pid = Option(org.apache.spark.TaskContext.get()).map(_.partitionId()).getOrElse(0)
+        val (host, port) = eps(pid % eps.size)
+        val client = new FlightClient(host, port)
+        Option(org.apache.spark.TaskContext.get()).foreach(
+          _.addTaskCompletionListener[Unit](_ => client.close()))
+        it.grouped(RemoteProtocol.BatchSize).flatMap { chunk =>
+          val rows = chunk.map(r => argIdx.map(r.get))
+          val vals = client.callWithErrors(fname, argTypes, rows)
+          chunk.zip(vals).map { case (r, (v, e)) =>
+            org.apache.spark.sql.Row.fromSeq(r.toSeq :+ v :+ e)
+          }
+        }
+      }
+    }(enc)
+  }
+}
+
+/** Lazily-started in-process Flight SERVER fixture — graft's registry over
+  * the real wire on loopback, so oracle queries can gate the server side
+  * end-to-end (the Flight analogue of [[graft.remote.RemoteFixture]]). */
+object FlightFixture {
+  lazy val shared: FlightServer = new FlightServer()
+  def port: Int = shared.boundPort
 }
 
 /** Launches the REAL pyarrow Flight UDF server fixture
