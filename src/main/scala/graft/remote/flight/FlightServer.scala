@@ -120,13 +120,7 @@ final class FlightServer(port: Int = 0,
 
   // ---- per-connection HTTP/2 handler ----------------------------------------
   private final class H2Handler(sock: Socket) {
-    private val FrameData = 0x0; private val FrameHeaders = 0x1
-    private val FrameRst = 0x3; private val FrameSettings = 0x4
-    private val FramePing = 0x6; private val FrameGoaway = 0x7
-    private val FrameWindowUpdate = 0x8; private val FrameContinuation = 0x9
-    private val FlagEndStream = 0x1; private val FlagAck = 0x1
-    private val FlagEndHeaders = 0x4; private val FlagPadded = 0x8
-    private val FlagPriority = 0x20
+    import H2._
     private val RecvWindow = 1 << 23
 
     private val in = new DataInputStream(new BufferedInputStream(sock.getInputStream, 1 << 16))
@@ -188,23 +182,11 @@ final class FlightServer(port: Int = 0,
       }
     }
 
-    private def settings(kv: Seq[(Int, Long)]): Array[Byte] = {
-      val b = java.nio.ByteBuffer.allocate(kv.size * 6)
-      kv.foreach { case (k, v) => b.putShort(k.toShort).putInt(v.toInt) }
-      b.array()
-    }
-    private def u32(v: Long): Array[Byte] =
-      Array(((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
-        ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    private def settings(kv: Seq[(Int, Long)]): Array[Byte] = H2.settingsPayload(kv)
 
     private def writeFrame(tpe: Int, flags: Int, sid: Int, payload: Array[Byte],
-                           off: Int = 0, len: Int = -1): Unit = {
-      val n = if (len < 0) payload.length else len
-      out.write((n >> 16) & 0xff); out.write((n >> 8) & 0xff); out.write(n & 0xff)
-      out.write(tpe); out.write(flags)
-      out.write(u32(sid.toLong))
-      out.write(payload, off, n)
-    }
+                           off: Int = 0, len: Int = -1): Unit =
+      H2.writeFrame(out, tpe, flags, sid, payload, off, len)
 
     /** Read + handle one frame. Completed request streams are QUEUED, never
       * dispatched from here — the pump is re-entered from send-window waits,
@@ -345,24 +327,9 @@ final class FlightServer(port: Int = 0,
       out.flush()
     }
 
-    private def grpcFrame(msg: Array[Byte]): Array[Byte] = {
-      val n = msg.length
-      val f = new Array[Byte](5 + n)
-      f(1) = ((n >> 24) & 0xff).toByte; f(2) = ((n >> 16) & 0xff).toByte
-      f(3) = ((n >> 8) & 0xff).toByte; f(4) = (n & 0xff).toByte
-      System.arraycopy(msg, 0, f, 5, n)
-      f
-    }
+    private def grpcFrame(msg: Array[Byte]): Array[Byte] = H2.grpcFrame(msg)
 
-    private def percentEncode(s: String): String = {
-      val sb = new java.lang.StringBuilder()
-      s.getBytes(StandardCharsets.UTF_8).foreach { b =>
-        val c = b & 0xff
-        if (c >= 0x20 && c <= 0x7e && c != '%') sb.append(c.toChar)
-        else sb.append(f"%%$c%02X")
-      }
-      sb.toString
-    }
+    private def percentEncode(s: String): String = H2.percentEncode(s)
 
     // ---- gRPC dispatch ---------------------------------------------------------
     private def parseMessages(bytes: Array[Byte]): Vector[Array[Byte]] = {

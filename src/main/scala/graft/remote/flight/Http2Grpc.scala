@@ -43,20 +43,7 @@ private[flight] final class Http2Conn(host: String, port: Int, timeoutMs: Int = 
                                       recvWindow: Int = 1 << 23)
     extends AutoCloseable {
 
-  private val FrameData = 0x0
-  private val FrameHeaders = 0x1
-  private val FrameRst = 0x3
-  private val FrameSettings = 0x4
-  private val FramePing = 0x6
-  private val FrameGoaway = 0x7
-  private val FrameWindowUpdate = 0x8
-  private val FrameContinuation = 0x9
-
-  private val FlagEndStream = 0x1
-  private val FlagAck = 0x1
-  private val FlagEndHeaders = 0x4
-  private val FlagPadded = 0x8
-  private val FlagPriority = 0x20
+  import H2._
 
   /** Our receive window per stream (SETTINGS_INITIAL_WINDOW_SIZE) and the
     * connection-window top-up. Large enough by default that a whole bounded
@@ -122,23 +109,9 @@ private[flight] final class Http2Conn(host: String, port: Int, timeoutMs: Int = 
     writeFrame(FrameWindowUpdate, 0, 0, u32(RecvWindow - 65535))
   out.flush()
 
-  private def settingsPayload(kv: Seq[(Int, Long)]): Array[Byte] = {
-    val b = java.nio.ByteBuffer.allocate(kv.size * 6)
-    kv.foreach { case (k, v) => b.putShort(k.toShort).putInt(v.toInt) }
-    b.array()
-  }
-  private def u32(v: Long): Array[Byte] =
-    Array(((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
-      ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
-
   private def writeFrame(tpe: Int, flags: Int, streamId: Int, payload: Array[Byte],
-                         off: Int = 0, len: Int = -1): Unit = {
-    val n = if (len < 0) payload.length else len
-    out.write((n >> 16) & 0xff); out.write((n >> 8) & 0xff); out.write(n & 0xff)
-    out.write(tpe); out.write(flags)
-    out.write(u32(streamId.toLong))
-    out.write(payload, off, n)
-  }
+                         off: Int = 0, len: Int = -1): Unit =
+    H2.writeFrame(out, tpe, flags, streamId, payload, off, len)
 
   // ---- frame pump -------------------------------------------------------------
   /** Read and dispatch exactly one frame from the peer. Callers loop on this
@@ -359,15 +332,7 @@ private[flight] final class GrpcConn(host: String, port: Int, timeoutMs: Int = 1
     * Covers unary, server-streaming, and the write-then-read half of bidi —
     * exactly the shapes Flight's UDF verbs use. */
   def call(path: String, requests: Iterator[Array[Byte]]): Iterator[Array[Byte]] = {
-    // gRPC length-prefixed message framing: [u8 compressed-flag][u32 BE length]
-    def frame(msg: Array[Byte]): Array[Byte] = {
-      val n = msg.length
-      val out = new Array[Byte](5 + n)
-      out(1) = ((n >> 24) & 0xff).toByte; out(2) = ((n >> 16) & 0xff).toByte
-      out(3) = ((n >> 8) & 0xff).toByte; out(4) = (n & 0xff).toByte
-      System.arraycopy(msg, 0, out, 5, n)
-      out
-    }
+    def frame(msg: Array[Byte]): Array[Byte] = H2.grpcFrame(msg)
     conn.startRpc(path, callHeaders)
     if (requests.hasNext) {
       var cur = requests.next()
@@ -441,21 +406,10 @@ private[flight] final class GrpcConn(host: String, port: Int, timeoutMs: Int = 1
     val status = Option(src.get("grpc-status")).map(_.toString).getOrElse(
       throw new IOException("gRPC response missing grpc-status"))
     if (status != "0") {
-      val msg = Option(src.get("grpc-message")).map(s => percentDecode(s.toString)).getOrElse("")
+      val msg = Option(src.get("grpc-message"))
+        .map(s => H2.percentDecode(s.toString)).getOrElse("")
       throw new GrpcStatusException(status.toInt, msg)
     }
-  }
-
-  private def percentDecode(s: String): String = {
-    val out = new java.io.ByteArrayOutputStream()
-    var i = 0
-    while (i < s.length) {
-      val c = s.charAt(i)
-      if (c == '%' && i + 2 < s.length) {
-        out.write(Integer.parseInt(s.substring(i + 1, i + 3), 16)); i += 3
-      } else { out.write(c.toInt); i += 1 }
-    }
-    new String(out.toByteArray, StandardCharsets.UTF_8)
   }
 
   override def close(): Unit = conn.close()
