@@ -1,8 +1,8 @@
 package graft.remote.flight
 
 import graft.remote.RemoteProtocol
-import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.types.{DataType, StructField, StructType}
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.types.{DataType, StringType, StructField, StructType}
 
 /**
  * Spark-side Arrow Flight UDF integration — the same per-partition pooled
@@ -38,12 +38,17 @@ object FlightUdf {
     } finally c.close()
   }
 
-  /** Append `value` computed by the Flight server's scalar function. */
-  def withFlightColumn(df: DataFrame, endpoints: Seq[(String, Int)], fname: String,
-                       argCols: Seq[String], retType: DataType): DataFrame = {
+  /** The shared partition shape: fan narrow inputs out, one pooled
+    * [[FlightClient]] per partition (closed at task end, round-robin over
+    * `endpoints`), one bounded row chunk per exchange; `perChunk` maps each
+    * chunk + its extracted argument rows to output rows. */
+  private def withPartitionClient(df: DataFrame, endpoints: Seq[(String, Int)],
+      argCols: Seq[String], extraFields: Seq[StructField])(
+      perChunk: (FlightClient, Seq[DataType], IndexedSeq[Row], Seq[Seq[Any]]) => Iterator[Row])
+      : DataFrame = {
     val argTypes = argCols.map(c => df.schema(c).dataType)
     val argIdx = argCols.map(df.schema.fieldIndex)
-    val outSchema = StructType(df.schema.fields :+ StructField("value", retType))
+    val outSchema = StructType(df.schema.fields ++ extraFields)
     val enc = org.apache.spark.sql.Encoders.row(outSchema)
     val eps = endpoints.toIndexedSeq
     fanOut(df).mapPartitions { it =>
@@ -54,16 +59,24 @@ object FlightUdf {
         val client = new FlightClient(host, port)
         Option(org.apache.spark.TaskContext.get()).foreach(
           _.addTaskCompletionListener[Unit](_ => client.close()))
-        it.grouped(RemoteProtocol.BatchSize).flatMap { chunk =>
+        it.grouped(RemoteProtocol.BatchSize).flatMap { chunk0 =>
+          val chunk = chunk0.toIndexedSeq
           val rows = chunk.map(r => argIdx.map(r.get))
-          val vals = client.call(fname, argTypes, rows)
-          chunk.zip(vals).map { case (r, v) =>
-            org.apache.spark.sql.Row.fromSeq(r.toSeq :+ v)
-          }
+          perChunk(client, argTypes, chunk, rows)
         }
       }
     }(enc)
   }
+
+  /** Append `value` computed by the Flight server's scalar function. */
+  def withFlightColumn(df: DataFrame, endpoints: Seq[(String, Int)], fname: String,
+                       argCols: Seq[String], retType: DataType): DataFrame =
+    withPartitionClient(df, endpoints, argCols, Seq(StructField("value", retType))) {
+      (client, argTypes, chunk, rows) =>
+        chunk.iterator.zip(client.call(fname, argTypes, rows).iterator).map {
+          case (r, v) => Row.fromSeq(r.toSeq :+ v)
+        }
+    }
 
   def withFlightColumn(df: DataFrame, host: String, port: Int, fname: String,
                        argCols: Seq[String], retType: DataType): DataFrame =
@@ -72,29 +85,13 @@ object FlightUdf {
   /** Explode each row into the Flight table function's yields (generator
     * semantics over the wire, reference `call_table_function`). */
   def withFlightTableColumn(df: DataFrame, endpoints: Seq[(String, Int)], fname: String,
-                            argCols: Seq[String], retType: DataType): DataFrame = {
-    val argTypes = argCols.map(c => df.schema(c).dataType)
-    val argIdx = argCols.map(df.schema.fieldIndex)
-    val outSchema = StructType(df.schema.fields :+ StructField("value", retType))
-    val enc = org.apache.spark.sql.Encoders.row(outSchema)
-    val eps = endpoints.toIndexedSeq
-    fanOut(df).mapPartitions { it =>
-      if (it.isEmpty) Iterator.empty
-      else {
-        val pid = Option(org.apache.spark.TaskContext.get()).map(_.partitionId()).getOrElse(0)
-        val (host, port) = eps(pid % eps.size)
-        val client = new FlightClient(host, port)
-        Option(org.apache.spark.TaskContext.get()).foreach(
-          _.addTaskCompletionListener[Unit](_ => client.close()))
-        it.grouped(RemoteProtocol.BatchSize).flatMap { chunk =>
-          val rows = chunk.map(r => argIdx.map(r.get))
-          client.callTable(fname, argTypes, rows).map { case (rowIdx, v) =>
-            org.apache.spark.sql.Row.fromSeq(chunk(rowIdx).toSeq :+ v)
-          }
+                            argCols: Seq[String], retType: DataType): DataFrame =
+    withPartitionClient(df, endpoints, argCols, Seq(StructField("value", retType))) {
+      (client, argTypes, chunk, rows) =>
+        client.callTable(fname, argTypes, rows).iterator.map {
+          case (rowIdx, v) => Row.fromSeq(chunk(rowIdx).toSeq :+ v)
         }
-      }
-    }(enc)
-  }
+    }
 
   def withFlightTableColumn(df: DataFrame, host: String, port: Int, fname: String,
                             argCols: Seq[String], retType: DataType): DataFrame =
@@ -104,31 +101,14 @@ object FlightUdf {
     * fallible error-column surface served by a graft [[FlightServer]]
     * (mirrors [[graft.remote.RemoteUdf.withRemoteFallibleColumn]]). */
   def withFlightFallibleColumn(df: DataFrame, endpoints: Seq[(String, Int)], fname: String,
-                               argCols: Seq[String], retType: DataType): DataFrame = {
-    val argTypes = argCols.map(c => df.schema(c).dataType)
-    val argIdx = argCols.map(df.schema.fieldIndex)
-    val outSchema = StructType(df.schema.fields :+
-      StructField("value", retType) :+ StructField("error", org.apache.spark.sql.types.StringType))
-    val enc = org.apache.spark.sql.Encoders.row(outSchema)
-    val eps = endpoints.toIndexedSeq
-    fanOut(df).mapPartitions { it =>
-      if (it.isEmpty) Iterator.empty
-      else {
-        val pid = Option(org.apache.spark.TaskContext.get()).map(_.partitionId()).getOrElse(0)
-        val (host, port) = eps(pid % eps.size)
-        val client = new FlightClient(host, port)
-        Option(org.apache.spark.TaskContext.get()).foreach(
-          _.addTaskCompletionListener[Unit](_ => client.close()))
-        it.grouped(RemoteProtocol.BatchSize).flatMap { chunk =>
-          val rows = chunk.map(r => argIdx.map(r.get))
-          val vals = client.callWithErrors(fname, argTypes, rows)
-          chunk.zip(vals).map { case (r, (v, e)) =>
-            org.apache.spark.sql.Row.fromSeq(r.toSeq :+ v :+ e)
-          }
+                               argCols: Seq[String], retType: DataType): DataFrame =
+    withPartitionClient(df, endpoints, argCols,
+        Seq(StructField("value", retType), StructField("error", StringType))) {
+      (client, argTypes, chunk, rows) =>
+        chunk.iterator.zip(client.callWithErrors(fname, argTypes, rows).iterator).map {
+          case (r, (v, e)) => Row.fromSeq(r.toSeq :+ v :+ e)
         }
-      }
-    }(enc)
-  }
+    }
 }
 
 /** Lazily-started in-process Flight SERVER fixture — graft's registry over
