@@ -76,6 +76,50 @@ class FlightServerSpec extends AnyFunSuite {
     } finally server.close()
   }
 
+  test("interleaved streams: concurrent RPCs from one grpc-core connection") {
+    // grpc clients multiplex: two python threads share ONE FlightClient (one
+    // h2 connection), so HEADERS/DATA for stream B can arrive while stream A
+    // is being dispatched. The server's pump buffers other streams' frames
+    // and dispatches each at its END_STREAM — responses serialize, results
+    // must not interleave or drop.
+    graft.functions.Builtins.ensureRegistered()
+    val server = new graft.remote.flight.FlightServer()
+    try {
+      val py =
+        """import sys, threading, pyarrow as pa, pyarrow.flight as fl
+          |port = int(sys.argv[1])
+          |c = fl.FlightClient(f"grpc+tcp://127.0.0.1:{port}")
+          |schema = pa.schema([("a", pa.int32()), ("b", pa.int32())])
+          |results = [None] * 8
+          |def work(t):
+          |    w, r = c.do_exchange(fl.FlightDescriptor.for_path("gcd"))
+          |    w.begin(schema)
+          |    n = 5000
+          |    w.write_batch(pa.RecordBatch.from_arrays(
+          |        [pa.array([(t + 1) * (i + 1) * 6 for i in range(n)], pa.int32()),
+          |         pa.array([(t + 1) * (i + 1) * 4 for i in range(n)], pa.int32())],
+          |        schema=schema))
+          |    w.done_writing()
+          |    vals = r.read_all().column("value").to_pylist()
+          |    def g(a, b):
+          |        while b: a, b = b, a % b
+          |        return a
+          |    results[t] = (len(vals) == n and
+          |                  all(vals[i] == g((t+1)*(i+1)*6, (t+1)*(i+1)*4) for i in range(n)))
+          |threads = [threading.Thread(target=work, args=(t,)) for t in range(8)]
+          |[t.start() for t in threads]
+          |[t.join() for t in threads]
+          |print("CONCURRENT", all(results), results)
+          |""".stripMargin
+      val proc = new ProcessBuilder("python3", "-c", py, server.boundPort.toString)
+        .redirectErrorStream(true).start()
+      val out = new String(proc.getInputStream.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8)
+      assert(proc.waitFor() == 0, s"probe failed:\n$out")
+      assert(out.contains("CONCURRENT True"), out)
+    } finally server.close()
+  }
+
   test("graft's own Flight client round-trips through graft's Flight server") {
     // client and server are independent layers over the same specs: the
     // loopback composition catches asymmetric framing bugs the pyarrow
