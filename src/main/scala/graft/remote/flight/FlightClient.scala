@@ -140,7 +140,12 @@ final class FlightClient(host: String, port: Int, timeoutMs: Int = 120000,
     * consume it — this helper just types the pair.) */
   def callWithErrors(fname: String, argTypes: Seq[DataType], rows: Seq[Seq[Any]],
                      argMeta: Seq[SMetadata] = Nil): Seq[(Any, String)] =
-    exchange(fname, argTypes, rows, argMeta).map(r => (r(0), r(1).asInstanceOf[String]))
+    exchange(fname, argTypes, rows, argMeta).map { r =>
+      require(r.length >= 2,
+        s"$fname returned ${r.length} column(s), not (value, error) — the " +
+          "function is not fallible or the server serves no error column")
+      (r(0), r(1).asInstanceOf[String])
+    }
 
   /** One DoExchange: write the argument rows as schema + record-batch
     * `FlightData` messages, read back every result row. */

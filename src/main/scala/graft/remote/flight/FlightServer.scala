@@ -165,7 +165,7 @@ final class FlightServer(port: Int = 0,
         if (!java.util.Arrays.equals(preface,
             "PRI * HTTP/2.0\r\n\r\nSM\r\n\r\n".getBytes(StandardCharsets.US_ASCII)))
           throw new IOException("bad http2 preface")
-        writeFrame(FrameSettings, 0, 0, settings(Seq(0x4 -> RecvWindow.toLong)))
+        writeFrame(FrameSettings, 0, 0, settingsPayload(Seq(0x4 -> RecvWindow.toLong)))
         writeFrame(FrameWindowUpdate, 0, 0, u32(RecvWindow - 65535))
         out.flush()
         while (!closing) {
@@ -182,7 +182,6 @@ final class FlightServer(port: Int = 0,
       }
     }
 
-    private def settings(kv: Seq[(Int, Long)]): Array[Byte] = H2.settingsPayload(kv)
 
     private def writeFrame(tpe: Int, flags: Int, sid: Int, payload: Array[Byte],
                            off: Int = 0, len: Int = -1): Unit =
@@ -327,9 +326,7 @@ final class FlightServer(port: Int = 0,
       out.flush()
     }
 
-    private def grpcFrame(msg: Array[Byte]): Array[Byte] = H2.grpcFrame(msg)
 
-    private def percentEncode(s: String): String = H2.percentEncode(s)
 
     // ---- gRPC dispatch ---------------------------------------------------------
     private def parseMessages(bytes: Array[Byte]): Vector[Array[Byte]] = {

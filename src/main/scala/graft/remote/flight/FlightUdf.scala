@@ -32,9 +32,13 @@ object FlightUdf {
   def returnTypeOf(endpoint: (String, Int), fname: String): DataType = {
     val c = new FlightClient(endpoint._1, endpoint._2)
     try {
-      val f = c.get(fname)
-      // scalar results carry one field; table functions [row_index, value]
-      f.returns.last._2
+      val rs = c.get(fname).returns
+      // scalars carry one field; table functions (row_index, value); fallible
+      // scalars (value, error) — the VALUE type is the one named "value" when
+      // present, else the last non-error field, else the last field
+      rs.find(_._1 == "value").map(_._2).getOrElse(
+        if (rs.length >= 2 && rs.last._1 == "error") rs(rs.length - 2)._2
+        else rs.last._2)
     } finally c.close()
   }
 
