@@ -56,43 +56,75 @@ final case class FlightFunction(name: String,
 /** @param recvWindow our announced h2 receive window (per stream + the
   *   connection top-up). The 8 MiB default never back-pressures a bounded
   *   exchange; shrink it to cap per-connection buffering (the peer then
-  *   waits on our credit, which the read loop returns as it consumes). */
+  *   waits on our credit, which the read loop returns as it consumes).
+  * @param maxRetries transient-failure replays per RPC (the
+  *   [[graft.remote.UdfClient]] resilience discipline): a connection-level
+  *   I/O failure (reset, broken pipe, server restart, GOAWAY) reconnects and
+  *   replays the whole RPC — exchanges are stateless request/response, so a
+  *   replay is idempotent. Deliberately NOT retried: SO_TIMEOUT deadlines
+  *   (a hung server stays aborted — retrying would defeat containment) and
+  *   non-OK gRPC statuses (semantic failures the server actually answered). */
 final class FlightClient(host: String, port: Int, timeoutMs: Int = 120000,
                          tls: Option[javax.net.ssl.SSLContext] = None,
                          authToken: Option[String] = None,
-                         recvWindow: Int = 1 << 23)
+                         recvWindow: Int = 1 << 23,
+                         maxRetries: Int = 1)
     extends AutoCloseable {
   import RemoteProtocol.{cellReader, cellWriter, toArrowField, fromArrowField}
 
   private val Service = "/arrow.flight.protocol.FlightService"
-  private val grpc = new GrpcConn(host, port, timeoutMs, tls,
+  private def dial(): GrpcConn = new GrpcConn(host, port, timeoutMs, tls,
     // caller identity rides gRPC call metadata — the standard bearer-token
     // convention (graft's AUTH wire verb, expressed the Flight way)
     authToken.map(t => "authorization" -> s"Bearer $t").toSeq,
     recvWindow)
+  private var grpc = dial()
   private val allocator = new RootAllocator()
+
+  private def reconnect(): Unit = {
+    try grpc.close() catch { case _: Exception => }
+    grpc = dial()
+  }
+
+  /** Replay `f` on a fresh connection after a transient I/O failure (the
+    * [[graft.remote.UdfClient.withRetry]] policy on the Flight wire). Note
+    * [[GrpcStatusException]] extends IOException, so order matters: a
+    * status the server delivered is semantic, never replayed. */
+  private def withRetry[T](f: => T): T = {
+    var attempt = 0
+    while (attempt < maxRetries) {
+      try return f
+      catch {
+        case e: GrpcStatusException => throw e // server answered: no retry
+        case e: java.net.SocketTimeoutException => throw e // deadline: no retry
+        case _: java.io.IOException => attempt += 1; reconnect()
+      }
+    }
+    f
+  }
 
   /** Server protocol version; any failure (e.g. UNIMPLEMENTED DoAction) means
     * a version-1 server, exactly like the reference (`remote/mod.rs:53-65`). */
   def protocolVersion(): Int =
     try {
-      val results = grpc.call(s"$Service/DoAction",
-        Iterator(Pb.action("protocol_version", Pb.Empty))).toSeq
+      val results = withRetry(grpc.call(s"$Service/DoAction",
+        Iterator(Pb.action("protocol_version", Pb.Empty))).toSeq)
       results.headOption.map(Pb.parseResultBody).filter(_.nonEmpty)
         .map(_.head.toInt).getOrElse(1)
     } catch { case _: GrpcStatusException => 1 }
 
   /** Discovery: one function's signature (`Client::get`). */
-  def get(name: String): FlightFunction = {
+  def get(name: String): FlightFunction = withRetry {
     val infos = grpc.call(s"$Service/GetFlightInfo",
       Iterator(Pb.descriptorPath(name))).toSeq
     parseFunction(Pb.parseFlightInfo(infos.head))
   }
 
   /** Discovery: every function on the server (`Client::list`). */
-  def list(): Seq[FlightFunction] =
+  def list(): Seq[FlightFunction] = withRetry {
     grpc.call(s"$Service/ListFlights", Iterator(Pb.criteria(Pb.Empty)))
       .map(b => parseFunction(Pb.parseFlightInfo(b))).toSeq
+  }
 
   private def parseFunction(info: Pb.FlightInfoMsg): FlightFunction = {
     val schema = MessageSerializer.deserializeSchema(
@@ -148,9 +180,11 @@ final class FlightClient(host: String, port: Int, timeoutMs: Int = 120000,
     }
 
   /** One DoExchange: write the argument rows as schema + record-batch
-    * `FlightData` messages, read back every result row. */
+    * `FlightData` messages, read back every result row. Replayed whole on a
+    * fresh connection after a transient failure (request messages are
+    * rebuilt per attempt — the exchange is a pure function of `rows`). */
   def exchange(fname: String, argTypes: Seq[DataType], rows: Seq[Seq[Any]],
-               argMeta: Seq[SMetadata] = Nil): Seq[Seq[Any]] = {
+               argMeta: Seq[SMetadata] = Nil): Seq[Seq[Any]] = withRetry {
     val meta = if (argMeta.nonEmpty) argMeta else argTypes.map(_ => SMetadata.empty)
     val schema = new ASchema(argTypes.zip(meta).zipWithIndex.map { case ((t, m), i) =>
       toArrowField(s"a$i", t, m) }.asJava)
@@ -190,20 +224,22 @@ final class FlightClient(host: String, port: Int, timeoutMs: Int = 120000,
         IpcFraming.write(ipc, fd.dataHeader, fd.dataBody)
       }
     }
-    if (!sawAny) return Seq.empty // zero-row exchange: no schema message came back
-    ipc.write(IpcFraming.Eos)
-    val reader = new ArrowStreamReader(new ByteArrayInputStream(ipc.toByteArray), allocator)
-    try {
-      val rroot = reader.getVectorSchemaRoot
-      val results = scala.collection.mutable.ArrayBuffer.empty[Seq[Any]]
-      while (reader.loadNextBatch()) {
-        val readers = rroot.getFieldVectors.asScala.map(cellReader).toArray
-        (0 until rroot.getRowCount).foreach { i =>
-          results += scala.collection.immutable.ArraySeq.unsafeWrapArray(readers.map(_(i)))
+    if (!sawAny) Seq.empty // zero-row exchange: no schema message came back
+    else {
+      ipc.write(IpcFraming.Eos)
+      val reader = new ArrowStreamReader(new ByteArrayInputStream(ipc.toByteArray), allocator)
+      try {
+        val rroot = reader.getVectorSchemaRoot
+        val results = scala.collection.mutable.ArrayBuffer.empty[Seq[Any]]
+        while (reader.loadNextBatch()) {
+          val readers = rroot.getFieldVectors.asScala.map(cellReader).toArray
+          (0 until rroot.getRowCount).foreach { i =>
+            results += scala.collection.immutable.ArraySeq.unsafeWrapArray(readers.map(_(i)))
+          }
         }
-      }
-      results.toSeq
-    } finally reader.close()
+        results.toSeq
+      } finally reader.close()
+    }
   }
 
   /** Run `f` into a buffer and split the encapsulated IPC framing into the

@@ -50,11 +50,18 @@ import scala.jdk.CollectionConverters._
 /** @param authToken when set, every RPC must carry
   *   `authorization: Bearer <token>` call metadata or is refused with
   *   UNAUTHENTICATED (16) — the Flight-wire expression of the graft wire's
-  *   AUTH verb (constant-time compare, per-RPC like gRPC interceptors). */
+  *   AUTH verb (constant-time compare, per-RPC like gRPC interceptors).
+  *   The check runs at HEADERS time, before any request body is buffered,
+  *   so an unauthenticated peer cannot stream bytes into server memory.
+  * @param bindHost listen address. Defaults to loopback for the in-process
+  *   fixture shape; a deployment fronting engine JVMs behind TCP load
+  *   balancing binds "0.0.0.0" (pair with `tls` + `authToken` — a non-local
+  *   bind without them serves the registry to anyone who can reach the port). */
 final class FlightServer(port: Int = 0,
                          backendPort: () => Int = () => graft.remote.RemoteFixture.port,
                          tls: Option[javax.net.ssl.SSLContext] = None,
-                         authToken: Option[String] = None)
+                         authToken: Option[String] = None,
+                         bindHost: String = "127.0.0.1")
     extends AutoCloseable {
   graft.functions.Builtins.ensureRegistered()
 
@@ -64,7 +71,7 @@ final class FlightServer(port: Int = 0,
     case None => new ServerSocket()
   }
   server.setReuseAddress(true)
-  server.bind(new InetSocketAddress("127.0.0.1", port))
+  server.bind(new InetSocketAddress(bindHost, port))
   def boundPort: Int = server.getLocalPort
   @volatile private var running = true
 
@@ -122,6 +129,20 @@ final class FlightServer(port: Int = 0,
   private final class H2Handler(sock: Socket) {
     import H2._
     private val RecvWindow = 1 << 23
+    /** Per-stream request-body cap. The protocol bounds a legitimate
+      * exchange to ~one [[RemoteProtocol.BatchSize]] batch, far below this;
+      * past it the stream is refused (RESOURCE_EXHAUSTED) and dropped so a
+      * misbehaving client can't grow an unbounded buffer. */
+    private val MaxBuffered = 64 << 20
+
+    /** Constant-time bearer check (gRPC-interceptor shape, per RPC). */
+    private def authorized(authorization: String): Boolean = authToken match {
+      case Some(tok) =>
+        java.security.MessageDigest.isEqual(
+          authorization.getBytes(StandardCharsets.UTF_8),
+          s"Bearer $tok".getBytes(StandardCharsets.UTF_8))
+      case None => true
+    }
 
     private val in = new DataInputStream(new BufferedInputStream(sock.getInputStream, 1 << 16))
     private val out = new BufferedOutputStream(sock.getOutputStream, 1 << 16)
@@ -202,6 +223,10 @@ final class FlightServer(port: Int = 0,
       tpe match {
         case FrameHeaders =>
           var off = 0; var end = len
+          // latch END_STREAM from the ORIGINAL HEADERS flags: the
+          // CONTINUATION loop below overwrites `flags`, and CONTINUATION
+          // frames carry no END_STREAM bit (RFC 9113 §6.10)
+          val endStream = (flags & FlagEndStream) != 0
           if ((flags & FlagPadded) != 0) { val pad = payload(0) & 0xff; off = 1; end = len - pad }
           if ((flags & FlagPriority) != 0) off += 5
           val block = new ByteArrayOutputStream()
@@ -221,15 +246,32 @@ final class FlightServer(port: Int = 0,
           }
           val buf = Unpooled.wrappedBuffer(block.toByteArray)
           val headers = try hpackDec.decodeHeaders(sid, buf) finally buf.release()
-          val req = new Req
-          req.path = Option(headers.path()).map(_.toString).getOrElse("")
-          req.authorization = Option(headers.get("authorization")).map(_.toString).getOrElse("")
-          streams(sid) = req
-          if ((flags & FlagEndStream) != 0) completed.append(sid)
+          val auth = Option(headers.get("authorization")).map(_.toString).getOrElse("")
+          if (!authorized(auth)) {
+            // refuse at HEADERS time, BEFORE buffering any body: the stream
+            // is never registered, so its DATA frames return connection
+            // credit but are dropped — an unauthenticated peer can't stream
+            // bytes into server memory. RST tells the client to stop sending.
+            sendTrailers(sid, 16, "unauthenticated", trailersOnly = true)
+            if (!endStream) { writeFrame(FrameRst, 0, sid, u32(8L)); out.flush() }
+          } else {
+            val req = new Req
+            req.path = Option(headers.path()).map(_.toString).getOrElse("")
+            req.authorization = auth
+            streams(sid) = req
+            if (endStream) completed.append(sid)
+          }
         case FrameData =>
           var off = 0; var n = len
           if ((flags & FlagPadded) != 0) { val pad = payload(0) & 0xff; off = 1; n = len - 1 - pad }
-          streams.get(sid).foreach(_.buf.write(payload, off, n))
+          streams.get(sid).foreach { req =>
+            if (req.buf.size() + n > MaxBuffered) {
+              sendTrailers(sid, 8, "request body exceeds per-stream limit",
+                trailersOnly = true)
+              writeFrame(FrameRst, 0, sid, u32(8L)); out.flush()
+              streams.remove(sid)
+            } else req.buf.write(payload, off, n)
+          }
           if (len > 0) {
             // connection credit returns even for unknown/reset streams — the
             // shared window must never leak on a cancelled stream's tail
@@ -350,16 +392,12 @@ final class FlightServer(port: Int = 0,
       val req = streams.getOrElse(sid, return)
       try {
         if (req.reset) return
-        authToken match {
-          case Some(tok) =>
-            val want = s"Bearer $tok".getBytes(StandardCharsets.UTF_8)
-            val got = req.authorization.getBytes(StandardCharsets.UTF_8)
-            if (!java.security.MessageDigest.isEqual(got, want)) {
-              try sendTrailers(sid, 16, "unauthenticated", trailersOnly = true)
-              catch { case _: Exception => }
-              return
-            }
-          case None =>
+        // defense in depth: HEADERS-time rejection means an unauthenticated
+        // stream is never registered, but re-verify before dispatch anyway
+        if (!authorized(req.authorization)) {
+          try sendTrailers(sid, 16, "unauthenticated", trailersOnly = true)
+          catch { case _: Exception => }
+          return
         }
         try {
           val msgs = parseMessages(req.buf.toByteArray)

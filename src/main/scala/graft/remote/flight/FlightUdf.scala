@@ -45,7 +45,18 @@ object FlightUdf {
   /** The shared partition shape: fan narrow inputs out, one pooled
     * [[FlightClient]] per partition (closed at task end, round-robin over
     * `endpoints`), one bounded row chunk per exchange; `perChunk` maps each
-    * chunk + its extracted argument rows to output rows. */
+    * chunk + its extracted argument rows to output rows.
+    *
+    * Resilience (the [[graft.remote.UdfClient]] discipline on the Flight
+    * wire): each client replays an exchange on its own endpoint after a
+    * transient failure ([[FlightClient]] `maxRetries`); when that endpoint
+    * stays dead, the partition FAILS OVER to the next endpoint in the pool
+    * and replays the chunk there — exchanges are stateless and chunk-scoped,
+    * so a replay is idempotent and already-emitted chunks are untouched. A
+    * dead endpoint at connect time is skipped the same way. Only when every
+    * endpoint refuses does the task fail (and Spark's task retry takes
+    * over). Deadline timeouts and gRPC statuses are never failed over —
+    * those are answers, not blips. */
   private def withPartitionClient(df: DataFrame, endpoints: Seq[(String, Int)],
       argCols: Seq[String], extraFields: Seq[StructField])(
       perChunk: (FlightClient, Seq[DataType], IndexedSeq[Row], Seq[Seq[Any]]) => Iterator[Row])
@@ -59,14 +70,57 @@ object FlightUdf {
       if (it.isEmpty) Iterator.empty
       else {
         val pid = Option(org.apache.spark.TaskContext.get()).map(_.partitionId()).getOrElse(0)
-        val (host, port) = eps(pid % eps.size)
-        val client = new FlightClient(host, port)
+        var epIdx = pid % eps.size
+        var client: FlightClient = null
+        // dial epIdx, skipping dead endpoints; a fully-dead ring is re-tried
+        // with exponential backoff (covers a restarting server's window — a
+        // single-endpoint pool mid-restart comes back within a few seconds)
+        // before the task fails and Spark-level retry takes over
+        def connect(): Unit = {
+          var pass = 0
+          var last: Throwable = null
+          while (client == null && pass < 5) {
+            var tries = 0
+            while (client == null && tries < eps.size) {
+              val (host, port) = eps((epIdx + tries) % eps.size)
+              try {
+                client = new FlightClient(host, port)
+                epIdx = (epIdx + tries) % eps.size
+              } catch {
+                case e: java.io.IOException => last = e; tries += 1
+              }
+            }
+            pass += 1
+            if (client == null && pass < 5) Thread.sleep(250L << pass)
+          }
+          if (client == null) throw last
+        }
+        connect()
         Option(org.apache.spark.TaskContext.get()).foreach(
-          _.addTaskCompletionListener[Unit](_ => client.close()))
+          _.addTaskCompletionListener[Unit](_ => if (client != null) client.close()))
         it.grouped(RemoteProtocol.BatchSize).flatMap { chunk0 =>
           val chunk = chunk0.toIndexedSeq
           val rows = chunk.map(r => argIdx.map(r.get))
-          perChunk(client, argTypes, chunk, rows)
+          var failedOver = 0
+          var res: Iterator[Row] = null
+          while (res == null) {
+            try res = perChunk(client, argTypes, chunk, rows)
+            catch {
+              case e: GrpcStatusException => throw e // server answered
+              case e: java.net.SocketTimeoutException => throw e // deadline
+              case e: java.io.IOException =>
+                // this endpoint is dead past its own retries: rotate (one
+                // full ring pass, plus one — a single-endpoint pool gets a
+                // reconnect-with-backoff shot at its restarted server)
+                failedOver += 1
+                if (failedOver > eps.size) throw e
+                try client.close() catch { case _: Exception => }
+                client = null
+                epIdx = (epIdx + 1) % eps.size
+                connect()
+            }
+          }
+          res
         }
       }
     }(enc)

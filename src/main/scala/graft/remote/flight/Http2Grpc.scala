@@ -94,6 +94,7 @@ private[flight] final class Http2Conn(host: String, port: Int, timeoutMs: Int = 
     var headers: Option[Http2Headers] = None
     var trailers: Option[Http2Headers] = None
     var remoteClosed = false
+    var localClosed = false // we sent END_STREAM (request fully written)
     var rstCode: Option[Long] = None
   }
   private var active: StreamState = null
@@ -228,6 +229,15 @@ private[flight] final class Http2Conn(host: String, port: Int, timeoutMs: Int = 
   def startRpc(path: String, extraHeaders: Seq[(String, String)] = Nil): Unit = {
     require(active == null || active.remoteClosed, "one RPC at a time per connection")
     goaway.foreach(msg => throw new IOException(s"connection closed by server: $msg"))
+    // if the previous RPC's request was abandoned mid-send (server ended the
+    // stream early and sendData dropped the tail), the stream is still open
+    // in the server's accounting (half-closed remote, never closed local) —
+    // reset it so repeated early-terminated RPCs on a reused connection
+    // can't accumulate against SETTINGS_MAX_CONCURRENT_STREAMS
+    if (active != null && !active.localClosed) {
+      writeFrame(FrameRst, 0, active.id, u32(0x8L)) // CANCEL
+      out.flush()
+    }
     val sid = nextStreamId
     nextStreamId += 2
     active = new StreamState(sid)
@@ -268,14 +278,17 @@ private[flight] final class Http2Conn(host: String, port: Int, timeoutMs: Int = 
       if (!s.remoteClosed) {
         val n = math.min(math.min(avail, peerMaxFrame.toLong), (bytes.length - off).toLong).toInt
         val last = endStream && off + n == bytes.length
+        if (last) s.localClosed = true
         writeFrame(FrameData, if (last) FlagEndStream else 0, s.id, bytes, off, n)
         off += n
         connSendWindow -= n
         s.sendWindow -= n
       }
     }
-    if (bytes.isEmpty && endStream && !s.remoteClosed)
+    if (bytes.isEmpty && endStream && !s.remoteClosed) {
+      s.localClosed = true
       writeFrame(FrameData, FlagEndStream, s.id, Array.emptyByteArray)
+    }
     out.flush()
   }
 

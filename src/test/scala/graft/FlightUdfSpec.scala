@@ -166,4 +166,82 @@ class FlightUdfSpec extends AnyFunSuite {
     // discovery-driven typing resolves the return type without a schema hint
     assert(FlightUdf.returnTypeOf(FlightWorker.endpoints.head, "flight_gcd") == IntegerType)
   }
+
+  // ---- failure parity with the in-house wire (RemoteUdfSpec discipline) ----
+
+  /** Spawn the REAL pyarrow fixture on a FIXED port and wait until it
+    * serves (so a restart reappears at the same endpoint). */
+  private def startFixture(port: Int): Process = {
+    val script = new java.io.File(sys.props("user.dir"), "tools/flightudf_server.py")
+    val p = new ProcessBuilder("python3", script.getAbsolutePath,
+      "--port", port.toString)
+      .redirectError(ProcessBuilder.Redirect.INHERIT).start()
+    val br = new java.io.BufferedReader(new java.io.InputStreamReader(p.getInputStream))
+    val line = br.readLine()
+    assert(line != null && line.startsWith("PORT "), s"fixture failed: $line")
+    p
+  }
+
+  private def freePort(): Int = {
+    val s = new java.net.ServerSocket(0)
+    try s.getLocalPort finally s.close()
+  }
+
+  test("transient connection loss: client reconnects and replays the exchange") {
+    val port = freePort()
+    var proc = startFixture(port)
+    val c = new FlightClient("127.0.0.1", port)
+    try {
+      assert(c.call("flight_gcd", Seq(IntegerType, IntegerType), Seq(Seq(12, 8))) == Seq(4))
+      // kill the server under the established connection, restart SAME port
+      proc.destroyForcibly().waitFor()
+      proc = startFixture(port)
+      // the EOF/reset is absorbed by withRetry: reconnect + replay, no task loss
+      assert(c.call("flight_gcd", Seq(IntegerType, IntegerType), Seq(Seq(54, 24))) == Seq(6))
+    } finally {
+      c.close()
+      proc.destroyForcibly()
+    }
+  }
+
+  test("endpoint failover: a dead endpoint in the pool is skipped at connect time") {
+    import spark.implicits._
+    val dead = ("127.0.0.1", freePort()) // nothing listening
+    val df = (1 to 2000).map(i => (i * 21, i % 14 + 1)).toDF("x", "y")
+    val out = FlightUdf.withFlightColumn(df, dead +: FlightWorker.endpoints,
+      "flight_gcd", Seq("x", "y"), IntegerType)
+    def gcd(a: Int, b: Int): Int = if (b == 0) a else gcd(b, a % b)
+    val got = out.collect()
+    assert(got.length == 2000)
+    got.foreach(r => assert(r.getInt(2) == gcd(r.getInt(0), r.getInt(1))))
+  }
+
+  test("kill and restart the pyarrow server MID-QUERY: the query completes") {
+    import spark.implicits._
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val port = freePort()
+    var proc = startFixture(port)
+    try {
+      // enough rows that the python-side per-row eval spans several seconds
+      // across many BatchSize chunks — the kill lands between exchanges
+      val df = (1 to 600000).map(i => (i * 37 + 1, i % 97 + 1)).toDF("x", "y")
+      val fut = Future {
+        FlightUdf.withFlightColumn(df, Seq(("127.0.0.1", port)),
+          "flight_gcd", Seq("x", "y"), IntegerType).collect()
+      }
+      Thread.sleep(500) // let the exchanges start
+      assert(!fut.isCompleted, "query finished before the kill — grow the input")
+      proc.destroyForcibly().waitFor() // hard kill: every live exchange dies
+      proc = startFixture(port)        // back at the same endpoint
+      val got = Await.result(fut, 120.seconds)
+      assert(got.length == 600000)
+      def gcd(a: Int, b: Int): Int = if (b == 0) a else gcd(b, a % b)
+      (0 until 600000 by 7919).foreach { i =>
+        val r = got(i)
+        assert(r.getInt(2) == gcd(r.getInt(0), r.getInt(1)), s"row $i")
+      }
+    } finally proc.destroyForcibly()
+  }
 }

@@ -132,7 +132,9 @@ FUNCTIONS = [
 
 
 class FixtureServer(flight.FlightServerBase):
-    def __init__(self, tls_dir=None):
+    def __init__(self, tls_dir=None, port=0):
+        # --port N: bind a FIXED port (default 0 = ephemeral) so a restarted
+        # fixture reappears at the same endpoint — the failover gate's shape
         # --tls <dir>: serve grpc+tls with <dir>/cert.pem + <dir>/key.pem —
         # the reference server's TLS deployment shape (UdfServer with
         # tls_certificates); exercises the Scala client's ALPN-h2 TLS path.
@@ -142,10 +144,10 @@ class FixtureServer(flight.FlightServerBase):
             with open(f"{tls_dir}/key.pem", "rb") as f:
                 key = f.read()
             super().__init__(
-                "grpc+tls://127.0.0.1:0",
+                f"grpc+tls://127.0.0.1:{port}",
                 tls_certificates=[flight.CertKeyPair(cert, key)])
         else:
-            super().__init__("grpc://127.0.0.1:0")
+            super().__init__(f"grpc://127.0.0.1:{port}")
         self.functions = {f.name: f for f in FUNCTIONS}
 
     def _info(self, udf):
@@ -178,8 +180,11 @@ class FixtureServer(flight.FlightServerBase):
 
 if __name__ == "__main__":
     tls_dir = None
+    port = 0
     if "--tls" in sys.argv:
         tls_dir = sys.argv[sys.argv.index("--tls") + 1]
-    server = FixtureServer(tls_dir)
+    if "--port" in sys.argv:
+        port = int(sys.argv[sys.argv.index("--port") + 1])
+    server = FixtureServer(tls_dir, port)
     print(f"PORT {server.port}", flush=True)
     server.serve()
