@@ -1113,7 +1113,11 @@ object Bench {
         val mem = MemoryStream[Streaming.TrendIn]
         val oldParts = s.conf.get("spark.sql.shuffle.partitions")
         s.conf.set("spark.sql.shuffle.partitions", "8")
-        val q = try Streaming.trendingStream(mem.toDS())
+        // retainDays = 0: this probe replays 200 days and checks EVERY day
+        // against the batch rollup — the explicit unbounded opt-out (the
+        // bounded default would correctly freeze days behind its horizon;
+        // that contract is x_trend_retain_500k's probe)
+        val q = try Streaming.trendingStream(mem.toDS(), retainDays = 0)
           .writeStream.format("memory").queryName("x_trend_replay_500k")
           .outputMode("update").start()
         finally s.conf.set("spark.sql.shuffle.partitions", oldParts)

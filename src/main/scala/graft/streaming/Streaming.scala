@@ -934,27 +934,33 @@ object Streaming {
    * feeds; pre-aggregate upstream (a `groupBy(type, day).count` per batch
    * before this operator would need a count-valued input, not offered here
    * to keep the operator exactly-once simple). State rows = live window-day
-   * keys × 1 — with `retainDays = 0` (the default) keys are NEVER evicted,
-   * so state grows by one row per DAY of stream lifetime (a dashboard that
-   * runs for a year holds ~365 rows per type-vocabulary — small, but
-   * unbounded in principle). Pass `retainDays > 0` for the bounded-state
-   * contract: window-day keys older than (max fanned day − retainDays)
-   * are evicted via event-time timeout, and fanned rows that late are
-   * dropped by the watermark — their windows keep their LAST in-retention
-   * emission, exactly the [[hllWindowStream]] retention contract. Size it
-   * `>= windowDays` so no live window's key can be evicted while current
-   * events still fan into it.
+   * keys × 1, BOUNDED by default: `retainDays` defaults to
+   * `2 * windowDays` (the [[hllWindowStream]] convention — a negative value
+   * selects this default), so window-day keys older than
+   * (max fanned day − retainDays) are evicted via event-time timeout and
+   * fanned rows that late are dropped by the watermark — their windows keep
+   * their LAST in-retention emission. Size an explicit `retainDays
+   * >= windowDays` so no live window's key can be evicted while current
+   * events still fan into it. Pass `retainDays = 0` to opt OUT of eviction
+   * entirely (state then grows one row per day of stream lifetime — ~365
+   * small rows/year; unbounded in principle, which is why it is no longer
+   * the default). On the retention path, day indexes must be `>= 0`:
+   * a negative day's fan rows sit at/below the initial zero watermark and
+   * would silently late-filter, so they are rejected with an error instead
+   * (the unbounded path accepts any day index).
    */
   def trendingStream(input: Dataset[TrendIn], windowDays: Int = 7,
-      k: Int = 3, retainDays: Int = 0): Dataset[TrendOut] = {
+      k: Int = 3, retainDays: Int = -1): Dataset[TrendOut] = {
     require(windowDays >= 1 && windowDays <= 370, "windowDays in 1..370")
     require(k >= 1 && k <= 1000, "k in 1..1000")
-    require(retainDays <= 0 || retainDays >= windowDays,
+    val retain = if (retainDays < 0) 2 * windowDays else retainDays
+    require(retain == 0 || retain >= windowDays,
       "retainDays must cover the window (or 0 for unbounded retention)")
     implicit val stateEnc: Encoder[TrendState] = Encoders.product[TrendState]
     implicit val outEnc: Encoder[TrendOut] = Encoders.product[TrendOut]
     implicit val keyEnc: Encoder[Long] = Encoders.scalaLong
     implicit val fanEnc: Encoder[TrendFan] = Encoders.product[TrendFan]
+    implicit val inEnc: Encoder[TrendIn] = Encoders.product[TrendIn]
     val dayMs = 86400000L
     def step(day: Long, rows: Iterator[TrendFan],
         state: GroupState[TrendState]): Iterator[TrendOut] =
@@ -967,7 +973,7 @@ object Streaming {
         rows.foreach(r => m(r.eventType) = m.getOrElse(r.eventType, 0L) + 1L)
         val sorted = m.toSeq.sortBy { case (t, c) => (-c, t) }
         state.update(TrendState(sorted.map(_._1), sorted.map(_._2)))
-        if (retainDays > 0)
+        if (retain > 0)
           // evict at the first watermark advance past this window-day's own
           // event time: with the watermark delayed by retainDays, that is
           // maxFannedDay − retainDays > day — the same horizon at which the
@@ -982,16 +988,26 @@ object Streaming {
       }
     // ts = (w + 1) days: the +1 keeps day 0 strictly above Spark's initial
     // zero watermark (a row at exactly the watermark is late-filtered).
-    // Day indexes must be >= 0 on the retention path for the same reason.
-    val fanned = input.filter(_.eventType != null)
+    // Day indexes must be >= 0 on the retention path for the same reason —
+    // enforced below rather than silently dropped.
+    val guarded =
+      if (retain > 0) input.map { r =>
+        if (r.day < 0) throw new IllegalArgumentException(
+          s"trendingStream: negative day index ${r.day} on the retention " +
+            "path (its fan rows would sit at/below the initial watermark " +
+            "and be silently dropped); shift day indexes to >= 0 or pass " +
+            "retainDays = 0 for unbounded retention")
+        r
+      } else input
+    val fanned = guarded.filter(_.eventType != null)
       .flatMap(r => (r.day until r.day + windowDays)
         .map(w => TrendFan(w, r.eventType, new java.sql.Timestamp((w + 1) * dayMs))))
-    if (retainDays <= 0)
+    if (retain <= 0)
       fanned.groupByKey(_.day)
         .flatMapGroupsWithState[TrendState, TrendOut](
           OutputMode.Update(), GroupStateTimeout.NoTimeout())(step)
     else
-      fanned.withWatermark("ts", s"$retainDays days")
+      fanned.withWatermark("ts", s"$retain days")
         .groupByKey(_.day)
         .flatMapGroupsWithState[TrendState, TrendOut](
           OutputMode.Update(), GroupStateTimeout.EventTimeTimeout())(step)

@@ -828,7 +828,71 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
-  test("batch ≡ stream: trendingStream equals the trending rollup on days ≤ max event day") {
+  test("batch ≡ stream: trendingStream DEFAULT path (bounded retention) equals the rollup") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx = spark.sqlContext
+    val rnd = new scala.util.Random(41)
+    val types = Seq("click", "view", "buy", "share", "like")
+    // span ≤ default retention (2*windowDays = 14 fan-ts days): the bounded
+    // DEFAULT must still be exactly batch-parity when the data fits retention
+    val rows = (0 until 700).map { _ =>
+      val t = types(rnd.nextInt(types.size) min rnd.nextInt(types.size))
+      Streaming.TrendIn(t, Seq(0L, 1L, 2L, 4L, 5L, 6L)(rnd.nextInt(6)))
+    }
+    val dmax = rows.map(_.day).max
+    val daily = rows.toDF("event_type", "day")
+      .groupBy("event_type", "day").agg(count(lit(1)).as("c"))
+    val fanned = daily.select(col("event_type"), col("c"),
+        explode(sequence(col("day"), col("day") + 6)).as("day"))
+      .groupBy("day", "event_type").agg(sum("c").as("cnt7"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("day").orderBy(col("cnt7").desc, col("event_type"))
+    val want = fanned.where(col("day") <= dmax)
+      .withColumn("rank", row_number().over(w)).where(col("rank") <= 3)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(3)) -> ((r.getString(1), r.getLong(2))))
+      .toMap
+    val results = scala.collection.mutable.Map.empty[(Long, Int), (String, Long)]
+    val mem = MemoryStream[Streaming.TrendIn]
+    val q = Streaming.trendingStream(mem.toDS()) // all defaults: retention ON
+      .writeStream.outputMode(OutputMode.Update())
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[Streaming.TrendOut], _: Long) =>
+        df.collect().foreach(r => results.synchronized {
+          results((r.day, r.rank)) = (r.eventType, r.cnt7) })
+      }.start()
+    try {
+      rows.grouped(rows.size / 3 + 1).foreach { c =>
+        mem.addData(c: _*); q.processAllAvailable()
+      }
+      val got = results.toMap.filter(_._1._1 <= dmax)
+      assert(got == want, s"default-path stream $got vs batch $want")
+      // the default path IS the watermarked one: the query carries state
+      // with an event-time watermark (retention armed out of the box)
+      val prog = q.recentProgress.filter(_.stateOperators.nonEmpty)
+      assert(prog.nonEmpty && prog.last.eventTime.containsKey("watermark"),
+        "default trendingStream should run with a watermark (bounded state)")
+    } finally q.stop()
+  }
+
+  test("trendingStream: negative day indexes are rejected on the retention path") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Streaming.TrendIn]
+    val q = Streaming.trendingStream(mem.toDS()) // default = bounded
+      .writeStream.outputMode(OutputMode.Update())
+      .format("noop").start()
+    try {
+      mem.addData(Streaming.TrendIn("a", -1L))
+      val ex = intercept[Exception] { q.processAllAvailable() }
+      def chain(t: Throwable): Seq[String] =
+        if (t == null) Nil else Option(t.getMessage).toSeq ++ chain(t.getCause)
+      assert(chain(ex).exists(_.contains("negative day index")),
+        chain(ex).mkString(" | "))
+    } finally q.stop()
+  }
+
+  test("batch ≡ stream: trendingStream unbounded opt-out (retainDays=0) on a 12-day span") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
     implicit val sqlCtx = spark.sqlContext
@@ -855,7 +919,9 @@ class StreamingSpec extends AnyFunSuite {
       .toMap
     val results = scala.collection.mutable.Map.empty[(Long, Int), (String, Long)]
     val mem = MemoryStream[Streaming.TrendIn]
-    val q = Streaming.trendingStream(mem.toDS())
+    // spans 12 event days (17 fan days) > default retention: the explicit
+    // retainDays = 0 opt-out must never drop or evict anything
+    val q = Streaming.trendingStream(mem.toDS(), retainDays = 0)
       .writeStream.outputMode(OutputMode.Update())
       .foreachBatch { (df: org.apache.spark.sql.Dataset[Streaming.TrendOut], _: Long) =>
         df.collect().foreach(r => results.synchronized {
