@@ -113,6 +113,29 @@ object Graft {
     functionsDf(spark).createOrReplaceTempView("graft_functions")
   }
 
+  /** [[install]] with re-keyed extension-metadata tags — the embedding knob
+    * for hosts running graft next to another Arrow producer that claims the
+    * `ARROW:extension:name` namespace (the reference's
+    * `set_arrow_extension_key` / `set_json_extension_name` surface,
+    * `python/pyarrow.rs:104-133`). Configures the tags FIRST, then installs,
+    * so builtin signatures registered by this call parse under the new tags.
+    * Contract: call before any other registration in the JVM — signatures
+    * parsed earlier keep the tags that were live when they were parsed
+    * (the reference's global setters share this configure-before-build
+    * shape). The tags flow everywhere from here: field metadata, overload
+    * resolution, and the `ARROW:extension:name`-keyed field tags on every
+    * wire (in-house, Flight, wasm, script runtimes). */
+  def install(spark: SparkSession,
+              extensionKey: String,
+              jsonExtName: String = graft.types.GraftType.DefaultJsonExt,
+              decimalExtName: String = graft.types.GraftType.DefaultDecimalExt,
+              opaqueExtName: String = graft.types.GraftType.DefaultPickleExt,
+              timeExtName: String = graft.types.GraftType.DefaultTimeExt): Unit = {
+    graft.types.GraftType.configureExtensionTags(
+      extensionKey, jsonExtName, decimalExtName, opaqueExtName, timeExtName)
+    install(spark)
+  }
+
   /** One row per registered overload: `(name, signature, kind, deterministic,
     * fallible, call_mode)` — queryable as the `graft_functions` temp view
     * after [[install]]. */

@@ -54,7 +54,9 @@ object RemoteProtocol {
     * many rows; one bounded batch per exchange keeps the strictly-sequential
     * write-then-read ordering deadlock-free at any size. */
   val BatchSize = 8192
-  val ExtKey = graft.types.GraftType.ExtensionKey
+  /** Live extension-metadata key (def, not val: re-keyable via
+    * [[graft.types.GraftType.configureExtensionTags]]). */
+  def ExtKey: String = graft.types.GraftType.ExtensionKey
   /** Wire protocol version (reference: `do_action(protocol_version) = 2`). */
   // v3: JS framing carries int64 as decimal strings (BigInt-exact) — a v2
   // worker would silently string-concat where v3 expects arithmetic, so the

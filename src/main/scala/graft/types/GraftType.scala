@@ -15,13 +15,56 @@ import org.apache.spark.sql.types._
  */
 object GraftType {
 
-  /** Metadata key used by Arrow for extension types; we keep the same key so
-    * schemas round-trip through Arrow IPC unchanged. */
-  val ExtensionKey = "ARROW:extension:name"
-  val JsonExt      = "graft.json"
-  val DecimalExt   = "graft.decimal"
-  val PickleExt    = "graft.opaque" // opaque serialized state (ref: arrowudf.pickle)
-  val TimeExt      = "graft.time64" // µs-of-day carried in a LongType
+  /** Default extension-metadata tags. The standard Arrow key plus graft's
+    * own value names — schemas round-trip through Arrow IPC unchanged. */
+  val DefaultExtensionKey = "ARROW:extension:name"
+  val DefaultJsonExt      = "graft.json"
+  val DefaultDecimalExt   = "graft.decimal"
+  val DefaultPickleExt    = "graft.opaque" // opaque serialized state (ref: arrowudf.pickle)
+  val DefaultTimeExt      = "graft.time64" // µs-of-day carried in a LongType
+
+  // Live tags — re-keyable for hosts embedding graft next to another Arrow
+  // producer that claims the same metadata namespace (the reference's
+  // set_arrow_extension_key / set_json_extension_name surface,
+  // `python/pyarrow.rs:104-133`, `js/jsarrow.rs:184-203`). @volatile: set
+  // once at session setup, read from executor-side encode/decode paths.
+  @volatile private var extensionKeyV = DefaultExtensionKey
+  @volatile private var jsonExtV      = DefaultJsonExt
+  @volatile private var decimalExtV   = DefaultDecimalExt
+  @volatile private var pickleExtV    = DefaultPickleExt
+  @volatile private var timeExtV      = DefaultTimeExt
+
+  /** Metadata key used for Arrow extension types (re-keyable). */
+  def ExtensionKey: String = extensionKeyV
+  def JsonExt: String      = jsonExtV
+  def DecimalExt: String   = decimalExtV
+  def PickleExt: String    = pickleExtV
+  def TimeExt: String      = timeExtV
+
+  /** Re-key the extension-metadata tags. Call BEFORE registering functions /
+    * [[graft.Graft.install]]: signatures parsed earlier carry the tags that
+    * were live at parse time (the same configure-before-build contract as the
+    * reference's global setters). Affects schema encode/decode everywhere —
+    * field metadata, Arrow IPC field tags on every wire, overload
+    * resolution. Defaults restore via [[resetExtensionTags]]. */
+  def configureExtensionTags(extensionKey: String = DefaultExtensionKey,
+                             jsonName: String = DefaultJsonExt,
+                             decimalName: String = DefaultDecimalExt,
+                             opaqueName: String = DefaultPickleExt,
+                             timeName: String = DefaultTimeExt): Unit = {
+    require(extensionKey.nonEmpty && jsonName.nonEmpty && decimalName.nonEmpty &&
+      opaqueName.nonEmpty && timeName.nonEmpty, "extension tags must be non-empty")
+    require(Seq(jsonName, decimalName, opaqueName, timeName).distinct.size == 4,
+      "extension value names must be distinct (they drive overload resolution)")
+    extensionKeyV = extensionKey
+    jsonExtV = jsonName
+    decimalExtV = decimalName
+    pickleExtV = opaqueName
+    timeExtV = timeName
+  }
+
+  /** Restore the default extension tags (test hygiene). */
+  def resetExtensionTags(): Unit = configureExtensionTags()
 
   private def ext(name: String): Metadata =
     new MetadataBuilder().putString(ExtensionKey, name).build()

@@ -48,6 +48,56 @@ class TypePropertySpec extends AnyFunSuite {
       org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.IntegerType))
   }
 
+  test("re-keyed extension tags: parse + Arrow field round-trip under custom names") {
+    // the reference's set_arrow_extension_key / set_json_extension_name
+    // surface (pyarrow.rs:104-133): a host embedding graft next to another
+    // Arrow producer re-keys the extension tags; every metadata-tagged type
+    // must parse, tag, and round-trip through the Arrow wire mapping under
+    // the custom names exactly as under the defaults
+    import org.apache.spark.sql.types._
+    try {
+      GraftType.configureExtensionTags(
+        extensionKey = "MYORG:ext:name", jsonName = "myorg.js0n",
+        decimalName = "myorg.dec", opaqueName = "myorg.blob",
+        timeName = "myorg.t64")
+      // parse attaches the re-keyed tags
+      val j = GraftType.parse("json")
+      assert(j.metadata.contains("MYORG:ext:name"))
+      assert(GraftType.extensionOf(j.metadata).contains("myorg.js0n"))
+      val d = GraftType.parse("decimal")
+      assert(GraftType.extensionOf(d.metadata).contains("myorg.dec"))
+      val t = GraftType.parse("time64")
+      assert(GraftType.extensionOf(t.metadata).contains("myorg.t64"))
+      // Arrow field round-trip preserves type AND the re-keyed tag both ways
+      check(Prop.forAll(Gen.oneOf("json", "decimal", "time64")) { n =>
+        val g = GraftType.parse(n)
+        val f = graft.remote.RemoteProtocol.toArrowField("c", g.dataType, g.metadata)
+        val kv = f.getMetadata
+        val (dt, md) = graft.remote.RemoteProtocol.fromArrowField(f)
+        kv.get("MYORG:ext:name") == GraftType.extensionOf(g.metadata).get &&
+          DataType.equalsStructurally(dt, g.dataType, ignoreNullability = true) &&
+          GraftType.extensionOf(md) == GraftType.extensionOf(g.metadata)
+      })
+      // time64 still rides as a REAL Arrow Time64 under the custom tag
+      val tf = graft.remote.RemoteProtocol.toArrowField("t", t.dataType, t.metadata)
+      assert(tf.getType.isInstanceOf[org.apache.arrow.vector.types.pojo.ArrowType.Time])
+      // overload-resolution equality keys on the re-keyed tag
+      assert(!j.accepts(StringType, Metadata.empty))
+      assert(j.accepts(StringType, j.metadata))
+      // distinct-name and non-empty guards hold
+      intercept[IllegalArgumentException] {
+        GraftType.configureExtensionTags(jsonName = "x", decimalName = "x")
+      }
+      intercept[IllegalArgumentException] {
+        GraftType.configureExtensionTags(extensionKey = "")
+      }
+    } finally GraftType.resetExtensionTags()
+    // defaults restored: a fresh parse carries the stock Arrow key again
+    val j2 = GraftType.parse("json")
+    assert(j2.metadata.contains("ARROW:extension:name"))
+    assert(GraftType.extensionOf(j2.metadata).contains("graft.json"))
+  }
+
   test("signature string round trips through toString for arbitrary arities") {
     check(Prop.forAll(Gen.listOfN(3, scalarNames), Gen.oneOf(true, false)) { (args, table) =>
       val arrow = if (table) "->>" else "->"
