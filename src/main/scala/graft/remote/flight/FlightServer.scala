@@ -57,6 +57,11 @@ import scala.jdk.CollectionConverters._
   *   fixture shape; a deployment fronting engine JVMs behind TCP load
   *   balancing binds "0.0.0.0" (pair with `tls` + `authToken` — a non-local
   *   bind without them serves the registry to anyone who can reach the port). */
+/** A request the client framed wrongly — mapped to INVALID_ARGUMENT (3), so
+  * reference clients distinguish their own bad input from server faults
+  * (INTERNAL, 13). */
+private[flight] final class BadRequest(msg: String) extends IOException(msg)
+
 final class FlightServer(port: Int = 0,
                          backendPort: () => Int = () => graft.remote.RemoteFixture.port,
                          tls: Option[javax.net.ssl.SSLContext] = None,
@@ -375,14 +380,25 @@ final class FlightServer(port: Int = 0,
       val msgs = Vector.newBuilder[Array[Byte]]
       var p = 0
       while (p + 5 <= bytes.length) {
-        if (bytes(p) != 0) throw new IOException("compressed gRPC messages not supported")
+        if (bytes(p) != 0) throw new BadRequest("compressed gRPC messages not supported")
         val n = ((bytes(p + 1) & 0xff) << 24) | ((bytes(p + 2) & 0xff) << 16) |
           ((bytes(p + 3) & 0xff) << 8) | (bytes(p + 4) & 0xff)
+        if (n < 0 || p + 5 + n > bytes.length)
+          throw new BadRequest(s"truncated gRPC message (declared $n bytes)")
         msgs += java.util.Arrays.copyOfRange(bytes, p + 5, p + 5 + n)
         p += 5 + n
       }
       msgs.result()
     }
+
+    /** Parse a protobuf request message, mapping any decode failure to
+      * INVALID_ARGUMENT rather than INTERNAL. */
+    private def parsed[T](what: String)(f: => T): T =
+      try f catch {
+        case e: BadRequest => throw e
+        case e: Exception => throw new BadRequest(
+          s"malformed $what: ${Option(e.getMessage).getOrElse(e.getClass.getSimpleName)}")
+      }
 
     /** The stream stays IN `streams` for the whole dispatch, so WINDOW_UPDATE
       * credit and RST_STREAM for the response being written still reach it
@@ -403,13 +419,27 @@ final class FlightServer(port: Int = 0,
           val msgs = parseMessages(req.buf.toByteArray)
           req.path match {
             case "/arrow.flight.protocol.FlightService/DoAction" =>
-              val (tpe, _) = Pb.parseAction(msgs.headOption.getOrElse(Pb.Empty))
+              val (tpe, _) = parsed("Action")(
+                Pb.parseAction(msgs.headOption.getOrElse(Pb.Empty)))
               if (tpe == "protocol_version")
                 respond(sid, req, Seq(Pb.result(Array[Byte](2))))
-              else sendTrailers(sid, 12, s"unimplemented action: $tpe", trailersOnly = true)
+              else
+                // aggregate-lifecycle actions (create_state/accumulate/...)
+                // and anything else this server does not define fail the
+                // reference's way: UNIMPLEMENTED, connection intact
+                sendTrailers(sid, 12, s"unimplemented action: $tpe", trailersOnly = true)
             case "/arrow.flight.protocol.FlightService/GetFlightInfo" =>
-              val path = Pb.parseDescriptorPath(new Pb.Reader(msgs.head))
+              if (msgs.isEmpty) {
+                sendTrailers(sid, 3, "missing FlightDescriptor", trailersOnly = true)
+                return
+              }
+              val path = parsed("FlightDescriptor")(
+                Pb.parseDescriptorPath(new Pb.Reader(msgs.head)))
               val name = path.headOption.getOrElse("")
+              if (name.isEmpty) {
+                sendTrailers(sid, 3, "descriptor has no path (name)", trailersOnly = true)
+                return
+              }
               Registry.global.lookup(name).headOption match {
                 case Some(fd) => respond(sid, req, Seq(infoFor(fd)))
                 case None => sendTrailers(sid, 5, s"no function $name", trailersOnly = true)
@@ -434,8 +464,9 @@ final class FlightServer(port: Int = 0,
             // if response HEADERS already went out, the error must ride plain
             // trailers — a second :status pseudo-header in a trailing HEADERS
             // block is a connection-killing PROTOCOL_ERROR (RFC 9113 §8.3)
+            val code = e match { case _: BadRequest => 3; case _ => 13 }
             val msg = Option(e.getMessage).getOrElse(e.getClass.getSimpleName)
-            try sendTrailers(sid, 13, msg, trailersOnly = !req.headersSent)
+            try sendTrailers(sid, code, msg, trailersOnly = !req.headersSent)
             catch { case _: Exception => }
         }
       } finally streams.remove(sid)
@@ -452,8 +483,30 @@ final class FlightServer(port: Int = 0,
       * `CALL`/`CALLTABLE` request; every response IPC message re-frames to
       * one outbound FlightData, streamed as the backend produces it. */
     private def doExchange(sid: Int, req: Req, msgs: Vector[Array[Byte]]): Unit = {
-      val data = msgs.map(Pb.parseFlightData)
+      val data = parsed("FlightData")(msgs.map(Pb.parseFlightData))
       val name = data.flatMap(_.descriptorPath.headOption).headOption.getOrElse("")
+      if (name.isEmpty) {
+        sendTrailers(sid, 3,
+          "DoExchange carries no FlightDescriptor path (function name)",
+          trailersOnly = true)
+        return
+      }
+      // malformed IPC fails as the CLIENT's error before touching the
+      // backend: each data_header must be a structurally valid flatbuffer
+      // Message of kind Schema/RecordBatch/DictionaryBatch
+      data.filter(_.dataHeader.nonEmpty).foreach { fd =>
+        parsed("Arrow IPC message header") {
+          val m = org.apache.arrow.flatbuf.Message.getRootAsMessage(
+            java.nio.ByteBuffer.wrap(fd.dataHeader))
+          val ht = m.headerType()
+          if (ht != org.apache.arrow.flatbuf.MessageHeader.Schema &&
+              ht != org.apache.arrow.flatbuf.MessageHeader.RecordBatch &&
+              ht != org.apache.arrow.flatbuf.MessageHeader.DictionaryBatch)
+            throw new IOException(s"unexpected IPC header type $ht")
+          if (m.bodyLength() < 0 || m.bodyLength() > Int.MaxValue)
+            throw new IOException(s"bad IPC body length ${m.bodyLength()}")
+        }
+      }
       val defs = Registry.global.lookup(name)
       if (defs.isEmpty) {
         sendTrailers(sid, 5, s"no function $name", trailersOnly = true)

@@ -81,7 +81,12 @@ private[graft] object Pb {
     def skip(wire: Int): Unit = wire match {
       case 0 => readVarint()
       case 1 => pos += 8
-      case 2 => pos += readVarint().toInt
+      case 2 =>
+        // NOT `pos += readVarint()`: Scala loads the old `pos` before the
+        // call, and readVarint() itself advances `pos` — the compound form
+        // silently rewinds the cursor by the varint's width
+        val n = readVarint().toInt
+        pos += n
       case 5 => pos += 4
       case w => throw new IllegalArgumentException(s"unsupported wire type $w")
     }

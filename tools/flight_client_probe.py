@@ -95,7 +95,83 @@ def main():
         except Exception:
             pass
 
+    if "--negative" in sys.argv:
+        negative(c)
+
     print("DONE")
+
+
+def negative(c):
+    """Negative-path gates: verbs graft's Flight server does not define must
+    fail with CLEAN gRPC statuses a reference client maps to typed errors —
+    never a hung stream or a killed connection. After every failure the SAME
+    connection keeps working (checked at the end)."""
+    schema = pa.schema([("a", pa.int32()), ("b", pa.int32())])
+
+    # aggregate-lifecycle actions (reference protocol v3 DoAction verbs):
+    # not defined by this server -> UNIMPLEMENTED
+    for act in ("create_state", "accumulate", "merge", "finish"):
+        try:
+            list(c.do_action(fl.Action(act, b"gcd")))
+            print(f"AGG_{act} False")
+        except pa.lib.ArrowNotImplementedError as e:
+            print(f"AGG_{act}", "unimplemented" in str(e).lower())
+        except Exception as e:
+            print(f"AGG_{act} WRONGTYPE {type(e).__name__}")
+
+    # list_actions / do_get / do_put: whole verbs outside the UDF protocol
+    try:
+        list(c.list_actions())
+        print("LISTACTIONS False")
+    except pa.lib.ArrowNotImplementedError:
+        print("LISTACTIONS True")
+    except Exception as e:
+        print("LISTACTIONS WRONGTYPE", type(e).__name__)
+    try:
+        r = c.do_get(fl.Ticket(b"gcd"))
+        r.read_all()
+        print("DOGET False")
+    except pa.lib.ArrowNotImplementedError:
+        print("DOGET True")
+    except Exception as e:
+        print("DOGET WRONGTYPE", type(e).__name__)
+
+    # unknown descriptor on discovery -> NOT_FOUND (ArrowKeyError in pyarrow)
+    try:
+        c.get_flight_info(fl.FlightDescriptor.for_path("definitely_not_there"))
+        print("INFO_UNKNOWN False")
+    except pa.lib.ArrowKeyError as e:
+        print("INFO_UNKNOWN", "no function" in str(e))
+    except Exception as e:
+        print("INFO_UNKNOWN WRONGTYPE", type(e).__name__)
+
+    # DoExchange with a command descriptor (no path): INVALID_ARGUMENT
+    w = None
+    try:
+        w, r = c.do_exchange(fl.FlightDescriptor.for_command(b"not-a-path"))
+        w.begin(schema)
+        w.write_batch(pa.RecordBatch.from_arrays(
+            [pa.array([1], pa.int32()), pa.array([1], pa.int32())], schema=schema))
+        w.done_writing()
+        r.read_all()
+        print("EXCHANGE_NOPATH False")
+    except pa.lib.ArrowInvalid as e:
+        print("EXCHANGE_NOPATH", "no FlightDescriptor path" in str(e))
+    except Exception as e:
+        print("EXCHANGE_NOPATH WRONGTYPE", type(e).__name__, str(e)[:80])
+    if w is not None:
+        try:
+            w.close()
+        except Exception:
+            pass
+
+    # the connection survived every refused verb: a normal call still works
+    w, r = c.do_exchange(fl.FlightDescriptor.for_path("gcd"))
+    w.begin(schema)
+    w.write_batch(pa.RecordBatch.from_arrays(
+        [pa.array([54], pa.int32()), pa.array([24], pa.int32())], schema=schema))
+    w.done_writing()
+    print("SURVIVES", r.read_all().column("value").to_pylist() == [6])
 
 
 if __name__ == "__main__":
