@@ -430,6 +430,31 @@ object Bench {
             "gcd", Seq("a", "b"), org.apache.spark.sql.types.IntegerType)
           .write.format("noop").mode("overwrite").save()
       },
+      // Per-exchange overhead isolation (r13): the same 1M-row gcd against
+      // the REAL pyarrow server pool at a deliberately small 512-row batch.
+      // Per-chunk opens ~2000 DoExchanges (HEADERS + schema + trailers per
+      // 512 rows); streamed pays that setup ONCE per partition over one
+      // long-lived DoExchange (the reference server's native multi-batch
+      // shape, UdfProducer.java:104-139). The pair's delta IS the recorded
+      // per-exchange amortization win.
+      "x_flight_perchunk_1m_b512" -> { s: SparkSession =>
+        val eps = graft.remote.flight.FlightWorker.endpoints
+        val df = s.range(1000000L)
+          .selectExpr("CAST(id % 1000003 AS INT) AS a", "CAST(id % 999983 AS INT) AS b")
+        graft.remote.flight.FlightUdf.withFlightColumn(df, eps,
+            "flight_gcd", Seq("a", "b"), org.apache.spark.sql.types.IntegerType,
+            batchRows = 512)
+          .write.format("noop").mode("overwrite").save()
+      },
+      "x_flight_stream_1m_b512" -> { s: SparkSession =>
+        val eps = graft.remote.flight.FlightWorker.endpoints
+        val df = s.range(1000000L)
+          .selectExpr("CAST(id % 1000003 AS INT) AS a", "CAST(id % 999983 AS INT) AS b")
+        graft.remote.flight.FlightUdf.withFlightColumnStreamed(df, eps,
+            "flight_gcd", Seq("a", "b"), org.apache.spark.sql.types.IntegerType,
+            batchRows = 512)
+          .write.format("noop").mode("overwrite").save()
+      },
       // ANN at 1M vectors: exact brute-force vs the int8-quantized corpus
       // (a quarter of the scan bytes — the 100 TB lever q_quantized_topk
       // verifies for correctness at small SF).
@@ -1662,7 +1687,11 @@ object Bench {
       ("x_ann_|x_lsh_join_1m", () => { annBenchParquet(spark); () }),
       ("x_ann_recall_1m", () => { annClusteredParquet(spark); () }),
       ("x_scd2_apply_20m", () => { scd2HistParquet(spark); () }),
-      ("x_bucketed_join", () => { bucketedTablesFixture(liveSession()); () }))
+      ("x_bucketed_join", () => { bucketedTablesFixture(liveSession()); () }),
+      // pyarrow server pool start (python + pyarrow import) is fixture cost,
+      // not exchange cost — pre-warm before rep 1
+      ("x_flight_perchunk_|x_flight_stream_",
+        () => { graft.remote.flight.FlightWorker.endpoints; () }))
     fixtureUsers.foreach { case (pat, build) =>
       if (pat.split('|').exists(p => benchables.exists(_._1.contains(p)))) build()
     }

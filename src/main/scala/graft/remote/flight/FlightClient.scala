@@ -242,6 +242,123 @@ final class FlightClient(host: String, port: Int, timeoutMs: Int = 120000,
     }
   }
 
+  // ---- long-lived DoExchange (reference multi-batch streaming mode) ---------
+
+  /** Pull-based InputStream over a bidi call's response `FlightData`
+    * messages, re-encapsulated as one Arrow IPC stream (EOS appended when
+    * the server closes) — feeds a stock [[ArrowStreamReader]] batch by
+    * batch without buffering the whole response. */
+  private final class FlightDataStream(rpc: GrpcConn#BidiCall)
+      extends java.io.InputStream {
+    private var cur: Array[Byte] = Array.emptyByteArray
+    private var pos = 0
+    private var sawEos = false
+    private def refill(): Boolean = {
+      if (pos < cur.length) return true
+      if (sawEos) return false
+      rpc.recv() match {
+        case Some(msg) =>
+          val fd = Pb.parseFlightData(msg)
+          if (fd.dataHeader.isEmpty) refill() // metadata-only message: skip
+          else {
+            val bos = new ByteArrayOutputStream()
+            IpcFraming.write(bos, fd.dataHeader, fd.dataBody)
+            cur = bos.toByteArray; pos = 0
+            true
+          }
+        case None => // status already verified by recv()
+          sawEos = true
+          cur = IpcFraming.Eos; pos = 0
+          true
+      }
+    }
+    override def read(): Int =
+      if (!refill()) -1 else { val b = cur(pos) & 0xff; pos += 1; b }
+    override def read(b: Array[Byte], off: Int, len: Int): Int = {
+      if (len == 0) return 0
+      if (!refill()) return -1
+      val n = math.min(len, cur.length - pos)
+      System.arraycopy(cur, pos, b, off, n)
+      pos += n
+      n
+    }
+  }
+
+  /**
+   * One LONG-LIVED DoExchange carrying many batches — the reference server's
+   * native shape (`UdfProducer.java:104-139` loops the inbound stream; the
+   * Python fixture's `for chunk in reader`). Each [[ExchangeStream.call]]
+   * ping-pongs ONE bounded batch: write it, then read exactly its result
+   * rows before the next write — so the half-duplex flow-control invariant
+   * still holds (at most one batch in flight per direction) while the
+   * per-exchange setup (HEADERS, descriptor, schema, trailers) amortizes
+   * over the whole partition instead of every chunk.
+   *
+   * Requires a server that evaluates batches INCREMENTALLY as they arrive
+   * (the reference Java/Python servers do). A server that buffers the whole
+   * request before responding would deadlock the ping-pong — the read
+   * deadline (`timeoutMs`) bounds that failure. graft's own [[FlightServer]]
+   * dispatches at end-of-request, so graft→graft uses the per-chunk
+   * [[exchange]] path instead.
+   */
+  final class ExchangeStream private[FlightClient] (fname: String,
+      argTypes: Seq[DataType], argMeta: Seq[SMetadata]) extends AutoCloseable {
+    private val meta = if (argMeta.nonEmpty) argMeta else argTypes.map(_ => SMetadata.empty)
+    private val schema = new ASchema(argTypes.zip(meta).zipWithIndex.map { case ((t, m), i) =>
+      toArrowField(s"a$i", t, m) }.asJava)
+    private val rpc = grpc.bidi(s"$Service/DoExchange")
+    locally {
+      val (schemaHeader, _) = encapsulated(ch => { MessageSerializer.serialize(ch, schema); () })
+      rpc.send(Pb.flightData(Some(Pb.descriptorPath(fname)), schemaHeader, Pb.Empty))
+    }
+    private val reader = new ArrowStreamReader(new FlightDataStream(rpc), allocator)
+
+    /** Send one bounded batch of rows, read back exactly its result rows. */
+    def call(rows: Seq[Seq[Any]]): Seq[Seq[Any]] = {
+      require(rows.nonEmpty, "streamed exchange batches must be non-empty")
+      val root = VectorSchemaRoot.create(schema, allocator)
+      try {
+        root.allocateNew()
+        val writers = argTypes.indices.map(j => cellWriter(root.getVector(j)))
+        rows.zipWithIndex.foreach { case (row, i) =>
+          var j = 0
+          while (j < writers.length) { writers(j)(i, row(j)); j += 1 }
+        }
+        root.setRowCount(rows.size)
+        val batch = new VectorUnloader(root).getRecordBatch
+        try {
+          val (header, body) = encapsulated(ch => { MessageSerializer.serialize(ch, batch); () })
+          rpc.send(Pb.flightData(None, header, body))
+        } finally batch.close()
+      } finally root.close()
+      // one result batch per input batch (reference contract); tolerate a
+      // server that splits it, by reading until the row count is covered
+      val out = scala.collection.mutable.ArrayBuffer.empty[Seq[Any]]
+      val rroot = reader.getVectorSchemaRoot
+      while (out.size < rows.size && reader.loadNextBatch()) {
+        val readers = rroot.getFieldVectors.asScala.map(cellReader).toArray
+        (0 until rroot.getRowCount).foreach { i =>
+          out += scala.collection.immutable.ArraySeq.unsafeWrapArray(readers.map(_(i)))
+        }
+      }
+      require(out.size == rows.size,
+        s"$fname streamed exchange returned ${out.size} rows for ${rows.size} inputs")
+      out.toSeq
+    }
+
+    /** Half-close, drain the end-of-stream (verifying grpc-status), release. */
+    override def close(): Unit = {
+      rpc.finishSending()
+      try while (reader.loadNextBatch()) {}
+      finally reader.close()
+    }
+  }
+
+  /** Open a long-lived multi-batch DoExchange (see [[ExchangeStream]]). */
+  def openExchange(fname: String, argTypes: Seq[DataType],
+                   argMeta: Seq[SMetadata] = Nil): ExchangeStream =
+    new ExchangeStream(fname, argTypes, argMeta)
+
   /** Run `f` into a buffer and split the encapsulated IPC framing into the
     * `FlightData` (metadata, body) field mapping. */
   private def encapsulated(f: WriteChannel => Unit): (Array[Byte], Array[Byte]) = {

@@ -58,7 +58,8 @@ object FlightUdf {
     * over). Deadline timeouts and gRPC statuses are never failed over —
     * those are answers, not blips. */
   private def withPartitionClient(df: DataFrame, endpoints: Seq[(String, Int)],
-      argCols: Seq[String], extraFields: Seq[StructField])(
+      argCols: Seq[String], extraFields: Seq[StructField],
+      batchRows: Int = RemoteProtocol.BatchSize)(
       perChunk: (FlightClient, Seq[DataType], IndexedSeq[Row], Seq[Seq[Any]]) => Iterator[Row])
       : DataFrame = {
     val argTypes = argCols.map(c => df.schema(c).dataType)
@@ -98,7 +99,7 @@ object FlightUdf {
         connect()
         Option(org.apache.spark.TaskContext.get()).foreach(
           _.addTaskCompletionListener[Unit](_ => if (client != null) client.close()))
-        it.grouped(RemoteProtocol.BatchSize).flatMap { chunk0 =>
+        it.grouped(batchRows).flatMap { chunk0 =>
           val chunk = chunk0.toIndexedSeq
           val rows = chunk.map(r => argIdx.map(r.get))
           var failedOver = 0
@@ -126,10 +127,13 @@ object FlightUdf {
     }(enc)
   }
 
-  /** Append `value` computed by the Flight server's scalar function. */
+  /** Append `value` computed by the Flight server's scalar function.
+    * `batchRows` bounds each exchange (default [[RemoteProtocol.BatchSize]]). */
   def withFlightColumn(df: DataFrame, endpoints: Seq[(String, Int)], fname: String,
-                       argCols: Seq[String], retType: DataType): DataFrame =
-    withPartitionClient(df, endpoints, argCols, Seq(StructField("value", retType))) {
+                       argCols: Seq[String], retType: DataType,
+                       batchRows: Int = RemoteProtocol.BatchSize): DataFrame =
+    withPartitionClient(df, endpoints, argCols, Seq(StructField("value", retType)),
+        batchRows) {
       (client, argTypes, chunk, rows) =>
         chunk.iterator.zip(client.call(fname, argTypes, rows).iterator).map {
           case (r, v) => Row.fromSeq(r.toSeq :+ v)
@@ -154,6 +158,86 @@ object FlightUdf {
   def withFlightTableColumn(df: DataFrame, host: String, port: Int, fname: String,
                             argCols: Seq[String], retType: DataType): DataFrame =
     withFlightTableColumn(df, Seq((host, port)), fname, argCols, retType)
+
+  /** Append `value` over ONE long-lived DoExchange per partition — the
+    * reference's multi-batch streaming shape ([[FlightClient.ExchangeStream]]):
+    * every bounded chunk ping-pongs over the same stream, so the per-exchange
+    * setup (HEADERS, descriptor, schema message, trailers) is paid once per
+    * PARTITION instead of once per [[RemoteProtocol.BatchSize]] rows. Wins
+    * grow as BatchSize shrinks (more chunks per partition). Requires an
+    * incrementally-evaluating server (reference Java/Python servers; NOT
+    * graft's own buffering [[FlightServer]] — use [[withFlightColumn]] there).
+    * Failure parity: a transient failure closes the stream, fails over like
+    * [[withFlightColumn]], and replays ONLY the in-flight chunk on a fresh
+    * stream (prior chunks' results are already emitted; chunks are
+    * independent, so the replay is idempotent). */
+  def withFlightColumnStreamed(df: DataFrame, endpoints: Seq[(String, Int)],
+      fname: String, argCols: Seq[String], retType: DataType,
+      batchRows: Int = RemoteProtocol.BatchSize): DataFrame = {
+    val argTypes = argCols.map(c => df.schema(c).dataType)
+    val argIdx = argCols.map(df.schema.fieldIndex)
+    val outSchema = StructType(df.schema.fields :+ StructField("value", retType))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    val eps = endpoints.toIndexedSeq
+    fanOut(df).mapPartitions { it =>
+      if (it.isEmpty) Iterator.empty
+      else {
+        val pid = Option(org.apache.spark.TaskContext.get()).map(_.partitionId()).getOrElse(0)
+        var epIdx = pid % eps.size
+        var client: FlightClient = null
+        var stream: FlightClient#ExchangeStream = null
+        def closeAll(): Unit = {
+          if (stream != null) { try stream.close() catch { case _: Exception => }; stream = null }
+          if (client != null) { try client.close() catch { case _: Exception => }; client = null }
+        }
+        def connect(): Unit = {
+          var pass = 0
+          var last: Throwable = null
+          while (stream == null && pass < 5) {
+            var tries = 0
+            while (stream == null && tries < eps.size) {
+              val (host, port) = eps((epIdx + tries) % eps.size)
+              try {
+                client = new FlightClient(host, port)
+                stream = client.openExchange(fname, argTypes)
+                epIdx = (epIdx + tries) % eps.size
+              } catch {
+                case e: java.io.IOException => last = e; closeAll(); tries += 1
+              }
+            }
+            pass += 1
+            if (stream == null && pass < 5) Thread.sleep(250L << pass)
+          }
+          if (stream == null) throw last
+        }
+        connect()
+        Option(org.apache.spark.TaskContext.get()).foreach(
+          _.addTaskCompletionListener[Unit](_ => closeAll()))
+        it.grouped(batchRows).flatMap { chunk0 =>
+          val chunk = chunk0.toIndexedSeq
+          val rows = chunk.map(r => argIdx.map(r.get))
+          var failedOver = 0
+          var vals: Seq[Seq[Any]] = null
+          while (vals == null) {
+            try vals = stream.call(rows)
+            catch {
+              case e: GrpcStatusException => throw e
+              case e: java.net.SocketTimeoutException => throw e
+              case e: java.io.IOException =>
+                failedOver += 1
+                if (failedOver > eps.size) throw e
+                closeAll()
+                epIdx = (epIdx + 1) % eps.size
+                connect()
+            }
+          }
+          chunk.iterator.zip(vals.iterator).map {
+            case (r, v) => Row.fromSeq(r.toSeq :+ v.head)
+          }
+        }
+      }
+    }(enc)
+  }
 
   /** Append `value` AND `error` columns computed over the Flight wire — the
     * fallible error-column surface served by a graft [[FlightServer]]

@@ -412,6 +412,80 @@ private[flight] final class GrpcConn(host: String, port: Int, timeoutMs: Int = 1
     }
   }
 
+  /** A long-lived bidirectional RPC: request messages go out incrementally
+    * (`send`), response messages come back interleaved (`recv`) — the shape
+    * of the reference's multi-batch DoExchange (`UdfProducer.java:104-139`
+    * loops the inbound stream). The caller keeps the exchange bounded by
+    * ping-ponging one batch at a time; `recv` services flow-control/PING
+    * frames at every blocking point like the unary path. `grpc-status` is
+    * verified exactly once, when `recv` first returns None. */
+  final class BidiCall private[GrpcConn] (path: String) {
+    conn.startRpc(path, callHeaders)
+    private var buf = new Array[Byte](8192)
+    private var start = 0
+    private var end = 0
+    private var done = false
+    private var statusChecked = false
+
+    /** Send one request message; `last = true` half-closes the send side. */
+    def send(msg: Array[Byte], last: Boolean = false): Unit =
+      conn.sendData(H2.grpcFrame(msg), endStream = last)
+
+    /** Half-close without a trailing message (end of the request stream). */
+    def finishSending(): Unit = conn.sendData(Array.emptyByteArray, endStream = true)
+
+    private def append(chunk: Array[Byte]): Unit = {
+      if (end + chunk.length > buf.length) {
+        val used = end - start
+        if (used + chunk.length <= buf.length) {
+          System.arraycopy(buf, start, buf, 0, used)
+        } else {
+          val nbuf = new Array[Byte](math.max(buf.length * 2, used + chunk.length))
+          System.arraycopy(buf, start, nbuf, 0, used)
+          buf = nbuf
+        }
+        start = 0; end = used
+      }
+      System.arraycopy(chunk, 0, buf, end, chunk.length)
+      end += chunk.length
+    }
+
+    private def tryParse(): Option[Array[Byte]] = {
+      if (end - start < 5) return None
+      if (buf(start) != 0) throw new IOException("compressed gRPC messages not supported")
+      val n = ((buf(start + 1) & 0xff) << 24) | ((buf(start + 2) & 0xff) << 16) |
+        ((buf(start + 3) & 0xff) << 8) | (buf(start + 4) & 0xff)
+      if (end - start < 5 + n) return None
+      val m = java.util.Arrays.copyOfRange(buf, start + 5, start + 5 + n)
+      start += 5 + n
+      Some(m)
+    }
+
+    /** Next response message, or None once the server closed the stream
+      * (status verified at that point). */
+    def recv(): Option[Array[Byte]] = {
+      while (true) {
+        tryParse() match {
+          case some @ Some(_) => return some
+          case None =>
+            if (done) {
+              if (!statusChecked) { statusChecked = true; checkStatus() }
+              return None
+            }
+            conn.nextData() match {
+              case Some(chunk) => append(chunk)
+              case None => done = true
+            }
+        }
+      }
+      None // unreachable
+    }
+  }
+
+  /** Open a long-lived bidi RPC (see [[BidiCall]]). One at a time per
+    * connection, like [[call]]. */
+  def bidi(path: String): BidiCall = new BidiCall(path)
+
   /** `grpc-status` rides the trailers — or the single HEADERS block of a
     * trailers-only error response. Non-zero → surface code + message. */
   private def checkStatus(): Unit = {

@@ -167,6 +167,39 @@ class FlightUdfSpec extends AnyFunSuite {
     assert(FlightUdf.returnTypeOf(FlightWorker.endpoints.head, "flight_gcd") == IntegerType)
   }
 
+  test("long-lived DoExchange: many batches ping-pong over ONE exchange") {
+    val c = new FlightClient("127.0.0.1", port)
+    try {
+      val s = c.openExchange("flight_gcd", Seq(IntegerType, IntegerType))
+      try {
+        def gcd(a: Int, b: Int): Int = if (b == 0) a else gcd(b, a % b)
+        // several bounded batches over the same stream, incl. a big one that
+        // crosses the 64 KiB h2 windows mid-stream
+        assert(s.call(Seq(Seq(12, 8), Seq(54, 24))) == Seq(Seq(4), Seq(6)))
+        assert(s.call(Seq(Seq(null, 5))) == Seq(Seq(null)))
+        val n = 30000
+        val rows = (0 until n).map(i => Seq(i * 37 + 1, i % 97 + 1): Seq[Any])
+        val big = s.call(rows)
+        assert(big.length == n)
+        (0 until n by 7919).foreach(i => assert(big(i).head == gcd(i * 37 + 1, i % 97 + 1)))
+        assert(s.call(Seq(Seq(100, 75))) == Seq(Seq(25)))
+      } finally s.close()
+      // the connection is reusable after a streamed exchange completes
+      assert(c.call("flight_len", Seq(StringType), Seq(Seq("abc"))) == Seq(3))
+    } finally c.close()
+  }
+
+  test("Spark integration: withFlightColumnStreamed matches the per-chunk path") {
+    import spark.implicits._
+    val df = (1 to 30000).map(i => (i * 21, i % 14 + 1)).toDF("x", "y")
+    val out = FlightUdf.withFlightColumnStreamed(df, FlightWorker.endpoints,
+      "flight_gcd", Seq("x", "y"), IntegerType)
+    def gcd(a: Int, b: Int): Int = if (b == 0) a else gcd(b, a % b)
+    val got = out.collect()
+    assert(got.length == 30000)
+    got.foreach(r => assert(r.getInt(2) == gcd(r.getInt(0), r.getInt(1))))
+  }
+
   // ---- failure parity with the in-house wire (RemoteUdfSpec discipline) ----
 
   /** Spawn the REAL pyarrow fixture on a FIXED port and wait until it
@@ -214,6 +247,33 @@ class FlightUdfSpec extends AnyFunSuite {
     val got = out.collect()
     assert(got.length == 2000)
     got.foreach(r => assert(r.getInt(2) == gcd(r.getInt(0), r.getInt(1))))
+  }
+
+  test("streamed mode: kill and restart the server mid-query, in-flight chunk replays") {
+    import spark.implicits._
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val port = freePort()
+    var proc = startFixture(port)
+    try {
+      val df = (1 to 600000).map(i => (i * 37 + 1, i % 97 + 1)).toDF("x", "y")
+      val fut = Future {
+        FlightUdf.withFlightColumnStreamed(df, Seq(("127.0.0.1", port)),
+          "flight_gcd", Seq("x", "y"), IntegerType).collect()
+      }
+      Thread.sleep(500)
+      assert(!fut.isCompleted, "query finished before the kill — grow the input")
+      proc.destroyForcibly().waitFor()
+      proc = startFixture(port)
+      val got = Await.result(fut, 120.seconds)
+      assert(got.length == 600000)
+      def gcd(a: Int, b: Int): Int = if (b == 0) a else gcd(b, a % b)
+      (0 until 600000 by 7919).foreach { i =>
+        val r = got(i)
+        assert(r.getInt(2) == gcd(r.getInt(0), r.getInt(1)), s"row $i")
+      }
+    } finally proc.destroyForcibly()
   }
 
   test("kill and restart the pyarrow server MID-QUERY: the query completes") {
