@@ -366,6 +366,17 @@ object Bench {
       // borrow + export binds per scan batch, buffer args through the alloc
       // ABI, the literal args injected as ConstantColumnVectors, both
       // kernels fused into ONE pass over each batch.
+      //
+      // r13 arena packing: all of a batch's string args now land in the
+      // guest with ONE reset_heap + ONE alloc + direct UTF8String->guest
+      // copies (no per-row guest alloc, no per-row copy-in, no intermediate
+      // byte[]); rows pass (arenaPtr+off, len). Measured effect: batched
+      // moved from parity with the per-row tier (r12: 1.49 vs 1.39 s) to a
+      // consistent same-run win (~1.67 vs ~1.88 s, ~1.13x). The remaining
+      // gap to the 1.3x aspiration is GUEST EXECUTION, not marshalling:
+      // both probes spend most of their time interpreting count_byte's
+      // O(len) scan over every doc, a cost the two tiers share equally —
+      // further marshalling work cannot move the ratio.
       "x_wasm_str_batched_1m" -> { _: SparkSession =>
         val s = extensionsSession
         Graft.install(s)

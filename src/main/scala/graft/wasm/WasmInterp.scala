@@ -173,6 +173,16 @@ final class WasmInstance(val module: WasmModule, val config: WasmConfig) {
     System.arraycopy(bytes, 0, mem, ptr, bytes.length)
   }
 
+  /** Zero-intermediate copy-in of a Tungsten string: the UTF8String's bytes
+    * land straight in guest memory (one `Platform.copyMemory`), skipping the
+    * `getBytes` materialization — the batched arena path's hot write. */
+  def writeUtf8(ptr: Int, s: org.apache.spark.unsafe.types.UTF8String): Unit = {
+    val n = s.numBytes()
+    if (ptr < 0 || ptr.toLong + n > mem.length)
+      throw new WasmTrap("host write out of bounds guest memory")
+    s.writeToMemory(mem, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET + ptr)
+  }
+
   def hasExport(name: String): Boolean = module.exportedFunc(name).isDefined
 
   /** Host-side read of an 8-byte slot from guest memory (the copy-out half

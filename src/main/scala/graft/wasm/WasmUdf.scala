@@ -545,6 +545,83 @@ final case class WasmBatchKernel(
       val noArgs = Array.empty[Long]
       val allocArgs = new Array[Long](1)
       val slots = new Array[Long](paramSlots.length)
+
+      // Arena packing (r13): ALL buffer args for the whole scan batch land
+      // in the guest with ONE reset + ONE alloc + ONE copy-in, and each row
+      // just passes (arenaPtr + offset, len) — the per-row guest alloc +
+      // per-row memory copy was the dominant cost of the buffer path
+      // (per-row and batched tiers benched within noise of each other
+      // before this; see x_wasm_str_batched_1m). reset_heap runs once per
+      // BATCH, so guest-allocated result buffers (retIsBuffer) stack above
+      // the arena until the next batch — bounded by one batch's inputs +
+      // outputs, and every result is copied out before the next reset.
+      var arenaOffs: Array[Int] = null
+      var arenaLens: Array[Int] = null
+      var arenaPtr = 0
+      // buffer RETURNS with no buffer args still consume guest heap per row;
+      // free the prior batch's results up front (results stack within a
+      // batch, each copied out before the next reset)
+      if (needsHeap && !anyBuffer && hasReset) inst.invokeBound(resetB, noArgs)
+      if (anyBuffer) {
+        if (hasReset) inst.invokeBound(resetB, noArgs) // free the prior batch
+        // pass 1: row-null mask + lengths (strings via numBytes — no byte
+        // materialization; binary columns copy once here, reused below)
+        val nulRow = new Array[Boolean](rows)
+        val binData = new Array[Array[Byte]](rows * nArgs)
+        arenaOffs = new Array[Int](rows * nArgs)
+        arenaLens = new Array[Int](rows * nArgs)
+        var total = 0L
+        var i0 = 0
+        while (i0 < rows) {
+          var nul = false
+          var j0 = 0
+          while (j0 < nArgs) { if (cols(j0).isNullAt(i0)) nul = true; j0 += 1 }
+          nulRow(i0) = nul
+          if (!nul) {
+            j0 = 0
+            while (j0 < nArgs) {
+              if (bufArr(j0)) {
+                val len = cols(j0).dataType() match {
+                  case StringType => cols(j0).getUTF8String(i0).numBytes()
+                  case BinaryType =>
+                    val b = cols(j0).getBinary(i0)
+                    binData(i0 * nArgs + j0) = b
+                    b.length
+                  case dt => throw new WasmTrap(s"cannot pass $dt as buffer arg")
+                }
+                arenaLens(i0 * nArgs + j0) = len
+                total += len
+              }
+              j0 += 1
+            }
+          }
+          i0 += 1
+        }
+        if (total > Int.MaxValue - 8) throw new WasmTrap(
+          s"batch buffer args total $total bytes exceed the 32-bit guest space")
+        allocArgs(0) = total
+        arenaPtr = inst.invokeBound(allocB, allocArgs).toInt
+        // pass 2: each value lands DIRECTLY in guest memory (one copy total)
+        var off = 0
+        i0 = 0
+        while (i0 < rows) {
+          if (!nulRow(i0)) {
+            var j0 = 0
+            while (j0 < nArgs) {
+              if (bufArr(j0)) {
+                val k = i0 * nArgs + j0
+                arenaOffs(k) = off
+                if (binData(k) != null) inst.writeBytes(arenaPtr + off, binData(k))
+                else inst.writeUtf8(arenaPtr + off, cols(j0).getUTF8String(i0))
+                off += arenaLens(k)
+              }
+              j0 += 1
+            }
+          }
+          i0 += 1
+        }
+      }
+
       var i = 0
       while (i < rows) {
         var anyNull = false
@@ -552,23 +629,12 @@ final case class WasmBatchKernel(
         while (j < nArgs) { if (cols(j).isNullAt(i)) anyNull = true; j += 1 }
         if (anyNull) out.putNull(i) // ReturnNullOnNullInput batch semantics
         else {
-          // free the previous row's buffers before placing this row's (the
-          // result is read back below before the next row's reset, so the
-          // guest-allocated result bytes are always live when copied out)
-          if (hasReset) inst.invokeBound(resetB, noArgs)
           j = 0
           var s = 0
           while (j < nArgs) {
             if (bufArr(j)) {
-              val bytes = cols(j).dataType() match {
-                case StringType => cols(j).getUTF8String(i).getBytes
-                case BinaryType => cols(j).getBinary(i)
-                case dt => throw new WasmTrap(s"cannot pass $dt as buffer arg")
-              }
-              allocArgs(0) = bytes.length.toLong
-              val ptr = inst.invokeBound(allocB, allocArgs).toInt
-              inst.writeBytes(ptr, bytes)
-              slots(s) = ptr.toLong; slots(s + 1) = bytes.length.toLong
+              slots(s) = (arenaPtr + arenaOffs(i * nArgs + j)).toLong
+              slots(s + 1) = arenaLens(i * nArgs + j).toLong
               s += 2
             } else {
               slots(s) = slotOf(cols(j), i, paramSlots(s))
