@@ -1743,18 +1743,25 @@ object Bench {
         (budgetHit || samples(i).headOption.exists(_ > heavySec))
       if (!skip) measure(name, run, i, rep)
     }
-    // Stability pass: a fast probe whose reps disagree >15% gets ONE extra
-    // sample (the BASELINE.md min-of-3 methodology, applied only where the
+    // Stability pass: a fast probe whose reps disagree >15% gets extra
+    // samples (the BASELINE.md min-of-3 methodology, applied only where the
     // spread says contention touched a sample) — budget permitting, so the
-    // pass degrades to nothing on a slow host. Keeps cross-round compares
-    // from needing a contention caveat on the sub-5 s tail.
+    // pass degrades to nothing on a slow host. Up to TWO extra samples per
+    // probe: one contended re-sample next to a contended original still
+    // disagrees, and the second retry usually lands quiet (the r12
+    // x_semantic_dedup_1m outlier shape). Keeps cross-round compares from
+    // needing a contention caveat on the sub-5 s tail.
     if (reps >= 2) {
       for (((name, run), i) <- benchables.zipWithIndex
            if !failed(i) && samples(i).size >= 2) {
-        val ss = samples(i)
-        if (ss.min > 0 && (ss.max - ss.min) / ss.min > 0.15 &&
-            ss.min <= heavySec && batteryElapsed() < budgetSec)
-          measure(name, run, i, ss.size + 1)
+        var extra = 0
+        while (extra < 2 && !failed(i) && {
+            val ss = samples(i)
+            ss.min > 0 && (ss.max - ss.min) / ss.min > 0.15 &&
+              ss.min <= heavySec && batteryElapsed() < budgetSec }) {
+          measure(name, run, i, samples(i).size + 1)
+          extra += 1
+        }
       }
     }
 
