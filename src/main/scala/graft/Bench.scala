@@ -466,6 +466,21 @@ object Bench {
             batchRows = 512)
           .write.format("noop").mode("overwrite").save()
       },
+      // same streamed shape, but graft→graft: the r13 incremental
+      // FlightServer dispatch ping-ponging against graft's own client —
+      // prices the whole from-scratch stack (client + server + backend
+      // passthrough) for the long-lived mode
+      "x_flight_srv_stream_1m_b512" -> { s: SparkSession =>
+        graft.functions.Builtins.ensureRegistered()
+        val port = graft.remote.flight.FlightFixture.port
+        val df = s.range(1000000L)
+          .selectExpr("CAST(id % 1000003 AS INT) AS a", "CAST(id % 999983 AS INT) AS b")
+        graft.remote.flight.FlightUdf.withFlightColumnStreamed(df,
+            Seq(("127.0.0.1", port)),
+            "gcd", Seq("a", "b"), org.apache.spark.sql.types.IntegerType,
+            batchRows = 512)
+          .write.format("noop").mode("overwrite").save()
+      },
       // ANN at 1M vectors: exact brute-force vs the int8-quantized corpus
       // (a quarter of the scan bytes — the 100 TB lever q_quantized_topk
       // verifies for correctness at small SF).
@@ -1702,7 +1717,11 @@ object Bench {
       // pyarrow server pool start (python + pyarrow import) is fixture cost,
       // not exchange cost — pre-warm before rep 1
       ("x_flight_perchunk_|x_flight_stream_",
-        () => { graft.remote.flight.FlightWorker.endpoints; () }))
+        () => { graft.remote.flight.FlightWorker.endpoints; () }),
+      // graft's own FlightServer + registry warm-up is likewise fixture cost
+      ("x_flight_srv_stream_",
+        () => { graft.functions.Builtins.ensureRegistered()
+                graft.remote.flight.FlightFixture.port; () }))
     fixtureUsers.foreach { case (pat, build) =>
       if (pat.split('|').exists(p => benchables.exists(_._1.contains(p)))) build()
     }

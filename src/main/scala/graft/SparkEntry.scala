@@ -448,6 +448,24 @@ object SparkEntry {
         .orderBy("l_orderkey", "l_linenumber")
     } _,
 
+    // graft AS the Flight server, STREAMED mode under the oracle: one
+    // long-lived DoExchange per partition ping-pongs every chunk through the
+    // server's incremental per-batch dispatch (the reference UdfProducer
+    // multi-batch loop) — each chunk's results are read back before the next
+    // chunk is sent, so this gate passing proves the server evaluates
+    // batches as they arrive. Client AND server are graft's from-scratch
+    // gRPC/h2 stack, composed on loopback.
+    "q_flight_stream_gcd" -> dfq { s =>
+      val port = graft.remote.flight.FlightFixture.port
+      val df = s.table("lineitem").selectExpr("l_orderkey", "l_linenumber",
+        "CAST(l_partkey AS INT) AS a", "CAST(l_suppkey AS INT) AS b")
+      graft.remote.flight.FlightUdf.withFlightColumnStreamed(df, Seq(("127.0.0.1", port)),
+          "gcd", Seq("a", "b"), org.apache.spark.sql.types.IntegerType)
+        .selectExpr("l_orderkey", "l_linenumber", "value AS g")
+        .localCheckpoint()
+        .orderBy("l_orderkey", "l_linenumber")
+    } _,
+
     // graft AS the Flight server: table-function explode (range_setof)
     // through FlightServer's byte-level CALLTABLE passthrough.
     "q_flight_setof" -> dfq { s =>
@@ -3673,6 +3691,11 @@ object SparkEntry {
         |       CASE WHEN l_suppkey % 7 = 0 THEN NULL
         |            ELSE CAST(CAST(l_partkey AS INT) // CAST(l_suppkey % 7 AS INT) AS INT) END AS div_value,
         |       CASE WHEN l_suppkey % 7 = 0 THEN 'division by zero' END AS div_error
+        |FROM lineitem
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q_flight_stream_gcd" ->
+      """SELECT l_orderkey, l_linenumber,
+        |       CAST(gcd(CAST(l_partkey AS INT), CAST(l_suppkey AS INT)) AS INT) AS g
         |FROM lineitem
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
     "q_flight_setof" ->

@@ -535,6 +535,11 @@ class UdfServer(port: Int = 0, authToken: Option[String] = None,
         val outRoot = VectorSchemaRoot.create(outSchema, allocator)
         val writer = new ArrowStreamWriter(outRoot, null, out)
         writer.start()
+        // flushed per message so a LONG-LIVED caller (the Flight adapter's
+        // incremental DoExchange, or any client streaming many batches over
+        // one CALL) can ping-pong: read each result batch as soon as its
+        // input batch is evaluated, instead of waiting for end-of-request
+        out.flush()
         while (reader.loadNextBatch()) {
           val n = root.getRowCount
           // column-at-a-time binding: dispatch per COLUMN, not per cell
@@ -557,6 +562,7 @@ class UdfServer(port: Int = 0, authToken: Option[String] = None,
             while (i < n) { write(i, vals(i)); i += 1 }
             outRoot.setRowCount(n)
             writer.writeBatch()
+            out.flush()
           } else {
           var i = 0
           while (i < n) {
@@ -589,6 +595,7 @@ class UdfServer(port: Int = 0, authToken: Option[String] = None,
           }
           outRoot.setRowCount(n)
           writer.writeBatch() // streamed per input batch
+          out.flush()
           }
         }
         writer.end()
@@ -604,6 +611,7 @@ class UdfServer(port: Int = 0, authToken: Option[String] = None,
         val outRoot = VectorSchemaRoot.create(outSchema, allocator)
         val writer = new ArrowStreamWriter(outRoot, null, out)
         writer.start()
+        out.flush() // see the scalar branch: enables incremental ping-pong
         var rowBase = 0
         while (reader.loadNextBatch()) {
           val n = root.getRowCount
@@ -636,14 +644,21 @@ class UdfServer(port: Int = 0, authToken: Option[String] = None,
           }
           outRoot.setRowCount(outIdx)
           writer.writeBatch() // streamed per input batch
+          out.flush()
           rowBase += n
         }
         writer.end()
         outRoot.close()
       case _ =>
-        while (reader.loadNextBatch()) {} // drain, then report
+        // report BEFORE draining, so an incremental caller reading the
+        // status line after sending only the schema isn't deadlocked waiting
+        // for a drain of batches it will never send (it closes its socket on
+        // ERR, which ends the drain); a bounded-exchange caller reads the
+        // same bytes after its EOS exactly as before
         val kind = if (isTable) "table function" else "scalar function"
         out.write(s"ERR no $kind $fname\n".getBytes(StandardCharsets.UTF_8))
+        out.flush()
+        while (reader.loadNextBatch()) {} // drain: keep the wire parseable
     }
     reader.close(false)
   }

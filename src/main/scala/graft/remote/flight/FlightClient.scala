@@ -294,12 +294,12 @@ final class FlightClient(host: String, port: Int, timeoutMs: Int = 120000,
    * per-exchange setup (HEADERS, descriptor, schema, trailers) amortizes
    * over the whole partition instead of every chunk.
    *
-   * Requires a server that evaluates batches INCREMENTALLY as they arrive
-   * (the reference Java/Python servers do). A server that buffers the whole
-   * request before responding would deadlock the ping-pong — the read
-   * deadline (`timeoutMs`) bounds that failure. graft's own [[FlightServer]]
-   * dispatches at end-of-request, so graft→graft uses the per-chunk
-   * [[exchange]] path instead.
+   * Requires a server that evaluates batches INCREMENTALLY as they arrive —
+   * the reference Java/Python servers do, and so does graft's own
+   * [[FlightServer]] (per-batch passthrough dispatch), so graft→graft runs
+   * this mode too. A server that buffered the whole request before
+   * responding would deadlock the ping-pong — the read deadline
+   * (`timeoutMs`) bounds that failure.
    */
   final class ExchangeStream private[FlightClient] (fname: String,
       argTypes: Seq[DataType], argMeta: Seq[SMetadata]) extends AutoCloseable {

@@ -41,11 +41,16 @@ import scala.jdk.CollectionConverters._
  * input schema, CallMode, batched guest dispatch, native-expression tier,
  * per-batch streamed results) is inherited, not duplicated.
  *
- * Scale shape: one handler thread per connection, bounded buffered exchanges
- * (the client protocol ships ≤ one [[RemoteProtocol.BatchSize]] batch per
- * call), flow-control credit returned as request bytes arrive so writers
- * never stall mid-exchange. A deployment fronts many engine JVMs with
- * ordinary TCP load balancing, exactly like the reference's UdfServer fleet.
+ * Scale shape: one handler thread per connection; DoExchange is evaluated
+ * INCREMENTALLY — each record batch is forwarded and answered as it arrives
+ * (the reference `UdfProducer` loop), so an exchange of any length runs in
+ * bounded memory (the per-stream cap applies to unprocessed BACKLOG, not
+ * request size), and a ping-ponging streamed client
+ * ([[FlightClient.ExchangeStream]]) gets each result before sending the
+ * next batch. Concurrent multiplexed exchanges each hold a dedicated
+ * backend connection, so their batches never interleave on a shared socket.
+ * A deployment fronts many engine JVMs with ordinary TCP load balancing,
+ * exactly like the reference's UdfServer fleet.
  */
 /** @param authToken when set, every RPC must carry
   *   `authorization: Bearer <token>` call metadata or is refused with
@@ -61,6 +66,11 @@ import scala.jdk.CollectionConverters._
   * reference clients distinguish their own bad input from server faults
   * (INTERNAL, 13). */
 private[flight] final class BadRequest(msg: String) extends IOException(msg)
+
+/** A refusal with a specific gRPC status (NOT_FOUND for unknown functions,
+  * backend-reported codes) — thrown from exchange steps, mapped to trailers
+  * in one place. */
+private[flight] final class Refuse(val code: Int, msg: String) extends IOException(msg)
 
 final class FlightServer(port: Int = 0,
                          backendPort: () => Int = () => graft.remote.RemoteFixture.port,
@@ -166,23 +176,75 @@ final class FlightServer(port: Int = 0,
       var sendWindow: Long = peerInitWindow
       var reset = false
       var headersSent = false
+      /** Non-null ⇔ this stream is a DoExchange, handled INCREMENTALLY:
+        * each inbound record batch is evaluated and answered as it arrives
+        * (the reference `UdfProducer.java:104-139` loop), never buffered to
+        * end-of-request. */
+      var exch: Exch = null
+      var ended = false
     }
+
+    /** Incremental DoExchange session: gRPC message reassembly (bytes are
+      * consumed as messages complete, so the [[MaxBuffered]] cap applies to
+      * BACKLOG, not request length — exchanges of any total size run in
+      * bounded memory) + a DEDICATED backend wire connection, so concurrent
+      * multiplexed exchanges on one h2 connection never interleave their
+      * batches on a shared socket. */
+    private final class Exch {
+      var name: String = ""
+      var started = false // backend OK read; response headers + schema sent
+      var sock: Socket = null
+      var bin: DataInputStream = null
+      var bout: DataOutputStream = null
+      private var mbuf = new Array[Byte](8192)
+      private var mstart = 0
+      private var mend = 0
+      def unconsumed: Int = mend - mstart
+      def append(b: Array[Byte], off: Int, len: Int): Unit = {
+        if (mend + len > mbuf.length) {
+          val used = mend - mstart
+          if (used + len <= mbuf.length) System.arraycopy(mbuf, mstart, mbuf, 0, used)
+          else {
+            val nb = new Array[Byte](math.max(mbuf.length * 2, used + len))
+            System.arraycopy(mbuf, mstart, nb, 0, used)
+            mbuf = nb
+          }
+          mstart = 0; mend = used
+        }
+        System.arraycopy(b, off, mbuf, mend, len)
+        mend += len
+      }
+      /** Next complete length-prefixed gRPC message, if buffered. */
+      def tryParse(): Option[Array[Byte]] = {
+        if (mend - mstart < 5) return None
+        if (mbuf(mstart) != 0) throw new BadRequest("compressed gRPC messages not supported")
+        val n = ((mbuf(mstart + 1) & 0xff) << 24) | ((mbuf(mstart + 2) & 0xff) << 16) |
+          ((mbuf(mstart + 3) & 0xff) << 8) | (mbuf(mstart + 4) & 0xff)
+        if (n < 0) throw new BadRequest(s"bad gRPC message length $n")
+        if (mend - mstart < 5 + n) return None
+        val m = java.util.Arrays.copyOfRange(mbuf, mstart + 5, mstart + 5 + n)
+        mstart += 5 + n
+        Some(m)
+      }
+      def connectBackend(): Unit = {
+        sock = new Socket("127.0.0.1", backendPort())
+        sock.setTcpNoDelay(true)
+        bin = new DataInputStream(new BufferedInputStream(sock.getInputStream))
+        bout = new DataOutputStream(new BufferedOutputStream(sock.getOutputStream))
+      }
+      def closeBackend(): Unit =
+        if (sock != null) { try sock.close() catch { case _: Exception => }; sock = null }
+    }
+
     private val streams = mutable.LinkedHashMap.empty[Int, Req]
     private val completed = mutable.ArrayDeque.empty[Int]
-
-    // ---- backend: the in-process graft UDF wire -----------------------------
-    private var backendSock: Socket = null
-    private var backendIn: DataInputStream = null
-    private var backendOut: DataOutputStream = null
-    private def backend(): (DataInputStream, DataOutputStream) = {
-      if (backendSock == null) {
-        backendSock = new Socket("127.0.0.1", backendPort())
-        backendSock.setTcpNoDelay(true)
-        backendIn = new DataInputStream(new BufferedInputStream(backendSock.getInputStream))
-        backendOut = new DataOutputStream(new BufferedOutputStream(backendSock.getOutputStream))
-      }
-      (backendIn, backendOut)
-    }
+    /** Exchange streams with buffered-but-unprocessed bytes (or END_STREAM).
+      * Drained ONLY from the top-level pump in [[run]] — frame handling
+      * nested under a send-window wait never starts exchange work, so two
+      * streams' responses cannot interleave mid-write. */
+    private val exchWork = mutable.ArrayDeque.empty[Int]
+    private def enqueueExch(sid: Int): Unit =
+      if (!exchWork.contains(sid)) exchWork.append(sid)
 
     def run(): Unit = {
       try {
@@ -196,14 +258,17 @@ final class FlightServer(port: Int = 0,
         out.flush()
         while (!closing) {
           handleOneFrame()
-          while (completed.nonEmpty) dispatch(completed.removeHead())
+          while (completed.nonEmpty || exchWork.nonEmpty) {
+            while (completed.nonEmpty) dispatch(completed.removeHead())
+            if (exchWork.nonEmpty) stepExchange(exchWork.removeHead())
+          }
         }
       } catch {
         case _: EOFException =>
         case _: java.net.SocketException =>
         case _: IOException =>
       } finally {
-        if (backendSock != null) { try backendSock.close() catch { case _: Exception => } }
+        streams.values.foreach(r => if (r.exch != null) r.exch.closeBackend())
         try sock.close() catch { case _: Exception => }
       }
     }
@@ -263,18 +328,28 @@ final class FlightServer(port: Int = 0,
             val req = new Req
             req.path = Option(headers.path()).map(_.toString).getOrElse("")
             req.authorization = auth
+            if (req.path == "/arrow.flight.protocol.FlightService/DoExchange")
+              req.exch = new Exch
             streams(sid) = req
-            if (endStream) completed.append(sid)
+            if (endStream) {
+              req.ended = true
+              if (req.exch != null) enqueueExch(sid) else completed.append(sid)
+            }
           }
         case FrameData =>
           var off = 0; var n = len
           if ((flags & FlagPadded) != 0) { val pad = payload(0) & 0xff; off = 1; n = len - 1 - pad }
           streams.get(sid).foreach { req =>
-            if (req.buf.size() + n > MaxBuffered) {
+            val backlog = if (req.exch != null) req.exch.unconsumed else req.buf.size()
+            if (backlog + n > MaxBuffered) {
               sendTrailers(sid, 8, "request body exceeds per-stream limit",
                 trailersOnly = true)
               writeFrame(FrameRst, 0, sid, u32(8L)); out.flush()
+              if (req.exch != null) req.exch.closeBackend()
               streams.remove(sid)
+            } else if (req.exch != null) {
+              req.exch.append(payload, off, n)
+              enqueueExch(sid)
             } else req.buf.write(payload, off, n)
           }
           if (len > 0) {
@@ -285,7 +360,11 @@ final class FlightServer(port: Int = 0,
               writeFrame(FrameWindowUpdate, 0, sid, u32(len.toLong))
             out.flush()
           }
-          if ((flags & FlagEndStream) != 0 && streams.contains(sid)) completed.append(sid)
+          if ((flags & FlagEndStream) != 0 && streams.contains(sid)) {
+            val req = streams(sid)
+            req.ended = true
+            if (req.exch != null) enqueueExch(sid) else completed.append(sid)
+          }
         case FrameSettings =>
           if ((flags & FlagAck) == 0) {
             var i = 0
@@ -315,7 +394,10 @@ final class FlightServer(port: Int = 0,
           if (sid == 0) connSend += inc
           else streams.get(sid).foreach(_.sendWindow += inc)
         case FrameRst =>
-          streams.get(sid).foreach(_.reset = true)
+          streams.get(sid).foreach { r =>
+            r.reset = true
+            if (r.exch != null) r.exch.closeBackend()
+          }
           streams.remove(sid)
         case FrameGoaway => closing = true
         case _ => // PRIORITY etc: ignore
@@ -454,8 +536,6 @@ final class FlightServer(port: Int = 0,
                 .sortBy(_._1).flatMap { case (_, defs) =>
                   scala.util.Try(infoFor(defs.head)).toOption }
               respond(sid, req, infos)
-            case "/arrow.flight.protocol.FlightService/DoExchange" =>
-              doExchange(sid, req, msgs)
             case other =>
               sendTrailers(sid, 12, s"unimplemented method $other", trailersOnly = true)
           }
@@ -478,68 +558,152 @@ final class FlightServer(port: Int = 0,
       if (!req.reset) sendTrailers(sid, 0, "", trailersOnly = false)
     }
 
-    /** DoExchange: byte-level passthrough to the in-process graft wire. Every
-      * inbound FlightData re-frames to one encapsulated IPC message of a
-      * `CALL`/`CALLTABLE` request; every response IPC message re-frames to
-      * one outbound FlightData, streamed as the backend produces it. */
-    private def doExchange(sid: Int, req: Req, msgs: Vector[Array[Byte]]): Unit = {
-      val data = parsed("FlightData")(msgs.map(Pb.parseFlightData))
-      val name = data.flatMap(_.descriptorPath.headOption).headOption.getOrElse("")
-      if (name.isEmpty) {
-        sendTrailers(sid, 3,
-          "DoExchange carries no FlightDescriptor path (function name)",
-          trailersOnly = true)
-        return
-      }
-      // malformed IPC fails as the CLIENT's error before touching the
-      // backend: each data_header must be a structurally valid flatbuffer
-      // Message of kind Schema/RecordBatch/DictionaryBatch
-      data.filter(_.dataHeader.nonEmpty).foreach { fd =>
-        parsed("Arrow IPC message header") {
-          val m = org.apache.arrow.flatbuf.Message.getRootAsMessage(
-            java.nio.ByteBuffer.wrap(fd.dataHeader))
-          val ht = m.headerType()
-          if (ht != org.apache.arrow.flatbuf.MessageHeader.Schema &&
-              ht != org.apache.arrow.flatbuf.MessageHeader.RecordBatch &&
-              ht != org.apache.arrow.flatbuf.MessageHeader.DictionaryBatch)
-            throw new IOException(s"unexpected IPC header type $ht")
-          if (m.bodyLength() < 0 || m.bodyLength() > Int.MaxValue)
-            throw new IOException(s"bad IPC body length ${m.bodyLength()}")
+    // ---- incremental DoExchange ------------------------------------------------
+    // Byte-level passthrough to the in-process graft wire, evaluated AS
+    // BATCHES ARRIVE (the reference `UdfProducer.java:104-139` loop): the
+    // schema message opens a dedicated backend connection, each inbound
+    // record batch forwards + answers with its result batch immediately, and
+    // END_STREAM closes with the backend's end-of-stream. This serves both
+    // client shapes — a write-everything-then-read client sees the same
+    // bytes (just earlier), and a ping-ponging streamed client
+    // ([[FlightClient.ExchangeStream]], the reference's multi-batch mode)
+    // gets each result before sending the next batch.
+
+    /** Process buffered exchange bytes for one stream: complete messages
+      * evaluate immediately; END_STREAM (with an empty buffer) finishes. */
+    private def stepExchange(sid: Int): Unit = {
+      val req = streams.getOrElse(sid, return)
+      val ex = req.exch
+      if (ex == null) return
+      try {
+        var m = if (req.reset) None else ex.tryParse()
+        while (m.isDefined && !req.reset) {
+          exchangeMsg(sid, req, ex, m.get)
+          m = if (req.reset) None else ex.tryParse()
         }
+        if (req.reset) { ex.closeBackend(); streams.remove(sid); return }
+        if (req.ended) {
+          if (ex.unconsumed > 0)
+            throw new BadRequest(s"truncated gRPC message (${ex.unconsumed} trailing bytes)")
+          finishExchange(sid, req, ex)
+          streams.remove(sid)
+        }
+      } catch {
+        case e: Exception =>
+          val code = e match {
+            case r: Refuse => r.code
+            case _: BadRequest => 3
+            case _ => 13
+          }
+          val msg = Option(e.getMessage).getOrElse(e.getClass.getSimpleName)
+          try sendTrailers(sid, code, msg, trailersOnly = !req.headersSent)
+          catch { case _: Exception => }
+          ex.closeBackend()
+          // tell a still-sending client to stop (the auth-refusal pattern)
+          if (!req.ended) {
+            try { writeFrame(FrameRst, 0, sid, u32(8L)); out.flush() }
+            catch { case _: Exception => }
+          }
+          streams.remove(sid)
       }
-      val defs = Registry.global.lookup(name)
-      if (defs.isEmpty) {
-        sendTrailers(sid, 5, s"no function $name", trailersOnly = true)
-        return
+    }
+
+    /** One inbound FlightData message: latch the descriptor name, validate
+      * the IPC header, then schema → begin / batch → forward + answer. */
+    private def exchangeMsg(sid: Int, req: Req, ex: Exch, msg: Array[Byte]): Unit = {
+      val fd = parsed("FlightData")(Pb.parseFlightData(msg))
+      if (ex.name.isEmpty) fd.descriptorPath.headOption.foreach(n => ex.name = n)
+      if (fd.dataHeader.isEmpty) return // descriptor/app-metadata-only message
+      // malformed IPC fails as the CLIENT's error before touching the
+      // backend: the data_header must be a structurally valid flatbuffer
+      // Message of kind Schema/RecordBatch/DictionaryBatch
+      val ht = parsed("Arrow IPC message header") {
+        val m = org.apache.arrow.flatbuf.Message.getRootAsMessage(
+          java.nio.ByteBuffer.wrap(fd.dataHeader))
+        val t = m.headerType()
+        if (t != org.apache.arrow.flatbuf.MessageHeader.Schema &&
+            t != org.apache.arrow.flatbuf.MessageHeader.RecordBatch &&
+            t != org.apache.arrow.flatbuf.MessageHeader.DictionaryBatch)
+          throw new IOException(s"unexpected IPC header type $t")
+        if (m.bodyLength() < 0 || m.bodyLength() > Int.MaxValue)
+          throw new IOException(s"bad IPC body length ${m.bodyLength()}")
+        t
       }
+      if (!ex.started) {
+        if (ht != org.apache.arrow.flatbuf.MessageHeader.Schema)
+          throw new BadRequest("DoExchange record batch before schema message")
+        beginExchange(sid, req, ex, fd)
+      } else ht match {
+        case org.apache.arrow.flatbuf.MessageHeader.Schema =>
+          throw new BadRequest("duplicate schema message on DoExchange")
+        case org.apache.arrow.flatbuf.MessageHeader.DictionaryBatch =>
+          // consumed inline by the backend reader's next loadNextBatch; no
+          // result message of its own
+          IpcFraming.write(ex.bout, fd.dataHeader, fd.dataBody)
+          ex.bout.flush()
+        case _ => // RecordBatch: one result batch per input batch
+          IpcFraming.write(ex.bout, fd.dataHeader, fd.dataBody)
+          ex.bout.flush()
+          IpcFraming.readMessage(ex.bin) match {
+            case Some((header, body)) =>
+              sendData(sid, req, grpcFrame(Pb.flightData(None, header, body)))
+            case None => throw new EOFException("backend ended the result stream early")
+          }
+      }
+    }
+
+    /** First schema message: resolve the function, open the dedicated
+      * backend connection, forward verb + schema, read the backend's status
+      * + result schema, and start the response. */
+    private def beginExchange(sid: Int, req: Req, ex: Exch, schemaFd: Pb.FlightDataMsg): Unit = {
+      if (ex.name.isEmpty)
+        throw new BadRequest("DoExchange carries no FlightDescriptor path (function name)")
+      val defs = Registry.global.lookup(ex.name)
+      if (defs.isEmpty) throw new Refuse(5, s"no function ${ex.name}")
       // verb selection mirrors what infoFor advertised: table fns explode to
       // (row, value); fallible scalars carry the (value, error) column pair
       val verb =
         if (defs.head.signature.kind == FunctionKind.Table) "CALLTABLE"
         else if (defs.head.fallible) "CALLERR"
         else "CALL"
-      val (bin, bout) = backend()
-      bout.write(s"$verb $name\n".getBytes(StandardCharsets.UTF_8))
-      data.foreach { fd =>
-        if (fd.dataHeader.nonEmpty) IpcFraming.write(bout, fd.dataHeader, fd.dataBody)
-      }
-      bout.write(IpcFraming.Eos)
-      bout.flush()
-      val status = readLine(bin)
+      ex.connectBackend()
+      ex.bout.write(s"$verb ${ex.name}\n".getBytes(StandardCharsets.UTF_8))
+      IpcFraming.write(ex.bout, schemaFd.dataHeader, schemaFd.dataBody)
+      ex.bout.flush()
+      val status = readLine(ex.bin)
       if (status == null) throw new EOFException("backend closed")
       if (!status.startsWith("OK")) {
         val msg = status.stripPrefix("ERR").trim
-        val code = if (msg.startsWith("no ")) 5 else 13
-        sendTrailers(sid, code, msg, trailersOnly = true)
-        return
+        throw new Refuse(if (msg.startsWith("no ")) 5 else 13, msg)
       }
+      val (schemaHeader, schemaBody) = IpcFraming.readMessage(ex.bin)
+        .getOrElse(throw new EOFException("backend sent no result schema"))
       sendResponseHeaders(sid, req)
-      var m = IpcFraming.readMessage(bin)
-      while (m.isDefined) {
-        val (header, body) = m.get
-        sendData(sid, req, grpcFrame(Pb.flightData(None, header, body)))
-        m = IpcFraming.readMessage(bin)
+      sendData(sid, req, grpcFrame(Pb.flightData(None, schemaHeader, schemaBody)))
+      ex.started = true
+    }
+
+    /** END_STREAM with all messages processed: close the request toward the
+      * backend, drain its end-of-stream, and send OK trailers. */
+    private def finishExchange(sid: Int, req: Req, ex: Exch): Unit = {
+      if (!ex.started) {
+        // the whole request arrived without a schema message
+        if (ex.name.isEmpty)
+          throw new BadRequest("DoExchange carries no FlightDescriptor path (function name)")
+        if (Registry.global.lookup(ex.name).isEmpty)
+          throw new Refuse(5, s"no function ${ex.name}")
+        throw new BadRequest("DoExchange ended before a schema message")
       }
+      ex.bout.write(IpcFraming.Eos)
+      ex.bout.flush()
+      // normally the per-batch loop consumed every result; anything left
+      // (e.g. a backend that held batches back) still reaches the client
+      var m = IpcFraming.readMessage(ex.bin)
+      while (m.isDefined && !req.reset) {
+        sendData(sid, req, grpcFrame(Pb.flightData(None, m.get._1, m.get._2)))
+        m = IpcFraming.readMessage(ex.bin)
+      }
+      ex.closeBackend()
       if (!req.reset) sendTrailers(sid, 0, "", trailersOnly = false)
     }
 

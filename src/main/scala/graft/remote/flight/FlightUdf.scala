@@ -165,8 +165,8 @@ object FlightUdf {
     * setup (HEADERS, descriptor, schema message, trailers) is paid once per
     * PARTITION instead of once per [[RemoteProtocol.BatchSize]] rows. Wins
     * grow as BatchSize shrinks (more chunks per partition). Requires an
-    * incrementally-evaluating server (reference Java/Python servers; NOT
-    * graft's own buffering [[FlightServer]] — use [[withFlightColumn]] there).
+    * incrementally-evaluating server — the reference Java/Python servers,
+    * and graft's own [[FlightServer]] (per-batch passthrough dispatch).
     * Failure parity: a transient failure closes the stream, fails over like
     * [[withFlightColumn]], and replays ONLY the in-flight chunk on a fresh
     * stream (prior chunks' results are already emitted; chunks are

@@ -140,4 +140,48 @@ class FlightServerSpec extends AnyFunSuite {
       } finally c.close()
     } finally server.close()
   }
+
+  test("graft streamed client ping-pongs through graft's server: incremental dispatch proof") {
+    // ExchangeStream.call blocks reading batch N's results BEFORE sending
+    // batch N+1. Against a server that buffered the request to END_STREAM
+    // this deadlocks (bounded only by the read deadline) — so completing at
+    // all proves the server evaluates each batch as it arrives, the
+    // reference UdfProducer loop shape.
+    graft.functions.Builtins.ensureRegistered()
+    val server = new FlightServer()
+    try {
+      val c = new graft.remote.flight.FlightClient("127.0.0.1", server.boundPort,
+        timeoutMs = 30000)
+      try {
+        val it = org.apache.spark.sql.types.IntegerType
+        val ex = c.openExchange("gcd", Seq(it, it))
+        try {
+          assert(ex.call(Seq(Seq(12, 8), Seq(null, 3))) == Seq(Seq(4), Seq(null)))
+          assert(ex.call(Seq(Seq(54, 24))) == Seq(Seq(6)))
+          val n = 3000
+          val rows: Seq[Seq[Any]] = (0 until n).map(i => Seq((i + 1) * 6, (i + 1) * 4))
+          def g(a: Int, b: Int): Int = if (b == 0) a else g(b, a % b)
+          assert(ex.call(rows) == (0 until n).map(i => Seq(g((i + 1) * 6, (i + 1) * 4))))
+        } finally ex.close()
+      } finally c.close()
+    } finally server.close()
+  }
+
+  test("pyarrow ping-pong over one DoExchange: grpc-core proves the incremental server") {
+    graft.functions.Builtins.ensureRegistered()
+    val server = new FlightServer()
+    try {
+      val script = new java.io.File(sys.props("user.dir"), "tools/flight_client_probe.py")
+      val proc = new ProcessBuilder("python3", script.getAbsolutePath,
+        server.boundPort.toString, "--pingpong")
+        .redirectErrorStream(true).start()
+      val out = new String(proc.getInputStream.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8)
+      val rc = proc.waitFor()
+      assert(rc == 0, s"probe exited $rc:\n$out")
+      val lines = out.linesIterator.toSeq
+      assert(lines.contains("PINGPONG True"), out)
+      assert(lines.contains("PPTABLE True True"), out)
+    } finally server.close()
+  }
 }

@@ -97,8 +97,52 @@ def main():
 
     if "--negative" in sys.argv:
         negative(c)
+    if "--pingpong" in sys.argv:
+        pingpong(c)
 
     print("DONE")
+
+
+def pingpong(c):
+    """Streamed-mode interop: ONE long-lived DoExchange carrying many
+    batches, each result read back BEFORE the next batch is written. This
+    only completes against a server that evaluates batches incrementally as
+    they arrive (the reference UdfProducer loop) — a server that buffered
+    the request to end-of-stream would deadlock the first read."""
+    def g(a, b):
+        while b:
+            a, b = b, a % b
+        return a
+
+    schema = pa.schema([("a", pa.int32()), ("b", pa.int32())])
+    w, r = c.do_exchange(fl.FlightDescriptor.for_path("gcd"))
+    w.begin(schema)
+    ok = True
+    for t in range(5):
+        a = [(t + 1) * (i + 1) * 6 for i in range(200)]
+        b = [(t + 1) * (i + 1) * 4 for i in range(200)]
+        w.write_batch(pa.RecordBatch.from_arrays(
+            [pa.array(a, pa.int32()), pa.array(b, pa.int32())], schema=schema))
+        vals = r.read_chunk().data.column(0).to_pylist()  # blocks for THIS batch
+        ok = ok and vals == [g(x, y) for x, y in zip(a, b)]
+    w.done_writing()
+    ok = ok and r.read_all().num_rows == 0  # all results already consumed
+    print("PINGPONG", ok)
+
+    # table function: explode semantics per ping-ponged batch; the row index
+    # keeps counting across batches of one exchange (one logical call)
+    s2 = pa.schema([("n", pa.int32())])
+    w2, r2 = c.do_exchange(fl.FlightDescriptor.for_path("range_setof"))
+    w2.begin(s2)
+    w2.write_batch(pa.RecordBatch.from_arrays([pa.array([2, 1], pa.int32())], schema=s2))
+    c1 = r2.read_chunk().data.to_pydict()
+    w2.write_batch(pa.RecordBatch.from_arrays([pa.array([0, 3], pa.int32())], schema=s2))
+    c2 = r2.read_chunk().data.to_pydict()
+    w2.done_writing()
+    r2.read_all()
+    print("PPTABLE",
+          c1 == {"row": [0, 0, 1], "value": [0, 1, 0]},
+          c2 == {"row": [3, 3, 3], "value": [0, 1, 2]})
 
 
 def negative(c):
