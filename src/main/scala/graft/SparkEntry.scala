@@ -466,6 +466,22 @@ object SparkEntry {
         .orderBy("l_orderkey", "l_linenumber")
     } _,
 
+    // Streamed mode + the fallible error column: the (value, error) pair
+    // keeps results 1:1 with input rows, so it ping-pongs over one
+    // long-lived exchange exactly like a scalar — per-row error containment
+    // through the incremental CALLERR passthrough.
+    "q_flight_stream_div_error" -> dfq { s =>
+      val port = graft.remote.flight.FlightFixture.port
+      val df = s.table("lineitem").selectExpr("l_orderkey", "l_linenumber",
+        "CAST(l_partkey AS INT) AS a", "CAST(l_suppkey % 7 AS INT) AS b")
+      graft.remote.flight.FlightUdf.withFlightFallibleColumnStreamed(df,
+          Seq(("127.0.0.1", port)),
+          "graft_div", Seq("a", "b"), org.apache.spark.sql.types.IntegerType)
+        .selectExpr("l_orderkey", "l_linenumber", "value AS div_value", "error AS div_error")
+        .localCheckpoint()
+        .orderBy("l_orderkey", "l_linenumber")
+    } _,
+
     // graft AS the Flight server: table-function explode (range_setof)
     // through FlightServer's byte-level CALLTABLE passthrough.
     "q_flight_setof" -> dfq { s =>
@@ -3696,6 +3712,13 @@ object SparkEntry {
     "q_flight_stream_gcd" ->
       """SELECT l_orderkey, l_linenumber,
         |       CAST(gcd(CAST(l_partkey AS INT), CAST(l_suppkey AS INT)) AS INT) AS g
+        |FROM lineitem
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q_flight_stream_div_error" ->
+      """SELECT l_orderkey, l_linenumber,
+        |       CASE WHEN l_suppkey % 7 = 0 THEN NULL
+        |            ELSE CAST(CAST(l_partkey AS INT) // CAST(l_suppkey % 7 AS INT) AS INT) END AS div_value,
+        |       CASE WHEN l_suppkey % 7 = 0 THEN 'division by zero' END AS div_error
         |FROM lineitem
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
     "q_flight_setof" ->

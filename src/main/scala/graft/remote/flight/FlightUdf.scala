@@ -173,10 +173,37 @@ object FlightUdf {
     * independent, so the replay is idempotent). */
   def withFlightColumnStreamed(df: DataFrame, endpoints: Seq[(String, Int)],
       fname: String, argCols: Seq[String], retType: DataType,
-      batchRows: Int = RemoteProtocol.BatchSize): DataFrame = {
+      batchRows: Int = RemoteProtocol.BatchSize): DataFrame =
+    withStreamedClient(df, endpoints, fname, argCols,
+      Seq(StructField("value", retType)), batchRows)(
+      (r, v) => Row.fromSeq(r.toSeq :+ v.head))
+
+  /** [[withFlightFallibleColumn]] over ONE long-lived DoExchange per
+    * partition: the fallible (value, error) column pair rides the streamed
+    * mode unchanged, because the error-column contract keeps results 1:1
+    * with input rows — each ping-ponged chunk returns exactly its row count,
+    * just with two result columns.
+    *
+    * Table functions, by contrast, stay on the per-chunk
+    * [[withFlightTableColumn]] path BY DESIGN: a reference-shaped server may
+    * emit 0..N result batches per input batch for a table function (yield
+    * chunking, empty-yield elision — e.g. `tools/flightudf_server.py`
+    * `Table.eval_batch`), so a half-duplex ping-pong client has no framing
+    * for "this input batch's results are done" short of end-of-stream. The
+    * bounded per-chunk exchange IS that framing. */
+  def withFlightFallibleColumnStreamed(df: DataFrame, endpoints: Seq[(String, Int)],
+      fname: String, argCols: Seq[String], retType: DataType,
+      batchRows: Int = RemoteProtocol.BatchSize): DataFrame =
+    withStreamedClient(df, endpoints, fname, argCols,
+      Seq(StructField("value", retType), StructField("error", StringType)), batchRows)(
+      (r, v) => Row.fromSeq(r.toSeq :+ v(0) :+ v(1)))
+
+  private def withStreamedClient(df: DataFrame, endpoints: Seq[(String, Int)],
+      fname: String, argCols: Seq[String], extraFields: Seq[StructField],
+      batchRows: Int)(rowOf: (Row, Seq[Any]) => Row): DataFrame = {
     val argTypes = argCols.map(c => df.schema(c).dataType)
     val argIdx = argCols.map(df.schema.fieldIndex)
-    val outSchema = StructType(df.schema.fields :+ StructField("value", retType))
+    val outSchema = StructType(df.schema.fields ++ extraFields)
     val enc = org.apache.spark.sql.Encoders.row(outSchema)
     val eps = endpoints.toIndexedSeq
     fanOut(df).mapPartitions { it =>
@@ -231,9 +258,7 @@ object FlightUdf {
                 connect()
             }
           }
-          chunk.iterator.zip(vals.iterator).map {
-            case (r, v) => Row.fromSeq(r.toSeq :+ v.head)
-          }
+          chunk.iterator.zip(vals.iterator).map { case (r, v) => rowOf(r, v) }
         }
       }
     }(enc)
