@@ -52,7 +52,16 @@ import scala.jdk.CollectionConverters._
  * A deployment fronts many engine JVMs with ordinary TCP load balancing,
  * exactly like the reference's UdfServer fleet.
  */
-/** @param authToken when set, every RPC must carry
+/** @param backendPort the in-process graft wire to dispatch exchanges to.
+  *   CONTRACT (since the r13 incremental dispatch): the backend must emit
+  *   EXACTLY ONE result IPC message per forwarded input RecordBatch — the
+  *   ping-pong credits result N to input N ([[graft.remote.UdfServer]] holds
+  *   this for every verb, including 0-row table results). A backend that
+  *   emits 0 or >1 messages per input desynchronizes the pairing; the
+  *   dispatch detects unsolicited buffered backend bytes before the next
+  *   forward and fails the exchange with a clear INTERNAL error rather than
+  *   mis-crediting results.
+  * @param authToken when set, every RPC must carry
   *   `authorization: Bearer <token>` call metadata or is refused with
   *   UNAUTHENTICATED (16) — the Flight-wire expression of the graft wire's
   *   AUTH verb (constant-time compare, per-RPC like gRPC interceptors).
@@ -72,11 +81,16 @@ private[flight] final class BadRequest(msg: String) extends IOException(msg)
   * in one place. */
 private[flight] final class Refuse(val code: Int, msg: String) extends IOException(msg)
 
+/** @param maxBuffered per-stream cap on UNPROCESSED request backlog (bytes);
+  *   past it the stream is refused with RESOURCE_EXHAUSTED. The 64 MiB
+  *   default is far above any legitimate bounded exchange; tests shrink it
+  *   to force the overflow paths. */
 final class FlightServer(port: Int = 0,
                          backendPort: () => Int = () => graft.remote.RemoteFixture.port,
                          tls: Option[javax.net.ssl.SSLContext] = None,
                          authToken: Option[String] = None,
-                         bindHost: String = "127.0.0.1")
+                         bindHost: String = "127.0.0.1",
+                         maxBuffered: Int = 64 << 20)
     extends AutoCloseable {
   graft.functions.Builtins.ensureRegistered()
 
@@ -89,6 +103,12 @@ final class FlightServer(port: Int = 0,
   server.bind(new InetSocketAddress(bindHost, port))
   def boundPort: Int = server.getLocalPort
   @volatile private var running = true
+  /** Live connection handlers (for drain); each removes itself on exit. */
+  private val handlers = java.util.concurrent.ConcurrentHashMap.newKeySet[H2Handler]()
+  /** Connections ever accepted — lets specs assert socket counts under
+    * client-side multiplexing. */
+  private val accepted = new java.util.concurrent.atomic.AtomicInteger(0)
+  def connectionsAccepted: Int = accepted.get
 
   private val acceptor = new Thread(() => {
     while (running) {
@@ -104,7 +124,10 @@ final class FlightServer(port: Int = 0,
             ssl.setSSLParameters(p)
           case _ =>
         }
-        val t = new Thread(() => new H2Handler(sock).run(), "graft-flight-conn")
+        accepted.incrementAndGet()
+        val h = new H2Handler(sock)
+        handlers.add(h)
+        val t = new Thread(() => try h.run() finally handlers.remove(h), "graft-flight-conn")
         t.setDaemon(true)
         t.start()
       } catch { case _: Exception if !running => }
@@ -113,7 +136,30 @@ final class FlightServer(port: Int = 0,
   acceptor.setDaemon(true)
   acceptor.start()
 
-  override def close(): Unit = { running = false; server.close() }
+  /** Begin a GRACEFUL drain (the rolling-restart half the hard close lacks):
+    * stop accepting connections and advertise GOAWAY(NO_ERROR, last seen
+    * stream) on every live connection. In-flight streams at or below the
+    * cutoff run to completion; a NEW stream on a drained connection is
+    * refused with RST_STREAM(REFUSED_STREAM) — the retryable refusal gRPC
+    * clients map to UNAVAILABLE and replay elsewhere (RFC 9113 §6.8). */
+  def drain(): Unit = {
+    running = false
+    try server.close() catch { case _: Exception => }
+    handlers.forEach(h => h.beginDrain())
+  }
+
+  /** Drain, wait up to `drainMillis` for in-flight streams to finish, then
+    * hard-close whatever remains (idle connections close immediately). */
+  def close(drainMillis: Long): Unit = {
+    drain()
+    val deadline = System.nanoTime() + drainMillis * 1000000L
+    while (System.nanoTime() < deadline &&
+        handlers.asScala.exists(_.activeStreamCount > 0))
+      Thread.sleep(5)
+    handlers.forEach(h => h.hardClose())
+  }
+
+  override def close(): Unit = close(5000L)
 
   // ---- discovery ------------------------------------------------------------
   /** FlightInfo for one function: args ++ results, total_records = arity —
@@ -148,7 +194,30 @@ final class FlightServer(port: Int = 0,
       * exchange to ~one [[RemoteProtocol.BatchSize]] batch, far below this;
       * past it the stream is refused (RESOURCE_EXHAUSTED) and dropped so a
       * misbehaving client can't grow an unbounded buffer. */
-    private val MaxBuffered = 64 << 20
+    private val MaxBuffered = maxBuffered
+
+    /** All frame writes + flushes serialize on this monitor, so [[beginDrain]]
+      * (called from the closer's thread) can interleave its GOAWAY at a frame
+      * boundary without corrupting the handler thread's framing. HPACK-encoded
+      * HEADERS stay ordered because only the handler thread encodes them. */
+    private val writeLock = new Object
+    @volatile private var draining = false
+    /** Highest client-initiated stream id seen — GOAWAY's last-stream-id. */
+    @volatile private var maxSeenStream = 0
+    private val activeStreams = new java.util.concurrent.atomic.AtomicInteger(0)
+    def activeStreamCount: Int = activeStreams.get
+
+    /** Advertise GOAWAY(NO_ERROR) and refuse streams above the cutoff from
+      * now on; in-flight streams keep running on the handler thread. */
+    def beginDrain(): Unit = {
+      draining = true
+      try writeLock.synchronized {
+        H2.writeFrame(out, FrameGoaway, 0, 0, u32(maxSeenStream.toLong) ++ u32(0L))
+        flushOut()
+      } catch { case _: Exception => } // peer already gone: nothing to drain
+    }
+
+    def hardClose(): Unit = try sock.close() catch { case _: Exception => }
 
     /** Constant-time bearer check (gRPC-interceptor shape, per RPC). */
     private def authorized(authorization: String): Boolean = authToken match {
@@ -220,7 +289,12 @@ final class FlightServer(port: Int = 0,
         if (mbuf(mstart) != 0) throw new BadRequest("compressed gRPC messages not supported")
         val n = ((mbuf(mstart + 1) & 0xff) << 24) | ((mbuf(mstart + 2) & 0xff) << 16) |
           ((mbuf(mstart + 3) & 0xff) << 8) | (mbuf(mstart + 4) & 0xff)
-        if (n < 0) throw new BadRequest(s"bad gRPC message length $n")
+        // Long math: for n near Int.MaxValue, `5 + n` overflows negative and
+        // the availability comparison below would pass vacuously (then
+        // copyOfRange throws, misclassified as INTERNAL). Any message that
+        // could not fit the per-stream backlog cap is the client's error.
+        if (n < 0 || 5L + n > MaxBuffered)
+          throw new BadRequest(s"bad gRPC message length $n (per-stream limit $MaxBuffered)")
         if (mend - mstart < 5 + n) return None
         val m = java.util.Arrays.copyOfRange(mbuf, mstart + 5, mstart + 5 + n)
         mstart += 5 + n
@@ -255,7 +329,7 @@ final class FlightServer(port: Int = 0,
           throw new IOException("bad http2 preface")
         writeFrame(FrameSettings, 0, 0, settingsPayload(Seq(0x4 -> RecvWindow.toLong)))
         writeFrame(FrameWindowUpdate, 0, 0, u32(RecvWindow - 65535))
-        out.flush()
+        flushOut()
         while (!closing) {
           handleOneFrame()
           while (completed.nonEmpty || exchWork.nonEmpty) {
@@ -276,7 +350,18 @@ final class FlightServer(port: Int = 0,
 
     private def writeFrame(tpe: Int, flags: Int, sid: Int, payload: Array[Byte],
                            off: Int = 0, len: Int = -1): Unit =
-      H2.writeFrame(out, tpe, flags, sid, payload, off, len)
+      writeLock.synchronized(H2.writeFrame(out, tpe, flags, sid, payload, off, len))
+
+    private def flushOut(): Unit = writeLock.synchronized(out.flush())
+
+    /** Stream registration is counted so a drain can tell when the
+      * connection is idle; every removal path goes through [[unregister]]. */
+    private def register(sid: Int, req: Req): Unit = {
+      streams(sid) = req
+      activeStreams.incrementAndGet()
+    }
+    private def unregister(sid: Int): Unit =
+      if (streams.remove(sid).isDefined) activeStreams.decrementAndGet()
 
     /** Read + handle one frame. Completed request streams are QUEUED, never
       * dispatched from here — the pump is re-entered from send-window waits,
@@ -317,20 +402,28 @@ final class FlightServer(port: Int = 0,
           val buf = Unpooled.wrappedBuffer(block.toByteArray)
           val headers = try hpackDec.decodeHeaders(sid, buf) finally buf.release()
           val auth = Option(headers.get("authorization")).map(_.toString).getOrElse("")
-          if (!authorized(auth)) {
+          if (draining) {
+            // GOAWAY semantics: this stream is above the advertised
+            // last-stream-id — refuse it RETRYABLY (REFUSED_STREAM, which
+            // gRPC clients map to UNAVAILABLE and replay on another
+            // connection) and never register it; its DATA frames return
+            // connection credit like any unknown stream's.
+            writeFrame(FrameRst, 0, sid, u32(7L)); flushOut()
+          } else if (!authorized(auth)) {
             // refuse at HEADERS time, BEFORE buffering any body: the stream
             // is never registered, so its DATA frames return connection
             // credit but are dropped — an unauthenticated peer can't stream
             // bytes into server memory. RST tells the client to stop sending.
             sendTrailers(sid, 16, "unauthenticated", trailersOnly = true)
-            if (!endStream) { writeFrame(FrameRst, 0, sid, u32(8L)); out.flush() }
+            if (!endStream) { writeFrame(FrameRst, 0, sid, u32(8L)); flushOut() }
           } else {
             val req = new Req
             req.path = Option(headers.path()).map(_.toString).getOrElse("")
             req.authorization = auth
             if (req.path == "/arrow.flight.protocol.FlightService/DoExchange")
               req.exch = new Exch
-            streams(sid) = req
+            if (sid > maxSeenStream) maxSeenStream = sid
+            register(sid, req)
             if (endStream) {
               req.ended = true
               if (req.exch != null) enqueueExch(sid) else completed.append(sid)
@@ -342,11 +435,22 @@ final class FlightServer(port: Int = 0,
           streams.get(sid).foreach { req =>
             val backlog = if (req.exch != null) req.exch.unconsumed else req.buf.size()
             if (backlog + n > MaxBuffered) {
+              // This branch can fire from handleOneFrame nested inside
+              // sendData's window wait for the SAME stream (a write-blocked
+              // incremental exchange whose client keeps sending). Two rules:
+              // reset FIRST so the outer sendData aborts instead of writing
+              // DATA past END_STREAM on a removed stream (whose window could
+              // never replenish — streams.remove drops future
+              // WINDOW_UPDATEs); and trailersOnly must reflect whether
+              // response HEADERS already went out — a second :status
+              // pseudo-header in a trailing HEADERS block is the RFC 9113
+              // §8.3 connection-killing PROTOCOL_ERROR.
+              req.reset = true
               sendTrailers(sid, 8, "request body exceeds per-stream limit",
-                trailersOnly = true)
-              writeFrame(FrameRst, 0, sid, u32(8L)); out.flush()
+                trailersOnly = !req.headersSent)
+              writeFrame(FrameRst, 0, sid, u32(8L)); flushOut()
               if (req.exch != null) req.exch.closeBackend()
-              streams.remove(sid)
+              unregister(sid)
             } else if (req.exch != null) {
               req.exch.append(payload, off, n)
               enqueueExch(sid)
@@ -358,7 +462,7 @@ final class FlightServer(port: Int = 0,
             writeFrame(FrameWindowUpdate, 0, 0, u32(len.toLong))
             if ((flags & FlagEndStream) == 0 && streams.contains(sid))
               writeFrame(FrameWindowUpdate, 0, sid, u32(len.toLong))
-            out.flush()
+            flushOut()
           }
           if ((flags & FlagEndStream) != 0 && streams.contains(sid)) {
             val req = streams(sid)
@@ -384,10 +488,10 @@ final class FlightServer(port: Int = 0,
               i += 6
             }
             writeFrame(FrameSettings, FlagAck, 0, Array.emptyByteArray)
-            out.flush()
+            flushOut()
           }
         case FramePing =>
-          if ((flags & FlagAck) == 0) { writeFrame(FramePing, FlagAck, 0, payload); out.flush() }
+          if ((flags & FlagAck) == 0) { writeFrame(FramePing, FlagAck, 0, payload); flushOut() }
         case FrameWindowUpdate =>
           val inc = ((payload(0) & 0x7fL) << 24) | ((payload(1) & 0xffL) << 16) |
             ((payload(2) & 0xffL) << 8) | (payload(3) & 0xffL)
@@ -398,7 +502,7 @@ final class FlightServer(port: Int = 0,
             r.reset = true
             if (r.exch != null) r.exch.closeBackend()
           }
-          streams.remove(sid)
+          unregister(sid)
         case FrameGoaway => closing = true
         case _ => // PRIORITY etc: ignore
       }
@@ -422,7 +526,7 @@ final class FlightServer(port: Int = 0,
       h.add("content-type", "application/grpc")
       encodeHeaders(sid, h, endStream = false)
       req.headersSent = true
-      out.flush()
+      flushOut()
     }
 
     private def sendTrailers(sid: Int, code: Int, msg: String,
@@ -432,7 +536,7 @@ final class FlightServer(port: Int = 0,
       h.add("grpc-status", code.toString)
       if (msg.nonEmpty) h.add("grpc-message", percentEncode(msg))
       encodeHeaders(sid, h, endStream = true)
-      out.flush()
+      flushOut()
     }
 
     /** Flow-controlled DATA write: pumps incoming control frames while the
@@ -452,7 +556,7 @@ final class FlightServer(port: Int = 0,
         connSend -= n
         req.sendWindow -= n
       }
-      out.flush()
+      flushOut()
     }
 
 
@@ -465,7 +569,7 @@ final class FlightServer(port: Int = 0,
         if (bytes(p) != 0) throw new BadRequest("compressed gRPC messages not supported")
         val n = ((bytes(p + 1) & 0xff) << 24) | ((bytes(p + 2) & 0xff) << 16) |
           ((bytes(p + 3) & 0xff) << 8) | (bytes(p + 4) & 0xff)
-        if (n < 0 || p + 5 + n > bytes.length)
+        if (n < 0 || p + 5L + n > bytes.length) // Long: no overflow near Int.MaxValue
           throw new BadRequest(s"truncated gRPC message (declared $n bytes)")
         msgs += java.util.Arrays.copyOfRange(bytes, p + 5, p + 5 + n)
         p += 5 + n
@@ -549,7 +653,7 @@ final class FlightServer(port: Int = 0,
             try sendTrailers(sid, code, msg, trailersOnly = !req.headersSent)
             catch { case _: Exception => }
         }
-      } finally streams.remove(sid)
+      } finally unregister(sid)
     }
 
     private def respond(sid: Int, req: Req, msgs: Seq[Array[Byte]]): Unit = {
@@ -581,12 +685,12 @@ final class FlightServer(port: Int = 0,
           exchangeMsg(sid, req, ex, m.get)
           m = if (req.reset) None else ex.tryParse()
         }
-        if (req.reset) { ex.closeBackend(); streams.remove(sid); return }
+        if (req.reset) { ex.closeBackend(); unregister(sid); return }
         if (req.ended) {
           if (ex.unconsumed > 0)
             throw new BadRequest(s"truncated gRPC message (${ex.unconsumed} trailing bytes)")
           finishExchange(sid, req, ex)
-          streams.remove(sid)
+          unregister(sid)
         }
       } catch {
         case e: Exception =>
@@ -601,10 +705,10 @@ final class FlightServer(port: Int = 0,
           ex.closeBackend()
           // tell a still-sending client to stop (the auth-refusal pattern)
           if (!req.ended) {
-            try { writeFrame(FrameRst, 0, sid, u32(8L)); out.flush() }
+            try { writeFrame(FrameRst, 0, sid, u32(8L)); flushOut() }
             catch { case _: Exception => }
           }
-          streams.remove(sid)
+          unregister(sid)
       }
     }
 
@@ -642,6 +746,15 @@ final class FlightServer(port: Int = 0,
           IpcFraming.write(ex.bout, fd.dataHeader, fd.dataBody)
           ex.bout.flush()
         case _ => // RecordBatch: one result batch per input batch
+          // backend-contract check (see the backendPort scaladoc): after the
+          // previous batch's single result was read, NOTHING may be buffered
+          // from the backend until we forward the next input. Unsolicited
+          // bytes mean a >1-results-per-batch backend whose extra message
+          // would otherwise be silently credited to THIS batch.
+          if (ex.started && ex.bin.available() > 0)
+            throw new Refuse(13, "backend emitted an unsolicited result message — " +
+              "FlightServer's incremental dispatch requires exactly one result " +
+              "batch per input RecordBatch (see FlightServer backendPort contract)")
           IpcFraming.write(ex.bout, fd.dataHeader, fd.dataBody)
           ex.bout.flush()
           IpcFraming.readMessage(ex.bin) match {
