@@ -406,6 +406,36 @@ object SparkEntry {
         .orderBy("doc_id")
     } _,
 
+    // Flight wire, DICTIONARY-ENCODED RESULT columns: the pyarrow server's
+    // flight_len_bucket advertises dictionary<int32,string> and every result
+    // batch arrives as DictionaryBatch + index RecordBatch; graft's client
+    // resolves the dictionaries (the shape low-cardinality string results
+    // take at scale — SDK readers resolve it invisibly, ours explicitly).
+    "q_flight_dict" -> dfq { s =>
+      val df = s.table("documents").selectExpr("doc_id", "text")
+      graft.remote.flight.FlightUdf.withFlightColumn(df,
+          graft.remote.flight.FlightWorker.endpoints, "flight_len_bucket",
+          Seq("text"), org.apache.spark.sql.types.StringType)
+        .selectExpr("doc_id", "value AS bucket")
+        .localCheckpoint()
+        .orderBy("doc_id")
+    } _,
+
+    // Flight wire, DICTIONARY-ENCODED ARGUMENT columns through graft's OWN
+    // server: the client ships string args as schema-declared dictionary
+    // encodings (inline DictionaryBatch per exchange — what a
+    // dictionary-preserving parquet producer emits); FlightServer passes
+    // them through and the backend decodes + resolves the string overload.
+    "q_flight_dict_srv" -> dfq { s =>
+      val df = s.table("documents").selectExpr("doc_id", "text")
+      graft.remote.flight.FlightUdf.withFlightColumnDict(df,
+          Seq(("127.0.0.1", graft.remote.flight.FlightFixture.port)), "graft_length",
+          Seq("text"), org.apache.spark.sql.types.IntegerType)
+        .selectExpr("doc_id", "value AS n")
+        .localCheckpoint()
+        .orderBy("doc_id")
+    } _,
+
     // Flight wire-type breadth: Decimal128 BOTH directions with real guest
     // arithmetic (the reference's decimal scenario, tests/remote.rs
     // test_decimal_add) — python Decimal adds, Decimal128 vectors carry.
@@ -3688,6 +3718,18 @@ object SparkEntry {
         |FROM lineitem
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
     "q_flight_len" ->
+      """SELECT doc_id, CAST(length(text) AS INT) AS n
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
+    "q_flight_dict" ->
+      """SELECT doc_id,
+        |       CASE WHEN text IS NULL THEN NULL
+        |            WHEN length(text) < 40 THEN 'short'
+        |            WHEN length(text) < 120 THEN 'medium'
+        |            ELSE 'long' END AS bucket
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
+    "q_flight_dict_srv" ->
       """SELECT doc_id, CAST(length(text) AS INT) AS n
         |FROM documents
         |ORDER BY doc_id""".stripMargin,

@@ -271,6 +271,62 @@ object RemoteProtocol {
       case other => throw new IllegalArgumentException(s"read from ${other.getClass}")
     }
 
+  // ---- dictionary-encoded columns -------------------------------------------
+  // Arrow Java materializes a dictionary-encoded IPC field as an INDEX-typed
+  // vector in the reader's root (the value type lives in the reader's
+  // DictionaryProvider), so both overload resolution and cell reading must
+  // look THROUGH the encoding. At 100 TB this path is the norm, not the
+  // exception: parquet writers dictionary-encode most string columns, and a
+  // dictionary-preserving producer (the reference's Java server reads them
+  // via FlightStream, which resolves dictionaries in the SDK —
+  // `UdfProducer.java:103-139`) ships them as-is.
+
+  /** The logical (value-typed) field behind a possibly dictionary-encoded
+    * memory-format field; identity for plain fields. */
+  def logicalField(f: Field,
+      dictionaries: org.apache.arrow.vector.dictionary.DictionaryProvider): Field = {
+    val enc = f.getDictionary
+    if (enc == null) f
+    else {
+      val vf = dictionaries.lookup(enc.getId).getVector.getField
+      new Field(f.getName,
+        new FieldType(f.isNullable, vf.getType, null, f.getMetadata), vf.getChildren)
+    }
+  }
+
+  /** A decoded (value-typed) view of a possibly dictionary-encoded vector.
+    * Returns the SAME vector when not encoded; otherwise a freshly-allocated
+    * decoded vector the caller must close (pair with [[batchCellReaders]]'
+    * closer, which handles both cases). */
+  def decodeDictionary(v: FieldVector,
+      dictionaries: org.apache.arrow.vector.dictionary.DictionaryProvider): FieldVector = {
+    val enc = v.getField.getDictionary
+    if (enc == null) v
+    else org.apache.arrow.vector.dictionary.DictionaryEncoder
+      .decode(v, dictionaries.lookup(enc.getId)).asInstanceOf[FieldVector]
+  }
+
+  /** Column readers for the CURRENT batch of `root`, decoding any
+    * dictionary-encoded columns through `dictionaries` (an [[ArrowStreamReader]]
+    * IS a DictionaryProvider); the returned closer releases the decoded
+    * copies and must run once the batch is consumed. Plain batches pay only
+    * a null check per column. */
+  def batchCellReaders(root: VectorSchemaRoot,
+      dictionaries: org.apache.arrow.vector.dictionary.DictionaryProvider)
+      : (Array[Int => Any], () => Unit) = {
+    val orig = root.getFieldVectors
+    val decoded = orig.asScala.map(v => decodeDictionary(v, dictionaries)).toArray
+    val readers = decoded.map(cellReader)
+    val closer = () => {
+      var i = 0
+      while (i < decoded.length) {
+        if (decoded(i) ne orig.get(i)) decoded(i).close()
+        i += 1
+      }
+    }
+    (readers, closer)
+  }
+
   /** Bind a reader closure to one vector: the type dispatch happens ONCE per
     * column per batch instead of once per cell — the hot loop then runs
     * monomorphic accessors (column-at-a-time binding, the batch-kernel
@@ -479,8 +535,10 @@ class UdfServer(port: Int = 0, authToken: Option[String] = None,
                         withErrors: Boolean = false): Unit = {
     val reader = new ArrowStreamReader(in, allocator)
     val root = reader.getVectorSchemaRoot
+    // overload resolution sees the LOGICAL types: a dictionary-encoded
+    // string column resolves string signatures, not the index int's
     val argTypes = root.getSchema.getFields.asScala.map { f =>
-      val (dt, md) = fromArrowField(f); (dt, md)
+      val (dt, md) = fromArrowField(logicalField(f, reader)); (dt, md)
     }.toSeq
     // Native-expression functions (the codegen tier) are served too: bind the
     // expression to positional references once, evaluate per row through the
@@ -543,7 +601,8 @@ class UdfServer(port: Int = 0, authToken: Option[String] = None,
         while (reader.loadNextBatch()) {
           val n = root.getRowCount
           // column-at-a-time binding: dispatch per COLUMN, not per cell
-          val readers = root.getFieldVectors.asScala.map(cellReader).toArray
+          // (dictionary-encoded columns decode to value vectors here)
+          val (readers, doneBatch) = batchCellReaders(root, reader)
           val nArgs = readers.length
           outRoot.allocateNew()
           val write = cellWriter(outRoot.getVector(0))
@@ -563,6 +622,7 @@ class UdfServer(port: Int = 0, authToken: Option[String] = None,
             outRoot.setRowCount(n)
             writer.writeBatch()
             out.flush()
+            doneBatch()
           } else {
           var i = 0
           while (i < n) {
@@ -596,6 +656,7 @@ class UdfServer(port: Int = 0, authToken: Option[String] = None,
           outRoot.setRowCount(n)
           writer.writeBatch() // streamed per input batch
           out.flush()
+          doneBatch()
           }
         }
         writer.end()
@@ -615,7 +676,7 @@ class UdfServer(port: Int = 0, authToken: Option[String] = None,
         var rowBase = 0
         while (reader.loadNextBatch()) {
           val n = root.getRowCount
-          val readers = root.getFieldVectors.asScala.map(cellReader).toArray
+          val (readers, doneBatch) = batchCellReaders(root, reader)
           val nArgs = readers.length
           val rowVec = outRoot.getVector(0).asInstanceOf[IntVector]
           val valVec = outRoot.getVector(1)
@@ -645,6 +706,7 @@ class UdfServer(port: Int = 0, authToken: Option[String] = None,
           outRoot.setRowCount(outIdx)
           writer.writeBatch() // streamed per input batch
           out.flush()
+          doneBatch()
           rowBase += n
         }
         writer.end()
@@ -701,7 +763,7 @@ class UdfServer(port: Int = 0, authToken: Option[String] = None,
             val retract = verb == "ACCRETRACT"
             while (reader.loadNextBatch()) {
               val n = root.getRowCount
-              val readers = root.getFieldVectors.asScala.map(cellReader).toArray
+              val (readers, doneBatch) = batchCellReaders(root, reader)
               var i = 0
               while (i < n) {
                 val row = org.apache.spark.sql.Row.fromSeq(
@@ -709,6 +771,7 @@ class UdfServer(port: Int = 0, authToken: Option[String] = None,
                 s = if (retract) a.retract(s, row) else a.accumulate(s, row)
                 i += 1
               }
+              doneBatch()
             }
             reader.close(false)
             out.write("OK\n".getBytes(StandardCharsets.UTF_8))
@@ -1017,10 +1080,11 @@ class UdfClient(host: String, port: Int, timeoutMs: Int = 120000,
       val rroot = reader.getVectorSchemaRoot
       val results = scala.collection.mutable.ArrayBuffer.empty[Seq[Any]]
       while (reader.loadNextBatch()) {
-        val readers = rroot.getFieldVectors.asScala.map(cellReader).toArray
+        val (readers, doneBatch) = batchCellReaders(rroot, reader)
         (0 until rroot.getRowCount).foreach { i =>
           results += scala.collection.immutable.ArraySeq.unsafeWrapArray(readers.map(_(i)))
         }
+        doneBatch()
       }
       results.toSeq
     } finally reader.close(false)

@@ -70,7 +70,7 @@ final class FlightClient(host: String, port: Int, timeoutMs: Int = 120000,
                          recvWindow: Int = 1 << 23,
                          maxRetries: Int = 1)
     extends AutoCloseable {
-  import RemoteProtocol.{cellReader, cellWriter, toArrowField, fromArrowField}
+  import RemoteProtocol.{batchCellReaders, cellWriter, toArrowField, fromArrowField}
 
   private val Service = "/arrow.flight.protocol.FlightService"
   private def dial(): GrpcConn = new GrpcConn(host, port, timeoutMs, tls,
@@ -141,8 +141,8 @@ final class FlightClient(host: String, port: Int, timeoutMs: Int = 120000,
 
   /** Scalar call: one result value per input row (`Client::call`). */
   def call(fname: String, argTypes: Seq[DataType], rows: Seq[Seq[Any]],
-           argMeta: Seq[SMetadata] = Nil): Seq[Any] =
-    exchange(fname, argTypes, rows, argMeta).map(_.head)
+           argMeta: Seq[SMetadata] = Nil, dictEncodeStrings: Boolean = false): Seq[Any] =
+    exchange(fname, argTypes, rows, argMeta, dictEncodeStrings).map(_.head)
 
   /** Table-function call: (input-row index, value) pairs
     * (`Client::call_table_function`; the index column is the protocol's
@@ -182,9 +182,15 @@ final class FlightClient(host: String, port: Int, timeoutMs: Int = 120000,
   /** One DoExchange: write the argument rows as schema + record-batch
     * `FlightData` messages, read back every result row. Replayed whole on a
     * fresh connection after a transient failure (request messages are
-    * rebuilt per attempt — the exchange is a pure function of `rows`). */
+    * rebuilt per attempt — the exchange is a pure function of `rows`).
+    * With `dictEncodeStrings`, string argument columns travel
+    * DICTIONARY-ENCODED (schema declares the encoding; a DictionaryBatch per
+    * string column precedes the record batch) — the inline-dictionary shape
+    * a dictionary-preserving producer emits, exercising the server's
+    * DictionaryBatch pass-through end to end. */
   def exchange(fname: String, argTypes: Seq[DataType], rows: Seq[Seq[Any]],
-               argMeta: Seq[SMetadata] = Nil): Seq[Seq[Any]] = withRetry {
+               argMeta: Seq[SMetadata] = Nil,
+               dictEncodeStrings: Boolean = false): Seq[Seq[Any]] = withRetry {
     val meta = if (argMeta.nonEmpty) argMeta else argTypes.map(_ => SMetadata.empty)
     val schema = new ASchema(argTypes.zip(meta).zipWithIndex.map { case ((t, m), i) =>
       toArrowField(s"a$i", t, m) }.asJava)
@@ -192,27 +198,32 @@ final class FlightClient(host: String, port: Int, timeoutMs: Int = 120000,
 
     // request messages: schema FlightData (carries the descriptor), then one
     // FlightData per bounded batch
-    val (schemaHeader, _) = encapsulated(ch => { MessageSerializer.serialize(ch, schema); () })
-    val schemaMsg = Pb.flightData(Some(descriptor), schemaHeader, Pb.Empty)
-    val batchMsgs = rows.grouped(RemoteProtocol.BatchSize).map { chunk =>
-      val root = VectorSchemaRoot.create(schema, allocator)
-      try {
-        root.allocateNew()
-        val writers = argTypes.indices.map(j => cellWriter(root.getVector(j)))
-        chunk.zipWithIndex.foreach { case (row, i) =>
-          var j = 0
-          while (j < writers.length) { writers(j)(i, row(j)); j += 1 }
+    val requestMsgs: Iterator[Array[Byte]] =
+      if (dictEncodeStrings) dictEncodedRequest(descriptor, schema, argTypes, rows).iterator
+      else {
+        val (schemaHeader, _) = encapsulated(ch => { MessageSerializer.serialize(ch, schema); () })
+        val schemaMsg = Pb.flightData(Some(descriptor), schemaHeader, Pb.Empty)
+        val batchMsgs = rows.grouped(RemoteProtocol.BatchSize).map { chunk =>
+          val root = VectorSchemaRoot.create(schema, allocator)
+          try {
+            root.allocateNew()
+            val writers = argTypes.indices.map(j => cellWriter(root.getVector(j)))
+            chunk.zipWithIndex.foreach { case (row, i) =>
+              var j = 0
+              while (j < writers.length) { writers(j)(i, row(j)); j += 1 }
+            }
+            root.setRowCount(chunk.size)
+            val batch = new VectorUnloader(root).getRecordBatch
+            try {
+              val (header, body) = encapsulated(ch => { MessageSerializer.serialize(ch, batch); () })
+              Pb.flightData(None, header, body)
+            } finally batch.close()
+          } finally root.close()
         }
-        root.setRowCount(chunk.size)
-        val batch = new VectorUnloader(root).getRecordBatch
-        try {
-          val (header, body) = encapsulated(ch => { MessageSerializer.serialize(ch, batch); () })
-          Pb.flightData(None, header, body)
-        } finally batch.close()
-      } finally root.close()
-    }
+        Iterator(schemaMsg) ++ batchMsgs
+      }
 
-    val responses = grpc.call(s"$Service/DoExchange", Iterator(schemaMsg) ++ batchMsgs)
+    val responses = grpc.call(s"$Service/DoExchange", requestMsgs)
 
     // reassemble the response FlightData messages into one Arrow IPC stream
     val ipc = new ByteArrayOutputStream()
@@ -232,10 +243,13 @@ final class FlightClient(host: String, port: Int, timeoutMs: Int = 120000,
         val rroot = reader.getVectorSchemaRoot
         val results = scala.collection.mutable.ArrayBuffer.empty[Seq[Any]]
         while (reader.loadNextBatch()) {
-          val readers = rroot.getFieldVectors.asScala.map(cellReader).toArray
+          // dictionary-encoded result columns (e.g. a pyarrow server
+          // returning dictionary arrays) decode to value vectors here
+          val (readers, doneBatch) = batchCellReaders(rroot, reader)
           (0 until rroot.getRowCount).foreach { i =>
             results += scala.collection.immutable.ArraySeq.unsafeWrapArray(readers.map(_(i)))
           }
+          doneBatch()
         }
         results.toSeq
       } finally reader.close()
@@ -336,10 +350,11 @@ final class FlightClient(host: String, port: Int, timeoutMs: Int = 120000,
       val out = scala.collection.mutable.ArrayBuffer.empty[Seq[Any]]
       val rroot = reader.getVectorSchemaRoot
       while (out.size < rows.size && reader.loadNextBatch()) {
-        val readers = rroot.getFieldVectors.asScala.map(cellReader).toArray
+        val (readers, doneBatch) = batchCellReaders(rroot, reader)
         (0 until rroot.getRowCount).foreach { i =>
           out += scala.collection.immutable.ArraySeq.unsafeWrapArray(readers.map(_(i)))
         }
+        doneBatch()
       }
       require(out.size == rows.size,
         s"$fname streamed exchange returned ${out.size} rows for ${rows.size} inputs")
@@ -358,6 +373,72 @@ final class FlightClient(host: String, port: Int, timeoutMs: Int = 120000,
   def openExchange(fname: String, argTypes: Seq[DataType],
                    argMeta: Seq[SMetadata] = Nil): ExchangeStream =
     new ExchangeStream(fname, argTypes, argMeta)
+
+  /** Request messages for ONE record batch with every string argument column
+    * dictionary-encoded on the wire: schema (declaring the encodings, with
+    * the descriptor) + one DictionaryBatch per string column + the
+    * index-typed RecordBatch — produced by a stock `ArrowStreamWriter` with
+    * a `DictionaryProvider`, then re-split into FlightData framing. All
+    * `rows` ride one batch (callers chunk at [[RemoteProtocol.BatchSize]]). */
+  private def dictEncodedRequest(descriptor: Array[Byte], schema: ASchema,
+      argTypes: Seq[DataType], rows: Seq[Seq[Any]]): Seq[Array[Byte]] = {
+    import org.apache.arrow.vector.{FieldVector, VarCharVector}
+    import org.apache.arrow.vector.dictionary.{Dictionary, DictionaryEncoder, DictionaryProvider}
+    import org.apache.arrow.vector.types.pojo.{ArrowType, DictionaryEncoding}
+    val root = VectorSchemaRoot.create(schema, allocator)
+    val extra = scala.collection.mutable.ArrayBuffer.empty[FieldVector]
+    try {
+      root.allocateNew()
+      val writers = argTypes.indices.map(j => cellWriter(root.getVector(j)))
+      rows.zipWithIndex.foreach { case (row, i) =>
+        var j = 0
+        while (j < writers.length) { writers(j)(i, row(j)); j += 1 }
+      }
+      root.setRowCount(rows.size)
+      val provider = new DictionaryProvider.MapDictionaryProvider()
+      val encoded = root.getFieldVectors.asScala.zipWithIndex.map {
+        case (sv: VarCharVector, j) =>
+          // dictionary = the column's distinct non-null values, first-seen order
+          val distinct = new java.util.LinkedHashSet[String]()
+          (0 until rows.size).foreach { i =>
+            if (!sv.isNull(i))
+              distinct.add(new String(sv.get(i), java.nio.charset.StandardCharsets.UTF_8))
+          }
+          val dv = new VarCharVector(s"${sv.getName}-dict", allocator)
+          extra += dv
+          dv.allocateNew()
+          var k = 0
+          distinct.forEach { s =>
+            dv.setSafe(k, s.getBytes(java.nio.charset.StandardCharsets.UTF_8)); k += 1
+          }
+          dv.setValueCount(k)
+          val dict = new Dictionary(dv,
+            new DictionaryEncoding(j.toLong, false, new ArrowType.Int(32, true)))
+          provider.put(dict)
+          val enc = DictionaryEncoder.encode(sv, dict).asInstanceOf[FieldVector]
+          extra += enc
+          enc
+        case (v, _) => v
+      }
+      val encRoot = new VectorSchemaRoot(
+        encoded.map(_.getField).asJava, encoded.map(v => v: FieldVector).asJava, rows.size)
+      val bos = new ByteArrayOutputStream()
+      val w = new org.apache.arrow.vector.ipc.ArrowStreamWriter(encRoot, provider, bos)
+      // close(), not just end(): the stream writer retains an internal COPY
+      // of each dictionary vector (its replacement/delta tracking) that only
+      // close() releases
+      try { w.start(); w.writeBatch(); w.end() } finally w.close()
+      val msgIn = new java.io.DataInputStream(new ByteArrayInputStream(bos.toByteArray))
+      val msgs = Iterator.continually(IpcFraming.readMessage(msgIn))
+        .takeWhile(_.isDefined).map(_.get).toSeq
+      msgs.zipWithIndex.map { case ((h, b), i) =>
+        Pb.flightData(if (i == 0) Some(descriptor) else None, h, b)
+      }
+    } finally {
+      extra.foreach(v => try v.close() catch { case _: Exception => })
+      root.close()
+    }
+  }
 
   /** Run `f` into a buffer and split the encapsulated IPC framing into the
     * `FlightData` (metadata, body) field mapping. */

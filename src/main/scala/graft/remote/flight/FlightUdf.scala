@@ -144,6 +144,24 @@ object FlightUdf {
                        argCols: Seq[String], retType: DataType): DataFrame =
     withFlightColumn(df, Seq((host, port)), fname, argCols, retType)
 
+  /** [[withFlightColumn]] with STRING argument columns dictionary-encoded on
+    * the wire (inline DictionaryBatch per exchange) — the batch shape a
+    * dictionary-preserving producer emits at scale, where parquet string
+    * columns are dictionary pages. Results are identical to the plain path;
+    * servers resolve the dictionaries (graft's backend decodes them, the
+    * reference's SDK readers resolve them in `FlightStream`). */
+  def withFlightColumnDict(df: DataFrame, endpoints: Seq[(String, Int)], fname: String,
+                           argCols: Seq[String], retType: DataType,
+                           batchRows: Int = RemoteProtocol.BatchSize): DataFrame =
+    withPartitionClient(df, endpoints, argCols, Seq(StructField("value", retType)),
+        batchRows) {
+      (client, argTypes, chunk, rows) =>
+        chunk.iterator.zip(
+          client.call(fname, argTypes, rows, Nil, dictEncodeStrings = true).iterator).map {
+          case (r, v) => Row.fromSeq(r.toSeq :+ v)
+        }
+    }
+
   /** Explode each row into the Flight table function's yields (generator
     * semantics over the wire, reference `call_table_function`). */
   def withFlightTableColumn(df: DataFrame, endpoints: Seq[(String, Int)], fname: String,

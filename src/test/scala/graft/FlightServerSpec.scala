@@ -167,6 +167,45 @@ class FlightServerSpec extends AnyFunSuite {
     } finally server.close()
   }
 
+  test("dictionary-encoded argument columns from a stock pyarrow client") {
+    // parquet string columns arrive dictionary-encoded at scale; a
+    // dictionary-preserving producer ships them as-is: schema declares the
+    // encoding, a DictionaryBatch precedes each RecordBatch. The server
+    // passes them through inline and the backend must resolve the STRING
+    // overload + decoded values — single batch AND per-batch replacement
+    // dictionaries on one streamed exchange.
+    graft.functions.Builtins.ensureRegistered()
+    val server = new FlightServer()
+    try {
+      val script = new java.io.File(sys.props("user.dir"), "tools/flight_client_probe.py")
+      val proc = new ProcessBuilder("python3", script.getAbsolutePath,
+        server.boundPort.toString, "--dict")
+        .redirectErrorStream(true).start()
+      val out = new String(proc.getInputStream.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8)
+      val rc = proc.waitFor()
+      assert(rc == 0, s"probe exited $rc:\n$out")
+      val lines = out.linesIterator.toSeq
+      assert(lines.contains("DICT True"), out)
+      assert(lines.contains("DICTSTREAM True"), out)
+    } finally server.close()
+  }
+
+  test("graft client dictionary-encodes string arguments through graft's server") {
+    graft.functions.Builtins.ensureRegistered()
+    val server = new FlightServer()
+    try {
+      val c = new graft.remote.flight.FlightClient("127.0.0.1", server.boundPort)
+      try {
+        val st = org.apache.spark.sql.types.StringType
+        val rows: Seq[Seq[Any]] =
+          Seq(Seq("alpha"), Seq("bee"), Seq("alpha"), Seq(null), Seq("gamma-gamma"))
+        val got = c.call("graft_length", Seq(st), rows, Nil, dictEncodeStrings = true)
+        assert(got == Seq(5, 3, 5, null, 11))
+      } finally c.close()
+    } finally server.close()
+  }
+
   test("pyarrow ping-pong over one DoExchange: grpc-core proves the incremental server") {
     graft.functions.Builtins.ensureRegistered()
     val server = new FlightServer()

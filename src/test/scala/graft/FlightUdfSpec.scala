@@ -53,7 +53,7 @@ class FlightUdfSpec extends AnyFunSuite {
       assert(c.protocolVersion() == 2)
       val fns = c.list()
       assert(fns.map(_.name).toSet ==
-        Set("flight_gcd", "flight_len", "flight_mod", "flight_words",
+        Set("flight_gcd", "flight_len", "flight_len_bucket", "flight_mod", "flight_words",
           "flight_dec_add", "flight_divisors"))
       val gcd = c.get("flight_gcd")
       assert(gcd.args.map(_._2) == Seq(IntegerType, IntegerType))
@@ -74,6 +74,19 @@ class FlightUdfSpec extends AnyFunSuite {
       // a second RPC on the same connection (new h2 stream id)
       assert(c.call("flight_len", Seq(StringType),
         Seq(Seq("hello"), Seq(""), Seq(null))) == Seq(5, 0, null))
+    } finally c.close()
+  }
+
+  test("dictionary-encoded RESULT columns from the pyarrow server decode to values") {
+    // flight_len_bucket advertises dictionary<int32, string>: each result
+    // batch is a DictionaryBatch + an index-typed RecordBatch on the wire.
+    // Discovery must surface the VALUE type; reads must decode indices.
+    assert(FlightUdf.returnTypeOf(("127.0.0.1", port), "flight_len_bucket") == StringType)
+    val c = new FlightClient("127.0.0.1", port)
+    try {
+      assert(c.call("flight_len_bucket", Seq(StringType),
+        Seq(Seq("x" * 10), Seq("y" * 60), Seq("z" * 200), Seq(null))) ==
+        Seq("short", "medium", "long", null))
     } finally c.close()
   }
 

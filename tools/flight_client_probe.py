@@ -99,8 +99,47 @@ def main():
         negative(c)
     if "--pingpong" in sys.argv:
         pingpong(c)
+    if "--dict" in sys.argv:
+        dictionary(c)
 
     print("DONE")
+
+
+def dictionary(c):
+    """Dictionary-encoded ARGUMENT columns: pyarrow writes the batch with a
+    dictionary<int32, string> column (schema declares the encoding; a
+    DictionaryBatch precedes each RecordBatch on the wire). The server must
+    resolve the STRING overload (not the index int's) and evaluate the
+    decoded values — the shape parquet dictionary pages produce at scale."""
+    texts = ["alpha", "bee", "alpha", None, "gamma-gamma", "bee"]
+    arr = pa.array(texts, pa.string()).dictionary_encode()
+    schema = pa.schema([("s", arr.type)])
+    w, r = c.do_exchange(fl.FlightDescriptor.for_path("graft_length"))
+    w.begin(schema)
+    w.write_batch(pa.RecordBatch.from_arrays([arr], schema=schema))
+    w.done_writing()
+    got = r.read_all().column("value").to_pylist()
+    print("DICT", got == [len(t) if t is not None else None for t in texts])
+
+    # multi-batch streamed exchange: each batch re-ships its dictionary
+    # (pyarrow emits a replacement DictionaryBatch per batch); results
+    # ping-pong per batch like the plain streamed mode
+    w, r = c.do_exchange(fl.FlightDescriptor.for_path("graft_length"))
+    ok = True
+    first = True
+    for t in range(3):
+        batch_texts = [f"word{t}", "x" * (t + 1), None]
+        a2 = pa.array(batch_texts, pa.string()).dictionary_encode()
+        if first:
+            w.begin(pa.schema([("s", a2.type)]))
+            first = False
+        w.write_batch(pa.RecordBatch.from_arrays(
+            [a2], schema=pa.schema([("s", a2.type)])))
+        vals = r.read_chunk().data.column(0).to_pylist()
+        ok = ok and vals == [len(x) if x is not None else None for x in batch_texts]
+    w.done_writing()
+    ok = ok and r.read_all().num_rows == 0
+    print("DICTSTREAM", ok)
 
 
 def pingpong(c):

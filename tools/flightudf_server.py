@@ -73,6 +73,23 @@ class Table:
             schema=self.result_schema)
 
 
+class DictScalar(Scalar):
+    """Scalar whose results come back DICTIONARY-ENCODED (the advertised
+    result schema is dictionary<int32, string>; each result batch is a
+    DictionaryBatch + an index-typed RecordBatch on the wire) — exercises the
+    graft client resolving inline dictionaries from a stock server."""
+
+    def __init__(self, name, in_schema, fn):
+        super().__init__(name, in_schema, pa.dictionary(pa.int32(), pa.string()), fn)
+
+    def eval_batch(self, batch):
+        cols = [col.to_pylist() for col in batch.columns]
+        n = batch.num_rows
+        vals = [self.fn(*[c[i] for c in cols]) for i in range(n)]
+        arr = pa.array(vals, type=pa.string()).dictionary_encode()
+        yield pa.RecordBatch.from_arrays([arr], schema=self.result_schema)
+
+
 def gcd(x, y):
     if x is None or y is None:
         return None
@@ -107,6 +124,14 @@ def dec_add(a, b):
     return a + b
 
 
+def len_bucket(s):
+    # low-cardinality string result: the natural dictionary-encoding shape
+    if s is None:
+        return None
+    n = len(s)
+    return "short" if n < 40 else ("medium" if n < 120 else "long")
+
+
 def divisors(n):
     # list<int64> return: nested vector layout over the wire
     if n is None:
@@ -128,6 +153,8 @@ FUNCTIONS = [
            pa.decimal128(18, 2), dec_add),
     Scalar("flight_divisors",
            pa.schema([("n", pa.int32())]), pa.list_(pa.int64()), divisors),
+    DictScalar("flight_len_bucket",
+               pa.schema([("s", pa.string())]), len_bucket),
 ]
 
 
