@@ -78,51 +78,61 @@ final class FlightClient(host: String, port: Int, timeoutMs: Int = 120000,
     // convention (graft's AUTH wire verb, expressed the Flight way)
     authToken.map(t => "authorization" -> s"Bearer $t").toSeq,
     recvWindow)
-  private var grpc = dial()
+  // THREAD-SAFE: concurrent calls multiplex as h2 streams on the shared
+  // connection ([[GrpcConn]] is concurrent), so one client can serve many
+  // partition tasks ([[FlightClientCache]]); the allocator is Arrow's
+  // thread-safe RootAllocator.
+  private val connLock = new Object
+  @volatile private var grpc = dial()
   private val allocator = new RootAllocator()
 
-  private def reconnect(): Unit = {
-    try grpc.close() catch { case _: Exception => }
-    grpc = dial()
+  /** Swap in a fresh connection — only if `failed` is still the live one,
+    * so concurrent failures reconnect ONCE instead of racing each other. */
+  private def reconnect(failed: GrpcConn): Unit = connLock.synchronized {
+    if (grpc eq failed) {
+      try failed.close() catch { case _: Exception => }
+      grpc = dial()
+    }
   }
 
   /** Replay `f` on a fresh connection after a transient I/O failure (the
     * [[graft.remote.UdfClient.withRetry]] policy on the Flight wire). Note
     * [[GrpcStatusException]] extends IOException, so order matters: a
     * status the server delivered is semantic, never replayed. */
-  private def withRetry[T](f: => T): T = {
+  private def withRetry[T](f: GrpcConn => T): T = {
     var attempt = 0
     while (attempt < maxRetries) {
-      try return f
+      val g = grpc
+      try return f(g)
       catch {
         case e: GrpcStatusException => throw e // server answered: no retry
         case e: java.net.SocketTimeoutException => throw e // deadline: no retry
-        case _: java.io.IOException => attempt += 1; reconnect()
+        case _: java.io.IOException => attempt += 1; reconnect(g)
       }
     }
-    f
+    f(grpc)
   }
 
   /** Server protocol version; any failure (e.g. UNIMPLEMENTED DoAction) means
     * a version-1 server, exactly like the reference (`remote/mod.rs:53-65`). */
   def protocolVersion(): Int =
     try {
-      val results = withRetry(grpc.call(s"$Service/DoAction",
+      val results = withRetry(g => g.call(s"$Service/DoAction",
         Iterator(Pb.action("protocol_version", Pb.Empty))).toSeq)
       results.headOption.map(Pb.parseResultBody).filter(_.nonEmpty)
         .map(_.head.toInt).getOrElse(1)
     } catch { case _: GrpcStatusException => 1 }
 
   /** Discovery: one function's signature (`Client::get`). */
-  def get(name: String): FlightFunction = withRetry {
-    val infos = grpc.call(s"$Service/GetFlightInfo",
+  def get(name: String): FlightFunction = withRetry { g =>
+    val infos = g.call(s"$Service/GetFlightInfo",
       Iterator(Pb.descriptorPath(name))).toSeq
     parseFunction(Pb.parseFlightInfo(infos.head))
   }
 
   /** Discovery: every function on the server (`Client::list`). */
-  def list(): Seq[FlightFunction] = withRetry {
-    grpc.call(s"$Service/ListFlights", Iterator(Pb.criteria(Pb.Empty)))
+  def list(): Seq[FlightFunction] = withRetry { g =>
+    g.call(s"$Service/ListFlights", Iterator(Pb.criteria(Pb.Empty)))
       .map(b => parseFunction(Pb.parseFlightInfo(b))).toSeq
   }
 
@@ -190,7 +200,13 @@ final class FlightClient(host: String, port: Int, timeoutMs: Int = 120000,
     * DictionaryBatch pass-through end to end. */
   def exchange(fname: String, argTypes: Seq[DataType], rows: Seq[Seq[Any]],
                argMeta: Seq[SMetadata] = Nil,
-               dictEncodeStrings: Boolean = false): Seq[Seq[Any]] = withRetry {
+               dictEncodeStrings: Boolean = false): Seq[Seq[Any]] = withRetry { g =>
+    exchangeOn(g, fname, argTypes, rows, argMeta, dictEncodeStrings)
+  }
+
+  private def exchangeOn(g: GrpcConn, fname: String, argTypes: Seq[DataType],
+                         rows: Seq[Seq[Any]], argMeta: Seq[SMetadata],
+                         dictEncodeStrings: Boolean): Seq[Seq[Any]] = {
     val meta = if (argMeta.nonEmpty) argMeta else argTypes.map(_ => SMetadata.empty)
     val schema = new ASchema(argTypes.zip(meta).zipWithIndex.map { case ((t, m), i) =>
       toArrowField(s"a$i", t, m) }.asJava)
@@ -223,7 +239,7 @@ final class FlightClient(host: String, port: Int, timeoutMs: Int = 120000,
         Iterator(schemaMsg) ++ batchMsgs
       }
 
-    val responses = grpc.call(s"$Service/DoExchange", requestMsgs)
+    val responses = g.call(s"$Service/DoExchange", requestMsgs)
 
     // reassemble the response FlightData messages into one Arrow IPC stream
     val ipc = new ByteArrayOutputStream()
@@ -320,7 +336,10 @@ final class FlightClient(host: String, port: Int, timeoutMs: Int = 120000,
     private val meta = if (argMeta.nonEmpty) argMeta else argTypes.map(_ => SMetadata.empty)
     private val schema = new ASchema(argTypes.zip(meta).zipWithIndex.map { case ((t, m), i) =>
       toArrowField(s"a$i", t, m) }.asJava)
-    private val rpc = grpc.bidi(s"$Service/DoExchange")
+    // withRetry: a SHARED client ([[FlightClientCache]]) can hand out a
+    // connection whose server has since restarted — opening the stream
+    // reconnects and retries like any other RPC
+    private val rpc = withRetry(g => g.bidi(s"$Service/DoExchange"))
     locally {
       val (schemaHeader, _) = encapsulated(ch => { MessageSerializer.serialize(ch, schema); () })
       rpc.send(Pb.flightData(Some(Pb.descriptorPath(fname)), schemaHeader, Pb.Empty))

@@ -5,20 +5,24 @@ import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.types.{DataType, StringType, StructField, StructType}
 
 /**
- * Spark-side Arrow Flight UDF integration — the same per-partition pooled
- * shape as [[graft.remote.RemoteUdf]] (one client per partition for the task
- * lifetime, bounded batches per exchange, round-robin across a server pool),
- * but speaking the reference's ACTUAL wire: Arrow Flight over gRPC
- * (`arrow-udf-runtime/src/remote/mod.rs`). A user of the reference can point
- * these at their existing Java/Python `UdfServer` deployments unchanged —
- * this closes the one interop gap `docs/FLIGHT_INTEROP.md` carried.
+ * Spark-side Arrow Flight UDF integration — the partition-leased shape of
+ * [[graft.remote.RemoteUdf]] (bounded batches per exchange, round-robin
+ * across a server pool), but speaking the reference's ACTUAL wire: Arrow
+ * Flight over gRPC (`arrow-udf-runtime/src/remote/mod.rs`). A user of the
+ * reference can point these at their existing Java/Python `UdfServer`
+ * deployments unchanged — this closes the one interop gap
+ * `docs/FLIGHT_INTEROP.md` carried.
  *
- * Scale notes (identical reasoning to [[graft.remote.RemoteUdf]]):
- * per-partition clients mean parallelism rides Spark's partitioning, so on a
- * 1000-executor cluster each executor opens its own connections to the UDF
- * fleet; narrow inputs are fanned to default parallelism first; each
- * DoExchange carries one bounded batch so the half-duplex exchange can never
- * outgrow flow-control windows.
+ * Scale notes: parallelism rides Spark's partitioning (narrow inputs are
+ * fanned to default parallelism first), but CONNECTIONS are multiplexed —
+ * each partition leases a shared [[FlightClient]] from [[FlightClientCache]]
+ * and its exchanges interleave as h2 streams with the other partitions', so
+ * a 32-core executor holds a few sockets per UDF endpoint instead of 32
+ * (per-executor sockets ≈ ⌈concurrent tasks / maxLeases⌉ — on a
+ * 1000-executor cluster that's the difference between ~4k and ~32k
+ * connections per endpoint). Each DoExchange carries one bounded batch so
+ * the per-stream half-duplex exchange can never outgrow flow-control
+ * windows.
  */
 object FlightUdf {
   private def fanOut(df: DataFrame): DataFrame = {
@@ -42,8 +46,11 @@ object FlightUdf {
     } finally c.close()
   }
 
-  /** The shared partition shape: fan narrow inputs out, one pooled
-    * [[FlightClient]] per partition (closed at task end, round-robin over
+  /** The shared partition shape: fan narrow inputs out, one LEASED
+    * [[FlightClient]] per partition (a shared multiplexed client from
+    * [[FlightClientCache]] — concurrent partitions interleave their
+    * exchanges as h2 streams, so an executor holds a few sockets per
+    * endpoint, not one per core; released at task end, round-robin over
     * `endpoints`), one bounded row chunk per exchange; `perChunk` maps each
     * chunk + its extracted argument rows to output rows.
     *
@@ -72,51 +79,55 @@ object FlightUdf {
       else {
         val pid = Option(org.apache.spark.TaskContext.get()).map(_.partitionId()).getOrElse(0)
         var epIdx = pid % eps.size
-        var client: FlightClient = null
-        // dial epIdx, skipping dead endpoints; a fully-dead ring is re-tried
-        // with exponential backoff (covers a restarting server's window — a
+        var lease: FlightClientCache.Lease = null
+        // lease epIdx (dials only when no shared client has stream headroom),
+        // skipping dead endpoints; a fully-dead ring is re-tried with
+        // exponential backoff (covers a restarting server's window — a
         // single-endpoint pool mid-restart comes back within a few seconds)
         // before the task fails and Spark-level retry takes over
         def connect(): Unit = {
           var pass = 0
           var last: Throwable = null
-          while (client == null && pass < 5) {
+          while (lease == null && pass < 5) {
             var tries = 0
-            while (client == null && tries < eps.size) {
+            while (lease == null && tries < eps.size) {
               val (host, port) = eps((epIdx + tries) % eps.size)
               try {
-                client = new FlightClient(host, port)
+                lease = FlightClientCache.acquire(host, port)
                 epIdx = (epIdx + tries) % eps.size
               } catch {
                 case e: java.io.IOException => last = e; tries += 1
               }
             }
             pass += 1
-            if (client == null && pass < 5) Thread.sleep(250L << pass)
+            if (lease == null && pass < 5) Thread.sleep(250L << pass)
           }
-          if (client == null) throw last
+          if (lease == null) throw last
         }
         connect()
         Option(org.apache.spark.TaskContext.get()).foreach(
-          _.addTaskCompletionListener[Unit](_ => if (client != null) client.close()))
+          _.addTaskCompletionListener[Unit](_ => if (lease != null) lease.release()))
         it.grouped(batchRows).flatMap { chunk0 =>
           val chunk = chunk0.toIndexedSeq
           val rows = chunk.map(r => argIdx.map(r.get))
           var failedOver = 0
           var res: Iterator[Row] = null
           while (res == null) {
-            try res = perChunk(client, argTypes, chunk, rows)
+            try res = perChunk(lease.client, argTypes, chunk, rows)
             catch {
               case e: GrpcStatusException => throw e // server answered
               case e: java.net.SocketTimeoutException => throw e // deadline
               case e: java.io.IOException =>
                 // this endpoint is dead past its own retries: rotate (one
                 // full ring pass, plus one — a single-endpoint pool gets a
-                // reconnect-with-backoff shot at its restarted server)
+                // reconnect-with-backoff shot at its restarted server).
+                // markDead evicts the shared client; other holders keep it
+                // until they release (their own retries may revive it).
                 failedOver += 1
                 if (failedOver > eps.size) throw e
-                try client.close() catch { case _: Exception => }
-                client = null
+                lease.markDead()
+                lease.release()
+                lease = null
                 epIdx = (epIdx + 1) % eps.size
                 connect()
             }
@@ -229,11 +240,15 @@ object FlightUdf {
       else {
         val pid = Option(org.apache.spark.TaskContext.get()).map(_.partitionId()).getOrElse(0)
         var epIdx = pid % eps.size
-        var client: FlightClient = null
+        var lease: FlightClientCache.Lease = null
         var stream: FlightClient#ExchangeStream = null
-        def closeAll(): Unit = {
+        def closeAll(markDead: Boolean): Unit = {
           if (stream != null) { try stream.close() catch { case _: Exception => }; stream = null }
-          if (client != null) { try client.close() catch { case _: Exception => }; client = null }
+          if (lease != null) {
+            if (markDead) lease.markDead()
+            lease.release()
+            lease = null
+          }
         }
         def connect(): Unit = {
           var pass = 0
@@ -243,11 +258,11 @@ object FlightUdf {
             while (stream == null && tries < eps.size) {
               val (host, port) = eps((epIdx + tries) % eps.size)
               try {
-                client = new FlightClient(host, port)
-                stream = client.openExchange(fname, argTypes)
+                lease = FlightClientCache.acquire(host, port)
+                stream = lease.client.openExchange(fname, argTypes)
                 epIdx = (epIdx + tries) % eps.size
               } catch {
-                case e: java.io.IOException => last = e; closeAll(); tries += 1
+                case e: java.io.IOException => last = e; closeAll(markDead = true); tries += 1
               }
             }
             pass += 1
@@ -257,7 +272,7 @@ object FlightUdf {
         }
         connect()
         Option(org.apache.spark.TaskContext.get()).foreach(
-          _.addTaskCompletionListener[Unit](_ => closeAll()))
+          _.addTaskCompletionListener[Unit](_ => closeAll(markDead = false)))
         it.grouped(batchRows).flatMap { chunk0 =>
           val chunk = chunk0.toIndexedSeq
           val rows = chunk.map(r => argIdx.map(r.get))
@@ -271,7 +286,7 @@ object FlightUdf {
               case e: java.io.IOException =>
                 failedOver += 1
                 if (failedOver > eps.size) throw e
-                closeAll()
+                closeAll(markDead = true)
                 epIdx = (epIdx + 1) % eps.size
                 connect()
             }
@@ -294,6 +309,70 @@ object FlightUdf {
           case (r, (v, e)) => Row.fromSeq(r.toSeq :+ v :+ e)
         }
     }
+}
+
+/**
+ * Executor-wide cache of SHARED multiplexed [[FlightClient]]s, keyed by
+ * endpoint. Concurrent partition tasks interleave their exchanges as h2
+ * STREAMS on one connection (the [[GrpcConn]] concurrency model — how stock
+ * gRPC channels behave) instead of opening one TCP connection per core: a
+ * 32-core executor against one UDF endpoint holds ⌈32/maxLeases⌉ sockets,
+ * not 32. A new connection is opened only when every live one already has
+ * `maxLeases` concurrent holders.
+ *
+ * Failure discipline: a partition that exhausts [[FlightClient]]'s own
+ * reconnect/replay marks its lease DEAD — the client is evicted for new
+ * acquisitions and closed when its last lease releases (holders in flight
+ * keep it; their own retries may still revive its internal connection).
+ * Healthy clients persist for the executor lifetime, like the worker pools.
+ */
+private[flight] object FlightClientCache {
+  /** Concurrent leases per connection before a new one is dialed. Well below
+    * any server's SETTINGS_MAX_CONCURRENT_STREAMS default while keeping the
+    * socket count sublinear in cores. */
+  val MaxLeases: Int =
+    sys.env.get("GRAFT_FLIGHT_STREAMS_PER_CONN").map(_.toInt).getOrElse(8)
+
+  private final class Entry(val client: FlightClient) {
+    var leases = 0
+    var dead = false
+  }
+  private val cache =
+    scala.collection.mutable.Map.empty[(String, Int), scala.collection.mutable.ArrayBuffer[Entry]]
+
+  final class Lease private[FlightClientCache] (val client: FlightClient,
+      entry: Entry, key: (String, Int)) {
+    def release(): Unit = FlightClientCache.synchronized {
+      entry.leases -= 1
+      if (entry.dead && entry.leases == 0)
+        try entry.client.close() catch { case _: Exception => }
+    }
+    /** Evict this client for future acquisitions (endpoint judged dead). */
+    def markDead(): Unit = FlightClientCache.synchronized {
+      if (!entry.dead) {
+        entry.dead = true
+        cache.get(key).foreach(_ -= entry)
+      }
+    }
+  }
+
+  /** Lease a shared client for `endpoint`; dials when none has headroom.
+    * Propagates the dial failure (caller rotates endpoints). */
+  def acquire(host: String, port: Int): Lease = synchronized {
+    val key = (host, port)
+    val list = cache.getOrElseUpdate(key, scala.collection.mutable.ArrayBuffer.empty)
+    list.find(e => !e.dead && e.leases < MaxLeases) match {
+      case Some(e) =>
+        e.leases += 1
+        new Lease(e.client, e, key)
+      case None =>
+        val c = new FlightClient(host, port)
+        val e = new Entry(c)
+        e.leases = 1
+        list += e
+        new Lease(c, e, key)
+    }
+  }
 }
 
 /** Lazily-started in-process Flight SERVER fixture — graft's registry over

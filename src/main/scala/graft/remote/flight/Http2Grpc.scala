@@ -22,21 +22,26 @@ import scala.collection.mutable
  * message framing and trailer status — is implemented here against the
  * public RFC 9113 / gRPC-over-HTTP2 specs.
  *
- * Concurrency model: ONE in-flight RPC per connection, matching the pooled
- * per-partition [[graft.remote.UdfClient]] design (each Spark partition owns
- * a connection for its task lifetime; parallelism comes from partitions, not
- * multiplexed streams). The exchange discipline is half-duplex — the client
- * writes the whole bounded request before draining the response — and the
- * pump services PING/SETTINGS/WINDOW_UPDATE frames whenever it is blocked on
- * either direction, so server keepalives and flow-control credit never
- * deadlock a call.
+ * Concurrency model: MULTIPLEXED — any number of concurrent RPCs interleave
+ * as h2 streams on one connection, from any threads (the way stock gRPC
+ * channels behave, and what keeps a 32-core executor at a few sockets per
+ * UDF endpoint instead of one per core). One monitor guards all connection
+ * state and frame writes; socket reads run OUTSIDE it under a reader baton:
+ * whichever thread needs a frame first becomes the reader, dispatches what
+ * it read under the lock, and hands the baton on — so a blocking read never
+ * blocks another stream's writes, and HPACK blocks decode strictly in wire
+ * order. Each RPC's exchange discipline stays half-duplex per STREAM (write
+ * the bounded request, then drain the response), and every blocking point
+ * services PING/SETTINGS/WINDOW_UPDATE frames, so keepalives and
+ * flow-control credit never deadlock a call.
  *
  * Flow control: we announce a large stream window (SETTINGS) and extend the
  * 65535-byte connection window once at startup, then return credit for every
- * DATA frame consumed; sends respect the peer's connection + stream windows,
- * pumping frames while blocked. Bounded exchanges (≤ one
- * [[graft.remote.RemoteProtocol.BatchSize]] batch per call) keep windows from
- * ever being the throughput limiter.
+ * DATA frame consumed (connection credit even for finished streams — a
+ * cancelled stream's tail must not leak the shared window); sends respect
+ * the peer's connection + stream windows, pumping frames while blocked.
+ * Bounded exchanges (≤ one [[graft.remote.RemoteProtocol.BatchSize]] batch
+ * per call) keep windows from ever being the throughput limiter.
  */
 private[flight] final class Http2Conn(host: String, port: Int, timeoutMs: Int = 120000,
                                       tls: Option[javax.net.ssl.SSLContext] = None,
@@ -80,6 +85,15 @@ private[flight] final class Http2Conn(host: String, port: Int, timeoutMs: Int = 
   private val hpackEnc = new DefaultHttp2HeadersEncoder()
   private val hpackDec = new DefaultHttp2HeadersDecoder(false)
 
+  /** Guards every mutable field below, all frame writes (each frame lands on
+    * the wire atomically, HPACK blocks encode in write order), and the
+    * reader-baton handoff. Never held across a socket READ. */
+  private val lock = new Object
+  private var readerBusy = false
+  /** First transport-level failure; latched so every stream's waiter fails
+    * fast instead of re-reading a broken socket. */
+  private var dead: IOException = null
+
   private var nextStreamId = 1
   // peer-side flow control (how much WE may send)
   private var connSendWindow: Long = 65535L
@@ -87,38 +101,83 @@ private[flight] final class Http2Conn(host: String, port: Int, timeoutMs: Int = 
   private var peerMaxFrame: Int = 16384
   private var goaway: Option[String] = None
 
-  /** The single active RPC's stream state. */
-  private final class StreamState(val id: Int) {
-    var sendWindow: Long = peerInitialWindow
-    val inbox = new mutable.ArrayDeque[Array[Byte]]()
-    var headers: Option[Http2Headers] = None
-    var trailers: Option[Http2Headers] = None
-    var remoteClosed = false
-    var localClosed = false // we sent END_STREAM (request fully written)
-    var rstCode: Option[Long] = None
+  /** One RPC's stream state. Owned by the calling thread; mutated only under
+    * [[lock]] (by the reader's dispatch or the owner). */
+  final class StreamState private[Http2Conn] (val id: Int) {
+    private[Http2Conn] var sendWindow: Long = peerInitialWindow
+    private[Http2Conn] val inbox = new mutable.ArrayDeque[Array[Byte]]()
+    private[Http2Conn] var headers: Option[Http2Headers] = None
+    private[Http2Conn] var trailers: Option[Http2Headers] = None
+    private[Http2Conn] var remoteClosed = false
+    private[Http2Conn] var localClosed = false // we sent END_STREAM
+    private[Http2Conn] var rstCode: Option[Long] = None
   }
-  private var active: StreamState = null
+  private val streams = mutable.Map.empty[Int, StreamState]
 
   // ---- connection preface ---------------------------------------------------
   out.write("PRI * HTTP/2.0\r\n\r\nSM\r\n\r\n".getBytes(StandardCharsets.US_ASCII))
   // SETTINGS: no server push; big per-stream receive window
-  writeFrame(FrameSettings, 0, 0,
+  H2.writeFrame(out, FrameSettings, 0, 0,
     settingsPayload(Seq(0x2 -> 0L, 0x4 -> RecvWindow.toLong)))
   // top up the fixed 65535 connection receive window once (a zero-increment
   // WINDOW_UPDATE is a PROTOCOL_ERROR, so skip it at the minimum window)
   if (RecvWindow > 65535)
-    writeFrame(FrameWindowUpdate, 0, 0, u32(RecvWindow - 65535))
+    H2.writeFrame(out, FrameWindowUpdate, 0, 0, u32(RecvWindow - 65535))
   out.flush()
 
-  private def writeFrame(tpe: Int, flags: Int, streamId: Int, payload: Array[Byte],
-                         off: Int = 0, len: Int = -1): Unit =
+  /** Caller must hold [[lock]]. */
+  private def writeFrameLocked(tpe: Int, flags: Int, streamId: Int, payload: Array[Byte],
+                               off: Int = 0, len: Int = -1): Unit =
     H2.writeFrame(out, tpe, flags, streamId, payload, off, len)
 
+  private def rethrow(e: IOException): IOException = e match {
+    case _: java.net.SocketTimeoutException =>
+      new java.net.SocketTimeoutException(s"connection deadline hit: ${e.getMessage}")
+    case _ => new IOException(s"connection failed: ${e.getMessage}", e)
+  }
+
+  /** Block until `cond` (evaluated under [[lock]]) holds, pumping frames.
+    * Exactly one thread reads the socket at a time (the baton holder); every
+    * other waiter parks on the lock and re-checks after each dispatched
+    * frame. A transport failure latches [[dead]] and wakes everyone. */
+  private def awaitCond(cond: => Boolean): Unit = {
+    while (true) {
+      lock.synchronized {
+        while (!cond && readerBusy && dead == null) lock.wait()
+        if (cond) return
+        if (dead != null) throw rethrow(dead)
+        readerBusy = true
+      }
+      var ok = false
+      try { pumpOne(); ok = true }
+      finally lock.synchronized {
+        readerBusy = false
+        if (!ok && dead == null)
+          dead = new IOException("connection reader failed")
+        lock.notifyAll()
+      }
+    }
+  }
+
   // ---- frame pump -------------------------------------------------------------
-  /** Read and dispatch exactly one frame from the peer. Callers loop on this
-    * whenever they are waiting for response data, trailers, or send-window
-    * credit, so control frames are serviced at every blocking point. */
+  /** Read exactly one frame from the peer (NO lock held during the blocking
+    * read; caller holds the reader baton), then dispatch it under the lock.
+    * A HEADERS frame's CONTINUATIONs are read with it — they must be
+    * contiguous on the wire, and the baton keeps HPACK decode in order. */
   private def pumpOne(): Unit = {
+    val (tpe, flags0, sid, payload, headerBlock) =
+      try readFrame()
+      catch {
+        case e: IOException =>
+          lock.synchronized { if (dead == null) dead = e; lock.notifyAll() }
+          throw rethrow(e)
+      }
+    lock.synchronized { dispatch(tpe, flags0, sid, payload, headerBlock) }
+  }
+
+  /** (type, original HEADERS flags, stream id, payload, assembled header
+    * block or null). Blocking socket reads, no lock. */
+  private def readFrame(): (Int, Int, Int, Array[Byte], Array[Byte]) = {
     val b0 = in.read()
     if (b0 < 0) throw new EOFException("http2 connection closed")
     val len = (b0 << 16) | (in.readUnsignedByte() << 8) | in.readUnsignedByte()
@@ -127,212 +186,245 @@ private[flight] final class Http2Conn(host: String, port: Int, timeoutMs: Int = 
     val sid = in.readInt() & 0x7fffffff
     val payload = new Array[Byte](len)
     in.readFully(payload)
-    tpe match {
-      case FrameData =>
-        var off = 0; var n = len
-        if ((flags & FlagPadded) != 0) { val pad = payload(0) & 0xff; off = 1; n = len - 1 - pad }
-        if (active != null && sid == active.id) {
-          if (n > 0) active.inbox.append(java.util.Arrays.copyOfRange(payload, off, off + n))
-          if ((flags & FlagEndStream) != 0) active.remoteClosed = true
-          // return credit for the whole frame (incl. padding) as we consume
-          if (len > 0) {
-            writeFrame(FrameWindowUpdate, 0, 0, u32(len.toLong))
-            if (!active.remoteClosed) writeFrame(FrameWindowUpdate, 0, sid, u32(len.toLong))
-            out.flush()
-          }
-        }
-      case FrameHeaders | FrameContinuation =>
-        var off = 0; var end = len
-        var fl = flags
-        if (tpe == FrameHeaders) {
-          if ((fl & FlagPadded) != 0) { val pad = payload(0) & 0xff; off = 1; end = len - pad }
-          if ((fl & FlagPriority) != 0) off += 5
-        }
-        val block = new java.io.ByteArrayOutputStream()
-        block.write(payload, off, end - off)
-        while ((fl & FlagEndHeaders) == 0) {
-          // CONTINUATION frames must follow immediately on the same stream
-          val c0 = in.read()
-          if (c0 < 0) throw new EOFException("http2 connection closed mid-headers")
-          val clen = (c0 << 16) | (in.readUnsignedByte() << 8) | in.readUnsignedByte()
-          val ctpe = in.readUnsignedByte()
-          fl = in.readUnsignedByte()
-          in.readInt()
-          if (ctpe != FrameContinuation)
-            throw new IOException(s"expected CONTINUATION, got frame type $ctpe")
-          val cp = new Array[Byte](clen)
-          in.readFully(cp)
-          block.write(cp)
-        }
-        val buf = Unpooled.wrappedBuffer(block.toByteArray)
-        val decoded = try hpackDec.decodeHeaders(sid, buf) finally buf.release()
-        if (active != null && sid == active.id) {
-          if (active.headers.isEmpty) active.headers = Some(decoded)
-          else active.trailers = Some(decoded)
-          if ((flags & FlagEndStream) != 0) active.remoteClosed = true
-        }
-      case FrameSettings =>
-        if ((flags & FlagAck) == 0) {
-          var i = 0
-          while (i + 6 <= len) {
-            val k = ((payload(i) & 0xff) << 8) | (payload(i + 1) & 0xff)
-            val v = ((payload(i + 2) & 0xffL) << 24) | ((payload(i + 3) & 0xffL) << 16) |
-              ((payload(i + 4) & 0xffL) << 8) | (payload(i + 5) & 0xffL)
-            k match {
-              case 0x1 => hpackEnc.maxHeaderTableSize(v) // our encoder must honor it
-              case 0x4 =>
-                val delta = v - peerInitialWindow
-                peerInitialWindow = v
-                if (active != null) active.sendWindow += delta
-              case 0x5 => peerMaxFrame = v.toInt
-              case _ =>
-            }
-            i += 6
-          }
-          writeFrame(FrameSettings, FlagAck, 0, Array.emptyByteArray)
-          out.flush()
-        }
-      case FramePing =>
-        if ((flags & FlagAck) == 0) { writeFrame(FramePing, FlagAck, 0, payload); out.flush() }
-      case FrameWindowUpdate =>
-        val inc = ((payload(0) & 0x7fL) << 24) | ((payload(1) & 0xffL) << 16) |
-          ((payload(2) & 0xffL) << 8) | (payload(3) & 0xffL)
-        if (sid == 0) connSendWindow += inc
-        else if (active != null && sid == active.id) active.sendWindow += inc
-      case FrameRst =>
-        if (active != null && sid == active.id) {
-          active.rstCode = Some(((payload(0) & 0xffL) << 24) | ((payload(1) & 0xffL) << 16) |
-            ((payload(2) & 0xffL) << 8) | (payload(3) & 0xffL))
-          active.remoteClosed = true
-        }
-      case FrameGoaway =>
-        val code = ((payload(4) & 0xffL) << 24) | ((payload(5) & 0xffL) << 16) |
-          ((payload(6) & 0xffL) << 8) | (payload(7) & 0xffL)
-        val msg = if (len > 8) new String(payload, 8, len - 8, StandardCharsets.UTF_8) else ""
-        // NEW RPCs are refused (startRpc); an in-flight stream at or below
-        // lastStreamId still completes — the pump keeps draining its frames.
-        // Only a stream PAST the cutoff is dead: mark it errored so the
-        // caller sees the abort rather than a silent empty response.
-        goaway = Some(s"GOAWAY code=$code $msg")
-        val lastSid = ((payload(0) & 0x7f) << 24) | ((payload(1) & 0xff) << 16) |
-          ((payload(2) & 0xff) << 8) | (payload(3) & 0xff)
-        if (active != null && active.id > lastSid && !active.remoteClosed) {
-          active.rstCode = Some(code)
-          active.remoteClosed = true
-        }
-      case _ => // PRIORITY, PUSH_PROMISE (push disabled), unknown: ignore
+    if (tpe != FrameHeaders) return (tpe, flags, sid, payload, null)
+    // assemble the full header block (HEADERS + CONTINUATIONs)
+    var off = 0; var end = len
+    var fl = flags
+    if ((fl & FlagPadded) != 0) { val pad = payload(0) & 0xff; off = 1; end = len - pad }
+    if ((fl & FlagPriority) != 0) off += 5
+    val block = new java.io.ByteArrayOutputStream()
+    block.write(payload, off, end - off)
+    while ((fl & FlagEndHeaders) == 0) {
+      val c0 = in.read()
+      if (c0 < 0) throw new EOFException("http2 connection closed mid-headers")
+      val clen = (c0 << 16) | (in.readUnsignedByte() << 8) | in.readUnsignedByte()
+      val ctpe = in.readUnsignedByte()
+      fl = in.readUnsignedByte()
+      in.readInt()
+      if (ctpe != FrameContinuation)
+        throw new IOException(s"expected CONTINUATION, got frame type $ctpe")
+      val cp = new Array[Byte](clen)
+      in.readFully(cp)
+      block.write(cp)
     }
+    (tpe, flags, sid, payload, block.toByteArray)
+  }
+
+  /** Apply one frame to connection/stream state. Caller holds [[lock]]. */
+  private def dispatch(tpe: Int, flags: Int, sid: Int, payload: Array[Byte],
+                       headerBlock: Array[Byte]): Unit = tpe match {
+    case FrameData =>
+      var off = 0; var n = payload.length
+      if ((flags & FlagPadded) != 0) { val pad = payload(0) & 0xff; off = 1; n = payload.length - 1 - pad }
+      val s = streams.get(sid).orNull
+      if (s != null) {
+        if (n > 0) s.inbox.append(java.util.Arrays.copyOfRange(payload, off, off + n))
+        if ((flags & FlagEndStream) != 0) s.remoteClosed = true
+      }
+      // return credit for the whole frame (incl. padding) as we consume —
+      // CONNECTION credit even for unknown/finished streams, or a cancelled
+      // stream's in-flight tail permanently shrinks the shared window
+      if (payload.length > 0) {
+        writeFrameLocked(FrameWindowUpdate, 0, 0, u32(payload.length.toLong))
+        if (s != null && !s.remoteClosed)
+          writeFrameLocked(FrameWindowUpdate, 0, sid, u32(payload.length.toLong))
+        out.flush()
+      }
+    case FrameHeaders =>
+      val buf = Unpooled.wrappedBuffer(headerBlock)
+      val decoded = try hpackDec.decodeHeaders(sid, buf) finally buf.release()
+      streams.get(sid).foreach { s =>
+        if (s.headers.isEmpty) s.headers = Some(decoded)
+        else s.trailers = Some(decoded)
+        if ((flags & FlagEndStream) != 0) s.remoteClosed = true
+      }
+    case FrameSettings =>
+      if ((flags & FlagAck) == 0) {
+        var i = 0
+        while (i + 6 <= payload.length) {
+          val k = ((payload(i) & 0xff) << 8) | (payload(i + 1) & 0xff)
+          val v = ((payload(i + 2) & 0xffL) << 24) | ((payload(i + 3) & 0xffL) << 16) |
+            ((payload(i + 4) & 0xffL) << 8) | (payload(i + 5) & 0xffL)
+          k match {
+            case 0x1 => hpackEnc.maxHeaderTableSize(v) // our encoder must honor it
+            case 0x4 =>
+              val delta = v - peerInitialWindow
+              peerInitialWindow = v
+              streams.values.foreach(_.sendWindow += delta)
+            case 0x5 => peerMaxFrame = v.toInt
+            case _ =>
+          }
+          i += 6
+        }
+        writeFrameLocked(FrameSettings, FlagAck, 0, Array.emptyByteArray)
+        out.flush()
+      }
+    case FramePing =>
+      if ((flags & FlagAck) == 0) {
+        writeFrameLocked(FramePing, FlagAck, 0, payload); out.flush()
+      }
+    case FrameWindowUpdate =>
+      val inc = ((payload(0) & 0x7fL) << 24) | ((payload(1) & 0xffL) << 16) |
+        ((payload(2) & 0xffL) << 8) | (payload(3) & 0xffL)
+      if (sid == 0) connSendWindow += inc
+      else streams.get(sid).foreach(_.sendWindow += inc)
+    case FrameRst =>
+      streams.get(sid).foreach { s =>
+        s.rstCode = Some(((payload(0) & 0xffL) << 24) | ((payload(1) & 0xffL) << 16) |
+          ((payload(2) & 0xffL) << 8) | (payload(3) & 0xffL))
+        s.remoteClosed = true
+      }
+    case FrameGoaway =>
+      val code = ((payload(4) & 0xffL) << 24) | ((payload(5) & 0xffL) << 16) |
+        ((payload(6) & 0xffL) << 8) | (payload(7) & 0xffL)
+      val msg = if (payload.length > 8)
+        new String(payload, 8, payload.length - 8, StandardCharsets.UTF_8) else ""
+      // NEW RPCs are refused (startRpc); an in-flight stream at or below
+      // lastStreamId still completes — the pump keeps draining its frames.
+      // Only streams PAST the cutoff are dead: mark them errored so their
+      // callers see the abort rather than a silent empty response.
+      goaway = Some(s"GOAWAY code=$code $msg")
+      val lastSid = ((payload(0) & 0x7f) << 24) | ((payload(1) & 0xff) << 16) |
+        ((payload(2) & 0xff) << 8) | (payload(3) & 0xff)
+      streams.values.foreach { s =>
+        if (s.id > lastSid && !s.remoteClosed) {
+          s.rstCode = Some(code)
+          s.remoteClosed = true
+        }
+      }
+    case _ => // PRIORITY, PUSH_PROMISE (push disabled), unknown: ignore
   }
 
   // ---- RPC surface ------------------------------------------------------------
-  /** Open a gRPC request stream: HEADERS for `POST path`. */
-  def startRpc(path: String, extraHeaders: Seq[(String, String)] = Nil): Unit = {
-    require(active == null || active.remoteClosed, "one RPC at a time per connection")
-    goaway.foreach(msg => throw new IOException(s"connection closed by server: $msg"))
-    // if the previous RPC's request was abandoned mid-send (server ended the
-    // stream early and sendData dropped the tail), the stream is still open
-    // in the server's accounting (half-closed remote, never closed local) —
-    // reset it so repeated early-terminated RPCs on a reused connection
-    // can't accumulate against SETTINGS_MAX_CONCURRENT_STREAMS
-    if (active != null && !active.localClosed) {
-      writeFrame(FrameRst, 0, active.id, u32(0x8L)) // CANCEL
-      out.flush()
+  /** Open a gRPC request stream (HEADERS for `POST path`); any number may be
+    * in flight concurrently. Release with [[finishStream]]. */
+  def startRpc(path: String, extraHeaders: Seq[(String, String)] = Nil): StreamState =
+    lock.synchronized {
+      if (dead != null) throw rethrow(dead)
+      goaway.foreach(msg => throw new IOException(s"connection closed by server: $msg"))
+      val sid = nextStreamId
+      nextStreamId += 2
+      val s = new StreamState(sid)
+      streams(sid) = s
+      val h = new DefaultHttp2Headers(false)
+      // :scheme must reflect the transport (gRPC-over-TLS expects https)
+      h.method("POST").scheme(if (tls.isDefined) "https" else "http")
+        .path(path).authority(s"$host:$port")
+      h.add("content-type", "application/grpc")
+      h.add("te", "trailers")
+      h.add("grpc-accept-encoding", "identity")
+      h.add("user-agent", "graft-flight-bridge/1")
+      extraHeaders.foreach { case (k, v) => h.add(k, v) }
+      val buf = Unpooled.buffer(256)
+      try {
+        hpackEnc.encodeHeaders(sid, h, buf)
+        val block = new Array[Byte](buf.readableBytes())
+        buf.readBytes(block)
+        writeFrameLocked(FrameHeaders, FlagEndHeaders, sid, block)
+        out.flush()
+      } finally buf.release()
+      s
     }
-    val sid = nextStreamId
-    nextStreamId += 2
-    active = new StreamState(sid)
-    val h = new DefaultHttp2Headers(false)
-    // :scheme must reflect the transport (gRPC-over-TLS expects https)
-    h.method("POST").scheme(if (tls.isDefined) "https" else "http")
-      .path(path).authority(s"$host:$port")
-    h.add("content-type", "application/grpc")
-    h.add("te", "trailers")
-    h.add("grpc-accept-encoding", "identity")
-    h.add("user-agent", "graft-flight-bridge/1")
-    extraHeaders.foreach { case (k, v) => h.add(k, v) }
-    val buf = Unpooled.buffer(256)
-    try {
-      hpackEnc.encodeHeaders(sid, h, buf)
-      val block = new Array[Byte](buf.readableBytes())
-      buf.readBytes(block)
-      writeFrame(FrameHeaders, FlagEndHeaders, sid, block)
-      out.flush()
-    } finally buf.release()
+
+  /** Release a finished RPC's stream. If the request side never half-closed
+    * (the server ended the stream early and sendData dropped the tail), the
+    * stream is still open in the server's accounting — RST it so repeated
+    * early-terminated RPCs on a reused connection can't accumulate against
+    * SETTINGS_MAX_CONCURRENT_STREAMS. */
+  def finishStream(s: StreamState): Unit = lock.synchronized {
+    if (streams.remove(s.id).isDefined && !s.localClosed && dead == null) {
+      try { writeFrameLocked(FrameRst, 0, s.id, u32(0x8L)); out.flush() } // CANCEL
+      catch { case _: IOException => }
+    }
   }
 
-  /** Send request bytes on the active stream, honoring peer flow control.
+  /** Send request bytes on `s`, honoring peer flow control.
     * If the server has already ENDED the stream (trailers, trailers-only
     * refusal, or a reset) the remaining writes are dropped, not an error:
     * the response — including its grpc-status — is already determined, and
     * surfacing it through the normal iterator path preserves the real code
     * (a reset mid-send must not mask an UNAUTHENTICATED trailer). */
-  def sendData(bytes: Array[Byte], endStream: Boolean): Unit = {
-    val s = active
+  def sendData(s: StreamState, bytes: Array[Byte], endStream: Boolean): Unit = {
     var off = 0
-    while (off < bytes.length && !s.remoteClosed) {
-      var avail = math.min(connSendWindow, s.sendWindow)
-      while (avail <= 0 && !s.remoteClosed) {
-        pumpOne() // wait for WINDOW_UPDATE credit, servicing pings meanwhile
-        avail = math.min(connSendWindow, s.sendWindow)
-      }
-      if (!s.remoteClosed) {
-        val n = math.min(math.min(avail, peerMaxFrame.toLong), (bytes.length - off).toLong).toInt
-        val last = endStream && off + n == bytes.length
-        if (last) s.localClosed = true
-        writeFrame(FrameData, if (last) FlagEndStream else 0, s.id, bytes, off, n)
-        off += n
-        connSendWindow -= n
-        s.sendWindow -= n
+    var done = false
+    while (off < bytes.length && !done) {
+      // wait for credit on both windows (or stream end), servicing frames
+      awaitCond(s.remoteClosed || math.min(connSendWindow, s.sendWindow) > 0)
+      lock.synchronized {
+        if (s.remoteClosed) done = true
+        else {
+          val avail = math.min(connSendWindow, s.sendWindow)
+          if (avail > 0) { // re-check: another stream may have spent it
+            val n = math.min(math.min(avail, peerMaxFrame.toLong),
+              (bytes.length - off).toLong).toInt
+            val last = endStream && off + n == bytes.length
+            if (last) s.localClosed = true
+            writeFrameLocked(FrameData, if (last) FlagEndStream else 0, s.id, bytes, off, n)
+            off += n
+            connSendWindow -= n
+            s.sendWindow -= n
+          }
+        }
       }
     }
-    if (bytes.isEmpty && endStream && !s.remoteClosed) {
-      s.localClosed = true
-      writeFrame(FrameData, FlagEndStream, s.id, Array.emptyByteArray)
-    }
-    out.flush()
-  }
-
-  /** Next chunk of response DATA, or None once the server closed the stream.
-    * A reset stream throws ONLY when no grpc-status arrived (trailers, or a
-    * trailers-only HEADERS): gRPC servers commonly follow trailers with
-    * RST_STREAM(NO_ERROR), which must not mask the real status. */
-  def nextData(): Option[Array[Byte]] = {
-    val s = active
-    while (s.inbox.isEmpty && !s.remoteClosed) pumpOne()
-    if (s.inbox.nonEmpty) Some(s.inbox.removeHead())
-    else {
-      val hasStatus = s.trailers.isDefined ||
-        s.headers.exists(h => h.get("grpc-status") != null)
-      if (!hasStatus)
-        s.rstCode.foreach(c => throw new IOException(s"stream reset by server (code $c)"))
-      None
+    lock.synchronized {
+      if (bytes.isEmpty && endStream && !s.remoteClosed) {
+        s.localClosed = true
+        writeFrameLocked(FrameData, FlagEndStream, s.id, Array.emptyByteArray)
+      }
+      out.flush()
     }
   }
 
-  /** Response headers (blocks until they arrive). */
-  def responseHeaders(): Http2Headers = {
-    val s = active
-    while (s.headers.isEmpty && !s.remoteClosed) pumpOne()
-    s.headers.getOrElse(throw new IOException("stream closed before response headers"))
+  /** Next chunk of response DATA on `s`, or None once the server closed the
+    * stream. A reset stream throws ONLY when no grpc-status arrived
+    * (trailers, or a trailers-only HEADERS): gRPC servers commonly follow
+    * trailers with RST_STREAM(NO_ERROR), which must not mask the real
+    * status. */
+  def nextData(s: StreamState): Option[Array[Byte]] = {
+    awaitCond(s.inbox.nonEmpty || s.remoteClosed)
+    lock.synchronized {
+      if (s.inbox.nonEmpty) Some(s.inbox.removeHead())
+      else {
+        val hasStatus = s.trailers.isDefined ||
+          s.headers.exists(h => h.get("grpc-status") != null)
+        if (!hasStatus)
+          s.rstCode.foreach(c => throw new IOException(s"stream reset by server (code $c)"))
+        None
+      }
+    }
+  }
+
+  /** Response headers for `s` (blocks until they arrive). */
+  def responseHeaders(s: StreamState): Http2Headers = {
+    awaitCond(s.headers.isDefined || s.remoteClosed)
+    lock.synchronized {
+      s.headers.getOrElse(throw new IOException("stream closed before response headers"))
+    }
   }
 
   /** Trailers if the server sent a trailing HEADERS block (after stream end). */
-  def trailers(): Option[Http2Headers] = {
-    val s = active
-    while (!s.remoteClosed) pumpOne()
-    s.trailers
+  def trailers(s: StreamState): Option[Http2Headers] = {
+    awaitCond(s.remoteClosed)
+    lock.synchronized(s.trailers)
   }
 
   override def close(): Unit = {
-    try {
-      writeFrame(FrameGoaway, 0, 0, u32(0) ++ u32(0))
-      out.flush()
-    } catch { case _: IOException => }
+    lock.synchronized {
+      try {
+        writeFrameLocked(FrameGoaway, 0, 0, u32(0) ++ u32(0))
+        out.flush()
+      } catch { case _: IOException => }
+      if (dead == null) dead = new IOException("connection closed locally")
+      lock.notifyAll()
+    }
     sock.close()
   }
 }
 
-/** gRPC message framing + status handling over [[Http2Conn]]. */
+/** gRPC message framing + status handling over [[Http2Conn]]. Calls are
+  * thread-safe and CONCURRENT: each [[call]] / [[bidi]] owns one h2 stream,
+  * any number in flight per connection. */
 private[flight] final class GrpcConn(host: String, port: Int, timeoutMs: Int = 120000,
                                      tls: Option[javax.net.ssl.SSLContext] = None,
                                      callHeaders: Seq[(String, String)] = Nil,
@@ -346,12 +438,12 @@ private[flight] final class GrpcConn(host: String, port: Int, timeoutMs: Int = 1
     * exactly the shapes Flight's UDF verbs use. */
   def call(path: String, requests: Iterator[Array[Byte]]): Iterator[Array[Byte]] = {
     def frame(msg: Array[Byte]): Array[Byte] = H2.grpcFrame(msg)
-    conn.startRpc(path, callHeaders)
+    val s = conn.startRpc(path, callHeaders)
     if (requests.hasNext) {
       var cur = requests.next()
-      while (requests.hasNext) { conn.sendData(frame(cur), endStream = false); cur = requests.next() }
-      conn.sendData(frame(cur), endStream = true)
-    } else conn.sendData(Array.emptyByteArray, endStream = true)
+      while (requests.hasNext) { conn.sendData(s, frame(cur), endStream = false); cur = requests.next() }
+      conn.sendData(s, frame(cur), endStream = true)
+    } else conn.sendData(s, Array.emptyByteArray, endStream = true)
 
     new Iterator[Array[Byte]] {
       // amortized-growth ring over the DATA chunks: appending and slicing
@@ -394,10 +486,10 @@ private[flight] final class GrpcConn(host: String, port: Int, timeoutMs: Int = 1
           if (tryParse()) return
           if (done) {
             // drained: verify grpc-status exactly once at exhaustion
-            if (!statusChecked) { statusChecked = true; checkStatus() }
+            if (!statusChecked) { statusChecked = true; checkStatus(s) }
             return
           }
-          conn.nextData() match {
+          conn.nextData(s) match {
             case Some(chunk) => append(chunk)
             case None => done = true
           }
@@ -420,7 +512,7 @@ private[flight] final class GrpcConn(host: String, port: Int, timeoutMs: Int = 1
     * frames at every blocking point like the unary path. `grpc-status` is
     * verified exactly once, when `recv` first returns None. */
   final class BidiCall private[GrpcConn] (path: String) {
-    conn.startRpc(path, callHeaders)
+    private val s = conn.startRpc(path, callHeaders)
     private var buf = new Array[Byte](8192)
     private var start = 0
     private var end = 0
@@ -429,10 +521,10 @@ private[flight] final class GrpcConn(host: String, port: Int, timeoutMs: Int = 1
 
     /** Send one request message; `last = true` half-closes the send side. */
     def send(msg: Array[Byte], last: Boolean = false): Unit =
-      conn.sendData(H2.grpcFrame(msg), endStream = last)
+      conn.sendData(s, H2.grpcFrame(msg), endStream = last)
 
     /** Half-close without a trailing message (end of the request stream). */
-    def finishSending(): Unit = conn.sendData(Array.emptyByteArray, endStream = true)
+    def finishSending(): Unit = conn.sendData(s, Array.emptyByteArray, endStream = true)
 
     private def append(chunk: Array[Byte]): Unit = {
       if (end + chunk.length > buf.length) {
@@ -469,10 +561,10 @@ private[flight] final class GrpcConn(host: String, port: Int, timeoutMs: Int = 1
           case some @ Some(_) => return some
           case None =>
             if (done) {
-              if (!statusChecked) { statusChecked = true; checkStatus() }
+              if (!statusChecked) { statusChecked = true; checkStatus(s) }
               return None
             }
-            conn.nextData() match {
+            conn.nextData(s) match {
               case Some(chunk) => append(chunk)
               case None => done = true
             }
@@ -482,21 +574,24 @@ private[flight] final class GrpcConn(host: String, port: Int, timeoutMs: Int = 1
     }
   }
 
-  /** Open a long-lived bidi RPC (see [[BidiCall]]). One at a time per
-    * connection, like [[call]]. */
+  /** Open a long-lived bidi RPC (see [[BidiCall]]); concurrent with other
+    * calls on this connection. */
   def bidi(path: String): BidiCall = new BidiCall(path)
 
   /** `grpc-status` rides the trailers — or the single HEADERS block of a
-    * trailers-only error response. Non-zero → surface code + message. */
-  private def checkStatus(): Unit = {
-    val src = conn.trailers().getOrElse(conn.responseHeaders())
-    val status = Option(src.get("grpc-status")).map(_.toString).getOrElse(
-      throw new IOException("gRPC response missing grpc-status"))
-    if (status != "0") {
-      val msg = Option(src.get("grpc-message"))
-        .map(s => H2.percentDecode(s.toString)).getOrElse("")
-      throw new GrpcStatusException(status.toInt, msg)
-    }
+    * trailers-only error response. Non-zero → surface code + message. The
+    * stream is RELEASED here (the one per-RPC exhaustion point). */
+  private def checkStatus(s: conn.StreamState): Unit = {
+    try {
+      val src = conn.trailers(s).getOrElse(conn.responseHeaders(s))
+      val status = Option(src.get("grpc-status")).map(_.toString).getOrElse(
+        throw new IOException("gRPC response missing grpc-status"))
+      if (status != "0") {
+        val msg = Option(src.get("grpc-message"))
+          .map(m => H2.percentDecode(m.toString)).getOrElse("")
+        throw new GrpcStatusException(status.toInt, msg)
+      }
+    } finally conn.finishStream(s)
   }
 
   override def close(): Unit = conn.close()

@@ -81,10 +81,10 @@ class FlightNegativeSpec extends AnyFunSuite {
       def rawStatus(body: Array[Byte]): String = {
         val h = new Http2Conn("127.0.0.1", server.boundPort)
         try {
-          h.startRpc(s"$Service/DoExchange")
-          h.sendData(body, endStream = true)
-          while (h.nextData().isDefined) {}
-          val t = h.trailers().getOrElse(h.responseHeaders())
+          val s = h.startRpc(s"$Service/DoExchange")
+          h.sendData(s, body, endStream = true)
+          while (h.nextData(s).isDefined) {}
+          val t = h.trailers(s).getOrElse(h.responseHeaders(s))
           Option(t.get("grpc-status")).map(_.toString).getOrElse("missing")
         } finally h.close()
       }
