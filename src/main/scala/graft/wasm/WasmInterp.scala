@@ -206,6 +206,14 @@ final class WasmInstance(val module: WasmModule, val config: WasmConfig) {
     java.util.Arrays.copyOfRange(mem, ptr, ptr + len)
   }
 
+  /** Direct reference to guest linear memory for ZERO-INTERMEDIATE copy-out
+    * (the output half of the batched arena discipline: a result buffer lands
+    * straight in the columnar output vector, one copy instead of
+    * readBytes' alloc+copy+copy). Re-fetch after every guest call — a
+    * `memory.grow` replaces the array — and bounds-check against its length
+    * before reading. */
+  private[wasm] def memRef: Array[Byte] = mem
+
   /** Precomputed call handle for hot batch loops: the export-name hash
     * lookup and arity check happen ONCE per borrow instead of per row. */
   final class Bound private[WasmInstance] (val fidx: Int, val nParams: Int,

@@ -644,8 +644,16 @@ final case class WasmBatchKernel(
           }
           val r = inst.invokeBound(bound, slots)
           if (retIsBuffer) {
-            val bytes = inst.readBytes((r >>> 32).toInt, r.toInt)
-            out.putByteArray(i, bytes, 0, bytes.length)
+            // output half of the arena discipline: the guest result buffer
+            // copies STRAIGHT into the column vector — no intermediate
+            // byte[] alloc per row. memRef is re-fetched after the call
+            // (a guest memory.grow replaces the array).
+            val p = (r >>> 32).toInt
+            val l = r.toInt
+            val m = inst.memRef
+            if (l < 0 || p < 0 || p.toLong + l > m.length)
+              throw new WasmTrap("guest returned out-of-bounds result buffer")
+            out.putByteArray(i, m, p, l)
           } else write(out, i, r)
         }
         i += 1
