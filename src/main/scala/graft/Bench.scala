@@ -1716,6 +1716,29 @@ object Bench {
     val heavyOnly = Set("x_curate_10m")
     val heavySec = sys.env.getOrElse("SPARK_GRAFT_HEAVY_SEC", "5.0").toDouble
     val budgetSec = sys.env.getOrElse("SPARK_GRAFT_BUDGET_SEC", "1100").toDouble
+    // Bench-REDUNDANT oracle gates (r14 battery rebalance, VERDICT #7): each
+    // stays a full CORRECTNESS gate in Verify, but its bench cost duplicates
+    // a twin already in the battery — the wire/marshalling time it measures
+    // is the same exchange its gcd/arrow twin times. Excluded from the
+    // default battery so the probes that DO carry unique signal keep their
+    // ≥2 reps inside the driver budget; still benchable by explicit name.
+    val benchRedundant = Set(
+      // error-column twins: same wire exchange as their gcd twin, plus the
+      // identical per-row containment q_div_error/q_wasm_div_error measure
+      "q_js_div_error", "q_python_div_error", "q_remote_div_error",
+      "q_flight_div_error", "q_flight_stream_div_error",
+      // decimal-over-wire twins of the gcd exchanges (q_decimal_add keeps
+      // decimal arithmetic itself measured)
+      "q_remote_decimal", "q_flight_decimal",
+      // source/sink roundtrips: q_arrow_roundtrip keeps the shape; the
+      // format-specific parse costs don't gate any operator decision
+      "q_csv_roundtrip", "q_jsonl_roundtrip", "q_orc_roundtrip",
+      // foreign-fixture twins of the q_wasm_rustc_* battery (same kernels,
+      // different build provenance — identical execution profile)
+      "q_wasm_real_math", "q_wasm_real_binary", "q_wasm_real_table",
+      "q_wasm_real_agg",
+      // table-function-over-wire twins of q_flight_split/q_script_table
+      "q_js_split", "q_python_split")
 
     val benchables0: Seq[(String, () => Unit)] =
       throughput.filter(p => keep(p._1)).map { case (name, fn) =>
@@ -1724,8 +1747,12 @@ object Bench {
         name -> (() => fn(liveSession(), sfDir).write.format("noop").mode("overwrite").save())
       }
     val benchables =
-      if (heavyOptIn || args.nonEmpty) benchables0
-      else benchables0.filterNot(p => heavyOnly(p._1))
+      if (args.nonEmpty) benchables0
+      else {
+        val afterHeavy =
+          if (heavyOptIn) benchables0 else benchables0.filterNot(p => heavyOnly(p._1))
+        afterHeavy.filterNot(p => benchRedundant(p._1))
+      }
 
     // one-time synthetic fixtures (content-addressed by _SUCCESS) build
     // OUTSIDE the timed loop — otherwise a cold /tmp charges the build to
@@ -1760,6 +1787,39 @@ object Bench {
     } catch { case _: Throwable => "null" }
     val loadBefore = loadavg()
 
+    // Loadavg GATE (r14, VERDICT #1): the methodology requires a ~idle host
+    // — a capture started at loadavg 5+ shows uniform +15-37% inflation on
+    // untouched code (the r13 artifact's lesson). An ARTIFACT capture
+    // (SPARK_GRAFT_BENCHFULL set) on a busy host now REFUSES up front
+    // instead of recording numbers whose rep spread has to do the
+    // explaining; the driver's per-round run (no artifact path) only
+    // annotates, so a contended driver host degrades visibly, not fatally.
+    // Override: SPARK_GRAFT_IGNORE_LOAD=1 (recorded in the artifact).
+    val maxLoad = sys.env.getOrElse("SPARK_GRAFT_MAX_LOAD", "1.5").toDouble
+    val ignoreLoad = sys.env.get("SPARK_GRAFT_IGNORE_LOAD").exists(v =>
+      v == "1" || v.equalsIgnoreCase("true"))
+    val loadNums = loadBefore.stripPrefix("[").stripSuffix("]").split(',')
+      .flatMap(s => scala.util.Try(s.toDouble).toOption)
+    val contended = loadNums.nonEmpty &&
+      (loadNums(0) > maxLoad || loadNums.lift(2).exists(_ > maxLoad))
+    val loadGate =
+      if (!contended) "ok"
+      else if (ignoreLoad) "overridden"
+      else if (sys.env.contains("SPARK_GRAFT_BENCHFULL")) {
+        System.err.println(
+          s"[bench] REFUSING artifact capture: loadavg $loadBefore exceeds " +
+          s"$maxLoad (methodology requires a ~idle host; the r13 artifact " +
+          "was captured at 5.65 and its heavy probes inflated 15-37%). " +
+          "Wait for idle, or set SPARK_GRAFT_IGNORE_LOAD=1 to record anyway.")
+        sys.exit(2)
+      }
+      else { // driver/iteration run: annotate loudly, keep going
+        System.err.println(
+          s"[bench] WARNING: host is contended (loadavg $loadBefore > $maxLoad) — " +
+          "numbers will be inflated; artifact captures would refuse")
+        "contended"
+      }
+
     val samples = Array.fill(benchables.size)(List.empty[Double])
     val failed = Array.fill(benchables.size)(false)
     val batteryT0 = System.nanoTime()
@@ -1775,15 +1835,22 @@ object Bench {
         failed(i) = true
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
       }
-    for (rep <- 1 to reps; ((name, run), i) <- benchables.zipWithIndex if !failed(i)) {
-      if (rep > 1 && !budgetHit && batteryElapsed() > budgetSec) {
+    for (((name, run), i) <- benchables.zipWithIndex) measure(name, run, i, 1)
+    // rep ≥ 2 runs in ASCENDING rep-1 time (r14, VERDICT #7): when the
+    // budget forces a cut, the cheap majority has already banked its second
+    // sample and only the few most expensive probes lose reps — instead of
+    // whatever happened to sit at the tail of the declaration order.
+    val rep2Order = benchables.indices
+      .filter(i => !failed(i) && samples(i).nonEmpty)
+      .sortBy(i => samples(i).head)
+    for (rep <- 2 to reps; i <- rep2Order if !failed(i)) {
+      if (!budgetHit && batteryElapsed() > budgetSec) {
         budgetHit = true
         System.err.println(
           f"[bench] budget ${budgetSec}%.0f s exceeded at ${batteryElapsed()}%.0f s — rep-1 samples only from here")
       }
-      val skip = rep > 1 &&
-        (budgetHit || samples(i).headOption.exists(_ > heavySec))
-      if (!skip) measure(name, run, i, rep)
+      val skip = budgetHit || samples(i).headOption.exists(_ > heavySec)
+      if (!skip) measure(benchables(i)._1, benchables(i)._2, i, rep)
     }
     // Stability pass: a fast probe whose reps disagree >15% gets extra
     // samples (the BASELINE.md min-of-3 methodology, applied only where the
@@ -1823,7 +1890,7 @@ object Bench {
     val loadAfter = loadavg()
     val ncpus = Runtime.getRuntime.availableProcessors()
     val jsonLine =
-      s"""{"metric":"total","value":$totalStr,"unit":"sec","queries":$qs,"reps":$repsJson,"session_overhead":${f"$overheadSec%.3f"},"loadavg_before":$loadBefore,"loadavg_after":$loadAfter,"ncpus":$ncpus,"budget_hit":$budgetHit,"heavy_skipped":${if (heavyOptIn || args.nonEmpty) "[]" else heavyOnly.map("\"" + _ + "\"").mkString("[", ",", "]")},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$totalStr,"unit":"sec","queries":$qs,"reps":$repsJson,"session_overhead":${f"$overheadSec%.3f"},"loadavg_before":$loadBefore,"loadavg_after":$loadAfter,"ncpus":$ncpus,"load_gate":"$loadGate","budget_hit":$budgetHit,"heavy_skipped":${if (heavyOptIn || args.nonEmpty) "[]" else heavyOnly.map("\"" + _ + "\"").mkString("[", ",", "]")},"sf":"$sfDir"}"""
     println(jsonLine)
     // The driver's BENCH_r<n>.json keeps only the tail of stdout, which
     // truncates the per-query map past ~60 entries — persist the COMPLETE
