@@ -264,6 +264,14 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // Loadavg sampled at PROCESS ENTRY, before Spark session build + warmup
+    // + fixture builds spike the host's own 1-min average — the capture
+    // gate below must judge the host's PRIOR state, not our startup burst.
+    val loadAtEntry: Array[Double] = try {
+      new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("/proc/loadavg"))).trim.split("\\s+")
+        .take(3).map(_.toDouble)
+    } catch { case _: Throwable => Array.empty[Double] }
     val tInit = System.nanoTime()
     def buildSession(): SparkSession = {
       val s = SparkSession.builder()
@@ -1798,25 +1806,28 @@ object Bench {
     val maxLoad = sys.env.getOrElse("SPARK_GRAFT_MAX_LOAD", "1.5").toDouble
     val ignoreLoad = sys.env.get("SPARK_GRAFT_IGNORE_LOAD").exists(v =>
       v == "1" || v.equalsIgnoreCase("true"))
-    val loadNums = loadBefore.stripPrefix("[").stripSuffix("]").split(',')
-      .flatMap(s => scala.util.Try(s.toDouble).toOption)
-    val contended = loadNums.nonEmpty &&
-      (loadNums(0) > maxLoad || loadNums.lift(2).exists(_ > maxLoad))
+    // judged on the PROCESS-ENTRY sample (loadAtEntry): by this point our
+    // own session build + warmup + fixtures have already spiked the 1-min
+    // average, which must not trip the gate on an otherwise-idle host
+    val contended = loadAtEntry.nonEmpty &&
+      (loadAtEntry(0) > maxLoad || loadAtEntry.lift(2).exists(_ > maxLoad))
+    val loadEntryStr = loadAtEntry.map(v => f"$v%.2f").mkString("[", ",", "]")
     val loadGate =
       if (!contended) "ok"
       else if (ignoreLoad) "overridden"
       else if (sys.env.contains("SPARK_GRAFT_BENCHFULL")) {
         System.err.println(
-          s"[bench] REFUSING artifact capture: loadavg $loadBefore exceeds " +
-          s"$maxLoad (methodology requires a ~idle host; the r13 artifact " +
-          "was captured at 5.65 and its heavy probes inflated 15-37%). " +
-          "Wait for idle, or set SPARK_GRAFT_IGNORE_LOAD=1 to record anyway.")
+          s"[bench] REFUSING artifact capture: loadavg-at-entry $loadEntryStr " +
+          s"exceeds $maxLoad (methodology requires a ~idle host; the r13 " +
+          "artifact was captured at 5.65 and its heavy probes inflated " +
+          "15-37%). Wait for idle, or set SPARK_GRAFT_IGNORE_LOAD=1 to " +
+          "record anyway.")
         sys.exit(2)
       }
       else { // driver/iteration run: annotate loudly, keep going
         System.err.println(
-          s"[bench] WARNING: host is contended (loadavg $loadBefore > $maxLoad) — " +
-          "numbers will be inflated; artifact captures would refuse")
+          s"[bench] WARNING: host was contended at entry (loadavg $loadEntryStr > " +
+          s"$maxLoad) — numbers will be inflated; artifact captures would refuse")
         "contended"
       }
 
