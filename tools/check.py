@@ -23,11 +23,21 @@ def norm(v):
     return v
 
 
-def main(outdir, sfdir):
+def main(outdir, sfdir, names=()):
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
     oracle = json.load(open(os.path.join(outdir, "oracle_sql.json")))
+    # optional 3rd+ args: query-name substring filters (the Verify
+    # convention), or "^sub" to EXCLUDE matches — lets a long oracle run
+    # (e.g. the sf1 battery, where shingle-heavy oracles take 10+ min each)
+    # be split cheap-first across invocations
+    if names:
+        inc = [s for s in names if not s.startswith("^")]
+        exc = [s[1:] for s in names if s.startswith("^")]
+        oracle = {k: v for k, v in oracle.items()
+                  if (not inc or any(s in k for s in inc))
+                  and not any(s in k for s in exc)}
     n_ok = n_bad = 0
     for name, sql in sorted(oracle.items()):
         pq = os.path.join(outdir, name)
@@ -74,4 +84,4 @@ def main(outdir, sfdir):
 
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    sys.exit(main(sys.argv[1], sys.argv[2], tuple(sys.argv[3:])))
