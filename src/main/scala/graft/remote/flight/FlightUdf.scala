@@ -313,12 +313,24 @@ object FlightUdf {
 
 /**
  * Executor-wide cache of SHARED multiplexed [[FlightClient]]s, keyed by
- * endpoint. Concurrent partition tasks interleave their exchanges as h2
- * STREAMS on one connection (the [[GrpcConn]] concurrency model — how stock
- * gRPC channels behave) instead of opening one TCP connection per core: a
- * 32-core executor against one UDF endpoint holds ⌈32/maxLeases⌉ sockets,
- * not 32. A new connection is opened only when every live one already has
- * `maxLeases` concurrent holders.
+ * endpoint, bounding SOCKETS per endpoint: each partition task leases its
+ * own connection while the per-endpoint count is below `MaxConns`; past the
+ * cap, leases STACK onto the least-loaded live connection and their
+ * exchanges interleave as h2 streams (the [[GrpcConn]] concurrency model —
+ * how stock gRPC channels behave).
+ *
+ * Why a CAP instead of eager stacking: graft's own [[FlightServer]] (and
+ * any thread-per-connection server) serializes the per-batch backend
+ * round-trips of all streams sharing one connection, so stacking below the
+ * cap would trade throughput for sockets a deployment didn't ask to save —
+ * measured 0.31 s → 0.54 s on `x_flight_throughput_5m` at 8 streams/conn.
+ * With the cap, local throughput is IDENTICAL to the dedicated-connection
+ * design (idle connections are reused across task waves, so the count
+ * tracks peak CONCURRENCY, not partition count), while a wide-fleet
+ * deployment bounds per-endpoint sockets by `executors × MaxConns` — and
+ * tunes `GRAFT_FLIGHT_CONNS_PER_EP` down to single digits when the servers
+ * are stream-parallel (grpc thread-pool servers like the reference's),
+ * where stacked streams cost nothing.
  *
  * Failure discipline: a partition that exhausts [[FlightClient]]'s own
  * reconnect/replay marks its lease DEAD — the client is evicted for new
@@ -327,11 +339,10 @@ object FlightUdf {
  * Healthy clients persist for the executor lifetime, like the worker pools.
  */
 private[flight] object FlightClientCache {
-  /** Concurrent leases per connection before a new one is dialed. Well below
-    * any server's SETTINGS_MAX_CONCURRENT_STREAMS default while keeping the
-    * socket count sublinear in cores. */
-  val MaxLeases: Int =
-    sys.env.get("GRAFT_FLIGHT_STREAMS_PER_CONN").map(_.toInt).getOrElse(8)
+  /** Connections per endpoint before leases start stacking as multiplexed
+    * streams. Default matches local[32] task concurrency. */
+  def maxConns: Int =
+    sys.env.get("GRAFT_FLIGHT_CONNS_PER_EP").map(_.toInt).getOrElse(32)
 
   private final class Entry(val client: FlightClient) {
     var leases = 0
@@ -356,21 +367,24 @@ private[flight] object FlightClientCache {
     }
   }
 
-  /** Lease a shared client for `endpoint`; dials when none has headroom.
-    * Propagates the dial failure (caller rotates endpoints). */
+  /** Lease a client for `endpoint`: an IDLE cached connection first (task
+    * waves reuse the previous wave's sockets), a fresh dial below the cap,
+    * else stack onto the least-loaded live connection. Propagates dial
+    * failures (caller rotates endpoints). */
   def acquire(host: String, port: Int): Lease = synchronized {
     val key = (host, port)
     val list = cache.getOrElseUpdate(key, scala.collection.mutable.ArrayBuffer.empty)
-    list.find(e => !e.dead && e.leases < MaxLeases) match {
-      case Some(e) =>
-        e.leases += 1
-        new Lease(e.client, e, key)
+    def lease(e: Entry): Lease = { e.leases += 1; new Lease(e.client, e, key) }
+    list.find(e => !e.dead && e.leases == 0) match {
+      case Some(idle) => lease(idle)
       case None =>
-        val c = new FlightClient(host, port)
-        val e = new Entry(c)
-        e.leases = 1
-        list += e
-        new Lease(c, e, key)
+        val live = list.filter(!_.dead)
+        if (live.size < maxConns) {
+          val c = new FlightClient(host, port)
+          val e = new Entry(c)
+          list += e
+          lease(e)
+        } else lease(live.minBy(_.leases))
     }
   }
 }

@@ -149,7 +149,18 @@ private[flight] final class Http2Conn(host: String, port: Int, timeoutMs: Int = 
         readerBusy = true
       }
       var ok = false
-      try { pumpOne(); ok = true }
+      try {
+        pumpOne()
+        // drain every frame that has ALREADY arrived before handing the
+        // baton on: a response burst (one bounded exchange ≈ several DATA
+        // frames) dispatches in one hold instead of one wake/handoff per
+        // frame — the difference between ~par and ~2x slower at 8 streams
+        // per connection. available() never blocks; writers don't need the
+        // baton, so hogging it only affects would-be readers who'd wait
+        // anyway. (TLS streams may report 0 — degrades to per-frame holds.)
+        while (in.available() > 0) pumpOne()
+        ok = true
+      }
       finally lock.synchronized {
         readerBusy = false
         if (!ok && dead == null)
