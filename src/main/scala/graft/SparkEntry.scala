@@ -2414,7 +2414,10 @@ object SparkEntry {
         expr("CAST(ROUND(l_quantity * 100) AS BIGINT)").as("x"),
         expr("CAST(ROUND(l_extendedprice * 100) AS BIGINT)").as("y"))
       graft.ops.Profile.rankCorrStats(li, "rf", "x", "y")
-        .select(col("key").as("rf"), col("n"), col("sum_d2"))
+        // string-carried like the other decimal gates: sum_d2 is
+        // DECIMAL(38,0) (exact past the i64 range an sf1 group exceeds)
+        .select(col("key").as("rf"), col("n"),
+          col("sum_d2").cast("string").as("sum_d2"))
         .orderBy("rf")
     } _,
 
@@ -5478,7 +5481,7 @@ object SparkEntry {
         |          + count(*) OVER (PARTITION BY rf, y) AS r2y
         |      FROM b)
         |SELECT rf, CAST(count(*) AS BIGINT) AS n,
-        |       CAST(sum((r2x - r2y) * (r2x - r2y)) AS BIGINT) AS sum_d2
+        |       CAST(sum((r2x - r2y) * (r2x - r2y)) AS VARCHAR) AS sum_d2
         |FROM r GROUP BY rf ORDER BY rf""".stripMargin,
     "q_profile" ->
       """SELECT col_name, n_nonnull, n_distinct, min_s, max_s FROM (

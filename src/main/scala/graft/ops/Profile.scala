@@ -385,8 +385,11 @@ object Profile {
     * standard (rank_min + rank_max)/2 tie treatment integral). Spearman's
     * ρ = 1 − 6·(sum_d2/4) / (n(n²−1)) follows in whatever precision the
     * caller wants; emitting the exact integer pieces is what lets the
-    * oracle hash-gate the computation. 64-bit safe for groups up to ~10⁶
-    * rows (sum_d2 ≤ 4n³).
+    * oracle hash-gate the computation. `sum_d2` is DECIMAL(38,0): each
+    * term d² ≤ 4n² fits i64 for any group Spark can sort, and the decimal
+    * SUM is exact to 38 digits — sum_d2 ≤ 4n³ stays exact past 10¹²-row
+    * groups (an i64 sum wrapped silently beyond ~1.29e6 rows, which an sf1
+    * scale-up actually hit; the earlier guard refused there instead).
     *
     * Scale: one shuffle on the group key, two in-partition sorts (x ranks,
     * y ranks), one partial-aggregated reduction. */
@@ -405,15 +408,18 @@ object Profile {
       .withColumn("r2x", lit(2L) * rank().over(wx) - 1L + count(lit(1)).over(wxTies))
       .withColumn("r2y", lit(2L) * rank().over(wy) - 1L + count(lit(1)).over(wyTies))
     val d = col("r2x") - col("r2y")
-    // fail loudly past the documented 64-bit bound (sum_d2 ≤ 4n³ wraps
-    // silently under Spark's non-ANSI sum); the guard replaces the output
-    // column itself so pruning can never elide it
+    // decimal(38,0) sum: exact where an i64 sum would wrap (non-ANSI).
+    // Past 38 digits Spark's decimal sum degrades to NULL — turn that
+    // silent edge (≥ ~10¹² rows in ONE group) into a loud failure; the
+    // guard replaces the output column itself so pruning can never elide it
     ranked.groupBy("key")
-      .agg(count(lit(1)).as("n"), sum(d * d).as("__sum_d2"))
+      .agg(count(lit(1)).as("n"),
+        sum((d * d).cast(org.apache.spark.sql.types.DecimalType(38, 0))).as("__sum_d2"))
       .select(col("key"), col("n"),
-        when(col("n") > 1290000L,
+        when(col("n") > 0L && col("__sum_d2").isNull,
           raise_error(concat(lit("rankCorrStats: group "), col("key").cast("string"),
-            lit(" exceeds the 64-bit-exact size bound (n > 1.29e6)"))).cast("long"))
+            lit(" overflowed the 38-digit exact sum")))
+            .cast(org.apache.spark.sql.types.DecimalType(38, 0)))
           .otherwise(col("__sum_d2")).as("sum_d2"))
   }
 }

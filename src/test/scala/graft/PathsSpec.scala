@@ -415,7 +415,8 @@ class PathsSpec extends AnyFunSuite {
       Row("b", 1L, 5L), Row("b", 1L, 6L), Row("b", 2L, 4L))
     val df = spark.createDataFrame(data.asJava, schema)
     val got = Profile.rankCorrStats(df, "k", "x", "y")
-      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDecimal(2).longValueExact()))).toMap
     assert(got == Map("a" -> ((3L, 0L)), "b" -> ((3L, 26L))))
   }
 }
