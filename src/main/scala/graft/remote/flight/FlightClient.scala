@@ -117,23 +117,27 @@ final class FlightClient(host: String, port: Int, timeoutMs: Int = 120000,
     * a version-1 server, exactly like the reference (`remote/mod.rs:53-65`). */
   def protocolVersion(): Int =
     try {
-      val results = withRetry(g => g.call(s"$Service/DoAction",
-        Iterator(Pb.action("protocol_version", Pb.Empty))).toSeq)
+      val results = withRetry { g =>
+        val rs = g.call(s"$Service/DoAction",
+          Iterator(Pb.action("protocol_version", Pb.Empty)))
+        try rs.toSeq finally rs.close()
+      }
       results.headOption.map(Pb.parseResultBody).filter(_.nonEmpty)
         .map(_.head.toInt).getOrElse(1)
     } catch { case _: GrpcStatusException => 1 }
 
   /** Discovery: one function's signature (`Client::get`). */
   def get(name: String): FlightFunction = withRetry { g =>
-    val infos = g.call(s"$Service/GetFlightInfo",
-      Iterator(Pb.descriptorPath(name))).toSeq
+    val rs = g.call(s"$Service/GetFlightInfo", Iterator(Pb.descriptorPath(name)))
+    val infos = try rs.toSeq finally rs.close()
     parseFunction(Pb.parseFlightInfo(infos.head))
   }
 
   /** Discovery: every function on the server (`Client::list`). */
   def list(): Seq[FlightFunction] = withRetry { g =>
-    g.call(s"$Service/ListFlights", Iterator(Pb.criteria(Pb.Empty)))
-      .map(b => parseFunction(Pb.parseFlightInfo(b))).toSeq
+    val rs = g.call(s"$Service/ListFlights", Iterator(Pb.criteria(Pb.Empty)))
+    try rs.map(b => parseFunction(Pb.parseFlightInfo(b))).toSeq
+    finally rs.close()
   }
 
   private def parseFunction(info: Pb.FlightInfoMsg): FlightFunction = {
@@ -242,15 +246,17 @@ final class FlightClient(host: String, port: Int, timeoutMs: Int = 120000,
     val responses = g.call(s"$Service/DoExchange", requestMsgs)
 
     // reassemble the response FlightData messages into one Arrow IPC stream
+    // (close() releases the h2 stream if a parse throws mid-drain — a no-op
+    // after normal exhaustion)
     val ipc = new ByteArrayOutputStream()
     var sawAny = false
-    responses.foreach { msg =>
+    try responses.foreach { msg =>
       val fd = Pb.parseFlightData(msg)
       if (fd.dataHeader.nonEmpty) {
         sawAny = true
         IpcFraming.write(ipc, fd.dataHeader, fd.dataBody)
       }
-    }
+    } finally responses.close()
     if (!sawAny) Seq.empty // zero-row exchange: no schema message came back
     else {
       ipc.write(IpcFraming.Eos)
@@ -380,11 +386,16 @@ final class FlightClient(host: String, port: Int, timeoutMs: Int = 120000,
       out.toSeq
     }
 
-    /** Half-close, drain the end-of-stream (verifying grpc-status), release. */
+    /** Half-close, drain the end-of-stream (verifying grpc-status), release.
+      * The h2 stream is released even when the half-close or drain throws
+      * (dead connection, decode failure, non-OK status) — an abandoned
+      * stream on the long-lived shared connection would otherwise leak. */
     override def close(): Unit = {
-      rpc.finishSending()
-      try while (reader.loadNextBatch()) {}
-      finally reader.close()
+      try {
+        rpc.finishSending()
+        try while (reader.loadNextBatch()) {}
+        finally reader.close()
+      } finally rpc.close()
     }
   }
 

@@ -116,7 +116,13 @@ object FlightUdf {
             try res = perChunk(lease.client, argTypes, chunk, rows)
             catch {
               case e: GrpcStatusException => throw e // server answered
-              case e: java.net.SocketTimeoutException => throw e // deadline
+              case e: java.net.SocketTimeoutException =>
+                // deadline: the task stays aborted (containment), but the
+                // endpoint just proved itself hung — evict the shared client
+                // so the next task dials fresh instead of inheriting a
+                // connection whose server sat on a read for timeoutMs
+                lease.markDead()
+                throw e
               case e: java.io.IOException =>
                 // this endpoint is dead past its own retries: rotate (one
                 // full ring pass, plus one — a single-endpoint pool gets a
@@ -282,7 +288,9 @@ object FlightUdf {
             try vals = stream.call(rows)
             catch {
               case e: GrpcStatusException => throw e
-              case e: java.net.SocketTimeoutException => throw e
+              case e: java.net.SocketTimeoutException =>
+                lease.markDead() // hung endpoint: evict (see non-streamed twin)
+                throw e
               case e: java.io.IOException =>
                 failedOver += 1
                 if (failedOver > eps.size) throw e
@@ -367,25 +375,74 @@ private[flight] object FlightClientCache {
     }
   }
 
-  /** Lease a client for `endpoint`: an IDLE cached connection first (task
-    * waves reuse the previous wave's sockets), a fresh dial below the cap,
-    * else stack onto the least-loaded live connection. Propagates dial
-    * failures (caller rotates endpoints). */
-  def acquire(host: String, port: Int): Lease = synchronized {
-    val key = (host, port)
-    val list = cache.getOrElseUpdate(key, scala.collection.mutable.ArrayBuffer.empty)
-    def lease(e: Entry): Lease = { e.leases += 1; new Lease(e.client, e, key) }
-    list.find(e => !e.dead && e.leases == 0) match {
-      case Some(idle) => lease(idle)
-      case None =>
-        val live = list.filter(!_.dead)
-        if (live.size < maxConns) {
-          val c = new FlightClient(host, port)
-          val e = new Entry(c)
-          list += e
-          lease(e)
-        } else lease(live.minBy(_.leases))
+  /** Dials in flight per endpoint: a slot reserved under the lock while the
+    * eager connect runs OUTSIDE it (a dial can block up to the connect
+    * timeout on a dead endpoint — holding the global monitor through it
+    * would stall every acquire/release/markDead executor-wide, including
+    * leases to perfectly healthy endpoints). */
+  private val dialing =
+    scala.collection.mutable.Map.empty[(String, Int), Int].withDefaultValue(0)
+
+  /** Spec seam: lets a test substitute a blocking/failing dial to prove the
+    * dial runs outside the cache monitor. Production always dials real
+    * clients (None). */
+  @volatile private[flight] var dialOverride: Option[(String, Int) => FlightClient] = None
+  private def dial(host: String, port: Int): FlightClient =
+    dialOverride match {
+      case Some(f) => f(host, port)
+      case None => new FlightClient(host, port)
     }
+
+  /** Lease a client for `endpoint`: an IDLE cached connection first (task
+    * waves reuse the previous wave's sockets), a fresh dial below the cap
+    * (slot reserved under the lock, socket dialed outside it), else stack
+    * onto the least-loaded live connection. Only when every slot is a dial
+    * still in flight and no live connection exists does a caller briefly
+    * park (re-checked as dials land). Propagates dial failures (caller
+    * rotates endpoints). */
+  def acquire(host: String, port: Int): Lease = {
+    val key = (host, port)
+    while (true) {
+      var mustDial = false
+      synchronized {
+        val list = cache.getOrElseUpdate(key, scala.collection.mutable.ArrayBuffer.empty)
+        list.find(e => !e.dead && e.leases == 0) match {
+          case Some(idle) =>
+            idle.leases += 1
+            return new Lease(idle.client, idle, key)
+          case None =>
+            val live = list.filter(!_.dead)
+            if (live.size + dialing(key) < maxConns) {
+              dialing(key) += 1
+              mustDial = true
+            } else if (live.nonEmpty) {
+              val e = live.minBy(_.leases)
+              e.leases += 1
+              return new Lease(e.client, e, key)
+            } else {
+              // every slot is a concurrent dial to this endpoint; park until
+              // one lands (notifyAll below) — timed, so a hung dial can't
+              // strand waiters past its own failure propagating
+              wait(1000)
+            }
+        }
+      }
+      if (mustDial) {
+        var c: FlightClient = null
+        try c = dial(host, port)
+        finally if (c == null) synchronized { dialing(key) -= 1; notifyAll() }
+        synchronized {
+          dialing(key) -= 1
+          val list = cache.getOrElseUpdate(key, scala.collection.mutable.ArrayBuffer.empty)
+          val e = new Entry(c)
+          e.leases += 1
+          list += e
+          notifyAll()
+          return new Lease(c, e, key)
+        }
+      }
+    }
+    throw new IllegalStateException("unreachable")
   }
 }
 

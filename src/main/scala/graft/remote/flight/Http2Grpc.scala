@@ -136,6 +136,25 @@ private[flight] final class Http2Conn(host: String, port: Int, timeoutMs: Int = 
     case _ => new IOException(s"connection failed: ${e.getMessage}", e)
   }
 
+  /** What an RPC sees when it OBSERVES an already-latched failure (vs the
+    * reader thread that hit it): always a plain IOException, even when the
+    * latched cause was a read deadline. The deadline is an ANSWER only for
+    * the RPC whose read hit it (containment: a hung server stays aborted,
+    * [[FlightClient]] never retries STE); for every other stream — and for
+    * any later RPC on a cached shared connection — it just means "this
+    * connection is dead", which the retry layer reconnects from. Without
+    * this split, one deadline permanently poisoned a [[FlightClientCache]]
+    * client: every future startRpc rethrew STE, nothing retried it, and the
+    * idle-preferred cache kept handing the corpse out. */
+  private def deadEx(): IOException =
+    new IOException(s"connection dead: ${dead.getMessage}", dead)
+
+  /** True once a transport failure latched this connection dead. */
+  private[flight] def isDead: Boolean = lock.synchronized(dead != null)
+
+  /** Streams currently tracked (specs assert release-on-abandonment). */
+  private[flight] def activeStreams: Int = lock.synchronized(streams.size)
+
   /** Block until `cond` (evaluated under [[lock]]) holds, pumping frames.
     * Exactly one thread reads the socket at a time (the baton holder); every
     * other waiter parks on the lock and re-checks after each dispatched
@@ -145,7 +164,7 @@ private[flight] final class Http2Conn(host: String, port: Int, timeoutMs: Int = 
       lock.synchronized {
         while (!cond && readerBusy && dead == null) lock.wait()
         if (cond) return
-        if (dead != null) throw rethrow(dead)
+        if (dead != null) throw deadEx()
         readerBusy = true
       }
       var ok = false
@@ -155,10 +174,17 @@ private[flight] final class Http2Conn(host: String, port: Int, timeoutMs: Int = 
         // baton on: a response burst (one bounded exchange ≈ several DATA
         // frames) dispatches in one hold instead of one wake/handoff per
         // frame — the difference between ~par and ~2x slower at 8 streams
-        // per connection. available() never blocks; writers don't need the
-        // baton, so hogging it only affects would-be readers who'd wait
-        // anyway. (TLS streams may report 0 — degrades to per-frame holds.)
-        while (in.available() > 0) pumpOne()
+        // per connection. Drain only while a COMPLETE frame is buffered
+        // (header peeked via mark/reset): a partial frame would block the
+        // baton holder in readFrame for its tail — up to SO_TIMEOUT —
+        // stretching the hold past its "already-arrived frames only" scope.
+        // available() never blocks; writers don't need the baton, so
+        // hogging it only affects would-be readers who'd wait anyway.
+        // (TLS streams may report 0 — degrades to per-frame holds. A
+        // HEADERS frame whose CONTINUATIONs are not yet buffered can still
+        // block briefly — response header blocks are single-frame in
+        // practice.)
+        while (fullFrameBuffered()) pumpOne()
         ok = true
       }
       finally lock.synchronized {
@@ -168,6 +194,19 @@ private[flight] final class Http2Conn(host: String, port: Int, timeoutMs: Int = 
         lock.notifyAll()
       }
     }
+  }
+
+  /** Whether the NEXT whole frame (9-byte header + declared payload) has
+    * already arrived in the buffered stream — peeks the length via
+    * mark/reset, reads nothing it doesn't put back. Caller holds the reader
+    * baton (sole reader), so the peek can't race another read. */
+  private def fullFrameBuffered(): Boolean = {
+    if (in.available() < 9) return false
+    in.mark(9)
+    val len =
+      try (in.read() << 16) | (in.read() << 8) | in.read()
+      finally in.reset()
+    in.available() >= 9 + len
   }
 
   // ---- frame pump -------------------------------------------------------------
@@ -311,7 +350,7 @@ private[flight] final class Http2Conn(host: String, port: Int, timeoutMs: Int = 
     * in flight concurrently. Release with [[finishStream]]. */
   def startRpc(path: String, extraHeaders: Seq[(String, String)] = Nil): StreamState =
     lock.synchronized {
-      if (dead != null) throw rethrow(dead)
+      if (dead != null) throw deadEx()
       goaway.foreach(msg => throw new IOException(s"connection closed by server: $msg"))
       val sid = nextStreamId
       nextStreamId += 2
@@ -433,6 +472,10 @@ private[flight] final class Http2Conn(host: String, port: Int, timeoutMs: Int = 
   }
 }
 
+/** A gRPC response message stream; close() releases the underlying h2
+  * stream if the caller abandons it before exhaustion (idempotent). */
+private[flight] trait GrpcResponse extends Iterator[Array[Byte]] with AutoCloseable
+
 /** gRPC message framing + status handling over [[Http2Conn]]. Calls are
   * thread-safe and CONCURRENT: each [[call]] / [[bidi]] owns one h2 stream,
   * any number in flight per connection. */
@@ -446,8 +489,16 @@ private[flight] final class GrpcConn(host: String, port: Int, timeoutMs: Int = 1
   /** One gRPC call: send every request message, then stream back response
     * messages; the iterator's exhaustion point verifies `grpc-status: 0`.
     * Covers unary, server-streaming, and the write-then-read half of bidi —
-    * exactly the shapes Flight's UDF verbs use. */
-  def call(path: String, requests: Iterator[Array[Byte]]): Iterator[Array[Byte]] = {
+    * exactly the shapes Flight's UDF verbs use.
+    *
+    * The returned iterator is also [[AutoCloseable]]: a caller that stops
+    * consuming early — or whose decode throws mid-drain — must close() it
+    * (idempotent; a no-op after normal exhaustion) so the h2 stream is
+    * released. Without that, an abandoned response leaves its StreamState
+    * in the connection's map for the life of the now long-lived shared
+    * socket: late DATA keeps accumulating in its inbox and the stream
+    * counts against the server's SETTINGS_MAX_CONCURRENT_STREAMS. */
+  def call(path: String, requests: Iterator[Array[Byte]]): GrpcResponse = {
     def frame(msg: Array[Byte]): Array[Byte] = H2.grpcFrame(msg)
     val s = conn.startRpc(path, callHeaders)
     if (requests.hasNext) {
@@ -456,7 +507,8 @@ private[flight] final class GrpcConn(host: String, port: Int, timeoutMs: Int = 1
       conn.sendData(s, frame(cur), endStream = true)
     } else conn.sendData(s, Array.emptyByteArray, endStream = true)
 
-    new Iterator[Array[Byte]] {
+    new GrpcResponse {
+      override def close(): Unit = conn.finishStream(s)
       // amortized-growth ring over the DATA chunks: appending and slicing
       // messages are O(bytes), not O(bytes²) like naive array concatenation
       // (a multi-frame response arrives as hundreds of ≤16 KiB chunks)
@@ -537,6 +589,13 @@ private[flight] final class GrpcConn(host: String, port: Int, timeoutMs: Int = 1
     /** Half-close without a trailing message (end of the request stream). */
     def finishSending(): Unit = conn.sendData(s, Array.emptyByteArray, endStream = true)
 
+    /** Release the underlying h2 stream (idempotent; a no-op after the
+      * normal end-of-stream path already finished it via checkStatus).
+      * Callers MUST invoke this on abandonment or error paths — see
+      * [[GrpcConn.call]]'s close() note for why a leaked stream matters on
+      * a long-lived shared connection. */
+    def close(): Unit = conn.finishStream(s)
+
     private def append(chunk: Array[Byte]): Unit = {
       if (end + chunk.length > buf.length) {
         val used = end - start
@@ -588,6 +647,9 @@ private[flight] final class GrpcConn(host: String, port: Int, timeoutMs: Int = 1
   /** Open a long-lived bidi RPC (see [[BidiCall]]); concurrent with other
     * calls on this connection. */
   def bidi(path: String): BidiCall = new BidiCall(path)
+
+  /** Streams currently tracked on the underlying connection (spec seam). */
+  private[flight] def activeStreams: Int = conn.activeStreams
 
   /** `grpc-status` rides the trailers — or the single HEADERS block of a
     * trailers-only error response. Non-zero → surface code + message. The

@@ -25,19 +25,25 @@ def norm(v):
 
 def main(outdir, sfdir, names=()):
     con = duckdb.connect()
+    threads = os.environ.get("CHECK_THREADS")
+    if threads:
+        con.execute(f"SET threads={int(threads)}")
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
     oracle = json.load(open(os.path.join(outdir, "oracle_sql.json")))
     # optional 3rd+ args: query-name substring filters (the Verify
-    # convention), or "^sub" to EXCLUDE matches — lets a long oracle run
-    # (e.g. the sf1 battery, where shingle-heavy oracles take 10+ min each)
-    # be split cheap-first across invocations
+    # convention), "^sub" to EXCLUDE matches, or "=name" for an EXACT
+    # match — lets a long oracle run (e.g. the sf1 battery, where
+    # shingle-heavy oracles take 10+ min each) be split across
+    # invocations (see tools/sf1_drive.py for the capped per-query form)
     if names:
-        inc = [s for s in names if not s.startswith("^")]
+        inc = [s for s in names if not s.startswith(("^", "="))]
         exc = [s[1:] for s in names if s.startswith("^")]
+        exact = {s[1:] for s in names if s.startswith("=")}
         oracle = {k: v for k, v in oracle.items()
-                  if (not inc or any(s in k for s in inc))
-                  and not any(s in k for s in exc)}
+                  if (k in exact if exact else
+                      ((not inc or any(s in k for s in inc))
+                       and not any(s in k for s in exc)))}
     n_ok = n_bad = 0
     for name, sql in sorted(oracle.items()):
         pq = os.path.join(outdir, name)
