@@ -336,6 +336,22 @@ object SparkEntry {
         .orderBy("l_orderkey", "l_linenumber")
     } _,
 
+    // §2.1 #26/#9: DICTIONARY-ENCODED string arguments over the PLAIN
+    // Arrow-IPC/TCP wire — the non-Flight twin of q_flight_dict_srv. The
+    // encode/decode sites (RemoteProtocol.dictionaryEncodeStrings /
+    // logicalField / batchCellReaders) are shared by both wires; this gate
+    // pins them on this wire too, so a regression in either direction of
+    // the dictionary codec cannot hide behind the Flight-only gates.
+    "q_remote_dict" -> dfq { s =>
+      val port = graft.remote.RemoteFixture.port
+      val df = s.table("documents").selectExpr("doc_id", "text")
+      graft.remote.RemoteUdf.withRemoteColumnDict(df, Seq(("127.0.0.1", port)),
+          "graft_length", Seq("text"), org.apache.spark.sql.types.IntegerType)
+        .selectExpr("doc_id", "value AS n")
+        .localCheckpoint()
+        .orderBy("doc_id")
+    } _,
+
     // §2.1 #26 wire-type breadth: a MAP column rides the remote Arrow-IPC
     // path (canonical Arrow Map layout) through graft_identity and is
     // rendered back to JSON engine-side for the oracle.
@@ -3539,6 +3555,10 @@ object SparkEntry {
         |       CAST(gcd(CAST(l_partkey AS INT), CAST(l_suppkey AS INT)) AS INT) AS g
         |FROM lineitem
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q_remote_dict" ->
+      """SELECT doc_id, CAST(length(text) AS INT) AS n
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
     "q_python_gcd" ->
       """SELECT l_orderkey, l_linenumber,
         |       CAST(gcd(CAST(l_partkey AS INT), CAST(l_suppkey AS INT)) AS INT) AS g

@@ -306,6 +306,54 @@ object RemoteProtocol {
       .decode(v, dictionaries.lookup(enc.getId)).asInstanceOf[FieldVector]
   }
 
+  /** Dictionary-encode every STRING column of `root` for the wire: the
+    * dictionary is the column's distinct non-null values in first-seen
+    * order, the encoded column is index-typed (int32), and the returned
+    * provider feeds a stock `ArrowStreamWriter` so the encoding travels as
+    * schema-declared DictionaryEncoding + DictionaryBatch messages — the
+    * batch shape a dictionary-preserving producer emits at scale, where
+    * parquet string columns are dictionary pages. Non-string columns pass
+    * through untouched. The closer releases the encoder's scratch vectors;
+    * run it once the batch is written. */
+  def dictionaryEncodeStrings(root: VectorSchemaRoot,
+      allocator: org.apache.arrow.memory.BufferAllocator)
+      : (VectorSchemaRoot,
+         org.apache.arrow.vector.dictionary.DictionaryProvider.MapDictionaryProvider,
+         () => Unit) = {
+    import org.apache.arrow.vector.dictionary.{Dictionary, DictionaryEncoder, DictionaryProvider}
+    import org.apache.arrow.vector.types.pojo.DictionaryEncoding
+    val n = root.getRowCount
+    val extra = scala.collection.mutable.ArrayBuffer.empty[FieldVector]
+    val provider = new DictionaryProvider.MapDictionaryProvider()
+    val encoded = root.getFieldVectors.asScala.zipWithIndex.map {
+      case (sv: VarCharVector, j) =>
+        val distinct = new java.util.LinkedHashSet[String]()
+        (0 until n).foreach { i =>
+          if (!sv.isNull(i))
+            distinct.add(new String(sv.get(i), StandardCharsets.UTF_8))
+        }
+        val dv = new VarCharVector(s"${sv.getName}-dict", allocator)
+        extra += dv
+        dv.allocateNew()
+        var k = 0
+        distinct.forEach { s =>
+          dv.setSafe(k, s.getBytes(StandardCharsets.UTF_8)); k += 1
+        }
+        dv.setValueCount(k)
+        val dict = new Dictionary(dv,
+          new DictionaryEncoding(j.toLong, false, new ArrowType.Int(32, true)))
+        provider.put(dict)
+        val enc = DictionaryEncoder.encode(sv, dict).asInstanceOf[FieldVector]
+        extra += enc
+        enc
+      case (v, _) => v
+    }
+    val encRoot = new VectorSchemaRoot(
+      encoded.map(_.getField).asJava, encoded.map(v => v: FieldVector).asJava, n)
+    (encRoot, provider,
+      () => extra.foreach(v => try v.close() catch { case _: Exception => () }))
+  }
+
   /** Column readers for the CURRENT batch of `root`, decoding any
     * dictionary-encoded columns through `dictionaries` (an [[ArrowStreamReader]]
     * IS a DictionaryProvider); the returned closer releases the decoded
@@ -933,10 +981,17 @@ class UdfClient(host: String, port: Int, timeoutMs: Int = 120000,
     lines.result()
   }
 
-  /** Call a remote scalar function over rows of (typed) argument tuples. */
+  /** Call a remote scalar function over rows of (typed) argument tuples.
+    * With `dictEncodeStrings`, string argument columns travel
+    * DICTIONARY-ENCODED (schema declares the encoding, a DictionaryBatch
+    * per string column precedes the record batch) — the same producer shape
+    * [[graft.remote.flight.FlightClient]] ships on the Flight wire, here
+    * over the plain Arrow-IPC/TCP framing, pinning the shared decode sites
+    * ([[RemoteProtocol.logicalField]]/[[RemoteProtocol.batchCellReaders]])
+    * on this wire too. */
   def call(fname: String, argTypes: Seq[DataType], rows: Seq[Seq[Any]],
-           argMeta: Seq[SMetadata] = Nil): Seq[Any] =
-    exchange(s"CALL $fname\n", argTypes, rows, argMeta).map(_.head)
+           argMeta: Seq[SMetadata] = Nil, dictEncodeStrings: Boolean = false): Seq[Any] =
+    exchange(s"CALL $fname\n", argTypes, rows, argMeta, dictEncodeStrings).map(_.head)
 
   /** Dynamic registration: ship SOURCE CODE to the guest runtime — the
     * reference's core `Runtime::add_function(name, return_type, mode, code)`
@@ -1045,30 +1100,62 @@ class UdfClient(host: String, port: Int, timeoutMs: Int = 120000,
   }
 
   private def exchange(cmd: String, argTypes: Seq[DataType], rows: Seq[Seq[Any]],
-                       argMeta: Seq[SMetadata]): Seq[Seq[Any]] =
-    withRetry(exchangeOnce(cmd, argTypes, rows, argMeta))
+                       argMeta: Seq[SMetadata],
+                       dictEncodeStrings: Boolean = false): Seq[Seq[Any]] =
+    withRetry(exchangeOnce(cmd, argTypes, rows, argMeta, dictEncodeStrings))
 
   private def exchangeOnce(cmd: String, argTypes: Seq[DataType], rows: Seq[Seq[Any]],
-                           argMeta: Seq[SMetadata]): Seq[Seq[Any]] = {
+                           argMeta: Seq[SMetadata],
+                           dictEncodeStrings: Boolean): Seq[Seq[Any]] = {
     out.write(cmd.getBytes(StandardCharsets.UTF_8))
     val meta = if (argMeta.nonEmpty) argMeta else argTypes.map(_ => SMetadata.empty)
     val schema = new ASchema(argTypes.zip(meta).zipWithIndex.map { case ((t, m), i) =>
       toArrowField(s"a$i", t, m) }.asJava)
     val root = VectorSchemaRoot.create(schema, allocator)
     try {
-      val writer = new ArrowStreamWriter(root, null, out)
-      writer.start()
-      rows.grouped(BatchSize).foreach { chunk =>
+      if (dictEncodeStrings) {
+        // one batch per exchange (the Spark integration already chunks at
+        // BatchSize): fill the value root, encode string columns, and let
+        // the stock writer ship schema + DictionaryBatches + index batch
+        require(rows.size <= BatchSize,
+          s"dictionary-encoded exchanges are single-batch (${rows.size} > $BatchSize rows)")
         root.allocateNew()
         val writers = (0 until argTypes.length).map(j => cellWriter(root.getVector(j)))
-        chunk.zipWithIndex.foreach { case (row, i) =>
+        rows.zipWithIndex.foreach { case (row, i) =>
           var j = 0
           while (j < writers.length) { writers(j)(i, row(j)); j += 1 }
         }
-        root.setRowCount(chunk.size)
-        writer.writeBatch()
+        root.setRowCount(rows.size)
+        val (encRoot, provider, release) = dictionaryEncodeStrings(root, allocator)
+        try {
+          // close(), not just end(): the writer retains internal dictionary
+          // copies only close() releases — but close() also closes its
+          // channel, so shield the connection's stream behind a non-closing
+          // wrapper
+          val shield = new java.io.FilterOutputStream(out) {
+            override def write(b: Array[Byte], off: Int, len: Int): Unit =
+              out.write(b, off, len)
+            override def close(): Unit = out.flush()
+          }
+          val writer = new ArrowStreamWriter(encRoot, provider, shield)
+          try { writer.start(); writer.writeBatch(); writer.end() }
+          finally writer.close()
+        } finally release()
+      } else {
+        val writer = new ArrowStreamWriter(root, null, out)
+        writer.start()
+        rows.grouped(BatchSize).foreach { chunk =>
+          root.allocateNew()
+          val writers = (0 until argTypes.length).map(j => cellWriter(root.getVector(j)))
+          chunk.zipWithIndex.foreach { case (row, i) =>
+            var j = 0
+            while (j < writers.length) { writers(j)(i, row(j)); j += 1 }
+          }
+          root.setRowCount(chunk.size)
+          writer.writeBatch()
+        }
+        writer.end()
       }
-      writer.end()
     } finally root.close() // buffers must not outlive a failed (retried) attempt
     out.flush()
     val status = readLine(in)
@@ -1165,6 +1252,40 @@ object RemoteUdf {
                        fname: String, argCols: Seq[String],
                        retType: DataType): org.apache.spark.sql.DataFrame =
     withRemoteColumn(df, Seq((host, port)), fname, argCols, retType)
+
+  /** [[withRemoteColumn]] with STRING argument columns dictionary-encoded on
+    * the wire (schema-declared encoding + DictionaryBatch per exchange) —
+    * the plain-wire twin of
+    * [[graft.remote.flight.FlightUdf.withFlightColumnDict]]; results are
+    * identical to the plain path, the wire just carries indices + a
+    * dictionary the server decodes through the shared
+    * [[RemoteProtocol.batchCellReaders]] sites. */
+  def withRemoteColumnDict(df: org.apache.spark.sql.DataFrame, endpoints: Seq[(String, Int)],
+                           fname: String, argCols: Seq[String],
+                           retType: DataType): org.apache.spark.sql.DataFrame = {
+    val argTypes = argCols.map(c => df.schema(c).dataType)
+    val argIdx = argCols.map(df.schema.fieldIndex)
+    val outSchema = StructType(df.schema.fields :+ StructField("value", retType))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    val eps = endpoints.toIndexedSeq
+    fanOut(df).mapPartitions { it =>
+      if (it.isEmpty) Iterator.empty
+      else {
+        val pid = Option(org.apache.spark.TaskContext.get()).map(_.partitionId()).getOrElse(0)
+        val (host, port) = eps(pid % eps.size)
+        val client = new UdfClient(host, port)
+        Option(org.apache.spark.TaskContext.get()).foreach(
+          _.addTaskCompletionListener[Unit](_ => client.close()))
+        it.grouped(RemoteProtocol.BatchSize).flatMap { chunk =>
+          val rows = chunk.map(r => argIdx.map(r.get))
+          val vals = client.call(fname, argTypes, rows, Nil, dictEncodeStrings = true)
+          chunk.zip(vals).map { case (r, v) =>
+            org.apache.spark.sql.Row.fromSeq(r.toSeq :+ v)
+          }
+        }
+      }
+    }(enc)
+  }
 
   /** Define a guest function from source on EVERY endpoint of a worker pool
     * (each process owns its own registry, so registration must fan out) —

@@ -70,7 +70,7 @@ final class FlightClient(host: String, port: Int, timeoutMs: Int = 120000,
                          recvWindow: Int = 1 << 23,
                          maxRetries: Int = 1)
     extends AutoCloseable {
-  import RemoteProtocol.{batchCellReaders, cellWriter, toArrowField, fromArrowField}
+  import RemoteProtocol.{batchCellReaders, cellWriter, dictionaryEncodeStrings, toArrowField, fromArrowField}
 
   private val Service = "/arrow.flight.protocol.FlightService"
   private def dial(): GrpcConn = new GrpcConn(host, port, timeoutMs, tls,
@@ -412,11 +412,7 @@ final class FlightClient(host: String, port: Int, timeoutMs: Int = 120000,
     * `rows` ride one batch (callers chunk at [[RemoteProtocol.BatchSize]]). */
   private def dictEncodedRequest(descriptor: Array[Byte], schema: ASchema,
       argTypes: Seq[DataType], rows: Seq[Seq[Any]]): Seq[Array[Byte]] = {
-    import org.apache.arrow.vector.{FieldVector, VarCharVector}
-    import org.apache.arrow.vector.dictionary.{Dictionary, DictionaryEncoder, DictionaryProvider}
-    import org.apache.arrow.vector.types.pojo.{ArrowType, DictionaryEncoding}
     val root = VectorSchemaRoot.create(schema, allocator)
-    val extra = scala.collection.mutable.ArrayBuffer.empty[FieldVector]
     try {
       root.allocateNew()
       val writers = argTypes.indices.map(j => cellWriter(root.getVector(j)))
@@ -425,49 +421,24 @@ final class FlightClient(host: String, port: Int, timeoutMs: Int = 120000,
         while (j < writers.length) { writers(j)(i, row(j)); j += 1 }
       }
       root.setRowCount(rows.size)
-      val provider = new DictionaryProvider.MapDictionaryProvider()
-      val encoded = root.getFieldVectors.asScala.zipWithIndex.map {
-        case (sv: VarCharVector, j) =>
-          // dictionary = the column's distinct non-null values, first-seen order
-          val distinct = new java.util.LinkedHashSet[String]()
-          (0 until rows.size).foreach { i =>
-            if (!sv.isNull(i))
-              distinct.add(new String(sv.get(i), java.nio.charset.StandardCharsets.UTF_8))
-          }
-          val dv = new VarCharVector(s"${sv.getName}-dict", allocator)
-          extra += dv
-          dv.allocateNew()
-          var k = 0
-          distinct.forEach { s =>
-            dv.setSafe(k, s.getBytes(java.nio.charset.StandardCharsets.UTF_8)); k += 1
-          }
-          dv.setValueCount(k)
-          val dict = new Dictionary(dv,
-            new DictionaryEncoding(j.toLong, false, new ArrowType.Int(32, true)))
-          provider.put(dict)
-          val enc = DictionaryEncoder.encode(sv, dict).asInstanceOf[FieldVector]
-          extra += enc
-          enc
-        case (v, _) => v
-      }
-      val encRoot = new VectorSchemaRoot(
-        encoded.map(_.getField).asJava, encoded.map(v => v: FieldVector).asJava, rows.size)
-      val bos = new ByteArrayOutputStream()
-      val w = new org.apache.arrow.vector.ipc.ArrowStreamWriter(encRoot, provider, bos)
-      // close(), not just end(): the stream writer retains an internal COPY
-      // of each dictionary vector (its replacement/delta tracking) that only
-      // close() releases
-      try { w.start(); w.writeBatch(); w.end() } finally w.close()
-      val msgIn = new java.io.DataInputStream(new ByteArrayInputStream(bos.toByteArray))
-      val msgs = Iterator.continually(IpcFraming.readMessage(msgIn))
-        .takeWhile(_.isDefined).map(_.get).toSeq
-      msgs.zipWithIndex.map { case ((h, b), i) =>
-        Pb.flightData(if (i == 0) Some(descriptor) else None, h, b)
-      }
-    } finally {
-      extra.foreach(v => try v.close() catch { case _: Exception => })
-      root.close()
-    }
+      // shared encoder with the plain wire ([[RemoteProtocol]]): distinct
+      // non-null values in first-seen order, int32 indices
+      val (encRoot, provider, release) = dictionaryEncodeStrings(root, allocator)
+      try {
+        val bos = new ByteArrayOutputStream()
+        val w = new org.apache.arrow.vector.ipc.ArrowStreamWriter(encRoot, provider, bos)
+        // close(), not just end(): the stream writer retains an internal
+        // COPY of each dictionary vector (its replacement/delta tracking)
+        // that only close() releases
+        try { w.start(); w.writeBatch(); w.end() } finally w.close()
+        val msgIn = new java.io.DataInputStream(new ByteArrayInputStream(bos.toByteArray))
+        val msgs = Iterator.continually(IpcFraming.readMessage(msgIn))
+          .takeWhile(_.isDefined).map(_.get).toSeq
+        msgs.zipWithIndex.map { case ((h, b), i) =>
+          Pb.flightData(if (i == 0) Some(descriptor) else None, h, b)
+        }
+      } finally release()
+    } finally root.close()
   }
 
   /** Run `f` into a buffer and split the encapsulated IPC framing into the

@@ -191,6 +191,30 @@ class FlightServerSpec extends AnyFunSuite {
     } finally server.close()
   }
 
+  test("DELTA dictionaries mid-exchange decode against the accumulated dictionary") {
+    // Arrow IPC permits isDelta=true DictionaryBatches (appended entries)
+    // from any SDK producer on a long exchange; the reference resolves them
+    // in FlightStream (UdfProducer.java:103-139). graft's server forwards
+    // them inline and the backend's stock ArrowStreamReader batch-appends
+    // the delta — batch 2's index into the EXTENDED region must resolve.
+    // The probe self-certifies the wire really carried isDelta=true (it
+    // hand-walks the flatbuffer), so a pyarrow fallback to replacement
+    // dictionaries cannot silently hollow out this gate.
+    graft.functions.Builtins.ensureRegistered()
+    val server = new FlightServer()
+    try {
+      val script = new java.io.File(sys.props("user.dir"), "tools/flight_client_probe.py")
+      val proc = new ProcessBuilder("python3", script.getAbsolutePath,
+        server.boundPort.toString, "--dict-delta")
+        .redirectErrorStream(true).start()
+      val out = new String(proc.getInputStream.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8)
+      val rc = proc.waitFor()
+      assert(rc == 0, s"probe exited $rc:\n$out")
+      assert(out.linesIterator.contains("DICTDELTA True"), out)
+    } finally server.close()
+  }
+
   test("graft client dictionary-encodes string arguments through graft's server") {
     graft.functions.Builtins.ensureRegistered()
     val server = new FlightServer()

@@ -101,8 +101,94 @@ def main():
         pingpong(c)
     if "--dict" in sys.argv:
         dictionary(c)
+    if "--dict-delta" in sys.argv:
+        dict_delta(c)
 
     print("DONE")
+
+
+def _assert_emits_delta(schema, batches):
+    """Self-certification: serialize `batches` with emit_dictionary_deltas
+    and hand-walk the flatbuffer Message headers to prove the wire carries a
+    DictionaryBatch with isDelta=true (field id 2 of the DictionaryBatch
+    table). Guards the probe against a pyarrow that silently falls back to
+    replacement dictionaries — the DICTDELTA check below would still pass,
+    but would no longer prove delta handling."""
+    import struct
+
+    def i32(b, o):
+        return struct.unpack_from("<i", b, o)[0]
+
+    def i16(b, o):
+        return struct.unpack_from("<h", b, o)[0]
+
+    def fb_field(b, table, fid):
+        # flatbuffer: table starts with soffset to vtable; vtable[2+fid]
+        # holds the field's offset within the table (0 = absent/default)
+        vt = table - i32(b, table)
+        nfields = (i16(b, vt) - 4) // 2
+        if fid >= nfields:
+            return None
+        off = i16(b, vt + 4 + 2 * fid)
+        return table + off if off else None
+
+    sink = pa.BufferOutputStream()
+    w = pa.ipc.new_stream(sink, schema,
+                          options=pa.ipc.IpcWriteOptions(emit_dictionary_deltas=True))
+    for rb in batches:
+        w.write_batch(rb)
+    w.close()
+    data = sink.getvalue().to_pybytes()
+    saw_delta = False
+    off = 0
+    while off + 8 <= len(data):
+        assert data[off:off + 4] == b"\xff\xff\xff\xff", "bad IPC continuation"
+        mlen = i32(data, off + 4)
+        if mlen == 0:
+            break
+        fb = data[off + 8:off + 8 + mlen]
+        root = i32(fb, 0)
+        htype_off = fb_field(fb, root, 1)   # Message.header_type (ubyte)
+        htype = fb[htype_off] if htype_off is not None else 0
+        if htype == 2:                       # MessageHeader.DictionaryBatch
+            hdr_off = fb_field(fb, root, 2)  # Message.header (union value)
+            tbl = hdr_off + i32(fb, hdr_off)
+            delta_off = fb_field(fb, tbl, 2)  # DictionaryBatch.isDelta
+            if delta_off is not None and fb[delta_off] == 1:
+                saw_delta = True
+        blen_off = fb_field(fb, root, 3)     # Message.bodyLength (long)
+        blen = struct.unpack_from("<q", fb, blen_off)[0] if blen_off else 0
+        off += 8 + mlen + blen
+    assert saw_delta, "pyarrow did not emit an isDelta dictionary message"
+
+
+def dict_delta(c):
+    """DELTA dictionaries mid-exchange: batch 2's dictionary EXTENDS batch
+    1's, and with emit_dictionary_deltas the SDK writer ships only the
+    appended entries as an isDelta=true DictionaryBatch (Arrow IPC spec) —
+    legal from any SDK producer on a long exchange. The server must decode
+    batch 2 against the ACCUMULATED dictionary: an implementation that
+    treated the delta as a replacement would resolve index 2 out of range
+    (or to the wrong string) and diverge."""
+    d1 = pa.array(["alpha", "bee"], pa.string())
+    a1 = pa.DictionaryArray.from_arrays(pa.array([0, 1, 0, None], pa.int32()), d1)
+    schema = pa.schema([("s", a1.type)])
+    d2 = pa.array(["alpha", "bee", "gamma-gamma"], pa.string())
+    a2 = pa.DictionaryArray.from_arrays(pa.array([2, 0, 2], pa.int32()), d2)
+    b1 = pa.RecordBatch.from_arrays([a1], schema=schema)
+    b2 = pa.RecordBatch.from_arrays([a2], schema=schema)
+    _assert_emits_delta(schema, [b1, b2])
+
+    opts = pa.ipc.IpcWriteOptions(emit_dictionary_deltas=True)
+    w, r = c.do_exchange(fl.FlightDescriptor.for_path("graft_length"))
+    w.begin(schema, options=opts)
+    w.write_batch(b1)
+    v1 = r.read_chunk().data.column(0).to_pylist()
+    w.write_batch(b2)  # ships DictionaryBatch(isDelta=true, ["gamma-gamma"])
+    v2 = r.read_chunk().data.column(0).to_pylist()
+    w.done_writing()
+    tail = r.read_all().num_rows
+    print("DICTDELTA", v1 == [5, 3, 5, None] and v2 == [11, 5, 11] and tail == 0)
 
 
 def dictionary(c):
