@@ -472,6 +472,48 @@ object Bench {
             "gcd", Seq("a", "b"), org.apache.spark.sql.types.IntegerType)
           .write.format("noop").mode("overwrite").save()
       },
+      // Rolling-drain cost (r15, VERDICT #3): the same wire workload on a
+      // TWO-server pool, once undisturbed and once with one server
+      // GOAWAY-drained mid-query. FlightDrainSpec proves the drain causes
+      // zero failures (lease refusal → markDead → failover → chunk replay);
+      // this pair records that the failover costs BOUNDED LATENCY — the
+      // delta between the two probes is the price of a rolling restart.
+      "x_flight_drain_base_5m" -> { s: SparkSession =>
+        Graft.install(s)
+        val s1 = new graft.remote.flight.FlightServer()
+        val s2 = new graft.remote.flight.FlightServer()
+        try {
+          val eps = Seq(("127.0.0.1", s1.boundPort), ("127.0.0.1", s2.boundPort))
+          val df = s.range(5000000L)
+            .selectExpr("CAST(id % 1000003 AS INT) AS a", "CAST(id % 999983 AS INT) AS b")
+          graft.remote.flight.FlightUdf.withFlightColumn(df, eps,
+              "gcd", Seq("a", "b"), org.apache.spark.sql.types.IntegerType)
+            .write.format("noop").mode("overwrite").save()
+        } finally { s1.close(0L); s2.close(0L) }
+      },
+      "x_flight_drain_5m" -> { s: SparkSession =>
+        Graft.install(s)
+        val s1 = new graft.remote.flight.FlightServer()
+        val s2 = new graft.remote.flight.FlightServer()
+        try {
+          val eps = Seq(("127.0.0.1", s1.boundPort), ("127.0.0.1", s2.boundPort))
+          val df = s.range(5000000L)
+            .selectExpr("CAST(id % 1000003 AS INT) AS a", "CAST(id % 999983 AS INT) AS b")
+          val drainer = new Thread(() => {
+            // drain once s1 is demonstrably serving the query
+            val t0 = System.nanoTime()
+            while (s1.connectionsAccepted == 0 && System.nanoTime() - t0 < 30e9.toLong)
+              Thread.sleep(5)
+            Thread.sleep(50)
+            s1.close(drainMillis = 5000L)
+          })
+          drainer.start()
+          graft.remote.flight.FlightUdf.withFlightColumn(df, eps,
+              "gcd", Seq("a", "b"), org.apache.spark.sql.types.IntegerType)
+            .write.format("noop").mode("overwrite").save()
+          drainer.join(30000)
+        } finally { s1.close(0L); s2.close(0L) }
+      },
       // Per-exchange overhead isolation (r13): the same 1M-row gcd against
       // the REAL pyarrow server pool at a deliberately small 512-row batch.
       // Per-chunk opens ~2000 DoExchanges (HEADERS + schema + trailers per
@@ -1900,8 +1942,26 @@ object Bench {
     // steady-state only
     val loadAfter = loadavg()
     val ncpus = Runtime.getRuntime.availableProcessors()
+    // Rep-floor accounting (r15, VERDICT #4): the driver budget can force
+    // rep-1-only samples on a contended host; record machine-readably
+    // whether every rep-eligible benchable (non-failed, rep-1 ≤ heavySec —
+    // longer probes are single-rep BY DESIGN) banked at least `rep_floor`
+    // samples, so a reader doesn't have to infer the shortfall from the
+    // per-query rep arrays.
+    val repFloor = math.min(reps, 2)
+    val repFloorMet = benchables.indices.forall { i =>
+      failed(i) || samples(i).isEmpty ||
+        samples(i).size >= repFloor || samples(i).head > heavySec
+    }
+    // loadavg_at_entry is the sample the load gate judged (process entry,
+    // BEFORE our own build/warmup spiked the 1-min average) — in the
+    // artifact so "load_gate":"ok" is auditable next to a post-warmup
+    // loadavg_before that our own session legitimately inflated.
+    val loadEntryJson =
+      if (loadAtEntry.isEmpty) "null"
+      else loadAtEntry.map(v => f"$v%.2f").mkString("[", ",", "]")
     val jsonLine =
-      s"""{"metric":"total","value":$totalStr,"unit":"sec","queries":$qs,"reps":$repsJson,"session_overhead":${f"$overheadSec%.3f"},"loadavg_before":$loadBefore,"loadavg_after":$loadAfter,"ncpus":$ncpus,"load_gate":"$loadGate","budget_hit":$budgetHit,"heavy_skipped":${if (heavyOptIn || args.nonEmpty) "[]" else heavyOnly.map("\"" + _ + "\"").mkString("[", ",", "]")},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$totalStr,"unit":"sec","queries":$qs,"reps":$repsJson,"session_overhead":${f"$overheadSec%.3f"},"loadavg_at_entry":$loadEntryJson,"loadavg_before":$loadBefore,"loadavg_after":$loadAfter,"ncpus":$ncpus,"load_gate":"$loadGate","rep_floor":$repFloor,"rep_floor_met":$repFloorMet,"budget_hit":$budgetHit,"heavy_skipped":${if (heavyOptIn || args.nonEmpty) "[]" else heavyOnly.map("\"" + _ + "\"").mkString("[", ",", "]")},"sf":"$sfDir"}"""
     println(jsonLine)
     // The driver's BENCH_r<n>.json keeps only the tail of stdout, which
     // truncates the per-query map past ~60 entries — persist the COMPLETE

@@ -16,6 +16,8 @@ class FlightDrainSpec extends AnyFunSuite
     with org.scalatest.concurrent.TimeLimits {
   import org.scalatest.time.SpanSugar._
 
+  private def gcd(a: Int, b: Int): Int = if (b == 0) a else gcd(b, a % b)
+
   test("an active streamed exchange completes during close(); the listener refuses new connections") {
     graft.functions.Builtins.ensureRegistered()
     val server = new FlightServer()
@@ -43,6 +45,52 @@ class FlightDrainSpec extends AnyFunSuite
       // drained listener: new connections are refused outright
       intercept[java.io.IOException](new FlightClient("127.0.0.1", port).close())
     }
+  }
+
+  test("ROLLING drain mid-query on the Spark path: zero failures, work fails over") {
+    // the end-to-end rolling-restart story the drain was built for: a
+    // multi-endpoint pool serves a live withFlightColumn query; one server
+    // drains MID-QUERY. GOAWAY/refused-streams surface as IOExceptions in
+    // the partition chunk loops, which markDead the pooled client and fail
+    // over to the surviving endpoint and replay the in-flight chunk — the
+    // query must complete with every value correct, never a task failure.
+    graft.functions.Builtins.ensureRegistered()
+    val spark = graft.TestSpark.spark
+    val s1 = new FlightServer()
+    val s2 = new FlightServer()
+    try {
+      failAfter(300.seconds) {
+        import spark.implicits._
+        val eps = Seq(("127.0.0.1", s1.boundPort), ("127.0.0.1", s2.boundPort))
+        val df = spark.range(0, 1000000).map(i => (i.toInt * 6 + 6, i.toInt * 4 + 4))
+          .toDF("a", "b").repartition(16)
+        val out = FlightUdf.withFlightColumn(df, eps, "gcd", Seq("a", "b"),
+          org.apache.spark.sql.types.IntegerType)
+        @volatile var drainedAtNs = 0L
+        val drainer = new Thread(() => {
+          // wait until s1 is actually serving the query, then drain it
+          val t0 = System.nanoTime()
+          while (s1.connectionsAccepted == 0 && System.nanoTime() - t0 < 60e9.toLong)
+            Thread.sleep(10)
+          Thread.sleep(300) // let exchanges get in flight
+          drainedAtNs = System.nanoTime()
+          s1.close(drainMillis = 5000L)
+        })
+        drainer.start()
+        val bad = out.selectExpr("a", "b", "value").as[(Int, Int, Int)].collect()
+          .count { case (a, b, v) => v != gcd(a, b) }
+        val endNs = System.nanoTime()
+        drainer.join(20000)
+        assert(!drainer.isAlive)
+        assert(bad == 0, s"$bad wrong values after rolling drain")
+        // non-vacuous: the drain really happened while the query ran, and
+        // the survivor actually served work
+        assert(drainedAtNs != 0L && drainedAtNs < endNs,
+          "drain did not overlap the query — enlarge the workload")
+        assert(s1.connectionsAccepted > 0, "drained server never served")
+        assert(s2.connectionsAccepted > 0, "survivor never served")
+      }
+    } finally { s1.close(0L); s2.close(0L) }
   }
 
   test("a drained connection refuses NEW streams with GOAWAY semantics") {
