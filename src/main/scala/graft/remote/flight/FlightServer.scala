@@ -41,14 +41,19 @@ import scala.jdk.CollectionConverters._
  * input schema, CallMode, batched guest dispatch, native-expression tier,
  * per-batch streamed results) is inherited, not duplicated.
  *
- * Scale shape: one handler thread per connection; DoExchange is evaluated
- * INCREMENTALLY — each record batch is forwarded and answered as it arrives
- * (the reference `UdfProducer` loop), so an exchange of any length runs in
- * bounded memory (the per-stream cap applies to unprocessed BACKLOG, not
- * request size), and a ping-ponging streamed client
+ * Scale shape: one READER thread per connection plus one WORKER per active
+ * DoExchange stream (r15 — the shape grpc thread-pool servers have): the
+ * reader owns the socket and frame dispatch, each exchange evaluates on its
+ * own worker, so concurrent multiplexed streams no longer serialize behind
+ * one another's backend round-trips (this is what let the client default
+ * drop to 8 sockets per endpoint at throughput parity). DoExchange is
+ * evaluated INCREMENTALLY — each record batch is forwarded and answered as
+ * it arrives (the reference `UdfProducer` loop), so an exchange of any
+ * length runs in bounded memory (the per-stream cap applies to unprocessed
+ * BACKLOG, not request size), and a ping-ponging streamed client
  * ([[FlightClient.ExchangeStream]]) gets each result before sending the
- * next batch. Concurrent multiplexed exchanges each hold a dedicated
- * backend connection, so their batches never interleave on a shared socket.
+ * next batch. Concurrent exchanges each hold a dedicated backend
+ * connection, so their batches never interleave on a shared socket.
  * A deployment fronts many engine JVMs with ordinary TCP load balancing,
  * exactly like the reference's UdfServer fleet.
  */
@@ -196,10 +201,16 @@ final class FlightServer(port: Int = 0,
       * misbehaving client can't grow an unbounded buffer. */
     private val MaxBuffered = maxBuffered
 
-    /** All frame writes + flushes serialize on this monitor, so [[beginDrain]]
-      * (called from the closer's thread) can interleave its GOAWAY at a frame
-      * boundary without corrupting the handler thread's framing. HPACK-encoded
-      * HEADERS stay ordered because only the handler thread encodes them. */
+    /** THE connection monitor (r15 stream-parallel dispatch): guards every
+      * frame write + flush (each frame lands atomically; HPACK encode happens
+      * under the same hold as its write, so header blocks hit the wire in
+      * encode order), all mutable connection/stream state (windows, the
+      * streams map, Req/Exch fields), and the condition workers wait on
+      * (window credit, buffered messages). The handler thread remains the
+      * ONLY socket reader — it reads outside the lock and applies each frame
+      * under it, then notifies; exchange workers never read the socket, they
+      * wait on this monitor. [[beginDrain]] (closer's thread) interleaves its
+      * GOAWAY at a frame boundary the same way. */
     private val writeLock = new Object
     @volatile private var draining = false
     /** Highest client-initiated stream id seen — GOAWAY's last-stream-id. */
@@ -245,12 +256,17 @@ final class FlightServer(port: Int = 0,
       var sendWindow: Long = peerInitWindow
       var reset = false
       var headersSent = false
-      /** Non-null ⇔ this stream is a DoExchange, handled INCREMENTALLY:
-        * each inbound record batch is evaluated and answered as it arrives
-        * (the reference `UdfProducer.java:104-139` loop), never buffered to
-        * end-of-request. */
+      /** Non-null ⇔ this stream is a DoExchange, handled INCREMENTALLY on
+        * its OWN worker thread (r15): each inbound record batch is evaluated
+        * and answered as it arrives (the reference `UdfProducer.java:104-139`
+        * loop), never buffered to end-of-request — and concurrent exchanges
+        * on one connection no longer serialize behind each other's backend
+        * round-trips (each stream's worker blocks only on its own backend). */
       var exch: Exch = null
       var ended = false
+      /** Set by the handler when this stream blew the backlog cap; its
+        * worker owns the stream's writes, so the refusal is emitted there. */
+      var overflowed = false
     }
 
     /** Incremental DoExchange session: gRPC message reassembly (bytes are
@@ -311,14 +327,10 @@ final class FlightServer(port: Int = 0,
     }
 
     private val streams = mutable.LinkedHashMap.empty[Int, Req]
+    /** Completed NON-exchange request streams, dispatched from the top-level
+      * pump in [[run]] on the handler thread (discovery/action RPCs are
+      * small); exchange streams run on their own workers instead. */
     private val completed = mutable.ArrayDeque.empty[Int]
-    /** Exchange streams with buffered-but-unprocessed bytes (or END_STREAM).
-      * Drained ONLY from the top-level pump in [[run]] — frame handling
-      * nested under a send-window wait never starts exchange work, so two
-      * streams' responses cannot interleave mid-write. */
-    private val exchWork = mutable.ArrayDeque.empty[Int]
-    private def enqueueExch(sid: Int): Unit =
-      if (!exchWork.contains(sid)) exchWork.append(sid)
 
     def run(): Unit = {
       try {
@@ -332,17 +344,25 @@ final class FlightServer(port: Int = 0,
         flushOut()
         while (!closing) {
           handleOneFrame()
-          while (completed.nonEmpty || exchWork.nonEmpty) {
-            while (completed.nonEmpty) dispatch(completed.removeHead())
-            if (exchWork.nonEmpty) stepExchange(exchWork.removeHead())
-          }
+          while ({
+            val next = writeLock.synchronized(
+              if (completed.nonEmpty) Some(completed.removeHead()) else None)
+            next.foreach(dispatch)
+            next.isDefined
+          }) ()
         }
       } catch {
         case _: EOFException =>
         case _: java.net.SocketException =>
         case _: IOException =>
       } finally {
-        streams.values.foreach(r => if (r.exch != null) r.exch.closeBackend())
+        // wake + unblock every exchange worker: closing ends their waits,
+        // closed backends end their blocking backend reads
+        writeLock.synchronized {
+          closing = true
+          streams.values.foreach(r => if (r.exch != null) r.exch.closeBackend())
+          writeLock.notifyAll()
+        }
         try sock.close() catch { case _: Exception => }
       }
     }
@@ -355,17 +375,20 @@ final class FlightServer(port: Int = 0,
     private def flushOut(): Unit = writeLock.synchronized(out.flush())
 
     /** Stream registration is counted so a drain can tell when the
-      * connection is idle; every removal path goes through [[unregister]]. */
-    private def register(sid: Int, req: Req): Unit = {
+      * connection is idle; every removal path goes through [[unregister]].
+      * Both lock (workers unregister from their own threads). */
+    private def register(sid: Int, req: Req): Unit = writeLock.synchronized {
       streams(sid) = req
       activeStreams.incrementAndGet()
     }
-    private def unregister(sid: Int): Unit =
+    private def unregister(sid: Int): Unit = writeLock.synchronized {
       if (streams.remove(sid).isDefined) activeStreams.decrementAndGet()
+    }
 
-    /** Read + handle one frame. Completed request streams are QUEUED, never
-      * dispatched from here — the pump is re-entered from send-window waits,
-      * where starting a nested dispatch would interleave two responses. */
+    /** Read one frame (socket I/O, NO lock — the handler thread is the sole
+      * reader) then apply it under [[writeLock]] and notify workers.
+      * Completed non-exchange streams are QUEUED for the top-level pump;
+      * exchange bytes land in their stream's buffer and wake its worker. */
     private def handleOneFrame(): Unit = {
       val b0 = in.read()
       if (b0 < 0) throw new EOFException("client closed")
@@ -375,33 +398,50 @@ final class FlightServer(port: Int = 0,
       val sid = in.readInt() & 0x7fffffff
       val payload = new Array[Byte](len)
       in.readFully(payload)
+      // HEADERS: assemble the full block (HEADERS + CONTINUATIONs) while
+      // still reading — they are contiguous on the wire (RFC 9113 §6.10)
+      var headerBlock: Array[Byte] = null
+      var headersEndStream = false
+      if (tpe == FrameHeaders) {
+        var off = 0; var end = len
+        // latch END_STREAM from the ORIGINAL HEADERS flags: the loop below
+        // overwrites `flags`, and CONTINUATIONs carry no END_STREAM bit
+        headersEndStream = (flags & FlagEndStream) != 0
+        if ((flags & FlagPadded) != 0) { val pad = payload(0) & 0xff; off = 1; end = len - pad }
+        if ((flags & FlagPriority) != 0) off += 5
+        val block = new ByteArrayOutputStream()
+        block.write(payload, off, end - off)
+        while ((flags & FlagEndHeaders) == 0) {
+          val c0 = in.read()
+          if (c0 < 0) throw new EOFException("client closed mid-headers")
+          val clen = (c0 << 16) | (in.readUnsignedByte() << 8) | in.readUnsignedByte()
+          val ctpe = in.readUnsignedByte()
+          flags = in.readUnsignedByte()
+          in.readInt()
+          if (ctpe != FrameContinuation)
+            throw new IOException(s"expected CONTINUATION, got $ctpe")
+          val cp = new Array[Byte](clen)
+          in.readFully(cp)
+          block.write(cp)
+        }
+        headerBlock = block.toByteArray
+      }
+      writeLock.synchronized {
+        try applyFrame(tpe, flags, sid, len, payload, headerBlock, headersEndStream)
+        finally writeLock.notifyAll() // window credit / new bytes / resets
+      }
+    }
+
+    /** Apply one frame to connection/stream state. Caller holds [[writeLock]]. */
+    private def applyFrame(tpe: Int, flags: Int, sid: Int, len: Int,
+                           payload: Array[Byte], headerBlock: Array[Byte],
+                           headersEndStream: Boolean): Unit = {
       tpe match {
         case FrameHeaders =>
-          var off = 0; var end = len
-          // latch END_STREAM from the ORIGINAL HEADERS flags: the
-          // CONTINUATION loop below overwrites `flags`, and CONTINUATION
-          // frames carry no END_STREAM bit (RFC 9113 §6.10)
-          val endStream = (flags & FlagEndStream) != 0
-          if ((flags & FlagPadded) != 0) { val pad = payload(0) & 0xff; off = 1; end = len - pad }
-          if ((flags & FlagPriority) != 0) off += 5
-          val block = new ByteArrayOutputStream()
-          block.write(payload, off, end - off)
-          while ((flags & FlagEndHeaders) == 0) {
-            val c0 = in.read()
-            if (c0 < 0) throw new EOFException("client closed mid-headers")
-            val clen = (c0 << 16) | (in.readUnsignedByte() << 8) | in.readUnsignedByte()
-            val ctpe = in.readUnsignedByte()
-            flags = in.readUnsignedByte()
-            in.readInt()
-            if (ctpe != FrameContinuation)
-              throw new IOException(s"expected CONTINUATION, got $ctpe")
-            val cp = new Array[Byte](clen)
-            in.readFully(cp)
-            block.write(cp)
-          }
-          val buf = Unpooled.wrappedBuffer(block.toByteArray)
+          val buf = Unpooled.wrappedBuffer(headerBlock)
           val headers = try hpackDec.decodeHeaders(sid, buf) finally buf.release()
           val auth = Option(headers.get("authorization")).map(_.toString).getOrElse("")
+          val endStream = headersEndStream
           if (draining) {
             // GOAWAY semantics: this stream is above the advertised
             // last-stream-id — refuse it RETRYABLY (REFUSED_STREAM, which
@@ -424,10 +464,16 @@ final class FlightServer(port: Int = 0,
               req.exch = new Exch
             if (sid > maxSeenStream) maxSeenStream = sid
             register(sid, req)
-            if (endStream) {
-              req.ended = true
-              if (req.exch != null) enqueueExch(sid) else completed.append(sid)
-            }
+            if (endStream) req.ended = true
+            if (req.exch != null) {
+              // STREAM-PARALLEL dispatch (r15): every exchange gets its own
+              // worker, so stacked h2 streams from a multiplexed client no
+              // longer serialize behind one another's backend round-trips
+              val t = new Thread(() => runExchange(sid, req, req.exch),
+                s"graft-flight-exch-$sid")
+              t.setDaemon(true)
+              t.start()
+            } else if (endStream) completed.append(sid)
           }
         case FrameData =>
           var off = 0; var n = len
@@ -435,25 +481,26 @@ final class FlightServer(port: Int = 0,
           streams.get(sid).foreach { req =>
             val backlog = if (req.exch != null) req.exch.unconsumed else req.buf.size()
             if (backlog + n > MaxBuffered) {
-              // This branch can fire from handleOneFrame nested inside
-              // sendData's window wait for the SAME stream (a write-blocked
-              // incremental exchange whose client keeps sending). Two rules:
-              // reset FIRST so the outer sendData aborts instead of writing
-              // DATA past END_STREAM on a removed stream (whose window could
-              // never replenish — streams.remove drops future
-              // WINDOW_UPDATEs); and trailersOnly must reflect whether
-              // response HEADERS already went out — a second :status
-              // pseudo-header in a trailing HEADERS block is the RFC 9113
-              // §8.3 connection-killing PROTOCOL_ERROR.
+              // Backlog cap blown. Reset FIRST so any in-flight sendData for
+              // this stream aborts instead of writing DATA past END_STREAM
+              // (streams.remove drops future WINDOW_UPDATEs, so its window
+              // could never replenish). For a NON-exchange stream the
+              // refusal is written here (handler owns those streams); an
+              // EXCHANGE stream's worker owns its writes — flag it and let
+              // the worker emit the refusal (trailersOnly decided there,
+              // where headersSent is stable).
               req.reset = true
-              sendTrailers(sid, 8, "request body exceeds per-stream limit",
-                trailersOnly = !req.headersSent)
-              writeFrame(FrameRst, 0, sid, u32(8L)); flushOut()
-              if (req.exch != null) req.exch.closeBackend()
-              unregister(sid)
+              if (req.exch != null) {
+                req.overflowed = true
+                req.exch.closeBackend() // unblock a worker mid-backend-read
+              } else {
+                sendTrailers(sid, 8, "request body exceeds per-stream limit",
+                  trailersOnly = !req.headersSent)
+                writeFrame(FrameRst, 0, sid, u32(8L)); flushOut()
+                unregister(sid)
+              }
             } else if (req.exch != null) {
-              req.exch.append(payload, off, n)
-              enqueueExch(sid)
+              req.exch.append(payload, off, n) // worker woken by notifyAll
             } else req.buf.write(payload, off, n)
           }
           if (len > 0) {
@@ -467,7 +514,7 @@ final class FlightServer(port: Int = 0,
           if ((flags & FlagEndStream) != 0 && streams.contains(sid)) {
             val req = streams(sid)
             req.ended = true
-            if (req.exch != null) enqueueExch(sid) else completed.append(sid)
+            if (req.exch == null) completed.append(sid)
           }
         case FrameSettings =>
           if ((flags & FlagAck) == 0) {
@@ -500,7 +547,7 @@ final class FlightServer(port: Int = 0,
         case FrameRst =>
           streams.get(sid).foreach { r =>
             r.reset = true
-            if (r.exch != null) r.exch.closeBackend()
+            if (r.exch != null) r.exch.closeBackend() // unblock its worker
           }
           unregister(sid)
         case FrameGoaway => closing = true
@@ -509,18 +556,22 @@ final class FlightServer(port: Int = 0,
     }
 
     // ---- response writing ----------------------------------------------------
-    private def encodeHeaders(sid: Int, h: DefaultHttp2Headers, endStream: Boolean): Unit = {
-      val buf = Unpooled.buffer(256)
-      try {
-        hpackEnc.encodeHeaders(sid, h, buf)
-        val block = new Array[Byte](buf.readableBytes())
-        buf.readBytes(block)
-        writeFrame(FrameHeaders,
-          FlagEndHeaders | (if (endStream) FlagEndStream else 0), sid, block)
-      } finally buf.release()
-    }
+    /** HPACK encode + frame write under ONE hold of [[writeLock]]: with
+      * concurrent exchange workers, header blocks must hit the wire in
+      * encode order or the peer's decoder desynchronizes. */
+    private def encodeHeaders(sid: Int, h: DefaultHttp2Headers, endStream: Boolean): Unit =
+      writeLock.synchronized {
+        val buf = Unpooled.buffer(256)
+        try {
+          hpackEnc.encodeHeaders(sid, h, buf)
+          val block = new Array[Byte](buf.readableBytes())
+          buf.readBytes(block)
+          writeFrame(FrameHeaders,
+            FlagEndHeaders | (if (endStream) FlagEndStream else 0), sid, block)
+        } finally buf.release()
+      }
 
-    private def sendResponseHeaders(sid: Int, req: Req): Unit = {
+    private def sendResponseHeaders(sid: Int, req: Req): Unit = writeLock.synchronized {
       val h = new DefaultHttp2Headers(false)
       h.status("200")
       h.add("content-type", "application/grpc")
@@ -539,22 +590,32 @@ final class FlightServer(port: Int = 0,
       flushOut()
     }
 
-    /** Flow-controlled DATA write: pumps incoming control frames while the
-      * peer's windows are exhausted. */
+    /** Flow-controlled DATA write. When the peer's windows are exhausted:
+      * the HANDLER thread (non-exchange responses — it is the only socket
+      * reader) pumps incoming control frames itself; an exchange WORKER
+      * parks on [[writeLock]] until the handler's frame dispatch replenishes
+      * a window (or resets/closes the stream) and notifies. */
     private def sendData(sid: Int, req: Req, bytes: Array[Byte]): Unit = {
       var off = 0
-      while (off < bytes.length) {
-        var avail = math.min(connSend, req.sendWindow)
-        while (avail <= 0 && !req.reset) {
-          handleOneFrame()
-          avail = math.min(connSend, req.sendWindow)
+      var done = bytes.isEmpty
+      while (!done) {
+        var pump = false
+        writeLock.synchronized {
+          if (req.reset) return // client cancelled: stop writing this stream
+          if (closing) throw new IOException("connection closing")
+          val avail = math.min(connSend, req.sendWindow)
+          if (avail > 0) {
+            val n = math.min(math.min(avail, peerMaxFrame.toLong),
+              (bytes.length - off).toLong).toInt
+            writeFrame(FrameData, 0, sid, bytes, off, n)
+            off += n
+            connSend -= n
+            req.sendWindow -= n
+            if (off >= bytes.length) done = true
+          } else if (req.exch != null) writeLock.wait()
+          else pump = true
         }
-        if (req.reset) return // client cancelled: stop writing this stream
-        val n = math.min(math.min(avail, peerMaxFrame.toLong), (bytes.length - off).toLong).toInt
-        writeFrame(FrameData, 0, sid, bytes, off, n)
-        off += n
-        connSend -= n
-        req.sendWindow -= n
+        if (pump) handleOneFrame()
       }
       flushOut()
     }
@@ -591,7 +652,8 @@ final class FlightServer(port: Int = 0,
       * (sendData's pump applies them to the live Req) — removed only when the
       * RPC is fully answered. */
     private def dispatch(sid: Int): Unit = {
-      val req = streams.getOrElse(sid, return)
+      val req = writeLock.synchronized(streams.getOrElse(sid, null))
+      if (req == null) return
       try {
         if (req.reset) return
         // defense in depth: HEADERS-time rejection means an unauthenticated
@@ -673,44 +735,82 @@ final class FlightServer(port: Int = 0,
     // ([[FlightClient.ExchangeStream]], the reference's multi-batch mode)
     // gets each result before sending the next batch.
 
-    /** Process buffered exchange bytes for one stream: complete messages
-      * evaluate immediately; END_STREAM (with an empty buffer) finishes. */
-    private def stepExchange(sid: Int): Unit = {
-      val req = streams.getOrElse(sid, return)
-      val ex = req.exch
-      if (ex == null) return
+    /** One exchange stream's WORKER loop (r15 stream-parallel dispatch):
+      * waits on [[writeLock]] for bytes the handler appended, evaluates each
+      * complete message with backend I/O OUTSIDE the lock, finishes on
+      * END_STREAM. Owns every write for its stream — trailers, refusals and
+      * RSTs for this stream are emitted here (frame-atomic under the lock),
+      * so two streams' responses interleave at frame granularity, exactly
+      * what h2 multiplexing permits. */
+    private def runExchange(sid: Int, req: Req, ex: Exch): Unit = {
       try {
-        var m = if (req.reset) None else ex.tryParse()
-        while (m.isDefined && !req.reset) {
-          exchangeMsg(sid, req, ex, m.get)
-          m = if (req.reset) None else ex.tryParse()
-        }
-        if (req.reset) { ex.closeBackend(); unregister(sid); return }
-        if (req.ended) {
-          if (ex.unconsumed > 0)
-            throw new BadRequest(s"truncated gRPC message (${ex.unconsumed} trailing bytes)")
-          finishExchange(sid, req, ex)
-          unregister(sid)
+        var finished = false
+        while (!finished) {
+          var msg: Option[Array[Byte]] = None
+          var mode = 0 // 1 = evaluate msg, 2 = finish, 3 = abort
+          writeLock.synchronized {
+            while (mode == 0) {
+              if (req.reset || closing) mode = 3
+              else {
+                msg = ex.tryParse()
+                if (msg.isDefined) mode = 1
+                else if (req.ended) mode = 2
+                else writeLock.wait()
+              }
+            }
+          }
+          mode match {
+            case 1 => exchangeMsg(sid, req, ex, msg.get)
+            case 2 =>
+              if (ex.unconsumed > 0)
+                throw new BadRequest(s"truncated gRPC message (${ex.unconsumed} trailing bytes)")
+              finishExchange(sid, req, ex)
+              finished = true
+            case _ =>
+              emitOverflowRefusal(sid, req)
+              finished = true
+          }
         }
       } catch {
         case e: Exception =>
-          val code = e match {
-            case r: Refuse => r.code
-            case _: BadRequest => 3
-            case _ => 13
-          }
-          val msg = Option(e.getMessage).getOrElse(e.getClass.getSimpleName)
-          try sendTrailers(sid, code, msg, trailersOnly = !req.headersSent)
-          catch { case _: Exception => }
-          ex.closeBackend()
-          // tell a still-sending client to stop (the auth-refusal pattern)
-          if (!req.ended) {
-            try { writeFrame(FrameRst, 0, sid, u32(8L)); flushOut() }
+          // the overflow reset can land while this worker is mid-sendData or
+          // mid-backend-I/O — it then surfaces here (aborted write, closed
+          // backend) rather than in the wait loop, and the refusal must
+          // still go out; a plain client reset stays silent
+          if (req.overflowed) emitOverflowRefusal(sid, req)
+          else if (!req.reset) {
+            val code = e match {
+              case r: Refuse => r.code
+              case _: BadRequest => 3
+              case _ => 13
+            }
+            val msg = Option(e.getMessage).getOrElse(e.getClass.getSimpleName)
+            try sendTrailers(sid, code, msg, trailersOnly = !req.headersSent)
             catch { case _: Exception => }
+            // tell a still-sending client to stop (the auth-refusal pattern)
+            if (!req.ended) {
+              try { writeFrame(FrameRst, 0, sid, u32(8L)); flushOut() }
+              catch { case _: Exception => }
+            }
           }
-          unregister(sid)
+      } finally {
+        ex.closeBackend()
+        unregister(sid)
       }
     }
+
+    /** The blown-backlog refusal, emitted by the stream's WORKER (it owns
+      * the stream's writes; the handler only flags `overflowed`). The
+      * stream's Req is already reset, so sendTrailers/RST race nothing;
+      * trailersOnly reflects whether response HEADERS went out. */
+    private def emitOverflowRefusal(sid: Int, req: Req): Unit =
+      if (req.overflowed) {
+        try sendTrailers(sid, 8, "request body exceeds per-stream limit",
+          trailersOnly = !req.headersSent)
+        catch { case _: Exception => }
+        try { writeFrame(FrameRst, 0, sid, u32(8L)); flushOut() }
+        catch { case _: Exception => }
+      }
 
     /** One inbound FlightData message: latch the descriptor name, validate
       * the IPC header, then schema → begin / batch → forward + answer. */

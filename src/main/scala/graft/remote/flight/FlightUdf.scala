@@ -327,18 +327,19 @@ object FlightUdf {
  * exchanges interleave as h2 streams (the [[GrpcConn]] concurrency model —
  * how stock gRPC channels behave).
  *
- * Why a CAP instead of eager stacking: graft's own [[FlightServer]] (and
- * any thread-per-connection server) serializes the per-batch backend
- * round-trips of all streams sharing one connection, so stacking below the
- * cap would trade throughput for sockets a deployment didn't ask to save —
- * measured 0.31 s → 0.54 s on `x_flight_throughput_5m` at 8 streams/conn.
- * With the cap, local throughput is IDENTICAL to the dedicated-connection
- * design (idle connections are reused across task waves, so the count
- * tracks peak CONCURRENCY, not partition count), while a wide-fleet
- * deployment bounds per-endpoint sockets by `executors × MaxConns` — and
- * tunes `GRAFT_FLIGHT_CONNS_PER_EP` down to single digits when the servers
- * are stream-parallel (grpc thread-pool servers like the reference's),
- * where stacked streams cost nothing.
+ * Why a CAP at all: sockets are the fleet-level resource (per-endpoint
+ * socket count = executors × MaxConns), streams are free. The default sat
+ * at 32 through r14 because graft's own [[FlightServer]] was
+ * thread-per-connection — stacked streams serialized behind each other's
+ * backend round-trips (measured 0.31 s → 0.54 s at 8 streams/conn). The
+ * r15 server dispatches streams in parallel (per-stream workers), which
+ * removed that penalty (`x_flight_throughput_5m` at exact parity, 8 conns
+ * vs 32), so the default dropped to 8: every supported server type — the
+ * reference's grpc thread-pool servers and graft's own — now takes stacked
+ * streams at full throughput, and a 1000-executor fleet holds ~8k sockets
+ * per endpoint instead of ~32k. `GRAFT_FLIGHT_CONNS_PER_EP` still tunes it
+ * either way; idle connections are reused across task waves, so the count
+ * tracks peak CONCURRENCY, not partition count.
  *
  * Failure discipline: a partition that exhausts [[FlightClient]]'s own
  * reconnect/replay marks its lease DEAD — the client is evicted for new
@@ -348,9 +349,15 @@ object FlightUdf {
  */
 private[flight] object FlightClientCache {
   /** Connections per endpoint before leases start stacking as multiplexed
-    * streams. Default matches local[32] task concurrency. */
+    * streams. Default 8 (r15): graft's own [[FlightServer]] now dispatches
+    * streams in PARALLEL (per-stream workers), so stacked leases no longer
+    * serialize behind each other's backend round-trips on ANY supported
+    * server type — measured at throughput parity with the r14
+    * connection-per-task default (`x_flight_throughput_5m` min 0.498 s at 8
+    * conns vs 0.498 s at 32 on the same host). A 1000-executor fleet now
+    * holds ~8k sockets per endpoint instead of ~32k. */
   def maxConns: Int =
-    sys.env.get("GRAFT_FLIGHT_CONNS_PER_EP").map(_.toInt).getOrElse(32)
+    sys.env.get("GRAFT_FLIGHT_CONNS_PER_EP").map(_.toInt).getOrElse(8)
 
   private final class Entry(val client: FlightClient) {
     var leases = 0

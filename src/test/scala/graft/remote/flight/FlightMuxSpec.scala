@@ -84,6 +84,47 @@ class FlightMuxSpec extends AnyFunSuite
     } finally server.close(0L)
   }
 
+  test("STREAM-PARALLEL server dispatch: a slow exchange does not stall its neighbors") {
+    // r15: each exchange runs on its own server-side worker. Pre-r15 the
+    // per-connection handler stepped exchanges serially, so a slow guest on
+    // stream A delayed stream B's ping-pong by A's whole backend round-trip
+    // — the measured 0.31→0.54 s penalty that forced connection-per-task.
+    graft.functions.Builtins.ensureRegistered()
+    graft.functions.Udf.scalar2[Int, Int, Int]("mux_sleepy_add(int, int) -> int") {
+      (a, b) => Thread.sleep(a.toLong); a + b
+    }
+    val server = new FlightServer()
+    try {
+      failAfter(60.seconds) {
+        val c = new FlightClient("127.0.0.1", server.boundPort)
+        try {
+          @volatile var slowResult: Seq[Seq[Any]] = null
+          val slow = new Thread(() => {
+            val ex = c.openExchange("mux_sleepy_add",
+              Seq(IntegerType, IntegerType))
+            try slowResult = ex.call(Seq(Seq(2500, 7))) finally ex.close()
+          })
+          slow.start()
+          Thread.sleep(200) // slow stream is now parked in its guest sleep
+          // fast exchanges on the SAME connection must proceed meanwhile
+          val t0 = System.nanoTime()
+          val ex = c.openExchange("gcd", Seq(IntegerType, IntegerType))
+          try {
+            for (r <- 1 to 5)
+              assert(ex.call(Seq(Seq(12 * r, 8 * r))) == Seq(Seq(4 * r)))
+          } finally ex.close()
+          val fastMs = (System.nanoTime() - t0) / 1000000
+          assert(slow.isAlive, "slow stream finished too early for the gate to bite")
+          assert(fastMs < 1500,
+            s"fast stream took ${fastMs}ms behind a sleeping neighbor — dispatch serialized")
+          slow.join(30000)
+          assert(slowResult == Seq(Seq(2507)))
+        } finally c.close()
+      }
+      assert(server.connectionsAccepted == 1)
+    } finally server.close(0L)
+  }
+
   test("Spark integration: many partitions share a few pooled connections") {
     graft.functions.Builtins.ensureRegistered()
     val spark = graft.TestSpark.spark
