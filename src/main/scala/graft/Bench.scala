@@ -134,6 +134,19 @@ object Bench {
   private def curateFunnel(s: SparkSession, nDocs: Long, tag: String): Unit = {
     Graft.install(s)
     import org.apache.spark.sql.functions._
+    // SPARK_GRAFT_STAGE_TIMES=1: per-stage wall-clock attribution to stderr
+    // (optimization-round instrumentation; the marks sit on the funnel's
+    // existing EAGER boundaries — checkpoints/collects — so each delta is
+    // one stage's real cost). Off by default: zero output, two nanoTime
+    // reads per stage.
+    val stageTimes = sys.env.contains("SPARK_GRAFT_STAGE_TIMES")
+    val stageT0 = System.nanoTime()
+    var stageLast = stageT0
+    def mark(stage: String): Unit = if (stageTimes) {
+      val now = System.nanoTime()
+      System.err.println(f"[bench] $tag stage $stage%-16s +${(now - stageLast) / 1e9}%8.3f s (cum ${(now - stageT0) / 1e9}%8.3f)")
+      stageLast = now
+    }
         // every planted condition keys off the dup base `b` (NOT the id) so
         // the ÷20 duplicate pairs stay byte-identical: ÷11 of b gets a
         // curly-brace line (C4 page kill), ÷17 a '##########' spam line
@@ -183,9 +196,11 @@ object Bench {
               |    'the common span sentence continues with nine exact words.'
               |  ELSE NULL END) AS text""".stripMargin)
           .localCheckpoint(true, org.apache.spark.storage.StorageLevel.DISK_ONLY)
+        mark("docs")
         // gate flags, one frame each, intersected by doc_id
         val surv = graft.ops.Dedup.nearDedupCorpus(docs, "text", "doc_id")
           .select(col("doc_id"), lit(true).as("f_dedup"))
+        mark("near_dedup")
         val c4 = graft.ops.Curation.c4Filter(
             docs.select(col("doc_id"), col("text").as("page")), "page", "doc_id")
           .select(col("doc_id"), col("pass").as("f_c4"))
@@ -193,6 +208,7 @@ object Bench {
             minWords = 20, stopList = Seq("runs", "fine."))
           .select(col("doc_id"), col("pass").as("f_gopher"))
         val lmm = graft.ops.LangModel.trainUnigram(docs, "text", vocabSize = 10000)
+        mark("lm_train")
         val lmScores = graft.ops.LangModel.surprisal(docs, lmm, "text", "doc_id")
           .persist()
         // adaptive 10th-percentile gate: the ÷5 common-heavy docs (~20% of
@@ -200,6 +216,7 @@ object Bench {
         // bits/token, so the percentile threshold lands ON their cluster —
         // a split is guaranteed by construction, not by luck
         val thr = graft.ops.LangModel.adaptiveThreshold(lmScores, "bits_per_tok", 10)
+        mark("lm_score_thr")
         val lm = lmScores.select(col("doc_id"),
           (col("bits_per_tok") <= lit(thr.getOrElse(Long.MinValue))).as("f_lm"))
         // label = the stopword class: balanced 50/50 and separated by ~0.4
@@ -207,11 +224,13 @@ object Bench {
         val clf = graft.ops.Classifier.qualityClassifier(docs, "text", "doc_id",
             "CASE WHEN b % 2 = 0 THEN 1.0 ELSE 0.0 END", iters = 8)
           .select(col("doc_id"), col("pred").as("f_clf"))
+        mark("clf_train")
         val flags = docs.select("doc_id", "source", "text")
           .join(surv, Seq("doc_id"), "left").na.fill(false, Seq("f_dedup"))
           .join(c4, "doc_id").join(gop, "doc_id").join(lm, "doc_id")
           .join(clf, "doc_id")
           .localCheckpoint(true, org.apache.spark.storage.StorageLevel.DISK_ONLY)
+        mark("flags")
         // flags is pinned (eagerly) — the persisted LM scores are dead now;
         // free their storage before the heavy tail stages
         lmScores.unpersist()
@@ -220,6 +239,7 @@ object Bench {
             sum(col("f_c4").cast("long")), sum(col("f_gopher").cast("long")),
             sum(col("f_lm").cast("long")), sum(col("f_clf").cast("long")))
           .collect().head
+        mark("funnel_agg")
         val (n0, nDedup, nC4, nGop, nLm, nClf) = (f.getLong(0), f.getLong(1),
           f.getLong(2), f.getLong(3), f.getLong(4), f.getLong(5))
         System.err.println(s"[bench] $tag funnel: n=$n0 dedup=$nDedup" +
@@ -235,19 +255,23 @@ object Bench {
             col("f_lm") && col("f_clf"))
           .select("doc_id", "source", "text")
           .localCheckpoint(true, org.apache.spark.storage.StorageLevel.DISK_ONLY)
+        mark("keep")
         val sd = graft.ops.Curation.dedupSpans(keep, "text", "doc_id", n = 8)
         val sv = sd.join(keep.select("doc_id", "source"), "doc_id")
           .selectExpr("source", "doc_id", "token_count(kept_text) AS n_tok")
           .localCheckpoint(true, org.apache.spark.storage.StorageLevel.DISK_ONLY)
+        mark("span_dedup")
         // the planted ÷23 span must have actually been cut somewhere
         val keepToks = keep.selectExpr("CAST(sum(token_count(text)) AS BIGINT) t")
           .collect().head.getLong(0)
         val svToks = sv.agg(sum(col("n_tok"))).collect().head.getLong(0)
         require(svToks < keepToks,
           s"span dedup did not fire: $keepToks tokens in, $svToks out")
+        mark("span_check")
         val mixed = graft.ops.Curation.tokenBudgetMix(sv, "source", "doc_id",
             "n_tok", budget = 100000, salt = tag)
           .localCheckpoint(true, org.apache.spark.storage.StorageLevel.DISK_ONLY)
+        mark("mix")
         val packed = graft.ops.Curation.packSequences(
           mixed.select("source", "doc_id", "n_tok"), "source", "doc_id",
           "n_tok", budget = 2048)
@@ -256,6 +280,7 @@ object Bench {
         val out = packed.join(pos, "doc_id")
         PlanAudit.assertScaleShape(out, tag)
         val (nMix, nOut) = (mixed.count(), out.count())
+        mark("pack_shuffle")
         System.err.println(s"[bench] $tag tail: mixed=$nMix out=$nOut")
         require(nMix > 0 && nOut == nMix,
           s"pack/shuffle must keep the mixed set 1:1, got $nMix -> $nOut")
