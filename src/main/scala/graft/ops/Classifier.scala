@@ -94,34 +94,40 @@ object Classifier {
     * `labelExpr` is a Spark SQL expression evaluating to 1.0/0.0. */
   def trainLogit(docs: DataFrame, textCol: String, labelExpr: String,
       iters: Int = 8, lr: Double = 1.0): LogitModel = {
-    require(iters >= 0, "iters must be >= 0")
     val feat = docs.selectExpr(
       featureExprs(textCol).zipWithIndex.map { case (e, j) => s"$e AS f$j" } :+
         s"CAST($labelExpr AS DOUBLE) AS y": _*).persist()
-    try {
-      val n = feat.count()
-      val w = Array.fill(numFeatures)(0.0)
-      // empty corpus: no gradient information and the update would divide by
-      // zero — the zero model is the only consistent answer
-      if (n == 0) return LogitModel(w)
-      var it = 0
-      while (it < iters) {
-        val m = marginCol(w)
-        val p = sigmoid(m)
-        val sums = feat.select(
-          (0 until numFeatures).map(j =>
-            sum(floor((p - col("y")) * col(s"f$j") * lit(1000000.0)).cast("long"))
-              .cast("long").as(s"g$j")): _*).head()
-        var j = 0
-        while (j < numFeatures) {
-          // same op shape as the oracle: w - LR * (g / (n * 1000000.0))
-          w(j) = w(j) - lr * (sums.getLong(j) / (n * 1000000.0))
-          j += 1
-        }
-        it += 1
+    try trainOnFeatures(feat, iters, lr)
+    finally feat.unpersist()
+  }
+
+  /** GD loop over an already-persisted feature matrix (columns f0..f4, y;
+    * extra columns are ignored by the sums) — shared by [[trainLogit]] and
+    * [[qualityClassifier]] so the train+score path computes features ONCE. */
+  private def trainOnFeatures(feat: DataFrame, iters: Int, lr: Double): LogitModel = {
+    require(iters >= 0, "iters must be >= 0")
+    val n = feat.count()
+    val w = Array.fill(numFeatures)(0.0)
+    // empty corpus: no gradient information and the update would divide by
+    // zero — the zero model is the only consistent answer
+    if (n == 0) return LogitModel(w)
+    var it = 0
+    while (it < iters) {
+      val m = marginCol(w)
+      val p = sigmoid(m)
+      val sums = feat.select(
+        (0 until numFeatures).map(j =>
+          sum(floor((p - col("y")) * col(s"f$j") * lit(1000000.0)).cast("long"))
+            .cast("long").as(s"g$j")): _*).head()
+      var j = 0
+      while (j < numFeatures) {
+        // same op shape as the oracle: w - LR * (g / (n * 1000000.0))
+        w(j) = w(j) - lr * (sums.getLong(j) / (n * 1000000.0))
+        j += 1
       }
-      LogitModel(w)
-    } finally feat.unpersist()
+      it += 1
+    }
+    LogitModel(w)
   }
 
   /** Score `docs` under a trained model: `(idCol, margin6, pred)` where
@@ -137,8 +143,31 @@ object Classifier {
       (m > lit(0.0)).as("pred"))
   }
 
-  /** Train-and-score on the same corpus in one call. */
+  /** Train-and-score on the same corpus in one call.
+    *
+    * ONE feature pass (r15 optimization, guide §1.2 "per-task work"): the
+    * persisted feature matrix feeds both the K training aggregates and the
+    * final scoring projection — composing `scoreLogit(trainLogit(...))`
+    * instead re-tokenizes the whole corpus a second time for scoring
+    * (split + lower + array_distinct + aggregate per row, the dominant cost
+    * of the operator). Scores are eagerly pinned (localCheckpoint) so the
+    * feature cache can be released before returning; the checkpoint rows
+    * are (id, long, bool) — corpus-count-sized but ~17 bytes each. Margins
+    * are bit-identical to the two-pass composition: same features, same
+    * weights, same expression. */
   def qualityClassifier(docs: DataFrame, textCol: String, idCol: String,
-      labelExpr: String, iters: Int = 8, lr: Double = 1.0): DataFrame =
-    scoreLogit(docs, trainLogit(docs, textCol, labelExpr, iters, lr), textCol, idCol)
+      labelExpr: String, iters: Int = 8, lr: Double = 1.0): DataFrame = {
+    val feat = docs.selectExpr(
+      idCol +:
+        featureExprs(textCol).zipWithIndex.map { case (e, j) => s"$e AS f$j" } :+
+        s"CAST($labelExpr AS DOUBLE) AS y": _*).persist()
+    try {
+      val model = trainOnFeatures(feat, iters, lr)
+      val m = marginCol(model.w)
+      feat.select(col(idCol),
+          floor(m * lit(1000000.0)).cast("long").as("margin6"),
+          (m > lit(0.0)).as("pred"))
+        .localCheckpoint(true)
+    } finally feat.unpersist(false)
+  }
 }

@@ -28,6 +28,9 @@ import org.apache.spark.sql.functions._
  */
 object Dedup {
 
+  private def stageTimes = StageTimer.on
+  private def markStage(tag: String, t0: Long): Unit = StageTimer.mark(tag, t0)
+
   /** Register scalar signature functions (per-row tier). */
   def registerAll(): Unit = {
     // MinHash signature over word-3-gram shingles: ONE md5 per shingle, then
@@ -37,23 +40,46 @@ object Dedup {
     // DuckDB's BIGINT for the oracle replica). Returns bigint[k].
     Udf.scalar2[String, Int, Seq[Long]]("minhash_sig(string, int) -> bigint[]") { (s, k) =>
       // duplicates don't affect a min, so shingles stream straight into the
-      // hash (no Set materialization, no per-call regex compile)
+      // hash (no Set materialization, no per-call regex compile). Shingle
+      // bytes are packed straight into one reusable buffer and digested in
+      // place (r15): the previous StringBuilder → String → getBytes chain
+      // cost two allocations plus a UTF-8 re-encode per shingle, on the
+      // hottest per-row path of the dedup tier. Bytes are identical (UTF-8
+      // of "w1 w2 w3"), so every signature — and the oracle replica — is
+      // bit-for-bit unchanged.
       val ws = Tokens.split(s)
       val bases: Array[Long] =
         if (ws.length < 3) Array(Hashing.md5_60(ws.mkString(" ")) % MinhashP)
         else {
-          val out = new Array[Long](ws.length - 2)
-          val sb = new java.lang.StringBuilder()
+          val wb = new Array[Array[Byte]](ws.length)
           var i = 0
+          while (i < ws.length) { wb(i) = ws(i).getBytes("UTF-8"); i += 1 }
+          var maxShingle = 0
+          i = 0
           while (i < ws.length - 2) {
-            sb.setLength(0)
-            sb.append(ws(i)).append(' ').append(ws(i + 1)).append(' ').append(ws(i + 2))
-            out(i) = Hashing.md5_60(sb.toString) % MinhashP
+            val len = wb(i).length + wb(i + 1).length + wb(i + 2).length + 2
+            if (len > maxShingle) maxShingle = len
+            i += 1
+          }
+          val buf = new Array[Byte](maxShingle)
+          val out = new Array[Long](ws.length - 2)
+          i = 0
+          while (i < ws.length - 2) {
+            var p = 0
+            val b0 = wb(i); val b1 = wb(i + 1); val b2 = wb(i + 2)
+            System.arraycopy(b0, 0, buf, p, b0.length); p += b0.length
+            buf(p) = ' '; p += 1
+            System.arraycopy(b1, 0, buf, p, b1.length); p += b1.length
+            buf(p) = ' '; p += 1
+            System.arraycopy(b2, 0, buf, p, b2.length); p += b2.length
+            out(i) = Hashing.md5_60b(buf, 0, p) % MinhashP
             i += 1
           }
           out
         }
-      (0 until k).map { seed =>
+      val sig = new Array[Long](k)
+      var seed = 0
+      while (seed < k) {
         val a = minhashA(seed); val b = minhashB(seed)
         var mn = Long.MaxValue
         var i = 0
@@ -62,8 +88,10 @@ object Dedup {
           if (h < mn) mn = h
           i += 1
         }
-        if (mn == Long.MaxValue) 0L else mn
+        sig(seed) = if (mn == Long.MaxValue) 0L else mn
+        seed += 1
       }
+      scala.collection.immutable.ArraySeq.unsafeWrapArray(sig)
     }
 
     // SimHash: 60-bit signature over whitespace tokens (md5-hashed).
@@ -93,16 +121,27 @@ object Dedup {
     }
 
     // Jaccard similarity of two docs' word-n-gram sets.
-    Udf.scalar3[String, String, Int, Double]("ngram_jaccard(string, string, int) -> double") {
-      (a, b, n) =>
-        val sa = shingleSet(a, n)
-        val sb = shingleSet(b, n)
-        if (sa.isEmpty && sb.isEmpty) 1.0
-        else {
-          val inter = sa.count(sb.contains)
-          inter.toDouble / (sa.size + sb.size - inter).toDouble
-        }
+    val jaccardImpl: (String, String, Int) => Double = { (a, b, n) =>
+      val sa = shingleSet(a, n)
+      val sb = shingleSet(b, n)
+      if (sa.isEmpty && sb.isEmpty) 1.0
+      else {
+        val inter = sa.count(sb.contains)
+        inter.toDouble / (sa.size + sb.size - inter).toDouble
+      }
     }
+    Udf.scalar3[String, String, Int, Double](
+      "ngram_jaccard(string, string, int) -> double")(jaccardImpl)
+    // The SAME function registered non-deterministic (r15, guide §4.4): the
+    // LSH verification filter `jaccard >= t` otherwise gets pushed into the
+    // candidate join as its condition while the projection above re-emits
+    // the column — every surviving pair paid the two shingle-set builds
+    // TWICE. Marking the verification call-site non-deterministic pins one
+    // evaluation per candidate (values are identical — it IS deterministic;
+    // the flag only stops the optimizer duplicating it).
+    Udf.scalar3[String, String, Int, Double](
+      "ngram_jaccard_nd(string, string, int) -> double",
+      deterministic = false)(jaccardImpl)
   }
 
   /** Shared whitespace tokenizer with a precompiled pattern. */
@@ -113,9 +152,15 @@ object Dedup {
 
   /** 30-bit prime modulus for the minhash universal-hash family. */
   val MinhashP = 1073741789L
-  /** Deterministic per-seed coefficients, md5-derived (oracle-replicable). */
-  def minhashA(seed: Int): Long = Hashing.md5_60(seed + "a") % MinhashP
-  def minhashB(seed: Int): Long = Hashing.md5_60(seed + "b") % MinhashP
+  /** Deterministic per-seed coefficients, md5-derived (oracle-replicable).
+    * Memoized (r15): these were recomputed per (row × seed) inside the
+    * signature loop — k extra md5 digests per document for constants. */
+  private val minhashACache = new java.util.concurrent.ConcurrentHashMap[Int, java.lang.Long]()
+  private val minhashBCache = new java.util.concurrent.ConcurrentHashMap[Int, java.lang.Long]()
+  def minhashA(seed: Int): Long = minhashACache.computeIfAbsent(seed,
+    s => Hashing.md5_60(s + "a") % MinhashP).longValue()
+  def minhashB(seed: Int): Long = minhashBCache.computeIfAbsent(seed,
+    s => Hashing.md5_60(s + "b") % MinhashP).longValue()
 
   def shingleSet(s: String, n: Int): Set[String] = {
     val ws = s.split("\\s+").filter(_.nonEmpty)
@@ -174,11 +219,13 @@ object Dedup {
       .where(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b")).distinct()
     // texts rejoin exactly once, only for surviving candidate pairs (a tiny
-    // fraction of the corpus), for the true-Jaccard verification
+    // fraction of the corpus), for the true-Jaccard verification; the _nd
+    // variant stops the threshold filter being pushed into the join and the
+    // jaccard being computed twice per pair (registerAll has the rationale)
     val verified = cand
       .join(docs.select(col("id").as("id_a"), col("text").as("text_a")), Seq("id_a"))
       .join(docs.select(col("id").as("id_b"), col("text").as("text_b")), Seq("id_b"))
-      .withColumn("jaccard", expr("ngram_jaccard(text_a, text_b, 3)"))
+      .withColumn("jaccard", expr("ngram_jaccard_nd(text_a, text_b, 3)"))
       .where(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
     (verified, banded)
@@ -209,14 +256,21 @@ object Dedup {
     // Labels propagate as longs; a non-integral id column would cast to null
     // in the final anti-join and silently return the corpus un-deduplicated.
     requireIntegralIds(df, Seq(idCol), "nearDedupCorpus")
+    val t0 = System.nanoTime()
     val (rawPairs, banded) = minhashPairsImpl(df, textCol, idCol, k, bands, threshold)
+    // attribution-only: force the banded-signature cache first so the pairs
+    // mark below isolates the join+verify cost from the signature compute
+    if (stageTimes) { val tb = System.nanoTime(); banded.count(); markStage("nearDedup.sig+band", tb) }
     val pairs = rawPairs
       .select(col("id_a"), col("id_b"))
       .localCheckpoint()
+    markStage("nearDedup.pairs", t0)
     // the checkpoint above materialized the pairs — the banded-signature cache
     // is dead weight from here on
     banded.unpersist(false)
+    val t1 = System.nanoTime()
     val labels = connectedComponents(pairs, "id_a", "id_b", maxIter)
+    markStage("nearDedup.cc", t1)
     // Drop non-root endpoints; every other document (including the untouched
     // majority) survives — an anti join against the small loser set. labels
     // is already materialized (connectedComponents localCheckpoints its
@@ -247,7 +301,18 @@ object Dedup {
     requireIntegralIds(edges0, Seq(srcCol, dstCol), "connectedComponents")
     val pairs = edges0.select(col(srcCol).cast("long").as("id_a"),
       col(dstCol).cast("long").as("id_b"))
+    // The symmetrized edge set is the loop invariant and the BIG side of
+    // every iteration's propagation join. Materialize it ONCE, hash-
+    // partitioned AND sorted on the join key: localCheckpoint preserves
+    // partitioning + ordering, so each iteration's sort-merge join elides
+    // BOTH the exchange and the sort on the edge side (r15 — previously the
+    // lazy union was re-generated, re-shuffled and re-sorted every
+    // iteration; guide §2.4). Cost: one up-front materialization of 2×|E|
+    // slim rows — the candidate subgraph, never the corpus.
     val edges = pairs.union(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
+      .repartition(col("id_a"))
+      .sortWithinPartitions("id_a")
+      .localCheckpoint()
     // Only edge ENDPOINTS participate in label propagation — the iteration
     // working set is the candidate subgraph (a tiny fraction of the corpus
     // at 100 TB), never the corpus.
@@ -257,7 +322,9 @@ object Dedup {
     var prev: Option[DataFrame] = None
     var changed = 1L
     var iter = 0
+    val ccT0 = System.nanoTime()
     while (changed > 0 && iter < maxIter) {
+      val iterT0 = System.nanoTime()
       // candidate label for dst = min over neighbors' current labels
       val proposals = edges.join(labels, edges("id_a") === labels("id"))
         .groupBy(col("id_b").as("id")).agg(min(col("comp")).as("ncomp"))
@@ -291,7 +358,9 @@ object Dedup {
       prev = Some(updated)
       labels = updated.select(col("id"), col("comp"))
       iter += 1
+      markStage(f"cc.iter$iter (changed=$changed)", iterT0)
     }
+    markStage(s"cc.total ($iter iters)", ccT0)
     if (changed > 0)
       throw new IllegalStateException(
         s"connectedComponents did not converge after $maxIter iterations")
@@ -369,7 +438,12 @@ object Dedup {
     requireIntegralIds(edges0, Seq(srcCol, dstCol), "pageRank")
     val p = edges0.select(col(srcCol).cast("long").as("a"), col(dstCol).cast("long").as("b"))
       .where(col("a") =!= col("b"))
+    // partitioned + sorted on the per-round join key (same rationale as
+    // connectedComponents: checkpoint preserves both, so every round's
+    // contribution join elides the edge-side exchange AND sort)
     val e = p.union(p.select(col("b").as("a"), col("a").as("b"))).distinct()
+      .repartition(col("a"))
+      .sortWithinPartitions("a")
       .localCheckpoint()
     // loop-invariant: persisted once so the per-round materializations don't
     // re-run the degree and distinct shuffles every iteration
@@ -421,7 +495,10 @@ object Dedup {
     requireIntegralIds(seeds0, Seq(seedCol), "bfsDistances")
     val p = edges0.select(col(srcCol).cast("long").as("a"), col(dstCol).cast("long").as("b"))
       .where(col("a") =!= col("b"))
+    // partitioned + sorted on the per-hop join key (see connectedComponents)
     val e = p.union(p.select(col("b").as("a"), col("a").as("b"))).distinct()
+      .repartition(col("a"))
+      .sortWithinPartitions("a")
       .localCheckpoint()
     var dist = seeds0.select(col(seedCol).cast("long").as("id")).distinct()
       .withColumn("dist", lit(0L)).localCheckpoint()
@@ -456,8 +533,13 @@ object Dedup {
     require(k >= 1 && iters >= 1, "k >= 1, iters >= 1")
     val p = edges0.select(col(srcCol).cast("long").as("a"), col(dstCol).cast("long").as("b"))
       .where(col("a") =!= col("b"))
-    var cur = p.union(p.select(col("b").as("a"), col("a").as("b"))).distinct()
-      .localCheckpoint()
+    // every round's degree aggregate and first semi-join key on `a`: keep the
+    // live edge set partitioned + sorted on it across rounds (checkpoint
+    // preserves both), so per round only the b-side semi-join and the
+    // re-partition back to `a` exchange the edges — instead of all three
+    val repart = (d: DataFrame) =>
+      d.repartition(col("a")).sortWithinPartitions("a").localCheckpoint()
+    var cur = repart(p.union(p.select(col("b").as("a"), col("a").as("b"))).distinct())
     var curCount = cur.count()
     var converged = false
     var round = 0
@@ -465,10 +547,9 @@ object Dedup {
       round += 1
       val keep = cur.groupBy("a").agg(count(lit(1)).as("d"))
         .where(col("d") >= k).select(col("a").as("kid"))
-      val next = cur
+      val next = repart(cur
         .join(keep, cur("a") === col("kid"), "left_semi")
-        .join(keep.select(col("kid").as("kid2")), cur("b") === col("kid2"), "left_semi")
-        .localCheckpoint()
+        .join(keep.select(col("kid").as("kid2")), cur("b") === col("kid2"), "left_semi"))
       val nextCount = next.count()
       converged = nextCount == curCount
       cur = next

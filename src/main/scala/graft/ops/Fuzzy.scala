@@ -75,12 +75,21 @@ object Fuzzy {
                                   k: Int): DataFrame = {
     val idx = uniqA.withColumn("key", explode(expr(indexKeysExpr("sa", k))))
     val prb = uniqB.withColumn("key", explode(expr(probeKeysExpr("sb", k))))
-    idx.join(prb, idx("key") === prb("key"))
+    // dedup candidate pairs BEFORE the levenshtein verification (r15): a
+    // matching pair meets on up to k+1 shared segment keys, and with the
+    // distance both in the pushed-down filter and in the projection each
+    // join row paid the O(|sa|·|sb|) DP twice — distinct-first verifies each
+    // unordered candidate once (plus once more for survivors in the final
+    // projection), trading duplicate DP work for a same-cardinality
+    // pre-filter exchange of slim (sa, sb) pairs.
+    val cand = idx.join(prb, idx("key") === prb("key"))
       .where(abs(length(col("sa")) - length(col("sb"))) <= k)
+      .select(col("sa"), col("sb"))
+      .distinct()
+    cand
       .withColumn("dist", levenshtein(col("sa"), col("sb")))
       .where(col("dist") <= k)
       .select(col("sa"), col("sb"), col("dist"))
-      .distinct()
   }
 
   /** All (id_a, id_b, dist) pairs across `left` × `right` with

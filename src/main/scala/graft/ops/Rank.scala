@@ -45,29 +45,38 @@ object Rank {
           "scale fractional values to integers (e.g. cents) upstream")
     }
     val v = col(valCol).cast("long")
-    // ONE range shuffle and ONE in-partition sort, both pinned by the
-    // checkpoint. (A `Window.partitionBy(__pid)` here would re-exchange and
-    // re-sort the WHOLE table: the checkpoint hides the ordering and
-    // partitioning from Catalyst, so the window planner inserts a second
-    // hashpartitioning(__pid) Exchange + Sort over 100% of the data. The
-    // prefix attachment below is a codegen'd stateful expression instead —
-    // zero post-checkpoint shuffles, nothing sorted twice, no boxing.)
-    // DISK_ONLY: the pinned copy exists only so the offset pass and the
-    // output pass see identical partitions — it is read back exactly once
-    // per pass, streaming. MEMORY_AND_DISK (the default) would pin the
-    // whole table in executor storage memory and starve the task heap at
-    // the 100M-row probe scale.
+    // ONE range shuffle and ONE in-partition sort, SHARED by the offset pass
+    // and the output pass through the compiled RDD (r15): queryExecution's
+    // RDD is one instance, so the offset job and the caller's output job
+    // both hang off the same shuffle dependency — the range-exchange map
+    // stage runs once and is SKIPPED on the second action, and both passes
+    // see the identical partition assignment the old DISK_ONLY
+    // localCheckpoint existed to pin. The checkpoint wrote (and re-read) an
+    // uncompressed copy of the whole table, which the stage timers showed
+    // was ~85% of the 100M-row probe; the shuffle files it duplicated were
+    // already on disk, compressed. (A `Window.partitionBy(__pid)` here
+    // would re-exchange and re-sort the WHOLE table; the prefix attachment
+    // below is a codegen'd stateful expression instead — zero post-shuffle
+    // exchanges, nothing written twice, no boxing.)
+    import org.apache.spark.sql.graftshim.Shim
+    import graft.functions.PartitionRunningSum
+    val tRange = System.nanoTime()
     val ranged = df.repartitionByRange(orderCols: _*)
       .sortWithinPartitions(orderCols: _*)
-      .withColumn("__pid", spark_partition_id())
       .withColumn("__v", coalesce(v, lit(0L)))
-      .localCheckpoint(true, org.apache.spark.storage.StorageLevel.DISK_ONLY)
-    val parts = ranged.groupBy("__pid")
-      .agg(count(lit(1)).as("__c"), coalesce(sum(col("__v")), lit(0L)).as("__s"))
-      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
-      .sortBy(_._1)
-    // exclusive prefix offsets per partition id, dense long[] (pids missing
-    // from `parts` hold no rows — their seed is never observed)
+    val rdd = Shim.internalRdd(ranged)
+    val vIdx = ranged.schema.fieldIndex("__v")
+    // per-partition (count, sum of __v) straight off the shared shuffle —
+    // field reads only (rows may be reused buffers; nothing is retained)
+    val parts = rdd.mapPartitionsWithIndex { (pid, it) =>
+      var c = 0L
+      var s = 0L
+      while (it.hasNext) { val r = it.next(); c += 1L; s += r.getLong(vIdx) }
+      Iterator.single((pid, c, s))
+    }.collect().sortBy(_._1)
+    StageTimer.mark("globalPrefix.offsets", tRange)
+    // exclusive prefix offsets per partition id, dense long[] (every
+    // partition reports, including empty ones)
     val nParts = if (parts.isEmpty) 0 else parts.map(_._1).max + 1
     val coff = new Array[Long](nParts)
     val soff = new Array[Long](nParts)
@@ -78,15 +87,16 @@ object Rank {
     // rank = running sum of 1, cum = running sum of __v — each a stateful
     // codegen'd expression seeded per partition (PartitionRunningSum, the
     // MonotonicallyIncreasingID pattern): the whole attachment stays inside
-    // WholeStageCodegen directly over the checkpoint scan.
-    import org.apache.spark.sql.graftshim.Shim
-    import graft.functions.PartitionRunningSum
-    ranged
+    // WholeStageCodegen directly over the shared-shuffle scan. The second
+    // action re-runs only the reduce-side sort (map stage skipped); on a
+    // multi-node cluster with unreliable executors, swap the shared RDD for
+    // a reliable checkpoint dir as before.
+    Shim.ofInternalRdd(df.sparkSession, ranged, rdd)
       .withColumn(rankName, Shim.column(
         PartitionRunningSum(Shim.expression(lit(1L)), coff)))
       .withColumn(cumName, Shim.column(
         PartitionRunningSum(Shim.expression(col("__v")), soff)))
-      .drop("__pid", "__v")
+      .drop("__v")
   }
 
   /** RFM quintile scoring per entity: given per-entity (recency metric

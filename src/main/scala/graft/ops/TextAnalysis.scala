@@ -402,6 +402,15 @@ object Hashing {
     md5_60FromDigest(d.digest(bytes))
   }
 
+  /** Slice variant for hot loops that pack shingles into a reusable buffer —
+    * equals [[md5_60b]] of the copied slice without materializing it. */
+  def md5_60b(buf: Array[Byte], off: Int, len: Int): Long = {
+    val d = tl.get()
+    d.reset()
+    d.update(buf, off, len)
+    md5_60FromDigest(d.digest())
+  }
+
   /** Seeded variant: hash of (seed || s) — the minhash family h_i. */
   def md5_60(seed: Int, s: String): Long = md5_60(seed.toString + s)
 }

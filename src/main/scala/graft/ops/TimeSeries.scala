@@ -277,14 +277,40 @@ object TimeSeries {
     require(windowDays >= 1 && windowDays <= 370, "windowDays in 1..370")
     val nsPerDay = 86400L * 1000000000L
     val base = df.select(col(keyCol).as("key"),
-        expr(s"`$tsNsCol` div ${nsPerDay}L").as("day"),
-        col(entityCol).cast("long").as("ent"))
-      .distinct() // daily presence, not event multiplicity
-    val grid = keyDayGrid(base, "windowedDistinct", maxSpanDays)
-    val counts = base.select(col("key"), col("ent"),
-        explode(sequence(col("day"), col("day") + (windowDays - 1))).as("day"))
+      expr(s"`$tsNsCol` div ${nsPerDay}L").as("day"),
+      col(entityCol).cast("long").as("ent"))
+    // Island coverage instead of fan-out-then-distinct (r15, guide §2.3/2.4):
+    // the previous formulation deduplicated (key, ent, day) presence (one
+    // corpus-sized exchange), fanned every presence row into its windowDays
+    // trailing windows and pushed the ×windowDays blow-up through a SECOND
+    // distinct-aggregate exchange. But an entity's covered window-days are
+    // exactly ∪[day, day+w): merge its active days into gap-≥w "islands"
+    // (one window pass; duplicate event days fold into the same island, so
+    // no pre-distinct is needed) and each island [d0, d1] covers
+    // [d0, d1+w-1] with every covered day emitted EXACTLY ONCE per entity —
+    // the count per (key, day) is then a plain `count`, map-side combined
+    // before its (tiny) exchange. One corpus-sized exchange total, and the
+    // ×windowDays fan-out collapses map-side instead of riding a shuffle.
+    val wEnt = Window.partitionBy("key", "ent").orderBy("day")
+    val islands = base.where(col("ent").isNotNull)
+      .withColumn("__prev", lag(col("day"), 1).over(wEnt))
+      .withColumn("__new",
+        when(col("__prev").isNull ||
+          col("day") - col("__prev") > (windowDays - 1), 1L).otherwise(0L))
+      .withColumn("__isl", sum(col("__new")).over(
+        wEnt.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .drop("__prev")
+      .groupBy("key", "ent", "__isl")
+      .agg(min("day").as("__d0"), max("day").as("__d1"))
+    val counts = islands
+      .select(col("key"),
+        explode(sequence(col("__d0"), col("__d1") + (windowDays - 1))).as("day"))
       .groupBy("key", "day")
-      .agg(countDistinct("ent").as("__nd"))
+      .agg(count(lit(1)).as("__nd"))
+    // grid bounds come from the RAW projection (nulls included — a day with
+    // only null entities is in-grid at count 0), min/max partial-aggregate
+    // map-side so this pass is cheap
+    val grid = keyDayGrid(base, "windowedDistinct", maxSpanDays)
     grid.join(counts, Seq("key", "day"), "left")
       .select(col("key"), col("day"), coalesce(col("__nd"), lit(0L)).as("nd"))
   }

@@ -1,0 +1,39 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Scratch harness for the r15 optimization round: executes one operator at
+  * bench scale and prints the FINAL adaptive physical plan (post-execution),
+  * which PlanAudit's pre-execution skeleton cannot show. Not part of any
+  * gate; safe to delete. */
+object OptDebug {
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val s = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    graft.Graft.install(s)
+    val which = if (args.isEmpty) "minhash" else args(0)
+    which match {
+      case "minhash" =>
+        val docs = s.range(2000000L).selectExpr("id AS doc_id",
+          """array_join(transform(sequence(0, 9), j -> concat('w',
+            |  pmod(hash(CASE WHEN id % 20 < 2 THEN id div 20
+            |            ELSE 2000000 + id END, j), 1000000000))), ' ') AS text""".stripMargin)
+        val t0 = System.nanoTime()
+        val pairs = graft.ops.Dedup.minhashPairs(docs, "text", "doc_id")
+        val n = pairs.collect().length
+        println(f"[optdebug] minhashPairs 2m: ${(System.nanoTime - t0) / 1e9}%.3f s, $n pairs")
+        println(pairs.queryExecution.executedPlan.toString)
+      case _ => sys.error(s"unknown probe $which")
+    }
+    s.stop()
+  }
+}

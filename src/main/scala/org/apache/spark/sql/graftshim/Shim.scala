@@ -23,4 +23,23 @@ object Shim {
 
   def expression(c: org.apache.spark.sql.Column): org.apache.spark.sql.catalyst.expressions.Expression =
     org.apache.spark.sql.classic.ExpressionUtils.expression(c)
+
+  /** The compiled `InternalRow` RDD of a DataFrame (lazy-val on the
+    * QueryExecution: repeated calls return the SAME RDD instance, so jobs
+    * built over it share its shuffle dependencies — map stages run once and
+    * are skipped on later actions). */
+  def internalRdd(df: DataFrame): org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow] =
+    df.queryExecution.toRdd
+
+  /** Wrap an InternalRow RDD back into a DataFrame with the given plan's
+    * output attributes — the un-materialized cousin of Dataset.checkpoint's
+    * LogicalRDD pinning: two passes built over the same wrapped RDD see the
+    * same shuffle output (deterministic partition assignment) WITHOUT
+    * writing a block-store copy. Rows must be consumed pipelined (they may
+    * be reused buffers); every Spark operator that buffers copies first. */
+  def ofInternalRdd(spark: SparkSession, template: DataFrame,
+      rdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow]): DataFrame =
+    ofRows(spark, org.apache.spark.sql.execution.LogicalRDD(
+      logicalPlan(template).output, rdd)(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]))
 }

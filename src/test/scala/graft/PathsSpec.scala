@@ -156,6 +156,43 @@ class PathsSpec extends AnyFunSuite {
     assert(got == Map(0L -> 1L, 1L -> 1L, 2L -> 0L, 3L -> 0L, 4L -> 0L, 5L -> 1L))
   }
 
+  test("windowedDistinct: island reformulation equals brute force (dups, null entities)") {
+    import org.apache.spark.sql.types._
+    val ns = 86400L * 1000000000L
+    val schema = StructType(Seq(
+      StructField("k", StringType, nullable = false),
+      StructField("ts", LongType, nullable = false),
+      StructField("e", LongType, nullable = true)))
+    // deterministic scatter: duplicate (k, e, day) events, entities active on
+    // merged AND disjoint island patterns, plus null-entity-only days (must
+    // stay in-grid at nd = 0) — the edge set of the r15 island rewrite
+    val rows = (for (i <- 0 until 200) yield {
+      val k = "k" + (i % 2)
+      val day = (i * 7919) % 23          // days 0..22, repeats
+      val ent: java.lang.Long =
+        if (i % 13 == 0) null else java.lang.Long.valueOf((i * 31) % 5)
+      Row(k, day * ns + (i % 3), ent)
+    }).toSeq
+    val df = spark.createDataFrame(rows.asJava, schema)
+    val w = 4
+    val got = graft.ops.TimeSeries.windowedDistinct(df, "k", "ts", "e", w)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // brute force: per key, every day in [min, max], count distinct non-null
+    // entities active in (day-w, day]
+    val byKey = rows.groupBy(_.getString(0))
+    val want = byKey.flatMap { case (k, rs) =>
+      val days = rs.map(r => r.getLong(1) / ns)
+      (days.min to days.max).map { d =>
+        val nd = rs.filter { r =>
+          val rd = r.getLong(1) / ns
+          rd > d - w && rd <= d && !r.isNullAt(2)
+        }.map(_.getLong(2)).distinct.size
+        (k, d) -> nd.toLong
+      }
+    }
+    assert(got == want)
+  }
+
   test("windowedDistinctHll: window estimates equal the merged register-file estimator") {
     import org.apache.spark.sql.functions.col
     val ns = 86400L * 1000000000L
