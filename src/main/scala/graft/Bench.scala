@@ -225,10 +225,15 @@ object Bench {
             "CASE WHEN b % 2 = 0 THEN 1.0 ELSE 0.0 END", iters = 8)
           .select(col("doc_id"), col("pred").as("f_clf"))
         mark("clf_train")
-        val flags = docs.select("doc_id", "source", "text")
-          .join(surv, Seq("doc_id"), "left").na.fill(false, Seq("f_dedup"))
-          .join(c4, "doc_id").join(gop, "doc_id").join(lm, "doc_id")
+        // slim flag frames (9-byte rows) intersect first; the text column
+        // attaches through ONE final join instead of riding all five join
+        // exchanges (r15, guide §2.3 — same rows: every gate frame holds
+        // exactly one row per doc_id, surv left-join order commutes)
+        val gateFlags = c4.join(gop, "doc_id").join(lm, "doc_id")
           .join(clf, "doc_id")
+          .join(surv, Seq("doc_id"), "left").na.fill(false, Seq("f_dedup"))
+        val flags = docs.select("doc_id", "source", "text")
+          .join(gateFlags, "doc_id")
           .localCheckpoint(true, org.apache.spark.storage.StorageLevel.DISK_ONLY)
         mark("flags")
         // flags is pinned (eagerly) — the persisted LM scores are dead now;

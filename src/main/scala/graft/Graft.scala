@@ -94,11 +94,24 @@ object Graft {
     }
   }
 
+  /** Sessions already holding the current registry contents (keyed by
+    * overload count, so a function registered AFTER an install still
+    * triggers a re-install on the next call). install() is called inside
+    * every pipeline entry point — without the memo each call re-registered
+    * every function and re-built the introspection view (r15: measurable
+    * per-query overhead across a few hundred bench probes). */
+  private val installedAt = new java.util.WeakHashMap[SparkSession, Integer]()
+
   /** Install every registered function into the session. Aggregates go through
-    * the UDAF path; everything else through the expression builder. */
+    * the UDAF path; everything else through the expression builder.
+    * Idempotent per (session, registry contents) — see [[installedAt]]. */
   def install(spark: SparkSession): Unit = {
     Builtins.ensureRegistered()
     val reg = Registry.global
+    val version = reg.all.size
+    installedAt.synchronized {
+      if (Option(installedAt.get(spark)).exists(_.intValue == version)) return
+    }
     reg.names.foreach { name =>
       val defs = reg.lookup(name)
       defs.head.impl match {
@@ -111,6 +124,7 @@ object Graft {
     // Introspection surface (the duckdb_functions() analogue / reference
     // Runtime::functions() iteration): every registered overload as a row.
     functionsDf(spark).createOrReplaceTempView("graft_functions")
+    installedAt.synchronized { installedAt.put(spark, version); () }
   }
 
   /** [[install]] with re-keyed extension-metadata tags — the embedding knob
@@ -133,6 +147,9 @@ object Graft {
               timeExtName: String = graft.types.GraftType.DefaultTimeExt): Unit = {
     graft.types.GraftType.configureExtensionTags(
       extensionKey, jsonExtName, decimalExtName, opaqueExtName, timeExtName)
+    // re-keyed tags change how resolution behaves even with an unchanged
+    // registry — drop the memo entry so install really re-runs
+    installedAt.synchronized { installedAt.remove(spark); () }
     install(spark)
   }
 

@@ -2223,11 +2223,16 @@ object SparkEntry {
           classifierLabel, iters = 8)
         .where(col("pred")).select("doc_id")
       // the five-gate lineage feeds span-dedup THREE times (token base,
-      // gram explode, source rejoin) — materialize it once
-      val keep = docs.select("doc_id", "source", "text")
-        .join(surv, col("doc_id") === col("sid")).drop("sid")
+      // gram explode, source rejoin) — materialize it once. Gate id lists
+      // intersect FIRST (8-byte rows); the text column attaches through ONE
+      // final join instead of riding all five exchanges (r15, guide §2.3 —
+      // inner joins on the same key are associative, so the result is
+      // unchanged).
+      val gateIds = surv.select(col("sid").as("doc_id"))
         .join(c4s, "doc_id").join(gop, "doc_id")
         .join(lmOk, "doc_id").join(clfOk, "doc_id")
+      val keep = docs.select("doc_id", "source", "text")
+        .join(gateIds, "doc_id")
         .localCheckpoint()
       val sd = graft.ops.Curation.dedupSpans(keep, "text", "doc_id", n = 8)
       val sv = sd.join(keep.select("doc_id", "source"), "doc_id")

@@ -310,6 +310,33 @@ case class DocFingerprintExpr(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Native codegen'd per-document gram fingerprints: element i is
+  * doc_fingerprint of tokens [i, i+n) joined by single spaces — identical
+  * values to `transform(sequence(0, size(ws)-n), i ->
+  * doc_fingerprint(array_join(slice(ws, i+1, n), ' ')))` but each token's
+  * bytes are extracted ONCE and streamed through the digest per covering
+  * gram, instead of copying every token into ~n sliced-and-joined gram
+  * strings (the dedupSpans hot path). Empty array when size < n. */
+case class GramFingerprintsExpr(child: Expression, nExpr: Expression)
+    extends BinaryExpression {
+  override def left: Expression = child
+  override def right: Expression = nExpr
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "gram_fingerprints"
+  override protected def nullSafeEval(arr: Any, n: Any): Any =
+    Kernels.gramFingerprints(
+      arr.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      n.asInstanceOf[Int])
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    defineCodeGen(ctx, ev, (a, n) => s"graft.functions.Kernels.gramFingerprints($a, $n)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(child = newLeft, nExpr = newRight)
+}
+
 /** Native writer-style JSON render (see [[JsonKernel]]): renders catalyst
   * internal values straight into a UTF8String builder — no external
   * conversion, no intermediate Map/Row/String per row. */

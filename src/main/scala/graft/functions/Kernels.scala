@@ -98,6 +98,28 @@ object Kernels {
   def md5_60(s: org.apache.spark.unsafe.types.UTF8String): Long =
     graft.ops.Hashing.md5_60b(s.getBytes)
 
+  /** Per-document word-n-gram fingerprints (see GramFingerprintsExpr):
+    * element i = md5_60 of tokens [i, i+n) space-joined. Token bytes are
+    * extracted once; each gram streams them through the shared digest —
+    * no sliced array, no joined gram string, no per-gram UTF8String. */
+  def gramFingerprints(ws: org.apache.spark.sql.catalyst.util.ArrayData,
+                       n: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val cnt = ws.numElements()
+    if (n < 1 || cnt < n)
+      return org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+        Array.emptyLongArray)
+    val tok = new Array[Array[Byte]](cnt)
+    var i = 0
+    while (i < cnt) { tok(i) = ws.getUTF8String(i).getBytes; i += 1 }
+    val out = new Array[Long](cnt - n + 1)
+    i = 0
+    while (i < out.length) {
+      out(i) = graft.ops.Hashing.md5_60Joined(tok, i, n)
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
+  }
+
   /** Jaro-Winkler similarity in [0,1] — the record-linkage classic
     * (Winkler 1990): Jaro = (m/|a| + m/|b| + (m−t)/m)/3 with the match
     * window ⌊max/2⌋−1 and t = half the out-of-order matches, then the

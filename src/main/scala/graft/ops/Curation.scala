@@ -143,11 +143,13 @@ object Curation {
     require(n >= 2, s"dedupSpans needs n >= 2, got $n")
     val ws = filter(split(col(textCol), "\\s+"), t => t =!= "")
     val base = docs.select(col(idCol), ws.as("ws"))
+    // gram_fingerprints streams token bytes through the digest once per
+    // covering gram (r15) — value-identical to the previous
+    // `doc_fingerprint(array_join(slice(ws, i+1, n), ' '))` transform, which
+    // copied every token into ~n sliced-and-joined gram strings first
     val grams = base
       .where(size(col("ws")) >= n)
-      .select(col(idCol), posexplode(expr(
-        s"transform(sequence(0, size(ws) - $n)," +
-          s" i -> doc_fingerprint(array_join(slice(ws, i + 1, $n), ' ')))"))
+      .select(col(idCol), posexplode(expr(s"gram_fingerprints(ws, $n)"))
         .as(Seq("pos", "fp")))
     val firstOcc = Window.partitionBy("fp").orderBy(col(idCol), col("pos"))
     val covered = grams
@@ -282,30 +284,29 @@ object Curation {
    * cannot change the order, and a new `salt` gives an independent epoch
    * permutation.
    *
-   * Scale: `orderBy` is Spark's range-partitioned distributed sort and
-   * `zipWithIndex` assigns contiguous ids with one extra count pass — no
+   * Scale: one range-partitioned exchange shared by an (unsorted) counting
+   * pass and the sorted output pass ([[Rank.globalOrder]]) — no
    * single-partition window, no driver materialization. (A bare
    * `row_number() OVER (ORDER BY …)` would collapse to one partition —
    * that is the anti-pattern this operator exists to replace.)
    */
   def deterministicShuffle(df: DataFrame, idCol: String, salt: String): DataFrame = {
-    val spark = df.sparkSession
-    import spark.implicits._
     // a non-integral id would cast to null and NPE inside a task — fail
     // up-front instead (same guard as Dedup's integral-id operators)
     val idDt = df.schema(idCol).dataType
     require(Seq("byte", "short", "integer", "long").contains(idDt.typeName),
       s"deterministicShuffle: id column '$idCol' must be integral, got $idDt")
     val h = saltedRank(idCol, salt)
-    val sorted = df.where(col(idCol).isNotNull)
-      .select(col(idCol).cast("long").as("id"), h.as("h"))
-      .orderBy(col("h"), col("id"))
-    // toRdd + primitive reads: no per-row external-Row materialization on
-    // the way into zipWithIndex (ids are non-null after the guard above)
-    sorted.queryExecution.toRdd
-      .map(_.getLong(0))
-      .zipWithIndex()
-      .toDF(idCol, "pos")
+    // Rank.globalOrder (r15): the old toRdd.zipWithIndex path executed the
+    // distributed sort TWICE (zipWithIndex's counting job + the consuming
+    // job) and converted every row out of Tungsten; globalOrder shares one
+    // range exchange between an unsorted counting pass and the sorted
+    // output, entirely codegen'd.
+    Rank.globalOrder(
+        df.where(col(idCol).isNotNull)
+          .select(col(idCol).cast("long").as(idCol), h.as("__h")),
+        Seq(col("__h"), col(idCol)), "pos")
+      .select(col(idCol), col("pos"))
   }
 
   /**

@@ -151,9 +151,10 @@ object Fuzzy {
     * `window` positions of each other, scoring candidates with the
     * codegen'd `jaro_winkler` and keeping pairs at `sim ≥ minSim`.
     *
-    * Distributed shape: ranks come from a DISTRIBUTED sort + zipWithIndex
-    * (the single-partition `row_number()` window is explicitly avoided —
-    * same contract as `Curation.deterministicShuffle`); successor pairing
+    * Distributed shape: ranks come from a DISTRIBUTED range sort with
+    * shared-shuffle offset attachment ([[Rank.globalOrder]]; the
+    * single-partition `row_number()` window is explicitly avoided — same
+    * contract as `Curation.deterministicShuffle`); successor pairing
     * is an equi-join on rank after a bounded (window−1)-way fan-out. One
     * sort + one rank-keyed shuffle of (w−1)·n slim rows — never O(n²), and
     * the window is the method's published recall knob.
@@ -164,18 +165,15 @@ object Fuzzy {
                          window: Int, minSim: Double): DataFrame = {
     require(window >= 2, "window >= 2")
     Dedup.requireIntegralIds(df, Seq(idCol), "sortedNeighborhood")
-    val spark = df.sparkSession
-    import spark.implicits._
-    val sorted = df.where(col(idCol).isNotNull && col(strCol).isNotNull)
+    val base = df.where(col(idCol).isNotNull && col(strCol).isNotNull)
       .select(col(idCol).cast("long").as("id"), col(strCol).cast("string").as("s"))
-      .orderBy(col("s"), col("id"))
+    // Rank.globalOrder (r15): one shared range exchange, unsorted counting
+    // pass, one in-partition sort, no external-Row conversion (the old
+    // toRdd.zipWithIndex sorted twice and boxed every row).
     // localCheckpoint: ranked is joined against itself below — without the
-    // lineage cut the distributed sort + zipWithIndex would run twice
-    val ranked = sorted.queryExecution.toRdd
-      .map(r => (r.getLong(0), r.getUTF8String(1).toString))
-      .zipWithIndex()
-      .map { case ((id, s), rk) => (rk, id, s) }
-      .toDF("rk", "id", "s")
+    // lineage cut the rank attachment would run once per join side.
+    val ranked = Rank.globalOrder(base, Seq(col("s"), col("id")), "rk")
+      .select(col("rk"), col("id"), col("s"))
       .localCheckpoint()
     val fan = ranked
       .withColumn("off", explode(sequence(lit(1), lit(window - 1))))

@@ -60,19 +60,22 @@ object LangModel {
     * top-V. The `vocabSize` cap is the model's memory contract — the
     * broadcast payload is ≤ V entries no matter how large the corpus. */
   def trainUnigram(corpus: DataFrame, textCol: String, vocabSize: Int): UnigramModel = {
-    val tok = corpus.select(explode(tokensCol(textCol)).as("t"))
-    // persisted between the two reads (total, top-V): the cached relation is
-    // one row per DISTINCT token — bounded by vocabulary, not corpus size —
-    // and saves a full second corpus scan + explode + shuffle
-    val counts = tok.groupBy("t").agg(count(lit(1)).as("c")).persist()
-    try {
-      // coalesce: an empty/all-empty corpus sums to NULL, which is a valid
-      // (if degenerate) model — total 0 makes every surprisal 0
-      val total = counts.agg(coalesce(sum("c"), lit(0L))).head.getLong(0)
-      val vocab = counts.orderBy(col("c").desc, col("t").asc).limit(vocabSize)
-        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-      UnigramModel(total, vocab)
-    } finally counts.unpersist()
+    // corpus-wide token total = one MAP-ONLY aggregate over the docs (the
+    // total equals the exploded-token count by construction, so no explode
+    // and no shuffle). The counts relation below then has a single consumer
+    // and needs no persist (r15): the old cache was documented as
+    // vocab-bounded, but for hash-keyed corpora the distinct-token relation
+    // is CORPUS-sized — materializing it cost far more than the extra
+    // map-only scan it saved. coalesce: an empty/all-empty corpus sums to
+    // NULL, a valid degenerate model (total 0 makes every surprisal 0).
+    val total = corpus
+      .agg(coalesce(sum(size(tokensCol(textCol)).cast("long")), lit(0L)))
+      .head.getLong(0)
+    val vocab = corpus.select(explode(tokensCol(textCol)).as("t"))
+      .groupBy("t").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("t").asc).limit(vocabSize)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    UnigramModel(total, vocab)
   }
 
   /** Merge two unigram models (e.g. the historical corpus model and a new

@@ -61,8 +61,9 @@ object Rank {
     import org.apache.spark.sql.graftshim.Shim
     import graft.functions.PartitionRunningSum
     val tRange = System.nanoTime()
+    // NO sortWithinPartitions here: the offsets pass is order-independent,
+    // so the in-partition sort happens exactly once, on the output side
     val ranged = df.repartitionByRange(orderCols: _*)
-      .sortWithinPartitions(orderCols: _*)
       .withColumn("__v", coalesce(v, lit(0L)))
     val rdd = Shim.internalRdd(ranged)
     val vIdx = ranged.schema.fieldIndex("__v")
@@ -91,12 +92,51 @@ object Rank {
     // action re-runs only the reduce-side sort (map stage skipped); on a
     // multi-node cluster with unreliable executors, swap the shared RDD for
     // a reliable checkpoint dir as before.
-    Shim.ofInternalRdd(df.sparkSession, ranged, rdd)
+    // The in-partition sort is compiled into its own RDD barrier: the
+    // running sums are only meaningful over sorted partition iterators, and
+    // a caller-side orderBy must never let EliminateSorts reason the local
+    // sort away. Executing it shares the range shuffle (map stage skipped).
+    val sorted = Shim.ofInternalRdd(df.sparkSession, ranged, rdd)
+      .sortWithinPartitions(orderCols: _*)
+    Shim.ofInternalRdd(df.sparkSession, sorted, Shim.internalRdd(sorted))
       .withColumn(rankName, Shim.column(
         PartitionRunningSum(Shim.expression(lit(1L)), coff)))
       .withColumn(cumName, Shim.column(
         PartitionRunningSum(Shim.expression(col("__v")), soff)))
       .drop("__v")
+  }
+
+  /** Contiguous 0-based global position in `orderCols` order, attached as
+    * `posName` — the distributed zipWithIndex replacement built on the same
+    * shared-shuffle machinery as [[globalPrefix]]: one range exchange feeds
+    * both the per-partition counting pass (which reads the UNSORTED shuffle —
+    * counts are order-independent) and the output pass, and the in-partition
+    * sort runs exactly once, on the output side. Unlike
+    * `toRdd.zipWithIndex`, nothing converts to external rows and nothing is
+    * sorted twice. `orderCols` MUST end in a unique tiebreak. */
+  def globalOrder(df: DataFrame, orderCols: Seq[Column], posName: String): DataFrame = {
+    require(orderCols.nonEmpty, "globalOrder needs order columns")
+    require(!df.columns.contains(posName),
+      s"globalOrder: output name $posName collides with input")
+    import org.apache.spark.sql.graftshim.Shim
+    import graft.functions.PartitionRunningSum
+    val ranged = df.repartitionByRange(orderCols: _*)
+    val rdd = Shim.internalRdd(ranged)
+    val counts = rdd.mapPartitionsWithIndex { (pid, it) =>
+      var c = 0L
+      while (it.hasNext) { it.next(); c += 1L }
+      Iterator.single((pid, c))
+    }.collect().sortBy(_._1)
+    val nParts = if (counts.isEmpty) 0 else counts.map(_._1).max + 1
+    val coff = new Array[Long](nParts)
+    var acc = 0L
+    counts.foreach { case (pid, c) => coff(pid) = acc; acc += c }
+    // sort pinned behind its own RDD barrier — see globalPrefix
+    val sorted = Shim.ofInternalRdd(df.sparkSession, ranged, rdd)
+      .sortWithinPartitions(orderCols: _*)
+    Shim.ofInternalRdd(df.sparkSession, sorted, Shim.internalRdd(sorted))
+      .withColumn(posName, Shim.column(
+        PartitionRunningSum(Shim.expression(lit(1L)), coff)) - 1)
   }
 
   /** RFM quintile scoring per entity: given per-entity (recency metric

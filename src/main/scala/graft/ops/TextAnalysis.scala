@@ -146,6 +146,14 @@ object TextAnalysis {
       graft.functions.DocFingerprintExpr(children(0))
     }
 
+    // per-document gram fingerprints: value-identical to mapping
+    // doc_fingerprint over joined n-gram slices, token bytes streamed
+    // through the digest instead (the dedupSpans hot path — see
+    // GramFingerprintsExpr)
+    Udf.native("gram_fingerprints(string[], int) -> bigint[]") { children =>
+      graft.functions.GramFingerprintsExpr(children(0), children(1))
+    }
+
     // word n-grams (shingles), joined by single space.
     Udf.scalar2[String, Int, Seq[String]]("word_ngrams(string, int) -> string[]") { (s, n) =>
       shinglesOf(tokens(s), n)
@@ -408,6 +416,21 @@ object Hashing {
     val d = tl.get()
     d.reset()
     d.update(buf, off, len)
+    md5_60FromDigest(d.digest())
+  }
+
+  /** md5_60 of `parts[from ..< from+n]` joined by single spaces, streamed
+    * through the digest — equals md5_60 of the joined string without ever
+    * materializing it (the gram-fingerprint hot path). */
+  def md5_60Joined(parts: Array[Array[Byte]], from: Int, n: Int): Long = {
+    val d = tl.get()
+    d.reset()
+    var i = from
+    while (i < from + n) {
+      if (i > from) d.update(' '.toByte)
+      d.update(parts(i))
+      i += 1
+    }
     md5_60FromDigest(d.digest())
   }
 

@@ -32,6 +32,41 @@ object OptDebug {
         val n = pairs.collect().length
         println(f"[optdebug] minhashPairs 2m: ${(System.nanoTime - t0) / 1e9}%.3f s, $n pairs")
         println(pairs.queryExecution.executedPlan.toString)
+      case "spans" =>
+        import org.apache.spark.sql.functions._
+        val docs = s.range(2000000L).selectExpr("id AS doc_id",
+          """array_join(transform(sequence(0, 15), j -> concat('w',
+            |  pmod(hash(CASE WHEN id % 10 < 2 AND j < 12
+            |                 THEN CAST(id div 10 * 100 + j AS BIGINT)
+            |            ELSE CAST(hash(id, j) AS BIGINT) END), 1000000000))), ' ') AS text""".stripMargin)
+          .localCheckpoint(true)
+        // old inline-transform gram expression vs the new streamed kernel,
+        // interleaved in one JVM (3 reps each, min is the signal)
+        val ws = filter(split(col("text"), "\\s+"), t => t =!= "")
+        val base = docs.select(col("doc_id"), ws.as("ws"))
+        def timeIt(tag: String)(f: => Unit): Unit = {
+          val t0 = System.nanoTime(); f
+          println(f"[optdebug] $tag: ${(System.nanoTime - t0) / 1e9}%.3f s")
+        }
+        for (rep <- 1 to 3) {
+          timeIt(s"grams_old rep$rep") {
+            base.where(size(col("ws")) >= 8)
+              .select(col("doc_id"), posexplode(expr(
+                "transform(sequence(0, size(ws) - 8), i -> doc_fingerprint(array_join(slice(ws, i + 1, 8), ' ')))"))
+                .as(Seq("pos", "fp")))
+              .write.format("noop").mode("overwrite").save()
+          }
+          timeIt(s"grams_new rep$rep") {
+            base.where(size(col("ws")) >= 8)
+              .select(col("doc_id"), posexplode(expr("gram_fingerprints(ws, 8)"))
+                .as(Seq("pos", "fp")))
+              .write.format("noop").mode("overwrite").save()
+          }
+          timeIt(s"dedupSpans_full rep$rep") {
+            graft.ops.Curation.dedupSpans(docs, "text", "doc_id", n = 8)
+              .write.format("noop").mode("overwrite").save()
+          }
+        }
       case _ => sys.error(s"unknown probe $which")
     }
     s.stop()

@@ -166,6 +166,30 @@ class CurationSpec extends AnyFunSuite {
     assert(out(4L) == "tiny doc")
   }
 
+  test("gram_fingerprints equals doc_fingerprint over joined n-gram slices") {
+    Graft.install(spark)
+    // unicode + varied token lengths: the streamed-bytes kernel must match
+    // the string-building formulation byte-for-byte, including multi-byte
+    // UTF-8 and the n > size empty case
+    val docs = df(Seq(
+      (1L, "a b c d e f g h i", "s"),
+      (2L, "héllo wörld ζeta x y z", "s"),
+      (3L, "one two", "s"),
+      (4L, "repeated repeated repeated repeated", "s")))
+    for (n <- Seq(2, 3, 8)) {
+      val got = docs.selectExpr("doc_id",
+          s"gram_fingerprints(filter(split(text, '\\\\s+'), t -> t != ''), $n) AS fps")
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+      val want = docs.selectExpr("doc_id",
+          s"""CASE WHEN size(filter(split(text, '\\\\s+'), t -> t != '')) >= $n
+             |THEN transform(sequence(0, size(filter(split(text, '\\\\s+'), t -> t != '')) - $n),
+             |  i -> doc_fingerprint(array_join(slice(filter(split(text, '\\\\s+'), t -> t != ''), i + 1, $n), ' ')))
+             |ELSE array() END AS fps""".stripMargin)
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+      assert(got == want, s"n=$n")
+    }
+  }
+
   test("semanticDecontaminate flags only near-benchmark vectors, broadcast side") {
     Graft.install(spark)
     import org.apache.spark.sql.types._
