@@ -75,21 +75,20 @@ object Fuzzy {
                                   k: Int): DataFrame = {
     val idx = uniqA.withColumn("key", explode(expr(indexKeysExpr("sa", k))))
     val prb = uniqB.withColumn("key", explode(expr(probeKeysExpr("sb", k))))
-    // dedup candidate pairs BEFORE the levenshtein verification (r15): a
-    // matching pair meets on up to k+1 shared segment keys, and with the
-    // distance both in the pushed-down filter and in the projection each
-    // join row paid the O(|sa|·|sb|) DP twice — distinct-first verifies each
-    // unordered candidate once (plus once more for survivors in the final
-    // projection), trading duplicate DP work for a same-cardinality
-    // pre-filter exchange of slim (sa, sb) pairs.
-    val cand = idx.join(prb, idx("key") === prb("key"))
+    // NOTE (r15): a dedup-candidates-before-verification variant (distinct
+    // (sa, sb) pairs, then one levenshtein per candidate) was tried and
+    // REVERTED — on planted high-selectivity corpora it won ~15%, but on
+    // natural text (q_fuzzy_join over part names) segment keys are shared
+    // widely and the pre-verification distinct exchanged a candidate set the
+    // pushed-down filter otherwise prunes in place (3.0 s → 12.2 s). The
+    // pushed levenshtein evaluates once per join row plus once per survivor
+    // in the projection; that duplicate is the cheaper evil here.
+    idx.join(prb, idx("key") === prb("key"))
       .where(abs(length(col("sa")) - length(col("sb"))) <= k)
-      .select(col("sa"), col("sb"))
-      .distinct()
-    cand
       .withColumn("dist", levenshtein(col("sa"), col("sb")))
       .where(col("dist") <= k)
       .select(col("sa"), col("sb"), col("dist"))
+      .distinct()
   }
 
   /** All (id_a, id_b, dist) pairs across `left` × `right` with
