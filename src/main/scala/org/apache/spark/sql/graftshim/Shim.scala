@@ -42,4 +42,5 @@ object Shim {
     ofRows(spark, org.apache.spark.sql.execution.LogicalRDD(
       logicalPlan(template).output, rdd)(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]))
+
 }
