@@ -94,23 +94,28 @@ object Graft {
     }
   }
 
-  /** Sessions already holding the current registry contents (keyed by
-    * overload count, so a function registered AFTER an install still
-    * triggers a re-install on the next call). install() is called inside
-    * every pipeline entry point — without the memo each call re-registered
-    * every function and re-built the introspection view (r15: measurable
-    * per-query overhead across a few hundred bench probes). */
-  private val installedAt = new java.util.WeakHashMap[SparkSession, Integer]()
+  /** Sessions already holding the current registry contents, keyed by the
+    * pair (registry revision, process-global tag revision). Both counters are
+    * MONOTONIC CHANGE counts, not sizes: Registry.register replaces an
+    * identical signature in place (count unchanged, revision bumped), and
+    * configureExtensionTags mutates process-global tag state that every
+    * installed session depends on — the r15 memo keyed on the overload count
+    * and missed both (r15 ADVICE). install() is called inside every pipeline
+    * entry point — without the memo each call re-registered every function
+    * and re-built the introspection view (r15: measurable per-query overhead
+    * across a few hundred bench probes). */
+  private val installedAt = new java.util.WeakHashMap[SparkSession, (Long, Long)]()
 
   /** Install every registered function into the session. Aggregates go through
     * the UDAF path; everything else through the expression builder.
-    * Idempotent per (session, registry contents) — see [[installedAt]]. */
+    * Idempotent per (session, registry revision, tag revision) — see
+    * [[installedAt]]. */
   def install(spark: SparkSession): Unit = {
     Builtins.ensureRegistered()
     val reg = Registry.global
-    val version = reg.all.size
+    val version = (reg.revision, graft.types.GraftType.tagsRevision)
     installedAt.synchronized {
-      if (Option(installedAt.get(spark)).exists(_.intValue == version)) return
+      if (Option(installedAt.get(spark)).contains(version)) return
     }
     reg.names.foreach { name =>
       val defs = reg.lookup(name)
@@ -147,9 +152,9 @@ object Graft {
               timeExtName: String = graft.types.GraftType.DefaultTimeExt): Unit = {
     graft.types.GraftType.configureExtensionTags(
       extensionKey, jsonExtName, decimalExtName, opaqueExtName, timeExtName)
-    // re-keyed tags change how resolution behaves even with an unchanged
-    // registry — drop the memo entry so install really re-runs
-    installedAt.synchronized { installedAt.remove(spark); () }
+    // configureExtensionTags bumped the process-global tag revision, which is
+    // part of every memo key — ALL installed sessions (not just this one)
+    // re-install on their next install() call
     install(spark)
   }
 

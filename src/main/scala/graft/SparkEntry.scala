@@ -2186,13 +2186,14 @@ object SparkEntry {
     // semi-join, one per-source window
     "q_curate_v6" -> dfq { s =>
       val docs = s.table("documents")
-      val pages = docs.select(col("doc_id"), expr(c4PageSql).as("page"))
-      val c4s = graft.ops.Curation.c4Filter(pages, "page", "doc_id")
-        .where(col("pass")).select("doc_id")
-      val gp = graft.ops.Curation.gopherRules(docs, "text", "doc_id",
-          minWords = 40, stopList = Seq("the", "a", "of", "and"))
-        .where(col("pass")).select("doc_id").join(c4s, "doc_id")
-      val surv = docs.join(gp, "doc_id")
+      // both gates are map-only predicates over docs — fused into ONE scan
+      // filter (r16, guide §2.4; same predicates c4Filter/gopherRules
+      // report, so the kept set is unchanged — oracle-pinned). Was: two
+      // id-list frames + two joins back onto docs.
+      val surv = docs
+        .where(graft.ops.Curation.c4Pass(expr(c4PageSql)) &&
+          graft.ops.Curation.gopherPass(col("text"), minWords = 40,
+            stopList = Seq("the", "a", "of", "and")))
         .selectExpr("source", "doc_id", "token_count(text) AS n_tok")
       graft.ops.Curation.tokenBudgetMix(surv, "source", "doc_id", "n_tok",
           budget = 600, salt = "v6")
@@ -2210,29 +2211,27 @@ object SparkEntry {
       val docs = s.table("documents")
       val surv = graft.ops.Dedup.nearDedupCorpus(docs, "text", "doc_id",
           k = 16, bands = 4, threshold = 0.3).select(col("doc_id").as("sid"))
-      val pages = docs.select(col("doc_id"), expr(c4PageSql).as("page"))
-      val c4s = graft.ops.Curation.c4Filter(pages, "page", "doc_id")
-        .where(col("pass")).select("doc_id")
-      val gop = graft.ops.Curation.gopherRules(docs, "text", "doc_id",
-          minWords = 40, stopList = Seq("the", "a", "of", "and"))
-        .where(col("pass")).select("doc_id")
-      val lmOk = graft.ops.LangModel.lmScore(docs, docs, "text", "doc_id",
-          vocabSize = 16)
-        .where(col("bits_per_tok") <= 9).select("doc_id")
+      // the C4 / gopher / LM gates are MAP-ONLY over docs (the LM model is
+      // a driver-side aggregate broadcast back) — r16 fuses them into the
+      // text-attach scan itself as one conjunctive filter (guide §2.4,
+      // VERDICT #6): the exact predicates the three id-list frames carried,
+      // so the kept set is unchanged (oracle-pinned); only the two
+      // inherently join-shaped gates (near-dedup survivorship, trained
+      // classifier scores) remain joins. Was: five slim-frame exchanges +
+      // five SMJs feeding the text join (r15 shape).
+      val lmm = graft.ops.LangModel.trainUnigram(docs, "text", vocabSize = 16)
       val clfOk = graft.ops.Classifier.qualityClassifier(docs, "text", "doc_id",
           classifierLabel, iters = 8)
         .where(col("pred")).select("doc_id")
       // the five-gate lineage feeds span-dedup THREE times (token base,
-      // gram explode, source rejoin) — materialize it once. Gate id lists
-      // intersect FIRST (8-byte rows); the text column attaches through ONE
-      // final join instead of riding all five exchanges (r15, guide §2.3 —
-      // inner joins on the same key are associative, so the result is
-      // unchanged).
-      val gateIds = surv.select(col("sid").as("doc_id"))
-        .join(c4s, "doc_id").join(gop, "doc_id")
-        .join(lmOk, "doc_id").join(clfOk, "doc_id")
+      // gram explode, source rejoin) — materialize it once.
       val keep = docs.select("doc_id", "source", "text")
-        .join(gateIds, "doc_id")
+        .where(graft.ops.Curation.c4Pass(expr(c4PageSql)) &&
+          graft.ops.Curation.gopherPass(col("text"), minWords = 40,
+            stopList = Seq("the", "a", "of", "and")) &&
+          graft.ops.LangModel.bitsPerTokCol(s, lmm, "text") <= 9)
+        .join(surv.select(col("sid").as("doc_id")), "doc_id")
+        .join(clfOk, "doc_id")
         .localCheckpoint()
       val sd = graft.ops.Curation.dedupSpans(keep, "text", "doc_id", n = 8)
       val sv = sd.join(keep.select("doc_id", "source"), "doc_id")

@@ -20,8 +20,11 @@ import org.apache.spark.sql.types.{DataType, LongType}
  *
  * Ordering contract: evaluates in partition-iterator order, so it is
  * meaningful only directly above a source whose partitions are already
- * sorted in the target order (globalPrefix pins that with a checkpointed
- * `repartitionByRange.sortWithinPartitions`). Marked nondeterministic so
+ * sorted in the target order (globalPrefix pins that by wrapping the
+ * range-partitioned, partition-sorted plan as a compiled InternalRow RDD
+ * behind a LogicalRDD barrier — the sort cannot be elided or reordered
+ * across an RDD boundary, and both consuming passes share the one
+ * shuffle). Marked nondeterministic so
  * Catalyst never reorders, collapses, or pushes anything across it.
  * Partitions absent from `offsets` (possible only when they hold no rows)
  * seed 0 — the seed is never observed.

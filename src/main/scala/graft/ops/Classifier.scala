@@ -154,7 +154,15 @@ object Classifier {
     * feature cache can be released before returning; the checkpoint rows
     * are (id, long, bool) — corpus-count-sized but ~17 bytes each. Margins
     * are bit-identical to the two-pass composition: same features, same
-    * weights, same expression. */
+    * weights, same expression.
+    *
+    * EAGER contract (r15 ADVICE): this call RUNS the training jobs and the
+    * scoring checkpoint at call time — plan-building tools that only want
+    * the shape trigger full training, and the checkpoint blocks are freed
+    * only when the returned DataFrame is GC'd (ContextCleaner). Battery
+    * loops that discard the result should drop their reference promptly (or
+    * `result.rdd.unpersist()` explicitly) rather than accumulate block-store
+    * usage across many calls in one long-lived session. */
   def qualityClassifier(docs: DataFrame, textCol: String, idCol: String,
       labelExpr: String, iters: Int = 8, lr: Double = 1.0): DataFrame = {
     val feat = docs.selectExpr(

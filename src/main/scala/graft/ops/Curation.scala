@@ -485,7 +485,25 @@ object Curation {
     */
   def c4Filter(pages: DataFrame, textCol: String, idCol: String,
                minSentences: Int = 3, minLineWords: Int = 5): DataFrame = {
-    val page = coalesce(col(textCol), lit(""))
+    val (lines, kept, nSent, hasLorem, hasBrace, pass, cleanText) =
+      c4Cols(col(textCol), minSentences, minLineWords)
+    pages.select(col(idCol), size(lines).as("n_lines"),
+        size(kept).as("n_kept"), nSent.as("n_sentences"),
+        hasLorem.as("has_lorem"), hasBrace.as("has_brace"), pass.as("pass"),
+        when(pass, cleanText).as("clean_text"))
+  }
+
+  /** The page-level C4 keep/kill verdict as ONE boolean Column — the exact
+    * `pass` predicate [[c4Filter]] reports (one definition, shared), exposed
+    * so multi-gate pipelines can fuse the C4 gate with their other map-only
+    * gates into a single scan projection/filter instead of joining a
+    * reported frame back by id (r16, guide §2.4 — and conjuncts
+    * short-circuit, so a page killed by a cheap gate never pays the rest). */
+  def c4Pass(pageCol: Column, minSentences: Int = 3, minLineWords: Int = 5): Column =
+    c4Cols(pageCol, minSentences, minLineWords)._6
+
+  private def c4Cols(pageCol: Column, minSentences: Int, minLineWords: Int) = {
+    val page = coalesce(pageCol, lit(""))
     val lines = transform(split(page, "\n"), l => trim(l))
     val kept = filter(lines, l =>
       l.rlike("[.!?\"]$") &&
@@ -497,10 +515,7 @@ object Curation {
     val hasLorem = instr(lower(page), "lorem ipsum") > 0
     val hasBrace = instr(page, "{") > 0
     val pass = !hasLorem && !hasBrace && nSent >= minSentences
-    pages.select(col(idCol), size(lines).as("n_lines"),
-        size(kept).as("n_kept"), nSent.as("n_sentences"),
-        hasLorem.as("has_lorem"), hasBrace.as("has_brace"), pass.as("pass"),
-        when(pass, cleanText).as("clean_text"))
+    (lines, kept, nSent, hasLorem, hasBrace, pass, cleanText)
   }
 
   /**

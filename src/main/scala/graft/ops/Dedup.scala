@@ -259,7 +259,11 @@ object Dedup {
     val t0 = System.nanoTime()
     val (rawPairs, banded) = minhashPairsImpl(df, textCol, idCol, k, bands, threshold)
     // attribution-only: force the banded-signature cache first so the pairs
-    // mark below isolates the join+verify cost from the signature compute
+    // mark below isolates the join+verify cost from the signature compute.
+    // NOTE (r15 ADVICE): this count() is an EXTRA action that does not exist
+    // in the untimed path — stage-timing mode changes the job graph (cache
+    // forced earlier, AQE sees a materialized input), not just adds clocks;
+    // read its timings as attribution hints, never as the probe's number.
     if (stageTimes) { val tb = System.nanoTime(); banded.count(); markStage("nearDedup.sig+band", tb) }
     val pairs = rawPairs
       .select(col("id_a"), col("id_b"))

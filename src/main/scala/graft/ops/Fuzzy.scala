@@ -83,6 +83,16 @@ object Fuzzy {
     // pushed-down filter otherwise prunes in place (3.0 s → 12.2 s). The
     // pushed levenshtein evaluates once per join row plus once per survivor
     // in the projection; that duplicate is the cheaper evil here.
+    // NOTE (r16): re-tried as a COST-BASED switch (sampled 1/8-per-side
+    // candidate-multiplicity probe deciding dedup per input, per r15
+    // VERDICT #4). Measured pinned both ways, warm min-of-3, same host:
+    // dedup lost even on the PLANTED probes this time (x_fuzzy_1m 11.7 s
+    // no-dedup vs 13.2 dedup; x_fuzzy_dup_1m 4.1 vs 4.8; q_fuzzy_join 2.8
+    // vs 9.9), and the sampling probe itself cost 0.6–5.5 s because the
+    // distinct-string relations recompute for the probe action (they are
+    // deliberately not persisted — corpus-sized). The r15 planted-probe win
+    // did not reproduce; no regime measured here pays for the switch, so
+    // the pushed-filter shape below stays the unconditional choice.
     idx.join(prb, idx("key") === prb("key"))
       .where(abs(length(col("sa")) - length(col("sb"))) <= k)
       .withColumn("dist", levenshtein(col("sa"), col("sb")))

@@ -56,25 +56,81 @@ object LangModel {
 
   private[ops] def sharedTokensCol(textCol: String): Column = tokensCol(textCol)
 
-  /** Train a [[UnigramModel]] on `corpus`: one counted shuffle + a bounded
-    * top-V. The `vocabSize` cap is the model's memory contract — the
-    * broadcast payload is ≤ V entries no matter how large the corpus. */
+  /** Train a [[UnigramModel]] on `corpus`: one fingerprint-keyed counted
+    * shuffle + a bounded top-V with an exact winner-string rejoin. The
+    * `vocabSize` cap is the model's memory contract — the broadcast payload
+    * is ≤ V entries no matter how large the corpus.
+    *
+    * DETERMINISM REQUIREMENT (r15 ADVICE): `corpus` is scanned more than
+    * once (total, fingerprint counts, winner rejoin) with no persist — a
+    * non-deterministic input (unseeded sample, non-checkpointed
+    * nondeterministic source) can make the scans disagree and produce an
+    * inconsistent model. Pin such inputs (checkpoint) before training. */
   def trainUnigram(corpus: DataFrame, textCol: String, vocabSize: Int): UnigramModel = {
     // corpus-wide token total = one MAP-ONLY aggregate over the docs (the
     // total equals the exploded-token count by construction, so no explode
-    // and no shuffle). The counts relation below then has a single consumer
-    // and needs no persist (r15): the old cache was documented as
-    // vocab-bounded, but for hash-keyed corpora the distinct-token relation
-    // is CORPUS-sized — materializing it cost far more than the extra
-    // map-only scan it saved. coalesce: an empty/all-empty corpus sums to
-    // NULL, a valid degenerate model (total 0 makes every surprisal 0).
+    // and no shuffle). The counts relations below have a single consumer
+    // each and need no persist (r15): for hash-keyed corpora the
+    // distinct-token relation is CORPUS-sized — materializing it cost far
+    // more than the extra map-only scan it saved. coalesce: an empty/
+    // all-empty corpus sums to NULL, a valid degenerate model (total 0
+    // makes every surprisal 0).
     val total = corpus
       .agg(coalesce(sum(size(tokensCol(textCol)).cast("long")), lit(0L)))
       .head.getLong(0)
-    val vocab = corpus.select(explode(tokensCol(textCol)).as("t"))
+    // r16 (guide §2.2 — shuffle keys, not payloads): the count shuffle used
+    // to carry token STRINGS (~16M × ~25 B at the 10M funnel — for
+    // hash-keyed corpora map-side partial aggregation barely folds, so the
+    // exchange is corpus-scale). Counts now aggregate by 8-byte xxhash64
+    // fingerprint; the top-V winner STRINGS come back through a broadcast
+    // semi-join of the bounded candidate-fingerprint set, and the
+    // (count DESC, token ASC) truncation runs over EXACT string-keyed
+    // counts of that bounded subset (a collided fingerprint's tokens are
+    // separated correctly here — the rejoin groups by the string).
+    //
+    // Exactness: a fingerprint's count is the SUM of its tokens' counts, so
+    // fp(t).count ≥ count(t) for every token. Candidates = top (V + slack)
+    // fingerprints; any EXCLUDED token's true count is ≤ the sentinel's
+    // (the (V+slack+1)-th fingerprint's) count. If the V-th winner's exact
+    // count is STRICTLY above that bound, no excluded token can displace or
+    // tie-break into the top V — proven sufficient, result identical to the
+    // string-keyed aggregation. Otherwise (pathologically flat count
+    // distribution near the cut, or > slack colliding fingerprints) fall
+    // back to the exact string-keyed path. Collisions therefore can never
+    // produce a wrong model, only (with ~n²/2⁶⁵ probability) the fallback.
+    val slack = math.max(vocabSize, 4096)
+    val spark = corpus.sparkSession
+    val toks = corpus.select(explode(tokensCol(textCol)).as("t"))
+    val fpTop = toks.select(xxhash64(col("t")).as("fp"))
+      .groupBy("fp").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("fp").asc).limit(vocabSize + slack + 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val (cand, sentinel) =
+      if (fpTop.length <= vocabSize + slack) (fpTop, None)
+      else (fpTop.init, Some(fpTop.last._2))
+    val candDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(cand.map(p => org.apache.spark.sql.Row(p._1)), 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("fp", org.apache.spark.sql.types.LongType))))
+    val winners = toks
+      .join(broadcast(candDf), xxhash64(col("t")) === col("fp"), "left_semi")
       .groupBy("t").agg(count(lit(1)).as("c"))
       .orderBy(col("c").desc, col("t").asc).limit(vocabSize)
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    val proven = sentinel match {
+      case None => true // nothing excluded — the candidate set is the universe
+      case Some(mExcluded) =>
+        // (winners < V with a sentinel cannot happen — ≥ V+slack candidate
+        // fingerprints each carry ≥ 1 distinct token — but if it somehow
+        // did, excluded tokens would belong in the vocab: fall back.)
+        winners.length == vocabSize && winners.last._2 > mExcluded
+    }
+    val vocab =
+      if (proven) winners.toMap
+      else corpus.select(explode(tokensCol(textCol)).as("t"))
+        .groupBy("t").agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("t").asc).limit(vocabSize)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     UnigramModel(total, vocab)
   }
 
@@ -129,6 +185,31 @@ object LangModel {
       .withColumn("bits_per_tok",
         expr("CAST(surprisal DIV greatest(n_tok, 1) AS BIGINT)"))
       .select(col(idCol), col("n_tok"), col("surprisal"), col("bits_per_tok"))
+  }
+
+  /** The `bits_per_tok` quality signal of [[surprisal]] as ONE map-only
+    * Column over `textCol` under a broadcast model — value-identical to the
+    * frame column (`surprisal DIV greatest(n_tok, 1)` on non-negative
+    * longs ≡ the UDF's long division), exposed so multi-gate curation
+    * pipelines can fuse the LM gate with their other map-only gates into a
+    * single scan projection/filter instead of joining a scored frame back
+    * by id (r16, guide §2.4). One tokenization per row (the UDF derives
+    * n_tok from the same token array it scores). Same broadcast-lifecycle
+    * note as [[surprisal]]. */
+  def bitsPerTokCol(spark: org.apache.spark.sql.SparkSession,
+      model: UnigramModel, textCol: String): Column = {
+    val bc = spark.sparkContext.broadcast(model)
+    val f = udf { (toks: Seq[String]) =>
+      val m = bc.value
+      var bits = 0L
+      toks.foreach { t =>
+        val c = m.counts.getOrElse(t, 0L)
+        val eff = if (c < 1L) 1L else c
+        bits += 64 - java.lang.Long.numberOfLeadingZeros(m.total / eff)
+      }
+      bits / math.max(toks.length.toLong, 1L)
+    }
+    f(tokensCol(textCol))
   }
 
   /** Bigram count model over the same tokenization: the unigram model plus

@@ -217,43 +217,42 @@ object TimeSeries {
               col("run_len"))
   }
 
-  /** Rolling max/min over the trailing `window` rows in O(1) per row —
-    * the two-pass block decomposition (Lemire's sliding-extrema trick):
-    * with tiles exactly `window` rows wide, any trailing frame spans at
-    * most two tiles, so `roll_max_t = max(sufmax_{t−w+1}, premax_t)` where
-    * `premax` is the running max within the row's tile and `sufmax` the
-    * running max from the row to its tile's end — both UNBOUNDED-frame
-    * windows Spark updates incrementally, with the cross-row reference a
-    * plain `lag(sufmax, w−1)`. A naive `ROWS BETWEEN w−1 PRECEDING` frame
-    * re-aggregates O(w) per row in Spark — 50× slower at w=50.
-    * Adds `roll_max` and `roll_min`. */
+  /** Rolling max/min over the trailing `window` rows in O(1) amortized per
+    * row: ONE hash exchange on the series key + ONE in-partition sort, then
+    * a monotonic-deque pass ([[graft.functions.PartitionTrailingExtrema]],
+    * the stateful-codegen family of Rank.globalPrefix) directly over the
+    * sorted scan. Adds `roll_max` and `roll_min`.
+    *
+    * r16 (guide §1.2 / VERDICT #7): the previous formulation was the Lemire
+    * tile decomposition through Spark windows — correct and O(1) per row,
+    * but its four window specs (row_number asc, per-tile prefix asc,
+    * per-tile suffix desc, cross-tile lag asc) cost FOUR in-partition sorts
+    * because Spark cannot prove the tile orderings compatible with the base
+    * order. The deque needs the one sort the problem fundamentally
+    * requires. (A naive `ROWS BETWEEN w−1 PRECEDING` frame re-aggregates
+    * O(w) per row in Spark — 50× slower at w=50 — and remains the reason
+    * this is not a plain window aggregate.) The sort is pinned behind a
+    * LogicalRDD barrier so the deque evaluates in exactly the
+    * (partCol, orderCols) partition order; null values never enter the
+    * deque and an all-null window yields null — bit-identical to the
+    * max/min-over-frame semantics of the window formulation
+    * (equivalence spec: AnalyticsPropertySpec / PathsSpec). */
   def rollingExtrema(df: DataFrame, partCol: String, orderCols: Seq[String],
                      valueCol: String, window: Int): DataFrame = {
     require(window >= 2 && window <= (1 << 20), "window in 2..2^20")
-    val wRow = Window.partitionBy(partCol).orderBy(orderCols.map(col): _*)
-    val v = col(valueCol).cast("long")
-    val tiled = df
-      .withColumn("__rn", row_number().over(wRow) - 1)
-      .withColumn("__tile", expr(s"__rn div $window"))
-    val wPre = Window.partitionBy(col(partCol), col("__tile"))
-      .orderBy(orderCols.map(col): _*)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wSuf = Window.partitionBy(col(partCol), col("__tile"))
-      .orderBy(orderCols.map(c => col(c).desc): _*)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val staged = tiled
-      .withColumn("__premax", max(v).over(wPre))
-      .withColumn("__premin", min(v).over(wPre))
-      .withColumn("__sufmax", max(v).over(wSuf))
-      .withColumn("__sufmin", min(v).over(wSuf))
-    staged
+    import org.apache.spark.sql.graftshim.Shim
+    import graft.functions.PartitionTrailingExtrema
+    val sorted = df.repartition(col(partCol))
+      .sortWithinPartitions(col(partCol) +: orderCols.map(col): _*)
+    val pinned = Shim.ofInternalRdd(df.sparkSession, sorted,
+      Shim.internalRdd(sorted))
+    val key = Shim.expression(col(partCol))
+    def v = Shim.expression(col(valueCol).cast("long"))
+    pinned
       .withColumn("roll_max",
-        greatest(coalesce(lag(col("__sufmax"), window - 1).over(wRow),
-          col("__premax")), col("__premax")))
+        Shim.column(PartitionTrailingExtrema(key, v, window, isMax = true)))
       .withColumn("roll_min",
-        least(coalesce(lag(col("__sufmin"), window - 1).over(wRow),
-          col("__premin")), col("__premin")))
-      .drop("__rn", "__tile", "__premax", "__premin", "__sufmax", "__sufmin")
+        Shim.column(PartitionTrailingExtrema(key, v, window, isMax = false)))
   }
 
   /** Sliding-window EXACT distinct counts: one row for EVERY (key, day) in

@@ -160,6 +160,11 @@ final case class FunctionDef(
  */
 final class Registry {
   private val byName = scala.collection.concurrent.TrieMap.empty[String, Vector[FunctionDef]]
+  // Monotonic change counter: bumped by EVERY register()/clear(), including a
+  // re-registration that replaces an identical signature in place (which
+  // leaves the overload COUNT unchanged — the r15 install() memo keyed on the
+  // count and would silently keep the stale implementation installed).
+  private val revCounter = new java.util.concurrent.atomic.AtomicLong(0L)
 
   def register(fd: FunctionDef): Unit = {
     val key = fd.signature.name
@@ -172,7 +177,12 @@ final class Registry {
         Some(kept :+ fd)
       case None => Some(Vector(fd))
     }
+    revCounter.incrementAndGet()
   }
+
+  /** Monotonic revision of the registry contents — the correct memo key for
+    * anything caching "has this registry been installed somewhere". */
+  def revision: Long = revCounter.get()
 
   def lookup(name: String): Seq[FunctionDef] =
     byName.getOrElse(name.toLowerCase, Vector.empty)
@@ -183,7 +193,7 @@ final class Registry {
 
   def names: Seq[String] = byName.keys.toSeq.sorted
   def all: Seq[FunctionDef] = byName.values.flatten.toSeq
-  def clear(): Unit = byName.clear()
+  def clear(): Unit = { byName.clear(); revCounter.incrementAndGet(); () }
 }
 
 object Registry {

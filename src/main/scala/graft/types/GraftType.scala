@@ -33,6 +33,13 @@ object GraftType {
   @volatile private var decimalExtV   = DefaultDecimalExt
   @volatile private var pickleExtV    = DefaultPickleExt
   @volatile private var timeExtV      = DefaultTimeExt
+  // Bumped by every configureExtensionTags call: tag state is PROCESS-global,
+  // so Graft.install's per-session memo must observe a re-key made through
+  // ANY session (r15 only invalidated the session the re-key came through).
+  private val tagsRevCounter = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** Monotonic revision of the process-global tag configuration. */
+  def tagsRevision: Long = tagsRevCounter.get()
 
   /** Metadata key used for Arrow extension types (re-keyable). */
   def ExtensionKey: String = extensionKeyV
@@ -61,6 +68,8 @@ object GraftType {
     decimalExtV = decimalName
     pickleExtV = opaqueName
     timeExtV = timeName
+    tagsRevCounter.incrementAndGet()
+    ()
   }
 
   /** Restore the default extension tags (test hygiene). */

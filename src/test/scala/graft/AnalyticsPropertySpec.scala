@@ -143,6 +143,37 @@ class AnalyticsPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("rollingExtrema null values never enter the extrema (deque path, r16)") {
+    // nulls are skipped by max/min and an all-null window yields null — the
+    // window-aggregate semantics the r16 monotonic-deque rewrite must keep
+    val rnd = new scala.util.Random(23)
+    val rows = for (k <- 0 until 4; i <- 0 until 60) yield (k.toString, i.toLong,
+      if (rnd.nextInt(10) < 4) null
+      else java.lang.Long.valueOf(rnd.nextInt(50).toLong))
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("k", StringType, nullable = false),
+      StructField("i", LongType, nullable = false),
+      StructField("v", LongType, nullable = true)))
+    val df = spark.createDataFrame(
+      rows.map { case (k, i, v) => Row(k, i, v) }.asJava, schema)
+    for (w <- Seq(2, 7, 31)) {
+      val got = TimeSeries.rollingExtrema(df, "k", Seq("i"), "v", w)
+        .collect().map(r => (r.getString(0), r.getLong(1)) ->
+          ((if (r.isNullAt(3)) null else r.getLong(3),
+            if (r.isNullAt(4)) null else r.getLong(4)))).toMap
+      rows.groupBy(_._1).foreach { case (k, ks) =>
+        val sorted = ks.sortBy(_._2)
+        sorted.indices.foreach { t =>
+          val frame = sorted.slice(math.max(0, t - w + 1), t + 1)
+            .flatMap(r => Option(r._3)).map(_.longValue)
+          val want: (Any, Any) =
+            if (frame.isEmpty) (null, null) else (frame.max, frame.min)
+          assert(got((k, sorted(t)._2)) == want, s"w=$w k=$k t=$t")
+        }
+      }
+    }
+  }
+
   test("groupPercentilesDisc ≡ sorted-position model on random groups") {
     val rnd = new scala.util.Random(13)
     val rows = for (g <- 0 until 8; _ <- 0 until (1 + rnd.nextInt(40)))

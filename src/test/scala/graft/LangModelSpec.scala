@@ -27,6 +27,33 @@ class LangModelSpec extends AnyFunSuite {
     assert(m.counts == Map("a" -> 4L, "b" -> 3L))
   }
 
+  test("trainUnigram fingerprint path falls back exactly on flat distributions") {
+    // 6000 distinct tokens, each count 1 — more distinct fingerprints than
+    // vocabSize + slack (4096), and the V-th winner TIES the sentinel count,
+    // so the r16 fingerprint-keyed path cannot prove its candidate set
+    // sufficient and must take the exact string-keyed fallback. The result
+    // must equal the (count DESC, token ASC) contract regardless of path.
+    val docs = (0 until 60).map { d =>
+      d.toLong -> (0 until 100).map(i => f"t${d * 100 + i}%05d").mkString(" ")
+    }
+    val m = LangModel.trainUnigram(df(docs), "text", vocabSize = 4)
+    assert(m.total == 6000L)
+    assert(m.counts == Map("t00000" -> 1L, "t00001" -> 1L,
+      "t00002" -> 1L, "t00003" -> 1L))
+  }
+
+  test("trainUnigram fingerprint path is exact on skewed distributions") {
+    // counts separate cleanly (proven-path regime): winners' exact counts
+    // sit strictly above everything excluded
+    val docs = (0 until 50).map { d =>
+      d.toLong -> (("hot " * (d % 5 + 1)) + f"warm cold${d}%03d")
+    }
+    val m = LangModel.trainUnigram(df(docs), "text", vocabSize = 2)
+    // hot: sum(d%5+1) over 50 docs = 10*(1+2+3+4+5) = 150; warm: 50
+    assert(m.counts == Map("hot" -> 150L, "warm" -> 50L))
+    assert(m.total == 150L + 50L + 50L)
+  }
+
   test("trainUnigram breaks count ties lexicographically") {
     val corpus = df(Seq((1L, "z y z y x")))
     val m = LangModel.trainUnigram(corpus, "text", vocabSize = 1)
