@@ -122,12 +122,20 @@ object Dedup {
 
     // Jaccard similarity of two docs' word-n-gram sets.
     val jaccardImpl: (String, String, Int) => Double = { (a, b, n) =>
-      val sa = shingleSet(a, n)
-      val sb = shingleSet(b, n)
-      if (sa.isEmpty && sb.isEmpty) 1.0
+      // r16 fast path (guide §1.2): identical inputs have identical shingle
+      // sets and the general formula below yields 1.0 for them in EVERY
+      // case (both-empty included) — and exact-duplicate pairs are the BULK
+      // of LSH candidates on dedup-shaped corpora, so most verifications
+      // skip both shingle builds for one O(len) compare.
+      if (a == b) 1.0
       else {
-        val inter = sa.count(sb.contains)
-        inter.toDouble / (sa.size + sb.size - inter).toDouble
+        val sa = shingleSet(a, n)
+        val sb = shingleSet(b, n)
+        if (sa.isEmpty && sb.isEmpty) 1.0
+        else {
+          val inter = sa.count(sb.contains)
+          inter.toDouble / (sa.size + sb.size - inter).toDouble
+        }
       }
     }
     Udf.scalar3[String, String, Int, Double](
@@ -163,7 +171,10 @@ object Dedup {
     s => Hashing.md5_60(s + "b") % MinhashP).longValue()
 
   def shingleSet(s: String, n: Int): Set[String] = {
-    val ws = s.split("\\s+").filter(_.nonEmpty)
+    // precompiled-pattern tokenizer (r16): the literal "\\s+" split
+    // recompiled the regex on every call — this runs twice per verified
+    // candidate pair
+    val ws = Tokens.split(s)
     if (ws.length < n) Set(ws.mkString(" "))
     else ws.sliding(n).map(_.mkString(" ")).toSet
   }
@@ -193,14 +204,18 @@ object Dedup {
     * `k` hashes split into `bands` bands of `k/bands` rows each; docs sharing
     * any band bucket become a candidate pair, then true Jaccard filters. */
   def minhashPairs(df: DataFrame, textCol: String, idCol: String,
-                   k: Int = 16, bands: Int = 4, threshold: Double = 0.5): DataFrame =
-    minhashPairsImpl(df, textCol, idCol, k, bands, threshold)._1
+                   k: Int = 16, bands: Int = 4, threshold: Double = 0.5): DataFrame = {
+    val (docs, cand, _) = minhashCandidates(df, textCol, idCol, k, bands)
+    verifyPairs(cand, docs, threshold)
+  }
 
-  /** Like [[minhashPairs]] but also returns the persisted banded-signature
-    * intermediate so callers that materialize the result can unpersist it
-    * (the public API keeps the cache alive because its result is lazy). */
-  private def minhashPairsImpl(df: DataFrame, textCol: String, idCol: String,
-                               k: Int, bands: Int, threshold: Double): (DataFrame, DataFrame) = {
+  /** Candidate generation half of the LSH pipeline: the (id, text)
+    * projection, the DISTINCT candidate id-pair relation, and the persisted
+    * banded-signature intermediate (returned so callers that materialize
+    * results can unpersist it — a lazy public result keeps the cache
+    * alive). */
+  private def minhashCandidates(df: DataFrame, textCol: String, idCol: String,
+                                k: Int, bands: Int): (DataFrame, DataFrame, DataFrame) = {
     val rows = k / bands
     val docs = df.select(col(idCol).as("id"), col(textCol).as("text"))
     // band-hash: fingerprint of the band's slice of the signature. Text is
@@ -218,17 +233,32 @@ object Dedup {
     val cand = l.join(r, Seq("band", "bh"))
       .where(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b")).distinct()
-    // texts rejoin exactly once, only for surviving candidate pairs (a tiny
-    // fraction of the corpus), for the true-Jaccard verification; the _nd
-    // variant stops the threshold filter being pushed into the join and the
-    // jaccard being computed twice per pair (registerAll has the rationale)
-    val verified = cand
-      .join(docs.select(col("id").as("id_a"), col("text").as("text_a")), Seq("id_a"))
-      .join(docs.select(col("id").as("id_b"), col("text").as("text_b")), Seq("id_b"))
+    (docs, cand, banded)
+  }
+
+  /** True-Jaccard verification of candidate pairs: texts rejoin exactly
+    * once, only for candidate ids (a tiny fraction of the corpus); the _nd
+    * variant stops the threshold filter being pushed into the join and the
+    * jaccard being computed twice per pair (registerAll has the rationale).
+    *
+    * `shuffleHash=true` (the large-scale Bloom branch of nearDedupCorpus
+    * only) pins both text attachments to shuffled-HASH joins: sort-merge
+    * would SORT the candidate side twice, and after the first attachment
+    * that side is text-wide (29M × ~270 B at the 10M funnel — a spilling
+    * sort). Hash-building the slim doc side streams the wide side unsorted.
+    * Small-scale callers keep the default planner choice (broadcast). */
+  private def verifyPairs(cand: DataFrame, docs: DataFrame, threshold: Double,
+                          shuffleHash: Boolean = false): DataFrame = {
+    def side(idAlias: String, textAlias: String) = {
+      val s = docs.select(col("id").as(idAlias), col("text").as(textAlias))
+      if (shuffleHash) s.hint("SHUFFLE_HASH") else s
+    }
+    cand
+      .join(side("id_a", "text_a"), Seq("id_a"))
+      .join(side("id_b", "text_b"), Seq("id_b"))
       .withColumn("jaccard", expr("ngram_jaccard_nd(text_a, text_b, 3)"))
       .where(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
-    (verified, banded)
   }
 
   /**
@@ -257,7 +287,7 @@ object Dedup {
     // in the final anti-join and silently return the corpus un-deduplicated.
     requireIntegralIds(df, Seq(idCol), "nearDedupCorpus")
     val t0 = System.nanoTime()
-    val (rawPairs, banded) = minhashPairsImpl(df, textCol, idCol, k, bands, threshold)
+    val (docs, rawCand, banded) = minhashCandidates(df, textCol, idCol, k, bands)
     // attribution-only: force the banded-signature cache first so the pairs
     // mark below isolates the join+verify cost from the signature compute.
     // NOTE (r15 ADVICE): this count() is an EXTRA action that does not exist
@@ -265,13 +295,60 @@ object Dedup {
     // forced earlier, AQE sees a materialized input), not just adds clocks;
     // read its timings as attribution hints, never as the probe's number.
     if (stageTimes) { val tb = System.nanoTime(); banded.count(); markStage("nearDedup.sig+band", tb) }
-    val pairs = rawPairs
-      .select(col("id_a"), col("id_b"))
-      .localCheckpoint()
-    markStage("nearDedup.pairs", t0)
-    // the checkpoint above materialized the pairs — the banded-signature cache
-    // is dead weight from here on
+    // r16 (guide §3.2 — measured at the 10M funnel): verifying straight off
+    // the lazy plan exchanged AND sort-merge-sorted the FULL (id, text)
+    // corpus for the text attachments (AQE rescued only the first join with
+    // a broadcast; the second stayed SMJ over the whole corpus — 580 s of
+    // the 729 s 10M funnel, superlinear from sort spill). This operator is
+    // already eager (it checkpoints pairs), so: materialize the SMALL
+    // candidate id-pair relation first, build a Bloom filter over the
+    // candidate ids (~1.2 MB per million ids at 1% fpp — broadcastable at
+    // any corpus scale, unlike an exact id set), and give the verification
+    // a corpus pre-filtered MAP-SIDE. No corpus-sized exchange or sort
+    // remains; false positives only let a few extra text rows through to
+    // the exact id equi-joins, so the result is bit-identical.
+    val cand = rawCand.localCheckpoint()
+    // the checkpoint above materialized the candidates — the banded-
+    // signature cache is dead weight from here on
     banded.unpersist(false)
+    val nCand = cand.count()
+    // Below the floor the corpus text relations broadcast into the verify
+    // joins anyway (AQE sees a tiny candidate side), so the Bloom build +
+    // broadcast jobs cost more than they save — measured +0.6 s on the sf0.1
+    // q_near_dedup (nCand=255 there vs 50k+ at the 1M funnel, the smallest
+    // scale where the corpus text stops broadcasting). Conf-overridable so
+    // cluster deployments can retune the crossover without a rebuild.
+    val bloomFloor = df.sparkSession.conf
+      .get("spark.graft.nearDedup.bloomFloor", "16384").toLong
+    if (stageTimes) System.err.println(
+      s"[bench] nearDedup nCand=$nCand bloom=${nCand >= bloomFloor}")
+    val pairs = {
+      val texts =
+        if (nCand < bloomFloor) docs
+        else {
+          val spark = df.sparkSession
+          val ids = cand.select(col("id_a").as("id"))
+            .union(cand.select(col("id_b").as("id")))
+          // size the filter on the (approximate) DISTINCT id count, not
+          // 2×nCand: candidate ids repeat heavily (29M pairs over ≤10M docs
+          // at the 10M funnel), and a 2×nCand-sized bloom is a ~70 MB
+          // broadcast where ~10 MB suffices. An underestimate only raises
+          // the fpp (more rows pass to the exact equi-joins) — never
+          // correctness. The ×1.3 covers approx_count_distinct's 5% rsd.
+          val nIds = ids.agg(approx_count_distinct(col("id")))
+            .head.getLong(0)
+          if (stageTimes) System.err.println(s"[bench] nearDedup nIds~$nIds")
+          val bf = ids.stat.bloomFilter("id",
+            math.max((nIds * 1.3).toLong, 1000L), 0.01)
+          val bfB = spark.sparkContext.broadcast(bf)
+          val mightMatch = udf { (id: Long) => bfB.value.mightContainLong(id) }
+          docs.where(mightMatch(col("id")))
+        }
+      verifyPairs(cand, texts, threshold, shuffleHash = nCand >= bloomFloor)
+        .select(col("id_a"), col("id_b"))
+        .localCheckpoint()
+    }
+    markStage("nearDedup.pairs", t0)
     val t1 = System.nanoTime()
     val labels = connectedComponents(pairs, "id_a", "id_b", maxIter)
     markStage("nearDedup.cc", t1)

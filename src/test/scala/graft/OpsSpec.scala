@@ -77,6 +77,26 @@ class OpsSpec extends AnyFunSuite {
     assert(kept == Seq(0L, 2L, 4L)) // {0,1,3} collapse to 0; 2 and 4 survive
   }
 
+  test("nearDedupCorpus Bloom-prefiltered verification matches the direct path") {
+    // the r16 large-scale branch pre-filters the corpus with a Bloom filter
+    // over candidate ids before the text-attach joins; it must be
+    // result-identical to the small-scale direct shape (false positives only
+    // admit extra rows to exact id equi-joins). Force it on with floor=1.
+    val floorKey = "spark.graft.nearDedup.bloomFloor"
+    val prev = spark.conf.getOption(floorKey)
+    spark.conf.set(floorKey, "1")
+    try {
+      val kept = Dedup.nearDedupCorpus(docsDf, "text", "doc_id", k = 16, bands = 8,
+        threshold = 0.5).select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+      assert(kept == Seq(0L, 2L, 4L))
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(floorKey, v)
+        case None => spark.conf.unset(floorKey)
+      }
+    }
+  }
+
   test("semanticDedup: planted copies resolve greedily to the smallest id") {
     Graft.install(spark)
     import org.apache.spark.sql.types._
