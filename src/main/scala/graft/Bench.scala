@@ -231,6 +231,13 @@ object Bench {
               stopList = Seq("runs", "fine.")).as("f_gopher"),
             (graft.ops.LangModel.bitsPerTokCol(s, lmm, "text")
               <= lit(thr.getOrElse(Long.MinValue))).as("f_lm"))
+          // NOTE (r16): SHUFFLE_HASH hints on the two slim gate frames were
+          // tried here (the verify-join lesson — stream the text-wide side
+          // unsorted) and REVERTED: at 10M the wide-side sort is ~85 MB/task
+          // and overlaps the gate CPU + checkpoint write, so the stage moved
+          // within host noise (64.8/51.5 s hinted vs 49.4–68.4 unhinted
+          // across steal-noisy runs). The near-dedup verify join is
+          // different in kind: its candidate side is 29M rows and SPILLS.
           .join(clf, "doc_id")
           .join(surv, Seq("doc_id"), "left").na.fill(false, Seq("f_dedup"))
           .localCheckpoint(true, org.apache.spark.storage.StorageLevel.DISK_ONLY)
