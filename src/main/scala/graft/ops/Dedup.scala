@@ -307,11 +307,13 @@ object Dedup {
     // a corpus pre-filtered MAP-SIDE. No corpus-sized exchange or sort
     // remains; false positives only let a few extra text rows through to
     // the exact id equi-joins, so the result is bit-identical.
+    val tc = System.nanoTime()
     val cand = rawCand.localCheckpoint()
     // the checkpoint above materialized the candidates — the banded-
     // signature cache is dead weight from here on
     banded.unpersist(false)
     val nCand = cand.count()
+    if (stageTimes) markStage("nearDedup.cand", tc)
     // Below the floor the corpus text relations broadcast into the verify
     // joins anyway (AQE sees a tiny candidate side), so the Bloom build +
     // broadcast jobs cost more than they save — measured +0.6 s on the sf0.1
@@ -322,31 +324,65 @@ object Dedup {
       .get("spark.graft.nearDedup.bloomFloor", "16384").toLong
     if (stageTimes) System.err.println(
       s"[bench] nearDedup nCand=$nCand bloom=${nCand >= bloomFloor}")
-    val pairs = {
-      val texts =
-        if (nCand < bloomFloor) docs
-        else {
-          val spark = df.sparkSession
-          val ids = cand.select(col("id_a").as("id"))
-            .union(cand.select(col("id_b").as("id")))
-          // size the filter on the (approximate) DISTINCT id count, not
-          // 2×nCand: candidate ids repeat heavily (29M pairs over ≤10M docs
-          // at the 10M funnel), and a 2×nCand-sized bloom is a ~70 MB
-          // broadcast where ~10 MB suffices. An underestimate only raises
-          // the fpp (more rows pass to the exact equi-joins) — never
-          // correctness. The ×1.3 covers approx_count_distinct's 5% rsd.
-          val nIds = ids.agg(approx_count_distinct(col("id")))
-            .head.getLong(0)
-          if (stageTimes) System.err.println(s"[bench] nearDedup nIds~$nIds")
-          val bf = ids.stat.bloomFilter("id",
-            math.max((nIds * 1.3).toLong, 1000L), 0.01)
-          val bfB = spark.sparkContext.broadcast(bf)
-          val mightMatch = udf { (id: Long) => bfB.value.mightContainLong(id) }
-          docs.where(mightMatch(col("id")))
-        }
-      verifyPairs(cand, texts, threshold, shuffleHash = nCand >= bloomFloor)
+    val pairs = if (nCand < bloomFloor) {
+      verifyPairs(cand, docs, threshold)
         .select(col("id_a"), col("id_b"))
         .localCheckpoint()
+    } else {
+      val tbl = System.nanoTime()
+      val spark = df.sparkSession
+      val ids = cand.select(col("id_a").as("id"))
+        .union(cand.select(col("id_b").as("id")))
+      // size the filter on the (approximate) DISTINCT id count, not
+      // 2×nCand: candidate ids repeat heavily (29M pairs over ≤10M docs
+      // at the 10M funnel), and a 2×nCand-sized bloom is a ~70 MB
+      // broadcast where ~10 MB suffices. An underestimate only raises
+      // the fpp (more rows pass to the exact equi-joins) — never
+      // correctness. The ×1.3 covers approx_count_distinct's 5% rsd.
+      val nIds = ids.agg(approx_count_distinct(col("id")))
+        .head.getLong(0)
+      if (stageTimes) System.err.println(s"[bench] nearDedup nIds~$nIds")
+      val bf = ids.stat.bloomFilter("id",
+        math.max((nIds * 1.3).toLong, 1000L), 0.01)
+      val bfB = spark.sparkContext.broadcast(bf)
+      val mightMatch = udf { (id: Long) => bfB.value.mightContainLong(id) }
+      // materialize the bloom-filtered candidate texts ONCE: without the
+      // checkpoint each verify-join hash build rescans the FULL corpus
+      // (scan + bloom UDF over every doc, twice); with it one corpus pass
+      // feeds both builds from local blocks. Also gives the EXACT byte
+      // size for the broadcast decision below.
+      val texts = docs.where(mightMatch(col("id"))).localCheckpoint()
+      val ts = texts.agg(count(lit(1)), sum(length(col("text")))).head
+      val (nTxt, txtBytes) =
+        (ts.getLong(0), if (ts.isNullAt(1)) 0L else ts.getLong(1))
+      // Broadcast the candidate texts when (a) they fit a byte budget
+      // (exact, from the checkpoint — never an estimate) AND (b) the
+      // candidate side is big enough to pay for it: the verify then runs
+      // MAP-SIDE over the checkpointed candidate partitions, removing both
+      // 16-byte candidate exchanges AND the shuffle of the text-wide
+      // (cand ⋈ text_a) intermediate (~8 GB at the 10M funnel: nCand=29M).
+      // Cost model, measured both ways on this host: broadcast saves
+      // ~nCand × (48 + avgTextLen) shuffled bytes but pays two serial
+      // driver collects + relation builds of txtBytes each, so it only
+      // wins when the candidate relation dwarfs the text relation (10M
+      // funnel: 8.7 GB vs 0.26 GB → broadcast; 2M probe: 16 MB vs 22 MB →
+      // SHUFFLE_HASH, which measured faster there). Budget is per-executor
+      // memory (one copy per executor on a cluster); 64 B/row covers row
+      // object + hash-relation overhead.
+      if (stageTimes) markStage("nearDedup.bloom", tbl)
+      val bcMax = df.sparkSession.conf
+        .get("spark.graft.nearDedup.broadcastTextBytes", "268435456").toLong
+      val avgLen = if (nTxt == 0) 0L else txtBytes / nTxt
+      val useBc = txtBytes + 64L * nTxt <= bcMax &&
+        nCand * (48L + avgLen) > 4L * txtBytes
+      val docsSide = if (useBc) broadcast(texts) else texts
+      val tv = System.nanoTime()
+      val v = verifyPairs(cand, docsSide, threshold, shuffleHash = !useBc)
+        .select(col("id_a"), col("id_b"))
+        .localCheckpoint()
+      if (stageTimes) markStage("nearDedup.verify", tv)
+      texts.unpersist(false)
+      v
     }
     markStage("nearDedup.pairs", t0)
     val t1 = System.nanoTime()
