@@ -2004,8 +2004,13 @@ object Bench {
     val loadEntryJson =
       if (loadAtEntry.isEmpty) "null"
       else loadAtEntry.map(v => f"$v%.2f").mkString("[", ",", "]")
+    // cpus as an Int for the JSON artifacts: SPARK_GRAFT_CPUS is a free-form
+    // env string (it also names the BENCHFULL file) — a non-numeric value
+    // must not corrupt the machine-readable lines. Recorded in the FULL line
+    // too so a future prev-capture knows what core count it ran at.
+    val cpusNum = scala.util.Try(cpus.trim.toInt).getOrElse(ncpus)
     val jsonLine =
-      s"""{"metric":"total","value":$totalStr,"unit":"sec","queries":$qs,"reps":$repsJson,"session_overhead":${f"$overheadSec%.3f"},"loadavg_at_entry":$loadEntryJson,"loadavg_before":$loadBefore,"loadavg_after":$loadAfter,"ncpus":$ncpus,"load_gate":"$loadGate","rep_floor":$repFloor,"rep_floor_met":$repFloorMet,"budget_hit":$budgetHit,"heavy_skipped":${if (heavyOptIn || args.nonEmpty) "[]" else heavyOnly.map("\"" + _ + "\"").mkString("[", ",", "]")},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$totalStr,"unit":"sec","cpus":$cpusNum,"queries":$qs,"reps":$repsJson,"session_overhead":${f"$overheadSec%.3f"},"loadavg_at_entry":$loadEntryJson,"loadavg_before":$loadBefore,"loadavg_after":$loadAfter,"ncpus":$ncpus,"load_gate":"$loadGate","rep_floor":$repFloor,"rep_floor_met":$repFloorMet,"budget_hit":$budgetHit,"heavy_skipped":${if (heavyOptIn || args.nonEmpty) "[]" else heavyOnly.map("\"" + _ + "\"").mkString("[", ",", "]")},"sf":"$sfDir"}"""
     println(jsonLine)
     // The driver's BENCH_r<n>.json keeps only the tail of stdout, which
     // truncates the per-query map past ~60 entries — persist the COMPLETE
@@ -2035,8 +2040,15 @@ object Bench {
       val prevTxt = new String(java.nio.file.Files.readAllBytes(
         java.nio.file.Paths.get(prevPath)))
       // extract the "queries" object of our own one-line format
+      // Never compare across CPU counts: the driver benches at 32 AND 8
+      // cores, and an 8-core run diffed against a 32-core prev would print
+      // a bogus ~0.3-0.5 "regression" in exactly the stdout tail the
+      // driver keeps. Prev captures written before the "cpus" field existed
+      // are all 32-core artifacts.
+      val prevCpus = """"cpus":(\d+)""".r.findFirstMatchIn(prevTxt)
+        .map(_.group(1).toInt).getOrElse(32)
       val qStart = prevTxt.indexOf("\"queries\":{")
-      if (qStart < 0) ("null", 0, 0, 0) else {
+      if (qStart < 0 || prevCpus != cpusNum) ("null", 0, 0, 0) else {
         val body = prevTxt.substring(qStart + 11, prevTxt.indexOf('}', qStart))
         val pair = """"([^"]+)":(-?[0-9.]+)""".r
         val prevMap = pair.findAllMatchIn(body)
@@ -2054,7 +2066,7 @@ object Bench {
       }
     } catch { case _: Throwable => ("null", 0, 0, 0) }
     val summaryLine =
-      s"""{"metric":"total","value":$totalStr,"unit":"sec","n":${results.size},"n_failed":$nFailed,"failed":${results.filter(_._2 < 0).map("\"" + _._1 + "\"").mkString("[", ",", "]")},"cpus":$cpus,"ncpus":$ncpus,"load_gate":"$loadGate","budget_hit":$budgetHit,"rep_floor_met":$repFloorMet,"session_overhead":${f"$overheadSec%.3f"},"geomean_speedup_vs_prev":$geoStr,"n_common":$nCommon,"n_improved_10pct":$nImp,"n_regressed_10pct":$nReg,"prev_file":"$prevPath","benchfull":"$fullPath","sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$totalStr,"unit":"sec","n":${results.size},"n_failed":$nFailed,"failed":${results.filter(_._2 < 0).map("\"" + _._1 + "\"").mkString("[", ",", "]")},"cpus":$cpusNum,"ncpus":$ncpus,"load_gate":"$loadGate","budget_hit":$budgetHit,"rep_floor_met":$repFloorMet,"session_overhead":${f"$overheadSec%.3f"},"geomean_speedup_vs_prev":$geoStr,"n_common":$nCommon,"n_improved_10pct":$nImp,"n_regressed_10pct":$nReg,"prev_file":"$prevPath","benchfull":"$fullPath","sf":"$sfDir"}"""
     println(summaryLine)
     spark.stop()
   }

@@ -164,20 +164,26 @@ object LangModel {
     * service scoring thousands of ad-hoc models per context would want to
     * manage the broadcast lifecycle itself.
     */
+  /** The ONE surprisal kernel: total integer bits over a doc's tokens under
+    * `m`. Shared by [[surprisal]] (frame form) and [[bitsPerTokCol]] (fused
+    * column form) so the oracle-pinned equivalence between them can never
+    * drift — any change to the clamp or the bit-length formula edits both
+    * callers at once. */
+  private def surprisalBits(m: UnigramModel, toks: Seq[String]): Long = {
+    var bits = 0L
+    toks.foreach { t =>
+      val c = m.counts.getOrElse(t, 0L)
+      val eff = if (c < 1L) 1L else c
+      bits += 64 - java.lang.Long.numberOfLeadingZeros(m.total / eff)
+    }
+    bits
+  }
+
   def surprisal(docs: DataFrame, model: UnigramModel,
       textCol: String, idCol: String): DataFrame = {
     val spark = docs.sparkSession
     val bc = spark.sparkContext.broadcast(model)
-    val score = udf { (toks: Seq[String]) =>
-      val m = bc.value
-      var bits = 0L
-      toks.foreach { t =>
-        val c = m.counts.getOrElse(t, 0L)
-        val eff = if (c < 1L) 1L else c
-        bits += 64 - java.lang.Long.numberOfLeadingZeros(m.total / eff)
-      }
-      bits
-    }
+    val score = udf { (toks: Seq[String]) => surprisalBits(bc.value, toks) }
     docs
       .withColumn("__toks", tokensCol(textCol))
       .withColumn("n_tok", size(col("__toks")))
@@ -200,14 +206,7 @@ object LangModel {
       model: UnigramModel, textCol: String): Column = {
     val bc = spark.sparkContext.broadcast(model)
     val f = udf { (toks: Seq[String]) =>
-      val m = bc.value
-      var bits = 0L
-      toks.foreach { t =>
-        val c = m.counts.getOrElse(t, 0L)
-        val eff = if (c < 1L) 1L else c
-        bits += 64 - java.lang.Long.numberOfLeadingZeros(m.total / eff)
-      }
-      bits / math.max(toks.length.toLong, 1L)
+      surprisalBits(bc.value, toks) / math.max(toks.length.toLong, 1L)
     }
     f(tokensCol(textCol))
   }

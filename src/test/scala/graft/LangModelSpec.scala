@@ -54,6 +54,23 @@ class LangModelSpec extends AnyFunSuite {
     assert(m.total == 150L + 50L + 50L)
   }
 
+  test("trainUnigram proves sufficiency with a LIVE sentinel (candidates ⊂ universe)") {
+    // 4204 distinct tokens > vocabSize + slack (4 + 4096), so the candidate
+    // fingerprint set is a strict subset and the sentinel is REAL (the
+    // 4101st fingerprint's count, 1), while the V-th winner's exact count
+    // (7) sits STRICTLY above it — the branch that accepts the
+    // fingerprint-keyed result without the exact fallback pass. The flat
+    // test covers the tie→fallback side; this covers the accept side.
+    val hot = Seq.fill(10)("ha") ++ Seq.fill(9)("hb") ++
+      Seq.fill(8)("hc") ++ Seq.fill(7)("hd")
+    val singles = (0 until 4200).map(i => f"s$i%05d")
+    val docs = (hot ++ singles).grouped(200).zipWithIndex
+      .map { case (ts, i) => i.toLong -> ts.mkString(" ") }.toSeq
+    val m = LangModel.trainUnigram(df(docs), "text", vocabSize = 4)
+    assert(m.counts == Map("ha" -> 10L, "hb" -> 9L, "hc" -> 8L, "hd" -> 7L))
+    assert(m.total == 34L + 4200L)
+  }
+
   test("trainUnigram breaks count ties lexicographically") {
     val corpus = df(Seq((1L, "z y z y x")))
     val m = LangModel.trainUnigram(corpus, "text", vocabSize = 1)
