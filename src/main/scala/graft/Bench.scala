@@ -2035,8 +2035,25 @@ object Bench {
     // SPARK_GRAFT_BENCH_PREV) in well under 2000 chars; the full 331-entry
     // map stays in the per-cpus BENCHFULL file for human/judge diffing.
     val nFailed = results.count(_._2 < 0)
+    // Per-family rollup (r16 — the verdict asked for per-family geomeans in
+    // the survivable tail): family = "tpch" for q<digit>… names, else the
+    // first '_'-token after the q_/x_ prefix (curate, wasm, lm, fuzzy, …).
+    // Only the top families by time are emitted so the line stays well
+    // under the 2000-char tail budget whatever the battery grows to.
+    def family(name: String): String =
+      if (name.matches("^q[0-9].*")) "tpch"
+      else {
+        val base = name.stripPrefix("q_").stripPrefix("x_")
+        val f = base.takeWhile(_ != '_')
+        if (f.isEmpty) base else f
+      }
+    val famSec = results.filter(_._2 > 0).groupBy(r => family(r._1))
+      .map { case (f, rs) => f -> rs.map(_._2).sum }
+      .toSeq.sortBy(-_._2).take(12)
+    val famSecJson = famSec
+      .map { case (f, s) => s""""$f":${f"$s%.2f"}""" }.mkString("{", ",", "}")
     val prevPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_PREV", "BENCHFULL_prev.json")
-    val (geoStr, nCommon, nImp, nReg) = try {
+    val (geoStr, nCommon, nImp, nReg, famGeoJson) = try {
       val prevTxt = new String(java.nio.file.Files.readAllBytes(
         java.nio.file.Paths.get(prevPath)))
       // extract the "queries" object of our own one-line format
@@ -2048,25 +2065,35 @@ object Bench {
       val prevCpus = """"cpus":(\d+)""".r.findFirstMatchIn(prevTxt)
         .map(_.group(1).toInt).getOrElse(32)
       val qStart = prevTxt.indexOf("\"queries\":{")
-      if (qStart < 0 || prevCpus != cpusNum) ("null", 0, 0, 0) else {
+      if (qStart < 0 || prevCpus != cpusNum) ("null", 0, 0, 0, "null") else {
         val body = prevTxt.substring(qStart + 11, prevTxt.indexOf('}', qStart))
         val pair = """"([^"]+)":(-?[0-9.]+)""".r
         val prevMap = pair.findAllMatchIn(body)
           .map(m => m.group(1) -> m.group(2).toDouble).toMap
-        val common = results.collect {
+        val speedups = results.collect {
           case (k, v, _) if v > 0 && prevMap.getOrElse(k, -1.0) > 0 =>
-            prevMap(k) / v // speedup: >1 = faster now
+            k -> prevMap(k) / v // speedup: >1 = faster now
         }
-        if (common.isEmpty) ("null", 0, 0, 0)
+        val common = speedups.map(_._2)
+        if (common.isEmpty) ("null", 0, 0, 0, "null")
         else {
           val geo = math.exp(common.map(math.log).sum / common.size)
+          // same top-by-time family set as famSec, geomean of its members'
+          // speedups — the per-family round-over-round signal the tail keeps
+          val byFam = speedups.groupBy(p => family(p._1))
+          val famGeo = famSec.flatMap { case (f, _) =>
+            byFam.get(f).filter(_.nonEmpty).map { ss =>
+              val g = math.exp(ss.map(p => math.log(p._2)).sum / ss.size)
+              s""""$f":${f"$g%.3f"}"""
+            }
+          }.mkString("{", ",", "}")
           (f"$geo%.4f", common.size,
-            common.count(_ > 1.10), common.count(_ < 0.90))
+            common.count(_ > 1.10), common.count(_ < 0.90), famGeo)
         }
       }
-    } catch { case _: Throwable => ("null", 0, 0, 0) }
+    } catch { case _: Throwable => ("null", 0, 0, 0, "null") }
     val summaryLine =
-      s"""{"metric":"total","value":$totalStr,"unit":"sec","n":${results.size},"n_failed":$nFailed,"failed":${results.filter(_._2 < 0).map("\"" + _._1 + "\"").mkString("[", ",", "]")},"cpus":$cpusNum,"ncpus":$ncpus,"load_gate":"$loadGate","budget_hit":$budgetHit,"rep_floor_met":$repFloorMet,"session_overhead":${f"$overheadSec%.3f"},"geomean_speedup_vs_prev":$geoStr,"n_common":$nCommon,"n_improved_10pct":$nImp,"n_regressed_10pct":$nReg,"prev_file":"$prevPath","benchfull":"$fullPath","sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$totalStr,"unit":"sec","n":${results.size},"n_failed":$nFailed,"failed":${results.filter(_._2 < 0).map("\"" + _._1 + "\"").mkString("[", ",", "]")},"cpus":$cpusNum,"ncpus":$ncpus,"load_gate":"$loadGate","budget_hit":$budgetHit,"rep_floor_met":$repFloorMet,"session_overhead":${f"$overheadSec%.3f"},"geomean_speedup_vs_prev":$geoStr,"n_common":$nCommon,"n_improved_10pct":$nImp,"n_regressed_10pct":$nReg,"family_sec":$famSecJson,"family_geomean_vs_prev":$famGeoJson,"prev_file":"$prevPath","benchfull":"$fullPath","sf":"$sfDir"}"""
     println(summaryLine)
     spark.stop()
   }
